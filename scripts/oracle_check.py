@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Dev-only harness simulating the driver's correctness gate.
+
+Runs graft.Verify at a given SF dir, then executes each oracle SQL in
+DuckDB over the same parquet tables and compares: schema (column names
+sorted), row count, and values (rows sorted). Reports exact mismatches
+and float near-misses separately so determinism bugs are visible before
+the driver's round gate runs.
+
+Usage: python3 scripts/oracle_check.py [sfdir] [outdir] [--skip-verify]
+"""
+import json, math, subprocess, sys, glob, os
+from decimal import Decimal
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def run_verify():
+    jars = ":".join(glob.glob("/opt/spark/jars/*.jar"))
+    cp = f"/root/repo/target/scala-2.13/classes:{jars}"
+    opens = []
+    for p in ["java.base/java.lang","java.base/java.lang.invoke","java.base/java.lang.reflect",
+              "java.base/java.io","java.base/java.net","java.base/java.nio","java.base/java.util",
+              "java.base/java.util.concurrent","java.base/java.util.concurrent.atomic",
+              "java.base/sun.nio.ch","java.base/sun.nio.cs","java.base/sun.security.action",
+              "java.base/sun.util.calendar"]:
+        opens += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    cmd = ["java"] + opens + ["-Xmx8g", "-Dspark.ui.enabled=false",
+           "-Dspark.sql.session.timeZone=UTC", "-cp", cp, "graft.Verify", SF, OUT]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    sys.stdout.write(r.stdout[-3000:])
+    sys.stderr.write(r.stderr[-5000:])
+    if r.returncode != 0:
+        print("VERIFY FAILED rc=", r.returncode); sys.exit(1)
+
+def norm(v):
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    if isinstance(v, float):
+        return ("f", v)
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    return v
+
+def close(a, b):
+    if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0] == "f":
+        x, y = a[1], b[1]
+        return math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+def main():
+    if "--skip-verify" not in sys.argv:
+        run_verify()
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        pq = f"{OUT}/{name}"
+        if not os.path.isdir(pq):
+            print(f"{name}: MISSING spark output"); fails += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
+            got_cols = sorted(got.columns)
+            gsel = ", ".join(f'"{c}"' for c in got_cols)
+            got_rows = con.sql(f"SELECT {gsel} FROM '{pq}/*.parquet'").fetchall()
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            esel = ", ".join(f'"{c}"' for c in exp_cols)
+            exp_rows = con.execute(f"SELECT {esel} FROM ({sql}) oq").fetchall()
+        except Exception as e:
+            print(f"{name}: ERROR {e}"); fails += 1; continue
+        if got_cols != exp_cols:
+            print(f"{name}: COLS mismatch spark={got_cols} duck={exp_cols}"); fails += 1; continue
+        g = sorted([tuple(norm(v) for v in r) for r in got_rows])
+        e = sorted([tuple(norm(v) for v in r) for r in exp_rows])
+        if len(g) != len(e):
+            print(f"{name}: ROWS {len(g)} vs {len(e)}"); fails += 1; continue
+        exact = g == e
+        if exact:
+            print(f"{name}: OK ({len(g)} rows)")
+        else:
+            bad = [(a, b) for a, b in zip(g, e) if a != b]
+            approx = all(len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
+                         for a, b in bad)
+            tag = "APPROX-ONLY (float ulps)" if approx else "VALUES MISMATCH"
+            print(f"{name}: {tag}; first diff: {bad[0] if bad else '?'}")
+            fails += 1
+    print("FAILS:", fails)
+    sys.exit(1 if fails else 0)
+
+main()

@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, TextOps}
+import graft.tables.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is an implemented operator from SURVEY §2
+  * (or a beyond-reference pipeline operator); every key that is
+  * ANSI-SQL-expressible also appears in [[oracleSql]] with the exact
+  * DuckDB-equivalent query. Column names and (for floats) arithmetic
+  * paths match bit-for-bit — see [[graft.operators.Relational]] for
+  * the determinism rules.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference parity, batch (SURVEY §2.3 P1-P3, §2.5 A1) —
+    "q01_wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d), col("text"))),
+    "q02_pricing_summary" -> Relational.pricingSummary _,
+    "q03_join_agg" -> Relational.joinAgg _,
+    "q04_filter_project" -> Relational.filterProject _,
+    "q05_top_customers" -> Relational.topCustomers _,
+    "q06_distinct" -> Relational.distinctStatus _,
+    "q07_setops" -> Relational.setOps _,
+    "q08_window_rank" -> Relational.windowRank _,
+    "q09_event_hourly_window" -> Relational.eventHourlyWindow _,
+    "q10_json_extract" -> Relational.jsonExtract _,
+    "q11_cube" -> Relational.cubeCounts _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_wordcount" ->
+      ("SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) AS word " +
+        "FROM documents) t WHERE word <> '' GROUP BY word"),
+    "q02_pricing_summary" -> Relational.pricingSummarySql,
+    "q03_join_agg" -> Relational.joinAggSql,
+    "q04_filter_project" -> Relational.filterProjectSql,
+    "q05_top_customers" -> Relational.topCustomersSql,
+    "q06_distinct" -> Relational.distinctStatusSql,
+    "q07_setops" -> Relational.setOpsSql,
+    "q08_window_rank" -> Relational.windowRankSql,
+    "q09_event_hourly_window" -> Relational.eventHourlyWindowSql,
+    "q10_json_extract" -> Relational.jsonExtractSql,
+    "q11_cube" -> Relational.cubeCountsSql,
+  )
 }

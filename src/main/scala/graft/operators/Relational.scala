@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Batch relational operator suite (SURVEY §2.3-§2.7).
+  *
+  * Oracle-parity rule used throughout: aggregates over float columns go
+  * through `DECIMAL(18,4)` so partial-aggregation order (Spark's
+  * map-side combine vs DuckDB's sequential scan) cannot perturb the
+  * result; doubles only appear as pass-through column values or as a
+  * single final exact-decimal→double division. This keeps every query
+  * bit-deterministic across engines while Spark still gets hash
+  * aggregation + whole-stage codegen.
+  *
+  * Scale notes per query are in each builder's doc.
+  */
+object Relational {
+
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** A1 analog, TPC-H Q1 flavor: filter → groupBy → multi-agg.
+    * The shipdate predicate reaches the parquet scan (PushedFilters);
+    * the aggregation is partial+final HashAggregate — the only shuffle
+    * carries ~|groups| rows.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec4(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
+        sum(dec4(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
+        sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+          .cast(DecimalType(38, 8)).as("sum_disc_price"),
+        (sum(dec4(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+      | count(*) AS cnt
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J1 batch analog: customer ⋈ orders ⋈ lineitem with aggregation.
+    * `customer` is tiny relative to the fact tables → explicit
+    * broadcast keeps the big side shuffle-free on that join; the
+    * orders⋈lineitem equi-join shuffles both sides on the order key
+    * (sort-merge / shuffled-hash chosen by AQE at real scale).
+    */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+          .cast(DecimalType(38, 8)).as("revenue"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val joinAggSql: String =
+    """SELECT c_mktsegment, o_orderpriority,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+      | count(DISTINCT o_orderkey) AS n_orders,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority""".stripMargin
+
+  /** P1-P2 analog at relational level: projection + conjunctive filter,
+    * fully pushed to the parquet scan (row-group pruning + column
+    * pruning — ReadSchema carries only the 5 referenced columns).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_discount") >= lit(0.05) && col("l_quantity") < lit(10.0) &&
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+
+  val filterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_discount >= 0.05 AND l_quantity < 10.0
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'""".stripMargin
+
+  /** Top-k: global sort + limit. Spark plans TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge on the driver; no global
+    * sort materialization at any scale. Fully tie-broken for
+    * determinism.
+    */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(dec4(col("o_totalprice"))).cast(DecimalType(38, 4)).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spent").desc, col("o_custkey").asc)
+      .limit(10)
+
+  val topCustomersSql: String =
+    """SELECT o_custkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spent,
+      | count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin
+
+  /** DISTINCT — hash aggregation without aggregates. */
+  def distinctStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+
+  val distinctStatusSql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** Set operations: INTERSECT (semi-join under the hood) and EXCEPT
+    * (anti-join) composed with bag UNION ALL. Branches are disjoint by
+    * construction (acctbal > 1000 vs < 0).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    val highBal = c.filter(col("c_acctbal") > 1000).select(col("c_custkey"))
+    val negBal = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    highBal.intersect(withOrders).union(negBal.except(withOrders))
+  }
+
+  val setOpsSql: String =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |UNION ALL
+      |(SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      | EXCEPT
+      | SELECT o_custkey AS c_custkey FROM orders)""".stripMargin
+
+  /** Analytic window functions: per-group top-5 by ranked row_number
+    * with a total tie-break (price desc, orderkey, linenumber) so the
+    * result is a deterministic set.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+  }
+
+  val windowRankSql: String =
+    """SELECT * FROM (
+      | SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |  row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      | FROM lineitem) t WHERE rn <= 5""".stripMargin
+
+  /** W1 batch analog: tumbling 1-hour event-time windows over `events`
+    * (the streaming variant with a watermark lives in
+    * [[graft.streaming.StreamOps]]; at stream completion both produce
+    * this exact result). Window start is emitted as epoch micros to
+    * keep the comparison timezone-free.
+    */
+  def eventHourlyWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        unix_micros(date_trunc("hour", col("ts"))).as("win_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast(DecimalType(38, 4)).as("sum_value"))
+
+  val eventHourlyWindowSql: String =
+    """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
+      | count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Semi-structured JSON extraction from `events.props`. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+
+  val jsonExtractSql: String =
+    """SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t
+      |GROUP BY 1""".stripMargin
+
+  /** CUBE grouping sets with NULL-label coalescing. */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"))
+
+  val cubeCountsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      | count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+}
