@@ -35,6 +35,12 @@ object SparkEntry {
     "q09_event_hourly_window" -> Relational.eventHourlyWindow _,
     "q10_json_extract" -> Relational.jsonExtract _,
     "q11_cube" -> Relational.cubeCounts _,
+    // — reference parity, streaming (SURVEY §2.5 A2, §2.6 W1-W7, §2.4 J1) —
+    // Each runs a real Structured Streaming query (watermark, state
+    // store, append emission) into a memory sink.
+    "q12_stream_hourly_window" -> graft.streaming.StreamOps.hourlyWindowAgg _,
+    "q13_stream_count_window" -> graft.streaming.CountWindows.eventCountWindows _,
+    "q14_stream_window_join" -> graft.streaming.StreamOps.windowedStreamJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +60,8 @@ object SparkEntry {
     "q09_event_hourly_window" -> Relational.eventHourlyWindowSql,
     "q10_json_extract" -> Relational.jsonExtractSql,
     "q11_cube" -> Relational.cubeCountsSql,
+    "q12_stream_hourly_window" -> graft.streaming.StreamOps.hourlyWindowAggSql,
+    "q13_stream_count_window" -> graft.streaming.CountWindows.eventCountWindowsSql,
+    "q14_stream_window_join" -> graft.streaming.StreamOps.windowedStreamJoinSql,
   )
 }

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming analogs of the reference's DataStream programs
+  * (SURVEY §2.6 W1-W7, §2.5 A2, §2.4 J1).
+  *
+  * Each builder returns a *streaming* DataFrame; [[runToMemory]] drives
+  * it through a real `MicroBatchExecution` (watermark tracking, state
+  * store, append-mode emission) into a memory sink and returns the
+  * materialized result, which is how the oracle-gated `queries()`
+  * entries exercise the streaming engine end-to-end. On a cluster the
+  * same builders feed `writeStream.format("kafka"|"parquet")` with
+  * checkpointing; nothing here is test-only.
+  */
+object StreamOps {
+
+  /** Streaming read of the `events` table. File-source schema must be
+    * explicit; `ts` arrives as parquet TIMESTAMP(NANOS) so it is read
+    * as nanos-long and truncated to a microsecond TimestampType
+    * (identical to [[graft.tables.Tables.events]]).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    // Note the glob: the file-stream source requires a directory (or
+    // glob) path, not a bare file — `{events.parquet}` lists exactly
+    // that file while keeping the parent as the base path.
+    spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val sinkId = new AtomicLong()
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the collected result as a batch DataFrame. `outputMode`
+    * follows the query shape: "append" for watermarked aggregations
+    * and joins (reference parity: emit once the watermark closes the
+    * window, late rows dropped — W6/W7).
+    */
+  def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** W1/W2 + A2: tumbling 1-hour event-time windows with a 0-second
+    * watermark (reference's `AssignerWithPeriodicWatermarks` tracks
+    * max observed timestamp with zero slack — W6). Append mode emits
+    * each window exactly once, when the watermark passes its end; the
+    * still-open final window is withheld, exactly as Flink would hold
+    * an unfired window. Window start is epoch micros (timezone-free).
+    *
+    * Scale: the shuffle carries partially-aggregated (window, type)
+    * pairs; state per key is one row. At 100 TB the identical plan
+    * runs against Kafka with RocksDB state.
+    */
+  def hourlyWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToMemory(agg, "append")
+  }
+
+  /** Oracle: all windows whose end the final watermark (= max ts)
+    * reached — i.e. every hour bucket except the one containing the
+    * max timestamp, unless max ts sits exactly on its window end.
+    */
+  val hourlyWindowAggSql: String =
+    """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
+      | count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM events
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** J1: watermarked stream-stream windowed equi inner join. Two
+    * filtered views of the event stream are joined on (user, tumbling
+    * 1-hour window) — window-struct equality reproduces Flink's
+    * same-window-only matching (`TumblingEventTimeWindows.of(...)`,
+    * reference ParquetTableJoin.scala:51-52). Inner-join matches emit
+    * in the batch they occur; the 0s watermark bounds the join state
+    * to one open window per side at steady state.
+    */
+  def windowedStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    def side(eventType: String, idAs: String) =
+      ev.withWatermark("ts", "0 seconds")
+        .filter(col("event_type") === eventType)
+        .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
+    val clicks = side("click", "click_id")
+    val purchases = side("purchase", "purchase_id")
+      .withColumnRenamed("user_id", "p_user_id").withColumnRenamed("w", "p_w")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") && col("w") === col("p_w"), "inner")
+      .select(col("user_id"), unix_micros(col("w.start")).as("win_start"),
+        col("click_id"), col("purchase_id"))
+    runToMemory(joined, "append")
+  }
+
+  val windowedStreamJoinSql: String =
+    """SELECT a.user_id, CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
+      | a.event_id AS click_id, b.event_id AS purchase_id
+      |FROM events a JOIN events b
+      | ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+      |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkSuite
+
+/** W1/W2/W6/W7 semantics on MemoryStream with injected event times:
+  * tumbling windows fire once the 0-slack watermark passes, and rows
+  * behind the watermark are dropped (reference
+  * `AssignerWithPeriodicWatermarks` with watermark = max observed ts,
+  * no allowedLateness — ParquetTableJoin.scala:132-142).
+  */
+class StreamOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window with 0s watermark emits closed windows and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "word", "v")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("word"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 4))).as("s"))
+      .select(col("window.start").cast("string").as("win"), col("word"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("w1").start()
+    try {
+      // hour-10 rows, then an hour-11 row that advances the watermark past 11:00
+      mem.addData((ts("2024-01-01 10:00:01"), "a", 1.0), (ts("2024-01-01 10:30:00"), "a", 2.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 11:00:05"), "b", 3.0))
+      q.processAllAvailable()
+      // late row for hour 10 — behind the watermark, must be dropped (W7)
+      mem.addData((ts("2024-01-01 10:45:00"), "a", 99.0))
+      q.processAllAvailable()
+      // advance watermark past hour 11 so b's window also closes
+      mem.addData((ts("2024-01-01 12:00:10"), "c", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("w1").as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00", "a", 2L), // late row NOT counted
+      ("2024-01-01 11:00:00", "b", 1L)))
+  }
+
+  test("hourly window agg over events matches its closed-window contract") {
+    val out = StreamOps.hourlyWindowAgg(spark, sf)
+    val maxTs = graft.tables.Tables.events(spark, sf)
+      .agg(max(unix_micros(date_trunc("hour", col("ts"))))).as[Long].head()
+    // every emitted window start strictly precedes the hour of max ts
+    assert(out.agg(max(col("win_start"))).as[Long].head() < maxTs)
+    assert(out.count() > 0)
+  }
+}
