@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, TextOps}
+import graft.operators.{Dedup, Relational, SimHash, Similarity, TextAnalysis, TextOps}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,6 +41,18 @@ object SparkEntry {
     "q12_stream_hourly_window" -> graft.streaming.StreamOps.hourlyWindowAgg _,
     "q13_stream_count_window" -> graft.streaming.CountWindows.eventCountWindows _,
     "q14_stream_window_join" -> graft.streaming.StreamOps.windowedStreamJoin _,
+    // — beyond-reference: dedup / similarity / text analysis —
+    "q15_dedup_exact" -> Dedup.exactQuery _,
+    "q16_dedup_ngram_jaccard" -> Dedup.ngramJaccardQuery _,
+    "q17_dedup_minhash_lsh" -> Dedup.minHashLshQuery _,
+    "q18_dedup_cosine" -> Dedup.cosinePairsQuery _,
+    "q19_knn" -> Similarity.knnQuery _,
+    "q20_lsh_knn" -> Similarity.lshKnnQuery _,
+    "q21_token_stats" -> TextAnalysis.tokenStatsQuery _,
+    "q22_langid" -> TextAnalysis.langIdQuery _,
+    "q23_quality" -> TextAnalysis.qualityQuery _,
+    "q24_fingerprint" -> TextAnalysis.fingerprintQuery _,
+    "q25_simhash" -> SimHash.simhashQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +75,18 @@ object SparkEntry {
     "q12_stream_hourly_window" -> graft.streaming.StreamOps.hourlyWindowAggSql,
     "q13_stream_count_window" -> graft.streaming.CountWindows.eventCountWindowsSql,
     "q14_stream_window_join" -> graft.streaming.StreamOps.windowedStreamJoinSql,
+    "q15_dedup_exact" -> Dedup.exactSql,
+    "q16_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    // q17: MinHash-LSH candidates + exact-Jaccard verify — same
+    // contract as q16 when LSH recall is total on this data (verified
+    // locally at sf0.001/sf0.01); the oracle is the exact-Jaccard SQL.
+    "q17_dedup_minhash_lsh" -> Dedup.ngramJaccardSql,
+    "q18_dedup_cosine" -> Dedup.cosinePairsSql,
+    "q19_knn" -> Similarity.knnSql,
+    // q20 (LSH KNN): JVM-seeded hyperplanes, not SQL-expressible → rows-only
+    "q21_token_stats" -> TextAnalysis.tokenStatsSql,
+    "q22_langid" -> TextAnalysis.langIdSql,
+    "q23_quality" -> TextAnalysis.qualitySql,
+    // q24 (fingerprint): 64-bit wrapping arithmetic, rows-only + unit golden
   )
 }

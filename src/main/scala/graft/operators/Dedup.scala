@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Deduplication operators for large-scale corpus curation — the
+  * beyond-reference pipeline block (BASELINE.json north star).
+  *
+  * Scale design: every variant is built so the only shuffles are
+  * (a) hash-partition by a dedup key (exact), or (b) an equi-join on
+  * a *sparse* candidate key (shingle / band signature / LSH bucket) —
+  * never an all-pairs product. All-pairs O(n²) appears only inside a
+  * candidate bucket, whose size is bounded by construction.
+  */
+object Dedup {
+
+  // ——— exact ———
+
+  /** Exact dedup: one representative (min id) per identical `keyCol`.
+    * One hash shuffle on the key; partial aggregation collapses
+    * duplicates map-side first.
+    */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def exactQuery(spark: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("keep_id"), col("n_copies"))
+
+  val exactSql: String =
+    "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
+
+  // ——— n-gram Jaccard ———
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    // shingle i = words[i..i+n): built with transform over the index
+    // range — stays inside codegen, no UDF.
+    val sh = expr(
+      s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
+        s"i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))")
+    df.filter(size(words) >= n)
+      .select(col(idCol).as("id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard ≥ `threshold`.
+    *
+    * Candidate generation is a self-equi-join on the shingle — the
+    * shuffle key is the shingle hash, so co-occurring documents meet
+    * in the same partition and documents sharing nothing never pair
+    * up. Jaccard = |∩| / (|A| + |B| − |∩|) from exact counts.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
+
+  val ngramJaccardSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8""".stripMargin
+
+  // ——— MinHash + LSH ———
+
+  /** MinHash signatures: sig[i] = min over shingles of xxhash64(i, shingle).
+    * Computed as one explode + (id, hash-index) aggregation — the
+    * shuffle carries (id, i, min-partial) after map-side combine, i.e.
+    * numHashes rows per document regardless of document length.
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${numHashes - 1}), i -> xxhash64(i, shingle))"))
+          .as(Seq("pos", "h")))
+      .groupBy(col("id"), col("pos"))
+      .agg(min(col("h")).as("mh"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mh")))).as("ps"))
+      .select(col("id"), expr("transform(ps, x -> x.mh)").as("sig"))
+
+  /** MinHash-LSH near-dup pairs: band the signature (`bands` bands of
+    * `numHashes / bands` rows), join on (band index, band content) to
+    * get candidates, then verify candidates with exact Jaccard.
+    * Candidate volume is controlled by the band collision probability
+    * (s-curve around threshold^(1/rows-per-band)); the verify join
+    * touches only candidate pairs.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sig = minHashSignatures(sh, numHashes)
+    val banded = sig.select(col("id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
+        .as(Seq("band", "bsig")))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // verify: exact Jaccard on the candidate pairs only
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val pairShingles = candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sh_b"), "id_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairShingles
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def minHashLshQuery(spark: SparkSession, dir: String): DataFrame =
+    minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+
+  // ——— embedding cosine near-dup ———
+
+  /** Near-dup by embedding cosine over a sampled probe set (ids ≡ 0
+    * mod `sampleMod`) — the bounded-cost diagnostic scan; the scalable
+    * all-pairs path is LSH-bucketed (see [[Similarity.lshCandidates]]).
+    */
+  def cosinePairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val cands = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cands.join(broadcast(probes), col("id_a") < col("id_b"))
+      .withColumn("sim", round(graft.functions.GraftFunctions.cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  val cosinePairsSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id % 50 = 0 AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin
+}

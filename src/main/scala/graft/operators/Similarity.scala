@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.tables.Tables
+
+/** Approximate / exact nearest-neighbor search over an embedding
+  * column (`array<float>`).
+  *
+  * Two paths, per the scale playbook:
+  *   - [[bruteForceKnn]]: exact cosine top-k. The query set is
+  *     broadcast; candidates stream through the codegen'd
+  *     [[graft.functions.CosineSimilarity]] loop, so the big side is
+  *     scanned once with no shuffle of the embeddings themselves.
+  *     Per-query top-k is a windowed rank over (query, sim).
+  *   - [[lshKnn]]: sign-random-projection LSH. Each vector gets a
+  *     `nbits`-bit signature from sign(v·hᵢ) with deterministic
+  *     pseudo-random hyperplanes, split into bands; vectors sharing
+  *     any band bucket become candidates. The candidate join is an
+  *     equi-join on (band, bucket) — the 100 TB path, since bucket
+  *     sizes (not n²) bound the work.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors (cosine) of each query vector. */
+  def bruteForceKnn(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val sims = candidates.join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rn"))
+  }
+
+  def knnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    bruteForceKnn(c, q, k = 5)
+  }
+
+  val knnSql: String =
+    """SELECT query_id, cand_id, sim, rn FROM (
+      |  SELECT query_id, cand_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+      |  FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                   CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.vec_id < 10 AND c.vec_id <> q.vec_id) s) t
+      |WHERE rn <= 5""".stripMargin
+
+  /** Deterministic pseudo-random unit-free hyperplanes (dim × nbits). */
+  private[operators] def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Attach an LSH band/bucket pair per (vector, band): sign bits of
+    * v·hᵢ grouped into `bands` equal slices, each hashed to a bucket.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nbits: Int, bands: Int, seed: Long): DataFrame = {
+    require(nbits % bands == 0)
+    val planes = hyperplanes(dim, nbits, seed)
+    val bitCols = planes.zipWithIndex.map { case (h, i) =>
+      val hLit = array(h.map(lit): _*)
+      when(GraftFunctions.dot(col(vecCol), hLit) >= 0, lit(1L)).otherwise(lit(0L)).as(s"bit_$i")
+    }
+    val rows = nbits / bands
+    val withBits = df.select(col(idCol).as("id"), col(vecCol).as("vec"), array(bitCols.toIndexedSeq: _*).as("bits"))
+    withBits.select(col("id"), col("vec"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> aggregate(slice(bits, b * $rows + 1, $rows), CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))"))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Approximate top-k via LSH candidates, exact cosine re-rank. */
+  def lshKnn(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nbits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val b = lshBuckets(emb, idCol, vecCol, dim, nbits, bands, seed)
+    val cand = b.as("q").join(b.as("c"),
+        col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket") &&
+          col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("q.vec").as("qv"),
+        col("c.id").as("cand_id"), col("c.vec").as("cv"))
+      .distinct()
+    val sims = cand.withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rn"))
+  }
+
+  /** Rows-only gated query for the LSH path (bucketing uses JVM-seeded
+    * hyperplanes — not expressible in the SQL oracle).
+    */
+  def lshKnnQuery(spark: SparkSession, dir: String): DataFrame =
+    lshKnn(Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, k = 5)
+}

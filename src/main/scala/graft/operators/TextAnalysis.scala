@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fingerprint64
+import graft.tables.Tables
+
+/** Text-analysis operators for corpus curation: token statistics,
+  * n-gram-free language ID (stopword scoring), quality scoring, and
+  * content fingerprinting. All row-local — they compile to a single
+  * codegen'd projection over the scan, no shuffle at any scale.
+  */
+object TextAnalysis {
+
+  // ——— token statistics ———
+
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.select(
+      col(idCol),
+      size(words).as("token_cnt"),
+      size(array_distinct(words)).as("uniq_tokens"),
+      (length(regexp_replace(col(textCol), " ", "")).cast("double") / size(words))
+        .as("avg_token_len"))
+  }
+
+  def tokenStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenStats(Tables.documents(spark, dir), "doc_id", "text")
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS uniq_tokens,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  // ——— language identification (stopword-hit heuristic) ———
+
+  /** Tiny per-language function-word lists. Real pipelines plug in a
+    * larger lexicon or an n-gram model; the operator shape (score per
+    * language from one pass over tokens, argmax with a fixed
+    * precedence) is what scales.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "im", "ein", "zu"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"))
+
+  private def hitCount(textCol: String, words: Seq[String]): Column = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split($textCol, ' '), x -> array_contains(array($arr), x)))")
+  }
+
+  /** Guess = language with the max stopword-hit count; ties resolve in
+    * [[stopwords]] declaration order (en first).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = df.select(
+      (Seq(col(idCol)) ++ stopwords.map { case (lang, ws) => hitCount(textCol, ws).as(s"s_$lang") }): _*)
+    val langs = stopwords.map(_._1)
+    val best = langs.init.foldRight(lit(langs.last): Column) { (lang, els) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(els)
+    }
+    scored.select(
+      (Seq(col(idCol), best.as("lang_guess")) ++ langs.map(l => col(s"s_$l"))): _*)
+  }
+
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir), "doc_id", "text")
+
+  val langIdSql: String = {
+    def hits(lang: String): String = {
+      val arr = stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> list_contains([$arr], x)))"
+    }
+    val langs = stopwords.map(_._1)
+    val scoreCols = langs.map(l => s"CAST(${hits(l)} AS INTEGER) AS s_$l").mkString(", ")
+    // same fold-right precedence as the Scala side: first language
+    // whose score is >= all others wins
+    val caseExpr = langs.init.foldRight(s"'${langs.last}'") { (lang, els) =>
+      val cond = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"CASE WHEN $cond THEN '$lang' ELSE $els END"
+    }
+    s"""WITH scored AS (SELECT doc_id, $scoreCols FROM documents)
+       |SELECT doc_id, $caseExpr AS lang_guess, ${langs.map(l => s"s_$l").mkString(", ")}
+       |FROM scored""".stripMargin
+  }
+
+  // ——— quality scoring ———
+
+  /** Quality = 0.4·stopword-ratio + 0.3·type-token-ratio +
+    * 0.3·length-norm (capped at 500 tokens). Exact int ratios combined
+    * with fixed weights in a fixed order → engine-reproducible after
+    * round(·, 6).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val tokenCnt = size(words)
+    val stopHits = hitCount(textCol, stopwords.toMap.apply("en"))
+    val score =
+      lit(0.4) * (stopHits.cast("double") / tokenCnt) +
+        lit(0.3) * (size(array_distinct(words)).cast("double") / tokenCnt) +
+        lit(0.3) * (least(tokenCnt, lit(500)).cast("double") / lit(500.0))
+    df.select(col(idCol), round(score, 6).as("quality"))
+  }
+
+  def qualityQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(spark, dir), "doc_id", "text")
+
+  val qualitySql: String = {
+    val arr = stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  round(0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$arr], x))) AS DOUBLE)
+       |               / len(string_split(text, ' ')))
+       |      + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' ')))
+       |      + 0.3 * (CAST(least(len(string_split(text, ' ')), 500) AS DOUBLE) / 500.0), 6) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  // ——— fingerprinting ———
+
+  /** Rows-only gated query (the 64-bit wrapping polynomial hash is not
+    * expressible in the SQL oracle); golden values are unit-tested.
+    */
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Fingerprint64(col("text")).as("fp"))
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine matches hand-computed value on float arrays (codegen path)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(GraftFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    val exp = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq(
+      (Array(0.5f, -0.25f), Array(0.5f, -0.25f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(round(GraftFunctions.cosine(col("a"), col("b")), 9)).as[Double].collect()
+    assert(got.toSeq === Seq(1.0, 0.0))
+  }
+
+  test("interpreted eval matches codegen") {
+    // force the interpreted path through an aggregation-less collect on
+    // a wide filter (codegen) vs direct expression eval
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = CosineSimilarity(Literal.create(Array(1.0, 2.0)), Literal.create(Array(2.0, 1.0)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    val viaDf = Seq((Array(1.0, 2.0), Array(2.0, 1.0))).toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(interpreted - viaDf) < 1e-15)
+  }
+
+  test("dot via SQL registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .as[Double].head()
+    assert(got === 11.0)
+  }
+
+  test("fingerprint64 golden values") {
+    // h("ab") = 'a'*257 + 'b' = 97*257 + 98 = 25027
+    val got = Seq("ab", "", "a").toDF("t")
+      .select(Fingerprint64(col("t"))).as[Long].collect().toSeq
+    assert(got === Seq(97L * 257 + 98, 0L, 97L))
+  }
+
+  test("fingerprint64 equals only on equal content") {
+    val fps = graft.tables.Tables.documents(spark, sf)
+      .select(Fingerprint64(col("text"))).as[Long].collect()
+    assert(fps.distinct.length === fps.length) // sf0.001 docs are all distinct
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Planted corpus: d1≈d2 (one word changed), d3 = exact copy of d1,
+  // d4 unrelated.
+  private val base = (1 to 40).map(i => s"w$i").mkString(" ")
+  private val docs = Seq(
+    (1L, base),
+    (2L, base.replace("w20", "zz")),
+    (3L, base),
+    (4L, (100 to 140).map(i => s"v$i").mkString(" ")))
+
+  test("exact dedup keeps min id per identical text") {
+    val got = Dedup.exact(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("ngram jaccard finds the near-dup and the exact dup, not the unrelated doc") {
+    val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash-LSH output equals brute-force jaccard on the reference corpus") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    val brute = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(d, "doc_id", "text", 3, 32, 16, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh === brute)
+    assert(brute.nonEmpty) // sf0.001 has planted near-dups
+  }
+
+  test("simhash near-dup pairs include planted near-dups and exclude unrelated") {
+    val got = SimHash.nearDupPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 7)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 3L))) // exact copy → hamming 0
+    assert(got.find(t => t._1 == 1L && t._2 == 3L).get._3 === 0)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+}
