@@ -53,6 +53,9 @@ object SparkEntry {
     "q23_quality" -> TextAnalysis.qualityQuery _,
     "q24_fingerprint" -> TextAnalysis.fingerprintQuery _,
     "q25_simhash" -> SimHash.simhashQuery _,
+    // — S1: partition-aware bucketed scan through the DSv2 connector —
+    "q26_bucketed_scan" -> graft.sources.bucketed.BucketedQueries.scanQuery _,
+    "q27_bucketed_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +91,7 @@ object SparkEntry {
     "q22_langid" -> TextAnalysis.langIdSql,
     "q23_quality" -> TextAnalysis.qualitySql,
     // q24 (fingerprint): 64-bit wrapping arithmetic, rows-only + unit golden
+    "q26_bucketed_scan" -> graft.sources.bucketed.BucketedQueries.scanSql,
+    "q27_bucketed_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownSql,
   )
 }

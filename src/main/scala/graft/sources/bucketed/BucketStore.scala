@@ -1,0 +1,88 @@
+package graft.sources.bucketed
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** In-JVM model of an external bucket-partitioned row store — the
+  * stand-in for the reference's SnappyData server cluster
+  * (SnappydataJdbcUtil.scala:21-33 discovers bucket→server topology;
+  * SnappyDataConnectorHelper.scala:142-197 builds one split per
+  * bucket with per-bucket server URLs).
+  *
+  * The store holds, per table: the schema, `numBuckets` row buckets
+  * (hash of the partitioning key, like the server's hash-partitioned
+  * region), a synthetic bucket→host mapping, and a monotonically
+  * increasing version (the analog of the reference's
+  * relation-destroy-version snapshot check,
+  * SnappydataJdbcUtil.scala:92). In production the store is a remote
+  * system and [[BucketedPartitionReader]] would open a pooled
+  * connection to the owning host; the DSv2 plumbing — topology
+  * discovery at planning, per-bucket InputPartitions, locality hints,
+  * filter/column pushdown — is identical and is the part that must
+  * scale.
+  */
+object BucketStore {
+
+  final case class BucketTable(
+      schema: StructType,
+      keyCol: String,
+      buckets: Array[Array[Row]],
+      hosts: Array[Seq[String]],
+      version: Long)
+
+  private val tables = new ConcurrentHashMap[String, BucketTable]()
+  private val versions = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Synthetic cluster: `nHosts` servers, buckets assigned round-robin
+    * with one replica (mirrors the primary/secondary lists parsed in
+    * SnappyDataConnectorHelper.scala:156-197).
+    */
+  def hostsFor(bucket: Int, nHosts: Int): Seq[String] =
+    Seq(s"host-${bucket % nHosts}", s"host-${(bucket + 1) % nHosts}")
+
+  /** Load a DataFrame into the store as `name`, hash-partitioned on
+    * `keyCol` into `numBuckets` buckets. Idempotent per (name, version
+    * of the data): repeated loads replace the table under a new
+    * version.
+    */
+  def load(spark: SparkSession, name: String, df: DataFrame, keyCol: String,
+      numBuckets: Int, nHosts: Int = 4): Unit = {
+    val bucketed = df.withColumn("__b", pmod(hash(col(keyCol)), lit(numBuckets)))
+    val collected = bucketed.collect()
+    val schema = StructType(df.schema.fields)
+    val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
+    val bIdx = collected.headOption.map(_.fieldIndex("__b")).getOrElse(schema.length)
+    collected.foreach { r =>
+      val b = r.getInt(bIdx)
+      byBucket(b) += Row.fromSeq(r.toSeq.dropRight(1))
+    }
+    val table = BucketTable(
+      schema, keyCol,
+      byBucket.map(_.result().toArray),
+      Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+      versions.incrementAndGet())
+    tables.put(name, table)
+  }
+
+  /** Load from parquet if not already present (the common gated-query
+    * path: model "the external cluster already holds this table").
+    */
+  def ensureLoaded(spark: SparkSession, name: String, dir: String, table: String,
+      keyCol: String, numBuckets: Int): Unit = {
+    val key = s"$name"
+    if (!tables.containsKey(key)) synchronized {
+      if (!tables.containsKey(key)) {
+        load(spark, key, graft.tables.Tables.load(spark, dir, table), keyCol, numBuckets)
+      }
+    }
+  }
+
+  def get(name: String): BucketTable = {
+    val t = tables.get(name)
+    require(t != null, s"BucketStore has no table '$name' — call BucketStore.load first")
+    t
+  }
+}

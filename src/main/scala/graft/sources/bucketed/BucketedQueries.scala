@@ -1,0 +1,55 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries driving the graft-buckets DSv2 source
+  * end-to-end: load the table into the bucket store (modeling the
+  * external cluster already holding it), read back through
+  * `spark.read.format("graft-buckets")`, and compare against DuckDB
+  * on the raw parquet. Timestamps are emitted as epoch micros
+  * (timezone-free compare).
+  */
+object BucketedQueries {
+
+  val NumBuckets = 16
+
+  private def bucketedLineitem(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"lineitem@$dir", dir, "lineitem", "l_orderkey", NumBuckets)
+    spark.read.format("graft-buckets").option("table", s"lineitem@$dir").load()
+  }
+
+  /** Full-table scan through the connector — row-for-row identical to
+    * the raw parquet (the reference's SnappydataConnectorTest does the
+    * same via count+print, SnappydataConnectorTest.scala:17-23).
+    */
+  def scanQuery(spark: SparkSession, dir: String): DataFrame =
+    bucketedLineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"),
+      // l_shipdate arrives as TIMESTAMP_NTZ (parquet isAdjustedToUTC
+      // unset); cast through the UTC session for the epoch compare
+      unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+
+  val scanSql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      | CAST(epoch_us(l_shipdate) AS BIGINT) AS ship_us
+      |FROM lineitem""".stripMargin
+
+  /** Filtered + projected scan: the predicate and the column pruning
+    * are pushed into the connector (visible as `pushed=[...] cols=[...]`
+    * in the scan description) and enforced inside the per-bucket
+    * reader — the strict improvement over the reference's `SELECT *`.
+    */
+  def pushdownQuery(spark: SparkSession, dir: String): DataFrame =
+    bucketedLineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  val pushdownSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30.0""".stripMargin
+}
