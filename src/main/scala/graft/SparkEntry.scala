@@ -56,6 +56,9 @@ object SparkEntry {
     // — S1: partition-aware bucketed scan through the DSv2 connector —
     "q26_bucketed_scan" -> graft.sources.bucketed.BucketedQueries.scanQuery _,
     "q27_bucketed_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownQuery _,
+    // — multimodal binary-column plumbing (decode stubbed; schema,
+    //   batching, and partitioning real — see graft.multimodal) —
+    "q28_multimodal" -> graft.multimodal.Multimodal.multimodalQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +96,6 @@ object SparkEntry {
     // q24 (fingerprint): 64-bit wrapping arithmetic, rows-only + unit golden
     "q26_bucketed_scan" -> graft.sources.bucketed.BucketedQueries.scanSql,
     "q27_bucketed_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownSql,
+    "q28_multimodal" -> graft.multimodal.Multimodal.multimodalSql,
   )
 }
