@@ -128,6 +128,11 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** MinHash signature aggregate over a long hash column. */
+  def minhash(baseHash: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashAgg(GraftColumnBridge.expression(baseHash), numHashes).toAggregateExpression())
+
   /** Register `graft_cosine` / `graft_dot` for SQL use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -85,13 +85,19 @@ object Similarity {
   def lshKnn(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nbits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     val b = lshBuckets(emb, idCol, vecCol, dim, nbits, bands, seed)
+    // dedup candidate pairs on ids only (a distinct over rows carrying
+    // both vectors would shuffle the full embeddings per pair), then
+    // join the vectors back — AQE broadcasts the dimension-sized side.
     val cand = b.as("q").join(b.as("c"),
         col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket") &&
           col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("query_id"), col("q.vec").as("qv"),
-        col("c.id").as("cand_id"), col("c.vec").as("cv"))
+      .select(col("q.id").as("query_id"), col("c.id").as("cand_id"))
       .distinct()
-    val sims = cand.withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("cv")), 6))
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val sims = cand
+      .join(vecs.withColumnRenamed("vid", "query_id").withColumnRenamed("v", "qv"), "query_id")
+      .join(vecs.withColumnRenamed("vid", "cand_id").withColumnRenamed("v", "cv"), "cand_id")
+      .withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
     sims.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
