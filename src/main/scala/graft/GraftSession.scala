@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Front door: a SparkSession configured with the engine's
+  * recommended settings (UTC, AQE, right-sized shuffle parallelism)
+  * and the graft SQL functions registered.
+  *
+  * `shufflePartitions` should track the cluster's total cores (the
+  * local default here), not Spark's legacy 200 — at real scale AQE
+  * coalesces post-shuffle partitions anyway, but the initial number
+  * bounds state-store count for streaming stateful ops.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Build the session and register graft_cosine / graft_dot etc. */
+  def create(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+}

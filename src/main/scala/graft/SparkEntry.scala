@@ -59,6 +59,8 @@ object SparkEntry {
     // — multimodal binary-column plumbing (decode stubbed; schema,
     //   batching, and partitioning real — see graft.multimodal) —
     "q28_multimodal" -> graft.multimodal.Multimodal.multimodalQuery _,
+    // — W4/W5: per-element window-pane processing with metadata —
+    "q29_window_panes" -> graft.streaming.WindowPanes.eventPanes _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +99,6 @@ object SparkEntry {
     "q26_bucketed_scan" -> graft.sources.bucketed.BucketedQueries.scanSql,
     "q27_bucketed_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownSql,
     "q28_multimodal" -> graft.multimodal.Multimodal.multimodalSql,
+    "q29_window_panes" -> graft.streaming.WindowPanes.eventPanesSql,
   )
 }
