@@ -61,6 +61,11 @@ object SparkEntry {
     "q28_multimodal" -> graft.multimodal.Multimodal.multimodalQuery _,
     // — W4/W5: per-element window-pane processing with metadata —
     "q29_window_panes" -> graft.streaming.WindowPanes.eventPanes _,
+    "q30_regional_revenue" -> Relational.regionalRevenue _,
+    "q31_anti_join" -> Relational.customersWithoutOrders _,
+    "q32_running_total" -> Relational.runningOrderTotals _,
+    // q33 (IVF KNN): centroid sampling is JVM-side → rows-only gate
+    "q33_ivf_knn" -> Similarity.ivfKnnQuery _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,5 +105,8 @@ object SparkEntry {
     "q27_bucketed_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownSql,
     "q28_multimodal" -> graft.multimodal.Multimodal.multimodalSql,
     "q29_window_panes" -> graft.streaming.WindowPanes.eventPanesSql,
+    "q30_regional_revenue" -> Relational.regionalRevenueSql,
+    "q31_anti_join" -> Relational.customersWithoutOrdersSql,
+    "q32_running_total" -> Relational.runningOrderTotalsSql,
   )
 }

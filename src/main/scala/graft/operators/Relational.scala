@@ -201,6 +201,81 @@ object Relational {
       |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q5 flavor: 6-way join through the star schema with a
+    * region filter and per-nation revenue. The three dimension chains
+    * (customer→nation→region, supplier→nation) broadcast; only
+    * lineitem⋈orders shuffles. The classic c_nationkey = s_nationkey
+    * local-supplier condition is preserved.
+    */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+          .cast(DecimalType(38, 8)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val regionalRevenueSql: String =
+    """SELECT r_name, n_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers with no large order. The anti
+    * side is filtered before the join, so the plan is a left-anti
+    * hash join against the reduced orders set.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin
+
+  /** Cumulative window frame: running order total per customer in
+    * (o_orderdate, o_orderkey) order — exact decimal running sum.
+    */
+  def runningOrderTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec4(col("o_totalprice"))).over(w).cast(DecimalType(38, 4)).as("running_total"))
+  }
+
+  val runningOrderTotalsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_total
+      |FROM orders""".stripMargin
+
   /** CUBE grouping sets with NULL-label coalescing. */
   def cubeCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -111,4 +111,64 @@ object Similarity {
     lshKnn(Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", dim = 64, k = 5)
+
+  // ——— IVF (inverted-file) index: the coarse-quantizer scale path ———
+
+  /** Assign each vector to its nearest of `nlist` centroids (coarse
+    * quantization). Centroids are a deterministic sample of the data
+    * itself (ids ≡ 0 mod ⌈n/nlist⌉-ish stride) — a stand-in for a
+    * k-means fit, which would slot in identically. The assignment is
+    * a broadcast-nested-loop over the centroid list: one scan of the
+    * data, no shuffle of the vectors.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(centroids.select(col("cent_id"), col("cent_vec"))), lit(true))
+      .withColumn("sim", GraftFunctions.cosine(col("vec"), col("cent_vec")))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cent_id"))
+  }
+
+  /** Deterministic centroid sample: the first `nlist` vectors by id
+    * (a k-means fit would slot in identically — the index structure,
+    * not the quantizer quality, is what this demonstrates).
+    */
+  def sampleCentroids(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    emb.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+
+  /** IVF KNN: probe the `nprobe` nearest centroids per query, scan
+    * only their inverted lists, exact re-rank within. The candidate
+    * set is |data|·nprobe/nlist per query in expectation — the n²
+    * → n·nprobe/nlist reduction that makes ANN tractable at 100 TB.
+    */
+  def ivfKnn(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val centroids = sampleCentroids(emb, idCol, vecCol, nlist).cache()
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids).cache()
+    // per query: its nprobe closest centroids
+    val qScored = queries.select(col("query_id"), col("qv"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", GraftFunctions.cosine(col("qv"), col("cent_vec")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = qScored.withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    // scan only the probed inverted lists
+    val cands = probes.join(assigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("vec")), 6))
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    cands.withColumn("krn", row_number().over(wk)).filter(col("krn") <= k)
+      .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("krn").as("rn"))
+  }
+
+  /** Rows-only gated query for the IVF path. */
+  def ivfKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    ivfKnn(e.select(col("vec_id"), col("embedding")), q,
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+  }
 }

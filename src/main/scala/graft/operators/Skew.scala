@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`,
+  * on by default) splits oversized sort-merge partitions at runtime;
+  * these helpers cover what AQE does not: skewed *aggregation* keys
+  * with large reduce-side state, and hash joins where one hot key
+  * floods a single task.
+  *
+  * Both use the standard salt pattern: spread each hot key over
+  * `salts` sub-keys, do the heavy operation per (key, salt), then
+  * combine. The join result is independent of how rows are salted, so
+  * determinism is preserved.
+  */
+object Skew {
+
+  /** Two-phase aggregation for skewed group keys: partial aggregate on
+    * (key, salt), final aggregate on key. The aggregate must be
+    * decomposable, expressed as its two phases — e.g.
+    * `saltedAggregate(df, $"k", 16, sum, sum, $"v", "total")`.
+    */
+  def saltedAggregate(df: DataFrame, key: Column, salts: Int,
+      partial: Column => Column, finalAgg: Column => Column, valueCol: Column,
+      outName: String): DataFrame =
+    df.withColumn("__salt", pmod(hash(valueCol), lit(salts)))
+      .groupBy(key.as("k"), col("__salt"))
+      .agg(partial(valueCol).as("__part"))
+      .groupBy(col("k"))
+      .agg(finalAgg(col("__part")).as(outName))
+
+  /** Skewed equi-join: replicate the build side `salts` times, salt
+    * each probe row into one replica, join on (key, salt). Every hot
+    * probe key now spreads over `salts` tasks; the build side pays a
+    * `salts`× replication (it must be the smaller side).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String, buildKey: String,
+      salts: Int): DataFrame = {
+    val saltDf = build.sparkSession.range(salts.toLong)
+      .select(col("id").cast("int").as("__bsalt"))
+    val saltedBuild = build.crossJoin(saltDf)
+    val saltedProbe = probe.withColumn("__psalt",
+      pmod(hash(col(probeKey), monotonically_increasing_id()), lit(salts)))
+    saltedProbe.join(saltedBuild,
+        col(probeKey) === col(buildKey) && col("__psalt") === col("__bsalt"))
+      .drop("__psalt", "__bsalt")
+  }
+}

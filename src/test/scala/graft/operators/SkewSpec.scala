@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Salting preserves results: salted ops must equal their unsalted
+  * equivalents on skewed data (one key holding 90% of rows).
+  */
+class SkewSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val skewed =
+    ((1 to 900).map(i => ("hot", i.toDouble)) ++ (1 to 100).map(i => (s"k$i", i.toDouble)))
+      .toDF("k", "v")
+
+  test("saltedAggregate equals plain aggregation on skewed keys") {
+    val salted = Skew.saltedAggregate(skewed, col("k"), 16, sum, sum, col("v"), "total")
+      .as[(String, Double)].collect().toMap
+    val plain = skewed.groupBy("k").agg(sum("v").as("total"))
+      .as[(String, Double)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("saltedJoin equals plain join on a hot key") {
+    val build = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("bk", "tag")
+    val salted = Skew.saltedJoin(skewed, build, "k", "bk", 8)
+      .select("k", "v", "tag").as[(String, Double, String)].collect().sorted.toSeq
+    val plain = skewed.join(build, col("k") === col("bk"))
+      .select("k", "v", "tag").as[(String, Double, String)].collect().sorted.toSeq
+    assert(salted === plain)
+    assert(salted.count(_._1 == "hot") === 900)
+  }
+
+  test("ivf knn finds mostly the same neighbors as brute force") {
+    val emb = graft.tables.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceKnn(
+        emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")), q, 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(emb, q, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.4, s"recall $recall") // nprobe/nlist = 1/2 of lists scanned
+  }
+}
