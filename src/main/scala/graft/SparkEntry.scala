@@ -66,6 +66,7 @@ object SparkEntry {
     "q32_running_total" -> Relational.runningOrderTotals _,
     // q33 (IVF KNN): centroid sampling is JVM-side → rows-only gate
     "q33_ivf_knn" -> Similarity.ivfKnnQuery _,
+    "q34_session_windows" -> Relational.sessionWindows _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +109,6 @@ object SparkEntry {
     "q30_regional_revenue" -> Relational.regionalRevenueSql,
     "q31_anti_join" -> Relational.customersWithoutOrdersSql,
     "q32_running_total" -> Relational.runningOrderTotalsSql,
+    "q34_session_windows" -> Relational.sessionWindowsSql,
   )
 }

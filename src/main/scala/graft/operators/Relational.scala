@@ -276,6 +276,39 @@ object Relational {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_total
       |FROM orders""".stripMargin
 
+  /** W8 — session windows (30-minute inactivity gap) per user over
+    * `events`, via Spark's built-in `session_window`. A new session
+    * starts when the gap from the previous event is ≥ the timeout
+    * (session end is exclusive). Batch form; the identical expression
+    * works under `readStream` with a watermark.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast(DecimalType(38, 4)).as("sum_value"))
+      .select(unix_micros(col("sw.start")).as("sess_start"), col("user_id"),
+        col("n"), col("sum_value"))
+
+  val sessionWindowsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM ordered)
+      |SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start, user_id,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   /** CUBE grouping sets with NULL-label coalescing. */
   def cubeCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

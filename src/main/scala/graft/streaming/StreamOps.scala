@@ -47,12 +47,24 @@ object StreamOps {
     * follows the query shape: "append" for watermarked aggregations
     * and joins (reference parity: emit once the watermark closes the
     * window, late rows dropped — W6/W7).
+    *
+    * Stateful streaming shuffles are planned with `statePartitions`
+    * (pinned into the checkpoint at first start, as in any Spark
+    * deployment): state-store count should track key cardinality and
+    * commit IO, not CPU count — 32 stores × per-batch delta files
+    * dominated wall-clock for these queries. The session's shuffle
+    * setting is restored afterwards so batch queries are unaffected.
     */
-  def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
+  def runToMemory(df: DataFrame, outputMode: String, statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
