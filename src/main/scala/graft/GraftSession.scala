@@ -30,4 +30,15 @@ object GraftSession {
     graft.functions.GraftFunctions.register(spark)
     spark
   }
+
+  /** Register every testdata table under `dir` as a temp view so the
+    * full engine surface is reachable from plain `spark.sql(...)`.
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    graft.tables.Tables.names.foreach { n =>
+      val df =
+        if (n == "events") graft.tables.Tables.events(spark, dir)
+        else graft.tables.Tables.load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -67,7 +67,24 @@ object SparkEntry {
     // q33 (IVF KNN): centroid sampling is JVM-side → rows-only gate
     "q33_ivf_knn" -> Similarity.ivfKnnQuery _,
     "q34_session_windows" -> Relational.sessionWindows _,
+    "q35_sliding_windows" -> Relational.slidingWindows _,
+    // q36: ONE SQL string, executed verbatim by both Spark and the
+    // DuckDB oracle — the engine's SQL front door.
+    "q36_shared_sql" -> ((s, d) => {
+      GraftSession.registerTables(s, d)
+      s.sql(sharedSql)
+    }),
   )
+
+  /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
+  val sharedSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+      | count(*) AS cnt
+      |FROM lineitem
+      |WHERE l_quantity < 50.0
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -110,5 +127,7 @@ object SparkEntry {
     "q31_anti_join" -> Relational.customersWithoutOrdersSql,
     "q32_running_total" -> Relational.runningOrderTotalsSql,
     "q34_session_windows" -> Relational.sessionWindowsSql,
+    "q35_sliding_windows" -> Relational.slidingWindowsSql,
+    "q36_shared_sql" -> sharedSql,
   )
 }

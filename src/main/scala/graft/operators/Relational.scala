@@ -309,6 +309,27 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** W8 — sliding time windows: 1-hour windows every 15 minutes, so
+    * each event lands in 4 overlapping windows. Spark's `window` with
+    * a slide duration expands rows internally; the oracle replicates
+    * it by cross-joining each event with its 4 window starts.
+    */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start"), col("event_type"), col("n"))
+
+  val slidingWindowsSql: String =
+    """SELECT win_start, event_type, count(*) AS n
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT)
+      |      - k.k * 900000000 AS win_start
+      |  FROM events
+      |  CROSS JOIN (SELECT unnest(range(4)) AS k) k) t
+      |GROUP BY 1, 2""".stripMargin
+
   /** CUBE grouping sets with NULL-label coalescing. */
   def cubeCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
