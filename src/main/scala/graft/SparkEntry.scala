@@ -68,6 +68,9 @@ object SparkEntry {
     "q33_ivf_knn" -> Similarity.ivfKnnQuery _,
     "q34_session_windows" -> Relational.sessionWindows _,
     "q35_sliding_windows" -> Relational.slidingWindows _,
+    // q37: the reference's flagship pipeline shape — streaming
+    // tokenize + keyed tumbling-window word count (A2/W1/P1-P3).
+    "q37_stream_wordcount" -> graft.streaming.StreamOps.streamingWordCount _,
     // q36: ONE SQL string, executed verbatim by both Spark and the
     // DuckDB oracle — the engine's SQL front door.
     "q36_shared_sql" -> ((s, d) => {
@@ -129,5 +132,6 @@ object SparkEntry {
     "q34_session_windows" -> Relational.sessionWindowsSql,
     "q35_sliding_windows" -> Relational.slidingWindowsSql,
     "q36_shared_sql" -> sharedSql,
+    "q37_stream_wordcount" -> graft.streaming.StreamOps.streamingWordCountSql,
   )
 }

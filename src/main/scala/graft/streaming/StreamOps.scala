@@ -104,6 +104,45 @@ object StreamOps {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
       |GROUP BY 1, 2""".stripMargin
 
+  /** A2/W1 in the reference's flagship shape (KafkaWindowWordCount:
+    * stream → tokenize → keyed tumbling-window sum): a document
+    * stream with deterministic event times (doc_id seconds from a
+    * fixed epoch — the stand-in for Kafka record timestamps),
+    * tokenized with the P1 regex, counted per (10s window, word) with
+    * a 0s watermark, append mode.
+    */
+  def streamingWordCount(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(schema).parquet(s"$dir/{documents.parquet}")
+      .withColumn("ts", timestamp_seconds(col("doc_id")))
+    val agg = docs
+      .withWatermark("ts", "0 seconds")
+      .select(col("ts"), explode(split(lower(col("text")), "\\W+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(window(col("ts"), "10 seconds"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("word"), col("cnt"))
+    runToMemory(agg, "append")
+  }
+
+  val streamingWordCountSql: String =
+    """WITH docs AS (
+      |  SELECT (doc_id // 10) * 10 AS win_s, doc_id, text FROM documents),
+      |words AS (
+      |  SELECT win_s, unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+      |  FROM docs)
+      |SELECT win_s * 1000000 AS win_start, word, count(*) AS cnt
+      |FROM words
+      |WHERE word <> ''
+      |  AND win_s + 10 <= (SELECT max(doc_id) FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
   /** J1: watermarked stream-stream windowed equi inner join. Two
     * filtered views of the event stream are joined on (user, tumbling
     * 1-hour window) — window-struct equality reproduces Flink's
