@@ -43,7 +43,11 @@ object Bench {
     try SparkEntry.entry(spark).queryExecution.toRdd.count(): Unit
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: run only the named queries (dev profiling aid;
+    // the driver's no-arg invocation runs everything)
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -48,21 +48,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Pairwise shingle-intersection counts: group by shingle into a
+    * sorted posting list, emit each (idᵢ, idⱼ) i<j pair, count per
+    * pair. One shuffle on the shingle (map-side combined collect) and
+    * one on the pair — versus a self-join's two full shuffles of the
+    * shingle set plus b² join rows per bucket. Co-occurrence only:
+    * documents sharing nothing never meet.
+    */
+  private def intersections(sh: DataFrame): DataFrame =
+    sh.groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "j -> struct(ids[i] AS id_a, j AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
   /** Near-dup pairs by exact n-gram Jaccard ≥ `threshold`.
-    *
-    * Candidate generation is a self-equi-join on the shingle — the
-    * shuffle key is the shingle hash, so co-occurring documents meet
-    * in the same partition and documents sharing nothing never pair
-    * up. Jaccard = |∩| / (|A| + |B| − |∩|) from exact counts.
+    * Jaccard = |∩| / (|A| + |B| − |∩|) from exact counts.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val inter = intersections(sh)
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -135,12 +147,9 @@ object Dedup {
     // from an |A|×|B| cross product per pair.
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
-    val shC = sh.join(candIds, Seq("id"), "left_semi").cache()
+    val shC = sh.join(candIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val pairShingles = shC.as("a").join(shC.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val pairShingles = intersections(shC)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
     pairShingles
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
