@@ -68,6 +68,8 @@ object SparkEntry {
     "q33_ivf_knn" -> Similarity.ivfKnnQuery _,
     "q34_session_windows" -> Relational.sessionWindows _,
     "q35_sliding_windows" -> Relational.slidingWindows _,
+    // q38: as-of (temporal) join — custom operator via union-and-carry
+    "q38_asof_join" -> graft.operators.AsOfJoin.eventAsOfQuery _,
     // q37: the reference's flagship pipeline shape — streaming
     // tokenize + keyed tumbling-window word count (A2/W1/P1-P3).
     "q37_stream_wordcount" -> graft.streaming.StreamOps.streamingWordCount _,
@@ -133,5 +135,6 @@ object SparkEntry {
     "q35_sliding_windows" -> Relational.slidingWindowsSql,
     "q36_shared_sql" -> sharedSql,
     "q37_stream_wordcount" -> graft.streaming.StreamOps.streamingWordCountSql,
+    "q38_asof_join" -> graft.operators.AsOfJoin.eventAsOfSql,
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Distributed as-of join: match each left row to the most recent
+  * right row of the same key with `rightTs <= leftTs` (the temporal
+  * join Spark lacks as a built-in; DuckDB ships it as ASOF JOIN,
+  * which serves as the oracle).
+  *
+  * Implementation is the canonical scalable union-and-carry plan, not
+  * a per-key loop: tag both sides, union, then a single
+  * (key)-partitioned window ordered by (ts, side) carries the last
+  * seen right-side payload forward with `last(_, ignoreNulls)` over
+  * an unbounded-preceding frame. Exactly ONE hash shuffle on the key
+  * and one sort per partition — the same cost as a sort-merge join,
+  * with no range-explosion. Ties (equal timestamps) order the right
+  * side first, giving the ASOF `>=` convention.
+  */
+object AsOfJoin {
+
+  /** leftCols/rightCols: payload columns to carry. Output = left
+    * payload + matched right payload (nulls where no prior right row).
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val lTagged = left.select(
+      (col(key).as("__k") +: col(ts).as("__ts") +: lit(1).as("__side") +:
+        (leftCols.map(c => col(c)) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)))): _*)
+    val rTagged = right.select(
+      (col(key).as("__k") +: col(ts).as("__ts") +: lit(0).as("__side") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(c => col(c)))): _*)
+    val combined = lTagged.unionByName(rTagged)
+    // right rows (side 0) sort before left rows at equal ts → ASOF >=
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(combined) { (df, c) =>
+      df.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((col("__k").as(key) +: col("__ts").as(ts) +:
+        (leftCols.map(col) ++ rightCols.map(c => col(s"__m_$c").as(c)))): _*)
+  }
+
+  /** Gated query: join each click/view/error event to the user's most
+    * recent *purchase* at-or-before it, carrying the purchase id and
+    * value. Timestamps emitted as epoch micros.
+    */
+  def eventAsOfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    asOf(left, purchases, key = "user_id", ts = "ts",
+      leftCols = Seq("event_id", "event_type"),
+      rightCols = Seq("purchase_id", "purchase_value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("purchase_id"), col("purchase_value"))
+  }
+
+  /** Oracle: DuckDB's native ASOF LEFT JOIN (matches on the greatest
+    * right ts <= left ts per key).
+    */
+  val eventAsOfSql: String =
+    """SELECT l.user_id, CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+      |  l.event_id, l.event_type,
+      |  p.event_id AS purchase_id, p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asOf matches the most recent right row at-or-before each left row") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (1L, ts("2024-01-01 09:00:00"), "e0"), // before any right row
+      (2L, ts("2024-01-01 11:00:00"), "e3")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 11:30:00"), 200L),
+      (2L, ts("2024-01-01 11:00:00"), 300L)). // exact tie: matches (>= semantics)
+      toDF("k", "t", "pid")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("ev"), Seq("pid"))
+      .select("ev", "pid").as[(String, Option[Long])].collect().toMap
+    assert(got === Map(
+      "e0" -> None,        // no prior right row
+      "e1" -> Some(100L),  // 09:30 is latest <= 10:00
+      "e2" -> Some(200L),  // 11:30 is latest <= 12:00
+      "e3" -> Some(300L))) // equal timestamp matches
+  }
+
+  test("keys never mix") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "ev")
+    val right = Seq((2L, ts("2024-01-01 09:00:00"), 9L)).toDF("k", "t", "pid")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("ev"), Seq("pid"))
+      .select("pid").as[Option[Long]].head()
+    assert(got.isEmpty)
+  }
+}
