@@ -70,6 +70,8 @@ object SparkEntry {
     "q35_sliding_windows" -> Relational.slidingWindows _,
     // q38: as-of (temporal) join — custom operator via union-and-carry
     "q38_asof_join" -> graft.operators.AsOfJoin.eventAsOfQuery _,
+    // q39: range join — bucketed point-in-interval equi-join plan
+    "q39_range_join" -> graft.operators.RangeJoin.attributionQuery _,
     // q37: the reference's flagship pipeline shape — streaming
     // tokenize + keyed tumbling-window word count (A2/W1/P1-P3).
     "q37_stream_wordcount" -> graft.streaming.StreamOps.streamingWordCount _,
@@ -136,5 +138,6 @@ object SparkEntry {
     "q36_shared_sql" -> sharedSql,
     "q37_stream_wordcount" -> graft.streaming.StreamOps.streamingWordCountSql,
     "q38_asof_join" -> graft.operators.AsOfJoin.eventAsOfSql,
+    "q39_range_join" -> graft.operators.RangeJoin.attributionSql,
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Distributed range (interval) join: match points `p` to intervals
+  * `[start, end)` of the same key.
+  *
+  * A naive `l.ts BETWEEN r.start AND r.end` predicate has no equi-key
+  * and Spark plans a broadcast-nested-loop — O(n·m) and unusable at
+  * scale. This operator buckets time into `bucketUs` grains: each
+  * interval replicates to the buckets it covers, each point maps to
+  * its one bucket, and the join becomes an equi-join on
+  * (key, bucket) followed by the exact range predicate. With
+  * intervals ≤ bucket length, each interval lands in ≤ 2 buckets, so
+  * the join input is ~2|R| + |L| rows hashed on a well-distributed
+  * key — the standard bucketed range-join plan.
+  */
+object RangeJoin {
+
+  /** points(key, ts_us, pointCols…) ⋈ intervals(key, start_us, end_us,
+    * intervalCols…): inner join on containment start ≤ ts < end.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame, bucketUs: Long): DataFrame = {
+    // integral `div`, NOT `/`: double division loses precision above
+    // 2^53 and µs epochs are ~1.7e18 — an off-by-one bucket drops rows
+    val p = points.withColumn("__b", expr(s"ts_us div ${bucketUs}L"))
+    val iv = intervals.withColumn("__bs", expr(s"start_us div ${bucketUs}L"))
+      .withColumn("__be", expr(s"(end_us - 1) div ${bucketUs}L"))
+      .withColumn("__b", explode(sequence(col("__bs"), col("__be"))))
+      .drop("__bs", "__be")
+    p.join(iv, Seq("key", "__b"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .drop("__b")
+  }
+
+  /** Gated query — purchase attribution: clicks of the same user
+    * within 1 hour at-or-after each purchase.
+    */
+  def attributionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourUs = 3600L * 1000000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + hourUs).as("end_us"), col("event_id").as("purchase_id"))
+    pointInInterval(clicks, purchases, bucketUs = hourUs)
+      .select(col("key").as("user_id"), col("purchase_id"), col("click_id"),
+        col("ts_us").as("click_ts_us"))
+  }
+
+  val attributionSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(c.ts) >= epoch_us(p.ts)
+      | AND epoch_us(c.ts) < epoch_us(p.ts) + 3600000000""".stripMargin
+}

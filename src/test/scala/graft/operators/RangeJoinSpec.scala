@@ -1,0 +1,25 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketed point-in-interval equals the naive inequality join, incl. bucket edges") {
+    // intervals of length 100 over bucket size 100 → spans crossing
+    // bucket boundaries, points exactly at start (match) and end (no
+    // match, end-exclusive)
+    val points = Seq(
+      (1L, 100L, "pA"), (1L, 199L, "pB"), (1L, 200L, "pC"),
+      (1L, 250L, "pD"), (2L, 150L, "pE")).toDF("key", "ts_us", "pid")
+    val intervals = Seq(
+      (1L, 100L, 200L, "i1"), // covers pA (start-inclusive), pB; NOT pC (end-exclusive)
+      (1L, 150L, 260L, "i2"), // crosses bucket edge: covers pB, pC, pD
+      (2L, 200L, 300L, "i3")). // pE before start → no match
+      toDF("key", "start_us", "end_us", "iid")
+    val got = RangeJoin.pointInInterval(points, intervals, bucketUs = 100L)
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("pA", "i1"), ("pB", "i1"), ("pB", "i2"), ("pC", "i2"), ("pD", "i2")))
+  }
+}
