@@ -35,18 +35,18 @@ object Dedup {
 
   // ——— n-gram Jaccard ———
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    // shingle i = words[i..i+n): built with transform over the index
-    // range — stays inside codegen, no UDF.
-    val sh = expr(
-      s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
-        s"i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))")
-    df.filter(size(words) >= n)
-      .select(col(idCol).as("id"), explode(sh).as("shingle"))
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * The word array is materialized once per row (a naive inline
+    * formulation re-splits the text for every shingle); the shingle
+    * build is a transform over the index range — codegen, no UDF.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' '))"))
+        .as("shingle"))
       .distinct()
-  }
 
   /** Pairwise shingle-intersection counts: group by shingle into a
     * sorted posting list, emit each (idᵢ, idⱼ) i<j pair, count per
