@@ -72,6 +72,9 @@ object SparkEntry {
     "q38_asof_join" -> graft.operators.AsOfJoin.eventAsOfQuery _,
     // q39: range join — bucketed point-in-interval equi-join plan
     "q39_range_join" -> graft.operators.RangeJoin.attributionQuery _,
+    // q40/q41: composed pipelines (dedup→quality→stats; correlated agg)
+    "q40_curation_pipeline" -> graft.operators.Pipelines.curationQuery _,
+    "q41_above_nation_avg" -> graft.operators.Pipelines.aboveNationAvgQuery _,
     // q37: the reference's flagship pipeline shape — streaming
     // tokenize + keyed tumbling-window word count (A2/W1/P1-P3).
     "q37_stream_wordcount" -> graft.streaming.StreamOps.streamingWordCount _,
@@ -139,5 +142,7 @@ object SparkEntry {
     "q37_stream_wordcount" -> graft.streaming.StreamOps.streamingWordCountSql,
     "q38_asof_join" -> graft.operators.AsOfJoin.eventAsOfSql,
     "q39_range_join" -> graft.operators.RangeJoin.attributionSql,
+    "q40_curation_pipeline" -> graft.operators.Pipelines.curationSql,
+    "q41_above_nation_avg" -> graft.operators.Pipelines.aboveNationAvgSql,
   )
 }

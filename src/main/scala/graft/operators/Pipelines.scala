@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Composed multi-operator pipelines — the shapes a real curation /
+  * analytics job takes, exercising operator composition end-to-end
+  * rather than one operator at a time.
+  */
+object Pipelines {
+
+  /** Corpus curation: exact-dedup representatives → quality scoring →
+    * threshold filter → token statistics on the survivors. Each stage
+    * is row-local or one hash shuffle; composition introduces no
+    * extra shuffles beyond the dedup groupBy.
+    */
+  def curationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val kept = docs.join(keep, Seq("doc_id"), "left_semi")
+    val scored = TextAnalysis.qualityScore(kept, "doc_id", "text")
+      .filter(col("quality") >= 0.2)
+    TextAnalysis.tokenStats(kept, "doc_id", "text")
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("quality"), col("token_cnt"), col("uniq_tokens"))
+  }
+
+  val curationSql: String = {
+    val stop = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$stop], x))) AS DOUBLE)
+       |                 / len(string_split(text, ' ')))
+       |        + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                 / len(string_split(text, ' ')))
+       |        + 0.3 * (CAST(least(len(string_split(text, ' ')), 500) AS DOUBLE) / 500.0), 6) AS quality
+       |  FROM kept)
+       |SELECT doc_id, quality,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS uniq_tokens
+       |FROM kept JOIN scored USING (doc_id)
+       |WHERE quality >= 0.2""".stripMargin
+  }
+
+  /** Correlated-aggregate pattern: customers above their own nation's
+    * average balance. Planned as a grouped aggregate + equi-join —
+    * the decorrelated form Catalyst produces for the equivalent
+    * correlated subquery.
+    */
+  def aboveNationAvgQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val nav = c.groupBy(col("c_nationkey"))
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double") / count(lit(1)))
+        .as("nat_avg"))
+    c.join(nav, Seq("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select(col("c_custkey"), col("c_acctbal"), col("n_name"), col("nat_avg"))
+  }
+
+  val aboveNationAvgSql: String =
+    """WITH nav AS (
+      |  SELECT c_nationkey,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS nat_avg
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_custkey, c_acctbal, n_name, nat_avg
+      |FROM customer
+      |JOIN nav USING (c_nationkey)
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > nat_avg""".stripMargin
+}
