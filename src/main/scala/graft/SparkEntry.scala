@@ -72,6 +72,9 @@ object SparkEntry {
     "q38_asof_join" -> graft.operators.AsOfJoin.eventAsOfQuery _,
     // q39: range join — bucketed point-in-interval equi-join plan
     "q39_range_join" -> graft.operators.RangeJoin.attributionQuery _,
+    // q42: storage-partitioned join via the bucket catalog (no
+    // Exchange on either join side)
+    "q42_copartition_join" -> graft.sources.bucketed.BucketedQueries.copartitionJoinQuery _,
     // q40/q41: composed pipelines (dedup→quality→stats; correlated agg)
     "q40_curation_pipeline" -> graft.operators.Pipelines.curationQuery _,
     "q41_above_nation_avg" -> graft.operators.Pipelines.aboveNationAvgQuery _,
@@ -144,5 +147,6 @@ object SparkEntry {
     "q39_range_join" -> graft.operators.RangeJoin.attributionSql,
     "q40_curation_pipeline" -> graft.operators.Pipelines.curationSql,
     "q41_above_nation_avg" -> graft.operators.Pipelines.aboveNationAvgSql,
+    "q42_copartition_join" -> graft.sources.bucketed.BucketedQueries.copartitionJoinSql,
   )
 }

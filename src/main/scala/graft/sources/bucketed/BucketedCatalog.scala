@@ -1,0 +1,98 @@
+package graft.sources.bucketed
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Catalog plugin for the bucket store: resolves `spark.table("<cat>.t")`
+  * to [[BucketedTable]]s AND — the part a bare TableProvider cannot do —
+  * exposes the `bucket` partition function through FunctionCatalog.
+  * That resolution is what lets Spark prove two graft tables bucketed
+  * the same way are co-partitioned, turning joins on the bucket key
+  * into storage-partitioned joins with NO Exchange on either side
+  * (`spark.sql.sources.v2.bucketing.enabled=true`).
+  *
+  * Register: `spark.sql.catalog.graft = graft.sources.bucketed.BucketedCatalog`.
+  */
+class BucketedCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def loadTable(ident: Identifier): Table =
+    new BucketedTable(ident.name())
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog tables are loaded via BucketStore.load")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("read-only catalog")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
+
+  // — FunctionCatalog —
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") BucketFunction
+    else throw new UnsupportedOperationException(s"no such function: $ident")
+}
+
+/** The store's bucketing function: pmod(murmur3(key), numBuckets) —
+  * byte-identical to the `pmod(hash(key), n)` used at load time
+  * ([[BucketStore.load]]), which is what makes reported partitioning
+  * trustworthy.
+  */
+object BucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String = "bucket(numBuckets, key): graft store hash bucketing"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2, s"bucket expects (numBuckets, key), got $inputType")
+    inputType.fields(1).dataType match {
+      case LongType => LongBucketFunction
+      case IntegerType => IntBucketFunction
+      case t => throw new UnsupportedOperationException(s"bucket key type $t")
+    }
+  }
+
+  private def pmod(h: Int, n: Int): Int = { val m = h % n; if (m < 0) m + n else m }
+
+  object LongBucketFunction extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket.long"
+    override def produceResult(input: InternalRow): Integer =
+      pmod(Murmur3_x86_32.hashLong(input.getLong(1), 42), input.getInt(0))
+  }
+
+  object IntBucketFunction extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket.int"
+    override def produceResult(input: InternalRow): Integer =
+      pmod(Murmur3_x86_32.hashInt(input.getInt(1), 42), input.getInt(0))
+  }
+}

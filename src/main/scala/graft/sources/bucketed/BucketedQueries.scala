@@ -52,4 +52,35 @@ object BucketedQueries {
   val pushdownSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30.0""".stripMargin
+
+  /** Co-partitioned join through the catalog: lineitem and orders are
+    * both bucketed 16 ways on the join key, the catalog's
+    * FunctionCatalog resolves the `bucket` transform, and with
+    * `spark.sql.sources.v2.bucketing.enabled` Spark plans a
+    * storage-partitioned join — zero Exchange on either join side
+    * (asserted in BucketedSourceSpec). The 100 TB co-located-join
+    * story of the reference connector, realized in the planner.
+    */
+  def copartitionJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    BucketStore.ensureLoaded(spark, s"lineitem@$dir", dir, "lineitem", "l_orderkey", NumBuckets)
+    BucketStore.ensureLoaded(spark, s"orders@$dir", dir, "orders", "o_orderkey", NumBuckets)
+    val li = spark.table(s"graft.`lineitem@$dir`")
+    val o = spark.table(s"graft.`orders@$dir`")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_price"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+  }
+
+  val copartitionJoinSql: String =
+    """SELECT o_orderpriority,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+      | count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
 }

@@ -100,7 +100,7 @@ class BucketedScanBuilder(name: String)
 }
 
 class BucketedScan(name: String, required: StructType, filters: Array[Filter], version: Long)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -112,14 +112,29 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     Array.tabulate(t.buckets.length)(b => BucketInputPartition(name, b, t.hosts(b).toArray, version))
   }
 
+  /** Report the store's hash-bucket layout to the planner: with
+    * `spark.sql.sources.v2.bucketing.enabled`, joins between two
+    * co-bucketed graft tables on the bucket key become
+    * storage-partitioned joins — no Exchange on either side. Each
+    * InputPartition's key is its bucket id ([[BucketInputPartition.partitionKey]]).
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val t = BucketStore.get(name)
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(Expressions.bucket(t.buckets.length, t.keyCol)), t.buckets.length)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new BucketedReaderFactory(required, filters)
 }
 
-/** One split per bucket + its owning hosts (primary, replica). */
+/** One split per bucket + its owning hosts (primary, replica). The
+  * partition key (bucket ordinal) feeds storage-partitioned joins.
+  */
 case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String], version: Long)
-  extends InputPartition {
+  extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = hosts
+  override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
 class BucketedReaderFactory(required: StructType, filters: Array[Filter])

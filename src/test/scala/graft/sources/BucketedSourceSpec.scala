@@ -51,6 +51,23 @@ class BucketedSourceSpec extends SparkSuite {
     assert(got === exp)
   }
 
+  test("co-partitioned join through the catalog has no Exchange on either side") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.bucketed.BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    BucketStore.ensureLoaded(spark, s"lineitem@$sf", sf, "lineitem", "l_orderkey", 16)
+    val l = spark.table(s"graft.`lineitem@$sf`").select("l_orderkey", "l_quantity")
+    val r = spark.table(s"graft.`lineitem@$sf`").select("l_orderkey", "l_extendedprice")
+    val j = l.join(r, "l_orderkey")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // and the shuffle-free plan still computes the right thing
+    val raw = graft.tables.Tables.lineitem(spark, sf)
+    val expected = raw.select(col("l_orderkey"), col("l_quantity"))
+      .join(raw.select(col("l_orderkey"), col("l_extendedprice")), "l_orderkey").count()
+    assert(j.count() === expected)
+  }
+
   test("reader rejects a stale snapshot version") {
     val t = BucketStore.get(s"lineitem@$sf")
     val stale = BucketInputPartition(s"lineitem@$sf", 0, Array("host-0"), t.version - 1)
