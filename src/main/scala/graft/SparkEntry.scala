@@ -75,6 +75,8 @@ object SparkEntry {
     // q42: storage-partitioned join via the bucket catalog (no
     // Exchange on either join side)
     "q42_copartition_join" -> graft.sources.bucketed.BucketedQueries.copartitionJoinQuery _,
+    // q43: user-defined typed Aggregator through the Dataset API
+    "q43_weighted_mean" -> graft.functions.TypedAggregators.weightedMeanQuery _,
     // q40/q41: composed pipelines (dedup→quality→stats; correlated agg)
     "q40_curation_pipeline" -> graft.operators.Pipelines.curationQuery _,
     "q41_above_nation_avg" -> graft.operators.Pipelines.aboveNationAvgQuery _,
@@ -148,5 +150,6 @@ object SparkEntry {
     "q40_curation_pipeline" -> graft.operators.Pipelines.curationSql,
     "q41_above_nation_avg" -> graft.operators.Pipelines.aboveNationAvgSql,
     "q42_copartition_join" -> graft.sources.bucketed.BucketedQueries.copartitionJoinSql,
+    "q43_weighted_mean" -> graft.functions.TypedAggregators.weightedMeanSql,
   )
 }
