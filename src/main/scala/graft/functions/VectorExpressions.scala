@@ -133,10 +133,24 @@ object GraftFunctions {
     GraftColumnBridge.column(
       MinHashAgg(GraftColumnBridge.expression(baseHash), numHashes).toAggregateExpression())
 
-  /** Register `graft_cosine` / `graft_dot` for SQL use. */
+  /** Register every graft custom function for SQL use:
+    * scalars `graft_cosine`, `graft_dot`, `graft_fingerprint64`;
+    * aggregates `graft_minhash(hash, k)`, `graft_simhash(hash)`.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint64", es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", es => {
+      val k = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash(hash, k): k must be an integer literal, got $other")
+      }
+      MinHashAgg(es.head, k).toAggregateExpression()
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => graft.operators.SimHash.SimHashAgg(es.head).toAggregateExpression(), "built-in")
   }
 }

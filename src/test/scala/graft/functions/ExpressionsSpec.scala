@@ -40,6 +40,17 @@ class ExpressionsSpec extends SparkSuite {
     assert(got === 11.0)
   }
 
+  test("fingerprint, minhash, and simhash are SQL-reachable") {
+    GraftFunctions.register(spark)
+    val fp = spark.sql("SELECT graft_fingerprint64('ab')").as[Long].head()
+    assert(fp === 97L * 257 + 98)
+    val agg = spark.sql(
+      """SELECT graft_minhash(xxhash64(w), 4) AS mh, graft_simhash(xxhash64(w)) AS sh
+        |FROM VALUES ('a'), ('b'), ('c') AS t(w)""".stripMargin).collect().head
+    assert(agg.getSeq[Long](0).length === 4)
+    assert(agg.getLong(1) != 0L) // deterministic signature from 3 word hashes
+  }
+
   test("fingerprint64 golden values") {
     // h("ab") = 'a'*257 + 'b' = 97*257 + 98 = 25027
     val got = Seq("ab", "", "a").toDF("t")
