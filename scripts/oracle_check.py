@@ -76,6 +76,11 @@ def main():
             print(f"{name}: ERROR {e}"); fails += 1; continue
         if got_cols != exp_cols:
             print(f"{name}: COLS mismatch spark={got_cols} duck={exp_cols}"); fails += 1; continue
+        # The driver's hasher renders decimals inconsistently between the
+        # Spark parquet and the DuckDB oracle — ban decimal output columns.
+        dec_cols = [c for c, t in zip(got.columns, got.types) if "DECIMAL" in str(t).upper()]
+        if dec_cols:
+            print(f"{name}: DECIMAL OUTPUT (driver hash hazard): {dec_cols}"); fails += 1; continue
         g = sorted([tuple(norm(v) for v in r) for r in got_rows])
         e = sorted([tuple(norm(v) for v in r) for r in exp_rows])
         if len(g) != len(e):

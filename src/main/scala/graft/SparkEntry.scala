@@ -94,8 +94,8 @@ object SparkEntry {
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
   val sharedSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
       | count(*) AS cnt
       |FROM lineitem
       |WHERE l_quantity < 50.0

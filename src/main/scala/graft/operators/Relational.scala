@@ -12,10 +12,14 @@ import graft.tables.Tables
   * Oracle-parity rule used throughout: aggregates over float columns go
   * through `DECIMAL(18,4)` so partial-aggregation order (Spark's
   * map-side combine vs DuckDB's sequential scan) cannot perturb the
-  * result; doubles only appear as pass-through column values or as a
-  * single final exact-decimal→double division. This keeps every query
-  * bit-deterministic across engines while Spark still gets hash
-  * aggregation + whole-stage codegen.
+  * result; the FINAL output column is always cast to DOUBLE (one
+  * deterministic decimal→double conversion on both engines). Decimal
+  * must never appear in an output schema — the driver's hasher renders
+  * Spark-parquet decimals and DuckDB decimals differently, so a
+  * value-equal decimal column still hash-mismatches (all 10 round-1
+  * hash failures were exactly the decimal-output queries). This keeps
+  * every query bit-deterministic across engines while Spark still gets
+  * hash aggregation + whole-stage codegen.
   *
   * Scale notes per query are in each builder's doc.
   */
@@ -33,19 +37,19 @@ object Relational {
     li.filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec4(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
-        sum(dec4(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
+        sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec4(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
-          .cast(DecimalType(38, 8)).as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         (sum(dec4(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("cnt"))
   }
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
       | count(*) AS cnt
       |FROM lineitem
@@ -67,14 +71,14 @@ object Relational {
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(
         sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
-          .cast(DecimalType(38, 8)).as("revenue"),
+          .cast("double").as("revenue"),
         count_distinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lines"))
   }
 
   val joinAggSql: String =
     """SELECT c_mktsegment, o_orderpriority,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
       | count(DISTINCT o_orderkey) AS n_orders,
       | count(*) AS n_lines
       |FROM lineitem
@@ -108,14 +112,14 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(
-        sum(dec4(col("o_totalprice"))).cast(DecimalType(38, 4)).as("total_spent"),
+        sum(dec4(col("o_totalprice"))).cast("double").as("total_spent"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("total_spent").desc, col("o_custkey").asc)
       .limit(10)
 
   val topCustomersSql: String =
     """SELECT o_custkey,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spent,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
       | count(*) AS n_orders
       |FROM orders GROUP BY o_custkey
       |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin
@@ -181,12 +185,12 @@ object Relational {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec4(col("value"))).cast(DecimalType(38, 4)).as("sum_value"))
+        sum(dec4(col("value"))).cast("double").as("sum_value"))
 
   val eventHourlyWindowSql: String =
     """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
       | count(*) AS n,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Semi-structured JSON extraction from `events.props`. */
@@ -224,13 +228,13 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
-          .cast(DecimalType(38, 8)).as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
   val regionalRevenueSql: String =
     """SELECT r_name, n_name,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
       | count(*) AS n_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -266,14 +270,14 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec4(col("o_totalprice"))).over(w).cast(DecimalType(38, 4)).as("running_total"))
+        sum(dec4(col("o_totalprice"))).over(w).cast("double").as("running_total"))
   }
 
   val runningOrderTotalsSql: String =
     """SELECT o_custkey, o_orderkey,
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
       |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_total
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders""".stripMargin
 
   /** W8 — session windows (30-minute inactivity gap) per user over
@@ -287,7 +291,7 @@ object Relational {
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec4(col("value"))).cast(DecimalType(38, 4)).as("sum_value"))
+        sum(dec4(col("value"))).cast("double").as("sum_value"))
       .select(unix_micros(col("sw.start")).as("sess_start"), col("user_id"),
         col("n"), col("sum_value"))
 
@@ -306,7 +310,7 @@ object Relational {
       |  FROM ordered)
       |SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start, user_id,
       |  count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   /** W8 — sliding time windows: 1-hour windows every 15 minutes, so

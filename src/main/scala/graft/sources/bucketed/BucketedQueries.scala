@@ -73,13 +73,13 @@ object BucketedQueries {
       .agg(
         org.apache.spark.sql.functions.sum(
           col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_price"),
+          .cast("double").as("sum_price"),
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
   }
 
   val copartitionJoinSql: String =
     """SELECT o_orderpriority,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
       | count(*) AS n
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin

@@ -85,7 +85,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
       .select(
         unix_micros(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -99,7 +99,7 @@ object StreamOps {
   val hourlyWindowAggSql: String =
     """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
       | count(*) AS n,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
       |GROUP BY 1, 2""".stripMargin
