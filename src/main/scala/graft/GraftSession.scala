@@ -23,6 +23,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Engine-wide planner settings, fixed at session birth so no
+      // query observes different settings depending on what ran before
+      // it (individual queries used to flip these mid-session, making
+      // bench numbers and plan-shape assertions order-dependent):
+      // events.parquet carries TIMESTAMP(NANOS) — readable only as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned joins through the bucket catalog
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sources.bucketed.BucketedCatalog].getName)
 
   /** Build the session and register graft_cosine / graft_dot etc. */
   def create(appName: String = "graft"): SparkSession = {

@@ -124,8 +124,11 @@ object SparkEntry {
     "q15_dedup_exact" -> Dedup.exactSql,
     "q16_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     // q17: MinHash-LSH candidates + exact-Jaccard verify — same
-    // contract as q16 when LSH recall is total on this data (verified
-    // locally at sf0.001/sf0.01); the oracle is the exact-Jaccard SQL.
+    // contract as q16 when LSH recall is total on this data. Recall
+    // bound: a true pair at jaccard j is missed with prob (1-j²)^16
+    // (16 bands × 2 rows); DedupSpec pins the corpus's total expected
+    // miss count below 1e-6, so the gate holds by construction, not
+    // data luck. The oracle is the exact-Jaccard SQL.
     "q17_dedup_minhash_lsh" -> Dedup.ngramJaccardSql,
     "q18_dedup_cosine" -> Dedup.cosinePairsSql,
     "q19_knn" -> Similarity.knnSql,

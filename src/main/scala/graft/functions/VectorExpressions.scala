@@ -24,9 +24,20 @@ import org.apache.spark.sql.types._
   * cosine = dot / (sqrt(|a|²) · sqrt(|b|²)). Callers that compare
   * against other engines should round to ≤6 decimals — the bit
   * pattern beyond that depends on the engine's summation order.
+  *
+  * Null contract (matches DuckDB's list functions rather than reading
+  * garbage through `ArrayData.getDouble` on a null slot): a NULL
+  * element anywhere, or a length mismatch between the two vectors,
+  * makes the whole result NULL. Parquet-sourced arrays always carry
+  * `containsNull=true`, so this is enforced in both the interpreted
+  * and generated paths instead of rejected at analysis time.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  // May return null on length mismatch / null element even when both
+  // input columns are non-nullable.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
@@ -39,11 +50,18 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   protected def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  protected def containsNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   protected def getElem(e: Expression, arr: ArrayData, i: Int): Double =
     if (isFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
 
   protected def genGetElem(e: Expression, arr: String, i: String): String =
     if (isFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  /** `true`-able null test, compiled away for containsNull=false schemas. */
+  protected def genElemIsNull(e: Expression, arr: String, i: String): String =
+    if (containsNull(e)) s"$arr.isNullAt($i)" else "false"
 }
 
 /** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), in one generated loop. */
@@ -53,10 +71,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = getElem(left, x, i)
       val yi = getElem(right, y, i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -71,14 +91,23 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = ${genGetElem(left, a, i)};
-         |  double $yi = ${genGetElem(right, b, i)};
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (${genElemIsNull(left, a, i)} || ${genElemIsNull(right, b, i)}) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double $xi = ${genGetElem(left, a, i)};
+         |    double $yi = ${genGetElem(right, b, i)};
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -93,10 +122,12 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += getElem(left, x, i) * getElem(right, y, i)
       i += 1
     }
@@ -107,12 +138,19 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (${genGetElem(left, a, i)}) * (${genGetElem(right, b, i)});
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (${genElemIsNull(left, a, i)} || ${genElemIsNull(right, b, i)}) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $dot += (${genGetElem(left, a, i)}) * (${genGetElem(right, b, i)});
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -14,11 +14,16 @@ import graft.tables.Tables
   * Implementation is the canonical scalable union-and-carry plan, not
   * a per-key loop: tag both sides, union, then a single
   * (key)-partitioned window ordered by (ts, side) carries the last
-  * seen right-side payload forward with `last(_, ignoreNulls)` over
-  * an unbounded-preceding frame. Exactly ONE hash shuffle on the key
-  * and one sort per partition — the same cost as a sort-merge join,
-  * with no range-explosion. Ties (equal timestamps) order the right
-  * side first, giving the ASOF `>=` convention.
+  * seen right-side row forward with `last(_, ignoreNulls)` over an
+  * unbounded-preceding frame. The whole right payload travels as ONE
+  * struct (null on left-tagged rows), so every matched column comes
+  * from the same right row and a legitimately-NULL payload column
+  * survives — carrying columns independently would mix fields from
+  * different right rows whenever one of them is null. Exactly ONE
+  * hash shuffle on the key and one sort per partition — the same cost
+  * as a sort-merge join, with no range-explosion. Ties (equal
+  * timestamps) order the right side first, giving the ASOF `>=`
+  * convention.
   */
 object AsOfJoin {
 
@@ -27,23 +32,23 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val rStructType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
     val lTagged = left.select(
       (col(key).as("__k") +: col(ts).as("__ts") +: lit(1).as("__side") +:
-        (leftCols.map(c => col(c)) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)))): _*)
+        (leftCols.map(c => col(c)) :+ lit(null).cast(rStructType).as("__r"))): _*)
     val rTagged = right.select(
       (col(key).as("__k") +: col(ts).as("__ts") +: lit(0).as("__side") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(c => col(c)))): _*)
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightCols.map(c => col(c)): _*).cast(rStructType).as("__r"))): _*)
     val combined = lTagged.unionByName(rTagged)
     // right rows (side 0) sort before left rows at equal ts → ASOF >=
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(combined) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = combined.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((col("__k").as(key) +: col("__ts").as(ts) +:
-        (leftCols.map(col) ++ rightCols.map(c => col(s"__m_$c").as(c)))): _*)
+        (leftCols.map(col) ++ rightCols.map(c => col("__m").getField(c).as(c)))): _*)
   }
 
   /** Gated query: join each click/view/error event to the user's most

@@ -22,11 +22,16 @@ object Skew {
     * (key, salt), final aggregate on key. The aggregate must be
     * decomposable, expressed as its two phases — e.g.
     * `saltedAggregate(df, $"k", 16, sum, sum, $"v", "total")`.
+    *
+    * The salt is derived from a row-unique id, NOT from the value:
+    * low-cardinality values (counting `lit(1)`, a constant metric)
+    * would otherwise hash a hot key's rows into one salt bucket and
+    * defeat the spread.
     */
   def saltedAggregate(df: DataFrame, key: Column, salts: Int,
       partial: Column => Column, finalAgg: Column => Column, valueCol: Column,
       outName: String): DataFrame =
-    df.withColumn("__salt", pmod(hash(valueCol), lit(salts)))
+    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(partial(valueCol).as("__part"))
       .groupBy(col("k"))

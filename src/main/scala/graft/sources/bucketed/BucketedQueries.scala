@@ -62,6 +62,8 @@ object BucketedQueries {
     * story of the reference connector, realized in the planner.
     */
   def copartitionJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    // Idempotent re-assert for sessions not built via GraftSession
+    // (which already fixes both at session birth — see GraftSession).
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     BucketStore.ensureLoaded(spark, s"lineitem@$dir", dir, "lineitem", "l_orderkey", NumBuckets)

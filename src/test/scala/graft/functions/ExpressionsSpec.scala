@@ -33,6 +33,23 @@ class ExpressionsSpec extends SparkSuite {
     assert(math.abs(interpreted - viaDf) < 1e-15)
   }
 
+  test("length mismatch and null elements yield NULL, not truncated/garbage math") {
+    GraftFunctions.register(spark)
+    // codegen path (DataFrame select) and interpreted path agree: NULL
+    val mismatch = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b")).as("c"),
+        GraftFunctions.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
+    val withNullElem = spark.sql(
+      "SELECT graft_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c, " +
+        "graft_dot(array(1.0D, 2.0D), array(NULL, 2.0D)) AS d").collect().head
+    assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(CosineSimilarity(
+      Literal.create(Array(1.0, 2.0, 3.0)), Literal.create(Array(1.0, 2.0))).eval(null) == null)
+  }
+
   test("dot via SQL registration") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")

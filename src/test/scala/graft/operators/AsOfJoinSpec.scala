@@ -29,6 +29,20 @@ class AsOfJoinSpec extends SparkSuite {
       "e3" -> Some(300L))) // equal timestamp matches
   }
 
+  test("null right payloads survive and never mix fields across right rows") {
+    // The newest right row has pid=NULL: the match must carry that row's
+    // (NULL, "new") as a unit — not pid from the older row + tag from the
+    // newer one, which per-column carrying would produce.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100L), "old"),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Long], "new"))
+      .toDF("k", "t", "pid", "tag")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("ev"), Seq("pid", "tag"))
+      .select("pid", "tag").as[(Option[Long], String)].head()
+    assert(got === (None, "new"))
+  }
+
   test("keys never mix") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "ev")
     val right = Seq((2L, ts("2024-01-01 09:00:00"), 9L)).toDF("k", "t", "pid")

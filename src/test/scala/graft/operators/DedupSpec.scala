@@ -38,6 +38,21 @@ class DedupSpec extends SparkSuite {
     assert(brute.nonEmpty) // sf0.001 has planted near-dups
   }
 
+  test("LSH recall bound on the gated corpus is negligible (pins q17's oracle)") {
+    // q17 gates probabilistic MinHash-LSH (16 bands × 2 rows) against the
+    // exact-Jaccard oracle. A true pair at jaccard j escapes every band
+    // with probability (1 - j²)^16. This pin: the corpus's weakest
+    // above-threshold pair must sit high enough that the total expected
+    // miss count stays < 1e-6 — if testdata regen ever lowers the margin,
+    // this fails before the round gate does.
+    val brute = Dedup.ngramJaccardPairs(
+        graft.tables.Tables.documents(spark, sf), "doc_id", "text", 3, 0.8)
+      .select("jaccard").as[Double].collect()
+    assert(brute.nonEmpty)
+    val missProb = brute.map(j => math.pow(1.0 - j * j, 16)).sum
+    assert(missProb < 1e-6, s"corpus min jaccard ${brute.min}: expected misses $missProb")
+  }
+
   test("simhash near-dup pairs include planted near-dups and exclude unrelated") {
     val got = SimHash.nearDupPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 7)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
