@@ -43,12 +43,18 @@ object GraftSession {
 
   /** Register every testdata table under `dir` as a temp view so the
     * full engine surface is reachable from plain `spark.sql(...)`.
+    * Idempotent per (session, dir): re-registering would re-run parquet
+    * schema inference for all tables (~1s of driver time per call).
     */
-  def registerTables(spark: SparkSession, dir: String): Unit =
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    val marker = "graft.registered.dir"
+    if (spark.conf.getOption(marker).contains(dir)) return
     graft.tables.Tables.names.foreach { n =>
       val df =
         if (n == "events") graft.tables.Tables.events(spark, dir)
         else graft.tables.Tables.load(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+    spark.conf.set(marker, dir)
+  }
 }

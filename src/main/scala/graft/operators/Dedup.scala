@@ -35,16 +35,27 @@ object Dedup {
 
   // ——— n-gram Jaccard ———
 
-  /** Distinct word n-gram shingles per document: (id, shingle).
-    * The word array is materialized once per row (a naive inline
-    * formulation re-splits the text for every shingle); the shingle
-    * build is a transform over the index range — codegen, no UDF.
+  /** Distinct word n-gram shingles per document as 64-bit hashes:
+    * (id, shingle). The word array is materialized once per row (a
+    * naive inline formulation re-splits the text for every shingle);
+    * each shingle is `xxhash64` over the word slice directly —
+    * codegen, no UDF, and no per-shingle string concatenation.
+    *
+    * Hashing before the shuffle is a deliberate accuracy trade: the
+    * distinct / posting-list shuffles carry 8-byte longs instead of
+    * ~25-byte strings (≈3× fewer shuffle bytes, no string compares),
+    * and Jaccard math is unchanged UNLESS two distinct shingles
+    * collide in 64 bits. On the gated corpus (~10⁵–10⁶ distinct
+    * shingles) the birthday bound puts any collision below ~1e-8;
+    * at 100 TB (~10¹² shingles) cross-doc collisions stay harmless
+    * because a spurious +1 intersection cannot move Jaccard across a
+    * 0.8 threshold for real-sized documents.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
       .filter(size(col("__w")) >= n)
       .select(col("id"), explode(expr(
-        s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' '))"))
+        s"transform(sequence(0, size(__w) - $n), i -> xxhash64(slice(__w, i + 1, $n)))"))
         .as("shingle"))
       .distinct()
 
@@ -107,16 +118,17 @@ object Dedup {
 
   // ——— MinHash + LSH ———
 
-  /** MinHash signatures: sig[i] = min over shingles of mixᵢ(xxhash64(shingle)).
+  /** MinHash signatures: sig[i] = min over shingles of mixᵢ(shingle hash).
     * One [[graft.functions.MinHashAgg]] pass: the buffer is the
     * numHashes running minima, updated map-side — the shuffle carries
     * one numHashes-long vector per (partition, doc), never the
     * shingles. (A previous explode-by-hash-index formulation shuffled
-    * |shingles|·numHashes rows and was 4× slower at sf0.1.)
+    * |shingles|·numHashes rows and was 4× slower at sf0.1.) The
+    * shingle column already IS the 64-bit base hash (see [[shingles]]).
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.groupBy(col("id"))
-      .agg(graft.functions.GraftFunctions.minhash(xxhash64(col("shingle")), numHashes).as("sig"))
+      .agg(graft.functions.GraftFunctions.minhash(col("shingle"), numHashes).as("sig"))
 
   /** MinHash-LSH near-dup pairs: band the signature (`bands` bands of
     * `numHashes / bands` rows), join on (band index, band content) to

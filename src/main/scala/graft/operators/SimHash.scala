@@ -117,8 +117,12 @@ object SimHash {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup: random 8-bit chunk collisions make the
+      // candidate set ~1/256 of all pairs, and the Hamming test is a
+      // per-row xor+popcount — so the distinct's shuffle carries only
+      // true near-dup pairs instead of every candidate.
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Rows-only gated query (xxhash64-based signatures have no SQL

@@ -55,7 +55,8 @@ object StreamOps {
     * dominated wall-clock for these queries. The session's shuffle
     * setting is restored afterwards so batch queries are unaffected.
     */
-  def runToMemory(df: DataFrame, outputMode: String, statePartitions: Int = 8): DataFrame = {
+  def runToMemory(df: DataFrame, outputMode: String,
+      statePartitions: Int = sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "8").toInt): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
