@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Relational, SimHash, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Dedup, FunctionFamilies, Relational, SimHash, Similarity, TextAnalysis, TextOps}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -89,6 +89,19 @@ object SparkEntry {
       GraftSession.registerTables(s, d)
       s.sql(sharedSql)
     }),
+    // — SURVEY §2.7 function families (all builtin, codegen'd) —
+    "q44_percentiles" -> FunctionFamilies.percentiles _,
+    "q45_rollup" -> FunctionFamilies.rollupSummary _,
+    "q46_pivot" -> FunctionFamilies.pivotStatus _,
+    "q47_date_parts" -> FunctionFamilies.dateParts _,
+    "q48_string_funcs" -> FunctionFamilies.stringFuncs _,
+    "q49_histogram" -> FunctionFamilies.valueHistogram _,
+    "q50_array_funcs" -> FunctionFamilies.arrayFuncs _,
+    "q51_posexplode" -> FunctionFamilies.posExplodeWords _,
+    "q52_conditional_aggs" -> FunctionFamilies.conditionalAggs _,
+    // — streaming dedup + stream-static enrichment join —
+    "q53_stream_dedup" -> graft.streaming.StreamOps.streamingDedup _,
+    "q54_stream_static_join" -> graft.streaming.StreamOps.streamStaticJoin _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -154,5 +167,16 @@ object SparkEntry {
     "q41_above_nation_avg" -> graft.operators.Pipelines.aboveNationAvgSql,
     "q42_copartition_join" -> graft.sources.bucketed.BucketedQueries.copartitionJoinSql,
     "q43_weighted_mean" -> graft.functions.TypedAggregators.weightedMeanSql,
+    "q44_percentiles" -> FunctionFamilies.percentilesSql,
+    "q45_rollup" -> FunctionFamilies.rollupSummarySql,
+    "q46_pivot" -> FunctionFamilies.pivotStatusSql,
+    "q47_date_parts" -> FunctionFamilies.datePartsSql,
+    "q48_string_funcs" -> FunctionFamilies.stringFuncsSql,
+    "q49_histogram" -> FunctionFamilies.valueHistogramSql,
+    "q50_array_funcs" -> FunctionFamilies.arrayFuncsSql,
+    "q51_posexplode" -> FunctionFamilies.posExplodeWordsSql,
+    "q52_conditional_aggs" -> FunctionFamilies.conditionalAggsSql,
+    "q53_stream_dedup" -> graft.streaming.StreamOps.streamingDedupSql,
+    "q54_stream_static_join" -> graft.streaming.StreamOps.streamStaticJoinSql,
   )
 }

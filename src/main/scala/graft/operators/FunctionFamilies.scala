@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** SURVEY §2.7's "declared in scope" scalar/aggregate function
+  * families, exercised as oracle-gated queries: exact percentiles,
+  * ROLLUP, pivot, date parts, string functions, math bucketing,
+  * array functions, positional explode, and conditional aggregates.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` — codegen,
+  * pushdown-friendly, nothing custom — the point is breadth of the
+  * engine's built-in surface with cross-engine-deterministic results
+  * (see Relational's scaladoc for the determinism rules).
+  */
+object FunctionFamilies {
+
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** Exact grouped percentiles (type-7 linear interpolation — the same
+    * definition DuckDB's `quantile_cont` uses). `percentile` sorts the
+    * group's values exactly; at 100 TB swap in `approx_percentile`
+    * (t-digest, one pass, no sort) — the exact form is the oracle-able
+    * one. Rounded to 6dp: the interpolation arithmetic is the only
+    * float step, and its last-ulp is engine-dependent.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p75"),
+        col("n"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      | round(qs[1], 6) AS p25, round(qs[2], 6) AS p50, round(qs[3], 6) AS p75, n
+      |FROM (SELECT l_returnflag,
+      |        quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+      |        count(*) AS n
+      |      FROM lineitem GROUP BY l_returnflag) t""".stripMargin
+
+  /** ROLLUP grouping sets (complements q11's CUBE): hierarchical
+    * subtotals flag → (flag, status) → grand total.
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+
+  val rollupSummarySql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      | count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Pivot: one column per pivoted `l_linestatus` value. The pivoted
+    * value list is explicit — at scale an implicit pivot would add a
+    * driver-side distinct pass over the column.
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec4(col("l_quantity"))).cast("double"))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+
+  val pivotStatusSql: String =
+    """SELECT l_returnflag,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Date-part extraction + calendar arithmetic over order dates. */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"), dayofmonth(col("o_orderdate")).as("d"))
+      .groupBy(col("y"), col("q"), col("m"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("d")).as("n_days"))
+
+  val datePartsSql: String =
+    """SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+      | CAST(date_part('quarter', o_orderdate) AS INTEGER) AS q,
+      | CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+      | count(*) AS n,
+      | count(DISTINCT CAST(date_part('day', o_orderdate) AS INTEGER)) AS n_days
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+
+  /** String function family: case, substring, concatenation, length,
+    * edit distance — all codegen'd builtins over the segment dimension.
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("seg"), col("n"),
+        lower(col("seg")).as("seg_lower"),
+        substring(col("seg"), 1, 3).as("seg3"),
+        concat_ws("-", substring(col("seg"), 1, 1), reverse(col("seg"))).as("tagged"),
+        length(col("seg")).as("len"),
+        levenshtein(col("seg"), lit("AUTOMOBILE")).as("edit_auto"))
+
+  val stringFuncsSql: String =
+    """SELECT c_mktsegment AS seg, count(*) AS n,
+      | lower(c_mktsegment) AS seg_lower,
+      | substring(c_mktsegment, 1, 3) AS seg3,
+      | concat_ws('-', substring(c_mktsegment, 1, 1), reverse(c_mktsegment)) AS tagged,
+      | CAST(length(c_mktsegment) AS INTEGER) AS len,
+      | CAST(levenshtein(c_mktsegment, 'AUTOMOBILE') AS INTEGER) AS edit_auto
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  /** Math bucketing (fixed-width histogram) over event values: the
+    * bucket id is the only arithmetic (one division + floor, identical
+    * in IEEE on both engines); min/max are selections, not sums.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 25.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+
+  val valueHistogramSql: String =
+    """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+      | count(*) AS n, min(value) AS lo, max(value) AS hi
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Array function family over embedding vectors: size, indexing,
+    * ordered extremes — selections and exact float→double widenings
+    * only, so no rounding is needed.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val vec = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(vec, 1).as("first"),
+        element_at(vec, -1).as("last"),
+        array_max(vec).as("mx"),
+        array_min(vec).as("mn"))
+  }
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id,
+      | CAST(len(embedding) AS INTEGER) AS dim,
+      | CAST(embedding AS DOUBLE[])[1] AS first,
+      | CAST(embedding AS DOUBLE[])[-1] AS last,
+      | list_max(CAST(embedding AS DOUBLE[])) AS mx,
+      | list_min(CAST(embedding AS DOUBLE[])) AS mn
+      |FROM embeddings WHERE vec_id < 100""".stripMargin
+
+  /** Positional explode (UDTF shape — Flink's FlatMapFunction with an
+    * index): every word of the first 20 documents with its position.
+    */
+  def posExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+
+  val posExplodeWordsSql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[i + 1] AS word
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 20) t,
+      | unnest(range(len(ws))) u(i)""".stripMargin
+
+  /** Conditional aggregates: FILTER-style counting, boolean
+    * aggregation, and argmax — `max_by` keyed by the unique order key
+    * so the result is total (no tie ambiguity).
+    */
+  def conditionalAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 100000.0).as("n_big"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_huge"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        max_by(col("o_custkey"), col("o_orderkey")).as("latest_cust"))
+
+  val conditionalAggsSql: String =
+    """SELECT o_orderpriority,
+      | count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+      | bool_or(o_totalprice > 400000.0) AS any_huge,
+      | bool_and(o_totalprice > 0.0) AS all_positive,
+      | max_by(o_custkey, o_orderkey) AS latest_cust
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+}

@@ -168,6 +168,45 @@ object StreamOps {
     runToMemory(joined, "append")
   }
 
+  /** Streaming deduplication: first sighting of each (user, event
+    * type) pair is emitted, later ones are suppressed by the dedup
+    * state store. Only the key columns are output, so the result is
+    * the deterministic distinct key set regardless of which physical
+    * row arrived first. At 100 TB use `dropDuplicatesWithinWatermark`
+    * so the key state expires; the unbounded form is the oracle-able
+    * one (the gated corpus is finite).
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(dedup, "append")
+  }
+
+  val streamingDedupSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
+  /** Stream-static enrichment join: each click event picks up its
+    * user's market segment from the static `customer` dimension. The
+    * static side broadcasts — the stream is enriched map-side with no
+    * shuffle and no state store, which is why this shape scales to
+    * any stream volume.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(graft.tables.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val joined = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+    runToMemory(joined, "append")
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT event_id, user_id, c_mktsegment
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'click'""".stripMargin
+
   val windowedStreamJoinSql: String =
     """SELECT a.user_id, CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
       | a.event_id AS click_id, b.event_id AS purchase_id
