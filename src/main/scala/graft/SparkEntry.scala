@@ -145,11 +145,24 @@ object SparkEntry {
     "q17_dedup_minhash_lsh" -> Dedup.ngramJaccardSql,
     "q18_dedup_cosine" -> Dedup.cosinePairsSql,
     "q19_knn" -> Similarity.knnSql,
-    // q20 (LSH KNN): JVM-seeded hyperplanes, not SQL-expressible → rows-only
+    // q20: hyperplanes embedded as literals in a generated oracle
+    "q20_lsh_knn" -> Similarity.lshKnnSql,
     "q21_token_stats" -> TextAnalysis.tokenStatsSql,
     "q22_langid" -> TextAnalysis.langIdSql,
     "q23_quality" -> TextAnalysis.qualitySql,
-    // q24 (fingerprint): 64-bit wrapping arithmetic, rows-only + unit golden
+    // q24: Karp-Rabin over UTF-8 bytes; the oracle emulates Java's
+    // wrapping 64-bit arithmetic with HUGEINT mod 2^64 and re-signs.
+    "q24_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |    list_transform(range(octet_length(encode(text))),
+        |      i -> CAST(CAST(('0x' || substr(hex(encode(text)), 2*i::INT + 1, 2)) AS INT) AS HUGEINT))),
+        |    (a, b) -> (a * 257 + b) % 18446744073709551616::HUGEINT) AS fp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN fp > 9223372036854775807::HUGEINT
+        |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp
+        |FROM f""".stripMargin,
     "q26_bucketed_scan" -> graft.sources.bucketed.BucketedQueries.scanSql,
     "q27_bucketed_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownSql,
     "q28_multimodal" -> graft.multimodal.Multimodal.multimodalSql,
@@ -157,6 +170,10 @@ object SparkEntry {
     "q30_regional_revenue" -> Relational.regionalRevenueSql,
     "q31_anti_join" -> Relational.customersWithoutOrdersSql,
     "q32_running_total" -> Relational.runningOrderTotalsSql,
+    // q33: the full IVF pipeline is SQL-expressible — deterministic
+    // centroid sample (vec_id < 16), argmax assignment, nprobe probe
+    // lists, exact re-rank — so it gets a real oracle.
+    "q33_ivf_knn" -> Similarity.ivfKnnSql,
     "q34_session_windows" -> Relational.sessionWindowsSql,
     "q35_sliding_windows" -> Relational.slidingWindowsSql,
     "q36_shared_sql" -> sharedSql,

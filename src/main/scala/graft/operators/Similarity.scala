@@ -104,9 +104,45 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rn"))
   }
 
-  /** Rows-only gated query for the LSH path (bucketing uses JVM-seeded
-    * hyperplanes — not expressible in the SQL oracle).
+  /** DuckDB replica of the LSH-KNN pipeline: the seed-42 hyperplanes
+    * are embedded as double literals (shortest-roundtrip decimal →
+    * identical binary64), sign bits via `list_inner_product` (same
+    * index-order accumulation as [[graft.functions.DotProduct]]), band
+    * buckets via the same fold, then candidate join + rounded re-rank.
+    * A sign flip would need |v·h| within an ulp of 0 — probability
+    * ~1e-10 across the gated corpus.
     */
+  lazy val lshKnnSql: String = {
+    val planes = hyperplanes(dim = 64, nbits = 16, seed = 42L)
+    val hs = planes.map(h => "[" + h.mkString(", ") + "]").mkString("[", ", ", "]")
+    s"""WITH hs AS (SELECT $hs AS planes),
+       |bits AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+       |    list_transform(range(16), i ->
+       |      CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), planes[CAST(i AS INT) + 1]) >= 0
+       |           THEN 1::BIGINT ELSE 0::BIGINT END) AS bits
+       |  FROM embeddings, hs WHERE vec_id < 1000),
+       |banded AS (
+       |  SELECT id, CAST(b.band AS INT) AS band,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      bits[CAST(b.band AS INT) * 4 + 1 : CAST(b.band AS INT) * 4 + 4]),
+       |      (a, x) -> a * 2 + x) AS bucket
+       |  FROM bits, unnest(range(4)) b(band)),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, c.id AS cand_id
+       |  FROM banded q JOIN banded c
+       |    ON q.band = c.band AND q.bucket = c.bucket AND q.id <> c.id),
+       |sims AS (
+       |  SELECT query_id, cand_id, round(list_cosine_similarity(qb.vec, cb.vec), 6) AS sim
+       |  FROM cand JOIN bits qb ON query_id = qb.id JOIN bits cb ON cand_id = cb.id)
+       |SELECT query_id, cand_id, sim, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT query_id, cand_id, sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+       |      FROM sims) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** Oracle-gated query for the LSH path (see [[lshKnnSql]]). */
   def lshKnnQuery(spark: SparkSession, dir: String): DataFrame =
     lshKnn(Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding")),
@@ -163,7 +199,9 @@ object Similarity {
       .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("krn").as("rn"))
   }
 
-  /** Rows-only gated query for the IVF path. */
+  /** Oracle-gated query for the IVF path (nlist=16, nprobe=4, k=5
+    * over queries vec_id < 20).
+    */
   def ivfKnnQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 20)
@@ -171,4 +209,37 @@ object Similarity {
     ivfKnn(e.select(col("vec_id"), col("embedding")), q,
       "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
   }
+
+  /** DuckDB replica of the whole IVF pipeline. Assignment and probe
+    * ranking use the raw cosine (both engines accumulate in index
+    * order — identical IEEE sequences); only the output `sim` is
+    * rounded, matching [[ivfKnn]].
+    */
+  val ivfKnnSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT id, vec, cent_id FROM (
+      |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+      |                 c.cent_id) AS arn
+      |    FROM embeddings e CROSS JOIN cent c) t WHERE arn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cent_id FROM (
+      |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+      |                 c.cent_id) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20) t WHERE prn <= 4),
+      |cands AS (
+      |  SELECT p.query_id, a.id,
+      |    round(list_cosine_similarity(p.qv, a.vec), 6) AS sim
+      |  FROM probes p JOIN assigned a USING (cent_id)
+      |  WHERE p.query_id <> a.id)
+      |SELECT query_id, id AS cand_id, sim, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT query_id, id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
+      |  FROM cands) t WHERE rn <= 5""".stripMargin
 }
