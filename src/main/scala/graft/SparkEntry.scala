@@ -102,6 +102,11 @@ object SparkEntry {
     // — streaming dedup + stream-static enrichment join —
     "q53_stream_dedup" -> graft.streaming.StreamOps.streamingDedup _,
     "q54_stream_static_join" -> graft.streaming.StreamOps.streamStaticJoin _,
+    // — SURVEY §2.8 user-extension surface (udf / typed closures) —
+    "q55_udf_bands" -> graft.operators.UdfSurface.udfBands _,
+    "q56_typed_pipeline" -> graft.operators.UdfSurface.typedPipeline _,
+    // — update-mode (continuous-refinement) streaming emission —
+    "q57_stream_update_hourly" -> graft.streaming.StreamOps.updateModeHourly _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -195,5 +200,8 @@ object SparkEntry {
     "q52_conditional_aggs" -> FunctionFamilies.conditionalAggsSql,
     "q53_stream_dedup" -> graft.streaming.StreamOps.streamingDedupSql,
     "q54_stream_static_join" -> graft.streaming.StreamOps.streamStaticJoinSql,
+    "q55_udf_bands" -> graft.operators.UdfSurface.udfBandsSql,
+    "q56_typed_pipeline" -> graft.operators.UdfSurface.typedPipelineSql,
+    "q57_stream_update_hourly" -> graft.streaming.StreamOps.updateModeHourlySql,
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** SURVEY §2.8 — the user-extension surface, exercised as gated
+  * queries. The reference's Flink SAM interfaces (MapFunction,
+  * FlatMapFunction, KeySelector, ...) map to three Spark tiers, each
+  * demonstrated here with an oracle:
+  *
+  *  1. `udf()` — a black-box Scala closure per row. Correct but
+  *     opaque to Catalyst: no pushdown through it, no codegen inside
+  *     it. The query keeps the udf OUT of the filter so pruning still
+  *     reaches the scan.
+  *  2. typed `Dataset.map` / `mapPartitions` — compiled closures over
+  *     case classes; encoder-serialized, also optimizer-opaque.
+  *  3. column expressions (everything else in this engine) — the
+  *     preferred tier; see FunctionFamilies.
+  *
+  * At 100 TB tiers 1-2 cost one serialization boundary per row, which
+  * is why they exist here as surface-parity demonstrations, not as
+  * building blocks of the other operators.
+  */
+object UdfSurface {
+
+  /** Tier 1: a registered Scala UDF banding prices, then a plain
+    * grouped count over the band. Comparisons only — deterministic on
+    * any engine.
+    */
+  def udfBands(spark: SparkSession, dir: String): DataFrame = {
+    val band = udf((p: Double) =>
+      if (p > 300000.0) "HIGH" else if (p > 100000.0) "MID" else "LOW")
+    Tables.orders(spark, dir)
+      .withColumn("band", band(col("o_totalprice")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+  }
+
+  val udfBandsSql: String =
+    """SELECT CASE WHEN o_totalprice > 300000.0 THEN 'HIGH'
+      |            WHEN o_totalprice > 100000.0 THEN 'MID'
+      |            ELSE 'LOW' END AS band,
+      | count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Input/output rows for the typed pipeline (top-level for stable
+    * encoder derivation).
+    */
+  case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  case class Discounted(o_orderkey: Long, bucket: Long, discounted: Double)
+
+  /** Tier 2: typed `map` (per-row closure) then `mapPartitions`
+    * (per-partition closure — the reference's MapPartitionFunction,
+    * SnappydataConnectorTest.scala:17-21). The arithmetic is one IEEE
+    * multiply + integral division, deterministic cross-engine.
+    */
+  def typedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[OrderRow]
+      .map(o => Discounted(o.o_orderkey, o.o_custkey / 100L, o.o_totalprice * 0.9))
+      .mapPartitions(_.filter(_.discounted > 250000.0))
+      .toDF()
+  }
+
+  val typedPipelineSql: String =
+    """SELECT o_orderkey, o_custkey // 100 AS bucket, o_totalprice * 0.9 AS discounted
+      |FROM orders WHERE o_totalprice * 0.9 > 250000.0""".stripMargin
+}

@@ -168,6 +168,31 @@ object StreamOps {
     runToMemory(joined, "append")
   }
 
+  /** Update-mode hourly aggregation: every batch re-emits the groups
+    * it touched — Flink's continuous-refinement emission, vs append's
+    * emit-once-on-close. No watermark withholding, so the oracle is
+    * the plain batch GROUP BY (the gated corpus arrives as one
+    * micro-batch; a multi-batch stream re-emits refined values and the
+    * sink's latest-per-key view equals this same result). At scale add
+    * a watermark purely for state eviction — update emission is
+    * unchanged by it.
+    */
+  def updateModeHourly(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToMemory(agg, "update")
+  }
+
+  val updateModeHourlySql: String =
+    """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
+      | count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Streaming deduplication: first sighting of each (user, event
     * type) pair is emitted, later ones are suppressed by the dedup
     * state store. Only the key columns are output, so the result is
