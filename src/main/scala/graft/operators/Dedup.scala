@@ -54,10 +54,12 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
       .filter(size(col("__w")) >= n)
-      .select(col("id"), explode(expr(
-        s"transform(sequence(0, size(__w) - $n), i -> xxhash64(slice(__w, i + 1, $n)))"))
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(__w) - $n), i -> xxhash64(slice(__w, i + 1, $n)))")))
         .as("shingle"))
-      .distinct()
+    // per-doc dedup happens INSIDE the row (array_distinct) — a
+    // post-explode .distinct() would shuffle every (id, shingle) pair
+    // just to remove within-doc repeats that are local by definition.
 
   /** Pairwise shingle-intersection counts: group by shingle into a
     * sorted posting list, emit each (idᵢ, idⱼ) i<j pair, count per
