@@ -64,7 +64,15 @@ object StreamOps {
     spark.conf.set(key, statePartitions.toString)
     try {
       val q = df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+          q.recentProgress.foreach { p =>
+            System.err.println(s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} " +
+              s"ms=${p.durationMs} state=${Option(p.stateOperators).map(_.length)}")
+          }
+        }
+        q.stop()
+      }
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }
