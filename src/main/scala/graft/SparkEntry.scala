@@ -107,6 +107,11 @@ object SparkEntry {
     "q56_typed_pipeline" -> graft.operators.UdfSurface.typedPipeline _,
     // — update-mode (continuous-refinement) streaming emission —
     "q57_stream_update_hourly" -> graft.streaming.StreamOps.updateModeHourly _,
+    // — round-2 streaming depth: outer join, chained stateful ops,
+    //   and Spark 4's transformWithState arbitrary-state API —
+    "q58_stream_outer_join" -> graft.streaming.AdvancedStreams.outerWindowJoin _,
+    "q59_stream_join_agg" -> graft.streaming.AdvancedStreams.joinThenWindowCount _,
+    "q60_transform_with_state" -> graft.streaming.AdvancedStreams.transformWithStateAgg _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -203,5 +208,8 @@ object SparkEntry {
     "q55_udf_bands" -> graft.operators.UdfSurface.udfBandsSql,
     "q56_typed_pipeline" -> graft.operators.UdfSurface.typedPipelineSql,
     "q57_stream_update_hourly" -> graft.streaming.StreamOps.updateModeHourlySql,
+    "q58_stream_outer_join" -> graft.streaming.AdvancedStreams.outerWindowJoinSql,
+    "q59_stream_join_agg" -> graft.streaming.AdvancedStreams.joinThenWindowCountSql,
+    "q60_transform_with_state" -> graft.streaming.AdvancedStreams.transformWithStateAggSql,
   )
 }

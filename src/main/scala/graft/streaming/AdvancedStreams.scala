@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Round-2 streaming depth: the stream shapes Flink programs lean on
+  * beyond the reference's own inner windowed join — outer windowed
+  * joins (emit-unmatched-on-close), chained stateful operators
+  * (join → windowed aggregation in ONE streaming query), and Spark
+  * 4's `transformWithState` arbitrary-state API (the successor of
+  * `flatMapGroupsWithState`, RocksDB-backed).
+  */
+object AdvancedStreams {
+
+  /** Left-outer windowed stream-stream join: matches emit in-batch;
+    * unmatched clicks emit null-padded once the watermark proves no
+    * purchase can still arrive for their window (state eviction).
+    * Same state bound as the inner join: one open window per key side.
+    */
+  def outerWindowJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = StreamOps.eventsStream(spark, dir)
+    def side(eventType: String, idAs: String) =
+      ev.withWatermark("ts", "0 seconds")
+        .filter(col("event_type") === eventType)
+        .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
+    val clicks = side("click", "click_id")
+    val purchases = side("purchase", "purchase_id")
+      .withColumnRenamed("user_id", "p_user_id").withColumnRenamed("w", "p_w")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") && col("w") === col("p_w"), "left_outer")
+      .select(col("user_id"), unix_micros(col("w.start")).as("win_start"),
+        col("click_id"), col("purchase_id"))
+    StreamOps.runToMemory(joined, "append")
+  }
+
+  /** Oracle: every matched pair (any window — inner results are never
+    * withheld) plus unmatched clicks of CLOSED windows only (the
+    * null-padded row exists only once the watermark passes the window
+    * end).
+    */
+  val outerWindowJoinSql: String =
+    """SELECT a.user_id, CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
+      | a.event_id AS click_id, b.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+      |WHERE b.event_id IS NOT NULL
+      |   OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""".stripMargin
+
+  /** Chained stateful operators in one query (Spark ≥3.4 capability):
+    * windowed stream-stream join feeding a windowed aggregation —
+    * Flink's join→keyBy→window composition without materializing the
+    * intermediate stream. Two state stores, one watermark lineage.
+    */
+  def joinThenWindowCount(spark: SparkSession, dir: String): DataFrame = {
+    val ev = StreamOps.eventsStream(spark, dir)
+    def side(eventType: String, idAs: String) =
+      ev.withWatermark("ts", "0 seconds")
+        .filter(col("event_type") === eventType)
+        .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
+    val clicks = side("click", "click_id")
+    val purchases = side("purchase", "purchase_id")
+      .withColumnRenamed("user_id", "p_user_id").withColumnRenamed("w", "p_w")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") && col("w") === col("p_w"), "inner")
+    // distinct aggregates are unsupported on streams — min/max are the
+    // deterministic per-window extras here
+    val agg = joined
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+      .select(unix_micros(col("w.start")).as("win_start"), col("n_pairs"),
+        col("min_user"), col("max_user"))
+    StreamOps.runToMemory(agg, "append")
+  }
+
+  /** Oracle: per-window pair counts over the inner join, windows whose
+    * end the final watermark reached (the aggregation withholds the
+    * still-open window exactly like q12).
+    */
+  val joinThenWindowCountSql: String =
+    """SELECT CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
+      | count(*) AS n_pairs, min(a.user_id) AS min_user, max(a.user_id) AS max_user
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+      |WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+      |GROUP BY 1""".stripMargin
+
+  // ——— transformWithState (Spark 4 arbitrary state API) ———
+
+  case class EvRow(user_id: Long, value: Double)
+  case class UserAgg(user_id: Long, n: Long, max_value: Double)
+
+  /** Per-user running (count, max) in a `ValueState` — the
+    * `transformWithState` analog of a Flink `KeyedProcessFunction`
+    * with value state. Emits the running aggregate per key per batch
+    * (update semantics); the memory sink therefore holds the final
+    * totals once the single gated batch completes.
+    */
+  class UserAggProcessor extends StatefulProcessor[Long, EvRow, UserAgg] {
+    @transient private var st: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvRow],
+        timerValues: TimerValues): Iterator[UserAgg] = {
+      var n = 0L
+      var mx = Double.NegativeInfinity
+      if (st.exists()) { val prev = st.get(); n = prev._1; mx = prev._2 }
+      rows.foreach { r => n += 1; if (r.value > mx) mx = r.value }
+      st.update((n, mx))
+      Iterator.single(UserAgg(key, n, mx))
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store provider —
+    * set for this query only, restored after (the HDFS-backed default
+    * stays in place for every other streaming query).
+    */
+  def transformWithStateAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    // class is private[sql] — referenced by name, as spark-submit would
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = StreamOps.eventsStream(spark, dir)
+        .select(col("user_id"), col("value")).as[EvRow]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update(),
+          Encoders.product[UserAgg])
+      StreamOps.runToMemory(out.toDF(), "update")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val transformWithStateAggSql: String =
+    "SELECT user_id, count(*) AS n, max(value) AS max_value FROM events GROUP BY user_id"
+}
