@@ -51,15 +51,23 @@ object Dedup {
     * because a spurious +1 intersection cannot move Jaccard across a
     * 0.8 threshold for real-sized documents.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** (id, arr) with `arr` the distinct shingle-hash array of the doc.
+    * Per-doc dedup happens INSIDE the row (array_distinct) — a
+    * post-explode .distinct() would shuffle every (id, shingle) pair
+    * just to remove within-doc repeats that are local by definition.
+    * Shingle-set sizes likewise come from `size(arr)` at the doc row,
+    * never from a groupBy over the exploded pairs.
+    */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
       .filter(size(col("__w")) >= n)
-      .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(__w) - $n), i -> xxhash64(slice(__w, i + 1, $n)))")))
-        .as("shingle"))
-    // per-doc dedup happens INSIDE the row (array_distinct) — a
-    // post-explode .distinct() would shuffle every (id, shingle) pair
-    // just to remove within-doc repeats that are local by definition.
+      .select(col("id"), array_distinct(expr(
+        s"transform(sequence(0, size(__w) - $n), i -> xxhash64(slice(__w, i + 1, $n)))"))
+        .as("arr"))
+
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleArrays(df, idCol, textCol, n)
+      .select(col("id"), explode(col("arr")).as("shingle"))
 
   /** Pairwise shingle-intersection counts: group by shingle into a
     * sorted posting list, emit each (idᵢ, idⱼ) i<j pair, count per
@@ -85,8 +93,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val arrs = shingleArrays(df, idCol, textCol, n).cache()
+    val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
+    val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
     val inter = intersections(sh)
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -143,7 +152,8 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val arrs = shingleArrays(df, idCol, textCol, n).cache()
+    val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
     val sig = minHashSignatures(sh, numHashes)
     val banded = sig.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
@@ -162,7 +172,7 @@ object Dedup {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
     val shC = sh.join(candIds, Seq("id"), "left_semi")
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
     val pairShingles = intersections(shC)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
     pairShingles
