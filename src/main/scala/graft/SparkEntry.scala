@@ -112,6 +112,8 @@ object SparkEntry {
     "q58_stream_outer_join" -> graft.streaming.AdvancedStreams.outerWindowJoin _,
     "q59_stream_join_agg" -> graft.streaming.AdvancedStreams.joinThenWindowCount _,
     "q60_transform_with_state" -> graft.streaming.AdvancedStreams.transformWithStateAgg _,
+    // — multimodal resize planning through the batched decode path —
+    "q61_multimodal_resize" -> graft.multimodal.Multimodal.resizeQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -211,5 +213,6 @@ object SparkEntry {
     "q58_stream_outer_join" -> graft.streaming.AdvancedStreams.outerWindowJoinSql,
     "q59_stream_join_agg" -> graft.streaming.AdvancedStreams.joinThenWindowCountSql,
     "q60_transform_with_state" -> graft.streaming.AdvancedStreams.transformWithStateAggSql,
+    "q61_multimodal_resize" -> graft.multimodal.Multimodal.resizeSql,
   )
 }

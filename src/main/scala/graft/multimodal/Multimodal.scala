@@ -88,6 +88,21 @@ object Multimodal {
     decoded.toDF().select(col("id"), col("width"), col("height"),
         explode(expr(s"sequence(0, greatest(cast(width / $everyN as int) - 1, 0))")).as("frame_idx"))
 
+  /** Aspect-preserving resize planning (the metadata half of a resize
+    * kernel — the pixel resample itself lives behind the same stub
+    * seam as decode): fit (width, height) into a `box`² target,
+    * never upscaling. Pure double arithmetic + floor, so the oracle
+    * replicates it exactly.
+    */
+  def resizePlan(decoded: DataFrame, box: Int): DataFrame = {
+    val w = greatest(col("width"), lit(1)).cast("double")
+    val h = greatest(col("height"), lit(1)).cast("double")
+    val scale = least(lit(box.toDouble) / w, lit(box.toDouble) / h, lit(1.0))
+    decoded.select(col("id"), col("width"), col("height"),
+      floor(w * scale).cast("int").as("out_w"),
+      floor(h * scale).cast("int").as("out_h"))
+  }
+
   /** Oracle-gated query: the full plumbing over `documents` text
     * payloads. The stub's width/height arithmetic is replicated in the
     * oracle SQL, so the mapPartitions path itself is hash-checked.
@@ -104,4 +119,26 @@ object Multimodal {
       | CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
       | CAST((octet_length(encode(text)) // 7) % 480 AS INTEGER) AS height
       |FROM documents""".stripMargin
+
+  /** Gated resize-planning query: decode stub → fit into a 224² box. */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = attachBinary(Tables.documents(spark, dir), "doc_id", "text", "txt")
+    resizePlan(decodeImageStub(media, batchSize = 64).toDF(), box = 224)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  val resizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+      |    CAST((octet_length(encode(text)) // 7) % 480 AS INTEGER) AS height
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, width, height,
+      |    CAST(greatest(width, 1) AS DOUBLE) AS w, CAST(greatest(height, 1) AS DOUBLE) AS h
+      |  FROM d)
+      |SELECT doc_id, width, height,
+      |  CAST(floor(w * least(224.0 / w, 224.0 / h, 1.0)) AS INTEGER) AS out_w,
+      |  CAST(floor(h * least(224.0 / w, 224.0 / h, 1.0)) AS INTEGER) AS out_h
+      |FROM s""".stripMargin
 }
