@@ -51,6 +51,47 @@ object GraftProps extends Properties("graft") {
       got == simulate(values, size, slide)
   }
 
+  private val genAsOf = for {
+    nLeft <- Gen.choose(0, 30)
+    nRight <- Gen.choose(0, 30)
+    // small key/ts domains force key collisions, ts ties, and null payloads
+    left <- Gen.listOfN(nLeft, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L)))
+    right <- Gen.listOfN(nRight,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L), Gen.option(Gen.choose(0L, 9L))))
+  } yield (left, right)
+
+  /** As-of join vs an in-memory brute force: each left row must match
+    * a right row of the LATEST rightTs <= leftTs for its key (among
+    * equal-ts right rows the distributed sort's pick is unspecified —
+    * any of them is correct), and the carried (rid, payload) must be
+    * CONSISTENT, i.e. come from the same right row — the struct-carry
+    * invariant; per-column carrying broke exactly this when a payload
+    * was null.
+    */
+  property("asOf matches brute force incl. null payloads and ts ties") = forAll(genAsOf) {
+    case (left, right) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val r = right.zipWithIndex.map { case ((k, ts, pay), i) => (k, ts, i.toLong, pay) }
+      val lDf = left.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("k", "t", "lid")
+      val rDf = r.toDF("k", "t", "rid", "payload")
+      val got = graft.operators.AsOfJoin.asOf(lDf, rDf, "k", "t",
+          Seq("lid"), Seq("rid", "payload"))
+        .select(col("lid"), col("rid"), col("payload"))
+        .as[(Long, Option[Long], Option[Long])].collect()
+      val byId = r.map(rr => rr._3 -> rr).toMap
+      got.forall { case (lid, rid, payload) =>
+        val (k, ts) = left(lid.toInt)
+        val matches = r.filter(rr => rr._1 == k && rr._2 <= ts)
+        if (matches.isEmpty) rid.isEmpty && payload.isEmpty
+        else rid.exists { id =>
+          val m = byId(id)
+          m._1 == k && m._2 == matches.map(_._2).max && payload == m._4
+        }
+      } && got.length == left.length
+  }
+
   /** Karp-Rabin composition: h(a ++ b) = h(a)·257^|b| + h(b) in
     * wrapping 64-bit arithmetic — the property that makes rolling
     * computation and distributed chunked hashing agree.
