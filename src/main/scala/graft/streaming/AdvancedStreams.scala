@@ -35,9 +35,12 @@ object AdvancedStreams {
   }
 
   /** Oracle: every matched pair (any window — inner results are never
-    * withheld) plus unmatched clicks of CLOSED windows only (the
-    * null-padded row exists only once the watermark passes the window
-    * end).
+    * withheld) plus unmatched clicks of CLOSED windows only. "Closed"
+    * is governed by the GLOBAL watermark = min over the two watermark
+    * operators — and because Catalyst pushes each side's event-type
+    * filter below its watermark node, each side's watermark tracks
+    * only ITS OWN events' max ts. So the threshold is
+    * least(max click ts, max purchase ts), not max(ts) overall.
     */
   val outerWindowJoinSql: String =
     """SELECT a.user_id, CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
@@ -46,7 +49,9 @@ object AdvancedStreams {
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
       |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
       |WHERE b.event_id IS NOT NULL
-      |   OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""".stripMargin
+      |   OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR <=
+      |      (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+      |                    max(ts) FILTER (WHERE event_type = 'purchase')) FROM events)""".stripMargin
 
   /** Chained stateful operators in one query (Spark ≥3.4 capability):
     * windowed stream-stream join feeding a windowed aggregation —
@@ -76,8 +81,9 @@ object AdvancedStreams {
   }
 
   /** Oracle: per-window pair counts over the inner join, windows whose
-    * end the final watermark reached (the aggregation withholds the
-    * still-open window exactly like q12).
+    * end the final watermark reached. The aggregation's watermark is
+    * the JOIN's output watermark = min of the two (filter-pushed)
+    * sides — least(max click ts, max purchase ts), as in q58.
     */
   val joinThenWindowCountSql: String =
     """SELECT CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
@@ -85,7 +91,9 @@ object AdvancedStreams {
       |FROM (SELECT * FROM events WHERE event_type = 'click') a
       |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
       |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
-      |WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+      |WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR <=
+      |      (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+      |                    max(ts) FILTER (WHERE event_type = 'purchase')) FROM events)
       |GROUP BY 1""".stripMargin
 
   // ——— transformWithState (Spark 4 arbitrary state API) ———
