@@ -15,6 +15,12 @@ object TextAnalysis {
 
   // ——— token statistics ———
 
+  /** Whitespace token stats plus a BPE-style regex tokenization:
+    * letter-runs / digit-runs / punctuation-runs counted separately
+    * (the run classes a byte-pair pre-tokenizer splits on). The
+    * character classes are kept to ASCII runs so the Java-regex
+    * (Spark) and RE2 (DuckDB) engines agree exactly.
+    */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = split(col(textCol), " ")
     df.select(
@@ -22,7 +28,10 @@ object TextAnalysis {
       size(words).as("token_cnt"),
       size(array_distinct(words)).as("uniq_tokens"),
       (length(regexp_replace(col(textCol), " ", "")).cast("double") / size(words))
-        .as("avg_token_len"))
+        .as("avg_token_len"),
+      regexp_count(col(textCol), lit("[A-Za-z]+")).cast("long").as("alpha_runs"),
+      regexp_count(col(textCol), lit("[0-9]+")).cast("long").as("digit_runs"),
+      regexp_count(col(textCol), lit("[^A-Za-z0-9 ]+")).cast("long").as("punct_runs"))
   }
 
   def tokenStatsQuery(spark: SparkSession, dir: String): DataFrame =
@@ -32,7 +41,10 @@ object TextAnalysis {
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS uniq_tokens,
-      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS alpha_runs,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS BIGINT) AS punct_runs
       |FROM documents""".stripMargin
 
   // ——— language identification (stopword-hit heuristic) ———
