@@ -160,6 +160,10 @@ object SparkEntry {
     // q20: hyperplanes embedded as literals in a generated oracle
     "q20_lsh_knn" -> Similarity.lshKnnSql,
     "q21_token_stats" -> TextAnalysis.tokenStatsSql,
+    // q25: SimHash over fmix64(fingerprint64(word)) — fully replicated
+    // in SQL (see SimHash.simhashOracleSql); pigeonhole join is exact
+    // for Hamming ≤ 7, so the brute-force oracle is the same set.
+    "q25_simhash" -> SimHash.simhashOracleSql,
     "q22_langid" -> TextAnalysis.langIdSql,
     "q23_quality" -> TextAnalysis.qualitySql,
     // q24: Karp-Rabin over UTF-8 bytes; the oracle emulates Java's

@@ -59,3 +59,43 @@ object Fingerprint64 {
   def apply(c: Column): Column =
     GraftColumnBridge.column(Fingerprint64(GraftColumnBridge.expression(c)))
 }
+
+/** MurmurHash3's 64-bit finalizer (fmix64): full-avalanche mixing of a
+  * long. Composed with [[Fingerprint64]] it gives a well-distributed
+  * word hash whose exact value is still reproducible in plain SQL
+  * (wrapping multiply = HUGEINT mod 2^64) — unlike xxhash64, which has
+  * no cross-engine replica. Used by the SimHash signature path.
+  */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_mix64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = Mix64.mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Mix64.mix($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Mix64 {
+  /** Called from generated code. */
+  def mix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  def apply(c: Column): Column =
+    GraftColumnBridge.column(Mix64(GraftColumnBridge.expression(c)))
+}

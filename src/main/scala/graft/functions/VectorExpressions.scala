@@ -180,6 +180,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint64", es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_mix64", es => Mix64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", es => {
       val k = es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

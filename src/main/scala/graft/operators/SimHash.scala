@@ -93,12 +93,16 @@ object SimHash {
     GraftColumnBridge.column(
       SimHashAgg(GraftColumnBridge.expression(wordHash)).toAggregateExpression())
 
-  /** (id, simhash) signature per document. */
+  /** (id, simhash) signature per document. The word hash is
+    * fmix64(fingerprint64(word)) — full avalanche like xxhash64, but
+    * with an exact SQL replica (see [[simhashOracleSql]]), which is
+    * what lets q25 be oracle-gated instead of rows-only.
+    */
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("id"))
-      .agg(simhashAgg(xxhash64(col("word"))).as("sig"))
+      .agg(simhashAgg(graft.functions.Mix64(graft.functions.Fingerprint64(col("word")))).as("sig"))
 
   /** Pairs with Hamming(sig_a, sig_b) ≤ maxDist via the pigeonhole
     * chunk join: split each signature into maxDist+1 chunks; any pair
@@ -125,9 +129,51 @@ object SimHash {
       .distinct()
   }
 
-  /** Rows-only gated query (xxhash64-based signatures have no SQL
-    * oracle); semantics are unit-tested with planted near-duplicates.
+  /** Oracle-gated query: the pigeonhole chunk join is exact for
+    * Hamming ≤ maxDist, so the oracle can brute-force all pairs.
     */
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", maxDist = 7)
+
+  /** DuckDB replica of the whole SimHash pipeline: per-word Karp-Rabin
+    * over UTF-8 bytes (HUGEINT mod 2^64 — same trick as q24), murmur
+    * fmix64 with the wrapping multiply split into 32-bit halves so the
+    * 128-bit intermediate never overflows, per-bit ±1 votes, sign-bit
+    * packing, then brute-force Hamming ≤ 7 over all pairs (exactly
+    * what the pigeonhole join computes, by its guarantee).
+    */
+  val simhashOracleSql: String = {
+    val M = "18446744073709551616::HUGEINT"
+    def mulmod(h: String, c: String): String =
+      s"((($h) % 4294967296::HUGEINT) * $c::HUGEINT + " +
+        s"(((($h) // 4294967296::HUGEINT) * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M"
+    def x33(h: String): String = s"xor(($h), ($h) >> 33)"
+    val fmix = x33(mulmod(x33(mulmod(x33("h0"), "18397679294719823053")), "14181476777654086739"))
+    s"""WITH words AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> ''),
+       |fp AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+       |    list_transform(range(octet_length(encode(w))),
+       |      i -> CAST(CAST(('0x' || substr(hex(encode(w)), 2*i::INT + 1, 2)) AS INT) AS HUGEINT))),
+       |    (a, b) -> (a * 257 + b) % $M) AS h0
+       |  FROM words),
+       |mixed AS (SELECT doc_id, $fmix AS h FROM fp),
+       |votes AS (
+       |  SELECT doc_id, CAST(b.bit AS INT) AS bit,
+       |    sum(CASE WHEN (h >> CAST(b.bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM mixed, unnest(range(64)) b(bit) GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN s > 9223372036854775807::HUGEINT
+       |              THEN s - $M ELSE s END AS BIGINT) AS sig
+       |  FROM (SELECT doc_id,
+       |          sum(CASE WHEN v > 0 THEN 1::HUGEINT << bit ELSE 0::HUGEINT END) AS s
+       |        FROM votes GROUP BY doc_id) t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 7""".stripMargin
+  }
 }
