@@ -114,6 +114,9 @@ object SparkEntry {
     "q60_transform_with_state" -> graft.streaming.AdvancedStreams.transformWithStateAgg _,
     // — multimodal resize planning through the batched decode path —
     "q61_multimodal_resize" -> graft.multimodal.Multimodal.resizeQuery _,
+    // — §2.7 sorts/limits + schema-on-read JSON —
+    "q62_sort_page" -> FunctionFamilies.sortPage _,
+    "q63_json_struct" -> FunctionFamilies.jsonStruct _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -218,5 +221,7 @@ object SparkEntry {
     "q59_stream_join_agg" -> graft.streaming.AdvancedStreams.joinThenWindowCountSql,
     "q60_transform_with_state" -> graft.streaming.AdvancedStreams.transformWithStateAggSql,
     "q61_multimodal_resize" -> graft.multimodal.Multimodal.resizeSql,
+    "q62_sort_page" -> FunctionFamilies.sortPageSql,
+    "q63_json_struct" -> FunctionFamilies.jsonStructSql,
   )
 }

@@ -173,6 +173,41 @@ object FunctionFamilies {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 20) t,
       | unnest(range(len(ws))) u(i)""".stripMargin
 
+  /** Global sort + pagination (LIMIT/OFFSET) with a total tie-break.
+    * Spark plans sort + GlobalLimit; at scale a paged read like this
+    * is a driver-side k-row merge, never a full materialized sort.
+    */
+  def sortPage(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(10)
+      .limit(20)
+
+  val sortPageSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin
+
+  /** Structured JSON parsing: `from_json` with an explicit schema into
+    * a struct column, field access, and a predicate on an extracted
+    * field — the schema-on-read path (q10 covers the schemaless
+    * `get_json_object` path).
+    */
+  def jsonStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT, tag STRING")).as("p"))
+      .select(col("event_id"), col("p.k").as("k"), col("p.tag").as("tag"))
+      .filter(col("k") % 7 === 0)
+
+  val jsonStructSql: String =
+    """SELECT event_id,
+      | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      | json_extract_string(props, '$.tag') AS tag
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0""".stripMargin
+
   /** Conditional aggregates: FILTER-style counting, boolean
     * aggregation, and argmax — `max_by` keyed by the unique order key
     * so the result is total (no tie ambiguity).
