@@ -117,6 +117,7 @@ object SparkEntry {
     // — §2.7 sorts/limits + schema-on-read JSON —
     "q62_sort_page" -> FunctionFamilies.sortPage _,
     "q63_json_struct" -> FunctionFamilies.jsonStruct _,
+    "q64_global_stats" -> FunctionFamilies.globalStats _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -223,5 +224,6 @@ object SparkEntry {
     "q61_multimodal_resize" -> graft.multimodal.Multimodal.resizeSql,
     "q62_sort_page" -> FunctionFamilies.sortPageSql,
     "q63_json_struct" -> FunctionFamilies.jsonStructSql,
+    "q64_global_stats" -> FunctionFamilies.globalStatsSql,
   )
 }

@@ -173,6 +173,20 @@ object FunctionFamilies {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 20) t,
       | unnest(range(len(ws))) u(i)""".stripMargin
 
+  /** A3 — global (ungrouped) aggregation: one partial per partition,
+    * one single-row final merge; no data shuffle at any scale.
+    */
+  def globalStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  val globalStatsSql: String =
+    """SELECT count(*) AS n, count(DISTINCT l_orderkey) AS n_orders,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem""".stripMargin
+
   /** Global sort + pagination (LIMIT/OFFSET) with a total tie-break.
     * Spark plans sort + GlobalLimit; at scale a paged read like this
     * is a driver-side k-row merge, never a full materialized sort.
