@@ -118,6 +118,8 @@ object SparkEntry {
     "q62_sort_page" -> FunctionFamilies.sortPage _,
     "q63_json_struct" -> FunctionFamilies.jsonStruct _,
     "q64_global_stats" -> FunctionFamilies.globalStats _,
+    // — near-dup clustering: pairs → connected components → drop list —
+    "q65_dedup_clusters" -> Dedup.clusterQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -225,5 +227,6 @@ object SparkEntry {
     "q62_sort_page" -> FunctionFamilies.sortPageSql,
     "q63_json_struct" -> FunctionFamilies.jsonStructSql,
     "q64_global_stats" -> FunctionFamilies.globalStatsSql,
+    "q65_dedup_clusters" -> Dedup.clusterSql,
   )
 }

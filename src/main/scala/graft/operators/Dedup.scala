@@ -188,6 +188,69 @@ object Dedup {
     minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, numHashes = 32, bands = 16, threshold = 0.8)
 
+  // ——— near-dup clustering (connected components) ———
+
+  /** Connected components over a near-dup pair graph: each document
+    * gets the MINIMUM doc id of its transitive duplicate cluster as
+    * `keep_id` — the canonical-representative decision that turns
+    * pairwise similarity into actual drop lists.
+    *
+    * Distributed min-label propagation: every iteration each node
+    * takes the min label among itself and its neighbors (one equi-join
+    * + one groupBy per iteration); converges in O(component diameter)
+    * rounds — at 100 TB, dup clusters are shallow (diameter ≤ ~10), so
+    * this is a handful of shuffles, not an O(V·E) closure. Lineage is
+    * cut per iteration with `localCheckpoint` so the plan doesn't grow
+    * unboundedly.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+    }
+    labels.select(col("id"), col("comp").as("keep_id"))
+  }
+
+  /** Gated query: cluster the exact-Jaccard near-dup graph (q16's
+    * pairs) and emit each clustered doc's canonical representative.
+    */
+  def clusterQuery(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8))
+      .select(col("id").as("doc_id"), col("keep_id"))
+
+  /** Oracle: transitive closure of the same pair graph via a recursive
+    * CTE, component label = min reachable id.
+    */
+  val clusterSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$ngramJaccardSql
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id""".stripMargin
+
   // ——— embedding cosine near-dup ———
 
   /** Near-dup by embedding cosine over a sampled probe set (ids ≡ 0

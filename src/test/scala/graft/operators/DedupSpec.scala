@@ -38,6 +38,14 @@ class DedupSpec extends SparkSuite {
     assert(brute.nonEmpty) // sf0.001 has planted near-dups
   }
 
+  test("connected components: chains collapse to min id, islands stay apart") {
+    // graph: 1-2, 2-3, 3-4 (chain) + 10-11 (island) → comps {1,2,3,4}→1, {10,11}→10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("LSH recall bound on the gated corpus is negligible (pins q17's oracle)") {
     // q17 gates probabilistic MinHash-LSH (16 bands × 2 rows) against the
     // exact-Jaccard oracle. A true pair at jaccard j escapes every band
