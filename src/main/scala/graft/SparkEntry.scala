@@ -120,6 +120,8 @@ object SparkEntry {
     "q64_global_stats" -> FunctionFamilies.globalStats _,
     // — near-dup clustering: pairs → connected components → drop list —
     "q65_dedup_clusters" -> Dedup.clusterQuery _,
+    // — curation v2: cluster-dedup → quality gate → per-lang stats —
+    "q66_curation_v2" -> graft.operators.Pipelines.curationV2Query _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -228,5 +230,6 @@ object SparkEntry {
     "q63_json_struct" -> FunctionFamilies.jsonStructSql,
     "q64_global_stats" -> FunctionFamilies.globalStatsSql,
     "q65_dedup_clusters" -> Dedup.clusterSql,
+    "q66_curation_v2" -> graft.operators.Pipelines.curationV2Sql,
   )
 }

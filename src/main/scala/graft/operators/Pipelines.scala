@@ -12,6 +12,60 @@ import graft.tables.Tables
   */
 object Pipelines {
 
+  /** Curation v2 — the full near-dup path composed end-to-end:
+    * n-gram-Jaccard pairs → connected-components clustering → drop
+    * every non-canonical cluster member → quality gate → per-language
+    * counts over the surviving corpus. This is the drop-list shape a
+    * 100 TB pretraining-data job runs: similarity candidates stay
+    * sparse equi-joins, clustering is O(diameter) label-propagation
+    * rounds, and everything downstream is row-local + one grouped
+    * shuffle.
+    */
+  def curationV2Query(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
+    val dropIds = clusters.filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("doc_id"))
+    val kept = docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val scored = TextAnalysis.qualityScore(kept, "doc_id", "text")
+      .filter(col("quality") >= 0.2)
+    kept.join(scored, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+  }
+
+  val curationV2Sql: String = {
+    val stop = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE pairs AS (
+       |${Dedup.ngramJaccardSql}
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, min(r) AS keep_id FROM reach GROUP BY id),
+       |dropped AS (SELECT id AS doc_id FROM comp WHERE id <> keep_id),
+       |kept AS (SELECT d.* FROM documents d ANTI JOIN dropped USING (doc_id)),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$stop], x))) AS DOUBLE)
+       |                 / len(string_split(text, ' ')))
+       |        + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                 / len(string_split(text, ' ')))
+       |        + 0.3 * (CAST(least(len(string_split(text, ' ')), 500) AS DOUBLE) / 500.0), 6) AS quality
+       |  FROM kept)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+       |FROM kept SEMI JOIN (SELECT doc_id FROM scored WHERE quality >= 0.2) s USING (doc_id)
+       |GROUP BY lang""".stripMargin
+  }
+
   /** Corpus curation: exact-dedup representatives → quality scoring →
     * threshold filter → token statistics on the survivors. Each stage
     * is row-local or one hash shuffle; composition introduces no
