@@ -63,8 +63,15 @@ object StreamOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
     try {
-      val q = df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally {
+      val useAvailableNow = sys.env.get("GRAFT_TRIGGER").contains("availableNow")
+      val writer = df.writeStream.outputMode(outputMode).format("memory").queryName(name)
+      val q =
+        if (useAvailableNow)
+          writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        else writer.start()
+      try {
+        if (useAvailableNow) q.awaitTermination() else q.processAllAvailable()
+      } finally {
         if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
           q.recentProgress.foreach { p =>
             System.err.println(s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} " +
