@@ -122,6 +122,8 @@ object SparkEntry {
     "q65_dedup_clusters" -> Dedup.clusterQuery _,
     // — curation v2: cluster-dedup → quality gate → per-lang stats —
     "q66_curation_v2" -> graft.operators.Pipelines.curationV2Query _,
+    // — CSV/JSON writer→reader roundtrip with explicit schemas —
+    "q67_format_roundtrip" -> graft.sources.Sources.formatRoundtripQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -231,5 +233,6 @@ object SparkEntry {
     "q64_global_stats" -> FunctionFamilies.globalStatsSql,
     "q65_dedup_clusters" -> Dedup.clusterSql,
     "q66_curation_v2" -> graft.operators.Pipelines.curationV2Sql,
+    "q67_format_roundtrip" -> graft.sources.Sources.formatRoundtripSql,
   )
 }

@@ -49,4 +49,31 @@ object Sources {
   /** S6 — local collection (WordCount.scala:27 fromCollection). */
   def fromCollection[T: org.apache.spark.sql.Encoder](spark: SparkSession, data: Seq[T]): Dataset[T] =
     spark.createDataset(data)
+
+  /** CSV + JSON-lines format roundtrip, gated end-to-end (q67): the
+    * dimension tables are written out in both interchange formats and
+    * read back with explicit schemas (never inferSchema — a schema
+    * scan over 100 TB of CSV is a full extra pass), then joined and
+    * aggregated. Exercises the writers, the readers, header handling,
+    * and type round-tripping through text formats.
+    */
+  def formatRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val region = graft.tables.Tables.region(spark, dir)
+    val nation = graft.tables.Tables.nation(spark, dir)
+    region.write.mode("overwrite").option("header", true).csv(s"$base/region_csv")
+    nation.write.mode("overwrite").json(s"$base/nation_json")
+    val regionBack = spark.read.option("header", true)
+      .schema(region.schema).csv(s"$base/region_csv")
+    val nationBack = spark.read.schema(nation.schema).json(s"$base/nation_json")
+    nationBack.join(broadcast(regionBack), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"))
+  }
+
+  val formatRoundtripSql: String =
+    """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
 }
