@@ -215,13 +215,14 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      // keep the previous label alongside the merged one so convergence
+      // is read off this same materialized frame — no extra join+job
+      val merged = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = merged.filter(col("comp") =!= col("prev")).count()
+      labels = merged.select(col("id"), col("comp"))
     }
     labels.select(col("id"), col("comp").as("keep_id"))
   }
