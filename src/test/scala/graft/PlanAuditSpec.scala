@@ -81,6 +81,20 @@ class PlanAuditSpec extends SparkSuite {
       s"typed pipeline should scan only the 3 selected columns: $readSchema")
   }
 
+  test("q38: as-of join is one key shuffle, no join operator at all") {
+    val p = plan("q38_asof_join")
+    assert(!p.contains("Join"), "union-and-carry must not plan a join")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"as-of should shuffle once on the key, got $exchanges")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), "carry window missing")
+  }
+
+  test("q39: range join stays an equi-join — no nested loop, no cartesian") {
+    val p = plan("q39_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n${p.take(600)}")
+  }
+
   test("q01: tokenize pipeline stays in whole-stage codegen") {
     // AQE's pre-execution plan string hides codegen stages — ask for
     // the codegen explain explicitly
