@@ -39,7 +39,14 @@ object Relational {
       .agg(
         sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec4(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+        // scale-8 product sums are rounded to scale 4 IN DECIMAL before
+        // the double cast: above ~2^53 the scaled integer stops being
+        // exactly representable and DuckDB's decimal→double conversion
+        // double-rounds (1-ulp divergence seen at sf0.1). At scale 4 the
+        // conversion is exact on both engines; round() is half-away-
+        // from-zero on both (DuckDB CAST would truncate — never use it
+        // for scale reduction).
+        round(sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount")))), 4)
           .cast("double").as("sum_disc_price"),
         (sum(dec4(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("cnt"))
@@ -49,7 +56,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
       | count(*) AS cnt
       |FROM lineitem
@@ -70,7 +77,7 @@ object Relational {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(
-        sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+        round(sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount")))), 4)
           .cast("double").as("revenue"),
         count_distinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lines"))
@@ -78,7 +85,7 @@ object Relational {
 
   val joinAggSql: String =
     """SELECT c_mktsegment, o_orderpriority,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
       | count(DISTINCT o_orderkey) AS n_orders,
       | count(*) AS n_lines
       |FROM lineitem
@@ -227,14 +234,14 @@ object Relational {
       .filter(col("r_name").isin("ASIA", "EUROPE"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+        round(sum(dec4(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount")))), 4)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
   val regionalRevenueSql: String =
     """SELECT r_name, n_name,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
       | count(*) AS n_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
