@@ -124,6 +124,8 @@ object SparkEntry {
     "q66_curation_v2" -> graft.operators.Pipelines.curationV2Query _,
     // — CSV/JSON writer→reader roundtrip with explicit schemas —
     "q67_format_roundtrip" -> graft.sources.Sources.formatRoundtripQuery _,
+    // — hybrid retrieval: lexical Jaccard ⊕ embedding cosine, top-k —
+    "q68_hybrid_search" -> Similarity.hybridSearchQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -234,5 +236,6 @@ object SparkEntry {
     "q65_dedup_clusters" -> Dedup.clusterSql,
     "q66_curation_v2" -> graft.operators.Pipelines.curationV2Sql,
     "q67_format_roundtrip" -> graft.sources.Sources.formatRoundtripSql,
+    "q68_hybrid_search" -> Similarity.hybridSearchSql,
   )
 }

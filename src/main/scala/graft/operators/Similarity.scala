@@ -56,6 +56,49 @@ object Similarity {
       |      ON q.vec_id < 10 AND c.vec_id <> q.vec_id) s) t
       |WHERE rn <= 5""".stripMargin
 
+  /** Hybrid retrieval: fuse a lexical score (word-set Jaccard) with a
+    * semantic score (embedding cosine), 0.5/0.5, and take top-k per
+    * query — the standard keyword+vector fusion ranker of a
+    * training-data search stack. The lexical side is exact set
+    * arithmetic (ints), the semantic side the codegen'd cosine;
+    * queries broadcast, so the corpus is scanned once with no shuffle
+    * before the per-query top-k.
+    */
+  def hybridSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("ws"), col("embedding"))
+    val queries = corpus.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("ws").as("qws"), col("embedding").as("qv"))
+    val inter = size(array_intersect(col("ws"), col("qws")))
+    val lex = inter.cast("double") / (size(col("ws")) + size(col("qws")) - inter)
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("doc_id"))
+      .withColumn("score",
+        round(lit(0.5) * lex + lit(0.5) * GraftFunctions.cosine(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  val hybridSearchSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM documents JOIN embeddings ON doc_id = vec_id),
+      |q AS (SELECT doc_id AS query_id, ws AS qws, v AS qv FROM corpus WHERE doc_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, c.doc_id,
+      |    round(0.5 * (CAST(len(list_intersect(c.ws, q.qws)) AS DOUBLE)
+      |                 / (len(c.ws) + len(q.qws) - len(list_intersect(c.ws, q.qws))))
+      |        + 0.5 * list_cosine_similarity(q.qv, c.v), 6) AS score
+      |  FROM corpus c CROSS JOIN q WHERE c.doc_id <> q.query_id)
+      |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 5""".stripMargin
+
   /** Deterministic pseudo-random unit-free hyperplanes (dim × nbits). */
   private[operators] def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
