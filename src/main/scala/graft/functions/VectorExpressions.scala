@@ -171,25 +171,15 @@ object GraftFunctions {
     GraftColumnBridge.column(
       MinHashAgg(GraftColumnBridge.expression(baseHash), numHashes).toAggregateExpression())
 
-  /** Register every graft custom function for SQL use:
-    * scalars `graft_cosine`, `graft_dot`, `graft_fingerprint64`;
-    * aggregates `graft_minhash(hash, k)`, `graft_simhash(hash)`.
+  /** Register every graft custom function for SQL use. The single
+    * source of truth for the list is [[graft.GraftExtensions.functions]] —
+    * the same triples a `spark.sql.extensions`-configured session
+    * injects, so the two registration paths cannot drift.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_fingerprint64", es => Fingerprint64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_mix64", es => Mix64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash", es => {
-      val k = es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash(hash, k): k must be an integer literal, got $other")
-      }
-      MinHashAgg(es.head, k).toAggregateExpression()
-    }, "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      es => graft.operators.SimHash.SimHashAgg(es.head).toAggregateExpression(), "built-in")
+    graft.GraftExtensions.functions.foreach { case (ident, _, builder) =>
+      reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
   }
 }

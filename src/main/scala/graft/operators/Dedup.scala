@@ -235,12 +235,15 @@ object Dedup {
       ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8))
       .select(col("id").as("doc_id"), col("keep_id"))
 
-  /** Oracle: transitive closure of the same pair graph via a recursive
-    * CTE, component label = min reachable id.
+  /** Shared oracle fragment: `WITH RECURSIVE` chain from a pair query
+    * to `comp(id, keep_id)` — the transitive-closure replica of
+    * [[connectedComponents]]. Single definition, used by q65's oracle
+    * and recomposed by q66's (so a closure change can't silently
+    * diverge between them).
     */
-  val clusterSql: String =
+  def closureCtes(pairsSql: String): String =
     s"""WITH RECURSIVE pairs AS (
-       |$ngramJaccardSql
+       |$pairsSql
        |),
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -249,8 +252,14 @@ object Dedup {
        |reach(id, r) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
-       |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id""".stripMargin
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, min(r) AS keep_id FROM reach GROUP BY id)""".stripMargin
+
+  /** Oracle: transitive closure of the same pair graph via a recursive
+    * CTE, component label = min reachable id.
+    */
+  val clusterSql: String =
+    closureCtes(ngramJaccardSql) + "\nSELECT id AS doc_id, keep_id FROM comp"
 
   // ——— embedding cosine near-dup ———
 

@@ -36,35 +36,22 @@ object Pipelines {
         sum(length(col("text"))).cast("long").as("total_chars"))
   }
 
-  val curationV2Sql: String = {
-    val stop = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH RECURSIVE pairs AS (
-       |${Dedup.ngramJaccardSql}
-       |),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b, id_a FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-       |comp AS (SELECT id, min(r) AS keep_id FROM reach GROUP BY id),
+  /** Composed from the SAME shared fragments the standalone oracles
+    * use: [[Dedup.closureCtes]] (q65) and
+    * [[TextAnalysis.qualityExprSql]] (q23/q40) — one definition each.
+    */
+  val curationV2Sql: String =
+    s"""${Dedup.closureCtes(Dedup.ngramJaccardSql)},
        |dropped AS (SELECT id AS doc_id FROM comp WHERE id <> keep_id),
        |kept AS (SELECT d.* FROM documents d ANTI JOIN dropped USING (doc_id)),
        |scored AS (
        |  SELECT doc_id,
-       |    round(0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$stop], x))) AS DOUBLE)
-       |                 / len(string_split(text, ' ')))
-       |        + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |                 / len(string_split(text, ' ')))
-       |        + 0.3 * (CAST(least(len(string_split(text, ' ')), 500) AS DOUBLE) / 500.0), 6) AS quality
+       |    ${TextAnalysis.qualityExprSql} AS quality
        |  FROM kept)
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
        |FROM kept SEMI JOIN (SELECT doc_id FROM scored WHERE quality >= 0.2) s USING (doc_id)
        |GROUP BY lang""".stripMargin
-  }
 
   /** Corpus curation: exact-dedup representatives → quality scoring →
     * threshold filter → token statistics on the survivors. Each stage
@@ -83,24 +70,18 @@ object Pipelines {
       .select(col("doc_id"), col("quality"), col("token_cnt"), col("uniq_tokens"))
   }
 
-  val curationSql: String = {
-    val stop = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+  val curationSql: String =
     s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
        |kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
        |scored AS (
        |  SELECT doc_id,
-       |    round(0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$stop], x))) AS DOUBLE)
-       |                 / len(string_split(text, ' ')))
-       |        + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |                 / len(string_split(text, ' ')))
-       |        + 0.3 * (CAST(least(len(string_split(text, ' ')), 500) AS DOUBLE) / 500.0), 6) AS quality
+       |    ${TextAnalysis.qualityExprSql} AS quality
        |  FROM kept)
        |SELECT doc_id, quality,
        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt,
        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS uniq_tokens
        |FROM kept JOIN scored USING (doc_id)
        |WHERE quality >= 0.2""".stripMargin
-  }
 
   /** Correlated-aggregate pattern: customers above their own nation's
     * average balance. Planned as a grouped aggregate + equi-join —

@@ -23,15 +23,20 @@ object Skew {
     * decomposable, expressed as its two phases — e.g.
     * `saltedAggregate(df, $"k", 16, sum, sum, $"v", "total")`.
     *
-    * The salt is derived from a row-unique id, NOT from the value:
-    * low-cardinality values (counting `lit(1)`, a constant metric)
-    * would otherwise hash a hot key's rows into one salt bucket and
-    * defeat the spread.
+    * The salt hashes the WHOLE row's content: value-only hashing puts
+    * a hot key's rows in one bucket when the value is constant
+    * (counting `lit(1)`), and row-position ids
+    * (`monotonically_increasing_id`) are not stable under partial
+    * stage recomputation — a fetch-failure retry could re-salt rows
+    * differently from the already-fetched map outputs and silently
+    * corrupt the aggregate (the SPARK-23207 class). Full-row content
+    * hashing is deterministic AND spreads unless rows are bytewise
+    * identical.
     */
   def saltedAggregate(df: DataFrame, key: Column, salts: Int,
       partial: Column => Column, finalAgg: Column => Column, valueCol: Column,
       outName: String): DataFrame =
-    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("__salt", pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(partial(valueCol).as("__part"))
       .groupBy(col("k"))

@@ -125,16 +125,22 @@ object TextAnalysis {
   def qualityQuery(spark: SparkSession, dir: String): DataFrame =
     qualityScore(Tables.documents(spark, dir), "doc_id", "text")
 
-  val qualitySql: String = {
+  /** The DuckDB quality-score scalar expression over a `text` column —
+    * single definition shared by q23's oracle and the composed
+    * curation oracles (q40, q66), so a weight/lexicon change cannot
+    * silently diverge between them.
+    */
+  val qualityExprSql: String = {
     val arr = stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-    s"""SELECT doc_id,
-       |  round(0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$arr], x))) AS DOUBLE)
-       |               / len(string_split(text, ' ')))
-       |      + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |               / len(string_split(text, ' ')))
-       |      + 0.3 * (CAST(least(len(string_split(text, ' ')), 500) AS DOUBLE) / 500.0), 6) AS quality
-       |FROM documents""".stripMargin
+    s"""round(0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$arr], x))) AS DOUBLE)
+       |             / len(string_split(text, ' ')))
+       |    + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |             / len(string_split(text, ' ')))
+       |    + 0.3 * (CAST(least(len(string_split(text, ' ')), 500) AS DOUBLE) / 500.0), 6)""".stripMargin
   }
+
+  val qualitySql: String =
+    s"SELECT doc_id,\n  $qualityExprSql AS quality\nFROM documents"
 
   // ——— fingerprinting ———
 

@@ -58,7 +58,9 @@ object Sources {
     * and type round-tripping through text formats.
     */
   def formatRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    // fixed location + overwrite mode = self-cleaning across reruns
+    // (a fresh createTempDirectory per call would leak table copies)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_roundtrip"
     val region = graft.tables.Tables.region(spark, dir)
     val nation = graft.tables.Tables.nation(spark, dir)
     region.write.mode("overwrite").option("header", true).csv(s"$base/region_csv")

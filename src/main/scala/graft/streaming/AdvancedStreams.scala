@@ -20,9 +20,12 @@ object AdvancedStreams {
     */
   def outerWindowJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.eventsStream(spark, dir)
+    // filter BEFORE the watermark so each side's watermark tracks its
+    // own event type STRUCTURALLY — not via the optimizer happening to
+    // push the filter below the EventTimeWatermark node
     def side(eventType: String, idAs: String) =
-      ev.withWatermark("ts", "0 seconds")
-        .filter(col("event_type") === eventType)
+      ev.filter(col("event_type") === eventType)
+        .withWatermark("ts", "0 seconds")
         .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
     val clicks = side("click", "click_id")
     val purchases = side("purchase", "purchase_id")
@@ -37,9 +40,9 @@ object AdvancedStreams {
   /** Oracle: every matched pair (any window — inner results are never
     * withheld) plus unmatched clicks of CLOSED windows only. "Closed"
     * is governed by the GLOBAL watermark = min over the two watermark
-    * operators — and because Catalyst pushes each side's event-type
-    * filter below its watermark node, each side's watermark tracks
-    * only ITS OWN events' max ts. So the threshold is
+    * operators; each side filters to its event type BEFORE its
+    * watermark node, so a side's watermark tracks only its own
+    * events' max ts. The threshold is therefore
     * least(max click ts, max purchase ts), not max(ts) overall.
     */
   val outerWindowJoinSql: String =
@@ -60,9 +63,10 @@ object AdvancedStreams {
     */
   def joinThenWindowCount(spark: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.eventsStream(spark, dir)
+    // filter before the watermark — see outerWindowJoin
     def side(eventType: String, idAs: String) =
-      ev.withWatermark("ts", "0 seconds")
-        .filter(col("event_type") === eventType)
+      ev.filter(col("event_type") === eventType)
+        .withWatermark("ts", "0 seconds")
         .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
     val clicks = side("click", "click_id")
     val purchases = side("purchase", "purchase_id")

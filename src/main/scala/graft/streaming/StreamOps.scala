@@ -42,6 +42,13 @@ object StreamOps {
 
   private val sinkId = new AtomicLong()
 
+  /** Stateful-operator count of the most recent [[runToMemory]] query
+    * (read from its final progress) — lets tests assert streaming-plan
+    * properties (e.g. "this join is stateless") against the REAL
+    * incremental execution rather than a batch stand-in.
+    */
+  @volatile var lastStateOperatorCount: Int = -1
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the collected result as a batch DataFrame. `outputMode`
     * follows the query shape: "append" for watermarked aggregations
@@ -72,6 +79,8 @@ object StreamOps {
       try {
         if (useAvailableNow) q.awaitTermination() else q.processAllAvailable()
       } finally {
+        lastStateOperatorCount = q.recentProgress.lastOption
+          .map(p => Option(p.stateOperators).map(_.length).getOrElse(0)).getOrElse(-1)
         if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
           q.recentProgress.foreach { p =>
             System.err.println(s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} " +
