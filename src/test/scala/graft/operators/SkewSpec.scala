@@ -22,6 +22,21 @@ class SkewSpec extends SparkSuite {
     assert(salted === plain)
   }
 
+  test("saltedAggregate with a CONSTANT value column still spreads and counts right") {
+    // the worst case the salt must handle: counting lit(1) — value-hash
+    // salting would collapse the hot key into one bucket
+    val salted = Skew.saltedAggregate(skewed, col("k"), 16,
+        c => sum(c), c => sum(c), lit(1L), "cnt")
+      .as[(String, Long)].collect().toMap
+    assert(salted("hot") === 900L && salted("k1") === 1L)
+    // the salt expression itself (full-row content hash) spreads the
+    // hot key's 900 distinct rows over many buckets
+    val buckets = skewed.filter(col("k") === "hot")
+      .select(pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(16)).as("s"))
+      .distinct().count()
+    assert(buckets > 8, s"expected the hot key spread over >8 of 16 buckets, got $buckets")
+  }
+
   test("saltedJoin equals plain join on a hot key") {
     val build = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("bk", "tag")
     val salted = Skew.saltedJoin(skewed, build, "k", "bk", 8)
