@@ -126,6 +126,10 @@ object SparkEntry {
     "q67_format_roundtrip" -> graft.sources.Sources.formatRoundtripQuery _,
     // — hybrid retrieval: lexical Jaccard ⊕ embedding cosine, top-k —
     "q68_hybrid_search" -> Similarity.hybridSearchQuery _,
+    // — math + date-arithmetic families; streaming session windows —
+    "q69_math_funcs" -> FunctionFamilies.mathFuncs _,
+    "q70_date_arith" -> FunctionFamilies.dateArith _,
+    "q71_stream_session_windows" -> graft.streaming.StreamOps.streamingSessionWindows _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -237,5 +241,8 @@ object SparkEntry {
     "q66_curation_v2" -> graft.operators.Pipelines.curationV2Sql,
     "q67_format_roundtrip" -> graft.sources.Sources.formatRoundtripSql,
     "q68_hybrid_search" -> Similarity.hybridSearchSql,
+    "q69_math_funcs" -> FunctionFamilies.mathFuncsSql,
+    "q70_date_arith" -> FunctionFamilies.dateArithSql,
+    "q71_stream_session_windows" -> graft.streaming.StreamOps.streamingSessionWindowsSql,
   )
 }

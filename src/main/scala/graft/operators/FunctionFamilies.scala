@@ -222,6 +222,49 @@ object FunctionFamilies {
       |FROM events
       |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0""".stripMargin
 
+  /** Math function family — restricted to IEEE-exact operations
+    * (sqrt, abs, sign, ceil, truncating int ops): libm-backed
+    * functions (exp/ln/sin) are NOT cross-engine bit-stable and stay
+    * out of oracle-gated outputs.
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 500)
+      .select(col("event_id"),
+        sqrt(col("value")).as("root"),
+        abs(col("value") - 100.0).as("dist"),
+        signum(col("value") - 100.0).as("sgn"),
+        ceil(col("value")).cast("long").as("up"),
+        (col("event_id") % 7).as("m7"))
+
+  val mathFuncsSql: String =
+    """SELECT event_id,
+      | sqrt(value) AS root,
+      | abs(value - 100.0) AS dist,
+      | CAST(sign(value - 100.0) AS DOUBLE) AS sgn,
+      | CAST(ceil(value) AS BIGINT) AS up,
+      | event_id % 7 AS m7
+      |FROM events WHERE event_id < 500""".stripMargin
+
+  /** Date arithmetic family: day-level differences and offsets, output
+    * as epoch-day integers (never raw date/timestamp values — see the
+    * decimal lesson: engine-rendered temporal types are a hash hazard).
+    */
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).as("epoch_day"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since_95"),
+        datediff(date_add(to_date(col("o_orderdate")), 30), lit("1970-01-01").cast("date"))
+          .as("due_epoch_day"))
+
+  val dateArithSql: String =
+    """SELECT o_orderkey,
+      | CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_day,
+      | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+      | CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE) + 30) AS INTEGER) AS due_epoch_day
+      |FROM orders""".stripMargin
+
   /** Conditional aggregates: FILTER-style counting, boolean
     * aggregation, and argmax — `max_by` keyed by the unique order key
     * so the result is total (no tie ambiguity).

@@ -192,6 +192,46 @@ object StreamOps {
     runToMemory(joined, "append")
   }
 
+  /** W8 streaming form — session windows (30-minute gap) per user over
+    * the event STREAM with a 0s watermark, append mode: a session
+    * emits once the watermark proves no event can extend it (watermark
+    * ≥ last event + gap). The still-open trailing session per user is
+    * withheld, exactly like an unfired Flink session window.
+    */
+  def streamingSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(unix_micros(col("sw.start")).as("sess_start"), col("user_id"),
+        col("n"), col("sum_value"))
+    runToMemory(agg, "append")
+  }
+
+  /** Oracle: the batch session construction (same as q34) restricted
+    * to CLOSED sessions — session end (last event + 30min) at or
+    * before the final watermark (max ts).
+    */
+  val streamingSessionWindowsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM ordered)
+      |SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start, user_id,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)""".stripMargin
+
   /** Update-mode hourly aggregation: every batch re-emits the groups
     * it touched — Flink's continuous-refinement emission, vs append's
     * emit-once-on-close. No watermark withholding, so the oracle is
