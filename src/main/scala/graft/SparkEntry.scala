@@ -130,6 +130,7 @@ object SparkEntry {
     "q69_math_funcs" -> FunctionFamilies.mathFuncs _,
     "q70_date_arith" -> FunctionFamilies.dateArith _,
     "q71_stream_session_windows" -> graft.streaming.StreamOps.streamingSessionWindows _,
+    "q72_string_agg" -> FunctionFamilies.stringAgg _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -244,5 +245,6 @@ object SparkEntry {
     "q69_math_funcs" -> FunctionFamilies.mathFuncsSql,
     "q70_date_arith" -> FunctionFamilies.dateArithSql,
     "q71_stream_session_windows" -> graft.streaming.StreamOps.streamingSessionWindowsSql,
+    "q72_string_agg" -> FunctionFamilies.stringAggSql,
   )
 }

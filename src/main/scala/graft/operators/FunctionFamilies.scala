@@ -265,6 +265,24 @@ object FunctionFamilies {
       | CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE) + 30) AS INTEGER) AS due_epoch_day
       |FROM orders""".stripMargin
 
+  /** Ordered string aggregation (listagg WITHIN GROUP — new in Spark
+    * 4): the ORDER BY inside the aggregate is what makes the
+    * concatenation deterministic under distributed input order.
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 100)
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").as("names"),
+        count(lit(1)).as("n"))
+
+  val stringAggSql: String =
+    """SELECT c_mktsegment AS seg,
+      | string_agg(c_name, ',' ORDER BY c_name) AS names,
+      | count(*) AS n
+      |FROM customer WHERE c_custkey < 100
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** Conditional aggregates: FILTER-style counting, boolean
     * aggregation, and argmax — `max_by` keyed by the unique order key
     * so the result is total (no tie ambiguity).
