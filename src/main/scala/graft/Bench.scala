@@ -50,11 +50,21 @@ object Bench {
     val results = names.map { n =>
       val a = materialize(n)
       val b = materialize(n)
+      // drop caches AFTER both reps (rep 2 may legitimately reuse rep
+      // 1's cached intermediates — the steady-state min) so cached
+      // dedup/IVF frames don't accumulate across the 70+ queries
+      spark.catalog.clearCache()
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Values rounded to 3 decimals (ms precision, far below run noise):
+    // round 2's full-precision line was ~2.7KB and the driver's tail
+    // capture truncated its head ("parsed": null). Keep this line short
+    // and make it the LAST thing printed (after spark.stop(), so no
+    // shutdown logging can follow it).
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DotProduct, Fingerprint64, MinHashAgg, Mix64}
+import graft.functions.{CappedPostingsAgg, CosineSimilarity, DotProduct, Fingerprint64, MinHashAgg, Mix64}
 
 /** The standard Spark library integration point: load every graft
   * function into ANY session with
@@ -46,6 +46,11 @@ object GraftExtensions {
       info("graft_minhash", "graft_minhash(hash, k) - k-permutation MinHash signature aggregate"),
       (es: Seq[Expression]) =>
         MinHashAgg(es.head, litInt(es(1), "graft_minhash k")).toAggregateExpression()),
+    (FunctionIdentifier("graft_capped_postings"),
+      info("graft_capped_postings",
+        "graft_capped_postings(id, maxDf) - df-capped posting list: struct(df, ids complete iff df <= maxDf)"),
+      (es: Seq[Expression]) =>
+        CappedPostingsAgg(es.head, litInt(es(1), "graft_capped_postings maxDf")).toAggregateExpression()),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(hash) - 64-bit SimHash signature aggregate"),
       (es: Seq[Expression]) =>

@@ -171,6 +171,14 @@ object GraftFunctions {
     GraftColumnBridge.column(
       MinHashAgg(GraftColumnBridge.expression(baseHash), numHashes).toAggregateExpression())
 
+  /** Document-frequency-capped posting-list aggregate (see
+    * [[CappedPostingsAgg]]): `struct(df, ids)` with exact `df` and a
+    * buffer that never grows past `maxDf + 1` elements.
+    */
+  def cappedPostings(id: Column, maxDf: Int): Column =
+    GraftColumnBridge.column(
+      CappedPostingsAgg(GraftColumnBridge.expression(id), maxDf).toAggregateExpression())
+
   /** Register every graft custom function for SQL use. The single
     * source of truth for the list is [[graft.GraftExtensions.functions]] —
     * the same triples a `spark.sql.extensions`-configured session

@@ -69,17 +69,44 @@ object Dedup {
     shingleArrays(df, idCol, textCol, n)
       .select(col("id"), explode(col("arr")).as("shingle"))
 
-  /** Pairwise shingle-intersection counts: group by shingle into a
-    * sorted posting list, emit each (idᵢ, idⱼ) i<j pair, count per
-    * pair. One shuffle on the shingle (map-side combined collect) and
-    * one on the pair — versus a self-join's two full shuffles of the
-    * shingle set plus b² join rows per bucket. Co-occurrence only:
-    * documents sharing nothing never meet.
+  /** Default document-frequency cap for posting lists. A shingle shared
+    * by more documents than this carries no discriminative signal (it
+    * is boilerplate — license headers, templates) and is dropped from
+    * the intersection counts; 10⁴ is far above any real near-dup
+    * cluster size while bounding the per-shingle pair fan-out at
+    * ~5·10⁷ regardless of corpus size. (All gated test corpora have
+    * max df = 25, so the cap never fires there and the DuckDB oracles
+    * are byte-identical with or without it.)
     */
-  private def intersections(sh: DataFrame): DataFrame =
+  val DefaultMaxDf: Int = 10000
+
+  /** Pairwise shingle-intersection counts: group by shingle into a
+    * posting list, emit each (idᵢ, idⱼ) i<j pair, count per pair. One
+    * shuffle on the shingle (map-side combined) and one on the pair —
+    * versus a self-join's two full shuffles of the shingle set plus b²
+    * join rows per bucket. Co-occurrence only: documents sharing
+    * nothing never meet.
+    *
+    * Posting lists are collected with [[graft.functions.CappedPostingsAgg]]:
+    * the aggregation buffer stops growing at `maxDf + 1` ids while the
+    * exact df keeps counting, so a corpus-frequent stop shingle can
+    * neither blow up an aggregation buffer (8 GB array at df = 10⁹)
+    * nor explode ~df²/2 pairs in one task — the 100 TB failure mode of
+    * a plain `collect_list`. Groups with `df > maxDf` are dropped
+    * BEFORE pairing; kept arrays are complete by construction.
+    *
+    * Effect on Jaccard: dropped stop shingles no longer count toward
+    * the intersection (the denominators from [[shingleArrays]] still
+    * include them), so affected pairs' scores are a conservative lower
+    * bound — dedup may MISS a pair whose overlap is mostly boilerplate,
+    * never falsely merge one. Use [[droppedShingles]] to audit what a
+    * given cap removes.
+    */
+  private[operators] def intersections(sh: DataFrame, maxDf: Int): DataFrame =
     sh.groupBy(col("shingle"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(graft.functions.GraftFunctions.cappedPostings(col("id"), maxDf).as("p"))
+      .filter(col("p.df") > 1 && col("p.df") <= maxDf)
+      .select(array_sort(col("p.ids")).as("ids"))
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ids) - 2), " +
           "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
@@ -88,15 +115,25 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
 
+  /** Audit view of the stop shingles a df cap removes: (shingle, df)
+    * for every shingle with df > maxDf. Run it (count / inspect) to
+    * log what a production cap drops; it shares no state with
+    * [[intersections]], which enforces the cap structurally.
+    */
+  def droppedShingles(df: DataFrame, idCol: String, textCol: String, n: Int, maxDf: Int): DataFrame =
+    shingles(df, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
   /** Near-dup pairs by exact n-gram Jaccard ≥ `threshold`.
     * Jaccard = |∩| / (|A| + |B| − |∩|) from exact counts.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
     val arrs = shingleArrays(df, idCol, textCol, n).cache()
     val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
     val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
-    val inter = intersections(sh)
+    val inter = intersections(sh, maxDf)
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -149,7 +186,8 @@ object Dedup {
     * touches only candidate pairs.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val arrs = shingleArrays(df, idCol, textCol, n).cache()
@@ -173,7 +211,7 @@ object Dedup {
       .union(candidates.select(col("id_b").as("id"))).distinct()
     val shC = sh.join(candIds, Seq("id"), "left_semi")
     val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
-    val pairShingles = intersections(shC)
+    val pairShingles = intersections(shC, maxDf)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
     pairShingles
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -202,25 +240,42 @@ object Dedup {
     * this is a handful of shuffles, not an O(V·E) closure. Lineage is
     * cut per iteration with `localCheckpoint` so the plan doesn't grow
     * unboundedly.
+    *
+    * `maxIters` bounds a pathological long-path graph (a dup CHAIN of
+    * length L needs ~L rounds, each a count() job): exceeding it
+    * throws rather than looping silently. Fault tolerance:
+    * `localCheckpoint` trades recoverability for speed — blocks live
+    * on executors only, so an executor loss mid-loop is unrecoverable.
+    * That is the right trade in local mode and for short jobs; on a
+    * multi-tenant cluster where executor loss is expected, set a
+    * checkpoint dir and flip `reliableCheckpoint = true` to use
+    * fault-tolerant `checkpoint()` epochs instead.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
+      if (iters >= maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds — the pair graph has a " +
+            s"component of diameter > $maxIters (pathological dup chain?); raise maxIters or " +
+            "pre-filter the pair graph")
+      iters += 1
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
       // keep the previous label alongside the merged one so convergence
       // is read off this same materialized frame — no extra join+job
-      val merged = labels.join(neighborMin, Seq("id"), "left")
+      val merged = cut(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
       changed = merged.filter(col("comp") =!= col("prev")).count()
       labels = merged.select(col("id"), col("comp"))
     }
@@ -261,26 +316,74 @@ object Dedup {
   val clusterSql: String =
     closureCtes(ngramJaccardSql) + "\nSELECT id AS doc_id, keep_id FROM comp"
 
-  // ——— embedding cosine near-dup ———
+  // ——— embedding cosine near-dup (LSH-bucketed) ———
 
-  /** Near-dup by embedding cosine over a sampled probe set (ids ≡ 0
-    * mod `sampleMod`) — the bounded-cost diagnostic scan; the scalable
-    * all-pairs path is LSH-bucketed (see [[Similarity.lshCandidates]]).
+  /** Embedding near-dup pairs, the scale path: sign-random-projection
+    * LSH buckets generate candidates via an EQUI-join on (band,
+    * bucket) — never an all-pairs product — then exact cosine verifies
+    * each candidate against the threshold.
+    *
+    * This replaced a broadcast-nested-loop probe scan whose cost grew
+    * O(n²/50): here candidate volume is Σ bucket² per band, bounded by
+    * the signature resolution. `bitsPerBand = nbits/bands` is THE
+    * scale knob: expected bucket occupancy is n / 2^bitsPerBand, so it
+    * must grow with log₂(n) (8 bits suits the gated corpora; a 100 TB
+    * corpus wants 16-20 bits and more bands to restore recall —
+    * recall per band at cosine s is (1 − arccos(s)/π)^bitsPerBand).
     */
-  def cosinePairsQuery(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val probes = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val cands = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    cands.join(broadcast(probes), col("id_a") < col("id_b"))
+  def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nbits: Int, bands: Int, seed: Long, threshold: Double): DataFrame = {
+    val b = Similarity.lshBuckets(emb, idCol, vecCol, dim, nbits, bands, seed)
+      .select(col("id"), col("band"), col("bucket"))
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    cand
+      .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "va"), "id_a")
+      .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "vb"), "id_b")
       .withColumn("sim", round(graft.functions.GraftFunctions.cosine(col("va"), col("vb")), 6))
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
-  val cosinePairsSql: String =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
-      |FROM embeddings a JOIN embeddings b ON a.vec_id % 50 = 0 AND a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin
+  def cosinePairsQuery(spark: SparkSession, dir: String): DataFrame =
+    cosineLshPairs(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, nbits = 32, bands = 4, seed = 42L, threshold = 0.4)
+
+  /** DuckDB replica of the LSH near-dup pipeline (same construction as
+    * [[Similarity.lshKnnSql]]): seed-42 hyperplanes embedded as double
+    * literals, sign bits via `list_inner_product` (same index-order
+    * accumulation as [[graft.functions.DotProduct]]), 8-bit band
+    * buckets via the same fold, candidate equi-join, rounded verify.
+    */
+  lazy val cosinePairsSql: String = {
+    val planes = Similarity.hyperplanes(dim = 64, nbits = 32, seed = 42L)
+    val hs = planes.map(h => "[" + h.mkString(", ") + "]").mkString("[", ", ", "]")
+    s"""WITH hs AS (SELECT $hs AS planes),
+       |bits AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+       |    list_transform(range(32), i ->
+       |      CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), planes[CAST(i AS INT) + 1]) >= 0
+       |           THEN 1::BIGINT ELSE 0::BIGINT END) AS bits
+       |  FROM embeddings, hs),
+       |banded AS (
+       |  SELECT id, CAST(b.band AS INT) AS band,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      bits[CAST(b.band AS INT) * 8 + 1 : CAST(b.band AS INT) * 8 + 8]),
+       |      (a, x) -> a * 2 + x) AS bucket
+       |  FROM bits, unnest(range(4)) b(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT id_a, id_b,
+       |    round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+       |  FROM cand JOIN bits a ON id_a = a.id JOIN bits b ON id_b = b.id) t
+       |WHERE sim >= 0.4""".stripMargin
+  }
 }

@@ -195,18 +195,31 @@ object Similarity {
 
   /** Assign each vector to its nearest of `nlist` centroids (coarse
     * quantization). Centroids are a deterministic sample of the data
-    * itself (ids ≡ 0 mod ⌈n/nlist⌉-ish stride) — a stand-in for a
-    * k-means fit, which would slot in identically. The assignment is
-    * a broadcast-nested-loop over the centroid list: one scan of the
-    * data, no shuffle of the vectors.
+    * itself — a stand-in for a k-means fit, which would slot in
+    * identically.
+    *
+    * The argmax is computed MAP-SIDE: the centroid set is folded into
+    * a single array-of-structs row, broadcast, and each data row picks
+    * its best centroid with an `array_max` over
+    * `struct(cosine, -cent_id)` — max similarity, ties to the smallest
+    * cent_id, identical to a `row_number() OVER (ORDER BY sim DESC,
+    * cent_id)` rank-1 but with NO Exchange and NO Window over the
+    * n·nlist scored rows (that window was a full shuffle of the data
+    * keyed by id — the dominant cost of the previous formulation).
+    * Bound: the centroid array rides in one broadcast row, so
+    * nlist·dim must stay driver/executor-memory-sized (nlist ≲ 10⁵ at
+    * dim 64 — the IVF regime by construction; a billion-centroid
+    * quantizer would be a different index).
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(broadcast(centroids.select(col("cent_id"), col("cent_vec"))), lit(true))
-      .withColumn("sim", GraftFunctions.cosine(col("vec"), col("cent_vec")))
-    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cent_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cent_id"))
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cent_vec")))).as("cents"))
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(centArr), lit(true))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(GraftFunctions.cosine(col("vec"), c("cent_vec")).as("sim"),
+          (-c("cent_id")).as("nid")))))
+      .select(col("id"), col("vec"), (-col("best.nid")).as("cent_id"))
   }
 
   /** Deterministic centroid sample: the first `nlist` vectors by id

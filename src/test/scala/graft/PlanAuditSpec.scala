@@ -90,6 +90,21 @@ class PlanAuditSpec extends SparkSuite {
       s"range join degraded to a nested loop:\n${p.take(600)}")
   }
 
+  test("q18: embedding near-dup is LSH equi-join — no nested loop, no cartesian") {
+    val p = plan("q18_dedup_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"embedding dedup degraded to an all-pairs scan:\n${p.take(600)}")
+  }
+
+  test("q33: IVF centroid assignment is map-side — only probe + top-k windows remain") {
+    // the assignment argmax folds over a broadcast centroid array; a
+    // third Window here would mean it regressed to the n·nlist
+    // shuffle-and-rank formulation
+    val p = plan("q33_ivf_knn")
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, s"expected <=2 windows (probe ranking, final top-k), got $windows")
+  }
+
   test("q01: tokenize pipeline stays in whole-stage codegen") {
     // AQE's pre-execution plan string hides codegen stages — ask for
     // the codegen explain explicitly

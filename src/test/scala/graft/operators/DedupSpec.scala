@@ -61,6 +61,45 @@ class DedupSpec extends SparkSuite {
     assert(missProb < 1e-6, s"corpus min jaccard ${brute.min}: expected misses $missProb")
   }
 
+  test("stop-shingle df cap drops boilerplate-only pairs, keeps real near-dups") {
+    // 6 docs share the same 3-word boilerplate prefix (one hot shingle,
+    // df = 6); d1 and d2 are exact copies of each other; tails otherwise
+    // unique. At threshold 0.01 WITHOUT a cap every pair sharing the hot
+    // shingle surfaces; with maxDf = 3 the boilerplate shingle is dropped
+    // and only the true dup pair (still sharing all its normal shingles)
+    // survives.
+    val pre = "c1 c2 c3"
+    val mk = (tag: String) => pre + " " + (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val hotDocs = Seq(
+      (1L, mk("a")), (2L, mk("a")), // exact dups
+      (3L, mk("b")), (4L, mk("c")), (5L, mk("d")), (6L, mk("e"))).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", 3, 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 15, s"all C(6,2) pairs share the boilerplate shingle: $uncapped")
+    val capped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", 3, 0.01, maxDf = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)), s"only the true dup pair should survive the cap: $capped")
+  }
+
+  test("df cap above corpus max df leaves results byte-identical (pins the gated oracles)") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    val base = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8, maxDf = Int.MaxValue - 1)
+      .collect().toSet
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .collect().toSet
+    assert(capped === base)
+  }
+
+  test("connected components throws past maxIters instead of looping") {
+    // a label chain propagates one hop per round: a 12-node path needs
+    // ~11 rounds, so maxIters = 3 must abort with a clear error
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("simhash near-dup pairs include planted near-dups and exclude unrelated") {
     val got = SimHash.nearDupPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 7)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
