@@ -23,24 +23,36 @@ object Skew {
     * decomposable, expressed as its two phases — e.g.
     * `saltedAggregate(df, $"k", 16, sum, sum, $"v", "total")`.
     *
-    * The salt hashes the WHOLE row's content: value-only hashing puts
-    * a hot key's rows in one bucket when the value is constant
-    * (counting `lit(1)`), and row-position ids
-    * (`monotonically_increasing_id`) are not stable under partial
-    * stage recomputation — a fetch-failure retry could re-salt rows
-    * differently from the already-fetched map outputs and silently
-    * corrupt the aggregate (the SPARK-23207 class). Full-row content
-    * hashing is deterministic AND spreads unless rows are bytewise
-    * identical.
+    * CONTRACT — how rows spread across salts:
+    *   - Default (`saltCol = None`): the salt hashes the WHOLE row's
+    *     content. Value-only hashing puts a hot key's rows in one
+    *     bucket when the value is constant (counting `lit(1)`), and
+    *     row-position ids (`monotonically_increasing_id`) are not
+    *     stable under partial stage recomputation — a fetch-failure
+    *     retry could re-salt rows differently from the already-fetched
+    *     map outputs and silently corrupt the aggregate (the
+    *     SPARK-23207 class). Full-row content hashing is deterministic
+    *     AND spreads — but ONLY across distinct rows: bytewise-
+    *     identical duplicates of a hot key (e.g. a frame pre-projected
+    *     to the key alone) all land in one salt bucket and stay
+    *     skewed.
+    *   - For such inputs pass `saltCol = Some(c)` where `c` is a
+    *     STABLE, roughly-unique discriminator the caller owns — a
+    *     source row id, `input_file_name()` + offset, a pre-assigned
+    *     uuid column. It must be deterministic under recomputation
+    *     (same row ⇒ same value), which is exactly what position ids
+    *     are not.
     */
   def saltedAggregate(df: DataFrame, key: Column, salts: Int,
       partial: Column => Column, finalAgg: Column => Column, valueCol: Column,
-      outName: String): DataFrame =
-    df.withColumn("__salt", pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      outName: String, saltCol: Option[Column] = None): DataFrame = {
+    val discriminator = saltCol.getOrElse(hash(df.columns.map(col).toIndexedSeq: _*))
+    df.withColumn("__salt", pmod(hash(discriminator), lit(salts)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(partial(valueCol).as("__part"))
       .groupBy(col("k"))
       .agg(finalAgg(col("__part")).as(outName))
+  }
 
   /** Skewed equi-join: replicate the build side `salts` times, salt
     * each probe row into one replica, join on (key, salt). Every hot

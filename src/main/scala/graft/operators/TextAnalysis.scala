@@ -144,8 +144,9 @@ object TextAnalysis {
 
   // ——— fingerprinting ———
 
-  /** Rows-only gated query (the 64-bit wrapping polynomial hash is not
-    * expressible in the SQL oracle); golden values are unit-tested.
+  /** Fully oracle-gated: the 64-bit wrapping polynomial hash is
+    * replicated in DuckDB via HUGEINT arithmetic mod 2⁶⁴ (see the q24
+    * entry in SparkEntry.oracleSql); golden values are also unit-tested.
     */
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -58,9 +58,13 @@ object Sources {
     * and type round-tripping through text formats.
     */
   def formatRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
-    // fixed location + overwrite mode = self-cleaning across reruns
-    // (a fresh createTempDirectory per call would leak table copies)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_roundtrip"
+    // per-application location + overwrite mode = self-cleaning across
+    // reruns within a session (a fresh createTempDirectory per call
+    // would leak table copies) AND race-free across concurrent
+    // sessions — two apps (e.g. Bench and Verify) sharing one fixed
+    // path could read each other's half-written directories
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_roundtrip_" +
+      spark.sparkContext.applicationId
     val region = graft.tables.Tables.region(spark, dir)
     val nation = graft.tables.Tables.nation(spark, dir)
     region.write.mode("overwrite").option("header", true).csv(s"$base/region_csv")

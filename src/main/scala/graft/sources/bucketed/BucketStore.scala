@@ -81,8 +81,33 @@ object BucketStore {
   }
 
   def get(name: String): BucketTable = {
+    maybeInjectFailure()
     val t = tables.get(name)
     require(t != null, s"BucketStore has no table '$name' — call BucketStore.load first")
     t
   }
+
+  /** Metadata fetch with ONE bounded retry (C9 — reference:
+    * SnappydataJdbcUtil.scala:61-78 retries the topology query once
+    * against an alternate locator before failing). Only transient
+    * (IOException) failures retry; a missing table is not transient.
+    */
+  def getWithRetry(name: String, retries: Int = 1): BucketTable =
+    try get(name)
+    catch {
+      case e: java.io.IOException if retries > 0 =>
+        System.err.println(s"[graft-buckets] transient metadata failure for '$name' " +
+          s"(${e.getMessage}); retrying (${retries} left)")
+        getWithRetry(name, retries - 1)
+    }
+
+  // — transient-failure injection (spec hook for the C9 retry path) —
+  private val injectedFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Make the next `n` metadata fetches throw IOException. */
+  def injectTransientFailures(n: Int): Unit = injectedFailures.set(n)
+
+  private def maybeInjectFailure(): Unit =
+    if (injectedFailures.getAndUpdate(i => if (i > 0) i - 1 else 0) > 0)
+      throw new java.io.IOException("injected transient metadata failure")
 }

@@ -41,25 +41,70 @@ import scala.jdk.CollectionConverters._
   *
   * Usage: `spark.read.format("graft-buckets").option("table", name).load()`.
   */
+/** The connector's option vocabulary (C8 — mirrors the reference's
+  * Spark-JDBC option set, JDBCOptions.java:15-32, minus the JDBC-only
+  * knobs that have no meaning against the bucket store):
+  *
+  *   - `table` (required): store table name;
+  *   - `fetchsize`: rows per server round trip (JDBC fetch size
+  *     analog), default 1000, must be a positive integer;
+  *   - `numpartitions`: read parallelism. The scan is bucket-pinned
+  *     (one split per bucket, like the reference's
+  *     SET_BUCKETS_FOR_LOCAL_EXECUTION mode), so if set it must equal
+  *     the table's bucket count — anything else is a configuration
+  *     error surfaced loudly, not silently ignored.
+  *
+  * Unknown options are REJECTED with the full vocabulary in the
+  * message: a typo like `fetchSize=10.5` or `fechsize` must fail the
+  * query, not silently run with defaults.
+  */
+final case class ConnectorOptions(table: String, fetchSize: Int, numPartitions: Option[Int])
+
+object ConnectorOptions {
+  val Known: Set[String] = Set("table", "fetchsize", "numpartitions")
+  val Defaults: ConnectorOptions = ConnectorOptions("", fetchSize = 1000, numPartitions = None)
+
+  def parse(options: JMap[String, String]): ConnectorOptions = {
+    val keys = options.keySet().asScala.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val unknown = keys -- Known
+    require(unknown.isEmpty,
+      s"graft-buckets: unknown option(s) ${unknown.mkString("'", "', '", "'")}; " +
+        s"supported: ${Known.toSeq.sorted.mkString(", ")}")
+    val ci = new CaseInsensitiveStringMap(options)
+    val table = ci.get("table")
+    require(table != null && table.nonEmpty, "graft-buckets requires option 'table'")
+    def posInt(key: String, default: Option[Int]): Option[Int] = {
+      val raw = ci.get(key)
+      if (raw == null) default
+      else {
+        val v = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft-buckets: option '$key' must be a positive integer, got '$raw'")
+        }
+        require(v > 0, s"graft-buckets: option '$key' must be a positive integer, got '$raw'")
+        Some(v)
+      }
+    }
+    ConnectorOptions(table, posInt("fetchsize", Some(1000)).get, posInt("numpartitions", None))
+  }
+}
+
 class BucketedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-buckets"
 
-  private def tableName(options: CaseInsensitiveStringMap): String = {
-    val n = options.get("table")
-    require(n != null, "graft-buckets requires option 'table'")
-    n
-  }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    BucketStore.get(tableName(options)).schema
+    BucketStore.getWithRetry(ConnectorOptions.parse(options.asCaseSensitiveMap()).table).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new BucketedTable(properties.get("table"))
+      properties: JMap[String, String]): Table = {
+    val opts = ConnectorOptions.parse(properties)
+    new BucketedTable(opts.table, opts)
+  }
 }
 
-class BucketedTable(name: String) extends Table with SupportsRead {
-  private def t: BucketStore.BucketTable = BucketStore.get(name)
+class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defaults)
+  extends Table with SupportsRead {
+  private def t: BucketStore.BucketTable = BucketStore.getWithRetry(name)
 
   override def name(): String = s"graft-buckets:$name"
   override def schema(): StructType = t.schema
@@ -71,16 +116,16 @@ class BucketedTable(name: String) extends Table with SupportsRead {
     Array(Expressions.bucket(t.buckets.length, t.keyCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BucketedScanBuilder(name)
+    new BucketedScanBuilder(name, opts)
 }
 
 /** Pushdown: accepts the filter subset [[FilterEval]] can enforce
   * exactly; everything else is left for Spark to evaluate post-scan.
   */
-class BucketedScanBuilder(name: String)
+class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOptions.Defaults)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private val full: StructType = BucketStore.get(name).schema
+  private val full: StructType = BucketStore.getWithRetry(name).schema
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
 
@@ -95,11 +140,21 @@ class BucketedScanBuilder(name: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new BucketedScan(name, required, pushed, BucketStore.get(name).version)
+  override def build(): Scan = {
+    val t = BucketStore.getWithRetry(name)
+    // numpartitions is a cross-check, not a knob: parallelism is
+    // structurally one split per bucket
+    opts.numPartitions.foreach { n =>
+      require(n == t.buckets.length,
+        s"graft-buckets: numpartitions=$n but table '$name' has ${t.buckets.length} buckets — " +
+          "the scan is bucket-pinned (one partition per bucket); omit the option or match it")
+    }
+    new BucketedScan(name, required, pushed, t.version, opts.fetchSize)
+  }
 }
 
-class BucketedScan(name: String, required: StructType, filters: Array[Filter], version: Long)
+class BucketedScan(name: String, required: StructType, filters: Array[Filter], version: Long,
+    fetchSize: Int = 1000)
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
@@ -125,7 +180,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BucketedReaderFactory(required, filters)
+    new BucketedReaderFactory(required, filters, fetchSize)
 }
 
 /** One split per bucket + its owning hosts (primary, replica). The
@@ -137,23 +192,31 @@ case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String]
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
-class BucketedReaderFactory(required: StructType, filters: Array[Filter])
+class BucketedReaderFactory(required: StructType, filters: Array[Filter], fetchSize: Int = 1000)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BucketInputPartition]
-    new BucketedPartitionReader(p, required, filters)
+    new BucketedPartitionReader(p, required, filters, fetchSize)
   }
 }
 
-/** Streams the bucket's rows, applying pushed filters and the column
-  * projection before converting to InternalRow. In a remote-store
-  * deployment this is where the pooled, host-affine connection opens
-  * (reference: ConnectionPool.scala / SnappyDataConnectorHelper.scala:44-91).
+/** Streams the bucket's rows through a pooled, host-affine connection
+  * (C6/C7 — reference: ConnectionPool.scala:12-76,
+  * SnappyDataConnectorHelper.scala:44-91), applying pushed filters and
+  * the column projection before converting to InternalRow.
+  *
+  * Open-time failover: the split carries the bucket's replica chain
+  * (primary first); the reader dials each in order, twice around (one
+  * bounded retry round, C9), and reads from the first live host. A
+  * host lost AFTER open fails the page fetch → the task fails → Spark
+  * task retry re-plans the split against the then-live replicas; no
+  * hand-rolled mid-stream resume.
   */
-class BucketedPartitionReader(p: BucketInputPartition, required: StructType, filters: Array[Filter])
+class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
+    filters: Array[Filter], fetchSize: Int = 1000)
   extends PartitionReader[InternalRow] {
 
-  private val table = BucketStore.get(p.table)
+  private val table = BucketStore.getWithRetry(p.table)
   require(table.version == p.version,
     s"snapshot violated: table '${p.table}' changed (v${p.version} -> v${table.version})")
 
@@ -162,8 +225,26 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType, fil
   private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
     .createToCatalystConverter(required)
 
-  private val it: Iterator[Row] = table.buckets(p.bucket).iterator
-    .filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+  private var conn: HostConnection = _
+
+  private val it: Iterator[Row] = {
+    var opened: Iterator[Row] = null
+    var lastErr: java.io.IOException = null
+    val attempts = (p.hosts ++ p.hosts).iterator // replicas in order, one retry round
+    while (opened == null && attempts.hasNext) {
+      val host = attempts.next()
+      try {
+        val c = ConnectionPool.borrow(host)
+        opened = c.fetchBucket(p.table, p.bucket, fetchSize)
+        conn = c
+      } catch { case e: java.io.IOException => lastErr = e }
+    }
+    if (opened == null)
+      throw new java.io.IOException(
+        s"all replicas of bucket ${p.bucket} (${p.hosts.mkString(", ")}) are unreachable", lastErr)
+    opened.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+  }
+
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -175,18 +256,29 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType, fil
     } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (conn != null) { ConnectionPool.release(conn); conn = null }
 }
 
 /** Exact evaluation of the pushed-down filter subset over external
   * rows: comparisons on int/long/double/string/timestamp, null checks,
-  * IN, AND/OR/NOT. `supports` and `eval` must stay in lockstep — a
-  * filter is only claimed if it is fully enforced here.
+  * IN, string predicates, AND/OR/NOT. `supports` and `eval3` must stay
+  * in lockstep — a filter is only claimed if it is fully enforced here.
+  *
+  * Evaluation is TRI-STATE (`Option[Boolean]`, `None` = SQL unknown)
+  * with Kleene connective semantics, because Spark trusts a claimed
+  * filter completely — there is no residual Filter re-check above this
+  * scan (that absence is exactly what the q27 plan audit asserts). A
+  * boolean evaluator here silently broke `NOT` over NULLs:
+  * `Not(EqualTo(c, v))` on a NULL `c` evaluated `!false = true` and
+  * EMITTED the row, where SQL's unknown must DROP it. Now unknown
+  * propagates through NOT (¬unknown = unknown), AND (false dominates),
+  * and OR (true dominates), and only a final `Some(true)` keeps a row.
   */
 object FilterEval {
 
   def supports(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(c, v) => comparable(schema, c, v)
+    case EqualNullSafe(c, v) => comparable(schema, c, v)
     case GreaterThan(c, v) => comparable(schema, c, v)
     case GreaterThanOrEqual(c, v) => comparable(schema, c, v)
     case LessThan(c, v) => comparable(schema, c, v)
@@ -194,6 +286,10 @@ object FilterEval {
     case IsNull(c) => schema.fieldNames.contains(c)
     case IsNotNull(c) => schema.fieldNames.contains(c)
     case In(c, vs) => vs.forall(comparable(schema, c, _))
+    case StringStartsWith(c, _) => stringCol(schema, c)
+    case StringEndsWith(c, _) => stringCol(schema, c)
+    case StringContains(c, _) => stringCol(schema, c)
+    case AlwaysTrue() | AlwaysFalse() => true
     case And(l, r) => supports(schema, l) && supports(schema, r)
     case Or(l, r) => supports(schema, l) && supports(schema, r)
     case Not(x) => supports(schema, x)
@@ -207,27 +303,65 @@ object FilterEval {
       case _ => false
     })
 
-  def eval(schema: StructType, f: Filter, row: Row): Boolean = f match {
-    case EqualTo(c, v) => cmpNullable(row, schema, c, v).contains(0)
-    case GreaterThan(c, v) => cmpNullable(row, schema, c, v).exists(_ > 0)
-    case GreaterThanOrEqual(c, v) => cmpNullable(row, schema, c, v).exists(_ >= 0)
-    case LessThan(c, v) => cmpNullable(row, schema, c, v).exists(_ < 0)
-    case LessThanOrEqual(c, v) => cmpNullable(row, schema, c, v).exists(_ <= 0)
-    case IsNull(c) => row.isNullAt(schema.fieldIndex(c))
-    case IsNotNull(c) => !row.isNullAt(schema.fieldIndex(c))
-    case In(c, vs) => vs.exists(v => cmpNullable(row, schema, c, v).contains(0))
-    case And(l, r) => eval(schema, l, row) && eval(schema, r, row)
-    case Or(l, r) => eval(schema, l, row) || eval(schema, r, row)
-    case Not(x) => !eval(schema, x, row)
+  private def stringCol(schema: StructType, c: String): Boolean =
+    schema.fieldNames.contains(c) &&
+      schema(c).dataType == org.apache.spark.sql.types.StringType
+
+  /** True iff the filter definitely holds: SQL WHERE keeps a row only
+    * when the predicate is true, so unknown (None) drops it.
+    */
+  def eval(schema: StructType, f: Filter, row: Row): Boolean =
+    eval3(schema, f, row).contains(true)
+
+  /** SQL three-valued evaluation: None = unknown (a NULL operand). */
+  private[bucketed] def eval3(schema: StructType, f: Filter, row: Row): Option[Boolean] = f match {
+    case EqualTo(c, v) => cmpNullable(row, schema, c, v).map(_ == 0)
+    case EqualNullSafe(c, v) =>
+      // <=> is the one comparison that is never unknown: NULL <=> x is
+      // definitively false (true only if the literal were null, which
+      // Catalyst rewrites to IsNull before pushdown)
+      Some(cmpNullable(row, schema, c, v).exists(_ == 0))
+    case GreaterThan(c, v) => cmpNullable(row, schema, c, v).map(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmpNullable(row, schema, c, v).map(_ >= 0)
+    case LessThan(c, v) => cmpNullable(row, schema, c, v).map(_ < 0)
+    case LessThanOrEqual(c, v) => cmpNullable(row, schema, c, v).map(_ <= 0)
+    case IsNull(c) => Some(row.isNullAt(schema.fieldIndex(c)))
+    case IsNotNull(c) => Some(!row.isNullAt(schema.fieldIndex(c)))
+    case In(c, vs) =>
+      // SQL IN: true if any element matches; if none match but the
+      // column was null, unknown
+      val cs = vs.map(v => cmpNullable(row, schema, c, v))
+      if (cs.exists(_.contains(0))) Some(true)
+      else if (cs.exists(_.isEmpty)) None
+      else Some(false)
+    case StringStartsWith(c, v) => stringNullable(row, schema, c).map(_.startsWith(v))
+    case StringEndsWith(c, v) => stringNullable(row, schema, c).map(_.endsWith(v))
+    case StringContains(c, v) => stringNullable(row, schema, c).map(_.contains(v))
+    case AlwaysTrue() => Some(true)
+    case AlwaysFalse() => Some(false)
+    case And(l, r) => (eval3(schema, l, row), eval3(schema, r, row)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval3(schema, l, row), eval3(schema, r, row)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(x) => eval3(schema, x, row).map(!_)
     case _ => throw new IllegalStateException(s"unsupported pushed filter $f")
   }
 
-  /** None when the row value is null (SQL three-valued logic → the
-    * comparison is not satisfied).
-    */
+  /** None when the row value is null (SQL three-valued logic). */
   private def cmpNullable(row: Row, schema: StructType, c: String, v: Any): Option[Int] = {
     val i = schema.fieldIndex(c)
     if (row.isNullAt(i)) None else Some(cmp(row.get(i), v))
+  }
+
+  private def stringNullable(row: Row, schema: StructType, c: String): Option[String] = {
+    val i = schema.fieldIndex(c)
+    if (row.isNullAt(i)) None else Some(row.getString(i))
   }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {

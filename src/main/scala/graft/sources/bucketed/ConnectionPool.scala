@@ -1,0 +1,90 @@
+package graft.sources.bucketed
+
+import java.io.IOException
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.Row
+
+/** Pooled, host-affine connections to the (simulated) bucket-store
+  * cluster — the operational layer of the connector rebuild
+  * (SURVEY §2.9 C6/C7/C9; reference: pool-per-URL with borrow/return
+  * `ConnectionPool.scala:12-76`, server-affine connection selection
+  * `SnappyDataConnectorHelper.scala:44-91`, bounded retry
+  * `SnappydataJdbcUtil.scala:61-78`).
+  *
+  * A [[BucketedPartitionReader]] borrows one connection to the bucket's
+  * owning host at open (falling over to the replica list — see the
+  * reader), holds it for the scan's lifetime, and returns it to the
+  * pool in `close()` — the JDBC reader lifecycle. Failure AFTER open
+  * (host dies mid-stream) is deliberately NOT retried here: the page
+  * fetch throws, the Spark task fails, and Spark's own task retry
+  * re-plans the split — replacing the reference's hand-rolled
+  * mid-stream retry with the engine's native mechanism.
+  */
+object ConnectionPool {
+
+  private val idle = new ConcurrentHashMap[String, ConcurrentLinkedQueue[HostConnection]]()
+  private val createdCount = new AtomicLong()
+  private val reusedCount = new AtomicLong()
+
+  /** Borrow a connection to `host`: reuse an idle pooled one if
+    * available, else dial a new one. Dialing checks liveness — a dead
+    * host fails HERE (connect time), which is what lets the reader
+    * fail over to a replica before any rows flow.
+    */
+  def borrow(host: String): HostConnection = {
+    if (!BucketServers.isUp(host))
+      throw new IOException(s"connection refused: $host is down")
+    val q = idle.computeIfAbsent(host, _ => new ConcurrentLinkedQueue[HostConnection]())
+    val pooled = q.poll()
+    if (pooled != null) { reusedCount.incrementAndGet(); pooled }
+    else { createdCount.incrementAndGet(); new HostConnection(host) }
+  }
+
+  /** Return a connection for reuse. A connection whose host has died
+    * is discarded, not pooled (the next borrower would just fail).
+    */
+  def release(conn: HostConnection): Unit =
+    if (BucketServers.isUp(conn.host))
+      idle.computeIfAbsent(conn.host, _ => new ConcurrentLinkedQueue[HostConnection]()).add(conn)
+
+  /** (connections dialed, borrows served from the pool) — spec hooks. */
+  def stats: (Long, Long) = (createdCount.get(), reusedCount.get())
+
+  def reset(): Unit = { idle.clear(); createdCount.set(0); reusedCount.set(0) }
+}
+
+/** Liveness registry for the simulated cluster: specs `kill` a host to
+  * drive the failover path, `revive` it after.
+  */
+object BucketServers {
+  private val down = ConcurrentHashMap.newKeySet[String]()
+  def kill(host: String): Unit = { down.add(host); () }
+  def revive(host: String): Unit = { down.remove(host); () }
+  def isUp(host: String): Boolean = !down.contains(host)
+}
+
+/** One dialed connection. `fetchBucket` streams a bucket's rows in
+  * pages of `fetchSize` (the C8 `fetchsize` option — the analog of the
+  * reference's JDBC fetch size, JDBCOptions.java:15-32): each page is
+  * one simulated server round trip, checked against host liveness, so
+  * per-connection memory is bounded by the page, never the bucket.
+  */
+final class HostConnection private[bucketed] (val host: String) {
+
+  def fetchBucket(table: String, bucket: Int, fetchSize: Int): Iterator[Row] = {
+    val rows = BucketStore.get(table).buckets(bucket)
+    rows.iterator.grouped(fetchSize).flatMap { page =>
+      if (!BucketServers.isUp(host))
+        throw new IOException(s"connection to $host lost mid-stream (task retry will re-plan)")
+      HostConnection.roundTripCount.incrementAndGet()
+      page
+    }
+  }
+}
+
+object HostConnection {
+  /** Total simulated server round trips (pages fetched) — spec hook. */
+  val roundTripCount = new AtomicLong()
+}

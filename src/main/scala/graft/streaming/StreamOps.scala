@@ -78,6 +78,21 @@ object StreamOps {
         else writer.start()
       try {
         if (useAvailableNow) q.awaitTermination() else q.processAllAvailable()
+        // The memory sink APPENDS each batch's emission. In update mode
+        // a key re-emitted across batches would therefore appear twice
+        // in the sink table — correct streaming semantics, wrong as a
+        // query RESULT. The gated file sources arrive as one batch; if
+        // a batching change (maxFilesPerTrigger, a second file in the
+        // glob, byte-limited AvailableNow) ever splits them, fail
+        // loudly here instead of silently returning duplicate rows.
+        if (outputMode == "update") {
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          if (dataBatches != 1)
+            throw new IllegalStateException(
+              s"update-mode memory sink saw $dataBatches data batches — per-key re-emissions " +
+                "would duplicate rows in the sink table; read it latest-per-key or keep the " +
+                "source single-batch")
+        }
       } finally {
         lastStateOperatorCount = q.recentProgress.lastOption
           .map(p => Option(p.stateOperators).map(_.length).getOrElse(0)).getOrElse(-1)

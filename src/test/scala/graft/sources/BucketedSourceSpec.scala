@@ -68,6 +68,57 @@ class BucketedSourceSpec extends SparkSuite {
     assert(j.count() === expected)
   }
 
+  test("pushed NOT/OR over NULL columns follow SQL three-valued logic") {
+    // Catalyst infers IsNotNull alongside conjunctive null-intolerant
+    // predicates (masking null bugs), but NOT for disjunctions — this
+    // filter reaches the reader as Or(Not(EqualTo), GreaterThan) and
+    // must drop rows where the Or evaluates to unknown.
+    import spark.implicits._
+    val df = Seq((1, Option("a"), 1), (2, None: Option[String], 1),
+      (3, Option("b"), 1), (4, None: Option[String], 9)).toDF("id", "v", "w")
+    BucketStore.load(spark, "nulls_t", df, "id", 4)
+    val s = spark.read.format("graft-buckets").option("table", "nulls_t").load()
+    val q = s.filter(col("v") =!= "a" || col("w") > 5).select("id")
+    // the disjunction must be fully consumed by the source (no residual
+    // Filter) — otherwise this test proves nothing about FilterEval
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[Or("), plan)
+    assert(!plan.linesIterator.exists(_.trim.startsWith("Filter ")), plan)
+    val got = q.as[Int].collect().toSet
+    val exp = df.filter(col("v") =!= "a" || col("w") > 5)
+      .select("id").as[Int].collect().toSet
+    assert(got === exp) // SQL semantics baseline (plain DataFrame)
+    assert(got === Set(3, 4)) // id=2 (NULL, w=1) → unknown OR false → dropped
+  }
+
+  test("FilterEval tri-state truth table over a NULL operand") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", StringType, nullable = true),
+      StructField("w", IntegerType, nullable = false)))
+    val nullRow = Row(null, 1)
+    def e(f: Filter, r: Row = nullRow): Boolean = FilterEval.eval(schema, f, r)
+    // unknown drops the row through every connective
+    assert(!e(EqualTo("v", "a")))
+    assert(!e(Not(EqualTo("v", "a")))) // THE bug: used to emit
+    assert(!e(Or(Not(EqualTo("v", "a")), LessThan("w", 0))))
+    assert(!e(And(Not(EqualTo("v", "a")), GreaterThan("w", 0))))
+    assert(!e(In("v", Array("a", "b"))))
+    assert(!e(Not(In("v", Array("a", "b")))))
+    assert(!e(StringStartsWith("v", "a")))
+    // definite values still work
+    assert(e(IsNull("v")))
+    assert(!e(IsNotNull("v")))
+    assert(!e(EqualNullSafe("v", "a"))) // NULL <=> 'a' is false, not unknown
+    assert(e(Not(EqualNullSafe("v", "a")))) // so its negation is TRUE
+    assert(e(Or(IsNull("v"), EqualTo("v", "zzz"))))
+    val row = Row("abc", 7)
+    assert(e(Not(EqualTo("v", "x")), row))
+    assert(e(And(StringContains("v", "b"), GreaterThan("w", 5)), row))
+    assert(!e(Not(StringEndsWith("v", "c")), row))
+  }
+
   test("reader rejects a stale snapshot version") {
     val t = BucketStore.get(s"lineitem@$sf")
     val stale = BucketInputPartition(s"lineitem@$sf", 0, Array("host-0"), t.version - 1)
@@ -75,5 +126,87 @@ class BucketedSourceSpec extends SparkSuite {
       new BucketedPartitionReader(stale, t.schema, Array.empty)
     }
     assert(ex.getMessage.contains("snapshot violated"))
+  }
+
+  test("C6 failover: primary host down, the read completes via the replica") {
+    try {
+      BucketServers.kill("host-0") // primary of buckets 0,4,8,12; replica of 3,7,11,15
+      val got = src.collect().map(_.toSeq).toSet
+      val raw = graft.tables.Tables.lineitem(spark, sf).collect().map(_.toSeq).toSet
+      assert(got === raw, "failover read must still return every row exactly once")
+    } finally BucketServers.revive("host-0")
+  }
+
+  test("C6 failover: read fails loudly when every replica of a bucket is down") {
+    val t = BucketStore.get(s"lineitem@$sf")
+    try {
+      BucketServers.kill("host-0"); BucketServers.kill("host-1")
+      val part = BucketInputPartition(s"lineitem@$sf", 0, Array("host-0", "host-1"), t.version)
+      val ex = intercept[java.io.IOException] {
+        new BucketedPartitionReader(part, t.schema, Array.empty)
+      }
+      assert(ex.getMessage.contains("all replicas"))
+    } finally { BucketServers.revive("host-0"); BucketServers.revive("host-1") }
+  }
+
+  test("C7 pooling: a second scan reuses connections instead of dialing new ones") {
+    ConnectionPool.reset()
+    // coalesce(1) reads the 16 buckets sequentially in one task, so
+    // borrow/release interleave deterministically: after the first scan
+    // the pool holds one connection per host
+    assert(src.coalesce(1).count() > 0)
+    val (created1, _) = ConnectionPool.stats
+    assert(created1 === 4, "one dialed connection per live host")
+    assert(src.coalesce(1).count() > 0)
+    val (created2, reused2) = ConnectionPool.stats
+    assert(created2 === created1, "second scan must not dial any new connection")
+    assert(reused2 >= 16, "second scan's 16 bucket reads must all come from the pool")
+  }
+
+  test("C9 metadata retry: one transient failure is absorbed, two propagate") {
+    BucketStore.injectTransientFailures(1)
+    assert(BucketStore.getWithRetry(s"lineitem@$sf").schema.nonEmpty) // retry absorbs it
+    BucketStore.injectTransientFailures(2)
+    intercept[java.io.IOException] { BucketStore.getWithRetry(s"lineitem@$sf") }
+    BucketStore.injectTransientFailures(0)
+  }
+
+  test("C8 options: unknown keys and malformed values are rejected loudly") {
+    val unknown = intercept[Exception] {
+      spark.read.format("graft-buckets")
+        .option("table", s"lineitem@$sf").option("fechsize", "10").load()
+    }
+    assert(unknown.getMessage.contains("unknown option") &&
+      unknown.getMessage.contains("fechsize") && unknown.getMessage.contains("fetchsize"),
+      unknown.getMessage)
+    val bad = intercept[Exception] {
+      spark.read.format("graft-buckets")
+        .option("table", s"lineitem@$sf").option("fetchsize", "zero").load()
+    }
+    assert(bad.getMessage.contains("positive integer"), bad.getMessage)
+    val mismatch = intercept[Exception] {
+      spark.read.format("graft-buckets")
+        .option("table", s"lineitem@$sf").option("numpartitions", "7").load().count()
+    }
+    assert(mismatch.getMessage.contains("bucket-pinned") ||
+      mismatch.getCause != null && mismatch.getCause.getMessage.contains("bucket-pinned"),
+      mismatch.getMessage)
+  }
+
+  test("C8 fetchsize: rows stream in pages of the configured size") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v")
+    BucketStore.load(spark, "page_t", df, "id", 4)
+    val before = HostConnection.roundTripCount.get()
+    val n = spark.read.format("graft-buckets")
+      .option("table", "page_t").option("fetchsize", "1")
+      .load().coalesce(1).count()
+    assert(n === 4)
+    val delta = HostConnection.roundTripCount.get() - before
+    assert(delta === 4, s"fetchsize=1 over 4 rows must make 4 round trips, made $delta")
+    // matching numpartitions passes validation
+    assert(spark.read.format("graft-buckets")
+      .option("table", "page_t").option("numpartitions", "4")
+      .load().count() === 4)
   }
 }

@@ -32,4 +32,48 @@ class SourcesSinksSpec extends SparkSuite {
     assert(passed.collect().sorted.toSeq === Seq(1, 2, 3))
     assert(passed.count() === 3L)
   }
+
+  test("S4 socket source end-to-end: TCP lines → windowed word count") {
+    // reference TimeWindowWordCount.scala:16-30: socketTextStream →
+    // tokenize → window → count. A real ServerSocket feeds the real
+    // Spark socket source; counts are read off a memory sink. Windows
+    // are processing-time-bound so the assert sums counts per word
+    // across windows rather than pinning wall-clock boundaries.
+    import org.apache.spark.sql.functions._
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        Seq("to be or not", "to be").foreach(out.println)
+        out.flush()
+        // hold the connection open; the source treats EOF as stream end
+        Thread.sleep(60000)
+      } catch { case _: InterruptedException | _: java.net.SocketException => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val lines = Sources.socketTextStream(spark, "localhost", server.getLocalPort)
+    val counts = lines
+      .select(explode(split(col("value"), " ")).as("word"), col("timestamp"))
+      .groupBy(window(col("timestamp"), "10 seconds"), col("word"))
+      .count()
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("sock_wc").start()
+    try {
+      val expected = Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L)
+      val deadline = System.currentTimeMillis() + 60000
+      var got = Map.empty[String, Long]
+      while (got != expected && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        got = spark.table("sock_wc").groupBy("word").agg(sum("count").as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      assert(got === expected, s"socket word count never converged: $got")
+    } finally {
+      q.stop()
+      feeder.interrupt()
+      server.close()
+    }
+  }
 }
