@@ -255,8 +255,13 @@ object Dedup {
       reliableCheckpoint: Boolean = false): DataFrame = {
     def cut(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
-    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // symmetrize in ONE pass: a union of two selects over `pairs`
+    // would compute the whole upstream pair pipeline twice (Spark does
+    // no cross-branch common-subexpression sharing)
+    val edges = cut(pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     var labels = cut(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     var changed = 1L
