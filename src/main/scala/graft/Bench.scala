@@ -61,7 +61,7 @@ object Bench {
     // capture truncated its head ("parsed": null). Keep this line short
     // and make it the LAST thing printed (after spark.stop(), so no
     // shutdown logging can follow it).
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()

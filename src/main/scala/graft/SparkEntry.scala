@@ -131,6 +131,14 @@ object SparkEntry {
     "q70_date_arith" -> FunctionFamilies.dateArith _,
     "q71_stream_session_windows" -> graft.streaming.StreamOps.streamingSessionWindows _,
     "q72_string_agg" -> FunctionFamilies.stringAgg _,
+    // — round-3 pipeline breadth: denylist scrubbing, eval-set
+    //   decontamination, repetition scoring, deterministic stratified
+    //   sampling (data mixing), GPT-style sequence packing —
+    "q73_pii" -> TextAnalysis.scrubQuery _,
+    "q74_decon" -> Dedup.decontaminationQuery _,
+    "q75_rep" -> TextAnalysis.repetitionQuery _,
+    "q76_sample" -> graft.operators.Pipelines.stratifiedSampleQuery _,
+    "q77_pack" -> graft.operators.Pipelines.sequencePackQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -246,5 +254,12 @@ object SparkEntry {
     "q70_date_arith" -> FunctionFamilies.dateArithSql,
     "q71_stream_session_windows" -> graft.streaming.StreamOps.streamingSessionWindowsSql,
     "q72_string_agg" -> FunctionFamilies.stringAggSql,
+    "q73_pii" -> TextAnalysis.scrubSql,
+    // q74: xxhash64 shingles vs string shingles — identical modulo
+    // 64-bit collisions (same argument as q16's oracle)
+    "q74_decon" -> Dedup.decontaminationSql,
+    "q75_rep" -> TextAnalysis.repetitionSql,
+    "q76_sample" -> graft.operators.Pipelines.stratifiedSampleSql,
+    "q77_pack" -> graft.operators.Pipelines.sequencePackSql,
   )
 }

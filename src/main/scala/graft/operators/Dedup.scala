@@ -321,6 +321,47 @@ object Dedup {
   val clusterSql: String =
     closureCtes(ngramJaccardSql) + "\nSELECT id AS doc_id, keep_id FROM comp"
 
+  // ——— eval-set decontamination ———
+
+  /** Benchmark decontamination: find corpus documents sharing any
+    * word n-gram with a (small) evaluation set — the standard
+    * pretraining-hygiene check that keeps test data out of training
+    * data. The eval side's distinct shingles BROADCAST (eval suites
+    * are ~10⁴-10⁶ n-grams even when the corpus is 100 TB), so the
+    * corpus is scanned once, map-side filtered by the broadcast hash
+    * join, and only contaminated (doc, shingle) hits reach the
+    * per-doc count shuffle.
+    */
+  def decontamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalSh = shingles(evalSet, idCol, textCol, n).select(col("shingle")).distinct()
+    shingles(corpus, idCol, textCol, n)
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles() is per-doc distinct already
+  }
+
+  /** Gated query: docs with id < 100 stand in for the benchmark; the
+    * rest of the corpus is screened against their 5-grams.
+    */
+  def decontaminationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontamination(docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+      "doc_id", "text", n = 5)
+  }
+
+  val decontaminationSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS s
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i FROM w WHERE len(ws) >= 5)),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 100)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM sh JOIN ev USING (s)
+      |WHERE doc_id >= 100
+      |GROUP BY doc_id""".stripMargin
+
   // ——— embedding cosine near-dup (LSH-bucketed) ———
 
   /** Embedding near-dup pairs, the scale path: sign-random-projection

@@ -83,6 +83,67 @@ object Pipelines {
        |FROM kept JOIN scored USING (doc_id)
        |WHERE quality >= 0.2""".stripMargin
 
+  /** Deterministic stratified sampling — the data-mixing step of a
+    * pretraining pipeline: each language keeps a configured fraction
+    * of its documents, selected by a multiplicative hash of the id
+    * (Knuth's 2654435761 mod 2³²) so the sample is reproducible on any
+    * engine, any partitioning, any rerun — no RNG state, no shuffle,
+    * a row-local predicate that scales to any corpus size. Per-group
+    * rates are the mixing weights.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val bucket = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate * lit(4294967296L))
+  }
+
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 1.0)
+      .select(col("doc_id"), col("lang"))
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE (doc_id * 2654435761) % 4294967296
+      |      < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 1.0 END)
+      |        * 4294967296""".stripMargin
+
+  /** Sequence packing — GPT-style concatenate-and-chunk: per source,
+    * documents are laid end to end in id order and each is assigned
+    * the context-window chunk its first token lands in
+    * (`floor(exclusive-cumulative-tokens / windowTokens)`). One window
+    * partitioned by source — the shuffle carries (source) groups and
+    * the running sum is a single streaming pass per group; at 100 TB
+    * the same plan packs each source shard independently.
+    */
+  def sequencePack(df: DataFrame, idCol: String, groupCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(groupCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        expr(s"cum_before div $windowTokens").as("pack_id"))
+  }
+
+  def sequencePackQuery(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(Tables.documents(spark, dir), "doc_id", "source", "text",
+      windowTokens = 2048)
+
+  val sequencePackSql: String =
+    """SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  COALESCE(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |             OVER (PARTITION BY source ORDER BY doc_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    // 2048 AS pack_id
+      |FROM documents""".stripMargin
+
   /** Correlated-aggregate pattern: customers above their own nation's
     * average balance. Planned as a grouped aggregate + equi-join —
     * the decorrelated form Catalyst produces for the equivalent

@@ -142,6 +142,66 @@ object TextAnalysis {
   val qualitySql: String =
     s"SELECT doc_id,\n  $qualityExprSql AS quality\nFROM documents"
 
+  // ——— denylist scrubbing (PII-style redaction) ———
+
+  /** Denylist redaction — the PII-scrub shape of a training-data
+    * pipeline (emails/phones/ids in production; here a term denylist,
+    * since the gated corpus is synthetic words): every denylisted
+    * token is replaced by a redaction marker, with a hit count and an
+    * md5 of the scrubbed text for verification. Row-local regex →
+    * single codegen'd projection, no shuffle at any scale. The
+    * character classes and `\b` anchors are chosen to behave
+    * identically under Java regex (Spark) and RE2 (DuckDB).
+    */
+  val denyPattern: String = "\\b(customer|user|key|secret)\\b"
+
+  def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(denyPattern)).cast("long").as("n_hits"),
+      md5(regexp_replace(col(textCol), denyPattern, "[REDACTED]")).as("scrub_md5"))
+
+  def scrubQuery(spark: SparkSession, dir: String): DataFrame =
+    scrub(Tables.documents(spark, dir), "doc_id", "text")
+
+  val scrubSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(customer|user|key|secret)\b')) AS BIGINT) AS n_hits,
+      |  md5(regexp_replace(text, '\b(customer|user|key|secret)\b', '[REDACTED]', 'g')) AS scrub_md5
+      |FROM documents""".stripMargin
+
+  // ——— repetition detection ———
+
+  /** Intra-document repetition ratio: 1 − |distinct 3-grams| / |3-grams|
+    * — the duplicate-n-gram quality signal used to drop degenerate /
+    * boilerplate text (high ratio = the document keeps repeating
+    * itself). Row-local array arithmetic; shingles hash to 64-bit
+    * before the distinct so no per-shingle string is built.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol), expr(
+        s"transform(sequence(0, size(__w) - $n), i -> xxhash64(slice(__w, i + 1, $n)))").as("__sh"))
+      .select(
+        col(idCol),
+        size(col("__sh")).as("n_grams"),
+        round(lit(1.0) - size(array_distinct(col("__sh"))).cast("double") / size(col("__sh")), 6)
+          .as("rep_ratio"))
+
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+
+  val repetitionSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_transform(range(len(ws) - 2),
+      |    i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]) AS grams
+      |  FROM w WHERE len(ws) >= 3)
+      |SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+      |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
+      |FROM sh""".stripMargin
+
   // ——— fingerprinting ———
 
   /** Fully oracle-gated: the 64-bit wrapping polynomial hash is

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Round-3 pipeline operators: denylist scrubbing, eval-set
+  * decontamination, repetition scoring, deterministic stratified
+  * sampling, sequence packing.
+  */
+class CurationOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("scrub redacts every denylisted token and counts hits") {
+    val docs = Seq(
+      (1L, "the customer gave the user a key"),
+      (2L, "no sensitive words here"),
+      (3L, "keyboard is not a key word boundary test key")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrub(docs, "doc_id", "text")
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 0L, 3L -> 2L)) // "keyboard" untouched (\b)
+    // scrubbed hash must differ from the raw hash exactly when hits > 0
+    val raw = docs.select(col("doc_id"), md5(col("text")).as("m")).as[(Long, String)].collect().toMap
+    val scrubbed = TextAnalysis.scrub(docs, "doc_id", "text")
+      .select("doc_id", "scrub_md5").as[(Long, String)].collect().toMap
+    assert(scrubbed(2L) === raw(2L))
+    assert(scrubbed(1L) !== raw(1L))
+    assert(scrubbed(3L) !== raw(3L))
+  }
+
+  test("decontamination flags docs overlapping the eval set, counts distinct shared n-grams") {
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "x alpha beta gamma delta epsilon y"), // shares 5-grams with eval
+      (101L, "completely different words entirely here now"),
+      (102L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text") // exact eval copy
+    val got = Dedup.decontamination(corpus, evalSet, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(100L -> 1L, 102L -> 1L)) // 101 clean, absent
+  }
+
+  test("repetition ratio: alternating text scores 0.5, all-distinct scores 0") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // 3-grams: aba,bab,aba,bab -> 4 total, 2 distinct
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "rep_ratio").as[(Long, Int, Double)].collect().toSet
+    assert(got === Set((1L, 4, 0.5), (2L, 4, 0.0)))
+  }
+
+  test("stratified sample: rate 1 keeps all, rate 0 drops all, and selection is reproducible") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val all = Pipelines.stratifiedSample(df, "doc_id", "lang", Map("en" -> 1.0), 1.0).count()
+    assert(all === 1000L)
+    val none = Pipelines.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.0), 1.0)
+    assert(none.filter(col("lang") === "en").count() === 0L)
+    assert(none.filter(col("lang") === "de").count() === 500L)
+    val s1 = Pipelines.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.3), 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Pipelines.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.3), 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2) // no RNG state: the sample is a pure function of ids
+    // the multiplicative hash should land near the configured rates
+    val enRate = s1.count(_ % 2 == 0) / 500.0
+    assert(enRate > 0.2 && enRate < 0.4, s"en sampled at $enRate, expected ~0.3")
+  }
+
+  test("sequence packing: docs chunk by exclusive cumulative tokens per source") {
+    val docs = Seq(
+      (1L, "s1", "a b c"),          // 3 tokens, cum_before 0 -> pack 0
+      (2L, "s1", "d e f g"),        // cum_before 3 -> pack 0
+      (3L, "s1", "h i"),            // cum_before 7 -> pack 1
+      (4L, "s1", "j"),              // cum_before 9 -> pack 1
+      (10L, "s2", "k l m n o")).toDF("doc_id", "source", "text") // own group -> pack 0
+    val got = Pipelines.sequencePack(docs, "doc_id", "source", "text", windowTokens = 5)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L))
+  }
+}
