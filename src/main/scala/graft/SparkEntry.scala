@@ -139,6 +139,8 @@ object SparkEntry {
     "q75_rep" -> TextAnalysis.repetitionQuery _,
     "q76_sample" -> graft.operators.Pipelines.stratifiedSampleQuery _,
     "q77_pack" -> graft.operators.Pipelines.sequencePackQuery _,
+    // — ORC columnar interchange roundtrip —
+    "q78_orc" -> graft.sources.Sources.orcRoundtripQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -261,5 +263,6 @@ object SparkEntry {
     "q75_rep" -> TextAnalysis.repetitionSql,
     "q76_sample" -> graft.operators.Pipelines.stratifiedSampleSql,
     "q77_pack" -> graft.operators.Pipelines.sequencePackSql,
+    "q78_orc" -> graft.sources.Sources.orcRoundtripSql,
   )
 }

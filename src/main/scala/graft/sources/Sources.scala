@@ -82,4 +82,31 @@ object Sources {
     """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
+
+  /** ORC writer→reader roundtrip (the columnar interchange format
+    * besides parquet that ships in Spark core): supplier is written to
+    * ORC, read back with an explicit schema, and aggregated per
+    * nation. The oracle computes the same aggregate from the original
+    * parquet — equality proves type-faithful round-tripping (longs,
+    * ints, doubles, strings) through the ORC writer/reader pair.
+    */
+  def orcRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_" +
+      spark.sparkContext.applicationId
+    val supplier = graft.tables.Tables.supplier(spark, dir)
+    supplier.write.mode("overwrite").orc(s"$base/supplier_orc")
+    val back = spark.read.schema(supplier.schema).orc(s"$base/supplier_orc")
+    val nation = graft.tables.Tables.nation(spark, dir)
+    back.join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_bal"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT n_name, count(*) AS n_suppliers,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
 }

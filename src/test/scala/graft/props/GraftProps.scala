@@ -105,4 +105,93 @@ object GraftProps extends Properties("graft") {
       (0 until bLen).foreach(_ => p *= 257L)
       h(a + b) == h(a) * p + h(b)
     }
+
+  // ——— FilterEval three-valued logic ≡ Spark's own WHERE semantics ———
+
+  private val fe3Schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.IntegerType, nullable = true)))
+
+  private val genLeaf: Gen[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val strs = Gen.oneOf("a", "ab", "b", "zz")
+    val ints = Gen.choose(-2, 4)
+    Gen.oneOf[Filter](
+      strs.map(EqualTo("v", _)),
+      ints.map(EqualTo("w", _)),
+      ints.map(GreaterThan("w", _)),
+      ints.map(LessThan("w", _)),
+      ints.map(GreaterThanOrEqual("w", _)),
+      strs.map(EqualNullSafe("v", _)),
+      Gen.const(IsNull("v")), Gen.const(IsNotNull("v")),
+      Gen.const(IsNull("w")),
+      Gen.listOfN(2, strs).map(vs => In("v", vs.toArray[Any])),
+      Gen.listOfN(3, ints).map(vs => In("w", vs.toArray[Any])),
+      strs.map(StringStartsWith("v", _)),
+      strs.map(StringContains("v", _)),
+      Gen.const(AlwaysTrue()), Gen.const(AlwaysFalse()))
+  }
+
+  private def genFilter(depth: Int): Gen[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    if (depth <= 0) genLeaf
+    else Gen.frequency(
+      3 -> genLeaf,
+      2 -> Gen.lzy(for { l <- genFilter(depth - 1); r <- genFilter(depth - 1) } yield And(l, r)),
+      2 -> Gen.lzy(for { l <- genFilter(depth - 1); r <- genFilter(depth - 1) } yield Or(l, r)),
+      2 -> Gen.lzy(genFilter(depth - 1).map(Not(_))))
+  }
+
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => col(c) === lit(v)
+      case EqualNullSafe(c, v) => col(c) <=> lit(v)
+      case GreaterThan(c, v) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+      case LessThan(c, v) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
+      case In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
+      case StringStartsWith(c, v) => col(c).startsWith(v)
+      case StringEndsWith(c, v) => col(c).endsWith(v)
+      case StringContains(c, v) => col(c).contains(v)
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(x) => !filterToColumn(x)
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+  }
+
+  private val genRow: Gen[(Int, Option[String], Option[Int])] = for {
+    id <- Gen.choose(0, 1000000)
+    v <- Gen.oneOf(Some("a"), Some("ab"), Some("b"), Some("zz"), None)
+    w <- Gen.oneOf(Gen.const(None), Gen.choose(-2, 4).map(Some(_)))
+  } yield (id, v, w)
+
+  /** The pushdown evaluator must agree with Spark's own WHERE on every
+    * filter tree over NULL-bearing rows — the three-valued-logic
+    * contract that lets the DSv2 source CLAIM filters (Spark plans no
+    * residual re-check above a claimed filter).
+    */
+  property("FilterEval 3VL equals Spark WHERE semantics") =
+    forAll(genFilter(2), Gen.listOfN(12, genRow)) { (f, rows) =>
+      import org.apache.spark.sql.Row
+      val distinctRows = rows.distinctBy(_._1)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(distinctRows.map(r => Row(r._1, r._2.orNull, r._3.map(Int.box).orNull)), 2),
+        fe3Schema)
+      val sparkKept = df.filter(filterToColumn(f))
+        .select("id").collect().map(_.getInt(0)).toSet
+      val feKept = distinctRows
+        .filter(r => graft.sources.bucketed.FilterEval.eval(
+          fe3Schema, f, Row(r._1, r._2.orNull, r._3.map(Int.box).orNull)))
+        .map(_._1).toSet
+      sparkKept == feKept
+    }
 }
