@@ -141,6 +141,8 @@ object SparkEntry {
     "q77_pack" -> graft.operators.Pipelines.sequencePackQuery _,
     // — ORC columnar interchange roundtrip —
     "q78_orc" -> graft.sources.Sources.orcRoundtripQuery _,
+    // — per-language vocabulary heavy hitters —
+    "q79_vocab" -> TextAnalysis.vocabTopKQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -264,5 +266,6 @@ object SparkEntry {
     "q76_sample" -> graft.operators.Pipelines.stratifiedSampleSql,
     "q77_pack" -> graft.operators.Pipelines.sequencePackSql,
     "q78_orc" -> graft.sources.Sources.orcRoundtripSql,
+    "q79_vocab" -> TextAnalysis.vocabTopKSql,
   )
 }

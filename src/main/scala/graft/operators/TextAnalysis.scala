@@ -202,6 +202,40 @@ object TextAnalysis {
       |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
       |FROM sh""".stripMargin
 
+  // ——— vocabulary heavy hitters ———
+
+  /** Top-k vocabulary per language — the corpus-diagnostic a
+    * pretraining pipeline runs to spot vocabulary skew and boilerplate
+    * flooding. One grouped count (map-side combined: the shuffle
+    * carries (lang, word) partials, not tokens) + a per-language top-k
+    * window over the |vocabulary|-sized aggregate, with a total order
+    * (count desc, word asc) so the result is deterministic.
+    */
+  def vocabTopK(df: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(col(langCol).as("lang"), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("word").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("word"), col("cnt"), col("rk"))
+  }
+
+  def vocabTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabTopK(Tables.documents(spark, dir), "lang", "text", k = 10)
+
+  val vocabTopKSql: String =
+    """SELECT lang, word, cnt, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT lang, word, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS rk
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  WHERE word <> ''
+      |  GROUP BY lang, word) r
+      |WHERE rk <= 10""".stripMargin
+
   // ——— fingerprinting ———
 
   /** Fully oracle-gated: the 64-bit wrapping polynomial hash is

@@ -33,6 +33,32 @@ class SourcesSinksSpec extends SparkSuite {
     assert(passed.count() === 3L)
   }
 
+  test("S2/S3 Kafka facades wire through to Spark's source resolver (jar absent in env)") {
+    // The spark-sql-kafka connector is not on this classpath (zero
+    // egress), so end-to-end is environment-blocked; what CAN be
+    // asserted is that the facades produce a fully-formed reader whose
+    // resolution fails on exactly the missing 'kafka' data source —
+    // proving the option wiring reaches Spark's resolver, not our code.
+    val e2 = intercept[Exception] {
+      Sources.kafkaStringStream(spark, "broker:9092", "events").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("kafka"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Sources.kafkaJsonStream(spark, "broker:9092", "events",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))).collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("kafka"), e3.getMessage)
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("CAST(value AS STRING) AS value")
+    val e4 = intercept[Exception] {
+      Sinks.kafkaSink(stream, "broker:9092", "out_topic",
+        java.nio.file.Files.createTempDirectory("graft_k4").toString).start()
+    }
+    assert(e4.getMessage.toLowerCase.contains("kafka"), e4.getMessage)
+  }
+
   test("S4 socket source end-to-end: TCP lines → windowed word count") {
     // reference TimeWindowWordCount.scala:16-30: socketTextStream →
     // tokenize → window → count. A real ServerSocket feeds the real
