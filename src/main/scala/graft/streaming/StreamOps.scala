@@ -59,11 +59,14 @@ object StreamOps {
     * (pinned into the checkpoint at first start, as in any Spark
     * deployment): state-store count should track key cardinality and
     * commit IO, not CPU count — 32 stores × per-batch delta files
-    * dominated wall-clock for these queries. The session's shuffle
-    * setting is restored afterwards so batch queries are unaffected.
+    * dominated wall-clock for these queries, and a 1/2/4/8 sweep at
+    * sf0.1 put 2 ahead on every multi-stateful-operator query (each
+    * extra store is another per-batch delta file + commit). The
+    * session's shuffle setting is restored afterwards so batch
+    * queries are unaffected.
     */
   def runToMemory(df: DataFrame, outputMode: String,
-      statePartitions: Int = sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "8").toInt): DataFrame = {
+      statePartitions: Int = sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "2").toInt): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
