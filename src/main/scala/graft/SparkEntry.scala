@@ -143,6 +143,9 @@ object SparkEntry {
     "q78_orc" -> graft.sources.Sources.orcRoundtripQuery _,
     // — per-language vocabulary heavy hitters —
     "q79_vocab" -> TextAnalysis.vocabTopKQuery _,
+    // — mergeable sketches (HLL distinct, approx percentiles):
+    //   rows-only gate; SketchSpec pins the accuracy contract —
+    "q80_sk" -> FunctionFamilies.sketchStats _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */

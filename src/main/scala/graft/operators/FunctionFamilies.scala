@@ -187,6 +187,27 @@ object FunctionFamilies {
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem""".stripMargin
 
+  /** Sketch family — the 100 TB replacements for exact distinct counts
+    * and sorted percentiles: HyperLogLog++ (`approx_count_distinct`)
+    * and t-digest-style quantiles (`approx_percentile`). Both are
+    * MERGEABLE one-pass sketches: partials combine map-side and the
+    * shuffle carries one fixed-size sketch per (partition, group)
+    * regardless of input volume — where exact distinct re-shuffles
+    * every key and exact percentiles sort each group.
+    *
+    * Gated rows-only (sketch internals are engine-specific, so no
+    * cross-engine hash can match); SketchSpec pins the accuracy
+    * contract instead: HLL within its 5% standard error and the
+    * median within rank tolerance of the exact value.
+    */
+  def sketchStats(spark: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 6).as("p50_value"),
+        round(percentile_approx(col("value"), lit(0.95), lit(10000)), 6).as("p95_value"))
+
   /** Global sort + pagination (LIMIT/OFFSET) with a total tie-break.
     * Spark plans sort + GlobalLimit; at scale a paged read like this
     * is a driver-side k-row merge, never a full materialized sort.

@@ -20,7 +20,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val reg = org.apache.spark.sql.GraftExtensionsTestBridge.register(
       ext, FunctionRegistry.builtin.clone())
     Seq("graft_cosine", "graft_dot", "graft_fingerprint64", "graft_mix64",
-      "graft_minhash", "graft_simhash").foreach { n =>
+      "graft_minhash", "graft_simhash", "graft_capped_postings").foreach { n =>
       assert(reg.functionExists(FunctionIdentifier(n)), s"$n not registered")
     }
     val dot = reg.lookupFunction(FunctionIdentifier("graft_dot"),
