@@ -78,6 +78,17 @@ object BucketFunction extends UnboundFunction {
 
   private def pmod(h: Int, n: Int): Int = { val m = h % n; if (m < 0) m + n else m }
 
+  /** The bucket a key VALUE lands in — byte-identical to the
+    * load-time `pmod(hash(col), n)` (Murmur3 seed 42) for the integral
+    * key types the store buckets on. `None` for any other type: the
+    * caller must then NOT prune (correctness over cleverness).
+    */
+  def bucketFor(value: Any, numBuckets: Int): Option[Int] = value match {
+    case v: Long => Some(pmod(Murmur3_x86_32.hashLong(v, 42), numBuckets))
+    case v: Int => Some(pmod(Murmur3_x86_32.hashInt(v, 42), numBuckets))
+    case _ => None
+  }
+
   object LongBucketFunction extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
     override def resultType(): DataType = IntegerType

@@ -164,7 +164,17 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
 
   override def planInputPartitions(): Array[InputPartition] = {
     val t = BucketStore.get(name)
-    Array.tabulate(t.buckets.length)(b => BucketInputPartition(name, b, t.hosts(b).toArray, version))
+    val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
+      BucketInputPartition(name, b, t.hosts(b).toArray, version))
+    // key-equality bucket pruning: a point lookup (or IN) on the
+    // bucket key plans ONLY the owning bucket(s) — the reference's
+    // bucket-pinned single-get pattern (SET_BUCKETS_FOR_LOCAL_EXECUTION,
+    // SnappyDataConnectorHelper.scala:23-25), and at 100 TB the
+    // difference between touching one server and scanning the cluster
+    BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
+      case Some(keep) => all.filter(p => keep.contains(p.asInstanceOf[BucketInputPartition].bucket))
+      case None => all
+    }
   }
 
   /** Report the store's hash-bucket layout to the planner: with
@@ -181,6 +191,44 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BucketedReaderFactory(required, filters, fetchSize)
+}
+
+/** Conservative bucket pruning from pushed filters.
+  *
+  * `candidateBuckets(f)` answers: "rows satisfying the filters can
+  * live ONLY in these buckets" — `None` means "cannot bound" (scan
+  * everything). The algebra is strictly conservative:
+  *   - `key = v` / `key <=> v` / `key IN (…)` → the owning bucket(s)
+  *     via [[BucketFunction.bucketFor]] (byte-identical to the
+  *     load-time hash, integral keys only);
+  *   - AND: the intersection of any bounds its sides prove;
+  *   - OR: a bound only if BOTH sides are bounded (union);
+  *   - anything else (ranges, NOT, other columns): unbounded.
+  * Unsupported key types simply never prune — correctness never
+  * depends on pruning, only scan cost does.
+  */
+object BucketPruning {
+  def candidateBuckets(filters: Array[Filter], keyCol: String, n: Int): Option[Set[Int]] =
+    filters.foldLeft(Option.empty[Set[Int]]) { (acc, f) =>
+      (acc, bucketsOf(f, keyCol, n)) match {
+        case (Some(a), Some(b)) => Some(a intersect b) // conjuncts intersect
+        case (a, b) => a.orElse(b)
+      }
+    }
+
+  private def bucketsOf(f: Filter, keyCol: String, n: Int): Option[Set[Int]] = f match {
+    case EqualTo(c, v) if c == keyCol => BucketFunction.bucketFor(v, n).map(Set(_))
+    case EqualNullSafe(c, v) if c == keyCol => BucketFunction.bucketFor(v, n).map(Set(_))
+    case In(c, vs) if c == keyCol =>
+      val bs = vs.toSeq.map(BucketFunction.bucketFor(_, n))
+      if (bs.nonEmpty && bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+    case And(l, r) => (bucketsOf(l, keyCol, n), bucketsOf(r, keyCol, n)) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
+    case Or(l, r) => for { a <- bucketsOf(l, keyCol, n); b <- bucketsOf(r, keyCol, n) } yield a union b
+    case _ => None
+  }
 }
 
 /** One split per bucket + its owning hosts (primary, replica). The

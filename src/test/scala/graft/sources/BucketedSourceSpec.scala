@@ -128,6 +128,31 @@ class BucketedSourceSpec extends SparkSuite {
     assert(ex.getMessage.contains("snapshot violated"))
   }
 
+  test("bucket pruning: a point lookup on the key plans exactly one partition") {
+    import spark.implicits._
+    val raw = graft.tables.Tables.lineitem(spark, sf)
+    val k = raw.select("l_orderkey").as[Long].head()
+    val q = src.filter(col("l_orderkey") === k)
+    assert(q.rdd.getNumPartitions === 1, "point lookup must touch only the owning bucket")
+    val got = q.collect().map(_.toSeq).toSet
+    val exp = raw.filter(col("l_orderkey") === k).collect().map(_.toSeq).toSet
+    assert(got === exp)
+    assert(got.nonEmpty)
+    // IN over two keys → at most two buckets, same rows
+    val k2 = raw.select("l_orderkey").distinct().as[Long].sort(col("l_orderkey").desc).head()
+    val qin = src.filter(col("l_orderkey").isin(k, k2))
+    assert(qin.rdd.getNumPartitions <= 2)
+    assert(qin.collect().map(_.toSeq).toSet ===
+      raw.filter(col("l_orderkey").isin(k, k2)).collect().map(_.toSeq).toSet)
+  }
+
+  test("bucket pruning stays conservative: ranges and non-key equality scan all buckets") {
+    val ranged = src.filter(col("l_orderkey") > 10L)
+    assert(ranged.rdd.getNumPartitions === 16, "a range cannot bound hash buckets")
+    val otherCol = src.filter(col("l_quantity") === 30.0)
+    assert(otherCol.rdd.getNumPartitions === 16, "equality on a non-key column must not prune")
+  }
+
   test("C6 failover: primary host down, the read completes via the replica") {
     try {
       BucketServers.kill("host-0") // primary of buckets 0,4,8,12; replica of 3,7,11,15
