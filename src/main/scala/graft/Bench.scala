@@ -56,11 +56,11 @@ object Bench {
       spark.catalog.clearCache()
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
-    // Values rounded to 3 decimals (ms precision, far below run noise):
-    // round 2's full-precision line was ~2.7KB and the driver's tail
-    // capture truncated its head ("parsed": null). Keep this line short
-    // and make it the LAST thing printed (after spark.stop(), so no
-    // shutdown logging can follow it).
+    // Values rounded to 2 decimals (10 ms precision, far below run
+    // noise): round 2's full-precision line was ~2.7KB and the
+    // driver's tail capture truncated its head ("parsed": null). Keep
+    // this line short and make it the LAST thing printed (after
+    // spark.stop(), so no shutdown logging can follow it).
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -36,7 +36,9 @@ case class CappedPostingsAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CappedPostingsAgg.Buf] {
 
-  require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+  require(maxDf >= 1 && maxDf < Int.MaxValue,
+    s"maxDf must be in [1, Int.MaxValue): got $maxDf (the buffer needs maxDf + 1 slots; " +
+      "to effectively disable the cap use Int.MaxValue - 1)")
 
   override def prettyName: String = "graft_capped_postings"
   override def dataType: DataType = StructType(Seq(

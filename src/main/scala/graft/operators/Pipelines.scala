@@ -85,19 +85,29 @@ object Pipelines {
 
   /** Deterministic stratified sampling — the data-mixing step of a
     * pretraining pipeline: each language keeps a configured fraction
-    * of its documents, selected by a multiplicative hash of the id
-    * (Knuth's 2654435761 mod 2³²) so the sample is reproducible on any
+    * of its documents, selected by a Lehmer multiplicative hash of the
+    * id (a·48271 mod 2³¹−1) so the sample is reproducible on any
     * engine, any partitioning, any rerun — no RNG state, no shuffle,
     * a row-local predicate that scales to any corpus size. Per-group
     * rates are the mixing weights.
+    *
+    * Overflow contract: each multiply happens on a value already
+    * reduced mod 2³¹−1, so products stay ≤ (2³¹−2)·48271 ≈ 1.04·10¹⁴
+    * — far inside Long — for EVERY possible id. (A mod-2³² Knuth hash
+    * would overflow Long at id ≈ 3.5·10⁹ and, under Spark 4's default
+    * ANSI mode, crash rather than wrap.) The step is applied twice:
+    * one step leaves small ids (< m/48271) un-wrapped and therefore
+    * all below any threshold; the second wrap spreads them across the
+    * full modulus.
     */
   def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    val m = 2147483647L // 2^31 - 1 (prime)
+    val bucket = pmod(pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m)) * lit(48271L), lit(m))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
       when(col(groupCol) === g, lit(r)).otherwise(acc)
     }
-    df.filter(bucket < rate * lit(4294967296L))
+    df.filter(bucket < rate * lit(m.toDouble))
   }
 
   def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
@@ -107,9 +117,9 @@ object Pipelines {
 
   val stratifiedSampleSql: String =
     """SELECT doc_id, lang FROM documents
-      |WHERE (doc_id * 2654435761) % 4294967296
+      |WHERE (((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647
       |      < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 1.0 END)
-      |        * 4294967296""".stripMargin
+      |        * 2147483647""".stripMargin
 
   /** Sequence packing — GPT-style concatenate-and-chunk: per source,
     * documents are laid end to end in id order and each is assigned

@@ -57,14 +57,29 @@ object Sources {
     * aggregated. Exercises the writers, the readers, header handling,
     * and type round-tripping through text formats.
     */
-  def formatRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
-    // per-application location + overwrite mode = self-cleaning across
-    // reruns within a session (a fresh createTempDirectory per call
-    // would leak table copies) AND race-free across concurrent
-    // sessions — two apps (e.g. Bench and Verify) sharing one fixed
-    // path could read each other's half-written directories
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_roundtrip_" +
+  /** Scratch dirs: per-application (race-free across concurrent
+    * sessions — two apps sharing one fixed path could read each
+    * other's half-written directories), overwrite-in-place within the
+    * app (reruns self-clean), and removed by a JVM shutdown hook so
+    * repeated application runs don't accumulate table copies in /tmp.
+    */
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def scratchDir(spark: SparkSession, tag: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       spark.sparkContext.applicationId
+    if (cleanupRegistered.add(base)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(new java.io.File(base))))
+    }
+    base
+  }
+
+  def formatRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir(spark, "fmt_roundtrip")
     val region = graft.tables.Tables.region(spark, dir)
     val nation = graft.tables.Tables.nation(spark, dir)
     region.write.mode("overwrite").option("header", true).csv(s"$base/region_csv")
@@ -91,8 +106,7 @@ object Sources {
     * ints, doubles, strings) through the ORC writer/reader pair.
     */
   def orcRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_" +
-      spark.sparkContext.applicationId
+    val base = scratchDir(spark, "orc_roundtrip")
     val supplier = graft.tables.Tables.supplier(spark, dir)
     supplier.write.mode("overwrite").orc(s"$base/supplier_orc")
     val back = spark.read.schema(supplier.schema).orc(s"$base/supplier_orc")

@@ -163,7 +163,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val t = BucketStore.get(name)
+    val t = BucketStore.getWithRetry(name)
     val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
       BucketInputPartition(name, b, t.hosts(b).toArray, version))
     // key-equality bucket pruning: a point lookup (or IN) on the
@@ -184,7 +184,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     * InputPartition's key is its bucket id ([[BucketInputPartition.partitionKey]]).
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    val t = BucketStore.get(name)
+    val t = BucketStore.getWithRetry(name)
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
       Array(Expressions.bucket(t.buckets.length, t.keyCol)), t.buckets.length)
   }
@@ -283,8 +283,15 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
       val host = attempts.next()
       try {
         val c = ConnectionPool.borrow(host)
-        opened = c.fetchBucket(p.table, p.bucket, fetchSize)
-        conn = c
+        try {
+          opened = c.fetchBucket(p.table, p.bucket, fetchSize)
+          conn = c
+        } catch {
+          // open failed AFTER a successful borrow: return the
+          // connection instead of orphaning it (in a remote store an
+          // abandoned live connection leaks a server-side session)
+          case e: java.io.IOException => ConnectionPool.release(c); throw e
+        }
       } catch { case e: java.io.IOException => lastErr = e }
     }
     if (opened == null)

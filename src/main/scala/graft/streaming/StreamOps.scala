@@ -90,7 +90,9 @@ object StreamOps {
         // loudly here instead of silently returning duplicate rows.
         if (outputMode == "update") {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          if (dataBatches != 1)
+          // 0 batches (an empty source) cannot duplicate anything —
+          // only MULTIPLE data batches can re-emit a key
+          if (dataBatches > 1)
             throw new IllegalStateException(
               s"update-mode memory sink saw $dataBatches data batches — per-key re-emissions " +
                 "would duplicate rows in the sink table; read it latest-per-key or keep the " +

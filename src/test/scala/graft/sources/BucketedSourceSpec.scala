@@ -83,7 +83,9 @@ class BucketedSourceSpec extends SparkSuite {
     // Filter) — otherwise this test proves nothing about FilterEval
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("pushed=[Or("), plan)
-    assert(!plan.linesIterator.exists(_.trim.startsWith("Filter ")), plan)
+    // a residual Filter renders as "+- Filter (" or "*(1) Filter (" —
+    // a startsWith("Filter ") check would miss both tree-prefixed forms
+    assert(!plan.contains("Filter ("), plan)
     val got = q.as[Int].collect().toSet
     val exp = df.filter(col("v") =!= "a" || col("w") > 5)
       .select("id").as[Int].collect().toSet
