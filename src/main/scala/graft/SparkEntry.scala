@@ -146,6 +146,9 @@ object SparkEntry {
     // — mergeable sketches (HLL distinct, approx percentiles):
     //   rows-only gate; SketchSpec pins the accuracy contract —
     "q80_sk" -> FunctionFamilies.sketchStats _,
+    // — lead/lag frames; GROUPING SETS (one-pass multi-grouping) —
+    "q81_gap" -> FunctionFamilies.orderGaps _,
+    "q82_gs" -> FunctionFamilies.groupingSets _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -270,5 +273,7 @@ object SparkEntry {
     "q77_pack" -> graft.operators.Pipelines.sequencePackSql,
     "q78_orc" -> graft.sources.Sources.orcRoundtripSql,
     "q79_vocab" -> TextAnalysis.vocabTopKSql,
+    "q81_gap" -> FunctionFamilies.orderGapsSql,
+    "q82_gs" -> FunctionFamilies.groupingSetsSql,
   )
 }

@@ -286,6 +286,64 @@ object FunctionFamilies {
       | CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE) + 30) AS INTEGER) AS due_epoch_day
       |FROM orders""".stripMargin
 
+  /** lead/lag analytic frame: per-customer order-date gaps. One
+    * window shuffle on the partition key; the lag is computed inside
+    * the sorted partition stream, no self-join (the naive equivalent
+    * joins the table to itself on a row-number offset).
+    */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("d"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 500)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .withColumn("gap_days",
+        // -1 marks "no previous order": NULL outputs are avoided
+        // engine-wide (null-vs-null sort order differs across engines
+        // and row-compare harnesses)
+        coalesce(datediff(col("d"), lag(col("d"), 1).over(w)), lit(-1)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).as("epoch_day"), col("gap_days"))
+  }
+
+  val orderGapsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_day,
+      | CAST(COALESCE(date_diff('day',
+      |   lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |                                        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |   CAST(o_orderdate AS DATE)), -1) AS INTEGER) AS gap_days
+      |FROM orders WHERE o_custkey < 500""".stripMargin
+
+  /** GROUPING SETS — the generalization of CUBE/ROLLUP (arbitrary
+    * grouping combinations in ONE pass): Spark plans a single Expand +
+    * aggregate, so the input is scanned once however many sets are
+    * requested. `grouping_id` disambiguates a grouping NULL from a
+    * data NULL.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      // grouping NULL markers → sentinel: output stays NULL-free
+      // (engine-independent row ordering for the hash compare); gid
+      // still disambiguates a marker from hypothetical data '(all)'
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("n"), col("sum_qty"), col("gid"))
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+      | COALESCE(l_linestatus, '(all)') AS l_linestatus, count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
   /** Ordered string aggregation (listagg WITHIN GROUP — new in Spark
     * 4): the ORDER BY inside the aggregate is what makes the
     * concatenation deterministic under distributed input order.
