@@ -287,10 +287,12 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
           opened = c.fetchBucket(p.table, p.bucket, fetchSize)
           conn = c
         } catch {
-          // open failed AFTER a successful borrow: return the
-          // connection instead of orphaning it (in a remote store an
-          // abandoned live connection leaks a server-side session)
-          case e: java.io.IOException => ConnectionPool.release(c); throw e
+          // open failed AFTER a successful borrow — ANY failure, not
+          // just IO (a concurrent table reload throws IllegalArgument
+          // from the store require): return the connection instead of
+          // orphaning it (in a remote store an abandoned live
+          // connection leaks a server-side session)
+          case e: Throwable => ConnectionPool.release(c); throw e
         }
       } catch { case e: java.io.IOException => lastErr = e }
     }

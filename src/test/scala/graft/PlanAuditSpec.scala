@@ -40,9 +40,10 @@ class PlanAuditSpec extends SparkSuite {
   test("q27: pushed filters are consumed by the DSv2 scan (no residual Filter)") {
     val p = plan("q27_bucketed_pushdown")
     assert(p.contains("pushed=[") && p.contains("GreaterThanOrEqual(l_quantity,30.0)"), p)
-    // residual filters render with tree prefixes ("+- Filter (",
-    // "*(1) Filter (") — match the operator name, not line starts
-    assert(!p.contains("Filter ("), "filters should be fully consumed by the source")
+    // residual filters render with tree prefixes and, for a lone
+    // non-binary predicate, WITHOUT parentheses ("*(1) Filter
+    // isnotnull(x)") — match the space-padded operator name
+    assert(!p.contains(" Filter "), "filters should be fully consumed by the source")
   }
 
   test("q46: pivot plans as aggregation only, no explode/join") {

@@ -83,9 +83,10 @@ class BucketedSourceSpec extends SparkSuite {
     // Filter) — otherwise this test proves nothing about FilterEval
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("pushed=[Or("), plan)
-    // a residual Filter renders as "+- Filter (" or "*(1) Filter (" —
-    // a startsWith("Filter ") check would miss both tree-prefixed forms
-    assert(!plan.contains("Filter ("), plan)
+    // a residual Filter renders as "+- Filter (...)", "*(1) Filter (...)"
+    // or, for a lone non-binary predicate, "*(1) Filter isnotnull(x)" —
+    // match the space-padded operator name to catch every form
+    assert(!plan.contains(" Filter "), plan)
     val got = q.as[Int].collect().toSet
     val exp = df.filter(col("v") =!= "a" || col("w") > 5)
       .select("id").as[Int].collect().toSet
