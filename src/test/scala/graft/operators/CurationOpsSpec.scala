@@ -65,6 +65,20 @@ class CurationOpsSpec extends SparkSuite {
     assert(enRate > 0.2 && enRate < 0.4, s"en sampled at $enRate, expected ~0.3")
   }
 
+  test("stratified sample survives ids past the 32-bit overflow regime") {
+    // ids >= ~3.5e9 overflowed the old mod-2^32 multiply under ANSI
+    // mode; the Lehmer hash must sample them without error and
+    // deterministically
+    val big = Seq(3500000000L, 4294967296L, Long.MaxValue - 1, Long.MaxValue / 2)
+      .map((_, "en")).toDF("doc_id", "lang")
+    val s1 = Pipelines.stratifiedSample(big, "doc_id", "lang", Map("en" -> 0.5), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Pipelines.stratifiedSample(big, "doc_id", "lang", Map("en" -> 0.5), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2) // no exception, reproducible
+    assert(Pipelines.stratifiedSample(big, "doc_id", "lang", Map("en" -> 1.0), 1.0).count() === 4L)
+  }
+
   test("sequence packing: docs chunk by exclusive cumulative tokens per source") {
     val docs = Seq(
       (1L, "s1", "a b c"),          // 3 tokens, cum_before 0 -> pack 0
