@@ -149,6 +149,9 @@ object SparkEntry {
     // — lead/lag frames; GROUPING SETS (one-pass multi-grouping) —
     "q81_gap" -> FunctionFamilies.orderGaps _,
     "q82_gs" -> FunctionFamilies.groupingSets _,
+    // — SimHash pairs composed into CC clustering; rank distributions —
+    "q83_shc" -> SimHash.clusterQuery _,
+    "q84_rank" -> FunctionFamilies.rankFamily _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -275,5 +278,7 @@ object SparkEntry {
     "q79_vocab" -> TextAnalysis.vocabTopKSql,
     "q81_gap" -> FunctionFamilies.orderGapsSql,
     "q82_gs" -> FunctionFamilies.groupingSetsSql,
+    "q83_shc" -> SimHash.clusterSql,
+    "q84_rank" -> FunctionFamilies.rankFamilySql,
   )
 }

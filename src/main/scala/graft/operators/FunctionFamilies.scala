@@ -344,6 +344,30 @@ object FunctionFamilies {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
 
+  /** Distribution-rank analytic family: percent_rank / cume_dist /
+    * ntile over a total order (value, key) — the tie-break makes every
+    * rank a pure function of position, so the fractions are exact
+    * integer ratios that agree bit-for-bit across engines.
+    */
+  def rankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 1000)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  val rankFamilySql: String =
+    """SELECT c_mktsegment, c_custkey,
+      | round(percent_rank() OVER w, 6) AS pr,
+      | round(cume_dist() OVER w, 6) AS cd,
+      | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM customer WHERE c_custkey < 1000
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin
+
   /** Ordered string aggregation (listagg WITHIN GROUP — new in Spark
     * 4): the ORDER BY inside the aggregate is what makes the
     * concatenation deterministic under distributed input order.

@@ -135,6 +135,20 @@ object SimHash {
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", maxDist = 7)
 
+  /** SimHash-driven near-dup clustering: the q25 pair graph fed
+    * through the same connected-components operator the Jaccard path
+    * uses (q65) — operator composition, not a new implementation. The
+    * oracle composes identically: the SimHash pair SQL inside the
+    * shared recursive-closure CTE chain.
+    */
+  def clusterQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", maxDist = 7))
+      .select(col("id").as("doc_id"), col("keep_id"))
+
+  lazy val clusterSql: String =
+    Dedup.closureCtes(simhashOracleSql) + "\nSELECT id AS doc_id, keep_id FROM comp"
+
   /** DuckDB replica of the whole SimHash pipeline: per-word Karp-Rabin
     * over UTF-8 bytes (HUGEINT mod 2^64 — same trick as q24), murmur
     * fmix64 with the wrapping multiply split into 32-bit halves so the
