@@ -143,8 +143,9 @@ object SparkEntry {
     "q78_orc" -> graft.sources.Sources.orcRoundtripQuery _,
     // — per-language vocabulary heavy hitters —
     "q79_vocab" -> TextAnalysis.vocabTopKQuery _,
-    // — mergeable sketches (HLL distinct, approx percentiles):
-    //   rows-only gate; SketchSpec pins the accuracy contract —
+    // — mergeable sketches (HLL distinct, approx percentiles), gated
+    //   via oracle-expressible accuracy invariants (booleans that hold
+    //   iff each sketch is within bound; oracle emits literal TRUEs) —
     "q80_sk" -> FunctionFamilies.sketchStats _,
     // — lead/lag frames; GROUPING SETS (one-pass multi-grouping) —
     "q81_gap" -> FunctionFamilies.orderGaps _,
@@ -276,6 +277,9 @@ object SparkEntry {
     "q77_pack" -> graft.operators.Pipelines.sequencePackSql,
     "q78_orc" -> graft.sources.Sources.orcRoundtripSql,
     "q79_vocab" -> TextAnalysis.vocabTopKSql,
+    // q80: the sketch-contract gate — booleans true iff each sketch
+    // meets its accuracy bound; exact_users is cross-engine computable
+    "q80_sk" -> FunctionFamilies.sketchStatsSql,
     "q81_gap" -> FunctionFamilies.orderGapsSql,
     "q82_gs" -> FunctionFamilies.groupingSetsSql,
     "q83_shc" -> SimHash.clusterSql,

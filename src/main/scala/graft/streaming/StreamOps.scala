@@ -178,7 +178,7 @@ object StreamOps {
 
   val streamingWordCountSql: String =
     """WITH docs AS (
-      |  SELECT (doc_id // 10) * 10 AS win_s, doc_id, text FROM documents),
+      |  SELECT CAST((doc_id // 10) * 10 AS BIGINT) AS win_s, doc_id, text FROM documents),
       |words AS (
       |  SELECT win_s, unnest(regexp_split_to_array(lower(text), '\W+')) AS word
       |  FROM docs)
