@@ -153,6 +153,9 @@ object SparkEntry {
     // — SimHash pairs composed into CC clustering; rank distributions —
     "q83_shc" -> SimHash.clusterQuery _,
     "q84_rank" -> FunctionFamilies.rankFamily _,
+    // — REAL image decode: ImageIO-encoded PNGs decoded through the
+    //   batched media path; oracle predicts dims + pixel sums —
+    "q85_png" -> graft.multimodal.Multimodal.pngDecodeQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -284,5 +287,6 @@ object SparkEntry {
     "q82_gs" -> FunctionFamilies.groupingSetsSql,
     "q83_shc" -> SimHash.clusterSql,
     "q84_rank" -> FunctionFamilies.rankFamilySql,
+    "q85_png" -> graft.multimodal.Multimodal.pngDecodeSql,
   )
 }

@@ -1,27 +1,42 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 
-/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+/** Multimodal-column processing: images/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
   * Schema convention:
   *   media: struct<content: binary, meta: struct<format: string,
   *          n_bytes: long>>
   *
-  * The decode step is a STUB — the real image/audio codecs are not in
-  * this container. `decodeImageStub` derives deterministic fake
-  * dimensions/features from the bytes (clearly marked below). What IS
-  * real and load-bearing at 100 TB is everything around it: the
-  * schema, the `mapPartitions` batch loop (the JVM analog of
-  * `mapInPandas` with a bounded batch shape — decode `batchSize`
-  * records at a time so codec buffers are reused and memory stays
-  * bounded), and the partitioning control (`repartition` before the
-  * decode so each task holds `batchSize × record` bytes, not a skewed
+  * Two codecs sit behind the batch loop:
+  *   - `png`/`jpg`/`jpeg` → a REAL `javax.imageio` decode (JDK-native,
+  *     no external dependency): dimensions, an 8-bin luminance
+  *     histogram, and the exact pixel-luminance sum. q85 gates this
+  *     end-to-end — Spark encodes deterministic PNGs with
+  *     `ImageIO.write`, decodes them back with `ImageIO.read`, and the
+  *     DuckDB oracle predicts the decoded dimensions AND pixel sums
+  *     arithmetically, so a codec that mangled a single pixel would
+  *     hash-mismatch.
+  *   - `txt` (and anything else) → a deterministic arithmetic
+  *     derivation from the raw bytes, the stand-in for codecs the
+  *     container lacks (audio/video). Its arithmetic is replicated in
+  *     the q28/q61 oracles, so the batching path itself is
+  *     hash-checked too.
+  *
+  * What is load-bearing at 100 TB is everything around the codec: the
+  * schema, the `mapPartitions` batch loop (decode `batchSize` records
+  * at a time so codec buffers are reused and memory stays bounded),
+  * and the partitioning control (`repartition` before the decode so
+  * each task holds `batchSize × record` bytes, not a skewed
   * partition's worth).
   */
 object Multimodal {
@@ -34,7 +49,7 @@ object Multimodal {
 
   case class DecodedMedia(
       id: Long, n_bytes: Long, format: String,
-      width: Int, height: Int, features: Array[Float])
+      width: Int, height: Int, features: Array[Float], pix_sum: Long)
 
   /** Wrap a string column as a media binary column (stand-in for real
     * image/audio payloads in the synthetic corpus).
@@ -47,31 +62,94 @@ object Multimodal {
         struct(lit(format).as("format"),
           octet_length(col(payloadCol)).cast("long").as("n_bytes")).as("meta")).as("media"))
 
-  /** ??? STUB ??? — deterministic fake decode: width/height derived
-    * arithmetically from the byte length, features from a rolling
-    * byte sum. A real deployment swaps ONLY the body of
-    * `decodeBatch`; the partition/batch plumbing stays.
+  /** Deterministic PNG geometry + pixels for id: a `(1 + id mod 64) ×
+    * (1 + (id div 7) mod 48)` gray image with pixel value
+    * `(7x + 13y + id) mod 256` — every quantity the oracle can predict
+    * arithmetically after a real encode/decode round trip.
     */
+  def pngWidth(id: Long): Int = (1 + id % 64).toInt
+  def pngHeight(id: Long): Int = (1 + (id / 7) % 48).toInt
+
+  /** Encode the deterministic image for `id` as real PNG bytes via
+    * `ImageIO.write` (gray written as equal RGB channels — PNG is
+    * lossless, so decode recovers every pixel exactly).
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = pngWidth(id)
+    val h = pngHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((7L * x + 13L * y + id) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real image decode: `ImageIO.read`, then one pass over the pixels
+    * for the luminance sum and an 8-bin histogram. Fails loudly on
+    * undecodable payloads — silent nulls at 100 TB hide corrupt shards.
+    */
+  private def decodeImage(id: Long, bytes: Array[Byte], fmt: String): DecodedMedia = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable $fmt payload for id=$id (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val feats = new Array[Float](8)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img.getRGB(x, y) & 0xff
+        sum += v
+        feats(v >> 5) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    DecodedMedia(id, bytes.length.toLong, fmt, w, h, feats, sum)
+  }
+
+  /** Synthetic codec for payloads with no in-container decoder (txt
+    * stand-ins for audio/video): width/height derived arithmetically
+    * from the byte length, features from a rolling byte sum. The
+    * q28/q61 oracles replicate this arithmetic exactly.
+    */
+  private def decodeSynthetic(id: Long, bytes: Array[Byte], fmt: String): DecodedMedia = {
+    val n = bytes.length.toLong
+    val width = (n % 640).toInt
+    val height = ((n / 7) % 480).toInt
+    var acc = 0L
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      acc += bytes(i) & 0xff
+      feats(i % 8) += (bytes(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    DecodedMedia(id, n, fmt, width, height, feats, acc)
+  }
+
   private def decodeBatch(batch: Seq[(Long, Array[Byte], String)]): Seq[DecodedMedia] =
     batch.map { case (id, bytes, fmt) =>
-      val n = bytes.length.toLong
-      val width = (n % 640).toInt
-      val height = ((n / 7) % 480).toInt
-      var acc = 0L
-      val feats = new Array[Float](8)
-      var i = 0
-      while (i < bytes.length) {
-        acc += bytes(i) & 0xff
-        feats(i % 8) += (bytes(i) & 0xff).toFloat / 255f
-        i += 1
+      fmt match {
+        case "png" | "jpg" | "jpeg" => decodeImage(id, bytes, fmt)
+        case _                      => decodeSynthetic(id, bytes, fmt)
       }
-      DecodedMedia(id, n, fmt, width, height, feats)
     }
 
   /** Batched partition-local decode: iterator → fixed-size batches →
     * codec → flat iterator. `numPartitions` bounds per-task memory.
     */
-  def decodeImageStub(media: DataFrame, batchSize: Int = 64,
+  def decodeMedia(media: DataFrame, batchSize: Int = 64,
       numPartitions: Int = 0): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -89,7 +167,7 @@ object Multimodal {
         explode(expr(s"sequence(0, greatest(cast(width / $everyN as int) - 1, 0))")).as("frame_idx"))
 
   /** Aspect-preserving resize planning (the metadata half of a resize
-    * kernel — the pixel resample itself lives behind the same stub
+    * kernel — the pixel resample itself lives behind the same codec
     * seam as decode): fit (width, height) into a `box`² target,
     * never upscaling. Pure double arithmetic + floor, so the oracle
     * replicates it exactly.
@@ -104,12 +182,13 @@ object Multimodal {
   }
 
   /** Oracle-gated query: the full plumbing over `documents` text
-    * payloads. The stub's width/height arithmetic is replicated in the
-    * oracle SQL, so the mapPartitions path itself is hash-checked.
+    * payloads. The synthetic codec's width/height arithmetic is
+    * replicated in the oracle SQL, so the mapPartitions path itself is
+    * hash-checked.
     */
   def multimodalQuery(spark: SparkSession, dir: String): DataFrame = {
     val media = attachBinary(Tables.documents(spark, dir), "doc_id", "text", "txt")
-    decodeImageStub(media, batchSize = 64).toDF()
+    decodeMedia(media, batchSize = 64).toDF()
       .select(col("id").as("doc_id"), col("n_bytes"), col("width"), col("height"))
   }
 
@@ -120,10 +199,10 @@ object Multimodal {
       | CAST((octet_length(encode(text)) // 7) % 480 AS INTEGER) AS height
       |FROM documents""".stripMargin
 
-  /** Gated resize-planning query: decode stub → fit into a 224² box. */
+  /** Gated resize-planning query: synthetic codec → fit into a 224² box. */
   def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
     val media = attachBinary(Tables.documents(spark, dir), "doc_id", "text", "txt")
-    resizePlan(decodeImageStub(media, batchSize = 64).toDF(), box = 224)
+    resizePlan(decodeMedia(media, batchSize = 64).toDF(), box = 224)
       .withColumnRenamed("id", "doc_id")
   }
 
@@ -141,4 +220,40 @@ object Multimodal {
       |  CAST(floor(w * least(224.0 / w, 224.0 / h, 1.0)) AS INTEGER) AS out_w,
       |  CAST(floor(h * least(224.0 / w, 224.0 / h, 1.0)) AS INTEGER) AS out_h
       |FROM s""".stripMargin
+
+  /** Gated REAL-decode query: deterministic PNGs encoded with
+    * `ImageIO.write` on the executors, pushed through the batched
+    * decode path, and verified against an oracle that predicts the
+    * decoded width, height, and exact pixel-luminance sum from
+    * `doc_id` alone. PNG byte length is encoder-specific and excluded.
+    * Capped at doc_id < 200 so the oracle's per-pixel lateral unnest
+    * stays cheap at any SF.
+    */
+  def pngDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes = encodePng(id)
+        (id, bytes, "png", bytes.length.toLong)
+      }
+      .toDF("id", "content", "format", "n_bytes")
+      .select(col("id"),
+        struct(col("content"),
+          struct(col("format"), col("n_bytes")).as("meta")).as("media"))
+    decodeMedia(media, batchSize = 32).toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("pix_sum"))
+  }
+
+  val pngDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 64 AS INTEGER) AS width,
+      |    CAST(1 + (doc_id // 7) % 48 AS INTEGER) AS height
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT d.doc_id, d.width, d.height,
+      |  CAST(sum((7 * x.i + 13 * y.i + d.doc_id) % 256) AS BIGINT) AS pix_sum
+      |FROM d, unnest(range(d.width)) x(i), unnest(range(d.height)) y(i)
+      |GROUP BY 1, 2, 3""".stripMargin
 }

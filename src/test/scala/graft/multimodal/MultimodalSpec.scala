@@ -15,21 +15,67 @@ class MultimodalSpec extends SparkSuite {
     assert(metas === Set(11L, 3L, 1000L))
   }
 
-  test("decode stub is deterministic, batch-shaped, and metadata-consistent") {
+  test("synthetic codec is deterministic, batch-shaped, and metadata-consistent") {
     val media = Multimodal.attachBinary(docs.toDF("doc_id", "text"), "doc_id", "text", "txt")
-    val out = Multimodal.decodeImageStub(media, batchSize = 2, numPartitions = 2)
+    val out = Multimodal.decodeMedia(media, batchSize = 2, numPartitions = 2)
       .collect().sortBy(_.id)
     assert(out.map(_.id).toSeq === Seq(1L, 2L, 3L))
     assert(out.map(_.n_bytes).toSeq === Seq(11L, 3L, 1000L))
     assert(out.forall(_.features.length == 8))
-    val again = Multimodal.decodeImageStub(media, batchSize = 64).collect().sortBy(_.id)
+    val again = Multimodal.decodeMedia(media, batchSize = 64).collect().sortBy(_.id)
     assert(out.map(_.width).toSeq === again.map(_.width).toSeq) // batch size invariant
     assert(out.map(m => m.features.toSeq).toSeq === again.map(m => m.features.toSeq).toSeq)
   }
 
+  test("real ImageIO codec round-trips deterministic PNGs exactly") {
+    // encode real PNG bytes on the driver, decode through the
+    // distributed batched path, and check every decoded quantity
+    // against the arithmetic definition — dimensions AND pixels
+    val ids = Seq(0L, 1L, 7L, 63L, 64L, 450L)
+    val media = ids.map { id =>
+      val bytes = Multimodal.encodePng(id)
+      (id, bytes, "png", bytes.length.toLong)
+    }.toDF("id", "content", "format", "n_bytes")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("content"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("format"),
+            org.apache.spark.sql.functions.col("n_bytes")).as("meta")).as("media"))
+    val out = Multimodal.decodeMedia(media, batchSize = 2, numPartitions = 2)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq === ids.sorted)
+    out.foreach { m =>
+      val w = Multimodal.pngWidth(m.id)
+      val h = Multimodal.pngHeight(m.id)
+      assert(m.width === w, s"id=${m.id} width")
+      assert(m.height === h, s"id=${m.id} height")
+      val expectSum = (for { y <- 0 until h; x <- 0 until w }
+        yield (7L * x + 13L * y + m.id) % 256).sum
+      assert(m.pix_sum === expectSum, s"id=${m.id} pixel sum")
+      assert(m.features.sum.toLong === w.toLong * h, s"id=${m.id} histogram mass")
+    }
+  }
+
+  test("undecodable image payload fails loudly, not silently") {
+    val bad = Seq((9L, Array[Byte](1, 2, 3), "png", 3L))
+      .toDF("id", "content", "format", "n_bytes")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("content"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("format"),
+            org.apache.spark.sql.functions.col("n_bytes")).as("meta")).as("media"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMedia(bad).collect()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
   test("frameSample explodes sampled frame indices") {
     val media = Multimodal.attachBinary(docs.toDF("doc_id", "text"), "doc_id", "text", "txt")
-    val frames = Multimodal.frameSample(Multimodal.decodeImageStub(media), 100)
+    val frames = Multimodal.frameSample(Multimodal.decodeMedia(media), 100)
     // doc 3: width = 1000 % 640 = 360 → frames 0..2; others width < 100 → 1 frame
     val byId = frames.groupBy("id").count().as[(Long, Long)].collect().toMap
     assert(byId(3L) === 3L)
