@@ -156,6 +156,9 @@ object SparkEntry {
     // — REAL image decode: ImageIO-encoded PNGs decoded through the
     //   batched media path; oracle predicts dims + pixel sums —
     "q85_png" -> graft.multimodal.Multimodal.pngDecodeQuery _,
+    // — SemDeDup: IVF-cluster embeddings → within-cluster cosine
+    //   pairs → connected components → semantic drop list —
+    "q86_semd" -> Dedup.semDedupQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -288,5 +291,6 @@ object SparkEntry {
     "q83_shc" -> SimHash.clusterSql,
     "q84_rank" -> FunctionFamilies.rankFamilySql,
     "q85_png" -> graft.multimodal.Multimodal.pngDecodeSql,
+    "q86_semd" -> Dedup.semDedupSql,
   )
 }

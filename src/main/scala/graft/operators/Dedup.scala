@@ -432,4 +432,73 @@ object Dedup {
        |  FROM cand JOIN bits a ON id_a = a.id JOIN bits b ON id_b = b.id) t
        |WHERE sim >= 0.4""".stripMargin
   }
+
+  // ——— semantic dedup (SemDeDup-style) ———
+
+  /** Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, compare
+    * vectors only WITHIN their cluster, and keep one representative
+    * per connected group of semantic near-dups. The drop list is every
+    * (vec_id, keep_id) with vec_id ≠ keep_id.
+    *
+    * Composition of three scale-safe pieces, no new shuffle shapes:
+    * [[Similarity.ivfAssign]] (map-side argmax over broadcast
+    * centroids — no Exchange), a within-cluster pair EQUI-join on
+    * `cent_id` (O(Σ cluster²), never all-pairs — cluster count is the
+    * scale knob exactly as in the paper, nlist ∝ n), and
+    * [[connectedComponents]] (O(diameter) rounds). The returned drop
+    * list is what a 100 TB curation job anti-joins against the corpus.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double): DataFrame = {
+    val centroids = Similarity.sampleCentroids(emb, idCol, vecCol, nlist)
+    // cached: the self-join below consumes it twice; eagerly dropped
+    // after connectedComponents has materialized the edge set
+    val assigned = Similarity.ivfAssign(emb, idCol, vecCol, centroids).cache()
+    try {
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.id") < col("b.id"))
+        .withColumn("sim",
+          round(graft.functions.GraftFunctions.cosine(col("a.vec"), col("b.vec")), 6))
+        .filter(col("sim") >= threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // connectedComponents checkpoints the edge frame eagerly, so the
+      // result is independent of `assigned` by the time we return
+      connectedComponents(pairs)
+        .filter(col("id") =!= col("keep_id"))
+        .select(col("id").as("vec_id"), col("keep_id"))
+    } finally assigned.unpersist()
+  }
+
+  /** Gated query: semantic dedup over the embeddings table (nlist=16
+    * deterministic centroids, cosine ≥ 0.3 within-cluster pairs).
+    */
+  def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nlist = 16, threshold = 0.3)
+
+  /** Oracle: the same composition in SQL — q33's centroid/argmax CTEs
+    * feeding within-cluster pairs, closed under [[closureCtes]]'
+    * recursive transitive closure. Assignment ranks on the raw cosine
+    * (identical IEEE accumulation order in both engines, as q33
+    * proves); only the verify threshold uses the rounded sim.
+    */
+  val semDedupSql: String = {
+    val pairsSql =
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT id, vec, cent_id FROM (
+        |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+        |                 c.cent_id) AS arn
+        |    FROM embeddings e CROSS JOIN cent c) t WHERE arn = 1)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM assigned a JOIN assigned b
+        |  ON a.cent_id = b.cent_id AND a.id < b.id
+        |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.3""".stripMargin
+    closureCtes(pairsSql) + "\nSELECT id AS vec_id, keep_id FROM comp WHERE id <> keep_id"
+  }
 }

@@ -107,6 +107,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(windows <= 2, s"expected <=2 windows (probe ranking, final top-k), got $windows")
   }
 
+  test("q86: semantic-dedup pair generation is a cent_id equi-join — no cartesian") {
+    // the final q86 frame is post-checkpoint (connected components cut
+    // lineage), so audit the candidate-pair stage the way semDedup
+    // builds it: map-side IVF assign, then the within-cluster self-join
+    import org.apache.spark.sql.functions._
+    val emb = graft.tables.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val assigned = graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding",
+      graft.operators.Similarity.sampleCentroids(emb, "vec_id", "embedding", 16))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+      col("a.cent_id") === col("b.cent_id") && col("a.id") < col("b.id"))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in semDedup pairs:\n${p.take(600)}")
+    // the only nested-loop joins allowed are the two single-row
+    // broadcast centroid attaches from ivfAssign
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected nested-loop join beyond the centroid attaches ($bnlj):\n${p.take(900)}")
+    assert(p.contains("cent_id"), "candidate join no longer keyed on cent_id")
+  }
+
   test("q01: tokenize pipeline stays in whole-stage codegen") {
     // AQE's pre-execution plan string hides codegen stages — ask for
     // the codegen explain explicitly
