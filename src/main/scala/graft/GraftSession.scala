@@ -31,6 +31,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // storage-partitioned joins through the bucket catalog
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // let SPJ engage when the join keys are a SUPERSET of the
+      // partition keys (e.g. the range join's (user_id, time-bucket)
+      // over user_id-bucketed tables): same-key rows are still
+      // co-located, so requiring every cluster key to be a partition
+      // key only forces a needless Exchange
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.catalog.graft",
         classOf[graft.sources.bucketed.BucketedCatalog].getName)
 

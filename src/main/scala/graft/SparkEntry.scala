@@ -159,6 +159,10 @@ object SparkEntry {
     // — SemDeDup: IVF-cluster embeddings → within-cluster cosine
     //   pairs → connected components → semantic drop list —
     "q86_semd" -> Dedup.semDedupQuery _,
+    // — temporal joins through the bucket catalog: zero-Exchange
+    //   storage-partitioned plans (PlanAuditSpec pins the shapes) —
+    "q87_asof_spj" -> graft.operators.AsOfJoin.eventAsOfBucketedQuery _,
+    "q88_range_spj" -> graft.operators.RangeJoin.attributionBucketedQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -292,5 +296,9 @@ object SparkEntry {
     "q84_rank" -> FunctionFamilies.rankFamilySql,
     "q85_png" -> graft.multimodal.Multimodal.pngDecodeSql,
     "q86_semd" -> Dedup.semDedupSql,
+    // q87/q88: same semantics as q38/q39, different physical path
+    // (co-bucketed catalog tables) — the oracles are shared verbatim
+    "q87_asof_spj" -> graft.operators.AsOfJoin.eventAsOfSql,
+    "q88_range_spj" -> graft.operators.RangeJoin.attributionSql,
   )
 }

@@ -79,4 +79,53 @@ object AsOfJoin {
       |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin
+
+  /** Same-source as-of: when left and right are row-disjoint slices of
+    * ONE table (the dominant event-stream case — "each event vs the
+    * most recent purchase"), the union in [[asOf]] is unnecessary: tag
+    * sides with a row-local predicate and run the carry window over the
+    * single scan. Over a key-bucketed source this plans with ZERO
+    * Exchange — the scan's KeyGroupedPartitioning satisfies the
+    * window's ClusteredDistribution — so at 100 TB the whole as-of is
+    * a per-partition sort, no shuffle at all (PlanAuditSpec asserts
+    * this through the graft catalog).
+    *
+    * `isRight` rows supply the carried payload; all other rows are the
+    * left side. Same tie convention as [[asOf]]: at equal ts the right
+    * row sorts first (ASOF >=).
+    */
+  def asOfSelf(src: DataFrame, key: String, ts: String, isRight: Column,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val tagged = src
+      .withColumn("__side", when(isRight, lit(0)).otherwise(lit(1)))
+      .withColumn("__r", when(isRight, struct(rightCols.map(col): _*)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((col(key) +: col(ts) +:
+        (leftCols.map(col) ++ rightCols.map(c => col("__m").getField(c).as(c)))): _*)
+  }
+
+  /** q38's semantics through the bucket catalog: events co-located by
+    * user_id, as-of carried by [[asOfSelf]] with no Exchange anywhere
+    * in the plan. Same oracle as q38 (DuckDB ASOF LEFT JOIN).
+    */
+  def eventAsOfBucketedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.bucketed.{BucketStore, BucketedCatalog}
+    // idempotent re-assert for sessions not built via GraftSession
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    BucketStore.ensureLoaded(spark, s"events@$dir", dir, "events", "user_id", 16)
+    val ev = spark.table(s"graft.`events@$dir`")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    asOfSelf(ev, key = "user_id", ts = "ts",
+      isRight = col("event_type") === "purchase",
+      leftCols = Seq("event_id", "event_type"),
+      rightCols = Seq("purchase_id", "purchase_value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("purchase_id"), col("purchase_value"))
+  }
 }

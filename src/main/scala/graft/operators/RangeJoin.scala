@@ -61,4 +61,32 @@ object RangeJoin {
       |  ON p.user_id = c.user_id
       | AND epoch_us(c.ts) >= epoch_us(p.ts)
       | AND epoch_us(c.ts) < epoch_us(p.ts) + 3600000000""".stripMargin
+
+  /** q39's semantics through the bucket catalog: both sides are slices
+    * of user_id-bucketed events, the equi-key is (user_id, time
+    * bucket), and — because the session allows join keys to be a
+    * SUPERSET of the partition keys (`requireAllClusterKeysForCoPartition
+    * = false`, see GraftSession) — Spark plans a storage-partitioned
+    * join with ZERO Exchange: same-user rows are already co-located,
+    * the extra bucket key only orders the merge. Same oracle as q39.
+    */
+  def attributionBucketedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.bucketed.{BucketStore, BucketedCatalog}
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    BucketStore.ensureLoaded(spark, s"events@$dir", dir, "events", "user_id", 16)
+    val hourUs = 3600L * 1000000L
+    val ev = spark.table(s"graft.`events@$dir`")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("ts_us"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts_us").as("start_us"),
+        (col("ts_us") + hourUs).as("end_us"), col("event_id").as("purchase_id"))
+    pointInInterval(clicks, purchases, bucketUs = hourUs)
+      .select(col("key").as("user_id"), col("purchase_id"), col("click_id"),
+        col("ts_us").as("click_ts_us"))
+  }
 }

@@ -75,7 +75,12 @@ object BucketStore {
     val key = s"$name"
     if (!tables.containsKey(key)) synchronized {
       if (!tables.containsKey(key)) {
-        load(spark, key, graft.tables.Tables.load(spark, dir, table), keyCol, numBuckets)
+        // events needs the nanos-aware loader (raw parquet read throws
+        // PARQUET_TYPE_ILLEGAL on its TIMESTAMP(NANOS) column)
+        val df =
+          if (table == "events") graft.tables.Tables.events(spark, dir)
+          else graft.tables.Tables.load(spark, dir, table)
+        load(spark, key, df, keyCol, numBuckets)
       }
     }
   }

@@ -112,6 +112,10 @@ class PlanAuditSpec extends SparkSuite {
     // lineage), so audit the candidate-pair stage the way semDedup
     // builds it: map-side IVF assign, then the within-cluster self-join
     import org.apache.spark.sql.functions._
+    // cached frames from other suites (ivfKnn) would splice an
+    // InMemoryRelation — whose stored plan text double-counts joins —
+    // into this plan; audit the uncached shape
+    spark.catalog.clearCache()
     val emb = graft.tables.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val assigned = graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding",
       graft.operators.Similarity.sampleCentroids(emb, "vec_id", "embedding", 16))
@@ -124,6 +128,21 @@ class PlanAuditSpec extends SparkSuite {
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2, s"unexpected nested-loop join beyond the centroid attaches ($bnlj):\n${p.take(900)}")
     assert(p.contains("cent_id"), "candidate join no longer keyed on cent_id")
+  }
+
+  test("q87: co-bucketed as-of join plans ZERO Exchange end-to-end") {
+    val p = plan("q87_asof_spj")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"as-of over the bucketed source should inherit KeyGroupedPartitioning:\n${p.take(900)}")
+    assert(p.contains("Window"), "carry window missing")
+  }
+
+  test("q88: co-bucketed range join is a storage-partitioned join — ZERO Exchange") {
+    val p = plan("q88_range_spj")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"range join over co-bucketed scans should SPJ (join keys superset of partition keys):\n${p.take(900)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "expected a partitioned equi-join")
   }
 
   test("q01: tokenize pipeline stays in whole-stage codegen") {
