@@ -163,6 +163,8 @@ object SparkEntry {
     //   storage-partitioned plans (PlanAuditSpec pins the shapes) —
     "q87_asof_spj" -> graft.operators.AsOfJoin.eventAsOfBucketedQuery _,
     "q88_range_spj" -> graft.operators.RangeJoin.attributionBucketedQuery _,
+    // — tokenizer-aware packing: BPE-style pre-token run counts —
+    "q89_pack_bpe" -> graft.operators.Pipelines.sequencePackBpeQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -300,5 +302,6 @@ object SparkEntry {
     // (co-bucketed catalog tables) — the oracles are shared verbatim
     "q87_asof_spj" -> graft.operators.AsOfJoin.eventAsOfSql,
     "q88_range_spj" -> graft.operators.RangeJoin.attributionSql,
+    "q89_pack_bpe" -> graft.operators.Pipelines.sequencePackBpeSql,
   )
 }

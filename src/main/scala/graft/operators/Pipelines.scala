@@ -130,12 +130,22 @@ object Pipelines {
     * the same plan packs each source shard independently.
     */
   def sequencePack(df: DataFrame, idCol: String, groupCol: String, textCol: String,
-      windowTokens: Int): DataFrame = {
+      windowTokens: Int): DataFrame =
+    sequencePackBy(df, idCol, groupCol,
+      size(split(col(textCol), " ")).cast("long"), windowTokens)
+
+  /** Packing generalized over the tokenizer: `tokenCount` is any
+    * row-local expression giving the document's token count — the
+    * whitespace count (q77), the BPE-style pre-token run count (q89),
+    * or a real tokenizer's length column. The plan is identical in
+    * every case: one window per source group.
+    */
+  def sequencePackBy(df: DataFrame, idCol: String, groupCol: String,
+      tokenCount: org.apache.spark.sql.Column, windowTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(groupCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    df.select(col(idCol), col(groupCol), tokenCount.cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col(groupCol), col("n_tokens"),
         expr(s"cum_before div $windowTokens").as("pack_id"))
@@ -153,6 +163,36 @@ object Pipelines {
       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |    // 2048 AS BIGINT) AS pack_id
       |FROM documents""".stripMargin
+
+  /** Tokenizer-aware packing: token counts are the BPE-style
+    * pre-token runs of [[TextAnalysis.tokenStats]] (alpha runs + digit
+    * runs + punct runs — what a byte-pair pre-tokenizer splits on),
+    * not whitespace words. Closer to real context-window budgeting:
+    * punctuation-dense documents cost more tokens than their
+    * whitespace count suggests.
+    */
+  def sequencePackBpeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bpeCount =
+      regexp_count(col("text"), lit("[A-Za-z]+")) +
+        regexp_count(col("text"), lit("[0-9]+")) +
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]+"))
+    sequencePackBy(Tables.documents(spark, dir), "doc_id", "source",
+      bpeCount.cast("long"), windowTokens = 2048)
+  }
+
+  val sequencePackBpeSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+      |       + len(regexp_extract_all(text, '[0-9]+'))
+      |       + len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(COALESCE(sum(n_tokens)
+      |             OVER (PARTITION BY source ORDER BY doc_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    // 2048 AS BIGINT) AS pack_id
+      |FROM t""".stripMargin
 
   /** Correlated-aggregate pattern: customers above their own nation's
     * average balance. Planned as a grouped aggregate + equi-join —
