@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * local default here), not Spark's legacy 200 — at real scale AQE
   * coalesces post-shuffle partitions anyway, but the initial number
   * bounds state-store count for streaming stateful ops.
+  *
+  * Streaming state-store partitioning is a SEPARATE knob with its own
+  * sizing rule (state volume + commit IO, pinned into the checkpoint
+  * at first start) — see SCALE.md "Sizing state partitions at 100×"
+  * before taking `StreamOps.runToMemory`'s local default of 2 to a
+  * cluster.
   */
 object GraftSession {
 
