@@ -125,8 +125,27 @@ object Dedup {
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
 
+  /** Materialize `result` eagerly (localCheckpoint: computed once,
+    * blocks on executors) and release the upstream caches it consumed.
+    * Pair results are tiny (near-dup pairs, not the corpus), so the
+    * checkpoint is cheap — and without this, every invocation of a
+    * pair pipeline left its shingle-array cache resident for the rest
+    * of the session (bench reps and long sessions accumulated executor
+    * storage until eviction pressure). Cluster note: like
+    * [[connectedComponents]]' default, localCheckpoint blocks don't
+    * survive executor loss; rerun the query if that happens mid-job.
+    */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    out
+  }
+
   /** Near-dup pairs by exact n-gram Jaccard ≥ `threshold`.
     * Jaccard = |∩| / (|A| + |B| − |∩|) from exact counts.
+    * Eager (see [[materializeAndRelease]]): the shingle-array cache —
+    * consumed by sizes and the exploded shingles — is dropped before
+    * returning.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
@@ -134,13 +153,14 @@ object Dedup {
     val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
     val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
     val inter = intersections(sh, maxDf)
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(pairs, arrs)
   }
 
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
@@ -213,13 +233,14 @@ object Dedup {
     val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
     val pairShingles = intersections(shC, maxDf)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
-    pairShingles
+    val pairs = pairShingles
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(pairs, arrs, candidates)
   }
 
   def minHashLshQuery(spark: SparkSession, dir: String): DataFrame =

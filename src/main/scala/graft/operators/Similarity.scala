@@ -237,8 +237,11 @@ object Similarity {
     */
   def ivfKnn(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val centroids = sampleCentroids(emb, idCol, vecCol, nlist).cache()
-    val assigned = ivfAssign(emb, idCol, vecCol, centroids).cache()
+    // no .cache() here: centroids is a pruned nlist-row scan (cheap to
+    // recompute for its two uses) and assigned is consumed once — the
+    // caches this used to hold were pure session-lifetime leakage
+    val centroids = sampleCentroids(emb, idCol, vecCol, nlist)
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
     // per query: its nprobe closest centroids
     val qScored = queries.select(col("query_id"), col("qv"))
       .join(broadcast(centroids), lit(true))

@@ -58,14 +58,24 @@ object Skew {
     * each probe row into one replica, join on (key, salt). Every hot
     * probe key now spreads over `salts` tasks; the build side pays a
     * `salts`× replication (it must be the smaller side).
+    *
+    * CONTRACT — probe salt: unlike [[saltedAggregate]], the join
+    * RESULT is salt-independent (every salt value meets the same
+    * replicated build rows), so a recompute-unstable discriminator
+    * cannot corrupt output — it only determines load balance. The
+    * default position-id salt spreads even bytewise-identical
+    * duplicate rows; pass `saltCol` (a stable row id) when you also
+    * need the salt — and therefore the task-level row placement — to
+    * be reproducible across retries (e.g. debugging a straggler).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String, buildKey: String,
-      salts: Int): DataFrame = {
+      salts: Int, saltCol: Option[Column] = None): DataFrame = {
     val saltDf = build.sparkSession.range(salts.toLong)
       .select(col("id").cast("int").as("__bsalt"))
     val saltedBuild = build.crossJoin(saltDf)
+    val discriminator = saltCol.getOrElse(monotonically_increasing_id())
     val saltedProbe = probe.withColumn("__psalt",
-      pmod(hash(col(probeKey), monotonically_increasing_id()), lit(salts)))
+      pmod(hash(col(probeKey), discriminator), lit(salts)))
     saltedProbe.join(saltedBuild,
         col(probeKey) === col(buildKey) && col("__psalt") === col("__bsalt"))
       .drop("__psalt", "__bsalt")
