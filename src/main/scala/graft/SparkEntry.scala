@@ -165,6 +165,10 @@ object SparkEntry {
     "q88_range_spj" -> graft.operators.RangeJoin.attributionBucketedQuery _,
     // — tokenizer-aware packing: BPE-style pre-token run counts —
     "q89_pack_bpe" -> graft.operators.Pipelines.sequencePackBpeQuery _,
+    // — overlapping token-window chunking (embedding/RAG pre-proc) —
+    "q90_chunk" -> TextAnalysis.chunkQuery _,
+    // — HLL sketch rollup: build per-day sketches, MERGE across days —
+    "q91_hll_merge" -> FunctionFamilies.sketchRollup _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -303,5 +307,7 @@ object SparkEntry {
     "q87_asof_spj" -> graft.operators.AsOfJoin.eventAsOfSql,
     "q88_range_spj" -> graft.operators.RangeJoin.attributionSql,
     "q89_pack_bpe" -> graft.operators.Pipelines.sequencePackBpeSql,
+    "q90_chunk" -> TextAnalysis.chunkSql,
+    "q91_hll_merge" -> FunctionFamilies.sketchRollupSql,
   )
 }

@@ -226,6 +226,37 @@ object FunctionFamilies {
       | TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Sketch ROLLUP — the pattern that makes sketches matter at 100 TB:
+    * build fine-grained sketches once (per (event_type, day) — the
+    * shape of a daily pre-aggregation job), then answer coarser
+    * questions by MERGING sketches (`hll_union_agg`) without ever
+    * rescanning the raw data. A 3-year backfill becomes a union of
+    * ~1000 fixed-size Datasketches HLL buffers per group instead of a
+    * re-shuffle of every raw key. Gated like q80: the oracle sees the
+    * exact per-type distinct count plus a boolean that holds iff the
+    * merged estimate lands within 5% of exact (lgConfigK=14 → ~0.8%
+    * standard error, wide margin).
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.tables.Tables.events(spark, dir)
+    val daily = ev
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, 14))").as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * lit(0.05))
+          .as("merge_ok"))
+  }
+
+  val sketchRollupSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS merge_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Global sort + pagination (LIMIT/OFFSET) with a total tie-break.
     * Spark plans sort + GlobalLimit; at scale a paged read like this
     * is a driver-side k-row merge, never a full materialized sort.

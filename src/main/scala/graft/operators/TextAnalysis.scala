@@ -236,6 +236,49 @@ object TextAnalysis {
       |  GROUP BY lang, word) r
       |WHERE rk <= 10""".stripMargin
 
+  // ——— document chunking (overlapping token windows) ———
+
+  /** Split each document into overlapping token-window chunks — the
+    * pre-processing step of every embedding/RAG pipeline: chunk i
+    * covers tokens [i·stride, i·stride + chunkTokens). Entirely
+    * row-local (one explode, no shuffle), so it scales as a pure map
+    * over the corpus; chunk counts are ⌈max(n−chunk, 0)/stride⌉ + 1
+    * per doc (always ≥ 1 — short docs yield one whole-doc chunk).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      "need stride > 0 and chunkTokens >= stride (otherwise tokens are skipped)")
+    df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(expr(
+          s"sequence(0, (greatest(__n - $chunkTokens, 0) + $stride - 1) div $stride)"))
+          .as("__i"))
+      .select(col(idCol),
+        col("__i").cast("int").as("chunk_idx"),
+        (col("__i") * stride).cast("int").as("start_tok"),
+        least(lit(chunkTokens), col("__n") - col("__i") * stride).cast("int").as("n_tok"),
+        concat_ws(" ", slice(col("__t"), (col("__i") * stride + 1).cast("int"),
+          lit(chunkTokens))).as("chunk_text"))
+  }
+
+  def chunkQuery(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir), "doc_id", "text",
+      chunkTokens = 64, stride = 16)
+
+  val chunkSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, ws, n,
+      |        unnest(range(((greatest(n - 64, 0) + 15) // 16) + 1)) AS i
+      |      FROM t)
+      |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+      |  CAST(i * 16 AS INTEGER) AS start_tok,
+      |  CAST(least(64, n - i * 16) AS INTEGER) AS n_tok,
+      |  array_to_string(ws[CAST(i*16 + 1 AS INT) : CAST(i*16 + 64 AS INT)], ' ') AS chunk_text
+      |FROM c""".stripMargin
+
   // ——— fingerprinting ———
 
   /** Fully oracle-gated: the 64-bit wrapping polynomial hash is
