@@ -33,7 +33,12 @@ def run_verify():
     sys.stdout.write(r.stdout[-3000:])
     sys.stderr.write(r.stderr[-5000:])
     if r.returncode != 0:
-        print("VERIFY FAILED rc=", r.returncode); sys.exit(1)
+        # keep going so the per-query diff detail below is still shown,
+        # but the gate MUST fail: Verify exits nonzero iff a registered
+        # query errored (the round-4 q91 hole)
+        print("VERIFY reported failures (rc=%d) — gate will fail" % r.returncode)
+        return 1
+    return 0
 
 def norm(v):
     if isinstance(v, Decimal):
@@ -51,14 +56,37 @@ def close(a, b):
     return a == b
 
 def main():
+    fails = 0
     if "--skip-verify" not in sys.argv:
-        run_verify()
+        fails += run_verify()
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-    fails = 0
+    # Ship-gate: every REGISTERED query must be green-checked. Queries
+    # without oracle SQL (non-SQL-expressible ops) get a rows-only check;
+    # a registered query with no output at all is a hard failure.
+    try:
+        registered = json.load(open(f"{OUT}/queries.json"))
+    except FileNotFoundError:
+        print("queries.json MISSING (stale Verify build?) — gate will fail")
+        registered = []
+        fails += 1
+    for name in sorted(set(registered) - set(oracle)):
+        pq = f"{OUT}/{name}"
+        if not os.path.isdir(pq):
+            print(f"{name}: MISSING spark output (registered, no oracle)"); fails += 1; continue
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{pq}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"{name}: ERROR reading output {e}"); fails += 1; continue
+        if n <= 0:
+            print(f"{name}: EMPTY output (rows-only check)"); fails += 1
+        else:
+            print(f"{name}: OK rows-only ({n} rows, no oracle SQL)")
+    for name in sorted(set(oracle) - set(registered or oracle)):
+        print(f"{name}: oracle SQL with NO registered query"); fails += 1
     for name, sql in sorted(oracle.items()):
         pq = f"{OUT}/{name}"
         if not os.path.isdir(pq):

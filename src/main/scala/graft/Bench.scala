@@ -79,17 +79,28 @@ object Bench {
     //    end survives parses;
     //  - the full-precision, full-name report goes to BENCH_local.json
     //    in the repo for quiet-machine comparison across rounds.
+    // Ship-gate (round 4 shipped q91 broken and the bench SHRANK —
+    // failed queries were silently dropped from the total, so a broken
+    // registration read as a perf win): failures are named in the JSON
+    // line and the process exits nonzero, so no registered query can
+    // fail quietly.
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }.mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","cpus":$cpus,"queries":$full,"sf":"$sfDir"}\n"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","cpus":$cpus,"failed":$failedJson,"queries":$full,"sf":"$sfDir"}\n"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}") }
     println(line)
     Console.out.flush()
     spark.stop()
     println(line)
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -145,6 +145,20 @@ class PlanAuditSpec extends SparkSuite {
       "expected a partitioned equi-join")
   }
 
+  test("q91: HLL rollup merges daily sketches — merge stage consumes sketch agg, not raw rows") {
+    // the 100-TB contract: the coarse answer is a union of per-day
+    // fixed-size sketch buffers, never a rescan/re-shuffle of raw user
+    // ids. Physical plans print top-down, so the merging aggregate
+    // (hll_union_agg) must appear ABOVE the daily sketch-building
+    // aggregate (hll_sketch_agg) in the same plan.
+    val p = plan("q91_hll_merge")
+    val merge = p.indexOf("hll_union_agg")
+    val daily = p.indexOf("hll_sketch_agg")
+    assert(merge >= 0, s"merge stage missing hll_union_agg:\n${p.take(900)}")
+    assert(daily >= 0, s"daily stage missing hll_sketch_agg:\n${p.take(900)}")
+    assert(merge < daily, "hll_union_agg must sit above the daily sketch aggregate")
+  }
+
   test("q01: tokenize pipeline stays in whole-stage codegen") {
     // AQE's pre-execution plan string hides codegen stages — ask for
     // the codegen explain explicitly
