@@ -471,8 +471,10 @@ object Dedup {
     * list is what a 100 TB curation job anti-joins against the corpus.
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, threshold: Double): DataFrame = {
-    val centroids = Similarity.sampleCentroids(emb, idCol, vecCol, nlist)
+      nlist: Int, threshold: Double, kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0) Similarity.kmeansCentroids(emb, idCol, vecCol, nlist, kmeansIters)
+      else Similarity.sampleCentroids(emb, idCol, vecCol, nlist)
     // cached: the self-join below consumes it twice; eagerly dropped
     // after connectedComponents has materialized the edge set
     val assigned = Similarity.ivfAssign(emb, idCol, vecCol, centroids).cache()
@@ -492,11 +494,12 @@ object Dedup {
   }
 
   /** Gated query: semantic dedup over the embeddings table (nlist=16
-    * deterministic centroids, cosine ≥ 0.3 within-cluster pairs).
+    * centroids refined by one Lloyd step, cosine ≥ 0.3 within-cluster
+    * pairs).
     */
   def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
     semDedup(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", nlist = 16, threshold = 0.3)
+      "vec_id", "embedding", nlist = 16, threshold = 0.3, kmeansIters = 1)
 
   /** Oracle: the same composition in SQL — q33's centroid/argmax CTEs
     * feeding within-cluster pairs, closed under [[closureCtes]]'
@@ -506,9 +509,7 @@ object Dedup {
     */
   val semDedupSql: String = {
     val pairsSql =
-      """WITH cent AS (
-        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
-        |  FROM embeddings WHERE vec_id < 16),
+      s"""WITH ${Similarity.refinedCentSql},
         |assigned AS (
         |  SELECT id, vec, cent_id FROM (
         |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,

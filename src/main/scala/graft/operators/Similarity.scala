@@ -230,17 +230,87 @@ object Similarity {
     emb.filter(col(idCol) < nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
 
+  /** Lloyd-refined coarse quantizer: `iters` k-means steps from the
+    * deterministic [[sampleCentroids]] seed. Each step is exactly the
+    * shuffle shapes the index already has:
+    *   1. assign — [[ivfAssign]]'s map-side argmax over the broadcast
+    *      centroid array (no Exchange over the data);
+    *   2. re-center — `posexplode` the assigned vectors and take the
+    *      per-(cent_id, dim) mean. Map-side partial aggregation means
+    *      the shuffle carries only nlist·dim partial sums per task,
+    *      NOT n·dim rows — at 100 TB the re-center step moves
+    *      kilobytes per executor.
+    * A cluster that loses every point keeps its previous centroid
+    * (the COALESCE), so the quantizer never degenerates.
+    *
+    * Oracle parity: element sums are taken in DECIMAL(18,9) — exact,
+    * order-independent — and the mean is a single double division, so
+    * DuckDB reproduces the refined centroids bit-for-bit (the same
+    * decimal-sum discipline as the oracle-parity aggregate rules).
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): DataFrame = {
+    var cents = sampleCentroids(emb, idCol, vecCol, nlist)
+      .select(col("cent_id"), col("cent_vec").cast("array<double>").as("cent_vec"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(emb, idCol, vecCol, cents)
+      val dims = assigned
+        .select(col("cent_id"), posexplode(col("vec")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("col").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("m"))
+      val refined = dims.groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"), transform(col("pm"), p => p("m")).as("nv"))
+      cents = cents.join(refined, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("nv"), col("cent_vec")).as("cent_vec"))
+    }
+    cents
+  }
+
+  /** The refined-centroid CTE chain shared by the q33/q86 oracles:
+    * seed centroids (`cent0`), one Lloyd assignment (`a0`), exact
+    * decimal per-dimension means (`dims`, zipped `unnest`s), and the
+    * empty-cluster-preserving rebuild (`cent`). Mirrors
+    * [[kmeansCentroids]] with iters = 1, nlist = 16.
+    */
+  val refinedCentSql: String =
+    """cent0 AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |a0 AS (
+      |  SELECT id, vec, cent_id FROM (
+      |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+      |                 c.cent_id) AS arn
+      |    FROM embeddings e CROSS JOIN cent0 c) t WHERE arn = 1),
+      |dims AS (
+      |  SELECT cent_id, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM (SELECT cent_id, unnest(vec) AS x,
+      |          unnest(range(len(vec))) AS pos FROM a0) u
+      |  GROUP BY cent_id, pos),
+      |cent1 AS (SELECT cent_id, list(m ORDER BY pos) AS cvec FROM dims GROUP BY cent_id),
+      |cent AS (
+      |  SELECT c0.cent_id, COALESCE(c1.cvec, c0.cvec) AS cvec
+      |  FROM cent0 c0 LEFT JOIN cent1 c1 USING (cent_id))""".stripMargin
+
   /** IVF KNN: probe the `nprobe` nearest centroids per query, scan
     * only their inverted lists, exact re-rank within. The candidate
     * set is |data|·nprobe/nlist per query in expectation — the n²
     * → n·nprobe/nlist reduction that makes ANN tractable at 100 TB.
     */
   def ivfKnn(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+      k: Int, nlist: Int, nprobe: Int, kmeansIters: Int = 0): DataFrame = {
     // no .cache() here: centroids is a pruned nlist-row scan (cheap to
-    // recompute for its two uses) and assigned is consumed once — the
-    // caches this used to hold were pure session-lifetime leakage
-    val centroids = sampleCentroids(emb, idCol, vecCol, nlist)
+    // recompute for its two uses; with kmeansIters > 0 it is the
+    // nlist-row product of the Lloyd job, also re-derivable) and
+    // assigned is consumed once — the caches this used to hold were
+    // pure session-lifetime leakage
+    val centroids =
+      if (kmeansIters > 0) kmeansCentroids(emb, idCol, vecCol, nlist, kmeansIters)
+      else sampleCentroids(emb, idCol, vecCol, nlist)
     val assigned = ivfAssign(emb, idCol, vecCol, centroids)
     // per query: its nprobe closest centroids
     val qScored = queries.select(col("query_id"), col("qv"))
@@ -259,25 +329,25 @@ object Similarity {
   }
 
   /** Oracle-gated query for the IVF path (nlist=16, nprobe=4, k=5
-    * over queries vec_id < 20).
+    * over queries vec_id < 20, centroids refined by one Lloyd step).
     */
   def ivfKnnQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     ivfKnn(e.select(col("vec_id"), col("embedding")), q,
-      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4, kmeansIters = 1)
   }
 
-  /** DuckDB replica of the whole IVF pipeline. Assignment and probe
+  /** DuckDB replica of the whole IVF pipeline, including the one-step
+    * Lloyd refinement ([[refinedCentSql]]). Assignment and probe
     * ranking use the raw cosine (both engines accumulate in index
-    * order — identical IEEE sequences); only the output `sim` is
+    * order — identical IEEE sequences; the refined centroids are
+    * bit-identical via exact decimal means); only the output `sim` is
     * rounded, matching [[ivfKnn]].
     */
   val ivfKnnSql: String =
-    """WITH cent AS (
-      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
-      |  FROM embeddings WHERE vec_id < 16),
+    s"""WITH $refinedCentSql,
       |assigned AS (
       |  SELECT id, vec, cent_id FROM (
       |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
