@@ -169,6 +169,8 @@ object SparkEntry {
     "q90_chunk" -> TextAnalysis.chunkQuery _,
     // — HLL sketch rollup: build per-day sketches, MERGE across days —
     "q91_hll_merge" -> FunctionFamilies.sketchRollup _,
+    // — DSv2 aggregate pushdown: per-bucket COUNT/MIN/MAX partials —
+    "q93_aggpd" -> graft.sources.bucketed.BucketedQueries.aggPushdownQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -309,5 +311,6 @@ object SparkEntry {
     "q89_pack_bpe" -> graft.operators.Pipelines.sequencePackBpeSql,
     "q90_chunk" -> TextAnalysis.chunkSql,
     "q91_hll_merge" -> FunctionFamilies.sketchRollupSql,
+    "q93_aggpd" -> graft.sources.bucketed.BucketedQueries.aggPushdownSql,
   )
 }

@@ -53,6 +53,32 @@ object BucketedQueries {
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30.0""".stripMargin
 
+  /** Pushed-aggregate scan: COUNT/MIN/MAX with a GROUP BY evaluated
+    * inside the per-bucket reader ([[BucketedAggPartitionReader]]) —
+    * the connector ships one partial row per (bucket, group) and Spark
+    * plans only the final merge. The reference pins buckets to push
+    * computation to the storage node
+    * (SnappyDataConnectorHelper.scala:23-25); this is the Spark-native
+    * version: at 100 TB a `SELECT count(*)` moves `buckets × groups`
+    * rows, not the table. The plan shape (`pushedAggs=[...]` in the
+    * scan, no raw-row read) is asserted in PlanAuditSpec.
+    */
+  def aggPushdownQuery(spark: SparkSession, dir: String): DataFrame =
+    bucketedLineitem(spark, dir)
+      .filter(col("l_quantity") >= 10.0)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_linestatus")).as("min_status"))
+
+  val aggPushdownSql: String =
+    """SELECT l_returnflag, count(*) AS n, min(l_quantity) AS min_qty,
+      | max(l_extendedprice) AS max_price, min(l_linestatus) AS min_status
+      |FROM lineitem WHERE l_quantity >= 10.0
+      |GROUP BY l_returnflag""".stripMargin
+
   /** Co-partitioned join through the catalog: lineitem and orders are
     * both bucketed 16 ways on the join key, the catalog's
     * FunctionCatalog resolves the `bucket` transform, and with

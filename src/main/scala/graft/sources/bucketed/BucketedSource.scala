@@ -6,6 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -121,13 +122,22 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
 
 /** Pushdown: accepts the filter subset [[FilterEval]] can enforce
   * exactly; everything else is left for Spark to evaluate post-scan.
+  * Aggregates (COUNT/MIN/MAX, optionally grouped) push down as
+  * PARTIALS — the reference pins buckets to push computation to the
+  * storage node (SnappyDataConnectorHelper.scala:23-25); the
+  * Spark-native analog is [[SupportsPushDownAggregates]]: each bucket
+  * returns one pre-aggregated row per group and Spark plans only the
+  * final merge, so a 100 TB `SELECT count(*)` moves `buckets × groups`
+  * rows instead of every row.
   */
 class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOptions.Defaults)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val full: StructType = BucketStore.getWithRetry(name).schema
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var aggSpec: Option[AggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition(FilterEval.supports(full, _))
@@ -140,6 +150,19 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Partial pushdown only: Spark always plans the final merge
+    * (sum-of-counts, min-of-mins), which keeps the store's answer
+    * correct per bucket without the connector having to prove global
+    * completeness — the scale win (no row movement) is identical.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val spec = AggSpec.from(aggregation, full)
+    spec.foreach(s => aggSpec = Some(s))
+    spec.isDefined
+  }
+
   override def build(): Scan = {
     val t = BucketStore.getWithRetry(name)
     // numpartitions is a cross-check, not a knob: parallelism is
@@ -149,7 +172,81 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
         s"graft-buckets: numpartitions=$n but table '$name' has ${t.buckets.length} buckets — " +
           "the scan is bucket-pinned (one partition per bucket); omit the option or match it")
     }
-    new BucketedScan(name, required, pushed, t.version, opts.fetchSize)
+    aggSpec match {
+      case Some(spec) => new BucketedAggScan(name, spec, pushed, t.version, opts.fetchSize)
+      case None => new BucketedScan(name, required, pushed, t.version, opts.fetchSize)
+    }
+  }
+}
+
+/** The pushed-aggregate subset the per-bucket reader evaluates exactly:
+  * COUNT(*), COUNT(col), MIN(col), MAX(col) over single-column
+  * references, grouped by plain columns. Anything else (SUM — decimal
+  * overflow discipline belongs to Spark, AVG — not mergeable as-is,
+  * DISTINCT, expressions) is declined and Spark computes it from raw
+  * rows. Output schema follows the DSv2 contract: group-by columns
+  * first, then aggregate columns in `aggregateExpressions` order.
+  */
+final case class AggSpec(aggs: Seq[AggSpec.PushedAgg], groupCols: Seq[String],
+    full: StructType) {
+  import org.apache.spark.sql.types._
+
+  def schema: StructType = StructType(
+    groupCols.map(c => full(full.fieldIndex(c))) ++
+    aggs.zipWithIndex.map {
+      case (AggSpec.PCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+      case (AggSpec.PCount(c), i) => StructField(s"count_${c}_$i", LongType, nullable = false)
+      case (AggSpec.PMin(c), i) => StructField(s"min_${c}_$i", full(c).dataType, nullable = true)
+      case (AggSpec.PMax(c), i) => StructField(s"max_${c}_$i", full(c).dataType, nullable = true)
+    })
+
+  def describe: String = {
+    val as = aggs.map {
+      case AggSpec.PCountStar => "COUNT(*)"
+      case AggSpec.PCount(c) => s"COUNT($c)"
+      case AggSpec.PMin(c) => s"MIN($c)"
+      case AggSpec.PMax(c) => s"MAX($c)"
+    }
+    s"pushedAggs=[${as.mkString(", ")}] groupBy=[${groupCols.mkString(", ")}]"
+  }
+}
+
+object AggSpec {
+  sealed trait PushedAgg
+  case object PCountStar extends PushedAgg
+  final case class PCount(col: String) extends PushedAgg
+  final case class PMin(col: String) extends PushedAgg
+  final case class PMax(col: String) extends PushedAgg
+
+  import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  private def singleCol(e: Expression, schema: StructType): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 &&
+      schema.fieldNames.contains(nr.fieldNames.head) => Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  /** MIN/MAX only on types [[FilterEval.cmp]] orders exactly. */
+  private def orderable(schema: StructType, c: String): Boolean = schema(c).dataType match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType | _: DoubleType |
+         _: FloatType | _: DecimalType | _: StringType | _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  def from(aggregation: Aggregation, schema: StructType): Option[AggSpec] = {
+    val groups = aggregation.groupByExpressions.toSeq.map(singleCol(_, schema))
+    if (groups.exists(_.isEmpty)) return None
+    val aggs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PCountStar)
+      case c: Count if !c.isDistinct => singleCol(c.column, schema).map(PCount)
+      case m: Min => singleCol(m.column, schema).filter(orderable(schema, _)).map(PMin)
+      case m: Max => singleCol(m.column, schema).filter(orderable(schema, _)).map(PMax)
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty) || aggs.isEmpty) None
+    else Some(AggSpec(aggs.flatten, groups.flatten, schema))
   }
 }
 
@@ -162,20 +259,8 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   override def description(): String =
     s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val t = BucketStore.getWithRetry(name)
-    val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
-      BucketInputPartition(name, b, t.hosts(b).toArray, version))
-    // key-equality bucket pruning: a point lookup (or IN) on the
-    // bucket key plans ONLY the owning bucket(s) — the reference's
-    // bucket-pinned single-get pattern (SET_BUCKETS_FOR_LOCAL_EXECUTION,
-    // SnappyDataConnectorHelper.scala:23-25), and at 100 TB the
-    // difference between touching one server and scanning the cluster
-    BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
-      case Some(keep) => all.filter(p => keep.contains(p.asInstanceOf[BucketInputPartition].bucket))
-      case None => all
-    }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    BucketSplits.plan(name, filters, version)
 
   /** Report the store's hash-bucket layout to the planner: with
     * `spark.sql.sources.v2.bucketing.enabled`, joins between two
@@ -191,6 +276,133 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BucketedReaderFactory(required, filters, fetchSize)
+}
+
+/** One split per live bucket, after key-equality bucket pruning: a
+  * point lookup (or IN) on the bucket key plans ONLY the owning
+  * bucket(s) — the reference's bucket-pinned single-get pattern
+  * (SET_BUCKETS_FOR_LOCAL_EXECUTION, SnappyDataConnectorHelper.scala:23-25),
+  * and at 100 TB the difference between touching one server and
+  * scanning the cluster. Shared by the row scan and the pushed-
+  * aggregate scan so both prune identically.
+  */
+private[bucketed] object BucketSplits {
+  def plan(name: String, filters: Array[Filter], version: Long): Array[InputPartition] = {
+    val t = BucketStore.getWithRetry(name)
+    val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
+      BucketInputPartition(name, b, t.hosts(b).toArray, version))
+    BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
+      case Some(keep) => all.filter(p => keep.contains(p.asInstanceOf[BucketInputPartition].bucket))
+      case None => all
+    }
+  }
+}
+
+/** Pushed-aggregate scan: one PARTIALLY-aggregated row per
+  * (bucket, group) instead of the bucket's rows. Not
+  * [[SupportsReportPartitioning]] — the aggregate output generally no
+  * longer carries the bucket key, and the final merge's input is
+  * `buckets × groups` rows, for which a shuffle is noise.
+  */
+class BucketedAggScan(name: String, spec: AggSpec, filters: Array[Filter], version: Long,
+    fetchSize: Int = 1000)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = spec.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-buckets:$name pushed=[${filters.mkString(", ")}] ${spec.describe}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    BucketSplits.plan(name, filters, version)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BucketedAggReaderFactory(spec, filters, fetchSize)
+}
+
+class BucketedAggReaderFactory(spec: AggSpec, filters: Array[Filter], fetchSize: Int)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BucketedAggPartitionReader(
+      partition.asInstanceOf[BucketInputPartition], spec, filters, fetchSize)
+}
+
+/** Evaluates the pushed partial aggregate over one bucket, reusing the
+  * row reader's pooled/failover connection path and pushed-filter
+  * evaluation. This stand-in store computes in the reader process; at
+  * a real remote store this loop IS the server-side aggregation the
+  * reference pins buckets for — either way the rows never reach Spark.
+  *
+  * Emits one row per group; with no GROUP BY, exactly one row even for
+  * an empty bucket (count = 0, min/max = NULL) so the global-aggregate
+  * contract (`SELECT count(*)` on an empty table = 0) survives the
+  * merge.
+  */
+class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
+    filters: Array[Filter], fetchSize: Int)
+  extends PartitionReader[InternalRow] {
+
+  import AggSpec._
+
+  private val table = BucketStore.getWithRetry(p.table)
+  require(table.version == p.version,
+    s"snapshot violated: table '${p.table}' changed (v${p.version} -> v${table.version})")
+
+  private val fullSchema = table.schema
+  private val groupIdx = spec.groupCols.map(fullSchema.fieldIndex).toArray
+  private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    .createToCatalystConverter(spec.schema)
+
+  private var conn: HostConnection = _
+
+  private val out: Iterator[Row] = {
+    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize)
+    conn = c
+    val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+    // group key -> one accumulator slot per agg (count: Long; min/max: Any)
+    val acc = new scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]
+    val init: () => Array[Any] = () => spec.aggs.map {
+      case PCountStar | PCount(_) => 0L: Any
+      case PMin(_) | PMax(_) => null: Any
+    }.toArray
+    if (spec.groupCols.isEmpty) acc(Nil) = init()
+    filtered.foreach { r =>
+      val key = groupIdx.toIndexedSeq.map(r.get)
+      val slots = acc.getOrElseUpdate(key, init())
+      spec.aggs.zipWithIndex.foreach { case (a, i) =>
+        a match {
+          case PCountStar => slots(i) = slots(i).asInstanceOf[Long] + 1L
+          case PCount(col) =>
+            if (!r.isNullAt(fullSchema.fieldIndex(col)))
+              slots(i) = slots(i).asInstanceOf[Long] + 1L
+          case PMin(col) =>
+            val j = fullSchema.fieldIndex(col)
+            if (!r.isNullAt(j)) {
+              val v = r.get(j)
+              if (slots(i) == null || FilterEval.cmp(v, slots(i)) < 0) slots(i) = v
+            }
+          case PMax(col) =>
+            val j = fullSchema.fieldIndex(col)
+            if (!r.isNullAt(j)) {
+              val v = r.get(j)
+              if (slots(i) == null || FilterEval.cmp(v, slots(i)) > 0) slots(i) = v
+            }
+        }
+      }
+    }
+    acc.iterator.map { case (key, slots) => Row.fromSeq(key ++ slots.toIndexedSeq) }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (out.hasNext) {
+      current = toCatalyst(out.next()).asInstanceOf[InternalRow]
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (conn != null) { ConnectionPool.release(conn); conn = null }
 }
 
 /** Conservative bucket pruning from pushed filters.
@@ -240,6 +452,41 @@ case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String]
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
+/** Open-time replica failover shared by the row and aggregate readers:
+  * dial the split's replica chain (primary first), twice around (one
+  * bounded retry round, C9), return the first live host's paged
+  * iterator plus its borrowed connection (caller releases on close).
+  */
+private[bucketed] object BucketReaderSupport {
+  def openWithFailover(p: BucketInputPartition, fetchSize: Int): (HostConnection, Iterator[Row]) = {
+    var opened: Iterator[Row] = null
+    var conn: HostConnection = null
+    var lastErr: java.io.IOException = null
+    val attempts = (p.hosts ++ p.hosts).iterator // replicas in order, one retry round
+    while (opened == null && attempts.hasNext) {
+      val host = attempts.next()
+      try {
+        val c = ConnectionPool.borrow(host)
+        try {
+          opened = c.fetchBucket(p.table, p.bucket, fetchSize)
+          conn = c
+        } catch {
+          // open failed AFTER a successful borrow — ANY failure, not
+          // just IO (a concurrent table reload throws IllegalArgument
+          // from the store require): return the connection instead of
+          // orphaning it (in a remote store an abandoned live
+          // connection leaks a server-side session)
+          case e: Throwable => ConnectionPool.release(c); throw e
+        }
+      } catch { case e: java.io.IOException => lastErr = e }
+    }
+    if (opened == null)
+      throw new java.io.IOException(
+        s"all replicas of bucket ${p.bucket} (${p.hosts.mkString(", ")}) are unreachable", lastErr)
+    (conn, opened)
+  }
+}
+
 class BucketedReaderFactory(required: StructType, filters: Array[Filter], fetchSize: Int = 1000)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -276,30 +523,9 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
   private var conn: HostConnection = _
 
   private val it: Iterator[Row] = {
-    var opened: Iterator[Row] = null
-    var lastErr: java.io.IOException = null
-    val attempts = (p.hosts ++ p.hosts).iterator // replicas in order, one retry round
-    while (opened == null && attempts.hasNext) {
-      val host = attempts.next()
-      try {
-        val c = ConnectionPool.borrow(host)
-        try {
-          opened = c.fetchBucket(p.table, p.bucket, fetchSize)
-          conn = c
-        } catch {
-          // open failed AFTER a successful borrow — ANY failure, not
-          // just IO (a concurrent table reload throws IllegalArgument
-          // from the store require): return the connection instead of
-          // orphaning it (in a remote store an abandoned live
-          // connection leaks a server-side session)
-          case e: Throwable => ConnectionPool.release(c); throw e
-        }
-      } catch { case e: java.io.IOException => lastErr = e }
-    }
-    if (opened == null)
-      throw new java.io.IOException(
-        s"all replicas of bucket ${p.bucket} (${p.hosts.mkString(", ")}) are unreachable", lastErr)
-    opened.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize)
+    conn = c
+    rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
   }
 
   private var current: InternalRow = _
@@ -421,7 +647,7 @@ object FilterEval {
     if (row.isNullAt(i)) None else Some(row.getString(i))
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  private[bucketed] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) => x.compareTo(y)
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)

@@ -159,6 +159,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(merge < daily, "hll_union_agg must sit above the daily sketch aggregate")
   }
 
+  test("q93: COUNT/MIN/MAX are pushed into the DSv2 scan — no raw-row read") {
+    val p = plan("q93_aggpd")
+    // the scan itself advertises the pushed partial aggregate...
+    assert(p.contains("pushedAggs=[COUNT(*), MIN(l_quantity), MAX(l_extendedprice), " +
+      "MIN(l_linestatus)]"), p.take(1200))
+    assert(p.contains("groupBy=[l_returnflag]"), p.take(1200))
+    // ...and the filter rode down with it
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), "filter must still push")
+    // Spark plans only the merge: the scan's output is already grouped,
+    // so no per-row project/filter sits between scan and aggregate
+    assert(!p.contains(" Filter "), "no residual filter over the aggregated scan")
+  }
+
   test("q01: tokenize pipeline stays in whole-stage codegen") {
     // AQE's pre-execution plan string hides codegen stages — ask for
     // the codegen explain explicitly

@@ -94,6 +94,46 @@ class BucketedSourceSpec extends SparkSuite {
     assert(got === Set(3, 4)) // id=2 (NULL, w=1) → unknown OR false → dropped
   }
 
+  test("aggregate pushdown: global and grouped COUNT/MIN/MAX match the DataFrame baseline") {
+    import spark.implicits._
+    val df = Seq((1, Option("a"), 10), (2, None: Option[String], 5),
+      (3, Option("b"), 7), (4, None: Option[String], 9)).toDF("id", "v", "w")
+    BucketStore.load(spark, "agg_t", df, "id", 4)
+    val s = spark.read.format("graft-buckets").option("table", "agg_t").load()
+
+    // global (no GROUP BY): COUNT(*) counts rows, COUNT(v) skips nulls
+    val global = s.agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+      min(col("w")).as("lo"), max(col("w")).as("hi"))
+    val gp = global.queryExecution.executedPlan.toString
+    assert(gp.contains("pushedAggs=[COUNT(*), COUNT(v), MIN(w), MAX(w)]"), gp)
+    assert(global.as[(Long, Long, Int, Int)].head() === ((4L, 2L, 5, 10)))
+
+    // grouped: one partial row per (bucket, group), merged by Spark
+    val grouped = s.groupBy(col("v")).agg(count(lit(1)).as("n"), max(col("w")).as("hi"))
+      .orderBy(col("v"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("groupBy=[v]"))
+    assert(grouped.collect().map(_.toSeq).toSeq ===
+      df.groupBy(col("v")).agg(count(lit(1)), max(col("w"))).orderBy(col("v"))
+        .collect().map(_.toSeq).toSeq)
+
+    // empty table: the no-group contract must still produce count=0
+    BucketStore.load(spark, "agg_empty", df.filter(col("id") > 100), "id", 4)
+    val e = spark.read.format("graft-buckets").option("table", "agg_empty").load()
+      .agg(count(lit(1)).as("n"), min(col("w")).as("lo"))
+    assert(e.as[(Long, Option[Int])].head() === ((0L, None)))
+  }
+
+  test("aggregate pushdown declines what the reader cannot do exactly (SUM, AVG, DISTINCT)") {
+    import spark.implicits._
+    val df = Seq((1, 10), (2, 5)).toDF("id", "w")
+    BucketStore.load(spark, "agg_decl", df, "id", 2)
+    val s = spark.read.format("graft-buckets").option("table", "agg_decl").load()
+    val q = s.agg(sum(col("w")).as("sw"), count_distinct(col("w")).as("dw"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("pushedAggs="), p) // declined: Spark reads raw rows
+    assert(q.as[(Long, Long)].head() === ((15L, 2L)))
+  }
+
   test("FilterEval tri-state truth table over a NULL operand") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.sources._
