@@ -91,13 +91,40 @@ class DedupSpec extends SparkSuite {
   }
 
   test("connected components throws past maxIters instead of looping") {
-    // a label chain propagates one hop per round: a 12-node path needs
-    // ~11 rounds, so maxIters = 3 must abort with a clear error
+    // even with the jump step a 12-node path needs ceil(log2(11))+1 ≈ 5
+    // rounds, so maxIters = 3 must abort with a clear error
     val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIters = 3).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("pointer jumping: a 100-node chain converges in O(log) rounds, not O(length)") {
+    // plain min-label propagation moves one hop per round (a 100-chain
+    // would need ~99 rounds and trip maxIters = 12); the hook+jump
+    // gap grows as 2^t - 1, so 12 rounds is ample
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length === 100)
+    assert(got.forall(_._2 == 0L), s"all labels must collapse to 0: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("convergence via accumulator: no separate count job per round") {
+    // an 8-node chain converges in 4 rounds (gaps 1, 3, 7, done). Under
+    // AQE each round's checkpoint materialization fans into ~6 jobs
+    // (one per exchange stage) — measured 28 total for setup + 4
+    // rounds + collect. The old scheme was 7 hook-only rounds, each
+    // with an EXTRA count() job on top of the same AQE fan-out (≥45
+    // total). The ceiling guards both properties: log-rounds and no
+    // per-round convergence job.
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    assert(got.forall(_._2 == 0L))
+    assert(jobs <= 32, s"expected ≤32 jobs for an 8-chain CC, saw $jobs")
   }
 
   test("simhash near-dup pairs include planted near-dups and exclude unrelated") {
