@@ -201,7 +201,9 @@ object FunctionFamilies {
     * distinct count (computable by both engines) plus booleans that
     * hold iff each sketch honors a bound — HLL++ (rsd 0.02) within 5%
     * of exact, and the approx percentiles obeying the cheap order
-    * invariants min ≤ p50 ≤ p95 ≤ max (one-pass aggregates, no sort).
+    * invariants against ADJACENT approx quantiles (p25 ≤ p50 ≤ p75,
+    * p75 ≤ p95) plus exact min/max bounds — all one-pass aggregates,
+    * no sort, but much tighter than [min,max] alone.
     * The oracle computes the exact count and literal TRUEs, so the
     * driver's hash matches iff every contract holds. The TIGHT
     * quantile-band check (approx p50/p95 inside the exact ±0.03
@@ -209,21 +211,45 @@ object FunctionFamilies {
     * `percentile` is a full per-group sort, which is verification
     * scaffolding you cannot run at 100 TB and so is kept out of the
     * gated query's hot path.
+    *
+    * PLAN SHAPE (the part that matters at 100 TB): the exact
+    * `count_distinct` is computed in its OWN aggregation and joined
+    * back, never mixed into the sketch aggregation. Mixing them
+    * triggers Spark's distinct-aggregate rewrite into a 3-level plan
+    * keyed on (event_type, user_id), which builds one
+    * QuantileSummaries/HLL buffer PER USER and merges millions of
+    * heavyweight buffers through two shuffles — the exact opposite of
+    * why sketches exist. Split, the sketch side is a plain 2-phase
+    * ObjectHashAggregate with one buffer per event_type, and the
+    * exact-distinct side shuffles bare (event_type, user_id) pairs.
+    * Same shape as [[sketchRollup]]. PlanAuditSpec pins it: no
+    * aggregate level in the sketch branch groups on user_id.
     */
-  def sketchStats(spark: SparkSession, dir: String): DataFrame =
-    graft.tables.Tables.events(spark, dir)
+  def sketchStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.tables.Tables.events(spark, dir)
+    // Sketch branch: one fixed-size buffer per event_type, 2-phase agg.
+    val sketches = ev
       .groupBy(col("event_type"))
       .agg(
-        count_distinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.25), lit(10000)).as("p25s"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50s"),
+        percentile_approx(col("value"), lit(0.75), lit(10000)).as("p75s"),
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95s"),
         min(col("value")).as("vmin"),
         max(col("value")).as("vmax"))
+    // Exact-distinct branch: its own aggregation; the distinct rewrite
+    // here shuffles only bare keys, no sketch buffers ride along.
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    sketches.join(exact, "event_type")
       .select(col("event_type"), col("exact_users"),
         (abs(col("au") - col("exact_users")) <= col("exact_users") * lit(0.05)).as("hll_ok"),
-        (col("p50s") >= col("vmin") && col("p50s") <= col("p95s")).as("p50_ok"),
-        (col("p95s") >= col("p50s") && col("p95s") <= col("vmax")).as("p95_ok"))
+        (col("p50s") >= col("vmin") && col("p50s") >= col("p25s") &&
+          col("p50s") <= col("p75s") && col("p50s") <= col("p95s")).as("p50_ok"),
+        (col("p95s") >= col("p75s") && col("p95s") <= col("vmax")).as("p95_ok"))
+  }
 
   val sketchStatsSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS exact_users,

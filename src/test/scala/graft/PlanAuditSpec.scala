@@ -159,6 +159,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(merge < daily, "hll_union_agg must sit above the daily sketch aggregate")
   }
 
+  test("q80: sketch aggregates group on event_type only — never per user") {
+    // Mixing count_distinct into the sketch aggregation triggers
+    // Spark's distinct-rewrite into a 3-level plan keyed on
+    // (event_type, user_id): one QuantileSummaries/HLL buffer PER
+    // USER through two shuffles. The split shape keeps every
+    // percentile/HLL aggregate level keyed on [event_type] alone.
+    val p = plan("q80_sk")
+    val offenders = p.linesIterator.filter { l =>
+      (l.contains("percentile_approx") || l.contains("approx_count_distinct")) &&
+        l.contains("keys=[") &&
+        l.substring(l.indexOf("keys=["), l.indexOf("]", l.indexOf("keys=[")) + 1)
+          .contains("user_id")
+    }.toList
+    assert(offenders.isEmpty,
+      s"sketch aggregate level keyed on user_id:\n${offenders.mkString("\n")}")
+    // and the exact count rides its own aggregation, joined back
+    assert(p.contains("Join"), "exact_users must join back, not mix in")
+  }
+
   test("q93: COUNT/MIN/MAX are pushed into the DSv2 scan — no raw-row read") {
     val p = plan("q93_aggpd")
     // the scan itself advertises the pushed partial aggregate...
