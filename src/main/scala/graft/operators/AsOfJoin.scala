@@ -24,14 +24,26 @@ import graft.tables.Tables
   * as a sort-merge join, with no range-explosion. Ties (equal
   * timestamps) order the right side first, giving the ASOF `>=`
   * convention.
+  *
+  * DETERMINISM on right-side ts ties: two right rows at identical
+  * (key, ts) would otherwise carry an arbitrary payload (window order
+  * (ts, side) leaves their relative order engine-chosen). `tieBreak`
+  * names right-payload columns appended ascending to the window
+  * ordering, so the carried row is the MAX of the tie-break tuple —
+  * fixed across retries, partitionings, and engines. Oracles mirror it
+  * by deduping the right side to that same arg-max row per (key, ts)
+  * before the ASOF join.
   */
 object AsOfJoin {
 
   /** leftCols/rightCols: payload columns to carry. Output = left
     * payload + matched right payload (nulls where no prior right row).
+    * `tieBreak`: right-payload columns ordering equal-(key,ts) right
+    * rows; the last (max) one wins the carry.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+      leftCols: Seq[String], rightCols: Seq[String],
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
     val rStructType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
     val lTagged = left.select(
       (col(key).as("__k") +: col(ts).as("__ts") +: lit(1).as("__side") +:
@@ -41,9 +53,13 @@ object AsOfJoin {
         (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
           struct(rightCols.map(c => col(c)): _*).cast(rStructType).as("__r"))): _*)
     val combined = lTagged.unionByName(rTagged)
-    // right rows (side 0) sort before left rows at equal ts → ASOF >=
+    // right rows (side 0) sort before left rows at equal ts → ASOF >=;
+    // tie-break cols (null on left rows, nulls-first) order tied right
+    // rows so last() deterministically carries the max tuple
+    val ordering = Seq(col("__ts").asc, col("__side").asc) ++
+      tieBreak.map(c => col("__r").getField(c).asc_nulls_first)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = combined.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
@@ -64,20 +80,28 @@ object AsOfJoin {
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
     asOf(left, purchases, key = "user_id", ts = "ts",
       leftCols = Seq("event_id", "event_type"),
-      rightCols = Seq("purchase_id", "purchase_value"))
+      rightCols = Seq("purchase_id", "purchase_value"),
+      tieBreak = Seq("purchase_id"))
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"), col("purchase_id"), col("purchase_value"))
   }
 
   /** Oracle: DuckDB's native ASOF LEFT JOIN (matches on the greatest
-    * right ts <= left ts per key).
+    * right ts <= left ts per key). The tie-break is mirrored by
+    * deduping purchases to the max-event_id row per (user_id, ts)
+    * before the join — at a tied right ts both engines then carry the
+    * same row, instead of each picking arbitrarily.
     */
   val eventAsOfSql: String =
     """SELECT l.user_id, CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
       |  l.event_id, l.event_type,
       |  p.event_id AS purchase_id, p.value AS purchase_value
       |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY user_id, ts ORDER BY event_id DESC) AS __rn
+      |    FROM events WHERE event_type = 'purchase') WHERE __rn = 1) p
       |  ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin
 
   /** Same-source as-of: when left and right are row-disjoint slices of
@@ -95,12 +119,16 @@ object AsOfJoin {
     * row sorts first (ASOF >=).
     */
   def asOfSelf(src: DataFrame, key: String, ts: String, isRight: Column,
-      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+      leftCols: Seq[String], rightCols: Seq[String],
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
     val tagged = src
       .withColumn("__side", when(isRight, lit(0)).otherwise(lit(1)))
       .withColumn("__r", when(isRight, struct(rightCols.map(col): _*)))
+    // same deterministic tie ordering as [[asOf]]
+    val ordering = Seq(col(ts).asc, col("__side").asc) ++
+      tieBreak.map(c => col("__r").getField(c).asc_nulls_first)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
@@ -124,7 +152,8 @@ object AsOfJoin {
     asOfSelf(ev, key = "user_id", ts = "ts",
       isRight = col("event_type") === "purchase",
       leftCols = Seq("event_id", "event_type"),
-      rightCols = Seq("purchase_id", "purchase_value"))
+      rightCols = Seq("purchase_id", "purchase_value"),
+      tieBreak = Seq("purchase_id"))
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"), col("purchase_id"), col("purchase_value"))
   }

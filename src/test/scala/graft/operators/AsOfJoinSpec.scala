@@ -43,6 +43,33 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got === (None, "new"))
   }
 
+  test("right-side ts ties carry the max tie-break row, deterministically") {
+    // two purchases at the identical (key, ts): without a tie-break the
+    // carried payload is engine-chosen; with tieBreak the max pid row
+    // (whole struct: pid AND its value) wins.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 7L, "seven"),
+      (1L, ts("2024-01-01 11:00:00"), 9L, "nine"),
+      (1L, ts("2024-01-01 11:00:00"), 8L, "eight")).toDF("k", "t", "pid", "tag")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("ev"), Seq("pid", "tag"),
+      tieBreak = Seq("pid"))
+      .select("pid", "tag").as[(Long, String)].head()
+    assert(got === ((9L, "nine")))
+
+    // same contract through the self-join path
+    val src = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "p", 7L, "seven"),
+      (1L, ts("2024-01-01 11:00:00"), "p", 9L, "nine"),
+      (1L, ts("2024-01-01 12:00:00"), "click", 0L, "")).toDF("k", "t", "kind", "pid", "tag")
+    import org.apache.spark.sql.functions.col
+    val got2 = AsOfJoin.asOfSelf(src, "k", "t", col("kind") === "p",
+      Seq("kind"), Seq("pid", "tag"), tieBreak = Seq("pid"))
+      .filter(col("kind") === "click")
+      .select("pid", "tag").as[(Long, String)].head()
+    assert(got2 === ((9L, "nine")))
+  }
+
   test("keys never mix") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "ev")
     val right = Seq((2L, ts("2024-01-01 09:00:00"), 9L)).toDF("k", "t", "pid")
