@@ -169,8 +169,17 @@ object SparkEntry {
     "q90_chunk" -> TextAnalysis.chunkQuery _,
     // — HLL sketch rollup: build per-day sketches, MERGE across days —
     "q91_hll_merge" -> FunctionFamilies.sketchRollup _,
+    // — streaming co-bucketed join: events stream FROM the bucket
+    //   store (one task per bucket, host-local), broadcast-enriched
+    //   against the co-bucketed customer table — zero shuffle of the
+    //   streamed rows (BucketedStreamSpec pins the plan) —
+    "q92_stream_bucket_join" -> graft.sources.bucketed.BucketedQueries.streamCoBucketedJoinQuery _,
     // — DSv2 aggregate pushdown: per-bucket COUNT/MIN/MAX partials —
     "q93_aggpd" -> graft.sources.bucketed.BucketedQueries.aggPushdownQuery _,
+    // — pushed SUM partials (long/double; decimal stays Spark-side) —
+    "q94_sumpd" -> graft.sources.bucketed.BucketedQueries.sumPushdownQuery _,
+    // — pushed TopN: per-bucket bounded heap, n rows per bucket move —
+    "q95_topn" -> graft.sources.bucketed.BucketedQueries.topNPushdownQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -311,6 +320,9 @@ object SparkEntry {
     "q89_pack_bpe" -> graft.operators.Pipelines.sequencePackBpeSql,
     "q90_chunk" -> TextAnalysis.chunkSql,
     "q91_hll_merge" -> FunctionFamilies.sketchRollupSql,
+    "q92_stream_bucket_join" -> graft.sources.bucketed.BucketedQueries.streamCoBucketedJoinSql,
     "q93_aggpd" -> graft.sources.bucketed.BucketedQueries.aggPushdownSql,
+    "q94_sumpd" -> graft.sources.bucketed.BucketedQueries.sumPushdownSql,
+    "q95_topn" -> graft.sources.bucketed.BucketedQueries.topNPushdownSql,
   )
 }

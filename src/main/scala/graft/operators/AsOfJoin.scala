@@ -36,6 +36,17 @@ import graft.tables.Tables
   */
 object AsOfJoin {
 
+  /** tieBreak columns are read via `__r.getField(c)`, so a non-member
+    * would surface as an opaque analysis error deep in the window plan
+    * — validate at the API boundary instead.
+    */
+  private def requireTieBreakSubset(tieBreak: Seq[String], rightCols: Seq[String]): Unit = {
+    val bad = tieBreak.filterNot(rightCols.contains)
+    require(bad.isEmpty,
+      s"asOf tieBreak column(s) ${bad.mkString("'", "', '", "'")} must be members of " +
+        s"rightCols [${rightCols.mkString(", ")}]")
+  }
+
   /** leftCols/rightCols: payload columns to carry. Output = left
     * payload + matched right payload (nulls where no prior right row).
     * `tieBreak`: right-payload columns ordering equal-(key,ts) right
@@ -44,6 +55,7 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       leftCols: Seq[String], rightCols: Seq[String],
       tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    requireTieBreakSubset(tieBreak, rightCols)
     val rStructType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
     val lTagged = left.select(
       (col(key).as("__k") +: col(ts).as("__ts") +: lit(1).as("__side") +:
@@ -121,6 +133,7 @@ object AsOfJoin {
   def asOfSelf(src: DataFrame, key: String, ts: String, isRight: Column,
       leftCols: Seq[String], rightCols: Seq[String],
       tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    requireTieBreakSubset(tieBreak, rightCols)
     val tagged = src
       .withColumn("__side", when(isRight, lit(0)).otherwise(lit(1)))
       .withColumn("__r", when(isRight, struct(rightCols.map(col): _*)))

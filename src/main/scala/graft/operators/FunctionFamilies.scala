@@ -243,7 +243,11 @@ object FunctionFamilies {
     val exact = ev
       .groupBy(col("event_type"))
       .agg(count_distinct(col("user_id")).as("exact_users"))
-    sketches.join(exact, "event_type")
+    // null-safe join key: a NULL event_type group must pair up across
+    // the two branches exactly like the oracle's single GROUP BY keeps
+    // it (a plain inner equi-join would silently drop it)
+    sketches.join(exact, sketches("event_type") <=> exact("event_type"))
+      .drop(exact("event_type"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("au") - col("exact_users")) <= col("exact_users") * lit(0.05)).as("hll_ok"),
         (col("p50s") >= col("vmin") && col("p50s") >= col("p25s") &&

@@ -111,4 +111,84 @@ object BucketedQueries {
       | count(*) AS n
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** q92 — the STREAMING co-bucketed join (reference:
+    * ParquetTableJoin.scala:51-59, a Kafka stream joined to a table):
+    * events STREAM from the bucket store via [[BucketMicroBatchStream]]
+    * (one task per bucket, host-local, snapshot-versioned offsets),
+    * enriched against the co-bucketed `customer` table read through
+    * the same catalog. The dim side broadcasts, so the streamed fact
+    * rows are NEVER shuffled — each micro-batch keeps the store's
+    * bucket partitioning end to end, and the join is stateless (no
+    * state store; BucketedStreamSpec asserts both, plus zero
+    * `Exchange hashpartitioning` in the executed micro-batch plan).
+    * Why not a storage-partitioned stateful join instead: see the
+    * feasibility boundary note on [[BucketMicroBatchStream]].
+    */
+  def streamCoBucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"events@$dir", dir, "events", "user_id", NumBuckets)
+    BucketStore.ensureLoaded(spark, s"customer@$dir", dir, "customer", "c_custkey", NumBuckets)
+    val stream = spark.readStream.format("graft-buckets")
+      .option("table", s"events@$dir").load()
+    val dim = spark.read.format("graft-buckets")
+      .option("table", s"customer@$dir").load()
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = stream
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        unix_micros(col("ts")).as("ts_us"))
+    graft.streaming.StreamOps.runToMemory(joined, "append")
+  }
+
+  val streamCoBucketedJoinSql: String =
+    """SELECT event_id, user_id, c_mktsegment, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  /** q94 — pushed SUM partials: sum(double) and sum(bigint) evaluated
+    * per bucket alongside COUNT/MAX, one partial row per (bucket,
+    * group) shipped. Oracle-parity note: `l_quantity` is integer-valued
+    * (verified on the generated data), so the double sum is exact and
+    * summation-order-independent — safe to hash-compare; a fractional
+    * double column would go through the decimal-sum discipline on the
+    * Spark side instead, which is exactly why DECIMAL sums stay
+    * unpushed.
+    */
+  def sumPushdownQuery(spark: SparkSession, dir: String): DataFrame =
+    bucketedLineitem(spark, dir)
+      .filter(col("l_quantity") >= 25.0)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        max(col("l_quantity")).as("max_qty"))
+
+  val sumPushdownSql: String =
+    """SELECT l_linestatus, count(*) AS n,
+      | CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      | CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+      | max(l_quantity) AS max_qty
+      |FROM lineitem WHERE l_quantity >= 25.0
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** q95 — pushed TopN: ORDER BY … LIMIT runs as a bounded heap inside
+    * each bucket reader (n rows per bucket cross the wire, never the
+    * bucket), with Spark's global Sort+Limit re-ranking the survivors.
+    * The sort is a total order (unique key tie-break) so the result is
+    * deterministic and hash-gateable.
+    */
+  def topNPushdownQuery(spark: SparkSession, dir: String): DataFrame =
+    bucketedLineitem(spark, dir)
+      .filter(col("l_returnflag") === "A")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(25)
+
+  val topNPushdownSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem WHERE l_returnflag = 'A'
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 25""".stripMargin
 }

@@ -110,7 +110,7 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   override def name(): String = s"graft-buckets:$name"
   override def schema(): StructType = t.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   /** Report the store's hash-bucket layout in table metadata. */
   override def partitioning(): Array[Transform] =
@@ -132,12 +132,14 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   */
 class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOptions.Defaults)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private val full: StructType = BucketStore.getWithRetry(name).schema
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var aggSpec: Option[AggSpec] = None
+  private var limit: Option[Int] = None
+  private var topN: Option[TopNSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition(FilterEval.supports(full, _))
@@ -163,6 +165,36 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
     spec.isDefined
   }
 
+  /** LIMIT n stops each bucket's page iterator after n rows instead of
+    * draining the bucket (the fetch loop never dials the next page) —
+    * at 100 TB a `LIMIT 10` touches ≤ 10 rows per bucket, not the
+    * table. Partial by construction (each bucket applies it locally),
+    * so Spark keeps the global Limit above — declared via
+    * [[isPartiallyPushed]]. Declined when an aggregate was pushed: the
+    * planner never pushes a limit below an aggregate, so accepting one
+    * here could only mis-apply it to pre-aggregate rows.
+    */
+  override def pushLimit(n: Int): Boolean =
+    if (aggSpec.isDefined) false else { limit = Some(n); true }
+
+  /** ORDER BY … LIMIT n becomes a per-bucket bounded-heap top-N: each
+    * bucket streams once through an n-row heap and ships n rows, so the
+    * global sort above sees buckets × n rows, never the table.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean =
+    if (aggSpec.isDefined) false
+    else TopNSpec.from(orders, n, full) match {
+      case Some(spec) => topN = Some(spec); true
+      case None => false
+    }
+
+  /** Both limit and top-N are per-bucket partials; Spark keeps the
+    * final global Limit/Sort. (Single shared override: the two
+    * interfaces declare the same default method.)
+    */
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = {
     val t = BucketStore.getWithRetry(name)
     // numpartitions is a cross-check, not a knob: parallelism is
@@ -174,18 +206,91 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
     }
     aggSpec match {
       case Some(spec) => new BucketedAggScan(name, spec, pushed, t.version, opts.fetchSize)
-      case None => new BucketedScan(name, required, pushed, t.version, opts.fetchSize)
+      case None =>
+        new BucketedScan(name, required, pushed, t.version, opts.fetchSize, limit, topN)
+    }
+  }
+}
+
+/** A pushed ORDER BY … LIMIT: sort keys restricted to single orderable
+  * columns (the [[FilterEval.cmp]] domain, NaN-safe), with explicit
+  * direction and null ordering so the per-bucket heap reproduces
+  * Spark's sort semantics exactly.
+  */
+final case class TopNSpec(keys: Seq[TopNSpec.Key], n: Int) {
+  def describe: String = {
+    val ks = keys.map(k =>
+      s"${k.col} ${if (k.desc) "DESC" else "ASC"} ${if (k.nullsFirst) "NULLS FIRST" else "NULLS LAST"}")
+    s"pushedTopN=[${ks.mkString(", ")}] nRows=$n"
+  }
+}
+
+object TopNSpec {
+  final case class Key(col: String, desc: Boolean, nullsFirst: Boolean)
+
+  import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder}
+  import org.apache.spark.sql.types._
+
+  private def orderableType(dt: DataType): Boolean = dt match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType | _: DoubleType |
+         _: FloatType | _: DecimalType | _: StringType | _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  def from(orders: Array[SortOrder], n: Int, schema: StructType): Option[TopNSpec] = {
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            schema.fieldNames.contains(nr.fieldNames.head) &&
+            orderableType(schema(nr.fieldNames.head).dataType) =>
+          Some(Key(nr.fieldNames.head,
+            o.direction() == SortDirection.DESCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.isEmpty || keys.exists(_.isEmpty) || n <= 0) None
+    else Some(TopNSpec(keys.flatten, n))
+  }
+
+  /** Row ordering matching the requested sort (ascending = "first"). */
+  def ordering(spec: TopNSpec, schema: StructType): Ordering[Row] = {
+    val idx = spec.keys.map(k => (schema.fieldIndex(k.col), k.desc, k.nullsFirst)).toArray
+    new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        var i = 0
+        while (i < idx.length) {
+          val (j, desc, nullsFirst) = idx(i)
+          val an = a.isNullAt(j)
+          val bn = b.isNullAt(j)
+          val c =
+            if (an && bn) 0
+            else if (an) { if (nullsFirst) -1 else 1 }
+            else if (bn) { if (nullsFirst) 1 else -1 }
+            else {
+              val raw = FilterEval.cmp(a.get(j), b.get(j))
+              if (desc) -raw else raw
+            }
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
     }
   }
 }
 
 /** The pushed-aggregate subset the per-bucket reader evaluates exactly:
-  * COUNT(*), COUNT(col), MIN(col), MAX(col) over single-column
-  * references, grouped by plain columns. Anything else (SUM — decimal
-  * overflow discipline belongs to Spark, AVG — not mergeable as-is,
-  * DISTINCT, expressions) is declined and Spark computes it from raw
-  * rows. Output schema follows the DSv2 contract: group-by columns
-  * first, then aggregate columns in `aggregateExpressions` order.
+  * COUNT(*), COUNT(col), MIN(col), MAX(col), SUM(col) over
+  * single-column references, grouped by plain columns. SUM pushes only
+  * for integral (partial = Long, the same wrapping add Spark's
+  * non-ANSI sum uses) and float/double (partial = Double) columns —
+  * decimal stays declined so overflow discipline remains Spark's.
+  * Anything else (AVG — not mergeable as-is, DISTINCT, expressions) is
+  * declined and Spark computes it from raw rows. Output schema follows
+  * the DSv2 contract: group-by columns first, then aggregate columns
+  * in `aggregateExpressions` order; the partial SUM's type matches the
+  * type Spark's final merge (`Sum` over the partial column) expects.
   */
 final case class AggSpec(aggs: Seq[AggSpec.PushedAgg], groupCols: Seq[String],
     full: StructType) {
@@ -198,6 +303,8 @@ final case class AggSpec(aggs: Seq[AggSpec.PushedAgg], groupCols: Seq[String],
       case (AggSpec.PCount(c), i) => StructField(s"count_${c}_$i", LongType, nullable = false)
       case (AggSpec.PMin(c), i) => StructField(s"min_${c}_$i", full(c).dataType, nullable = true)
       case (AggSpec.PMax(c), i) => StructField(s"max_${c}_$i", full(c).dataType, nullable = true)
+      case (AggSpec.PSum(c), i) =>
+        StructField(s"sum_${c}_$i", AggSpec.sumResultType(full(c).dataType), nullable = true)
     })
 
   def describe: String = {
@@ -206,6 +313,7 @@ final case class AggSpec(aggs: Seq[AggSpec.PushedAgg], groupCols: Seq[String],
       case AggSpec.PCount(c) => s"COUNT($c)"
       case AggSpec.PMin(c) => s"MIN($c)"
       case AggSpec.PMax(c) => s"MAX($c)"
+      case AggSpec.PSum(c) => s"SUM($c)"
     }
     s"pushedAggs=[${as.mkString(", ")}] groupBy=[${groupCols.mkString(", ")}]"
   }
@@ -217,6 +325,7 @@ object AggSpec {
   final case class PCount(col: String) extends PushedAgg
   final case class PMin(col: String) extends PushedAgg
   final case class PMax(col: String) extends PushedAgg
+  final case class PSum(col: String) extends PushedAgg
 
   import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -235,6 +344,22 @@ object AggSpec {
     case _ => false
   }
 
+  /** SUM only where the partial is exactly mergeable by Spark's final
+    * `Sum` over the partial column: integrals widen to Long (Spark's
+    * own sum(int) partial type), floats to Double. Decimal is declined
+    * — its overflow/precision discipline stays with Spark.
+    */
+  private def summable(schema: StructType, c: String): Boolean = schema(c).dataType match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+         _: DoubleType | _: FloatType => true
+    case _ => false
+  }
+
+  private[bucketed] def sumResultType(dt: DataType): DataType = dt match {
+    case _: DoubleType | _: FloatType => DoubleType
+    case _ => LongType
+  }
+
   def from(aggregation: Aggregation, schema: StructType): Option[AggSpec] = {
     val groups = aggregation.groupByExpressions.toSeq.map(singleCol(_, schema))
     if (groups.exists(_.isEmpty)) return None
@@ -243,6 +368,8 @@ object AggSpec {
       case c: Count if !c.isDistinct => singleCol(c.column, schema).map(PCount)
       case m: Min => singleCol(m.column, schema).filter(orderable(schema, _)).map(PMin)
       case m: Max => singleCol(m.column, schema).filter(orderable(schema, _)).map(PMax)
+      case s: Sum if !s.isDistinct =>
+        singleCol(s.column, schema).filter(summable(schema, _)).map(PSum)
       case _ => None
     }
     if (aggs.exists(_.isEmpty) || aggs.isEmpty) None
@@ -251,16 +378,27 @@ object AggSpec {
 }
 
 class BucketedScan(name: String, required: StructType, filters: Array[Filter], version: Long,
-    fetchSize: Int = 1000)
+    fetchSize: Int = 1000, limit: Option[Int] = None, topN: Option[TopNSpec] = None)
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
+  override def description(): String = {
+    val extra = topN.map(" " + _.describe).orElse(limit.map(n => s" pushedLimit=$n")).getOrElse("")
+    s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]$extra"
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     BucketSplits.plan(name, filters, version)
+
+  /** Streaming read of the same bucket-pinned scan: each micro-batch
+    * replays the store snapshot its end offset names, through the same
+    * per-bucket partitions, locality hints, and pooled readers as the
+    * batch path. See [[BucketMicroBatchStream]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BucketMicroBatchStream(name, required, filters, fetchSize)
 
   /** Report the store's hash-bucket layout to the planner: with
     * `spark.sql.sources.v2.bucketing.enabled`, joins between two
@@ -275,7 +413,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BucketedReaderFactory(required, filters, fetchSize)
+    new BucketedReaderFactory(required, filters, fetchSize, limit, topN)
 }
 
 /** One split per live bucket, after key-equality bucket pruning: a
@@ -286,15 +424,26 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   * scanning the cluster. Shared by the row scan and the pushed-
   * aggregate scan so both prune identically.
   */
-private[bucketed] object BucketSplits {
-  def plan(name: String, filters: Array[Filter], version: Long): Array[InputPartition] = {
+private[sources] object BucketSplits {
+  /** `keepOneWhenPruned`: a GLOBAL pushed aggregate (no GROUP BY) must
+    * emit its one count=0/min=NULL row even when disjoint key-equality
+    * conjuncts (`k=1 AND k=2`) prune every bucket — with zero planned
+    * partitions Spark's partial-pushdown merge (Sum of partial counts)
+    * sees no rows and returns NULL where SQL requires 0. Planning one
+    * bucket keeps the reader's empty-bucket row alive; its pushed
+    * filters drop every data row, so only the identity-element row
+    * survives.
+    */
+  def plan(name: String, filters: Array[Filter], version: Long,
+      keepOneWhenPruned: Boolean = false): Array[InputPartition] = {
     val t = BucketStore.getWithRetry(name)
     val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
       BucketInputPartition(name, b, t.hosts(b).toArray, version))
-    BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
+    val planned = BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
       case Some(keep) => all.filter(p => keep.contains(p.asInstanceOf[BucketInputPartition].bucket))
       case None => all
     }
+    if (planned.isEmpty && keepOneWhenPruned && all.nonEmpty) all.take(1) else planned
   }
 }
 
@@ -314,7 +463,7 @@ class BucketedAggScan(name: String, spec: AggSpec, filters: Array[Filter], versi
     s"graft-buckets:$name pushed=[${filters.mkString(", ")}] ${spec.describe}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    BucketSplits.plan(name, filters, version)
+    BucketSplits.plan(name, filters, version, keepOneWhenPruned = spec.groupCols.isEmpty)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BucketedAggReaderFactory(spec, filters, fetchSize)
@@ -363,7 +512,13 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
     val acc = new scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]
     val init: () => Array[Any] = () => spec.aggs.map {
       case PCountStar | PCount(_) => 0L: Any
-      case PMin(_) | PMax(_) => null: Any
+      case PMin(_) | PMax(_) | PSum(_) => null: Any
+    }.toArray
+    // partial-sum accumulation type per agg (true = Double, else Long)
+    val sumIsFloating: Array[Boolean] = spec.aggs.map {
+      case PSum(c) => AggSpec.sumResultType(fullSchema(c).dataType) ==
+        org.apache.spark.sql.types.DoubleType
+      case _ => false
     }.toArray
     if (spec.groupCols.isEmpty) acc(Nil) = init()
     filtered.foreach { r =>
@@ -386,6 +541,21 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
             if (!r.isNullAt(j)) {
               val v = r.get(j)
               if (slots(i) == null || FilterEval.cmp(v, slots(i)) > 0) slots(i) = v
+            }
+          case PSum(col) =>
+            val j = fullSchema.fieldIndex(col)
+            if (!r.isNullAt(j)) {
+              val n = r.get(j).asInstanceOf[Number]
+              // SUM over zero non-null rows stays NULL (Spark's sum
+              // semantics); integral adds wrap like Spark's non-ANSI sum
+              slots(i) =
+                if (sumIsFloating(i)) {
+                  val d = n.doubleValue()
+                  if (slots(i) == null) d else slots(i).asInstanceOf[Double] + d
+                } else {
+                  val l = n.longValue()
+                  if (slots(i) == null) l else slots(i).asInstanceOf[Long] + l
+                }
             }
         }
       }
@@ -487,11 +657,12 @@ private[bucketed] object BucketReaderSupport {
   }
 }
 
-class BucketedReaderFactory(required: StructType, filters: Array[Filter], fetchSize: Int = 1000)
+class BucketedReaderFactory(required: StructType, filters: Array[Filter], fetchSize: Int = 1000,
+    limit: Option[Int] = None, topN: Option[TopNSpec] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BucketInputPartition]
-    new BucketedPartitionReader(p, required, filters, fetchSize)
+    new BucketedPartitionReader(p, required, filters, fetchSize, limit, topN)
   }
 }
 
@@ -508,7 +679,8 @@ class BucketedReaderFactory(required: StructType, filters: Array[Filter], fetchS
   * hand-rolled mid-stream resume.
   */
 class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
-    filters: Array[Filter], fetchSize: Int = 1000)
+    filters: Array[Filter], fetchSize: Int = 1000,
+    limit: Option[Int] = None, topN: Option[TopNSpec] = None)
   extends PartitionReader[InternalRow] {
 
   private val table = BucketStore.getWithRetry(p.table)
@@ -525,7 +697,25 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
   private val it: Iterator[Row] = {
     val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize)
     conn = c
-    rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+    val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+    topN match {
+      case Some(spec) =>
+        // bounded heap: one pass, O(n) memory — keep the n first rows
+        // under the requested ordering (max-heap evicts the current
+        // worst keeper). The global Sort+Limit above re-ranks the
+        // buckets' n-row survivors.
+        val ord = TopNSpec.ordering(spec, fullSchema)
+        val heap = new scala.collection.mutable.PriorityQueue[Row]()(ord)
+        filtered.foreach { r =>
+          heap.enqueue(r)
+          if (heap.size > spec.n) { heap.dequeue(); () }
+        }
+        heap.dequeueAll.reverseIterator
+      case None =>
+        // take() is lazy: page fetches stop once n rows have passed the
+        // pushed filters — a LIMIT 10 never drains the bucket's pages
+        limit.map(filtered.take).getOrElse(filtered)
+    }
   }
 
   private var current: InternalRow = _
@@ -652,8 +842,23 @@ object FilterEval {
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
     case (x: Number, y: Number) =>
-      new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
+      // NaN/Infinity cannot round-trip through BigDecimal (it throws
+      // NumberFormatException on legal input), and BigDecimal could not
+      // reproduce Spark's NaN-as-largest ordering anyway — route any
+      // non-finite float through IEEE compare (Double.compare orders
+      // -Inf < finite < +Inf < NaN, exactly Spark's ordering). Finite
+      // mixed-width numbers keep the exact BigDecimal path (doubleValue
+      // would lose precision on longs past 2^53).
+      if (nonFinite(x) || nonFinite(y))
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      else new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
     case _ => throw new IllegalStateException(
       s"incomparable filter operands: ${a.getClass} vs ${b.getClass}")
+  }
+
+  private def nonFinite(n: Number): Boolean = n match {
+    case d: java.lang.Double => d.isNaN || d.isInfinite
+    case f: java.lang.Float => f.isNaN || f.isInfinite
+    case _ => false
   }
 }

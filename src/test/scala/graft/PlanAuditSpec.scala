@@ -174,8 +174,40 @@ class PlanAuditSpec extends SparkSuite {
     }.toList
     assert(offenders.isEmpty,
       s"sketch aggregate level keyed on user_id:\n${offenders.mkString("\n")}")
-    // and the exact count rides its own aggregation, joined back
-    assert(p.contains("Join"), "exact_users must join back, not mix in")
+    // and the exact count rides its own aggregation, joined back ON
+    // event_type — pin an actual join operator line whose keys carry
+    // event_type, not just the 'Join' substring anywhere in the plan
+    val joinLine = p.linesIterator.find(l =>
+      l.matches(""".*(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*event_type.*"""))
+    assert(joinLine.isDefined,
+      s"exact_users must join back on event_type, not mix in:\n${p.take(900)}")
+  }
+
+  test("q94: SUM partials are pushed into the DSv2 scan alongside COUNT/MAX") {
+    val p = plan("q94_sumpd")
+    assert(p.contains("SUM(l_quantity)") && p.contains("SUM(l_orderkey)"), p.take(1200))
+    assert(p.contains("pushedAggs=["), p.take(1200))
+    assert(p.contains("groupBy=[l_linestatus]"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,25.0)"), "filter must still push")
+    assert(!p.contains(" Filter "), "no residual filter over the aggregated scan")
+  }
+
+  test("q95: ORDER BY + LIMIT runs as a pushed per-bucket TopN") {
+    val p = plan("q95_topn")
+    assert(p.contains("pushedTopN=[l_extendedprice DESC NULLS LAST, " +
+      "l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST] nRows=25"), p.take(1200))
+    // the global re-rank over buckets × n survivors must remain
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p.take(1200))
+  }
+
+  test("pushed LIMIT reaches the DSv2 scan") {
+    val sfDir = sf
+    graft.sources.bucketed.BucketStore.ensureLoaded(
+      spark, s"lineitem@$sfDir", sfDir, "lineitem", "l_orderkey", 16)
+    val q = spark.read.format("graft-buckets").option("table", s"lineitem@$sfDir").load()
+      .select("l_orderkey", "l_quantity").limit(7)
+    assert(q.queryExecution.executedPlan.toString.contains("pushedLimit=7"),
+      q.queryExecution.executedPlan.toString.take(1200))
   }
 
   test("q93: COUNT/MIN/MAX are pushed into the DSv2 scan — no raw-row read") {

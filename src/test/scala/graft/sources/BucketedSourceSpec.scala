@@ -123,15 +123,154 @@ class BucketedSourceSpec extends SparkSuite {
     assert(e.as[(Long, Option[Int])].head() === ((0L, None)))
   }
 
-  test("aggregate pushdown declines what the reader cannot do exactly (SUM, AVG, DISTINCT)") {
+  test("aggregate pushdown declines what the reader cannot do exactly (AVG, DISTINCT, decimal SUM)") {
     import spark.implicits._
     val df = Seq((1, 10), (2, 5)).toDF("id", "w")
     BucketStore.load(spark, "agg_decl", df, "id", 2)
     val s = spark.read.format("graft-buckets").option("table", "agg_decl").load()
+    // a DISTINCT alongside any agg declines the whole pushdown
     val q = s.agg(sum(col("w")).as("sw"), count_distinct(col("w")).as("dw"))
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("pushedAggs="), p) // declined: Spark reads raw rows
     assert(q.as[(Long, Long)].head() === ((15L, 2L)))
+    // decimal SUM stays with Spark (overflow discipline)
+    val dec = Seq((1, BigDecimal("1.50")), (2, BigDecimal("2.25"))).toDF("id", "d")
+    BucketStore.load(spark, "agg_dec", dec, "id", 2)
+    val sd = spark.read.format("graft-buckets").option("table", "agg_dec").load()
+    val qd = sd.agg(sum(col("d")).as("sd"))
+    assert(!qd.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      "decimal SUM must not push")
+    assert(qd.head().getDecimal(0).compareTo(new java.math.BigDecimal("3.75")) === 0)
+  }
+
+  test("SUM pushdown: long and double partials match the DataFrame baseline") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 10L, 1.5, Option(3)), (2, 5L, 2.25, None),
+      (3, -7L, -0.75, Option(4)), (4, 100L, 0.0, None),
+      (5, 1L, 10.5, Option(1))).toDF("id", "l", "d", "oi")
+    BucketStore.load(spark, "agg_sum", df, "id", 4)
+    val s = spark.read.format("graft-buckets").option("table", "agg_sum").load()
+    // global: sum(long), sum(double), sum(nullable int → long), count
+    val g = s.agg(sum(col("l")).as("sl"), sum(col("d")).as("sd"),
+      sum(col("oi")).as("si"), count(lit(1)).as("n"))
+    val gp = g.queryExecution.executedPlan.toString
+    assert(gp.contains("pushedAggs=[SUM(l), SUM(d), SUM(oi), COUNT(*)]"), gp)
+    assert(g.collect().map(_.toSeq).toSeq ===
+      df.agg(sum(col("l")), sum(col("d")), sum(col("oi")), count(lit(1)))
+        .collect().map(_.toSeq).toSeq)
+    // grouped, including a group whose nullable column is all-null
+    // (its pushed SUM partial must stay NULL, not 0)
+    val grouped = s.groupBy((col("id") % 2).as("g"))
+      .agg(sum(col("l")).as("sl"), sum(col("oi")).as("si")).orderBy(col("g"))
+    val base = df.groupBy((col("id") % 2).as("g"))
+      .agg(sum(col("l")).as("sl"), sum(col("oi")).as("si")).orderBy(col("g"))
+    assert(grouped.collect().map(_.toSeq).toSeq === base.collect().map(_.toSeq).toSeq)
+    // empty table: global sum is NULL, count is 0 — through the merge
+    BucketStore.load(spark, "agg_sum_empty", df.filter(col("id") > 100), "id", 4)
+    val e = spark.read.format("graft-buckets").option("table", "agg_sum_empty").load()
+      .agg(count(lit(1)).as("n"), sum(col("l")).as("sl"))
+    assert(e.as[(Long, Option[Long])].head() === ((0L, None)))
+  }
+
+  test("pushed MIN/MAX and filters survive NaN/Infinity doubles (Spark NaN ordering)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 1.5, "a"), (2, Double.NaN, "a"), (3, Double.PositiveInfinity, "b"),
+      (4, Double.NegativeInfinity, "b"), (5, -0.0, "a"), (6, 42.0, "b"))
+      .toDF("id", "d", "g")
+    BucketStore.load(spark, "nan_t", df, "id", 4)
+    val s = spark.read.format("graft-buckets").option("table", "nan_t").load()
+    // pushed MIN/MAX over a column containing NaN/Inf must not crash
+    // and must agree with Spark's unpushed answer (NaN sorts largest)
+    // NaN != NaN under value equality — compare rendered rows instead
+    def rows(q: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      q.collect().toSeq.map(_.toSeq.map(String.valueOf))
+    val g = s.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    assert(g.queryExecution.executedPlan.toString.contains("pushedAggs=[MIN(d), MAX(d)]"))
+    assert(rows(g) === rows(df.agg(min(col("d")), max(col("d")))))
+    val grouped = s.groupBy(col("g")).agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .orderBy(col("g"))
+    assert(rows(grouped) ===
+      rows(df.groupBy(col("g")).agg(min(col("d")), max(col("d"))).orderBy(col("g"))))
+    // pushed comparison filters against NaN rows follow Spark semantics
+    // (NaN > 1.0 is true) instead of crashing in the comparator
+    val f = s.filter(col("d") > 1.0).select(col("id"))
+    assert(f.as[Int].collect().toSet ===
+      df.filter(col("d") > 1.0).select(col("id")).as[Int].collect().toSet)
+  }
+
+  test("empty bucket-prune × global aggregate returns 0, not NULL") {
+    import org.apache.spark.sql.sources.EqualTo
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i, i * 10)).toDF("id", "w")
+    BucketStore.load(spark, "prune0_t", df, "id", 4)
+    val t = BucketStore.get("prune0_t")
+    // values grouped by owning bucket, so disjointness is constructed,
+    // not assumed
+    val byBucket = (1 to 200).groupBy(i => BucketFunction.bucketFor(i, 4).get)
+    // unit level: disjoint key equalities prune every bucket; the agg
+    // path keeps one partition alive so the count=0 row survives
+    val disjoint: Array[org.apache.spark.sql.sources.Filter] =
+      Array(EqualTo("id", byBucket(0).head), EqualTo("id", byBucket(1).head))
+    assert(BucketSplits.plan("prune0_t", disjoint, t.version).isEmpty)
+    assert(BucketSplits.plan("prune0_t", disjoint, t.version, keepOneWhenPruned = true)
+      .length === 1)
+    // e2e: two-element INs with provably disjoint bucket sets (single-
+    // element INs would fold to EqualTo and constant-propagate to false
+    // before reaching the source)
+    val aVals = byBucket(0).take(2)
+    val bVals = byBucket(1).take(2)
+    val s = spark.read.format("graft-buckets").option("table", "prune0_t").load()
+    val q = s.filter(col("id").isin(aVals: _*) && col("id").isin(bVals: _*))
+      .agg(count(lit(1)).as("n"))
+    // the pushed-agg scan planned (not Spark's empty-relation shortcut)
+    assert(q.queryExecution.executedPlan.toString.contains("pushedAggs=[COUNT(*)]"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.as[Long].head() === 0L, "COUNT(*) over a fully-pruned scan must be 0, not NULL")
+  }
+
+  test("limit pushdown: LIMIT stops the page stream early") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, s"v$i")).toDF("id", "v")
+    BucketStore.load(spark, "limit_t", df, "id", 4)
+    def scan = spark.read.format("graft-buckets")
+      .option("table", "limit_t").option("fetchsize", "2").load()
+    // full drain for the page baseline
+    val before = HostConnection.roundTripCount.get()
+    assert(scan.count() === 100)
+    val fullPages = HostConnection.roundTripCount.get() - before
+    assert(fullPages >= 50, s"baseline: 100 rows / fetchsize 2 → ≥50 pages, got $fullPages")
+    val q = scan.limit(5)
+    assert(q.queryExecution.executedPlan.toString.contains("pushedLimit=5"),
+      q.queryExecution.executedPlan.toString)
+    val before2 = HostConnection.roundTripCount.get()
+    assert(q.collect().length === 5)
+    val limitPages = HostConnection.roundTripCount.get() - before2
+    assert(limitPages <= 12,
+      s"pushed LIMIT 5 must stop the page stream (≤3 pages/bucket), fetched $limitPages")
+  }
+
+  test("TopN pushdown: per-bucket bounded heap matches the full sort, nulls ordered") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Option(5.0), "a"), (2, None: Option[Double], "b"), (3, Option(9.0), "c"),
+      (4, Option(-1.0), "d"), (5, Option(9.0), "e"), (6, None: Option[Double], "f"),
+      (7, Option(0.5), "g"), (8, Option(7.25), "h")).toDF("id", "d", "v")
+    BucketStore.load(spark, "topn_t", df, "id", 4)
+    val s = spark.read.format("graft-buckets").option("table", "topn_t").load()
+    // DESC (nulls last by default) with unique tie-break → deterministic
+    val q = s.orderBy(col("d").desc, col("id").asc).limit(3).select("id")
+    assert(q.queryExecution.executedPlan.toString.contains(
+      "pushedTopN=[d DESC NULLS LAST, id ASC NULLS FIRST] nRows=3"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.as[Int].collect().toSeq ===
+      df.orderBy(col("d").desc, col("id").asc).limit(3).select("id").as[Int].collect().toSeq)
+    // ASC (nulls first by default): the heap must keep the null rows
+    val q2 = s.orderBy(col("d").asc, col("id").asc).limit(3).select("id")
+    assert(q2.queryExecution.executedPlan.toString.contains("NULLS FIRST"), "asc nulls first")
+    assert(q2.as[Int].collect().toSeq ===
+      df.orderBy(col("d").asc, col("id").asc).limit(3).select("id").as[Int].collect().toSeq)
   }
 
   test("FilterEval tri-state truth table over a NULL operand") {
