@@ -93,9 +93,30 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Integer ITU-R BT.601 luminance of one packed RGB pixel:
+    * `(299·R + 587·G + 114·B) / 1000`. The weights sum to 1000, so for
+    * a gray pixel (R=G=B=v) the division is exact and Y = v — which is
+    * what keeps q85's arithmetic pixel-sum oracle valid over gray
+    * PNGs. (Round 6 verdict: the old code read `rgb & 0xff`, i.e. the
+    * BLUE channel, while the scaladoc called it luminance — correct
+    * for gray fixtures, mislabeled for color.)
+    */
+  private[multimodal] def luminance(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
   /** Real image decode: `ImageIO.read`, then one pass over the pixels
-    * for the luminance sum and an 8-bin histogram. Fails loudly on
-    * undecodable payloads — silent nulls at 100 TB hide corrupt shards.
+    * for the BT.601 luminance sum and an 8-bin luminance histogram.
+    * Fails loudly on undecodable payloads — silent nulls at 100 TB
+    * hide corrupt shards.
+    *
+    * Exact-sum contract: only LOSSLESS formats (png) can promise a
+    * predictable `pix_sum` (q85 gates it); jpg/jpeg decode through the
+    * same path but their sums are codec-dependent — never oracle-gate
+    * a lossy format's pixel arithmetic.
     */
   private def decodeImage(id: Long, bytes: Array[Byte], fmt: String): DecodedMedia = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -108,7 +129,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = img.getRGB(x, y) & 0xff
+        val v = luminance(img.getRGB(x, y))
         sum += v
         feats(v >> 5) += 1f
         x += 1

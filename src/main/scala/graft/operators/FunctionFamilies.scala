@@ -245,9 +245,12 @@ object FunctionFamilies {
       .agg(count_distinct(col("user_id")).as("exact_users"))
     // null-safe join key: a NULL event_type group must pair up across
     // the two branches exactly like the oracle's single GROUP BY keeps
-    // it (a plain inner equi-join would silently drop it)
-    sketches.join(exact, sketches("event_type") <=> exact("event_type"))
-      .drop(exact("event_type"))
+    // it (a plain inner equi-join would silently drop it). The right
+    // side's key is renamed first — both branches descend from the
+    // same scan, so unaliased column refs would be ambiguous.
+    sketches.join(exact.withColumnRenamed("event_type", "__et"),
+        col("event_type") <=> col("__et"))
+      .drop("__et")
       .select(col("event_type"), col("exact_users"),
         (abs(col("au") - col("exact_users")) <= col("exact_users") * lit(0.05)).as("hll_ok"),
         (col("p50s") >= col("vmin") && col("p50s") >= col("p25s") &&

@@ -250,6 +250,7 @@ object Similarity {
     */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
     var cents = sampleCentroids(emb, idCol, vecCol, nlist)
       .select(col("cent_id"), col("cent_vec").cast("array<double>").as("cent_vec"))
     for (_ <- 1 to iters) {
@@ -262,8 +263,19 @@ object Similarity {
       val refined = dims.groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cent_id"), transform(col("pm"), p => p("m")).as("nv"))
-      cents = cents.join(refined, Seq("cent_id"), "left")
+      val next = cents.join(refined, Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("nv"), col("cent_vec")).as("cent_vec"))
+      // LINEAGE CUT per Lloyd step: without it, iteration i's plan
+      // embeds iterations 1..i-1 wholesale — ivfAssign broadcasts the
+      // centroid frame, so each pass re-derived the ENTIRE previous
+      // chain and cost grew quadratically in `iters`. The centroid set
+      // is nlist rows by definition (the quantizer, kilobytes), so the
+      // one sanctioned driver materialization here is the same
+      // collect-and-rebroadcast every Lloyd implementation does; the
+      // DATA-side shuffles stay distributed and per-iteration cost is
+      // constant (SimilaritySpec pins linear job growth).
+      val snapshot = java.util.Arrays.asList(next.collect(): _*)
+      cents = spark.createDataFrame(snapshot, next.schema)
     }
     cents
   }

@@ -57,6 +57,34 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("color PNG decodes to WEIGHTED luminance, not the blue channel") {
+    // a 2×1 image: pure red and pure blue. Blue-channel reading would
+    // sum 0 + 255; BT.601 luminance sums 76 + 29.
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red   → (299*255)/1000 = 76
+    img.setRGB(1, 0, 0x0000ff) // blue  → (114*255)/1000 = 29
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val bytes = out.toByteArray
+    val media = Seq((9L, bytes, "png", bytes.length.toLong))
+      .toDF("id", "content", "format", "n_bytes")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("content"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("format"),
+            org.apache.spark.sql.functions.col("n_bytes")).as("meta")).as("media"))
+    val decoded = Multimodal.decodeMedia(media, batchSize = 2).collect()
+    assert(decoded.length === 1)
+    assert(decoded.head.pix_sum === 76L + 29L,
+      s"expected BT.601 luminance sum 105, got ${decoded.head.pix_sum}")
+    // and the unit definition: gray stays exact (the q85 contract)
+    assert(Multimodal.luminance(0x7f7f7f) === 0x7f)
+    assert(Multimodal.luminance(0xffffff) === 255)
+    assert(Multimodal.luminance(0x000000) === 0)
+  }
+
   test("undecodable image payload fails loudly, not silently") {
     val bad = Seq((9L, Array[Byte](1, 2, 3), "png", 3L))
       .toDF("id", "content", "format", "n_bytes")

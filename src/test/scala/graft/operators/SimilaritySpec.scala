@@ -49,6 +49,40 @@ class SimilaritySpec extends SparkSuite {
     assert(two >= one, s"2nd Lloyd step must not regress: $two < $one")
   }
 
+  test("kmeans lineage is cut per Lloyd step: snapshot plan + linear job growth") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // mechanism: the returned centroids are a collected nlist-row
+    // snapshot (LocalRelation), not a plan embedding the whole Lloyd
+    // chain — iteration i must never re-derive iterations 1..i-1
+    val c3 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 3)
+    val plan = c3.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"),
+      s"iters=3 centroids must be a materialized snapshot, got:\n${plan.take(600)}")
+    assert(c3.count() === 16)
+    // effect: job count grows ~linearly in iters (re-derivation grew
+    // the work superlinearly). Counted via listener, polled to quiesce.
+    def countJobs(iters: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, iters).count()
+        var prev = -1
+        var cur = counter.get()
+        var spins = 0
+        while (cur != prev && spins < 50) { Thread.sleep(100); prev = cur; cur = counter.get(); spins += 1 }
+        cur
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val j1 = countJobs(1)
+    val j3 = countJobs(3)
+    assert(j3 <= 3 * j1 + 2, s"iters=3 ran $j3 jobs vs $j1 for iters=1 — not linear")
+  }
+
   test("kmeans centroids: always nlist rows, and empty clusters keep their seed") {
     // Seeds 0 and 1 are IDENTICAL vectors, so every point (including
     // vec 1 itself) ties between them and the argmax's cent_id
