@@ -180,6 +180,10 @@ object SparkEntry {
     "q94_sumpd" -> graft.sources.bucketed.BucketedQueries.sumPushdownQuery _,
     // — pushed TopN: per-bucket bounded heap, n rows per bucket move —
     "q95_topn" -> graft.sources.bucketed.BucketedQueries.topNPushdownQuery _,
+    // — runtime bucket pruning: broadcast-dim keys prune fact buckets —
+    "q96_dpp" -> graft.sources.bucketed.BucketedQueries.runtimePruneJoinQuery _,
+    // — DSv2 write path: catalog CTAS into the bucket store, read back —
+    "q97_write" -> graft.sources.bucketed.BucketedQueries.writeRoundtripQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -324,5 +328,7 @@ object SparkEntry {
     "q93_aggpd" -> graft.sources.bucketed.BucketedQueries.aggPushdownSql,
     "q94_sumpd" -> graft.sources.bucketed.BucketedQueries.sumPushdownSql,
     "q95_topn" -> graft.sources.bucketed.BucketedQueries.topNPushdownSql,
+    "q96_dpp" -> graft.sources.bucketed.BucketedQueries.runtimePruneJoinSql,
+    "q97_write" -> graft.sources.bucketed.BucketedQueries.writeRoundtripSql,
   )
 }

@@ -85,6 +85,46 @@ object BucketStore {
     }
   }
 
+  def exists(name: String): Boolean = tables.containsKey(name)
+
+  /** Catalog CREATE TABLE: install an empty table (schema + layout, no
+    * rows) under a fresh version. Fails loudly if the name is taken.
+    */
+  def createEmpty(name: String, schema: StructType, keyCol: String, numBuckets: Int,
+      nHosts: Int = 4): Unit = {
+    require(schema.fieldNames.contains(keyCol),
+      s"bucket key '$keyCol' not in schema [${schema.fieldNames.mkString(", ")}]")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val empty = BucketTable(schema, keyCol,
+      Array.fill(numBuckets)(Array.empty[Row]),
+      Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+      versions.incrementAndGet())
+    val prev = tables.putIfAbsent(name, empty)
+    require(prev == null, s"BucketStore table '$name' already exists")
+  }
+
+  /** Catalog DROP TABLE. */
+  def drop(name: String): Boolean = tables.remove(name) != null
+
+  /** Job-level atomic publish for the DSv2 write path: merge the
+    * tasks' per-bucket rows into the table under ONE new version —
+    * readers see the old snapshot or the new one, never a torn write
+    * (aborted jobs publish nothing; [[BucketedBatchWrite.commit]] is
+    * the only caller). `truncate` = replace rows (overwrite); else
+    * append to the existing buckets.
+    */
+  def commitWrite(name: String, byBucket: Array[Array[Row]], truncate: Boolean): Unit =
+    synchronized {
+      val t = get(name)
+      require(byBucket.length == t.buckets.length,
+        s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
+      val rows =
+        if (truncate) byBucket
+        else t.buckets.zip(byBucket).map { case (old, add) => old ++ add }
+      tables.put(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
+      ()
+    }
+
   def get(name: String): BucketTable = {
     maybeInjectFailure()
     val t = tables.get(name)

@@ -32,18 +32,40 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    if (!BucketStore.exists(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new BucketedTable(ident.name())
+  }
 
+  /** CREATE TABLE (incl. CTAS): the partitioning MUST be the store's
+    * `bucket(n, key)` transform — an unbucketed bucket-store table is
+    * a contradiction, rejected loudly rather than defaulted.
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog tables are loaded via BucketStore.load")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val parsed = partitions.toSeq match {
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst { case l: Literal[_] =>
+          l.value.toString.toInt }
+        val key = t.arguments.collectFirst { case nr: NamedReference =>
+          nr.fieldNames.mkString(".") }
+        n.zip(key)
+      case _ => None
+    }
+    val (n, key) = parsed.getOrElse(throw new UnsupportedOperationException(
+      s"graft tables must be partitioned by bucket(n, key); got [${partitions.mkString(", ")}]"))
+    BucketStore.createEmpty(ident.name(), schema, key, n)
+    new BucketedTable(ident.name())
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException("graft catalog does not support ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  override def dropTable(ident: Identifier): Boolean = BucketStore.drop(ident.name())
+
+  override def tableExists(ident: Identifier): Boolean = BucketStore.exists(ident.name())
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("read-only catalog")
@@ -86,6 +108,10 @@ object BucketFunction extends UnboundFunction {
   def bucketFor(value: Any, numBuckets: Int): Option[Int] = value match {
     case v: Long => Some(pmod(Murmur3_x86_32.hashLong(v, 42), numBuckets))
     case v: Int => Some(pmod(Murmur3_x86_32.hashInt(v, 42), numBuckets))
+    // Spark's hash(NULL) is the seed itself — load-time pmod(hash(k), n)
+    // therefore puts null keys in bucket pmod(42, n); the writer must
+    // agree byte-for-byte
+    case null => Some(pmod(42, numBuckets))
     case _ => None
   }
 

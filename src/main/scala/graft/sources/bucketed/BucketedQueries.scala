@@ -191,4 +191,70 @@ object BucketedQueries {
       |FROM lineitem WHERE l_returnflag = 'A'
       |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
       |LIMIT 25""".stripMargin
+
+  /** q96 — runtime bucket pruning (dynamic-partition-pruning analog):
+    * the broadcast dim's surviving join keys reach the fact scan as a
+    * runtime IN filter ([[BucketedScan.filter]]), and the owning
+    * buckets are recomputed before any connection is dialed. Here the
+    * dim filter (order priority) survives thousands of keys so every
+    * bucket stays live — the win case is a selective dim whose keys
+    * concentrate in few buckets (point lookups, recent partitions),
+    * which BucketedSourceSpec pins with a 1-key dim → 1 opened reader.
+    * The plan audit asserts the runtime filter is attached to the scan.
+    */
+  def runtimePruneJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = bucketedLineitem(spark, dir)
+    val dim = graft.tables.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+  }
+
+  val runtimePruneJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** q97 — DSv2 WRITE path end-to-end: CTAS through the catalog
+    * (`writeTo(...).partitionedBy(bucket(16, key)).create()`), rows
+    * shuffled once into the store's bucket layout by the writer's
+    * declared distribution, two-phase-committed under one version,
+    * then read back through the same catalog and aggregated. The
+    * written table is immediately storage-partitioned-join-able
+    * (BucketedWriteSpec asserts zero-Exchange against a loaded table).
+    */
+  def writeRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val src = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val tbl = s"graft.`lineitem_w@$dir`"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    src.writeTo(tbl)
+      .partitionedBy(org.apache.spark.sql.functions.bucket(NumBuckets, col("l_orderkey")))
+      .create()
+    spark.table(tbl)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+  }
+
+  val writeRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 }

@@ -104,13 +104,18 @@ class BucketedSource extends TableProvider with DataSourceRegister {
 }
 
 class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defaults)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private def t: BucketStore.BucketTable = BucketStore.getWithRetry(name)
 
   override def name(): String = s"graft-buckets:$name"
   override def schema(): StructType = t.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      // full-overwrite only: OverwriteByExpression(true) routes to
+      // SupportsTruncate; arbitrary delete conditions stay unsupported
+      TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** Report the store's hash-bucket layout in table metadata. */
   override def partitioning(): Array[Transform] =
@@ -118,6 +123,11 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BucketedScanBuilder(name, opts)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BucketedWriteBuilder(name, info)
 }
 
 /** Pushdown: accepts the filter subset [[FilterEval]] can enforce
@@ -379,7 +389,7 @@ object AggSpec {
 
 class BucketedScan(name: String, required: StructType, filters: Array[Filter], version: Long,
     fetchSize: Int = 1000, limit: Option[Int] = None, topN: Option[TopNSpec] = None)
-  extends Scan with Batch with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -388,8 +398,26 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]$extra"
   }
 
+  // — runtime bucket pruning (the dynamic-partition-pruning analog for
+  // the bucket store): a broadcast join against a SELECTIVE dim hands
+  // the fact scan the dim's join-key values at runtime; the owning
+  // buckets are recomputed and everything else is never dialed. At
+  // 100 TB this turns "scan the fact table" into "touch the handful of
+  // buckets the dim's surviving keys hash to". Pruning-only by
+  // contract: rows are NOT re-filtered against runtime values (the
+  // join above re-checks them), so correctness never depends on the
+  // runtime filter — only scan cost does, exactly like static
+  // [[BucketPruning]].
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(BucketStore.getWithRetry(name).keyCol))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
   override def planInputPartitions(): Array[InputPartition] =
-    BucketSplits.plan(name, filters, version)
+    BucketSplits.plan(name, filters ++ runtimeFilters, version)
 
   /** Streaming read of the same bucket-pinned scan: each micro-batch
     * replays the store snapshot its end offset names, through the same

@@ -1,0 +1,123 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 write path into the bucket store — the piece a user switching
+  * from the reference needs to GET data into the cluster (the
+  * reference writes through SnappyData's own ingest; Spark-side it was
+  * read-only). Shape:
+  *
+  *   - [[BucketedWrite]] declares [[RequiresDistributionAndOrdering]]:
+  *     clustered on the store's `bucket(n, key)` transform with
+  *     exactly `n` partitions, resolved through [[BucketedCatalog]]'s
+  *     FunctionCatalog — Spark plans the shuffle so EACH WRITE TASK
+  *     HOLDS EXACTLY ONE BUCKET's rows (the layout a real cluster
+  *     ingests host-locally; also what makes the written table
+  *     immediately storage-partitioned-join-able, spec-asserted);
+  *   - each [[BucketedDataWriter]] re-derives the bucket per row with
+  *     the byte-identical hash ([[BucketFunction.bucketFor]]) — the
+  *     requested distribution is an optimization, never trusted for
+  *     correctness;
+  *   - two-phase commit: tasks stage rows in their commit message,
+  *     [[BucketedBatchWrite.commit]] publishes ALL buckets under ONE
+  *     new store version ([[BucketStore.commitWrite]]) — a failed or
+  *     speculative task publishes nothing, and concurrent readers see
+  *     the old snapshot or the new one, never a torn write. (In this
+  *     in-JVM stand-in the driver holds the staged rows; against a
+  *     real cluster the message would carry per-bucket WAL locations
+  *     and commit would flip the version pointer — the protocol is
+  *     the part that transfers.)
+  */
+class BucketedWriteBuilder(name: String, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val t = BucketStore.getWithRetry(name)
+    val in = info.schema()
+    val want = t.schema
+    require(in.length == want.length &&
+      in.fields.zip(want.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType },
+      s"write schema ${in.simpleString} does not match table '$name' schema ${want.simpleString}")
+    new BucketedWrite(name, want, doTruncate, t.keyCol, t.buckets.length)
+  }
+}
+
+class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
+    keyCol: String, numBuckets: Int)
+  extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.bucket(numBuckets, keyCol)))
+
+  override def requiredNumPartitions(): Int = numBuckets
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite =
+    new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets)
+
+  override def description(): String =
+    s"graft-buckets:$name write bucket($numBuckets, $keyCol)${if (truncate) " truncate" else ""}"
+}
+
+class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
+    keyCol: String, numBuckets: Int) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BucketedWriterFactory(schema, keyCol, numBuckets)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val merged = Array.fill(numBuckets)(Vector.newBuilder[Row])
+    messages.foreach {
+      case m: BucketWriteCommit =>
+        var b = 0
+        while (b < numBuckets) { merged(b) ++= m.rowsByBucket(b); b += 1 }
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    BucketStore.commitWrite(name, merged.map(_.result().toArray), truncate)
+  }
+
+  /** Nothing staged outside the messages → abort publishes nothing. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class BucketedWriterFactory(schema: StructType, keyCol: String, numBuckets: Int)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BucketedDataWriter(schema, keyCol, numBuckets)
+}
+
+final case class BucketWriteCommit(rowsByBucket: Array[Array[Row]])
+  extends WriterCommitMessage
+
+class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int)
+  extends DataWriter[InternalRow] {
+
+  private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    .createToScalaConverter(schema)
+  private val keyIdx = schema.fieldIndex(keyCol)
+  private val buf = Array.fill(numBuckets)(Vector.newBuilder[Row])
+
+  override def write(record: InternalRow): Unit = {
+    // copy(): Spark reuses the InternalRow buffer between calls
+    val row = toScala(record.copy()).asInstanceOf[Row]
+    val b = BucketFunction.bucketFor(row.get(keyIdx), numBuckets).getOrElse(
+      throw new UnsupportedOperationException(
+        s"bucket key '$keyCol' value ${row.get(keyIdx)} is not hash-bucketable"))
+    buf(b) += row
+  }
+
+  override def commit(): WriterCommitMessage = BucketWriteCommit(buf.map(_.result().toArray))
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -200,6 +200,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p.take(1200))
   }
 
+  test("q96: the broadcast dim's runtime filter is attached to the bucket scan") {
+    val p = plan("q96_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry the dim's runtime join-key filter:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("pushed LIMIT reaches the DSv2 scan") {
     val sfDir = sf
     graft.sources.bucketed.BucketStore.ensureLoaded(

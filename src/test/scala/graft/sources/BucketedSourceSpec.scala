@@ -273,6 +273,31 @@ class BucketedSourceSpec extends SparkSuite {
       df.orderBy(col("d").asc, col("id").asc).limit(3).select("id").as[Int].collect().toSeq)
   }
 
+  test("runtime bucket pruning: a selective broadcast dim prunes fact readers at runtime") {
+    import spark.implicits._
+    val fact = (1 to 400).map(i => (i.toLong, i % 7)).toDF("k", "payload")
+    BucketStore.load(spark, "rf_fact", fact, "k", 8)
+    val s = spark.read.format("graft-buckets").option("table", "rf_fact").load()
+    // the dim must be a real source (a LocalRelation would constant-
+    // fold the predicate away and DPP needs a Filter to latch onto)
+    val tmp = s"/tmp/graft_rf_dim_${spark.sparkContext.applicationId}"
+    (1 to 400).map(i => (i.toLong, if (i == 42) "pick" else "other"))
+      .toDF("dk", "tag").write.mode("overwrite").parquet(tmp)
+    val dim = spark.read.parquet(tmp)
+    val j = s.join(broadcast(dim.filter(col("tag") === "pick")), col("k") === col("dk"))
+    ConnectionPool.reset()
+    val rows = j.collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("k") === 42L)
+    // the runtime filter is attached to the scan...
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
+    // ...and it pruned the dialing: only the owning bucket's reader
+    // opened a connection (8 readers without runtime pruning)
+    val (created, reused) = ConnectionPool.stats
+    assert(created + reused <= 2,
+      s"runtime pruning should open ~1 bucket reader, opened ${created + reused}\n${plan.take(1500)}")
+  }
+
   test("FilterEval tri-state truth table over a NULL operand") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.sources._
