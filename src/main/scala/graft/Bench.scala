@@ -130,10 +130,14 @@ object Bench {
     val rerepJson = rerep.map { case (k, (s, a)) =>
       "\"" + k + "\":{\"suite\":" + fmt(s, 4) + ",\"rerun\":" + fmt(a, 4) + "}"
     }.mkString("{", ",", "}")
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","cpus":$cpus,"failed":$failedJson,"rerep":$rerepJson,"queries":$full,"sf":"$sfDir"}\n"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}") }
+    // subset (dev-profiling) runs must NOT clobber the full-suite
+    // prior — the outlier re-rep compares against it next round
+    if (args.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+        s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","cpus":$cpus,"failed":$failedJson,"rerep":$rerepJson,"queries":$full,"sf":"$sfDir"}\n"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}") }
+    }
     println(line)
     Console.out.flush()
     spark.stop()

@@ -184,6 +184,8 @@ object SparkEntry {
     "q96_dpp" -> graft.sources.bucketed.BucketedQueries.runtimePruneJoinQuery _,
     // — DSv2 write path: catalog CTAS into the bucket store, read back —
     "q97_write" -> graft.sources.bucketed.BucketedQueries.writeRoundtripQuery _,
+    // — streaming write: per-epoch two-phase commit into the store —
+    "q98_stream_sink" -> graft.sources.bucketed.BucketedQueries.streamWriteQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -330,5 +332,6 @@ object SparkEntry {
     "q95_topn" -> graft.sources.bucketed.BucketedQueries.topNPushdownSql,
     "q96_dpp" -> graft.sources.bucketed.BucketedQueries.runtimePruneJoinSql,
     "q97_write" -> graft.sources.bucketed.BucketedQueries.writeRoundtripSql,
+    "q98_stream_sink" -> graft.sources.bucketed.BucketedQueries.streamWriteSql,
   )
 }

@@ -257,4 +257,52 @@ object BucketedQueries {
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       | min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q98 — STREAMING write into the bucket store (reference: the Kafka
+    * producer sink, KafkaWordCountProducer — pointed at the store): the
+    * events stream filtered to views flows through
+    * `writeStream.toTable` into a catalog table created with the
+    * bucket transform; each epoch two-phase-commits one store version;
+    * the result is read back through the same catalog and aggregated.
+    */
+  def streamWriteQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val tbl = s"events_sink@$dir"
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$tbl`")
+    spark.sql(s"CREATE TABLE graft.`$tbl` (event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+      "PARTITIONED BY (bucket(16, user_id))")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_sink_ckpt_${spark.sparkContext.applicationId}_")
+    val stream = graft.streaming.StreamOps.eventsStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .toTable(s"graft.`$tbl`")
+    try q.processAllAvailable() finally {
+      q.stop()
+      // one-shot checkpoint: drop it so repeated gated runs don't
+      // accumulate scratch dirs (each run replays from a fresh table)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    spark.table(s"graft.`$tbl`")
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+  }
+
+  val streamWriteSql: String =
+    """SELECT user_id % 10 AS cohort, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1""".stripMargin
 }

@@ -112,7 +112,8 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   override def schema(): StructType = t.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE,
       // full-overwrite only: OverwriteByExpression(true) routes to
       // SupportsTruncate; arbitrary delete conditions stay unsupported
       TableCapability.OVERWRITE_BY_FILTER).asJava

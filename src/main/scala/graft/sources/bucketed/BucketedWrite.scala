@@ -66,8 +66,46 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
   override def toBatch: BatchWrite =
     new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets)
 
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new BucketedStreamingWrite(name, schema, truncate, keyCol, numBuckets)
+
   override def description(): String =
     s"graft-buckets:$name write bucket($numBuckets, $keyCol)${if (truncate) " truncate" else ""}"
+}
+
+/** Streaming sink into the bucket store (the Spark-native analog of
+  * the reference's producer sink, K4 — pointed at the store instead of
+  * a broker): each micro-batch epoch two-phase-commits its rows under
+  * ONE new store version — append mode appends, complete/truncate
+  * replaces. An epoch re-delivered to THIS write instance (micro-batch
+  * retry) is skipped, so a retried batch cannot double-append; replay
+  * across a query RESTART is the checkpoint's job (a real store would
+  * dedupe on a durable txn id — in-JVM stand-in scope).
+  */
+class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean,
+    keyCol: String, numBuckets: Int)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new BucketedStreamingWriterFactory(schema, keyCol, numBuckets)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    if (committed.add(epochId)) {
+      val merged = Array.fill(numBuckets)(Vector.newBuilder[Row])
+      messages.foreach {
+        case m: BucketWriteCommit =>
+          var b = 0
+          while (b < numBuckets) { merged(b) ++= m.rowsByBucket(b); b += 1 }
+        case other => throw new IllegalStateException(s"unexpected commit message $other")
+      }
+      BucketStore.commitWrite(name, merged.map(_.result().toArray), truncate)
+    }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
@@ -94,6 +132,16 @@ class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
 class BucketedWriterFactory(schema: StructType, keyCol: String, numBuckets: Int)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BucketedDataWriter(schema, keyCol, numBuckets)
+}
+
+/** Standalone (serializable) streaming factory — must NOT capture the
+  * StreamingWrite, which holds driver-only commit state.
+  */
+class BucketedStreamingWriterFactory(schema: StructType, keyCol: String, numBuckets: Int)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
     new BucketedDataWriter(schema, keyCol, numBuckets)
 }
 

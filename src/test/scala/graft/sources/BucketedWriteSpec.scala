@@ -92,6 +92,33 @@ class BucketedWriteSpec extends SparkSuite {
     assert(noBucket.getMessage.contains("bucket"), noBucket.getMessage)
   }
 
+  test("streaming write: q98 pipeline equals the batch answer; epoch replay cannot double-append") {
+    cat()
+    // e2e through writeStream.toTable (the gated q98 path)
+    val got = BucketedQueries.streamWriteQuery(spark, sf).collect().map(_.toSeq).toSet
+    val exp = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got === exp)
+    assert(got.nonEmpty)
+    // unit: a retried epoch commit is a no-op (exactly-once per epoch)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    spark.sql("DROP TABLE IF EXISTS graft.`w_epoch`")
+    BucketStore.createEmpty("w_epoch", schema, "k", 2)
+    val sw = new BucketedStreamingWrite("w_epoch", schema, truncate = false, "k", 2)
+    val msg = BucketWriteCommit(Array(
+      Array(org.apache.spark.sql.Row(0L, "a")), Array.empty[org.apache.spark.sql.Row]))
+    sw.commit(7L, Array(msg))
+    sw.commit(7L, Array(msg)) // replayed epoch
+    assert(BucketStore.get("w_epoch").buckets.map(_.length).sum === 1,
+      "a replayed epoch must not double-append")
+  }
+
   test("a written table joins a loaded table as a storage-partitioned join — zero Exchange") {
     cat()
     BucketStore.ensureLoaded(spark, s"lineitem@$sf", sf, "lineitem", "l_orderkey", 16)
