@@ -85,8 +85,11 @@ object Bench {
       System.err.println(s"[bench] prior BENCH_local.json unreadable: ${e.getMessage}")
       Map.empty
     }
+    // 1.5× threshold: round-7's own quiet run still read q17 at 1.6×
+    // its prior from a co-tenant window the 2× rule ignored; 1.5× +
+    // the 0.3s floor re-reps only flagrant readings, ≤10 per run
     val outliers = results
-      .filter { case (n, v) => v >= 0 && prior.get(n).exists(p => v > 2 * p && v - p > 0.3) }
+      .filter { case (n, v) => v >= 0 && prior.get(n).exists(p => v > 1.5 * p && v - p > 0.3) }
       .sortBy { case (n, v) => -(v / prior(n)) }
       .take(10)
     val rerep: Map[String, (Double, Double)] = outliers.map { case (n, suiteBest) =>

@@ -119,6 +119,24 @@ class BucketedWriteSpec extends SparkSuite {
       "a replayed epoch must not double-append")
   }
 
+  test("SQL DML front door: CREATE TABLE / INSERT INTO / INSERT OVERWRITE / DROP") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS graft.`w_sql`")
+    spark.sql("CREATE TABLE graft.`w_sql` (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.`w_sql` VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM graft.`w_sql`").head().getLong(0) === 3L)
+    spark.sql("INSERT INTO graft.`w_sql` VALUES (4, 'd')")
+    assert(spark.sql("SELECT count(*) FROM graft.`w_sql`").head().getLong(0) === 4L)
+    spark.sql("INSERT OVERWRITE graft.`w_sql` VALUES (9, 'z')")
+    assert(spark.sql("SELECT k, v FROM graft.`w_sql`").collect().map(_.toSeq).toSeq
+      === Seq(Seq(9L, "z")))
+    // store-side layout is the real bucketed one, not a flat append
+    val t = BucketStore.get("w_sql")
+    assert(t.keyCol === "k" && t.buckets.length === 4)
+    assert(spark.sql("DROP TABLE graft.`w_sql`") != null)
+    assert(!BucketStore.exists("w_sql"))
+  }
+
   test("a written table joins a loaded table as a storage-partitioned join — zero Exchange") {
     cat()
     BucketStore.ensureLoaded(spark, s"lineitem@$sf", sf, "lineitem", "l_orderkey", 16)
