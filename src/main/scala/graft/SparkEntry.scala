@@ -186,6 +186,9 @@ object SparkEntry {
     "q97_write" -> graft.sources.bucketed.BucketedQueries.writeRoundtripQuery _,
     // — streaming write: per-epoch two-phase commit into the store —
     "q98_stream_sink" -> graft.sources.bucketed.BucketedQueries.streamWriteQuery _,
+    // — int8 scalar-quantized ANN: coarse pass over 1-byte codes,
+    //   exact re-rank only for the rerankK survivors per query —
+    "q99_sq_knn" -> Similarity.sqKnnQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -333,5 +336,6 @@ object SparkEntry {
     "q96_dpp" -> graft.sources.bucketed.BucketedQueries.runtimePruneJoinSql,
     "q97_write" -> graft.sources.bucketed.BucketedQueries.writeRoundtripSql,
     "q98_stream_sink" -> graft.sources.bucketed.BucketedQueries.streamWriteSql,
+    "q99_sq_knn" -> Similarity.sqKnnSql,
   )
 }

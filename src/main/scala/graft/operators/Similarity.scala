@@ -383,4 +383,125 @@ object Similarity {
       |  SELECT query_id, id, sim,
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
       |  FROM cands) t WHERE rn <= 5""".stripMargin
+
+  /** Scalar (int8) quantization of an embedding column: per-vector
+    * symmetric scale `max(|x|)/127` (0-vectors get scale 1), codes
+    * `floor(x/scale + 0.5)` cast to TINYINT. The formula is spelled as
+    * explicit floor(+0.5) — not an engine `round` — so DuckDB
+    * reproduces every code byte-for-byte (engines disagree on
+    * round-half semantics; floor(+0.5) is one IEEE expression).
+    *
+    * At 100 TB this is the ANN working set's 4× diet: the candidate
+    * (coarse) scoring pass reads 1-byte codes + one double per vector
+    * instead of 8-byte doubles, and only the few `rerankK` survivors
+    * per query touch the full-precision vectors — the
+    * quantize-coarse-then-exact-rerank shape every production vector
+    * index (FAISS SQ8, ScaNN) uses.
+    */
+  def sqQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val rawScale = array_max(transform(col("vec"), x => abs(x))) / lit(127.0)
+    base
+      .withColumn("scale", when(rawScale === 0.0, lit(1.0)).otherwise(rawScale))
+      .withColumn("codes",
+        transform(col("vec"), x => floor(x / col("scale") + lit(0.5)).cast("byte")))
+  }
+
+  /** IVF probe + QUANTIZED coarse scoring + exact re-rank: candidates
+    * come from the probed inverted lists (q33's shape), the coarse
+    * pass ranks them by cosine over the DEQUANTIZED int8 codes and
+    * keeps `rerankK` per query, and only those survivors are scored
+    * against the full-precision vectors for the final top-k. Both
+    * ranking stages carry a total (score desc, id) order, so the
+    * survivor sets — and therefore the gate — are deterministic.
+    */
+  def sqKnn(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int, rerankK: Int): DataFrame = {
+    val centroids = sampleCentroids(emb, idCol, vecCol, nlist)
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+    // assigned already carries the full-precision vec; keep only the
+    // codes + scale from the quantized frame (avoids a dup `vec`)
+    val quantized = sqQuantize(emb, idCol, vecCol).select(col("id"), col("scale"), col("codes"))
+    val data = assigned.join(quantized, Seq("id"))
+    val qScored = queries.select(col("query_id"), col("qv"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", GraftFunctions.cosine(col("qv"), col("cent_vec")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = qScored.withColumn("prn", row_number().over(wq)).filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    // coarse pass: dequantized cosine over the int8 codes
+    val coarse = probes.join(data, Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("qsim", round(GraftFunctions.cosine(col("qv"),
+        transform(col("codes"), c => c.cast("double") * col("scale"))), 6))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("id").asc)
+    val survivors = coarse.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= rerankK)
+    // exact re-rank: full-precision cosine, only rerankK rows per query
+    val exact = survivors
+      .withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("vec")), 6))
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    exact.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("rn"))
+  }
+
+  /** Oracle-gated query: nlist=16, nprobe=4, coarse keep 15, k=5. */
+  def sqKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    sqKnn(e.select(col("vec_id"), col("embedding")), q,
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4, rerankK = 15)
+  }
+
+  /** DuckDB replica: q33's seed-centroid assignment/probe CTEs plus
+    * the quantization (same floor(+0.5) formula) and the two-stage
+    * rank. `rn` is cast INTEGER to match Spark's row_number type.
+    */
+  val sqKnnSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT id, vec, cent_id FROM (
+      |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+      |                 c.cent_id) AS arn
+      |    FROM embeddings e CROSS JOIN cent c) t WHERE arn = 1),
+      |quant AS (
+      |  SELECT id, vec, scale,
+      |    list_transform(vec, x -> CAST(CAST(floor(x / scale + 0.5) AS TINYINT) AS DOUBLE) * scale)
+      |      AS dq
+      |  FROM (
+      |    SELECT id, vec,
+      |      CASE WHEN s = 0 THEN 1.0 ELSE s END AS scale
+      |    FROM (SELECT id, vec,
+      |            list_max(list_transform(vec, x -> abs(x))) / 127.0 AS s
+      |          FROM assigned) t0) t1),
+      |probes AS (
+      |  SELECT query_id, qv, cent_id FROM (
+      |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+      |                 c.cent_id) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20) t WHERE prn <= 4),
+      |coarse AS (
+      |  SELECT query_id, qv, id, vec,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, id) AS crn
+      |  FROM (
+      |    SELECT p.query_id, p.qv, a.id, a.vec,
+      |      round(list_cosine_similarity(p.qv, q2.dq), 6) AS qsim
+      |    FROM probes p
+      |    JOIN assigned a USING (cent_id)
+      |    JOIN quant q2 ON q2.id = a.id
+      |    WHERE p.query_id <> a.id) c0),
+      |exact AS (
+      |  SELECT query_id, id,
+      |    round(list_cosine_similarity(qv, vec), 6) AS sim
+      |  FROM coarse WHERE crn <= 15)
+      |SELECT query_id, id AS cand_id, sim, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT query_id, id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
+      |  FROM exact) t WHERE rn <= 5""".stripMargin
 }

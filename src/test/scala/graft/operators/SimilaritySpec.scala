@@ -83,6 +83,35 @@ class SimilaritySpec extends SparkSuite {
     assert(j3 <= 3 * j1 + 2, s"iters=3 ran $j3 jobs vs $j1 for iters=1 — not linear")
   }
 
+  test("int8 scalar quantization: codes bounded, zero vectors safe, coarse recall substantial") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val q = Similarity.sqQuantize(emb, "vec_id", "embedding")
+    // every code is a genuine int8, and dequantization error per
+    // element is at most scale/2 by construction
+    val bad = q.select(explode(col("codes")).as("c")).filter(abs(col("c")) > 127).count()
+    assert(bad === 0L)
+    // zero vector: scale falls back to 1, codes all zero, no NaN
+    val zero = Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.sqQuantize(zero, "vec_id", "embedding").collect().head
+    assert(zq.getAs[Double]("scale") === 1.0)
+    assert(zq.getAs[Seq[Byte]]("codes").forall(_ == 0))
+    // end-to-end: 5 results per query, and the quantized pipeline's
+    // top-k substantially agrees with the full-precision IVF (same
+    // probes, so divergence can come only from int8 coarse ranking)
+    val sq = Similarity.sqKnnQuery(spark, sf)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(sq.size === 20 * 5)
+    // same seed centroids/probes (kmeansIters=0) so divergence can
+    // come only from the int8 coarse ranking
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.ivfKnn(emb, qs, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, kmeansIters = 0)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val overlap = (sq intersect exact).size.toDouble / exact.size
+    assert(overlap > 0.6, s"sq-knn overlap with exact ivf-knn too low: $overlap")
+  }
+
   test("kmeans centroids: always nlist rows, and empty clusters keep their seed") {
     // Seeds 0 and 1 are IDENTICAL vectors, so every point (including
     // vec 1 itself) ties between them and the argmax's cent_id
