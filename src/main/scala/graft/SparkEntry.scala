@@ -64,7 +64,7 @@ object SparkEntry {
     "q30_regional_revenue" -> Relational.regionalRevenue _,
     "q31_anti_join" -> Relational.customersWithoutOrders _,
     "q32_running_total" -> Relational.runningOrderTotals _,
-    // q33 (IVF KNN): centroid sampling is JVM-side → rows-only gate
+    // q33 (IVF KNN): full pipeline replicated in SQL (see oracleSql)
     "q33_ivf_knn" -> Similarity.ivfKnnQuery _,
     "q34_session_windows" -> Relational.sessionWindows _,
     "q35_sliding_windows" -> Relational.slidingWindows _,

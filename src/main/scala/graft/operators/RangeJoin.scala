@@ -23,10 +23,17 @@ object RangeJoin {
   /** points(key, ts_us, pointCols…) ⋈ intervals(key, start_us, end_us,
     * intervalCols…): inner join on containment start ≤ ts < end.
     */
-  def pointInInterval(points: DataFrame, intervals: DataFrame, bucketUs: Long): DataFrame = {
+  /** `joinHint`: the co-bucketed caller pins "merge" so the tiny test
+    * tables' real reported statistics can't flip the plan to a
+    * broadcast (right at this size, impossible for a 100 TB fact) —
+    * the zero-Exchange SPJ shape is the thing under test.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame, bucketUs: Long,
+      joinHint: Option[String] = None): DataFrame = {
     // integral `div`, NOT `/`: double division loses precision above
     // 2^53 and µs epochs are ~1.7e18 — an off-by-one bucket drops rows
-    val p = points.withColumn("__b", expr(s"ts_us div ${bucketUs}L"))
+    val p0 = points.withColumn("__b", expr(s"ts_us div ${bucketUs}L"))
+    val p = joinHint.map(p0.hint(_)).getOrElse(p0)
     val iv = intervals.withColumn("__bs", expr(s"start_us div ${bucketUs}L"))
       .withColumn("__be", expr(s"(end_us - 1) div ${bucketUs}L"))
       .withColumn("__b", explode(sequence(col("__bs"), col("__be"))))
@@ -85,7 +92,7 @@ object RangeJoin {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("key"), col("ts_us").as("start_us"),
         (col("ts_us") + hourUs).as("end_us"), col("event_id").as("purchase_id"))
-    pointInInterval(clicks, purchases, bucketUs = hourUs)
+    pointInInterval(clicks, purchases, bucketUs = hourUs, joinHint = Some("merge"))
       .select(col("key").as("user_id"), col("purchase_id"), col("click_id"),
         col("ts_us").as("click_ts_us"))
   }

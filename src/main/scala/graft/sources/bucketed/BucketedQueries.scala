@@ -96,7 +96,11 @@ object BucketedQueries {
     BucketStore.ensureLoaded(spark, s"orders@$dir", dir, "orders", "o_orderkey", NumBuckets)
     val li = spark.table(s"graft.`lineitem@$dir`")
     val o = spark.table(s"graft.`orders@$dir`")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // merge hint = the honest fact⋈fact path: with real reported
+    // statistics the tiny test tables would auto-broadcast (correct at
+    // this size, impossible at 100 TB) — the hint pins the plan shape
+    // the feature exists for: co-partitioned SMJ with zero Exchange
+    li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         org.apache.spark.sql.functions.sum(

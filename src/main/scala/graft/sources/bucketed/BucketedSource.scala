@@ -390,9 +390,29 @@ object AggSpec {
 
 class BucketedScan(name: String, required: StructType, filters: Array[Filter], version: Long,
     fetchSize: Int = 1000, limit: Option[Int] = None, topN: Option[TopNSpec] = None)
-  extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Report the store's exact row count (the catalog knows it) so the
+    * planner's size estimate is real instead of `defaultSizeInBytes` =
+    * "assume huge": a small graft dim table then auto-broadcasts in
+    * joins against big facts — at 100 TB the difference between a
+    * map-side join and an avoidable fact-table shuffle. Size is rows ×
+    * the projected schema's default row width (the store is row-
+    * oriented; column pruning already shrank `required`).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val t = BucketStore.getWithRetry(name)
+    val rows = t.buckets.iterator.map(_.length.toLong).sum
+    val rowWidth = math.max(1, required.defaultSize)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowWidth)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
   override def toBatch: Batch = this
   override def description(): String = {
     val extra = topN.map(" " + _.describe).orElse(limit.map(n => s" pushedLimit=$n")).getOrElse("")
@@ -411,8 +431,14 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   // [[BucketPruning]].
   private var runtimeFilters: Array[Filter] = Array.empty
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(BucketStore.getWithRetry(name).keyCol))
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only claim the key if this scan still OUTPUTS it — Spark resolves
+    // these against the pruned schema, and claiming a projected-away
+    // column crashes the DPP rule instead of skipping it
+    val key = BucketStore.getWithRetry(name).keyCol
+    if (required.fieldNames.contains(key)) Array(Expressions.column(key))
+    else Array.empty
+  }
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
@@ -631,8 +657,19 @@ object BucketPruning {
     case EqualTo(c, v) if c == keyCol => BucketFunction.bucketFor(v, n).map(Set(_))
     case EqualNullSafe(c, v) if c == keyCol => BucketFunction.bucketFor(v, n).map(Set(_))
     case In(c, vs) if c == keyCol =>
-      val bs = vs.toSeq.map(BucketFunction.bucketFor(_, n))
-      if (bs.nonEmpty && bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      // early exit once every bucket is live: a runtime IN from a big
+      // broadcast dim can carry millions of keys — stop hashing the
+      // moment the bound is vacuous (= all n buckets) instead of
+      // hashing the whole list at planning time
+      val seen = scala.collection.mutable.Set.empty[Int]
+      val it = vs.iterator
+      while (it.hasNext && seen.size < n) {
+        BucketFunction.bucketFor(it.next(), n) match {
+          case Some(b) => seen += b; ()
+          case None => return None // unbucketable value type: cannot bound
+        }
+      }
+      if (vs.isEmpty) None else Some(seen.toSet)
     case And(l, r) => (bucketsOf(l, keyCol, n), bucketsOf(r, keyCol, n)) match {
       case (Some(a), Some(b)) => Some(a intersect b)
       case (a, b) => a.orElse(b)

@@ -58,7 +58,9 @@ class BucketedSourceSpec extends SparkSuite {
     BucketStore.ensureLoaded(spark, s"lineitem@$sf", sf, "lineitem", "l_orderkey", 16)
     val l = spark.table(s"graft.`lineitem@$sf`").select("l_orderkey", "l_quantity")
     val r = spark.table(s"graft.`lineitem@$sf`").select("l_orderkey", "l_extendedprice")
-    val j = l.join(r, "l_orderkey")
+    // merge hint: real reported stats would otherwise broadcast this
+    // tiny table — the zero-Exchange SPJ path is what's under test
+    val j = l.hint("merge").join(r, "l_orderkey")
     val plan = j.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     // and the shuffle-free plan still computes the right thing
@@ -296,6 +298,25 @@ class BucketedSourceSpec extends SparkSuite {
     val (created, reused) = ConnectionPool.stats
     assert(created + reused <= 2,
       s"runtime pruning should open ~1 bucket reader, opened ${created + reused}\n${plan.take(1500)}")
+  }
+
+  test("reported statistics: catalog knows real row counts, small tables auto-broadcast") {
+    import spark.implicits._
+    val dim = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("pk", "pname")
+    BucketStore.load(spark, "stats_dim", dim, "pk", 4)
+    val d = spark.read.format("graft-buckets").option("table", "stats_dim").load()
+    // the relation's stats are the store's truth, not defaultSizeInBytes
+    // = "assume huge" (which would veto every auto-broadcast)
+    val stats = d.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10L * 1024 * 1024,
+      s"expected a small, real size estimate, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.forall(_ == BigInt(50)), s"rowCount=${stats.rowCount}")
+    // consequence: joining the big fact on a NON-bucket key (no SPJ
+    // possible) picks a broadcast join with no explicit hint
+    val j = src.join(d, col("l_partkey") === col("pk"))
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      j.queryExecution.executedPlan.toString.take(900))
+    assert(j.count() > 0)
   }
 
   test("FilterEval tri-state truth table over a NULL operand") {

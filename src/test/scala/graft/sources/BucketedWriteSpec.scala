@@ -146,7 +146,8 @@ class BucketedWriteSpec extends SparkSuite {
       .writeTo("graft.`w_spj`").partitionedBy(bucket(16, col("l_orderkey"))).create()
     val w = spark.table("graft.`w_spj`")
     val loaded = spark.table(s"graft.`lineitem@$sf`").select("l_orderkey", "l_extendedprice")
-    val j = w.join(loaded, "l_orderkey")
+    // merge hint: reported stats would broadcast at this tiny size
+    val j = w.hint("merge").join(loaded, "l_orderkey")
     val plan = j.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"written⋈loaded must SPJ:\n${plan.take(1200)}")
     // and the shuffle-free join is still correct: per-orderkey line
