@@ -190,11 +190,14 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
 
   /** ORDER BY … LIMIT n becomes a per-bucket bounded-heap top-N: each
     * bucket streams once through an n-row heap and ships n rows, so the
-    * global sort above sees buckets × n rows, never the table.
+    * global sort above sees buckets × n rows, never the table. The
+    * heap is reader memory — a pathological `LIMIT 10M ORDER BY` is
+    * declined (Spark sorts from raw rows instead) rather than letting
+    * the "bounded" heap grow unbounded.
     */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean =
-    if (aggSpec.isDefined) false
+    if (aggSpec.isDefined || n > BucketedScanBuilder.MaxPushedTopN) false
     else TopNSpec.from(orders, n, full) match {
       case Some(spec) => topN = Some(spec); true
       case None => false
@@ -221,6 +224,11 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
         new BucketedScan(name, required, pushed, t.version, opts.fetchSize, limit, topN)
     }
   }
+}
+
+object BucketedScanBuilder {
+  /** Per-bucket heap cap for pushed TopN (rows). */
+  val MaxPushedTopN: Int = 100000
 }
 
 /** A pushed ORDER BY … LIMIT: sort keys restricted to single orderable
