@@ -194,4 +194,55 @@ object GraftProps extends Properties("graft") {
         .map(_._1).toSet
       sparkKept == feKept
     }
+
+  // — pushed TopN vs Spark's own sort (null orderings, NaN/Inf, ties) —
+
+  private val topnTable = new java.util.concurrent.atomic.AtomicLong()
+
+  private val genTopnRow: Gen[(Long, Option[Double], String)] = for {
+    k <- Gen.choose(0L, 30L)
+    d <- Gen.frequency(
+      (6, Gen.choose(-10000, 10000).map(x => Option(x / 10.0))),
+      (1, Gen.const(Option(Double.NaN))),
+      (1, Gen.const(Option(Double.PositiveInfinity))),
+      (1, Gen.const(Option(Double.NegativeInfinity))),
+      (3, Gen.const(None: Option[Double])))
+    v <- Gen.oneOf("a", "b", "c")
+  } yield (k, d, v)
+
+  private val genTopnCase = for {
+    n <- Gen.choose(0, 60)
+    rows <- Gen.listOfN(n, genTopnRow)
+    m <- Gen.choose(1, 12)
+    desc <- Gen.oneOf(true, false)
+    nullsFirst <- Gen.oneOf(true, false)
+  } yield (rows, m, desc, nullsFirst)
+
+  /** The per-bucket bounded heap must reproduce Spark's sort exactly —
+    * direction, explicit null ordering, NaN-as-largest, and the unique
+    * tie-break — or a pushed ORDER BY+LIMIT silently reorders results.
+    */
+  property("pushed TopN equals Spark's sort under random null/NaN orderings") =
+    forAll(genTopnCase) { case (rows, m, desc, nullsFirst) =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((k, d, v), i) => (i.toLong, k, d, v) }
+        .toDF("id", "k", "d", "v")
+      val name = s"prop_topn_${topnTable.incrementAndGet()}"
+      graft.sources.bucketed.BucketStore.load(spark, name, df, "k", 4)
+      val s = spark.read.format("graft-buckets").option("table", name).load()
+      val dcol = (desc, nullsFirst) match {
+        case (true, true) => col("d").desc_nulls_first
+        case (true, false) => col("d").desc_nulls_last
+        case (false, true) => col("d").asc_nulls_first
+        case (false, false) => col("d").asc_nulls_last
+      }
+      val q = s.orderBy(dcol, col("id").asc).limit(m)
+      val got = q.select("id").as[Long].collect().toSeq
+      val exp = df.orderBy(dcol, col("id").asc).limit(m).select("id").as[Long].collect().toSeq
+      val pushed = q.queryExecution.executedPlan.toString.contains("pushedTopN=")
+      graft.sources.bucketed.BucketStore.drop(name)
+      got == exp && pushed
+    }
 }
