@@ -189,6 +189,10 @@ object SparkEntry {
     // — int8 scalar-quantized ANN: coarse pass over 1-byte codes,
     //   exact re-rank only for the rerankK survivors per query —
     "q99_sq_knn" -> Similarity.sqKnnQuery _,
+    // — the store stream through the stateful pipeline (q12 semantics,
+    //   table-sourced) and the full source→join→sink ETL roundtrip —
+    "q100_stream_bucket_window" -> graft.sources.bucketed.BucketedQueries.streamBucketWindowQuery _,
+    "q101_stream_etl" -> graft.sources.bucketed.BucketedQueries.streamEtlRoundtripQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -337,5 +341,9 @@ object SparkEntry {
     "q97_write" -> graft.sources.bucketed.BucketedQueries.writeRoundtripSql,
     "q98_stream_sink" -> graft.sources.bucketed.BucketedQueries.streamWriteSql,
     "q99_sq_knn" -> Similarity.sqKnnSql,
+    // q100 shares q12's oracle: same windows, same append-mode
+    // watermark withholding, different (store) source
+    "q100_stream_bucket_window" -> graft.streaming.StreamOps.hourlyWindowAggSql,
+    "q101_stream_etl" -> graft.sources.bucketed.BucketedQueries.streamEtlRoundtripSql,
   )
 }

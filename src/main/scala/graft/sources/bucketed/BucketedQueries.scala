@@ -309,4 +309,84 @@ object BucketedQueries {
       | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_type = 'view'
       |GROUP BY 1""".stripMargin
+
+  /** q100 — the STORE stream through Spark's full stateful pipeline:
+    * watermarked tumbling-window aggregation over the bucket-table
+    * replay (q12's semantics with the table, not the file, as the
+    * source). Append emission, 0s watermark — the open trailing window
+    * is withheld exactly as in q12, so the two queries share an oracle.
+    */
+  def streamBucketWindowQuery(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"events@$dir", dir, "events", "user_id", NumBuckets)
+    val stream = spark.readStream.format("graft-buckets")
+      .option("table", s"events@$dir").load()
+    val agg = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    graft.streaming.StreamOps.runToMemory(agg, "append")
+  }
+
+  /** q101 — the complete reference-pipeline analog (ParquetTableJoin:
+    * broker in → join table → broker out, store-pointed): events
+    * STREAM from the bucket store, broadcast-enriched with the
+    * co-bucketed customer dim (zero shuffle of the streamed rows),
+    * written to a bucket-store SINK table with per-epoch commits, then
+    * read back through the catalog and aggregated. Source, join, and
+    * sink all run against the store in one streaming query.
+    */
+  def streamEtlRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    BucketStore.ensureLoaded(spark, s"events@$dir", dir, "events", "user_id", NumBuckets)
+    BucketStore.ensureLoaded(spark, s"customer@$dir", dir, "customer", "c_custkey", NumBuckets)
+    val sink = s"etl_sink@$dir"
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$sink`")
+    spark.sql(s"CREATE TABLE graft.`$sink` " +
+      "(event_id BIGINT, user_id BIGINT, c_mktsegment STRING, value DOUBLE) " +
+      "PARTITIONED BY (bucket(16, user_id))")
+    val stream = spark.readStream.format("graft-buckets")
+      .option("table", s"events@$dir").load()
+    val dim = spark.read.format("graft-buckets")
+      .option("table", s"customer@$dir").load()
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = stream
+      .filter(col("event_type") === "click")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_etl_ckpt_${spark.sparkContext.applicationId}_")
+    val q = enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .toTable(s"graft.`$sink`")
+    try q.processAllAvailable() finally {
+      q.stop()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    spark.table(s"graft.`$sink`")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+  }
+
+  val streamEtlRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'click'
+      |GROUP BY c_mktsegment""".stripMargin
 }
