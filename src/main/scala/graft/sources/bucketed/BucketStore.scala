@@ -125,6 +125,25 @@ object BucketStore {
       ()
     }
 
+  /** Row-level DELETE: drop the rows matching `pred` from every bucket
+    * under one new version (same atomic-publish discipline as
+    * [[commitWrite]]). Returns the number of rows deleted.
+    */
+  def deleteWhere(name: String, pred: Row => Boolean): Long = synchronized {
+    val t = get(name)
+    var deleted = 0L
+    val kept = t.buckets.map { rows =>
+      val keep = rows.filterNot { r =>
+        val d = pred(r)
+        if (d) deleted += 1
+        d
+      }
+      keep
+    }
+    tables.put(name, t.copy(buckets = kept, version = versions.incrementAndGet()))
+    deleted
+  }
+
   def get(name: String): BucketTable = {
     maybeInjectFailure()
     val t = tables.get(name)

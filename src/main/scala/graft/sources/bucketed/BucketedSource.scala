@@ -105,8 +105,30 @@ class BucketedSource extends TableProvider with DataSourceRegister {
 
 class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defaults)
   extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   private def t: BucketStore.BucketTable = BucketStore.getWithRetry(name)
+
+  /** `DELETE FROM graft.t WHERE …`: accepted only when [[FilterEval]]
+    * enforces the whole predicate exactly (same supports/eval lockstep
+    * as the read path) — Spark falls back with a clear error
+    * otherwise. Executes store-side per bucket under one new version.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(FilterEval.supports(t.schema, _))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val schema = t.schema
+    BucketStore.deleteWhere(name, r => filters.forall(FilterEval.eval(schema, _, r)))
+    ()
+  }
+
+  /** `TRUNCATE TABLE graft.t`: all buckets emptied, one new version. */
+  override def truncateTable(): Boolean = {
+    BucketStore.deleteWhere(name, _ => true)
+    true
+  }
 
   override def name(): String = s"graft-buckets:$name"
   override def schema(): StructType = t.schema

@@ -119,6 +119,27 @@ class BucketedWriteSpec extends SparkSuite {
       "a replayed epoch must not double-append")
   }
 
+  test("DELETE FROM and TRUNCATE TABLE execute store-side under new versions") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS graft.`w_del`")
+    (1 to 40).map(i => (i.toLong, i % 4)).toDF("k", "grp")
+      .writeTo("graft.`w_del`").partitionedBy(bucket(4, col("k"))).create()
+    val v0 = BucketStore.get("w_del").version
+    // filter-translatable predicate → executed inside the store
+    spark.sql("DELETE FROM graft.`w_del` WHERE grp = 2")
+    assert(spark.table("graft.`w_del`").count() === 30)
+    assert(spark.table("graft.`w_del`").filter(col("grp") === 2).count() === 0)
+    assert(BucketStore.get("w_del").version > v0, "delete must publish a new version")
+    // three-valued logic holds for DML too: NULL-safe semantics come
+    // from the same FilterEval the read path uses
+    spark.sql("DELETE FROM graft.`w_del` WHERE k >= 30")
+    assert(spark.table("graft.`w_del`").count() ===
+      (1 to 29).count(i => i % 4 != 2).toLong)
+    spark.sql("TRUNCATE TABLE graft.`w_del`")
+    assert(spark.table("graft.`w_del`").count() === 0)
+    assert(BucketStore.get("w_del").buckets.length === 4, "layout survives truncate")
+  }
+
   test("SQL DML front door: CREATE TABLE / INSERT INTO / INSERT OVERWRITE / DROP") {
     cat()
     spark.sql("DROP TABLE IF EXISTS graft.`w_sql`")
