@@ -73,6 +73,24 @@ class BucketedStreamSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("streaming read fails over to replicas like the batch path (shared reader)") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i, s"v$i")).toDF("id", "v")
+    BucketStore.load(spark, "stream_failover_t", df, "id", 4)
+    try {
+      BucketServers.kill("host-1") // primary of buckets 1; replica of 0
+      val stream = spark.readStream.format("graft-buckets")
+        .option("table", "stream_failover_t").load()
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName("stream_failover_sink").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("stream_failover_sink").count() === 40,
+          "every row must arrive exactly once via the replica chain")
+      } finally q.stop()
+    } finally BucketServers.revive("host-1")
+  }
+
   test("a store reload produces a refresh batch (snapshot-feed semantics)") {
     import spark.implicits._
     val df1 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
