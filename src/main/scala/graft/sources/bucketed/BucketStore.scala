@@ -144,6 +144,26 @@ object BucketStore {
     deleted
   }
 
+  /** Group (bucket) replacement for COPY_ON_WRITE row-level operations
+    * (UPDATE/MERGE/fallback-DELETE): buckets in `groups` are REPLACED
+    * by the incoming rows (the rewrite read them in full — survivors +
+    * updates land in `byBucket`); buckets outside `groups` keep their
+    * rows and only APPEND incoming ones (an UPDATE that rewrites the
+    * bucket key, or a MERGE insert, legally moves rows into buckets
+    * the scan never touched). One version, atomic, like every publish.
+    */
+  def replaceGroups(name: String, byBucket: Array[Array[Row]], groups: Set[Int]): Unit =
+    synchronized {
+      val t = get(name)
+      require(byBucket.length == t.buckets.length,
+        s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
+      val rows = t.buckets.zipWithIndex.map { case (old, b) =>
+        if (groups.contains(b)) byBucket(b) else old ++ byBucket(b)
+      }
+      tables.put(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
+      ()
+    }
+
   def get(name: String): BucketTable = {
     maybeInjectFailure()
     val t = tables.get(name)

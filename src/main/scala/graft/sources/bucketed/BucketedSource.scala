@@ -107,8 +107,18 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private def t: BucketStore.BucketTable = BucketStore.getWithRetry(name)
+
+  /** SQL UPDATE / MERGE INTO / fallback DELETE — see
+    * [[BucketedRowLevelOperationBuilder]] (copy-on-write, group =
+    * bucket).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new BucketedRowLevelOperationBuilder(name, info)
 
   /** `DELETE FROM graft.t WHERE …`: accepted only when [[FilterEval]]
     * enforces the whole predicate exactly (same supports/eval lockstep
@@ -231,6 +241,17 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
     */
   override def isPartiallyPushed(): Boolean = true
 
+  /** Hook for row-level operations: the scan reports its planned
+    * bucket set here (None = plain read, no recording).
+    */
+  protected def planListener: Option[Array[Int] => Unit] = None
+
+  /** Filters usable for bucket pruning but NOT row enforcement — the
+    * row-level rewrite scan routes ALL its filters here (group
+    * semantics: a read bucket must return every row).
+    */
+  protected def pruneOnlyFilters: Array[Filter] = Array.empty
+
   override def build(): Scan = {
     val t = BucketStore.getWithRetry(name)
     // numpartitions is a cross-check, not a knob: parallelism is
@@ -243,7 +264,8 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
     aggSpec match {
       case Some(spec) => new BucketedAggScan(name, spec, pushed, t.version, opts.fetchSize)
       case None =>
-        new BucketedScan(name, required, pushed, t.version, opts.fetchSize, limit, topN)
+        new BucketedScan(name, required, pushed, t.version, opts.fetchSize, limit, topN,
+          planListener, pruneOnlyFilters)
     }
   }
 }
@@ -419,7 +441,9 @@ object AggSpec {
 }
 
 class BucketedScan(name: String, required: StructType, filters: Array[Filter], version: Long,
-    fetchSize: Int = 1000, limit: Option[Int] = None, topN: Option[TopNSpec] = None)
+    fetchSize: Int = 1000, limit: Option[Int] = None, topN: Option[TopNSpec] = None,
+    onPlan: Option[Array[Int] => Unit] = None,
+    pruneOnly: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -473,8 +497,18 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
 
-  override def planInputPartitions(): Array[InputPartition] =
-    BucketSplits.plan(name, filters ++ runtimeFilters, version)
+  override def planInputPartitions(): Array[InputPartition] = {
+    // pruneOnly: filters a row-level rewrite scan may use to SKIP
+    // whole buckets but must never enforce per row (group semantics:
+    // every row of a read bucket must come back)
+    val parts = BucketSplits.plan(name, filters ++ pruneOnly ++ runtimeFilters, version)
+    // row-level operations record which buckets the rewrite actually
+    // read (post static + runtime pruning): commit replaces exactly
+    // those groups. Re-planning after filter() re-records — last
+    // (most-pruned) plan is the one execution uses.
+    onPlan.foreach(f => f(parts.map(_.asInstanceOf[BucketInputPartition].bucket)))
+    parts
+  }
 
   /** Streaming read of the same bucket-pinned scan: each micro-batch
     * replays the store snapshot its end offset names, through the same

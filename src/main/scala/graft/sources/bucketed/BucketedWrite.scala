@@ -151,14 +151,38 @@ final case class BucketWriteCommit(rowsByBucket: Array[Array[Row]])
 class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int)
   extends DataWriter[InternalRow] {
 
-  private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
-    .createToScalaConverter(schema)
+  private val fieldConverters = schema.fields.map(f =>
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(f.dataType))
   private val keyIdx = schema.fieldIndex(keyCol)
   private val buf = Array.fill(numBuckets)(Vector.newBuilder[Row])
 
+  /** Values are extracted eagerly (Spark reuses the InternalRow buffer
+    * between calls). `offset` = 1 strips the `__row_operation` prefix
+    * group-based row-level rewrites carry: Spark's plain writing task
+    * hands that column through when the operation declares no metadata
+    * attributes (the declared `LogicalWriteInfo.schema()` stays the
+    * table schema), so the writer detects it structurally — exactly
+    * one extra leading field.
+    */
+  private def toRow(record: InternalRow, offset: Int): Row = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      vals(i) =
+        if (record.isNullAt(i + offset)) null
+        else fieldConverters(i)(record.get(i + offset, schema(i).dataType))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, schema)
+  }
+
   override def write(record: InternalRow): Unit = {
-    // copy(): Spark reuses the InternalRow buffer between calls
-    val row = toScala(record.copy()).asInstanceOf[Row]
+    val offset =
+      if (record.numFields == schema.length + 1) 1
+      else if (record.numFields == schema.length) 0
+      else throw new IllegalStateException(
+        s"writer got ${record.numFields} fields for ${schema.length}-column schema")
+    val row = toRow(record, offset)
     val b = BucketFunction.bucketFor(row.get(keyIdx), numBuckets).getOrElse(
       throw new UnsupportedOperationException(
         s"bucket key '$keyCol' value ${row.get(keyIdx)} is not hash-bucketable"))

@@ -119,6 +119,47 @@ class BucketedWriteSpec extends SparkSuite {
       "a replayed epoch must not double-append")
   }
 
+  test("write plans ONE exchange on the catalog's bucket function — each task writes whole buckets") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS graft.`w_plan`")
+    spark.sql("CREATE TABLE graft.`w_plan` (k BIGINT, v STRING) PARTITIONED BY (bucket(8, k))")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            plans.add(s.physicalPlanDescription); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .writeTo("graft.`w_plan`").append()
+      def findPlan(): Option[String] = plans.toArray(Array.empty[String])
+        .find(p => p.contains("AppendData") && p.contains("w_plan") ||
+          p.contains("AppendData") && p.contains("BucketedWrite"))
+      val deadline = System.currentTimeMillis() + 15000
+      var plan = findPlan()
+      while (plan.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); plan = findPlan()
+      }
+      assert(plan.isDefined, "expected a captured AppendData plan")
+      val p = plan.get
+      // the RequiresDistributionAndOrdering contract, realized: Spark
+      // shuffles BY OUR BUCKET FUNCTION (FunctionCatalog-resolved) into
+      // exactly numBuckets partitions, so every write task stages whole
+      // buckets — host-local ingest at scale
+      assert(p.contains("applyfunctionexpression") && p.contains("BucketFunction"),
+        p.take(1500))
+      // the formatted description prints each node twice (tree +
+      // detail) — count the Exchange ARGUMENT lines for uniqueness
+      assert(p.linesIterator.count(_.contains("REPARTITION_BY_NUM")) === 1,
+        "exactly one shuffle, on the bucket function\n" + p.take(1500))
+      assert(p.contains(", 8), REPARTITION_BY_NUM"), p.take(1500))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("DELETE FROM and TRUNCATE TABLE execute store-side under new versions") {
     cat()
     spark.sql("DROP TABLE IF EXISTS graft.`w_del`")
@@ -138,6 +179,53 @@ class BucketedWriteSpec extends SparkSuite {
     spark.sql("TRUNCATE TABLE graft.`w_del`")
     assert(spark.table("graft.`w_del`").count() === 0)
     assert(BucketStore.get("w_del").buckets.length === 4, "layout survives truncate")
+  }
+
+  test("row-level ops: UPDATE, key-moving UPDATE, MERGE INTO, and non-translatable DELETE") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS graft.`w_rlo`")
+    (1 to 20).map(i => (i.toLong, s"v$i", i * 10)).toDF("k", "v", "n")
+      .writeTo("graft.`w_rlo`").partitionedBy(bucket(4, col("k"))).create()
+
+    // UPDATE on a translatable predicate rewrites only the owning rows
+    spark.sql("UPDATE graft.`w_rlo` SET v = 'updated' WHERE k = 5")
+    assert(spark.table("graft.`w_rlo`").filter(col("v") === "updated")
+      .select("k").as[Long].collect().toSeq === Seq(5L))
+    assert(spark.table("graft.`w_rlo`").count() === 20)
+
+    // UPDATE that REWRITES THE BUCKET KEY: the row must move to its
+    // new owning bucket (and only once)
+    spark.sql("UPDATE graft.`w_rlo` SET k = 100 WHERE k = 7")
+    assert(spark.table("graft.`w_rlo`").filter(col("k") === 7).count() === 0)
+    assert(spark.table("graft.`w_rlo`").filter(col("k") === 100).count() === 1)
+    assert(spark.table("graft.`w_rlo`").count() === 20)
+    val t = BucketStore.get("w_rlo")
+    t.buckets.zipWithIndex.foreach { case (rows, b) =>
+      rows.foreach(r => assert(
+        BucketFunction.bucketFor(r.getAs[Long]("k"), 4).contains(b),
+        s"row k=${r.get(0)} landed in wrong bucket $b after key-moving UPDATE"))
+    }
+
+    // MERGE INTO: matched rows update, unmatched insert
+    spark.sql("DROP TABLE IF EXISTS graft.`w_rlo_src`")
+    Seq((1L, "merged", 111), (999L, "inserted", 999)).toDF("k", "v", "n")
+      .writeTo("graft.`w_rlo_src`").partitionedBy(bucket(4, col("k"))).create()
+    spark.sql(
+      """MERGE INTO graft.`w_rlo` t USING graft.`w_rlo_src` s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.n = s.n
+        |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""".stripMargin)
+    assert(spark.table("graft.`w_rlo`").filter(col("k") === 1)
+      .select("v").as[String].head() === "merged")
+    assert(spark.table("graft.`w_rlo`").filter(col("k") === 999)
+      .select("v").as[String].head() === "inserted")
+    assert(spark.table("graft.`w_rlo`").count() === 21)
+
+    // a DELETE FilterEval cannot enforce store-side falls back to the
+    // copy-on-write rewrite instead of erroring
+    spark.sql("DELETE FROM graft.`w_rlo` WHERE k % 2 = 0 AND k < 20")
+    val remaining = spark.table("graft.`w_rlo`").select("k").as[Long].collect().toSet
+    assert(!remaining.exists(k => k % 2 == 0 && k < 20), remaining.toString)
+    assert(remaining.contains(100L) && remaining.contains(999L))
   }
 
   test("SQL DML front door: CREATE TABLE / INSERT INTO / INSERT OVERWRITE / DROP") {
