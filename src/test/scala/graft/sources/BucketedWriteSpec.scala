@@ -228,6 +228,23 @@ class BucketedWriteSpec extends SparkSuite {
     assert(remaining.contains(100L) && remaining.contains(999L))
   }
 
+  test("UPDATE on the bucket key rewrites ~one bucket, not the table (group pruning)") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS graft.`w_prune`")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .writeTo("graft.`w_prune`").partitionedBy(bucket(8, col("k"))).create()
+    ConnectionPool.reset()
+    spark.sql("UPDATE graft.`w_prune` SET v = 'x' WHERE k = 42")
+    // reads = the group-discovery subquery (bucket-pruned normal scan)
+    // + the rewrite scan of the one affected bucket — never 8 buckets
+    val (created, reused) = ConnectionPool.stats
+    assert(created + reused <= 4,
+      s"UPDATE WHERE key=42 should read ~1 bucket (+subquery), opened ${created + reused}")
+    assert(spark.table("graft.`w_prune`").filter(col("v") === "x")
+      .select("k").as[Long].collect().toSeq === Seq(42L))
+    assert(spark.table("graft.`w_prune`").count() === 100)
+  }
+
   test("SQL DML front door: CREATE TABLE / INSERT INTO / INSERT OVERWRITE / DROP") {
     cat()
     spark.sql("DROP TABLE IF EXISTS graft.`w_sql`")
