@@ -193,6 +193,13 @@ object SparkEntry {
     //   table-sourced) and the full source→join→sink ETL roundtrip —
     "q100_stream_bucket_window" -> graft.sources.bucketed.BucketedQueries.streamBucketWindowQuery _,
     "q101_stream_etl" -> graft.sources.bucketed.BucketedQueries.streamEtlRoundtripQuery _,
+    // — CDC: stream per-bucket row-level deltas across the store's
+    //   MVCC history (insert/delete tagged, COW rewrites net out),
+    //   folded into the downstream materialization —
+    "q102_cdc" -> graft.sources.bucketed.BucketedQueries.cdcNetQuery _,
+    // — MVCC time travel: SQL VERSION AS OF against a retained
+    //   snapshot after a DELETE, unioned with the current state —
+    "q103_time_travel" -> graft.sources.bucketed.BucketedQueries.timeTravelQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -345,5 +352,7 @@ object SparkEntry {
     // watermark withholding, different (store) source
     "q100_stream_bucket_window" -> graft.streaming.StreamOps.hourlyWindowAggSql,
     "q101_stream_etl" -> graft.sources.bucketed.BucketedQueries.streamEtlRoundtripSql,
+    "q102_cdc" -> graft.sources.bucketed.BucketedQueries.cdcNetSql,
+    "q103_time_travel" -> graft.sources.bucketed.BucketedQueries.timeTravelSql,
   )
 }

@@ -23,6 +23,20 @@ import org.apache.spark.sql.types.StructType
   * discovery at planning, per-bucket InputPartitions, locality hints,
   * filter/column pushdown — is identical and is the part that must
   * scale.
+  *
+  * MVCC (round 7): every publish (load, write commit, DELETE,
+  * row-level replace) appends a new snapshot to a bounded per-table
+  * history instead of discarding the old one. A scan that pinned
+  * version v at planning reads EXACTLY v even if the table republishes
+  * mid-scan — snapshot isolation, not the reference's
+  * fail-on-any-drift check (SnappyDataConnectorHelper.scala:97-118,
+  * which aborts the query). History is capped at [[RetainedVersions]]
+  * snapshots (oldest auto-vacuumed on publish) and can be trimmed
+  * explicitly with [[vacuum]]; reading a vacuumed version fails loudly
+  * with the retained range. Unchanged buckets SHARE row arrays across
+  * versions (copy-on-write publishes replace only touched buckets), so
+  * retention costs O(changed buckets), not O(table × versions) — the
+  * same reason a real store can keep an MVCC window at 100 TB.
   */
 object BucketStore {
 
@@ -33,8 +47,15 @@ object BucketStore {
       hosts: Array[Seq[String]],
       version: Long)
 
-  private val tables = new ConcurrentHashMap[String, BucketTable]()
+  /** Retained snapshots per table, oldest → newest; `.last` is current. */
+  private val tables = new ConcurrentHashMap[String, Vector[BucketTable]]()
   private val versions = new java.util.concurrent.atomic.AtomicLong()
+
+  /** MVCC retention window: snapshots kept per table. Old enough for
+    * any in-flight scan or CDC replay at test scale; a real store
+    * would bound this by time + active-transaction watermark.
+    */
+  val RetainedVersions: Int = 32
 
   /** Synthetic cluster: `nHosts` servers, buckets assigned round-robin
     * with one replica (mirrors the primary/secondary lists parsed in
@@ -43,10 +64,20 @@ object BucketStore {
   def hostsFor(bucket: Int, nHosts: Int): Seq[String] =
     Seq(s"host-${bucket % nHosts}", s"host-${(bucket + 1) % nHosts}")
 
+  /** Append `next` to `name`'s history under the retention cap. All
+    * version publishes funnel through here (single synchronized
+    * choke point = the store's commit protocol).
+    */
+  private def publish(name: String, next: BucketTable): Unit = {
+    val hist = tables.getOrDefault(name, Vector.empty)
+    tables.put(name, (hist :+ next).takeRight(RetainedVersions))
+    ()
+  }
+
   /** Load a DataFrame into the store as `name`, hash-partitioned on
-    * `keyCol` into `numBuckets` buckets. Idempotent per (name, version
-    * of the data): repeated loads replace the table under a new
-    * version.
+    * `keyCol` into `numBuckets` buckets. Repeated loads publish a new
+    * snapshot version (the previous one stays readable in the MVCC
+    * window).
     */
   def load(spark: SparkSession, name: String, df: DataFrame, keyCol: String,
       numBuckets: Int, nHosts: Int = 4): Unit = {
@@ -64,7 +95,7 @@ object BucketStore {
       byBucket.map(_.result().toArray),
       Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
       versions.incrementAndGet())
-    tables.put(name, table)
+    synchronized { publish(name, table) }
   }
 
   /** Load from parquet if not already present (the common gated-query
@@ -99,11 +130,11 @@ object BucketStore {
       Array.fill(numBuckets)(Array.empty[Row]),
       Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
       versions.incrementAndGet())
-    val prev = tables.putIfAbsent(name, empty)
+    val prev = tables.putIfAbsent(name, Vector(empty))
     require(prev == null, s"BucketStore table '$name' already exists")
   }
 
-  /** Catalog DROP TABLE. */
+  /** Catalog DROP TABLE — removes the table AND its whole MVCC history. */
   def drop(name: String): Boolean = tables.remove(name) != null
 
   /** Job-level atomic publish for the DSv2 write path: merge the
@@ -111,7 +142,9 @@ object BucketStore {
     * readers see the old snapshot or the new one, never a torn write
     * (aborted jobs publish nothing; [[BucketedBatchWrite.commit]] is
     * the only caller). `truncate` = replace rows (overwrite); else
-    * append to the existing buckets.
+    * append to the existing buckets. Buckets receiving no rows share
+    * their array with the previous snapshot (MVCC retention stays
+    * cheap).
     */
   def commitWrite(name: String, byBucket: Array[Array[Row]], truncate: Boolean): Unit =
     synchronized {
@@ -120,14 +153,16 @@ object BucketStore {
         s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
       val rows =
         if (truncate) byBucket
-        else t.buckets.zip(byBucket).map { case (old, add) => old ++ add }
-      tables.put(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
-      ()
+        else t.buckets.zip(byBucket).map { case (old, add) =>
+          if (add.isEmpty) old else old ++ add
+        }
+      publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
     }
 
   /** Row-level DELETE: drop the rows matching `pred` from every bucket
     * under one new version (same atomic-publish discipline as
-    * [[commitWrite]]). Returns the number of rows deleted.
+    * [[commitWrite]]). Untouched buckets share their array with the
+    * previous snapshot. Returns the number of rows deleted.
     */
   def deleteWhere(name: String, pred: Row => Boolean): Long = synchronized {
     val t = get(name)
@@ -138,9 +173,9 @@ object BucketStore {
         if (d) deleted += 1
         d
       }
-      keep
+      if (keep.length == rows.length) rows else keep
     }
-    tables.put(name, t.copy(buckets = kept, version = versions.incrementAndGet()))
+    publish(name, t.copy(buckets = kept, version = versions.incrementAndGet()))
     deleted
   }
 
@@ -158,17 +193,53 @@ object BucketStore {
       require(byBucket.length == t.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>
-        if (groups.contains(b)) byBucket(b) else old ++ byBucket(b)
+        if (groups.contains(b)) byBucket(b)
+        else if (byBucket(b).isEmpty) old
+        else old ++ byBucket(b)
       }
-      tables.put(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
-      ()
+      publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
     }
 
-  def get(name: String): BucketTable = {
+  def get(name: String): BucketTable = history(name).last
+
+  /** All retained snapshot versions of `name`, oldest → newest. */
+  def retained(name: String): Seq[Long] = history(name).map(_.version)
+
+  def currentVersion(name: String): Long = get(name).version
+
+  /** The snapshot published as version `v` — MVCC read path: a scan
+    * that pinned `v` at planning keeps reading `v` regardless of later
+    * publishes. Loud failure (with the retained range) when `v` was
+    * vacuumed or never existed: correctness never silently degrades to
+    * a different snapshot.
+    */
+  def snapshot(name: String, v: Long): BucketTable = {
+    val hist = history(name)
+    hist.find(_.version == v).getOrElse {
+      throw new IllegalArgumentException(
+        s"snapshot v$v of '$name' is not retained (retained: " +
+          s"${hist.map("v" + _.version).mkString(", ")}) — vacuumed, superseded beyond " +
+          s"the $RetainedVersions-version MVCC window, or never published")
+    }
+  }
+
+  /** Explicit history trim: keep the newest `keepLast` snapshots.
+    * Returns the number of snapshots dropped. Time-travel or CDC reads
+    * into the dropped range fail loudly afterwards.
+    */
+  def vacuum(name: String, keepLast: Int): Int = synchronized {
+    require(keepLast >= 1, s"vacuum must keep at least the current snapshot, got $keepLast")
+    val hist = history(name)
+    val dropped = math.max(0, hist.length - keepLast)
+    if (dropped > 0) tables.put(name, hist.takeRight(keepLast))
+    dropped
+  }
+
+  private def history(name: String): Vector[BucketTable] = {
     maybeInjectFailure()
-    val t = tables.get(name)
-    require(t != null, s"BucketStore has no table '$name' — call BucketStore.load first")
-    t
+    val hist = tables.get(name)
+    require(hist != null, s"BucketStore has no table '$name' — call BucketStore.load first")
+    hist
   }
 
   /** Metadata fetch with ONE bounded retry (C9 — reference:
@@ -183,6 +254,16 @@ object BucketStore {
         System.err.println(s"[graft-buckets] transient metadata failure for '$name' " +
           s"(${e.getMessage}); retrying (${retries} left)")
         getWithRetry(name, retries - 1)
+    }
+
+  /** [[snapshot]] with the same bounded transient-failure retry. */
+  def snapshotWithRetry(name: String, v: Long, retries: Int = 1): BucketTable =
+    try snapshot(name, v)
+    catch {
+      case e: java.io.IOException if retries > 0 =>
+        System.err.println(s"[graft-buckets] transient metadata failure for '$name' " +
+          s"(${e.getMessage}); retrying (${retries} left)")
+        snapshotWithRetry(name, v, retries - 1)
     }
 
   // — transient-failure injection (spec hook for the C9 retry path) —

@@ -38,6 +38,30 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog {
     new BucketedTable(ident.name())
   }
 
+  /** SQL time travel — `SELECT … FROM graft.t VERSION AS OF v`: pin
+    * the scan to retained MVCC snapshot `v` (loud failure at planning
+    * if `v` was vacuumed, [[BucketStore.snapshot]]).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!BucketStore.exists(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft time travel takes a numeric store version, got '$version'")
+    }
+    new BucketedTable(ident.name(),
+      ConnectorOptions.Defaults.copy(table = ident.name(), versionAsOf = Some(v)))
+  }
+
+  /** `TIMESTAMP AS OF` is not supported: store versions carry no
+    * commit timestamps (a real store would map the timestamp to the
+    * latest version at or before it).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog supports VERSION AS OF only; TIMESTAMP AS OF needs commit timestamps " +
+        "the store does not record")
+
   /** CREATE TABLE (incl. CTAS): the partitioning MUST be the store's
     * `bucket(n, key)` transform — an unbucketed bucket-store table is
     * a contradiction, rejected loudly rather than defaulted.

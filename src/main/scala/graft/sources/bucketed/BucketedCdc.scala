@@ -1,0 +1,192 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Change-data-capture over the bucket store's MVCC history — the
+  * scale-honest alternative to the snapshot feed
+  * ([[BucketMicroBatchStream]]): instead of replaying the WHOLE table
+  * on every version bump, each micro-batch ships only the row-level
+  * DELTA between retained snapshots, per bucket, tagged with
+  * `_change_type` (insert/delete) and `_commit_version`. An UPDATE
+  * appears as delete+insert under one commit version; a copy-on-write
+  * bucket rewrite (SQL UPDATE/MERGE republish the whole bucket,
+  * [[BucketStore.replaceGroups]]) emits only the NET logical changes —
+  * unchanged rows cancel in the diff, so the feed reflects what
+  * changed, never how the store stores it.
+  *
+  * What carries to 100 TB: the delta is computed per bucket, in the
+  * bucket's own task (host-local, pooled paged fetches — the same
+  * "server side" the pushed aggregates run on; a production store
+  * would serve its WAL/changelog directly and skip the diff). Only
+  * changed rows cross to Spark, so a stream over a 100 TB table whose
+  * daily churn is 0.1% moves 100 GB per replay window, not 100 TB —
+  * the difference between a maintainable downstream materialization
+  * and re-reading the world.
+  *
+  * Offset axis = store versions, like the snapshot feed. Replay
+  * starts at offset 0 = "before the oldest retained snapshot", whose
+  * first step emits that snapshot as inserts (the initial-load batch).
+  * A checkpointed offset that has since been [[BucketStore.vacuum]]ed
+  * out of the window fails LOUDLY — a change feed that silently skips
+  * history corrupts every downstream materialization.
+  */
+object CdcSchema {
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  def of(base: StructType): StructType = {
+    require(!base.fieldNames.contains(ChangeType) && !base.fieldNames.contains(CommitVersion),
+      s"table schema already has a $ChangeType/$CommitVersion column")
+    StructType(base.fields ++ Seq(
+      StructField(ChangeType, StringType, nullable = false),
+      StructField(CommitVersion, LongType, nullable = false)))
+  }
+}
+
+/** No pushdown: a change feed's consumers need every delta (filters
+  * above the scan still apply Spark-side; pruning an unseen delta
+  * could silently drop a delete a downstream merge depends on).
+  */
+class CdcScanBuilder(name: String, opts: ConnectorOptions) extends ScanBuilder {
+  override def build(): Scan = new CdcScan(name, opts.fetchSize)
+}
+
+class CdcScan(name: String, fetchSize: Int) extends Scan {
+  override def readSchema(): StructType =
+    CdcSchema.of(BucketStore.getWithRetry(name).schema)
+
+  override def description(): String = s"graft-buckets:$name mode=cdc"
+
+  /** The change feed is stream-only: batch semantics ("all changes
+    * ever") would silently truncate at the retention window.
+    */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new UnsupportedOperationException(
+      s"graft-buckets '$name' mode=cdc does not support batch reads — the change feed is " +
+        "bounded by the MVCC retention window; consume it with spark.readStream")
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BucketCdcMicroBatchStream(name, fetchSize)
+}
+
+class BucketCdcMicroBatchStream(name: String, fetchSize: Int) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = new BucketStreamOffset(0L)
+
+  override def latestOffset(): Offset =
+    new BucketStreamOffset(BucketStore.getWithRetry(name).version)
+
+  override def deserializeOffset(json: String): Offset = new BucketStreamOffset(json.toLong)
+
+  /** One partition per bucket, carrying every (fromVersion, toVersion)
+    * diff step in the batch's (start, end] version range — the reader
+    * walks the steps in commit order so a row inserted in v2 and
+    * deleted in v3 yields both events, ordered.
+    */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startV = BucketStreamOffset.of(start)
+    val endV = BucketStreamOffset.of(end)
+    if (startV >= endV) return Array.empty
+    val retained = BucketStore.retained(name)
+    require(startV == 0 || retained.contains(startV),
+      s"CDC replay from v$startV of '$name' is impossible: that snapshot left the MVCC " +
+        s"window (retained: ${retained.map("v" + _).mkString(", ")}). The feed fails rather " +
+        "than silently skipping history — re-seed the downstream materialization, or vacuum " +
+        "less aggressively than the stream lags")
+    val commits = retained.filter(v => v > startV && v <= endV)
+    if (commits.isEmpty) return Array.empty
+    // diff bases: the checkpointed start (or 0 = empty table) then each
+    // intermediate commit
+    val steps = ((startV +: commits).sliding(2).collect { case Seq(a, b) => (a, b) }).toArray
+    val snaps = commits.map(BucketStore.snapshotWithRetry(name, _))
+    val n = snaps.head.buckets.length
+    require(snaps.forall(_.buckets.length == n),
+      s"CDC window of '$name' spans a re-bucketing (${snaps.map(_.buckets.length).distinct.mkString("→")} buckets) — not diffable")
+    val hosts = snaps.last.hosts
+    Array.tabulate(n)(b => CdcInputPartition(name, b, hosts(b).toArray, steps))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory(fetchSize)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class CdcInputPartition(table: String, bucket: Int, hosts: Array[String],
+    steps: Array[(Long, Long)]) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
+
+class CdcReaderFactory(fetchSize: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], fetchSize)
+}
+
+/** Emits one bucket's deltas across the batch's version steps. Per
+  * step: fetch the bucket at the base and target snapshots (pooled,
+  * failover — fromVersion 0 = empty base), multiset-diff, emit deletes
+  * then inserts tagged with the target commit version. Memory is one
+  * bucket's two snapshots — the same bound the snapshot reader has —
+  * and ONLY delta rows are handed to Spark.
+  */
+class CdcPartitionReader(p: CdcInputPartition, fetchSize: Int)
+  extends PartitionReader[InternalRow] {
+
+  private val baseSchema = BucketStore.snapshotWithRetry(p.table, p.steps.last._2).schema
+  private val cdcSchema = CdcSchema.of(baseSchema)
+  private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    .createToCatalystConverter(cdcSchema)
+
+  private def fetchRows(version: Long): IndexedSeq[Row] =
+    if (version == 0L) IndexedSeq.empty
+    else {
+      val (conn, rows) = BucketReaderSupport.openWithFailover(
+        BucketInputPartition(p.table, p.bucket, p.hosts, version), fetchSize)
+      try rows.toIndexedSeq finally ConnectionPool.release(conn)
+    }
+
+  private val out: Iterator[Row] = p.steps.iterator.flatMap { case (fromV, toV) =>
+    val oldRows = fetchRows(fromV)
+    val newRows = fetchRows(toV)
+    // multiset diff: counts of old rows not matched by new rows are
+    // deletes; new rows beyond their old multiplicity are inserts.
+    // Row.equals/hashCode are field-wise, so identical duplicates
+    // cancel pairwise and a COW bucket rewrite nets to its logical
+    // changes only.
+    val unmatched = new scala.collection.mutable.HashMap[Row, Int]()
+    oldRows.foreach(r => unmatched(r) = unmatched.getOrElse(r, 0) + 1)
+    val inserts = Vector.newBuilder[Row]
+    newRows.foreach { r =>
+      unmatched.get(r) match {
+        case Some(c) if c > 0 => if (c == 1) unmatched.remove(r) else unmatched(r) = c - 1
+        case _ => inserts += r
+      }
+    }
+    // deletes in stored order: take each old row while its unmatched
+    // multiplicity lasts (deterministic emission for a deterministic
+    // store order)
+    val deletes = Vector.newBuilder[Row]
+    oldRows.foreach { r =>
+      val c = unmatched.getOrElse(r, 0)
+      if (c > 0) { deletes += r; if (c == 1) unmatched.remove(r) else unmatched(r) = c - 1 }
+    }
+    def tag(r: Row, kind: String): Row = Row.fromSeq(r.toSeq :+ kind :+ toV)
+    deletes.result().iterator.map(tag(_, "delete")) ++
+      inserts.result().iterator.map(tag(_, "insert"))
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (out.hasNext) {
+      current = toCatalyst(out.next()).asInstanceOf[InternalRow]
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

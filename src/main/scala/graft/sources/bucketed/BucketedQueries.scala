@@ -389,4 +389,83 @@ object BucketedQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |WHERE event_type = 'click'
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** q102 — the CDC feed driving a downstream net materialization:
+    * load events into a fresh store table (commit 1), `DELETE` the
+    * views (commit 2), `UPDATE` the clicks to double their value
+    * (commit 3 — a copy-on-write bucket rewrite), then stream
+    * `mode=cdc` and fold the deltas: +row on insert, −row on delete.
+    * The folded net must equal the final table state — deletes cancel
+    * their inserts, the COW rewrite contributes only its logical
+    * delta (sign-cancelled decimal sums make that exact). This is the
+    * 100 TB maintenance loop: a downstream aggregate kept current by
+    * folding per-bucket deltas instead of rescanning the table.
+    */
+  def cdcNetQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"events_cdc@$dir"
+    // fresh history per run: the CDC replay below must see exactly
+    // load → delete → update, not residue from an earlier run
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.events(spark, dir), "user_id", NumBuckets)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE event_type = 'view'")
+    spark.sql(s"UPDATE graft.`$name` SET value = value * 2 WHERE event_type = 'click'")
+    val changes = spark.readStream.format("graft-buckets")
+      .option("table", name).option("mode", "cdc").load()
+    val ins = col(CdcSchema.ChangeType) === "insert"
+    val net = changes
+      .groupBy(col("event_type"))
+      .agg(
+        org.apache.spark.sql.functions.sum(when(ins, 1L).otherwise(-1L)).as("n_net"),
+        org.apache.spark.sql.functions.sum(
+          when(ins, col("value")).otherwise(-col("value"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_net"))
+    graft.streaming.StreamOps.runToMemory(net, "complete")
+  }
+
+  /** The folded feed equals final state: views net to zero (deleted),
+    * clicks keep their count but double their value sum (updated),
+    * everything else is untouched.
+    */
+  val cdcNetSql: String =
+    """SELECT event_type,
+      | CASE WHEN event_type = 'view' THEN 0 ELSE count(*) END AS n_net,
+      | CAST(CASE WHEN event_type = 'view' THEN 0
+      |           WHEN event_type = 'click' THEN sum(CAST(value * 2 AS DECIMAL(18,4)))
+      |           ELSE sum(CAST(value AS DECIMAL(18,4))) END AS DOUBLE) AS sum_net
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** q103 — MVCC time travel: load orders (version v1), DELETE the
+    * open orders, then read BOTH snapshots — v1 through SQL
+    * `VERSION AS OF` (catalog loadTable(ident, version)), current
+    * through a plain scan — and union their per-status counts. The
+    * v1 read is served entirely from the retained snapshot: the
+    * deleted rows are still there, at zero re-read cost for every
+    * bucket the delete never touched (copy-on-write shares their
+    * arrays across versions).
+    */
+  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"orders_tt@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.orders(spark, dir), "o_orderkey", NumBuckets)
+    val v1 = BucketStore.currentVersion(name)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderstatus = 'O'")
+    val asOfV1 = spark.sql(
+      s"SELECT o_orderstatus, 'v1' AS snap, count(*) AS n " +
+        s"FROM graft.`$name` VERSION AS OF $v1 GROUP BY o_orderstatus")
+    val now = spark.read.format("graft-buckets").option("table", name).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), lit("now").as("snap"), col("n"))
+    asOfV1.unionAll(now)
+  }
+
+  val timeTravelSql: String =
+    """SELECT o_orderstatus, 'v1' AS snap, count(*) AS n
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT o_orderstatus, 'now' AS snap, count(*) AS n
+      |FROM orders WHERE o_orderstatus <> 'O' GROUP BY o_orderstatus""".stripMargin
 }

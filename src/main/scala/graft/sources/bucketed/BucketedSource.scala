@@ -33,8 +33,12 @@ import scala.jdk.CollectionConverters._
   *     pruning, enforced inside the reader, so the scan is
   *     strictly better than the original;
   *   - snapshot consistency → the scan pins the table version seen at
-  *     planning; readers fail on version drift (reference's designed
-  *     but disabled snapshot protocol, SnappyDataConnectorHelper.scala:97-118).
+  *     planning and every reader serves EXACTLY that snapshot from the
+  *     store's MVCC window (round 7; a concurrent republish no longer
+  *     aborts the scan — only a vacuumed snapshot fails, loudly). The
+  *     reference designed a fail-on-drift check instead
+  *     (SnappyDataConnectorHelper.scala:97-118); MVCC is the strictly
+  *     stronger guarantee.
   *
   * Rows stream through the reader one at a time — deliberately NOT the
   * reference's drain-everything-into-a-queue approach
@@ -53,16 +57,24 @@ import scala.jdk.CollectionConverters._
   *     (one split per bucket, like the reference's
   *     SET_BUCKETS_FOR_LOCAL_EXECUTION mode), so if set it must equal
   *     the table's bucket count — anything else is a configuration
-  *     error surfaced loudly, not silently ignored.
+  *     error surfaced loudly, not silently ignored;
+  *   - `versionasof`: time-travel read — pin the scan to a retained
+  *     MVCC snapshot instead of the current one (batch only; the SQL
+  *     `VERSION AS OF` syntax routes here via [[BucketedCatalog]]);
+  *   - `mode`: `snapshot` (default) or `cdc` — `cdc` turns a
+  *     `readStream` into a change-data feed replaying per-bucket
+  *     row-level deltas between retained versions (see
+  *     [[BucketCdcMicroBatchStream]]).
   *
   * Unknown options are REJECTED with the full vocabulary in the
   * message: a typo like `fetchSize=10.5` or `fechsize` must fail the
   * query, not silently run with defaults.
   */
-final case class ConnectorOptions(table: String, fetchSize: Int, numPartitions: Option[Int])
+final case class ConnectorOptions(table: String, fetchSize: Int, numPartitions: Option[Int],
+    versionAsOf: Option[Long] = None, cdc: Boolean = false)
 
 object ConnectorOptions {
-  val Known: Set[String] = Set("table", "fetchsize", "numpartitions")
+  val Known: Set[String] = Set("table", "fetchsize", "numpartitions", "versionasof", "mode")
   val Defaults: ConnectorOptions = ConnectorOptions("", fetchSize = 1000, numPartitions = None)
 
   def parse(options: JMap[String, String]): ConnectorOptions = {
@@ -86,15 +98,37 @@ object ConnectorOptions {
         Some(v)
       }
     }
-    ConnectorOptions(table, posInt("fetchsize", Some(1000)).get, posInt("numpartitions", None))
+    val versionAsOf = Option(ci.get("versionasof")).map { raw =>
+      val v = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-buckets: option 'versionasof' must be a positive integer version, got '$raw'")
+      }
+      require(v > 0,
+        s"graft-buckets: option 'versionasof' must be a positive integer version, got '$raw'")
+      v
+    }
+    val cdc = Option(ci.get("mode")).map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case None | Some("snapshot") => false
+      case Some("cdc") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-buckets: option 'mode' must be 'snapshot' or 'cdc', got '$other'")
+    }
+    require(!(cdc && versionAsOf.isDefined),
+      "graft-buckets: 'versionasof' cannot combine with mode=cdc — the change feed " +
+        "always replays the retained history from the stream's checkpointed offset")
+    ConnectorOptions(table, posInt("fetchsize", Some(1000)).get, posInt("numpartitions", None),
+      versionAsOf, cdc)
   }
 }
 
 class BucketedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-buckets"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    BucketStore.getWithRetry(ConnectorOptions.parse(options.asCaseSensitiveMap()).table).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = ConnectorOptions.parse(options.asCaseSensitiveMap())
+    val base = BucketStore.getWithRetry(opts.table).schema
+    if (opts.cdc) CdcSchema.of(base) else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -141,9 +175,16 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   }
 
   override def name(): String = s"graft-buckets:$name"
-  override def schema(): StructType = t.schema
+  override def schema(): StructType =
+    if (opts.cdc) CdcSchema.of(t.schema) else t.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+    if (opts.cdc)
+      // the change feed is read-only and stream-only. BATCH_READ is
+      // declared so a batch read reaches [[CdcScan.toBatch]], which
+      // fails with an instructive message instead of the provider
+      // framework's generic "not a valid data source"
+      Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       // full-overwrite only: OverwriteByExpression(true) routes to
@@ -155,7 +196,8 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
     Array(Expressions.bucket(t.buckets.length, t.keyCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BucketedScanBuilder(name, opts)
+    if (opts.cdc) new CdcScanBuilder(name, opts)
+    else new BucketedScanBuilder(name, opts)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -253,7 +295,11 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
   protected def pruneOnlyFilters: Array[Filter] = Array.empty
 
   override def build(): Scan = {
-    val t = BucketStore.getWithRetry(name)
+    // time travel: pin the requested retained snapshot (loud failure
+    // at planning if it was vacuumed); otherwise pin current
+    val t = opts.versionAsOf
+      .map(BucketStore.snapshotWithRetry(name, _))
+      .getOrElse(BucketStore.getWithRetry(name))
     // numpartitions is a cross-check, not a knob: parallelism is
     // structurally one split per bucket
     opts.numPartitions.foreach { n =>
@@ -458,7 +504,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     * oriented; column pruning already shrank `required`).
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val t = BucketStore.getWithRetry(name)
+    val t = BucketStore.snapshotWithRetry(name, version)
     val rows = t.buckets.iterator.map(_.length.toLong).sum
     val rowWidth = math.max(1, required.defaultSize)
     new org.apache.spark.sql.connector.read.Statistics {
@@ -489,7 +535,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     // only claim the key if this scan still OUTPUTS it — Spark resolves
     // these against the pruned schema, and claiming a projected-away
     // column crashes the DPP rule instead of skipping it
-    val key = BucketStore.getWithRetry(name).keyCol
+    val key = BucketStore.snapshotWithRetry(name, version).keyCol
     if (required.fieldNames.contains(key)) Array(Expressions.column(key))
     else Array.empty
   }
@@ -526,7 +572,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     * InputPartition's key is its bucket id ([[BucketInputPartition.partitionKey]]).
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    val t = BucketStore.getWithRetry(name)
+    val t = BucketStore.snapshotWithRetry(name, version)
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
       Array(Expressions.bucket(t.buckets.length, t.keyCol)), t.buckets.length)
   }
@@ -555,7 +601,9 @@ private[sources] object BucketSplits {
     */
   def plan(name: String, filters: Array[Filter], version: Long,
       keepOneWhenPruned: Boolean = false): Array[InputPartition] = {
-    val t = BucketStore.getWithRetry(name)
+    // topology from the PLANNED snapshot, not current — a time-travel
+    // or MVCC-pinned scan must split/prune against the version it reads
+    val t = BucketStore.snapshotWithRetry(name, version)
     val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
       BucketInputPartition(name, b, t.hosts(b).toArray, version))
     val planned = BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
@@ -612,9 +660,10 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
 
   import AggSpec._
 
-  private val table = BucketStore.getWithRetry(p.table)
-  require(table.version == p.version,
-    s"snapshot violated: table '${p.table}' changed (v${p.version} -> v${table.version})")
+  // MVCC: resolve the snapshot this scan pinned at planning — a
+  // republish mid-scan does not disturb it (loud failure only if the
+  // version left the retention window)
+  private val table = BucketStore.snapshotWithRetry(p.table, p.version)
 
   private val fullSchema = table.schema
   private val groupIdx = spec.groupCols.map(fullSchema.fieldIndex).toArray
@@ -768,7 +817,7 @@ private[bucketed] object BucketReaderSupport {
       try {
         val c = ConnectionPool.borrow(host)
         try {
-          opened = c.fetchBucket(p.table, p.bucket, fetchSize)
+          opened = c.fetchBucket(p.table, p.bucket, p.version, fetchSize)
           conn = c
         } catch {
           // open failed AFTER a successful borrow — ANY failure, not
@@ -813,9 +862,9 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
     limit: Option[Int] = None, topN: Option[TopNSpec] = None)
   extends PartitionReader[InternalRow] {
 
-  private val table = BucketStore.getWithRetry(p.table)
-  require(table.version == p.version,
-    s"snapshot violated: table '${p.table}' changed (v${p.version} -> v${table.version})")
+  // MVCC: read exactly the snapshot pinned at planning (see the agg
+  // reader's note); version drift no longer aborts the scan
+  private val table = BucketStore.snapshotWithRetry(p.table, p.version)
 
   private val fullSchema = table.schema
   private val colIdx: Array[Int] = required.fieldNames.map(fullSchema.fieldIndex)

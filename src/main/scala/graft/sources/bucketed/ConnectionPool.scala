@@ -70,11 +70,15 @@ object BucketServers {
   * reference's JDBC fetch size, JDBCOptions.java:15-32): each page is
   * one simulated server round trip, checked against host liveness, so
   * per-connection memory is bounded by the page, never the bucket.
+  * The fetch names the snapshot `version` it reads — the server side
+  * of MVCC: a scan that pinned v at planning reads v even if the
+  * table republished mid-scan (loud failure if v left the retention
+  * window, [[BucketStore.snapshot]]).
   */
 final class HostConnection private[bucketed] (val host: String) {
 
-  def fetchBucket(table: String, bucket: Int, fetchSize: Int): Iterator[Row] = {
-    val rows = BucketStore.get(table).buckets(bucket)
+  def fetchBucket(table: String, bucket: Int, version: Long, fetchSize: Int): Iterator[Row] = {
+    val rows = BucketStore.snapshot(table, version).buckets(bucket)
     rows.iterator.grouped(fetchSize).flatMap { page =>
       if (!BucketServers.isUp(host))
         throw new IOException(s"connection to $host lost mid-stream (task retry will re-plan)")

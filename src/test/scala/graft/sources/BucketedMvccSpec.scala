@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.sources.bucketed._
+
+/** MVCC over the bucket store (round 7): retained snapshot history,
+  * time-travel reads (option + SQL `VERSION AS OF`), vacuum/retention
+  * discipline, and the CDC change feed that replays per-bucket
+  * row-level deltas instead of whole snapshots.
+  */
+class BucketedMvccSpec extends SparkSuite {
+
+  private def catalogOn(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
+  private def mkTable(name: String, rows: Seq[(Long, String, Double)], buckets: Int = 4): Unit = {
+    import spark.implicits._
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      rows.toDF("k", "tag", "v"), "k", buckets)
+  }
+
+  test("MVCC: a scan pinned before a republish still reads its snapshot afterwards") {
+    mkTable("mvcc_iso", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val v1 = BucketStore.currentVersion("mvcc_iso")
+    BucketStore.deleteWhere("mvcc_iso", _.getString(1) == "b")
+    // the republish happened BETWEEN pinning and reading — the exact
+    // interleaving that used to abort with "snapshot violated"
+    val pinned = spark.read.format("graft-buckets")
+      .option("table", "mvcc_iso").option("versionAsOf", v1).load()
+    assert(pinned.collect().map(_.getString(1)).sorted.toSeq === Seq("a", "b", "c"))
+    val current = spark.read.format("graft-buckets").option("table", "mvcc_iso").load()
+    assert(current.collect().map(_.getString(1)).sorted.toSeq === Seq("a", "c"))
+  }
+
+  test("SQL VERSION AS OF reads a retained snapshot through the catalog") {
+    catalogOn()
+    mkTable("mvcc_tt", Seq((1L, "x", 1.0), (2L, "y", 2.0)))
+    val v1 = BucketStore.currentVersion("mvcc_tt")
+    BucketStore.deleteWhere("mvcc_tt", _ => true)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.mvcc_tt VERSION AS OF $v1")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.mvcc_tt").head().getLong(0) === 0L)
+    // TIMESTAMP AS OF has no commit-timestamp mapping — loud, not wrong
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.mvcc_tt TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("version as of")
+      || ex.getMessage.toLowerCase.contains("timestamp"))
+  }
+
+  test("vacuum trims history; reading a vacuumed snapshot fails loudly") {
+    mkTable("mvcc_vac", Seq((1L, "a", 1.0)))
+    val v1 = BucketStore.currentVersion("mvcc_vac")
+    BucketStore.deleteWhere("mvcc_vac", _ => false) // no-op publish, v2
+    BucketStore.deleteWhere("mvcc_vac", _ => false) // v3
+    assert(BucketStore.retained("mvcc_vac").length === 3)
+    assert(BucketStore.vacuum("mvcc_vac", keepLast = 1) === 2)
+    assert(BucketStore.retained("mvcc_vac").length === 1)
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets")
+        .option("table", "mvcc_vac").option("versionAsOf", v1).load().collect()
+    }
+    assert(ex.getMessage.contains("not retained"))
+    intercept[IllegalArgumentException](BucketStore.vacuum("mvcc_vac", keepLast = 0))
+  }
+
+  test("retention cap: publishes beyond the window auto-vacuum the oldest snapshots") {
+    mkTable("mvcc_cap", Seq((1L, "a", 1.0)))
+    val v1 = BucketStore.currentVersion("mvcc_cap")
+    (1 to BucketStore.RetainedVersions + 5).foreach { _ =>
+      BucketStore.deleteWhere("mvcc_cap", _ => false)
+    }
+    val kept = BucketStore.retained("mvcc_cap")
+    assert(kept.length === BucketStore.RetainedVersions)
+    assert(!kept.contains(v1), "the original snapshot must have aged out")
+    intercept[IllegalArgumentException](BucketStore.snapshot("mvcc_cap", v1))
+  }
+
+  test("CDC feed: exact change set across create, insert, delete, and COW update") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.cdc_t")
+    spark.sql("CREATE TABLE graft.cdc_t (k BIGINT, tag STRING, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.cdc_t VALUES (1, 'a', 1.0), (2, 'b', 2.0), " +
+      "(3, 'c', 3.0), (4, 'd', 4.0)")
+    val vIns = BucketStore.currentVersion("cdc_t")
+    spark.sql("DELETE FROM graft.cdc_t WHERE tag = 'b'")
+    val vDel = BucketStore.currentVersion("cdc_t")
+    spark.sql("UPDATE graft.cdc_t SET v = 30.0 WHERE tag = 'c'")
+    val vUpd = BucketStore.currentVersion("cdc_t")
+    val feed = spark.readStream.format("graft-buckets")
+      .option("table", "cdc_t").option("mode", "cdc").load()
+    val got = graft.streaming.StreamOps.runToMemory(feed, "append")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getLong(4))).toSet
+    val expected = Set(
+      (1L, "a", 1.0, "insert", vIns), (2L, "b", 2.0, "insert", vIns),
+      (3L, "c", 3.0, "insert", vIns), (4L, "d", 4.0, "insert", vIns),
+      (2L, "b", 2.0, "delete", vDel),
+      (3L, "c", 3.0, "delete", vUpd), (3L, "c", 30.0, "insert", vUpd))
+    assert(got === expected)
+  }
+
+  test("CDC minimality: a COW bucket rewrite emits only the changed rows, not the bucket") {
+    import spark.implicits._
+    catalogOn()
+    // 200 rows on ONE key → one bucket; the UPDATE below rewrites that
+    // whole bucket copy-on-write, but the feed must emit just 2 deltas
+    BucketStore.drop("cdc_cow")
+    BucketStore.load(spark, "cdc_cow",
+      (1 to 200).map(i => (7L, i, 1.0)).toDF("k", "seq", "v"), "k", 4)
+    spark.sql("UPDATE graft.cdc_cow SET v = 9.0 WHERE seq = 123")
+    val vUpd = BucketStore.currentVersion("cdc_cow")
+    val feed = spark.readStream.format("graft-buckets")
+      .option("table", "cdc_cow").option("mode", "cdc").load()
+    val rows = graft.streaming.StreamOps.runToMemory(feed, "append").collect()
+    val updDeltas = rows.filter(_.getLong(4) == vUpd)
+    assert(updDeltas.length === 2,
+      s"COW rewrite of a 200-row bucket must net to 2 deltas, got ${updDeltas.length}")
+    assert(updDeltas.map(r => (r.getString(3), r.getDouble(2))).toSet ===
+      Set(("delete", 1.0), ("insert", 9.0)))
+    assert(rows.length === 202, "initial snapshot (200 inserts) + the 2 update deltas")
+  }
+
+  test("CDC replay from a vacuumed offset fails loudly instead of skipping history") {
+    mkTable("cdc_vac", Seq((1L, "a", 1.0)))
+    val v1 = BucketStore.currentVersion("cdc_vac")
+    BucketStore.deleteWhere("cdc_vac", _.getString(1) == "a") // v2
+    BucketStore.deleteWhere("cdc_vac", _ => false) // v3
+    BucketStore.vacuum("cdc_vac", keepLast = 1)
+    val ms = new BucketCdcMicroBatchStream("cdc_vac", 1000)
+    val ex = intercept[IllegalArgumentException] {
+      ms.planInputPartitions(new BucketStreamOffset(v1), ms.latestOffset())
+    }
+    assert(ex.getMessage.contains("left the MVCC window"))
+    // replay from scratch is always legal: the oldest retained snapshot
+    // becomes the initial insert batch
+    assert(ms.planInputPartitions(ms.initialOffset(), ms.latestOffset()).nonEmpty)
+  }
+
+  test("CDC is a stream: batch reads and versionAsOf are rejected") {
+    mkTable("cdc_opts", Seq((1L, "a", 1.0)))
+    val ex = intercept[Exception] {
+      spark.read.format("graft-buckets")
+        .option("table", "cdc_opts").option("mode", "cdc").load().collect()
+    }
+    assert(ex.getMessage.contains("does not support batch reads"))
+    val ex2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets")
+        .option("table", "cdc_opts").option("mode", "cdc")
+        .option("versionAsOf", "1").load()
+    }
+    assert(ex2.getMessage.contains("cannot combine"))
+    val ex3 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets")
+        .option("table", "cdc_opts").option("mode", "sideways").load()
+    }
+    assert(ex3.getMessage.contains("'snapshot' or 'cdc'"))
+  }
+}

@@ -347,13 +347,15 @@ class BucketedSourceSpec extends SparkSuite {
     assert(!e(Not(StringEndsWith("v", "c")), row))
   }
 
-  test("reader rejects a stale snapshot version") {
+  test("MVCC: a reader pinned to an unretained version fails loudly, never reads another snapshot") {
     val t = BucketStore.get(s"lineitem@$sf")
-    val stale = BucketInputPartition(s"lineitem@$sf", 0, Array("host-0"), t.version - 1)
+    // a version that was never published for this table (global counter:
+    // v-1 belongs to another table or to nothing)
+    val unretained = BucketInputPartition(s"lineitem@$sf", 0, Array("host-0"), t.version - 1)
     val ex = intercept[IllegalArgumentException] {
-      new BucketedPartitionReader(stale, t.schema, Array.empty)
+      new BucketedPartitionReader(unretained, t.schema, Array.empty)
     }
-    assert(ex.getMessage.contains("snapshot violated"))
+    assert(ex.getMessage.contains("not retained"))
   }
 
   test("bucket pruning: a point lookup on the key plans exactly one partition") {
