@@ -134,8 +134,13 @@ object Bench {
       "\"" + k + "\":{\"suite\":" + fmt(s, 4) + ",\"rerun\":" + fmt(a, 4) + "}"
     }.mkString("{", ",", "}")
     // subset (dev-profiling) runs must NOT clobber the full-suite
-    // prior — the outlier re-rep compares against it next round
-    if (args.isEmpty) {
+    // prior — the outlier re-rep compares against it next round.
+    // Nor may a different scale factor: a sf0.001 smoke run writing
+    // sf0.001 latencies here would make every sf0.1 reading look like
+    // a >1.5× outlier next round (it did, round 7 — caught on commit
+    // review; the prior is sf0.1 BY CONTRACT, the driver's grading
+    // scale)
+    if (args.isEmpty && sfDir.endsWith("sf0.1")) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
         s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","cpus":$cpus,"failed":$failedJson,"rerep":$rerepJson,"queries":$full,"sf":"$sfDir"}\n"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit

@@ -200,6 +200,10 @@ object SparkEntry {
     // — MVCC time travel: SQL VERSION AS OF against a retained
     //   snapshot after a DELETE, unioned with the current state —
     "q103_time_travel" -> graft.sources.bucketed.BucketedQueries.timeTravelQuery _,
+    // — incrementally-maintained materialized view: CDC deltas folded
+    //   into a per-cohort aggregate, epoch-committed to a second
+    //   store table, read back through the catalog —
+    "q104_cdc_mv" -> graft.sources.bucketed.BucketedQueries.cdcMaterializedViewQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -354,5 +358,6 @@ object SparkEntry {
     "q101_stream_etl" -> graft.sources.bucketed.BucketedQueries.streamEtlRoundtripSql,
     "q102_cdc" -> graft.sources.bucketed.BucketedQueries.cdcNetSql,
     "q103_time_travel" -> graft.sources.bucketed.BucketedQueries.timeTravelSql,
+    "q104_cdc_mv" -> graft.sources.bucketed.BucketedQueries.cdcMaterializedViewSql,
   )
 }

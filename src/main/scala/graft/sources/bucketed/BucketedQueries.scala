@@ -468,4 +468,68 @@ object BucketedQueries {
       |UNION ALL
       |SELECT o_orderstatus, 'now' AS snap, count(*) AS n
       |FROM orders WHERE o_orderstatus <> 'O' GROUP BY o_orderstatus""".stripMargin
+
+  /** q104 — incrementally-maintained materialized view, the CDC
+    * feed's canonical consumer: orders land in the store (commit 1),
+    * row-level DML churns them (DELETE the low-priority tier,
+    * UPDATE a surcharge onto open orders — a COW bucket rewrite),
+    * and a streaming query folds the `mode=cdc` deltas into a
+    * per-cohort (count, sum) aggregate written to a SECOND bucket
+    * table per epoch. The MV is then read back through the catalog
+    * and must equal the aggregate of the final source state.
+    *
+    * The 100 TB point: the MV's refresh cost is the churn, not the
+    * table — the folded feed moves only delta rows, the aggregate
+    * state is per-cohort, and the sink two-phase-commits per epoch.
+    * Count-zero cohorts are filtered on read-back (a group whose
+    * rows all died folds to n=0, where the from-scratch aggregate
+    * has no row at all — deterministic because the ±decimal terms
+    * cancel exactly).
+    */
+  def cdcMaterializedViewQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val src = s"orders_mv@$dir"
+    val mv = s"orders_mv_out@$dir"
+    BucketStore.drop(src)
+    BucketStore.load(spark, src, graft.tables.Tables.orders(spark, dir), "o_orderkey", NumBuckets)
+    spark.sql(s"DELETE FROM graft.`$src` WHERE o_orderpriority = '5-LOW'")
+    spark.sql(s"UPDATE graft.`$src` SET o_totalprice = o_totalprice + 10 " +
+      "WHERE o_orderstatus = 'O'")
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$mv`")
+    spark.sql(s"CREATE TABLE graft.`$mv` (cohort BIGINT, n BIGINT, sum_price DOUBLE) " +
+      "PARTITIONED BY (bucket(8, cohort))")
+    val ins = col(CdcSchema.ChangeType) === "insert"
+    val folded = spark.readStream.format("graft-buckets")
+      .option("table", src).option("mode", "cdc").load()
+      .groupBy((col("o_custkey") % 100).as("cohort"))
+      .agg(
+        org.apache.spark.sql.functions.sum(when(ins, 1L).otherwise(-1L)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          when(ins, col("o_totalprice")).otherwise(-col("o_totalprice"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_mv_ckpt_${spark.sparkContext.applicationId}_")
+    val q = folded.writeStream
+      .outputMode("complete") // each epoch republishes the whole (small) MV
+      .option("checkpointLocation", ckpt.toString)
+      .toTable(s"graft.`$mv`")
+    try q.processAllAvailable() finally {
+      q.stop()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    spark.table(s"graft.`$mv`").filter(col("n") > 0)
+  }
+
+  val cdcMaterializedViewSql: String =
+    """SELECT o_custkey % 100 AS cohort, count(*) AS n,
+      | CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10
+      |                    ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderpriority <> '5-LOW'
+      |GROUP BY 1""".stripMargin
 }
