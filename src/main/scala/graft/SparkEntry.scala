@@ -204,6 +204,9 @@ object SparkEntry {
     //   into a per-cohort aggregate, epoch-committed to a second
     //   store table, read back through the catalog —
     "q104_cdc_mv" -> graft.sources.bucketed.BucketedQueries.cdcMaterializedViewQuery _,
+    // — clustered-index range scan: time-sorted buckets serve a 2-day
+    //   window as a binary-searched slice (pages ∝ answer) —
+    "q105_cluster_range" -> graft.sources.bucketed.BucketedQueries.clusteredRangeQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -359,5 +362,6 @@ object SparkEntry {
     "q102_cdc" -> graft.sources.bucketed.BucketedQueries.cdcNetSql,
     "q103_time_travel" -> graft.sources.bucketed.BucketedQueries.timeTravelSql,
     "q104_cdc_mv" -> graft.sources.bucketed.BucketedQueries.cdcMaterializedViewSql,
+    "q105_cluster_range" -> graft.sources.bucketed.BucketedQueries.clusteredRangeSql,
   )
 }

@@ -40,12 +40,19 @@ import org.apache.spark.sql.types.StructType
   */
 object BucketStore {
 
+  /** `clusterCol`: when set, every bucket's rows are kept SORTED on
+    * this column (nulls first) across all publishes — the clustered-
+    * index layout that lets the fetch path serve a range predicate by
+    * binary-searching the qualifying slice instead of streaming the
+    * bucket (see [[HostConnection.fetchBucket]] / [[ClusterRange]]).
+    */
   final case class BucketTable(
       schema: StructType,
       keyCol: String,
       buckets: Array[Array[Row]],
       hosts: Array[Seq[String]],
-      version: Long)
+      version: Long,
+      clusterCol: Option[String] = None)
 
   /** Retained snapshots per table, oldest → newest; `.last` is current. */
   private val tables = new ConcurrentHashMap[String, Vector[BucketTable]]()
@@ -80,7 +87,9 @@ object BucketStore {
     * window).
     */
   def load(spark: SparkSession, name: String, df: DataFrame, keyCol: String,
-      numBuckets: Int, nHosts: Int = 4): Unit = {
+      numBuckets: Int, nHosts: Int = 4, clusterBy: Option[String] = None): Unit = {
+    clusterBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"cluster column '$c' not in schema [${df.schema.fieldNames.mkString(", ")}]"))
     val bucketed = df.withColumn("__b", pmod(hash(col(keyCol)), lit(numBuckets)))
     val collected = bucketed.collect()
     val schema = StructType(df.schema.fields)
@@ -92,17 +101,32 @@ object BucketStore {
     }
     val table = BucketTable(
       schema, keyCol,
-      byBucket.map(_.result().toArray),
+      byBucket.map(rows => clusterSort(schema, clusterBy, rows.result().toArray)),
       Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
-      versions.incrementAndGet())
+      versions.incrementAndGet(),
+      clusterBy)
     synchronized { publish(name, table) }
   }
+
+  /** Keep a bucket's rows sorted on the cluster column, nulls first —
+    * the ordering [[ClusterRange.sliceSorted]] binary-searches.
+    */
+  private def clusterSort(schema: StructType, clusterCol: Option[String],
+      rows: Array[Row]): Array[Row] =
+    clusterCol match {
+      case None => rows
+      case Some(c) =>
+        val i = schema.fieldIndex(c)
+        rows.sortWith { (a, b) => ClusterRange.cmpNullsFirst(
+          if (a.isNullAt(i)) null else a.get(i),
+          if (b.isNullAt(i)) null else b.get(i)) < 0 }
+    }
 
   /** Load from parquet if not already present (the common gated-query
     * path: model "the external cluster already holds this table").
     */
   def ensureLoaded(spark: SparkSession, name: String, dir: String, table: String,
-      keyCol: String, numBuckets: Int): Unit = {
+      keyCol: String, numBuckets: Int, clusterBy: Option[String] = None): Unit = {
     val key = s"$name"
     if (!tables.containsKey(key)) synchronized {
       if (!tables.containsKey(key)) {
@@ -111,7 +135,7 @@ object BucketStore {
         val df =
           if (table == "events") graft.tables.Tables.events(spark, dir)
           else graft.tables.Tables.load(spark, dir, table)
-        load(spark, key, df, keyCol, numBuckets)
+        load(spark, key, df, keyCol, numBuckets, clusterBy = clusterBy)
       }
     }
   }
@@ -122,14 +146,17 @@ object BucketStore {
     * rows) under a fresh version. Fails loudly if the name is taken.
     */
   def createEmpty(name: String, schema: StructType, keyCol: String, numBuckets: Int,
-      nHosts: Int = 4): Unit = {
+      nHosts: Int = 4, clusterBy: Option[String] = None): Unit = {
     require(schema.fieldNames.contains(keyCol),
       s"bucket key '$keyCol' not in schema [${schema.fieldNames.mkString(", ")}]")
+    clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column '$c' not in schema [${schema.fieldNames.mkString(", ")}]"))
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val empty = BucketTable(schema, keyCol,
       Array.fill(numBuckets)(Array.empty[Row]),
       Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
-      versions.incrementAndGet())
+      versions.incrementAndGet(),
+      clusterBy)
     val prev = tables.putIfAbsent(name, Vector(empty))
     require(prev == null, s"BucketStore table '$name' already exists")
   }
@@ -152,9 +179,11 @@ object BucketStore {
       require(byBucket.length == t.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
       val rows =
-        if (truncate) byBucket
+        if (truncate) byBucket.map(clusterSort(t.schema, t.clusterCol, _))
         else t.buckets.zip(byBucket).map { case (old, add) =>
-          if (add.isEmpty) old else old ++ add
+          // clustered tables re-sort only buckets that received rows —
+          // the clustered-index maintenance a real store does on ingest
+          if (add.isEmpty) old else clusterSort(t.schema, t.clusterCol, old ++ add)
         }
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
     }
@@ -193,9 +222,9 @@ object BucketStore {
       require(byBucket.length == t.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>
-        if (groups.contains(b)) byBucket(b)
+        if (groups.contains(b)) clusterSort(t.schema, t.clusterCol, byBucket(b))
         else if (byBucket(b).isEmpty) old
-        else old ++ byBucket(b)
+        else clusterSort(t.schema, t.clusterCol, old ++ byBucket(b))
       }
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
     }

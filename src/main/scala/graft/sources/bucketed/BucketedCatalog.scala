@@ -80,7 +80,11 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog {
     }
     val (n, key) = parsed.getOrElse(throw new UnsupportedOperationException(
       s"graft tables must be partitioned by bucket(n, key); got [${partitions.mkString(", ")}]"))
-    BucketStore.createEmpty(ident.name(), schema, key, n)
+    // TBLPROPERTIES('cluster_by'='col'): keep each bucket sorted on
+    // `col` so range predicates fetch a binary-searched slice
+    // (clustered index; see ClusterRange)
+    val clusterBy = Option(properties.get("cluster_by")).filter(_.nonEmpty)
+    BucketStore.createEmpty(ident.name(), schema, key, n, clusterBy = clusterBy)
     new BucketedTable(ident.name())
   }
 

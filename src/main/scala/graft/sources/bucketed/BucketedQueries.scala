@@ -532,4 +532,40 @@ object BucketedQueries {
       |                    ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_orderpriority <> '5-LOW'
       |GROUP BY 1""".stripMargin
+
+  /** q105 — clustered-index range scan: events loaded clustered on
+    * `ts` (every bucket kept time-sorted), queried with a 2-day
+    * window. The pushed range bounds reach the fetch as a
+    * binary-searched slice of each bucket's sorted run
+    * ([[ClusterRange.sliceSorted]]) — pages moved are proportional to
+    * the window, not the table. At 100 TB this is how a time-series
+    * store serves "last 2 days" without touching a month: hash
+    * buckets spread the keys, the cluster order localizes the time
+    * range WITHIN each bucket (zone-map/row-group pruning realized in
+    * the store's own layout). ClusteredScanSpec pins the page-count
+    * drop and the slice's appearance in the scan description; the
+    * decimal sum keeps the float aggregate order-independent (so
+    * aggregate pushdown correctly declines, and the row scan + slice
+    * is the plan).
+    */
+  def clusteredRangeQuery(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"events_clust@$dir", dir, "events", "user_id", NumBuckets,
+      clusterBy = Some("ts"))
+    spark.read.format("graft-buckets").option("table", s"events_clust@$dir").load()
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+  }
+
+  val clusteredRangeSql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
+      |GROUP BY event_type""".stripMargin
 }

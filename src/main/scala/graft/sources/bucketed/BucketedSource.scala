@@ -516,7 +516,15 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   override def toBatch: Batch = this
   override def description(): String = {
     val extra = topN.map(" " + _.describe).orElse(limit.map(n => s" pushedLimit=$n")).getOrElse("")
-    s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]$extra"
+    // surface the clustered-index slice in the plan (audit hook):
+    // provable bounds on the cluster column mean the fetch will
+    // binary-search the sorted run instead of streaming the bucket
+    val cluster = BucketStore.snapshotWithRetry(name, version).clusterCol
+      .map(c => (c, ClusterRange.from(filters, c)))
+      .filter(_._2.isBounded)
+      .map { case (c, r) => s" clusterSlice=$c${r.describe}" }
+      .getOrElse("")
+    s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]$extra$cluster"
   }
 
   // — runtime bucket pruning (the dynamic-partition-pruning analog for
@@ -673,7 +681,8 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
   private var conn: HostConnection = _
 
   private val out: Iterator[Row] = {
-    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize)
+    val range = table.clusterCol.map(ClusterRange.from(filters, _)).filter(_.isBounded)
+    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize, range)
     conn = c
     val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
     // group key -> one accumulator slot per agg (count: Long; min/max: Any)
@@ -807,7 +816,8 @@ case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String]
   * iterator plus its borrowed connection (caller releases on close).
   */
 private[bucketed] object BucketReaderSupport {
-  def openWithFailover(p: BucketInputPartition, fetchSize: Int): (HostConnection, Iterator[Row]) = {
+  def openWithFailover(p: BucketInputPartition, fetchSize: Int,
+      range: Option[ClusterRange] = None): (HostConnection, Iterator[Row]) = {
     var opened: Iterator[Row] = null
     var conn: HostConnection = null
     var lastErr: java.io.IOException = null
@@ -817,7 +827,7 @@ private[bucketed] object BucketReaderSupport {
       try {
         val c = ConnectionPool.borrow(host)
         try {
-          opened = c.fetchBucket(p.table, p.bucket, p.version, fetchSize)
+          opened = c.fetchBucket(p.table, p.bucket, p.version, fetchSize, range)
           conn = c
         } catch {
           // open failed AFTER a successful borrow — ANY failure, not
@@ -874,7 +884,12 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
   private var conn: HostConnection = _
 
   private val it: Iterator[Row] = {
-    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize)
+    // clustered-index slice: provable cluster-column bounds narrow the
+    // fetch to the qualifying run of the sorted bucket (pages moved ∝
+    // answer); every row is still filter-checked below, so the slice
+    // is never load-bearing for correctness
+    val range = table.clusterCol.map(ClusterRange.from(filters, _)).filter(_.isBounded)
+    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize, range)
     conn = c
     val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
     topN match {

@@ -77,9 +77,23 @@ object BucketServers {
   */
 final class HostConnection private[bucketed] (val host: String) {
 
-  def fetchBucket(table: String, bucket: Int, version: Long, fetchSize: Int): Iterator[Row] = {
-    val rows = BucketStore.snapshot(table, version).buckets(bucket)
-    rows.iterator.grouped(fetchSize).flatMap { page =>
+  /** `range`: when the table is clustered and the scan proved bounds
+    * on the cluster column, the server binary-searches the sorted
+    * bucket and streams ONLY the qualifying slice — pages moved are
+    * proportional to the answer, not the bucket (clustered-index
+    * scan; ignored for unclustered tables).
+    */
+  def fetchBucket(table: String, bucket: Int, version: Long, fetchSize: Int,
+      range: Option[ClusterRange] = None): Iterator[Row] = {
+    val t = BucketStore.snapshot(table, version)
+    val rows = t.buckets(bucket)
+    val sliced = (t.clusterCol, range) match {
+      case (Some(c), Some(r)) if r.isBounded =>
+        val (start, end) = ClusterRange.sliceSorted(rows, t.schema.fieldIndex(c), r)
+        Iterator.range(start, end).map(rows)
+      case _ => rows.iterator
+    }
+    sliced.grouped(fetchSize).flatMap { page =>
       if (!BucketServers.isUp(host))
         throw new IOException(s"connection to $host lost mid-stream (task retry will re-plan)")
       HostConnection.roundTripCount.incrementAndGet()

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.bucketed._
+
+/** Clustered-bucket range index (round 7): tables loaded/declared
+  * with a cluster column keep every bucket SORTED on it, and a scan
+  * whose pushed conjuncts bound that column fetches a binary-searched
+  * slice — pages moved ∝ answer. Pins correctness (slice never drops
+  * a qualifying row, nulls handled), the page-count drop, sort
+  * maintenance across DML publishes, and the plan-visible slice.
+  */
+class ClusteredScanSpec extends SparkSuite {
+
+  private def pagesDuring[A](body: => A): (A, Long) = {
+    val before = HostConnection.roundTripCount.get()
+    val r = body
+    (r, HostConnection.roundTripCount.get() - before)
+  }
+
+  private def loadClustered(): Unit = {
+    import spark.implicits._
+    if (!BucketStore.exists("clust_t")) {
+      // 4000 rows over 8 buckets; seq is the cluster column, scattered
+      // across keys so every bucket holds the full seq range
+      val df = (0 until 4000).map(i => ((i % 97).toLong, i.toLong, s"r$i")).toDF("k", "seq", "tag")
+      BucketStore.load(spark, "clust_t", df, "k", 8, clusterBy = Some("seq"))
+    }
+  }
+
+  test("range scan over clustered buckets: exact rows, far fewer pages") {
+    loadClustered()
+    val src = spark.read.format("graft-buckets")
+      .option("table", "clust_t").option("fetchsize", "50").load()
+    val (fullRows, fullPages) = pagesDuring(src.collect())
+    assert(fullRows.length === 4000)
+    // ~2% window
+    val (got, rangePages) = pagesDuring(
+      src.filter(col("seq") >= 1000L && col("seq") < 1080L).collect())
+    assert(got.map(_.getLong(1)).sorted.toSeq === (1000L until 1080L).toSeq)
+    assert(rangePages * 5 < fullPages,
+      s"range fetch used $rangePages pages vs $fullPages for the full scan — slice not applied")
+  }
+
+  test("the slice is never load-bearing: filters still checked row-wise (exclusive bounds, equality)") {
+    loadClustered()
+    val src = spark.read.format("graft-buckets").option("table", "clust_t").load()
+    assert(src.filter(col("seq") > 100L && col("seq") <= 105L).collect()
+      .map(_.getLong(1)).sorted.toSeq === (101L to 105L).toSeq)
+    assert(src.filter(col("seq") === 2024L).collect().map(_.getLong(1)).toSeq === Seq(2024L))
+    // contradictory bounds → empty, not an error
+    assert(src.filter(col("seq") > 10L && col("seq") < 5L).collect().isEmpty)
+  }
+
+  test("null cluster values sort first and never satisfy a range predicate") {
+    import spark.implicits._
+    BucketStore.drop("clust_null")
+    val df = Seq((1L, Some(5L), "a"), (2L, None, "b"), (3L, Some(1L), "c"), (4L, None, "d"))
+      .toDF("k", "seq", "tag")
+    BucketStore.load(spark, "clust_null", df, "k", 2, clusterBy = Some("seq"))
+    val src = spark.read.format("graft-buckets").option("table", "clust_null").load()
+    assert(src.filter(col("seq") >= 0L).collect().map(_.getString(2)).sorted.toSeq === Seq("a", "c"))
+    assert(src.filter(col("seq") <= 10L).collect().map(_.getString(2)).sorted.toSeq === Seq("a", "c"))
+    assert(src.filter(col("seq").isNull).collect().map(_.getString(2)).sorted.toSeq === Seq("b", "d"))
+  }
+
+  test("DML publishes maintain the cluster order (INSERT, UPDATE, DELETE)") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.clust_dml")
+    spark.sql("CREATE TABLE graft.clust_dml (k BIGINT, seq BIGINT, tag STRING) " +
+      "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('cluster_by'='seq')")
+    assert(BucketStore.get("clust_dml").clusterCol === Some("seq"))
+    // inserts arrive out of order; UPDATE rewrites a bucket COW-style
+    spark.sql("INSERT INTO graft.clust_dml VALUES (1, 30, 'c'), (2, 10, 'a'), (3, 20, 'b')")
+    spark.sql("INSERT INTO graft.clust_dml VALUES (4, 15, 'x'), (5, 5, 'y')")
+    spark.sql("UPDATE graft.clust_dml SET seq = 99 WHERE tag = 'a'")
+    spark.sql("DELETE FROM graft.clust_dml WHERE tag = 'y'")
+    val t = BucketStore.get("clust_dml")
+    val i = t.schema.fieldIndex("seq")
+    t.buckets.foreach { rows =>
+      val seqs = rows.map(_.getLong(i)).toSeq
+      assert(seqs === seqs.sorted, s"bucket lost cluster order: $seqs")
+    }
+    val src = spark.read.format("graft-buckets").option("table", "clust_dml").load()
+    // survivors ≥ 20: b(20), c(30), and the updated a(99)
+    assert(src.filter(col("seq") >= 20L).collect().map(_.getString(2)).sorted.toSeq ===
+      Seq("a", "b", "c"))
+  }
+
+  test("the planned scan surfaces the cluster slice (audit hook)") {
+    loadClustered()
+    val q = spark.read.format("graft-buckets").option("table", "clust_t").load()
+      .filter(col("seq") >= 7L && col("seq") < 9L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("clusterSlice=seq"), plan.take(800))
+  }
+}
