@@ -893,6 +893,19 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
     conn = c
     val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
     topN match {
+      case Some(spec)
+        // index-ordered TopN: when the single sort key IS the cluster
+        // column in layout order (ascending, nulls first — exactly how
+        // the sorted run is stored), the stream already arrives in
+        // output order, so take(n) is the per-bucket top n AND the
+        // lazy take stops page fetches after n qualifying rows — an
+        // ORDER BY ts LIMIT 10 on a clustered 100 TB table reads ~10
+        // rows per bucket. Descending falls back to the heap (the
+        // run would have to stream in reverse; still O(bucket) pages,
+        // O(n) memory).
+        if table.clusterCol.contains(spec.keys.head.col) &&
+          spec.keys.length == 1 && !spec.keys.head.desc && spec.keys.head.nullsFirst =>
+        filtered.take(spec.n)
       case Some(spec) =>
         // bounded heap: one pass, O(n) memory — keep the n first rows
         // under the requested ordering (max-heap evicts the current

@@ -89,6 +89,27 @@ class ClusteredScanSpec extends SparkSuite {
       Seq("a", "b", "c"))
   }
 
+  test("index-ordered TopN: ORDER BY the cluster column LIMIT n stops after ~n rows per bucket") {
+    loadClustered()
+    val src = spark.read.format("graft-buckets")
+      .option("table", "clust_t").option("fetchsize", "50").load()
+    val (asc, ascPages) = pagesDuring(
+      src.orderBy(col("seq").asc, col("k").asc).limit(5).collect())
+    assert(asc.map(_.getLong(1)).toSeq === (0L until 5L).toSeq)
+    // the multi-key sort still pushes (seq is a total enough prefix for
+    // the index path? no — 2 keys decline the short-circuit), so pin
+    // the SINGLE-key case explicitly:
+    val (single, singlePages) = pagesDuring(
+      src.orderBy(col("seq").asc).limit(5).collect())
+    assert(single.map(_.getLong(1)).toSeq === (0L until 5L).toSeq)
+    assert(singlePages <= 8 + 2,
+      s"index-ordered TopN should read ~1 page per bucket, used $singlePages")
+    assert(ascPages >= singlePages, "heap path cannot use fewer pages than the index path")
+    // descending falls back to the heap — correctness unchanged
+    val desc = src.orderBy(col("seq").desc).limit(3).collect().map(_.getLong(1)).toSeq
+    assert(desc === Seq(3999L, 3998L, 3997L))
+  }
+
   test("the planned scan surfaces the cluster slice (audit hook)") {
     loadClustered()
     val q = spark.read.format("graft-buckets").option("table", "clust_t").load()
