@@ -207,6 +207,9 @@ object SparkEntry {
     // — clustered-index range scan: time-sorted buckets serve a 2-day
     //   window as a binary-searched slice (pages ∝ answer) —
     "q105_cluster_range" -> graft.sources.bucketed.BucketedQueries.clusteredRangeQuery _,
+    // — bounded batch change read (table_changes analog): the backfill
+    //   path before tailing the CDC stream —
+    "q106_cdc_batch" -> graft.sources.bucketed.BucketedQueries.cdcBatchChangesQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -363,5 +366,6 @@ object SparkEntry {
     "q103_time_travel" -> graft.sources.bucketed.BucketedQueries.timeTravelSql,
     "q104_cdc_mv" -> graft.sources.bucketed.BucketedQueries.cdcMaterializedViewSql,
     "q105_cluster_range" -> graft.sources.bucketed.BucketedQueries.clusteredRangeSql,
+    "q106_cdc_batch" -> graft.sources.bucketed.BucketedQueries.cdcBatchChangesSql,
   )
 }

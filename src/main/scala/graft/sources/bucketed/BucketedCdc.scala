@@ -52,25 +52,82 @@ object CdcSchema {
   * could silently drop a delete a downstream merge depends on).
   */
 class CdcScanBuilder(name: String, opts: ConnectorOptions) extends ScanBuilder {
-  override def build(): Scan = new CdcScan(name, opts.fetchSize)
+  override def build(): Scan = new CdcScan(name, opts)
 }
 
-class CdcScan(name: String, fetchSize: Int) extends Scan {
+class CdcScan(name: String, opts: ConnectorOptions) extends Scan
+  with org.apache.spark.sql.connector.read.Batch {
+  private def fetchSize = opts.fetchSize
+
   override def readSchema(): StructType =
     CdcSchema.of(BucketStore.getWithRetry(name).schema)
 
-  override def description(): String = s"graft-buckets:$name mode=cdc"
+  override def description(): String = {
+    val window = (opts.changesStart, opts.changesEnd) match {
+      case (Some(s), e) => s" window=(v$s, ${e.map("v" + _).getOrElse("current")}]"
+      case _ => ""
+    }
+    s"graft-buckets:$name mode=cdc$window"
+  }
 
-  /** The change feed is stream-only: batch semantics ("all changes
-    * ever") would silently truncate at the retention window.
+  /** Batch change read — the `table_changes` analog: legal only with
+    * an explicit `changesStart` window (unbounded batch semantics,
+    * "all changes ever", would silently truncate at the retention
+    * window; the stream's checkpoint handles that case honestly).
+    * Window semantics are EXACTLY the stream's offsets: (start, end],
+    * start 0 = from the beginning of retained history (oldest
+    * retained snapshot = one initial insert batch).
     */
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    throw new UnsupportedOperationException(
-      s"graft-buckets '$name' mode=cdc does not support batch reads — the change feed is " +
-        "bounded by the MVCC retention window; consume it with spark.readStream")
+    opts.changesStart match {
+      case Some(_) => this
+      case None => throw new UnsupportedOperationException(
+        s"graft-buckets '$name' mode=cdc needs an explicit window for a batch read " +
+          "(option 'changesStart', exclusive; optional 'changesEnd', inclusive — the " +
+          "stream's offset semantics) — an unbounded batch change feed would silently " +
+          "truncate at the MVCC retention window; use spark.readStream for continuous " +
+          "consumption")
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val startV = opts.changesStart.get
+    val endV = opts.changesEnd.getOrElse(BucketStore.getWithRetry(name).version)
+    require(startV <= endV,
+      s"graft-buckets: changesStart=v$startV is after changesEnd=v$endV")
+    CdcPlanner.plan(name, startV, endV)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory(fetchSize)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BucketCdcMicroBatchStream(name, fetchSize)
+}
+
+/** Shared step planning for the batch and streaming change feeds:
+  * one partition per bucket carrying every (fromVersion, toVersion)
+  * diff step whose commit lands in (startV, endV].
+  */
+private[bucketed] object CdcPlanner {
+  def plan(name: String, startV: Long, endV: Long): Array[InputPartition] = {
+    if (startV >= endV) return Array.empty
+    val retained = BucketStore.retained(name)
+    require(startV == 0 || retained.contains(startV),
+      s"CDC replay from v$startV of '$name' is impossible: that snapshot left the MVCC " +
+        s"window (retained: ${retained.map("v" + _).mkString(", ")}). The feed fails rather " +
+        "than silently skipping history — re-seed the downstream materialization, or vacuum " +
+        "less aggressively than the consumer lags")
+    val commits = retained.filter(v => v > startV && v <= endV)
+    if (commits.isEmpty) return Array.empty
+    // diff bases: the requested start (or 0 = empty table) then each
+    // intermediate commit
+    val steps = ((startV +: commits).sliding(2).collect { case Seq(a, b) => (a, b) }).toArray
+    val snaps = commits.map(BucketStore.snapshotWithRetry(name, _))
+    val n = snaps.head.buckets.length
+    require(snaps.forall(_.buckets.length == n),
+      s"CDC window of '$name' spans a re-bucketing (${snaps.map(_.buckets.length).distinct.mkString("→")} buckets) — not diffable")
+    val hosts = snaps.last.hosts
+    Array.tabulate(n)(b => CdcInputPartition(name, b, hosts(b).toArray, steps))
+  }
 }
 
 class BucketCdcMicroBatchStream(name: String, fetchSize: Int) extends MicroBatchStream {
@@ -85,30 +142,11 @@ class BucketCdcMicroBatchStream(name: String, fetchSize: Int) extends MicroBatch
   /** One partition per bucket, carrying every (fromVersion, toVersion)
     * diff step in the batch's (start, end] version range — the reader
     * walks the steps in commit order so a row inserted in v2 and
-    * deleted in v3 yields both events, ordered.
+    * deleted in v3 yields both events, ordered. Planning shared with
+    * the batch change read ([[CdcPlanner]]).
     */
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val startV = BucketStreamOffset.of(start)
-    val endV = BucketStreamOffset.of(end)
-    if (startV >= endV) return Array.empty
-    val retained = BucketStore.retained(name)
-    require(startV == 0 || retained.contains(startV),
-      s"CDC replay from v$startV of '$name' is impossible: that snapshot left the MVCC " +
-        s"window (retained: ${retained.map("v" + _).mkString(", ")}). The feed fails rather " +
-        "than silently skipping history — re-seed the downstream materialization, or vacuum " +
-        "less aggressively than the stream lags")
-    val commits = retained.filter(v => v > startV && v <= endV)
-    if (commits.isEmpty) return Array.empty
-    // diff bases: the checkpointed start (or 0 = empty table) then each
-    // intermediate commit
-    val steps = ((startV +: commits).sliding(2).collect { case Seq(a, b) => (a, b) }).toArray
-    val snaps = commits.map(BucketStore.snapshotWithRetry(name, _))
-    val n = snaps.head.buckets.length
-    require(snaps.forall(_.buckets.length == n),
-      s"CDC window of '$name' spans a re-bucketing (${snaps.map(_.buckets.length).distinct.mkString("→")} buckets) — not diffable")
-    val hosts = snaps.last.hosts
-    Array.tabulate(n)(b => CdcInputPartition(name, b, hosts(b).toArray, steps))
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    CdcPlanner.plan(name, BucketStreamOffset.of(start), BucketStreamOffset.of(end))
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory(fetchSize)
 

@@ -568,4 +568,32 @@ object BucketedQueries {
       |FROM events
       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
       |GROUP BY event_type""".stripMargin
+
+  /** q106 — BOUNDED batch change read (the `table_changes` analog,
+    * same window semantics as the stream's offsets): customer lands
+    * in the store, a DELETE drops one segment, and a batch read of
+    * the full change window (changesStart=0) folds to the final
+    * per-segment counts — the deleted segment's inserts and deletes
+    * cancel. This is the backfill path a downstream consumer uses to
+    * (re)seed before tailing the stream: identical deltas, one
+    * bounded job.
+    */
+  def cdcBatchChangesQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"customer_cdc@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.customer(spark, dir), "c_custkey",
+      NumBuckets)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE c_mktsegment = 'AUTOMOBILE'")
+    spark.read.format("graft-buckets")
+      .option("table", name).option("mode", "cdc").option("changesStart", "0").load()
+      .groupBy(col("c_mktsegment"))
+      .agg(org.apache.spark.sql.functions.sum(
+        when(col(CdcSchema.ChangeType) === "insert", 1L).otherwise(-1L)).as("n_net"))
+  }
+
+  val cdcBatchChangesSql: String =
+    """SELECT c_mktsegment,
+      | CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 0 ELSE count(*) END AS n_net
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
 }

@@ -64,17 +64,25 @@ import scala.jdk.CollectionConverters._
   *   - `mode`: `snapshot` (default) or `cdc` — `cdc` turns a
   *     `readStream` into a change-data feed replaying per-bucket
   *     row-level deltas between retained versions (see
-  *     [[BucketCdcMicroBatchStream]]).
+  *     [[BucketCdcMicroBatchStream]]);
+  *   - `changesstart` / `changesend`: the BOUNDED batch change read
+  *     (`table_changes` analog) — with `mode=cdc` on `spark.read`,
+  *     deltas whose commit version lands in (changesStart,
+  *     changesEnd] (stream offset semantics; changesStart 0 = from
+  *     the beginning of retained history, changesEnd defaults to
+  *     current).
   *
   * Unknown options are REJECTED with the full vocabulary in the
   * message: a typo like `fetchSize=10.5` or `fechsize` must fail the
   * query, not silently run with defaults.
   */
 final case class ConnectorOptions(table: String, fetchSize: Int, numPartitions: Option[Int],
-    versionAsOf: Option[Long] = None, cdc: Boolean = false)
+    versionAsOf: Option[Long] = None, cdc: Boolean = false,
+    changesStart: Option[Long] = None, changesEnd: Option[Long] = None)
 
 object ConnectorOptions {
-  val Known: Set[String] = Set("table", "fetchsize", "numpartitions", "versionasof", "mode")
+  val Known: Set[String] = Set("table", "fetchsize", "numpartitions", "versionasof", "mode",
+    "changesstart", "changesend")
   val Defaults: ConnectorOptions = ConnectorOptions("", fetchSize = 1000, numPartitions = None)
 
   def parse(options: JMap[String, String]): ConnectorOptions = {
@@ -116,8 +124,21 @@ object ConnectorOptions {
     require(!(cdc && versionAsOf.isDefined),
       "graft-buckets: 'versionasof' cannot combine with mode=cdc — the change feed " +
         "always replays the retained history from the stream's checkpointed offset")
+    def version(key: String, allowZero: Boolean): Option[Long] = Option(ci.get(key)).map { raw =>
+      val v = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-buckets: option '$key' must be a store version, got '$raw'")
+      }
+      require(v > 0 || (allowZero && v == 0),
+        s"graft-buckets: option '$key' must be a store version, got '$raw'")
+      v
+    }
+    val changesStart = version("changesstart", allowZero = true)
+    val changesEnd = version("changesend", allowZero = false)
+    require(changesStart.isEmpty && changesEnd.isEmpty || cdc,
+      "graft-buckets: 'changesstart'/'changesend' only apply to mode=cdc")
     ConnectorOptions(table, posInt("fetchsize", Some(1000)).get, posInt("numpartitions", None),
-      versionAsOf, cdc)
+      versionAsOf, cdc, changesStart, changesEnd)
   }
 }
 

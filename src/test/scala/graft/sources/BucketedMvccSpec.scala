@@ -145,13 +145,13 @@ class BucketedMvccSpec extends SparkSuite {
     assert(ms.planInputPartitions(ms.initialOffset(), ms.latestOffset()).nonEmpty)
   }
 
-  test("CDC is a stream: batch reads and versionAsOf are rejected") {
+  test("CDC option discipline: unbounded batch, versionAsOf, bad mode all rejected") {
     mkTable("cdc_opts", Seq((1L, "a", 1.0)))
     val ex = intercept[Exception] {
       spark.read.format("graft-buckets")
         .option("table", "cdc_opts").option("mode", "cdc").load().collect()
     }
-    assert(ex.getMessage.contains("does not support batch reads"))
+    assert(ex.getMessage.contains("needs an explicit window"))
     val ex2 = intercept[IllegalArgumentException] {
       spark.read.format("graft-buckets")
         .option("table", "cdc_opts").option("mode", "cdc")
@@ -163,5 +163,36 @@ class BucketedMvccSpec extends SparkSuite {
         .option("table", "cdc_opts").option("mode", "sideways").load()
     }
     assert(ex3.getMessage.contains("'snapshot' or 'cdc'"))
+    val ex4 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets")
+        .option("table", "cdc_opts").option("changesStart", "0").load()
+    }
+    assert(ex4.getMessage.contains("only apply to mode=cdc"))
+  }
+
+  test("batch change read (table_changes analog): full and sub-windows, stream-identical semantics") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.cdc_b")
+    spark.sql("CREATE TABLE graft.cdc_b (k BIGINT, tag STRING, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.cdc_b VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    val vIns = BucketStore.currentVersion("cdc_b")
+    spark.sql("DELETE FROM graft.cdc_b WHERE tag = 'b'")
+    val vDel = BucketStore.currentVersion("cdc_b")
+    def changes(start: Long, end: Option[Long]) = {
+      val r = spark.read.format("graft-buckets").option("table", "cdc_b")
+        .option("mode", "cdc").option("changesStart", start.toString)
+      end.foreach(e => r.option("changesEnd", e.toString): Unit)
+      r.load().collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(3), x.getLong(4))).toSet
+    }
+    // full window: creation inserts + the delete
+    assert(changes(0, None) === Set(
+      (1L, "a", "insert", vIns), (2L, "b", "insert", vIns), (3L, "c", "insert", vIns),
+      (2L, "b", "delete", vDel)))
+    // sub-window (vIns, vDel]: only the delete commit
+    assert(changes(vIns, Some(vDel)) === Set((2L, "b", "delete", vDel)))
+    // empty window: no rows, no error
+    assert(changes(vDel, None) === Set.empty)
   }
 }
