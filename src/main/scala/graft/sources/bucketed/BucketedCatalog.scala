@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * Register: `spark.sql.catalog.graft = graft.sources.bucketed.BucketedCatalog`.
   */
-class BucketedCatalog extends TableCatalog with FunctionCatalog {
+class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
 
@@ -106,6 +106,20 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") BucketFunction
     else throw new UnsupportedOperationException(s"no such function: $ident")
+
+  // — ProcedureCatalog (store maintenance via SQL CALL) —
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.name() match {
+      case "vacuum" => BucketedProcedures.Vacuum
+      case "history" => BucketedProcedures.History
+      case other => throw new UnsupportedOperationException(
+        s"no such procedure: $other (supported: vacuum, history)")
+    }
 }
 
 /** The store's bucketing function: pmod(murmur3(key), numBuckets) —

@@ -1,0 +1,88 @@
+package graft.sources.bucketed
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL stored procedures for store maintenance (Spark 4 DSv2
+  * `ProcedureCatalog`, the `CALL` statement Iceberg popularized):
+  *
+  *   - `CALL graft.history('t')` — the retained MVCC snapshots
+  *     (version, row count, current flag): how a user discovers what
+  *     `VERSION AS OF` / CDC windows are replayable;
+  *   - `CALL graft.vacuum('t', keep_last)` — trim the table's history
+  *     to the newest `keep_last` snapshots; returns (dropped,
+  *     retained). Time-travel/CDC reads into the dropped range fail
+  *     loudly afterwards ([[BucketStore.vacuum]]).
+  *
+  * Both are driver-side catalog operations returning a [[LocalScan]]
+  * (metadata answers, no cluster job) — at 100 TB vacuum flips
+  * version pointers; it never rewrites data.
+  */
+object BucketedProcedures {
+
+  private def localScan(out: StructType, data: Array[InternalRow], desc: String): JIterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = data
+      override def readSchema(): StructType = out
+      override def description(): String = desc
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  object Vacuum extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "vacuum(table, keep_last): trim MVCC history to the newest keep_last snapshots"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", IntegerType).build())
+    override def isDeterministic: Boolean = false // mutates history
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "vacuum(table, keep_last): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val dropped = BucketStore.vacuum(table, input.getInt(1))
+      val retained = BucketStore.retained(table).length
+      localScan(
+        StructType(Seq(
+          StructField("dropped", IntegerType, nullable = false),
+          StructField("retained", IntegerType, nullable = false))),
+        Array(InternalRow(dropped, retained)),
+        s"graft vacuum($table)")
+    }
+  }
+
+  object History extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "history(table): retained MVCC snapshots (version, row_count, is_current)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def isDeterministic: Boolean = false // reflects live history
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0), "history(table): argument must be non-null")
+      val table = input.getUTF8String(0).toString
+      val versions = BucketStore.retained(table)
+      val current = versions.last
+      val data = versions.map { v =>
+        val snap = BucketStore.snapshot(table, v)
+        InternalRow(v, snap.buckets.iterator.map(_.length.toLong).sum, v == current)
+      }.toArray
+      localScan(
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false),
+          StructField("is_current", BooleanType, nullable = false))),
+        data,
+        s"graft history($table)")
+    }
+  }
+}

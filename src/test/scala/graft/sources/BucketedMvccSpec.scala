@@ -170,6 +170,22 @@ class BucketedMvccSpec extends SparkSuite {
     assert(ex4.getMessage.contains("only apply to mode=cdc"))
   }
 
+  test("SQL CALL procedures: history lists retained snapshots, vacuum trims them") {
+    catalogOn()
+    mkTable("mvcc_proc", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val v1 = BucketStore.currentVersion("mvcc_proc")
+    BucketStore.deleteWhere("mvcc_proc", _.getString(1) == "a")
+    val v2 = BucketStore.currentVersion("mvcc_proc")
+    val hist = spark.sql("CALL graft.history('mvcc_proc')").collect()
+    assert(hist.length === 2)
+    assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((v1, 2L, false), (v2, 1L, true)))
+    val vac = spark.sql("CALL graft.vacuum('mvcc_proc', 1)").collect()
+    assert(vac.map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((1, 1)))
+    assert(spark.sql("CALL graft.history('mvcc_proc')").count() === 1)
+    intercept[Exception](spark.sql("CALL graft.no_such_proc('x')").collect())
+  }
+
   test("batch change read (table_changes analog): full and sub-windows, stream-identical semantics") {
     catalogOn()
     spark.sql("DROP TABLE IF EXISTS graft.cdc_b")
