@@ -99,13 +99,18 @@ object BucketStore {
       val b = r.getInt(bIdx)
       byBucket(b) += Row.fromSeq(r.toSeq.dropRight(1))
     }
-    val table = BucketTable(
-      schema, keyCol,
-      byBucket.map(rows => clusterSort(schema, clusterBy, rows.result().toArray)),
-      Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
-      versions.incrementAndGet(),
-      clusterBy)
-    synchronized { publish(name, table) }
+    val buckets = byBucket.map(rows => clusterSort(schema, clusterBy, rows.result().toArray))
+    // version allocated INSIDE the lock, like every other publisher —
+    // allocating outside would let a concurrent commit take a higher
+    // version and publish first, leaving history out of version order
+    // (get() would then serve the older snapshot as current)
+    synchronized {
+      publish(name, BucketTable(
+        schema, keyCol, buckets,
+        Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+        versions.incrementAndGet(),
+        clusterBy))
+    }
   }
 
   /** Keep a bucket's rows sorted on the cluster column, nulls first —
@@ -152,13 +157,18 @@ object BucketStore {
     clusterBy.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' not in schema [${schema.fieldNames.mkString(", ")}]"))
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    val empty = BucketTable(schema, keyCol,
-      Array.fill(numBuckets)(Array.empty[Row]),
-      Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
-      versions.incrementAndGet(),
-      clusterBy)
-    val prev = tables.putIfAbsent(name, Vector(empty))
-    require(prev == null, s"BucketStore table '$name' already exists")
+    // under the publish lock: a concurrent load()'s read-modify-write
+    // of the history vector must not interleave with this putIfAbsent
+    // (it would silently replace the created table)
+    synchronized {
+      val empty = BucketTable(schema, keyCol,
+        Array.fill(numBuckets)(Array.empty[Row]),
+        Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+        versions.incrementAndGet(),
+        clusterBy)
+      val prev = tables.putIfAbsent(name, Vector(empty))
+      require(prev == null, s"BucketStore table '$name' already exists")
+    }
   }
 
   /** Catalog DROP TABLE — removes the table AND its whole MVCC history. */

@@ -99,8 +99,15 @@ class CdcScan(name: String, opts: ConnectorOptions) extends Scan
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory(fetchSize)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // explicit windows are batch-only; a stream's cursor is its
+    // checkpoint. Silently ignoring them would hand a consumer who
+    // asked for "changes after v5" the full history again.
+    require(opts.changesStart.isEmpty && opts.changesEnd.isEmpty,
+      "graft-buckets: 'changesstart'/'changesend' are batch-only (spark.read) — a CDC " +
+        "STREAM resumes from its checkpointed offset; drop the options or use spark.read")
     new BucketCdcMicroBatchStream(name, fetchSize)
+  }
 }
 
 /** Shared step planning for the batch and streaming change feeds:
@@ -117,14 +124,29 @@ private[bucketed] object CdcPlanner {
         "than silently skipping history — re-seed the downstream materialization, or vacuum " +
         "less aggressively than the consumer lags")
     val commits = retained.filter(v => v > startV && v <= endV)
+    // a from-the-beginning window ending BELOW the oldest retained
+    // snapshot cannot be reconstructed (its commits were vacuumed
+    // away); an empty result would read as "nothing ever happened" —
+    // the silent skip the contract forbids. (endV ≥ oldest retained
+    // always yields at least one commit, so this only fires on truly
+    // lost windows; versions after startV with no commits for THIS
+    // table legitimately return empty.)
+    require(!(startV == 0 && commits.isEmpty && endV < retained.head),
+      s"CDC window (v0, v$endV] of '$name' predates the retained history (oldest retained: " +
+        s"v${retained.head}) — those commits were vacuumed; the net through v$endV cannot be " +
+        "reconstructed")
     if (commits.isEmpty) return Array.empty
     // diff bases: the requested start (or 0 = empty table) then each
-    // intermediate commit
+    // intermediate commit. The base snapshot must share the commits'
+    // bucket count or the per-bucket diff is meaningless.
     val steps = ((startV +: commits).sliding(2).collect { case Seq(a, b) => (a, b) }).toArray
     val snaps = commits.map(BucketStore.snapshotWithRetry(name, _))
+    val baseCounts =
+      if (startV == 0) Nil else Seq(BucketStore.snapshotWithRetry(name, startV).buckets.length)
     val n = snaps.head.buckets.length
-    require(snaps.forall(_.buckets.length == n),
-      s"CDC window of '$name' spans a re-bucketing (${snaps.map(_.buckets.length).distinct.mkString("→")} buckets) — not diffable")
+    require(snaps.forall(_.buckets.length == n) && baseCounts.forall(_ == n),
+      s"CDC window of '$name' spans a re-bucketing (" +
+        s"${(baseCounts ++ snaps.map(_.buckets.length)).distinct.mkString("→")} buckets) — not diffable")
     val hosts = snaps.last.hosts
     Array.tabulate(n)(b => CdcInputPartition(name, b, hosts(b).toArray, steps))
   }
@@ -187,9 +209,19 @@ class CdcPartitionReader(p: CdcInputPartition, fetchSize: Int)
       try rows.toIndexedSeq finally ConnectionPool.release(conn)
     }
 
+  // each step's target snapshot is the next step's base — carry it
+  // forward instead of re-fetching (halves paged round trips on
+  // multi-commit windows; flatMap pulls steps strictly in order, so
+  // the carried state is safe)
+  private var carried: Option[(Long, IndexedSeq[Row])] = None
+
   private val out: Iterator[Row] = p.steps.iterator.flatMap { case (fromV, toV) =>
-    val oldRows = fetchRows(fromV)
+    val oldRows = carried match {
+      case Some((v, rows)) if v == fromV => rows
+      case _ => fetchRows(fromV)
+    }
     val newRows = fetchRows(toV)
+    carried = Some((toV, newRows))
     // multiset diff: counts of old rows not matched by new rows are
     // deletes; new rows beyond their old multiplicity are inserts.
     // Row.equals/hashCode are field-wise, so identical duplicates

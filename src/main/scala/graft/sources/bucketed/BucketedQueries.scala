@@ -14,6 +14,29 @@ object BucketedQueries {
 
   val NumBuckets = 16
 
+  /** Drive a streaming write into a catalog table to completion with a
+    * one-shot checkpoint: create the scratch dir, process everything,
+    * stop, and best-effort delete the dir so repeated gated runs don't
+    * accumulate scratch (each run replays from a fresh table).
+    */
+  private def runStreamToTable(df: DataFrame, tableFqn: String, outputMode: String): Unit = {
+    val spark = df.sparkSession
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_sink_ckpt_${spark.sparkContext.applicationId}_")
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt.toString)
+      .toTable(tableFqn)
+    try q.processAllAvailable() finally {
+      q.stop()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
   private def bucketedLineitem(spark: SparkSession, dir: String): DataFrame = {
     BucketStore.ensureLoaded(spark, s"lineitem@$dir", dir, "lineitem", "l_orderkey", NumBuckets)
     spark.read.format("graft-buckets").option("table", s"lineitem@$dir").load()
@@ -276,25 +299,10 @@ object BucketedQueries {
     spark.sql(s"DROP TABLE IF EXISTS graft.`$tbl`")
     spark.sql(s"CREATE TABLE graft.`$tbl` (event_id BIGINT, user_id BIGINT, value DOUBLE) " +
       "PARTITIONED BY (bucket(16, user_id))")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_sink_ckpt_${spark.sparkContext.applicationId}_")
     val stream = graft.streaming.StreamOps.eventsStream(spark, dir)
       .filter(col("event_type") === "view")
       .select(col("event_id"), col("user_id"), col("value"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .toTable(s"graft.`$tbl`")
-    try q.processAllAvailable() finally {
-      q.stop()
-      // one-shot checkpoint: drop it so repeated gated runs don't
-      // accumulate scratch dirs (each run replays from a fresh table)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }
+    runStreamToTable(stream, s"graft.`$tbl`", "append")
     spark.table(s"graft.`$tbl`")
       .groupBy((col("user_id") % 10).as("cohort"))
       .agg(
@@ -360,20 +368,7 @@ object BucketedQueries {
       .filter(col("event_type") === "click")
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_etl_ckpt_${spark.sparkContext.applicationId}_")
-    val q = enriched.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .toTable(s"graft.`$sink`")
-    try q.processAllAvailable() finally {
-      q.stop()
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }
+    runStreamToTable(enriched, s"graft.`$sink`", "append")
     spark.table(s"graft.`$sink`")
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -509,20 +504,8 @@ object BucketedQueries {
           when(ins, col("o_totalprice")).otherwise(-col("o_totalprice"))
             .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
           .cast("double").as("sum_price"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_mv_ckpt_${spark.sparkContext.applicationId}_")
-    val q = folded.writeStream
-      .outputMode("complete") // each epoch republishes the whole (small) MV
-      .option("checkpointLocation", ckpt.toString)
-      .toTable(s"graft.`$mv`")
-    try q.processAllAvailable() finally {
-      q.stop()
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }
+    // complete mode: each epoch republishes the whole (small) MV
+    runStreamToTable(folded, s"graft.`$mv`", "complete")
     spark.table(s"graft.`$mv`").filter(col("n") > 0)
   }
 

@@ -103,17 +103,10 @@ class BucketedReplaceGroupsWrite(name: String, schema: StructType, keyCol: Strin
       new BucketedWriterFactory(schema, keyCol, numBuckets)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val merged = Array.fill(numBuckets)(Vector.newBuilder[Row])
-      messages.foreach {
-        case m: BucketWriteCommit =>
-          var b = 0
-          while (b < numBuckets) { merged(b) ++= m.rowsByBucket(b); b += 1 }
-        case other => throw new IllegalStateException(s"unexpected commit message $other")
-      }
       // a rewrite whose scan never planned (pure-insert MERGE) read no
       // groups: replace nothing, append everything
       val groups = op.scannedBuckets.getOrElse(Set.empty)
-      BucketStore.replaceGroups(name, merged.map(_.result().toArray), groups)
+      BucketStore.replaceGroups(name, BucketWriteCommit.merge(messages, numBuckets), groups)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -332,7 +332,7 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
       case Some(spec) => new BucketedAggScan(name, spec, pushed, t.version, opts.fetchSize)
       case None =>
         new BucketedScan(name, required, pushed, t.version, opts.fetchSize, limit, topN,
-          planListener, pruneOnlyFilters)
+          planListener, pruneOnlyFilters, timeTravel = opts.versionAsOf.isDefined)
     }
   }
 }
@@ -510,7 +510,8 @@ object AggSpec {
 class BucketedScan(name: String, required: StructType, filters: Array[Filter], version: Long,
     fetchSize: Int = 1000, limit: Option[Int] = None, topN: Option[TopNSpec] = None,
     onPlan: Option[Array[Int] => Unit] = None,
-    pruneOnly: Array[Filter] = Array.empty)
+    pruneOnly: Array[Filter] = Array.empty,
+    timeTravel: Boolean = false)
   extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -591,8 +592,15 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     * batch path. See [[BucketMicroBatchStream]].
     */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a time-travel pin cannot drive a stream (offsets ARE versions);
+    // silently streaming current snapshots instead would violate the
+    // option contract, so fail at plan time
+    require(!timeTravel,
+      "graft-buckets: 'versionasof' is batch-only — a snapshot stream's offsets are the " +
+        "store versions themselves; drop the option or use spark.read")
     new BucketMicroBatchStream(name, required, filters, fetchSize)
+  }
 
   /** Report the store's hash-bucket layout to the planner: with
     * `spark.sql.sources.v2.bucketing.enabled`, joins between two
@@ -719,29 +727,38 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
       case _ => false
     }.toArray
     if (spec.groupCols.isEmpty) acc(Nil) = init()
+    // column index per aggregate, resolved ONCE — not a per-row,
+    // per-agg schema hash lookup in the tightest loop of the pushed
+    // path (−1 = COUNT(*), no column)
+    val aggCol: Array[Int] = spec.aggs.map {
+      case PCountStar => -1
+      case PCount(c) => fullSchema.fieldIndex(c)
+      case PMin(c) => fullSchema.fieldIndex(c)
+      case PMax(c) => fullSchema.fieldIndex(c)
+      case PSum(c) => fullSchema.fieldIndex(c)
+    }.toArray
+    val aggArr = spec.aggs.toArray
     filtered.foreach { r =>
       val key = groupIdx.toIndexedSeq.map(r.get)
       val slots = acc.getOrElseUpdate(key, init())
-      spec.aggs.zipWithIndex.foreach { case (a, i) =>
-        a match {
+      var i = 0
+      while (i < aggArr.length) {
+        val j = aggCol(i)
+        aggArr(i) match {
           case PCountStar => slots(i) = slots(i).asInstanceOf[Long] + 1L
-          case PCount(col) =>
-            if (!r.isNullAt(fullSchema.fieldIndex(col)))
-              slots(i) = slots(i).asInstanceOf[Long] + 1L
-          case PMin(col) =>
-            val j = fullSchema.fieldIndex(col)
+          case PCount(_) =>
+            if (!r.isNullAt(j)) slots(i) = slots(i).asInstanceOf[Long] + 1L
+          case PMin(_) =>
             if (!r.isNullAt(j)) {
               val v = r.get(j)
               if (slots(i) == null || FilterEval.cmp(v, slots(i)) < 0) slots(i) = v
             }
-          case PMax(col) =>
-            val j = fullSchema.fieldIndex(col)
+          case PMax(_) =>
             if (!r.isNullAt(j)) {
               val v = r.get(j)
               if (slots(i) == null || FilterEval.cmp(v, slots(i)) > 0) slots(i) = v
             }
-          case PSum(col) =>
-            val j = fullSchema.fieldIndex(col)
+          case PSum(_) =>
             if (!r.isNullAt(j)) {
               val n = r.get(j).asInstanceOf[Number]
               // SUM over zero non-null rows stays NULL (Spark's sum
@@ -756,6 +773,7 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
                 }
             }
         }
+        i += 1
       }
     }
     acc.iterator.map { case (key, slots) => Row.fromSeq(key ++ slots.toIndexedSeq) }

@@ -94,16 +94,8 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
     new BucketedStreamingWriterFactory(schema, keyCol, numBuckets)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    if (committed.add(epochId)) {
-      val merged = Array.fill(numBuckets)(Vector.newBuilder[Row])
-      messages.foreach {
-        case m: BucketWriteCommit =>
-          var b = 0
-          while (b < numBuckets) { merged(b) ++= m.rowsByBucket(b); b += 1 }
-        case other => throw new IllegalStateException(s"unexpected commit message $other")
-      }
-      BucketStore.commitWrite(name, merged.map(_.result().toArray), truncate)
-    }
+    if (committed.add(epochId))
+      BucketStore.commitWrite(name, BucketWriteCommit.merge(messages, numBuckets), truncate)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -114,16 +106,8 @@ class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new BucketedWriterFactory(schema, keyCol, numBuckets)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val merged = Array.fill(numBuckets)(Vector.newBuilder[Row])
-    messages.foreach {
-      case m: BucketWriteCommit =>
-        var b = 0
-        while (b < numBuckets) { merged(b) ++= m.rowsByBucket(b); b += 1 }
-      case other => throw new IllegalStateException(s"unexpected commit message $other")
-    }
-    BucketStore.commitWrite(name, merged.map(_.result().toArray), truncate)
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    BucketStore.commitWrite(name, BucketWriteCommit.merge(messages, numBuckets), truncate)
 
   /** Nothing staged outside the messages → abort publishes nothing. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -147,6 +131,22 @@ class BucketedStreamingWriterFactory(schema: StructType, keyCol: String, numBuck
 
 final case class BucketWriteCommit(rowsByBucket: Array[Array[Row]])
   extends WriterCommitMessage
+
+object BucketWriteCommit {
+  /** Merge the tasks' staged per-bucket rows — the one commit-side
+    * merge shared by the batch, streaming, and replace-groups writes.
+    */
+  def merge(messages: Array[WriterCommitMessage], numBuckets: Int): Array[Array[Row]] = {
+    val merged = Array.fill(numBuckets)(Vector.newBuilder[Row])
+    messages.foreach {
+      case m: BucketWriteCommit =>
+        var b = 0
+        while (b < numBuckets) { merged(b) ++= m.rowsByBucket(b); b += 1 }
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    merged.map(_.result().toArray)
+  }
+}
 
 class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int)
   extends DataWriter[InternalRow] {

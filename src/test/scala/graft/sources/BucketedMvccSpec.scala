@@ -170,6 +170,56 @@ class BucketedMvccSpec extends SparkSuite {
     assert(ex4.getMessage.contains("only apply to mode=cdc"))
   }
 
+  test("stream-side option rejections: versionAsOf snapshot stream, windowed CDC stream") {
+    mkTable("mvcc_sopt", Seq((1L, "a", 1.0)))
+    val v1 = BucketStore.currentVersion("mvcc_sopt")
+    // a time-travel pin cannot drive a snapshot stream — fail at plan
+    // time, never silently stream current versions
+    val tt = new BucketedScanBuilder("mvcc_sopt",
+      ConnectorOptions("mvcc_sopt", 1000, None, versionAsOf = Some(v1))).build()
+    val ex = intercept[IllegalArgumentException] {
+      tt.asInstanceOf[BucketedScan].toMicroBatchStream("ckpt")
+    }
+    assert(ex.getMessage.contains("batch-only"))
+    // an explicit change window cannot drive a CDC stream (the
+    // checkpoint is the cursor)
+    val cdc = new CdcScan("mvcc_sopt",
+      ConnectorOptions("mvcc_sopt", 1000, None, cdc = true, changesStart = Some(0L)))
+    val ex2 = intercept[IllegalArgumentException](cdc.toMicroBatchStream("ckpt"))
+    assert(ex2.getMessage.contains("batch-only"))
+  }
+
+  test("a batch CDC window entirely below retained history fails loudly, not empty") {
+    mkTable("cdc_below", Seq((1L, "a", 1.0)))
+    val v1 = BucketStore.currentVersion("cdc_below")
+    BucketStore.deleteWhere("cdc_below", _ => false) // v2
+    BucketStore.deleteWhere("cdc_below", _ => false) // v3
+    BucketStore.vacuum("cdc_below", keepLast = 1)
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets").option("table", "cdc_below")
+        .option("mode", "cdc")
+        .option("changesStart", "0").option("changesEnd", v1.toString)
+        .load().collect()
+    }
+    assert(ex.getMessage.contains("predates the retained history"))
+  }
+
+  test("a CDC window spanning a re-bucketing (including the base) is refused") {
+    import spark.implicits._
+    BucketStore.drop("cdc_rebucket")
+    BucketStore.load(spark, "cdc_rebucket", Seq((1L, "a")).toDF("k", "tag"), "k", 4)
+    val v1 = BucketStore.currentVersion("cdc_rebucket")
+    BucketStore.load(spark, "cdc_rebucket", Seq((1L, "a"), (2L, "b")).toDF("k", "tag"), "k", 8)
+    val v2 = BucketStore.currentVersion("cdc_rebucket")
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets").option("table", "cdc_rebucket")
+        .option("mode", "cdc")
+        .option("changesStart", v1.toString).option("changesEnd", v2.toString)
+        .load().collect()
+    }
+    assert(ex.getMessage.contains("re-bucketing"))
+  }
+
   test("SQL CALL procedures: history lists retained snapshots, vacuum trims them") {
     catalogOn()
     mkTable("mvcc_proc", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
