@@ -208,7 +208,9 @@ object BucketStore {
     var deleted = 0L
     val kept = t.buckets.map { rows =>
       val keep = rows.filterNot { r =>
-        val d = pred(r)
+        // pred evaluates against the CURRENT schema; rows predating an
+        // ADD COLUMN are shorter and pad with NULL (stored form kept)
+        val d = pred(pad(r, t.schema.length))
         if (d) deleted += 1
         d
       }
@@ -217,6 +219,13 @@ object BucketStore {
     publish(name, t.copy(buckets = kept, version = versions.incrementAndGet()))
     deleted
   }
+
+  /** NULL-pad a stored row to `arity` (schema-evolution read form; a
+    * row written before an ADD COLUMN has no slot for it).
+    */
+  private[bucketed] def pad(r: Row, arity: Int): Row =
+    if (r.length == arity) r
+    else Row.fromSeq(r.toSeq ++ Seq.fill(arity - r.length)(null))
 
   /** Group (bucket) replacement for COPY_ON_WRITE row-level operations
     * (UPDATE/MERGE/fallback-DELETE): buckets in `groups` are REPLACED
@@ -237,6 +246,26 @@ object BucketStore {
         else clusterSort(t.schema, t.clusterCol, old ++ byBucket(b))
       }
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
+    }
+
+  /** Schema evolution — ADD COLUMN (nullable, appended): publish a
+    * new version with the extended schema and the SAME bucket arrays
+    * (zero rewrite; existing rows are shorter than the schema and
+    * readers pad them with NULL at fetch,
+    * [[HostConnection.fetchBucket]]). Earlier snapshots keep their
+    * own schema, so time travel serves the world as it was.
+    */
+  def addColumn(name: String, field: org.apache.spark.sql.types.StructField): Unit =
+    synchronized {
+      val t = get(name)
+      require(field.nullable,
+        s"ADD COLUMN ${field.name}: only nullable columns can be added without a rewrite " +
+          "(existing rows have no value for it)")
+      require(!t.schema.fieldNames.contains(field.name),
+        s"ADD COLUMN ${field.name}: column already exists in '$name'")
+      publish(name, t.copy(
+        schema = StructType(t.schema.fields :+ field),
+        version = versions.incrementAndGet()))
     }
 
   def get(name: String): BucketTable = history(name).last

@@ -88,8 +88,32 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
     new BucketedTable(ident.name())
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog does not support ALTER TABLE")
+  /** Schema evolution: `ALTER TABLE … ADD COLUMN` (nullable, appended
+    * at the end, no default). Publishes a new MVCC version with the
+    * extended schema and the SAME bucket arrays — zero rewrite;
+    * readers NULL-pad pre-ALTER rows at fetch, earlier snapshots keep
+    * their own schema (time travel shows the world as it was), and
+    * the CDC diff normalizes arity so an ALTER emits no phantom
+    * deltas. Everything else (drop/rename/retype — they would force a
+    * rewrite or break old snapshots' reads) is rejected loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft ADD COLUMN: nested columns not supported (got ${add.fieldNames.mkString(".")})")
+        require(add.position() == null,
+          "graft ADD COLUMN: columns append at the end (FIRST/AFTER would reorder " +
+            "stored rows)")
+        require(add.defaultValue() == null,
+          "graft ADD COLUMN: defaults not supported — existing rows read as NULL")
+        BucketStore.addColumn(ident.name(),
+          StructField(add.fieldNames.head, add.dataType, add.isNullable))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports only ADD COLUMN (nullable, appended); got $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = BucketStore.drop(ident.name())
 

@@ -206,7 +206,12 @@ class CdcPartitionReader(p: CdcInputPartition, fetchSize: Int)
     else {
       val (conn, rows) = BucketReaderSupport.openWithFailover(
         BucketInputPartition(p.table, p.bucket, p.hosts, version), fetchSize)
-      try rows.toIndexedSeq finally ConnectionPool.release(conn)
+      // normalize arity to the window's FINAL schema: a step straddling
+      // an ADD COLUMN must compare logically identical rows equal
+      // (both sides NULL in the new column), and every emitted delta
+      // must match the reader's output schema
+      try rows.map(BucketStore.pad(_, baseSchema.length)).toIndexedSeq
+      finally ConnectionPool.release(conn)
     }
 
   // each step's target snapshot is the next step's base — carry it

@@ -196,8 +196,15 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   }
 
   override def name(): String = s"graft-buckets:$name"
-  override def schema(): StructType =
-    if (opts.cdc) CdcSchema.of(t.schema) else t.schema
+  override def schema(): StructType = {
+    // a time-travel handle shows the PINNED snapshot's schema — after
+    // an ADD COLUMN, VERSION AS OF an earlier version reads the world
+    // as it was (column and all)
+    val base = opts.versionAsOf
+      .map(BucketStore.snapshotWithRetry(name, _).schema)
+      .getOrElse(t.schema)
+    if (opts.cdc) CdcSchema.of(base) else base
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     if (opts.cdc)
       // the change feed is read-only and stream-only. BATCH_READ is
@@ -240,7 +247,11 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
-  private val full: StructType = BucketStore.getWithRetry(name).schema
+  // the PINNED snapshot's schema: filters/pruning/projection resolve
+  // against the version actually read (matters after ADD COLUMN)
+  private val full: StructType = opts.versionAsOf
+    .map(BucketStore.snapshotWithRetry(name, _).schema)
+    .getOrElse(BucketStore.getWithRetry(name).schema)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var aggSpec: Option[AggSpec] = None

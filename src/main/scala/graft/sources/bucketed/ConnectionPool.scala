@@ -97,7 +97,10 @@ final class HostConnection private[bucketed] (val host: String) {
       if (!BucketServers.isUp(host))
         throw new IOException(s"connection to $host lost mid-stream (task retry will re-plan)")
       HostConnection.roundTripCount.incrementAndGet()
-      page
+      // rows written before an ADD COLUMN are shorter than this
+      // snapshot's schema: serve them NULL-padded (stored form never
+      // rewritten)
+      page.map(BucketStore.pad(_, t.schema.length))
     }
   }
 }

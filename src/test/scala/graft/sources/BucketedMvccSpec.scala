@@ -170,6 +170,49 @@ class BucketedMvccSpec extends SparkSuite {
     assert(ex4.getMessage.contains("only apply to mode=cdc"))
   }
 
+  test("ALTER TABLE ADD COLUMN: zero-rewrite evolution, padded reads, DML, CDC, time travel") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.evo_t")
+    spark.sql("CREATE TABLE graft.evo_t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO graft.evo_t VALUES (1, 1.0), (2, 2.0)")
+    val vPre = BucketStore.currentVersion("evo_t")
+    spark.sql("ALTER TABLE graft.evo_t ADD COLUMN tag STRING")
+    val vAlter = BucketStore.currentVersion("evo_t")
+    spark.sql("INSERT INTO graft.evo_t VALUES (3, 3.0, 'x')")
+    // current reads: evolved schema, pre-ALTER rows NULL in the new col
+    assert(spark.table("graft.evo_t").schema.fieldNames.toSeq === Seq("k", "v", "tag"))
+    assert(spark.table("graft.evo_t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet ===
+      Set((1L, 1.0, None), (2L, 2.0, None), (3L, 3.0, Some("x"))))
+    // zero rewrite: pre-ALTER rows still stored at the old arity
+    assert(BucketStore.get("evo_t").buckets.flatten
+      .filter(_.getLong(0) != 3L).forall(_.length == 2))
+    // predicates and DML over the new column work on padded rows
+    assert(spark.table("graft.evo_t").filter(col("tag").isNull).count() === 2)
+    spark.sql("DELETE FROM graft.evo_t WHERE tag = 'x'")
+    assert(spark.table("graft.evo_t").count() === 2)
+    // time travel shows the pre-ALTER schema AND data
+    val old = spark.sql(s"SELECT * FROM graft.evo_t VERSION AS OF $vPre")
+    assert(old.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(old.count() === 2)
+    // the CDC feed crosses the ALTER without phantom deltas: the
+    // schema-change commit itself contributes NOTHING
+    val feed = spark.readStream.format("graft-buckets")
+      .option("table", "evo_t").option("mode", "cdc").load()
+    val changes = graft.streaming.StreamOps.runToMemory(feed, "append").collect()
+    assert(!changes.exists(_.getLong(4) == vAlter),
+      s"ALTER commit v$vAlter must emit no deltas")
+    assert(changes.count(_.getString(3) == "insert") === 3)
+    assert(changes.count(_.getString(3) == "delete") === 1)
+    // rejections: positioned, non-null, drop
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.evo_t ADD COLUMN z STRING FIRST").collect())
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.evo_t ADD COLUMN z STRING NOT NULL").collect())
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.evo_t DROP COLUMN v").collect())
+  }
+
   test("stream-side option rejections: versionAsOf snapshot stream, windowed CDC stream") {
     mkTable("mvcc_sopt", Seq((1L, "a", 1.0)))
     val v1 = BucketStore.currentVersion("mvcc_sopt")
