@@ -245,4 +245,49 @@ object GraftProps extends Properties("graft") {
       graft.sources.bucketed.BucketStore.drop(name)
       got == exp && pushed
     }
+
+  // ——— clustered-bucket range slice (pure, no Spark) ———
+
+  private val genBound: Gen[Option[(Long, Boolean)]] = Gen.option(for {
+    v <- Gen.choose(-20L, 20L)
+    incl <- Gen.oneOf(true, false)
+  } yield (v, incl))
+
+  private val genSliceCase = for {
+    n <- Gen.choose(0, 80)
+    vals <- Gen.listOfN(n, Gen.frequency(
+      (6, Gen.choose(-20L, 20L).map(Option(_))),
+      (1, Gen.const(Option.empty[Long]))))
+    lo <- genBound
+    hi <- genBound
+  } yield (vals, lo, hi)
+
+  /** The binary-searched slice must MISS NOTHING: every row outside
+    * [start, end) must fail the range (the slice may conservatively
+    * include extra rows — FilterEval re-checks them — but a dropped
+    * qualifying row is silent data loss). Random (rows, bounds)
+    * layouts, nulls sorted first like the store's cluster order.
+    */
+  property("cluster-range slice never drops a qualifying row") =
+    forAll(genSliceCase) { case (vals, lo, hi) =>
+      import graft.sources.bucketed.ClusterRange
+      import org.apache.spark.sql.Row
+      val sorted = vals.sortWith {
+        case (None, _) => true
+        case (_, None) => false
+        case (Some(a), Some(b)) => a < b
+      }
+      val rows = sorted.map(v => Row(v.orNull)).toArray
+      val range = ClusterRange(lo, hi)
+      val (start, end) = ClusterRange.sliceSorted(rows, 0, range)
+      def satisfies(v: Option[Long]): Boolean = v.exists { x =>
+        lo.forall { case (b, incl) => if (incl) x >= b else x > b } &&
+        hi.forall { case (b, incl) => if (incl) x <= b else x < b }
+      }
+      val inBounds = 0 <= start && start <= end && end <= rows.length
+      val missedNone = sorted.zipWithIndex.forall { case (v, i) =>
+        !satisfies(v) || (i >= start && i < end)
+      }
+      inBounds && missedNone
+    }
 }
