@@ -210,6 +210,9 @@ object SparkEntry {
     // — bounded batch change read (table_changes analog): the backfill
     //   path before tailing the CDC stream —
     "q106_cdc_batch" -> graft.sources.bucketed.BucketedQueries.cdcBatchChangesQuery _,
+    // — schema evolution: zero-rewrite ADD COLUMN + COW back-fill,
+    //   padded legacy rows aggregated alongside rewritten ones —
+    "q107_schema_evolution" -> graft.sources.bucketed.BucketedQueries.schemaEvolutionQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -367,5 +370,6 @@ object SparkEntry {
     "q104_cdc_mv" -> graft.sources.bucketed.BucketedQueries.cdcMaterializedViewSql,
     "q105_cluster_range" -> graft.sources.bucketed.BucketedQueries.clusteredRangeSql,
     "q106_cdc_batch" -> graft.sources.bucketed.BucketedQueries.cdcBatchChangesSql,
+    "q107_schema_evolution" -> graft.sources.bucketed.BucketedQueries.schemaEvolutionSql,
   )
 }

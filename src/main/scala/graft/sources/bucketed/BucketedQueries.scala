@@ -579,4 +579,36 @@ object BucketedQueries {
     """SELECT c_mktsegment,
       | CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 0 ELSE count(*) END AS n_net
       |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  /** q107 — schema evolution end-to-end: customer lands in the store,
+    * `ALTER TABLE ADD COLUMN vip` extends the schema with ZERO rewrite
+    * (the new version shares every bucket array), an UPDATE back-fills
+    * the flag for high-balance accounts (COW per bucket), and the
+    * final read aggregates over both the padded legacy rows (NULL vip)
+    * and the rewritten ones. At 100 TB: instant DDL, rewrite cost
+    * proportional to the rows actually back-filled.
+    */
+  def schemaEvolutionQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"customer_evo@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.customer(spark, dir), "c_custkey",
+      NumBuckets)
+    spark.sql(s"ALTER TABLE graft.`$name` ADD COLUMN vip STRING")
+    spark.sql(s"UPDATE graft.`$name` SET vip = 'Y' WHERE c_acctbal > 5000.0")
+    spark.table(s"graft.`$name`")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("vip")).as("n_vip"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      | count(CASE WHEN c_acctbal > 5000.0 THEN 1 END) AS n_vip,
+      | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
 }
