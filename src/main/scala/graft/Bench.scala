@@ -78,7 +78,10 @@ object Bench {
       if (java.nio.file.Files.exists(p)) {
         val txt = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
-        """"(q[0-9]+[A-Za-z0-9_]*)":([0-9][0-9.]*)""".r.findAllMatchIn(txt)
+        // \s* : tolerate pretty-printed priors (a hand-merged file with
+        // ": " separators once parsed as ZERO entries and silently
+        // disabled every re-rep — caught round 7)
+        """"(q[0-9]+[A-Za-z0-9_]*)":\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
     } catch { case e: Throwable =>
