@@ -181,6 +181,37 @@ final case class CdcInputPartition(table: String, bucket: Int, hosts: Array[Stri
   override def preferredLocations(): Array[String] = hosts
 }
 
+/** The CDC multiset diff: counts of old rows not matched by new rows
+  * are deletes; new rows beyond their old multiplicity are inserts.
+  * Row.equals/hashCode are field-wise, so identical duplicates cancel
+  * pairwise and a COW bucket rewrite nets to its logical changes
+  * only. Invariant (ScalaCheck-pinned): old − deletes + inserts = new
+  * as multisets, and |deletes| + |inserts| is MINIMAL (the multiset
+  * symmetric difference — nothing unchanged ever ships).
+  */
+object CdcDiff {
+  def diff(oldRows: Seq[Row], newRows: Seq[Row]): (Vector[Row], Vector[Row]) = {
+    val unmatched = new scala.collection.mutable.HashMap[Row, Int]()
+    oldRows.foreach(r => unmatched(r) = unmatched.getOrElse(r, 0) + 1)
+    val inserts = Vector.newBuilder[Row]
+    newRows.foreach { r =>
+      unmatched.get(r) match {
+        case Some(c) if c > 0 => if (c == 1) unmatched.remove(r) else unmatched(r) = c - 1
+        case _ => inserts += r
+      }
+    }
+    // deletes in stored order: take each old row while its unmatched
+    // multiplicity lasts (deterministic emission for a deterministic
+    // store order)
+    val deletes = Vector.newBuilder[Row]
+    oldRows.foreach { r =>
+      val c = unmatched.getOrElse(r, 0)
+      if (c > 0) { deletes += r; if (c == 1) unmatched.remove(r) else unmatched(r) = c - 1 }
+    }
+    (deletes.result(), inserts.result())
+  }
+}
+
 class CdcReaderFactory(fetchSize: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], fetchSize)
@@ -227,31 +258,9 @@ class CdcPartitionReader(p: CdcInputPartition, fetchSize: Int)
     }
     val newRows = fetchRows(toV)
     carried = Some((toV, newRows))
-    // multiset diff: counts of old rows not matched by new rows are
-    // deletes; new rows beyond their old multiplicity are inserts.
-    // Row.equals/hashCode are field-wise, so identical duplicates
-    // cancel pairwise and a COW bucket rewrite nets to its logical
-    // changes only.
-    val unmatched = new scala.collection.mutable.HashMap[Row, Int]()
-    oldRows.foreach(r => unmatched(r) = unmatched.getOrElse(r, 0) + 1)
-    val inserts = Vector.newBuilder[Row]
-    newRows.foreach { r =>
-      unmatched.get(r) match {
-        case Some(c) if c > 0 => if (c == 1) unmatched.remove(r) else unmatched(r) = c - 1
-        case _ => inserts += r
-      }
-    }
-    // deletes in stored order: take each old row while its unmatched
-    // multiplicity lasts (deterministic emission for a deterministic
-    // store order)
-    val deletes = Vector.newBuilder[Row]
-    oldRows.foreach { r =>
-      val c = unmatched.getOrElse(r, 0)
-      if (c > 0) { deletes += r; if (c == 1) unmatched.remove(r) else unmatched(r) = c - 1 }
-    }
+    val (deletes, inserts) = CdcDiff.diff(oldRows, newRows)
     def tag(r: Row, kind: String): Row = Row.fromSeq(r.toSeq :+ kind :+ toV)
-    deletes.result().iterator.map(tag(_, "delete")) ++
-      inserts.result().iterator.map(tag(_, "insert"))
+    deletes.iterator.map(tag(_, "delete")) ++ inserts.iterator.map(tag(_, "insert"))
   }
 
   private var current: InternalRow = _

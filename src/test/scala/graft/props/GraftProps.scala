@@ -290,4 +290,40 @@ object GraftProps extends Properties("graft") {
       }
       inBounds && missedNone
     }
+
+  // ——— CDC multiset diff (pure, no Spark) ———
+
+  private val genRowSeq: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(0, 40)
+    // tiny domain on purpose: plenty of duplicate rows, the case that
+    // breaks naive set-based diffs
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 5L), Gen.oneOf("a", "b", "c")))
+  } yield rows
+
+  /** old − deletes + inserts must equal new as MULTISETS, and the
+    * delta must be minimal (exactly the multiset symmetric
+    * difference) — an unchanged row shipping through the feed would
+    * double-apply in every downstream materialization.
+    */
+  property("CDC diff reconstructs the target multiset with a minimal delta") =
+    forAll(genRowSeq, genRowSeq) { (oldR, newR) =>
+      import org.apache.spark.sql.Row
+      import graft.sources.bucketed.CdcDiff
+      def rows(xs: List[(Long, String)]) = xs.map { case (k, t) => Row(k, t) }
+      def counts(xs: Seq[Row]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+      val (dels, ins) = CdcDiff.diff(rows(oldR), rows(newR))
+      val oc = counts(rows(oldR))
+      val target = counts(rows(newR))
+      val dc = counts(dels)
+      val ic = counts(ins)
+      (oc.keySet ++ target.keySet ++ dc.keySet ++ ic.keySet).forall { r =>
+        val d = dc.getOrElse(r, 0)
+        val i = ic.getOrElse(r, 0)
+        // reconstruction: old − deletes + inserts = new, per row value;
+        // minimality: never both delete AND insert the same row value;
+        // soundness: can only delete rows that existed
+        oc.getOrElse(r, 0) - d + i == target.getOrElse(r, 0) &&
+          math.min(d, i) == 0 && d <= oc.getOrElse(r, 0)
+      }
+    }
 }
