@@ -147,6 +147,12 @@ object BucketStore {
 
   def exists(name: String): Boolean = tables.containsKey(name)
 
+  /** All table names currently in the store (catalog SHOW TABLES). */
+  def tableNames(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet().asScala.toSeq.sorted
+  }
+
   /** Catalog CREATE TABLE: install an empty table (schema + layout, no
     * rows) under a fresh version. Fails loudly if the name is taken.
     */

@@ -30,7 +30,7 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
   override def name(): String = catalogName
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty
+    BucketStore.tableNames().map(Identifier.of(Array.empty[String], _)).toArray
 
   override def loadTable(ident: Identifier): Table = {
     if (!BucketStore.exists(ident.name()))

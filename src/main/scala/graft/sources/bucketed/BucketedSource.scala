@@ -223,6 +223,18 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(t.buckets.length, t.keyCol))
 
+  /** DESCRIBE EXTENDED surface: layout + MVCC state at a glance. */
+  override def properties(): java.util.Map[String, String] = {
+    val snap = t
+    val props = scala.collection.mutable.LinkedHashMap(
+      "num_buckets" -> snap.buckets.length.toString,
+      "bucket_key" -> snap.keyCol,
+      "current_version" -> snap.version.toString,
+      "retained_versions" -> BucketStore.retained(name).length.toString)
+    snap.clusterCol.foreach(c => props += ("cluster_by" -> c))
+    props.asJava
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (opts.cdc) new CdcScanBuilder(name, opts)
     else new BucketedScanBuilder(name, opts)

@@ -263,6 +263,23 @@ class BucketedMvccSpec extends SparkSuite {
     assert(ex.getMessage.contains("re-bucketing"))
   }
 
+  test("catalog surfaces: SHOW TABLES lists store tables, DESCRIBE properties show layout + MVCC state") {
+    catalogOn()
+    mkTable("mvcc_cat", Seq((1L, "a", 1.0)))
+    val shown = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1))
+    assert(shown.contains("mvcc_cat"))
+    val t = new BucketedTable("mvcc_cat")
+    val props = t.properties()
+    assert(props.get("num_buckets") === "4")
+    assert(props.get("bucket_key") === "k")
+    assert(props.get("current_version") === BucketStore.currentVersion("mvcc_cat").toString)
+    assert(props.get("retained_versions") === "1")
+    BucketStore.drop("mvcc_cat_clustered")
+    BucketStore.load(spark, "mvcc_cat_clustered",
+      spark.range(3).selectExpr("id AS k", "id AS seq"), "k", 2, clusterBy = Some("seq"))
+    assert(new BucketedTable("mvcc_cat_clustered").properties().get("cluster_by") === "seq")
+  }
+
   test("SQL CALL procedures: history lists retained snapshots, vacuum trims them") {
     catalogOn()
     mkTable("mvcc_proc", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
