@@ -58,6 +58,13 @@ object BucketStore {
   private val tables = new ConcurrentHashMap[String, Vector[BucketTable]]()
   private val versions = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Each table's FIRST version ever published (survives vacuum; the
+    * version counter is global, so without this a CDC window below a
+    * table's creation version would be indistinguishable from a
+    * vacuumed one).
+    */
+  private val firstVersions = new ConcurrentHashMap[String, java.lang.Long]()
+
   /** MVCC retention window: snapshots kept per table. Old enough for
     * any in-flight scan or CDC replay at test scale; a real store
     * would bound this by time + active-transaction watermark.
@@ -77,8 +84,18 @@ object BucketStore {
     */
   private def publish(name: String, next: BucketTable): Unit = {
     val hist = tables.getOrDefault(name, Vector.empty)
+    firstVersions.putIfAbsent(name, next.version)
     tables.put(name, (hist :+ next).takeRight(RetainedVersions))
     ()
+  }
+
+  /** The first version ever published for `name` (not affected by
+    * vacuum). Loud if the table does not exist.
+    */
+  def firstVersion(name: String): Long = {
+    val v = firstVersions.get(name)
+    require(v != null, s"BucketStore has no table '$name'")
+    v
   }
 
   /** Load a DataFrame into the store as `name`, hash-partitioned on
@@ -174,11 +191,16 @@ object BucketStore {
         clusterBy)
       val prev = tables.putIfAbsent(name, Vector(empty))
       require(prev == null, s"BucketStore table '$name' already exists")
+      firstVersions.putIfAbsent(name, empty.version)
+      ()
     }
   }
 
   /** Catalog DROP TABLE — removes the table AND its whole MVCC history. */
-  def drop(name: String): Boolean = tables.remove(name) != null
+  def drop(name: String): Boolean = {
+    firstVersions.remove(name)
+    tables.remove(name) != null
+  }
 
   /** Job-level atomic publish for the DSv2 write path: merge the
     * tasks' per-bucket rows into the table under ONE new version —
@@ -254,24 +276,30 @@ object BucketStore {
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
     }
 
-  /** Schema evolution — ADD COLUMN (nullable, appended): publish a
+  /** Schema evolution — ADD COLUMN (nullable, appended): publish ONE
     * new version with the extended schema and the SAME bucket arrays
     * (zero rewrite; existing rows are shorter than the schema and
     * readers pad them with NULL at fetch,
     * [[HostConnection.fetchBucket]]). Earlier snapshots keep their
-    * own schema, so time travel serves the world as it was.
+    * own schema, so time travel serves the world as it was. ALL
+    * fields are validated before ANY change applies — a multi-column
+    * ALTER is atomic: it publishes one version or nothing.
     */
-  def addColumn(name: String, field: org.apache.spark.sql.types.StructField): Unit =
+  def addColumns(name: String, fields: Seq[org.apache.spark.sql.types.StructField]): Unit =
     synchronized {
       val t = get(name)
-      require(field.nullable,
-        s"ADD COLUMN ${field.name}: only nullable columns can be added without a rewrite " +
-          "(existing rows have no value for it)")
-      require(!t.schema.fieldNames.contains(field.name),
-        s"ADD COLUMN ${field.name}: column already exists in '$name'")
-      publish(name, t.copy(
-        schema = StructType(t.schema.fields :+ field),
-        version = versions.incrementAndGet()))
+      val taken = scala.collection.mutable.Set(t.schema.fieldNames.toSeq: _*)
+      fields.foreach { field =>
+        require(field.nullable,
+          s"ADD COLUMN ${field.name}: only nullable columns can be added without a rewrite " +
+            "(existing rows have no value for it)")
+        require(taken.add(field.name),
+          s"ADD COLUMN ${field.name}: column already exists in '$name'")
+      }
+      if (fields.nonEmpty)
+        publish(name, t.copy(
+          schema = StructType(t.schema.fields ++ fields),
+          version = versions.incrementAndGet()))
     }
 
   def get(name: String): BucketTable = history(name).last

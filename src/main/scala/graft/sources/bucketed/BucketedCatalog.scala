@@ -29,8 +29,14 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
 
   override def name(): String = catalogName
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // flat catalog: only the root namespace exists — listing a made-up
+    // one must fail, not return phantom copies of every table
+    if (namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        name() +: namespace)
     BucketStore.tableNames().map(Identifier.of(Array.empty[String], _)).toArray
+  }
 
   override def loadTable(ident: Identifier): Table = {
     if (!BucketStore.exists(ident.name()))
@@ -98,7 +104,10 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
     * rewrite or break old snapshots' reads) is rejected loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    changes.foreach {
+    // translate + validate EVERY change before applying ANY: a
+    // multi-change ALTER publishes one version or nothing (a partial
+    // DDL surviving its own error would poison history and the CDC feed)
+    val fields = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"graft ADD COLUMN: nested columns not supported (got ${add.fieldNames.mkString(".")})")
@@ -107,11 +116,11 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
             "stored rows)")
         require(add.defaultValue() == null,
           "graft ADD COLUMN: defaults not supported — existing rows read as NULL")
-        BucketStore.addColumn(ident.name(),
-          StructField(add.fieldNames.head, add.dataType, add.isNullable))
+        StructField(add.fieldNames.head, add.dataType, add.isNullable)
       case other => throw new UnsupportedOperationException(
         s"graft catalog supports only ADD COLUMN (nullable, appended); got $other")
     }
+    BucketStore.addColumns(ident.name(), fields)
     loadTable(ident)
   }
 

@@ -59,8 +59,16 @@ class CdcScan(name: String, opts: ConnectorOptions) extends Scan
   with org.apache.spark.sql.connector.read.Batch {
   private def fetchSize = opts.fetchSize
 
-  override def readSchema(): StructType =
-    CdcSchema.of(BucketStore.getWithRetry(name).schema)
+  /** The feed's declared base schema, pinned at scan creation. Every
+    * emitted row is normalized to THIS shape regardless of which
+    * schema version a window step carries ([[CdcPartitionReader]]) —
+    * a window ending before an ADD COLUMN pads the new column with
+    * NULL, one read through an older declared schema projects it
+    * away. Declared and emitted shapes can never diverge.
+    */
+  private val declaredBase: StructType = BucketStore.getWithRetry(name).schema
+
+  override def readSchema(): StructType = CdcSchema.of(declaredBase)
 
   override def description(): String = {
     val window = (opts.changesStart, opts.changesEnd) match {
@@ -97,7 +105,8 @@ class CdcScan(name: String, opts: ConnectorOptions) extends Scan
     CdcPlanner.plan(name, startV, endV)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory(fetchSize)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(declaredBase, fetchSize)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     // explicit windows are batch-only; a stream's cursor is its
@@ -106,7 +115,7 @@ class CdcScan(name: String, opts: ConnectorOptions) extends Scan
     require(opts.changesStart.isEmpty && opts.changesEnd.isEmpty,
       "graft-buckets: 'changesstart'/'changesend' are batch-only (spark.read) — a CDC " +
         "STREAM resumes from its checkpointed offset; drop the options or use spark.read")
-    new BucketCdcMicroBatchStream(name, fetchSize)
+    new BucketCdcMicroBatchStream(name, declaredBase, fetchSize)
   }
 }
 
@@ -124,17 +133,17 @@ private[bucketed] object CdcPlanner {
         "than silently skipping history — re-seed the downstream materialization, or vacuum " +
         "less aggressively than the consumer lags")
     val commits = retained.filter(v => v > startV && v <= endV)
-    // a from-the-beginning window ending BELOW the oldest retained
-    // snapshot cannot be reconstructed (its commits were vacuumed
-    // away); an empty result would read as "nothing ever happened" —
-    // the silent skip the contract forbids. (endV ≥ oldest retained
-    // always yields at least one commit, so this only fires on truly
-    // lost windows; versions after startV with no commits for THIS
-    // table legitimately return empty.)
-    require(!(startV == 0 && commits.isEmpty && endV < retained.head),
-      s"CDC window (v0, v$endV] of '$name' predates the retained history (oldest retained: " +
-        s"v${retained.head}) — those commits were vacuumed; the net through v$endV cannot be " +
-        "reconstructed")
+    // a from-the-beginning window that overlaps the table's lifetime
+    // but yields no retained commit cannot be reconstructed (its
+    // commits were vacuumed); an empty result would read as "nothing
+    // ever happened" — the silent skip the contract forbids. The
+    // table's FIRST version (tracked through vacuum) distinguishes
+    // that from a window that simply predates the table's creation,
+    // which is legitimately empty — the version counter is global, so
+    // retained.head alone cannot tell the two apart.
+    require(!(startV == 0 && commits.isEmpty && endV >= BucketStore.firstVersion(name)),
+      s"CDC window (v0, v$endV] of '$name' overlaps vacuumed history (oldest retained: " +
+        s"v${retained.head}) — the net through v$endV cannot be reconstructed")
     if (commits.isEmpty) return Array.empty
     // diff bases: the requested start (or 0 = empty table) then each
     // intermediate commit. The base snapshot must share the commits'
@@ -152,7 +161,8 @@ private[bucketed] object CdcPlanner {
   }
 }
 
-class BucketCdcMicroBatchStream(name: String, fetchSize: Int) extends MicroBatchStream {
+class BucketCdcMicroBatchStream(name: String, declaredBase: StructType, fetchSize: Int)
+  extends MicroBatchStream {
 
   override def initialOffset(): Offset = new BucketStreamOffset(0L)
 
@@ -170,7 +180,8 @@ class BucketCdcMicroBatchStream(name: String, fetchSize: Int) extends MicroBatch
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     CdcPlanner.plan(name, BucketStreamOffset.of(start), BucketStreamOffset.of(end))
 
-  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory(fetchSize)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(declaredBase, fetchSize)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -212,9 +223,9 @@ object CdcDiff {
   }
 }
 
-class CdcReaderFactory(fetchSize: Int) extends PartitionReaderFactory {
+class CdcReaderFactory(declaredBase: StructType, fetchSize: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], fetchSize)
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], declaredBase, fetchSize)
 }
 
 /** Emits one bucket's deltas across the batch's version steps. Per
@@ -224,24 +235,31 @@ class CdcReaderFactory(fetchSize: Int) extends PartitionReaderFactory {
   * bucket's two snapshots — the same bound the snapshot reader has —
   * and ONLY delta rows are handed to Spark.
   */
-class CdcPartitionReader(p: CdcInputPartition, fetchSize: Int)
+class CdcPartitionReader(p: CdcInputPartition, baseSchema: StructType, fetchSize: Int)
   extends PartitionReader[InternalRow] {
 
-  private val baseSchema = BucketStore.snapshotWithRetry(p.table, p.steps.last._2).schema
   private val cdcSchema = CdcSchema.of(baseSchema)
   private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
     .createToCatalystConverter(cdcSchema)
+
+  /** Normalize a fetched row to the DECLARED base schema: pad with
+    * NULL when the row predates an ADD COLUMN, project extra columns
+    * away when the declared schema does (an older subscription view).
+    * Normalizing BEFORE the diff also makes steps straddling a schema
+    * change compare logically identical rows equal — and guarantees
+    * every emitted delta matches the schema the scan declared.
+    */
+  private def toDeclared(r: Row): Row =
+    if (r.length == baseSchema.length) r
+    else if (r.length < baseSchema.length) BucketStore.pad(r, baseSchema.length)
+    else Row.fromSeq(r.toSeq.take(baseSchema.length))
 
   private def fetchRows(version: Long): IndexedSeq[Row] =
     if (version == 0L) IndexedSeq.empty
     else {
       val (conn, rows) = BucketReaderSupport.openWithFailover(
         BucketInputPartition(p.table, p.bucket, p.hosts, version), fetchSize)
-      // normalize arity to the window's FINAL schema: a step straddling
-      // an ADD COLUMN must compare logically identical rows equal
-      // (both sides NULL in the new column), and every emitted delta
-      // must match the reader's output schema
-      try rows.map(BucketStore.pad(_, baseSchema.length)).toIndexedSeq
+      try rows.map(toDeclared).toIndexedSeq
       finally ConnectionPool.release(conn)
     }
 

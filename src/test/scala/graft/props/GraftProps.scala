@@ -273,6 +273,7 @@ object GraftProps extends Properties("graft") {
       import graft.sources.bucketed.ClusterRange
       import org.apache.spark.sql.Row
       val sorted = vals.sortWith {
+        case (None, None) => false // strict: lt(x, x) must be false (TimSort contract)
         case (None, _) => true
         case (_, None) => false
         case (Some(a), Some(b)) => a < b

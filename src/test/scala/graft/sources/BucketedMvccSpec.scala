@@ -135,7 +135,7 @@ class BucketedMvccSpec extends SparkSuite {
     BucketStore.deleteWhere("cdc_vac", _.getString(1) == "a") // v2
     BucketStore.deleteWhere("cdc_vac", _ => false) // v3
     BucketStore.vacuum("cdc_vac", keepLast = 1)
-    val ms = new BucketCdcMicroBatchStream("cdc_vac", 1000)
+    val ms = new BucketCdcMicroBatchStream("cdc_vac", BucketStore.get("cdc_vac").schema, 1000)
     val ex = intercept[IllegalArgumentException] {
       ms.planInputPartitions(new BucketStreamOffset(v1), ms.latestOffset())
     }
@@ -204,6 +204,15 @@ class BucketedMvccSpec extends SparkSuite {
       s"ALTER commit v$vAlter must emit no deltas")
     assert(changes.count(_.getString(3) == "insert") === 3)
     assert(changes.count(_.getString(3) == "delete") === 1)
+    // a batch change window ending BEFORE the ALTER still emits rows in
+    // the DECLARED (current) schema — the missing column reads as NULL
+    val preWindow = spark.read.format("graft-buckets")
+      .option("table", "evo_t").option("mode", "cdc")
+      .option("changesStart", "0").option("changesEnd", vPre.toString).load()
+    assert(preWindow.schema.fieldNames.take(3).toSeq === Seq("k", "v", "tag"))
+    val preRows = preWindow.collect()
+    assert(preRows.length === 2)
+    assert(preRows.forall(r => r.isNullAt(2) && r.getString(3) == "insert"))
     // rejections: positioned, non-null, drop
     intercept[Exception](
       spark.sql("ALTER TABLE graft.evo_t ADD COLUMN z STRING FIRST").collect())
@@ -211,6 +220,26 @@ class BucketedMvccSpec extends SparkSuite {
       spark.sql("ALTER TABLE graft.evo_t ADD COLUMN z STRING NOT NULL").collect())
     intercept[Exception](
       spark.sql("ALTER TABLE graft.evo_t DROP COLUMN v").collect())
+    // multi-change ALTER is atomic: the valid first column must NOT
+    // survive its sibling's rejection
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.evo_t ADD COLUMNS (ok1 STRING, bad INT NOT NULL)").collect())
+    assert(!spark.table("graft.evo_t").schema.fieldNames.contains("ok1"),
+      "a failed multi-column ALTER must apply none of its changes")
+  }
+
+  test("a CDC window below a table's CREATION version is empty, not a vacuum error") {
+    // burn global versions on another table so the new table's first
+    // version is well above the probed window
+    mkTable("cdc_burn", Seq((1L, "x", 1.0)))
+    mkTable("cdc_young", Seq((1L, "a", 1.0)))
+    val vFirst = BucketStore.firstVersion("cdc_young")
+    assert(vFirst > 1)
+    val got = spark.read.format("graft-buckets").option("table", "cdc_young")
+      .option("mode", "cdc")
+      .option("changesStart", "0").option("changesEnd", (vFirst - 1).toString)
+      .load().collect()
+    assert(got.isEmpty, "the table did not exist yet — the window is legitimately empty")
   }
 
   test("stream-side option rejections: versionAsOf snapshot stream, windowed CDC stream") {
@@ -244,7 +273,7 @@ class BucketedMvccSpec extends SparkSuite {
         .option("changesStart", "0").option("changesEnd", v1.toString)
         .load().collect()
     }
-    assert(ex.getMessage.contains("predates the retained history"))
+    assert(ex.getMessage.contains("overlaps vacuumed history"))
   }
 
   test("a CDC window spanning a re-bucketing (including the base) is refused") {
