@@ -879,7 +879,8 @@ case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String]
   */
 private[bucketed] object BucketReaderSupport {
   def openWithFailover(p: BucketInputPartition, fetchSize: Int,
-      range: Option[ClusterRange] = None): (HostConnection, Iterator[Row]) = {
+      range: Option[ClusterRange] = None,
+      reverse: Boolean = false): (HostConnection, Iterator[Row]) = {
     var opened: Iterator[Row] = null
     var conn: HostConnection = null
     var lastErr: java.io.IOException = null
@@ -889,7 +890,7 @@ private[bucketed] object BucketReaderSupport {
       try {
         val c = ConnectionPool.borrow(host)
         try {
-          opened = c.fetchBucket(p.table, p.bucket, p.version, fetchSize, range)
+          opened = c.fetchBucket(p.table, p.bucket, p.version, fetchSize, range, reverse)
           conn = c
         } catch {
           // open failed AFTER a successful borrow — ANY failure, not
@@ -945,28 +946,33 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
 
   private var conn: HostConnection = _
 
+  // index-ordered TopN: when the single sort key IS the cluster
+  // column in a layout-compatible order, the stream arrives in output
+  // order and take(n) is the per-bucket top n — page fetches stop
+  // after n qualifying rows (ORDER BY ts LIMIT 10 on a clustered
+  // 100 TB table reads ~10 rows per bucket). Ascending/nulls-first is
+  // the stored order; descending/nulls-last is the same run streamed
+  // in reverse (the server walks the slice back-to-front). Other
+  // null-ordering combinations fall back to the bounded heap.
+  private val indexOrderedReverse: Option[Boolean] = topN.collect {
+    case spec if spec.keys.length == 1 && table.clusterCol.contains(spec.keys.head.col) &&
+        !spec.keys.head.desc && spec.keys.head.nullsFirst => false
+    case spec if spec.keys.length == 1 && table.clusterCol.contains(spec.keys.head.col) &&
+        spec.keys.head.desc && !spec.keys.head.nullsFirst => true
+  }
+
   private val it: Iterator[Row] = {
     // clustered-index slice: provable cluster-column bounds narrow the
     // fetch to the qualifying run of the sorted bucket (pages moved ∝
     // answer); every row is still filter-checked below, so the slice
     // is never load-bearing for correctness
     val range = table.clusterCol.map(ClusterRange.from(filters, _)).filter(_.isBounded)
-    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize, range)
+    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize, range,
+      reverse = indexOrderedReverse.contains(true))
     conn = c
     val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
     topN match {
-      case Some(spec)
-        // index-ordered TopN: when the single sort key IS the cluster
-        // column in layout order (ascending, nulls first — exactly how
-        // the sorted run is stored), the stream already arrives in
-        // output order, so take(n) is the per-bucket top n AND the
-        // lazy take stops page fetches after n qualifying rows — an
-        // ORDER BY ts LIMIT 10 on a clustered 100 TB table reads ~10
-        // rows per bucket. Descending falls back to the heap (the
-        // run would have to stream in reverse; still O(bucket) pages,
-        // O(n) memory).
-        if table.clusterCol.contains(spec.keys.head.col) &&
-          spec.keys.length == 1 && !spec.keys.head.desc && spec.keys.head.nullsFirst =>
+      case Some(spec) if indexOrderedReverse.isDefined =>
         filtered.take(spec.n)
       case Some(spec) =>
         // bounded heap: one pass, O(n) memory — keep the n first rows

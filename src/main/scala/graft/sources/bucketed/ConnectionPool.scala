@@ -81,18 +81,22 @@ final class HostConnection private[bucketed] (val host: String) {
     * on the cluster column, the server binary-searches the sorted
     * bucket and streams ONLY the qualifying slice — pages moved are
     * proportional to the answer, not the bucket (clustered-index
-    * scan; ignored for unclustered tables).
+    * scan; ignored for unclustered tables). `reverse` streams the
+    * slice back-to-front (the descending index scan: reversed
+    * storage order IS desc/nulls-last).
     */
   def fetchBucket(table: String, bucket: Int, version: Long, fetchSize: Int,
-      range: Option[ClusterRange] = None): Iterator[Row] = {
+      range: Option[ClusterRange] = None, reverse: Boolean = false): Iterator[Row] = {
     val t = BucketStore.snapshot(table, version)
     val rows = t.buckets(bucket)
-    val sliced = (t.clusterCol, range) match {
+    val (start, end) = (t.clusterCol, range) match {
       case (Some(c), Some(r)) if r.isBounded =>
-        val (start, end) = ClusterRange.sliceSorted(rows, t.schema.fieldIndex(c), r)
-        Iterator.range(start, end).map(rows)
-      case _ => rows.iterator
+        ClusterRange.sliceSorted(rows, t.schema.fieldIndex(c), r)
+      case _ => (0, rows.length)
     }
+    val sliced =
+      if (reverse) Iterator.range(end - 1, start - 1, -1).map(rows)
+      else Iterator.range(start, end).map(rows)
     sliced.grouped(fetchSize).flatMap { page =>
       if (!BucketServers.isUp(host))
         throw new IOException(s"connection to $host lost mid-stream (task retry will re-plan)")

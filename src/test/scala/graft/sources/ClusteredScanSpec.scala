@@ -105,9 +105,17 @@ class ClusteredScanSpec extends SparkSuite {
     assert(singlePages <= 8 + 2,
       s"index-ordered TopN should read ~1 page per bucket, used $singlePages")
     assert(ascPages >= singlePages, "heap path cannot use fewer pages than the index path")
-    // descending falls back to the heap — correctness unchanged
-    val desc = src.orderBy(col("seq").desc).limit(3).collect().map(_.getLong(1)).toSeq
-    assert(desc === Seq(3999L, 3998L, 3997L))
+    // descending = the same run streamed in reverse: still ~1 page/bucket
+    val (desc, descPages) = pagesDuring(
+      src.orderBy(col("seq").desc).limit(3).collect())
+    assert(desc.map(_.getLong(1)).toSeq === Seq(3999L, 3998L, 3997L))
+    assert(descPages <= 8 + 2,
+      s"reverse index-ordered TopN should read ~1 page per bucket, used $descPages")
+    // an order the layout cannot serve (desc nulls FIRST) falls back to
+    // the heap — correctness unchanged
+    val descNf = src.orderBy(col("seq").desc_nulls_first).limit(3).collect()
+      .map(_.getLong(1)).toSeq
+    assert(descNf === Seq(3999L, 3998L, 3997L))
   }
 
   test("the planned scan surfaces the cluster slice (audit hook)") {
