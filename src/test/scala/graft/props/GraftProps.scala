@@ -246,6 +246,42 @@ object GraftProps extends Properties("graft") {
       got == exp && pushed
     }
 
+  /** Single-key ORDER BY + LIMIT on a CLUSTERED table routes through
+    * the index-ordered fast paths (forward run for asc/nulls-first,
+    * REVERSE run for desc/nulls-last) or the heap fallback — all four
+    * orderings must reproduce Spark's sort. Ties (duplicate values,
+    * nulls, NaN) make row identity nondeterministic, so the property
+    * compares the VALUE sequence (NaN via raw bits), which the sort
+    * fully determines.
+    */
+  property("clustered single-key TopN equals Spark's sort across all orderings") =
+    forAll(genTopnCase) { case (rows, m, desc, nullsFirst) =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((k, d, v), i) => (i.toLong, k, d, v) }
+        .toDF("id", "k", "d", "v")
+      val name = s"prop_ctopn_${topnTable.incrementAndGet()}"
+      graft.sources.bucketed.BucketStore.drop(name)
+      graft.sources.bucketed.BucketStore.load(spark, name, df, "k", 4, clusterBy = Some("d"))
+      val s = spark.read.format("graft-buckets").option("table", name).load()
+      val dcol = (desc, nullsFirst) match {
+        case (true, true) => col("d").desc_nulls_first
+        case (true, false) => col("d").desc_nulls_last
+        case (false, true) => col("d").asc_nulls_first
+        case (false, false) => col("d").asc_nulls_last
+      }
+      def values(r: Array[org.apache.spark.sql.Row]): Seq[Option[Long]] =
+        r.map(x => if (x.isNullAt(0)) None
+          else Some(java.lang.Double.doubleToLongBits(x.getDouble(0)))).toSeq
+      val q = s.orderBy(dcol).limit(m)
+      val got = values(q.select("d").collect())
+      val exp = values(df.orderBy(dcol).limit(m).select("d").collect())
+      val pushed = q.queryExecution.executedPlan.toString.contains("pushedTopN=")
+      graft.sources.bucketed.BucketStore.drop(name)
+      got == exp && pushed
+    }
+
   // ——— clustered-bucket range slice (pure, no Spark) ———
 
   private val genBound: Gen[Option[(Long, Boolean)]] = Gen.option(for {
