@@ -196,8 +196,14 @@ object BucketStore {
     }
   }
 
-  /** Catalog DROP TABLE — removes the table AND its whole MVCC history. */
-  def drop(name: String): Boolean = {
+  /** Catalog DROP TABLE — removes the table AND its whole MVCC history.
+    * Under the publish monitor: a drop racing a concurrent publish's
+    * read-modify-write (`tables.getOrDefault … tables.put`) could
+    * otherwise resurrect the dropped table with its full history, and
+    * `firstVersions`/`tables` must go together or a re-CREATE inherits
+    * the stale first-version floor.
+    */
+  def drop(name: String): Boolean = synchronized {
     firstVersions.remove(name)
     tables.remove(name) != null
   }

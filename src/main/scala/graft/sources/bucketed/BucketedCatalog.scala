@@ -2,6 +2,8 @@ package graft.sources.bucketed
 
 import java.util.{Map => JMap}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
@@ -20,6 +22,14 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * Register: `spark.sql.catalog.graft = graft.sources.bucketed.BucketedCatalog`.
   */
+object BucketedCatalog {
+  /** Graft-owned TBLPROPERTIES vocabulary (lower-cased), validated in
+    * [[BucketedCatalog.createTable]] the way [[ConnectorOptions.parse]]
+    * validates scan options.
+    */
+  val KnownTableProps: Set[String] = Set("cluster_by")
+}
+
 class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
@@ -55,6 +65,11 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft time travel takes a numeric store version, got '$version'")
     }
+    // same validation (and wording) as the 'versionasof' scan option —
+    // VERSION AS OF 0 / negative gets the instructive message, not the
+    // generic "snapshot v0 not retained" failure downstream
+    require(v > 0,
+      s"graft-buckets: option 'versionasof' must be a positive integer version, got '$version'")
     new BucketedTable(ident.name(),
       ConnectorOptions.Defaults.copy(table = ident.name(), versionAsOf = Some(v)))
   }
@@ -88,8 +103,23 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       s"graft tables must be partitioned by bucket(n, key); got [${partitions.mkString(", ")}]"))
     // TBLPROPERTIES('cluster_by'='col'): keep each bucket sorted on
     // `col` so range predicates fetch a binary-searched slice
-    // (clustered index; see ClusterRange)
-    val clusterBy = Option(properties.get("cluster_by")).filter(_.nonEmpty)
+    // (clustered index; see ClusterRange). The property vocabulary is
+    // validated like ConnectorOptions.parse validates scan options —
+    // a typo ('Cluster_By' accepted case-insensitively, 'clusterby'
+    // rejected with the vocabulary) must not silently yield an
+    // unclustered table. Spark-managed reserved properties pass through.
+    val sparkReserved = Set(TableCatalog.PROP_COMMENT, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val userKeys = properties.keySet().asScala.filterNot(sparkReserved).toSet
+    val unknownProps = userKeys.filterNot(k =>
+      BucketedCatalog.KnownTableProps.contains(k.toLowerCase(java.util.Locale.ROOT)))
+    require(unknownProps.isEmpty,
+      s"graft-buckets: unknown table propert${if (unknownProps.size == 1) "y" else "ies"} " +
+        s"${unknownProps.toSeq.sorted.mkString("'", "', '", "'")}; " +
+        s"supported: ${BucketedCatalog.KnownTableProps.toSeq.sorted.mkString(", ")}")
+    val clusterBy = userKeys.find(_.equalsIgnoreCase("cluster_by"))
+      .flatMap(k => Option(properties.get(k))).filter(_.nonEmpty)
     BucketStore.createEmpty(ident.name(), schema, key, n, clusterBy = clusterBy)
     new BucketedTable(ident.name())
   }

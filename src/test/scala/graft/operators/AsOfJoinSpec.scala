@@ -70,6 +70,15 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got2 === ((9L, "nine")))
   }
 
+  test("tieBreak columns outside rightCols are rejected loudly") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e1")).toDF("k", "t", "ev")
+    val right = Seq((1L, ts("2024-01-01 11:00:00"), 7L, "seven")).toDF("k", "t", "pid", "tag")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "t", Seq("ev"), Seq("pid"), tieBreak = Seq("tag"))
+    }
+    assert(ex.getMessage.contains("tieBreak") && ex.getMessage.contains("tag"))
+  }
+
   test("keys never mix") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "ev")
     val right = Seq((2L, ts("2024-01-01 09:00:00"), 9L)).toDF("k", "t", "pid")

@@ -55,6 +55,59 @@ class BucketedMvccSpec extends SparkSuite {
       || ex.getMessage.toLowerCase.contains("timestamp"))
   }
 
+  test("VERSION AS OF 0 / negative gets the option parser's instructive message") {
+    catalogOn()
+    mkTable("mvcc_v0", Seq((1L, "x", 1.0)))
+    // '-3' goes through the string overload (a bare negative is a parse error)
+    for (bad <- Seq("0", "'-3'")) {
+      val ex = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.mvcc_v0 VERSION AS OF $bad").collect()
+      }
+      assert(ex.getMessage.contains("must be a positive integer version"),
+        s"VERSION AS OF $bad: ${ex.getMessage}")
+    }
+  }
+
+  test("CREATE TABLE rejects unknown TBLPROPERTIES; cluster_by is case-insensitive") {
+    catalogOn()
+    BucketStore.drop("props_bad")
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.props_bad (k BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('clusterby'='v')")
+    }
+    assert(ex.getMessage.contains("unknown table property") &&
+      ex.getMessage.contains("cluster_by"), ex.getMessage)
+    assert(!BucketStore.exists("props_bad"))
+    // mis-cased key is ACCEPTED case-insensitively (matches ConnectorOptions)
+    BucketStore.drop("props_ci")
+    spark.sql("CREATE TABLE graft.props_ci (k BIGINT, seq BIGINT) " +
+      "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('Cluster_By'='seq')")
+    assert(BucketStore.get("props_ci").clusterCol.contains("seq"))
+    BucketStore.drop("props_ci")
+  }
+
+  test("DROP racing a publish cannot resurrect the table") {
+    // drop() and the publish read-modify-write share the store monitor:
+    // hammer the interleaving — after every (publish ∥ drop) pair the
+    // table must either not exist or exist with consistent history.
+    for (_ <- 1 to 50) {
+      mkTable("mvcc_race", Seq((1L, "a", 1.0)))
+      val publisher = new Thread(() => {
+        try BucketStore.deleteWhere("mvcc_race", _ => false)
+        catch { case _: IllegalArgumentException => () } // dropped first — fine
+      })
+      publisher.start()
+      BucketStore.drop("mvcc_race")
+      publisher.join()
+      // a resurrected table would surface here as exists==true with a
+      // history whose firstVersion floor was already removed
+      if (BucketStore.exists("mvcc_race")) {
+        assert(BucketStore.retained("mvcc_race").nonEmpty)
+        BucketStore.drop("mvcc_race")
+      }
+    }
+  }
+
   test("vacuum trims history; reading a vacuumed snapshot fails loudly") {
     mkTable("mvcc_vac", Seq((1L, "a", 1.0)))
     val v1 = BucketStore.currentVersion("mvcc_vac")
