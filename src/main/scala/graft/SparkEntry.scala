@@ -213,6 +213,9 @@ object SparkEntry {
     // — schema evolution: zero-rewrite ADD COLUMN + COW back-fill,
     //   padded legacy rows aggregated alongside rewritten ones —
     "q107_schema_evolution" -> graft.sources.bucketed.BucketedQueries.schemaEvolutionQuery _,
+    // — SQL MERGE INTO through the COW row-level path: matched update
+    //   (incl. bucket-key-moving rows) + not-matched insert, one commit —
+    "q108_merge_into" -> graft.sources.bucketed.BucketedQueries.mergeIntoQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -371,5 +374,6 @@ object SparkEntry {
     "q105_cluster_range" -> graft.sources.bucketed.BucketedQueries.clusteredRangeSql,
     "q106_cdc_batch" -> graft.sources.bucketed.BucketedQueries.cdcBatchChangesSql,
     "q107_schema_evolution" -> graft.sources.bucketed.BucketedQueries.schemaEvolutionSql,
+    "q108_merge_into" -> graft.sources.bucketed.BucketedQueries.mergeIntoSql,
   )
 }

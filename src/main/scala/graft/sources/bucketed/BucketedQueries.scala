@@ -611,4 +611,76 @@ object BucketedQueries {
       | count(CASE WHEN c_acctbal > 5000.0 THEN 1 END) AS n_vip,
       | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  /** q108 — SQL `MERGE INTO` end-to-end through the copy-on-write
+    * row-level path ([[BucketedRowLevelOperationBuilder]]): customer
+    * lands in the store, one MERGE applies matched UPDATEs (every 10th
+    * key gets a new balance and segment; every 30th ALSO rewrites the
+    * bucket key, so the row must MOVE to its new owning bucket) and
+    * not-matched INSERTs (fresh keys beyond the key space), and the
+    * final read aggregates the post-merge table per segment. At
+    * 100 TB: the rewrite's scan prunes to the buckets owning matched
+    * keys, commit replaces exactly those groups and appends the
+    * inserts to theirs — cost ∝ touched buckets, not table size (the
+    * Iceberg/Delta COW contract with the bucket as the file group).
+    */
+  def mergeIntoQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"customer_mrg@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.customer(spark, dir), "c_custkey",
+      NumBuckets)
+    val cust = graft.tables.Tables.customer(spark, dir)
+    val src = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("k"),
+        (col("c_custkey") + when(col("c_custkey") % 30 === 3, lit(5000000L))
+          .otherwise(lit(0L))).as("newkey"),
+        (col("c_acctbal") + 1000.0).as("bal"))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 7)
+        .select((col("c_custkey") + 10000000L).as("k"),
+          (col("c_custkey") + 10000000L).as("newkey"),
+          lit(555.0).as("bal")))
+    src.createOrReplaceTempView("mrg_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$name` t USING mrg_src s ON t.c_custkey = s.k
+         |WHEN MATCHED THEN UPDATE SET
+         |  t.c_custkey = s.newkey, t.c_acctbal = s.bal, t.c_mktsegment = 'MERGED_U'
+         |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+         |  VALUES (s.newkey, 'merged-new', 0, s.bal, 'MERGED_I')""".stripMargin)
+    spark.table(s"graft.`$name`")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"),
+        count(when(col("c_custkey") >= 5000000L, lit(1))).as("n_hi"))
+  }
+
+  /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
+    * anti-joined inserts — the standard relational expansion.
+    */
+  val mergeIntoSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey AS k,
+      |         c_custkey + CASE WHEN c_custkey % 30 = 3 THEN 5000000 ELSE 0 END AS newkey,
+      |         c_acctbal + 1000 AS bal
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_custkey + 10000000, 555.0
+      |  FROM customer WHERE c_custkey % 10 = 7
+      |), merged AS (
+      |  SELECT CASE WHEN s.k IS NOT NULL THEN s.newkey ELSE t.c_custkey END AS c_custkey,
+      |         CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.c_acctbal END AS c_acctbal,
+      |         CASE WHEN s.k IS NOT NULL THEN 'MERGED_U' ELSE t.c_mktsegment END AS c_mktsegment
+      |  FROM customer t LEFT JOIN src s ON t.c_custkey = s.k
+      |  UNION ALL
+      |  SELECT s.newkey, s.bal, 'MERGED_I'
+      |  FROM src s LEFT JOIN customer t ON t.c_custkey = s.k
+      |  WHERE t.c_custkey IS NULL
+      |)
+      |SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+      |  count(CASE WHEN c_custkey >= 5000000 THEN 1 END) AS n_hi
+      |FROM merged GROUP BY c_mktsegment""".stripMargin
 }
