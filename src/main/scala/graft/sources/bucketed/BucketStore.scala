@@ -52,7 +52,8 @@ object BucketStore {
       buckets: Array[Array[Row]],
       hosts: Array[Seq[String]],
       version: Long,
-      clusterCol: Option[String] = None)
+      clusterCol: Option[String] = None,
+      commitTs: Long = 0L)
 
   /** Retained snapshots per table, oldest → newest; `.last` is current. */
   private val tables = new ConcurrentHashMap[String, Vector[BucketTable]]()
@@ -82,11 +83,46 @@ object BucketStore {
     * version publishes funnel through here (single synchronized
     * choke point = the store's commit protocol).
     */
+  /** Commit-timestamp source (micros since epoch), injectable so specs
+    * and gated queries stay deterministic. Stamps are forced STRICTLY
+    * increasing across the store (`max(clock, last+1)`) so timestamp
+    * order == version order and `TIMESTAMP AS OF ts(v)` resolves
+    * exactly v even when publishes land in the same clock tick.
+    */
+  @volatile var clock: () => Long = () => System.currentTimeMillis() * 1000L
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextStamp(): Long = {
+    val c = clock()
+    lastStamp.updateAndGet(prev => math.max(prev + 1, c))
+  }
+
   private def publish(name: String, next: BucketTable): Unit = {
+    val stamped = next.copy(commitTs = nextStamp())
     val hist = tables.getOrDefault(name, Vector.empty)
-    firstVersions.putIfAbsent(name, next.version)
-    tables.put(name, (hist :+ next).takeRight(RetainedVersions))
+    firstVersions.putIfAbsent(name, stamped.version)
+    tables.put(name, (hist :+ stamped).takeRight(RetainedVersions))
     ()
+  }
+
+  /** Commit timestamp (micros) of retained snapshot `v` — what
+    * `TIMESTAMP AS OF` resolves against. Loud if vacuumed/unknown.
+    */
+  def commitTimestamp(name: String, v: Long): Long = snapshot(name, v).commitTs
+
+  /** The retained version current as of timestamp `t` (micros): the
+    * LATEST version whose commit timestamp is ≤ t. Loud when `t`
+    * predates the oldest retained commit — the snapshot that was
+    * current then is vacuumed (or never existed), and silently serving
+    * a newer one would be wrong.
+    */
+  def versionAt(name: String, t: Long): Long = {
+    val hist = history(name)
+    val candidates = hist.filter(_.commitTs <= t)
+    require(candidates.nonEmpty,
+      s"no retained snapshot of '$name' at or before timestamp $t (retained commits: " +
+        s"${hist.map(h => s"v${h.version}@${h.commitTs}").mkString(", ")}) — vacuumed or " +
+        "before the table existed")
+    candidates.last.version
   }
 
   /** The first version ever published for `name` (not affected by
@@ -188,7 +224,8 @@ object BucketStore {
         Array.fill(numBuckets)(Array.empty[Row]),
         Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
         versions.incrementAndGet(),
-        clusterBy)
+        clusterBy,
+        commitTs = nextStamp())
       val prev = tables.putIfAbsent(name, Vector(empty))
       require(prev == null, s"BucketStore table '$name' already exists")
       firstVersions.putIfAbsent(name, empty.version)

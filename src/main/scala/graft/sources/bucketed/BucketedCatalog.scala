@@ -74,14 +74,20 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       ConnectorOptions.Defaults.copy(table = ident.name(), versionAsOf = Some(v)))
   }
 
-  /** `TIMESTAMP AS OF` is not supported: store versions carry no
-    * commit timestamps (a real store would map the timestamp to the
-    * latest version at or before it).
+  /** SQL time travel by timestamp — `SELECT … FROM graft.t TIMESTAMP
+    * AS OF ts`: Spark hands the parsed timestamp in MICROSECONDS since
+    * the epoch; the store maps it to the latest retained version whose
+    * commit stamp is ≤ ts ([[BucketStore.versionAt]] — loud when the
+    * timestamp predates the oldest retained commit) and the scan pins
+    * that version exactly like `VERSION AS OF`.
     */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog supports VERSION AS OF only; TIMESTAMP AS OF needs commit timestamps " +
-        "the store does not record")
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!BucketStore.exists(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val v = BucketStore.versionAt(ident.name(), timestamp)
+    new BucketedTable(ident.name(),
+      ConnectorOptions.Defaults.copy(table = ident.name(), versionAsOf = Some(v)))
+  }
 
   /** CREATE TABLE (incl. CTAS): the partitioning MUST be the store's
     * `bucket(n, key)` transform — an unbucketed bucket-store table is

@@ -446,19 +446,31 @@ object BucketedQueries {
     BucketStore.drop(name)
     BucketStore.load(spark, name, graft.tables.Tables.orders(spark, dir), "o_orderkey", NumBuckets)
     val v1 = BucketStore.currentVersion(name)
+    // the RECORDED commit stamp of v1 — `TIMESTAMP AS OF` must map it
+    // back to v1 (latest version ≤ t) after the DELETE publishes v2
+    val ts1 = BucketStore.commitTimestamp(name, v1)
+    val ts1Lit = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(ts1 / 1000000L, (ts1 % 1000000L) * 1000L))
     spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderstatus = 'O'")
     val asOfV1 = spark.sql(
       s"SELECT o_orderstatus, 'v1' AS snap, count(*) AS n " +
         s"FROM graft.`$name` VERSION AS OF $v1 GROUP BY o_orderstatus")
+    val asOfTs1 = spark.sql(
+      s"SELECT o_orderstatus, 't1' AS snap, count(*) AS n " +
+        s"FROM graft.`$name` TIMESTAMP AS OF '$ts1Lit' GROUP BY o_orderstatus")
     val now = spark.read.format("graft-buckets").option("table", name).load()
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
       .select(col("o_orderstatus"), lit("now").as("snap"), col("n"))
-    asOfV1.unionAll(now)
+    asOfV1.unionAll(asOfTs1).unionAll(now)
   }
 
   val timeTravelSql: String =
     """SELECT o_orderstatus, 'v1' AS snap, count(*) AS n
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT o_orderstatus, 't1' AS snap, count(*) AS n
       |FROM orders GROUP BY o_orderstatus
       |UNION ALL
       |SELECT o_orderstatus, 'now' AS snap, count(*) AS n

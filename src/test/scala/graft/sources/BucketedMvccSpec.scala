@@ -47,12 +47,59 @@ class BucketedMvccSpec extends SparkSuite {
     assert(spark.sql(s"SELECT count(*) AS n FROM graft.mvcc_tt VERSION AS OF $v1")
       .head().getLong(0) === 2L)
     assert(spark.sql("SELECT count(*) AS n FROM graft.mvcc_tt").head().getLong(0) === 0L)
-    // TIMESTAMP AS OF has no commit-timestamp mapping — loud, not wrong
+  }
+
+  private def tsLit(micros: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(micros / 1000000L, (micros % 1000000L) * 1000L))
+
+  test("SQL TIMESTAMP AS OF maps a commit timestamp to the version current then") {
+    catalogOn()
+    mkTable("mvcc_ts", Seq((1L, "x", 1.0), (2L, "y", 2.0)))
+    val v1 = BucketStore.currentVersion("mvcc_ts")
+    val ts1 = BucketStore.commitTimestamp("mvcc_ts", v1)
+    BucketStore.deleteWhere("mvcc_ts", _.getString(1) == "y")
+    val v2 = BucketStore.currentVersion("mvcc_ts")
+    val ts2 = BucketStore.commitTimestamp("mvcc_ts", v2)
+    assert(ts2 > ts1) // stamps are strictly increasing with version order
+    // exactly at v1's commit → v1's contents, even though v2 exists
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.mvcc_ts TIMESTAMP AS OF '${tsLit(ts1)}'")
+      .head().getLong(0) === 2L)
+    // between the commits → still v1 (latest ≤ t)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.mvcc_ts TIMESTAMP AS OF '${tsLit(ts2 - 1)}'")
+      .head().getLong(0) === 2L)
+    // at/after v2 → v2
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.mvcc_ts TIMESTAMP AS OF '${tsLit(ts2)}'")
+      .head().getLong(0) === 1L)
+    // before the first retained commit → loud, names the retained range
     val ex = intercept[Exception] {
-      spark.sql("SELECT * FROM graft.mvcc_tt TIMESTAMP AS OF '2026-01-01'").collect()
+      spark.sql("SELECT * FROM graft.mvcc_ts TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
     }
-    assert(ex.getMessage.toLowerCase.contains("version as of")
-      || ex.getMessage.toLowerCase.contains("timestamp"))
+    assert(ex.getMessage.contains("no retained snapshot"), ex.getMessage)
+  }
+
+  test("TIMESTAMP AS OF under an injected deterministic clock") {
+    catalogOn()
+    val saved = BucketStore.clock
+    try {
+      // logical clock: publishes stamp 1s apart from a fixed epoch —
+      // but strictly-increasing enforcement still applies vs earlier
+      // wall-clock stamps, so read the RECORDED stamps, don't assume
+      val tick = new java.util.concurrent.atomic.AtomicLong(1735689600000000L) // 2025-01-01 UTC
+      BucketStore.clock = () => tick.addAndGet(1000000L)
+      mkTable("mvcc_clk", Seq((1L, "a", 1.0)))
+      val v1 = BucketStore.currentVersion("mvcc_clk")
+      BucketStore.deleteWhere("mvcc_clk", _ => true)
+      val t1 = BucketStore.commitTimestamp("mvcc_clk", v1)
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft.mvcc_clk TIMESTAMP AS OF '${tsLit(t1)}'")
+        .head().getLong(0) === 1L)
+    } finally BucketStore.clock = saved
   }
 
   test("VERSION AS OF 0 / negative gets the option parser's instructive message") {
