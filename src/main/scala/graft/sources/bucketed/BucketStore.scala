@@ -233,6 +233,32 @@ object BucketStore {
     }
   }
 
+  /** Keyed upsert publish (the update-mode streaming sink,
+    * [[BucketedStreamingWrite]]): for every bucket that RECEIVED rows,
+    * replace same-key rows with the delivered ones (latest wins) and
+    * append the rest; buckets receiving nothing SHARE their row array
+    * with the previous snapshot. An epoch whose changed keys own k
+    * buckets therefore rewrites exactly those ≤ k buckets — the
+    * scale-honest MV refresh (complete-mode republish rewrites the
+    * whole table every epoch regardless of churn).
+    */
+  def upsertRows(name: String, byBucket: Array[Array[Row]]): Unit = synchronized {
+    val t = get(name)
+    require(byBucket.length == t.buckets.length,
+      s"upsert into '$name': got ${byBucket.length} buckets, table has ${t.buckets.length}")
+    val keyIdx = t.schema.fieldIndex(t.keyCol)
+    val rows = t.buckets.zipWithIndex.map { case (old, b) =>
+      val incoming = byBucket(b)
+      if (incoming.isEmpty) old // untouched bucket: same array reference
+      else {
+        val newKeys = incoming.map(_.get(keyIdx)).toSet
+        clusterSort(t.schema, t.clusterCol,
+          old.filterNot(r => newKeys.contains(r.get(keyIdx))) ++ incoming)
+      }
+    }
+    publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
+  }
+
   /** Catalog DROP TABLE — removes the table AND its whole MVCC history.
     * Under the publish monitor: a drop racing a concurrent publish's
     * read-modify-write (`tables.getOrDefault … tables.put`) could

@@ -19,13 +19,15 @@ object BucketedQueries {
     * stop, and best-effort delete the dir so repeated gated runs don't
     * accumulate scratch (each run replays from a fresh table).
     */
-  private def runStreamToTable(df: DataFrame, tableFqn: String, outputMode: String): Unit = {
+  private def runStreamToTable(df: DataFrame, tableFqn: String, outputMode: String,
+      options: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"graft_sink_ckpt_${spark.sparkContext.applicationId}_")
     val q = df.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", ckpt.toString)
+      .options(options)
       .toTable(tableFqn)
     try q.processAllAvailable() finally {
       q.stop()
@@ -516,8 +518,12 @@ object BucketedQueries {
           when(ins, col("o_totalprice")).otherwise(-col("o_totalprice"))
             .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
           .cast("double").as("sum_price"))
-    // complete mode: each epoch republishes the whole (small) MV
-    runStreamToTable(folded, s"graft.`$mv`", "complete")
+    // update mode + keyed upsert: each epoch delivers ONLY the cohorts
+    // whose aggregate changed, and the sink rewrites only the buckets
+    // owning them (BucketStore.upsertRows; round-7 complete mode
+    // truncate-republished the whole MV every epoch). At a
+    // billion-group MV an epoch's cost is its churn, not the view.
+    runStreamToTable(folded, s"graft.`$mv`", "update", Map("upsert" -> "true"))
     spark.table(s"graft.`$mv`").filter(col("n") > 0)
   }
 

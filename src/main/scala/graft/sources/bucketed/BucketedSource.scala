@@ -78,11 +78,12 @@ import scala.jdk.CollectionConverters._
   */
 final case class ConnectorOptions(table: String, fetchSize: Int, numPartitions: Option[Int],
     versionAsOf: Option[Long] = None, cdc: Boolean = false,
-    changesStart: Option[Long] = None, changesEnd: Option[Long] = None)
+    changesStart: Option[Long] = None, changesEnd: Option[Long] = None,
+    upsert: Boolean = false)
 
 object ConnectorOptions {
   val Known: Set[String] = Set("table", "fetchsize", "numpartitions", "versionasof", "mode",
-    "changesstart", "changesend")
+    "changesstart", "changesend", "upsert")
   val Defaults: ConnectorOptions = ConnectorOptions("", fetchSize = 1000, numPartitions = None)
 
   def parse(options: JMap[String, String]): ConnectorOptions = {
@@ -137,8 +138,21 @@ object ConnectorOptions {
     val changesEnd = version("changesend", allowZero = false)
     require(changesStart.isEmpty && changesEnd.isEmpty || cdc,
       "graft-buckets: 'changesstart'/'changesend' only apply to mode=cdc")
+    // write-side: keyed-upsert commit (see BucketedUpsertWriteBuilder);
+    // meaningless on a scan, rejected there (newScanBuilder)
+    val upsert = Option(ci.get("upsert")).exists { raw =>
+      raw.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"graft-buckets: option 'upsert' must be true or false, got '$other'")
+      }
+    }
+    require(!(upsert && (cdc || versionAsOf.isDefined)),
+      "graft-buckets: 'upsert' is a write option and cannot combine with mode=cdc " +
+        "or 'versionasof'")
     ConnectorOptions(table, posInt("fetchsize", Some(1000)).get, posInt("numpartitions", None),
-      versionAsOf, cdc, changesStart, changesEnd)
+      versionAsOf, cdc, changesStart, changesEnd, upsert)
   }
 }
 
@@ -235,14 +249,22 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
     props.asJava
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(!opts.upsert,
+      "graft-buckets: 'upsert' is a write option — it has no meaning on a scan")
     if (opts.cdc) new CdcScanBuilder(name, opts)
     else new BucketedScanBuilder(name, opts)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new BucketedWriteBuilder(name, info)
+    // `upsert=true` selects the keyed-upsert builder, whose
+    // SupportsStreamingUpdateAsAppend marker is what admits
+    // outputMode("update") — see BucketedUpsertWriteBuilder
+    if (info.options().getBoolean("upsert", false))
+      new BucketedUpsertWriteBuilder(name, info)
+    else new BucketedWriteBuilder(name, info)
 }
 
 /** Pushdown: accepts the filter subset [[FilterEval]] can enforce

@@ -40,6 +40,8 @@ class BucketedWriteBuilder(name: String, info: LogicalWriteInfo)
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  protected def upsert: Boolean = false
+
   override def build(): Write = {
     val t = BucketStore.getWithRetry(name)
     val in = info.schema()
@@ -48,12 +50,29 @@ class BucketedWriteBuilder(name: String, info: LogicalWriteInfo)
       in.fields.zip(want.fields).forall { case (a, b) =>
         a.name == b.name && a.dataType == b.dataType },
       s"write schema ${in.simpleString} does not match table '$name' schema ${want.simpleString}")
-    new BucketedWrite(name, want, doTruncate, t.keyCol, t.buckets.length)
+    require(!(doTruncate && upsert),
+      s"write to '$name': truncate (complete mode) and upsert are mutually exclusive")
+    new BucketedWrite(name, want, doTruncate, t.keyCol, t.buckets.length, upsert)
   }
 }
 
+/** Keyed-upsert variant, selected by write option `upsert=true`. The
+  * [[org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend]]
+  * marker is what lets Spark accept `outputMode("update")` for this
+  * sink: each epoch then delivers ONLY the groups that changed, as
+  * appends, and commit replaces same-key rows in their owning buckets
+  * ([[BucketStore.upsertRows]]). Deliberately NOT on the base builder —
+  * update-mode rows into a plain append sink would silently duplicate
+  * keys, so update mode without `upsert=true` stays a loud Spark error.
+  */
+class BucketedUpsertWriteBuilder(name: String, info: LogicalWriteInfo)
+  extends BucketedWriteBuilder(name, info)
+  with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+  override protected def upsert: Boolean = true
+}
+
 class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
-    keyCol: String, numBuckets: Int)
+    keyCol: String, numBuckets: Int, upsert: Boolean = false)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -64,13 +83,14 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: BatchWrite =
-    new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets)
+    new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets, upsert)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new BucketedStreamingWrite(name, schema, truncate, keyCol, numBuckets)
+    new BucketedStreamingWrite(name, schema, truncate, keyCol, numBuckets, upsert)
 
   override def description(): String =
-    s"graft-buckets:$name write bucket($numBuckets, $keyCol)${if (truncate) " truncate" else ""}"
+    s"graft-buckets:$name write bucket($numBuckets, $keyCol)" +
+      (if (truncate) " truncate" else if (upsert) " upsert" else "")
 }
 
 /** Streaming sink into the bucket store (the Spark-native analog of
@@ -83,7 +103,7 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
   * dedupe on a durable txn id — in-JVM stand-in scope).
   */
 class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean,
-    keyCol: String, numBuckets: Int)
+    keyCol: String, numBuckets: Int, upsert: Boolean = false)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -94,20 +114,26 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
     new BucketedStreamingWriterFactory(schema, keyCol, numBuckets)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    if (committed.add(epochId))
-      BucketStore.commitWrite(name, BucketWriteCommit.merge(messages, numBuckets), truncate)
+    if (committed.add(epochId)) {
+      val byBucket = BucketWriteCommit.merge(messages, numBuckets)
+      if (upsert) BucketStore.upsertRows(name, byBucket)
+      else BucketStore.commitWrite(name, byBucket, truncate)
+    }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
-    keyCol: String, numBuckets: Int) extends BatchWrite {
+    keyCol: String, numBuckets: Int, upsert: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new BucketedWriterFactory(schema, keyCol, numBuckets)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    BucketStore.commitWrite(name, BucketWriteCommit.merge(messages, numBuckets), truncate)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val byBucket = BucketWriteCommit.merge(messages, numBuckets)
+    if (upsert) BucketStore.upsertRows(name, byBucket)
+    else BucketStore.commitWrite(name, byBucket, truncate)
+  }
 
   /** Nothing staged outside the messages → abort publishes nothing. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -283,4 +283,70 @@ class BucketedWriteSpec extends SparkSuite {
       .select(sum(col("count") * col("count"))).as[Long].head()
     assert(j.count() === expected)
   }
+
+  test("update-mode upsert rewrites ONLY the buckets owning the epoch's changed keys") {
+    cat()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("DROP TABLE IF EXISTS graft.`w_ups`")
+    spark.sql("CREATE TABLE graft.`w_ups` (k BIGINT, n BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (1 to 64).map(i => (i.toLong, 0L)).toDF("k", "n").writeTo("graft.`w_ups`").append()
+    val before = BucketStore.get("w_ups").buckets
+    assert(before.forall(_.nonEmpty)) // all 8 buckets seeded
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val agg = input.toDF.select(col("value").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ups_ckpt_")
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("upsert", "true")
+      .option("checkpointLocation", ckpt.toString)
+      .toTable("graft.`w_ups`")
+    try {
+      // one epoch, ONE changed key → the sink must rewrite exactly the
+      // owning bucket; the other 7 must keep their array references
+      // (the ≤ owning-buckets(k) publish contract of upsertRows)
+      input.addData(5L)
+      q.processAllAvailable()
+      val after = BucketStore.get("w_ups").buckets
+      val owning = BucketFunction.bucketFor(5L, 8).get
+      before.indices.foreach { b =>
+        if (b == owning) assert(!(after(b) eq before(b)), s"owning bucket $b not rewritten")
+        else assert(after(b) eq before(b), s"bucket $b rewritten without a changed key")
+      }
+      // upsert REPLACED the seeded row, no duplicate key
+      assert(spark.table("graft.`w_ups`").filter(col("k") === 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((5L, 1L)))
+      assert(spark.table("graft.`w_ups`").count() === 64)
+      // second epoch re-aggregates k=5 (count 1 → 2): latest wins
+      input.addData(5L)
+      q.processAllAvailable()
+      assert(spark.table("graft.`w_ups`").filter(col("k") === 5)
+        .head().getLong(1) === 2L)
+      assert(spark.table("graft.`w_ups`").count() === 64)
+    } finally q.stop()
+  }
+
+  test("update mode without upsert=true is a loud error, not silent duplication") {
+    cat()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("DROP TABLE IF EXISTS graft.`w_upsx`")
+    spark.sql("CREATE TABLE graft.`w_upsx` (k BIGINT, n BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val agg = input.toDF.select(col("value").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsx_ckpt_")
+    val ex = intercept[Exception] {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .toTable("graft.`w_upsx`")
+      try { input.addData(1L); q.processAllAvailable() } finally q.stop()
+    }
+    assert(ex.getMessage != null)
+  }
 }
