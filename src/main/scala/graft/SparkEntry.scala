@@ -216,6 +216,9 @@ object SparkEntry {
     // — SQL MERGE INTO through the COW row-level path: matched update
     //   (incl. bucket-key-moving rows) + not-matched insert, one commit —
     "q108_merge_into" -> graft.sources.bucketed.BucketedQueries.mergeIntoQuery _,
+    // — CALL graft.rebucket: one-version layout change, then DML and
+    //   the gated aggregate through the new layout —
+    "q109_rebucket" -> graft.sources.bucketed.BucketedQueries.rebucketQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -375,5 +378,6 @@ object SparkEntry {
     "q106_cdc_batch" -> graft.sources.bucketed.BucketedQueries.cdcBatchChangesSql,
     "q107_schema_evolution" -> graft.sources.bucketed.BucketedQueries.schemaEvolutionSql,
     "q108_merge_into" -> graft.sources.bucketed.BucketedQueries.mergeIntoSql,
+    "q109_rebucket" -> graft.sources.bucketed.BucketedQueries.rebucketSql,
   )
 }

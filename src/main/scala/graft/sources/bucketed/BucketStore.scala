@@ -233,6 +233,42 @@ object BucketStore {
     }
   }
 
+  /** Re-bucket `name` into `numBuckets` buckets under ONE new version
+    * — the operational tool for a table that outgrew its layout (too
+    * few buckets → giant partitions; too many → tiny fetches). Every
+    * current row is re-hashed with the same bucket function loads and
+    * writes use, cluster order is re-established per new bucket, and
+    * the new layout publishes atomically: readers see the old layout
+    * or the new one, pinned scans keep reading their snapshot. CDC
+    * windows SPANNING the boundary are not diffable (per-bucket diffs
+    * are meaningless across layouts) and keep failing loudly in
+    * [[CdcPlanner]]; consumers restart their window at the rebucket
+    * version. At 100 TB this is a full-table shuffle by design — the
+    * one-off cost of fixing a layout, paid under MVCC so reads never
+    * block.
+    */
+  def rebucket(name: String, numBuckets: Int, nHosts: Int = 4): Long = synchronized {
+    require(numBuckets > 0, s"rebucket('$name'): numBuckets must be positive, got $numBuckets")
+    val t = get(name)
+    require(numBuckets != t.buckets.length,
+      s"rebucket('$name'): table already has $numBuckets buckets")
+    val keyIdx = t.schema.fieldIndex(t.keyCol)
+    val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
+    t.buckets.foreach(_.foreach { r =>
+      val b = BucketFunction.bucketFor(if (r.isNullAt(keyIdx)) null else r.get(keyIdx),
+        numBuckets).getOrElse(throw new UnsupportedOperationException(
+        s"rebucket('$name'): key value ${r.get(keyIdx)} is not hash-bucketable"))
+      byBucket(b) += r
+    })
+    val buckets = byBucket.map(v => clusterSort(t.schema, t.clusterCol, v.result().toArray))
+    val next = t.copy(
+      buckets = buckets,
+      hosts = Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+      version = versions.incrementAndGet())
+    publish(name, next)
+    next.version
+  }
+
   /** Keyed upsert publish (the update-mode streaming sink,
     * [[BucketedStreamingWrite]]): for every bucket that RECEIVED rows,
     * replace same-key rows with the delivered ones (latest wins) and

@@ -179,15 +179,17 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
   // — ProcedureCatalog (store maintenance via SQL CALL) —
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"))
+    Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"),
+      Identifier.of(Array.empty, "rebucket"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
       case "vacuum" => BucketedProcedures.Vacuum
       case "history" => BucketedProcedures.History
+      case "rebucket" => BucketedProcedures.Rebucket
       case other => throw new UnsupportedOperationException(
-        s"no such procedure: $other (supported: vacuum, history)")
+        s"no such procedure: $other (supported: vacuum, history, rebucket)")
     }
 }
 

@@ -58,6 +58,39 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.rebucket('t', n)` — re-hash every current row into a
+    * new n-bucket layout under one MVCC version ([[BucketStore
+    * .rebucket]]). Unlike vacuum/history this one IS a data rewrite —
+    * the one-off full-table shuffle that fixes an outgrown layout; CDC
+    * windows spanning the boundary stay loudly non-diffable.
+    */
+  object Rebucket extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rebucket"
+    override def description(): String =
+      "rebucket(table, num_buckets): re-hash the table into a new bucket layout " +
+        "under one new MVCC version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("num_buckets", IntegerType).build())
+    override def isDeterministic: Boolean = false // publishes a version
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "rebucket(table, num_buckets): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val oldBuckets = BucketStore.get(table).buckets.length
+      val version = BucketStore.rebucket(table, input.getInt(1))
+      localScan(
+        StructType(Seq(
+          StructField("old_buckets", IntegerType, nullable = false),
+          StructField("new_buckets", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        Array(InternalRow(oldBuckets, input.getInt(1), version)),
+        s"graft rebucket($table)")
+    }
+  }
+
   object History extends UnboundProcedure with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =

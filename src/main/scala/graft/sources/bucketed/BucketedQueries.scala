@@ -675,6 +675,38 @@ object BucketedQueries {
         count(when(col("c_custkey") >= 5000000L, lit(1))).as("n_hi"))
   }
 
+  /** q109 — `CALL graft.rebucket` end-to-end: orders lands at 16
+    * buckets, the procedure re-hashes it into 4 under one MVCC version,
+    * and the gated read aggregates THROUGH the new layout (plus DML
+    * after the boundary, proving the new layout is fully operational).
+    * The oracle sees only the final state — identical rows, different
+    * physical layout. At 100 TB: the one-off full shuffle that fixes an
+    * outgrown layout, under MVCC so concurrent reads never block.
+    */
+  def rebucketQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"orders_reb@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.orders(spark, dir), "o_orderkey",
+      NumBuckets)
+    spark.sql(s"CALL graft.rebucket('$name', 4)")
+    // post-rebucket DML exercises the new layout's write path
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = '1-URGENT'")
+    spark.table(s"graft.`$name`")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+  }
+
+  val rebucketSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

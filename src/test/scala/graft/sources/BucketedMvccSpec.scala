@@ -425,6 +425,60 @@ class BucketedMvccSpec extends SparkSuite {
     intercept[Exception](spark.sql("CALL graft.no_such_proc('x')").collect())
   }
 
+  test("CALL graft.rebucket: new layout under one version, SPJ at the new count, CDC boundary loud") {
+    catalogOn()
+    // 2-bucket table with enough keys to populate a 8-bucket layout
+    spark.sql("DROP TABLE IF EXISTS graft.reb_t")
+    spark.sql("CREATE TABLE graft.reb_t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO graft.reb_t SELECT id, id * 1.5 FROM range(1, 65)")
+    val vOld = BucketStore.currentVersion("reb_t")
+    val rowsBefore = spark.table("graft.reb_t").collect().map(_.toSeq).toSet
+
+    val res = spark.sql("CALL graft.rebucket('reb_t', 8)").collect()
+    assert(res.map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((2, 8)))
+    val t = BucketStore.get("reb_t")
+    assert(t.buckets.length === 8)
+    // every row re-landed in the bucket its key hashes to at n=8
+    t.buckets.zipWithIndex.foreach { case (rows, b) =>
+      rows.foreach(r => assert(BucketFunction.bucketFor(r.getLong(0), 8).contains(b),
+        s"k=${r.get(0)} in wrong bucket $b after rebucket"))
+    }
+    // data identical through the new layout
+    assert(spark.table("graft.reb_t").collect().map(_.toSeq).toSet === rowsBefore)
+    // MVCC: the pre-rebucket snapshot still reads through its pinned version
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.reb_t VERSION AS OF $vOld")
+      .head().getLong(0) === 64L)
+
+    // SPJ: joins a co-bucketed table AT THE NEW COUNT with zero Exchange
+    spark.sql("DROP TABLE IF EXISTS graft.reb_dim")
+    spark.sql("CREATE TABLE graft.reb_dim (k BIGINT, tag STRING) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO graft.reb_dim SELECT id, concat('t', id) FROM range(1, 65)")
+    val j = spark.table("graft.reb_t").hint("merge")
+      .join(spark.table("graft.reb_dim"), "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rebucketed⋈co-bucketed must SPJ:\n${plan.take(1200)}")
+    assert(j.count() === 64L)
+
+    // CDC window spanning the re-bucketing: the existing loud refusal
+    val ex = intercept[Exception] {
+      spark.read.format("graft-buckets")
+        .option("table", "reb_t").option("mode", "cdc")
+        .option("changesStart", vOld.toString).load().collect()
+    }
+    assert(ex.getMessage.contains("spans a re-bucketing"), ex.getMessage)
+    // a window STARTING at the rebucket version is diffable again
+    spark.sql("DELETE FROM graft.reb_t WHERE k = 5")
+    val vReb = res.head.getLong(2)
+    val net = spark.read.format("graft-buckets")
+      .option("table", "reb_t").option("mode", "cdc")
+      .option("changesStart", vReb.toString).load()
+    assert(net.count() === 1L) // the single delete event
+
+    // same-count rebucket is a loud no-op
+    val same = intercept[Exception](spark.sql("CALL graft.rebucket('reb_t', 8)").collect())
+    assert(same.getMessage.contains("already has"), same.getMessage)
+  }
+
   test("batch change read (table_changes analog): full and sub-windows, stream-identical semantics") {
     catalogOn()
     spark.sql("DROP TABLE IF EXISTS graft.cdc_b")
