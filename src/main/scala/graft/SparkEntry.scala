@@ -219,6 +219,9 @@ object SparkEntry {
     // — CALL graft.rebucket: one-version layout change, then DML and
     //   the gated aggregate through the new layout —
     "q109_rebucket" -> graft.sources.bucketed.BucketedQueries.rebucketQuery _,
+    // — AVG over the store: Spark's partial-pushdown rewrite turns it
+    //   into pushed SUM+COUNT partials (plan-audited) —
+    "q110_avg_pushdown" -> graft.sources.bucketed.BucketedQueries.avgPushdownQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -379,5 +382,6 @@ object SparkEntry {
     "q107_schema_evolution" -> graft.sources.bucketed.BucketedQueries.schemaEvolutionSql,
     "q108_merge_into" -> graft.sources.bucketed.BucketedQueries.mergeIntoSql,
     "q109_rebucket" -> graft.sources.bucketed.BucketedQueries.rebucketSql,
+    "q110_avg_pushdown" -> graft.sources.bucketed.BucketedQueries.avgPushdownSql,
   )
 }

@@ -202,6 +202,35 @@ object BucketedQueries {
       |FROM lineitem WHERE l_quantity >= 25.0
       |GROUP BY l_linestatus""".stripMargin
 
+  /** q110 — AVG pushdown (round-7 verdict ask #7, resolved
+    * empirically): [[AggSpec.from]] deliberately declines `Avg`, and
+    * Spark 4.1's `V2ScanRelationPushDown` then REWRITES the aggregate
+    * into SUM+COUNT and re-offers those as partials — the probe plan
+    * shows `pushedAggs=[SUM(l_quantity), COUNT(l_quantity)]` with no
+    * raw-row read, and the final `sum/sum` division happens Spark-side.
+    * So AVG needs no explicit store support: declining it IS the
+    * correct contract, and this query + PlanAuditSpec pin the rewrite.
+    * Oracle-parity: `l_quantity`/`l_orderkey` are integer-valued, so
+    * the pushed double/long sums are exact and the single final
+    * division is bit-identical on both sides.
+    */
+  def avgPushdownQuery(spark: SparkSession, dir: String): DataFrame =
+    bucketedLineitem(spark, dir)
+      .filter(col("l_quantity") >= 10.0)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_orderkey")).as("avg_okey"),
+        count(lit(1)).as("n"))
+
+  val avgPushdownSql: String =
+    """SELECT l_returnflag,
+      | avg(l_quantity) AS avg_qty,
+      | avg(l_orderkey) AS avg_okey,
+      | count(*) AS n
+      |FROM lineitem WHERE l_quantity >= 10.0
+      |GROUP BY l_returnflag""".stripMargin
+
   /** q95 — pushed TopN: ORDER BY … LIMIT runs as a bounded heap inside
     * each bucket reader (n rows per bucket cross the wire, never the
     * bucket), with Spark's global Sort+Limit re-ranking the survivors.

@@ -230,6 +230,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains(" Filter "), "no residual filter over the aggregated scan")
   }
 
+  test("q110: AVG is rewritten to pushed SUM+COUNT partials — no raw-row read") {
+    val p = plan("q110_avg_pushdown")
+    // AggSpec declines Avg; Spark's V2ScanRelationPushDown rewrites it
+    // into SUM+COUNT and re-offers those — the scan must advertise the
+    // rewritten pair (per column), grouped, with the filter pushed too
+    assert(p.contains("pushedAggs=[SUM(l_quantity), COUNT(l_quantity), " +
+      "SUM(l_orderkey), COUNT(l_orderkey), COUNT(*)]")
+      || p.contains("SUM(l_quantity), COUNT(l_quantity)"), p.take(1500))
+    assert(p.contains("groupBy=[l_returnflag]"), p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), "filter must still push")
+    // the division happens Spark-side over partials; no avg reaches the scan
+    assert(!p.toLowerCase.contains("pushedaggs=[avg"), p.take(1500))
+  }
+
   test("q01: tokenize pipeline stays in whole-stage codegen") {
     // AQE's pre-execution plan string hides codegen stages — ask for
     // the codegen explain explicitly
