@@ -38,6 +38,16 @@ object CdcSchema {
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
 
+  val Insert = "insert"
+  val Delete = "delete"
+  val UpdatePre = "update_preimage"
+  val UpdatePost = "update_postimage"
+
+  /** The tags that ADD a row to a downstream materialization (their
+    * complement removes one) — consumers fold `isin(Adds…) ? +1 : -1`.
+    */
+  val Adds: Seq[String] = Seq(Insert, UpdatePost)
+
   def of(base: StructType): StructType = {
     require(!base.fieldNames.contains(ChangeType) && !base.fieldNames.contains(CommitVersion),
       s"table schema already has a $ChangeType/$CommitVersion column")
@@ -157,7 +167,8 @@ private[bucketed] object CdcPlanner {
       s"CDC window of '$name' spans a re-bucketing (" +
         s"${(baseCounts ++ snaps.map(_.buckets.length)).distinct.mkString("→")} buckets) — not diffable")
     val hosts = snaps.last.hosts
-    Array.tabulate(n)(b => CdcInputPartition(name, b, hosts(b).toArray, steps))
+    Array.tabulate(n)(b =>
+      CdcInputPartition(name, b, hosts(b).toArray, steps, snaps.last.keyCol))
   }
 }
 
@@ -188,7 +199,7 @@ class BucketCdcMicroBatchStream(name: String, declaredBase: StructType, fetchSiz
 }
 
 final case class CdcInputPartition(table: String, bucket: Int, hosts: Array[String],
-    steps: Array[(Long, Long)]) extends InputPartition {
+    steps: Array[(Long, Long)], keyCol: String) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
@@ -220,6 +231,42 @@ object CdcDiff {
       if (c > 0) { deletes += r; if (c == 1) unmatched.remove(r) else unmatched(r) = c - 1 }
     }
     (deletes.result(), inserts.result())
+  }
+}
+
+/** Update coalescing over one commit step's minimal diff: a delete and
+  * an insert sharing the BUCKET KEY are one logical row-update — a
+  * MERGE-style consumer wants them as an adjacent `update_preimage`/
+  * `update_postimage` pair keyed on the table key, not as two events it
+  * must re-join. Pairing happens ABOVE [[CdcDiff]] (whose multiset
+  * minimality stays ScalaCheck-pinned untouched) and only re-TAGS rows:
+  * replaying pre=remove/post=add is byte-identical to replaying the
+  * raw delete+insert, so every fold over the feed is unchanged modulo
+  * tag names. Unpairable leftovers keep their plain tags; multiplicity
+  * pairs FIFO in the diff's deterministic emission order.
+  */
+object CdcCoalesce {
+  def pair(deletes: Vector[Row], inserts: Vector[Row], keyIdx: Int): Vector[(Row, String)] = {
+    if (deletes.isEmpty || inserts.isEmpty)
+      return deletes.map((_, CdcSchema.Delete)) ++ inserts.map((_, CdcSchema.Insert))
+    val byKey = new scala.collection.mutable.HashMap[Any, scala.collection.mutable.Queue[Int]]()
+    inserts.zipWithIndex.foreach { case (r, i) =>
+      byKey.getOrElseUpdate(r.get(keyIdx), scala.collection.mutable.Queue.empty[Int]) += i
+    }
+    val used = new Array[Boolean](inserts.length)
+    val out = Vector.newBuilder[(Row, String)]
+    deletes.foreach { d =>
+      byKey.get(d.get(keyIdx)).filter(_.nonEmpty) match {
+        case Some(q) =>
+          val i = q.dequeue()
+          used(i) = true
+          out += ((d, CdcSchema.UpdatePre))
+          out += ((inserts(i), CdcSchema.UpdatePost))
+        case None => out += ((d, CdcSchema.Delete))
+      }
+    }
+    inserts.zipWithIndex.foreach { case (r, i) => if (!used(i)) out += ((r, CdcSchema.Insert)) }
+    out.result()
   }
 }
 
@@ -278,7 +325,8 @@ class CdcPartitionReader(p: CdcInputPartition, baseSchema: StructType, fetchSize
     carried = Some((toV, newRows))
     val (deletes, inserts) = CdcDiff.diff(oldRows, newRows)
     def tag(r: Row, kind: String): Row = Row.fromSeq(r.toSeq :+ kind :+ toV)
-    deletes.iterator.map(tag(_, "delete")) ++ inserts.iterator.map(tag(_, "insert"))
+    CdcCoalesce.pair(deletes, inserts, baseSchema.fieldIndex(p.keyCol))
+      .iterator.map { case (r, kind) => tag(r, kind) }
   }
 
   private var current: InternalRow = _

@@ -438,7 +438,9 @@ object BucketedQueries {
     spark.sql(s"UPDATE graft.`$name` SET value = value * 2 WHERE event_type = 'click'")
     val changes = spark.readStream.format("graft-buckets")
       .option("table", name).option("mode", "cdc").load()
-    val ins = col(CdcSchema.ChangeType) === "insert"
+    val ins = col(CdcSchema.ChangeType).isin(CdcSchema.Adds: _*)
+    val upd = col(CdcSchema.ChangeType)
+      .isin(CdcSchema.UpdatePre, CdcSchema.UpdatePost)
     val net = changes
       .groupBy(col("event_type"))
       .agg(
@@ -446,20 +448,27 @@ object BucketedQueries {
         org.apache.spark.sql.functions.sum(
           when(ins, col("value")).otherwise(-col("value"))
             .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-          .cast("double").as("sum_net"))
+          .cast("double").as("sum_net"),
+        // the coalesced tags, observable downstream: every COW UPDATE
+        // surfaces as an update_preimage/update_postimage pair
+        org.apache.spark.sql.functions.sum(when(upd, 1L).otherwise(0L)).as("n_upd"))
     graft.streaming.StreamOps.runToMemory(net, "complete")
   }
 
   /** The folded feed equals final state: views net to zero (deleted),
-    * clicks keep their count but double their value sum (updated),
-    * everything else is untouched.
+    * clicks keep their count but double their value sum (updated, so
+    * each contributes one pre+post update pair), everything else is
+    * untouched.
     */
   val cdcNetSql: String =
     """SELECT event_type,
       | CASE WHEN event_type = 'view' THEN 0 ELSE count(*) END AS n_net,
       | CAST(CASE WHEN event_type = 'view' THEN 0
       |           WHEN event_type = 'click' THEN sum(CAST(value * 2 AS DECIMAL(18,4)))
-      |           ELSE sum(CAST(value AS DECIMAL(18,4))) END AS DOUBLE) AS sum_net
+      |           ELSE sum(CAST(value AS DECIMAL(18,4))) END AS DOUBLE) AS sum_net,
+      | CASE WHEN event_type = 'click'
+      |      THEN 2 * count(CASE WHEN value * 2 IS DISTINCT FROM value THEN 1 END)
+      |      ELSE 0 END AS n_upd
       |FROM events GROUP BY event_type""".stripMargin
 
   /** q103 — MVCC time travel: load orders (version v1), DELETE the
@@ -537,7 +546,7 @@ object BucketedQueries {
     spark.sql(s"DROP TABLE IF EXISTS graft.`$mv`")
     spark.sql(s"CREATE TABLE graft.`$mv` (cohort BIGINT, n BIGINT, sum_price DOUBLE) " +
       "PARTITIONED BY (bucket(8, cohort))")
-    val ins = col(CdcSchema.ChangeType) === "insert"
+    val ins = col(CdcSchema.ChangeType).isin(CdcSchema.Adds: _*)
     val folded = spark.readStream.format("graft-buckets")
       .option("table", src).option("mode", "cdc").load()
       .groupBy((col("o_custkey") % 100).as("cohort"))
@@ -619,7 +628,7 @@ object BucketedQueries {
       .option("table", name).option("mode", "cdc").option("changesStart", "0").load()
       .groupBy(col("c_mktsegment"))
       .agg(org.apache.spark.sql.functions.sum(
-        when(col(CdcSchema.ChangeType) === "insert", 1L).otherwise(-1L)).as("n_net"))
+        when(col(CdcSchema.ChangeType).isin(CdcSchema.Adds: _*), 1L).otherwise(-1L)).as("n_net"))
   }
 
   val cdcBatchChangesSql: String =

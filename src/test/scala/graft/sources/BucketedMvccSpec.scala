@@ -204,7 +204,9 @@ class BucketedMvccSpec extends SparkSuite {
       (1L, "a", 1.0, "insert", vIns), (2L, "b", 2.0, "insert", vIns),
       (3L, "c", 3.0, "insert", vIns), (4L, "d", 4.0, "insert", vIns),
       (2L, "b", 2.0, "delete", vDel),
-      (3L, "c", 3.0, "delete", vUpd), (3L, "c", 30.0, "insert", vUpd))
+      // the COW update's same-key delete+insert coalesce into an
+      // update_preimage/update_postimage pair (CdcCoalesce)
+      (3L, "c", 3.0, "update_preimage", vUpd), (3L, "c", 30.0, "update_postimage", vUpd))
     assert(got === expected)
   }
 
@@ -225,8 +227,48 @@ class BucketedMvccSpec extends SparkSuite {
     assert(updDeltas.length === 2,
       s"COW rewrite of a 200-row bucket must net to 2 deltas, got ${updDeltas.length}")
     assert(updDeltas.map(r => (r.getString(3), r.getDouble(2))).toSet ===
-      Set(("delete", 1.0), ("insert", 9.0)))
+      Set(("update_preimage", 1.0), ("update_postimage", 9.0)))
     assert(rows.length === 202, "initial snapshot (200 inserts) + the 2 update deltas")
+  }
+
+  test("CdcCoalesce: same-key delete+insert become adjacent update pairs; rest stay plain") {
+    import org.apache.spark.sql.Row
+    def r(k: Any, v: String) = Row(k, v)
+    val got = CdcCoalesce.pair(
+      Vector(r(1L, "old"), r(2L, "gone")),
+      Vector(r(1L, "new"), r(3L, "fresh")), keyIdx = 0)
+    assert(got === Vector(
+      (r(1L, "old"), "update_preimage"), (r(1L, "new"), "update_postimage"),
+      (r(2L, "gone"), "delete"), (r(3L, "fresh"), "insert")))
+    // multiplicity pairs FIFO; the unpaired surplus keeps its plain tag
+    val m = CdcCoalesce.pair(Vector(r(5L, "a1"), r(5L, "a2")), Vector(r(5L, "b1")), 0)
+    assert(m === Vector(
+      (r(5L, "a1"), "update_preimage"), (r(5L, "b1"), "update_postimage"),
+      (r(5L, "a2"), "delete")))
+    // null keys pair like any other key value
+    val n = CdcCoalesce.pair(Vector(r(null, "x")), Vector(r(null, "y")), 0)
+    assert(n.map(_._2) === Vector("update_preimage", "update_postimage"))
+    // replay invariant: pre/delete remove, post/insert add — multiset
+    // reconstruction is tag-independent
+    val adds = got.collect { case (row, t) if t == "insert" || t == "update_postimage" => row }
+    val rms = got.collect { case (row, t) if t == "delete" || t == "update_preimage" => row }
+    assert(adds.toSet === Set(r(1L, "new"), r(3L, "fresh")))
+    assert(rms.toSet === Set(r(1L, "old"), r(2L, "gone")))
+  }
+
+  test("CDC: a bucket-key-moving UPDATE stays delete+insert (cross-bucket, never coalesced)") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.cdc_mv_k")
+    spark.sql("CREATE TABLE graft.cdc_mv_k (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.cdc_mv_k VALUES (1, 'a'), (2, 'b')")
+    val vIns = BucketStore.currentVersion("cdc_mv_k")
+    spark.sql("UPDATE graft.cdc_mv_k SET k = 100 WHERE k = 1") // moves bucket
+    val vUpd = BucketStore.currentVersion("cdc_mv_k")
+    val rows = spark.read.format("graft-buckets")
+      .option("table", "cdc_mv_k").option("mode", "cdc")
+      .option("changesStart", vIns.toString).load().collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet ===
+      Set((1L, "delete", vUpd), (100L, "insert", vUpd)))
   }
 
   test("CDC replay from a vacuumed offset fails loudly instead of skipping history") {
