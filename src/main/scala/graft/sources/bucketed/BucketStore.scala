@@ -247,11 +247,19 @@ object BucketStore {
     * one-off cost of fixing a layout, paid under MVCC so reads never
     * block.
     */
-  def rebucket(name: String, numBuckets: Int, nHosts: Int = 4): Long = synchronized {
+  def rebucket(name: String, numBuckets: Int): Long = synchronized {
     require(numBuckets > 0, s"rebucket('$name'): numBuckets must be positive, got $numBuckets")
     val t = get(name)
     require(numBuckets != t.buckets.length,
       s"rebucket('$name'): table already has $numBuckets buckets")
+    // preserve the table's host-fleet size: regenerating with a
+    // default would silently shrink preferredLocations to a subset of
+    // the fleet. Hosts are synthetic 'host-<i>' names; the max index
+    // observed recovers the fleet exactly whenever numBuckets ≥
+    // nHosts−1 (the realistic regime — more buckets than hosts), and
+    // never shrinks below what the table actually used.
+    val nHosts = t.hosts.iterator.flatten
+      .map(_.stripPrefix("host-").toInt).max + 1
     val keyIdx = t.schema.fieldIndex(t.keyCol)
     val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
     t.buckets.foreach(_.foreach { r =>
@@ -287,9 +295,17 @@ object BucketStore {
       val incoming = byBucket(b)
       if (incoming.isEmpty) old // untouched bucket: same array reference
       else {
-        val newKeys = incoming.map(_.get(keyIdx)).toSet
+        // latest wins WITHIN the batch too: a key delivered twice in
+        // one epoch keeps only its last row — otherwise both would
+        // append and the keyed table silently grows duplicate keys
+        val lastPerKey = new scala.collection.mutable.HashMap[Any, Int]()
+        incoming.zipWithIndex.foreach { case (r, i) => lastPerKey(r.get(keyIdx)) = i }
+        val deduped = incoming.zipWithIndex.collect {
+          case (r, i) if lastPerKey(r.get(keyIdx)) == i => r
+        }
+        val newKeys = lastPerKey.keySet
         clusterSort(t.schema, t.clusterCol,
-          old.filterNot(r => newKeys.contains(r.get(keyIdx))) ++ incoming)
+          old.filterNot(r => newKeys.contains(r.get(keyIdx))) ++ deduped)
       }
     }
     publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))

@@ -117,7 +117,20 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
     val sparkReserved = Set(TableCatalog.PROP_COMMENT, TableCatalog.PROP_PROVIDER,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION)
-    val userKeys = properties.keySet().asScala.filterNot(sparkReserved).toSet
+    val allKeys = properties.keySet().asScala.toSet
+    // an OPTIONS(...) clause arrives BOTH bare and 'option.'-prefixed
+    // (Spark's CatalogV2Util) — validate the option names against the
+    // SCAN vocabulary (loud on typos) and keep them out of the
+    // table-property check
+    val optionKeys = allKeys.filter(_.startsWith("option."))
+    optionKeys.foreach { k =>
+      val opt = k.stripPrefix("option.").toLowerCase(java.util.Locale.ROOT)
+      require(ConnectorOptions.Known.contains(opt),
+        s"graft-buckets: unknown option '$opt' in OPTIONS; " +
+          s"supported: ${ConnectorOptions.Known.toSeq.sorted.mkString(", ")}")
+    }
+    val optionBare = optionKeys.map(_.stripPrefix("option."))
+    val userKeys = allKeys -- sparkReserved -- optionKeys -- optionBare
     val unknownProps = userKeys.filterNot(k =>
       BucketedCatalog.KnownTableProps.contains(k.toLowerCase(java.util.Locale.ROOT)))
     require(unknownProps.isEmpty,

@@ -244,6 +244,19 @@ object CdcDiff {
   * raw delete+insert, so every fold over the feed is unchanged modulo
   * tag names. Unpairable leftovers keep their plain tags; multiplicity
   * pairs FIFO in the diff's deterministic emission order.
+  *
+  * CONTRACT — multiset vs identity semantics: the multiset reading
+  * (pre=remove, post=add) is always exact. The IDENTITY reading ("this
+  * pre became that post") is exact when the bucket key is unique per
+  * row, and for COW rewrites generally (the store preserves row order,
+  * so FIFO aligns row i with its rewritten self). On a NON-unique key,
+  * a commit that deletes one row of a key and inserts an unrelated row
+  * of the same key pairs them — a diff-based feed cannot distinguish
+  * that from an update (the store records state, not operations; a
+  * WAL-backed production store would tag from the operation log).
+  * Consumers needing strict identity on a non-unique key should treat
+  * pre/post as remove/add — which is always correct. Key-MOVING
+  * updates land in different buckets and are never paired (spec'd).
   */
 object CdcCoalesce {
   def pair(deletes: Vector[Row], inserts: Vector[Row], keyIdx: Int): Vector[(Row, String)] = {

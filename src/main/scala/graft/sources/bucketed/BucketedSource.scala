@@ -180,6 +180,15 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private def t: BucketStore.BucketTable = BucketStore.getWithRetry(name)
 
+  /** The snapshot this HANDLE describes: the pinned one for a
+    * time-travel table, else current. All metadata surfaces (schema,
+    * partitioning, DESCRIBE properties) must agree with the snapshot
+    * the scan will actually read — after a rebucket, a `VERSION AS OF`
+    * handle must advertise the OLD layout, not the current one.
+    */
+  private def described: BucketStore.BucketTable =
+    opts.versionAsOf.map(BucketStore.snapshotWithRetry(name, _)).getOrElse(t)
+
   /** SQL UPDATE / MERGE INTO / fallback DELETE — see
     * [[BucketedRowLevelOperationBuilder]] (copy-on-write, group =
     * bucket).
@@ -214,9 +223,7 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
     // a time-travel handle shows the PINNED snapshot's schema — after
     // an ADD COLUMN, VERSION AS OF an earlier version reads the world
     // as it was (column and all)
-    val base = opts.versionAsOf
-      .map(BucketStore.snapshotWithRetry(name, _).schema)
-      .getOrElse(t.schema)
+    val base = described.schema
     if (opts.cdc) CdcSchema.of(base) else base
   }
   override def capabilities(): java.util.Set[TableCapability] =
@@ -234,12 +241,16 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
       TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** Report the store's hash-bucket layout in table metadata. */
-  override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(t.buckets.length, t.keyCol))
+  override def partitioning(): Array[Transform] = {
+    val snap = described
+    Array(Expressions.bucket(snap.buckets.length, snap.keyCol))
+  }
 
-  /** DESCRIBE EXTENDED surface: layout + MVCC state at a glance. */
+  /** DESCRIBE EXTENDED surface: layout + MVCC state at a glance — of
+    * the snapshot this handle reads (pinned for time travel).
+    */
   override def properties(): java.util.Map[String, String] = {
-    val snap = t
+    val snap = described
     val props = scala.collection.mutable.LinkedHashMap(
       "num_buckets" -> snap.buckets.length.toString,
       "bucket_key" -> snap.keyCol,
@@ -261,10 +272,17 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
       : org.apache.spark.sql.connector.write.WriteBuilder =
     // `upsert=true` selects the keyed-upsert builder, whose
     // SupportsStreamingUpdateAsAppend marker is what admits
-    // outputMode("update") — see BucketedUpsertWriteBuilder
-    if (info.options().getBoolean("upsert", false))
-      new BucketedUpsertWriteBuilder(name, info)
-    else new BucketedWriteBuilder(name, info)
+    // outputMode("update") — see BucketedUpsertWriteBuilder. Parsed
+    // strictly, like ConnectorOptions.parse does on the format path:
+    // getBoolean would coerce a typo ('yes') to false and silently run
+    // the intended upsert as a duplicate-appending plain write.
+    Option(info.options().get("upsert"))
+      .map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("true") => new BucketedUpsertWriteBuilder(name, info)
+      case Some("false") | None => new BucketedWriteBuilder(name, info)
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-buckets: option 'upsert' must be true or false, got '$other'")
+    }
 }
 
 /** Pushdown: accepts the filter subset [[FilterEval]] can enforce

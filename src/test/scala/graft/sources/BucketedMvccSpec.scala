@@ -133,6 +133,25 @@ class BucketedMvccSpec extends SparkSuite {
     BucketStore.drop("props_ci")
   }
 
+  test("CREATE TABLE OPTIONS pass through validated; bogus option names rejected") {
+    catalogOn()
+    BucketStore.drop("opt_ok")
+    // a legal scan option in OPTIONS(...) must not trip the
+    // table-property vocabulary (Spark passes it bare AND 'option.'-prefixed)
+    spark.sql("CREATE TABLE graft.opt_ok (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k)) OPTIONS('fetchsize'='500')")
+    assert(BucketStore.exists("opt_ok"))
+    BucketStore.drop("opt_ok")
+    // a bogus option name is loud, with the SCAN vocabulary
+    BucketStore.drop("opt_bad")
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.opt_bad (k BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (bucket(4, k)) OPTIONS('fetchsiez'='500')")
+    }
+    assert(ex.getMessage.contains("unknown option 'fetchsiez'"), ex.getMessage)
+    assert(!BucketStore.exists("opt_bad"))
+  }
+
   test("DROP racing a publish cannot resurrect the table") {
     // drop() and the publish read-modify-write share the store monitor:
     // hammer the interleaving — after every (publish ∥ drop) pair the
@@ -519,6 +538,25 @@ class BucketedMvccSpec extends SparkSuite {
     // same-count rebucket is a loud no-op
     val same = intercept[Exception](spark.sql("CALL graft.rebucket('reb_t', 8)").collect())
     assert(same.getMessage.contains("already has"), same.getMessage)
+
+    // a PINNED handle describes the snapshot it reads: partitioning
+    // and DESCRIBE properties report the pre-rebucket layout
+    val pinned = new BucketedTable("reb_t",
+      ConnectorOptions.Defaults.copy(table = "reb_t", versionAsOf = Some(vOld)))
+    assert(pinned.partitioning().head.arguments()(0).describe() === "2", "pinned layout")
+    assert(pinned.properties().get("num_buckets") === "2")
+    assert(new BucketedTable("reb_t").properties().get("num_buckets") === "8")
+  }
+
+  test("rebucket preserves the host fleet size") {
+    import spark.implicits._
+    BucketStore.drop("reb_hosts")
+    BucketStore.load(spark, "reb_hosts",
+      (1 to 100).map(i => (i.toLong, i)).toDF("k", "n"), "k", 16, nHosts = 8)
+    BucketStore.rebucket("reb_hosts", 4)
+    // with the fleet preserved, bucket 3 maps to host-3/host-4 under
+    // nHosts=8; a hardcoded default of 4 would yield host-3/host-0
+    assert(BucketStore.get("reb_hosts").hosts(3) === Seq("host-3", "host-4"))
   }
 
   test("batch change read (table_changes analog): full and sub-windows, stream-identical semantics") {

@@ -329,6 +329,31 @@ class BucketedWriteSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("upsert: a key delivered twice in ONE batch keeps only its last row") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS graft.`w_ups2`")
+    spark.sql("CREATE TABLE graft.`w_ups2` (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.`w_ups2` VALUES (1, 'seed'), (2, 'keep')")
+    // batch write with upsert: same key twice in the incoming batch
+    Seq((1L, "first"), (1L, "last"), (3L, "new")).toDF("k", "v")
+      .coalesce(1) // one partition → deterministic in-batch row order
+      .writeTo("graft.`w_ups2`").option("upsert", "true").append()
+    val got = spark.table("graft.`w_ups2`").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "last"), (2L, "keep"), (3L, "new")), got.toString)
+  }
+
+  test("malformed upsert value is loud on the catalog write path too") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS graft.`w_upsm`")
+    spark.sql("CREATE TABLE graft.`w_upsm` (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    val ex = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "v")
+        .writeTo("graft.`w_upsm`").option("upsert", "yes").append()
+    }
+    assert(ex.getMessage.contains("'upsert' must be true or false"), ex.getMessage)
+  }
+
   test("update mode without upsert=true is a loud error, not silent duplication") {
     cat()
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
