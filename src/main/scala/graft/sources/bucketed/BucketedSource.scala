@@ -79,11 +79,11 @@ import scala.jdk.CollectionConverters._
 final case class ConnectorOptions(table: String, fetchSize: Int, numPartitions: Option[Int],
     versionAsOf: Option[Long] = None, cdc: Boolean = false,
     changesStart: Option[Long] = None, changesEnd: Option[Long] = None,
-    upsert: Boolean = false)
+    upsert: Boolean = false, timestampAsOf: Option[Long] = None)
 
 object ConnectorOptions {
   val Known: Set[String] = Set("table", "fetchsize", "numpartitions", "versionasof", "mode",
-    "changesstart", "changesend", "upsert")
+    "changesstart", "changesend", "upsert", "timestampasof")
   val Defaults: ConnectorOptions = ConnectorOptions("", fetchSize = 1000, numPartitions = None)
 
   def parse(options: JMap[String, String]): ConnectorOptions = {
@@ -151,8 +151,24 @@ object ConnectorOptions {
     require(!(upsert && (cdc || versionAsOf.isDefined)),
       "graft-buckets: 'upsert' is a write option and cannot combine with mode=cdc " +
         "or 'versionasof'")
+    // option-path TIMESTAMP AS OF (micros since epoch) — the format
+    // path's twin of the SQL syntax; resolved to a pinned version at
+    // getTable (BucketStore.versionAt)
+    val timestampAsOf = Option(ci.get("timestampasof")).map { raw =>
+      val v = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-buckets: option 'timestampasof' must be a commit timestamp in " +
+            s"microseconds since the epoch, got '$raw'")
+      }
+      require(v > 0,
+        s"graft-buckets: option 'timestampasof' must be a commit timestamp in " +
+          s"microseconds since the epoch, got '$raw'")
+      v
+    }
+    require(!(timestampAsOf.isDefined && (versionAsOf.isDefined || cdc)),
+      "graft-buckets: 'timestampasof' cannot combine with 'versionasof' or mode=cdc")
     ConnectorOptions(table, posInt("fetchsize", Some(1000)).get, posInt("numpartitions", None),
-      versionAsOf, cdc, changesStart, changesEnd, upsert)
+      versionAsOf, cdc, changesStart, changesEnd, upsert, timestampAsOf)
   }
 }
 
@@ -168,7 +184,14 @@ class BucketedSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = ConnectorOptions.parse(properties)
-    new BucketedTable(opts.table, opts)
+    // resolve timestampasof here, once: the handle then behaves
+    // exactly like a versionasof pin everywhere downstream
+    val resolved = opts.timestampAsOf match {
+      case Some(ts) => opts.copy(
+        versionAsOf = Some(BucketStore.versionAt(opts.table, ts)), timestampAsOf = None)
+      case None => opts
+    }
+    new BucketedTable(resolved.table, resolved)
   }
 }
 
@@ -269,7 +292,14 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // a pinned or CDC handle is read-only: silently writing to CURRENT
+    // through a handle the user pinned to the past would be the worst
+    // kind of surprise
+    require(opts.versionAsOf.isEmpty && !opts.cdc,
+      s"graft-buckets: table handle '$name' is read-only — " +
+        (if (opts.cdc) "a CDC change feed cannot be written to"
+         else "a time-travel pin (versionasof/timestampasof) cannot accept writes"))
     // `upsert=true` selects the keyed-upsert builder, whose
     // SupportsStreamingUpdateAsAppend marker is what admits
     // outputMode("update") — see BucketedUpsertWriteBuilder. Parsed
@@ -283,6 +313,7 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
       case Some(other) => throw new IllegalArgumentException(
         s"graft-buckets: option 'upsert' must be true or false, got '$other'")
     }
+  }
 }
 
 /** Pushdown: accepts the filter subset [[FilterEval]] can enforce

@@ -83,6 +83,34 @@ class BucketedMvccSpec extends SparkSuite {
     assert(ex.getMessage.contains("no retained snapshot"), ex.getMessage)
   }
 
+  test("'timestampasof' scan option: the format path's twin of SQL TIMESTAMP AS OF") {
+    catalogOn()
+    mkTable("mvcc_tso", Seq((1L, "x", 1.0), (2L, "y", 2.0)))
+    val v1 = BucketStore.currentVersion("mvcc_tso")
+    val ts1 = BucketStore.commitTimestamp("mvcc_tso", v1)
+    BucketStore.deleteWhere("mvcc_tso", _ => true)
+    assert(spark.read.format("graft-buckets")
+      .option("table", "mvcc_tso").option("timestampAsOf", ts1).load().count() === 2L)
+    // combination and typo rejection, same loudness as versionasof
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets").option("table", "mvcc_tso")
+        .option("timestampAsOf", ts1).option("versionAsOf", v1).load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets").option("table", "mvcc_tso")
+        .option("timestampAsOf", "not-a-ts").load()
+    }
+    // a pinned handle is read-only — writes are loud, never silently
+    // redirected to current
+    val ex = intercept[Exception] {
+      import spark.implicits._
+      Seq((9L, "z", 9.0)).toDF("k", "tag", "v")
+        .write.format("graft-buckets").option("table", "mvcc_tso")
+        .option("versionAsOf", v1).mode("append").save()
+    }
+    assert(ex.getMessage.contains("read-only"), ex.getMessage)
+  }
+
   test("TIMESTAMP AS OF under an injected deterministic clock") {
     catalogOn()
     val saved = BucketStore.clock
