@@ -222,6 +222,9 @@ object SparkEntry {
     // — AVG over the store: Spark's partial-pushdown rewrite turns it
     //   into pushed SUM+COUNT partials (plan-audited) —
     "q110_avg_pushdown" -> graft.sources.bucketed.BucketedQueries.avgPushdownQuery _,
+    // — CDC → MERGE replication: the change feed applied to a replica
+    //   table, replica equals source's final state —
+    "q111_cdc_replication" -> graft.sources.bucketed.BucketedQueries.cdcReplicationQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -383,5 +386,6 @@ object SparkEntry {
     "q108_merge_into" -> graft.sources.bucketed.BucketedQueries.mergeIntoSql,
     "q109_rebucket" -> graft.sources.bucketed.BucketedQueries.rebucketSql,
     "q110_avg_pushdown" -> graft.sources.bucketed.BucketedQueries.avgPushdownSql,
+    "q111_cdc_replication" -> graft.sources.bucketed.BucketedQueries.cdcReplicationSql,
   )
 }

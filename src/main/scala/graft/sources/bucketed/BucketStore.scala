@@ -277,6 +277,34 @@ object BucketStore {
     next.version
   }
 
+  /** Re-cluster `name` on `col` under ONE new version: every bucket's
+    * rows re-sort on the new cluster column and all FUTURE publishes
+    * maintain that order — range predicates on `col` then fetch
+    * binary-searched slices ([[ClusterRange]]) instead of streaming
+    * buckets. The operational twin of [[rebucket]] for the ORDER
+    * dimension of the layout: pay one in-bucket sort (no shuffle — rows
+    * never change buckets), serve time/range queries ∝ answer after.
+    */
+  def recluster(name: String, col: String): Long = synchronized {
+    val t = get(name)
+    require(t.schema.fieldNames.contains(col),
+      s"recluster('$name'): column '$col' not in schema " +
+        s"[${t.schema.fieldNames.mkString(", ")}]")
+    require(!t.clusterCol.contains(col),
+      s"recluster('$name'): table is already clustered on '$col'")
+    // normalize rows predating an ADD COLUMN to current arity first:
+    // the sort key may BE the added column, and the comparator indexes
+    // into the row (this is a rewrite op anyway — materializing the
+    // NULL pads here is the honest cost)
+    val next = t.copy(
+      buckets = t.buckets.map(rows =>
+        clusterSort(t.schema, Some(col), rows.map(pad(_, t.schema.length)))),
+      clusterCol = Some(col),
+      version = versions.incrementAndGet())
+    publish(name, next)
+    next.version
+  }
+
   /** Keyed upsert publish (the update-mode streaming sink,
     * [[BucketedStreamingWrite]]): for every bucket that RECEIVED rows,
     * replace same-key rows with the delivered ones (latest wins) and

@@ -193,7 +193,7 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"),
-      Identifier.of(Array.empty, "rebucket"))
+      Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "recluster"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -201,8 +201,9 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "vacuum" => BucketedProcedures.Vacuum
       case "history" => BucketedProcedures.History
       case "rebucket" => BucketedProcedures.Rebucket
+      case "recluster" => BucketedProcedures.Recluster
       case other => throw new UnsupportedOperationException(
-        s"no such procedure: $other (supported: vacuum, history, rebucket)")
+        s"no such procedure: $other (supported: vacuum, history, rebucket, recluster)")
     }
 }
 

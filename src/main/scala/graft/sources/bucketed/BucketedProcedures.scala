@@ -91,6 +91,38 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.recluster('t', 'col')` — re-sort every bucket on a
+    * new cluster column under one version ([[BucketStore.recluster]]);
+    * future publishes maintain the order and range predicates on the
+    * column fetch binary-searched slices. The ORDER twin of rebucket:
+    * an in-bucket sort, no shuffle.
+    */
+  object Recluster extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "recluster"
+    override def description(): String =
+      "recluster(table, cluster_by): re-sort every bucket on a new cluster column " +
+        "under one new MVCC version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("cluster_by", StringType).build())
+    override def isDeterministic: Boolean = false // publishes a version
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "recluster(table, cluster_by): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val col = input.getUTF8String(1).toString
+      val version = BucketStore.recluster(table, col)
+      localScan(
+        StructType(Seq(
+          StructField("cluster_by", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        Array(InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(col), version)),
+        s"graft recluster($table)")
+    }
+  }
+
   object History extends UnboundProcedure with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =

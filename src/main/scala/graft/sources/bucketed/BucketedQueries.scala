@@ -713,6 +713,95 @@ object BucketedQueries {
         count(when(col("c_custkey") >= 5000000L, lit(1))).as("n_hi"))
   }
 
+  /** q111 — CDC REPLICATION: the change feed driving a MERGE INTO a
+    * replica table — the canonical downstream consumer the coalesced
+    * update tags exist for. Customer seeds both a source and an
+    * (initially empty) replica; the source churns (DELETE one segment,
+    * COW UPDATE another, fresh INSERTs); a bounded change window
+    * (v0 → current) is read back and applied to the replica with ONE
+    * MERGE: add-tagged rows (insert/update_postimage) upsert, while
+    * delete-tagged keys whose final event is a removal delete. The
+    * gated read aggregates the REPLICA, which must equal the source's
+    * final state — replication correctness, not just feed correctness.
+    *
+    * At 100 TB: the window moves only churn; the MERGE's rewrite scan
+    * prunes to the buckets owning changed keys (COW group replace).
+    * The latest-event-per-key reduction runs ONE aggregate over the
+    * delta (bucket key is unique here, so max(_commit_version) per key
+    * plus the add/remove tag decides insert-vs-delete — a general
+    * multiset consumer would fold counts instead, q102/q104/q106).
+    */
+  def cdcReplicationQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val src = s"customer_rep@$dir"
+    val rep = s"customer_rep_out@$dir"
+    BucketStore.drop(src)
+    BucketStore.load(spark, src, graft.tables.Tables.customer(spark, dir), "c_custkey",
+      NumBuckets)
+    // churn: remove a segment, update another, insert fresh rows
+    spark.sql(s"DELETE FROM graft.`$src` WHERE c_mktsegment = 'MACHINERY'")
+    spark.sql(s"UPDATE graft.`$src` SET c_acctbal = c_acctbal + 100.0 " +
+      "WHERE c_mktsegment = 'BUILDING'")
+    spark.sql(s"INSERT INTO graft.`$src` SELECT c_custkey + 20000000, c_name, " +
+      s"c_nationkey, 777.0, 'REPLICATED' FROM graft.`$src` WHERE c_mktsegment = 'AUTOMOBILE'")
+    // replica starts empty; the change window (v0, current] carries the
+    // initial snapshot as inserts plus all churn
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$rep`")
+    spark.sql(s"CREATE TABLE graft.`$rep` (c_custkey BIGINT, c_name STRING, " +
+      s"c_nationkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING) " +
+      "PARTITIONED BY (bucket(16, c_custkey))")
+    val changes = spark.read.format("graft-buckets")
+      .option("table", src).option("mode", "cdc").option("changesStart", "0").load()
+    // latest event per key decides the replica row (key is unique):
+    // an add-tag wins as the new image, a remove-tag means delete
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey"))
+      .orderBy(col(CdcSchema.CommitVersion).desc,
+        // within one commit a coalesced pair shares the version: the
+        // postimage (an add) outranks its preimage deterministically
+        col(CdcSchema.ChangeType).isin(CdcSchema.Adds: _*).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    latest.createOrReplaceTempView("rep_changes")
+    spark.sql(
+      s"""MERGE INTO graft.`$rep` t USING rep_changes s ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s.${CdcSchema.ChangeType} IN ('delete', 'update_preimage')
+         |  THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET
+         |  t.c_name = s.c_name, t.c_nationkey = s.c_nationkey,
+         |  t.c_acctbal = s.c_acctbal, t.c_mktsegment = s.c_mktsegment
+         |WHEN NOT MATCHED AND s.${CdcSchema.ChangeType} IN (${CdcSchema.Adds
+            .map("'" + _ + "'").mkString(", ")})
+         |  THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+         |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment)
+         |""".stripMargin)
+    spark.table(s"graft.`$rep`")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+  }
+
+  /** The replica must equal the source's final state, replayed in SQL. */
+  val cdcReplicationSql: String =
+    """WITH final_state AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+      |              ELSE c_acctbal END AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_mktsegment <> 'MACHINERY'
+      |  UNION ALL
+      |  SELECT c_custkey + 20000000, 777.0, 'REPLICATED'
+      |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |)
+      |SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM final_state GROUP BY c_mktsegment""".stripMargin
+
   /** q109 — `CALL graft.rebucket` end-to-end: orders lands at 16
     * buckets, the procedure re-hashes it into 4 under one MVCC version,
     * and the gated read aggregates THROUGH the new layout (plus DML

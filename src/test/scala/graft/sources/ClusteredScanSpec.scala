@@ -125,4 +125,37 @@ class ClusteredScanSpec extends SparkSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("clusterSlice=seq"), plan.take(800))
   }
+
+  test("CALL graft.recluster: an unclustered table gains the sliced range path") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.drop("reclust_t")
+    val df = (0 until 2000).map(i => ((i % 31).toLong, i.toLong, s"r$i")).toDF("k", "seq", "tag")
+    BucketStore.load(spark, "reclust_t", df, "k", 4) // NOT clustered
+    val src = spark.read.format("graft-buckets")
+      .option("table", "reclust_t").option("fetchsize", "50").load()
+    val (_, pagesBefore) = pagesDuring(
+      src.filter(col("seq") >= 500L && col("seq") < 540L).collect())
+
+    val res = spark.sql("CALL graft.recluster('reclust_t', 'seq')").collect()
+    assert(res.head.getString(0) === "seq")
+    assert(BucketStore.get("reclust_t").clusterCol.contains("seq"))
+    // buckets are now sorted on seq...
+    BucketStore.get("reclust_t").buckets.foreach { rows =>
+      val seqs = rows.map(_.getLong(1))
+      assert(seqs.sameElements(seqs.sorted), "bucket not sorted after recluster")
+    }
+    // ...and the same range query fetches slices: same rows, fewer pages
+    val (got, pagesAfter) = pagesDuring(
+      src.filter(col("seq") >= 500L && col("seq") < 540L).collect())
+    assert(got.map(_.getLong(1)).sorted.toSeq === (500L until 540L).toSeq)
+    assert(pagesAfter < pagesBefore,
+      s"recluster must enable the slice: $pagesAfter vs $pagesBefore pages")
+    // time travel still serves the PRE-recluster (unclustered) snapshot
+    // and re-running is a loud no-op
+    val same = intercept[Exception](spark.sql("CALL graft.recluster('reclust_t', 'seq')"))
+    assert(same.getMessage.contains("already clustered"), same.getMessage)
+    val bogus = intercept[Exception](spark.sql("CALL graft.recluster('reclust_t', 'zzz')"))
+    assert(bogus.getMessage.contains("not in schema"), bogus.getMessage)
+  }
 }
