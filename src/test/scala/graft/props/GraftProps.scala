@@ -363,4 +363,34 @@ object GraftProps extends Properties("graft") {
           math.min(d, i) == 0 && d <= oc.getOrElse(r, 0)
       }
     }
+
+  /** Coalescing re-TAGS the minimal diff, never changes it: adds
+    * (insert ∪ update_postimage) must equal the diff's inserts as a
+    * multiset, removes (delete ∪ update_preimage) its deletes; every
+    * pre is immediately followed by its post and the pair shares the
+    * key; plain-tagged rows have no same-key counterpart left.
+    */
+  property("CDC coalescing preserves the multiset and pairs only same-key rows") =
+    forAll(genRowSeq, genRowSeq) { (oldR, newR) =>
+      import org.apache.spark.sql.Row
+      import graft.sources.bucketed.{CdcCoalesce, CdcDiff}
+      def rows(xs: List[(Long, String)]) = xs.map { case (k, t) => Row(k, t) }
+      def counts(xs: Seq[Row]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+      val (dels, ins) = CdcDiff.diff(rows(oldR), rows(newR))
+      val events = CdcCoalesce.pair(dels, ins, keyIdx = 0)
+      val adds = events.collect { case (r, t) if t == "insert" || t == "update_postimage" => r }
+      val rms = events.collect { case (r, t) if t == "delete" || t == "update_preimage" => r }
+      val multisetOk = counts(adds) == counts(ins) && counts(rms) == counts(dels)
+      val pairsOk = events.zipWithIndex.forall {
+        case ((r, "update_preimage"), i) =>
+          i + 1 < events.length && events(i + 1)._2 == "update_postimage" &&
+            events(i + 1)._1.getLong(0) == r.getLong(0)
+        case _ => true
+      }
+      // a plain delete and a plain insert never share a key (they
+      // would have been paired)
+      val plainDel = events.collect { case (r, "delete") => r.getLong(0) }.toSet
+      val plainIns = events.collect { case (r, "insert") => r.getLong(0) }.toSet
+      multisetOk && pairsOk && plainDel.intersect(plainIns).isEmpty
+    }
 }
