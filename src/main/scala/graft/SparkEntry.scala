@@ -225,6 +225,9 @@ object SparkEntry {
     // — CDC → MERGE replication: the change feed applied to a replica
     //   table, replica equals source's final state —
     "q111_cdc_replication" -> graft.sources.bucketed.BucketedQueries.cdcReplicationQuery _,
+    // — token-budget domain mixing (Pile/DoReMi-style resampling):
+    //   one aggregate → broadcast ratios → shuffle-free sample —
+    "q112_domain_mix" -> graft.operators.Pipelines.domainMixQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -387,5 +390,6 @@ object SparkEntry {
     "q109_rebucket" -> graft.sources.bucketed.BucketedQueries.rebucketSql,
     "q110_avg_pushdown" -> graft.sources.bucketed.BucketedQueries.avgPushdownSql,
     "q111_cdc_replication" -> graft.sources.bucketed.BucketedQueries.cdcReplicationSql,
+    "q112_domain_mix" -> graft.operators.Pipelines.domainMixSql,
   )
 }

@@ -221,4 +221,63 @@ object Pipelines {
       |JOIN nav USING (c_nationkey)
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE c_acctbal > nat_avg""".stripMargin
+
+  /** Token-budget domain mixing (the Pile/DoReMi-style resampling step
+    * of a training-data pipeline): given target mixture WEIGHTS per
+    * domain and a global token BUDGET, each domain's acceptance ratio
+    * is `min(1, budget·w_d / tokens_d)` and documents are kept by the
+    * same deterministic multiplicative hash [[stratifiedSample]] uses —
+    * reproducible, inclusion-monotone in the budget, no RNG state.
+    *
+    * Plan shape at 100 TB: ONE map-side-combined aggregate reduces the
+    * corpus to |domains| token totals, the ratio table BROADCASTS back
+    * (a few hundred rows), and the sample itself is an embarrassingly
+    * parallel filter — the corpus is never shuffled at all. Domains
+    * above budget clip (r<1), under-budget domains keep everything;
+    * both regimes are exercised at every SF.
+    */
+  def domainMix(df: DataFrame, idCol: String, groupCol: String,
+      tokenCount: org.apache.spark.sql.Column, weights: Map[String, Double],
+      defaultWeight: Double, budgetTokens: Long): DataFrame = {
+    val m = 2147483647L // 2^31 - 1, same generator as stratifiedSample
+    val toks = df.select(col(idCol), col(groupCol), tokenCount.cast("long").as("n_tokens"))
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    val ratios = toks.groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .select(col(groupCol),
+        least(lit(1.0), lit(budgetTokens.toDouble) * w / col("toks").cast("double")).as("r"))
+    val bucket = pmod(pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m)) * lit(48271L), lit(m))
+    toks.join(broadcast(ratios), groupCol)
+      .filter(bucket < col("r") * lit(m.toDouble))
+  }
+
+  def domainMixQuery(spark: SparkSession, dir: String): DataFrame =
+    domainMix(Tables.documents(spark, dir), "doc_id", "source",
+      size(split(col("text"), " ")),
+      Map("src0" -> 0.30, "src1" -> 0.20, "src2" -> 0.10),
+      defaultWeight = 0.02, budgetTokens = 2000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tok_kept"))
+
+  val domainMixSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), ratios AS (
+      |  SELECT source,
+      |         least(1.0, 2000.0 *
+      |           (CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.20
+      |                        WHEN 'src2' THEN 0.10 ELSE 0.02 END)
+      |           / CAST(sum(n_tokens) AS DOUBLE)) AS r
+      |  FROM toks GROUP BY source
+      |)
+      |SELECT t.source, count(*) AS n_kept,
+      |       CAST(sum(t.n_tokens) AS BIGINT) AS tok_kept
+      |FROM toks t JOIN ratios rr ON t.source = rr.source
+      |WHERE (((t.doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647
+      |      < rr.r * 2147483647
+      |GROUP BY t.source""".stripMargin
 }

@@ -90,4 +90,36 @@ class CurationOpsSpec extends SparkSuite {
       .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L))
   }
+
+  test("domain mix: over-budget domains clip, under-budget keep all, sample reproducible") {
+    // two domains, 10 docs × 10 tokens each = 100 tokens per domain
+    val docs = (1 to 10).map(i => (i.toLong, "big", ("t " * 9).trim + " x")) ++
+      (101 to 110).map(i => (i.toLong, "small", ("t " * 9).trim + " x"))
+    val df = docs.toDF("doc_id", "source", "text")
+    def mix(budget: Long) = Pipelines.domainMix(df, "doc_id", "source",
+      size(split(col("text"), " ")), Map("big" -> 0.25), defaultWeight = 1.0,
+      budgetTokens = budget)
+    // budget 200: big's target 50 < 100 → clips; small's 200 > 100 → r=1
+    val kept = mix(200L).groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("small") === 10L, "under-budget domain must keep everything")
+    assert(kept.getOrElse("big", 0L) < 10L, "over-budget domain must clip")
+    // reproducible: the deterministic hash keeps the same docs
+    val ids1 = mix(200L).select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = mix(200L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+    // inclusion-monotone in the budget: a bigger budget never drops a doc
+    val idsBigger = mix(300L).select("doc_id").as[Long].collect().toSet
+    assert(ids1.toSet.subsetOf(idsBigger))
+  }
+
+  test("domain mix plan: corpus is never shuffled — ratios broadcast back") {
+    val df = (1 to 100).map(i => (i.toLong, s"s${i % 4}", "a b c d")).toDF("doc_id", "source", "text")
+    val mixed = Pipelines.domainMix(df, "doc_id", "source",
+      size(split(col("text"), " ")), Map.empty, defaultWeight = 0.5, budgetTokens = 100L)
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"ratios must broadcast:\n${plan.take(800)}")
+    // the only Exchange feeds the |domains| aggregate, and it moves
+    // partial rows, not the corpus: no hashpartitioning on doc_id
+    assert(!plan.contains("hashpartitioning(doc_id"), plan.take(1200))
+  }
 }
