@@ -228,6 +228,18 @@ object SparkEntry {
     // — token-budget domain mixing (Pile/DoReMi-style resampling):
     //   one aggregate → broadcast ratios → shuffle-free sample —
     "q112_domain_mix" -> graft.operators.Pipelines.domainMixQuery _,
+    // — repeated-substring dedup signal (Lee et al. 2022): tumbling
+    //   segments, shared-segment semi-join, per-doc duplicated fraction —
+    "q113_dup_segments" -> graft.operators.Dedup.dupSegmentsQuery _,
+    // — deterministic exact-k per-group sample: Lehmer-hash order,
+    //   nested samples under growing k —
+    "q114_sample_per_group" -> graft.operators.Pipelines.samplePerGroupQuery _,
+    // — domain mixing with epochs: up-sampling repeats a domain ⌊r⌋
+    //   times + hash-fraction remainder, shuffle-free —
+    "q115_domain_upsample" -> graft.operators.Pipelines.domainUpsampleQuery _,
+    // — Gopher-style vocabulary-coverage quality gate: corpus top-V
+    //   vocabulary broadcast back over token rows —
+    "q116_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -391,5 +403,9 @@ object SparkEntry {
     "q110_avg_pushdown" -> graft.sources.bucketed.BucketedQueries.avgPushdownSql,
     "q111_cdc_replication" -> graft.sources.bucketed.BucketedQueries.cdcReplicationSql,
     "q112_domain_mix" -> graft.operators.Pipelines.domainMixSql,
+    "q113_dup_segments" -> graft.operators.Dedup.dupSegmentsSql,
+    "q114_sample_per_group" -> graft.operators.Pipelines.samplePerGroupSql,
+    "q115_domain_upsample" -> graft.operators.Pipelines.domainUpsampleSql,
+    "q116_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageSql,
   )
 }

@@ -548,4 +548,65 @@ object Dedup {
         |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.3""".stripMargin
     closureCtes(pairsSql) + "\nSELECT id AS vec_id, keep_id FROM comp WHERE id <> keep_id"
   }
+
+  // ——— cross-document repeated substrings (Lee et al. 2022 style) ———
+
+  /** Repeated-substring detection at segment granularity — the exact
+    * substring-dedup signal of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al., ACL 2022), re-expressed as a
+    * Spark plan instead of a suffix array: each document is cut into
+    * tumbling `segTokens`-token segments ([[TextAnalysis.chunkDocuments]]
+    * with stride = length), a segment is "duplicated" when its exact
+    * text occurs in more than one distinct document, and every document
+    * reports how much of it is made of such shared spans — the
+    * drop/trim signal a curation pipeline thresholds on.
+    *
+    * Scale: two shuffles, both on sparse keys — segments hash-group by
+    * their text (at 100 TB, swap the raw text key for the 8-byte
+    * [[graft.functions.Fingerprint64]] of it: same plan, ~20× fewer
+    * shuffle bytes, and the q24 oracle already proves the fingerprint
+    * replicable), then duplicated segments equi-join back and re-group
+    * by document with map-side combine. Nothing is ever all-pairs; the
+    * suffix array's arbitrary-length matches are traded for fixed
+    * segment boundaries, the standard distributed approximation.
+    */
+  def dupSegments(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    val segs = TextAnalysis.chunkDocuments(df, idCol, textCol,
+      chunkTokens = segTokens, stride = segTokens)
+      .select(col(idCol), col("chunk_text"))
+    val shared = segs.groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("chunk_text"), lit(1).as("__dup"))
+    segs.join(shared, Seq("chunk_text"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_segs"))
+      .withColumn("dup_frac", col("n_dup_segs").cast("double") / col("n_segs"))
+  }
+
+  def dupSegmentsQuery(spark: SparkSession, dir: String): DataFrame =
+    dupSegments(Tables.documents(spark, dir), "doc_id", "text", segTokens = 6)
+
+  /** Oracle: q90's list-slicing segmentation, then the same
+    * shared-segment semi-join and per-doc roll-up.
+    */
+  val dupSegmentsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  len(string_split(text, ' ')) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, ws,
+      |        unnest(range(((greatest(n - 6, 0) + 5) // 6) + 1)) AS i
+      |      FROM t),
+      |segs AS (SELECT doc_id,
+      |           array_to_string(ws[CAST(i*6 + 1 AS INT) : CAST(i*6 + 6 AS INT)], ' ') AS seg
+      |         FROM c),
+      |shared AS (SELECT seg, 1 AS dup FROM segs
+      |           GROUP BY seg HAVING count(DISTINCT doc_id) > 1)
+      |SELECT s.doc_id, count(*) AS n_segs,
+      |       CAST(sum(COALESCE(sh.dup, 0)) AS BIGINT) AS n_dup_segs,
+      |       CAST(sum(COALESCE(sh.dup, 0)) AS DOUBLE) / count(*) AS dup_frac
+      |FROM segs s LEFT JOIN shared sh ON s.seg = sh.seg
+      |GROUP BY s.doc_id""".stripMargin
 }

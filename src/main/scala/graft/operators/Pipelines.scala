@@ -261,6 +261,119 @@ object Pipelines {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tok_kept"))
 
+  /** Deterministic exact-k sample per group — the "n documents per
+    * domain for eval/inspection" draw: within each group, keep the k
+    * rows with the smallest Lehmer hash (ties broken by id, so the
+    * order is total and the pick reproducible on any engine or
+    * partitioning). Growing k only ever ADDS rows — the hash order is
+    * fixed — so nested sample sizes give nested samples.
+    *
+    * Plan shape at 100 TB: the window sorts only a 3-column
+    * (id, group, hash ≈ 24 B/row) projection, one shuffle on the group
+    * key. When k ≪ group size, compose [[stratifiedSample]] with a
+    * rate of ~4k/|group| in front to shrink the sort input first —
+    * the hash prefilter keeps a superset of the k winners with
+    * overwhelming probability and the same determinism.
+    */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k > 0, "samplePerGroup needs k > 0")
+    val m = 2147483647L // 2^31 - 1, same generator as stratifiedSample
+    val bucket = pmod(pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m)) * lit(48271L), lit(m))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", bucket)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__h", "__rk")
+  }
+
+  def samplePerGroupQuery(spark: SparkSession, dir: String): DataFrame =
+    samplePerGroup(Tables.documents(spark, dir), "doc_id", "lang", k = 20)
+      .select(col("doc_id"), col("lang"))
+
+  val samplePerGroupSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    (((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 AS hh
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |        row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+      |      FROM h)
+      |SELECT doc_id, lang FROM r WHERE rk <= 20""".stripMargin
+
+  /** Domain mixing with EPOCHS — the regime [[domainMix]] clips away:
+    * when a domain's token budget exceeds its size (r > 1), a real
+    * mixture (the Pile runs Wikipedia at ~3 epochs) REPEATS the domain
+    * ⌊r⌋ times and takes a deterministic hash-fraction more for the
+    * remainder, so every domain lands on budget·w_d tokens in
+    * expectation whether it is up- or down-sampled. Each output row
+    * carries its epoch index so downstream packing/shuffling can keep
+    * copies apart.
+    *
+    * Plan shape at 100 TB: identical to [[domainMix]] — one
+    * map-side-combined aggregate to |domains| rows, broadcast back,
+    * then a row-local `explode(sequence(0, copies−1))`; the corpus is
+    * never shuffled and the blow-up is exactly the intended epoch
+    * count, materialized lazily inside the scan stage.
+    */
+  def domainUpsample(df: DataFrame, idCol: String, groupCol: String,
+      tokenCount: org.apache.spark.sql.Column, weights: Map[String, Double],
+      defaultWeight: Double, budgetTokens: Long): DataFrame = {
+    val m = 2147483647L
+    val toks = df.select(col(idCol), col(groupCol), tokenCount.cast("long").as("n_tokens"))
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    val ratios = toks.groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .select(col(groupCol),
+        (lit(budgetTokens.toDouble) * w / col("toks").cast("double")).as("r"))
+    val bucket = pmod(pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m)) * lit(48271L), lit(m))
+    toks.join(broadcast(ratios), groupCol)
+      .withColumn("__copies",
+        floor(col("r")) + when(bucket < (col("r") - floor(col("r"))) * lit(m.toDouble), 1L)
+          .otherwise(0L))
+      .filter(col("__copies") > 0)
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        explode(expr("sequence(0L, __copies - 1)")).as("epoch"))
+  }
+
+  def domainUpsampleQuery(spark: SparkSession, dir: String): DataFrame =
+    domainUpsample(Tables.documents(spark, dir), "doc_id", "source",
+      size(split(col("text"), " ")),
+      Map("src0" -> 0.50, "src1" -> 0.02), defaultWeight = 0.06,
+      budgetTokens = 120000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tokens")).as("tok_total"),
+        max(col("epoch")).as("max_epoch"))
+
+  val domainUpsampleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), ratios AS (
+      |  SELECT source,
+      |         120000.0 *
+      |           (CASE source WHEN 'src0' THEN 0.50 WHEN 'src1' THEN 0.02 ELSE 0.06 END)
+      |           / CAST(sum(n_tokens) AS DOUBLE) AS r
+      |  FROM toks GROUP BY source
+      |), c AS (
+      |  SELECT t.doc_id, t.source, t.n_tokens,
+      |         CAST(floor(rr.r) AS BIGINT) +
+      |         (CASE WHEN (((t.doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647
+      |               < (rr.r - floor(rr.r)) * 2147483647 THEN 1 ELSE 0 END) AS copies
+      |  FROM toks t JOIN ratios rr ON t.source = rr.source
+      |), e AS (
+      |  SELECT doc_id, source, n_tokens, unnest(range(copies)) AS epoch
+      |  FROM c WHERE copies > 0
+      |)
+      |SELECT source, count(*) AS n_rows,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+      |       CAST(max(epoch) AS BIGINT) AS max_epoch
+      |FROM e GROUP BY source""".stripMargin
+
   val domainMixSql: String =
     """WITH toks AS (
       |  SELECT doc_id, source,

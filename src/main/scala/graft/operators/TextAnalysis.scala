@@ -236,6 +236,63 @@ object TextAnalysis {
       |  GROUP BY lang, word) r
       |WHERE rk <= 10""".stripMargin
 
+  // ——— corpus-vocabulary coverage (Gopher/C4-style LM quality gate) ———
+
+  /** Vocabulary-coverage scoring — the corpus-derived analog of
+    * Gopher's "fraction of words in a reference vocabulary" quality
+    * rule: the reference vocabulary is the corpus's own `vocabSize`
+    * most frequent tokens (ties broken by token text, so the cut is
+    * total-ordered and reproducible), and each document scores the
+    * exact fraction of its tokens that land inside it. Low coverage
+    * flags boilerplate, code-ish noise, or wrong-language text without
+    * any model in the loop.
+    *
+    * Hash-stability: coverage is a ratio of two exact integers —
+    * IEEE division gives the bit-identical double on any engine, so
+    * the oracle compares exactly (no transcendental log-probs).
+    *
+    * Scale: one token-level aggregate for the vocabulary (map-side
+    * combine collapses each partition to its distinct tokens; the
+    * top-V cut moves V rows per partition at most), the V-row
+    * vocabulary BROADCASTS back, and the per-doc roll-up re-groups
+    * token rows by doc id — docs are contiguous within partitions, so
+    * partial aggregation collapses that shuffle to ~one row per doc.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabCoverage needs vocabSize > 0")
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0))).cast("long").as("n_in_vocab"))
+      .withColumn("coverage", col("n_in_vocab").cast("double") / col("n_tokens"))
+  }
+
+  def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), "doc_id", "text", vocabSize = 20)
+
+  val vocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |vocab AS (
+      |  SELECT tok, 1 AS invoc FROM (
+      |    SELECT tok, count(*) AS c FROM toks2 GROUP BY tok
+      |    ORDER BY c DESC, tok LIMIT 20) v
+      |)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       CAST(sum(COALESCE(vv.invoc, 0)) AS BIGINT) AS n_in_vocab,
+      |       CAST(sum(COALESCE(vv.invoc, 0)) AS DOUBLE) / count(*) AS coverage
+      |FROM toks2 t LEFT JOIN vocab vv ON t.tok = vv.tok
+      |GROUP BY t.doc_id""".stripMargin
+
   // ——— document chunking (overlapping token windows) ———
 
   /** Split each document into overlapping token-window chunks — the

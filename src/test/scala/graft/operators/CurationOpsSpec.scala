@@ -112,6 +112,66 @@ class CurationOpsSpec extends SparkSuite {
     assert(ids1.toSet.subsetOf(idsBigger))
   }
 
+  test("per-group sample: exact k, reproducible, and nested under growing k") {
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 3}")).toDF("doc_id", "lang")
+    val s5 = Pipelines.samplePerGroup(df, "doc_id", "lang", k = 5)
+    val byGroup = s5.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byGroup === Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L))
+    val ids1 = s5.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Pipelines.samplePerGroup(df, "doc_id", "lang", k = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2, "hash order must be engine-deterministic")
+    // nested: the k=2 sample is a subset of the k=5 sample
+    val ids2of5 = Pipelines.samplePerGroup(df, "doc_id", "lang", k = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2of5.subsetOf(ids1.toSet))
+    // groups smaller than k are kept whole, not padded
+    val tiny = Seq((1L, "solo")).toDF("doc_id", "lang")
+    assert(Pipelines.samplePerGroup(tiny, "doc_id", "lang", k = 5).count() === 1L)
+  }
+
+  test("domain upsample: over-budget domain clips, under-budget domain repeats whole epochs") {
+    val df = ((1 to 10).map(i => (i.toLong, "big", "a b c d e f g h i j")) ++
+      (11 to 20).map(i => (i.toLong, "small", "a b c d e f g h i j")))
+      .toDF("doc_id", "source", "text")
+    // budget 200, weights 0.25/0.75: big targets 50 of its 100 tokens
+    // (down-sample), small targets 150 of its 100 (r = 1.5 → epochs).
+    val up = Pipelines.domainUpsample(df, "doc_id", "source",
+      size(split(col("text"), " ")), Map("big" -> 0.25, "small" -> 0.75),
+      defaultWeight = 0.0, budgetTokens = 200L)
+    val rows = up.select("doc_id", "source", "epoch").as[(Long, String, Long)].collect()
+    val bySource = rows.groupBy(_._2)
+    assert(bySource("big").length < 10, "r<1 domain must clip rows")
+    assert(bySource("big").forall(_._3 == 0L), "clipped domain never repeats")
+    // every small doc appears at epoch 0 (floor(1.5) = 1 full copy) and
+    // the hash-fraction remainder adds epoch-1 copies for some subset
+    val smallE0 = bySource("small").filter(_._3 == 0L).map(_._1).toSet
+    assert(smallE0 === (11L to 20L).toSet)
+    val smallE1 = bySource("small").filter(_._3 == 1L).map(_._1).toSet
+    assert(smallE1.nonEmpty && smallE1.size < 10, "remainder must be a strict hash-fraction")
+    // deterministic across runs
+    val again = Pipelines.domainUpsample(df, "doc_id", "source",
+      size(split(col("text"), " ")), Map("big" -> 0.25, "small" -> 0.75),
+      defaultWeight = 0.0, budgetTokens = 200L)
+      .select("doc_id", "source", "epoch").as[(Long, String, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("vocab coverage: in-vocabulary docs score 1.0, OOV tokens lower the exact ratio") {
+    // vocabSize=2 over a corpus where "a" and "b" dominate
+    val df = Seq(
+      (1L, "a b a b"),         // fully in-vocab
+      (2L, "a b zebra"),       // 2 of 3
+      (3L, "zebra quux corge") // rare tokens only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "doc_id", "text", vocabSize = 2)
+      .select("doc_id", "n_tokens", "n_in_vocab", "coverage")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 4L, 1.0)))
+    assert(got(2L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(3L) === ((3L, 0L, 0.0)))
+  }
+
   test("domain mix plan: corpus is never shuffled — ratios broadcast back") {
     val df = (1 to 100).map(i => (i.toLong, s"s${i % 4}", "a b c d")).toDF("doc_id", "source", "text")
     val mixed = Pipelines.domainMix(df, "doc_id", "source",

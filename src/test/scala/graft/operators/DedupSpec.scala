@@ -127,6 +127,29 @@ class DedupSpec extends SparkSuite {
     assert(jobs <= 32, s"expected ≤32 jobs for an 8-chain CC, saw $jobs")
   }
 
+  test("dup segments: shared tumbling segments counted per doc, unique docs score zero") {
+    // 4-token segments; docs 1 and 2 share their first segment exactly,
+    // doc 3 is unique throughout.
+    val docs4 = Seq(
+      (1L, "a b c d e f g h"), // segs: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"), // segs: "a b c d" (shared), "x y z w"
+      (3L, "p q r s t u v m")).toDF("doc_id", "text")
+    val got = Dedup.dupSegments(docs4, "doc_id", "text", segTokens = 4)
+      .select("doc_id", "n_segs", "n_dup_segs", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+  }
+
+  test("dup segments plan: candidate generation is an equi-join, never a cartesian") {
+    val docs4 = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.dupSegments(docs4, "doc_id", "text", segTokens = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
+
   test("simhash near-dup pairs include planted near-dups and exclude unrelated") {
     val got = SimHash.nearDupPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 7)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
