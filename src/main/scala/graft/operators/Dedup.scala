@@ -559,7 +559,13 @@ object Dedup {
     * with stride = length), a segment is "duplicated" when its exact
     * text occurs in more than one distinct document, and every document
     * reports how much of it is made of such shared spans — the
-    * drop/trim signal a curation pipeline thresholds on.
+    * drop/trim signal a curation pipeline thresholds on. Only
+    * FULL-length segments are duplicate-eligible: a trailing partial
+    * (as short as one token) would otherwise match the trailing
+    * remnant of unrelated documents and systematically inflate
+    * `dup_frac` — the reason Lee et al. impose a minimum match length.
+    * Partials still count in `n_segs`, so the fraction stays a share
+    * of the whole document.
     *
     * Scale: two shuffles, both on sparse keys — segments hash-group by
     * their text (at 100 TB, swap the raw text key for the 8-byte
@@ -568,14 +574,19 @@ object Dedup {
     * replicable), then duplicated segments equi-join back and re-group
     * by document with map-side combine. Nothing is ever all-pairs; the
     * suffix array's arbitrary-length matches are traded for fixed
-    * segment boundaries, the standard distributed approximation.
+    * segment boundaries, the standard distributed approximation. Like
+    * [[TextAnalysis.vocabCoverage]], the corpus is segmented twice
+    * (build-shared-set and probe branches can't share a subtree) —
+    * two scan-local passes, persist the segment projection at scale
+    * if that dominates.
     */
   def dupSegments(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int): DataFrame = {
     val segs = TextAnalysis.chunkDocuments(df, idCol, textCol,
       chunkTokens = segTokens, stride = segTokens)
-      .select(col(idCol), col("chunk_text"))
-    val shared = segs.groupBy(col("chunk_text"))
+      .select(col(idCol), col("chunk_text"), col("n_tok"))
+    val shared = segs.filter(col("n_tok") === segTokens)
+      .groupBy(col("chunk_text"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > 1)
       .select(col("chunk_text"), lit(1).as("__dup"))
@@ -600,9 +611,10 @@ object Dedup {
       |        unnest(range(((greatest(n - 6, 0) + 5) // 6) + 1)) AS i
       |      FROM t),
       |segs AS (SELECT doc_id,
-      |           array_to_string(ws[CAST(i*6 + 1 AS INT) : CAST(i*6 + 6 AS INT)], ' ') AS seg
+      |           array_to_string(ws[CAST(i*6 + 1 AS INT) : CAST(i*6 + 6 AS INT)], ' ') AS seg,
+      |           len(ws[CAST(i*6 + 1 AS INT) : CAST(i*6 + 6 AS INT)]) AS seg_len
       |         FROM c),
-      |shared AS (SELECT seg, 1 AS dup FROM segs
+      |shared AS (SELECT seg, 1 AS dup FROM segs WHERE seg_len = 6
       |           GROUP BY seg HAVING count(DISTINCT doc_id) > 1)
       |SELECT s.doc_id, count(*) AS n_segs,
       |       CAST(sum(COALESCE(sh.dup, 0)) AS BIGINT) AS n_dup_segs,

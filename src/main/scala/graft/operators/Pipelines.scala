@@ -102,12 +102,38 @@ object Pipelines {
     */
   def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val m = 2147483647L // 2^31 - 1 (prime)
-    val bucket = pmod(pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m)) * lit(48271L), lit(m))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
       when(col(groupCol) === g, lit(r)).otherwise(acc)
     }
-    df.filter(bucket < rate * lit(m.toDouble))
+    df.filter(lehmerBucket(idCol) < rate * lit(LehmerM.toDouble))
+  }
+
+  /** The ONE Lehmer generator every sampling operator in this file
+    * shares — [[stratifiedSample]], [[domainMix]], [[samplePerGroup]],
+    * [[domainUpsample]] must agree byte-for-byte so their cross-operator
+    * determinism contracts hold (e.g. a stratified prefilter keeps a
+    * superset of the per-group sample's winners). Overflow analysis in
+    * the [[stratifiedSample]] scaladoc.
+    */
+  private[operators] val LehmerM = 2147483647L // 2^31 - 1 (prime)
+  private[operators] def lehmerBucket(idCol: String): org.apache.spark.sql.Column =
+    pmod(pmod(pmod(col(idCol), lit(LehmerM)) * lit(48271L), lit(LehmerM)) * lit(48271L), lit(LehmerM))
+
+  /** Shared ratio pipeline for [[domainMix]] / [[domainUpsample]]:
+    * per-domain token totals (one map-side-combined aggregate) →
+    * UNCLAMPED target ratio r = budget·w_d / tokens_d. Callers clamp
+    * (mix) or epoch-expand (upsample).
+    */
+  private def domainRatios(toks: DataFrame, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      budgetTokens: Long): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    toks.groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .select(col(groupCol),
+        (lit(budgetTokens.toDouble) * w / col("toks").cast("double")).as("r"))
   }
 
   def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
@@ -239,18 +265,10 @@ object Pipelines {
   def domainMix(df: DataFrame, idCol: String, groupCol: String,
       tokenCount: org.apache.spark.sql.Column, weights: Map[String, Double],
       defaultWeight: Double, budgetTokens: Long): DataFrame = {
-    val m = 2147483647L // 2^31 - 1, same generator as stratifiedSample
     val toks = df.select(col(idCol), col(groupCol), tokenCount.cast("long").as("n_tokens"))
-    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, r)) =>
-      when(col(groupCol) === g, lit(r)).otherwise(acc)
-    }
-    val ratios = toks.groupBy(col(groupCol))
-      .agg(sum(col("n_tokens")).as("toks"))
-      .select(col(groupCol),
-        least(lit(1.0), lit(budgetTokens.toDouble) * w / col("toks").cast("double")).as("r"))
-    val bucket = pmod(pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m)) * lit(48271L), lit(m))
+    val ratios = domainRatios(toks, groupCol, weights, defaultWeight, budgetTokens)
     toks.join(broadcast(ratios), groupCol)
-      .filter(bucket < col("r") * lit(m.toDouble))
+      .filter(lehmerBucket(idCol) < least(lit(1.0), col("r")) * lit(LehmerM.toDouble))
   }
 
   def domainMixQuery(spark: SparkSession, dir: String): DataFrame =
@@ -277,11 +295,9 @@ object Pipelines {
     */
   def samplePerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
     require(k > 0, "samplePerGroup needs k > 0")
-    val m = 2147483647L // 2^31 - 1, same generator as stratifiedSample
-    val bucket = pmod(pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m)) * lit(48271L), lit(m))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", bucket)
+    df.withColumn("__h", lehmerBucket(idCol))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__h", "__rk")
@@ -319,19 +335,12 @@ object Pipelines {
   def domainUpsample(df: DataFrame, idCol: String, groupCol: String,
       tokenCount: org.apache.spark.sql.Column, weights: Map[String, Double],
       defaultWeight: Double, budgetTokens: Long): DataFrame = {
-    val m = 2147483647L
     val toks = df.select(col(idCol), col(groupCol), tokenCount.cast("long").as("n_tokens"))
-    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, r)) =>
-      when(col(groupCol) === g, lit(r)).otherwise(acc)
-    }
-    val ratios = toks.groupBy(col(groupCol))
-      .agg(sum(col("n_tokens")).as("toks"))
-      .select(col(groupCol),
-        (lit(budgetTokens.toDouble) * w / col("toks").cast("double")).as("r"))
-    val bucket = pmod(pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m)) * lit(48271L), lit(m))
+    val ratios = domainRatios(toks, groupCol, weights, defaultWeight, budgetTokens)
     toks.join(broadcast(ratios), groupCol)
       .withColumn("__copies",
-        floor(col("r")) + when(bucket < (col("r") - floor(col("r"))) * lit(m.toDouble), 1L)
+        floor(col("r")) + when(lehmerBucket(idCol) <
+            (col("r") - floor(col("r"))) * lit(LehmerM.toDouble), 1L)
           .otherwise(0L))
       .filter(col("__copies") > 0)
       .select(col(idCol), col(groupCol), col("n_tokens"),

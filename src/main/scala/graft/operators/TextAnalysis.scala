@@ -257,6 +257,10 @@ object TextAnalysis {
     * vocabulary BROADCASTS back, and the per-doc roll-up re-groups
     * token rows by doc id — docs are contiguous within partitions, so
     * partial aggregation collapses that shuffle to ~one row per doc.
+    * The corpus IS tokenized twice (the vocabulary branch and the
+    * probe branch cannot share an un-exchanged subtree): two
+    * scan-local passes, no extra shuffle — at 100 TB, persist the
+    * token projection between the passes if the second scan dominates.
     */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {

@@ -715,14 +715,18 @@ object BucketedQueries {
 
   /** q111 — CDC REPLICATION: the change feed driving a MERGE INTO a
     * replica table — the canonical downstream consumer the coalesced
-    * update tags exist for. Customer seeds both a source and an
-    * (initially empty) replica; the source churns (DELETE one segment,
-    * COW UPDATE another, fresh INSERTs); a bounded change window
-    * (v0 → current) is read back and applied to the replica with ONE
-    * MERGE: add-tagged rows (insert/update_postimage) upsert, while
-    * delete-tagged keys whose final event is a removal delete. The
-    * gated read aggregates the REPLICA, which must equal the source's
-    * final state — replication correctness, not just feed correctness.
+    * update tags exist for. Customer loads a source table; the replica
+    * is SEEDED from the initial-snapshot change window first, THEN the
+    * source churns (DELETE one segment, COW UPDATE another, fresh
+    * INSERTs) and the churn-only window is applied second — so the
+    * MERGE's MATCHED paths really execute: COW updates hit existing
+    * replica rows (MATCHED UPDATE) and removal deletes hit seeded rows
+    * (MATCHED DELETE), not just NOT-MATCHED inserts into an empty
+    * table. Each window is applied by ONE MERGE: add-tagged rows
+    * (insert/update_postimage) upsert, while keys whose final event is
+    * a remove-tag delete. The gated read aggregates the REPLICA, which
+    * must equal the source's final state — replication correctness,
+    * not just feed correctness.
     *
     * At 100 TB: the window moves only churn; the MERGE's rewrite scan
     * prunes to the buckets owning changed keys (COW group replace).
@@ -738,45 +742,56 @@ object BucketedQueries {
     BucketStore.drop(src)
     BucketStore.load(spark, src, graft.tables.Tables.customer(spark, dir), "c_custkey",
       NumBuckets)
-    // churn: remove a segment, update another, insert fresh rows
+    val seedVersion = BucketStore.currentVersion(src)
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$rep`")
+    spark.sql(s"CREATE TABLE graft.`$rep` (c_custkey BIGINT, c_name STRING, " +
+      s"c_nationkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING) " +
+      "PARTITIONED BY (bucket(16, c_custkey))")
+    // ONE MERGE applies a bounded change window to the replica: the
+    // latest event per key decides the row (key is unique) — an
+    // add-tag wins as the new image, a remove-tag means delete
+    def applyWindow(startV: Long, endV: Long): Unit = {
+      val changes = spark.read.format("graft-buckets")
+        .option("table", src).option("mode", "cdc")
+        .option("changesStart", startV.toString)
+        .option("changesEnd", endV.toString).load()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_custkey"))
+        .orderBy(col(CdcSchema.CommitVersion).desc,
+          // within one commit a coalesced pair shares the version: the
+          // postimage (an add) outranks its preimage deterministically
+          col(CdcSchema.ChangeType).isin(CdcSchema.Adds: _*).desc)
+      val latest = changes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+      latest.createOrReplaceTempView("rep_changes")
+      val removes = Seq(CdcSchema.Delete, CdcSchema.UpdatePre)
+      spark.sql(
+        s"""MERGE INTO graft.`$rep` t USING rep_changes s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.${CdcSchema.ChangeType} IN (${removes
+              .map("'" + _ + "'").mkString(", ")})
+           |  THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  t.c_name = s.c_name, t.c_nationkey = s.c_nationkey,
+           |  t.c_acctbal = s.c_acctbal, t.c_mktsegment = s.c_mktsegment
+           |WHEN NOT MATCHED AND s.${CdcSchema.ChangeType} IN (${CdcSchema.Adds
+              .map("'" + _ + "'").mkString(", ")})
+           |  THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+           |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment)
+           |""".stripMargin)
+    }
+    // phase 1: seed the replica from the initial-snapshot window
+    // (every row arrives NOT MATCHED → insert)
+    applyWindow(0L, seedVersion)
+    // phase 2: churn the SOURCE, then replicate only the churn window —
+    // now COW updates and removals hit seeded rows (MATCHED paths)
     spark.sql(s"DELETE FROM graft.`$src` WHERE c_mktsegment = 'MACHINERY'")
     spark.sql(s"UPDATE graft.`$src` SET c_acctbal = c_acctbal + 100.0 " +
       "WHERE c_mktsegment = 'BUILDING'")
     spark.sql(s"INSERT INTO graft.`$src` SELECT c_custkey + 20000000, c_name, " +
       s"c_nationkey, 777.0, 'REPLICATED' FROM graft.`$src` WHERE c_mktsegment = 'AUTOMOBILE'")
-    // replica starts empty; the change window (v0, current] carries the
-    // initial snapshot as inserts plus all churn
-    spark.sql(s"DROP TABLE IF EXISTS graft.`$rep`")
-    spark.sql(s"CREATE TABLE graft.`$rep` (c_custkey BIGINT, c_name STRING, " +
-      s"c_nationkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING) " +
-      "PARTITIONED BY (bucket(16, c_custkey))")
-    val changes = spark.read.format("graft-buckets")
-      .option("table", src).option("mode", "cdc").option("changesStart", "0").load()
-    // latest event per key decides the replica row (key is unique):
-    // an add-tag wins as the new image, a remove-tag means delete
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_custkey"))
-      .orderBy(col(CdcSchema.CommitVersion).desc,
-        // within one commit a coalesced pair shares the version: the
-        // postimage (an add) outranks its preimage deterministically
-        col(CdcSchema.ChangeType).isin(CdcSchema.Adds: _*).desc)
-    val latest = changes
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    latest.createOrReplaceTempView("rep_changes")
-    spark.sql(
-      s"""MERGE INTO graft.`$rep` t USING rep_changes s ON t.c_custkey = s.c_custkey
-         |WHEN MATCHED AND s.${CdcSchema.ChangeType} IN ('delete', 'update_preimage')
-         |  THEN DELETE
-         |WHEN MATCHED THEN UPDATE SET
-         |  t.c_name = s.c_name, t.c_nationkey = s.c_nationkey,
-         |  t.c_acctbal = s.c_acctbal, t.c_mktsegment = s.c_mktsegment
-         |WHEN NOT MATCHED AND s.${CdcSchema.ChangeType} IN (${CdcSchema.Adds
-            .map("'" + _ + "'").mkString(", ")})
-         |  THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
-         |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment)
-         |""".stripMargin)
+    applyWindow(seedVersion, BucketStore.currentVersion(src))
     spark.table(s"graft.`$rep`")
       .groupBy(col("c_mktsegment"))
       .agg(

@@ -167,6 +167,8 @@ object ConnectorOptions {
     }
     require(!(timestampAsOf.isDefined && (versionAsOf.isDefined || cdc)),
       "graft-buckets: 'timestampasof' cannot combine with 'versionasof' or mode=cdc")
+    require(!(upsert && timestampAsOf.isDefined),
+      "graft-buckets: 'upsert' is a write option and cannot combine with 'timestampasof'")
     ConnectorOptions(table, posInt("fetchsize", Some(1000)).get, posInt("numpartitions", None),
       versionAsOf, cdc, changesStart, changesEnd, upsert, timestampAsOf)
   }

@@ -142,6 +142,20 @@ class DedupSpec extends SparkSuite {
     assert(got(3L) === ((2L, 0L, 0.0)))
   }
 
+  test("dup segments: shared trailing PARTIALS are not duplicate-eligible (min match length)") {
+    // both docs end in the same 1-token remnant "the" — a trivially
+    // common short match that must NOT count as duplication
+    val docs4 = Seq(
+      (1L, "a b c d the"),
+      (2L, "p q r s the")).toDF("doc_id", "text")
+    val got = Dedup.dupSegments(docs4, "doc_id", "text", segTokens = 4)
+      .select("doc_id", "n_segs", "n_dup_segs")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the partial still counts in the denominator, never the numerator
+    assert(got(1L) === ((2L, 0L)))
+    assert(got(2L) === ((2L, 0L)))
+  }
+
   test("dup segments plan: candidate generation is an equi-join, never a cartesian") {
     val docs4 = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val plan = Dedup.dupSegments(docs4, "doc_id", "text", segTokens = 2)

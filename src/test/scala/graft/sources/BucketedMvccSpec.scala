@@ -357,6 +357,14 @@ class BucketedMvccSpec extends SparkSuite {
         .option("table", "cdc_opts").option("changesStart", "0").load()
     }
     assert(ex4.getMessage.contains("only apply to mode=cdc"))
+    // upsert is write-only and must be rejected at PARSE time against
+    // every time-travel axis — timestampasof the same as versionasof
+    val ex5 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets")
+        .option("table", "cdc_opts").option("upsert", "true")
+        .option("timestampAsOf", "1").load()
+    }
+    assert(ex5.getMessage.contains("'upsert' is a write option"))
   }
 
   test("ALTER TABLE ADD COLUMN: zero-rewrite evolution, padded reads, DML, CDC, time travel") {
