@@ -240,6 +240,9 @@ object SparkEntry {
     // — Gopher-style vocabulary-coverage quality gate: corpus top-V
     //   vocabulary broadcast back over token rows —
     "q116_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageQuery _,
+    // — per-bucket membership-sketch data skipping: a point lookup on
+    //   a NON-key column opens only the buckets whose sketch admits it —
+    "q117_skip_lookup" -> graft.sources.bucketed.BucketedQueries.skipLookupQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -407,5 +410,6 @@ object SparkEntry {
     "q114_sample_per_group" -> graft.operators.Pipelines.samplePerGroupSql,
     "q115_domain_upsample" -> graft.operators.Pipelines.domainUpsampleSql,
     "q116_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageSql,
+    "q117_skip_lookup" -> graft.sources.bucketed.BucketedQueries.skipLookupSql,
   )
 }

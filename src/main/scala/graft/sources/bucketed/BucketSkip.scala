@@ -1,0 +1,188 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-bucket data skipping: min/max/null-count zone maps plus a
+  * membership sketch (Bloom filter) per column, consulted at split
+  * planning so buckets that provably contain no matching row are never
+  * opened — the store-side analog of Parquet row-group statistics
+  * (reference: the store prunes gets to owning buckets only for KEY
+  * equality, SnappyDataConnectorHelper.scala:23-25; this extends
+  * skipping to ANY pushed column).
+  *
+  * Why two structures: under the store's HASH bucket layout every
+  * bucket samples the whole value distribution, so min/max zones
+  * prune only out-of-range predicates (a date beyond ingestion, an id
+  * past the high-water mark) — but the membership sketch is
+  * layout-independent: a point lookup on a high-cardinality non-key
+  * column (an id, a name, a URL) hashes to few buckets' sketches and
+  * opens only those readers. Min/max earns its keep once a layout
+  * correlates values with buckets (range partitioning, post-
+  * `recluster` sorted runs feeding [[ClusterRange]]).
+  *
+  * Skipping is CONSERVATIVE by construction: the sketch has no false
+  * negatives (a contained value always probes true), min/max bounds
+  * use the same [[FilterEval.cmp]] total order the row filter uses
+  * (NaN-as-largest, exact mixed-width numerics), three-valued-logic
+  * filters prune only when the predicate is definitely-not-true for
+  * every row. A false positive merely opens a bucket whose rows the
+  * row-level filter then drops — never wrong results.
+  *
+  * Lifecycle: statistics are built lazily (first pushed filter on the
+  * column) and cached by BUCKET-ARRAY IDENTITY — exactly the sharing
+  * the COW store already has. An unchanged bucket keeps its row array
+  * across versions, so it keeps its statistics; only rewritten buckets
+  * recompute, and vacuumed arrays age out with their weak keys. At
+  * 100 TB the same stats live in table metadata, written by the
+  * producer at commit (one streaming pass per changed bucket, exactly
+  * what this cache does on first touch).
+  *
+  * Schema evolution: rows below the current arity (pre-ALTER stored
+  * rows) read as NULL for the added columns, matching the fetch-path
+  * padding ([[BucketStore.pad]]).
+  */
+object BucketSkip {
+
+  /** Column statistics for one bucket. `min`/`max` are stored-type
+    * values under [[FilterEval.cmp]]; null ⇔ the bucket has no
+    * non-null value in the column. `bloom` null ⇔ the type is not
+    * sketchable (only exact-equality types are: integrals + strings).
+    */
+  final case class ColSkip(
+      rowCount: Int,
+      nullCount: Int,
+      min: Any,
+      max: Any,
+      bloom: java.util.BitSet,
+      bloomBits: Int) {
+    def nonNullCount: Int = rowCount - nullCount
+  }
+
+  /** rows-array identity → per-column stats (None caches "cannot skip
+    * on this column"). WeakHashMap compares Java arrays by reference,
+    * which IS the COW sharing key; weak keys let vacuumed versions'
+    * arrays age out.
+    */
+  private val cache =
+    new java.util.WeakHashMap[Array[Row], scala.collection.concurrent.TrieMap[String, Option[ColSkip]]]()
+
+  private def statsFor(schema: StructType, rows: Array[Row], c: String): Option[ColSkip] = {
+    val perCol = cache.synchronized {
+      var e = cache.get(rows)
+      if (e == null) { e = scala.collection.concurrent.TrieMap.empty; cache.put(rows, e) }
+      e
+    }
+    perCol.getOrElseUpdate(c, build(schema, rows, c))
+  }
+
+  private def comparableType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | TimestampType | DateType => true
+    case _ => false
+  }
+
+  private def sketchableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  private def build(schema: StructType, rows: Array[Row], c: String): Option[ColSkip] = {
+    val i = schema.fieldIndex(c)
+    val dt = schema(i).dataType
+    if (!comparableType(dt)) return None
+    val nbits =
+      if (!sketchableType(dt)) 0
+      else math.min(1 << 22, math.max(64, Integer.highestOneBit(rows.length * 8 - 1) << 1))
+    val bloom = if (nbits > 0) new java.util.BitSet(nbits) else null
+    var nulls = 0
+    var min: Any = null
+    var max: Any = null
+    rows.foreach { r =>
+      // pre-ALTER stored rows are below the current arity: added
+      // columns read as NULL (the fetch path pads identically)
+      if (i >= r.size || r.isNullAt(i)) nulls += 1
+      else {
+        val v = r.get(i)
+        if (min == null || FilterEval.cmp(v, min) < 0) min = v
+        if (max == null || FilterEval.cmp(v, max) > 0) max = v
+        if (bloom != null) sketchHash(v).foreach(h => setBits(bloom, nbits, h))
+      }
+    }
+    Some(ColSkip(rows.length, nulls, min, max, bloom, nbits))
+  }
+
+  /** Canonical 64-bit hash for sketchable values: every integral width
+    * hashes as its Long value (so a pushed Int literal probes an
+    * Int-or-Long column identically); strings hash FNV-1a. None for
+    * anything else — the probe then falls back to min/max only.
+    */
+  private def sketchHash(v: Any): Option[Long] = v match {
+    case x: Long => Some(mix64(x))
+    case x: Int => Some(mix64(x.toLong))
+    case x: Short => Some(mix64(x.toLong))
+    case x: Byte => Some(mix64(x.toLong))
+    case x: String =>
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < x.length) { h ^= x.charAt(j); h *= 0x100000001b3L; j += 1 }
+      Some(mix64(h))
+    case _ => None
+  }
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def setBits(bs: java.util.BitSet, nbits: Int, h: Long): Unit = {
+    bs.set(((h & Long.MaxValue) % nbits).toInt)
+    bs.set((((h >>> 21) & Long.MaxValue) % nbits).toInt)
+  }
+
+  private def testBits(bs: java.util.BitSet, nbits: Int, h: Long): Boolean =
+    bs.get(((h & Long.MaxValue) % nbits).toInt) &&
+      bs.get((((h >>> 21) & Long.MaxValue) % nbits).toInt)
+
+  /** May ANY row of this bucket satisfy `f`? True = must open the
+    * bucket; false = provably empty result, skip it. Unknown filter
+    * shapes and missing statistics answer true (no skip, never wrong).
+    */
+  def mayMatch(schema: StructType, rows: Array[Row], f: Filter): Boolean = {
+    def stats(c: String): Option[ColSkip] =
+      if (!schema.fieldNames.contains(c)) None else statsFor(schema, rows, c)
+    def eqOne(s: ColSkip, v: Any): Boolean =
+      if (v == null || s.min == null) false
+      else if (FilterEval.cmp(s.min, v) > 0 || FilterEval.cmp(s.max, v) < 0) false
+      else s.bloom == null || sketchHash(v).forall(testBits(s.bloom, s.bloomBits, _))
+    def eqMay(so: Option[ColSkip], v: Any): Boolean = so.forall(eqOne(_, v))
+    // exists non-null value with pred(cmp(value, v)): the witness is
+    // max for >-shaped predicates, min for <-shaped ones
+    def boundMay(so: Option[ColSkip], v: Any, useMax: Boolean, pred: Int => Boolean): Boolean =
+      so.forall(s => s.min != null &&
+        pred(FilterEval.cmp(if (useMax) s.max else s.min, v)))
+    def go(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => eqMay(stats(c), v)
+      case EqualNullSafe(c, null) => stats(c).forall(_.nullCount > 0)
+      case EqualNullSafe(c, v) => eqMay(stats(c), v)
+      case In(c, vs) => stats(c) match {
+        case None => true
+        case Some(s) => vs != null && vs.exists(eqOne(s, _))
+      }
+      case GreaterThan(c, v) => boundMay(stats(c), v, useMax = true, _ > 0)
+      case GreaterThanOrEqual(c, v) => boundMay(stats(c), v, useMax = true, _ >= 0)
+      case LessThan(c, v) => boundMay(stats(c), v, useMax = false, _ < 0)
+      case LessThanOrEqual(c, v) => boundMay(stats(c), v, useMax = false, _ <= 0)
+      case IsNull(c) => stats(c).forall(_.nullCount > 0)
+      case IsNotNull(c) => stats(c).forall(_.nonNullCount > 0)
+      case AlwaysFalse() => false
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+      // Not / string matchers / AlwaysTrue / unknown: no skip
+      case _ => true
+    }
+    go(f)
+  }
+}

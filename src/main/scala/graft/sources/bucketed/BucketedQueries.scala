@@ -849,6 +849,29 @@ object BucketedQueries {
       |FROM orders WHERE o_orderpriority <> '1-URGENT'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** q117 — data-skipping point lookup on a NON-key column: c_name is
+    * unique but the table is bucketed by c_custkey, so key-equality
+    * pruning cannot help — the per-bucket membership sketch
+    * ([[BucketSkip]]) answers which buckets can possibly hold each
+    * name and the scan opens only those readers (BucketSkipSpec pins
+    * the reader count; this entry gates the ANSWER). At 100 TB this is
+    * the difference between a point lookup touching ~1 server and a
+    * full-cluster scan, on any high-cardinality column, with no
+    * secondary index to maintain — the sketches ride the COW bucket
+    * arrays.
+    */
+  def skipLookupQuery(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"customer@$dir", dir, "customer", "c_custkey", NumBuckets)
+    spark.read.format("graft-buckets").option("table", s"customer@$dir").load()
+      .filter(col("c_name").isin("Customer#000000042", "Customer#000000007"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+  }
+
+  val skipLookupSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE c_name IN ('Customer#000000042', 'Customer#000000007')""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

@@ -743,7 +743,17 @@ private[sources] object BucketSplits {
       case Some(keep) => all.filter(p => keep.contains(p.asInstanceOf[BucketInputPartition].bucket))
       case None => all
     }
-    if (planned.isEmpty && keepOneWhenPruned && all.nonEmpty) all.take(1) else planned
+    // second pruning axis, ANY pushed column: per-bucket zone maps +
+    // membership sketches ([[BucketSkip]]) drop buckets that provably
+    // hold no matching row — a point lookup on a non-key column opens
+    // ~1 reader instead of the fleet
+    val skipped =
+      if (filters.isEmpty) planned
+      else planned.filter { p =>
+        val b = p.asInstanceOf[BucketInputPartition].bucket
+        filters.forall(f => BucketSkip.mayMatch(t.schema, t.buckets(b), f))
+      }
+    if (skipped.isEmpty && keepOneWhenPruned && all.nonEmpty) all.take(1) else skipped
   }
 }
 
