@@ -243,6 +243,9 @@ object SparkEntry {
     // — per-bucket membership-sketch data skipping: a point lookup on
     //   a NON-key column opens only the buckets whose sketch admits it —
     "q117_skip_lookup" -> graft.sources.bucketed.BucketedQueries.skipLookupQuery _,
+    // — pushed TABLESAMPLE: deterministic hash window inside the
+    //   bucket readers, replayed row-for-row by the oracle —
+    "q118_sample_scan" -> graft.sources.bucketed.BucketedQueries.sampleScanQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -411,5 +414,6 @@ object SparkEntry {
     "q115_domain_upsample" -> graft.operators.Pipelines.domainUpsampleSql,
     "q116_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageSql,
     "q117_skip_lookup" -> graft.sources.bucketed.BucketedQueries.skipLookupSql,
+    "q118_sample_scan" -> graft.sources.bucketed.BucketedQueries.sampleScanSql,
   )
 }

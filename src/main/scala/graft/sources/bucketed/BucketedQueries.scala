@@ -872,6 +872,36 @@ object BucketedQueries {
       |FROM customer
       |WHERE c_name IN ('Customer#000000042', 'Customer#000000007')""".stripMargin
 
+  /** q118 — pushed TABLESAMPLE: the `TABLESAMPLE (10 PERCENT)` clause
+    * reaches the bucket readers ([[SampleSpec]]) as a deterministic
+    * Lehmer-hash window over the bucket key, so rows outside the
+    * sample never cross to Spark and the SAME sample re-materializes
+    * on every run, partitioning, and engine — the reproducibility a
+    * curation pipeline needs from its corpus subsampling, and the
+    * reason the DuckDB oracle can replay the sample row-for-row
+    * (seeded RNG sampling could only be rows-only checked). The
+    * aggregate above stays Spark-side by design: sample and aggregate
+    * pushdown are mutually exclusive so the composition is always
+    * explicit ([[BucketedScanBuilder.pushTableSample]]).
+    */
+  def sampleScanQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.ensureLoaded(spark, s"orders@$dir", dir, "orders", "o_orderkey", NumBuckets)
+    spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n,
+         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM graft.`orders@$dir` TABLESAMPLE (10 PERCENT)
+         |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val sampleScanSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE (((o_orderkey % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647
+      |      < 0.1 * 2147483647
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

@@ -330,7 +330,8 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   */
 class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOptions.Defaults)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
 
   // the PINNED snapshot's schema: filters/pruning/projection resolve
   // against the version actually read (matters after ADD COLUMN)
@@ -342,6 +343,7 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
   private var aggSpec: Option[AggSpec] = None
   private var limit: Option[Int] = None
   private var topN: Option[TopNSpec] = None
+  private var sample: Option[SampleSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition(FilterEval.supports(full, _))
@@ -362,9 +364,33 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // a pushed sample must stay BELOW any aggregation; if both were
+    // accepted the readers would have to compose them, and a missed
+    // composition silently aggregates unsampled rows — decline instead
+    if (sample.isDefined) return false
     val spec = AggSpec.from(aggregation, full)
     spec.foreach(s => aggSpec = Some(s))
     spec.isDefined
+  }
+
+  /** TABLESAMPLE pushdown: the sample evaluates inside the bucket
+    * readers (rows outside the window never cross to Spark) as a
+    * DETERMINISTIC hash window over the bucket key — the same Lehmer
+    * generator the curation samplers use — so a sampled pipeline is
+    * exactly reproducible across runs, partitionings, and engines
+    * (the DuckDB oracle replays the identical arithmetic). The seed is
+    * deliberately ignored: a seeded RNG sample can't be replayed by an
+    * independent engine, and reproducibility is the property a 100 TB
+    * curation pipeline actually needs (the store samples like
+    * [[graft.operators.Pipelines.stratifiedSample]], not like `rand()`).
+    * Declined for replacement sampling, non-integral bucket keys, and
+    * scans that already pushed an aggregate.
+    */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    val keyType = full(BucketStore.getWithRetry(name).keyCol).dataType
+    if (withReplacement || aggSpec.isDefined || !SampleSpec.supported(keyType)) false
+    else { sample = Some(SampleSpec(lowerBound, upperBound)); true }
   }
 
   /** LIMIT n stops each bucket's page iterator after n rows instead of
@@ -428,8 +454,43 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
       case Some(spec) => new BucketedAggScan(name, spec, pushed, t.version, opts.fetchSize)
       case None =>
         new BucketedScan(name, required, pushed, t.version, opts.fetchSize, limit, topN,
-          planListener, pruneOnlyFilters, timeTravel = opts.versionAsOf.isDefined)
+          planListener, pruneOnlyFilters, timeTravel = opts.versionAsOf.isDefined,
+          sample = sample)
     }
+  }
+}
+
+/** Deterministic pushed TABLESAMPLE window: keep a row iff the Lehmer
+  * hash of its bucket key lands in `[lower·M, upper·M)` — the exact
+  * arithmetic of the curation samplers (overflow analysis at
+  * [[graft.operators.Pipelines.stratifiedSample]]), replicable in
+  * plain SQL. Null keys hash to 0, so they ride with any window that
+  * starts at 0.
+  */
+final case class SampleSpec(lower: Double, upper: Double) {
+  def keep(key: Any): Boolean = {
+    val h = SampleSpec.hash(key)
+    h >= lower * SampleSpec.M && h < upper * SampleSpec.M
+  }
+  def describe: String = s"pushedSample=[$lower,$upper)"
+}
+
+object SampleSpec {
+  val M: Long = 2147483647L // 2^31 - 1 (prime)
+  def hash(key: Any): Long = key match {
+    case null => 0L
+    case n: Number =>
+      val k = Math.floorMod(n.longValue(), M)
+      Math.floorMod(k * 48271L, M) * 48271L % M
+    case _ => 0L
+  }
+  /** Integral keys only: the hash must be replayable by an independent
+    * engine without 64-bit-overflow gymnastics.
+    */
+  def supported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
   }
 }
 
@@ -607,7 +668,8 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     fetchSize: Int = 1000, limit: Option[Int] = None, topN: Option[TopNSpec] = None,
     onPlan: Option[Array[Int] => Unit] = None,
     pruneOnly: Array[Filter] = Array.empty,
-    timeTravel: Boolean = false)
+    timeTravel: Boolean = false,
+    sample: Option[SampleSpec] = None)
   extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -623,7 +685,10 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val t = BucketStore.snapshotWithRetry(name, version)
-    val rows = t.buckets.iterator.map(_.length.toLong).sum
+    val raw = t.buckets.iterator.map(_.length.toLong).sum
+    // a pushed sample shrinks the scan's output by its window width —
+    // report the post-sample estimate so join-side decisions see it
+    val rows = sample.map(s => (raw * (s.upper - s.lower)).toLong).getOrElse(raw)
     val rowWidth = math.max(1, required.defaultSize)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -633,7 +698,8 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   }
   override def toBatch: Batch = this
   override def description(): String = {
-    val extra = topN.map(" " + _.describe).orElse(limit.map(n => s" pushedLimit=$n")).getOrElse("")
+    val extra = topN.map(" " + _.describe).orElse(limit.map(n => s" pushedLimit=$n")).getOrElse("") +
+      sample.map(" " + _.describe).getOrElse("")
     // surface the clustered-index slice in the plan (audit hook):
     // provable bounds on the cluster column mean the fetch will
     // binary-search the sorted run instead of streaming the bucket
@@ -711,7 +777,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BucketedReaderFactory(required, filters, fetchSize, limit, topN)
+    new BucketedReaderFactory(required, filters, fetchSize, limit, topN, sample)
 }
 
 /** One split per live bucket, after key-equality bucket pruning: a
@@ -993,11 +1059,12 @@ private[bucketed] object BucketReaderSupport {
 }
 
 class BucketedReaderFactory(required: StructType, filters: Array[Filter], fetchSize: Int = 1000,
-    limit: Option[Int] = None, topN: Option[TopNSpec] = None)
+    limit: Option[Int] = None, topN: Option[TopNSpec] = None,
+    sample: Option[SampleSpec] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BucketInputPartition]
-    new BucketedPartitionReader(p, required, filters, fetchSize, limit, topN)
+    new BucketedPartitionReader(p, required, filters, fetchSize, limit, topN, sample)
   }
 }
 
@@ -1015,7 +1082,8 @@ class BucketedReaderFactory(required: StructType, filters: Array[Filter], fetchS
   */
 class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
     filters: Array[Filter], fetchSize: Int = 1000,
-    limit: Option[Int] = None, topN: Option[TopNSpec] = None)
+    limit: Option[Int] = None, topN: Option[TopNSpec] = None,
+    sample: Option[SampleSpec] = None)
   extends PartitionReader[InternalRow] {
 
   // MVCC: read exactly the snapshot pinned at planning (see the agg
@@ -1053,7 +1121,14 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
     val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize, range,
       reverse = indexOrderedReverse.contains(true))
     conn = c
-    val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+    // pushed TABLESAMPLE evaluates here, before limit/top-N, so both
+    // apply to the sampled stream (the plan order they replaced)
+    val keyIdx = fullSchema.fieldIndex(table.keyCol)
+    val sampled = sample match {
+      case Some(s) => rows.filter(r => s.keep(if (r.isNullAt(keyIdx)) null else r.get(keyIdx)))
+      case None => rows
+    }
+    val filtered = sampled.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
     topN match {
       case Some(spec) if indexOrderedReverse.isDefined =>
         filtered.take(spec.n)

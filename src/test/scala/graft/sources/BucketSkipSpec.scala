@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.sources.bucketed.{BucketStore, BucketedCatalog, ConnectionPool}
+import graft.sources.bucketed.{BucketStore, BucketedCatalog, ConnectionPool, SampleSpec}
 
 /** Per-bucket data skipping ([[graft.sources.bucketed.BucketSkip]]):
   * membership sketches prune non-key point lookups, zone maps prune
@@ -64,6 +64,29 @@ class BucketSkipSpec extends SparkSuite {
     val renamed = scan("skip_cow").filter(col("name") === "renamed-77").collect()
     assert(renamed.map(_.getAs[Long]("k")).toSeq === Seq(77L))
     assert(scan("skip_cow").filter(col("name") === "name-77").count() === 0L)
+  }
+
+  test("pushed TABLESAMPLE: Sample node removed, deterministic window, guarded compositions") {
+    val df = (1 to 2000).map(i => (i.toLong, i % 7)).toDF("k", "grp")
+    BucketStore.drop("samp_t")
+    BucketStore.load(spark, "samp_t", df, "k", 8)
+    val q = scan("samp_t").sample(0.25)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedSample=[0.0,0.25)"), plan.take(1200))
+    assert(!plan.contains("Sample ("), "the Sample operator must be subsumed by the scan")
+    // row-exact: the readers apply the same Lehmer window the spec computes
+    val expected = (1L to 2000L).count(SampleSpec(0.0, 0.25).keep(_))
+    assert(q.count().toInt === expected)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      scan("samp_t").sample(0.25).collect().map(_.getLong(0)).sorted.toSeq)
+    // replacement sampling is declined: Spark keeps its own Sample
+    val wr = scan("samp_t").sample(withReplacement = true, 0.25, seed = 7)
+    assert(!wr.queryExecution.executedPlan.toString.contains("pushedSample"))
+    // sample + aggregate never both push (explicit composition only)
+    val agg = scan("samp_t").sample(0.25).groupBy().count()
+    val aplan = agg.queryExecution.executedPlan.toString
+    assert(aplan.contains("pushedSample") && !aplan.contains("PushedAggregates"),
+      aplan.take(1200))
   }
 
   test("schema evolution: pre-ALTER short rows count as nulls for the added column, no crash") {
