@@ -246,6 +246,9 @@ object SparkEntry {
     // — pushed TABLESAMPLE: deterministic hash window inside the
     //   bucket readers, replayed row-for-row by the oracle —
     "q118_sample_scan" -> graft.sources.bucketed.BucketedQueries.sampleScanQuery _,
+    // — RANGE bucket layout: repartition_range + DML through the
+    //   boundaries + a key-range window served by owning buckets only —
+    "q119_range_layout" -> graft.sources.bucketed.BucketedQueries.rangeLayoutQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -415,5 +418,6 @@ object SparkEntry {
     "q116_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageSql,
     "q117_skip_lookup" -> graft.sources.bucketed.BucketedQueries.skipLookupSql,
     "q118_sample_scan" -> graft.sources.bucketed.BucketedQueries.sampleScanSql,
+    "q119_range_layout" -> graft.sources.bucketed.BucketedQueries.rangeLayoutSql,
   )
 }

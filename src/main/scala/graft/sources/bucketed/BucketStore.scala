@@ -46,6 +46,13 @@ object BucketStore {
     * binary-searching the qualifying slice instead of streaming the
     * bucket (see [[HostConnection.fetchBucket]] / [[ClusterRange]]).
     */
+  /** `rangeBounds`: when set (length = buckets−1, sorted), the table
+    * is RANGE-partitioned on the key instead of hash-partitioned —
+    * bucket b owns v iff v ≤ bounds(b) and bounds(b−1) < v (nulls →
+    * bucket 0; the last bucket is unbounded above). Every writer and
+    * pruner must route through [[routeBucket]], never the hash
+    * directly.
+    */
   final case class BucketTable(
       schema: StructType,
       keyCol: String,
@@ -53,7 +60,8 @@ object BucketStore {
       hosts: Array[Seq[String]],
       version: Long,
       clusterCol: Option[String] = None,
-      commitTs: Long = 0L)
+      commitTs: Long = 0L,
+      rangeBounds: Option[Array[Any]] = None)
 
   /** Retained snapshots per table, oldest → newest; `.last` is current. */
   private val tables = new ConcurrentHashMap[String, Vector[BucketTable]]()
@@ -272,7 +280,76 @@ object BucketStore {
     val next = t.copy(
       buckets = buckets,
       hosts = Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
-      version = versions.incrementAndGet())
+      version = versions.incrementAndGet(),
+      // re-hashing DESTROYS a range layout: clearing the bounds here is
+      // load-bearing (stale bounds would mis-route every future write)
+      rangeBounds = None)
+    publish(name, next)
+    next.version
+  }
+
+  /** Owning bucket under a RANGE layout: binary search of the sorted
+    * boundary array with the scan comparator ([[FilterEval.cmp]], so
+    * routing and zone-map pruning can never disagree). Nulls sort
+    * first → bucket 0.
+    */
+  def rangeBucketFor(bounds: Array[Any], v: Any): Int = {
+    if (v == null) return 0
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (FilterEval.cmp(v, bounds(mid)) <= 0) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  /** Route a key to its owning bucket under the table's layout — THE
+    * routing choke point every writer shares.
+    */
+  def routeBucket(t: BucketTable, v: Any): Int = t.rangeBounds match {
+    case Some(bounds) => rangeBucketFor(bounds, v)
+    case None => BucketFunction.bucketFor(v, t.buckets.length).getOrElse(
+      throw new UnsupportedOperationException(
+        s"bucket key value $v is not hash-bucketable"))
+  }
+
+  /** Switch `name` to a RANGE layout on its bucket key under ONE MVCC
+    * version: boundaries are the equal-frequency quantiles of the
+    * CURRENT key distribution, every row re-routes by binary search,
+    * and each bucket re-sorts on the key (clusterCol := key) — so a
+    * range predicate prunes to the owning buckets (zone maps see
+    * disjoint min/max) AND binary-searches inside them
+    * ([[ClusterRange]]): I/O ∝ answer at both granularities, the
+    * classic time-series layout. The one-off full shuffle twin of
+    * [[rebucket]]; co-partitioned joins stop being reported (range
+    * tables don't satisfy Spark's hash transform) — the scan declares
+    * unknown partitioning instead of lying.
+    */
+  def repartitionRange(name: String, numBuckets: Int): Long = synchronized {
+    require(numBuckets > 0,
+      s"repartition_range('$name'): numBuckets must be positive, got $numBuckets")
+    val t = get(name)
+    val keyIdx = t.schema.fieldIndex(t.keyCol)
+    def keyOf(r: Row): Any = if (keyIdx >= r.size || r.isNullAt(keyIdx)) null else r.get(keyIdx)
+    val keys = t.buckets.iterator.flatten.map(keyOf).filter(_ != null).toArray
+    require(keys.nonEmpty,
+      s"repartition_range('$name'): cannot derive range boundaries from an empty table")
+    val sorted = keys.sortWith((a, b) => FilterEval.cmp(a, b) < 0)
+    val bounds: Array[Any] = Array.tabulate(numBuckets - 1) { i =>
+      sorted(math.min(sorted.length - 1, (((i + 1).toLong * sorted.length) / numBuckets).toInt))
+    }
+    val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
+    t.buckets.foreach(_.foreach(r => byBucket(rangeBucketFor(bounds, keyOf(r))) += r))
+    val nHosts = t.hosts.iterator.flatten
+      .map(_.stripPrefix("host-").toInt).max + 1
+    val buckets = byBucket.map(v => clusterSort(t.schema, Some(t.keyCol), v.result().toArray))
+    val next = t.copy(
+      buckets = buckets,
+      hosts = Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+      version = versions.incrementAndGet(),
+      clusterCol = Some(t.keyCol),
+      rangeBounds = Some(bounds))
     publish(name, next)
     next.version
   }
@@ -457,6 +534,13 @@ object BucketStore {
   def retained(name: String): Seq[Long] = history(name).map(_.version)
 
   def currentVersion(name: String): Long = get(name).version
+
+  /** Range boundaries of the table's CURRENT layout, None for hash
+    * layouts or a table not (yet) in the store — the tolerant lookup a
+    * write factory needs (CTAS builds the factory before first data).
+    */
+  def rangeBoundsOf(name: String): Option[Array[Any]] =
+    Option(tables.get(name)).flatMap(_.lastOption).flatMap(_.rangeBounds)
 
   /** The snapshot published as version `v` — MVCC read path: a scan
     * that pinned `v` at planning keeps reading `v` regardless of later

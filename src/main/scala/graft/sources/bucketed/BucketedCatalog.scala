@@ -193,7 +193,8 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"),
-      Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "recluster"))
+      Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "recluster"),
+      Identifier.of(Array.empty, "repartition_range"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -202,8 +203,10 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "history" => BucketedProcedures.History
       case "rebucket" => BucketedProcedures.Rebucket
       case "recluster" => BucketedProcedures.Recluster
+      case "repartition_range" => BucketedProcedures.RepartitionRange
       case other => throw new UnsupportedOperationException(
-        s"no such procedure: $other (supported: vacuum, history, rebucket, recluster)")
+        s"no such procedure: $other (supported: vacuum, history, rebucket, recluster, " +
+          "repartition_range)")
     }
 }
 

@@ -123,6 +123,41 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.repartition_range('t', n)` — switch the table to a
+    * RANGE layout on its bucket key ([[BucketStore.repartitionRange]]):
+    * equal-frequency boundaries from the current key distribution, one
+    * MVCC version, buckets re-sorted on the key. Range predicates then
+    * prune to the owning buckets (disjoint per-bucket min/max) AND
+    * binary-search inside them. Co-partitioned join reporting stops
+    * (the data no longer obeys the hash transform) — `rebucket` is the
+    * way back.
+    */
+  object RepartitionRange extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "repartition_range"
+    override def description(): String =
+      "repartition_range(table, num_buckets): switch the table to a range layout on its " +
+        "bucket key under one new MVCC version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("num_buckets", IntegerType).build())
+    override def isDeterministic: Boolean = false // publishes a version
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "repartition_range(table, num_buckets): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val n = input.getInt(1)
+      val version = BucketStore.repartitionRange(table, n)
+      localScan(
+        StructType(Seq(
+          StructField("num_buckets", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        Array(InternalRow(n, version)),
+        s"graft repartition_range($table)")
+    }
+  }
+
   object History extends UnboundProcedure with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =

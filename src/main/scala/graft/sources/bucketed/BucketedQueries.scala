@@ -902,6 +902,46 @@ object BucketedQueries {
       |      < 0.1 * 2147483647
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** q119 — RANGE bucket layout end-to-end: orders switches to a
+    * range layout on its key (`CALL graft.repartition_range`), takes
+    * row-level DML THROUGH the new layout (a DELETE and a COW UPDATE
+    * whose rewrite routes by boundary), and the gated read is a key
+    * RANGE window — the predicate that hash layouts structurally
+    * cannot prune and this layout serves from the owning buckets only
+    * (zone maps see disjoint min/max; RangeLayoutSpec pins the planned
+    * partition counts and the routing invariant). At 100 TB this is
+    * the time-series layout: partition pruning ∝ answer across
+    * buckets, binary-searched slices within them.
+    */
+  def rangeLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"orders_rng@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.orders(spark, dir), "o_orderkey",
+      NumBuckets)
+    spark.sql(s"CALL graft.repartition_range('$name', 8)")
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = '5-LOW'")
+    spark.sql(s"UPDATE graft.`$name` SET o_totalprice = o_totalprice + 10.0 " +
+      "WHERE o_orderkey BETWEEN 100 AND 200")
+    spark.table(s"graft.`$name`")
+      .filter(col("o_orderkey").between(50L, 500L))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+  }
+
+  val rangeLayoutSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(sum(CAST(CASE WHEN o_orderkey BETWEEN 100 AND 200
+      |                    THEN o_totalprice + 10.0 ELSE o_totalprice END
+      |               AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderpriority <> '5-LOW' AND o_orderkey BETWEEN 50 AND 500
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

@@ -100,7 +100,7 @@ class BucketedReplaceGroupsWrite(name: String, schema: StructType, keyCol: Strin
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new BucketedWriterFactory(schema, keyCol, numBuckets)
+      new BucketedWriterFactory(schema, keyCol, numBuckets, BucketStore.rangeBoundsOf(name))
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // a rewrite whose scan never planned (pure-insert MERGE) read no

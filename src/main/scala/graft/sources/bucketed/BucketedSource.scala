@@ -772,8 +772,14 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val t = BucketStore.snapshotWithRetry(name, version)
-    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      Array(Expressions.bucket(t.buckets.length, t.keyCol)), t.buckets.length)
+    // a RANGE layout does not satisfy Spark's hash-bucket transform —
+    // reporting it would let the planner elide a needed Exchange and
+    // co-locate by a function the data does not obey
+    if (t.rangeBounds.isDefined)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(t.buckets.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.bucket(t.buckets.length, t.keyCol)), t.buckets.length)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -805,10 +811,17 @@ private[sources] object BucketSplits {
     val t = BucketStore.snapshotWithRetry(name, version)
     val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
       BucketInputPartition(name, b, t.hosts(b).toArray, version))
-    val planned = BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
-      case Some(keep) => all.filter(p => keep.contains(p.asInstanceOf[BucketInputPartition].bucket))
-      case None => all
-    }
+    // hash-based key pruning is WRONG under a range layout (ownership
+    // is by boundary, not hash) — skip it there; [[BucketSkip]] below
+    // prunes key equality/IN/ranges via the per-bucket statistics,
+    // which under disjoint range buckets is exact ownership pruning
+    val planned =
+      if (t.rangeBounds.isDefined) all
+      else BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
+        case Some(keep) =>
+          all.filter(p => keep.contains(p.asInstanceOf[BucketInputPartition].bucket))
+        case None => all
+      }
     // second pruning axis, ANY pushed column: per-bucket zone maps +
     // membership sketches ([[BucketSkip]]) drop buckets that provably
     // hold no matching row — a point lookup on a non-key column opens

@@ -111,7 +111,8 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
   private val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new BucketedStreamingWriterFactory(schema, keyCol, numBuckets)
+    new BucketedStreamingWriterFactory(schema, keyCol, numBuckets,
+      BucketStore.rangeBoundsOf(name))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     if (committed.add(epochId)) {
@@ -127,7 +128,7 @@ class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BucketedWriterFactory(schema, keyCol, numBuckets)
+    new BucketedWriterFactory(schema, keyCol, numBuckets, BucketStore.rangeBoundsOf(name))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val byBucket = BucketWriteCommit.merge(messages, numBuckets)
@@ -139,20 +140,22 @@ class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class BucketedWriterFactory(schema: StructType, keyCol: String, numBuckets: Int)
+class BucketedWriterFactory(schema: StructType, keyCol: String, numBuckets: Int,
+    rangeBounds: Option[Array[Any]] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BucketedDataWriter(schema, keyCol, numBuckets)
+    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds)
 }
 
 /** Standalone (serializable) streaming factory — must NOT capture the
   * StreamingWrite, which holds driver-only commit state.
   */
-class BucketedStreamingWriterFactory(schema: StructType, keyCol: String, numBuckets: Int)
+class BucketedStreamingWriterFactory(schema: StructType, keyCol: String, numBuckets: Int,
+    rangeBounds: Option[Array[Any]] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new BucketedDataWriter(schema, keyCol, numBuckets)
+    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds)
 }
 
 final case class BucketWriteCommit(rowsByBucket: Array[Array[Row]])
@@ -174,7 +177,8 @@ object BucketWriteCommit {
   }
 }
 
-class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int)
+class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int,
+    rangeBounds: Option[Array[Any]] = None)
   extends DataWriter[InternalRow] {
 
   private val fieldConverters = schema.fields.map(f =>
@@ -209,9 +213,14 @@ class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int)
       else throw new IllegalStateException(
         s"writer got ${record.numFields} fields for ${schema.length}-column schema")
     val row = toRow(record, offset)
-    val b = BucketFunction.bucketFor(row.get(keyIdx), numBuckets).getOrElse(
-      throw new UnsupportedOperationException(
-        s"bucket key '$keyCol' value ${row.get(keyIdx)} is not hash-bucketable"))
+    val b = rangeBounds match {
+      // range layout: route by boundary binary search, same comparator
+      // the scan-side pruning uses
+      case Some(bounds) => BucketStore.rangeBucketFor(bounds, row.get(keyIdx))
+      case None => BucketFunction.bucketFor(row.get(keyIdx), numBuckets).getOrElse(
+        throw new UnsupportedOperationException(
+          s"bucket key '$keyCol' value ${row.get(keyIdx)} is not hash-bucketable"))
+    }
     buf(b) += row
   }
 

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.bucketed.{BucketStore, BucketedCatalog}
+
+/** RANGE bucket layout (`CALL graft.repartition_range`): boundary
+  * routing, zone-map ownership pruning, DML re-routing through the
+  * boundaries, and the way back to hash.
+  */
+class RangeLayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def scan(t: String) =
+    spark.read.format("graft-buckets").option("table", t).load()
+
+  /** Every stored row must sit in the bucket its key routes to — the
+    * layout invariant a mis-routing writer would break invisibly
+    * (zone maps adapt to wherever rows land, so only this internal
+    * check catches it).
+    */
+  private def assertLayout(name: String): Unit = {
+    val t = BucketStore.get(name)
+    val bounds = t.rangeBounds.get
+    val keyIdx = t.schema.fieldIndex(t.keyCol)
+    t.buckets.zipWithIndex.foreach { case (rows, b) =>
+      rows.foreach { r =>
+        val v = if (r.isNullAt(keyIdx)) null else r.get(keyIdx)
+        assert(BucketStore.rangeBucketFor(bounds, v) === b,
+          s"key $v stored in bucket $b, owned by ${BucketStore.rangeBucketFor(bounds, v)}")
+      }
+    }
+  }
+
+  test("repartition_range: disjoint key ranges, range scans prune to owning buckets") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 4000).map(i => (i.toLong, i % 7)).toDF("k", "grp")
+    BucketStore.drop("rng_t")
+    BucketStore.load(spark, "rng_t", df, "k", 16)
+    spark.sql("CALL graft.repartition_range('rng_t', 8)")
+    assertLayout("rng_t")
+    // a one-octile window plans ~1 of 8 buckets and answers exactly
+    val win = scan("rng_t").filter(col("k").between(100L, 400L))
+    assert(win.rdd.getNumPartitions <= 2,
+      s"range window should prune to the owning bucket(s), planned ${win.rdd.getNumPartitions}")
+    assert(win.count() === 301L)
+    // key point lookup: hash pruning is off, zone pruning takes over
+    val pt = scan("rng_t").filter(col("k") === 2500L)
+    assert(pt.rdd.getNumPartitions === 1)
+    assert(pt.collect().map(_.getLong(0)).toSeq === Seq(2500L))
+  }
+
+  test("DML through a range layout routes moved keys by boundary, not hash") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketStore.drop("rng_dml")
+    BucketStore.load(spark, "rng_dml", df, "k", 8)
+    spark.sql("CALL graft.repartition_range('rng_dml', 8)")
+    // key-moving UPDATE: the rewritten row must land by RANGE routing
+    spark.sql("UPDATE graft.`rng_dml` SET k = 99999 WHERE k = 5")
+    // plain INSERT routes through the same writer
+    spark.sql("INSERT INTO graft.`rng_dml` VALUES (-7, 'low'), (50000, 'high')")
+    assertLayout("rng_dml")
+    assert(scan("rng_dml").filter(col("k") === 99999L).count() === 1L)
+    assert(scan("rng_dml").filter(col("k") === 5L).count() === 0L)
+    assert(scan("rng_dml").filter(col("k") < 0L).collect()
+      .map(_.getString(1)).toSeq === Seq("low"))
+    assert(scan("rng_dml").count() === 2002L)
+  }
+
+  test("rebucket is the way back: bounds cleared, hash pruning resumes") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 500).map(i => (i.toLong, i)).toDF("k", "x")
+    BucketStore.drop("rng_back")
+    BucketStore.load(spark, "rng_back", df, "k", 8)
+    spark.sql("CALL graft.repartition_range('rng_back', 8)")
+    assert(BucketStore.get("rng_back").rangeBounds.isDefined)
+    spark.sql("CALL graft.rebucket('rng_back', 4)")
+    assert(BucketStore.get("rng_back").rangeBounds.isEmpty,
+      "re-hashing must clear the range boundaries")
+    val pt = scan("rng_back").filter(col("k") === 123L)
+    assert(pt.rdd.getNumPartitions === 1)
+    assert(pt.count() === 1L)
+    assert(scan("rng_back").count() === 500L)
+  }
+
+  test("repartition_range refuses an empty table; empty buckets under skew are fine") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.drop("rng_skew")
+    // all keys identical: every row lands in bucket 0, others stay empty
+    val df = (1 to 100).map(_ => (42L, 1)).toDF("k", "x")
+    BucketStore.load(spark, "rng_skew", df, "k", 4)
+    spark.sql("CALL graft.repartition_range('rng_skew', 4)")
+    assertLayout("rng_skew")
+    assert(scan("rng_skew").count() === 100L)
+    BucketStore.drop("rng_empty")
+    BucketStore.load(spark, "rng_empty", Seq.empty[(Long, Int)].toDF("k", "x"), "k", 4)
+    val ex = intercept[Exception] {
+      spark.sql("CALL graft.repartition_range('rng_empty', 4)")
+    }
+    assert(ex.getMessage.contains("empty table"))
+  }
+}
