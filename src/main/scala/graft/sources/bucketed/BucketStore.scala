@@ -53,6 +53,11 @@ object BucketStore {
     * pruner must route through [[routeBucket]], never the hash
     * directly.
     */
+  /** `layoutEpoch`: bumped by every bucket-ASSIGNMENT change (rebucket,
+    * repartition_range) — the marker CDC uses to refuse windows whose
+    * per-bucket diffs would compare different layouts (a same-count
+    * layout change is invisible to the bucket-count check alone).
+    */
   final case class BucketTable(
       schema: StructType,
       keyCol: String,
@@ -61,7 +66,8 @@ object BucketStore {
       version: Long,
       clusterCol: Option[String] = None,
       commitTs: Long = 0L,
-      rangeBounds: Option[Array[Any]] = None)
+      rangeBounds: Option[Array[Any]] = None,
+      layoutEpoch: Long = 0L)
 
   /** Retained snapshots per table, oldest → newest; `.last` is current. */
   private val tables = new ConcurrentHashMap[String, Vector[BucketTable]]()
@@ -258,8 +264,10 @@ object BucketStore {
   def rebucket(name: String, numBuckets: Int): Long = synchronized {
     require(numBuckets > 0, s"rebucket('$name'): numBuckets must be positive, got $numBuckets")
     val t = get(name)
-    require(numBuckets != t.buckets.length,
-      s"rebucket('$name'): table already has $numBuckets buckets")
+    // same-count rebucket is a no-op ONLY for a hash table; from a
+    // range layout it is the documented way back to hash at any count
+    require(numBuckets != t.buckets.length || t.rangeBounds.isDefined,
+      s"rebucket('$name'): table already has $numBuckets hash buckets")
     // preserve the table's host-fleet size: regenerating with a
     // default would silently shrink preferredLocations to a subset of
     // the fleet. Hosts are synthetic 'host-<i>' names; the max index
@@ -271,9 +279,8 @@ object BucketStore {
     val keyIdx = t.schema.fieldIndex(t.keyCol)
     val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
     t.buckets.foreach(_.foreach { r =>
-      val b = BucketFunction.bucketFor(if (r.isNullAt(keyIdx)) null else r.get(keyIdx),
-        numBuckets).getOrElse(throw new UnsupportedOperationException(
-        s"rebucket('$name'): key value ${r.get(keyIdx)} is not hash-bucketable"))
+      val b = routeBucket(None, numBuckets,
+        if (r.isNullAt(keyIdx)) null else r.get(keyIdx))
       byBucket(b) += r
     })
     val buckets = byBucket.map(v => clusterSort(t.schema, t.clusterCol, v.result().toArray))
@@ -283,7 +290,8 @@ object BucketStore {
       version = versions.incrementAndGet(),
       // re-hashing DESTROYS a range layout: clearing the bounds here is
       // load-bearing (stale bounds would mis-route every future write)
-      rangeBounds = None)
+      rangeBounds = None,
+      layoutEpoch = t.layoutEpoch + 1)
     publish(name, next)
     next.version
   }
@@ -304,15 +312,23 @@ object BucketStore {
     lo
   }
 
-  /** Route a key to its owning bucket under the table's layout — THE
-    * routing choke point every writer shares.
+  /** Route a key to its owning bucket under a layout — THE routing
+    * choke point: [[BucketedDataWriter]] (batch, streaming, upsert,
+    * row-level rewrites), [[rebucket]], and [[repartitionRange]] all
+    * route through here, so a layout's ownership rule has exactly one
+    * definition.
     */
-  def routeBucket(t: BucketTable, v: Any): Int = t.rangeBounds match {
-    case Some(bounds) => rangeBucketFor(bounds, v)
-    case None => BucketFunction.bucketFor(v, t.buckets.length).getOrElse(
-      throw new UnsupportedOperationException(
-        s"bucket key value $v is not hash-bucketable"))
-  }
+  def routeBucket(rangeBounds: Option[Array[Any]], numBuckets: Int, v: Any): Int =
+    rangeBounds match {
+      case Some(bounds) =>
+        require(bounds.length == numBuckets - 1,
+          s"range layout has ${bounds.length} boundaries for $numBuckets buckets — " +
+            "the table was re-laid-out between write planning and execution")
+        rangeBucketFor(bounds, v)
+      case None => BucketFunction.bucketFor(v, numBuckets).getOrElse(
+        throw new UnsupportedOperationException(
+          s"bucket key value $v is not hash-bucketable"))
+    }
 
   /** Switch `name` to a RANGE layout on its bucket key under ONE MVCC
     * version: boundaries are the equal-frequency quantiles of the
@@ -336,11 +352,15 @@ object BucketStore {
     require(keys.nonEmpty,
       s"repartition_range('$name'): cannot derive range boundaries from an empty table")
     val sorted = keys.sortWith((a, b) => FilterEval.cmp(a, b) < 0)
+    // boundary = LAST element of each quantile block (upper bounds are
+    // inclusive), so an exactly-divisible distribution splits evenly
     val bounds: Array[Any] = Array.tabulate(numBuckets - 1) { i =>
-      sorted(math.min(sorted.length - 1, (((i + 1).toLong * sorted.length) / numBuckets).toInt))
+      sorted(math.max(0, math.min(sorted.length - 1,
+        (((i + 1).toLong * sorted.length) / numBuckets).toInt - 1)))
     }
     val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
-    t.buckets.foreach(_.foreach(r => byBucket(rangeBucketFor(bounds, keyOf(r))) += r))
+    t.buckets.foreach(_.foreach(r =>
+      byBucket(routeBucket(Some(bounds), numBuckets, keyOf(r))) += r))
     val nHosts = t.hosts.iterator.flatten
       .map(_.stripPrefix("host-").toInt).max + 1
     val buckets = byBucket.map(v => clusterSort(t.schema, Some(t.keyCol), v.result().toArray))
@@ -349,7 +369,8 @@ object BucketStore {
       hosts = Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
       version = versions.incrementAndGet(),
       clusterCol = Some(t.keyCol),
-      rangeBounds = Some(bounds))
+      rangeBounds = Some(bounds),
+      layoutEpoch = t.layoutEpoch + 1)
     publish(name, next)
     next.version
   }

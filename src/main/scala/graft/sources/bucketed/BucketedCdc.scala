@@ -160,12 +160,20 @@ private[bucketed] object CdcPlanner {
     // bucket count or the per-bucket diff is meaningless.
     val steps = ((startV +: commits).sliding(2).collect { case Seq(a, b) => (a, b) }).toArray
     val snaps = commits.map(BucketStore.snapshotWithRetry(name, _))
-    val baseCounts =
-      if (startV == 0) Nil else Seq(BucketStore.snapshotWithRetry(name, startV).buckets.length)
+    val base = if (startV == 0) None else Some(BucketStore.snapshotWithRetry(name, startV))
+    val baseCounts = base.map(_.buckets.length).toSeq
     val n = snaps.head.buckets.length
     require(snaps.forall(_.buckets.length == n) && baseCounts.forall(_ == n),
       s"CDC window of '$name' spans a re-bucketing (" +
         s"${(baseCounts ++ snaps.map(_.buckets.length)).distinct.mkString("→")} buckets) — not diffable")
+    // a SAME-count layout change (repartition_range, or rebucket back
+    // from it) also invalidates per-bucket diffs — every moved row
+    // would read as a spurious delete+insert pair; the epoch marker
+    // catches what the count comparison cannot
+    val epoch = snaps.head.layoutEpoch
+    require(snaps.forall(_.layoutEpoch == epoch) && base.forall(_.layoutEpoch == epoch),
+      s"CDC window of '$name' spans a bucket-layout change " +
+        s"(rebucket/repartition_range) — per-bucket diffs across layouts are not diffable")
     val hosts = snaps.last.hosts
     Array.tabulate(n)(b =>
       CdcInputPartition(name, b, hosts(b).toArray, steps, snaps.last.keyCol))

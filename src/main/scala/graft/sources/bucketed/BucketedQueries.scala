@@ -894,11 +894,18 @@ object BucketedQueries {
          |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Both window bounds are load-bearing: `%` follows the dividend's
+    * sign on every engine, so a negative key hashes negative and only
+    * the `>= 0` term excludes it — exactly what the reader's
+    * [[SampleSpec.keep]] does.
+    */
   val sampleScanSql: String =
     """SELECT o_orderpriority, count(*) AS n,
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders
       |WHERE (((o_orderkey % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647
+      |      >= 0 * 2147483647
+      |  AND (((o_orderkey % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647
       |      < 0.1 * 2147483647
       |GROUP BY o_orderpriority""".stripMargin
 

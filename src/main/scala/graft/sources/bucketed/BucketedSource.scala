@@ -477,11 +477,19 @@ final case class SampleSpec(lower: Double, upper: Double) {
 
 object SampleSpec {
   val M: Long = 2147483647L // 2^31 - 1 (prime)
+
+  /** Sign-FOLLOWING remainder on purpose, matching SQL `%` in both
+    * Spark and DuckDB exactly — a negative key hashes negative and
+    * falls outside every `[lower·M, upper·M)` window on both engines
+    * (the replica must state both bounds; see `sampleScanSql`). A
+    * floorMod here would sample negative keys that the plain-SQL
+    * replica excludes.
+    */
   def hash(key: Any): Long = key match {
     case null => 0L
     case n: Number =>
-      val k = Math.floorMod(n.longValue(), M)
-      Math.floorMod(k * 48271L, M) * 48271L % M
+      val k = n.longValue() % M
+      (k * 48271L % M) * 48271L % M
     case _ => 0L
   }
   /** Integral keys only: the hash must be replayable by an independent

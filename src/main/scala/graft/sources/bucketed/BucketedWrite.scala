@@ -213,15 +213,7 @@ class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int,
       else throw new IllegalStateException(
         s"writer got ${record.numFields} fields for ${schema.length}-column schema")
     val row = toRow(record, offset)
-    val b = rangeBounds match {
-      // range layout: route by boundary binary search, same comparator
-      // the scan-side pruning uses
-      case Some(bounds) => BucketStore.rangeBucketFor(bounds, row.get(keyIdx))
-      case None => BucketFunction.bucketFor(row.get(keyIdx), numBuckets).getOrElse(
-        throw new UnsupportedOperationException(
-          s"bucket key '$keyCol' value ${row.get(keyIdx)} is not hash-bucketable"))
-    }
-    buf(b) += row
+    buf(BucketStore.routeBucket(rangeBounds, numBuckets, row.get(keyIdx))) += row
   }
 
   override def commit(): WriterCommitMessage = BucketWriteCommit(buf.map(_.result().toArray))

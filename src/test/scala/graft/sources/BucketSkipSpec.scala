@@ -79,6 +79,15 @@ class BucketSkipSpec extends SparkSuite {
     assert(q.count().toInt === expected)
     assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
       scan("samp_t").sample(0.25).collect().map(_.getLong(0)).sorted.toSeq)
+    // negative keys hash negative (sign-following %, matching SQL) and
+    // fall outside every [0, f) window — exactly like the SQL replica
+    val neg = (-50 to 50).map(i => (i.toLong, 0)).toDF("k", "grp")
+    BucketStore.drop("samp_neg")
+    BucketStore.load(spark, "samp_neg", neg, "k", 4)
+    val negKept = scan("samp_neg").sample(0.5).collect().map(_.getLong(0))
+    assert(negKept.forall(_ >= 0L), s"negative keys must not sample: ${negKept.mkString(",")}")
+    assert(negKept.sorted.toSeq === (0L to 50L).filter(SampleSpec(0.0, 0.5).keep(_)).toSeq,
+      "the kept set must be the spec's exact window")
     // replacement sampling is declined: Spark keeps its own Sample
     val wr = scan("samp_t").sample(withReplacement = true, 0.25, seed = 7)
     assert(!wr.queryExecution.executedPlan.toString.contains("pushedSample"))

@@ -85,6 +85,44 @@ class RangeLayoutSpec extends SparkSuite {
     assert(scan("rng_back").count() === 500L)
   }
 
+  test("CDC refuses windows spanning a SAME-count layout change (epoch, not count)") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 300).map(i => (i.toLong, i)).toDF("k", "x")
+    BucketStore.drop("rng_cdc")
+    BucketStore.load(spark, "rng_cdc", df, "k", 8)
+    val v0 = BucketStore.currentVersion("rng_cdc")
+    spark.sql("CALL graft.repartition_range('rng_cdc', 8)") // 8 → 8: count unchanged
+    spark.sql("DELETE FROM graft.`rng_cdc` WHERE k = 7")
+    val vEnd = BucketStore.currentVersion("rng_cdc")
+    val ex = intercept[Exception] {
+      spark.read.format("graft-buckets")
+        .option("table", "rng_cdc").option("mode", "cdc")
+        .option("changesStart", v0.toString).option("changesEnd", vEnd.toString)
+        .load().collect()
+    }
+    assert(ex.getMessage.contains("layout change"), ex.getMessage)
+    // a window STARTING at the new layout is diffable
+    val after = spark.read.format("graft-buckets")
+      .option("table", "rng_cdc").option("mode", "cdc")
+      .option("changesStart", (vEnd - 1).toString).option("changesEnd", vEnd.toString)
+      .load().collect()
+    assert(after.length === 1)
+  }
+
+  test("same-count rebucket FROM a range layout is the way back to hash") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 200).map(i => (i.toLong, i)).toDF("k", "x")
+    BucketStore.drop("rng_same")
+    BucketStore.load(spark, "rng_same", df, "k", 8)
+    spark.sql("CALL graft.repartition_range('rng_same', 8)")
+    spark.sql("CALL graft.rebucket('rng_same', 8)") // same count, layout flips back
+    assert(BucketStore.get("rng_same").rangeBounds.isEmpty)
+    assert(scan("rng_same").filter(col("k") === 55L).count() === 1L)
+    // a same-count rebucket of a HASH table stays a loud no-op error
+    val ex = intercept[Exception] { spark.sql("CALL graft.rebucket('rng_same', 8)") }
+    assert(ex.getMessage.contains("already has"))
+  }
+
   test("repartition_range refuses an empty table; empty buckets under skew are fine") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     BucketStore.drop("rng_skew")
