@@ -249,6 +249,9 @@ object SparkEntry {
     // — RANGE bucket layout: repartition_range + DML through the
     //   boundaries + a key-range window served by owning buckets only —
     "q119_range_layout" -> graft.sources.bucketed.BucketedQueries.rangeLayoutQuery _,
+    // — normalize-then-fingerprint: NFC + casefold + whitespace
+    //   collapse (codegen'd Expression), Karp-Rabin over the result —
+    "q120_normalize" -> graft.operators.TextAnalysis.normalizeQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -419,5 +422,6 @@ object SparkEntry {
     "q117_skip_lookup" -> graft.sources.bucketed.BucketedQueries.skipLookupSql,
     "q118_sample_scan" -> graft.sources.bucketed.BucketedQueries.sampleScanSql,
     "q119_range_layout" -> graft.sources.bucketed.BucketedQueries.rangeLayoutSql,
+    "q120_normalize" -> graft.operators.TextAnalysis.normalizeSql,
   )
 }

@@ -99,3 +99,58 @@ object Mix64 {
   def apply(c: Column): Column =
     GraftColumnBridge.column(Mix64(GraftColumnBridge.expression(c)))
 }
+
+/** Unicode text normalization for curation pipelines: NFC
+  * canonicalization → lowercase (root locale) → whitespace-run
+  * collapse to one space → strip a leading/trailing space. The
+  * canonical first step before fingerprinting, shingling, or exact
+  * dedup — visually-identical strings ("école" vs "école",
+  * tabs vs spaces, case) normalize to one byte sequence, so
+  * [[Fingerprint64]] over the result is a presentation-invariant key.
+  *
+  * A native codegen'd expression (static call inside whole-stage
+  * codegen, no UDF serialization). The whitespace class is the
+  * explicit ASCII `[ \t\n\r\f]` on BOTH engines (Java `\s` and RE2
+  * `\s` disagree on vertical tab), and edge stripping removes exactly
+  * the one possible leading/trailing space left by the collapse —
+  * `String.trim` would also eat stray control characters that SQL
+  * `trim` keeps, a silent divergence. Lowercasing is root-locale
+  * Unicode; the oracle equivalence is exact on ASCII corpora (the
+  * Greek final-sigma context rule is the one known divergence from
+  * SQL `lower`, documented rather than papered over).
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_normalize_text"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeText.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeText.normalize($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NormalizeText {
+  private val ws = java.util.regex.Pattern.compile("[ \\t\\n\\r\\f]+")
+
+  /** Called from generated code. */
+  def normalize(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val collapsed = ws.matcher(nfc.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ")
+    val start = if (collapsed.startsWith(" ")) 1 else 0
+    val end = if (collapsed.length > start && collapsed.endsWith(" ")) collapsed.length - 1
+      else collapsed.length
+    UTF8String.fromString(collapsed.substring(start, end))
+  }
+
+  def apply(c: Column): Column =
+    GraftColumnBridge.column(NormalizeText(GraftColumnBridge.expression(c)))
+}

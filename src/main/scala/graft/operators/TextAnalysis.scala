@@ -349,4 +349,38 @@ object TextAnalysis {
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Fingerprint64(col("text")).as("fp"))
+
+  // ——— normalization (the step BEFORE fingerprinting/dedup) ———
+
+  /** Normalize-then-fingerprint — the presentation-invariant dedup
+    * key: NFC + casefold + whitespace collapse first
+    * ([[graft.functions.NormalizeText]], codegen'd), then the q24
+    * Karp-Rabin fingerprint over the normalized bytes. Two docs that
+    * differ only in case, composition form, or whitespace runs now
+    * share a key. Per-row, zero-shuffle; the oracle replays the whole
+    * chain (NFC → lower → regex collapse → trim → HUGEINT fold).
+    */
+  def normalizeQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.NormalizeText(col("text")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        Fingerprint64(col("norm_text")).as("fp"))
+
+  val normalizeSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g'))
+      |      AS norm_text
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, norm_text, list_reduce(list_prepend(0::HUGEINT,
+      |    list_transform(range(octet_length(encode(norm_text))),
+      |      i -> CAST(CAST(('0x' || substr(hex(encode(norm_text)), 2*i::INT + 1, 2)) AS INT) AS HUGEINT))),
+      |    (a, b) -> (a * 257 + b) % 18446744073709551616::HUGEINT) AS fp
+      |  FROM n)
+      |SELECT doc_id, norm_text,
+      |  CAST(CASE WHEN fp > 9223372036854775807::HUGEINT
+      |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp
+      |FROM f""".stripMargin
 }

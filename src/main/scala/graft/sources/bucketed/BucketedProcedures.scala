@@ -158,6 +158,57 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.stats('t')` — per-bucket layout observability: row
+    * count, key min/max, and the layout kind. How an operator SEES the
+    * skew, range disjointness, or hash spread the pruning machinery
+    * ([[BucketSkip]], range layouts) exploits — before and after a
+    * rebucket/repartition_range/recluster. Driver-side catalog answer
+    * (the store knows its buckets); at 100 TB this reads table
+    * metadata, it never scans data.
+    */
+  object Stats extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "stats"
+    override def description(): String =
+      "stats(table): per-bucket row counts, key min/max, and layout kind"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def isDeterministic: Boolean = false // reflects the live snapshot
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0), "stats(table): argument must be non-null")
+      val table = input.getUTF8String(0).toString
+      val t = BucketStore.get(table)
+      val keyIdx = t.schema.fieldIndex(t.keyCol)
+      val layout = org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (t.rangeBounds.isDefined) "range" else "hash")
+      val data = t.buckets.zipWithIndex.map { case (rows, b) =>
+        var min: Any = null
+        var max: Any = null
+        rows.foreach { r =>
+          if (!(keyIdx >= r.size || r.isNullAt(keyIdx))) {
+            val v = r.get(keyIdx)
+            if (min == null || FilterEval.cmp(v, min) < 0) min = v
+            if (max == null || FilterEval.cmp(v, max) > 0) max = v
+          }
+        }
+        def str(v: Any) =
+          if (v == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+        InternalRow(b, rows.length.toLong, str(min), str(max), layout)
+      }
+      localScan(
+        StructType(Seq(
+          StructField("bucket", IntegerType, nullable = false),
+          StructField("row_count", LongType, nullable = false),
+          StructField("key_min", StringType, nullable = true),
+          StructField("key_max", StringType, nullable = true),
+          StructField("layout", StringType, nullable = false))),
+        data,
+        s"graft stats($table)")
+    }
+  }
+
   object History extends UnboundProcedure with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =

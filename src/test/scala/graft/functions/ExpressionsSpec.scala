@@ -80,4 +80,24 @@ class ExpressionsSpec extends SparkSuite {
       .select(Fingerprint64(col("text"))).as[Long].collect()
     assert(fps.distinct.length === fps.length) // sf0.001 docs are all distinct
   }
+
+  test("normalize_text: NFC composition, casefold, whitespace collapse, exact edge strip") {
+    val got = Seq(
+      "école",          // combining accent → composed é
+      "HeLLo\t WORLD",        // case + tab+space run
+      "  a  b  ",             // leading/trailing + inner runs
+      " \t ",                 // all whitespace → empty
+      "x"         // control chars are NOT whitespace: kept
+    ).toDF("t").select(NormalizeText(col("t"))).as[String].collect().toSeq
+    assert(got === Seq("école", "hello world", "a b", "", "x"))
+    // null in, null out (UnaryExpression null contract)
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(NormalizeText(col("t"))).collect().head
+    assert(n.isNullAt(0))
+    // normalized variants share a fingerprint, distinct content does not
+    val fp = Seq("A  B", "a\tb", "a c").toDF("t")
+      .select(Fingerprint64(NormalizeText(col("t")))).as[Long].collect().toSeq
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
 }

@@ -123,6 +123,24 @@ class RangeLayoutSpec extends SparkSuite {
     assert(ex.getMessage.contains("already has"))
   }
 
+  test("CALL graft.stats surfaces the layout: overlapping hash ranges become disjoint range ones") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 800).map(i => (i.toLong, i)).toDF("k", "x")
+    BucketStore.drop("rng_stats")
+    BucketStore.load(spark, "rng_stats", df, "k", 4)
+    val hashRows = spark.sql("CALL graft.stats('rng_stats')").collect()
+    assert(hashRows.length === 4 && hashRows.forall(_.getString(4) === "hash"))
+    assert(hashRows.map(_.getLong(1)).sum === 800L)
+    spark.sql("CALL graft.repartition_range('rng_stats', 4)")
+    val rngRows = spark.sql("CALL graft.stats('rng_stats')").collect()
+      .sortBy(_.getInt(0))
+    assert(rngRows.forall(_.getString(4) === "range"))
+    // disjoint, ordered key ranges — the property the pruning exploits
+    val spans = rngRows.map(r => (r.getString(2).toLong, r.getString(3).toLong))
+    spans.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo) }
+    assert(spans.map { case (lo, hi) => hi - lo + 1 }.sum === 800L)
+  }
+
   test("repartition_range refuses an empty table; empty buckets under skew are fine") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     BucketStore.drop("rng_skew")
