@@ -252,6 +252,12 @@ object SparkEntry {
     // — normalize-then-fingerprint: NFC + casefold + whitespace
     //   collapse (codegen'd Expression), Karp-Rabin over the result —
     "q120_normalize" -> graft.operators.TextAnalysis.normalizeQuery _,
+    // — deterministic corpus shuffle + shard assignment: hash order,
+    //   dense per-shard positions, reproducible training order —
+    "q121_shard_assign" -> graft.operators.Pipelines.shardAssignQuery _,
+    // — cluster canonicalization: near-dup clusters keep their
+    //   highest-quality member as the representative —
+    "q122_canonical" -> graft.operators.Dedup.canonicalQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -423,5 +429,7 @@ object SparkEntry {
     "q118_sample_scan" -> graft.sources.bucketed.BucketedQueries.sampleScanSql,
     "q119_range_layout" -> graft.sources.bucketed.BucketedQueries.rangeLayoutSql,
     "q120_normalize" -> graft.operators.TextAnalysis.normalizeSql,
+    "q121_shard_assign" -> graft.operators.Pipelines.shardAssignSql,
+    "q122_canonical" -> graft.operators.Dedup.canonicalSql,
   )
 }

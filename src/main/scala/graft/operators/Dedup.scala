@@ -367,6 +367,64 @@ object Dedup {
   val clusterSql: String =
     closureCtes(ngramJaccardSql) + "\nSELECT id AS doc_id, keep_id FROM comp"
 
+  // ——— cluster canonicalization (dedup with representative choice) ———
+
+  /** Canonical representative per near-dup cluster by QUALITY: the
+    * n-gram Jaccard pair graph clusters via [[connectedComponents]]
+    * (min-id label), then each cluster's canonical member is re-chosen
+    * as its highest-quality doc (token count here; any deterministic
+    * score works, id tiebreak) — the curation answer to "which copy do
+    * we keep", where q65's drop list only said "drop the rest".
+    * Singleton docs are their own canonical.
+    *
+    * Scale: the pair graph + CC are the q65 machinery (posting-list
+    * equi-join, log-round label propagation); on top there is ONE
+    * window over the 3-column (id, cluster, quality) projection and
+    * one equi-join of the |clusters|-row canon table back — payload
+    * never moves.
+    */
+  def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      quality: org.apache.spark.sql.Column): DataFrame = {
+    val comps = connectedComponents(
+      ngramJaccardPairs(df, idCol, textCol, n, threshold))
+      .withColumnRenamed("id", "__cid")
+    val lab = df.select(col(idCol), quality.cast("long").as("__q"))
+      .join(comps, col(idCol) === col("__cid"), "left")
+      .select(col(idCol), coalesce(col("keep_id"), col(idCol)).as("cluster_id"), col("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("__q").desc, col(idCol).asc)
+    val canon = lab.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col(idCol).as("canon_id"))
+    lab.join(canon, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("canon_id"),
+        (col(idCol) === col("canon_id")).as("kept"))
+  }
+
+  def canonicalQuery(spark: SparkSession, dir: String): DataFrame =
+    canonicalPerCluster(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.8, quality = size(split(col("text"), " ")))
+
+  /** Oracle: q65's recursive-closure clusters, then the same
+    * quality-ranked canonical choice in SQL.
+    */
+  val canonicalSql: String =
+    closureCtes(ngramJaccardSql) +
+      """,
+        |lab AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(c.keep_id, d.doc_id) AS cluster_id,
+        |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS q
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |canon AS (
+        |  SELECT cluster_id, doc_id AS canon_id FROM (
+        |    SELECT doc_id, cluster_id,
+        |           row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk
+        |    FROM lab) r WHERE rk = 1)
+        |SELECT l.doc_id, l.cluster_id, cn.canon_id, l.doc_id = cn.canon_id AS kept
+        |FROM lab l JOIN canon cn ON l.cluster_id = cn.cluster_id""".stripMargin
+
   // ——— eval-set decontamination ———
 
   /** Benchmark decontamination: find corpus documents sharing any

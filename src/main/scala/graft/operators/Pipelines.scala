@@ -307,6 +307,43 @@ object Pipelines {
     samplePerGroup(Tables.documents(spark, dir), "doc_id", "lang", k = 20)
       .select(col("doc_id"), col("lang"))
 
+  /** Deterministic corpus shuffle + shard assignment — the export step
+    * between curation and training: every row gets a shard in [0, n)
+    * and a dense position within its shard, both pure functions of the
+    * id (Lehmer hash order, id tiebreak), so the SAME training order
+    * re-materializes on any engine, partitioning, or rerun — no
+    * `rand()` anywhere near the data order. Adjacent-id documents
+    * (same crawl/source) scatter across shards, which is the point of
+    * the pre-training shuffle.
+    *
+    * Plan shape at 100 TB: one shuffle on the shard id, and the window
+    * sorts only the 3-column (id, shard, hash) projection — the
+    * payload re-joins by id at export time. Shards are balanced whp
+    * (multiplicative hash over a prime modulus).
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "shardAssign needs nShards > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", lehmerBucket(idCol))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
+  def shardAssignQuery(spark: SparkSession, dir: String): DataFrame =
+    shardAssign(Tables.documents(spark, dir), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  val shardAssignSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    (((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 AS hh
+      |  FROM documents)
+      |SELECT doc_id, hh % 8 AS shard,
+      |       row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS pos
+      |FROM h""".stripMargin
+
   val samplePerGroupSql: String =
     """WITH h AS (
       |  SELECT doc_id, lang,

@@ -172,6 +172,25 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(3L) === ((3L, 0L, 0.0)))
   }
 
+  test("shard assignment: deterministic, dense per-shard positions, full coverage") {
+    val df = (1 to 1000).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val a = Pipelines.shardAssign(df, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(a.length === 1000)
+    assert(a.map(_._1).toSet === (1L to 1000L).toSet, "every doc gets exactly one slot")
+    assert(a.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions are dense 0..k-1 within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // shards are reasonably balanced (hash, 1000 rows over 4 shards)
+    assert(a.groupBy(_._2).values.map(_.length).forall(n => n > 150 && n < 350))
+    // byte-identical on rerun — the reproducible-training-order contract
+    val b = Pipelines.shardAssign(df, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+  }
+
   test("domain mix plan: corpus is never shuffled — ratios broadcast back") {
     val df = (1 to 100).map(i => (i.toLong, s"s${i % 4}", "a b c d")).toDF("doc_id", "source", "text")
     val mixed = Pipelines.domainMix(df, "doc_id", "source",

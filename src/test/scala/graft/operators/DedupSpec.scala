@@ -164,6 +164,27 @@ class DedupSpec extends SparkSuite {
       plan.take(1200))
   }
 
+  test("cluster canonicalization keeps the highest-quality member, singletons keep themselves") {
+    // docs 1-3 are a near-dup cluster (same trigrams); doc 2 is longest
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs3 = Seq(
+      (1L, base),
+      (2L, base + " iota"),
+      (3L, base),
+      (9L, "completely different words entirely here now today")).toDF("doc_id", "text")
+    val got = Dedup.canonicalPerCluster(docs3, "doc_id", "text",
+      n = 3, threshold = 0.8, quality = size(split(col("text"), " ")))
+      .select("doc_id", "cluster_id", "canon_id", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 === 2L && !got(1L)._4) // canonical is the LONGEST, not min id
+    assert(got(2L)._3 === 2L && got(2L)._4)
+    assert(got(3L)._3 === 2L && !got(3L)._4)
+    assert(got(9L)._2 === 9L && got(9L)._3 === 9L && got(9L)._4) // singleton
+    // exactly one kept doc per cluster
+    val byCluster = got.values.groupBy(_._2)
+    assert(byCluster.values.forall(_.count(_._4) === 1))
+  }
+
   test("simhash near-dup pairs include planted near-dups and exclude unrelated") {
     val got = SimHash.nearDupPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 7)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
