@@ -249,7 +249,7 @@ object SparkEntry {
     // — RANGE bucket layout: repartition_range + DML through the
     //   boundaries + a key-range window served by owning buckets only —
     "q119_range_layout" -> graft.sources.bucketed.BucketedQueries.rangeLayoutQuery _,
-    // — normalize-then-fingerprint: NFC + casefold + whitespace
+    // — normalize-then-fingerprint: NFC + lowercase + whitespace
     //   collapse (codegen'd Expression), Karp-Rabin over the result —
     "q120_normalize" -> graft.operators.TextAnalysis.normalizeQuery _,
     // — deterministic corpus shuffle + shard assignment: hash order,

@@ -115,9 +115,12 @@ object Mix64 {
   * the one possible leading/trailing space left by the collapse —
   * `String.trim` would also eat stray control characters that SQL
   * `trim` keeps, a silent divergence. Lowercasing is root-locale
-  * Unicode; the oracle equivalence is exact on ASCII corpora (the
-  * Greek final-sigma context rule is the one known divergence from
-  * SQL `lower`, documented rather than papered over).
+  * Unicode LOWERCASE (not casefold — ß stays ß); the oracle
+  * equivalence is exact on ASCII corpora. Known divergences from a
+  * codepoint-wise SQL `lower` outside ASCII: Java applies the
+  * context-sensitive Greek final-sigma rule AND full 1:M special
+  * casings (e.g. U+0130 İ → i + combining dot) — documented rather
+  * than papered over; normalize non-ASCII corpora with one engine.
   */
 case class NormalizeText(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_normalize_text"

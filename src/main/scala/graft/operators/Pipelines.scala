@@ -316,19 +316,24 @@ object Pipelines {
     * (same crawl/source) scatter across shards, which is the point of
     * the pre-training shuffle.
     *
-    * Plan shape at 100 TB: one shuffle on the shard id, and the window
-    * sorts only the 3-column (id, shard, hash) projection — the
-    * payload re-joins by id at export time. Shards are balanced whp
-    * (multiplicative hash over a prime modulus).
+    * Plan shape at 100 TB: the window runs over the 3-column
+    * (id, shard, hash) PROJECTION — enforced here, not left to the
+    * caller's later pruning — so the payload never funnels through the
+    * nShards-partition window sort (8 shards would mean 8 giant
+    * partitions); it rejoins the assignment by id on normal
+    * parallelism. Shards are balanced whp (multiplicative hash over a
+    * prime modulus).
     */
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "shardAssign needs nShards > 0")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", lehmerBucket(idCol))
+    val assignment = df.select(col(idCol))
+      .withColumn("__h", lehmerBucket(idCol))
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("__h")
+    df.join(assignment, Seq(idCol))
   }
 
   def shardAssignQuery(spark: SparkSession, dir: String): DataFrame =

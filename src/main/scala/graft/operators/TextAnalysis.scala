@@ -353,7 +353,7 @@ object TextAnalysis {
   // ——— normalization (the step BEFORE fingerprinting/dedup) ———
 
   /** Normalize-then-fingerprint — the presentation-invariant dedup
-    * key: NFC + casefold + whitespace collapse first
+    * key: NFC + lowercase + whitespace collapse first
     * ([[graft.functions.NormalizeText]], codegen'd), then the q24
     * Karp-Rabin fingerprint over the normalized bytes. Two docs that
     * differ only in case, composition form, or whitespace runs now

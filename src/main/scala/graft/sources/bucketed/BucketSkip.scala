@@ -68,7 +68,11 @@ object BucketSkip {
   private val cache =
     new java.util.WeakHashMap[Array[Row], scala.collection.concurrent.TrieMap[String, Option[ColSkip]]]()
 
-  private def statsFor(schema: StructType, rows: Array[Row], c: String): Option[ColSkip] = {
+  /** Cached per-bucket column statistics — shared with
+    * [[BucketedProcedures.Stats]] so observability reads the same
+    * cached pass pruning uses (None ⇔ the type is not comparable).
+    */
+  private[bucketed] def statsFor(schema: StructType, rows: Array[Row], c: String): Option[ColSkip] = {
     val perCol = cache.synchronized {
       var e = cache.get(rows)
       if (e == null) { e = scala.collection.concurrent.TrieMap.empty; cache.put(rows, e) }

@@ -162,9 +162,11 @@ object BucketedProcedures {
     * count, key min/max, and the layout kind. How an operator SEES the
     * skew, range disjointness, or hash spread the pruning machinery
     * ([[BucketSkip]], range layouts) exploits — before and after a
-    * rebucket/repartition_range/recluster. Driver-side catalog answer
-    * (the store knows its buckets); at 100 TB this reads table
-    * metadata, it never scans data.
+    * rebucket/repartition_range/recluster. Min/max come from
+    * [[BucketSkip]]'s identity-cached statistics — the SAME pass the
+    * pruning machinery uses, computed once per bucket array and shared
+    * across versions by COW; at 100 TB both read the stats the
+    * producer wrote into table metadata at commit.
     */
   object Stats extends UnboundProcedure with BoundProcedure {
     override def name(): String = "stats"
@@ -179,23 +181,17 @@ object BucketedProcedures {
       require(!input.isNullAt(0), "stats(table): argument must be non-null")
       val table = input.getUTF8String(0).toString
       val t = BucketStore.get(table)
-      val keyIdx = t.schema.fieldIndex(t.keyCol)
       val layout = org.apache.spark.unsafe.types.UTF8String.fromString(
         if (t.rangeBounds.isDefined) "range" else "hash")
       val data = t.buckets.zipWithIndex.map { case (rows, b) =>
-        var min: Any = null
-        var max: Any = null
-        rows.foreach { r =>
-          if (!(keyIdx >= r.size || r.isNullAt(keyIdx))) {
-            val v = r.get(keyIdx)
-            if (min == null || FilterEval.cmp(v, min) < 0) min = v
-            if (max == null || FilterEval.cmp(v, max) > 0) max = v
-          }
-        }
+        // the identity-cached skip statistics (None for a key type the
+        // comparator doesn't order — min/max stay NULL, never a throw)
+        val skip = BucketSkip.statsFor(t.schema, rows, t.keyCol)
         def str(v: Any) =
           if (v == null) null
           else org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
-        InternalRow(b, rows.length.toLong, str(min), str(max), layout)
+        InternalRow(b, rows.length.toLong,
+          str(skip.map(_.min).orNull), str(skip.map(_.max).orNull), layout)
       }
       localScan(
         StructType(Seq(
