@@ -393,4 +393,61 @@ object GraftProps extends Properties("graft") {
       val plainIns = events.collect { case (r, "insert") => r.getLong(0) }.toSet
       multisetOk && pairsOk && plainDel.intersect(plainIns).isEmpty
     }
+
+  // ——— data-skipping soundness + range routing (round 8) ———
+
+  private val skipSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("s",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+
+  private val genSkipRow: Gen[org.apache.spark.sql.Row] = for {
+    k <- Gen.oneOf(Gen.const(null), Gen.choose(-20L, 20L).map(Long.box))
+    s <- Gen.oneOf(Gen.const(null), Gen.oneOf("a", "b", "cc", "dd", ""))
+  } yield org.apache.spark.sql.Row(k, s)
+
+  private val genSkipFilter: Gen[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val v = Gen.choose(-25L, 25L)
+    val sv = Gen.oneOf("a", "b", "cc", "dd", "", "zz")
+    Gen.oneOf[Filter](
+      v.map(EqualTo("k", _)), sv.map(EqualTo("s", _)),
+      v.map(GreaterThan("k", _)), v.map(LessThanOrEqual("k", _)),
+      Gen.const(IsNull("k")), Gen.const(IsNotNull("s")),
+      Gen.listOfN(3, v).map(vs => In("k", vs.toArray.map(_.asInstanceOf[Any]))),
+      Gen.zip(v, sv).map { case (a, b) => And(GreaterThan("k", a), EqualTo("s", b)) },
+      Gen.zip(v, v).map { case (a, b) => Or(LessThanOrEqual("k", a), EqualTo("k", b)) })
+  }
+
+  /** THE safety property of [[graft.sources.bucketed.BucketSkip]]:
+    * pruning is one-sided — a bucket containing ANY row the filter
+    * accepts is never skipped. (False positives merely open buckets;
+    * a violation here would silently drop rows from answers.)
+    */
+  property("BucketSkip never prunes a bucket holding a matching row") =
+    forAll(Gen.listOf(genSkipRow), genSkipFilter) { (rowsL, f) =>
+      import graft.sources.bucketed.{BucketSkip, FilterEval}
+      val rows = rowsL.toArray
+      val anyMatch = rows.exists(r => FilterEval.eval(skipSchema, f, r))
+      !anyMatch || BucketSkip.mayMatch(skipSchema, rows, f)
+    }
+
+  /** Range routing is total, in-range, and the binary search agrees
+    * with the linear ownership definition (first boundary ≥ v; nulls
+    * route to bucket 0).
+    */
+  property("rangeBucketFor agrees with the linear ownership rule") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-50L, 50L)), Gen.choose(-60L, 60L)) { (bs, v) =>
+      import graft.sources.bucketed.BucketStore
+      val bounds: Array[Any] = bs.sorted.distinct.map(Long.box).toArray
+      val n = bounds.length + 1
+      val got = BucketStore.rangeBucketFor(bounds, Long.box(v))
+      val linear = bounds.indexWhere(b => v <= b.asInstanceOf[Long]) match {
+        case -1 => bounds.length
+        case i => i
+      }
+      got >= 0 && got < n && got == linear &&
+        BucketStore.rangeBucketFor(bounds, null) == 0
+    }
 }
