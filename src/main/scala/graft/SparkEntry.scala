@@ -258,6 +258,9 @@ object SparkEntry {
     // — cluster canonicalization: near-dup clusters keep their
     //   highest-quality member as the representative —
     "q122_canonical" -> graft.operators.Dedup.canonicalQuery _,
+    // — streaming curation, exactly-once by content: normalize →
+    //   fingerprint → quality gate → keyed upsert; double-ingested —
+    "q123_stream_curation" -> graft.sources.bucketed.BucketedQueries.streamCurationQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -431,5 +434,6 @@ object SparkEntry {
     "q120_normalize" -> graft.operators.TextAnalysis.normalizeSql,
     "q121_shard_assign" -> graft.operators.Pipelines.shardAssignSql,
     "q122_canonical" -> graft.operators.Dedup.canonicalSql,
+    "q123_stream_curation" -> graft.sources.bucketed.BucketedQueries.streamCurationSql,
   )
 }

@@ -817,6 +817,64 @@ object BucketedQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
       |FROM final_state GROUP BY c_mktsegment""".stripMargin
 
+  /** q123 — STREAMING CURATION into the store, exactly-once by
+    * content: the documents stream normalizes ([[graft.functions
+    * .NormalizeText]]), fingerprints the normalized bytes, gates on a
+    * token-count quality floor, and lands in a bucket table KEYED BY
+    * FINGERPRINT through the keyed-upsert sink — so re-ingesting the
+    * same corpus (the stream is deliberately run TWICE over fresh
+    * checkpoints) upserts the same keys and the final table is the
+    * exactly-once curated set, not a doubled one. This is streaming
+    * exact-dedup AS the sink contract: at 100 TB a re-crawled or
+    * replayed batch costs one rewrite of the buckets owning its keys
+    * and cannot duplicate content. Oracle = the batch replay of the
+    * same normalize → fingerprint → gate over the table.
+    */
+  def streamCurationQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val tbl = s"docs_curated@$dir"
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$tbl`")
+    spark.sql(s"CREATE TABLE graft.`$tbl` (fp BIGINT, doc_id BIGINT, lang STRING, " +
+      s"n_tokens BIGINT) PARTITIONED BY (bucket(16, fp))")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    def ingestOnce(): Unit = {
+      val curated = spark.readStream.schema(docSchema)
+        .parquet(s"$dir/{documents.parquet}")
+        .withColumn("norm", graft.functions.NormalizeText(col("text")))
+        .withColumn("fp", graft.functions.Fingerprint64(col("norm")))
+        .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 5)
+        .select(col("fp"), col("doc_id"), col("lang"), col("n_tokens"))
+      runStreamToTable(curated, s"graft.`$tbl`", "append", Map("upsert" -> "true"))
+    }
+    ingestOnce()
+    ingestOnce() // replayed corpus: same keys upsert, nothing doubles
+    spark.table(s"graft.`$tbl`")
+  }
+
+  val streamCurationSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+      |    list_reduce(list_prepend(0::HUGEINT,
+      |      list_transform(range(octet_length(encode(norm))),
+      |        i -> CAST(CAST(('0x' || substr(hex(encode(norm)), 2*i::INT + 1, 2)) AS INT) AS HUGEINT))),
+      |      (a, b) -> (a * 257 + b) % 18446744073709551616::HUGEINT) AS fp
+      |  FROM n)
+      |SELECT CAST(CASE WHEN fp > 9223372036854775807::HUGEINT
+      |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp,
+      |       doc_id, lang, n_tokens
+      |FROM t WHERE n_tokens >= 5""".stripMargin
+
   /** q109 — `CALL graft.rebucket` end-to-end: orders lands at 16
     * buckets, the procedure re-hashes it into 4 under one MVCC version,
     * and the gated read aggregates THROUGH the new layout (plus DML
