@@ -261,6 +261,9 @@ object SparkEntry {
     // — streaming curation, exactly-once by content: normalize →
     //   fingerprint → quality gate → keyed upsert; double-ingested —
     "q123_stream_curation" -> graft.sources.bucketed.BucketedQueries.streamCurationQuery _,
+    // — directed n-gram containment (Broder): the subsumption signal
+    //   Jaccard misses — quotes/boilerplate-wrapped copies —
+    "q124_containment" -> graft.operators.Dedup.containmentQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -435,5 +438,6 @@ object SparkEntry {
     "q121_shard_assign" -> graft.operators.Pipelines.shardAssignSql,
     "q122_canonical" -> graft.operators.Dedup.canonicalSql,
     "q123_stream_curation" -> graft.sources.bucketed.BucketedQueries.streamCurationSql,
+    "q124_containment" -> graft.operators.Dedup.containmentSql,
   )
 }

@@ -184,6 +184,60 @@ object Dedup {
       |JOIN sizes sb ON id_b = sb.doc_id
       |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8""".stripMargin
 
+  /** DIRECTED n-gram containment (Broder): C(A→B) = |A∩B| / |A| — the
+    * subsumption signal Jaccard resemblance misses. A short document
+    * quoted whole inside a long one scores containment 1.0 while its
+    * Jaccard is tiny (the union is dominated by B), so this is the
+    * detector for quotes, boilerplate-wrapped copies, and
+    * subset-crawls; curation usually drops the contained side.
+    *
+    * Same candidate generation as [[ngramJaccardPairs]] — the
+    * df-capped posting-list equi-join, never all-pairs — then each
+    * undirected intersection emits BOTH directions with their own
+    * denominators. Exact integer ratio → engine-exact oracle.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val arrs = shingleArrays(df, idCol, textCol, n).cache()
+    val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
+    val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
+    val joined = intersections(sh, maxDf)
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    val ab = joined.select(col("id_a").as("id_contained"), col("id_b").as("id_container"),
+      round(col("n_inter").cast("double") / col("n_a"), 6).as("containment"))
+    val ba = joined.select(col("id_b").as("id_contained"), col("id_a").as("id_container"),
+      round(col("n_inter").cast("double") / col("n_b"), 6).as("containment"))
+    materializeAndRelease(
+      ab.union(ba).filter(col("containment") >= threshold), arrs)
+  }
+
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.6)
+
+  val containmentSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      |  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+      |directed AS (
+      |  SELECT id_a AS id_contained, id_b AS id_container,
+      |         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment FROM j
+      |  UNION ALL
+      |  SELECT id_b, id_a, round(CAST(n_inter AS DOUBLE) / n_b, 6) FROM j)
+      |SELECT id_contained, id_container, containment
+      |FROM directed WHERE containment >= 0.6""".stripMargin
+
   // ——— MinHash + LSH ———
 
   /** MinHash signatures: sig[i] = min over shingles of mixᵢ(shingle hash).

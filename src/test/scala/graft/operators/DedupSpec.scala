@@ -164,6 +164,25 @@ class DedupSpec extends SparkSuite {
       plan.take(1200))
   }
 
+  test("containment: a quoted-whole doc scores 1.0 toward its container, asymmetric back") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = "intro words here " + short + " trailing commentary words after quote end"
+    val docs3 = Seq((1L, short), (2L, long),
+      (9L, "completely different unrelated text body")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs3, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_contained", "id_container", "containment")
+      .as[(Long, Long, Double)].collect()
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 2L)) === 1.0, "every shingle of the quote appears in the container")
+    assert(!m.contains((2L, 1L)), "the long doc is NOT contained in the short one at 0.5")
+    assert(!got.exists(r => r._1 == 9L || r._2 == 9L))
+    // candidate generation stays an equi-join
+    val plan = Dedup.containmentPairs(docs3, "doc_id", "text", n = 3, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
+
   test("cluster canonicalization keeps the highest-quality member, singletons keep themselves") {
     // docs 1-3 are a near-dup cluster (same trigrams); doc 2 is longest
     val base = "alpha beta gamma delta epsilon zeta eta theta"
