@@ -141,6 +141,47 @@ class RangeLayoutSpec extends SparkSuite {
     assert(spans.map { case (lo, hi) => hi - lo + 1 }.sum === 800L)
   }
 
+  test("streaming keyed upsert into a RANGE table routes by boundary") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketStore.drop("rng_ups")
+    BucketStore.load(spark, "rng_ups", df, "k", 8)
+    spark.sql("CALL graft.repartition_range('rng_ups', 8)")
+    // update-mode stream: one changed key + one brand-new key landing
+    // OUTSIDE the last boundary (unbounded top bucket)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData((7L, "updated"), (99999L, "new-high"))
+    val ckpt = java.nio.file.Files.createTempDirectory("rng_ups_ckpt_").toString
+    val q = in.toDF().toDF("k", "v").writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .option("upsert", "true")
+      .toTable("graft.`rng_ups`")
+    try q.processAllAvailable() finally q.stop()
+    assertLayout("rng_ups")
+    assert(scan("rng_ups").count() === 401L)
+    assert(scan("rng_ups").filter(col("k") === 7L).collect()
+      .map(_.getString(1)).toSeq === Seq("updated"))
+    assert(scan("rng_ups").filter(col("k") === 99999L).count() === 1L)
+  }
+
+  test("zone-pruned GLOBAL pushed aggregate still answers count=0, not NULL") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 300).map(i => (i.toLong, i * 1.0)).toDF("k", "price")
+    BucketStore.drop("skip_agg")
+    BucketStore.load(spark, "skip_agg", df, "k", 8)
+    // the predicate zone-prunes EVERY bucket; the pushed global
+    // aggregate must keep one empty reader alive so the merged result
+    // is 0/NULL-min, never a no-rows NULL count
+    val r = spark.sql(
+      "SELECT count(*) AS n, min(price) AS mn FROM graft.`skip_agg` WHERE price > 1e12")
+      .collect().head
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
   test("repartition_range refuses an empty table; empty buckets under skew are fine") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     BucketStore.drop("rng_skew")
