@@ -433,6 +433,26 @@ object GraftProps extends Properties("graft") {
       !anyMatch || BucketSkip.mayMatch(skipSchema, rows, f)
     }
 
+  /** The pushed sample must keep EXACTLY the rows the plain-SQL
+    * remainder chain keeps — including negative keys, where
+    * sign-following `%` makes the hash negative and both window
+    * bounds matter. An independent BigInteger replica of the SQL
+    * arithmetic is the referee.
+    */
+  property("SampleSpec.keep equals the plain-SQL remainder chain for all integral keys") =
+    forAll(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (k, a, b) =>
+      import java.math.BigInteger
+      import graft.sources.bucketed.SampleSpec
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val M = BigInteger.valueOf(2147483647L)
+      val f = BigInteger.valueOf(48271L)
+      val h = BigInteger.valueOf(k).remainder(M).multiply(f).remainder(M)
+        .multiply(f).remainder(M).doubleValue
+      val sqlKeep = h >= lo * 2147483647.0 && h < hi * 2147483647.0
+      SampleSpec(lo, hi).keep(Long.box(k)) == sqlKeep
+    }
+
   /** Range routing is total, in-range, and the binary search agrees
     * with the linear ownership definition (first boundary ≥ v; nulls
     * route to bucket 0).
