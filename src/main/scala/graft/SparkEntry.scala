@@ -264,6 +264,9 @@ object SparkEntry {
     // — directed n-gram containment (Broder): the subsumption signal
     //   Jaccard misses — quotes/boilerplate-wrapped copies —
     "q124_containment" -> graft.operators.Dedup.containmentQuery _,
+    // — Gopher rule gate: per-doc boolean breakdown of the classic
+    //   hand-written quality filters, exact-arithmetic —
+    "q125_gopher_rules" -> graft.operators.TextAnalysis.gopherRulesQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -439,5 +442,6 @@ object SparkEntry {
     "q122_canonical" -> graft.operators.Dedup.canonicalSql,
     "q123_stream_curation" -> graft.sources.bucketed.BucketedQueries.streamCurationSql,
     "q124_containment" -> graft.operators.Dedup.containmentSql,
+    "q125_gopher_rules" -> graft.operators.TextAnalysis.gopherRulesSql,
   )
 }

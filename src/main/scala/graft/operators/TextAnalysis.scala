@@ -142,6 +142,65 @@ object TextAnalysis {
   val qualitySql: String =
     s"SELECT doc_id,\n  $qualityExprSql AS quality\nFROM documents"
 
+  // ——— Gopher-style rule gate (Rae et al. 2021, exact-arithmetic subset) ———
+
+  /** The Gopher quality RULES as a per-document boolean breakdown —
+    * the hand-written filters (token-count window, mean-token-length
+    * window, symbol-to-token ratio cap, minimum distinct-stopword
+    * evidence) that precede any model-based scoring in a curation
+    * stack. Each rule is an exact integer/ratio comparison, so the
+    * breakdown (not just the verdict) replays bit-identically in SQL —
+    * when a doc is dropped, the pipeline can say WHICH rule dropped
+    * it. Thresholds follow the paper where the synthetic corpus makes
+    * them meaningful (50 ≤ tokens ≤ 100 000, 3 ≤ mean len ≤ 10,
+    * symbols < 10%, ≥ 2 distinct English stopwords).
+    *
+    * Row-local → one codegen'd projection, no shuffle at any scale;
+    * the verdict column composes with [[Pipelines]] gates downstream.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nTok = size(words)
+    val meanLen = length(regexp_replace(col(textCol), " ", "")).cast("double") / nTok
+    // unescaped braces are literal inside a class for BOTH Java regex
+    // and RE2 — the pattern string is byte-identical on the two engines
+    val symbolHits = regexp_count(col(textCol), lit("[#@{}<>|^~]"))
+    val enWords = stopwords.toMap.apply("en")
+    val arr = enWords.map(w => s"'$w'").mkString(", ")
+    val distinctStops = expr(
+      s"size(array_intersect(array_distinct(split($textCol, ' ')), array($arr)))")
+    df.select(
+      col(idCol),
+      (nTok >= 50 && nTok <= 100000).as("ok_token_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_len"),
+      (symbolHits.cast("double") / nTok < 0.1).as("ok_symbols"),
+      (distinctStops >= 2).as("ok_stopwords"))
+      .withColumn("pass",
+        col("ok_token_count") && col("ok_mean_len") && col("ok_symbols") && col("ok_stopwords"))
+  }
+
+  def gopherRulesQuery(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir), "doc_id", "text")
+
+  val gopherRulesSql: String = {
+    val arr = stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_len,
+       |    len(regexp_extract_all(text, '[#@{}<>|^~]')) AS symbol_runs,
+       |    len(list_intersect(list_distinct(string_split(text, ' ')), [$arr])) AS distinct_stops
+       |  FROM documents)
+       |SELECT doc_id,
+       |  n_tok >= 50 AND n_tok <= 100000 AS ok_token_count,
+       |  mean_len >= 3.0 AND mean_len <= 10.0 AS ok_mean_len,
+       |  CAST(symbol_runs AS DOUBLE) / n_tok < 0.1 AS ok_symbols,
+       |  distinct_stops >= 2 AS ok_stopwords,
+       |  (n_tok >= 50 AND n_tok <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+       |    AND (CAST(symbol_runs AS DOUBLE) / n_tok < 0.1) AND (distinct_stops >= 2) AS pass
+       |FROM t""".stripMargin
+  }
+
   // ——— denylist scrubbing (PII-style redaction) ———
 
   /** Denylist redaction — the PII-scrub shape of a training-data

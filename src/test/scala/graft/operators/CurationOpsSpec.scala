@@ -172,6 +172,26 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(3L) === ((3L, 0L, 0.0)))
   }
 
+  test("gopher rules: each rule flags its own violation, breakdown explains the verdict") {
+    val goodText = ("the quick brown animals jumped over many lazy dogs and " * 8).trim
+    val docs = Seq(
+      (1L, goodText),                                     // passes all
+      (2L, "the of short"),                               // too few tokens
+      (3L, Seq.fill(60)("a").mkString(" ")),              // mean len 1 < 3
+      (4L, ("the of " + Seq.fill(60)("#word#").mkString(" ")).trim), // symbol-heavy
+      (5L, Seq.fill(60)("zebra").mkString(" "))           // no stopword evidence
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "ok_token_count", "ok_mean_len", "ok_symbols", "ok_stopwords", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._6, s"the good doc must pass: ${got(1L)}")
+    assert(!got(2L)._2 && !got(2L)._6)
+    assert(!got(3L)._3 && !got(3L)._6)
+    assert(!got(4L)._4 && !got(4L)._6)
+    assert(!got(5L)._5 && !got(5L)._6)
+  }
+
   test("shard assignment: deterministic, dense per-shard positions, full coverage") {
     val df = (1 to 1000).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
     val a = Pipelines.shardAssign(df, "doc_id", nShards = 4)
