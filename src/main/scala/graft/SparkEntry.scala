@@ -267,6 +267,9 @@ object SparkEntry {
     // — Gopher rule gate: per-doc boolean breakdown of the classic
     //   hand-written quality filters, exact-arithmetic —
     "q125_gopher_rules" -> graft.operators.TextAnalysis.gopherRulesQuery _,
+    // — co-bucketed AND key-clustered SMJ: reported ordering elides
+    //   the Sorts too — scan→merge→aggregate, zero Exchange/Sort —
+    "q126_sorted_spj" -> graft.sources.bucketed.BucketedQueries.sortedCopartitionJoinQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -443,5 +446,6 @@ object SparkEntry {
     "q123_stream_curation" -> graft.sources.bucketed.BucketedQueries.streamCurationSql,
     "q124_containment" -> graft.operators.Dedup.containmentSql,
     "q125_gopher_rules" -> graft.operators.TextAnalysis.gopherRulesSql,
+    "q126_sorted_spj" -> graft.sources.bucketed.BucketedQueries.copartitionJoinSql,
   )
 }

@@ -134,6 +134,33 @@ object BucketedQueries {
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
   }
 
+  /** q126 — q42's co-bucketed SMJ with BOTH fact tables key-CLUSTERED:
+    * the scans report their sorted layout
+    * ([[BucketedScan.outputOrdering]]), so the merge join plans with
+    * zero Exchange AND zero Sort — the whole join pipeline is
+    * scan→merge→aggregate (ClusteredOrderSpec pins the plan). At
+    * 100 TB this is the end state of the co-located join story: two
+    * fact tables that share bucketing and key order join at streaming
+    * cost, no shuffle and no sort anywhere.
+    */
+  def sortedCopartitionJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    BucketStore.ensureLoaded(spark, s"lineitem_srt@$dir", dir, "lineitem", "l_orderkey",
+      NumBuckets, clusterBy = Some("l_orderkey"))
+    BucketStore.ensureLoaded(spark, s"orders_srt@$dir", dir, "orders", "o_orderkey",
+      NumBuckets, clusterBy = Some("o_orderkey"))
+    val li = spark.table(s"graft.`lineitem_srt@$dir`")
+    val o = spark.table(s"graft.`orders_srt@$dir`")
+    li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+  }
+
   val copartitionJoinSql: String =
     """SELECT o_orderpriority,
       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

@@ -679,9 +679,33 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     timeTravel: Boolean = false,
     sample: Option[SampleSpec] = None)
   extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = required
+
+  /** Per-partition output ordering: every bucket's rows are kept
+    * sorted on the cluster column (asc, nulls first — [[BucketStore
+    * .clusterSort]] uses the scan comparator, which matches Spark's
+    * NaN-as-largest ordering), so a clustered scan REPORTS that order
+    * and the planner elides per-partition Sorts above it — on a
+    * key-clustered co-bucketed pair, a sort-merge join then plans
+    * with ZERO Exchange and ZERO Sort. Guards: the column must
+    * survive projection (the claim is resolved against the output
+    * schema), and a pushed TopN re-orders the stream (bounded heap
+    * emission), so no claim is made then. Pushed limits and samples
+    * filter/truncate without reordering — the claim stands.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val t = BucketStore.snapshotWithRetry(name, version)
+    t.clusterCol match {
+      case Some(c) if topN.isEmpty && required.fieldNames.contains(c) =>
+        Array(Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+      case _ => Array.empty
+    }
+  }
 
   /** Report the store's exact row count (the catalog knows it) so the
     * planner's size estimate is real instead of `defaultSizeInBytes` =
