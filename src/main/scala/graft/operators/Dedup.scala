@@ -147,15 +147,29 @@ object Dedup {
     * consumed by sizes and the exploded shingles — is dropped before
     * returning.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
+  /** Shared candidate generator for the set-overlap scorers (Jaccard
+    * resemblance, directed containment): undirected shingle
+    * intersections with both sides' set sizes attached —
+    * (id_a, id_b, n_inter, n_a, n_b). Returns the cached shingle
+    * arrays too so callers can release them via
+    * [[materializeAndRelease]]. ONE definition of the candidate
+    * machinery; the scorers differ only in their ratio.
+    */
+  private def overlapCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int): (DataFrame, DataFrame) = {
     val arrs = shingleArrays(df, idCol, textCol, n).cache()
     val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
     val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
-    val inter = intersections(sh, maxDf)
-    val pairs = inter
+    val joined = intersections(sh, maxDf)
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    (joined, arrs)
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val (joined, arrs) = overlapCandidates(df, idCol, textCol, n, maxDf)
+    val pairs = joined
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
@@ -166,7 +180,11 @@ object Dedup {
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
 
-  val ngramJaccardSql: String =
+  /** Shared SQL replica of [[overlapCandidates]] (trigram shingles) —
+    * ONE definition of the candidate CTEs, composed by the Jaccard
+    * and containment oracles so the machinery cannot silently diverge.
+    */
+  private val overlapCandidatesCtes: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
@@ -176,7 +194,10 @@ object Dedup {
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val ngramJaccardSql: String = overlapCandidatesCtes +
+    """
       |SELECT id_a, id_b,
       |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
       |FROM inter
@@ -191,42 +212,32 @@ object Dedup {
     * detector for quotes, boilerplate-wrapped copies, and
     * subset-crawls; curation usually drops the contained side.
     *
-    * Same candidate generation as [[ngramJaccardPairs]] — the
-    * df-capped posting-list equi-join, never all-pairs — then each
-    * undirected intersection emits BOTH directions with their own
-    * denominators. Exact integer ratio → engine-exact oracle.
+    * Same candidate generation as [[ngramJaccardPairs]] (shared
+    * [[overlapCandidates]] — the df-capped posting-list equi-join,
+    * never all-pairs); each undirected intersection then emits BOTH
+    * directions ROW-LOCALLY (explode of a two-struct array), so the
+    * directed view runs the join work once, not once per direction.
+    * Exact integer ratio → engine-exact oracle.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
-    val arrs = shingleArrays(df, idCol, textCol, n).cache()
-    val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
-    val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
-    val joined = intersections(sh, maxDf)
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-    val ab = joined.select(col("id_a").as("id_contained"), col("id_b").as("id_container"),
-      round(col("n_inter").cast("double") / col("n_a"), 6).as("containment"))
-    val ba = joined.select(col("id_b").as("id_contained"), col("id_a").as("id_container"),
-      round(col("n_inter").cast("double") / col("n_b"), 6).as("containment"))
-    materializeAndRelease(
-      ab.union(ba).filter(col("containment") >= threshold), arrs)
+    val (joined, arrs) = overlapCandidates(df, idCol, textCol, n, maxDf)
+    val directed = joined.select(explode(array(
+      struct(col("id_a").as("id_contained"), col("id_b").as("id_container"),
+        round(col("n_inter").cast("double") / col("n_a"), 6).as("containment")),
+      struct(col("id_b").as("id_contained"), col("id_a").as("id_container"),
+        round(col("n_inter").cast("double") / col("n_b"), 6).as("containment"))))
+      .as("d"))
+      .select(col("d.id_contained"), col("d.id_container"), col("d.containment"))
+    materializeAndRelease(directed.filter(col("containment") >= threshold), arrs)
   }
 
   def containmentQuery(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, threshold = 0.6)
 
-  val containmentSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
-      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3)),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+  val containmentSql: String = overlapCandidatesCtes +
+    """,
       |j AS (
       |  SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
       |  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),

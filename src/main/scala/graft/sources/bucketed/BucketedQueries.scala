@@ -751,7 +751,7 @@ object BucketedQueries {
     * (MATCHED DELETE), not just NOT-MATCHED inserts into an empty
     * table. Each window is applied by ONE MERGE: add-tagged rows
     * (insert/update_postimage) upsert, while keys whose final event is
-    * a remove-tag delete. The gated read aggregates the REPLICA, which
+    * a remove-tag delete. The gated read aggregates the replica, which
     * must equal the source's final state — replication correctness,
     * not just feed correctness.
     *
@@ -854,15 +854,24 @@ object BucketedQueries {
     * exactly-once curated set, not a doubled one. This is streaming
     * exact-dedup AS the sink contract: at 100 TB a re-crawled or
     * replayed batch costs one rewrite of the buckets owning its keys
-    * and cannot duplicate content. Oracle = the batch replay of the
-    * same normalize → fingerprint → gate over the table.
+    * and cannot duplicate content.
+    *
+    * The sink rows carry ONLY content-derived columns (fp, token
+    * count) — deliberately no doc_id/lang: two documents with the
+    * same normalized text share the key, and "latest wins" would then
+    * keep whichever copy's row arrived last (micro-batch order =
+    * nondeterministic). Content-derived payloads are identical across
+    * copies, so the surviving row is the same no matter which copy
+    * wins — the invariant that makes a content-keyed upsert table
+    * deterministic, and the oracle is simply the DISTINCT normalized
+    * set after the gate.
     */
   def streamCurationQuery(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     val tbl = s"docs_curated@$dir"
     spark.sql(s"DROP TABLE IF EXISTS graft.`$tbl`")
-    spark.sql(s"CREATE TABLE graft.`$tbl` (fp BIGINT, doc_id BIGINT, lang STRING, " +
-      s"n_tokens BIGINT) PARTITIONED BY (bucket(16, fp))")
+    spark.sql(s"CREATE TABLE graft.`$tbl` (fp BIGINT, n_tokens BIGINT) " +
+      "PARTITIONED BY (bucket(16, fp))")
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
@@ -876,7 +885,7 @@ object BucketedQueries {
         .withColumn("fp", graft.functions.Fingerprint64(col("norm")))
         .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
         .filter(col("n_tokens") >= 5)
-        .select(col("fp"), col("doc_id"), col("lang"), col("n_tokens"))
+        .select(col("fp"), col("n_tokens"))
       runStreamToTable(curated, s"graft.`$tbl`", "append", Map("upsert" -> "true"))
     }
     ingestOnce()
@@ -884,13 +893,16 @@ object BucketedQueries {
     spark.table(s"graft.`$tbl`")
   }
 
+  /** One row per DISTINCT normalized content (the content-keyed table's
+    * exact contract — duplicate texts collapse on both engines).
+    */
   val streamCurationSql: String =
     """WITH n AS (
-      |  SELECT doc_id, lang,
+      |  SELECT DISTINCT
       |    trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g')) AS norm
       |  FROM documents),
       |t AS (
-      |  SELECT doc_id, lang,
+      |  SELECT
       |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
       |    list_reduce(list_prepend(0::HUGEINT,
       |      list_transform(range(octet_length(encode(norm))),
@@ -899,7 +911,7 @@ object BucketedQueries {
       |  FROM n)
       |SELECT CAST(CASE WHEN fp > 9223372036854775807::HUGEINT
       |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp,
-      |       doc_id, lang, n_tokens
+      |       n_tokens
       |FROM t WHERE n_tokens >= 5""".stripMargin
 
   /** q109 — `CALL graft.rebucket` end-to-end: orders lands at 16

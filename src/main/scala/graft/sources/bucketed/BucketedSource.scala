@@ -1316,7 +1316,13 @@ object FilterEval {
   }
 
   private[bucketed] def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: String, y: String) => x.compareTo(y)
+    // Spark compares strings as UTF8String = UTF-8 BYTE order = code
+    // POINT order; Java's String.compareTo is UTF-16 code-UNIT order,
+    // which disagrees once supplementary characters (surrogate pairs)
+    // meet BMP chars in [U+E000, U+FFFF]. The store's sort, zone maps,
+    // range slices, and the reported output ordering must all use
+    // Spark's order or an ordering claim would lie for non-BMP text.
+    case (x: String, y: String) => cmpCodePoints(x, y)
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
     case (x: Number, y: Number) =>
@@ -1332,6 +1338,20 @@ object FilterEval {
       else new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
     case _ => throw new IllegalStateException(
       s"incomparable filter operands: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** UTF-8-byte-equivalent string order (code points), allocation-free. */
+  private def cmpCodePoints(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
   }
 
   private def nonFinite(n: Number): Boolean = n match {

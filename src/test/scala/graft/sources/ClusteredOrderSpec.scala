@@ -34,6 +34,22 @@ class ClusteredOrderSpec extends SparkSuite {
     assert(got.toSeq === (1 to 500).map(i => (i.toLong, i * 2, s"n$i")))
   }
 
+  test("string cluster order is Spark's UTF-8 binary order, not Java's UTF-16 code units") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    // U+1F600 (surrogate pair) vs U+FFFD: UTF-16 code-unit order puts
+    // the pair FIRST (0xD83D < 0xFFFD), Spark's code-point order puts
+    // it LAST (0x1F600 > 0xFFFD) — the divergence a lying ordering
+    // claim would export
+    val vals = Seq("😀grin", "�repl", "plain", "zz")
+    val df = vals.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("k", "s")
+    BucketStore.drop("ord_utf8")
+    BucketStore.load(spark, "ord_utf8", df, "k", 1, clusterBy = Some("s"))
+    val got = spark.table("graft.`ord_utf8`").orderBy(col("s")).select("s")
+      .as[String].collect().toSeq
+    val sparkTruth = vals.toDF("s").orderBy(col("s")).as[String].collect().toSeq
+    assert(got === sparkTruth, "stored cluster order must match Spark's string order")
+  }
+
   test("ordering claim guards: unclustered tables keep their Sorts; TopN answers stay exact") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
