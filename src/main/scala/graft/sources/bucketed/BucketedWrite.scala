@@ -75,8 +75,21 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false)
   extends Write with RequiresDistributionAndOrdering {
 
+  /** Hash tables cluster on the bucket transform (each task writes
+    * whole buckets). A RANGE table's data does not obey that function —
+    * request an ORDERED distribution on the key instead: Spark range-
+    * exchanges into contiguous key spans, which align with the boundary
+    * buckets, so tasks still write few buckets each. The distribution
+    * is a locality hint either way — routing correctness lives in
+    * [[BucketStore.routeBucket]] at the writer.
+    */
   override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.bucket(numBuckets, keyCol)))
+    if (BucketStore.rangeBoundsOf(name).isDefined)
+      Distributions.ordered(Array(Expressions.sort(Expressions.column(keyCol),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)))
+    else
+      Distributions.clustered(Array(Expressions.bucket(numBuckets, keyCol)))
 
   override def requiredNumPartitions(): Int = numBuckets
 

@@ -85,6 +85,23 @@ class RangeLayoutSpec extends SparkSuite {
     assert(scan("rng_back").count() === 500L)
   }
 
+  test("writes into a RANGE table request an ordered (range) distribution, not the hash transform") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 300).map(i => (i.toLong, i)).toDF("k", "x")
+    BucketStore.drop("rng_wd")
+    BucketStore.load(spark, "rng_wd", df, "k", 8)
+    spark.sql("CALL graft.repartition_range('rng_wd', 8)")
+    val plan = spark.sql(
+      "EXPLAIN INSERT INTO graft.`rng_wd` SELECT k + 10000, x FROM graft.`rng_wd`")
+      .collect().head.getString(0)
+    assert(plan.contains("rangepartitioning"),
+      s"range-table writes must range-exchange by key:\n${plan.take(1500)}")
+    // and the write itself routes correctly through the boundaries
+    spark.sql("INSERT INTO graft.`rng_wd` SELECT k + 10000, x FROM graft.`rng_wd`")
+    assertLayout("rng_wd")
+    assert(scan("rng_wd").count() === 600L)
+  }
+
   test("CDC refuses windows spanning a SAME-count layout change (epoch, not count)") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     val df = (1 to 300).map(i => (i.toLong, i)).toDF("k", "x")
