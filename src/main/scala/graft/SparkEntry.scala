@@ -270,6 +270,9 @@ object SparkEntry {
     // — co-bucketed AND key-clustered SMJ: reported ordering elides
     //   the Sorts too — scan→merge→aggregate, zero Exchange/Sort —
     "q126_sorted_spj" -> graft.sources.bucketed.BucketedQueries.sortedCopartitionJoinQuery _,
+    // — bounded-state streaming dedup: state evicts with the
+    //   watermark, the shape that survives an unbounded stream —
+    "q127_stream_dedup_bounded" -> graft.streaming.StreamOps.streamingDedupBounded _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -447,5 +450,6 @@ object SparkEntry {
     "q124_containment" -> graft.operators.Dedup.containmentSql,
     "q125_gopher_rules" -> graft.operators.TextAnalysis.gopherRulesSql,
     "q126_sorted_spj" -> graft.sources.bucketed.BucketedQueries.copartitionJoinSql,
+    "q127_stream_dedup_bounded" -> graft.streaming.StreamOps.streamingDedupBoundedSql,
   )
 }

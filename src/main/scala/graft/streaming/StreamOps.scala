@@ -295,6 +295,30 @@ object StreamOps {
   val streamingDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Bounded-state streaming dedup — `dropDuplicatesWithinWatermark`:
+    * q53's `dropDuplicates` keeps every key seen FOREVER (state grows
+    * with distinct keys — unbounded on an infinite stream), while this
+    * variant evicts state once the watermark passes a key's event
+    * time, so state is bounded by keys-per-watermark-window — the only
+    * shape that survives an unbounded 100 TB/day stream. Semantics:
+    * duplicates are only guaranteed dropped when they arrive within
+    * the watermark delay of the first sighting, exactly the re-crawl/
+    * replay window a pipeline actually needs. On the bounded gate
+    * input every duplicate falls inside the window, so the oracle is
+    * plain DISTINCT — same answer, bounded state.
+    */
+  def streamingDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(dedup, "append")
+  }
+
+  val streamingDedupBoundedSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   /** Stream-static enrichment join: each click event picks up its
     * user's market segment from the static `customer` dimension. The
     * static side broadcasts — the stream is enriched map-side with no
