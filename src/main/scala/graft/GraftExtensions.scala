@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CappedPostingsAgg, CosineSimilarity, DotProduct, Fingerprint64, MinHashAgg, Mix64}
+import graft.functions.{CappedPostingsAgg, CosineSimilarity, DotProduct, Fingerprint64, MinHashAgg, Mix64, NormalizeText}
 
 /** The standard Spark library integration point: load every graft
   * function into ANY session with
@@ -54,5 +54,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(hash) - 64-bit SimHash signature aggregate"),
       (es: Seq[Expression]) =>
-        graft.operators.SimHash.SimHashAgg(es.head).toAggregateExpression()))
+        graft.operators.SimHash.SimHashAgg(es.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_normalize_text"),
+      info("graft_normalize_text",
+        "graft_normalize_text(s) - NFC + lowercase + whitespace-collapse normalization"),
+      (es: Seq[Expression]) => NormalizeText(es.head)))
 }

@@ -25,6 +25,10 @@ case class MinHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  require(numHashes >= 1,
+    s"graft_minhash needs k >= 1 hash permutations, got $numHashes — k = 0 would give every " +
+      "document an identical empty signature")
+
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

@@ -26,16 +26,11 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string argument, got ${t.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      h = h * 257L + (bytes(i) & 0xffL)
-      i += 1
-    }
-    h
-  }
+  // interpreted and generated paths share ONE hash definition — a
+  // divergence here would give codegen-fallback queries different
+  // fingerprints than whole-stage-codegen ones
+  override def nullSafeEval(input: Any): Any =
+    Fingerprint64.hash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Fingerprint64.hash($c)")

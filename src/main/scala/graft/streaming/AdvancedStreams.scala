@@ -43,7 +43,11 @@ object AdvancedStreams {
     * operators; each side filters to its event type BEFORE its
     * watermark node, so a side's watermark tracks only its own
     * events' max ts. The threshold is therefore
-    * least(max click ts, max purchase ts), not max(ts) overall.
+    * least(max click ts, max purchase ts), not max(ts) overall — and
+    * NULL when EITHER side is empty (an un-started watermark operator
+    * pins the global watermark at 0, so no window ever closes; SQL
+    * `least` would skip the NULL and wrongly close windows by the
+    * other side's clock).
     */
   val outerWindowJoinSql: String =
     """SELECT a.user_id, CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
@@ -53,8 +57,11 @@ object AdvancedStreams {
       |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
       |WHERE b.event_id IS NOT NULL
       |   OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR <=
-      |      (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
-      |                    max(ts) FILTER (WHERE event_type = 'purchase')) FROM events)""".stripMargin
+      |      (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click') IS NOT NULL
+      |                    AND max(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
+      |              THEN least(max(ts) FILTER (WHERE event_type = 'click'),
+      |                         max(ts) FILTER (WHERE event_type = 'purchase')) END
+      |       FROM events)""".stripMargin
 
   /** Chained stateful operators in one query (Spark ≥3.4 capability):
     * windowed stream-stream join feeding a windowed aggregation —
@@ -96,8 +103,11 @@ object AdvancedStreams {
       |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
       |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
       |WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR <=
-      |      (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
-      |                    max(ts) FILTER (WHERE event_type = 'purchase')) FROM events)
+      |      (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click') IS NOT NULL
+      |                    AND max(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
+      |              THEN least(max(ts) FILTER (WHERE event_type = 'click'),
+      |                         max(ts) FILTER (WHERE event_type = 'purchase')) END
+      |       FROM events)
       |GROUP BY 1""".stripMargin
 
   // ——— transformWithState (Spark 4 arbitrary state API) ———
@@ -133,7 +143,8 @@ object AdvancedStreams {
     * set for this query only, restored after (the HDFS-backed default
     * stays in place for every other streaming query).
     */
-  def transformWithStateAgg(spark: SparkSession, dir: String): DataFrame = {
+  def transformWithStateAgg(spark: SparkSession, dir: String): DataFrame =
+      StreamOps.harnessLock.synchronized {
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)

@@ -36,7 +36,10 @@ object CountWindows {
   case class Firing(key: Long, n_seen: Long, win_size: Int, sum_value: Double)
 
   /** Ring-buffer state: total seen + last `size` values (oldest first). */
-  case class State(seen: Long, buf: List[Double])
+  // Vector, not List: the ring append (`:+` then takeRight) is
+  // amortized O(1)/O(size) on Vector but O(size) COPY per element on
+  // List — pure per-record overhead in the hot stateful operator
+  case class State(seen: Long, buf: Vector[Double])
 
   private def scale4(v: Double): JBigDecimal =
     JBigDecimal.valueOf(v).setScale(4, RoundingMode.HALF_UP)
@@ -49,7 +52,7 @@ object CountWindows {
   private def process(size: Int, slide: Int)(
       key: Long, rows: Iterator[Element], state: GroupState[State]): Iterator[Firing] = {
     val sorted = rows.toArray.sortBy(e => (e.ord, e.id))
-    var st = state.getOption.getOrElse(State(0L, Nil))
+    var st = state.getOption.getOrElse(State(0L, Vector.empty))
     val out = Iterator.newBuilder[Firing]
     sorted.foreach { e =>
       val buf = (st.buf :+ e.value).takeRight(size)

@@ -65,13 +65,27 @@ object StreamOps {
     * session's shuffle setting is restored afterwards so batch
     * queries are unaffected.
     */
+  /** Serializes every streaming run in the session: runToMemory (and
+    * the conf-juggling wrappers around it) save/restore session-global
+    * configuration, so two overlapping runs would pin each other's
+    * temporary settings. The harness is a test driver — strictly
+    * sequential is the contract, and this makes it structural.
+    */
+  val harnessLock: Object = new Object
+
   def runToMemory(df: DataFrame, outputMode: String,
-      statePartitions: Int = sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "2").toInt): DataFrame = {
+      statePartitions: Int = sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "2").toInt): DataFrame =
+      harnessLock.synchronized {
     val spark = df.sparkSession
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
+    // the duplicate guard below counts data batches from recentProgress,
+    // whose ring buffer defaults to 100 entries — raise it so a
+    // many-batch source cannot silently rotate early batches out and
+    // defeat the guard
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     try {
       val useAvailableNow = sys.env.get("GRAFT_TRIGGER").contains("availableNow")
       val writer = df.writeStream.outputMode(outputMode).format("memory").queryName(name)

@@ -44,17 +44,25 @@ object WindowPanes {
   def paneProcessor(windowUs: Long)(
       key: (Long, Long), rows: Iterator[PaneElement], state: GroupState[PaneState]): Iterator[PaneRow] = {
     if (state.hasTimedOut) {
-      val elems = state.getOption.map(_.elements.reverse).getOrElse(Nil)
+      // prepend-accumulated order is irrelevant: the emission sorts by
+      // id anyway, so no reverse pass
+      val elems = state.getOption.map(_.elements).getOrElse(Nil)
       state.remove()
       val endUs = key._2 + windowUs
-      val out = elems.sortBy(e => (e.id))
+      val out = elems.sortBy(_.id)
         .map(e => PaneRow(e.key, e.win_start_us, e.id, e.value, elems.length, endUs - 1000L))
       out.iterator
     } else {
       val st = state.getOption.getOrElse(PaneState(Nil))
       state.update(PaneState(rows.foldLeft(st.elements)((acc, e) => e :: acc)))
-      // fire when the event-time watermark passes the window end
-      state.setTimeoutTimestamp((key._2 + windowUs) / 1000L)
+      // fire when the watermark REACHES the window end: the timeout
+      // fires on `timeout < watermark` (strict), so the Flink
+      // maxTimestamp convention (end − 1ms) makes a watermark landing
+      // EXACTLY on the boundary close the pane — the `end ≤ max ts`
+      // contract the windowed-aggregation path and the oracle share.
+      // With `end` itself as the timeout, a max event time in
+      // [end, end+1ms) would strand the pane the oracle includes.
+      state.setTimeoutTimestamp((key._2 + windowUs) / 1000L - 1L)
       Iterator.empty
     }
   }

@@ -30,6 +30,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mix.eval(null) === graft.functions.Mix64.mix(25027L))
   }
 
+  test("normalize_text resolves through the extension registry and composes with fingerprint64") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.GraftExtensionsTestBridge.register(
+      ext, FunctionRegistry.builtin.clone())
+    val norm = reg.lookupFunction(FunctionIdentifier("graft_normalize_text"),
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString("A  B"))))
+    assert(norm.eval(null).toString === "a b")
+    val fp = reg.lookupFunction(FunctionIdentifier("graft_fingerprint64"), Seq(norm))
+    assert(fp.eval(null) ===
+      graft.functions.Fingerprint64.hash(org.apache.spark.unsafe.types.UTF8String.fromString("a b")))
+  }
+
   test("rejects a non-literal k for the minhash aggregate") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
