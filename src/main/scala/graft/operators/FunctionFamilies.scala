@@ -284,7 +284,12 @@ object FunctionFamilies {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
     val exact = ev.groupBy(col("event_type"))
       .agg(count_distinct(col("user_id")).as("exact_users"))
-    merged.join(exact, "event_type")
+    // null-safe pairing, same reason as sketchStats above: a NULL
+    // event_type group must survive the join like the oracle's single
+    // GROUP BY keeps it
+    merged.join(exact.withColumnRenamed("event_type", "__et"),
+        col("event_type") <=> col("__et"))
+      .drop("__et")
       .select(col("event_type"), col("exact_users"),
         (abs(col("est") - col("exact_users")) <= col("exact_users") * lit(0.05))
           .as("merge_ok"))
@@ -319,13 +324,19 @@ object FunctionFamilies {
       .select(col("event_id"),
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT, tag STRING")).as("p"))
-      .select(col("event_id"), col("p.k").as("k"), col("p.tag").as("tag"))
+      // the fixture's props only ever carries 'k', so a raw p.tag
+      // would be an ALL-NULL output column (the hash-hazard class this
+      // file bans) AND a dead gate — both engines would emit NULL even
+      // if struct-field extraction broke. The coalesce keeps the
+      // missing-key path exercised with a non-null, comparable value.
+      .select(col("event_id"), col("p.k").as("k"),
+        coalesce(col("p.tag"), lit("absent")).as("tag"))
       .filter(col("k") % 7 === 0)
 
   val jsonStructSql: String =
     """SELECT event_id,
       | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-      | json_extract_string(props, '$.tag') AS tag
+      | COALESCE(json_extract_string(props, '$.tag'), 'absent') AS tag
       |FROM events
       |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0""".stripMargin
 
@@ -338,7 +349,11 @@ object FunctionFamilies {
     Tables.events(spark, dir)
       .filter(col("event_id") < 500)
       .select(col("event_id"),
-        sqrt(col("value")).as("root"),
+        // clamp at 0 on BOTH engines: Spark sqrt(negative) yields NaN
+        // while DuckDB ERRORS — the clamp keeps the pair comparable on
+        // any fixture (current values are non-negative; don't depend
+        // on that)
+        sqrt(greatest(col("value"), lit(0.0))).as("root"),
         abs(col("value") - 100.0).as("dist"),
         signum(col("value") - 100.0).as("sgn"),
         ceil(col("value")).cast("long").as("up"),
@@ -346,7 +361,7 @@ object FunctionFamilies {
 
   val mathFuncsSql: String =
     """SELECT event_id,
-      | sqrt(value) AS root,
+      | sqrt(greatest(value, 0.0)) AS root,
       | abs(value - 100.0) AS dist,
       | CAST(sign(value - 100.0) AS DOUBLE) AS sgn,
       | CAST(ceil(value) AS BIGINT) AS up,

@@ -45,7 +45,7 @@ object Similarity {
   }
 
   val knnSql: String =
-    """SELECT query_id, cand_id, sim, rn FROM (
+    """SELECT query_id, cand_id, sim, CAST(rn AS INTEGER) AS rn FROM (
       |  SELECT query_id, cand_id, sim,
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
       |  FROM (
@@ -114,7 +114,15 @@ object Similarity {
     val planes = hyperplanes(dim, nbits, seed)
     val bitCols = planes.zipWithIndex.map { case (h, i) =>
       val hLit = array(h.map(lit): _*)
-      when(GraftFunctions.dot(col(vecCol), hLit) >= 0, lit(1L)).otherwise(lit(0L)).as(s"bit_$i")
+      val d = GraftFunctions.dot(col(vecCol), hLit)
+      // a NULL dot (dim mismatch, corrupt vector element) must fail
+      // loudly: silently treating it as sign 0 would hash EVERY such
+      // vector into one bucket per band and degenerate the candidate
+      // join toward all-pairs
+      when(d.isNull, raise_error(lit(
+        s"graft lshBuckets: NULL dot product on '$vecCol' — vector shorter than dim=$dim " +
+          "or a NULL element")))
+        .otherwise(when(d >= 0, lit(1L)).otherwise(lit(0L))).as(s"bit_$i")
     }
     val rows = nbits / bands
     val withBits = df.select(col(idCol).as("id"), col(vecCol).as("vec"), array(bitCols.toIndexedSeq: _*).as("bits"))
@@ -211,6 +219,21 @@ object Similarity {
     * dim 64 — the IVF regime by construction; a billion-centroid
     * quantizer would be a different index).
     */
+  /** Per query: its `nprobe` closest centroids by (cosine desc,
+    * cent_id) — ONE definition of the probe-selection contract, shared
+    * by the IVF and SQ paths so a tie-break change cannot diverge
+    * between them.
+    */
+  private def probeCentroids(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val qScored = queries.select(col("query_id"), col("qv"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", GraftFunctions.cosine(col("qv"), col("cent_vec")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    qScored.withColumn("__prn", row_number().over(wq)).filter(col("__prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+  }
+
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
     val centArr = centroids
       .agg(array_sort(collect_list(struct(col("cent_id"), col("cent_vec")))).as("cents"))
@@ -325,12 +348,7 @@ object Similarity {
       else sampleCentroids(emb, idCol, vecCol, nlist)
     val assigned = ivfAssign(emb, idCol, vecCol, centroids)
     // per query: its nprobe closest centroids
-    val qScored = queries.select(col("query_id"), col("qv"))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("csim", GraftFunctions.cosine(col("qv"), col("cent_vec")))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id"))
+    val probes = probeCentroids(queries, centroids, nprobe)
     // scan only the probed inverted lists
     val cands = probes.join(assigned, Seq("cent_id"))
       .filter(col("query_id") =!= col("id"))
@@ -398,13 +416,22 @@ object Similarity {
     * quantize-coarse-then-exact-rerank shape every production vector
     * index (FAISS SQ8, ScaNN) uses.
     */
-  def sqQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-    val rawScale = array_max(transform(col("vec"), x => abs(x))) / lit(127.0)
-    base
-      .withColumn("scale", when(rawScale === 0.0, lit(1.0)).otherwise(rawScale))
-      .withColumn("codes",
-        transform(col("vec"), x => floor(x / col("scale") + lit(0.5)).cast("byte")))
+  def sqQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withSqColumns(
+      emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
+      col("vec"))
+
+  /** Attach the int8 quantization columns (scale, codes) to any frame
+    * carrying a vector — a pure row-wise projection, so callers never
+    * need a join to pick them up (the quantization arithmetic runs in
+    * DOUBLE regardless of the stored vector width, matching the
+    * oracle's replica).
+    */
+  private def withSqColumns(df: DataFrame, vecExpr: org.apache.spark.sql.Column): DataFrame = {
+    val dv = vecExpr.cast("array<double>")
+    val rawScale = array_max(transform(dv, x => abs(x))) / lit(127.0)
+    df.withColumn("scale", when(rawScale === 0.0, lit(1.0)).otherwise(rawScale))
+      .withColumn("codes", transform(dv, x => floor(x / col("scale") + lit(0.5)).cast("byte")))
   }
 
   /** IVF probe + QUANTIZED coarse scoring + exact re-rank: candidates
@@ -419,16 +446,11 @@ object Similarity {
       k: Int, nlist: Int, nprobe: Int, rerankK: Int): DataFrame = {
     val centroids = sampleCentroids(emb, idCol, vecCol, nlist)
     val assigned = ivfAssign(emb, idCol, vecCol, centroids)
-    // assigned already carries the full-precision vec; keep only the
-    // codes + scale from the quantized frame (avoids a dup `vec`)
-    val quantized = sqQuantize(emb, idCol, vecCol).select(col("id"), col("scale"), col("codes"))
-    val data = assigned.join(quantized, Seq("id"))
-    val qScored = queries.select(col("query_id"), col("qv"))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("csim", GraftFunctions.cosine(col("qv"), col("cent_vec")))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id").asc)
-    val probes = qScored.withColumn("prn", row_number().over(wq)).filter(col("prn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id"))
+    // quantization is a row-wise projection over the vec `assigned`
+    // already carries — attaching it as columns avoids what used to be
+    // a full-corpus shuffle join purely to deliver (scale, codes)
+    val data = withSqColumns(assigned, col("vec"))
+    val probes = probeCentroids(queries, centroids, nprobe)
     // coarse pass: dequantized cosine over the int8 codes
     val coarse = probes.join(data, Seq("cent_id"))
       .filter(col("query_id") =!= col("id"))
