@@ -56,11 +56,17 @@ object AsOfJoin {
       leftCols: Seq[String], rightCols: Seq[String],
       tieBreak: Seq[String] = Seq.empty): DataFrame = {
     requireTieBreakSubset(tieBreak, rightCols)
+    // a right row with NULL ts or NULL key can never be an as-of match
+    // (rightTs <= leftTs is unknown; keys join by equality) — but the
+    // nulls-FIRST ascending sort would carry a null-ts row as the
+    // "earliest" match for every left row before the key's first real
+    // right row. Drop them before tagging, like the SQL ASOF does.
+    val rightClean = right.filter(col(ts).isNotNull && col(key).isNotNull)
     val rStructType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
     val lTagged = left.select(
       (col(key).as("__k") +: col(ts).as("__ts") +: lit(1).as("__side") +:
         (leftCols.map(c => col(c)) :+ lit(null).cast(rStructType).as("__r"))): _*)
-    val rTagged = right.select(
+    val rTagged = rightClean.select(
       (col(key).as("__k") +: col(ts).as("__ts") +: lit(0).as("__side") +:
         (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
           struct(rightCols.map(c => col(c)): _*).cast(rStructType).as("__r"))): _*)

@@ -135,7 +135,7 @@ object Dedup {
     * [[connectedComponents]]' default, localCheckpoint blocks don't
     * survive executor loss; rerun the query if that happens mid-job.
     */
-  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+  private[operators] def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
     cached.foreach(_.unpersist())
     out
@@ -169,13 +169,20 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
     val (joined, arrs) = overlapCandidates(df, idCol, textCol, n, maxDf)
-    val pairs = joined
+    materializeAndRelease(scoreJaccard(joined, threshold), arrs)
+  }
+
+  /** THE Jaccard scoring formula over a candidate frame carrying
+    * (id_a, id_b, n_inter, n_a, n_b) — one definition shared by the
+    * posting-list path and the LSH verify path, so a denominator or
+    * rounding change cannot diverge between them.
+    */
+  private def scoreJaccard(cands: DataFrame, threshold: Double): DataFrame =
+    cands
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(pairs, arrs)
-  }
 
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
@@ -298,13 +305,10 @@ object Dedup {
     val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
     val pairShingles = intersections(shC, maxDf)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
-    val pairs = pairShingles
+    val pairs = scoreJaccard(pairShingles
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b"),
+      threshold)
     materializeAndRelease(pairs, arrs, candidates)
   }
 
@@ -454,7 +458,9 @@ object Dedup {
     val comps = connectedComponents(
       ngramJaccardPairs(df, idCol, textCol, n, threshold))
       .withColumnRenamed("id", "__cid")
-    val lab = df.select(col(idCol), quality.cast("long").as("__q"))
+    // NO cast on the quality expression: truncating a fractional score
+    // to long would silently degenerate the ranking to the id tiebreak
+    val lab = df.select(col(idCol), quality.as("__q"))
       .join(comps, col(idCol) === col("__cid"), "left")
       .select(col(idCol), coalesce(col("keep_id"), col(idCol)).as("cluster_id"), col("__q"))
     val w = org.apache.spark.sql.expressions.Window

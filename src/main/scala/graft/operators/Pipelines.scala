@@ -27,13 +27,17 @@ object Pipelines {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
     val dropIds = clusters.filter(col("id") =!= col("keep_id"))
       .select(col("id").as("doc_id"))
-    val kept = docs.join(dropIds, Seq("doc_id"), "left_anti")
+    // `kept` feeds BOTH the quality branch and the final semi-join —
+    // cached so the documents scan + drop-list anti-join run once, and
+    // released after the eager materialization (Dedup's pattern)
+    val kept = docs.join(dropIds, Seq("doc_id"), "left_anti").cache()
     val scored = TextAnalysis.qualityScore(kept, "doc_id", "text")
       .filter(col("quality") >= 0.2)
-    kept.join(scored, Seq("doc_id"), "left_semi")
+    val out = kept.join(scored, Seq("doc_id"), "left_semi")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).cast("long").as("total_chars"))
+    Dedup.materializeAndRelease(out, kept)
   }
 
   /** Composed from the SAME shared fragments the standalone oracles

@@ -34,7 +34,12 @@ object RangeJoin {
     // 2^53 and µs epochs are ~1.7e18 — an off-by-one bucket drops rows
     val p0 = points.withColumn("__b", expr(s"ts_us div ${bucketUs}L"))
     val p = joinHint.map(p0.hint(_)).getOrElse(p0)
-    val iv = intervals.withColumn("__bs", expr(s"start_us div ${bucketUs}L"))
+    // an empty/inverted interval (end <= start) matches nothing, but
+    // sequence(bs, be) with be < bs would auto-step DOWNWARD and
+    // materialize a huge bucket array for one malformed row — filter
+    // it to produce nothing instead
+    val iv = intervals.filter(col("end_us") > col("start_us"))
+      .withColumn("__bs", expr(s"start_us div ${bucketUs}L"))
       .withColumn("__be", expr(s"(end_us - 1) div ${bucketUs}L"))
       .withColumn("__b", explode(sequence(col("__bs"), col("__be"))))
       .drop("__bs", "__be")

@@ -109,6 +109,9 @@ object SimHash {
     * within distance must collide on ≥1 chunk.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    require(0 <= maxDist && maxDist < 64,
+      s"nearDupPairs needs 0 <= maxDist < 64, got $maxDist — at 64+ every chunk mask is " +
+        "empty and the candidate join degenerates to all-pairs")
     val nChunks = maxDist + 1
     val bits = 64 / nChunks
     val sig = signatures(df, idCol, textCol)

@@ -76,8 +76,11 @@ object Skew {
     val discriminator = saltCol.getOrElse(monotonically_increasing_id())
     val saltedProbe = probe.withColumn("__psalt",
       pmod(hash(col(probeKey), discriminator), lit(salts)))
-    saltedProbe.join(saltedBuild,
-        col(probeKey) === col(buildKey) && col("__psalt") === col("__bsalt"))
+    // dataframe-qualified key refs: with probeKey == buildKey (the
+    // common case) bare col() would be AMBIGUOUS_REFERENCE
+    val joined = saltedProbe.join(saltedBuild,
+        saltedProbe(probeKey) === saltedBuild(buildKey) && col("__psalt") === col("__bsalt"))
       .drop("__psalt", "__bsalt")
+    if (probeKey == buildKey) joined.drop(saltedBuild(buildKey)) else joined
   }
 }
