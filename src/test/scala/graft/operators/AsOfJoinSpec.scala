@@ -79,6 +79,21 @@ class AsOfJoinSpec extends SparkSuite {
     assert(ex.getMessage.contains("tieBreak") && ex.getMessage.contains("tag"))
   }
 
+  test("a right row with NULL ts (or NULL key) never matches — SQL ASOF semantics") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "early"),
+      (1L, ts("2024-01-01 12:00:00"), "late")).toDF("k", "t", "ev")
+    val right = Seq(
+      (Some(1L), None, 99L), // NULL ts: must never be carried
+      (Some(1L), Some(ts("2024-01-01 11:00:00")), 7L),
+      (None, Some(ts("2024-01-01 09:00:00")), 55L) // NULL key: unmatchable
+    ).toDF("k", "t", "pid")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("ev"), Seq("pid"))
+      .select("ev", "pid").as[(String, Option[Long])].collect().toMap
+    assert(got("early").isEmpty, "before the first REAL purchase the payload must be NULL")
+    assert(got("late").contains(7L))
+  }
+
   test("keys never mix") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "ev")
     val right = Seq((2L, ts("2024-01-01 09:00:00"), 9L)).toDF("k", "t", "pid")

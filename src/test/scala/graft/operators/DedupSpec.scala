@@ -204,6 +204,26 @@ class DedupSpec extends SparkSuite {
     assert(byCluster.values.forall(_.count(_._4) === 1))
   }
 
+  test("canonicalization honors FRACTIONAL quality scores (no silent truncation)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs3 = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    // fractional score that INVERTS the id order: doc 3 is best
+    val q = when(col("doc_id") === 3L, lit(0.9))
+      .when(col("doc_id") === 2L, lit(0.5)).otherwise(lit(0.1))
+    val got = Dedup.canonicalPerCluster(docs3, "doc_id", "text",
+      n = 3, threshold = 0.8, quality = q)
+      .select("doc_id", "canon_id").as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(3L), s"fractional ranking must pick doc 3: $got")
+  }
+
+  test("simhash rejects an out-of-range maxDist loudly") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      SimHash.nearDupPairs(df, "doc_id", "text", maxDist = 64)
+    }
+    assert(ex.getMessage.contains("maxDist"))
+  }
+
   test("simhash near-dup pairs include planted near-dups and exclude unrelated") {
     val got = SimHash.nearDupPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 7)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()

@@ -5,6 +5,18 @@ import graft.SparkSuite
 class RangeJoinSpec extends SparkSuite {
   import spark.implicits._
 
+  test("an inverted interval (end <= start) matches nothing instead of exploding buckets") {
+    import spark.implicits._
+    val points = Seq((1L, 500L)).toDF("key", "ts_us")
+    // end far BELOW start: a descending sequence would materialize a
+    // huge bucket array; the guard filters the row instead
+    val intervals = Seq((1L, 1700000000000000000L, 0L, "bad"),
+      (1L, 400L, 600L, "good")).toDF("key", "start_us", "end_us", "tag")
+    val got = graft.operators.RangeJoin.pointInInterval(points, intervals, bucketUs = 1000L)
+      .select("tag").as[String].collect()
+    assert(got.toSeq === Seq("good"))
+  }
+
   test("bucketed point-in-interval equals the naive inequality join, incl. bucket edges") {
     // intervals of length 100 over bucket size 100 → spans crossing
     // bucket boundaries, points exactly at start (match) and end (no

@@ -47,6 +47,16 @@ class SkewSpec extends SparkSuite {
     assert(salted.count(_._1 == "hot") === 900)
   }
 
+  test("saltedJoin works when both sides share the key name (the natural call)") {
+    val probe = (1 to 200).map(i => (i.toLong % 3, i)).toDF("user_id", "x")
+    val build = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("user_id", "tag")
+    val got = Skew.saltedJoin(probe, build, "user_id", "user_id", salts = 4)
+    assert(got.columns.count(_ == "user_id") === 1, "duplicate key column must be dropped")
+    assert(got.count() === 200L)
+    assert(got.filter(col("tag") === "b").count() ===
+      probe.filter(col("user_id") === 1L).count())
+  }
+
   test("ivf knn finds mostly the same neighbors as brute force") {
     val emb = graft.tables.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val q = emb.filter(col("vec_id") < 30)
