@@ -188,7 +188,10 @@ object Bench {
     // existing prior — see mergePrior): a co-tenant-noisy run cannot
     // raise any quiet minimum. This run's own readings are preserved
     // verbatim under "run"/"run_value" (which parsePrior ignores).
-    if (args.isEmpty && sfDir.endsWith("sf0.1")) {
+    // basename comparison, not endsWith: a trailing slash must not
+    // silently skip the prior write, and a dir merely ENDING in the
+    // string (old-sf0.1) must not pollute the sf0.1-by-contract prior
+    if (args.isEmpty && new java.io.File(sfDir).getName == "sf0.1") {
       try {
         val merged = mergePrior(prior, finalResults).toSeq.sortBy(_._1)
         val mergedJson = merged.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }

@@ -30,8 +30,13 @@ object UdfSurface {
     * any engine.
     */
   def udfBands(spark: SparkSession, dir: String): DataFrame = {
-    val band = udf((p: Double) =>
-      if (p > 300000.0) "HIGH" else if (p > 100000.0) "MID" else "LOW")
+    // boxed parameter ON PURPOSE: with a primitive Double, Spark
+    // null-skips the UDF (band = NULL) while the oracle's CASE falls
+    // through to 'LOW' — a latent gate divergence on any fixture with
+    // a NULL price. Boxed + explicit null branch matches CASE exactly.
+    val band = udf((p: java.lang.Double) =>
+      if (p == null) "LOW"
+      else if (p > 300000.0) "HIGH" else if (p > 100000.0) "MID" else "LOW")
     Tables.orders(spark, dir)
       .withColumn("band", band(col("o_totalprice")))
       .groupBy(col("band"))
@@ -61,6 +66,11 @@ object UdfSurface {
     import spark.implicits._
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // primitive case-class fields cannot hold NULL: a null row would
+      // throw "Null value appeared in non-nullable field" mid-job.
+      // Dropping nulls here keeps the typed path total; the oracle
+      // filters identically (vacuous on the current fixture).
+      .na.drop(Seq("o_orderkey", "o_custkey", "o_totalprice"))
       .as[OrderRow]
       .map(o => Discounted(o.o_orderkey, o.o_custkey / 100L, o.o_totalprice * 0.9))
       .mapPartitions(_.filter(_.discounted > 250000.0))
@@ -69,5 +79,7 @@ object UdfSurface {
 
   val typedPipelineSql: String =
     """SELECT o_orderkey, CAST(o_custkey // 100 AS BIGINT) AS bucket, o_totalprice * 0.9 AS discounted
-      |FROM orders WHERE o_totalprice * 0.9 > 250000.0""".stripMargin
+      |FROM orders
+      |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      |  AND o_totalprice * 0.9 > 250000.0""".stripMargin
 }

@@ -33,6 +33,12 @@ object Tables {
     * proper microsecond TimestampType with integral division —
     * identical truncation to DuckDB's ns→µs cast, and no double
     * round-trip (ns epochs exceed 2^53).
+    *
+    * The conf set here IS a session-global side effect (later nanos
+    * parquet reads in the same session also decode as long) — kept
+    * deliberately so sessions NOT built via [[graft.GraftSession]]
+    * (which fixes the conf at birth) can still load events; there is
+    * no per-read option form of this setting.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
