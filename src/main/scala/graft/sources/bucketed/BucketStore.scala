@@ -412,10 +412,12 @@ object BucketStore {
     * scale-honest MV refresh (complete-mode republish rewrites the
     * whole table every epoch regardless of churn).
     */
-  def upsertRows(name: String, byBucket: Array[Array[Row]]): Unit = synchronized {
+  def upsertRows(name: String, byBucket: Array[Array[Row]],
+      expectedLayoutEpoch: Long): Unit = synchronized {
     val t = get(name)
     require(byBucket.length == t.buckets.length,
       s"upsert into '$name': got ${byBucket.length} buckets, table has ${t.buckets.length}")
+    requireLayoutUnchanged(name, t, expectedLayoutEpoch)
     val keyIdx = t.schema.fieldIndex(t.keyCol)
     val rows = t.buckets.zipWithIndex.map { case (old, b) =>
       val incoming = byBucket(b)
@@ -436,6 +438,23 @@ object BucketStore {
     }
     publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
   }
+
+  /** The write-path twin of the CDC layoutEpoch gate: a bucket-
+    * ASSIGNMENT change (rebucket, repartition_range) committed between
+    * write planning and commit leaves the writer's captured routing
+    * (rangeBounds / hash) stale. A DIFFERENT bucket count trips the
+    * length require above, but a SAME-count layout change is invisible
+    * to it — rows staged under the old layout would silently land in
+    * buckets the new layout does not own (reads then miss them;
+    * upserts can duplicate keys). Writers capture the epoch at
+    * `build()` and every commit path must present it here.
+    */
+  private def requireLayoutUnchanged(name: String, t: BucketTable, expected: Long): Unit =
+    require(t.layoutEpoch == expected,
+      s"write into '$name' planned at layout epoch $expected but the table is now at epoch " +
+        s"${t.layoutEpoch} — the bucket layout changed (rebucket/repartition_range) between " +
+        "write planning and commit; rows routed by the old layout would be silently " +
+        "mis-placed. Re-run the write against the new layout.")
 
   /** Catalog DROP TABLE — removes the table AND its whole MVCC history.
     * Under the publish monitor: a drop racing a concurrent publish's
@@ -458,11 +477,13 @@ object BucketStore {
     * their array with the previous snapshot (MVCC retention stays
     * cheap).
     */
-  def commitWrite(name: String, byBucket: Array[Array[Row]], truncate: Boolean): Unit =
+  def commitWrite(name: String, byBucket: Array[Array[Row]], truncate: Boolean,
+      expectedLayoutEpoch: Long): Unit =
     synchronized {
       val t = get(name)
       require(byBucket.length == t.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
+      requireLayoutUnchanged(name, t, expectedLayoutEpoch)
       val rows =
         if (truncate) byBucket.map(clusterSort(t.schema, t.clusterCol, _))
         else t.buckets.zip(byBucket).map { case (old, add) =>
@@ -510,11 +531,13 @@ object BucketStore {
     * bucket key, or a MERGE insert, legally moves rows into buckets
     * the scan never touched). One version, atomic, like every publish.
     */
-  def replaceGroups(name: String, byBucket: Array[Array[Row]], groups: Set[Int]): Unit =
+  def replaceGroups(name: String, byBucket: Array[Array[Row]], groups: Set[Int],
+      expectedLayoutEpoch: Long): Unit =
     synchronized {
       val t = get(name)
       require(byBucket.length == t.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
+      requireLayoutUnchanged(name, t, expectedLayoutEpoch)
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>
         if (groups.contains(b)) clusterSort(t.schema, t.clusterCol, byBucket(b))
         else if (byBucket(b).isEmpty) old

@@ -77,8 +77,11 @@ class BucketedRowLevelOperation(name: String, cmd: RowLevelOperation.Command)
             a.name == b.name && a.dataType == b.dataType },
           s"row-level write schema ${in.simpleString} does not match table '$name' " +
             s"schema ${t.schema.simpleString}")
+        // layout captured at build, like the plain write path: the
+        // epoch rides to commit so a rebucket/repartition_range landing
+        // mid-rewrite fails loudly instead of mis-routing the rewrite
         new BucketedReplaceGroupsWrite(name, t.schema, t.keyCol, t.buckets.length,
-          BucketedRowLevelOperation.this)
+          BucketedRowLevelOperation.this, t.rangeBounds, t.layoutEpoch)
       }
     }
 
@@ -90,7 +93,8 @@ class BucketedRowLevelOperation(name: String, cmd: RowLevelOperation.Command)
   * exactly the scanned groups.
   */
 class BucketedReplaceGroupsWrite(name: String, schema: StructType, keyCol: String,
-    numBuckets: Int, op: BucketedRowLevelOperation)
+    numBuckets: Int, op: BucketedRowLevelOperation,
+    rangeBounds: Option[Array[Any]], layoutEpoch: Long)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -100,13 +104,14 @@ class BucketedReplaceGroupsWrite(name: String, schema: StructType, keyCol: Strin
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new BucketedWriterFactory(schema, keyCol, numBuckets, BucketStore.rangeBoundsOf(name))
+      new BucketedWriterFactory(schema, keyCol, numBuckets, rangeBounds)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // a rewrite whose scan never planned (pure-insert MERGE) read no
       // groups: replace nothing, append everything
       val groups = op.scannedBuckets.getOrElse(Set.empty)
-      BucketStore.replaceGroups(name, BucketWriteCommit.merge(messages, numBuckets), groups)
+      BucketStore.replaceGroups(name, BucketWriteCommit.merge(messages, numBuckets), groups,
+        layoutEpoch)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -464,8 +464,9 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
   * hash of its bucket key lands in `[lower·M, upper·M)` — the exact
   * arithmetic of the curation samplers (overflow analysis at
   * [[graft.operators.Pipelines.stratifiedSample]]), replicable in
-  * plain SQL. Null keys hash to 0, so they ride with any window that
-  * starts at 0.
+  * plain SQL. Null keys are NEVER sampled (sentinel hash −1, outside
+  * every window) — exactly what the replica computes, where `NULL %`
+  * is NULL and fails both bounds.
   */
 final case class SampleSpec(lower: Double, upper: Double) {
   def keep(key: Any): Boolean = {
@@ -486,11 +487,14 @@ object SampleSpec {
     * replica excludes.
     */
   def hash(key: Any): Long = key match {
-    case null => 0L
+    // NULL % M is NULL in SQL, which fails both window bounds — the
+    // sentinel keeps reader and replica row-identical on null keys
+    // (0 would ride in every window starting at 0 that SQL excludes)
+    case null => -1L
     case n: Number =>
       val k = n.longValue() % M
       (k * 48271L % M) * 48271L % M
-    case _ => 0L
+    case _ => -1L
   }
   /** Integral keys only: the hash must be replayable by an independent
     * engine without 64-bit-overflow gymnastics.

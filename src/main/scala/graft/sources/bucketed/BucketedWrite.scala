@@ -52,7 +52,12 @@ class BucketedWriteBuilder(name: String, info: LogicalWriteInfo)
       s"write schema ${in.simpleString} does not match table '$name' schema ${want.simpleString}")
     require(!(doTruncate && upsert),
       s"write to '$name': truncate (complete mode) and upsert are mutually exclusive")
-    new BucketedWrite(name, want, doTruncate, t.keyCol, t.buckets.length, upsert)
+    // layout captured HERE, once: rangeBounds route the writers, the
+    // epoch is presented at commit so a layout change between planning
+    // and commit fails loudly instead of silently mis-routing rows
+    // (same-count changes are invisible to the bucket-count check)
+    new BucketedWrite(name, want, doTruncate, t.keyCol, t.buckets.length, upsert,
+      t.rangeBounds, t.layoutEpoch)
   }
 }
 
@@ -72,7 +77,8 @@ class BucketedUpsertWriteBuilder(name: String, info: LogicalWriteInfo)
 }
 
 class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
-    keyCol: String, numBuckets: Int, upsert: Boolean = false)
+    keyCol: String, numBuckets: Int, upsert: Boolean = false,
+    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L)
   extends Write with RequiresDistributionAndOrdering {
 
   /** Hash tables cluster on the bucket transform (each task writes
@@ -81,10 +87,12 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
     * exchanges into contiguous key spans, which align with the boundary
     * buckets, so tasks still write few buckets each. The distribution
     * is a locality hint either way — routing correctness lives in
-    * [[BucketStore.routeBucket]] at the writer.
+    * [[BucketStore.routeBucket]] at the writer, against the layout
+    * CAPTURED at build (the commit's epoch guard makes stale capture
+    * loud, never silent).
     */
   override def requiredDistribution(): Distribution =
-    if (BucketStore.rangeBoundsOf(name).isDefined)
+    if (rangeBounds.isDefined)
       Distributions.ordered(Array(Expressions.sort(Expressions.column(keyCol),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
         org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)))
@@ -96,10 +104,12 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: BatchWrite =
-    new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets, upsert)
+    new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets, upsert,
+      rangeBounds, layoutEpoch)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new BucketedStreamingWrite(name, schema, truncate, keyCol, numBuckets, upsert)
+    new BucketedStreamingWrite(name, schema, truncate, keyCol, numBuckets, upsert,
+      rangeBounds, layoutEpoch)
 
   override def description(): String =
     s"graft-buckets:$name write bucket($numBuckets, $keyCol)" +
@@ -116,7 +126,8 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
   * dedupe on a durable txn id — in-JVM stand-in scope).
   */
 class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean,
-    keyCol: String, numBuckets: Int, upsert: Boolean = false)
+    keyCol: String, numBuckets: Int, upsert: Boolean = false,
+    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -124,29 +135,29 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
   private val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new BucketedStreamingWriterFactory(schema, keyCol, numBuckets,
-      BucketStore.rangeBoundsOf(name))
+    new BucketedStreamingWriterFactory(schema, keyCol, numBuckets, rangeBounds)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     if (committed.add(epochId)) {
       val byBucket = BucketWriteCommit.merge(messages, numBuckets)
-      if (upsert) BucketStore.upsertRows(name, byBucket)
-      else BucketStore.commitWrite(name, byBucket, truncate)
+      if (upsert) BucketStore.upsertRows(name, byBucket, layoutEpoch)
+      else BucketStore.commitWrite(name, byBucket, truncate, layoutEpoch)
     }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
-    keyCol: String, numBuckets: Int, upsert: Boolean = false) extends BatchWrite {
+    keyCol: String, numBuckets: Int, upsert: Boolean = false,
+    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BucketedWriterFactory(schema, keyCol, numBuckets, BucketStore.rangeBoundsOf(name))
+    new BucketedWriterFactory(schema, keyCol, numBuckets, rangeBounds)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val byBucket = BucketWriteCommit.merge(messages, numBuckets)
-    if (upsert) BucketStore.upsertRows(name, byBucket)
-    else BucketStore.commitWrite(name, byBucket, truncate)
+    if (upsert) BucketStore.upsertRows(name, byBucket, layoutEpoch)
+    else BucketStore.commitWrite(name, byBucket, truncate, layoutEpoch)
   }
 
   /** Nothing staged outside the messages → abort publishes nothing. */

@@ -453,6 +453,17 @@ object GraftProps extends Properties("graft") {
       SampleSpec(lo, hi).keep(Long.box(k)) == sqlKeep
     }
 
+  /** NULL keys: the SQL replica's `NULL % M` is NULL and fails both
+    * bounds, so the reader must never sample a null key — for ANY
+    * window, including ones starting at 0.
+    */
+  property("SampleSpec never samples a null key") =
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
+      import graft.sources.bucketed.SampleSpec
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      !SampleSpec(lo, hi).keep(null)
+    }
+
   /** Range routing is total, in-range, and the binary search agrees
     * with the linear ownership definition (first boundary ≥ v; nulls
     * route to bucket 0).

@@ -119,6 +119,47 @@ class BucketedWriteSpec extends SparkSuite {
       "a replayed epoch must not double-append")
   }
 
+  test("layout guard: a SAME-count layout change between write planning and commit fails loudly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    BucketStore.drop("w_layout")
+    BucketStore.createEmpty("w_layout", schema, "k", 4)
+    val seed = Array.tabulate(4)(b => Array.tabulate(5)(i => Row((b * 5 + i).toLong, "x")))
+    BucketStore.commitWrite("w_layout", seed, truncate = false, expectedLayoutEpoch = 0L)
+    val staleEpoch = BucketStore.get("w_layout").layoutEpoch
+    // the same-count layout change the bucket-count require cannot see:
+    // 4 hash buckets → 4 range buckets, captured rangeBounds go stale
+    BucketStore.repartitionRange("w_layout", 4)
+    def oneRow(): Array[Array[Row]] = {
+      val byBucket = Array.fill(4)(Array.empty[Row])
+      byBucket(0) = Array(Row(100L, "y"))
+      byBucket
+    }
+    val ex = intercept[IllegalArgumentException] {
+      BucketStore.commitWrite("w_layout", oneRow(), truncate = false, staleEpoch)
+    }
+    assert(ex.getMessage.contains("layout"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      BucketStore.upsertRows("w_layout", oneRow(), staleEpoch)
+    }
+    assert(ex2.getMessage.contains("layout"), ex2.getMessage)
+    val ex3 = intercept[IllegalArgumentException] {
+      BucketStore.replaceGroups("w_layout", oneRow(), Set(0), staleEpoch)
+    }
+    assert(ex3.getMessage.contains("layout"), ex3.getMessage)
+    // a writer built AFTER the layout change commits cleanly: route by
+    // the CURRENT layout and present the current epoch
+    val t = BucketStore.get("w_layout")
+    val routed = Array.fill(4)(Vector.newBuilder[Row])
+    routed(BucketStore.routeBucket(t.rangeBounds, 4, 100L)) += Row(100L, "y")
+    BucketStore.commitWrite("w_layout", routed.map(_.result().toArray),
+      truncate = false, t.layoutEpoch)
+    assert(BucketStore.get("w_layout").buckets.map(_.length).sum === 21)
+    BucketStore.drop("w_layout")
+    ()
+  }
+
   test("write plans ONE exchange on the catalog's bucket function — each task writes whole buckets") {
     cat()
     spark.sql("DROP TABLE IF EXISTS graft.`w_plan`")
