@@ -273,6 +273,7 @@ object SparkEntry {
     // — bounded-state streaming dedup: state evicts with the
     //   watermark, the shape that survives an unbounded stream —
     "q127_stream_dedup_bounded" -> graft.streaming.StreamOps.streamingDedupBounded _,
+    "q129_ts_travel" -> graft.sources.bucketed.BucketedQueries.tsTravelQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -451,5 +452,6 @@ object SparkEntry {
     "q125_gopher_rules" -> graft.operators.TextAnalysis.gopherRulesSql,
     "q126_sorted_spj" -> graft.sources.bucketed.BucketedQueries.copartitionJoinSql,
     "q127_stream_dedup_bounded" -> graft.streaming.StreamOps.streamingDedupBoundedSql,
+    "q129_ts_travel" -> graft.sources.bucketed.BucketedQueries.tsTravelSql,
   )
 }

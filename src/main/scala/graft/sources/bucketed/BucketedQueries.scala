@@ -543,6 +543,53 @@ object BucketedQueries {
       |SELECT o_orderstatus, 'now' AS snap, count(*) AS n
       |FROM orders WHERE o_orderstatus <> 'O' GROUP BY o_orderstatus""".stripMargin
 
+  /** q129 — `TIMESTAMP AS OF` resolution semantics, gated end-to-end:
+    * three commits (load → DELETE → UPDATE), then three reads that
+    * pin DIFFERENT snapshots purely by timestamp. The middle read uses
+    * a timestamp STRICTLY BEFORE commit 3's stamp (`ts3 − 1µs`), so it
+    * exercises the "latest retained version whose commit stamp is ≤ t"
+    * rule between commits — not just the exact-stamp lookup q103
+    * covers. Stamps come from the store's recorded commit timestamps
+    * (strictly increasing by construction, [[BucketStore.nextStamp]]),
+    * so the mapping is deterministic on every machine and the DuckDB
+    * oracle replays each state as a plain filtered aggregate.
+    */
+  def tsTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"orders_tsof@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.orders(spark, dir), "o_orderkey", NumBuckets)
+    val ts1 = BucketStore.commitTimestamp(name, BucketStore.currentVersion(name))
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderstatus = 'O'")
+    spark.sql(s"UPDATE graft.`$name` SET o_totalprice = o_totalprice + 100 " +
+      "WHERE o_orderpriority = '1-URGENT'")
+    val ts3 = BucketStore.commitTimestamp(name, BucketStore.currentVersion(name))
+    def lit(ts: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(ts / 1000000L, (ts % 1000000L) * 1000L))
+    def agg(snap: String, from: String): DataFrame = spark.sql(
+      s"SELECT o_orderstatus, '$snap' AS snap, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+        s"FROM $from GROUP BY o_orderstatus")
+    agg("t1", s"graft.`$name` TIMESTAMP AS OF '${lit(ts1)}'")          // full table
+      .unionAll(agg("mid", s"graft.`$name` TIMESTAMP AS OF '${lit(ts3 - 1)}'")) // post-DELETE, pre-UPDATE
+      .unionAll(agg("now", s"graft.`$name`"))                          // post-UPDATE
+  }
+
+  val tsTravelSql: String =
+    """SELECT o_orderstatus, 't1' AS snap, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT o_orderstatus, 'mid' AS snap, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderstatus <> 'O' GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT o_orderstatus, 'now' AS snap, count(*) AS n,
+      | CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 100
+      |                    ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderstatus <> 'O' GROUP BY o_orderstatus""".stripMargin
+
   /** q104 — incrementally-maintained materialized view, the CDC
     * feed's canonical consumer: orders land in the store (commit 1),
     * row-level DML churns them (DELETE the low-priority tier,
