@@ -30,14 +30,22 @@ import org.apache.spark.sql.types._
   * every row. A false positive merely opens a bucket whose rows the
   * row-level filter then drops — never wrong results.
   *
-  * Lifecycle: statistics are built lazily (first pushed filter on the
-  * column) and cached by BUCKET-ARRAY IDENTITY — exactly the sharing
-  * the COW store already has. An unchanged bucket keeps its row array
-  * across versions, so it keeps its statistics; only rewritten buckets
-  * recompute, and vacuumed arrays age out with their weak keys. At
-  * 100 TB the same stats live in table metadata, written by the
-  * producer at commit (one streaming pass per changed bucket, exactly
-  * what this cache does on first touch).
+  * Lifecycle: statistics are built AT COMMIT for registered stat
+  * columns — [[BucketStore.publish]] warms exactly the buckets whose
+  * row array changed in that commit ([[warm]]), so planning finds them
+  * ready and pays ZERO stat passes at plan time (spec-pinned via
+  * [[buildCount]]). A column registers the first time a pushed filter
+  * touches it ([[BucketSplits.plan]]) or explicitly via
+  * `CALL graft.analyze`; that first touch is the one remaining lazy
+  * build — the fallback, not the steady state. Stats are cached by
+  * BUCKET-ARRAY IDENTITY — exactly the sharing the COW store already
+  * has: an unchanged bucket keeps its row array across versions, so it
+  * keeps its statistics; only rewritten buckets recompute, and
+  * vacuumed arrays age out with their weak keys. At 100 TB the same
+  * pass runs in the producer's write task (it holds the rows anyway)
+  * and the results live in commit metadata; in this in-JVM stand-in
+  * the driver holds the staged rows, so the pass lives at the publish
+  * choke point — either way, cost ∝ changed buckets, never the table.
   *
   * Schema evolution: rows below the current arity (pre-ALTER stored
   * rows) read as NULL for the added columns, matching the fetch-path
@@ -81,6 +89,22 @@ object BucketSkip {
     perCol.getOrElseUpdate(c, build(schema, rows, c))
   }
 
+  /** Full-column stat passes actually executed (cache misses) — the
+    * spec hook that proves commit-time warming works: a pushed filter
+    * planned after a write must not move this counter.
+    */
+  val buildCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Commit-time statistics build: compute (and cache) stats for
+    * `cols` over one bucket's rows — called by [[BucketStore.publish]]
+    * for every bucket whose array the commit replaced, with the
+    * table's registered stat columns.
+    */
+  private[bucketed] def warm(schema: StructType, rows: Array[Row], cols: Iterable[String]): Unit =
+    cols.foreach { c =>
+      if (schema.fieldNames.contains(c)) { statsFor(schema, rows, c); () }
+    }
+
   private def comparableType(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | TimestampType | DateType => true
     case _ => false
@@ -95,6 +119,7 @@ object BucketSkip {
     val i = schema.fieldIndex(c)
     val dt = schema(i).dataType
     if (!comparableType(dt)) return None
+    buildCount.incrementAndGet()
     val nbits =
       if (!sketchableType(dt)) 0
       else math.min(1 << 22, math.max(64, Integer.highestOneBit(rows.length * 8 - 1) << 1))

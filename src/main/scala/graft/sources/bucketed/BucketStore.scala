@@ -115,8 +115,38 @@ object BucketStore {
     val hist = tables.getOrDefault(name, Vector.empty)
     firstVersions.putIfAbsent(name, stamped.version)
     tables.put(name, (hist :+ stamped).takeRight(RetainedVersions))
-    ()
+    // commit-time statistics: warm zone maps/sketches for exactly the
+    // buckets this commit REPLACED (identity-shared arrays keep their
+    // cached stats), for the table's registered stat columns — so a
+    // later pushed filter prunes with ZERO plan-time stat passes. At
+    // 100 TB this pass runs in the producer's write task and lands in
+    // commit metadata; the cost discipline is identical: ∝ changed
+    // buckets, never the table.
+    val cols = statColumns.getOrDefault(name, Set.empty)
+    if (cols.nonEmpty) {
+      val prev = hist.lastOption
+      stamped.buckets.zipWithIndex.foreach { case (rows, b) =>
+        val shared = prev.exists(p => b < p.buckets.length && (p.buckets(b) eq rows))
+        if (!shared) BucketSkip.warm(stamped.schema, rows, cols)
+      }
+    }
   }
+
+  /** Columns with data-skipping statistics maintained AT COMMIT for
+    * each table: registered by the first pushed filter that touches a
+    * column ([[BucketSplits.plan]]) or explicitly via
+    * `CALL graft.analyze` — from then on every publish keeps the
+    * changed buckets' stats warm and planning never pays a stat pass.
+    */
+  private val statColumns = new ConcurrentHashMap[String, Set[String]]()
+
+  def registerStatColumns(name: String, cols: Iterable[String]): Unit =
+    if (cols.nonEmpty) {
+      statColumns.merge(name, cols.toSet, (a, b) => a ++ b)
+      ()
+    }
+
+  def statColumnsOf(name: String): Set[String] = statColumns.getOrDefault(name, Set.empty)
 
   /** Commit timestamp (micros) of retained snapshot `v` — what
     * `TIMESTAMP AS OF` resolves against. Loud if vacuumed/unknown.
@@ -465,6 +495,7 @@ object BucketStore {
     */
   def drop(name: String): Boolean = synchronized {
     firstVersions.remove(name)
+    statColumns.remove(name)
     tables.remove(name) != null
   }
 

@@ -194,7 +194,8 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"),
       Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "recluster"),
-      Identifier.of(Array.empty, "repartition_range"), Identifier.of(Array.empty, "stats"))
+      Identifier.of(Array.empty, "repartition_range"), Identifier.of(Array.empty, "stats"),
+      Identifier.of(Array.empty, "analyze"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -205,9 +206,10 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "recluster" => BucketedProcedures.Recluster
       case "repartition_range" => BucketedProcedures.RepartitionRange
       case "stats" => BucketedProcedures.Stats
+      case "analyze" => BucketedProcedures.Analyze
       case other => throw new UnsupportedOperationException(
-        s"no such procedure: $other (supported: vacuum, history, rebucket, recluster, " +
-          "repartition_range, stats)")
+        s"no such procedure: $other (supported: analyze, vacuum, history, rebucket, " +
+          "recluster, repartition_range, stats)")
     }
 }
 

@@ -205,6 +205,54 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.analyze('t', 'c1,c2')` — register data-skipping stat
+    * columns and build their zone maps/sketches for the CURRENT
+    * snapshot now. From this commit on, every publish keeps the
+    * changed buckets' stats warm ([[BucketStore.publish]]), so a
+    * pushed filter on these columns prunes with zero plan-time stat
+    * passes — the explicit pre-warm for tables whose filter columns
+    * are known before the first query (the lazy first-touch build
+    * remains as the fallback for everything else).
+    */
+  object Analyze extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "analyze(table, columns): register comma-separated stat columns and build their " +
+        "data-skipping statistics; later commits keep changed buckets warm"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns", StringType).build())
+    override def isDeterministic: Boolean = false // registers + builds cache state
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "analyze(table, columns): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "analyze(table, columns): no columns given")
+      val t = BucketStore.get(table)
+      cols.foreach(c => require(t.schema.fieldNames.contains(c),
+        s"analyze('$table'): column '$c' not in schema [${t.schema.fieldNames.mkString(", ")}]"))
+      BucketStore.registerStatColumns(table, cols)
+      val data = cols.map { c =>
+        var skippable = 0
+        t.buckets.foreach { rows =>
+          if (BucketSkip.statsFor(t.schema, rows, c).isDefined) skippable += 1
+        }
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(c),
+          t.buckets.length, skippable)
+      }.toArray
+      localScan(
+        StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("buckets", IntegerType, nullable = false),
+          StructField("skippable", IntegerType, nullable = false))),
+        data,
+        s"graft analyze($table)")
+    }
+  }
+
   object History extends UnboundProcedure with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =

@@ -861,12 +861,19 @@ private[sources] object BucketSplits {
     // second pruning axis, ANY pushed column: per-bucket zone maps +
     // membership sketches ([[BucketSkip]]) drop buckets that provably
     // hold no matching row — a point lookup on a non-key column opens
-    // ~1 reader instead of the fleet
+    // ~1 reader instead of the fleet. Referenced columns REGISTER as
+    // the table's stat columns: this first touch is the one lazy
+    // build; every later publish warms changed buckets at commit, so
+    // steady-state planning pays zero stat passes (BucketSkipSpec).
     val skipped =
       if (filters.isEmpty) planned
-      else planned.filter { p =>
-        val b = p.asInstanceOf[BucketInputPartition].bucket
-        filters.forall(f => BucketSkip.mayMatch(t.schema, t.buckets(b), f))
+      else {
+        BucketStore.registerStatColumns(name, filters.flatMap(_.references)
+          .filter(t.schema.fieldNames.contains))
+        planned.filter { p =>
+          val b = p.asInstanceOf[BucketInputPartition].bucket
+          filters.forall(f => BucketSkip.mayMatch(t.schema, t.buckets(b), f))
+        }
       }
     if (skipped.isEmpty && keepOneWhenPruned && all.nonEmpty) all.take(1) else skipped
   }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.sources.bucketed.{BucketStore, BucketedCatalog, ConnectionPool, SampleSpec}
+import graft.sources.bucketed.{BucketSkip, BucketStore, BucketedCatalog, ConnectionPool, SampleSpec}
 
 /** Per-bucket data skipping ([[graft.sources.bucketed.BucketSkip]]):
   * membership sketches prune non-key point lookups, zone maps prune
@@ -96,6 +96,45 @@ class BucketSkipSpec extends SparkSuite {
     val aplan = agg.queryExecution.executedPlan.toString
     assert(aplan.contains("pushedSample") && !aplan.contains("PushedAggregates"),
       aplan.take(1200))
+  }
+
+  test("commit-time stats: a write warms changed buckets, planning pays ZERO stat passes") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 2000).map(i => (i.toLong, s"name-$i")).toDF("k", "name")
+    BucketStore.drop("skip_warm")
+    BucketStore.load(spark, "skip_warm", df, "k", 8)
+    // explicit registration + initial build (the operator's pre-warm)
+    val an = spark.sql("CALL graft.analyze('skip_warm', 'name')").collect()
+    assert(an.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq === Seq(("name", 8, 8)))
+    assert(BucketStore.statColumnsOf("skip_warm") === Set("name"))
+    // a write AFTER registration: publish computes the changed
+    // buckets' statistics AT COMMIT
+    (2001 to 2400).map(i => (i.toLong, s"name-$i")).toDF("k", "name")
+      .writeTo("graft.`skip_warm`").append()
+    val before = BucketSkip.buildCount.get()
+    val q = scan("skip_warm").filter(col("name") === "name-2345")
+    val got = q.collect()
+    val planned = q.rdd.getNumPartitions
+    assert(got.map(_.getAs[Long]("k")).toSeq === Seq(2345L))
+    assert(planned <= 2, s"sketch should prune a unique value to ~1 of 8 buckets, got $planned")
+    assert(BucketSkip.buildCount.get() === before,
+      "planning after a commit must consult commit-time statistics — zero plan-time builds")
+    // the lazy path is the FALLBACK, and it registers: a first filter
+    // on an unregistered column builds at plan time once, then later
+    // commits keep it warm too
+    assert(scan("skip_warm").filter(col("k") === 1234L).count() === 1L)
+    assert(BucketStore.statColumnsOf("skip_warm").contains("k"))
+    (9001 to 9050).map(i => (i.toLong, s"name-$i")).toDF("k", "name")
+      .writeTo("graft.`skip_warm`").append()
+    val before2 = BucketSkip.buildCount.get()
+    assert(scan("skip_warm").filter(col("k") === 9042L).count() === 1L)
+    assert(BucketSkip.buildCount.get() === before2,
+      "a lazily-registered column must also be warmed by later commits")
+    // analyze validates its inputs loudly
+    val bad = intercept[Exception] {
+      spark.sql("CALL graft.analyze('skip_warm', 'nope')").collect()
+    }
+    assert(bad.getMessage.contains("nope"), bad.getMessage)
   }
 
   test("schema evolution: pre-ALTER short rows count as nulls for the added column, no crash") {
