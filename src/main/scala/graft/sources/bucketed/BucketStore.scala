@@ -224,6 +224,39 @@ object BucketStore {
           if (b.isNullAt(i)) null else b.get(i)) < 0 }
     }
 
+  /** Cluster-order maintenance for APPEND-shaped publishes: the stored
+    * bucket is already sorted (the publish invariant), so sort only
+    * the DELTA and linear-merge — O(|bucket| + |delta|·log|delta|)
+    * instead of re-sorting the bucket. At 100 TB this is the
+    * difference between an ingest paying for its batch and paying for
+    * the table. Ties take old rows first, byte-identical to what the
+    * stable full sort of `old ++ add` produced. Short (pre-ALTER) rows
+    * read the cluster key as NULL, matching [[clusterSort]]/the fetch
+    * path's padding.
+    */
+  private def clusterMerge(schema: StructType, clusterCol: Option[String],
+      old: Array[Row], add: Array[Row]): Array[Row] =
+    clusterCol match {
+      case None => old ++ add
+      case Some(c) =>
+        val i = schema.fieldIndex(c)
+        def key(r: Row): Any = if (i >= r.size || r.isNullAt(i)) null else r.get(i)
+        val sortedAdd = clusterSort(schema, clusterCol, add)
+        val out = new Array[Row](old.length + sortedAdd.length)
+        var a = 0
+        var b = 0
+        var o = 0
+        while (a < old.length && b < sortedAdd.length) {
+          if (ClusterRange.cmpNullsFirst(key(old(a)), key(sortedAdd(b))) <= 0) {
+            out(o) = old(a); a += 1
+          } else { out(o) = sortedAdd(b); b += 1 }
+          o += 1
+        }
+        while (a < old.length) { out(o) = old(a); a += 1; o += 1 }
+        while (b < sortedAdd.length) { out(o) = sortedAdd(b); b += 1; o += 1 }
+        out
+    }
+
   /** Load from parquet if not already present (the common gated-query
     * path: model "the external cluster already holds this table").
     */
@@ -462,8 +495,10 @@ object BucketStore {
           case (r, i) if lastPerKey(r.get(keyIdx)) == i => r
         }
         val newKeys = lastPerKey.keySet
-        clusterSort(t.schema, t.clusterCol,
-          old.filterNot(r => newKeys.contains(r.get(keyIdx))) ++ deduped)
+        // survivors keep their sorted order (filter preserves it); only
+        // the delivered rows need sorting before the merge
+        clusterMerge(t.schema, t.clusterCol,
+          old.filterNot(r => newKeys.contains(r.get(keyIdx))), deduped)
       }
     }
     publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
@@ -518,9 +553,10 @@ object BucketStore {
       val rows =
         if (truncate) byBucket.map(clusterSort(t.schema, t.clusterCol, _))
         else t.buckets.zip(byBucket).map { case (old, add) =>
-          // clustered tables re-sort only buckets that received rows —
-          // the clustered-index maintenance a real store does on ingest
-          if (add.isEmpty) old else clusterSort(t.schema, t.clusterCol, old ++ add)
+          // clustered-index maintenance on ingest: only buckets that
+          // received rows change, and each pays a DELTA sort + linear
+          // merge, never a full re-sort ([[clusterMerge]])
+          if (add.isEmpty) old else clusterMerge(t.schema, t.clusterCol, old, add)
         }
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
     }
@@ -572,7 +608,7 @@ object BucketStore {
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>
         if (groups.contains(b)) clusterSort(t.schema, t.clusterCol, byBucket(b))
         else if (byBucket(b).isEmpty) old
-        else clusterSort(t.schema, t.clusterCol, old ++ byBucket(b))
+        else clusterMerge(t.schema, t.clusterCol, old, byBucket(b))
       }
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
     }

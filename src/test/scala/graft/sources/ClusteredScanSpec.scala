@@ -126,6 +126,61 @@ class ClusteredScanSpec extends SparkSuite {
     assert(plan.contains("clusterSlice=seq"), plan.take(800))
   }
 
+  test("APPEND restores cluster order by delta-merge on hash AND range layouts; slices stay effective") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    // — hash-clustered table: bulk load ordered, append a SHUFFLED delta —
+    BucketStore.drop("clust_app")
+    val base = (0 until 3000).map(i => ((i % 53).toLong, i.toLong, s"r$i")).toDF("k", "seq", "tag")
+    BucketStore.load(spark, "clust_app", base, "k", 8, clusterBy = Some("seq"))
+    // deterministic permutation of 3000..3399 (181 coprime to 400)
+    val adds = (0 until 400).map(j => 3000 + ((j * 181) % 400))
+    assert(adds.toSeq != adds.sorted, "the delta must arrive out of order")
+    adds.map(s => ((s % 53).toLong, s.toLong, s"a$s")).toDF("k", "seq", "tag")
+      .writeTo("graft.`clust_app`").append()
+    val t = BucketStore.get("clust_app")
+    val si = t.schema.fieldIndex("seq")
+    t.buckets.foreach { rows =>
+      val seqs = rows.map(_.getLong(si))
+      assert(seqs.sameElements(seqs.sorted), "append must restore in-bucket cluster order")
+    }
+    val src = spark.read.format("graft-buckets")
+      .option("table", "clust_app").option("fetchsize", "50").load()
+    val (fullRows, fullPages) = pagesDuring(src.collect())
+    assert(fullRows.length === 3400)
+    // a window entirely inside the APPENDED range still fetches slices
+    val (got, rangePages) = pagesDuring(
+      src.filter(col("seq") >= 3100L && col("seq") < 3180L).collect())
+    assert(got.map(_.getLong(1)).sorted.toSeq === (3100L until 3180L).toSeq)
+    assert(rangePages * 5 < fullPages,
+      s"post-append range fetch used $rangePages pages vs $fullPages full — slice lost")
+
+    // — range-layout table: appended rows must ROUTE by boundary and
+    //   keep the in-bucket key order the layout binary-searches —
+    BucketStore.drop("range_app")
+    val df2 = (0 until 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketStore.load(spark, "range_app", df2, "k", 4)
+    spark.sql("CALL graft.repartition_range('range_app', 4)").collect()
+    val adds2 = (0 until 200).map(j => ((j * 191) % 2000).toLong)
+    adds2.map(s => (s, s"a$s")).toDF("k", "v").writeTo("graft.`range_app`").append()
+    val rt = BucketStore.get("range_app")
+    val bounds = rt.rangeBounds.get
+    rt.buckets.zipWithIndex.foreach { case (rows, b) =>
+      rows.foreach(r => assert(BucketStore.routeBucket(Some(bounds), 4, r.get(0)) === b,
+        s"appended row k=${r.get(0)} violates boundary ownership of bucket $b"))
+      val ks = rows.map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), "range bucket lost key order after append")
+    }
+    val expected = (0 until 2000).count(k => k >= 500 && k < 540) +
+      adds2.count(s => s >= 500L && s < 540L)
+    val rsrc = spark.read.format("graft-buckets").option("table", "range_app").load()
+    val rq = rsrc.filter(col("k") >= 500L && col("k") < 540L)
+    assert(rq.count().toInt === expected)
+    // disjoint per-bucket key ranges keep pruning after the append
+    assert(rq.rdd.getNumPartitions <= 2,
+      s"a 40-key window should plan <=2 of 4 range buckets, got ${rq.rdd.getNumPartitions}")
+  }
+
   test("CALL graft.recluster: an unclustered table gains the sliced range path") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
