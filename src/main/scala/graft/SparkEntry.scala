@@ -273,6 +273,7 @@ object SparkEntry {
     // — bounded-state streaming dedup: state evicts with the
     //   watermark, the shape that survives an unbounded stream —
     "q127_stream_dedup_bounded" -> graft.streaming.StreamOps.streamingDedupBounded _,
+    "q128_mor_dml" -> graft.sources.bucketed.BucketedQueries.morDmlQuery _,
     "q129_ts_travel" -> graft.sources.bucketed.BucketedQueries.tsTravelQuery _,
   )
 
@@ -452,6 +453,7 @@ object SparkEntry {
     "q125_gopher_rules" -> graft.operators.TextAnalysis.gopherRulesSql,
     "q126_sorted_spj" -> graft.sources.bucketed.BucketedQueries.copartitionJoinSql,
     "q127_stream_dedup_bounded" -> graft.streaming.StreamOps.streamingDedupBoundedSql,
+    "q128_mor_dml" -> graft.sources.bucketed.BucketedQueries.morDmlSql,
     "q129_ts_travel" -> graft.sources.bucketed.BucketedQueries.tsTravelSql,
   )
 }

@@ -178,34 +178,42 @@ object BucketSkip {
   /** May ANY row of this bucket satisfy `f`? True = must open the
     * bucket; false = provably empty result, skip it. Unknown filter
     * shapes and missing statistics answer true (no skip, never wrong).
+    *
+    * Statistics arrive as PARTS (`statsOf`): a clean bucket is one
+    * part; a merge-on-read bucket is base + delta, composed by
+    * disjunction — the bucket may match iff ANY part may — so pruning
+    * never materializes the fold ([[BucketStore.skipStatParts]]).
+    * `None` = no statistics for the column, no skip.
     */
-  def mayMatch(schema: StructType, rows: Array[Row], f: Filter): Boolean = {
-    def stats(c: String): Option[ColSkip] =
-      if (!schema.fieldNames.contains(c)) None else statsFor(schema, rows, c)
+  def mayMatch(schema: StructType, statsOf: String => Option[Seq[ColSkip]],
+      f: Filter): Boolean = {
+    def stats(c: String): Option[Seq[ColSkip]] =
+      if (!schema.fieldNames.contains(c)) None else statsOf(c)
     def eqOne(s: ColSkip, v: Any): Boolean =
       if (v == null || s.min == null) false
       else if (FilterEval.cmp(s.min, v) > 0 || FilterEval.cmp(s.max, v) < 0) false
       else s.bloom == null || sketchHash(v).forall(testBits(s.bloom, s.bloomBits, _))
-    def eqMay(so: Option[ColSkip], v: Any): Boolean = so.forall(eqOne(_, v))
+    def eqMay(so: Option[Seq[ColSkip]], v: Any): Boolean = so.forall(_.exists(eqOne(_, v)))
     // exists non-null value with pred(cmp(value, v)): the witness is
     // max for >-shaped predicates, min for <-shaped ones
-    def boundMay(so: Option[ColSkip], v: Any, useMax: Boolean, pred: Int => Boolean): Boolean =
-      so.forall(s => s.min != null &&
-        pred(FilterEval.cmp(if (useMax) s.max else s.min, v)))
+    def boundMay(so: Option[Seq[ColSkip]], v: Any, useMax: Boolean,
+        pred: Int => Boolean): Boolean =
+      so.forall(_.exists(s => s.min != null &&
+        pred(FilterEval.cmp(if (useMax) s.max else s.min, v))))
     def go(f: Filter): Boolean = f match {
       case EqualTo(c, v) => eqMay(stats(c), v)
-      case EqualNullSafe(c, null) => stats(c).forall(_.nullCount > 0)
+      case EqualNullSafe(c, null) => stats(c).forall(_.exists(_.nullCount > 0))
       case EqualNullSafe(c, v) => eqMay(stats(c), v)
       case In(c, vs) => stats(c) match {
         case None => true
-        case Some(s) => vs != null && vs.exists(eqOne(s, _))
+        case Some(parts) => vs != null && vs.exists(v => parts.exists(eqOne(_, v)))
       }
       case GreaterThan(c, v) => boundMay(stats(c), v, useMax = true, _ > 0)
       case GreaterThanOrEqual(c, v) => boundMay(stats(c), v, useMax = true, _ >= 0)
       case LessThan(c, v) => boundMay(stats(c), v, useMax = false, _ < 0)
       case LessThanOrEqual(c, v) => boundMay(stats(c), v, useMax = false, _ <= 0)
-      case IsNull(c) => stats(c).forall(_.nullCount > 0)
-      case IsNotNull(c) => stats(c).forall(_.nonNullCount > 0)
+      case IsNull(c) => stats(c).forall(_.exists(_.nullCount > 0))
+      case IsNotNull(c) => stats(c).forall(_.exists(_.nonNullCount > 0))
       case AlwaysFalse() => false
       case And(l, r) => go(l) && go(r)
       case Or(l, r) => go(l) || go(r)
@@ -214,4 +222,8 @@ object BucketSkip {
     }
     go(f)
   }
+
+  /** Single-array convenience (clean buckets, specs, properties). */
+  def mayMatch(schema: StructType, rows: Array[Row], f: Filter): Boolean =
+    mayMatch(schema, (c: String) => statsFor(schema, rows, c).map(Seq(_)), f)
 }

@@ -58,6 +58,16 @@ object BucketStore {
     * per-bucket diffs would compare different layouts (a same-count
     * layout change is invisible to the bucket-count check alone).
     */
+  /** `mor`: merge-on-read DML state, sparse by bucket — a point
+    * DELETE/UPDATE commits a deletion vector + delta rows instead of
+    * copy-on-write rewriting the owning bucket array; every read path
+    * folds it through [[folded]] (the store's single fetch choke
+    * point), and [[compact]]/any bucket rewrite folds it back into a
+    * clean array. Positions are PHYSICAL: index into the base array,
+    * then `base.length + i` for delta row i — stable across MOR
+    * commits (delta is append-only), reset only by a materializing
+    * rewrite, which is why [[applyDelta]] pins the snapshot version.
+    */
   final case class BucketTable(
       schema: StructType,
       keyCol: String,
@@ -67,7 +77,27 @@ object BucketStore {
       clusterCol: Option[String] = None,
       commitTs: Long = 0L,
       rangeBounds: Option[Array[Any]] = None,
-      layoutEpoch: Long = 0L)
+      layoutEpoch: Long = 0L,
+      mor: Map[Int, BucketMor] = Map.empty)
+
+  /** One bucket's pending merge-on-read state: `deleted` marks hidden
+    * physical positions (over base ++ delta), `delta` the rows added
+    * since the bucket's last materialization. At 100 TB this pair is
+    * the Iceberg/Delta position-delete + data-delta file pair; a
+    * 1-row DELETE publishes O(1) bits, never an O(bucket) rewrite.
+    */
+  final case class BucketMor(deleted: java.util.BitSet, delta: Array[Row]) {
+    def liveCount(baseLen: Int): Int = baseLen + delta.length - deleted.cardinality()
+  }
+
+  /** A folded (read-time materialized) bucket: `rows` are the live
+    * rows in serving order (cluster order when the table is
+    * clustered); `pos` maps each served row to its PHYSICAL position
+    * (null ⇔ identity — the clean-bucket fast path, no allocation).
+    */
+  final case class FoldedBucket(rows: Array[Row], pos: Array[Int]) {
+    def posOf(i: Int): Int = if (pos == null) i else pos(i)
+  }
 
   /** Retained snapshots per table, oldest → newest; `.last` is current. */
   private val tables = new ConcurrentHashMap[String, Vector[BucketTable]]()
@@ -128,9 +158,34 @@ object BucketStore {
       stamped.buckets.zipWithIndex.foreach { case (rows, b) =>
         val shared = prev.exists(p => b < p.buckets.length && (p.buckets(b) eq rows))
         if (!shared) BucketSkip.warm(stamped.schema, rows, cols)
+        // MOR commits: warm the (small) delta arrays too — planning
+        // composes base ∪ delta stats without folding ([[skipStatParts]]),
+        // so a delta commit costs O(delta) stat work, never O(bucket)
+        stamped.mor.get(b).foreach { m =>
+          val sharedDelta = prev.exists(_.mor.get(b).exists(_.delta eq m.delta))
+          if (!sharedDelta && m.delta.nonEmpty) BucketSkip.warm(stamped.schema, m.delta, cols)
+        }
       }
     }
   }
+
+  /** Skip statistics for (bucket, column) WITHOUT materializing the
+    * fold: the base array's identity-cached stats plus (for MOR
+    * buckets) the delta array's. Deleted rows stay counted in the base
+    * part — strictly conservative (a hidden value can only cause a
+    * needless open, never a wrong skip). `None` = cannot skip.
+    */
+  def skipStatParts(t: BucketTable, b: Int, c: String): Option[Seq[BucketSkip.ColSkip]] =
+    t.mor.get(b) match {
+      case None => BucketSkip.statsFor(t.schema, t.buckets(b), c).map(Seq(_))
+      case Some(m) if m.delta.isEmpty =>
+        BucketSkip.statsFor(t.schema, t.buckets(b), c).map(Seq(_))
+      case Some(m) =>
+        for {
+          bs <- BucketSkip.statsFor(t.schema, t.buckets(b), c)
+          ds <- BucketSkip.statsFor(t.schema, m.delta, c)
+        } yield Seq(bs, ds)
+    }
 
   /** Columns with data-skipping statistics maintained AT COMMIT for
     * each table: registered by the first pushed filter that touches a
@@ -223,6 +278,168 @@ object BucketStore {
           if (a.isNullAt(i)) null else a.get(i),
           if (b.isNullAt(i)) null else b.get(i)) < 0 }
     }
+
+  // ————— merge-on-read fold + DML-mode plumbing —————
+
+  /** Row-level DML strategy per table: `copy-on-write` (default)
+    * rewrites owning buckets through the group-replace path;
+    * `merge-on-read` commits deletion vectors + delta rows
+    * ([[applyDelta]]) folded at read. Operational config, like the
+    * stat-column registry — set via TBLPROPERTIES
+    * (`write.dml.mode`) or [[setDmlMode]].
+    */
+  val CopyOnWrite = "copy-on-write"
+  val MergeOnRead = "merge-on-read"
+  private val dmlModes = new ConcurrentHashMap[String, String]()
+
+  def setDmlMode(name: String, mode: String): Unit = {
+    require(mode == CopyOnWrite || mode == MergeOnRead,
+      s"write.dml.mode must be '$CopyOnWrite' or '$MergeOnRead', got '$mode'")
+    dmlModes.put(name, mode)
+    ()
+  }
+
+  def dmlModeOf(name: String): String = dmlModes.getOrDefault(name, CopyOnWrite)
+
+  /** Folded views, cached by the BucketMor instance (fresh per bucket
+    * per MOR commit, shared across snapshots that share the state) —
+    * the same identity discipline [[BucketSkip]] uses, so a folded
+    * bucket keeps one array identity across every scan of its
+    * snapshot and the skip statistics cache composes with it. Weak
+    * keys let vacuumed snapshots' state age out.
+    */
+  private val foldCache = new java.util.WeakHashMap[BucketMor, FoldedBucket]()
+
+  /** THE merge-on-read fold: live base rows (physical order — which is
+    * cluster order for clustered tables) merged with live delta rows,
+    * each tagged with its physical position. Lazy and per-bucket: only
+    * buckets a scan actually opens pay the fold, once, cached.
+    */
+  def folded(t: BucketTable, b: Int): FoldedBucket = t.mor.get(b) match {
+    case None => FoldedBucket(t.buckets(b), null)
+    case Some(m) => foldCache.synchronized {
+      var f = foldCache.get(m)
+      if (f == null) { f = fold(t.schema, t.clusterCol, t.buckets(b), m); foldCache.put(m, f) }
+      f
+    }
+  }
+
+  /** Live rows of bucket `b` in serving order — what every reader,
+    * differ, and rewrite op consumes. Clean buckets return the base
+    * array itself (identity preserved for the COW/statistics sharing).
+    */
+  def effectiveRows(t: BucketTable, b: Int): Array[Row] = folded(t, b).rows
+
+  /** Live row count without materializing the fold. */
+  def liveCount(t: BucketTable, b: Int): Int = t.mor.get(b) match {
+    case None => t.buckets(b).length
+    case Some(m) => m.liveCount(t.buckets(b).length)
+  }
+
+  def liveRowCount(t: BucketTable): Long =
+    t.buckets.indices.iterator.map(liveCount(t, _).toLong).sum
+
+  private def fold(schema: StructType, clusterCol: Option[String],
+      base: Array[Row], m: BucketMor): FoldedBucket = {
+    val baseRows = Vector.newBuilder[Row]
+    val basePos = Vector.newBuilder[Int]
+    var i = 0
+    while (i < base.length) {
+      if (!m.deleted.get(i)) { baseRows += base(i); basePos += i }
+      i += 1
+    }
+    val deltaPairs = m.delta.indices.iterator
+      .filter(j => !m.deleted.get(base.length + j))
+      .map(j => (m.delta(j), base.length + j)).toArray
+    val (bR, bP) = (baseRows.result().toArray, basePos.result().toArray)
+    clusterCol match {
+      case None =>
+        FoldedBucket(bR ++ deltaPairs.map(_._1), bP ++ deltaPairs.map(_._2))
+      case Some(c) =>
+        // live base rows keep their sorted run; sort the live delta and
+        // merge — the read-time twin of [[clusterMerge]], positions
+        // riding the same permutation
+        val ci = schema.fieldIndex(c)
+        def key(r: Row): Any = if (ci >= r.size || r.isNullAt(ci)) null else r.get(ci)
+        val sd = deltaPairs.sortWith((a, b2) =>
+          ClusterRange.cmpNullsFirst(key(a._1), key(b2._1)) < 0)
+        val n = bR.length + sd.length
+        val rows = new Array[Row](n)
+        val pos = new Array[Int](n)
+        var a = 0
+        var d = 0
+        var o = 0
+        while (a < bR.length && d < sd.length) {
+          if (ClusterRange.cmpNullsFirst(key(bR(a)), key(sd(d)._1)) <= 0) {
+            rows(o) = bR(a); pos(o) = bP(a); a += 1
+          } else { rows(o) = sd(d)._1; pos(o) = sd(d)._2; d += 1 }
+          o += 1
+        }
+        while (a < bR.length) { rows(o) = bR(a); pos(o) = bP(a); a += 1; o += 1 }
+        while (d < sd.length) { rows(o) = sd(d)._1; pos(o) = sd(d)._2; d += 1; o += 1 }
+        FoldedBucket(rows, pos)
+    }
+  }
+
+  /** Commit a row-level DELTA (the merge-on-read write path, driven by
+    * [[BucketedDeltaWrite]]): per bucket, positions to hide and rows to
+    * add — the publish cost is O(changed rows), the base arrays are
+    * SHARED with the previous snapshot by identity (spec-pinned).
+    * Positions are relative to the snapshot the rewrite SCANNED, so the
+    * commit pins that version: any interleaving commit (which may
+    * re-materialize positions) fails the statement loudly — optimistic
+    * concurrency, the price of positional deletes.
+    */
+  def applyDelta(name: String, deletes: Array[Array[Int]], inserts: Array[Array[Row]],
+      expectedLayoutEpoch: Long, expectedVersion: Long): Unit = synchronized {
+    val t = get(name)
+    require(deletes.length == t.buckets.length && inserts.length == t.buckets.length,
+      s"delta planned ${deletes.length}/${inserts.length} buckets but '$name' has " +
+        s"${t.buckets.length}")
+    requireLayoutUnchanged(name, t, expectedLayoutEpoch)
+    require(t.version == expectedVersion,
+      s"row-level delta for '$name' planned against v$expectedVersion but the table is now " +
+        s"v${t.version} — positions are snapshot-relative and a concurrent commit may have " +
+        "re-materialized them; retry the statement")
+    var newMor = t.mor
+    t.buckets.indices.foreach { b =>
+      if (deletes(b).nonEmpty || inserts(b).nonEmpty) {
+        val old = t.mor.get(b)
+        val baseLen = t.buckets(b).length
+        val deltaLen = old.map(_.delta.length).getOrElse(0)
+        val bits = old.map(_.deleted.clone().asInstanceOf[java.util.BitSet])
+          .getOrElse(new java.util.BitSet())
+        deletes(b).foreach { p =>
+          require(p >= 0 && p < baseLen + deltaLen,
+            s"delta delete position $p out of range for bucket $b of '$name' " +
+              s"(${baseLen + deltaLen} physical rows)")
+          bits.set(p)
+        }
+        val delta = old.map(_.delta).getOrElse(Array.empty[Row]) ++ inserts(b)
+        newMor = newMor.updated(b, BucketMor(bits, delta))
+      }
+    }
+    publish(name, t.copy(mor = newMor, version = versions.incrementAndGet()))
+  }
+
+  /** Fold every pending deletion vector / delta back into clean bucket
+    * arrays under ONE new version — the maintenance op that converts
+    * accumulated read amplification back to zero ([[folded]] caching
+    * bounds it between compactions). Returns the number of buckets
+    * materialized; publishes nothing when there is nothing to fold.
+    */
+  def compact(name: String): Int = synchronized {
+    val t = get(name)
+    if (t.mor.isEmpty) 0
+    else {
+      val touched = t.mor.size
+      val rows = Array.tabulate(t.buckets.length)(b =>
+        if (t.mor.contains(b)) effectiveRows(t, b) else t.buckets(b))
+      publish(name, t.copy(buckets = rows, mor = Map.empty,
+        version = versions.incrementAndGet()))
+      touched
+    }
+  }
 
   /** Cluster-order maintenance for APPEND-shaped publishes: the stored
     * bucket is already sorted (the publish invariant), so sort only
@@ -341,9 +558,9 @@ object BucketStore {
       .map(_.stripPrefix("host-").toInt).max + 1
     val keyIdx = t.schema.fieldIndex(t.keyCol)
     val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
-    t.buckets.foreach(_.foreach { r =>
+    t.buckets.indices.foreach(src => effectiveRows(t, src).foreach { r =>
       val b = routeBucket(None, numBuckets,
-        if (r.isNullAt(keyIdx)) null else r.get(keyIdx))
+        if (keyIdx >= r.size || r.isNullAt(keyIdx)) null else r.get(keyIdx))
       byBucket(b) += r
     })
     val buckets = byBucket.map(v => clusterSort(t.schema, t.clusterCol, v.result().toArray))
@@ -354,7 +571,8 @@ object BucketStore {
       // re-hashing DESTROYS a range layout: clearing the bounds here is
       // load-bearing (stale bounds would mis-route every future write)
       rangeBounds = None,
-      layoutEpoch = t.layoutEpoch + 1)
+      layoutEpoch = t.layoutEpoch + 1,
+      mor = Map.empty) // a full rewrite materializes pending deltas
     publish(name, next)
     next.version
   }
@@ -411,7 +629,8 @@ object BucketStore {
     val t = get(name)
     val keyIdx = t.schema.fieldIndex(t.keyCol)
     def keyOf(r: Row): Any = if (keyIdx >= r.size || r.isNullAt(keyIdx)) null else r.get(keyIdx)
-    val keys = t.buckets.iterator.flatten.map(keyOf).filter(_ != null).toArray
+    val keys = t.buckets.indices.iterator
+      .flatMap(effectiveRows(t, _)).map(keyOf).filter(_ != null).toArray
     require(keys.nonEmpty,
       s"repartition_range('$name'): cannot derive range boundaries from an empty table")
     val sorted = keys.sortWith((a, b) => FilterEval.cmp(a, b) < 0)
@@ -422,7 +641,7 @@ object BucketStore {
         (((i + 1).toLong * sorted.length) / numBuckets).toInt - 1)))
     }
     val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
-    t.buckets.foreach(_.foreach(r =>
+    t.buckets.indices.foreach(src => effectiveRows(t, src).foreach(r =>
       byBucket(routeBucket(Some(bounds), numBuckets, keyOf(r))) += r))
     val nHosts = t.hosts.iterator.flatten
       .map(_.stripPrefix("host-").toInt).max + 1
@@ -433,7 +652,8 @@ object BucketStore {
       version = versions.incrementAndGet(),
       clusterCol = Some(t.keyCol),
       rangeBounds = Some(bounds),
-      layoutEpoch = t.layoutEpoch + 1)
+      layoutEpoch = t.layoutEpoch + 1,
+      mor = Map.empty)
     publish(name, next)
     next.version
   }
@@ -458,10 +678,12 @@ object BucketStore {
     // into the row (this is a rewrite op anyway — materializing the
     // NULL pads here is the honest cost)
     val next = t.copy(
-      buckets = t.buckets.map(rows =>
-        clusterSort(t.schema, Some(col), rows.map(pad(_, t.schema.length)))),
+      buckets = t.buckets.indices.toArray.map(b =>
+        clusterSort(t.schema, Some(col),
+          effectiveRows(t, b).map(pad(_, t.schema.length)))),
       clusterCol = Some(col),
-      version = versions.incrementAndGet())
+      version = versions.incrementAndGet(),
+      mor = Map.empty)
     publish(name, next)
     next.version
   }
@@ -482,10 +704,13 @@ object BucketStore {
       s"upsert into '$name': got ${byBucket.length} buckets, table has ${t.buckets.length}")
     requireLayoutUnchanged(name, t, expectedLayoutEpoch)
     val keyIdx = t.schema.fieldIndex(t.keyCol)
-    val rows = t.buckets.zipWithIndex.map { case (old, b) =>
+    val rows = t.buckets.zipWithIndex.map { case (base, b) =>
       val incoming = byBucket(b)
-      if (incoming.isEmpty) old // untouched bucket: same array reference
+      if (incoming.isEmpty) base // untouched bucket: same array reference
       else {
+        // a rewritten bucket folds pending MOR state first (clean
+        // buckets: identity pass-through)
+        val old = effectiveRows(t, b)
         // latest wins WITHIN the batch too: a key delivered twice in
         // one epoch keeps only its last row — otherwise both would
         // append and the keyed table silently grows duplicate keys
@@ -501,7 +726,8 @@ object BucketStore {
           old.filterNot(r => newKeys.contains(r.get(keyIdx))), deduped)
       }
     }
-    publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
+    publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(),
+      mor = t.mor.filter { case (b, _) => byBucket(b).isEmpty }))
   }
 
   /** The write-path twin of the CDC layoutEpoch gate: a bucket-
@@ -531,6 +757,7 @@ object BucketStore {
   def drop(name: String): Boolean = synchronized {
     firstVersions.remove(name)
     statColumns.remove(name)
+    dmlModes.remove(name)
     tables.remove(name) != null
   }
 
@@ -552,13 +779,18 @@ object BucketStore {
       requireLayoutUnchanged(name, t, expectedLayoutEpoch)
       val rows =
         if (truncate) byBucket.map(clusterSort(t.schema, t.clusterCol, _))
-        else t.buckets.zip(byBucket).map { case (old, add) =>
+        else t.buckets.zipWithIndex.map { case (old, b) =>
           // clustered-index maintenance on ingest: only buckets that
           // received rows change, and each pays a DELTA sort + linear
-          // merge, never a full re-sort ([[clusterMerge]])
-          if (add.isEmpty) old else clusterMerge(t.schema, t.clusterCol, old, add)
+          // merge, never a full re-sort ([[clusterMerge]]). A bucket
+          // with pending MOR state folds it first.
+          if (byBucket(b).isEmpty) old
+          else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b))
         }
-      publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
+      val mor =
+        if (truncate) Map.empty[Int, BucketMor]
+        else t.mor.filter { case (b, _) => byBucket(b).isEmpty }
+      publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(), mor = mor))
     }
 
   /** Row-level DELETE: drop the rows matching `pred` from every bucket
@@ -569,17 +801,45 @@ object BucketStore {
   def deleteWhere(name: String, pred: Row => Boolean): Long = synchronized {
     val t = get(name)
     var deleted = 0L
-    val kept = t.buckets.map { rows =>
-      val keep = rows.filterNot { r =>
-        // pred evaluates against the CURRENT schema; rows predating an
-        // ADD COLUMN are shorter and pad with NULL (stored form kept)
-        val d = pred(pad(r, t.schema.length))
-        if (d) deleted += 1
-        d
+    if (dmlModeOf(name) == MergeOnRead) {
+      // merge-on-read DELETE: set deletion-vector bits at the matching
+      // rows' PHYSICAL positions — the publish is O(matches) bits and
+      // every base array is shared with the previous snapshot
+      var newMor = t.mor
+      t.buckets.indices.foreach { b =>
+        val f = folded(t, b)
+        var bits: java.util.BitSet = null
+        var i = 0
+        while (i < f.rows.length) {
+          if (pred(pad(f.rows(i), t.schema.length))) {
+            if (bits == null)
+              bits = t.mor.get(b).map(_.deleted.clone().asInstanceOf[java.util.BitSet])
+                .getOrElse(new java.util.BitSet())
+            bits.set(f.posOf(i))
+            deleted += 1
+          }
+          i += 1
+        }
+        if (bits != null)
+          newMor = newMor.updated(b,
+            BucketMor(bits, t.mor.get(b).map(_.delta).getOrElse(Array.empty[Row])))
       }
-      if (keep.length == rows.length) rows else keep
+      publish(name, t.copy(mor = newMor, version = versions.incrementAndGet()))
+    } else {
+      val kept = t.buckets.indices.toArray.map { b =>
+        val rows = effectiveRows(t, b)
+        val keep = rows.filterNot { r =>
+          // pred evaluates against the CURRENT schema; rows predating an
+          // ADD COLUMN are shorter and pad with NULL (stored form kept)
+          val d = pred(pad(r, t.schema.length))
+          if (d) deleted += 1
+          d
+        }
+        if (keep.length == rows.length) rows else keep
+      }
+      publish(name, t.copy(buckets = kept, mor = Map.empty,
+        version = versions.incrementAndGet()))
     }
-    publish(name, t.copy(buckets = kept, version = versions.incrementAndGet()))
     deleted
   }
 
@@ -608,9 +868,10 @@ object BucketStore {
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>
         if (groups.contains(b)) clusterSort(t.schema, t.clusterCol, byBucket(b))
         else if (byBucket(b).isEmpty) old
-        else clusterMerge(t.schema, t.clusterCol, old, byBucket(b))
+        else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b))
       }
-      publish(name, t.copy(buckets = rows, version = versions.incrementAndGet()))
+      publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(),
+        mor = t.mor.filter { case (b, _) => !groups.contains(b) && byBucket(b).isEmpty }))
     }
 
   /** Schema evolution — ADD COLUMN (nullable, appended): publish ONE

@@ -27,7 +27,7 @@ object BucketedCatalog {
     * [[BucketedCatalog.createTable]] the way [[ConnectorOptions.parse]]
     * validates scan options.
     */
-  val KnownTableProps: Set[String] = Set("cluster_by")
+  val KnownTableProps: Set[String] = Set("cluster_by", "write.dml.mode")
 }
 
 class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
@@ -139,7 +139,13 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
         s"supported: ${BucketedCatalog.KnownTableProps.toSeq.sorted.mkString(", ")}")
     val clusterBy = userKeys.find(_.equalsIgnoreCase("cluster_by"))
       .flatMap(k => Option(properties.get(k))).filter(_.nonEmpty)
+    // TBLPROPERTIES('write.dml.mode'='merge-on-read'): row-level DML
+    // commits deletion vectors + delta rows instead of copy-on-write
+    // bucket rewrites (validated loudly by setDmlMode)
+    val dmlMode = userKeys.find(_.equalsIgnoreCase("write.dml.mode"))
+      .flatMap(k => Option(properties.get(k))).filter(_.nonEmpty)
     BucketStore.createEmpty(ident.name(), schema, key, n, clusterBy = clusterBy)
+    dmlMode.foreach(BucketStore.setDmlMode(ident.name(), _))
     new BucketedTable(ident.name())
   }
 
@@ -195,7 +201,7 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"),
       Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "recluster"),
       Identifier.of(Array.empty, "repartition_range"), Identifier.of(Array.empty, "stats"),
-      Identifier.of(Array.empty, "analyze"))
+      Identifier.of(Array.empty, "analyze"), Identifier.of(Array.empty, "compact"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -207,9 +213,10 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "repartition_range" => BucketedProcedures.RepartitionRange
       case "stats" => BucketedProcedures.Stats
       case "analyze" => BucketedProcedures.Analyze
+      case "compact" => BucketedProcedures.Compact
       case other => throw new UnsupportedOperationException(
-        s"no such procedure: $other (supported: analyze, vacuum, history, rebucket, " +
-          "recluster, repartition_range, stats)")
+        s"no such procedure: $other (supported: analyze, compact, vacuum, history, " +
+          "rebucket, recluster, repartition_range, stats)")
     }
 }
 

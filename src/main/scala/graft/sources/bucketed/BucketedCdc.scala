@@ -327,7 +327,10 @@ class CdcPartitionReader(p: CdcInputPartition, baseSchema: StructType, fetchSize
     else {
       val (conn, rows) = BucketReaderSupport.openWithFailover(
         BucketInputPartition(p.table, p.bucket, p.hosts, version), fetchSize)
-      try rows.map(toDeclared).toIndexedSeq
+      // positions are irrelevant to a diff — the fetch already folded
+      // any merge-on-read state, so the diff sees LOGICAL rows and a
+      // DV commit nets to exactly its deletes/updates
+      try rows.map(pr => toDeclared(pr._1)).toIndexedSeq
       finally ConnectionPool.release(conn)
     }
 

@@ -183,9 +183,11 @@ object BucketedProcedures {
       val t = BucketStore.get(table)
       val layout = org.apache.spark.unsafe.types.UTF8String.fromString(
         if (t.rangeBounds.isDefined) "range" else "hash")
-      val data = t.buckets.zipWithIndex.map { case (rows, b) =>
-        // the identity-cached skip statistics (None for a key type the
-        // comparator doesn't order — min/max stay NULL, never a throw)
+      val data = t.buckets.indices.toArray.map { b =>
+        // the identity-cached skip statistics over the LIVE view
+        // (merge-on-read state folded — observability must describe
+        // what scans will actually serve)
+        val rows = BucketStore.effectiveRows(t, b)
         val skip = BucketSkip.statsFor(t.schema, rows, t.keyCol)
         def str(v: Any) =
           if (v == null) null
@@ -202,6 +204,36 @@ object BucketedProcedures {
           StructField("layout", StringType, nullable = false))),
         data,
         s"graft stats($table)")
+    }
+  }
+
+  /** `CALL graft.compact('t')` — fold every pending merge-on-read
+    * deletion vector / delta back into clean bucket arrays under one
+    * MVCC version ([[BucketStore.compact]]): read amplification back
+    * to zero, positions re-materialized. A no-op (nothing published)
+    * when the table has no pending state. The maintenance twin of
+    * vacuum: vacuum trims HISTORY, compact trims DML DEBT.
+    */
+  object Compact extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "compact(table): fold pending merge-on-read deletion vectors and delta rows back " +
+        "into clean bucket arrays under one new MVCC version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def isDeterministic: Boolean = false // may publish a version
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0), "compact(table): argument must be non-null")
+      val table = input.getUTF8String(0).toString
+      val folded = BucketStore.compact(table)
+      localScan(
+        StructType(Seq(
+          StructField("buckets_compacted", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        Array(InternalRow(folded, BucketStore.currentVersion(table))),
+        s"graft compact($table)")
     }
   }
 
@@ -269,7 +301,7 @@ object BucketedProcedures {
       val current = versions.last
       val data = versions.map { v =>
         val snap = BucketStore.snapshot(table, v)
-        InternalRow(v, snap.buckets.iterator.map(_.length.toLong).sum, v == current)
+        InternalRow(v, BucketStore.liveRowCount(snap), v == current)
       }.toArray
       localScan(
         StructType(Seq(

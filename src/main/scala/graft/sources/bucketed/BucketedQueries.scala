@@ -543,6 +543,49 @@ object BucketedQueries {
       |SELECT o_orderstatus, 'now' AS snap, count(*) AS n
       |FROM orders WHERE o_orderstatus <> 'O' GROUP BY o_orderstatus""".stripMargin
 
+  /** q128 — MERGE-ON-READ point DML, gated end-to-end: orders switches
+    * to `write.dml.mode = merge-on-read`, takes a 1-row DELETE (a
+    * deletion-vector bit via the pushed-delete path) and a 1-row
+    * UPDATE (Spark's delta row-level protocol: position delete + delta
+    * row, [[BucketedDeltaOperation]]), and the gated read aggregates
+    * the folded result. The scale point the spec pins separately: both
+    * commits SHARE every base bucket array with the previous snapshot
+    * — publish cost is O(changed rows), where copy-on-write pays
+    * O(bucket) per touched bucket. Target keys are the two smallest
+    * order keys, resolved once driver-side (metadata-scale lookup);
+    * the oracle resolves the same keys with scalar subqueries.
+    */
+  def morDmlQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"orders_mor@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.orders(spark, dir), "o_orderkey", NumBuckets)
+    BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
+    val keys = spark.read.format("graft-buckets").option("table", name).load()
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(2)
+      .collect().map(_.getLong(0))
+    val (k1, k2) = (keys(0), keys(1))
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey = $k1")
+    spark.sql(s"UPDATE graft.`$name` SET o_totalprice = o_totalprice + 50 " +
+      s"WHERE o_orderkey = $k2")
+    spark.read.format("graft-buckets").option("table", name).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+  }
+
+  val morDmlSql: String =
+    """WITH ka AS (SELECT min(o_orderkey) AS k1 FROM orders),
+      |     kb AS (SELECT min(o_orderkey) AS k2 FROM orders
+      |            WHERE o_orderkey > (SELECT k1 FROM ka))
+      |SELECT o_orderstatus, count(*) AS n,
+      | CAST(sum(CAST(CASE WHEN o_orderkey = (SELECT k2 FROM kb) THEN o_totalprice + 50
+      |                    ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey <> (SELECT k1 FROM ka)
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** q129 — `TIMESTAMP AS OF` resolution semantics, gated end-to-end:
     * three commits (load → DELETE → UPDATE), then three reads that
     * pin DIFFERENT snapshots purely by timestamp. The middle read uses

@@ -197,13 +197,38 @@ class BucketedSource extends TableProvider with DataSourceRegister {
   }
 }
 
+object BucketedTable {
+  /** Row-id metadata columns ([[org.apache.spark.sql.connector.catalog.SupportsMetadataColumns]]):
+    * `(_bucket, _pos)` names a physical row — the address the
+    * merge-on-read delta DML path ([[BucketedDeltaOperation.rowId]])
+    * deletes/updates by, Iceberg's `(_file, _pos)` translated to the
+    * bucket store's layout. Synthesized by the reader only when
+    * requested; ordinary scans never carry them.
+    */
+  val MetaBucket = "_bucket"
+  val MetaPos = "_pos"
+}
+
 class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defaults)
   extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private def t: BucketStore.BucketTable = BucketStore.getWithRetry(name)
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (opts.cdc) Array.empty
+    else Array(BucketedTable.MetaBucket, BucketedTable.MetaPos).map { n =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.IntegerType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row id (merge-on-read delta DML address)"
+      }
+    }
 
   /** The snapshot this HANDLE describes: the pinned one for a
     * time-travel table, else current. All metadata surfaces (schema,
@@ -214,14 +239,19 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   private def described: BucketStore.BucketTable =
     opts.versionAsOf.map(BucketStore.snapshotWithRetry(name, _)).getOrElse(t)
 
-  /** SQL UPDATE / MERGE INTO / fallback DELETE — see
-    * [[BucketedRowLevelOperationBuilder]] (copy-on-write, group =
-    * bucket).
+  /** SQL UPDATE / MERGE INTO / fallback DELETE. Strategy is the
+    * table's `write.dml.mode`: copy-on-write (default) group-replaces
+    * owning buckets ([[BucketedRowLevelOperationBuilder]]);
+    * merge-on-read commits position deletes + delta rows through
+    * Spark's delta protocol ([[BucketedDeltaOperationBuilder]]) — a
+    * point UPDATE then publishes O(changed rows), never a bucket.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new BucketedRowLevelOperationBuilder(name, info)
+    if (BucketStore.dmlModeOf(name) == BucketStore.MergeOnRead)
+      new BucketedDeltaOperationBuilder(name, info)
+    else new BucketedRowLevelOperationBuilder(name, info)
 
   /** `DELETE FROM graft.t WHERE …`: accepted only when [[FilterEval]]
     * enforces the whole predicate exactly (same supports/eval lockstep
@@ -280,8 +310,11 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
       "num_buckets" -> snap.buckets.length.toString,
       "bucket_key" -> snap.keyCol,
       "current_version" -> snap.version.toString,
-      "retained_versions" -> BucketStore.retained(name).length.toString)
+      "retained_versions" -> BucketStore.retained(name).length.toString,
+      "write.dml.mode" -> BucketStore.dmlModeOf(name))
     snap.clusterCol.foreach(c => props += ("cluster_by" -> c))
+    if (snap.mor.nonEmpty)
+      props += ("pending_mor_buckets" -> snap.mor.size.toString)
     props.asJava
   }
 
@@ -431,6 +464,12 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
     */
   protected def planListener: Option[Array[Int] => Unit] = None
 
+  /** Hook for the delta DML path: the snapshot version the scan pins —
+    * delta positions are relative to it, and the commit re-checks it
+    * ([[BucketStore.applyDelta]] optimistic concurrency).
+    */
+  protected def versionListener: Option[Long => Unit] = None
+
   /** Filters usable for bucket pruning but NOT row enforcement — the
     * row-level rewrite scan routes ALL its filters here (group
     * semantics: a read bucket must return every row).
@@ -450,6 +489,7 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
         s"graft-buckets: numpartitions=$n but table '$name' has ${t.buckets.length} buckets — " +
           "the scan is bucket-pinned (one partition per bucket); omit the option or match it")
     }
+    versionListener.foreach(_(t.version))
     aggSpec match {
       case Some(spec) => new BucketedAggScan(name, spec, pushed, t.version, opts.fetchSize)
       case None =>
@@ -721,7 +761,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val t = BucketStore.snapshotWithRetry(name, version)
-    val raw = t.buckets.iterator.map(_.length.toLong).sum
+    val raw = BucketStore.liveRowCount(t) // merge-on-read deletes excluded
     // a pushed sample shrinks the scan's output by its window width —
     // report the post-sample estimate so join-side decisions see it
     val rows = sample.map(s => (raw * (s.upper - s.lower)).toLong).getOrElse(raw)
@@ -872,7 +912,10 @@ private[sources] object BucketSplits {
           .filter(t.schema.fieldNames.contains))
         planned.filter { p =>
           val b = p.asInstanceOf[BucketInputPartition].bucket
-          filters.forall(f => BucketSkip.mayMatch(t.schema, t.buckets(b), f))
+          // stats compose base ∪ delta parts WITHOUT materializing any
+          // merge-on-read fold — pruning stays O(stats) at plan time
+          filters.forall(f => BucketSkip.mayMatch(t.schema,
+            (c: String) => BucketStore.skipStatParts(t, b, c), f))
         }
       }
     if (skipped.isEmpty && keepOneWhenPruned && all.nonEmpty) all.take(1) else skipped
@@ -939,8 +982,9 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
 
   private val out: Iterator[Row] = {
     val range = table.clusterCol.map(ClusterRange.from(filters, _)).filter(_.isBounded)
-    val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize, range)
+    val (c, paged) = BucketReaderSupport.openWithFailover(p, fetchSize, range)
     conn = c
+    val rows = paged.map(_._1) // a pushed aggregate never needs row ids
     val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
     // group key -> one accumulator slot per agg (count: Long; min/max: Any)
     val acc = new scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]
@@ -1085,8 +1129,8 @@ case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String]
 private[bucketed] object BucketReaderSupport {
   def openWithFailover(p: BucketInputPartition, fetchSize: Int,
       range: Option[ClusterRange] = None,
-      reverse: Boolean = false): (HostConnection, Iterator[Row]) = {
-    var opened: Iterator[Row] = null
+      reverse: Boolean = false): (HostConnection, Iterator[(Row, Int)]) = {
+    var opened: Iterator[(Row, Int)] = null
     var conn: HostConnection = null
     var lastErr: java.io.IOException = null
     val attempts = (p.hosts ++ p.hosts).iterator // replicas in order, one retry round
@@ -1147,7 +1191,19 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
   private val table = BucketStore.snapshotWithRetry(p.table, p.version)
 
   private val fullSchema = table.schema
-  private val colIdx: Array[Int] = required.fieldNames.map(fullSchema.fieldIndex)
+  /** Per-output-column getters over (row, physical position): data
+    * columns read the fetched row; the `_bucket`/`_pos` METADATA
+    * columns ([[BucketedTable.MetaBucket]]) synthesize the row id the
+    * delta DML path addresses — requested only by row-level rewrites
+    * (or an explicit SELECT), absent from ordinary scans.
+    */
+  private val getters: Array[(Row, Int) => Any] = required.fieldNames.map {
+    case BucketedTable.MetaBucket => (_: Row, _: Int) => p.bucket
+    case BucketedTable.MetaPos => (_: Row, pos: Int) => pos
+    case n =>
+      val i = fullSchema.fieldIndex(n)
+      (r: Row, _: Int) => r.get(i)
+  }
   private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
     .createToCatalystConverter(required)
 
@@ -1168,7 +1224,7 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
         spec.keys.head.desc && !spec.keys.head.nullsFirst => true
   }
 
-  private val it: Iterator[Row] = {
+  private val it: Iterator[(Row, Int)] = {
     // clustered-index slice: provable cluster-column bounds narrow the
     // fetch to the qualifying run of the sorted bucket (pages moved ∝
     // answer); every row is still filter-checked below, so the slice
@@ -1181,10 +1237,12 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
     // apply to the sampled stream (the plan order they replaced)
     val keyIdx = fullSchema.fieldIndex(table.keyCol)
     val sampled = sample match {
-      case Some(s) => rows.filter(r => s.keep(if (r.isNullAt(keyIdx)) null else r.get(keyIdx)))
+      case Some(s) => rows.filter { case (r, _) =>
+        s.keep(if (r.isNullAt(keyIdx)) null else r.get(keyIdx)) }
       case None => rows
     }
-    val filtered = sampled.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+    val filtered = sampled.filter { case (r, _) =>
+      filters.forall(FilterEval.eval(fullSchema, _, r)) }
     topN match {
       case Some(spec) if indexOrderedReverse.isDefined =>
         filtered.take(spec.n)
@@ -1193,10 +1251,10 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
         // under the requested ordering (max-heap evicts the current
         // worst keeper). The global Sort+Limit above re-ranks the
         // buckets' n-row survivors.
-        val ord = TopNSpec.ordering(spec, fullSchema)
-        val heap = new scala.collection.mutable.PriorityQueue[Row]()(ord)
-        filtered.foreach { r =>
-          heap.enqueue(r)
+        val ord = TopNSpec.ordering(spec, fullSchema).on[(Row, Int)](_._1)
+        val heap = new scala.collection.mutable.PriorityQueue[(Row, Int)]()(ord)
+        filtered.foreach { pr =>
+          heap.enqueue(pr)
           if (heap.size > spec.n) { heap.dequeue(); () }
         }
         heap.dequeueAll.reverseIterator
@@ -1211,8 +1269,8 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
 
   override def next(): Boolean =
     if (it.hasNext) {
-      val r = it.next()
-      val projected = Row.fromSeq(colIdx.toIndexedSeq.map(r.get))
+      val (r, pos) = it.next()
+      val projected = Row.fromSeq(getters.toIndexedSeq.map(g => g(r, pos)))
       current = toCatalyst(projected).asInstanceOf[InternalRow]
       true
     } else false

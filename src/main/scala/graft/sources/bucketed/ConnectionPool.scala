@@ -84,19 +84,26 @@ final class HostConnection private[bucketed] (val host: String) {
     * scan; ignored for unclustered tables). `reverse` streams the
     * slice back-to-front (the descending index scan: reversed
     * storage order IS desc/nulls-last).
+    *
+    * The fetch serves the bucket's FOLDED view ([[BucketStore.folded]]
+    * — merge-on-read deletion vectors applied, delta rows merged in
+    * cluster order) and tags every row with its PHYSICAL position, the
+    * row id the delta DML path addresses deletes/updates by. Clean
+    * buckets pay nothing for either (identity fold, position = index).
     */
   def fetchBucket(table: String, bucket: Int, version: Long, fetchSize: Int,
-      range: Option[ClusterRange] = None, reverse: Boolean = false): Iterator[Row] = {
+      range: Option[ClusterRange] = None, reverse: Boolean = false): Iterator[(Row, Int)] = {
     val t = BucketStore.snapshot(table, version)
-    val rows = t.buckets(bucket)
+    val f = BucketStore.folded(t, bucket)
+    val rows = f.rows
     val (start, end) = (t.clusterCol, range) match {
       case (Some(c), Some(r)) if r.isBounded =>
         ClusterRange.sliceSorted(rows, t.schema.fieldIndex(c), r)
       case _ => (0, rows.length)
     }
     val sliced =
-      if (reverse) Iterator.range(end - 1, start - 1, -1).map(rows)
-      else Iterator.range(start, end).map(rows)
+      if (reverse) Iterator.range(end - 1, start - 1, -1).map(i => (rows(i), f.posOf(i)))
+      else Iterator.range(start, end).map(i => (rows(i), f.posOf(i)))
     sliced.grouped(fetchSize).flatMap { page =>
       if (!BucketServers.isUp(host))
         throw new IOException(s"connection to $host lost mid-stream (task retry will re-plan)")
@@ -104,7 +111,7 @@ final class HostConnection private[bucketed] (val host: String) {
       // rows written before an ADD COLUMN are shorter than this
       // snapshot's schema: serve them NULL-padded (stored form never
       // rewritten)
-      page.map(BucketStore.pad(_, t.schema.length))
+      page.map { case (r, p) => (BucketStore.pad(r, t.schema.length), p) }
     }
   }
 }

@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.bucketed._
+
+/** Merge-on-read row-level DML ([[BucketedDeltaOps]] /
+  * [[BucketStore.applyDelta]]): point DELETE/UPDATE commit deletion
+  * vectors + delta rows with base arrays SHARED by identity —
+  * O(changed rows) publish — and every read surface (scan, aggregate,
+  * time travel, CDC, stats) serves the folded view. Compaction folds
+  * the state back; positions are snapshot-pinned (loud on concurrent
+  * commits); copy-on-write stays the untouched default.
+  */
+class BucketedMorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+
+  private def scan(t: String) =
+    spark.read.format("graft-buckets").option("table", t).load()
+
+  private def mkTable(name: String, rows: Int = 1000, buckets: Int = 8): Unit = {
+    BucketStore.drop(name)
+    val df = (1 to rows).map(i => (i.toLong, s"v$i", i * 2.0)).toDF("k", "v", "d")
+    BucketStore.load(spark, name, df, "k", buckets)
+    BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
+  }
+
+  test("MOR DELETE: one deletion-vector bit, every base array shared, folded reads exact") {
+    cat()
+    mkTable("mor_del")
+    val before = BucketStore.get("mor_del")
+    spark.sql("DELETE FROM graft.`mor_del` WHERE k = 77")
+    val after = BucketStore.get("mor_del")
+    // O(changed rows): the commit shared EVERY base array by identity
+    before.buckets.indices.foreach(b =>
+      assert(after.buckets(b) eq before.buckets(b),
+        s"bucket $b base array was rewritten by a 1-row MOR delete"))
+    assert(after.mor.size === 1)
+    assert(after.mor.values.head.deleted.cardinality() === 1)
+    assert(after.mor.values.head.delta.isEmpty)
+    // folded reads: the row is gone everywhere
+    assert(scan("mor_del").count() === 999L)
+    assert(scan("mor_del").filter(col("k") === 77L).count() === 0L)
+    // pushed aggregate folds too
+    assert(scan("mor_del").groupBy().count().collect().head.getLong(0) === 999L)
+    // time travel: the pre-delete snapshot still serves the row
+    assert(scan("mor_del")
+      .where(lit(true)).count() === 999L)
+    val v1 = before.version
+    assert(spark.read.format("graft-buckets").option("table", "mor_del")
+      .option("versionasof", v1.toString).load().filter(col("k") === 77L).count() === 1L)
+  }
+
+  test("MOR UPDATE via Spark's delta protocol: position delete + delta row, base arrays shared") {
+    cat()
+    mkTable("mor_upd")
+    val before = BucketStore.get("mor_upd")
+    spark.sql("UPDATE graft.`mor_upd` SET v = 'renamed', d = d + 0.5 WHERE k = 123")
+    val after = BucketStore.get("mor_upd")
+    before.buckets.indices.foreach(b =>
+      assert(after.buckets(b) eq before.buckets(b),
+        s"bucket $b base array was rewritten by a 1-row MOR update"))
+    assert(after.mor.size === 1)
+    val m = after.mor.values.head
+    assert(m.deleted.cardinality() === 1 && m.delta.length === 1)
+    // the update landed in the OWNING bucket (key unchanged)
+    val (b, _) = after.mor.head
+    assert(BucketFunction.bucketFor(123L, 8).contains(b))
+    // folded read serves the new image exactly once
+    val got = scan("mor_upd").filter(col("k") === 123L).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(1) === "renamed" && got.head.getDouble(2) === 123 * 2.0 + 0.5)
+    assert(scan("mor_upd").count() === 1000L)
+    // stacked MOR commits: delete the row the update created
+    spark.sql("DELETE FROM graft.`mor_upd` WHERE k = 123")
+    assert(scan("mor_upd").count() === 999L)
+    assert(scan("mor_upd").filter(col("k") === 123L).count() === 0L)
+    val stacked = BucketStore.get("mor_upd")
+    assert(stacked.buckets(b) eq before.buckets(b), "stacking must keep sharing the base")
+  }
+
+  test("CDC across MOR commits emits the minimal logical diff (coalesced update, single delete)") {
+    cat()
+    mkTable("mor_cdc", rows = 400, buckets = 4)
+    val v1 = BucketStore.currentVersion("mor_cdc")
+    spark.sql("UPDATE graft.`mor_cdc` SET d = -1.0 WHERE k = 42")
+    spark.sql("DELETE FROM graft.`mor_cdc` WHERE k = 43")
+    val changes = spark.read.format("graft-buckets")
+      .option("table", "mor_cdc").option("mode", "cdc")
+      .option("changesstart", v1.toString).load()
+      .select(col("k"), col(CdcSchema.ChangeType)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes === Set(
+      (42L, CdcSchema.UpdatePre), (42L, CdcSchema.UpdatePost),
+      (43L, CdcSchema.Delete)),
+      s"CDC across MOR commits must net to the logical changes, got $changes")
+  }
+
+  test("compact folds deletion vectors back into clean arrays; answers unchanged; no-op is free") {
+    cat()
+    mkTable("mor_comp", rows = 500, buckets = 4)
+    spark.sql("DELETE FROM graft.`mor_comp` WHERE k <= 10")
+    spark.sql("UPDATE graft.`mor_comp` SET d = 0.0 WHERE k = 500")
+    val preCompact = scan("mor_comp").agg(
+      count(lit(1)), sum(col("d").cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+      .collect().head
+    assert(BucketStore.get("mor_comp").mor.nonEmpty)
+    val res = spark.sql("CALL graft.compact('mor_comp')").collect().head
+    assert(res.getInt(0) >= 1)
+    val t = BucketStore.get("mor_comp")
+    assert(t.mor.isEmpty, "compact must clear all pending MOR state")
+    assert(BucketStore.liveRowCount(t) === 490L)
+    val postCompact = scan("mor_comp").agg(
+      count(lit(1)), sum(col("d").cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+      .collect().head
+    assert(postCompact === preCompact, "compaction must not change any answer")
+    // nothing pending → nothing published
+    val v = BucketStore.currentVersion("mor_comp")
+    assert(spark.sql("CALL graft.compact('mor_comp')").collect().head.getInt(0) === 0)
+    assert(BucketStore.currentVersion("mor_comp") === v)
+  }
+
+  test("clustered MOR table: folded view keeps cluster order, sliced range reads stay exact") {
+    cat()
+    BucketStore.drop("mor_clust")
+    val df = (0 until 2000).map(i => ((i % 37).toLong, i.toLong, s"r$i")).toDF("k", "seq", "tag")
+    BucketStore.load(spark, "mor_clust", df, "k", 4, clusterBy = Some("seq"))
+    BucketStore.setDmlMode("mor_clust", BucketStore.MergeOnRead)
+    // the update moves seq 100 to the top of the order — the folded
+    // view must re-merge it into sorted position
+    spark.sql("UPDATE graft.`mor_clust` SET seq = 5000 WHERE seq = 100")
+    spark.sql("DELETE FROM graft.`mor_clust` WHERE seq = 101")
+    val t = BucketStore.get("mor_clust")
+    val si = t.schema.fieldIndex("seq")
+    t.buckets.indices.foreach { b =>
+      val seqs = BucketStore.effectiveRows(t, b).map(_.getLong(si))
+      assert(seqs.sameElements(seqs.sorted), s"folded bucket $b lost cluster order")
+    }
+    assert(scan("mor_clust").filter(col("seq") >= 99L && col("seq") <= 102L)
+      .collect().map(_.getLong(1)).sorted.toSeq === Seq(99L, 102L))
+    assert(scan("mor_clust").filter(col("seq") === 5000L).count() === 1L)
+    assert(scan("mor_clust").count() === 1999L)
+  }
+
+  test("delta positions are snapshot-pinned: an interleaving commit fails the statement loudly") {
+    cat()
+    mkTable("mor_race", rows = 100, buckets = 2)
+    val t = BucketStore.get("mor_race")
+    val staleVersion = t.version
+    // someone else commits first
+    spark.sql("DELETE FROM graft.`mor_race` WHERE k = 1")
+    val ex = intercept[IllegalArgumentException] {
+      BucketStore.applyDelta("mor_race",
+        Array(Array(0), Array.empty[Int]), Array.fill(2)(Array.empty[org.apache.spark.sql.Row]),
+        t.layoutEpoch, staleVersion)
+    }
+    assert(ex.getMessage.contains("positions are snapshot-relative"), ex.getMessage)
+  }
+
+  test("copy-on-write stays the default: UPDATE on a plain table rewrites the bucket, no MOR state") {
+    cat()
+    BucketStore.drop("cow_still")
+    val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketStore.load(spark, "cow_still", df, "k", 4)
+    val before = BucketStore.get("cow_still")
+    spark.sql("UPDATE graft.`cow_still` SET v = 'x' WHERE k = 5")
+    val after = BucketStore.get("cow_still")
+    assert(after.mor.isEmpty)
+    val owning = BucketFunction.bucketFor(5L, 4).get
+    assert(!(after.buckets(owning) eq before.buckets(owning)),
+      "copy-on-write must rewrite the owning bucket")
+    assert(scan("cow_still").filter(col("k") === 5L).collect().head.getString(1) === "x")
+  }
+
+  test("TBLPROPERTIES('write.dml.mode') selects the strategy at CREATE; typos are loud") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS graft.`mor_ddl`")
+    spark.sql("CREATE TABLE graft.`mor_ddl` (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    assert(BucketStore.dmlModeOf("mor_ddl") === BucketStore.MergeOnRead)
+    spark.sql("INSERT INTO graft.`mor_ddl` VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val before = BucketStore.get("mor_ddl")
+    spark.sql("UPDATE graft.`mor_ddl` SET v = 'z' WHERE k = 2")
+    val after = BucketStore.get("mor_ddl")
+    assert(after.mor.nonEmpty, "the DDL-selected mode must route DML through the delta path")
+    before.buckets.indices.foreach(b => assert(after.buckets(b) eq before.buckets(b)))
+    assert(scan("mor_ddl").filter(col("k") === 2L).collect().head.getString(1) === "z")
+    val bad = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.`mor_bad` (k BIGINT) PARTITIONED BY (bucket(2, k)) " +
+        "TBLPROPERTIES ('write.dml.mode'='merge-on-reed')")
+    }
+    assert(bad.getMessage.contains("merge-on-read"), bad.getMessage)
+  }
+}
