@@ -275,6 +275,9 @@ object SparkEntry {
     "q127_stream_dedup_bounded" -> graft.streaming.StreamOps.streamingDedupBounded _,
     "q128_mor_dml" -> graft.sources.bucketed.BucketedQueries.morDmlQuery _,
     "q129_ts_travel" -> graft.sources.bucketed.BucketedQueries.tsTravelQuery _,
+    // — statistics-driven skew join: measured hot keys route through a
+    //   broadcast of just their build rows; the cold tail shuffles —
+    "q130_adaptive_skew_join" -> graft.operators.Skew.adaptiveJoinQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -455,5 +458,6 @@ object SparkEntry {
     "q127_stream_dedup_bounded" -> graft.streaming.StreamOps.streamingDedupBoundedSql,
     "q128_mor_dml" -> graft.sources.bucketed.BucketedQueries.morDmlSql,
     "q129_ts_travel" -> graft.sources.bucketed.BucketedQueries.tsTravelSql,
+    "q130_adaptive_skew_join" -> graft.operators.Skew.adaptiveJoinSql,
   )
 }

@@ -47,6 +47,59 @@ class SkewSpec extends SparkSuite {
     assert(salted.count(_._1 == "hot") === 900)
   }
 
+  test("analyzeSkew finds the 90% key, ignores null keys, bounds the collect") {
+    val withNulls = skewed.union(Seq.fill(50)((null: String, 0.0)).toDF("k", "v"))
+    val d = Skew.analyzeSkew(withNulls, col("k"), shareThreshold = 0.1)
+    assert(d.isSkewed)
+    assert(d.hotKeys === Seq("hot"), "only the 90% key is hot; nulls never are")
+    assert(d.totalRows === 1050L)
+    assert(math.abs(d.hotShare - 900.0 / 1050.0) < 1e-9)
+    assert(d.salts >= 2)
+    val flat = Skew.analyzeSkew((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"), col("k"))
+    assert(!flat.isSkewed, "a flat distribution must pick the plain plan")
+  }
+
+  test("adaptiveJoin on a 90%-one-key probe picks the split plan and matches the plain join") {
+    val build = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("bk", "tag")
+    val decision = Skew.analyzeSkew(skewed, col("k"))
+    assert(decision.isSkewed && decision.hotKeys === Seq("hot"))
+    val adaptive = Skew.adaptiveJoinWith(skewed, build, "k", "bk", decision)
+    // the chosen plan: a union of a BroadcastHashJoin (hot slice, no
+    // shuffle of the 900 hot rows) and an ordinary join (cold tail)
+    val physical = adaptive.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"hot slice must join via broadcast, got:\n$physical")
+    assert(physical.contains("Union"), "split plan unions hot and cold slices")
+    val got = adaptive.select("k", "v", "tag")
+      .as[(String, Double, String)].collect().sorted.toSeq
+    val plain = skewed.join(build, col("k") === col("bk"))
+      .select("k", "v", "tag").as[(String, Double, String)].collect().sorted.toSeq
+    assert(got === plain)
+    assert(got.count(_._1 == "hot") === 900)
+  }
+
+  test("adaptiveJoin falls back to the salted plan when hot build rows exceed the broadcast cap") {
+    val build = ((1 to 40).map(i => ("hot", s"H$i")) ++ Seq(("k1", "A"), ("k2", "B")))
+      .toDF("bk", "tag")
+    val decision = Skew.analyzeSkew(skewed, col("k"))
+    val adaptive = Skew.adaptiveJoinWith(skewed, build, "k", "bk", decision,
+      maxBroadcastHotRows = 10L)
+    val plain = skewed.join(build, col("k") === col("bk"))
+      .select("k", "v", "tag").as[(String, Double, String)].collect().sorted.toSeq
+    val got = adaptive.select("k", "v", "tag")
+      .as[(String, Double, String)].collect().sorted.toSeq
+    assert(got === plain)
+    assert(got.count(_._1 == "hot") === 900 * 40, "many-to-many hot slice must survive salting")
+  }
+
+  test("adaptiveJoin without skew takes the plain join and matches it") {
+    val probe = (1 to 200).map(i => (i.toLong % 50, i)).toDF("user_id", "x")
+    val build = (0L until 50L).map(i => (i, s"t$i")).toDF("user_id", "tag")
+    val got = Skew.adaptiveJoin(probe, build, "user_id", "user_id")
+    assert(got.columns.count(_ == "user_id") === 1)
+    assert(got.count() === 200L)
+  }
+
   test("saltedJoin works when both sides share the key name (the natural call)") {
     val probe = (1 to 200).map(i => (i.toLong % 3, i)).toDF("user_id", "x")
     val build = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("user_id", "tag")
