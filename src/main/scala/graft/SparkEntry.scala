@@ -278,6 +278,9 @@ object SparkEntry {
     // — statistics-driven skew join: measured hot keys route through a
     //   broadcast of just their build rows; the cold tail shuffles —
     "q130_adaptive_skew_join" -> graft.operators.Skew.adaptiveJoinQuery _,
+    // — compound (tenant, date)-style cluster key: equality prefix +
+    //   trailing range binary-search ONE run per bucket —
+    "q131_compound_cluster" -> graft.sources.bucketed.BucketedQueries.compoundClusterQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -459,5 +462,6 @@ object SparkEntry {
     "q128_mor_dml" -> graft.sources.bucketed.BucketedQueries.morDmlSql,
     "q129_ts_travel" -> graft.sources.bucketed.BucketedQueries.tsTravelSql,
     "q130_adaptive_skew_join" -> graft.operators.Skew.adaptiveJoinSql,
+    "q131_compound_cluster" -> graft.sources.bucketed.BucketedQueries.compoundClusterSql,
   )
 }

@@ -45,6 +45,11 @@ object BucketStore {
     * index layout that lets the fetch path serve a range predicate by
     * binary-searching the qualifying slice instead of streaming the
     * bucket (see [[HostConnection.fetchBucket]] / [[ClusterRange]]).
+    * A COMPOUND key is a comma-separated list (`"tenant,ts"` — the
+    * TBLPROPERTIES string form Delta/Iceberg use): order is sort
+    * significance, rows sort lexicographically, and the composite-
+    * index prefix rule governs which predicates slice
+    * ([[ClusterRange.compoundFrom]]).
     */
   /** `rangeBounds`: when set (length = buckets−1, sorted), the table
     * is RANGE-partitioned on the key instead of hash-partitioned —
@@ -240,7 +245,7 @@ object BucketStore {
     */
   def load(spark: SparkSession, name: String, df: DataFrame, keyCol: String,
       numBuckets: Int, nHosts: Int = 4, clusterBy: Option[String] = None): Unit = {
-    clusterBy.foreach(c => require(df.schema.fieldNames.contains(c),
+    clusterColsOf(clusterBy).foreach(c => require(df.schema.fieldNames.contains(c),
       s"cluster column '$c' not in schema [${df.schema.fieldNames.mkString(", ")}]"))
     val bucketed = df.withColumn("__b", pmod(hash(col(keyCol)), lit(numBuckets)))
     val collected = bucketed.collect()
@@ -265,18 +270,45 @@ object BucketStore {
     }
   }
 
-  /** Keep a bucket's rows sorted on the cluster column, nulls first —
-    * the ordering [[ClusterRange.sliceSorted]] binary-searches.
+  /** Parse the cluster-key property into its column list — one entry
+    * for a plain column, layout order for a compound `"c1,c2"` key.
+    */
+  def clusterColsOf(clusterCol: Option[String]): Seq[String] =
+    clusterCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** Row → compound cluster key, short (pre-ALTER) rows reading the
+    * key columns as NULL — the single extraction every sort, merge,
+    * and fold comparator shares.
+    */
+  private def clusterKeyOf(schema: StructType, clusterCol: Option[String]): Row => Array[Any] = {
+    val idxs = clusterColsOf(clusterCol).map(schema.fieldIndex).toArray
+    r => idxs.map(i => if (i >= r.size || r.isNullAt(i)) null else r.get(i))
+  }
+
+  /** Lexicographic compare over compound keys, nulls first per
+    * component — the total order [[ClusterRange.sliceSortedCompound]]
+    * binary-searches.
+    */
+  private def cmpClusterKeys(a: Array[Any], b: Array[Any]): Int = {
+    var k = 0
+    while (k < a.length) {
+      val c = ClusterRange.cmpNullsFirst(a(k), b(k))
+      if (c != 0) return c
+      k += 1
+    }
+    0
+  }
+
+  /** Keep a bucket's rows sorted on the cluster key (lexicographic,
+    * nulls first) — the ordering the fetch path binary-searches.
     */
   private def clusterSort(schema: StructType, clusterCol: Option[String],
       rows: Array[Row]): Array[Row] =
     clusterCol match {
       case None => rows
-      case Some(c) =>
-        val i = schema.fieldIndex(c)
-        rows.sortWith { (a, b) => ClusterRange.cmpNullsFirst(
-          if (a.isNullAt(i)) null else a.get(i),
-          if (b.isNullAt(i)) null else b.get(i)) < 0 }
+      case c =>
+        val key = clusterKeyOf(schema, c)
+        rows.sortWith((a, b) => cmpClusterKeys(key(a), key(b)) < 0)
     }
 
   // ————— merge-on-read fold + DML-mode plumbing —————
@@ -355,14 +387,13 @@ object BucketStore {
     clusterCol match {
       case None =>
         FoldedBucket(bR ++ deltaPairs.map(_._1), bP ++ deltaPairs.map(_._2))
-      case Some(c) =>
+      case c =>
         // live base rows keep their sorted run; sort the live delta and
         // merge — the read-time twin of [[clusterMerge]], positions
         // riding the same permutation
-        val ci = schema.fieldIndex(c)
-        def key(r: Row): Any = if (ci >= r.size || r.isNullAt(ci)) null else r.get(ci)
+        val key = clusterKeyOf(schema, c)
         val sd = deltaPairs.sortWith((a, b2) =>
-          ClusterRange.cmpNullsFirst(key(a._1), key(b2._1)) < 0)
+          cmpClusterKeys(key(a._1), key(b2._1)) < 0)
         val n = bR.length + sd.length
         val rows = new Array[Row](n)
         val pos = new Array[Int](n)
@@ -370,7 +401,7 @@ object BucketStore {
         var d = 0
         var o = 0
         while (a < bR.length && d < sd.length) {
-          if (ClusterRange.cmpNullsFirst(key(bR(a)), key(sd(d)._1)) <= 0) {
+          if (cmpClusterKeys(key(bR(a)), key(sd(d)._1)) <= 0) {
             rows(o) = bR(a); pos(o) = bP(a); a += 1
           } else { rows(o) = sd(d)._1; pos(o) = sd(d)._2; d += 1 }
           o += 1
@@ -455,16 +486,15 @@ object BucketStore {
       old: Array[Row], add: Array[Row]): Array[Row] =
     clusterCol match {
       case None => old ++ add
-      case Some(c) =>
-        val i = schema.fieldIndex(c)
-        def key(r: Row): Any = if (i >= r.size || r.isNullAt(i)) null else r.get(i)
+      case c =>
+        val key = clusterKeyOf(schema, c)
         val sortedAdd = clusterSort(schema, clusterCol, add)
         val out = new Array[Row](old.length + sortedAdd.length)
         var a = 0
         var b = 0
         var o = 0
         while (a < old.length && b < sortedAdd.length) {
-          if (ClusterRange.cmpNullsFirst(key(old(a)), key(sortedAdd(b))) <= 0) {
+          if (cmpClusterKeys(key(old(a)), key(sortedAdd(b))) <= 0) {
             out(o) = old(a); a += 1
           } else { out(o) = sortedAdd(b); b += 1 }
           o += 1
@@ -507,7 +537,7 @@ object BucketStore {
       nHosts: Int = 4, clusterBy: Option[String] = None): Unit = {
     require(schema.fieldNames.contains(keyCol),
       s"bucket key '$keyCol' not in schema [${schema.fieldNames.mkString(", ")}]")
-    clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+    clusterColsOf(clusterBy).foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' not in schema [${schema.fieldNames.mkString(", ")}]"))
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     // under the publish lock: a concurrent load()'s read-modify-write
@@ -668,10 +698,12 @@ object BucketStore {
     */
   def recluster(name: String, col: String): Long = synchronized {
     val t = get(name)
-    require(t.schema.fieldNames.contains(col),
-      s"recluster('$name'): column '$col' not in schema " +
-        s"[${t.schema.fieldNames.mkString(", ")}]")
-    require(!t.clusterCol.contains(col),
+    val cols = clusterColsOf(Some(col))
+    require(cols.nonEmpty, s"recluster('$name'): empty cluster key")
+    cols.foreach(c => require(t.schema.fieldNames.contains(c),
+      s"recluster('$name'): column '$c' not in schema " +
+        s"[${t.schema.fieldNames.mkString(", ")}]"))
+    require(clusterColsOf(t.clusterCol) != cols,
       s"recluster('$name'): table is already clustered on '$col'")
     // normalize rows predating an ADD COLUMN to current arity first:
     // the sort key may BE the added column, and the comparator indexes

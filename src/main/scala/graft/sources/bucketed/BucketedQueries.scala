@@ -725,6 +725,42 @@ object BucketedQueries {
       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
       |GROUP BY event_type""".stripMargin
 
+  /** q131 — COMPOUND clustered index: events kept lexicographically
+    * sorted on (event_type, ts) within every bucket, queried with the
+    * composite-index shape — equality on the leading column, a time
+    * window on the second. [[ClusterRange.compoundFrom]] proves the
+    * equality prefix plus the trailing range and the fetch binary-
+    * searches ONE contiguous run per bucket: the 2-day click slice,
+    * not the click partition and not the 2-day slice of every event
+    * type — pages moved ∝ the conjunction's answer. At 100 TB this is
+    * the (tenant, date) layout every multi-tenant time-series store
+    * runs; CompoundClusterSpec pins the page counts and the prefix
+    * rule (a bare `ts` predicate on this layout correctly refuses to
+    * slice).
+    */
+  def compoundClusterQuery(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"events_comp@$dir", dir, "events", "user_id", NumBuckets,
+      clusterBy = Some("event_type,ts"))
+    spark.read.format("graft-buckets").option("table", s"events_comp@$dir").load()
+      .filter(col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+  }
+
+  val compoundClusterSql: String =
+    """SELECT user_id % 10 AS cohort, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_type = 'click'
+      |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
+      |GROUP BY 1""".stripMargin
+
   /** q106 — BOUNDED batch change read (the `table_changes` analog,
     * same window semantics as the stream's offsets): customer lands
     * in the store, a DELETE drops one segment, and a batch read of

@@ -729,26 +729,28 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
   override def readSchema(): StructType = required
 
   /** Per-partition output ordering: every bucket's rows are kept
-    * sorted on the cluster column (asc, nulls first — [[BucketStore
-    * .clusterSort]] uses the scan comparator, which matches Spark's
-    * NaN-as-largest ordering), so a clustered scan REPORTS that order
-    * and the planner elides per-partition Sorts above it — on a
-    * key-clustered co-bucketed pair, a sort-merge join then plans
-    * with ZERO Exchange and ZERO Sort. Guards: the column must
-    * survive projection (the claim is resolved against the output
-    * schema), and a pushed TopN re-orders the stream (bounded heap
-    * emission), so no claim is made then. Pushed limits and samples
-    * filter/truncate without reordering — the claim stands.
+    * sorted on the cluster key (asc, nulls first per column —
+    * [[BucketStore.clusterSort]] uses the scan comparator, which
+    * matches Spark's NaN-as-largest ordering), so a clustered scan
+    * REPORTS that order and the planner elides per-partition Sorts
+    * above it — on a key-clustered co-bucketed pair, a sort-merge
+    * join then plans with ZERO Exchange and ZERO Sort. A compound key
+    * reports the longest PREFIX that survives projection (rows
+    * lexicographically sorted on (c1, c2) are sorted on c1 alone, but
+    * not on c2 alone — a non-prefix claim would be a lie). A pushed
+    * TopN re-orders the stream (bounded heap emission), so no claim
+    * is made then. Pushed limits and samples filter/truncate without
+    * reordering — the claim stands.
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val t = BucketStore.snapshotWithRetry(name, version)
-    t.clusterCol match {
-      case Some(c) if topN.isEmpty && required.fieldNames.contains(c) =>
-        Array(Expressions.sort(Expressions.column(c),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
-          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
-      case _ => Array.empty
-    }
+    if (topN.nonEmpty) return Array.empty
+    BucketStore.clusterColsOf(t.clusterCol)
+      .takeWhile(required.fieldNames.contains)
+      .map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+      .toArray
   }
 
   /** Report the store's exact row count (the catalog knows it) so the
@@ -777,12 +779,11 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     val extra = topN.map(" " + _.describe).orElse(limit.map(n => s" pushedLimit=$n")).getOrElse("") +
       sample.map(" " + _.describe).getOrElse("")
     // surface the clustered-index slice in the plan (audit hook):
-    // provable bounds on the cluster column mean the fetch will
+    // provable bounds on the cluster key mean the fetch will
     // binary-search the sorted run instead of streaming the bucket
-    val cluster = BucketStore.snapshotWithRetry(name, version).clusterCol
-      .map(c => (c, ClusterRange.from(filters, c)))
-      .filter(_._2.isBounded)
-      .map { case (c, r) => s" clusterSlice=$c${r.describe}" }
+    val cluster = ClusterSlice.from(filters,
+        BucketStore.clusterColsOf(BucketStore.snapshotWithRetry(name, version).clusterCol))
+      .map(s => s" clusterSlice=${s.describe}")
       .getOrElse("")
     s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]$extra$cluster"
   }
@@ -981,7 +982,7 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
   private var conn: HostConnection = _
 
   private val out: Iterator[Row] = {
-    val range = table.clusterCol.map(ClusterRange.from(filters, _)).filter(_.isBounded)
+    val range = ClusterSlice.from(filters, BucketStore.clusterColsOf(table.clusterCol))
     val (c, paged) = BucketReaderSupport.openWithFailover(p, fetchSize, range)
     conn = c
     val rows = paged.map(_._1) // a pushed aggregate never needs row ids
@@ -1128,7 +1129,7 @@ case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String]
   */
 private[bucketed] object BucketReaderSupport {
   def openWithFailover(p: BucketInputPartition, fetchSize: Int,
-      range: Option[ClusterRange] = None,
+      range: Option[ClusterSlice] = None,
       reverse: Boolean = false): (HostConnection, Iterator[(Row, Int)]) = {
     var opened: Iterator[(Row, Int)] = null
     var conn: HostConnection = null
@@ -1209,27 +1210,31 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
 
   private var conn: HostConnection = _
 
-  // index-ordered TopN: when the single sort key IS the cluster
-  // column in a layout-compatible order, the stream arrives in output
+  // index-ordered TopN: when the sort keys are a PREFIX of the cluster
+  // key in a layout-compatible order, the stream arrives in output
   // order and take(n) is the per-bucket top n — page fetches stop
   // after n qualifying rows (ORDER BY ts LIMIT 10 on a clustered
-  // 100 TB table reads ~10 rows per bucket). Ascending/nulls-first is
-  // the stored order; descending/nulls-last is the same run streamed
-  // in reverse (the server walks the slice back-to-front). Other
-  // null-ordering combinations fall back to the bounded heap.
-  private val indexOrderedReverse: Option[Boolean] = topN.collect {
-    case spec if spec.keys.length == 1 && table.clusterCol.contains(spec.keys.head.col) &&
-        !spec.keys.head.desc && spec.keys.head.nullsFirst => false
-    case spec if spec.keys.length == 1 && table.clusterCol.contains(spec.keys.head.col) &&
-        spec.keys.head.desc && !spec.keys.head.nullsFirst => true
+  // 100 TB table reads ~10 rows per bucket). All-ascending/nulls-first
+  // is the stored (lexicographic) order; all-descending/nulls-last is
+  // the same run streamed in reverse (the server walks the slice
+  // back-to-front). Mixed directions or other null orderings fall
+  // back to the bounded heap.
+  private val indexOrderedReverse: Option[Boolean] = {
+    val clusterCols = BucketStore.clusterColsOf(table.clusterCol)
+    topN.collect {
+      case spec if clusterCols.startsWith(spec.keys.map(_.col)) &&
+          spec.keys.forall(k => !k.desc && k.nullsFirst) => false
+      case spec if clusterCols.startsWith(spec.keys.map(_.col)) &&
+          spec.keys.forall(k => k.desc && !k.nullsFirst) => true
+    }
   }
 
   private val it: Iterator[(Row, Int)] = {
-    // clustered-index slice: provable cluster-column bounds narrow the
+    // clustered-index slice: provable cluster-key bounds narrow the
     // fetch to the qualifying run of the sorted bucket (pages moved ∝
     // answer); every row is still filter-checked below, so the slice
     // is never load-bearing for correctness
-    val range = table.clusterCol.map(ClusterRange.from(filters, _)).filter(_.isBounded)
+    val range = ClusterSlice.from(filters, BucketStore.clusterColsOf(table.clusterCol))
     val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize, range,
       reverse = indexOrderedReverse.contains(true))
     conn = c

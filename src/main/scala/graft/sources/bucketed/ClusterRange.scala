@@ -84,28 +84,110 @@ object ClusterRange {
     * predicate); with only an upper bound the nulls stay in the slice
     * and [[FilterEval]] drops them per row (conservative, simple).
     */
-  def sliceSorted(rows: Array[Row], i: Int, range: ClusterRange): (Int, Int) = {
-    def valueAt(m: Int): Any = if (rows(m).isNullAt(i)) null else rows(m).get(i)
-    // first index whose value makes `keep` true (keep is monotone)
-    def lowerBound(keep: Any => Boolean): Int = {
+  def sliceSorted(rows: Array[Row], i: Int, range: ClusterRange): (Int, Int) =
+    sliceSortedCompound(rows, Array(i), Seq(range))
+
+  /** The per-column bounds a COMPOUND cluster key can actually use:
+    * the composite-index prefix rule. A lexicographic sort on
+    * (c1, …, cn) localizes a predicate only through the longest
+    * prefix of EQUALITY-bounded columns plus at most one range-bounded
+    * column after it — bounds on columns past the first non-equality
+    * cannot narrow the binary search (rows matching `c2 > 5` are
+    * scattered across every c1 run) and are left to the row filter.
+    * Returns one [[ClusterRange]] per usable column, possibly empty.
+    */
+  def compoundFrom(filters: Array[Filter], cols: Seq[String]): Seq[ClusterRange] = {
+    val out = Seq.newBuilder[ClusterRange]
+    var open = true
+    for (c <- cols if open) {
+      val r = from(filters, c)
+      val exact = (r.lo, r.hi) match {
+        case (Some((lv, true)), Some((hv, true))) => cmpNullsFirst(lv, hv) == 0
+        case _ => false
+      }
+      if (exact) out += r
+      else {
+        if (r.isBounded) out += r
+        open = false // range (or unbounded) column ends the usable prefix
+      }
+    }
+    out.result()
+  }
+
+  /** Compound [[sliceSorted]]: `rows` sorted lexicographically on the
+    * columns at `idxs` (each asc, nulls first), `ranges` the usable
+    * per-column bounds from [[compoundFrom]] (equalities, then at most
+    * one trailing range). Both edges are one lexicographic binary
+    * search over the bound TUPLE — the tuple's last component carries
+    * the only open inclusivity; everything before it is an equality.
+    */
+  def sliceSortedCompound(rows: Array[Row], idxs: Array[Int], ranges: Seq[ClusterRange]): (Int, Int) = {
+    if (ranges.isEmpty) return (0, rows.length)
+    def valueAt(m: Int, i: Int): Any = {
+      val r = rows(m)
+      // pre-ALTER short rows read added columns as NULL (fetch-path padding)
+      if (i >= r.size || r.isNullAt(i)) null else r.get(i)
+    }
+    // row's key prefix vs bound tuple, lexicographic
+    def cmpRow(m: Int, bound: IndexedSeq[Any]): Int = {
+      var k = 0
+      while (k < bound.length) {
+        val c = cmpNullsFirst(valueAt(m, idxs(k)), bound(k))
+        if (c != 0) return c
+        k += 1
+      }
+      0
+    }
+    // first index where keep(m) is true (keep monotone over the sort)
+    def lowerBound(keep: Int => Boolean): Int = {
       var lo = 0
       var hi = rows.length
       while (lo < hi) {
         val m = (lo + hi) >>> 1
-        if (keep(valueAt(m))) hi = m else lo = m + 1
+        if (keep(m)) hi = m else lo = m + 1
       }
       lo
     }
-    val start = range.lo match {
-      case None => 0
-      case Some((v, incl)) =>
-        lowerBound(x => x != null && (if (incl) cmpNullsFirst(x, v) >= 0 else cmpNullsFirst(x, v) > 0))
+    // the bound tuple for one side: bounds up to the first missing one
+    // (equality columns always carry both sides; only the trailing
+    // range column can be one-sided). Inclusivity = the tuple's LAST
+    // component's — earlier components are exact matches.
+    def tuple(side: ClusterRange => Option[(Any, Boolean)]): (IndexedSeq[Any], Boolean) = {
+      val defined = ranges.map(side).takeWhile(_.isDefined).map(_.get)
+      (defined.map(_._1).toIndexedSeq, defined.lastOption.forall(_._2))
     }
-    val end = range.hi match {
-      case None => rows.length
-      case Some((v, incl)) =>
-        lowerBound(x => x != null && (if (incl) cmpNullsFirst(x, v) > 0 else cmpNullsFirst(x, v) >= 0))
-    }
+    val (loT, loIncl) = tuple(_.lo)
+    val (hiT, hiIncl) = tuple(_.hi)
+    // bound values are non-null by construction (from() requires it),
+    // so a row with NULL in a bounded component compares < and the
+    // null prefix falls outside a defined lower bound — matching the
+    // single-column contract
+    val start =
+      if (loT.isEmpty) 0
+      else lowerBound(m => { val c = cmpRow(m, loT); if (loIncl) c >= 0 else c > 0 })
+    val end =
+      if (hiT.isEmpty) rows.length
+      else lowerBound(m => { val c = cmpRow(m, hiT); if (hiIncl) c > 0 else c >= 0 })
     (start, math.max(start, end))
+  }
+}
+
+/** A provable slice of a compound-clustered bucket: the cluster
+  * columns (layout order) paired with the usable bounds
+  * ([[ClusterRange.compoundFrom]]). What the scan hands the fetch so
+  * the server binary-searches the sorted run once, lexicographically.
+  */
+final case class ClusterSlice(cols: Seq[String], ranges: Seq[ClusterRange]) {
+  def describe: String =
+    cols.zip(ranges).map { case (c, r) => s"$c${r.describe}" }.mkString("(", ", ", ")")
+}
+
+object ClusterSlice {
+  /** The slice provable from `filters` over cluster columns `cols` —
+    * None when no usable bound exists (fetch streams the bucket).
+    */
+  def from(filters: Array[Filter], cols: Seq[String]): Option[ClusterSlice] = {
+    val ranges = ClusterRange.compoundFrom(filters, cols)
+    if (ranges.isEmpty) None else Some(ClusterSlice(cols.take(ranges.length), ranges))
   }
 }

@@ -77,13 +77,15 @@ object BucketServers {
   */
 final class HostConnection private[bucketed] (val host: String) {
 
-  /** `range`: when the table is clustered and the scan proved bounds
-    * on the cluster column, the server binary-searches the sorted
-    * bucket and streams ONLY the qualifying slice — pages moved are
-    * proportional to the answer, not the bucket (clustered-index
-    * scan; ignored for unclustered tables). `reverse` streams the
-    * slice back-to-front (the descending index scan: reversed
-    * storage order IS desc/nulls-last).
+  /** `slice`: when the table is clustered and the scan proved bounds
+    * on the cluster key (for a compound key: the equality prefix plus
+    * at most one range, [[ClusterRange.compoundFrom]]), the server
+    * binary-searches the lexicographically sorted bucket and streams
+    * ONLY the qualifying slice — pages moved are proportional to the
+    * answer, not the bucket (clustered-index scan; ignored for
+    * unclustered tables). `reverse` streams the slice back-to-front
+    * (the descending index scan: reversed storage order IS
+    * desc/nulls-last).
     *
     * The fetch serves the bucket's FOLDED view ([[BucketStore.folded]]
     * — merge-on-read deletion vectors applied, delta rows merged in
@@ -92,13 +94,18 @@ final class HostConnection private[bucketed] (val host: String) {
     * buckets pay nothing for either (identity fold, position = index).
     */
   def fetchBucket(table: String, bucket: Int, version: Long, fetchSize: Int,
-      range: Option[ClusterRange] = None, reverse: Boolean = false): Iterator[(Row, Int)] = {
+      slice: Option[ClusterSlice] = None, reverse: Boolean = false): Iterator[(Row, Int)] = {
     val t = BucketStore.snapshot(table, version)
     val f = BucketStore.folded(t, bucket)
     val rows = f.rows
-    val (start, end) = (t.clusterCol, range) match {
-      case (Some(c), Some(r)) if r.isBounded =>
-        ClusterRange.sliceSorted(rows, t.schema.fieldIndex(c), r)
+    val clusterCols = BucketStore.clusterColsOf(t.clusterCol)
+    val (start, end) = slice match {
+      // honor only a slice matching this table's layout PREFIX — a
+      // stale caller claim must degrade to a full stream, never
+      // mis-slice
+      case Some(s) if s.cols.nonEmpty && clusterCols.startsWith(s.cols) =>
+        ClusterRange.sliceSortedCompound(rows,
+          s.cols.map(t.schema.fieldIndex).toArray, s.ranges)
       case _ => (0, rows.length)
     }
     val sliced =

@@ -123,7 +123,7 @@ class ClusteredScanSpec extends SparkSuite {
     val q = spark.read.format("graft-buckets").option("table", "clust_t").load()
       .filter(col("seq") >= 7L && col("seq") < 9L)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("clusterSlice=seq"), plan.take(800))
+    assert(plan.contains("clusterSlice=(seq"), plan.take(800))
   }
 
   test("APPEND restores cluster order by delta-merge on hash AND range layouts; slices stay effective") {
