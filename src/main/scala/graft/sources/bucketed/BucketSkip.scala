@@ -98,12 +98,65 @@ object BucketSkip {
   /** Commit-time statistics build: compute (and cache) stats for
     * `cols` over one bucket's rows — called by [[BucketStore.publish]]
     * for every bucket whose array the commit replaced, with the
-    * table's registered stat columns.
+    * table's registered stat columns. Warms BOTH granularities: the
+    * bucket-level stats plan-time pruning consults and the block-level
+    * zone maps the fetch prunes with — the same discipline (cost ∝
+    * changed buckets; at 100 TB both are row-group footers the
+    * producer's write task emits).
     */
   private[bucketed] def warm(schema: StructType, rows: Array[Row], cols: Iterable[String]): Unit =
     cols.foreach { c =>
-      if (schema.fieldNames.contains(c)) { statsFor(schema, rows, c); () }
+      if (schema.fieldNames.contains(c)) {
+        statsFor(schema, rows, c)
+        if (rows.length > BlockRows)
+          (0 to (rows.length - 1) / BlockRows).foreach(k => statsForBlock(schema, rows, k, c))
+        ()
+      }
     }
+
+  /** Rows per zone-map block — the row-group stand-in. Fixed and
+    * small so the pruning is observable at test scale; at 100 TB the
+    * grid is the file format's (~128 MB row groups), not a constant.
+    */
+  val BlockRows: Int = 128
+
+  /** (rows-array identity, block ordinal, column) → block stats; same
+    * identity/weak-key discipline as the bucket-level cache, so COW-
+    * shared buckets keep their block maps across versions too.
+    */
+  private val blockCache =
+    new java.util.WeakHashMap[Array[Row], scala.collection.concurrent.TrieMap[(Int, String), Option[ColSkip]]]()
+
+  /** Block-granularity stat passes actually executed — the spec hook
+    * proving commit-time warming covers the block grid as well.
+    */
+  val blockBuildCount = new java.util.concurrent.atomic.AtomicLong()
+
+  private[bucketed] def statsForBlock(schema: StructType, rows: Array[Row], block: Int,
+      c: String): Option[ColSkip] = {
+    val perKey = blockCache.synchronized {
+      var e = blockCache.get(rows)
+      if (e == null) { e = scala.collection.concurrent.TrieMap.empty; blockCache.put(rows, e) }
+      e
+    }
+    perKey.getOrElseUpdate((block, c), {
+      val from = block * BlockRows
+      val until = math.min(rows.length, from + BlockRows)
+      if (from >= until || !schema.fieldNames.contains(c)) None
+      else {
+        blockBuildCount.incrementAndGet()
+        buildRange(schema, rows, from, until, c)
+      }
+    })
+  }
+
+  /** May any row of block `block` of this rows array satisfy `f`?
+    * Same conservative contract as the bucket-level [[mayMatch]];
+    * consulted by [[HostConnection.fetchBucket]] so a pruned block's
+    * pages never cross the (simulated) wire.
+    */
+  def mayMatchBlock(schema: StructType, rows: Array[Row], block: Int, f: Filter): Boolean =
+    mayMatch(schema, (c: String) => statsForBlock(schema, rows, block, c).map(Seq(_)), f)
 
   private def comparableType(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | TimestampType | DateType => true
@@ -116,18 +169,30 @@ object BucketSkip {
   }
 
   private def build(schema: StructType, rows: Array[Row], c: String): Option[ColSkip] = {
+    if (!comparableType(schema(schema.fieldIndex(c)).dataType)) return None
+    buildCount.incrementAndGet()
+    buildRange(schema, rows, 0, rows.length, c)
+  }
+
+  /** One stat pass over rows[from, until) — the shared core of the
+    * bucket-level and block-level builds.
+    */
+  private def buildRange(schema: StructType, rows: Array[Row], from: Int, until: Int,
+      c: String): Option[ColSkip] = {
     val i = schema.fieldIndex(c)
     val dt = schema(i).dataType
     if (!comparableType(dt)) return None
-    buildCount.incrementAndGet()
+    val n = until - from
     val nbits =
       if (!sketchableType(dt)) 0
-      else math.min(1 << 22, math.max(64, Integer.highestOneBit(rows.length * 8 - 1) << 1))
+      else math.min(1 << 22, math.max(64, Integer.highestOneBit(n * 8 - 1) << 1))
     val bloom = if (nbits > 0) new java.util.BitSet(nbits) else null
     var nulls = 0
     var min: Any = null
     var max: Any = null
-    rows.foreach { r =>
+    var j = from
+    while (j < until) {
+      val r = rows(j)
       // pre-ALTER stored rows are below the current arity: added
       // columns read as NULL (the fetch path pads identically)
       if (i >= r.size || r.isNullAt(i)) nulls += 1
@@ -137,8 +202,9 @@ object BucketSkip {
         if (max == null || FilterEval.cmp(v, max) > 0) max = v
         if (bloom != null) sketchHash(v).foreach(h => setBits(bloom, nbits, h))
       }
+      j += 1
     }
-    Some(ColSkip(rows.length, nulls, min, max, bloom, nbits))
+    Some(ColSkip(n, nulls, min, max, bloom, nbits))
   }
 
   /** Canonical 64-bit hash for sketchable values: every integral width

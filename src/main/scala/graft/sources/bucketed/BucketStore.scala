@@ -271,10 +271,27 @@ object BucketStore {
   }
 
   /** Parse the cluster-key property into its column list — one entry
-    * for a plain column, layout order for a compound `"c1,c2"` key.
+    * for a plain column, layout order for a compound `"c1,c2"` key,
+    * the interleave dimensions for a `"zorder(c1,c2)"` key.
     */
   def clusterColsOf(clusterCol: Option[String]): Seq[String] =
-    clusterCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    clusterCol.toSeq.flatMap(s =>
+      ZOrder.colsOf(s).getOrElse(s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+
+  /** Is the table's layout a z-order (Morton) curve rather than a
+    * lexicographic sort?
+    */
+  def isZOrder(clusterCol: Option[String]): Boolean = clusterCol.exists(ZOrder.isSpec)
+
+  /** The cluster columns usable for LEXICOGRAPHIC reasoning — binary-
+    * search slicing ([[ClusterRange]]), reported output ordering,
+    * index-ordered TopN. Empty for a z-order layout: the Morton sort
+    * is not a per-column order, so none of those claims hold there
+    * (z-order tables are served by block-level zone maps instead,
+    * [[HostConnection.fetchBucket]]).
+    */
+  def lexClusterColsOf(clusterCol: Option[String]): Seq[String] =
+    if (isZOrder(clusterCol)) Seq.empty else clusterColsOf(clusterCol)
 
   /** Row → compound cluster key, short (pre-ALTER) rows reading the
     * key columns as NULL — the single extraction every sort, merge,
@@ -299,13 +316,37 @@ object BucketStore {
     0
   }
 
-  /** Keep a bucket's rows sorted on the cluster key (lexicographic,
-    * nulls first) — the ordering the fetch path binary-searches.
+  /** The layout's row comparator: lexicographic over the compound key
+    * (nulls first — the order [[ClusterRange.sliceSortedCompound]]
+    * binary-searches) or unsigned Morton-code compare for a
+    * `zorder(...)` key ([[ZOrder.cmp]] — searched by nothing; it
+    * exists to make block zone maps tight). Every sort, merge, and
+    * fold shares this one dispatch, so the maintained invariant is
+    * identical across load/append/DML/recluster.
+    */
+  private def clusterRowCmp(schema: StructType, clusterCol: Option[String]): (Row, Row) => Int =
+    if (isZOrder(clusterCol)) {
+      val idxs = clusterColsOf(clusterCol).map(schema.fieldIndex).toArray
+      (a, b) => ZOrder.cmp(ZOrder.key(a, idxs), ZOrder.key(b, idxs))
+    } else {
+      val key = clusterKeyOf(schema, clusterCol)
+      (a, b) => cmpClusterKeys(key(a), key(b))
+    }
+
+  /** Keep a bucket's rows sorted on the cluster key — the ordering the
+    * fetch path binary-searches (lexicographic) or the Morton curve
+    * block pruning leans on (z-order; Schwartzian sort, keys computed
+    * once per row).
     */
   private def clusterSort(schema: StructType, clusterCol: Option[String],
       rows: Array[Row]): Array[Row] =
     clusterCol match {
       case None => rows
+      case c if isZOrder(c) =>
+        val idxs = clusterColsOf(c).map(schema.fieldIndex).toArray
+        rows.map(r => (ZOrder.key(r, idxs), r))
+          .sortWith((x, y) => ZOrder.cmp(x._1, y._1) < 0)
+          .map(_._2)
       case c =>
         val key = clusterKeyOf(schema, c)
         rows.sortWith((a, b) => cmpClusterKeys(key(a), key(b)) < 0)
@@ -390,10 +431,10 @@ object BucketStore {
       case c =>
         // live base rows keep their sorted run; sort the live delta and
         // merge — the read-time twin of [[clusterMerge]], positions
-        // riding the same permutation
-        val key = clusterKeyOf(schema, c)
-        val sd = deltaPairs.sortWith((a, b2) =>
-          cmpClusterKeys(key(a._1), key(b2._1)) < 0)
+        // riding the same permutation (comparator dispatches on the
+        // layout: lexicographic or Morton)
+        val cmp = clusterRowCmp(schema, c)
+        val sd = deltaPairs.sortWith((a, b2) => cmp(a._1, b2._1) < 0)
         val n = bR.length + sd.length
         val rows = new Array[Row](n)
         val pos = new Array[Int](n)
@@ -401,7 +442,7 @@ object BucketStore {
         var d = 0
         var o = 0
         while (a < bR.length && d < sd.length) {
-          if (cmpClusterKeys(key(bR(a)), key(sd(d)._1)) <= 0) {
+          if (cmp(bR(a), sd(d)._1) <= 0) {
             rows(o) = bR(a); pos(o) = bP(a); a += 1
           } else { rows(o) = sd(d)._1; pos(o) = sd(d)._2; d += 1 }
           o += 1
@@ -487,14 +528,14 @@ object BucketStore {
     clusterCol match {
       case None => old ++ add
       case c =>
-        val key = clusterKeyOf(schema, c)
+        val cmp = clusterRowCmp(schema, c)
         val sortedAdd = clusterSort(schema, clusterCol, add)
         val out = new Array[Row](old.length + sortedAdd.length)
         var a = 0
         var b = 0
         var o = 0
         while (a < old.length && b < sortedAdd.length) {
-          if (cmpClusterKeys(key(old(a)), key(sortedAdd(b))) <= 0) {
+          if (cmp(old(a), sortedAdd(b)) <= 0) {
             out(o) = old(a); a += 1
           } else { out(o) = sortedAdd(b); b += 1 }
           o += 1
@@ -703,7 +744,8 @@ object BucketStore {
     cols.foreach(c => require(t.schema.fieldNames.contains(c),
       s"recluster('$name'): column '$c' not in schema " +
         s"[${t.schema.fieldNames.mkString(", ")}]"))
-    require(clusterColsOf(t.clusterCol) != cols,
+    require(clusterColsOf(t.clusterCol) != cols ||
+        isZOrder(t.clusterCol) != isZOrder(Some(col)),
       s"recluster('$name'): table is already clustered on '$col'")
     // normalize rows predating an ADD COLUMN to current arity first:
     // the sort key may BE the added column, and the comparator indexes

@@ -94,23 +94,45 @@ final class HostConnection private[bucketed] (val host: String) {
     * buckets pay nothing for either (identity fold, position = index).
     */
   def fetchBucket(table: String, bucket: Int, version: Long, fetchSize: Int,
-      slice: Option[ClusterSlice] = None, reverse: Boolean = false): Iterator[(Row, Int)] = {
+      slice: Option[ClusterSlice] = None, reverse: Boolean = false,
+      blockFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty): Iterator[(Row, Int)] = {
     val t = BucketStore.snapshot(table, version)
     val f = BucketStore.folded(t, bucket)
     val rows = f.rows
-    val clusterCols = BucketStore.clusterColsOf(t.clusterCol)
+    val clusterCols = BucketStore.lexClusterColsOf(t.clusterCol)
     val (start, end) = slice match {
       // honor only a slice matching this table's layout PREFIX — a
       // stale caller claim must degrade to a full stream, never
-      // mis-slice
+      // mis-slice (z-order layouts have no lexicographic prefix, so
+      // they never slice)
       case Some(s) if s.cols.nonEmpty && clusterCols.startsWith(s.cols) =>
         ClusterRange.sliceSortedCompound(rows,
           s.cols.map(t.schema.fieldIndex).toArray, s.ranges)
       case _ => (0, rows.length)
     }
+    // block-level zone maps: within the slice, serve only the blocks
+    // whose per-block statistics admit the scan's pushed conjuncts
+    // ([[BucketSkip.mayMatchBlock]] — strictly conservative; every
+    // served row is still filter-checked reader-side). The row-group
+    // skip of a real format, at the store's own block grid: pages
+    // moved ∝ matching blocks. Buckets at or below one block gain
+    // nothing over the plan-time bucket-level skip and skip the probe.
+    val spans: IndexedSeq[(Int, Int)] =
+      if (blockFilters.isEmpty || rows.length <= BucketSkip.BlockRows || start >= end)
+        IndexedSeq((start, end))
+      else {
+        val B = BucketSkip.BlockRows
+        (start / B to (end - 1) / B).flatMap { k =>
+          if (blockFilters.forall(BucketSkip.mayMatchBlock(t.schema, rows, k, _)))
+            Some((math.max(start, k * B), math.min(end, (k + 1) * B)))
+          else { HostConnection.blocksSkippedCount.incrementAndGet(); None }
+        }
+      }
     val sliced =
-      if (reverse) Iterator.range(end - 1, start - 1, -1).map(i => (rows(i), f.posOf(i)))
-      else Iterator.range(start, end).map(i => (rows(i), f.posOf(i)))
+      if (reverse) spans.reverseIterator.flatMap { case (s, e) =>
+        Iterator.range(e - 1, s - 1, -1).map(i => (rows(i), f.posOf(i))) }
+      else spans.iterator.flatMap { case (s, e) =>
+        Iterator.range(s, e).map(i => (rows(i), f.posOf(i))) }
     sliced.grouped(fetchSize).flatMap { page =>
       if (!BucketServers.isUp(host))
         throw new IOException(s"connection to $host lost mid-stream (task retry will re-plan)")
@@ -126,4 +148,7 @@ final class HostConnection private[bucketed] (val host: String) {
 object HostConnection {
   /** Total simulated server round trips (pages fetched) — spec hook. */
   val roundTripCount = new AtomicLong()
+
+  /** Blocks pruned by fetch-side zone maps — spec hook. */
+  val blocksSkippedCount = new AtomicLong()
 }
