@@ -58,7 +58,10 @@ object ZOrder {
     * floats use the IEEE total-order bit trick, timestamps/dates map
     * through epoch millis/days, strings take their first 8 UTF-8
     * bytes big-endian (ties beyond 8 bytes collapse — locality only,
-    * never correctness). NULL maps to 0 = the curve's origin, the
+    * never correctness), decimals round through double (monotone,
+    * but values agreeing in the nearest double — e.g. beyond 2^53 —
+    * collapse to ties, the same locality-only caveat as strings).
+    * NULL maps to 0 = the curve's origin, the
     * nulls-first convention the lexicographic layout also uses.
     * Unknown types map to 0: no locality contribution, still correct
     * (zone maps do the pruning).
@@ -71,8 +74,8 @@ object ZOrder {
     case x: Byte => x.toLong ^ Long.MinValue
     case x: Double => floatingKey(java.lang.Double.doubleToLongBits(x))
     case x: Float => floatingKey(java.lang.Double.doubleToLongBits(x.toDouble))
-    case x: java.math.BigDecimal => floatingKey(java.lang.Double.doubleToLongBits(x.doubleValue()))
-    case x: scala.math.BigDecimal => floatingKey(java.lang.Double.doubleToLongBits(x.doubleValue()))
+    case x: java.math.BigDecimal => floatingKey(java.lang.Double.doubleToLongBits(x.doubleValue))
+    case x: scala.math.BigDecimal => floatingKey(java.lang.Double.doubleToLongBits(x.doubleValue))
     case x: java.sql.Timestamp => x.getTime ^ Long.MinValue
     case x: java.time.Instant => x.toEpochMilli ^ Long.MinValue
     case x: java.sql.Date => x.getTime ^ Long.MinValue
