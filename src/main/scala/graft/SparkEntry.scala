@@ -281,6 +281,9 @@ object SparkEntry {
     // — compound (tenant, date)-style cluster key: equality prefix +
     //   trailing range binary-search ONE run per bucket —
     "q131_compound_cluster" -> graft.sources.bucketed.BucketedQueries.compoundClusterQuery _,
+    // — z-order layout: a range on the SECOND clustered column prunes
+    //   fetch-side zone-map blocks the lexicographic layout cannot —
+    "q132_zorder_skip" -> graft.sources.bucketed.BucketedQueries.zorderSkipQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -463,5 +466,6 @@ object SparkEntry {
     "q129_ts_travel" -> graft.sources.bucketed.BucketedQueries.tsTravelSql,
     "q130_adaptive_skew_join" -> graft.operators.Skew.adaptiveJoinSql,
     "q131_compound_cluster" -> graft.sources.bucketed.BucketedQueries.compoundClusterSql,
+    "q132_zorder_skip" -> graft.sources.bucketed.BucketedQueries.zorderSkipSql,
   )
 }

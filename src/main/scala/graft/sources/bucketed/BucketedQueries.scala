@@ -761,6 +761,42 @@ object BucketedQueries {
       |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
       |GROUP BY 1""".stripMargin
 
+  /** q132 — Z-ORDER layout: events kept Morton-sorted on
+    * `zorder(user_id, ts)` within every bucket, queried with a range
+    * on the SECOND z-column alone. On the lexicographic
+    * (user_id, ts) layout this predicate is useless — no equality
+    * prefix, so no slice, and blocks sorted by a ~random leading
+    * column span the whole time range. On the z-order layout the
+    * curve keeps ts-locality regardless of position in the column
+    * list, so the fetch-side block zone maps
+    * ([[HostConnection.fetchBucket]], [[BucketSkip.mayMatchBlock]])
+    * skip the blocks outside the window — ZOrderSpec pins that skip
+    * count against the lexicographic twin. This is OPTIMIZE ZORDER's
+    * reason to exist: multi-column pruning without committing to one
+    * prefix order. Correctness never depends on the layout (every
+    * served row is filter-checked; the oracle is plain SQL).
+    */
+  def zorderSkipQuery(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"events_z@$dir", dir, "events", "user_id", NumBuckets,
+      clusterBy = Some("zorder(user_id,ts)"))
+    spark.read.format("graft-buckets").option("table", s"events_z@$dir").load()
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+  }
+
+  val zorderSkipSql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
   /** q106 — BOUNDED batch change read (the `table_changes` analog,
     * same window semantics as the stream's offsets): customer lands
     * in the store, a DELETE drops one segment, and a batch read of

@@ -740,12 +740,15 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     * not on c2 alone — a non-prefix claim would be a lie). A pushed
     * TopN re-orders the stream (bounded heap emission), so no claim
     * is made then. Pushed limits and samples filter/truncate without
-    * reordering — the claim stands.
+    * reordering — the claim stands. A z-order layout sorts by the
+    * MORTON code, not by any single column, so it claims nothing
+    * (lexClusterColsOf is empty for zorder specs — claiming (a,b)
+    * ascending would let the planner elide Sorts it needs).
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val t = BucketStore.snapshotWithRetry(name, version)
     if (topN.nonEmpty) return Array.empty
-    BucketStore.clusterColsOf(t.clusterCol)
+    BucketStore.lexClusterColsOf(t.clusterCol)
       .takeWhile(required.fieldNames.contains)
       .map(c => Expressions.sort(Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
@@ -782,7 +785,7 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     // provable bounds on the cluster key mean the fetch will
     // binary-search the sorted run instead of streaming the bucket
     val cluster = ClusterSlice.from(filters,
-        BucketStore.clusterColsOf(BucketStore.snapshotWithRetry(name, version).clusterCol))
+        BucketStore.lexClusterColsOf(BucketStore.snapshotWithRetry(name, version).clusterCol))
       .map(s => s" clusterSlice=${s.describe}")
       .getOrElse("")
     s"graft-buckets:$name pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]$extra$cluster"
@@ -982,8 +985,9 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
   private var conn: HostConnection = _
 
   private val out: Iterator[Row] = {
-    val range = ClusterSlice.from(filters, BucketStore.clusterColsOf(table.clusterCol))
-    val (c, paged) = BucketReaderSupport.openWithFailover(p, fetchSize, range)
+    val range = ClusterSlice.from(filters, BucketStore.lexClusterColsOf(table.clusterCol))
+    val (c, paged) = BucketReaderSupport.openWithFailover(p, fetchSize, range,
+      blockFilters = filters)
     conn = c
     val rows = paged.map(_._1) // a pushed aggregate never needs row ids
     val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
@@ -1130,7 +1134,8 @@ case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String]
 private[bucketed] object BucketReaderSupport {
   def openWithFailover(p: BucketInputPartition, fetchSize: Int,
       range: Option[ClusterSlice] = None,
-      reverse: Boolean = false): (HostConnection, Iterator[(Row, Int)]) = {
+      reverse: Boolean = false,
+      blockFilters: Array[Filter] = Array.empty): (HostConnection, Iterator[(Row, Int)]) = {
     var opened: Iterator[(Row, Int)] = null
     var conn: HostConnection = null
     var lastErr: java.io.IOException = null
@@ -1140,7 +1145,8 @@ private[bucketed] object BucketReaderSupport {
       try {
         val c = ConnectionPool.borrow(host)
         try {
-          opened = c.fetchBucket(p.table, p.bucket, p.version, fetchSize, range, reverse)
+          opened = c.fetchBucket(p.table, p.bucket, p.version, fetchSize, range, reverse,
+            blockFilters)
           conn = c
         } catch {
           // open failed AFTER a successful borrow — ANY failure, not
@@ -1220,7 +1226,9 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
   // back-to-front). Mixed directions or other null orderings fall
   // back to the bounded heap.
   private val indexOrderedReverse: Option[Boolean] = {
-    val clusterCols = BucketStore.clusterColsOf(table.clusterCol)
+    // lex only: a z-order bucket streams in Morton order, so a sort
+    // prefix of its COLUMNS is not index order — fall back to the heap
+    val clusterCols = BucketStore.lexClusterColsOf(table.clusterCol)
     topN.collect {
       case spec if clusterCols.startsWith(spec.keys.map(_.col)) &&
           spec.keys.forall(k => !k.desc && k.nullsFirst) => false
@@ -1234,9 +1242,9 @@ class BucketedPartitionReader(p: BucketInputPartition, required: StructType,
     // fetch to the qualifying run of the sorted bucket (pages moved ∝
     // answer); every row is still filter-checked below, so the slice
     // is never load-bearing for correctness
-    val range = ClusterSlice.from(filters, BucketStore.clusterColsOf(table.clusterCol))
+    val range = ClusterSlice.from(filters, BucketStore.lexClusterColsOf(table.clusterCol))
     val (c, rows) = BucketReaderSupport.openWithFailover(p, fetchSize, range,
-      reverse = indexOrderedReverse.contains(true))
+      reverse = indexOrderedReverse.contains(true), blockFilters = filters)
     conn = c
     // pushed TABLESAMPLE evaluates here, before limit/top-N, so both
     // apply to the sampled stream (the plan order they replaced)

@@ -31,6 +31,17 @@ import org.apache.spark.sql.Row
   * morton(p) ≤ morton(q) — so a sorted bucket's blocks cover
   * axis-aligned boxes, the reason the zone maps come out tight.
   *
+  * Locality caveat (tightness, never correctness): dims are
+  * interleaved at RAW bit positions, so a column whose values vary
+  * over many more bits than its partner dominates the curve and the
+  * narrow column's locality degrades toward a plain sort — e.g.
+  * epoch-millis timestamps (≥40 varying bits) against a small id
+  * space (8 bits). A production-scale build would rank-normalize
+  * each dimension first (Delta's OPTIMIZE ZORDER interleaves
+  * range-partition ids, not values); here the zone maps stay
+  * conservative either way, so the mismatch costs pruning
+  * opportunities, not answers.
+  *
   * Reference correspondence: the reference's column tables keep no
   * multi-dimensional order (row position = insertion,
   * ColumnFormatEntry.scala:30-41); this is the layout dimension a

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.bucketed._
+
+/** Z-order (Morton) cluster layout ([[ZOrder]], round 10): the
+  * multi-dimensional alternative to the lexicographic compound key.
+  * Pins the curve math (per-dimension monotonicity — p ≤ q in every
+  * dim ⇒ morton(p) ≤ morton(q) — known interleave bit patterns,
+  * null-at-origin, per-type-family dim keys), the layout's payoff
+  * (block zone maps prune on a range over EITHER clustered column,
+  * where the lexicographic layout prunes nothing on the second), and
+  * the claims a z-order table must NOT make (no ClusterSlice, no
+  * reported per-column ordering, no index-ordered TopN — each of
+  * which would be wrong on a Morton-sorted bucket).
+  */
+class ZOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  // deterministic pseudo-random dims with COMPARABLE bit ranges
+  // (both in [0, 4096)): z-order locality is bit-interleaved, so the
+  // property reads cleanest when the dims contribute equal bit widths
+  private def mix(i: Int, salt: Int): Long = {
+    var h = i.toLong * 0x9E3779B97F4A7C15L + salt
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    h & 0xFFFL
+  }
+
+  private def loadPair(): Unit = synchronized {
+    if (!BucketStore.exists("z_t")) {
+      val df = (0 until 8192)
+        .map(i => (i.toLong, mix(i, 1), mix(i, 2), s"r$i"))
+        .toDF("k", "x", "y", "tag")
+      BucketStore.load(spark, "z_t", df, "k", 2, clusterBy = Some("zorder(x,y)"))
+      BucketStore.load(spark, "lex_t", df, "k", 2, clusterBy = Some("x,y"))
+    }
+  }
+
+  private def blocksSkippedDuring[A](body: => A): (A, Long) = {
+    val before = HostConnection.blocksSkippedCount.get()
+    val r = body
+    (r, HostConnection.blocksSkippedCount.get() - before)
+  }
+
+  test("per-dimension monotonicity: p <= q in every dim => morton(p) <= morton(q)") {
+    val vals = (0 until 64).map(i => mix(i, 7)) :+ 0L :+ 0xFFFFFFFFFFFFL
+    for (seed <- 0 until 200) {
+      val p = Array(vals((seed * 3) % vals.length), vals((seed * 5) % vals.length))
+      val q = Array(p(0) + mix(seed, 11) % 1000, p(1) + mix(seed, 13) % 1000)
+      val mp = ZOrder.interleave(p.map(v => ZOrder.dimKey(v)))
+      val mq = ZOrder.interleave(q.map(v => ZOrder.dimKey(v)))
+      assert(ZOrder.cmp(mp, mq) <= 0,
+        s"dominance must be order-preserving: p=${p.toSeq} q=${q.toSeq}")
+    }
+  }
+
+  test("interleave bit patterns: d=1 identity; d=2 all-ones/zero alternates; width = d words") {
+    assert(ZOrder.interleave(Array(0xDEADBEEFL)).toSeq === Seq(0xDEADBEEFL))
+    // MSB-first round robin: (k0 bit63, k1 bit63, k0 bit62, ...) —
+    // all-ones interleaved with zero is 1010... in every output word
+    assert(ZOrder.interleave(Array(-1L, 0L)).toSeq ===
+      Seq(0xAAAAAAAAAAAAAAAAL, 0xAAAAAAAAAAAAAAAAL))
+    assert(ZOrder.interleave(Array(0L, -1L)).toSeq ===
+      Seq(0x5555555555555555L, 0x5555555555555555L))
+    assert(ZOrder.interleave(Array(1L, 2L, 3L)).length === 3)
+  }
+
+  test("null maps to the curve origin; per-type dim keys order like the column") {
+    assert(ZOrder.dimKey(null) === 0L)
+    val allNull = ZOrder.interleave(Array(ZOrder.dimKey(null), ZOrder.dimKey(null)))
+    val some = ZOrder.interleave(Array(ZOrder.dimKey(3L), ZOrder.dimKey(null)))
+    assert(ZOrder.cmp(allNull, some) <= 0, "all-null row sits at/before any other point")
+    def lt(a: Any, b: Any): Unit =
+      assert(java.lang.Long.compareUnsigned(ZOrder.dimKey(a), ZOrder.dimKey(b)) < 0,
+        s"dimKey($a) must be < dimKey($b)")
+    lt(-5L, 3L); lt(Int.MinValue, -1); lt(0, Int.MaxValue)
+    lt(-1.5d, 2.5d); lt(Double.NegativeInfinity, -0.0d); lt(2.5d, Double.NaN)
+    lt("apple", "banana"); lt("", "a")
+    lt(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+       java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    lt(false, true)
+  }
+
+  test("range on the SECOND z-column prunes blocks; the lexicographic layout prunes none") {
+    loadPair()
+    val z = spark.read.format("graft-buckets").option("table", "z_t").load()
+    val lex = spark.read.format("graft-buckets").option("table", "lex_t").load()
+    val expect = (0 until 8192).filter(i => mix(i, 2) < 256L).map(_.toLong).sorted
+    val (zRows, zSkipped) = blocksSkippedDuring(z.filter(col("y") < 256L).collect())
+    val (lexRows, lexSkipped) = blocksSkippedDuring(lex.filter(col("y") < 256L).collect())
+    assert(zRows.map(_.getLong(0)).sorted.toSeq === expect, "z-order layout answers exactly")
+    assert(lexRows.map(_.getLong(0)).sorted.toSeq === expect, "lex layout answers exactly")
+    // y < 256 fixes the top y bits: on the Morton curve only blocks in
+    // the y-origin slabs survive; on the (x,y) lexicographic sort every
+    // block spans the full y range (x is effectively random)
+    assert(zSkipped > 0, "z-order must skip blocks on a second-column range")
+    assert(zSkipped > lexSkipped,
+      s"z-order ($zSkipped blocks) must out-prune lexicographic ($lexSkipped) on the second column")
+  }
+
+  test("range on the FIRST z-column prunes too (locality in ANY clustered dimension)") {
+    loadPair()
+    val z = spark.read.format("graft-buckets").option("table", "z_t").load()
+    val expect = (0 until 8192).filter(i => mix(i, 1) < 256L).map(_.toLong).sorted
+    val (rows, skipped) = blocksSkippedDuring(z.filter(col("x") < 256L).collect())
+    assert(rows.map(_.getLong(0)).sorted.toSeq === expect)
+    assert(skipped > 0, "z-order must skip blocks on a first-column range as well")
+  }
+
+  test("a z-order table never claims a ClusterSlice (Morton runs have no lexicographic prefix)") {
+    loadPair()
+    val z = spark.read.format("graft-buckets").option("table", "z_t").load()
+    val desc = z.filter(col("x") === 5L).queryExecution.executedPlan.toString
+    assert(!desc.contains("clusterSlice"),
+      s"z-order scan must not advertise a slice:\n${desc.take(1200)}")
+  }
+
+  test("no reported ordering: sortWithinPartitions on the z-columns really sorts") {
+    loadPair()
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val sorted = spark.read.format("graft-buckets").option("table", "z_t").load()
+      .select("x", "y")
+      .sortWithinPartitions("x", "y")
+    // the buggy claim (ascending (x,y) per partition) would elide this
+    // Sort and emit Morton order; assert both the node and the rows
+    assert(sorted.queryExecution.executedPlan.toString.contains("Sort"),
+      "planner must keep the per-partition Sort above a Morton-ordered scan")
+    sorted.mapPartitions { it =>
+      val rows = it.map(r => (r.getLong(0), r.getLong(1))).toVector
+      Iterator.single(rows == rows.sorted)
+    }.collect().foreach(ok => assert(ok, "every partition must come out (x,y)-sorted"))
+  }
+
+  test("TopN on a z-order table falls back to the bounded heap (correct top-n, not Morton head)") {
+    loadPair()
+    val z = spark.read.format("graft-buckets").option("table", "z_t").load()
+    val got = z.orderBy(col("x").asc).limit(5).collect().map(_.getLong(1)).toSeq
+    val expect = (0 until 8192).map(i => mix(i, 1)).sorted.take(5)
+    assert(got.sorted === expect,
+      s"top-5 by x must be the true minima, got $got expected $expect")
+  }
+
+  test("appends keep the Morton order (delta merge shares the z comparator)") {
+    BucketStore.drop("z_merge")
+    val first = Seq((1L, 3000L, 3000L), (2L, 10L, 10L), (3L, 2000L, 100L))
+      .toDF("k", "x", "y")
+    BucketStore.load(spark, "z_merge", first, "k", 1, clusterBy = Some("zorder(x,y)"))
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.sql("INSERT INTO graft.z_merge VALUES (4, 5, 5), (5, 3500, 3500)")
+    val t = BucketStore.get("z_merge")
+    val idxs = Array(1, 2)
+    val keys = t.buckets(0).map(r => ZOrder.key(r, idxs))
+    keys.sliding(2).foreach { case Array(a, b) =>
+      assert(ZOrder.cmp(a, b) <= 0, "bucket must stay Morton-sorted after append")
+    }
+  }
+}
