@@ -239,35 +239,54 @@ object BucketStore {
   }
 
   /** Load a DataFrame into the store as `name`, hash-partitioned on
-    * `keyCol` into `numBuckets` buckets. Repeated loads publish a new
-    * snapshot version (the previous one stays readable in the MVCC
-    * window).
+    * `keyCol` into `numBuckets` buckets, through the SAME distributed
+    * two-phase commit every user write takes ([[BucketedWrite]]):
+    * Spark exchanges into one task per bucket, each task routes its
+    * rows with the byte-identical hash, and the commit publishes all
+    * buckets under ONE new version. No driver-side materialization of
+    * the DataFrame exists on this path — against a real cluster the
+    * tasks would land rows host-locally and commit would flip the
+    * version pointer, exactly like ingest (the protocol IS the
+    * production one; only [[BucketStore]]'s in-JVM arrays are the
+    * simulation seam).
+    *
+    * Repeated loads publish a new snapshot version (the previous one
+    * stays readable in the MVCC window). A re-load that CHANGES the
+    * layout (schema, key, bucket count, cluster spec) first publishes
+    * an empty shell version carrying the new layout with a bumped
+    * layout epoch — a write staged against the old layout then fails
+    * loudly at commit instead of mis-routing ([[commitWrite]]'s epoch
+    * guard), and history stays continuous for MVCC/CDC readers.
     */
   def load(spark: SparkSession, name: String, df: DataFrame, keyCol: String,
       numBuckets: Int, nHosts: Int = 4, clusterBy: Option[String] = None): Unit = {
+    require(df.schema.fieldNames.contains(keyCol),
+      s"bucket key '$keyCol' not in schema [${df.schema.fieldNames.mkString(", ")}]")
     clusterColsOf(clusterBy).foreach(c => require(df.schema.fieldNames.contains(c),
       s"cluster column '$c' not in schema [${df.schema.fieldNames.mkString(", ")}]"))
-    val bucketed = df.withColumn("__b", pmod(hash(col(keyCol)), lit(numBuckets)))
-    val collected = bucketed.collect()
-    val schema = StructType(df.schema.fields)
-    val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
-    val bIdx = collected.headOption.map(_.fieldIndex("__b")).getOrElse(schema.length)
-    collected.foreach { r =>
-      val b = r.getInt(bIdx)
-      byBucket(b) += Row.fromSeq(r.toSeq.dropRight(1))
-    }
-    val buckets = byBucket.map(rows => clusterSort(schema, clusterBy, rows.result().toArray))
-    // version allocated INSIDE the lock, like every other publisher —
-    // allocating outside would let a concurrent commit take a higher
-    // version and publish first, leaving history out of version order
-    // (get() would then serve the older snapshot as current)
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     synchronized {
-      publish(name, BucketTable(
-        schema, keyCol, buckets,
-        Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
-        versions.incrementAndGet(),
-        clusterBy))
+      if (!exists(name)) {
+        createEmpty(name, StructType(df.schema.fields), keyCol, numBuckets, nHosts, clusterBy)
+      } else {
+        val t = get(name)
+        val sameLayout = t.buckets.length == numBuckets && t.keyCol == keyCol &&
+          t.clusterCol == clusterBy && t.rangeBounds.isEmpty &&
+          t.schema.length == df.schema.length &&
+          t.schema.fields.zip(df.schema.fields).forall { case (a, b) =>
+            a.name == b.name && a.dataType == b.dataType }
+        if (!sameLayout)
+          publish(name, BucketTable(
+            StructType(df.schema.fields), keyCol,
+            Array.fill(numBuckets)(Array.empty[Row]),
+            Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+            versions.incrementAndGet(),
+            clusterBy,
+            layoutEpoch = t.layoutEpoch + 1))
+      }
     }
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    df.writeTo(s"graft.`$name`").overwrite(lit(true))
   }
 
   /** Parse the cluster-key property into its column list — one entry

@@ -205,10 +205,12 @@ class BucketedMvccSpec extends SparkSuite {
   test("vacuum trims history; reading a vacuumed snapshot fails loudly") {
     mkTable("mvcc_vac", Seq((1L, "a", 1.0)))
     val v1 = BucketStore.currentVersion("mvcc_vac")
-    BucketStore.deleteWhere("mvcc_vac", _ => false) // no-op publish, v2
-    BucketStore.deleteWhere("mvcc_vac", _ => false) // v3
-    assert(BucketStore.retained("mvcc_vac").length === 3)
-    assert(BucketStore.vacuum("mvcc_vac", keepLast = 1) === 2)
+    BucketStore.deleteWhere("mvcc_vac", _ => false) // no-op publish
+    BucketStore.deleteWhere("mvcc_vac", _ => false)
+    // 4 retained: load is create + distributed write commit (two
+    // versions, same as the CTAS path) plus the two no-op publishes
+    assert(BucketStore.retained("mvcc_vac").length === 4)
+    assert(BucketStore.vacuum("mvcc_vac", keepLast = 1) === 3)
     assert(BucketStore.retained("mvcc_vac").length === 1)
     val ex = intercept[IllegalArgumentException] {
       spark.read.format("graft-buckets")
@@ -499,7 +501,8 @@ class BucketedMvccSpec extends SparkSuite {
     assert(props.get("num_buckets") === "4")
     assert(props.get("bucket_key") === "k")
     assert(props.get("current_version") === BucketStore.currentVersion("mvcc_cat").toString)
-    assert(props.get("retained_versions") === "1")
+    // 2 versions: load = create + distributed write commit
+    assert(props.get("retained_versions") === "2")
     BucketStore.drop("mvcc_cat_clustered")
     BucketStore.load(spark, "mvcc_cat_clustered",
       spark.range(3).selectExpr("id AS k", "id AS seq"), "k", 2, clusterBy = Some("seq"))
@@ -513,11 +516,12 @@ class BucketedMvccSpec extends SparkSuite {
     BucketStore.deleteWhere("mvcc_proc", _.getString(1) == "a")
     val v2 = BucketStore.currentVersion("mvcc_proc")
     val hist = spark.sql("CALL graft.history('mvcc_proc')").collect()
-    assert(hist.length === 2)
-    assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+    // 3 snapshots: load's create + write commit, then the delete
+    assert(hist.length === 3)
+    assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.drop(1) ===
       Seq((v1, 2L, false), (v2, 1L, true)))
     val vac = spark.sql("CALL graft.vacuum('mvcc_proc', 1)").collect()
-    assert(vac.map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((1, 1)))
+    assert(vac.map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((2, 1)))
     assert(spark.sql("CALL graft.history('mvcc_proc')").count() === 1)
     intercept[Exception](spark.sql("CALL graft.no_such_proc('x')").collect())
   }

@@ -349,9 +349,10 @@ class BucketedSourceSpec extends SparkSuite {
 
   test("MVCC: a reader pinned to an unretained version fails loudly, never reads another snapshot") {
     val t = BucketStore.get(s"lineitem@$sf")
-    // a version that was never published for this table (global counter:
-    // v-1 belongs to another table or to nothing)
-    val unretained = BucketInputPartition(s"lineitem@$sf", 0, Array("host-0"), t.version - 1)
+    // a version below the table's first retained snapshot (global
+    // counter: it belongs to another table or to nothing)
+    val unretained = BucketInputPartition(s"lineitem@$sf", 0, Array("host-0"),
+      BucketStore.retained(s"lineitem@$sf").head - 1)
     val ex = intercept[IllegalArgumentException] {
       new BucketedPartitionReader(unretained, t.schema, Array.empty)
     }
