@@ -83,7 +83,14 @@ object BucketStore {
       commitTs: Long = 0L,
       rangeBounds: Option[Array[Any]] = None,
       layoutEpoch: Long = 0L,
-      mor: Map[Int, BucketMor] = Map.empty)
+      mor: Map[Int, BucketMor] = Map.empty,
+      // REPLICATED layout (reference: replicated tables served as ONE
+      // split listing every server URL, SnappyDataConnectorHelper
+      // .scala:199-213): one logical bucket materialized on every
+      // host — any server answers, so the scan is a single partition
+      // whose preferred locations are the whole fleet, and as the dim
+      // side of a join it broadcasts without ever shuffling the fact
+      replicated: Boolean = false)
 
   /** One bucket's pending merge-on-read state: `deleted` marks hidden
     * physical positions (over base ++ delta), `delta` the rows added
@@ -127,6 +134,11 @@ object BucketStore {
     */
   def hostsFor(bucket: Int, nHosts: Int): Seq[String] =
     Seq(s"host-${bucket % nHosts}", s"host-${(bucket + 1) % nHosts}")
+
+  /** The whole synthetic fleet — a replicated table's single bucket
+    * lives on every one of these.
+    */
+  def fleetOf(nHosts: Int): Seq[String] = (0 until nHosts).map(i => s"host-$i")
 
   /** Append `next` to `name`'s history under the retention cap. All
     * version publishes funnel through here (single synchronized
@@ -259,19 +271,24 @@ object BucketStore {
     * guard), and history stays continuous for MVCC/CDC readers.
     */
   def load(spark: SparkSession, name: String, df: DataFrame, keyCol: String,
-      numBuckets: Int, nHosts: Int = 4, clusterBy: Option[String] = None): Unit = {
+      numBuckets: Int, nHosts: Int = 4, clusterBy: Option[String] = None,
+      replicate: Boolean = false): Unit = {
     require(df.schema.fieldNames.contains(keyCol),
       s"bucket key '$keyCol' not in schema [${df.schema.fieldNames.mkString(", ")}]")
     clusterColsOf(clusterBy).foreach(c => require(df.schema.fieldNames.contains(c),
       s"cluster column '$c' not in schema [${df.schema.fieldNames.mkString(", ")}]"))
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(!replicate || numBuckets == 1,
+      s"a replicated table has exactly ONE logical bucket (every host holds it); got $numBuckets")
     synchronized {
       if (!exists(name)) {
-        createEmpty(name, StructType(df.schema.fields), keyCol, numBuckets, nHosts, clusterBy)
+        createEmpty(name, StructType(df.schema.fields), keyCol, numBuckets, nHosts, clusterBy,
+          replicate)
       } else {
         val t = get(name)
         val sameLayout = t.buckets.length == numBuckets && t.keyCol == keyCol &&
           t.clusterCol == clusterBy && t.rangeBounds.isEmpty &&
+          t.replicated == replicate &&
           t.schema.length == df.schema.length &&
           t.schema.fields.zip(df.schema.fields).forall { case (a, b) =>
             a.name == b.name && a.dataType == b.dataType }
@@ -279,10 +296,12 @@ object BucketStore {
           publish(name, BucketTable(
             StructType(df.schema.fields), keyCol,
             Array.fill(numBuckets)(Array.empty[Row]),
-            Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+            if (replicate) Array(fleetOf(nHosts))
+            else Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
             versions.incrementAndGet(),
             clusterBy,
-            layoutEpoch = t.layoutEpoch + 1))
+            layoutEpoch = t.layoutEpoch + 1,
+            replicated = replicate))
       }
     }
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
@@ -594,22 +613,27 @@ object BucketStore {
     * rows) under a fresh version. Fails loudly if the name is taken.
     */
   def createEmpty(name: String, schema: StructType, keyCol: String, numBuckets: Int,
-      nHosts: Int = 4, clusterBy: Option[String] = None): Unit = {
+      nHosts: Int = 4, clusterBy: Option[String] = None,
+      replicate: Boolean = false): Unit = {
     require(schema.fieldNames.contains(keyCol),
       s"bucket key '$keyCol' not in schema [${schema.fieldNames.mkString(", ")}]")
     clusterColsOf(clusterBy).foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' not in schema [${schema.fieldNames.mkString(", ")}]"))
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(!replicate || numBuckets == 1,
+      s"a replicated table has exactly ONE logical bucket (every host holds it); got $numBuckets")
     // under the publish lock: a concurrent load()'s read-modify-write
     // of the history vector must not interleave with this putIfAbsent
     // (it would silently replace the created table)
     synchronized {
       val empty = BucketTable(schema, keyCol,
         Array.fill(numBuckets)(Array.empty[Row]),
-        Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
+        if (replicate) Array(fleetOf(nHosts))
+        else Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
         versions.incrementAndGet(),
         clusterBy,
-        commitTs = nextStamp())
+        commitTs = nextStamp(),
+        replicated = replicate)
       val prev = tables.putIfAbsent(name, Vector(empty))
       require(prev == null, s"BucketStore table '$name' already exists")
       firstVersions.putIfAbsent(name, empty.version)
@@ -662,9 +686,27 @@ object BucketStore {
       // load-bearing (stale bounds would mis-route every future write)
       rangeBounds = None,
       layoutEpoch = t.layoutEpoch + 1,
-      mor = Map.empty) // a full rewrite materializes pending deltas
+      mor = Map.empty, // a full rewrite materializes pending deltas
+      replicated = false) // hash-distributing IS de-replication
     publish(name, next)
     next.version
+  }
+
+  /** Operational topology change: replace one bucket's replica list
+    * (host decommission / rebalancer move) under a new version — the
+    * scan planned after it sees the new placement, a scan pinned
+    * before it keeps the old one (placement is snapshot state like
+    * everything else). An EMPTY list models the orphan-bucket
+    * topology: the planner then offers the table's whole fleet as
+    * candidates ([[BucketSplits.plan]]), mirroring the reference's
+    * all-known-URLs fallback (SnappyDataConnectorHelper.scala:186-193).
+    */
+  def reassignHosts(name: String, bucket: Int, newHosts: Seq[String]): Unit = synchronized {
+    val t = get(name)
+    require(bucket >= 0 && bucket < t.hosts.length,
+      s"reassignHosts('$name'): bucket $bucket out of range [0, ${t.hosts.length})")
+    publish(name, t.copy(hosts = t.hosts.updated(bucket, newHosts),
+      version = versions.incrementAndGet()))
   }
 
   /** Owning bucket under a RANGE layout: binary search of the sorted

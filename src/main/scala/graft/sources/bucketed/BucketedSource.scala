@@ -295,10 +295,15 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
       // SupportsTruncate; arbitrary delete conditions stay unsupported
       TableCapability.OVERWRITE_BY_FILTER).asJava
 
-  /** Report the store's hash-bucket layout in table metadata. */
+  /** Report the store's hash-bucket layout in table metadata. A
+    * replicated table is unpartitioned — every host holds the whole
+    * table, so advertising bucket(1, key) would invite the planner to
+    * reason about a partitioning that does not discriminate anything.
+    */
   override def partitioning(): Array[Transform] = {
     val snap = described
-    Array(Expressions.bucket(snap.buckets.length, snap.keyCol))
+    if (snap.replicated) Array.empty
+    else Array(Expressions.bucket(snap.buckets.length, snap.keyCol))
   }
 
   /** DESCRIBE EXTENDED surface: layout + MVCC state at a glance — of
@@ -312,6 +317,7 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
       "current_version" -> snap.version.toString,
       "retained_versions" -> BucketStore.retained(name).length.toString,
       "write.dml.mode" -> BucketStore.dmlModeOf(name))
+    if (snap.replicated) props += ("replicate" -> "true")
     snap.clusterCol.foreach(c => props += ("cluster_by" -> c))
     if (snap.mor.nonEmpty)
       props += ("pending_mor_buckets" -> snap.mor.size.toString)
@@ -889,8 +895,16 @@ private[sources] object BucketSplits {
     // topology from the PLANNED snapshot, not current — a time-travel
     // or MVCC-pinned scan must split/prune against the version it reads
     val t = BucketStore.snapshotWithRetry(name, version)
+    // ORPHAN bucket (reference: SnappyDataConnectorHelper.scala:186-193
+    // — a bucket with no live owner is assigned every known server
+    // URL): an empty host list degrades to the table's whole fleet as
+    // candidates, so the reader's failover dial finds whichever host
+    // picked the bucket up, instead of failing at plan time. Loud
+    // failure remains for the truly dead topology (no hosts anywhere).
+    lazy val fleet = t.hosts.flatten.distinct
     val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
-      BucketInputPartition(name, b, t.hosts(b).toArray, version))
+      BucketInputPartition(name, b,
+        (if (t.hosts(b).isEmpty) fleet else t.hosts(b)).toArray, version))
     // hash-based key pruning is WRONG under a range layout (ownership
     // is by boundary, not hash) — skip it there; [[BucketSkip]] below
     // prunes key equality/IN/ranges via the per-bucket statistics,
