@@ -284,6 +284,10 @@ object SparkEntry {
     // — z-order layout: a range on the SECOND clustered column prunes
     //   fetch-side zone-map blocks the lexicographic layout cannot —
     "q132_zorder_skip" -> graft.sources.bucketed.BucketedQueries.zorderSkipQuery _,
+    // — replicated dim table: one logical bucket on every host, scans
+    //   as a single fleet-local split, auto-broadcasts from reported
+    //   stats — the fact side never shuffles for the join —
+    "q133_replicated_join" -> graft.sources.bucketed.BucketedQueries.replicatedJoinQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -467,5 +471,6 @@ object SparkEntry {
     "q130_adaptive_skew_join" -> graft.operators.Skew.adaptiveJoinSql,
     "q131_compound_cluster" -> graft.sources.bucketed.BucketedQueries.compoundClusterSql,
     "q132_zorder_skip" -> graft.sources.bucketed.BucketedQueries.zorderSkipSql,
+    "q133_replicated_join" -> graft.sources.bucketed.BucketedQueries.replicatedJoinSql,
   )
 }

@@ -587,7 +587,8 @@ object BucketStore {
     * path: model "the external cluster already holds this table").
     */
   def ensureLoaded(spark: SparkSession, name: String, dir: String, table: String,
-      keyCol: String, numBuckets: Int, clusterBy: Option[String] = None): Unit = {
+      keyCol: String, numBuckets: Int, clusterBy: Option[String] = None,
+      replicate: Boolean = false): Unit = {
     val key = s"$name"
     if (!tables.containsKey(key)) synchronized {
       if (!tables.containsKey(key)) {
@@ -596,7 +597,7 @@ object BucketStore {
         val df =
           if (table == "events") graft.tables.Tables.events(spark, dir)
           else graft.tables.Tables.load(spark, dir, table)
-        load(spark, key, df, keyCol, numBuckets, clusterBy = clusterBy)
+        load(spark, key, df, keyCol, numBuckets, clusterBy = clusterBy, replicate = replicate)
       }
     }
   }

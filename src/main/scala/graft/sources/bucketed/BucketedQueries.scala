@@ -797,6 +797,45 @@ object BucketedQueries {
       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
       |GROUP BY event_type""".stripMargin
 
+  /** q133 — REPLICATED dim table (reference C2 parity: replicated
+    * tables are served as ONE split listing every server URL,
+    * SnappyDataConnectorHelper.scala:199-213): nation is loaded with
+    * `replicate = true` — one logical bucket materialized on every
+    * host, so the scan plans a single partition whose preferred
+    * locations are the whole fleet (any server answers), and the
+    * table advertises NO bucket partitioning (it does not discriminate
+    * anything). Joined as the dim side of the bucketed customer fact,
+    * the planner sees the scan's real reported statistics (25 rows)
+    * and broadcasts — the fact side never shuffles FOR THE JOIN
+    * (ReplicatedTableSpec pins exactly one Exchange in the plan: the
+    * groupBy's). At 100 TB this is the "replicate the dim everywhere,
+    * join locally" layout every MPP store offers; on a real cluster
+    * the single split reads whichever replica is co-located, moving
+    * zero dim bytes.
+    */
+  def replicatedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"nation_repl@$dir", dir, "nation", "n_nationkey",
+      numBuckets = 1, replicate = true)
+    BucketStore.ensureLoaded(spark, s"customer@$dir", dir, "customer", "c_custkey", NumBuckets)
+    val n = spark.read.format("graft-buckets").option("table", s"nation_repl@$dir").load()
+    val c = spark.read.format("graft-buckets").option("table", s"customer@$dir").load()
+    // no broadcast hint: the replicated scan's reported statistics make
+    // the planner broadcast it on its own (the assertion-worthy part)
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_acctbal"))
+  }
+
+  val replicatedJoinSql: String =
+    """SELECT n_name, count(*) AS n_customers,
+      | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
   /** q106 — BOUNDED batch change read (the `table_changes` analog,
     * same window semantics as the stream's offsets): customer lands
     * in the store, a DELETE drops one segment, and a batch read of

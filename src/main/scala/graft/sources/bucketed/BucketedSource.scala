@@ -901,7 +901,7 @@ private[sources] object BucketSplits {
     // candidates, so the reader's failover dial finds whichever host
     // picked the bucket up, instead of failing at plan time. Loud
     // failure remains for the truly dead topology (no hosts anywhere).
-    lazy val fleet = t.hosts.flatten.distinct
+    lazy val fleet: Seq[String] = t.hosts.toSeq.flatten.distinct
     val all = Array.tabulate[InputPartition](t.buckets.length)(b =>
       BucketInputPartition(name, b,
         (if (t.hosts(b).isEmpty) fleet else t.hosts(b)).toArray, version))

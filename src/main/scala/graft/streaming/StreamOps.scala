@@ -20,15 +20,23 @@ import org.apache.spark.sql.types._
 object StreamOps {
 
   /** Streaming read of the `events` table. File-source schema must be
-    * explicit; `ts` arrives as parquet TIMESTAMP(NANOS) so it is read
-    * as nanos-long and truncated to a microsecond TimestampType
-    * (identical to [[graft.tables.Tables.events]]).
+    * explicit, and the generator has shipped `ts` in two parquet
+    * shapes — TIMESTAMP(NANOS) (readable only as nanos-long under the
+    * legacy flag) and TIMESTAMP(MICROS)/NTZ — so the footer is probed
+    * with a batch read first and the declared schema + conversion
+    * follow it, normalizing to the same microsecond TimestampType as
+    * [[graft.tables.Tables.events]]. Probing with the WRONG declared
+    * type would not error: parquet micros forced into a LongType
+    * column yields raw micros, `div 1000` would shift every event to
+    * ~1970, and each watermark/window downstream would silently drop
+    * or misplace rows.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.tables.Tables.load(spark, dir, "events").schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", tsType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -36,8 +44,13 @@ object StreamOps {
     // Note the glob: the file-stream source requires a directory (or
     // glob) path, not a bare file — `{events.parquet}` lists exactly
     // that file while keeping the parent as the base path.
-    spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}")
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   private val sinkId = new AtomicLong()

@@ -40,6 +40,14 @@ object Tables {
     * (which fixes the conf at birth) can still load events; there is
     * no per-read option form of this setting.
     */
+  /** `ts` is normalized to session-zoned TimestampType whatever shape
+    * the generator wrote: TIMESTAMP(NANOS) arrives as nanos-long (the
+    * legacy flag) and is truncated to micros; TIMESTAMP(MICROS) with
+    * isAdjustedToUTC unset arrives as TIMESTAMP_NTZ and is cast (the
+    * UTC session makes that instant-preserving and oracle-identical).
+    * Downstream code — watermarks, `unix_micros`, the bucket store —
+    * always sees one type.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
@@ -47,6 +55,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
