@@ -44,6 +44,17 @@ object GraftSession {
       // key only forces a needless Exchange
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // The bucket store's splits advertise their owning hosts
+      // (`host-N` — the simulated cluster's names) as preferred
+      // locations. In local mode no executor ever matches them, and
+      // Spark's delay scheduling can STARVE a stage that mixes those
+      // never-satisfiable preferences with no-preference tasks (one
+      // union of a graft-buckets scan branch with a plain branch hung
+      // forever: task set added, zero tasks launched). Locality
+      // cannot be won on a single node, so waiting for it buys
+      // nothing — disable the wait. On a real cluster the hostnames
+      // are real and this knob should keep its default.
+      .config("spark.locality.wait", "0s")
       .config("spark.sql.catalog.graft",
         classOf[graft.sources.bucketed.BucketedCatalog].getName)
 

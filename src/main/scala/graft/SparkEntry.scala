@@ -288,6 +288,10 @@ object SparkEntry {
     //   as a single fleet-local split, auto-broadcasts from reported
     //   stats — the fact side never shuffles for the join —
     "q133_replicated_join" -> graft.sources.bucketed.BucketedQueries.replicatedJoinQuery _,
+    // — incremental dedup: a new batch LSH-joined against the
+    //   persisted corpus signature index — per-batch cost ∝ batch +
+    //   candidates, never the history —
+    "q134_incremental_dedup" -> Dedup.incrementalDedupQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -472,5 +476,6 @@ object SparkEntry {
     "q131_compound_cluster" -> graft.sources.bucketed.BucketedQueries.compoundClusterSql,
     "q132_zorder_skip" -> graft.sources.bucketed.BucketedQueries.zorderSkipSql,
     "q133_replicated_join" -> graft.sources.bucketed.BucketedQueries.replicatedJoinSql,
+    "q134_incremental_dedup" -> Dedup.incrementalDedupSql,
   )
 }

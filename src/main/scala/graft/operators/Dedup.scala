@@ -316,6 +316,146 @@ object Dedup {
     minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, numHashes = 32, bands = 16, threshold = 0.8)
 
+  // ——— incremental dedup against a persisted signature index ———
+
+  /** Banded MinHash signatures — (id, band, bsig) rows, the unit the
+    * LSH candidate join keys on. Shared by the one-shot LSH pipeline
+    * and the persisted-index incremental path.
+    */
+  private def bandedRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col("id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
+        .as(Seq("band", "bsig")))
+  }
+
+  /** q134 — INCREMENTAL dedup: a new batch of documents checked
+    * against an already-indexed corpus WITHOUT recomputing anything
+    * over the history. The corpus's banded MinHash signatures are
+    * persisted once in the bucket store, keyed by a 64-bit hash of
+    * (band, bsig) — the LSH bucket id. Each arriving batch then:
+    *
+    *   1. computes signatures for ITS OWN documents only;
+    *   2. finds candidates as two equi-joins — batch bands against
+    *      the stored index (new-vs-history) and batch bands against
+    *      themselves (new-vs-new); never corpus-vs-corpus, never
+    *      all-pairs;
+    *   3. verifies candidates with exact n-gram Jaccard, recomputing
+    *      shingles ONLY for documents appearing in some candidate
+    *      pair (a semi-join into the corpus — pages ∝ candidates).
+    *
+    * Per-batch cost is ∝ batch + candidates; the full-corpus shingle
+    * pass that the one-shot pipelines (q16/q17) pay every run is paid
+    * once at index build and amortized forever. At 100 TB this is the
+    * only shape a daily-crawl dedup can take: the history is petabytes
+    * of signatures served bucket-partitioned on the LSH key, and the
+    * day's batch shuffles only itself into that layout. Same bands and
+    * same exact-verify as q17, so the result equals the full exact
+    * computation restricted to pairs touching the batch — which is
+    * exactly what the plain-SQL oracle computes.
+    *
+    * The batch split here is deterministic (`doc_id % 10 = 0` models
+    * "today's crawl") so the gated query is reproducible; production
+    * would pass any batch DataFrame and `BucketStore.load`'s
+    * layout-change republish semantics version the index.
+    */
+  def incrementalDedupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, indexName: String, isBatch: Column,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val (pairs, caches) = incrementalDedupFrames(spark, docs, idCol, textCol, indexName,
+      isBatch, n, numHashes, bands, threshold, maxDf)
+    materializeAndRelease(pairs, caches: _*)
+  }
+
+  /** The un-materialized incremental pipeline — split out so specs can
+    * audit the pair plan (the public entry localCheckpoints, which
+    * hides the joins from `executedPlan`). Returns (pairs, caches to
+    * release after materialization).
+    */
+  private[operators] def incrementalDedupFrames(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, indexName: String, isBatch: Column,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxDf: Int = DefaultMaxDf): (DataFrame, Seq[DataFrame]) = {
+    import graft.sources.bucketed.BucketStore
+    // index build: once per corpus generation (modeling the nightly
+    // index the pipeline maintains); load() is a no-op when present
+    if (!BucketStore.exists(indexName)) {
+      val corpusSig = minHashSignatures(
+        shingles(docs.filter(!isBatch), idCol, textCol, n), numHashes)
+      val corpusBanded = bandedRows(corpusSig, numHashes, bands)
+        .select(xxhash64(col("band"), col("bsig")).as("bkey"),
+          col("id"), col("band"), col("bsig"))
+      BucketStore.load(spark, indexName, corpusBanded, "bkey", numBuckets = 16)
+    }
+    val index = spark.read.format("graft-buckets").option("table", indexName).load()
+    // batch signatures are batch-sized and consumed twice (vs-index
+    // and vs-self) — materialize them ONCE, eagerly, instead of
+    // recomputing the shingle+minhash pipeline per consumer
+    val batchBanded = bandedRows(
+      minHashSignatures(shingles(docs.filter(isBatch), idCol, textCol, n), numHashes),
+      numHashes, bands)
+      .withColumn("bkey", xxhash64(col("band"), col("bsig")))
+      .localCheckpoint(true)
+    // new-vs-history: equi-join on the LSH bucket key (bkey carries
+    // the whole join entropy; band+bsig re-checked exactly), bucket-
+    // co-located with the stored index's layout
+    val newOld = batchBanded.as("x").join(index.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.band") === col("y.band") &&
+          col("x.bsig") === col("y.bsig"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+    // new-vs-new: the batch against itself, standard LSH self-join
+    val newNew = batchBanded.as("x").join(batchBanded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // candidates are near-dup-pair-sized (tiny next to the corpus) and
+    // consumed three times below — eager localCheckpoint. NOTE this
+    // union mixes a branch carrying the store's simulated host
+    // preferences (the index scan) with no-preference branches; in
+    // local mode that stage shape starves under delay scheduling
+    // unless spark.locality.wait=0 (set by GraftSession/SparkSuite —
+    // see GraftSession for the full story).
+    val candidates = newOld.union(newNew).distinct().localCheckpoint(true)
+    // exact verify over candidate documents only — identical scoring
+    // to the one-shot path (shared scoreJaccard), corpus touched via
+    // semi-join
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val arrs = shingleArrays(docs, idCol, textCol, n)
+      .join(candIds, Seq("id"), "left_semi").cache()
+    val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
+    val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
+    val pairShingles = intersections(sh, maxDf)
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+    val pairs = scoreJaccard(pairShingles
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b"),
+      threshold)
+    (pairs, Seq(arrs))
+  }
+
+  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupPairs(spark, Tables.documents(spark, dir), "doc_id", "text",
+      indexName = s"minhash_idx@$dir", isBatch = col("doc_id") % 10 === 0,
+      n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+
+  /** Oracle: the full exact-Jaccard pair set (same CTEs as q16's
+    * oracle) restricted to pairs touching the batch — precisely the
+    * incremental path's contract.
+    */
+  val incrementalDedupSql: String = overlapCandidatesCtes +
+    """
+      |SELECT id_a, id_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+      |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin
+
   // ——— near-dup clustering (connected components) ———
 
   /** Connected components over a near-dup pair graph: each document

@@ -38,6 +38,45 @@ class DedupSpec extends SparkSuite {
     assert(brute.nonEmpty) // sf0.001 has planted near-dups
   }
 
+  test("incremental dedup equals the full exact computation restricted to batch pairs") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    val idx = s"minhash_idx_spec@$sf"
+    graft.sources.bucketed.BucketStore.drop(idx)
+    val got = Dedup.incrementalDedupPairs(spark, d, "doc_id", "text", idx,
+        col("doc_id") % 10 === 0, 3, 32, 16, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 10 == 0 || b % 10 == 0 }.toSet
+    assert(got === full)
+    assert(got.nonEmpty, "sf0.001 should plant at least one batch-touching near-dup")
+  }
+
+  test("incremental dedup reuses the persisted index: second run publishes no new version") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    val idx = s"minhash_idx_reuse@$sf"
+    graft.sources.bucketed.BucketStore.drop(idx)
+    Dedup.incrementalDedupPairs(spark, d, "doc_id", "text", idx,
+      col("doc_id") % 10 === 0, 3, 32, 16, 0.8).count()
+    val v1 = graft.sources.bucketed.BucketStore.currentVersion(idx)
+    Dedup.incrementalDedupPairs(spark, d, "doc_id", "text", idx,
+      col("doc_id") % 10 === 0, 3, 32, 16, 0.8).count()
+    assert(graft.sources.bucketed.BucketStore.currentVersion(idx) === v1,
+      "the batch run must not rebuild or republish the corpus index")
+  }
+
+  test("incremental dedup candidate generation is equi-joins, never a cartesian") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    val idx = s"minhash_idx_plan@$sf"
+    graft.sources.bucketed.BucketStore.drop(idx)
+    val (q, caches) = Dedup.incrementalDedupFrames(spark, d, "doc_id", "text", idx,
+      col("doc_id") % 10 === 0, 3, 32, 16, 0.8)
+    val p = q.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join\n${p.take(800)}")
+  }
+
   test("connected components: chains collapse to min id, islands stay apart") {
     // graph: 1-2, 2-3, 3-4 (chain) + 10-11 (island) → comps {1,2,3,4}→1, {10,11}→10
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")

@@ -22,6 +22,10 @@ object GraftProps extends Properties("graft") {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // this builder can win the shared-JVM session race under parallel
+    // suite execution, so it must carry the same single-node locality
+    // setting as SparkSuite (see GraftSession for the starvation story)
+    .config("spark.locality.wait", "0s")
     .getOrCreate()
 
   private def scale4(v: Double): JBigDecimal =

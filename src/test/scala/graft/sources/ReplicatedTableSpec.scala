@@ -98,6 +98,24 @@ class ReplicatedTableSpec extends SparkSuite {
     assert(BucketStore.get(scratch).buckets.length === 4)
   }
 
+  test("appends through the catalog keep the replicated layout (1 bucket, fleet hosts)") {
+    val scratch = s"region_repl_write@$sf"
+    BucketStore.drop(scratch)
+    BucketStore.load(spark, scratch,
+      graft.tables.Tables.load(spark, sf, "region"), "r_regionkey",
+      numBuckets = 1, replicate = true)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.bucketed.BucketedCatalog].getName)
+    val before = spark.table(s"graft.`$scratch`").count()
+    graft.tables.Tables.load(spark, sf, "region")
+      .withColumn("r_regionkey", col("r_regionkey") + 100)
+      .writeTo(s"graft.`$scratch`").append()
+    val t = BucketStore.get(scratch)
+    assert(t.replicated && t.buckets.length === 1)
+    assert(t.hosts(0) === BucketStore.fleetOf(4))
+    assert(spark.table(s"graft.`$scratch`").count() === before * 2)
+  }
+
   // ——— orphan buckets ———
 
   test("orphan bucket: empty host list degrades to the table's whole fleet as candidates") {
