@@ -330,6 +330,22 @@ object Dedup {
         .as(Seq("band", "bsig")))
   }
 
+  /** The signature-index row shape: (bkey, id, band, bsig) with
+    * `bkey = hash64(band, bsig)` — the LSH bucket id the index table
+    * is bucketed on. Public because it is the index's MAINTENANCE
+    * unit too: after a batch is deduped and admitted to the corpus,
+    * appending `signatureIndexRows(admitted…)` through the catalog
+    * (`writeTo(...).append()`) extends the index so the NEXT batch
+    * sees today's documents — the full daily cycle, with the store's
+    * two-phase commit versioning each day's extension.
+    */
+  def signatureIndexRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): DataFrame =
+    bandedRows(minHashSignatures(shingles(docs, idCol, textCol, n), numHashes),
+      numHashes, bands)
+      .select(xxhash64(col("band"), col("bsig")).as("bkey"),
+        col("id"), col("band"), col("bsig"))
+
   /** q134 — INCREMENTAL dedup: a new batch of documents checked
     * against an already-indexed corpus WITHOUT recomputing anything
     * over the history. The corpus's banded MinHash signatures are
@@ -382,22 +398,17 @@ object Dedup {
     // index build: once per corpus generation (modeling the nightly
     // index the pipeline maintains); load() is a no-op when present
     if (!BucketStore.exists(indexName)) {
-      val corpusSig = minHashSignatures(
-        shingles(docs.filter(!isBatch), idCol, textCol, n), numHashes)
-      val corpusBanded = bandedRows(corpusSig, numHashes, bands)
-        .select(xxhash64(col("band"), col("bsig")).as("bkey"),
-          col("id"), col("band"), col("bsig"))
-      BucketStore.load(spark, indexName, corpusBanded, "bkey", numBuckets = 16)
+      BucketStore.load(spark, indexName,
+        signatureIndexRows(docs.filter(!isBatch), idCol, textCol, n, numHashes, bands),
+        "bkey", numBuckets = 16)
     }
     val index = spark.read.format("graft-buckets").option("table", indexName).load()
     // batch signatures are batch-sized and consumed twice (vs-index
     // and vs-self) — materialize them ONCE, eagerly, instead of
     // recomputing the shingle+minhash pipeline per consumer
-    val batchBanded = bandedRows(
-      minHashSignatures(shingles(docs.filter(isBatch), idCol, textCol, n), numHashes),
-      numHashes, bands)
-      .withColumn("bkey", xxhash64(col("band"), col("bsig")))
-      .localCheckpoint(true)
+    val batchBanded =
+      signatureIndexRows(docs.filter(isBatch), idCol, textCol, n, numHashes, bands)
+        .localCheckpoint(true)
     // new-vs-history: equi-join on the LSH bucket key (bkey carries
     // the whole join entropy; band+bsig re-checked exactly), bucket-
     // co-located with the stored index's layout

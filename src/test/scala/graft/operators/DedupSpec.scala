@@ -65,6 +65,32 @@ class DedupSpec extends SparkSuite {
       "the batch run must not rebuild or republish the corpus index")
   }
 
+  test("daily cycle: admitted batch signatures extend the index, the NEXT batch dedups against them") {
+    // corpus doc 1; day-1 batch doc 10 (unique); day-2 batch doc 20 = near-dup of doc 10.
+    // Without index maintenance day 2 misses (10, 20) — 10 is in no corpus.
+    val t1 = (1 to 40).map(i => s"c$i").mkString(" ")
+    val t10 = (100 to 140).map(i => s"d$i").mkString(" ")
+    val t20 = t10.replace("d120", "zz")
+    val idx = s"minhash_idx_cycle"
+    graft.sources.bucketed.BucketStore.drop(idx)
+    val day1 = Seq((1L, t1), (10L, t10)).toDF("doc_id", "text")
+    val p1 = Dedup.incrementalDedupPairs(spark, day1, "doc_id", "text", idx,
+      col("doc_id") >= 10, 3, 32, 16, 0.8)
+    assert(p1.count() === 0, "day 1's batch has no near-dups anywhere")
+    // admit day 1's batch: append its signature rows through the catalog
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.bucketed.BucketedCatalog].getName)
+    Dedup.signatureIndexRows(day1.filter(col("doc_id") >= 10), "doc_id", "text", 3, 32, 16)
+      .writeTo(s"graft.`$idx`").append()
+    // day 2: doc 20 arrives; the extended index catches its near-dup of doc 10
+    val day2 = Seq((1L, t1), (10L, t10), (20L, t20)).toDF("doc_id", "text")
+    val p2 = Dedup.incrementalDedupPairs(spark, day2, "doc_id", "text", idx,
+      col("doc_id") >= 20, 3, 32, 16, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2 === Set((10L, 20L)),
+      "the appended day-1 signatures must make doc 10 visible to day 2's batch")
+  }
+
   test("incremental dedup candidate generation is equi-joins, never a cartesian") {
     val d = graft.tables.Tables.documents(spark, sf)
     val idx = s"minhash_idx_plan@$sf"
