@@ -90,7 +90,15 @@ object BucketStore {
       // host — any server answers, so the scan is a single partition
       // whose preferred locations are the whole fleet, and as the dim
       // side of a join it broadcasts without ever shuffling the fact
-      replicated: Boolean = false)
+      replicated: Boolean = false,
+      // Frozen per-dimension equi-depth boundaries for a zorder(...)
+      // layout ([[ZOrder.boundsOf]]), computed once at the table's
+      // FIRST data commit and never changed (recluster excepted):
+      // the Morton order must be a pure function of the row for
+      // append-merges and merge-on-read folds to stay consistent
+      // with the stored sort. None = no data committed yet (or a
+      // non-z layout).
+      zBounds: Option[Array[Array[Long]]] = None)
 
   /** One bucket's pending merge-on-read state: `deleted` marks hidden
     * physical positions (over base ++ delta), `delta` the rows added
@@ -293,6 +301,9 @@ object BucketStore {
           t.schema.fields.zip(df.schema.fields).forall { case (a, b) =>
             a.name == b.name && a.dataType == b.dataType }
         if (!sameLayout)
+          // a fresh shell: zBounds deliberately reset to None (the
+          // default) — the overwrite that follows is the new layout's
+          // first data commit and freezes fresh rank boundaries
           publish(name, BucketTable(
             StructType(df.schema.fields), keyCol,
             Array.fill(numBuckets)(Array.empty[Row]),
@@ -362,14 +373,36 @@ object BucketStore {
     * fold shares this one dispatch, so the maintained invariant is
     * identical across load/append/DML/recluster.
     */
-  private def clusterRowCmp(schema: StructType, clusterCol: Option[String]): (Row, Row) => Int =
+  private def clusterRowCmp(schema: StructType, clusterCol: Option[String],
+      zBounds: Option[Array[Array[Long]]]): (Row, Row) => Int =
     if (isZOrder(clusterCol)) {
-      val idxs = clusterColsOf(clusterCol).map(schema.fieldIndex).toArray
-      (a, b) => ZOrder.cmp(ZOrder.key(a, idxs), ZOrder.key(b, idxs))
+      val zk = zKeyFn(schema, clusterCol, zBounds)
+      (a, b) => ZOrder.cmp(zk(a), zk(b))
     } else {
       val key = clusterKeyOf(schema, clusterCol)
       (a, b) => cmpClusterKeys(key(a), key(b))
     }
+
+  /** The effective Morton key of a z-layout: rank-normalized when the
+    * table's boundaries are frozen ([[ZOrder.keyRanked]] — narrow and
+    * wide dimensions weigh equally on the curve), raw bit interleave
+    * before any data exists. Exposed via [[zKeyOf]] so specs pin the
+    * SAME order the store maintains.
+    */
+  private def zKeyFn(schema: StructType, clusterCol: Option[String],
+      zBounds: Option[Array[Array[Long]]]): Row => Array[Long] = {
+    val idxs = clusterColsOf(clusterCol).map(schema.fieldIndex).toArray
+    zBounds match {
+      case Some(bs) if bs.length == idxs.length => r => ZOrder.keyRanked(r, idxs, bs)
+      case _ => r => ZOrder.key(r, idxs)
+    }
+  }
+
+  /** Spec hook: the Morton key function a table's rows are actually
+    * ordered by.
+    */
+  def zKeyOf(t: BucketTable): Row => Array[Long] =
+    zKeyFn(t.schema, t.clusterCol, t.zBounds)
 
   /** Keep a bucket's rows sorted on the cluster key — the ordering the
     * fetch path binary-searches (lexicographic) or the Morton curve
@@ -377,12 +410,12 @@ object BucketStore {
     * once per row).
     */
   private def clusterSort(schema: StructType, clusterCol: Option[String],
-      rows: Array[Row]): Array[Row] =
+      rows: Array[Row], zBounds: Option[Array[Array[Long]]] = None): Array[Row] =
     clusterCol match {
       case None => rows
       case c if isZOrder(c) =>
-        val idxs = clusterColsOf(c).map(schema.fieldIndex).toArray
-        rows.map(r => (ZOrder.key(r, idxs), r))
+        val zk = zKeyFn(schema, c, zBounds)
+        rows.map(r => (zk(r), r))
           .sortWith((x, y) => ZOrder.cmp(x._1, y._1) < 0)
           .map(_._2)
       case c =>
@@ -430,7 +463,10 @@ object BucketStore {
     case None => FoldedBucket(t.buckets(b), null)
     case Some(m) => foldCache.synchronized {
       var f = foldCache.get(m)
-      if (f == null) { f = fold(t.schema, t.clusterCol, t.buckets(b), m); foldCache.put(m, f) }
+      if (f == null) {
+        f = fold(t.schema, t.clusterCol, t.zBounds, t.buckets(b), m)
+        foldCache.put(m, f)
+      }
       f
     }
   }
@@ -451,6 +487,7 @@ object BucketStore {
     t.buckets.indices.iterator.map(liveCount(t, _).toLong).sum
 
   private def fold(schema: StructType, clusterCol: Option[String],
+      zBounds: Option[Array[Array[Long]]],
       base: Array[Row], m: BucketMor): FoldedBucket = {
     val baseRows = Vector.newBuilder[Row]
     val basePos = Vector.newBuilder[Int]
@@ -471,7 +508,7 @@ object BucketStore {
         // merge — the read-time twin of [[clusterMerge]], positions
         // riding the same permutation (comparator dispatches on the
         // layout: lexicographic or Morton)
-        val cmp = clusterRowCmp(schema, c)
+        val cmp = clusterRowCmp(schema, c, zBounds)
         val sd = deltaPairs.sortWith((a, b2) => cmp(a._1, b2._1) < 0)
         val n = bR.length + sd.length
         val rows = new Array[Row](n)
@@ -562,12 +599,13 @@ object BucketStore {
     * path's padding.
     */
   private def clusterMerge(schema: StructType, clusterCol: Option[String],
-      old: Array[Row], add: Array[Row]): Array[Row] =
+      old: Array[Row], add: Array[Row],
+      zBounds: Option[Array[Array[Long]]] = None): Array[Row] =
     clusterCol match {
       case None => old ++ add
       case c =>
-        val cmp = clusterRowCmp(schema, c)
-        val sortedAdd = clusterSort(schema, clusterCol, add)
+        val cmp = clusterRowCmp(schema, c, zBounds)
+        val sortedAdd = clusterSort(schema, clusterCol, add, zBounds)
         val out = new Array[Row](old.length + sortedAdd.length)
         var a = 0
         var b = 0
@@ -678,7 +716,8 @@ object BucketStore {
         if (keyIdx >= r.size || r.isNullAt(keyIdx)) null else r.get(keyIdx))
       byBucket(b) += r
     })
-    val buckets = byBucket.map(v => clusterSort(t.schema, t.clusterCol, v.result().toArray))
+    val buckets = byBucket.map(v =>
+      clusterSort(t.schema, t.clusterCol, v.result().toArray, t.zBounds))
     val next = t.copy(
       buckets = buckets,
       hosts = Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
@@ -786,7 +825,8 @@ object BucketStore {
       clusterCol = Some(t.keyCol),
       rangeBounds = Some(bounds),
       layoutEpoch = t.layoutEpoch + 1,
-      mor = Map.empty)
+      mor = Map.empty,
+      zBounds = None) // the range layout clusters on the key, not a curve
     publish(name, next)
     next.version
   }
@@ -813,13 +853,23 @@ object BucketStore {
     // the sort key may BE the added column, and the comparator indexes
     // into the row (this is a rewrite op anyway — materializing the
     // NULL pads here is the honest cost)
+    val padded = t.buckets.indices.toArray.map(b =>
+      effectiveRows(t, b).map(pad(_, t.schema.length)))
+    // a re-cluster is a full rewrite, so a z-spec gets FRESH rank
+    // boundaries from the data as it stands (the one sanctioned
+    // boundary change — every run re-sorts under them right here);
+    // a lexicographic target clears any stale z state
+    val newBounds =
+      if (isZOrder(Some(col)))
+        Some(ZOrder.boundsForRows(padded.iterator.flatten,
+          clusterColsOf(Some(col)).map(t.schema.fieldIndex).toArray))
+      else None
     val next = t.copy(
-      buckets = t.buckets.indices.toArray.map(b =>
-        clusterSort(t.schema, Some(col),
-          effectiveRows(t, b).map(pad(_, t.schema.length)))),
+      buckets = padded.map(clusterSort(t.schema, Some(col), _, newBounds)),
       clusterCol = Some(col),
       version = versions.incrementAndGet(),
-      mor = Map.empty)
+      mor = Map.empty,
+      zBounds = newBounds)
     publish(name, next)
     next.version
   }
@@ -835,10 +885,11 @@ object BucketStore {
     */
   def upsertRows(name: String, byBucket: Array[Array[Row]],
       expectedLayoutEpoch: Long): Unit = synchronized {
-    val t = get(name)
-    require(byBucket.length == t.buckets.length,
-      s"upsert into '$name': got ${byBucket.length} buckets, table has ${t.buckets.length}")
-    requireLayoutUnchanged(name, t, expectedLayoutEpoch)
+    val t0 = get(name)
+    require(byBucket.length == t0.buckets.length,
+      s"upsert into '$name': got ${byBucket.length} buckets, table has ${t0.buckets.length}")
+    requireLayoutUnchanged(name, t0, expectedLayoutEpoch)
+    val t = freezeZBounds(t0, byBucket.iterator.flatten)
     val keyIdx = t.schema.fieldIndex(t.keyCol)
     val rows = t.buckets.zipWithIndex.map { case (base, b) =>
       val incoming = byBucket(b)
@@ -859,12 +910,30 @@ object BucketStore {
         // survivors keep their sorted order (filter preserves it); only
         // the delivered rows need sorting before the merge
         clusterMerge(t.schema, t.clusterCol,
-          old.filterNot(r => newKeys.contains(r.get(keyIdx))), deduped)
+          old.filterNot(r => newKeys.contains(r.get(keyIdx))), deduped, t.zBounds)
       }
     }
     publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(),
       mor = t.mor.filter { case (b, _) => byBucket(b).isEmpty }))
   }
+
+  /** Freeze a z-layout's rank boundaries at its FIRST data commit:
+    * equi-depth split points per z-dimension over the incoming rows
+    * ([[ZOrder.boundsForRows]]). Frozen because the Morton order must
+    * stay a pure function of the row — later appends merge against
+    * runs sorted under these bounds, and a changed rank map would
+    * break the merge invariant. Later data drifting from the first
+    * commit's distribution costs pruning tightness only, never
+    * answers (zone maps are computed from the actual rows). No-op
+    * for non-z layouts, already-frozen tables, and empty commits.
+    */
+  private def freezeZBounds(t: BucketTable, incoming: => Iterator[Row]): BucketTable =
+    if (!isZOrder(t.clusterCol) || t.zBounds.isDefined) t
+    else {
+      val idxs = clusterColsOf(t.clusterCol).map(t.schema.fieldIndex).toArray
+      val bs = ZOrder.boundsForRows(incoming.map(pad(_, t.schema.length)), idxs)
+      if (bs.forall(_.isEmpty)) t else t.copy(zBounds = Some(bs))
+    }
 
   /** The write-path twin of the CDC layoutEpoch gate: a bucket-
     * ASSIGNMENT change (rebucket, repartition_range) committed between
@@ -909,19 +978,20 @@ object BucketStore {
   def commitWrite(name: String, byBucket: Array[Array[Row]], truncate: Boolean,
       expectedLayoutEpoch: Long): Unit =
     synchronized {
-      val t = get(name)
-      require(byBucket.length == t.buckets.length,
-        s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
-      requireLayoutUnchanged(name, t, expectedLayoutEpoch)
+      val t0 = get(name)
+      require(byBucket.length == t0.buckets.length,
+        s"write planned ${byBucket.length} buckets but '$name' has ${t0.buckets.length}")
+      requireLayoutUnchanged(name, t0, expectedLayoutEpoch)
+      val t = freezeZBounds(t0, byBucket.iterator.flatten)
       val rows =
-        if (truncate) byBucket.map(clusterSort(t.schema, t.clusterCol, _))
+        if (truncate) byBucket.map(clusterSort(t.schema, t.clusterCol, _, t.zBounds))
         else t.buckets.zipWithIndex.map { case (old, b) =>
           // clustered-index maintenance on ingest: only buckets that
           // received rows change, and each pays a DELTA sort + linear
           // merge, never a full re-sort ([[clusterMerge]]). A bucket
           // with pending MOR state folds it first.
           if (byBucket(b).isEmpty) old
-          else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b))
+          else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b), t.zBounds)
         }
       val mor =
         if (truncate) Map.empty[Int, BucketMor]
@@ -997,14 +1067,15 @@ object BucketStore {
   def replaceGroups(name: String, byBucket: Array[Array[Row]], groups: Set[Int],
       expectedLayoutEpoch: Long): Unit =
     synchronized {
-      val t = get(name)
-      require(byBucket.length == t.buckets.length,
-        s"write planned ${byBucket.length} buckets but '$name' has ${t.buckets.length}")
-      requireLayoutUnchanged(name, t, expectedLayoutEpoch)
+      val t0 = get(name)
+      require(byBucket.length == t0.buckets.length,
+        s"write planned ${byBucket.length} buckets but '$name' has ${t0.buckets.length}")
+      requireLayoutUnchanged(name, t0, expectedLayoutEpoch)
+      val t = freezeZBounds(t0, byBucket.iterator.flatten)
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>
-        if (groups.contains(b)) clusterSort(t.schema, t.clusterCol, byBucket(b))
+        if (groups.contains(b)) clusterSort(t.schema, t.clusterCol, byBucket(b), t.zBounds)
         else if (byBucket(b).isEmpty) old
-        else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b))
+        else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b), t.zBounds)
       }
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(),
         mor = t.mor.filter { case (b, _) => !groups.contains(b) && byBucket(b).isEmpty }))

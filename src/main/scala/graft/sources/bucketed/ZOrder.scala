@@ -31,16 +31,19 @@ import org.apache.spark.sql.Row
   * morton(p) ≤ morton(q) — so a sorted bucket's blocks cover
   * axis-aligned boxes, the reason the zone maps come out tight.
   *
-  * Locality caveat (tightness, never correctness): dims are
-  * interleaved at RAW bit positions, so a column whose values vary
-  * over many more bits than its partner dominates the curve and the
-  * narrow column's locality degrades toward a plain sort — e.g.
-  * epoch-millis timestamps (≥40 varying bits) against a small id
-  * space (8 bits). A production-scale build would rank-normalize
-  * each dimension first (Delta's OPTIMIZE ZORDER interleaves
-  * range-partition ids, not values); here the zone maps stay
-  * conservative either way, so the mismatch costs pruning
-  * opportunities, not answers.
+  * Dimensions are RANK-NORMALIZED before interleaving (round 10):
+  * raw bit interleaving lets a column whose values vary over many
+  * more bits than its partner dominate the curve — epoch-micros
+  * timestamps (≥40 varying bits) against a small id space destroy
+  * the id's locality. Each dimension therefore maps through frozen
+  * equi-depth rank boundaries ([[boundsOf]], computed at the table's
+  * first data commit — the write-side sample) so every dimension
+  * contributes the same [[RankBits]] top bits, exactly Delta's
+  * OPTIMIZE ZORDER shape (range-partition ids, not values). The raw
+  * key's high bits refine ties within a rank slab. Raw interleave
+  * ([[key]]) remains the zero-data fallback; either way zone maps
+  * are computed from actual rows, so curve quality affects pruning
+  * tightness only, never answers.
   *
   * Reference correspondence: the reference's column tables keep no
   * multi-dimensional order (row position = insertion,
@@ -147,6 +150,92 @@ object ZOrder {
     */
   def key(r: Row, idxs: Array[Int]): Array[Long] =
     interleave(idxs.map(i => dimKey(if (i >= r.size || r.isNullAt(i)) null else r.get(i))))
+
+  // ——— rank normalization (equi-depth per-dimension ranks) ———
+
+  /** Ranks per dimension: 256 equi-depth buckets (8 bits), the
+    * granularity Delta's OPTIMIZE ZORDER-style range ids use. Plenty
+    * for block pruning (blocks are hundreds of rows) while keeping
+    * boundary arrays tiny (≤255 longs per dim in table metadata).
+    */
+  val RankBits: Int = 8
+  val NumRanks: Int = 1 << RankBits
+
+  /** Equi-depth split points for ONE dimension, computed over the
+    * dimension's [[dimKey]]s (unsigned order): ≤ NumRanks−1 distinct
+    * boundaries, value v's rank = #boundaries unsigned-≤ dimKey(v).
+    * Frozen per table at its first data commit ([[BucketStore]])
+    * so the Morton order stays a pure function of the row — the
+    * invariant every later append-merge and merge-on-read fold leans
+    * on. At 100 TB this is the write-side sample pass that computes
+    * range-partition ids; here the first commit's rows are the
+    * sample.
+    */
+  def boundsOf(keys: Array[Long]): Array[Long] = {
+    if (keys.isEmpty) return Array.empty
+    val sorted = keys.clone()
+    java.util.Arrays.sort(sorted)
+    // unsigned order: java sort is signed — rotate by partitioning on
+    // sign bit (negatives = top half unsigned)
+    val (neg, pos) = sorted.partition(_ < 0)
+    val u = pos ++ neg
+    val out = Array.newBuilder[Long]
+    var last = 0L
+    var first = true
+    var k = 1
+    while (k < NumRanks) {
+      val b = u(((k.toLong * u.length) / NumRanks).toInt - 1 max 0)
+      if (first || java.lang.Long.compareUnsigned(b, last) > 0) { out += b; last = b; first = false }
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Rank of a raw dim key against frozen boundaries: the count of
+    * boundaries unsigned-≤ raw (binary search), placed in the TOP
+    * [[RankBits]] bits; the raw key's high bits fill the remainder so
+    * rows within one rank slab still order by value (monotone overall:
+    * rank is monotone in raw, and the filler only refines ties).
+    */
+  def rankKey(bounds: Array[Long], raw: Long): Long = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (java.lang.Long.compareUnsigned(bounds(m), raw) <= 0) lo = m + 1 else hi = m
+    }
+    (lo.toLong << (64 - RankBits)) | (raw >>> RankBits)
+  }
+
+  /** Rank-normalized Morton key: each dimension contributes an
+    * equi-depth rank in its top bits, so a narrow dimension (16
+    * distinct ids) and a wide one (microsecond timestamps) weigh
+    * EQUALLY on the curve — without this, raw bit interleaving lets
+    * the wide dimension dominate and the narrow one's locality
+    * degrades toward a plain sort (the round-9 doc caveat this
+    * removes).
+    */
+  def keyRanked(r: Row, idxs: Array[Int], bounds: Array[Array[Long]]): Array[Long] =
+    interleave(Array.tabulate(idxs.length) { d =>
+      val i = idxs(d)
+      rankKey(bounds(d), dimKey(if (i >= r.size || r.isNullAt(i)) null else r.get(i)))
+    })
+
+  /** Per-dimension frozen boundaries for a table's first data commit:
+    * one [[boundsOf]] pass per z-column over the commit's rows.
+    */
+  def boundsForRows(rows: Iterator[Row], idxs: Array[Int]): Array[Array[Long]] = {
+    val keys = Array.fill(idxs.length)(Array.newBuilder[Long])
+    rows.foreach { r =>
+      var d = 0
+      while (d < idxs.length) {
+        val i = idxs(d)
+        keys(d) += dimKey(if (i >= r.size || r.isNullAt(i)) null else r.get(i))
+        d += 1
+      }
+    }
+    keys.map(b => boundsOf(b.result()))
+  }
 
   /** Unsigned lexicographic compare of Morton codes. */
   def cmp(a: Array[Long], b: Array[Long]): Int = {

@@ -150,10 +150,42 @@ class ZOrderSpec extends SparkSuite {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     spark.sql("INSERT INTO graft.z_merge VALUES (4, 5, 5), (5, 3500, 3500)")
     val t = BucketStore.get("z_merge")
-    val idxs = Array(1, 2)
-    val keys = t.buckets(0).map(r => ZOrder.key(r, idxs))
+    // the table's EFFECTIVE key (rank-normalized once bounds froze at
+    // the first data commit) — asserting the raw key here would test
+    // an order the store no longer maintains
+    val zk = BucketStore.zKeyOf(t)
+    val keys = t.buckets(0).map(zk)
     keys.sliding(2).foreach { case Array(a, b) =>
       assert(ZOrder.cmp(a, b) <= 0, "bucket must stay Morton-sorted after append")
     }
+  }
+
+  test("rank normalization: a narrow dim prunes even against a 48-bit-wide partner") {
+    // user-style ids in [0, 16) (4 bits) against ~48-bit values: raw
+    // bit interleave lets the wide dim own the curve and an id range
+    // prunes nothing; equi-depth ranks weigh the dims equally, so the
+    // id's locality survives and blocks skip
+    BucketStore.drop("z_mixed")
+    val df = (0 until 8192)
+      .map(i => (i.toLong, (mix(i, 3) % 16).toLong, mix(i, 4) << 36 | mix(i, 5)))
+      .toDF("k", "id", "wide")
+    BucketStore.load(spark, "z_mixed", df, "k", 2, clusterBy = Some("zorder(id,wide)"))
+    val t = BucketStore.get("z_mixed")
+    assert(t.zBounds.isDefined, "first data commit must freeze rank boundaries")
+    val z = spark.read.format("graft-buckets").option("table", "z_mixed").load()
+    val expect = (0 until 8192).filter(i => mix(i, 3) % 16 == 3).map(_.toLong).sorted
+    val (rows, skipped) = blocksSkippedDuring(z.filter(col("id") === 3L).collect())
+    assert(rows.map(_.getLong(0)).sorted.toSeq === expect, "answers never depend on the curve")
+    assert(skipped > 0,
+      "the narrow dimension must prune blocks — raw interleave would be dominated by 'wide'")
+    // and the wide dim still prunes too (ranks preserve ITS locality)
+    val wideCut = mix(2048, 4) << 36 | mix(2048, 5)
+    val expectW = (0 until 8192)
+      .filter(i => java.lang.Long.compareUnsigned(mix(i, 4) << 36 | mix(i, 5), wideCut) < 0)
+      .map(_.toLong).sorted
+    val (rowsW, skippedW) = blocksSkippedDuring(
+      z.filter(col("wide") < wideCut && col("wide") >= 0L).collect())
+    assert(rowsW.map(_.getLong(0)).sorted.toSeq === expectW)
+    assert(skippedW > 0, "the wide dimension keeps pruning under rank normalization")
   }
 }
