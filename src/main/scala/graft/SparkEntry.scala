@@ -292,6 +292,10 @@ object SparkEntry {
     //   persisted corpus signature index — per-batch cost ∝ batch +
     //   candidates, never the history —
     "q134_incremental_dedup" -> Dedup.incrementalDedupQuery _,
+    // — rank-normalized z-order: the NARROW dimension (user ids vs
+    //   microsecond timestamps) prunes blocks too — one layout,
+    //   pruning on either column —
+    "q135_zorder_narrow_dim" -> graft.sources.bucketed.BucketedQueries.zorderNarrowDimQuery _,
   )
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
@@ -477,5 +481,6 @@ object SparkEntry {
     "q132_zorder_skip" -> graft.sources.bucketed.BucketedQueries.zorderSkipSql,
     "q133_replicated_join" -> graft.sources.bucketed.BucketedQueries.replicatedJoinSql,
     "q134_incremental_dedup" -> Dedup.incrementalDedupSql,
+    "q135_zorder_narrow_dim" -> graft.sources.bucketed.BucketedQueries.zorderNarrowDimSql,
   )
 }

@@ -836,6 +836,42 @@ object BucketedQueries {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** q135 — the NARROW z-dimension prunes: same zorder(user_id, ts)
+    * events table as q132, queried by a single user's id. user_id
+    * spans a few thousand values; ts spans ~40 bits of microseconds —
+    * under raw bit interleave ts owns the curve and a user_id
+    * predicate touches every block. Rank normalization
+    * ([[ZOrder.keyRanked]] — frozen equi-depth boundaries, every
+    * dimension the same top-bit weight) restores the id's locality,
+    * so the fetch-side zone maps skip the blocks outside the user's
+    * rank slabs (ZOrderSpec pins the skip against a 48-bit-wide
+    * partner). Together with q132 this is the z-order contract: ONE
+    * layout, pruning on EITHER dimension — what no single-prefix
+    * lexicographic sort can give. Correctness never depends on it;
+    * the oracle is plain SQL.
+    */
+  def zorderNarrowDimQuery(spark: SparkSession, dir: String): DataFrame = {
+    BucketStore.ensureLoaded(spark, s"events_z@$dir", dir, "events", "user_id", NumBuckets,
+      clusterBy = Some("zorder(user_id,ts)"))
+    spark.read.format("graft-buckets").option("table", s"events_z@$dir").load()
+      // a pushable range (zone maps prune on pushed comparisons, not
+      // arbitrary expressions) over a thin id slice
+      .filter(col("user_id") >= 10L && col("user_id") < 40L)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+  }
+
+  val zorderNarrowDimSql: String =
+    """SELECT user_id, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id >= 10 AND user_id < 40
+      |GROUP BY user_id""".stripMargin
+
   /** q106 — BOUNDED batch change read (the `table_changes` analog,
     * same window semantics as the stream's offsets): customer lands
     * in the store, a DELETE drops one segment, and a batch read of

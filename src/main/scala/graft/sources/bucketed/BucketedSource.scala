@@ -319,6 +319,10 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
       "write.dml.mode" -> BucketStore.dmlModeOf(name))
     if (snap.replicated) props += ("replicate" -> "true")
     snap.clusterCol.foreach(c => props += ("cluster_by" -> c))
+    // z-layout observability: whether rank boundaries froze yet (a
+    // zorder table before its first data commit interleaves raw bits)
+    snap.zBounds.foreach(bs =>
+      props += ("zorder.rank_bounds" -> bs.map(_.length).mkString(",")))
     if (snap.mor.nonEmpty)
       props += ("pending_mor_buckets" -> snap.mor.size.toString)
     props.asJava

@@ -173,6 +173,9 @@ class ZOrderSpec extends SparkSuite {
     val t = BucketStore.get("z_mixed")
     assert(t.zBounds.isDefined, "first data commit must freeze rank boundaries")
     val z = spark.read.format("graft-buckets").option("table", "z_mixed").load()
+    val props = new BucketedTable("z_mixed").properties()
+    assert(props.containsKey("zorder.rank_bounds"),
+      "DESCRIBE must surface that rank boundaries are frozen")
     val expect = (0 until 8192).filter(i => mix(i, 3) % 16 == 3).map(_.toLong).sorted
     val (rows, skipped) = blocksSkippedDuring(z.filter(col("id") === 3L).collect())
     assert(rows.map(_.getLong(0)).sorted.toSeq === expect, "answers never depend on the curve")
