@@ -435,8 +435,13 @@ object Dedup {
     // semi-join
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
-    val arrs = shingleArrays(docs, idCol, textCol, n)
-      .join(candIds, Seq("id"), "left_semi").cache()
+    // semi-join the RAW docs before shingling — filtering after
+    // shingleArrays would shingle the whole corpus first and only then
+    // drop non-candidates, making the verify pass ∝ corpus instead of
+    // ∝ candidates (measured 30× slower at sf0.1)
+    val arrs = shingleArrays(
+      docs.join(candIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
+      idCol, textCol, n).cache()
     val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
     val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
     val pairShingles = intersections(sh, maxDf)
