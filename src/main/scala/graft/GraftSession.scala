@@ -21,8 +21,8 @@ object GraftSession {
 
   def builder(appName: String = "graft",
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
-      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
-    SparkSession.builder()
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -52,11 +52,14 @@ object GraftSession {
       // union of a graft-buckets scan branch with a plain branch hung
       // forever: task set added, zero tasks launched). Locality
       // cannot be won on a single node, so waiting for it buys
-      // nothing — disable the wait. On a real cluster the hostnames
-      // are real and this knob should keep its default.
-      .config("spark.locality.wait", "0s")
+      // nothing — disable the wait, but ONLY in local mode: on a real
+      // cluster the hostnames are real and delay scheduling is what
+      // turns preferredLocations into node-local bucket reads, so the
+      // cluster's own setting (default 3s) must survive untouched.
       .config("spark.sql.catalog.graft",
         classOf[graft.sources.bucketed.BucketedCatalog].getName)
+    if (master.startsWith("local")) b.config("spark.locality.wait", "0s") else b
+  }
 
   /** Build the session and register graft_cosine / graft_dot etc. */
   def create(appName: String = "graft"): SparkSession = {

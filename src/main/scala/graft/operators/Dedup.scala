@@ -371,6 +371,33 @@ object Dedup {
     * computation restricted to pairs touching the batch — which is
     * exactly what the plain-SQL oracle computes.
     *
+    * TWO CONTRACT CAVEATS (deterministic on the gated corpus, real at
+    * production scale):
+    *
+    *   - Banding recall is probabilistic: a true pair at Jaccard j is
+    *     surfaced only if at least one of the 16 bands collides, i.e.
+    *     with probability 1 − (1 − j²)^16 (b=16 bands of r=2 rows).
+    *     Above the 0.8 gate threshold that is ≥ 1 − (1 − 0.64)^16 ≈
+    *     1 − 6e-8, so equality with the exact oracle holds on any
+    *     corpus whose near-dups sit at the threshold or above — but a
+    *     pair at exactly j≈0.8 still has a ~6e-8 chance of being
+    *     missed, the same exposure q17 documents. The oracle-equality
+    *     gate is therefore a (deterministic-here) check of a
+    *     probabilistic contract, not an identity.
+    *
+    *   - The exact-verify maxDf cap is scoped differently from the
+    *     one-shot path: q16/q17 compute document frequency over the
+    *     FULL corpus before capping, while this path computes it over
+    *     the candidate-restricted shingle set (the semi-join in step 3
+    *     happens before `intersections`). A boilerplate shingle whose
+    *     corpus-wide df exceeds the cap but whose within-candidates df
+    *     does not is KEPT here and DROPPED there, so when the cap
+    *     fires the two pipelines can score the same pair differently.
+    *     It never fires on the gated corpora (max observed df = 25 ≪
+    *     cap); a production deployment that relies on the cap should
+    *     persist corpus-wide shingle df next to the signature index
+    *     and pass it in, restoring identical scoring.
+    *
     * The batch split here is deterministic (`doc_id % 10 = 0` models
     * "today's crawl") so the gated query is reproducible; production
     * would pass any batch DataFrame and `BucketStore.load`'s

@@ -539,10 +539,16 @@ object BucketStore {
     */
   def applyDelta(name: String, deletes: Array[Array[Int]], inserts: Array[Array[Row]],
       expectedLayoutEpoch: Long, expectedVersion: Long): Unit = synchronized {
-    val t = get(name)
-    require(deletes.length == t.buckets.length && inserts.length == t.buckets.length,
+    val t1 = get(name)
+    require(deletes.length == t1.buckets.length && inserts.length == t1.buckets.length,
       s"delta planned ${deletes.length}/${inserts.length} buckets but '$name' has " +
-        s"${t.buckets.length}")
+        s"${t1.buckets.length}")
+    // a z-table whose FIRST rows arrive as delta inserts must freeze
+    // its rank boundaries here too — otherwise a later bulk commit
+    // freezes them and clusterMerge merges the (raw-interleave-sorted)
+    // effective rows under the rank-normalized comparator, silently
+    // un-sorting the bucket (pruning tightness only, but permanent)
+    val t = if (inserts.exists(_.nonEmpty)) freezeZBounds(t1, inserts.iterator.flatten) else t1
     requireLayoutUnchanged(name, t, expectedLayoutEpoch)
     require(t.version == expectedVersion,
       s"row-level delta for '$name' planned against v$expectedVersion but the table is now " +
