@@ -506,29 +506,53 @@ object Dedup {
     * `keep_id` — the canonical-representative decision that turns
     * pairwise similarity into actual drop lists.
     *
-    * Distributed HOOK + JUMP label propagation (Shiloach-Vishkin
-    * style). Every round each node (1) hooks: takes the min label
-    * among itself and its neighbors (one equi-join + one groupBy),
-    * then (2) jumps: follows its new label one more step through the
-    * previous round's label table (`comp ← comp(comp)`, a second
-    * equi-join). The jump halves label-chase paths, so a component of
-    * diameter d converges in O(log d) rounds — a pathological dup
-    * CHAIN of length 100 closes in ~8 rounds instead of ~100, and at
-    * 100 TB the round count is the number of full-data shuffles.
-    * Lineage is cut per round with `localCheckpoint` so the plan
-    * doesn't grow unboundedly.
+    * ALTERNATING STAR ALGORITHM (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — the standard
+    * MapReduce-era CC used at web scale). Each pass runs two edge
+    * rewrites over the symmetric edge table:
     *
-    * One Spark job per round: convergence is read from an accumulator
-    * filled DURING the round's checkpoint materialization (a marker
-    * column), not from a separate count()/isEmpty job — at diameter-10
-    * graphs that halves the driver round trips. Accumulator updates in
-    * transformations are at-least-once under task retry: a retry can
-    * only OVERcount real changes (worst case one extra no-op round),
-    * never report 0 when labels moved, so convergence is never missed.
+    *   - large-star: per vertex u, every STRICTLY LARGER neighbor is
+    *     re-pointed at `m(u) = min(u, neighbors(u))` (one groupBy for
+    *     m, one equi-join to rewrite). Each undirected edge is handled
+    *     by its smaller endpoint's group, so the edge count never
+    *     grows.
+    *   - small-star: per vertex u, u and all its ≤-neighbors are
+    *     re-pointed at the minimum of that set (same groupBy+join
+    *     shape over the `dst < src` half).
     *
-    * `maxIters` bounds a non-converging graph defensively (with the
-    * jump step even a chain of 2^50 nodes would fit the default 50):
-    * exceeding it throws rather than looping silently. Fault
+    * Stars centered at the component minimum are fixed points of both
+    * steps, every pass strictly reduces a global potential until
+    * stars form (the paper's Theorem 1 — convergence needs no
+    * assumption about how ids are laid out along the graph), and the
+    * final labels drop out of the star edges: `min(v, neighbors)`.
+    *
+    * Why this algorithm (round 11): the previous formulation —
+    * min-label propagation plus a pointer jump through the previous
+    * round's label table — met its O(log d) billing on FRIENDLY id
+    * layouts (monotone chains: the 100-chain spec) but degraded
+    * toward O(d) rounds on adversarial ones: a 256-link chain with
+    * ids permuted by i·97 mod 257 needed >25 rounds, because a label
+    * can point at a vertex whose own reach extends BACKWARD into
+    * already-covered territory, making the jump a no-op round after
+    * round. Invisible at sf0.1 (near-dup clusters have tiny
+    * diameters), catastrophic at 100× — each round is a full
+    * edge-set shuffle. The star algorithm has no layout-dependent
+    * failure mode; the same permuted chain closes in a handful of
+    * passes, and DedupSpec pins ≤10 via `maxIters = 10`.
+    *
+    * Two Spark jobs per pass (one localCheckpoint per phase, cutting
+    * lineage): convergence is read from an accumulator filled DURING
+    * each phase's materialization — a `chg` column records whether an
+    * emitted edge differs from the edge it replaces, aggregated
+    * per-distinct-edge, so a pass whose both phases re-emit the edge
+    * set unchanged reads 0 and ends the loop with no separate
+    * count()/isEmpty job. Accumulator updates in transformations are
+    * at-least-once under task retry: a retry can only OVERcount moved
+    * edges (worst case one extra no-op pass), never report 0 when an
+    * edge moved, so convergence is never missed.
+    *
+    * `maxIters` bounds a non-converging graph defensively: exceeding
+    * it throws rather than looping silently. Fault
     * tolerance: `localCheckpoint` trades recoverability for speed —
     * blocks live on executors only, so an executor loss mid-loop is
     * unrecoverable. That is the right trade in local mode and for
@@ -537,18 +561,29 @@ object Dedup {
     * true` to use fault-tolerant `checkpoint()` epochs instead.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters, reliableCheckpoint)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation
+    * rounds it ran — exposed so the O(log diameter) claim is
+    * spec-pinnable as a NUMBER (DedupSpec's 256-chain test), not
+    * inferred from job counts.
+    */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame, maxIters: Int = 50,
+      reliableCheckpoint: Boolean = false): (DataFrame, Int) = {
     def cut(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     // symmetrize in ONE pass: a union of two selects over `pairs`
     // would compute the whole upstream pair pipeline twice (Spark does
     // no cross-branch common-subexpression sharing)
-    val edges = cut(pairs.select(explode(array(
+    val sym = cut(pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
+    // the vertex universe is captured BEFORE dropping self-loops so a
+    // degenerate self-pair still yields a (v, v) label row
+    val vertices = cut(sym.select(col("src").as("id")).distinct())
+    var edges = cut(sym.where(col("src") =!= col("dst")).distinct())
     val sc = pairs.sparkSession.sparkContext
     var changed = true
     var iters = 0
@@ -559,30 +594,43 @@ object Dedup {
             "still contracting (astronomically deep chain or a livelocked label cycle, " +
             "which would be a bug); raise maxIters or pre-filter the pair graph")
       iters += 1
-      val acc = sc.longAccumulator(s"graft-cc-changed-$iters")
+      val acc = sc.longAccumulator(s"graft-cc-moved-$iters")
       // nondeterministic so Catalyst neither collapses nor re-evaluates
       // the side-effecting marker
       val mark = udf { chg: Boolean => if (chg) acc.add(1L); chg }.asNondeterministic()
-      // hook: min label over self + neighbors
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
-      val hooked = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // jump: comp ← comp(comp) through the PREVIOUS round's labels —
-      // `labels` is already materialized, so the self-reference costs
-      // one equi-join, not a recompute of the hook pipeline
-      val merged = cut(hooked
-        .join(labels.select(col("id").as("jid"), col("comp").as("jcomp")),
-          col("comp") === col("jid"), "left")
-        .withColumn("comp2", least(col("comp"), coalesce(col("jcomp"), col("comp"))))
-        .select(col("id"), col("comp2").as("comp"),
-          mark(col("prev") =!= col("comp2")).as("chg")))
+      // (a, b, chg) emissions → symmetric deduped edge table; the mark
+      // rides the per-distinct-edge aggregate so dedup still works and
+      // the accumulator sees one update per moved edge
+      def toEdges(emit: DataFrame): DataFrame =
+        cut(emit.where(col("a") =!= col("b"))
+          .select(explode(array(
+            struct(col("a").as("s"), col("b").as("d"), col("chg")),
+            struct(col("b").as("s"), col("a").as("d"), col("chg")))).as("e"))
+          .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
+          .agg(mark(max(col("e.chg"))).as("live")))
+          .select(col("src"), col("dst"))
+      // large-star: each undirected edge, handled by its SMALLER
+      // endpoint's group, re-points the larger endpoint at that
+      // group's neighborhood min
+      val lm = edges.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
+        .select(col("src"), least(col("src"), col("nmin")).as("m"))
+      edges = toEdges(edges.join(lm, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("a"), col("m").as("b"), (col("m") =!= col("src")).as("chg")))
+      // small-star: each vertex and its ≤-neighbors re-point at their
+      // min (each undirected edge handled by its LARGER endpoint)
+      val lower = edges.where(col("dst") < col("src"))
+      val sm = lower.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      edges = toEdges(lower.join(sm, "src")
+        .select(col("dst").as("a"), col("m").as("b"), (col("m") =!= col("src")).as("chg"))
+        .union(sm.select(col("src").as("a"), col("m").as("b"), lit(false).as("chg"))))
       changed = acc.value > 0
-      labels = merged.select(col("id"), col("comp"))
     }
-    labels.select(col("id"), col("comp").as("keep_id"))
+    // final star edges → labels: min(v, neighbors); vertices with no
+    // surviving edge (self-paired only) label themselves
+    val starMin = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+    val labels = vertices.join(starMin, Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("keep_id"))
+    (labels, iters)
   }
 
   /** Gated query: cluster the exact-Jaccard near-dup graph (q16's

@@ -156,8 +156,8 @@ class DedupSpec extends SparkSuite {
   }
 
   test("connected components throws past maxIters instead of looping") {
-    // even with the jump step a 12-node path needs ceil(log2(11))+1 ≈ 5
-    // rounds, so maxIters = 3 must abort with a clear error
+    // a 12-node path needs ~4 star passes (length halves per pass),
+    // so maxIters = 3 must abort with a clear error
     val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIters = 3).collect()
@@ -165,10 +165,10 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
-  test("pointer jumping: a 100-node chain converges in O(log) rounds, not O(length)") {
+  test("star passes: a 100-node chain converges in O(log) passes, not O(length)") {
     // plain min-label propagation moves one hop per round (a 100-chain
-    // would need ~99 rounds and trip maxIters = 12); the hook+jump
-    // gap grows as 2^t - 1, so 12 rounds is ample
+    // would need ~99 rounds and trip maxIters = 12); large-star halves
+    // path length per pass, so 12 passes is ample
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(chain, maxIters = 12)
       .as[(Long, Long)].collect()
@@ -177,19 +177,61 @@ class DedupSpec extends SparkSuite {
   }
 
   test("convergence via accumulator: no separate count job per round") {
-    // an 8-node chain converges in 4 rounds (gaps 1, 3, 7, done). Under
-    // AQE each round's checkpoint materialization fans into ~6 jobs
-    // (one per exchange stage) — measured 28 total for setup + 4
-    // rounds + collect. The old scheme was 7 hook-only rounds, each
-    // with an EXTRA count() job on top of the same AQE fan-out (≥45
-    // total). The ceiling guards both properties: log-rounds and no
-    // per-round convergence job.
+    // an 8-node chain converges in ~3 star passes. Materializations:
+    // 3 setup cuts (sym, vertices, edges) + 2 per pass (large-star,
+    // small-star) + the final label collect ≈ 10, each fanning into
+    // ~4 AQE jobs — measured 40 total. A per-pass convergence count()
+    // job (+~10) or an O(length) pass count (8-chain → 7 passes,
+    // +~30) both blow through the ceiling, which is what it guards.
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val chain = (0L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
     assert(got.forall(_._2 == 0L))
-    assert(jobs <= 32, s"expected ≤32 jobs for an 8-chain CC, saw $jobs")
+    assert(jobs <= 44, s"expected ≤44 jobs for an 8-chain CC, saw $jobs")
+  }
+
+  test("star-pass bound: a 256-link chain closes in ≤10 passes, labels match union-find") {
+    // THE scale pin for the drop-list machinery (q65/q66/q83/q86/q122
+    // all sit on this loop): CC must converge in O(log d) passes
+    // REGARDLESS of id layout, and a revert to one-hop propagation —
+    // or to round-10's label+jump scheme, which degraded to >25
+    // rounds on exactly this permuted fixture — would be invisible on
+    // the tiny-diameter gated corpora while catastrophic at 100×. A
+    // 257-node path (256 links, diameter 256) under plain propagation
+    // needs ~256 rounds; the alternating star algorithm closes it in
+    // 8 (measured; 9-10 on descending/bit-reversal layouts).
+    // maxIters=10 IS the assertion: the implementation throws past
+    // it, so green = ≤10 edge-shuffle passes. Ids are permuted
+    // (i·97 mod 257) so the min id sits mid-chain, not at an end. A
+    // disjoint 5-node island pins component separation.
+    def perm(i: Long): Long = (i * 97) % 257
+    val chainEdges = (0L until 256L).map(i => (perm(i), perm(i + 1)))
+    val islandEdges = (1000L until 1004L).map(i => (i, i + 1))
+    val edges = chainEdges ++ islandEdges
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    // oracle: exact driver-side union-find over the same edge list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(math.max(a, b))) = find(math.min(a, b)) }
+    // canonical label = component MIN, matching connectedComponents' contract
+    val members = parent.keys.toSeq.groupBy(find)
+    val expected = members.flatMap { case (_, ids) =>
+      val m = ids.min; ids.map(_ -> m)
+    }.toMap
+    assert(got === expected, s"labels diverge from union-find oracle: " +
+      s"${got.toSeq.filter(kv => expected.get(kv._1) != Some(kv._2)).take(5)}")
+    assert(got.values.toSet === Set(0L, 1000L))
+    // secondary ceiling: ≤10 rounds at ≤~7 AQE jobs per round plus
+    // setup/collect — a per-round convergence-count() revert or an
+    // O(d) revert both blow through this
+    assert(jobs <= 80, s"expected ≤80 jobs for a 256-chain CC, saw $jobs")
   }
 
   test("dup segments: shared tumbling segments counted per doc, unique docs score zero") {
