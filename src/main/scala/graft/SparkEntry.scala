@@ -296,7 +296,28 @@ object SparkEntry {
     //   microsecond timestamps) prunes blocks too — one layout,
     //   pruning on either column —
     "q135_zorder_narrow_dim" -> graft.sources.bucketed.BucketedQueries.zorderNarrowDimQuery _,
+    // — verbatim shared-SQL surface (q36's pattern, widened): ONE
+    //   dialect-neutral SQL string per query, executed by Spark via
+    //   spark.sql over registerTables views AND by the DuckDB oracle,
+    //   byte-identical. Twins of existing DataFrame-API queries, so
+    //   each also cross-checks the API path against the SQL front
+    //   door on the same engine —
+    "q136_sql_filter_project" -> shared(Relational.filterProjectSql),
+    "q137_sql_distinct" -> shared(Relational.distinctStatusSql),
+    "q138_sql_setops" -> shared(Relational.setOpsSql),
+    "q139_sql_regional_revenue" -> shared(Relational.regionalRevenueSql),
+    "q140_sql_anti_join" -> shared(Relational.customersWithoutOrdersSql),
+    "q141_sql_above_nation_avg" -> shared(graft.operators.Pipelines.aboveNationAvgSql),
+    "q142_sql_rollup" -> shared(FunctionFamilies.rollupSummarySql),
+    "q143_sql_sort_page" -> shared(FunctionFamilies.sortPageSql),
+    "q144_sql_grouping_sets" -> shared(FunctionFamilies.groupingSetsSql),
   )
+
+  /** A shared-SQL query: the SAME string [[oracleSql]] hands DuckDB,
+    * run by Spark through the registered testdata views.
+    */
+  private def shared(sql: String): (SparkSession, String) => DataFrame =
+    (s, d) => { GraftSession.registerTables(s, d); s.sql(sql) }
 
   /** Dialect-neutral SQL accepted verbatim by Spark 4 and DuckDB. */
   val sharedSql: String =
@@ -482,5 +503,15 @@ object SparkEntry {
     "q133_replicated_join" -> graft.sources.bucketed.BucketedQueries.replicatedJoinSql,
     "q134_incremental_dedup" -> Dedup.incrementalDedupSql,
     "q135_zorder_narrow_dim" -> graft.sources.bucketed.BucketedQueries.zorderNarrowDimSql,
+    // shared-SQL twins: byte-identical to the string spark.sql runs
+    "q136_sql_filter_project" -> Relational.filterProjectSql,
+    "q137_sql_distinct" -> Relational.distinctStatusSql,
+    "q138_sql_setops" -> Relational.setOpsSql,
+    "q139_sql_regional_revenue" -> Relational.regionalRevenueSql,
+    "q140_sql_anti_join" -> Relational.customersWithoutOrdersSql,
+    "q141_sql_above_nation_avg" -> graft.operators.Pipelines.aboveNationAvgSql,
+    "q142_sql_rollup" -> FunctionFamilies.rollupSummarySql,
+    "q143_sql_sort_page" -> FunctionFamilies.sortPageSql,
+    "q144_sql_grouping_sets" -> FunctionFamilies.groupingSetsSql,
   )
 }
