@@ -296,6 +296,10 @@ object SparkEntry {
     //   microsecond timestamps) prunes blocks too — one layout,
     //   pruning on either column —
     "q135_zorder_narrow_dim" -> graft.sources.bucketed.BucketedQueries.zorderNarrowDimQuery _,
+    // — z-order boundary refresh: commit ⅓, append ⅔, CALL
+    //   graft.reorder, query — layout maintenance is never a
+    //   correctness event —
+    "q145_zorder_reorder" -> graft.sources.bucketed.BucketedQueries.zorderReorderQuery _,
     // — verbatim shared-SQL surface (q36's pattern, widened): ONE
     //   dialect-neutral SQL string per query, executed by Spark via
     //   spark.sql over registerTables views AND by the DuckDB oracle,
@@ -503,6 +507,7 @@ object SparkEntry {
     "q133_replicated_join" -> graft.sources.bucketed.BucketedQueries.replicatedJoinSql,
     "q134_incremental_dedup" -> Dedup.incrementalDedupSql,
     "q135_zorder_narrow_dim" -> graft.sources.bucketed.BucketedQueries.zorderNarrowDimSql,
+    "q145_zorder_reorder" -> graft.sources.bucketed.BucketedQueries.zorderReorderSql,
     // shared-SQL twins: byte-identical to the string spark.sql runs
     "q136_sql_filter_project" -> Relational.filterProjectSql,
     "q137_sql_distinct" -> Relational.distinctStatusSql,

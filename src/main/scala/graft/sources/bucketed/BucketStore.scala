@@ -880,6 +880,43 @@ object BucketStore {
     next.version
   }
 
+  /** Re-freeze a z-ordered table's rank boundaries from the data AS IT
+    * STANDS and re-sort every bucket under them — the drift-refresh
+    * maintenance op (`CALL graft.reorder`). Boundaries freeze at the
+    * first data commit and correctness never depends on them (zone
+    * maps come from actual rows), but under heavy appends from a
+    * DRIFTED distribution the frozen equi-depth slabs skew — most new
+    * rows collapse into the top rank of each dimension, blocks in the
+    * drifted region stop separating on the curve, and pruning
+    * tightness quietly decays. This is the z-layout's analog of
+    * [[repartitionRange]]'s boundary re-derivation and of the periodic
+    * re-OPTIMIZE a Delta/Iceberg z-ordered table schedules. In-bucket
+    * rewrite only: bucket ASSIGNMENT is untouched, so the layout epoch
+    * is NOT bumped (open CDC readers and planned writes stay valid) —
+    * at 100 TB each storage node re-sorts its own buckets with no
+    * shuffle, cost ∝ table like any compaction, scheduled off-peak.
+    */
+  def reorder(name: String): Long = synchronized {
+    val t = get(name)
+    require(isZOrder(t.clusterCol),
+      s"reorder('$name'): table is not z-ordered " +
+        s"(cluster spec: ${t.clusterCol.getOrElse("none")}) — reorder refreshes z rank " +
+        "boundaries; use recluster to change the layout itself")
+    val padded = t.buckets.indices.toArray.map(b =>
+      effectiveRows(t, b).map(pad(_, t.schema.length)))
+    val idxs = clusterColsOf(t.clusterCol).map(t.schema.fieldIndex).toArray
+    val bs = ZOrder.boundsForRows(padded.iterator.flatten, idxs)
+    // an empty table has nothing to sample: keep the existing bounds
+    val newBounds = if (bs.forall(_.isEmpty)) t.zBounds else Some(bs)
+    val next = t.copy(
+      buckets = padded.map(clusterSort(t.schema, t.clusterCol, _, newBounds)),
+      version = versions.incrementAndGet(),
+      mor = Map.empty,
+      zBounds = newBounds)
+    publish(name, next)
+    next.version
+  }
+
   /** Keyed upsert publish (the update-mode streaming sink,
     * [[BucketedStreamingWrite]]): for every bucket that RECEIVED rows,
     * replace same-key rows with the delivered ones (latest wins) and

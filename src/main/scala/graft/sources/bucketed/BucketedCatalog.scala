@@ -201,7 +201,8 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"),
       Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "recluster"),
       Identifier.of(Array.empty, "repartition_range"), Identifier.of(Array.empty, "stats"),
-      Identifier.of(Array.empty, "analyze"), Identifier.of(Array.empty, "compact"))
+      Identifier.of(Array.empty, "analyze"), Identifier.of(Array.empty, "compact"),
+      Identifier.of(Array.empty, "reorder"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -214,9 +215,10 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "stats" => BucketedProcedures.Stats
       case "analyze" => BucketedProcedures.Analyze
       case "compact" => BucketedProcedures.Compact
+      case "reorder" => BucketedProcedures.Reorder
       case other => throw new UnsupportedOperationException(
         s"no such procedure: $other (supported: analyze, compact, vacuum, history, " +
-          "rebucket, recluster, repartition_range, stats)")
+          "rebucket, recluster, reorder, repartition_range, stats)")
     }
 }
 

@@ -123,6 +123,35 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.reorder('t')` — re-freeze a z-ordered table's rank
+    * boundaries from the current data and re-sort every bucket under
+    * them ([[BucketStore.reorder]]): the drift-refresh for a layout
+    * whose equi-depth slabs were frozen at first commit and have
+    * skewed under appends from a different distribution. Correctness
+    * never moves (zone maps come from actual rows); pruning tightness
+    * does. In-bucket rewrite, no shuffle, layout epoch unchanged.
+    */
+  object Reorder extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "reorder"
+    override def description(): String =
+      "reorder(table): re-freeze a z-ordered table's rank boundaries from current data " +
+        "and re-sort its buckets under one new MVCC version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def isDeterministic: Boolean = false // publishes a version
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0), "reorder(table): table must be non-null")
+      val table = input.getUTF8String(0).toString
+      val version = BucketStore.reorder(table)
+      localScan(
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        Array(InternalRow(version)),
+        s"graft reorder($table)")
+    }
+  }
+
   /** `CALL graft.repartition_range('t', n)` — switch the table to a
     * RANGE layout on its bucket key ([[BucketStore.repartitionRange]]):
     * equal-frequency boundaries from the current key distribution, one

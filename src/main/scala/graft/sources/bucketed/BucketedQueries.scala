@@ -872,6 +872,44 @@ object BucketedQueries {
       |WHERE user_id >= 10 AND user_id < 40
       |GROUP BY user_id""".stripMargin
 
+  /** q145 — z-order BOUNDARY REFRESH end-to-end: the table commits
+    * only a third of events (freezing rank boundaries on that
+    * sample), the remaining two-thirds arrive as appends, and `CALL
+    * graft.reorder` re-freezes the boundaries from the full data and
+    * re-sorts every bucket. The gate is correctness THROUGH the
+    * maintenance op — same rows as plain SQL over all of events — the
+    * complement of ZOrderSpec's drift test, which pins that the
+    * refresh re-tightens pruning. This is the z-layout's
+    * `repartition_range` analog: layout maintenance a continuously
+    * ingesting table schedules, never a correctness event.
+    */
+  def zorderReorderQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"events_zreorder@$dir"
+    if (!BucketStore.exists(name)) {
+      val ev = graft.tables.Tables.events(spark, dir)
+      BucketStore.load(spark, name, ev.filter(col("event_id") % 3 =!= 0), "user_id",
+        NumBuckets, clusterBy = Some("zorder(user_id,ts)"))
+      ev.filter(col("event_id") % 3 === 0).writeTo(s"graft.`$name`").append()
+      spark.sql(s"CALL graft.reorder('$name')").collect()
+    }
+    spark.read.format("graft-buckets").option("table", name).load()
+      .filter(col("user_id") >= 5L && col("user_id") < 25L)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+  }
+
+  val zorderReorderSql: String =
+    """SELECT user_id, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id >= 5 AND user_id < 25
+      |GROUP BY user_id""".stripMargin
+
   /** q106 — BOUNDED batch change read (the `table_changes` analog,
     * same window semantics as the stream's offsets): customer lands
     * in the store, a DELETE drops one segment, and a batch read of

@@ -160,6 +160,57 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("reorder refreshes drifted rank boundaries: pruning re-tightens, answers identical") {
+    // bounds freeze at the first data commit: a narrow id dim x in
+    // [0,16) against a wide dim y in [0,2^12) — equi-depth ranks
+    // weigh them equally and x prunes (the rank-normalization test
+    // below pins that on fresh data). Then a drifted append 4x the
+    // original data lands ENTIRELY ABOVE the frozen boundaries of
+    // both dims: every drifted row maps to the top rank slab, where
+    // the curve degrades to the RAW tie-refinement bits — and the
+    // drifted region reproduces the exact pathology rank
+    // normalization exists for (4-bit ids against ~40 varying bits of
+    // y), so an id-equality query there stops pruning. CALL
+    // graft.reorder re-samples boundaries from the data as it stands
+    // and re-sorts in place; the same query must then skip strictly
+    // more blocks, return identical rows, and leave the layout epoch
+    // alone (no bucket re-assignment).
+    BucketStore.drop("z_drift")
+    val base = (0 until 4096).map(i => (i.toLong, (mix(i, 21) % 16).toLong, mix(i, 22)))
+    val lo = 1L << 20
+    val drift = (0 until 16384).map { i =>
+      (100000L + i, lo + (mix(i, 23) % 16).toLong, lo + (mix(i, 24) << 28 | mix(i, 25)))
+    }
+    BucketStore.load(spark, "z_drift", base.toDF("k", "x", "y"), "k", 2,
+      clusterBy = Some("zorder(x,y)"))
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    drift.grouped(8192).foreach { g =>
+      g.toDF("k", "x", "y").writeTo("graft.z_drift").append()
+    }
+    val epochBefore = BucketStore.get("z_drift").layoutEpoch
+    val z = spark.read.format("graft-buckets").option("table", "z_drift").load()
+    val expect = drift.filter(_._2 == lo + 3L).map(_._1).sorted
+    def run() = blocksSkippedDuring(
+      z.filter(col("x") === (lo + 3L)).collect())
+    val (rowsBefore, skippedBefore) = run()
+    spark.sql("CALL graft.reorder('z_drift')").collect()
+    val (rowsAfter, skippedAfter) = run()
+    assert(rowsBefore.map(_.getLong(0)).sorted.toSeq === expect)
+    assert(rowsAfter.map(_.getLong(0)).sorted.toSeq === expect,
+      "reorder must never change answers")
+    assert(skippedAfter > skippedBefore,
+      s"re-frozen boundaries must re-tighten pruning in the drifted region " +
+        s"(before: $skippedBefore blocks skipped, after: $skippedAfter)")
+    assert(BucketStore.get("z_drift").layoutEpoch === epochBefore,
+      "reorder is an in-bucket rewrite — bucket assignment and layout epoch are untouched")
+    // and a non-z table refuses loudly
+    loadPair()
+    val e = intercept[IllegalArgumentException] {
+      BucketStore.reorder("lex_t")
+    }
+    assert(e.getMessage.contains("not z-ordered"))
+  }
+
   test("rank normalization: a narrow dim prunes even against a 48-bit-wide partner") {
     // user-style ids in [0, 16) (4 bits) against ~48-bit values: raw
     // bit interleave lets the wide dim own the curve and an id range
