@@ -300,6 +300,10 @@ object SparkEntry {
     //   graft.reorder, query — layout maintenance is never a
     //   correctness event —
     "q145_zorder_reorder" -> graft.sources.bucketed.BucketedQueries.zorderReorderQuery _,
+    // — signature-index lifecycle: retire dropped docs from the
+    //   incremental-dedup index (MERGE on the bucket key + compact),
+    //   then dedup a batch — retired docs generate zero candidates —
+    "q146_index_lifecycle" -> Dedup.indexLifecycleQuery _,
     // — verbatim shared-SQL surface (q36's pattern, widened): ONE
     //   dialect-neutral SQL string per query, executed by Spark via
     //   spark.sql over registerTables views AND by the DuckDB oracle,
@@ -508,6 +512,7 @@ object SparkEntry {
     "q134_incremental_dedup" -> Dedup.incrementalDedupSql,
     "q135_zorder_narrow_dim" -> graft.sources.bucketed.BucketedQueries.zorderNarrowDimSql,
     "q145_zorder_reorder" -> graft.sources.bucketed.BucketedQueries.zorderReorderSql,
+    "q146_index_lifecycle" -> Dedup.indexLifecycleSql,
     // shared-SQL twins: byte-identical to the string spark.sql runs
     "q136_sql_filter_project" -> Relational.filterProjectSql,
     "q137_sql_distinct" -> Relational.distinctStatusSql,

@@ -499,6 +499,79 @@ object Dedup {
       |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
       |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin
 
+  // ——— signature-index lifecycle (q146) ———
+
+  /** Delete propagation for the persisted signature index — the
+    * maintenance half of the nightly-index story ([[incrementalDedupPairs]]
+    * tells the ingest half). Documents later dropped from the corpus
+    * (canonicalization losers, quality-gate failures) must stop
+    * generating candidates, or the append-only index grows forever
+    * and its stale entries manufacture dead candidate pairs for every
+    * future batch.
+    *
+    * Shape: recompute the DROPPED documents' banded signatures (cost
+    * ∝ dropped batch — the signature is a pure function of the text,
+    * so no reverse id→bucket mapping needs persisting) and MERGE on
+    * the index's own bucket key: `ON t.bkey = s.bkey AND t.id = s.id`
+    * is an equi-join carrying the bucket key, so at scale it touches
+    * only the buckets that actually hold the dropped rows — the
+    * store's row-level path (merge-on-read deletion vectors or COW
+    * bucket rewrite, whichever the table's dml mode picks). `CALL
+    * graft.compact` then folds the accumulated deletion state back to
+    * clean bucket arrays, the same maintenance op every MoR table
+    * schedules. Per-retire cost ∝ dropped + touched buckets, never
+    * ∝ index.
+    */
+  def retireFromIndex(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      indexName: String, isDropped: Column, n: Int, numHashes: Int, bands: Int): Unit = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.bucketed.BucketedCatalog].getName)
+    signatureIndexRows(docs.filter(isDropped), idCol, textCol, n, numHashes, bands)
+      .createOrReplaceTempView("graft_idx_retire")
+    spark.sql(s"MERGE INTO graft.`$indexName` t USING graft_idx_retire s " +
+      "ON t.bkey = s.bkey AND t.id = s.id AND t.band = s.band WHEN MATCHED THEN DELETE")
+    spark.sql(s"CALL graft.compact('$indexName')").collect()
+  }
+
+  /** q146 — the lifecycle gate: build the index WITHOUT the batch,
+    * retire the docs `doc_id % 10 = 5` (modeling a canonicalization /
+    * quality drop wave), then run the standard incremental dedup of
+    * the `% 10 = 0` batch against the retired index. Retired docs
+    * must generate ZERO candidates — the oracle is q134's exact
+    * restriction with the dropped ids excluded, so a stale index row
+    * surviving retirement surfaces as a hash mismatch, not a silent
+    * extra pair.
+    */
+  def indexLifecycleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.bucketed.BucketStore
+    val docs = Tables.documents(spark, dir)
+    val name = s"minhash_idx_lc@$dir"
+    val isBatch = col("doc_id") % 10 === 0
+    val isDropped = col("doc_id") % 10 === 5
+    if (!BucketStore.exists(name)) {
+      BucketStore.load(spark, name,
+        signatureIndexRows(docs.filter(!isBatch), "doc_id", "text", 3, 32, 16),
+        "bkey", numBuckets = 16)
+      retireFromIndex(spark, docs, "doc_id", "text", name, isDropped, 3, 32, 16)
+    }
+    incrementalDedupPairs(spark, docs, "doc_id", "text", name, isBatch,
+      n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+  }
+
+  /** Oracle: q134's exact-Jaccard batch restriction minus pairs
+    * touching a retired doc.
+    */
+  val indexLifecycleSql: String = overlapCandidatesCtes +
+    """
+      |SELECT id_a, id_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+      |  AND (id_a % 10 = 0 OR id_b % 10 = 0)
+      |  AND id_a % 10 <> 5 AND id_b % 10 <> 5""".stripMargin
+
   // ——— near-dup clustering (connected components) ———
 
   /** Connected components over a near-dup pair graph: each document

@@ -234,6 +234,39 @@ class DedupSpec extends SparkSuite {
     assert(jobs <= 80, s"expected ≤80 jobs for a 256-chain CC, saw $jobs")
   }
 
+  test("signature-index lifecycle: retired docs stop generating candidates, compact shrinks the index") {
+    import graft.sources.bucketed.BucketStore
+    // planted: batch doc 10 near-dups BOTH corpus doc 5 (retired) and
+    // corpus doc 7 (kept); corpus doc 12 unrelated. After retiring 5,
+    // incremental dedup of the batch must surface (7,10) ONLY.
+    val lcDocs = Seq(
+      (5L, base),
+      (7L, base.replace("w30", "qq")),
+      (12L, (200 to 240).map(i => s"u$i").mkString(" ")),
+      (10L, base)).toDF("doc_id", "text")
+    val name = "minhash_idx_lifecycle_spec"
+    BucketStore.drop(name)
+    val isBatch = col("doc_id") === 10L
+    BucketStore.load(spark, name,
+      Dedup.signatureIndexRows(lcDocs.filter(!isBatch), "doc_id", "text", 3, 32, 16),
+      "bkey", numBuckets = 4)
+    val before = BucketStore.get(name).buckets.map(_.length.toLong).sum
+    assert(before === 3 * 16, s"3 indexed docs x 16 bands, got $before")
+    Dedup.retireFromIndex(spark, lcDocs, "doc_id", "text", name,
+      isDropped = col("doc_id") === 5L, n = 3, numHashes = 32, bands = 16)
+    // compact already ran inside retireFromIndex: deletion state is
+    // folded, and the PHYSICAL arrays hold exactly the surviving rows
+    val t = BucketStore.get(name)
+    assert(t.mor.isEmpty, "retire must leave no pending deletion vectors (compact folds them)")
+    assert(t.buckets.map(_.length.toLong).sum === 2 * 16,
+      "doc 5's 16 band rows must be physically gone after drop+compact")
+    val pairs = Dedup.incrementalDedupPairs(spark, lcDocs, "doc_id", "text", name,
+      isBatch, n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((7L, 10L)),
+      s"retired doc 5 must generate zero candidates; kept doc 7 must still pair: $pairs")
+  }
+
   test("dup segments: shared tumbling segments counted per doc, unique docs score zero") {
     // 4-token segments; docs 1 and 2 share their first segment exactly,
     // doc 3 is unique throughout.
