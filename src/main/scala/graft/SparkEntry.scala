@@ -319,7 +319,39 @@ object SparkEntry {
     "q142_sql_rollup" -> shared(FunctionFamilies.rollupSummarySql),
     "q143_sql_sort_page" -> shared(FunctionFamilies.sortPageSql),
     "q144_sql_grouping_sets" -> shared(FunctionFamilies.groupingSetsSql),
+    // new SQL-surface coverage (not twins of existing API queries):
+    // a time-RANGE window frame and a correlated LATERAL top-k —
+    // both ONE string on both engines
+    "q147_sql_range_frame" -> shared(rangeFrameSql),
+    "q148_sql_lateral_topk" -> shared(lateralTopkSql),
   )
+
+  /** RANGE frame over event time: each order sees its customer's
+    * orders within ±7 days — the time-window analytic a session/
+    * cohort analysis runs. RANGE (not ROWS) so peers at the boundary
+    * are included deterministically regardless of tie order.
+    */
+  val rangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | count(*) OVER w AS n_near,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_near
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND INTERVAL 7 DAYS FOLLOWING)""".stripMargin
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders
+    * per qualifying customer — the per-row top-k join SQL:2016
+    * lateral derived tables exist for (Spark plans it via
+    * DomainJoin decorrelation; a fully tie-broken ORDER BY keeps the
+    * row set deterministic).
+    */
+  val lateralTopkSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_acctbal > 9000""".stripMargin
 
   /** A shared-SQL query: the SAME string [[oracleSql]] hands DuckDB,
     * run by Spark through the registered testdata views.
@@ -523,5 +555,7 @@ object SparkEntry {
     "q142_sql_rollup" -> FunctionFamilies.rollupSummarySql,
     "q143_sql_sort_page" -> FunctionFamilies.sortPageSql,
     "q144_sql_grouping_sets" -> FunctionFamilies.groupingSetsSql,
+    "q147_sql_range_frame" -> rangeFrameSql,
+    "q148_sql_lateral_topk" -> lateralTopkSql,
   )
 }
