@@ -324,6 +324,9 @@ object SparkEntry {
     // both ONE string on both engines
     "q147_sql_range_frame" -> shared(rangeFrameSql),
     "q148_sql_lateral_topk" -> shared(lateralTopkSql),
+    // — product-quantization ANN: per-subspace codebooks, coded
+    //   coarse scan, exact re-rank (the FAISS-PQ shape; SQ8 = q99) —
+    "q149_pq_knn" -> Similarity.pqKnnQuery _,
   )
 
   /** RANGE frame over event time: each order sees its customer's
@@ -557,5 +560,6 @@ object SparkEntry {
     "q144_sql_grouping_sets" -> FunctionFamilies.groupingSetsSql,
     "q147_sql_range_frame" -> rangeFrameSql,
     "q148_sql_lateral_topk" -> lateralTopkSql,
+    "q149_pq_knn" -> Similarity.pqKnnSql,
   )
 }

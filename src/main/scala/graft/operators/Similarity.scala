@@ -402,6 +402,118 @@ object Similarity {
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
       |  FROM cands) t WHERE rn <= 5""".stripMargin
 
+  /** PRODUCT QUANTIZATION (PQ) ANN — the other half of the FAISS
+    * compression family next to [[sqKnn]]'s SQ8: each vector splits
+    * into `m` contiguous subvectors, each subspace gets its own
+    * `ksub`-entry codebook (deterministic seed centroids — the first
+    * `ksub` vectors' slices, the same sampling discipline as
+    * [[sampleCentroids]]), and every vector is stored as `m` codes of
+    * log2(ksub) bits. The coarse pass scores queries against the
+    * RECONSTRUCTION (the concatenation of each code's centroid
+    * subvector) — arithmetically identical to asymmetric distance
+    * computation with per-query lookup tables, which is how a real
+    * executor runs it: m table lookups per candidate instead of a
+    * D-dim dot product. `rerankK` coarse survivors per query are then
+    * re-ranked against the full-precision vectors.
+    *
+    * At 100 TB: m=4 × 1-byte codes vs 64 × 8-byte doubles is a 128×
+    * working-set diet on the scan everybody pays (the coarse pass),
+    * with only rerankK full vectors touched per query. Composes with
+    * the IVF probe exactly as [[sqKnn]] composes it — kept flat here
+    * so the gate isolates the PQ arithmetic itself. Assignment is by
+    * max subspace cosine (spherical PQ), tie-broken on centroid id;
+    * both rank stages carry a total (score desc, id) order, so the
+    * result is deterministic and the DuckDB oracle replays every step.
+    */
+  def pqKnn(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, subDim: Int, ksub: Int, rerankK: Int): DataFrame = {
+    val data = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    // per-row explode into (id, j, subvector); the codebook is the
+    // seed rows' slices — m·ksub rows, always broadcast
+    def subsOf(df: DataFrame) = df.select(col("id"), col("vec"),
+      expr(s"explode(transform(sequence(0, ${m - 1}), " +
+        s"j -> struct(j AS j, slice(vec, j * $subDim + 1, $subDim) AS sub)))").as("e"))
+      .select(col("id"), col("e.j").as("j"), col("e.sub").as("sub"))
+    val subs = subsOf(data)
+    val codebook = subs.filter(col("id") < ksub)
+      .select(col("j"), col("id").as("cent_id"), col("sub").as("cvec"))
+    // encode: argmax subspace cosine per (vector, subspace)
+    val wAsg = Window.partitionBy(col("id"), col("j"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val codes = subs.join(broadcast(codebook), Seq("j"))
+      .withColumn("csim", GraftFunctions.cosine(col("sub"), col("cvec")))
+      .withColumn("arn", row_number().over(wAsg)).filter(col("arn") === 1)
+      .select(col("id"), col("j"), col("cent_id"))
+    // reconstruction = the codes' centroid slices, re-concatenated in
+    // subspace order (ADC's lookup table, materialized row-wise)
+    val recon = codes.join(broadcast(codebook), Seq("j", "cent_id"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("cvec")))),
+        s => s.getField("cvec"))).as("rvec"))
+    val q = queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
+    // coarse: brute scan over the COMPRESSED representation
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("id").asc)
+    val coarse = recon.join(broadcast(q), col("query_id") =!= col("id"))
+      .withColumn("qsim", round(GraftFunctions.cosine(col("qv"), col("rvec")), 6))
+      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= rerankK)
+    // exact re-rank of the survivors against full-precision vectors
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    coarse.join(data, Seq("id"))
+      .withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("vec")), 6))
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("rn"))
+  }
+
+  /** Oracle-gated: 64-dim embeddings → m=4 subspaces × 16 dims,
+    * 16-entry codebooks, coarse keep 15, k=5.
+    */
+  def pqKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    pqKnn(e.select(col("vec_id"), col("embedding")), q,
+      "vec_id", "embedding", k = 5, m = 4, subDim = 16, ksub = 16, rerankK = 15)
+  }
+
+  /** DuckDB replica: slices via 1-based inclusive list ranges, the
+    * same seed codebooks, argmax-cosine codes, ordered-list
+    * reconstruction, and the two-stage rank.
+    */
+  val pqKnnSql: String =
+    """WITH data AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |subs AS (
+      |  SELECT id, j, vec[(j*16+1):(j*16+16)] AS sub
+      |  FROM data, (SELECT unnest(range(4)) AS j)),
+      |cb AS (SELECT j, id AS cent_id, sub AS cvec FROM subs WHERE id < 16),
+      |codes AS (
+      |  SELECT id, j, cent_id FROM (
+      |    SELECT s.id, s.j, c.cent_id,
+      |      row_number() OVER (PARTITION BY s.id, s.j
+      |        ORDER BY list_cosine_similarity(s.sub, c.cvec) DESC, c.cent_id) AS arn
+      |    FROM subs s JOIN cb c USING (j)) t WHERE arn = 1),
+      |recon AS (
+      |  SELECT codes.id, flatten(list(c.cvec ORDER BY codes.j)) AS rvec
+      |  FROM codes JOIN cb c ON c.j = codes.j AND c.cent_id = codes.cent_id
+      |  GROUP BY codes.id),
+      |q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 20),
+      |coarse AS (
+      |  SELECT query_id, qv, id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, id) AS crn
+      |  FROM (
+      |    SELECT q.query_id, q.qv, r.id,
+      |      round(list_cosine_similarity(q.qv, r.rvec), 6) AS qsim
+      |    FROM q JOIN recon r ON r.id <> q.query_id) c0),
+      |exact AS (
+      |  SELECT query_id, d.id, round(list_cosine_similarity(qv, d.vec), 6) AS sim
+      |  FROM coarse JOIN data d USING (id) WHERE crn <= 15)
+      |SELECT query_id, id AS cand_id, sim, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT query_id, id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
+      |  FROM exact) t WHERE rn <= 5""".stripMargin
+
   /** Scalar (int8) quantization of an embedding column: per-vector
     * symmetric scale `max(|x|)/127` (0-vectors get scale 1), codes
     * `floor(x/scale + 0.5)` cast to TINYINT. The formula is spelled as

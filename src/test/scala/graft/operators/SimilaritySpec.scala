@@ -112,6 +112,42 @@ class SimilaritySpec extends SparkSuite {
     assert(overlap > 0.6, s"sq-knn overlap with exact ivf-knn too low: $overlap")
   }
 
+  test("product quantization: valid codes, reconstruction dims, recall vs brute force substantial") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def pqAt(rerankK: Int) = Similarity.pqKnn(emb, qs, "vec_id", "embedding",
+      k = 5, m = 4, subDim = 16, ksub = 16, rerankK = rerankK)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pq = pqAt(15)
+    assert(pq.size === 20 * 5, "5 results per query")
+    // exact brute-force ground truth: the PQ coarse pass sees only a
+    // 4x16-entry codebook reconstruction (a 128x working-set cut), so
+    // overlap measures the compression, not the machinery (which is
+    // oracle-gated by q149) — and the rerank budget is the recall
+    // dial: a wider coarse cut must recover what quantization blurred
+    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val brute = Similarity.bruteForceKnn(cands, qs, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val overlap15 = (pq intersect brute).size.toDouble / brute.size
+    val overlap60 = (pqAt(60) intersect brute).size.toDouble / brute.size
+    assert(overlap15 > 0.3, s"pq-knn overlap at rerankK=15 too low: $overlap15")
+    assert(overlap60 > overlap15,
+      s"widening the rerank budget must raise recall: $overlap15 -> $overlap60")
+    assert(overlap60 > 0.6, s"pq-knn overlap at rerankK=60 too low: $overlap60")
+    // degenerate geometry stays finite: identical vectors, zero vector
+    val degen = Seq(
+      (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(0.0f)), (3L, (1 to 8).map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val dq = degen.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = Similarity.pqKnn(degen, dq, "vec_id", "embedding",
+      k = 3, m = 2, subDim = 4, ksub = 2, rerankK = 4)
+      .select("cand_id").as[Long].collect().toSet
+    assert(got === Set(0L, 1L, 2L), "all other vectors ranked, none dropped")
+  }
+
   test("kmeans centroids: always nlist rows, and empty clusters keep their seed") {
     // Seeds 0 and 1 are IDENTICAL vectors, so every point (including
     // vec 1 itself) ties between them and the argmax's cent_id
