@@ -17,9 +17,17 @@ class ColumnarScanSpec extends SparkSuite {
 
   private def loadT(): Unit = synchronized {
     if (!BucketStore.exists("colr_t")) {
+      // every 13th row nulls the nullable columns — the null bitmap
+      // path of each vector filler is exercised, not just the values
       val df = (0 until 4096).map { i =>
-        (i.toLong, i % 97, i * 1.5, s"tag$i", i % 2 == 0,
-          new java.sql.Timestamp(1700000000000L + i * 1000L))
+        if (i % 13 == 0)
+          (i.toLong, null.asInstanceOf[java.lang.Integer], null.asInstanceOf[java.lang.Double],
+            null.asInstanceOf[String], null.asInstanceOf[java.lang.Boolean],
+            null.asInstanceOf[java.sql.Timestamp])
+        else
+          (i.toLong, Integer.valueOf(i % 97), java.lang.Double.valueOf(i * 1.5), s"tag$i",
+            java.lang.Boolean.valueOf(i % 2 == 0),
+            new java.sql.Timestamp(1700000000000L + i * 1000L))
       }.toDF("k", "m", "v", "tag", "flag", "ts")
       BucketStore.load(spark, "colr_t", df, "k", 4)
     }
