@@ -656,7 +656,10 @@ object Dedup {
     // the vertex universe is captured BEFORE dropping self-loops so a
     // degenerate self-pair still yields a (v, v) label row
     val vertices = cut(sym.select(col("src").as("id")).distinct())
-    var edges = cut(sym.where(col("src") =!= col("dst")).distinct())
+    // no up-front distinct: duplicate input pairs only re-emit the
+    // same edges, which the first pass's per-edge aggregate collapses
+    // anyway — a full-edge-set dedup shuffle here would be pure cost
+    var edges = sym.where(col("src") =!= col("dst"))
     val sc = pairs.sparkSession.sparkContext
     var changed = true
     var iters = 0
