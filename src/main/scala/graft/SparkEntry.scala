@@ -327,6 +327,9 @@ object SparkEntry {
     // — product-quantization ANN: per-subspace codebooks, coded
     //   coarse scan, exact re-rank (the FAISS-PQ shape; SQ8 = q99) —
     "q149_pq_knn" -> Similarity.pqKnnQuery _,
+    // — leakage-safe split: train/val/test by near-dup CLUSTER hash,
+    //   so no cluster ever straddles splits —
+    "q150_leakage_safe_split" -> graft.operators.Pipelines.leakageSafeSplitQuery _,
   )
 
   /** RANGE frame over event time: each order sees its customer's
@@ -561,5 +564,6 @@ object SparkEntry {
     "q147_sql_range_frame" -> rangeFrameSql,
     "q148_sql_lateral_topk" -> lateralTopkSql,
     "q149_pq_knn" -> Similarity.pqKnnSql,
+    "q150_leakage_safe_split" -> graft.operators.Pipelines.leakageSafeSplitSql,
   )
 }

@@ -448,4 +448,50 @@ object Pipelines {
       |WHERE (((t.doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647
       |      < rr.r * 2147483647
       |GROUP BY t.source""".stripMargin
+
+  /** q150 — LEAKAGE-SAFE train/val/test split: each document is
+    * assigned 80/10/10 by the Lehmer hash of its near-dup CLUSTER
+    * representative (q65's connected components; singletons represent
+    * themselves), never of its own id — so a near-dup cluster lands
+    * WHOLLY in one split and a test document can never have a
+    * training-set near-duplicate. This is the eval-contamination mode
+    * a per-document split invites and dedup papers measure (train/test
+    * leakage through near-dups survives per-doc splitting because the
+    * copies hash independently); splitting by cluster closes it by
+    * construction, at the cost of the CC pass the drop-list pipeline
+    * already runs. Same Lehmer generator as every sampler here, so the
+    * split composes deterministically with them; fractions hold per
+    * CLUSTER whp (multiplicative hash over a prime modulus), hence per
+    * doc up to cluster-size skew — exactly the guarantee a
+    * leakage-safe split can offer.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, idCol, textCol, n, threshold))
+    val labeled = docs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("keep_id"), col(idCol)))
+    labeled
+      .withColumn("__h", pmod(lehmerBucket("cluster_id"), lit(10L)))
+      .withColumn("split",
+        when(col("__h") < 8, "train").when(col("__h") === 8, "val").otherwise("test"))
+      .select(col(idCol), col("cluster_id"), col("split"))
+  }
+
+  def leakageSafeSplitQuery(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeSplit(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
+
+  val leakageSafeSplitSql: String =
+    Dedup.closureCtes(Dedup.ngramJaccardSql) +
+      """,
+        |clustered AS (
+        |  SELECT d.doc_id, COALESCE(c.keep_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN hh < 8 THEN 'train' WHEN hh = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, cluster_id,
+        |    (((cluster_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 % 10 AS hh
+        |  FROM clustered) t""".stripMargin
 }

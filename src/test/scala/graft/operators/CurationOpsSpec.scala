@@ -221,4 +221,37 @@ class CurationOpsSpec extends SparkSuite {
     // partial rows, not the corpus: no hashpartitioning on doc_id
     assert(!plan.contains("hashpartitioning(doc_id"), plan.take(1200))
   }
+
+  test("leakage-safe split: near-dup clusters never straddle splits, every doc assigned, rerun-identical") {
+    import graft.operators.{Dedup, Pipelines}
+    // planted: {1,2,3} one near-dup cluster, {10,11} another, 20/21
+    // singletons — 60 extra unique docs give the hash room to use all
+    // three splits
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = (Seq(
+      (1L, base), (2L, base.replace("w20", "zz")), (3L, base),
+      (10L, (100 to 140).map(i => s"v$i").mkString(" ")),
+      (11L, (100 to 140).map(i => s"v$i").mkString(" ") + " tail"),
+      (20L, (200 to 230).map(i => s"a$i").mkString(" ")),
+      (21L, (300 to 330).map(i => s"b$i").mkString(" "))) ++
+      (100L to 159L).map(i => (i, (i * 50 to i * 50 + 30).map(j => s"u$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = Pipelines.leakageSafeSplit(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === 67, "every document gets exactly one split row")
+    val byDoc = got.map(r => r._1 -> r._3).toMap
+    // THE property: all members of a cluster share one split
+    assert(Set(byDoc(1L), byDoc(2L), byDoc(3L)).size === 1, "cluster {1,2,3} straddles splits")
+    assert(byDoc(10L) === byDoc(11L), "cluster {10,11} straddles splits")
+    // cluster ids are the CC representative (min id), singletons themselves
+    val byDocCluster = got.map(r => r._1 -> r._2).toMap
+    assert(byDocCluster(2L) === 1L && byDocCluster(3L) === 1L && byDocCluster(11L) === 10L)
+    assert(byDocCluster(20L) === 20L && byDocCluster(21L) === 21L)
+    // all three splits are populated on this corpus, and a rerun is
+    // byte-identical (pure function of the data)
+    assert(got.map(_._3).toSet === Set("train", "val", "test"))
+    val rerun = Pipelines.leakageSafeSplit(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rerun.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }
