@@ -324,12 +324,16 @@ object SparkEntry {
     // both ONE string on both engines
     "q147_sql_range_frame" -> shared(rangeFrameSql),
     "q148_sql_lateral_topk" -> shared(lateralTopkSql),
+    "q151_sql_bag_setops" -> shared(bagSetOpsSql),
     // — product-quantization ANN: per-subspace codebooks, coded
     //   coarse scan, exact re-rank (the FAISS-PQ shape; SQ8 = q99) —
     "q149_pq_knn" -> Similarity.pqKnnQuery _,
     // — leakage-safe split: train/val/test by near-dup CLUSTER hash,
     //   so no cluster ever straddles splits —
     "q150_leakage_safe_split" -> graft.operators.Pipelines.leakageSafeSplitQuery _,
+    // — IVF·PQ: probe bounds WHICH vectors are scored, codes bound
+    //   WHAT is read per vector — the production FAISS composition —
+    "q152_ivfpq_knn" -> Similarity.ivfPqKnnQuery _,
   )
 
   /** RANGE frame over event time: each order sees its customer's
@@ -344,6 +348,21 @@ object SparkEntry {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
       |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND INTERVAL 7 DAYS FOLLOWING)""".stripMargin
+
+  /** BAG (multiset) set operations — INTERSECT ALL / EXCEPT ALL keep
+    * per-row multiplicities where q07/q138's distinct variants
+    * collapse them; multiplicity arithmetic is what makes the result
+    * a real gate (min(m₁,m₂) per key for INTERSECT ALL, m₁−m₂ capped
+    * at 0 for EXCEPT ALL).
+    */
+  val bagSetOpsSql: String =
+    """SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT ALL
+      |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |(SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH'
+      | EXCEPT ALL
+      | SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')""".stripMargin
 
   /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders
     * per qualifying customer — the per-row top-k join SQL:2016
@@ -565,5 +584,7 @@ object SparkEntry {
     "q148_sql_lateral_topk" -> lateralTopkSql,
     "q149_pq_knn" -> Similarity.pqKnnSql,
     "q150_leakage_safe_split" -> graft.operators.Pipelines.leakageSafeSplitSql,
+    "q151_sql_bag_setops" -> bagSetOpsSql,
+    "q152_ivfpq_knn" -> Similarity.ivfPqKnnSql,
   )
 }

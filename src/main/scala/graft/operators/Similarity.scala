@@ -428,28 +428,7 @@ object Similarity {
   def pqKnn(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, m: Int, subDim: Int, ksub: Int, rerankK: Int): DataFrame = {
     val data = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-    // per-row explode into (id, j, subvector); the codebook is the
-    // seed rows' slices — m·ksub rows, always broadcast
-    def subsOf(df: DataFrame) = df.select(col("id"), col("vec"),
-      expr(s"explode(transform(sequence(0, ${m - 1}), " +
-        s"j -> struct(j AS j, slice(vec, j * $subDim + 1, $subDim) AS sub)))").as("e"))
-      .select(col("id"), col("e.j").as("j"), col("e.sub").as("sub"))
-    val subs = subsOf(data)
-    val codebook = subs.filter(col("id") < ksub)
-      .select(col("j"), col("id").as("cent_id"), col("sub").as("cvec"))
-    // encode: argmax subspace cosine per (vector, subspace)
-    val wAsg = Window.partitionBy(col("id"), col("j"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val codes = subs.join(broadcast(codebook), Seq("j"))
-      .withColumn("csim", GraftFunctions.cosine(col("sub"), col("cvec")))
-      .withColumn("arn", row_number().over(wAsg)).filter(col("arn") === 1)
-      .select(col("id"), col("j"), col("cent_id"))
-    // reconstruction = the codes' centroid slices, re-concatenated in
-    // subspace order (ADC's lookup table, materialized row-wise)
-    val recon = codes.join(broadcast(codebook), Seq("j", "cent_id"))
-      .groupBy(col("id"))
-      .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("cvec")))),
-        s => s.getField("cvec"))).as("rvec"))
+    val recon = pqReconstruction(data, m, subDim, ksub)
     val q = queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
     // coarse: brute scan over the COMPRESSED representation
     val wc = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("id").asc)
@@ -463,6 +442,127 @@ object Similarity {
       .withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
       .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("rn"))
   }
+
+  /** The PQ code + reconstruction pipeline over `(id, vec)`: per-row
+    * explode into (id, subspace, subvector), seed codebooks from the
+    * first `ksub` rows' slices (m·ksub rows, always broadcast),
+    * argmax-cosine codes, and the codes' centroid slices
+    * re-concatenated in subspace order — ADC's lookup table,
+    * materialized row-wise. Shared by [[pqKnn]] (flat) and
+    * [[ivfPqKnn]] (list-probed).
+    */
+  private def pqReconstruction(data: DataFrame, m: Int, subDim: Int, ksub: Int): DataFrame = {
+    def subsOf(df: DataFrame) = df.select(col("id"), col("vec"),
+      expr(s"explode(transform(sequence(0, ${m - 1}), " +
+        s"j -> struct(j AS j, slice(vec, j * $subDim + 1, $subDim) AS sub)))").as("e"))
+      .select(col("id"), col("e.j").as("j"), col("e.sub").as("sub"))
+    val subs = subsOf(data)
+    val codebook = subs.filter(col("id") < ksub)
+      .select(col("j"), col("id").as("cent_id"), col("sub").as("cvec"))
+    val wAsg = Window.partitionBy(col("id"), col("j"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val codes = subs.join(broadcast(codebook), Seq("j"))
+      .withColumn("csim", GraftFunctions.cosine(col("sub"), col("cvec")))
+      .withColumn("arn", row_number().over(wAsg)).filter(col("arn") === 1)
+      .select(col("id"), col("j"), col("cent_id"))
+    codes.join(broadcast(codebook), Seq("j", "cent_id"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("cvec")))),
+        s => s.getField("cvec"))).as("rvec"))
+  }
+
+  /** q152 — IVF·PQ, the production FAISS composition: the IVF probe
+    * bounds WHICH vectors are scored (nprobe inverted lists per
+    * query, |data|·nprobe/nlist candidates in expectation) and PQ
+    * bounds WHAT is read per scored vector (m codes instead of D
+    * doubles). q33 gates the probe alone, q149 the codes alone, q99
+    * the probe+SQ8; this composes probe+PQ with an exact re-rank of
+    * `rerankK` survivors — at 100 TB the index that serves
+    * interactive ANN over a corpus that fits in neither memory nor
+    * budget as full-precision vectors.
+    */
+  def ivfPqKnn(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int, m: Int, subDim: Int, ksub: Int,
+      rerankK: Int): DataFrame = {
+    val data = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val centroids = sampleCentroids(emb, idCol, vecCol, nlist)
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+    val recon = pqReconstruction(data, m, subDim, ksub)
+    val probes = probeCentroids(queries, centroids, nprobe)
+    // candidates: the probed lists only; coarse-score them on codes
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("id").asc)
+    val coarse = probes.join(assigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .join(recon, Seq("id"))
+      .withColumn("qsim", round(GraftFunctions.cosine(col("qv"), col("rvec")), 6))
+      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= rerankK)
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    coarse
+      .withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("vec")), 6))
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("rn"))
+  }
+
+  def ivfPqKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    ivfPqKnn(e.select(col("vec_id"), col("embedding")), q, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, m = 4, subDim = 16, ksub = 16, rerankK = 15)
+  }
+
+  /** DuckDB replica: q33's probe/assignment CTEs composed with q149's
+    * codebook/reconstruction CTEs and the two-stage rank.
+    */
+  val ivfPqKnnSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |data AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |assigned AS (
+      |  SELECT id, vec, cent_id FROM (
+      |    SELECT d.id, d.vec, c.cent_id,
+      |      row_number() OVER (PARTITION BY d.id
+      |        ORDER BY list_cosine_similarity(d.vec, c.cvec) DESC, c.cent_id) AS arn
+      |    FROM data d CROSS JOIN cent c) t WHERE arn = 1),
+      |subs AS (
+      |  SELECT id, j, vec[(j*16+1):(j*16+16)] AS sub
+      |  FROM data, (SELECT unnest(range(4)) AS j)),
+      |cb AS (SELECT j, id AS cent_id, sub AS cvec FROM subs WHERE id < 16),
+      |codes AS (
+      |  SELECT id, j, cent_id FROM (
+      |    SELECT s.id, s.j, c.cent_id,
+      |      row_number() OVER (PARTITION BY s.id, s.j
+      |        ORDER BY list_cosine_similarity(s.sub, c.cvec) DESC, c.cent_id) AS arn
+      |    FROM subs s JOIN cb c USING (j)) t WHERE arn = 1),
+      |recon AS (
+      |  SELECT codes.id, flatten(list(c.cvec ORDER BY codes.j)) AS rvec
+      |  FROM codes JOIN cb c ON c.j = codes.j AND c.cent_id = codes.cent_id
+      |  GROUP BY codes.id),
+      |probes AS (
+      |  SELECT query_id, qv, cent_id FROM (
+      |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+      |                 c.cent_id) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20) t WHERE prn <= 4),
+      |coarse AS (
+      |  SELECT query_id, qv, id, vec,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, id) AS crn
+      |  FROM (
+      |    SELECT p.query_id, p.qv, a.id, a.vec,
+      |      round(list_cosine_similarity(p.qv, r.rvec), 6) AS qsim
+      |    FROM probes p
+      |    JOIN assigned a USING (cent_id)
+      |    JOIN recon r ON r.id = a.id
+      |    WHERE p.query_id <> a.id) c0),
+      |exact AS (
+      |  SELECT query_id, id, round(list_cosine_similarity(qv, vec), 6) AS sim
+      |  FROM coarse WHERE crn <= 15)
+      |SELECT query_id, id AS cand_id, sim, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT query_id, id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
+      |  FROM exact) t WHERE rn <= 5""".stripMargin
 
   /** Oracle-gated: 64-dim embeddings → m=4 subspaces × 16 dims,
     * 16-entry codebooks, coarse keep 15, k=5.

@@ -148,6 +148,23 @@ class SimilaritySpec extends SparkSuite {
     assert(got === Set(0L, 1L, 2L), "all other vectors ranked, none dropped")
   }
 
+  test("ivf-pq composition: same probes as full-precision ivf, substantial overlap") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ivfpq = Similarity.ivfPqKnn(emb, qs, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, m = 4, subDim = 16, ksub = 16, rerankK = 15)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.size === 20 * 5)
+    // same seed centroids and probes as q33's kmeansIters=0 IVF, so
+    // divergence can come only from the coded coarse ranking
+    val exact = Similarity.ivfKnn(emb, qs, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, kmeansIters = 0)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val overlap = (ivfpq intersect exact).size.toDouble / exact.size
+    assert(overlap > 0.5, s"ivf-pq overlap with full-precision ivf too low: $overlap")
+  }
+
   test("kmeans centroids: always nlist rows, and empty clusters keep their seed") {
     // Seeds 0 and 1 are IDENTICAL vectors, so every point (including
     // vec 1 itself) ties between them and the argmax's cent_id
