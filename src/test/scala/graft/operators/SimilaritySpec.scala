@@ -163,6 +163,15 @@ class SimilaritySpec extends SparkSuite {
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val overlap = (ivfpq intersect exact).size.toDouble / exact.size
     assert(overlap > 0.5, s"ivf-pq overlap with full-precision ivf too low: $overlap")
+    // the scale claim in the plan: candidates come from the cent_id /
+    // id equi-joins — never a cartesian over the corpus (the flat PQ
+    // coarse is deliberately a broadcast scan; the IVF composition
+    // must not be)
+    val plan = Similarity.ivfPqKnn(emb, qs, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, m = 4, subDim = 16, ksub = 16, rerankK = 15)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"ivf-pq candidate generation must stay equi-joins:\n${plan.take(900)}")
   }
 
   test("kmeans centroids: always nlist rows, and empty clusters keep their seed") {
