@@ -334,6 +334,9 @@ object SparkEntry {
     // — IVF·PQ: probe bounds WHICH vectors are scored, codes bound
     //   WHAT is read per vector — the production FAISS composition —
     "q152_ivfpq_knn" -> Similarity.ivfPqKnnQuery _,
+    // — MMR diversity re-rank: greedy λ-blend of relevance and
+    //   redundancy over the top-fetchK candidates —
+    "q153_mmr_rerank" -> Similarity.mmrRerankQuery _,
   )
 
   /** RANGE frame over event time: each order sees its customer's
@@ -586,5 +589,6 @@ object SparkEntry {
     "q150_leakage_safe_split" -> graft.operators.Pipelines.leakageSafeSplitSql,
     "q151_sql_bag_setops" -> bagSetOpsSql,
     "q152_ivfpq_knn" -> Similarity.ivfPqKnnSql,
+    "q153_mmr_rerank" -> Similarity.mmrRerankSql,
   )
 }

@@ -36,6 +36,124 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rn"))
   }
 
+  /** q153 — MMR (maximal marginal relevance) diversity re-rank: from
+    * each query's top-`fetchK` cosine candidates, greedily select `k`
+    * where round r maximizes `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`
+    * over the already-selected set S — the standard redundancy-
+    * suppressing re-rank of a retrieval stack (near-duplicate hits
+    * crowd out coverage exactly when the corpus is near-dup-heavy,
+    * which is what the dedup suite here exists to measure). Greedy
+    * selection is inherently sequential in r, so the loop runs k
+    * ROUNDS of set-at-a-time Spark jobs — each round scores ALL
+    * (query, remaining-candidate) rows at once (one join to the ≤r-row
+    * selected set per query + one window), never a per-query driver
+    * loop; k is a constant (5) and the frames are fetchK-bounded per
+    * query, so round count and per-round cost are both independent of
+    * corpus size. All similarities round to 6dp before the λ-blend,
+    * ties break on id — the oracle unrolls the same k rounds as CTEs
+    * and must agree bit-for-bit.
+    */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, fetchK: Int, lambda: Double): DataFrame = {
+    val data = emb.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
+    val top = data.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rn") <= fetchK)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("cv"))
+      .localCheckpoint(true)
+    var selected = top
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("pick") === 1)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("cv"), lit(1).as("rank"))
+      .localCheckpoint(true)
+    var r = 1
+    while (r < k) {
+      r += 1
+      val remaining = top.join(
+        selected.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"),
+        "left_anti")
+      val redundancy = remaining.join(
+          selected.select(col("query_id"), col("cv").as("sv")), Seq("query_id"))
+        .withColumn("ss", round(GraftFunctions.cosine(col("cv"), col("sv")), 6))
+        .groupBy(col("query_id"), col("cand_id")).agg(max(col("ss")).as("max_ss"))
+      val pick = remaining.join(redundancy, Seq("query_id", "cand_id"))
+        .withColumn("mmr", lit(lambda) * col("sim") - lit(1.0 - lambda) * col("max_ss"))
+        .withColumn("prn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("cand_id").asc)))
+        .filter(col("prn") === 1)
+        .select(col("query_id"), col("cand_id"), col("sim"), col("cv"),
+          lit(r).as("rank"))
+      selected = selected.union(pick).localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  def mmrRerankQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    mmrRerank(e.select(col("vec_id"), col("embedding")), q, "vec_id", "embedding",
+      k = 5, fetchK = 15, lambda = 0.7)
+  }
+
+  /** DuckDB replica: the top-fetchK CTE plus k−1 unrolled greedy
+    * rounds (each: anti-join the selected set, max pairwise sim,
+    * λ-blend, argmax with id tie-break) — the same arithmetic on the
+    * same 6dp-rounded inputs.
+    */
+  val mmrRerankSql: String = {
+    def selN(n: Int): String = {
+      val prevSel = (1 to n - 1).map(i => s"SELECT query_id, cand_id, sim, cv, $i AS rank FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""sel$n AS (
+         |  SELECT query_id, cand_id, sim, cv, $n AS rank FROM (
+         |    SELECT t.query_id, t.cand_id, t.sim, t.cv,
+         |      row_number() OVER (PARTITION BY t.query_id
+         |        -- (1.0 - 0.7) NOT 0.3: the Spark side computes the
+         |        -- complement in IEEE double (0.30000000000000004) and
+         |        -- the blend must use bit-identical coefficients
+         |        ORDER BY CAST(0.7 AS DOUBLE) * t.sim
+         |                 - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * mx.max_ss
+         |                 DESC, t.cand_id) AS prn
+         |    FROM topk t
+         |    JOIN (
+         |      SELECT t2.query_id, t2.cand_id,
+         |        max(round(list_cosine_similarity(t2.cv, s.cv), 6)) AS max_ss
+         |      FROM topk t2 JOIN ($prevSel) s USING (query_id)
+         |      GROUP BY t2.query_id, t2.cand_id) mx
+         |      ON mx.query_id = t.query_id AND mx.cand_id = t.cand_id
+         |    WHERE NOT EXISTS (
+         |      SELECT 1 FROM ($prevSel) s2
+         |      WHERE s2.query_id = t.query_id AND s2.cand_id = t.cand_id)) z
+         |  WHERE prn = 1)""".stripMargin
+    }
+    val allSel = (1 to 5).map(i => s"SELECT query_id, cand_id, sim, rank FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH topk AS (
+       |  SELECT query_id, cand_id, sim, cv FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                   CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+       |      CAST(c.embedding AS DOUBLE[]) AS cv,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                              CAST(c.embedding AS DOUBLE[])), 6) DESC,
+       |                 c.vec_id) AS rn
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t WHERE rn <= 15),
+       |sel1 AS (
+       |  SELECT query_id, cand_id, sim, cv, 1 AS rank FROM (
+       |    SELECT query_id, cand_id, sim, cv,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS prn
+       |    FROM topk) t WHERE prn = 1),
+       |${(2 to 5).map(selN).mkString(",\n")}
+       |$allSel""".stripMargin
+  }
+
   def knnQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 10)

@@ -174,6 +174,35 @@ class SimilaritySpec extends SparkSuite {
       s"ivf-pq candidate generation must stay equi-joins:\n${plan.take(900)}")
   }
 
+  test("mmr re-rank: suppresses a planted redundant twin that plain top-k keeps") {
+    // query q; a and a' are EXACT twins near q (pairwise cosine 1.0);
+    // b and c are slightly less relevant but distinct directions.
+    // Plain top-3 keeps both twins; MMR at λ=0.5 must trade the
+    // second twin (whose redundancy penalty is the maximal 1.0) for
+    // coverage: {a, b, c}. Arithmetic: score(a') = .5·0.99015 − .5·1.0
+    // < score(b) = .5·0.97 − .5·0.96045.
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (100L, v(1.0, 0.0, 0.0)),            // q (query id; excluded from own results)
+      (1L, v(0.99, 0.14, 0.0)),            // a
+      (2L, v(0.99, 0.14, 0.0)),            // a' — exact twin of a
+      (3L, v(0.97, 0.0, 0.243)),           // b
+      (4L, v(0.97, 0.0, -0.243))           // c
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 100L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val topk = Similarity.bruteForceKnn(
+      emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")), q, k = 3)
+      .select("cand_id").as[Long].collect().toSet
+    assert(topk === Set(1L, 2L, 3L), s"plain top-3 keeps the twin: $topk")
+    val mmr = Similarity.mmrRerank(emb, q, "vec_id", "embedding",
+      k = 3, fetchK = 4, lambda = 0.5)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toMap
+    assert(mmr.keySet === Set(1L, 3L, 4L),
+      s"MMR must trade the twin for coverage: $mmr")
+    assert(mmr(1L) === 1, "the most relevant hit still leads")
+  }
+
   test("kmeans centroids: always nlist rows, and empty clusters keep their seed") {
     // Seeds 0 and 1 are IDENTICAL vectors, so every point (including
     // vec 1 itself) ties between them and the argmax's cent_id
