@@ -337,7 +337,28 @@ object SparkEntry {
     // — MMR diversity re-rank: greedy λ-blend of relevance and
     //   redundancy over the top-fetchK candidates —
     "q153_mmr_rerank" -> Similarity.mmrRerankQuery _,
+    // — WITH RECURSIVE through the SQL front door (Spark 4's
+    //   recursive CTE): one string on both engines —
+    "q154_sql_recursive_spine" -> shared(recursiveSpineSql),
   )
+
+  /** Recursive date SPINE + gap-filled monthly revenue — the
+    * time-spine pattern every BI layer generates (months with zero
+    * orders still appear, count 0), expressed as a SQL:1999 recursive
+    * CTE that Spark 4 executes natively and DuckDB replays verbatim.
+    * Also the first gate on the engine's recursive-CTE support at
+    * all: the recursion itself, not just the join, runs on Spark.
+    */
+  val recursiveSpineSql: String =
+    """WITH RECURSIVE spine(m) AS (
+      |  SELECT CAST('1992-01-01' AS TIMESTAMP)
+      |  UNION ALL
+      |  SELECT m + INTERVAL '1' MONTH FROM spine
+      |  WHERE m < CAST('1998-12-01' AS TIMESTAMP))
+      |SELECT s.m, count(o.o_orderkey) AS n,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM spine s LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = s.m
+      |GROUP BY s.m""".stripMargin
 
   /** RANGE frame over event time: each order sees its customer's
     * orders within ±7 days — the time-window analytic a session/
@@ -590,5 +611,6 @@ object SparkEntry {
     "q151_sql_bag_setops" -> bagSetOpsSql,
     "q152_ivfpq_knn" -> Similarity.ivfPqKnnSql,
     "q153_mmr_rerank" -> Similarity.mmrRerankSql,
+    "q154_sql_recursive_spine" -> recursiveSpineSql,
   )
 }
