@@ -82,6 +82,32 @@ class ColumnarScanSpec extends SparkSuite {
     assert(readM(columnar = true) === viaRow)
   }
 
+  test("a bucket larger than one batch reads across batch boundaries (vector reset path)") {
+    // 10000 rows in ONE bucket = 3 ColumnarBatches per partition: the
+    // second and third exercise OnHeapColumnVector.reset() + refill,
+    // which the 4-bucket fixture (1024 rows/bucket) never reaches
+    BucketStore.drop("colr_big")
+    val df = (0 until 10000).map(i => (i.toLong, s"s$i", i * 0.5)).toDF("k", "s", "v")
+    BucketStore.load(spark, "colr_big", df, "k", 1)
+    def read(columnar: Boolean) =
+      spark.read.format("graft-buckets").option("table", "colr_big")
+        .option("columnar", columnar.toString).load()
+    assert(read(columnar = true).count() === 10000L)
+    val got = read(columnar = true).agg(
+      sum(col("k")), sum(col("v")), count(col("s"))).head()
+    val exp = read(columnar = false).agg(
+      sum(col("k")), sum(col("v")), count(col("s"))).head()
+    assert(got === exp)
+    // row identity across the boundary rows specifically
+    val boundary = read(columnar = true)
+      .filter(col("k").isin(4095L, 4096L, 8191L, 8192L, 9999L))
+      .collect().map(_.toSeq).toSet
+    assert(boundary === read(columnar = false)
+      .filter(col("k").isin(4095L, 4096L, 8191L, 8192L, 9999L))
+      .collect().map(_.toSeq).toSet)
+    assert(boundary.size === 5)
+  }
+
   test("a projection containing an unsupported type falls back to the row reader cleanly") {
     BucketStore.drop("colr_arr")
     BucketStore.load(spark, "colr_arr",
