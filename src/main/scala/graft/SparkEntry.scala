@@ -340,6 +340,15 @@ object SparkEntry {
     // — WITH RECURSIVE through the SQL front door (Spark 4's
     //   recursive CTE): one string on both engines —
     "q154_sql_recursive_spine" -> shared(recursiveSpineSql),
+    // — BM25 over a broadcast-joined posting list: the lexical half
+    //   of the retrieval stack, fixed-point-summed for determinism —
+    "q155_bm25" -> Similarity.bm25Query _,
+    // — fixed-point PageRank: join-iteration supersteps with the CC
+    //   loop's lineage hygiene, integer units so the gate is exact —
+    "q156_pagerank" -> graft.operators.Graph.pageRankQuery _,
+    // — Count-Min sketch heavy hitters: the mergeable frequency
+    //   sketch as plain partial aggregation, cell-exact vs the oracle —
+    "q157_cms_heavy" -> graft.operators.CountMin.cmsHeavyHittersQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -612,5 +621,8 @@ object SparkEntry {
     "q152_ivfpq_knn" -> Similarity.ivfPqKnnSql,
     "q153_mmr_rerank" -> Similarity.mmrRerankSql,
     "q154_sql_recursive_spine" -> recursiveSpineSql,
+    "q155_bm25" -> Similarity.bm25Sql,
+    "q156_pagerank" -> graft.operators.Graph.pageRankSql,
+    "q157_cms_heavy" -> graft.operators.CountMin.cmsHeavyHittersSql,
   )
 }

@@ -160,12 +160,8 @@ object SimHash {
     * what the pigeonhole join computes, by its guarantee).
     */
   val simhashOracleSql: String = {
-    val M = "18446744073709551616::HUGEINT"
-    def mulmod(h: String, c: String): String =
-      s"((($h) % 4294967296::HUGEINT) * $c::HUGEINT + " +
-        s"(((($h) // 4294967296::HUGEINT) * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M"
-    def x33(h: String): String = s"xor(($h), ($h) >> 33)"
-    val fmix = x33(mulmod(x33(mulmod(x33("h0"), "18397679294719823053")), "14181476777654086739"))
+    val M = SimHash.Mod64
+    val fmix = SimHash.fmixSql("h0")
     s"""WITH words AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
@@ -193,4 +189,35 @@ object SimHash {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 7""".stripMargin
   }
+
+  /** HUGEINT mod-2^64 SQL building blocks — the DuckDB replica of the
+    * JVM long-hash pipeline ([[graft.functions.Fingerprint64]] ∘
+    * [[graft.functions.Mix64]]), shared by every oracle that needs it
+    * exactly (q25 SimHash above, q157 Count-Min).
+    */
+  // a def, not a val: simhashOracleSql above initializes first and
+  // would read a val declared below it as null
+  private[operators] def Mod64: String = "18446744073709551616::HUGEINT"
+
+  /** Wrapping 64-bit multiply: the 128-bit intermediate never
+    * overflows HUGEINT because the product is split at 2^32.
+    */
+  private[operators] def mulmodSql(h: String, c: String): String =
+    s"((($h) % 4294967296::HUGEINT) * $c::HUGEINT + " +
+      s"(((($h) // 4294967296::HUGEINT) * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $Mod64"
+
+  private[operators] def x33Sql(h: String): String = s"xor(($h), ($h) >> 33)"
+
+  /** murmur fmix64 of a mod-2^64 HUGEINT expression. */
+  private[operators] def fmixSql(h: String): String =
+    x33Sql(mulmodSql(x33Sql(mulmodSql(x33Sql(h), "18397679294719823053")), "14181476777654086739"))
+
+  /** Karp-Rabin byte fold of a VARCHAR expression — the exact replica
+    * of [[graft.functions.Fingerprint64]] (h = h·257 + byte mod 2^64).
+    */
+  private[operators] def byteFoldFpSql(w: String): String =
+    s"""list_reduce(list_prepend(0::HUGEINT,
+       |    list_transform(range(octet_length(encode($w))),
+       |      i -> CAST(CAST(('0x' || substr(hex(encode($w)), 2*i::INT + 1, 2)) AS INT) AS HUGEINT))),
+       |    (a, b) -> (a * 257 + b) % $Mod64)""".stripMargin
 }

@@ -856,4 +856,106 @@ object Similarity {
       |  SELECT query_id, id, sim,
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
       |  FROM exact) t WHERE rn <= 5""".stripMargin
+
+  /** q155 — BM25 lexical retrieval over an inverted index. The missing
+    * lexical half of the retrieval stack (q68's hybrid uses set
+    * Jaccard; production retrieval is BM25): score(q,d) =
+    * Σ_{t∈q∩d} idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    * k1 = 1.2, b = 0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Shape is the one that scales: the corpus side is a posting list
+    * (doc_id, token, tf) — built by one explode + groupBy, the same
+    * partial-aggregated shape a distributed inverted index has — and
+    * the query side (distinct terms of the query docs) is tiny and
+    * BROADCAST, so candidate generation is a broadcast equi-join on
+    * token: the corpus is scanned once, nothing n² anywhere, and the
+    * per-(query, doc) score is one more partial-aggregated groupBy.
+    * At 100 TB the posting list is the thing you'd persist bucketed
+    * by token; the query-time join shape is unchanged.
+    *
+    * Determinism across engines: ln and the tf normalization are IEEE
+    * doubles evaluated with the same expression tree on both sides,
+    * then each TERM contribution is fixed-pointed to integer
+    * micro-units (round(c·1e6) as BIGINT) BEFORE the per-document sum,
+    * so the aggregate is exact integer arithmetic — immune to
+    * summation order, the same trick the z-order/PageRank paths use.
+    */
+  def bm25Query(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), "doc_id", "text", col("doc_id") < 3, k = 10)
+
+  /** BM25 top-k of every document against each query doc (`isQuery`
+    * selects the query set; query docs never match themselves).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"),
+        isQuery.as("is_query"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("is_query")).as("is_query"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("is_query"))
+      .select(col("doc_id").as("query_id"), col("tok")).distinct()
+    // Every literal below is a plain double and every operation is a
+    // double op in the same tree shape as the oracle SQL — the only
+    // cross-engine wobble left is ln()'s last ulp, absorbed by the
+    // 1e-6 fixed-pointing.
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfw = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val contrib = tf
+      .join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(df, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfw * 1e6, 0).cast("long").as("c_micro"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"), col("rn"))
+  }
+
+  val bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf WHERE doc_id < 3),
+      |contrib AS (
+      |  SELECT q.query_id, f.doc_id,
+      |    CAST(round(ln(1.0::DOUBLE + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5::DOUBLE)
+      |                                / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      |      * ((CAST(f.tf AS DOUBLE) * 2.2::DOUBLE)
+      |         / (CAST(f.tf AS DOUBLE)
+      |            + 1.2::DOUBLE * (0.25::DOUBLE
+      |                             + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) / s.avgdl)))
+      |      * 1e6) AS BIGINT) AS c_micro
+      |  FROM tf f
+      |  JOIN qterms q USING (tok)
+      |  JOIN df d USING (tok)
+      |  JOIN dl l ON l.doc_id = f.doc_id
+      |  CROSS JOIN stats s
+      |  WHERE f.doc_id <> q.query_id),
+      |scored AS (
+      |  SELECT query_id, doc_id, sum(c_micro) AS score_micro
+      |  FROM contrib GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score_micro, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT query_id, doc_id, score_micro,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+      |  FROM scored) t WHERE rn <= 10""".stripMargin
 }

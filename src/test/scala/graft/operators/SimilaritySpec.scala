@@ -218,4 +218,31 @@ class SimilaritySpec extends SparkSuite {
     assert(cents(1)._2.toSeq === Seq(1.0, 0.0)) // empty cluster kept its seed
     cents.foreach { case (_, v) => assert(v.length === 2 && v.forall(x => !x.isNaN)) }
   }
+
+  test("q155 BM25: rare shared term dominates, common terms wash out") {
+    // query doc 0 has terms {zebra, the}; "zebra" appears only in docs
+    // 0 and 2 (high idf), "the" in EVERY doc (idf ~ ln(1+0.5/4.5), tiny).
+    // doc 2 must out-rank doc 1, which shares only "the" — even at tf=3.
+    val docs = Seq(
+      (0L, "zebra the"), (1L, "the the the quick fox"),
+      (2L, "zebra runs far the"), (3L, "wholly unrelated the words"))
+      .toDF("doc_id", "text")
+    val got = Similarity.bm25(docs, "doc_id", "text", col("doc_id") === 0, k = 3)
+      .select("doc_id", "rn").as[(Long, Int)].collect().toMap
+    assert(got.keySet.contains(2L) && got(2L) === 1,
+      s"zebra doc must rank first for the zebra query: $got")
+    assert(!got.contains(0L), "a query doc never matches itself")
+  }
+
+  test("BM25: longer doc with same tf scores lower (length normalization)") {
+    val docs = Seq(
+      (0L, "needle"),
+      (1L, "needle a b"),
+      (2L, "needle a b c d e f g h i j k l m n o p q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val scores = Similarity.bm25(docs, "doc_id", "text", col("doc_id") === 0, k = 3)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    assert(scores(1L) > scores(2L),
+      s"length normalization must penalize the long doc: $scores")
+  }
 }

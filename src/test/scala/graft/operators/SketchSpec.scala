@@ -86,4 +86,32 @@ class SketchSpec extends SparkSuite {
       assert(mergeOk, s"$etype merged HLL estimate outside 5% of $exactUsers")
     }
   }
+
+  test("q157 CMS: estimates are one-sided (est >= exact) and top tokens near-exact") {
+    val got = CountMin.cmsHeavyHittersQuery(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 20)
+    got.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"CMS under-estimated '$tok': est=$est < exact=$exact")
+      // 4 rows × 512 buckets over a sf0.001 vocab: a heavy hitter's
+      // min-row estimate collides with at most a light tail — allow
+      // slack but pin the order of magnitude
+      assert(est <= exact * 3 + 1000, s"'$tok' est=$est wildly over exact=$exact")
+    }
+  }
+
+  test("CMS sketch is exactly the cell-wise sum (mergeable by construction)") {
+    // two disjoint halves of the corpus, sketched separately, must sum
+    // cell-for-cell to the whole corpus's sketch — the merge property
+    // that lets partial sketches combine across partitions/streams
+    import org.apache.spark.sql.DataFrame
+    def sketchOf(df: DataFrame) = CountMin.sketchCells(df, "text")
+      .as[(Int, Long, Long)].collect().map { case (r, b, c) => ((r, b), c) }.toMap
+    val docs = Tables.documents(spark, sf)
+    val whole = sketchOf(docs)
+    val a = sketchOf(docs.filter(col("doc_id") % 2 === 0))
+    val b = sketchOf(docs.filter(col("doc_id") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
 }
