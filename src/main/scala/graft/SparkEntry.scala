@@ -349,6 +349,12 @@ object SparkEntry {
     // — Count-Min sketch heavy hitters: the mergeable frequency
     //   sketch as plain partial aggregation, cell-exact vs the oracle —
     "q157_cms_heavy" -> graft.operators.CountMin.cmsHeavyHittersQuery _,
+    // — unigram-LM cross-entropy quality gate (the CCNet perplexity
+    //   filter shape), micro-nat fixed-point for exactness —
+    "q158_lm_xent" -> TextAnalysis.lmXentQuery _,
+    // — the CMS sketch maintained by Structured Streaming: streamed
+    //   cells must be bit-identical to the batch sketch —
+    "q159_stream_cms" -> graft.operators.CountMin.streamCmsQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -624,5 +630,7 @@ object SparkEntry {
     "q155_bm25" -> Similarity.bm25Sql,
     "q156_pagerank" -> graft.operators.Graph.pageRankSql,
     "q157_cms_heavy" -> graft.operators.CountMin.cmsHeavyHittersSql,
+    "q158_lm_xent" -> TextAnalysis.lmXentSql,
+    "q159_stream_cms" -> graft.operators.CountMin.streamCmsSql,
   )
 }

@@ -83,6 +83,55 @@ object CountMin {
     est.select(col("tok"), col("exact_cnt"), col("est_cnt"))
   }
 
+  /** q159 — the SAME sketch maintained by Structured Streaming: token
+    * occurrences stream in, each contributes 1 to its d cells, and ONE
+    * streaming aggregation (groupBy(r, bkt).count — chained aggs are
+    * not streamable, so cells are built from occurrences directly, not
+    * from a token-count intermediate) keeps the live sketch. This is
+    * the claim the batch scaladoc makes — "the same groupBy runs
+    * identically under Structured Streaming" — made checkable: the
+    * streamed cells must be BIT-IDENTICAL to the batch-built sketch,
+    * which is what the oracle rebuilds. Complete-mode state is d·w
+    * counters — constant, the whole point of sketching a stream.
+    */
+  def streamCmsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(schema).parquet(s"$dir/{documents.parquet}")
+    val cells = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("tok"), posexplode(seedArr).as(Seq("r", "seed")))
+      .select(col("r"), bucket(col("tok"), col("seed")).as("bkt"))
+      .groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("c"))
+    graft.streaming.StreamOps.runToMemory(cells, "complete")
+  }
+
+  /** Oracle: the batch sketch cells (streamed maintenance must agree
+    * cell-for-cell).
+    */
+  val streamCmsSql: String = {
+    val fp = SimHash.byteFoldFpSql("tok")
+    val mix = SimHash.fmixSql("xor(fp, seed)")
+    val seedList = Seeds.map(s => s"$s::HUGEINT").mkString("[", ", ", "]")
+    s"""WITH cnt AS (
+       |  SELECT tok, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+       |  WHERE tok <> '' GROUP BY 1),
+       |hashed AS (
+       |  SELECT tok, cnt, r, ($mix) & ${Width - 1}::HUGEINT AS bkt FROM (
+       |    SELECT tok, cnt, s.r, s.seed, $fp AS fp
+       |    FROM cnt, (SELECT CAST(g.generate_series AS INT) AS r,
+       |                      ($seedList)[g.generate_series + 1] AS seed
+       |               FROM generate_series(0, 3) g) s) h)
+       |SELECT r, CAST(bkt AS BIGINT) AS bkt, CAST(sum(cnt) AS BIGINT) AS c
+       |FROM hashed GROUP BY 1, 2""".stripMargin
+  }
+
   /** DuckDB replica: identical sketch in HUGEINT mod-2^64 arithmetic
     * via the shared q25 hash builders.
     */

@@ -442,4 +442,72 @@ object TextAnalysis {
       |  CAST(CASE WHEN fp > 9223372036854775807::HUGEINT
       |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp
       |FROM f""".stripMargin
+
+  // ——— unigram-LM cross-entropy (the CCNet-style perplexity gate) ———
+
+  /** q158 — score every document by its average token surprisal under
+    * a unigram LM trained on the corpus itself, and gate on it — the
+    * shape of CCNet's perplexity filter (there a KenLM 5-gram; the
+    * language-model weights here are the corpus's own unigram
+    * distribution, which is the self-contained deterministic analog:
+    * no external model artifact, same plumbing). Low average surprisal
+    * = text made of common, well-distributed tokens ("head" quality);
+    * high = rare-token soup (boilerplate ids, noise, wrong-language).
+    *
+    * Scale shape: training IS one groupBy (token counts — partial-
+    * aggregated, mergeable), scoring is an equi-join of the token
+    * stream against the model table. At 100 TB both sides are the
+    * patterns this repo already commits to: the model table is
+    * vocabulary-sized (shuffle-free to broadcast if small, an
+    * equi-join if not) and nothing touches the driver.
+    *
+    * Determinism: per-token surprisal ln(total/cnt) is fixed-pointed
+    * to BIGINT micro-nats BEFORE the per-document weighted sum, so
+    * document scores are exact integers (summation-order-free); the
+    * average is an integer division. `keep` gates at 8.0 nats
+    * (perplexity e^8 ≈ 2981 — loose for a unigram model; tune per
+    * corpus in production).
+    */
+  def lmXentQuery(spark: SparkSession, dir: String): DataFrame =
+    lmXent(Tables.documents(spark, dir), "doc_id", "text")
+
+  def lmXent(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val total = broadcast(model.agg(sum(col("cnt")).as("total")))
+    val surprisal = model.crossJoin(total)
+      .select(col("tok"),
+        round(log(col("total").cast("double") / col("cnt")) * 1e6, 0)
+          .cast("long").as("s_micro"))
+    tf.join(surprisal, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("s_micro")).as("xent_sum"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("xent_sum div n_tok").as("avg_xent_micro"),
+        (expr("xent_sum div n_tok") < 8000000L).as("keep"))
+  }
+
+  val lmXentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |model AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+      |total AS (SELECT sum(cnt) AS total FROM model),
+      |surprisal AS (
+      |  SELECT tok,
+      |    CAST(round(ln(CAST(t.total AS DOUBLE) / m.cnt) * 1e6) AS BIGINT) AS s_micro
+      |  FROM model m CROSS JOIN total t),
+      |scored AS (
+      |  SELECT f.doc_id, sum(f.tf) AS n_tok, sum(f.tf * s.s_micro) AS xent_sum
+      |  FROM tf f JOIN surprisal s USING (tok) GROUP BY 1)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(xent_sum // n_tok AS BIGINT) AS avg_xent_micro,
+      |  (xent_sum // n_tok) < 8000000 AS keep
+      |FROM scored""".stripMargin
 }

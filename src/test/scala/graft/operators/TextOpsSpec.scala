@@ -41,4 +41,34 @@ class TextOpsSpec extends SparkSuite {
       .as[String].collect().toSeq
     assert(toks === Seq("a", "b", "c"))
   }
+
+  test("q158 LM cross-entropy: common-token doc scores below rare-token doc") {
+    // "the" dominates the corpus (low surprisal); doc 2 is one-off
+    // rare tokens (each ln(total/1), max surprisal)
+    val docs = Seq(
+      (0L, "the the the the the the the the"),
+      (1L, "the the the cat"),
+      (2L, "xqzt vwpl njrd kfgh"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmXent(docs, "doc_id", "text")
+      .select("doc_id", "avg_xent_micro", "keep")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L)._1 < got(1L)._1 && got(1L)._1 < got(2L)._1,
+      s"surprisal must order all-common < mostly-common < all-rare: $got")
+    // exact value check: doc 0 is 8×"the", cnt(the)=11, total=16 →
+    // every token's surprisal = round(ln(16/11)·1e6) = 374693
+    assert(got(0L)._1 == math.round(math.log(16.0 / 11.0) * 1e6))
+    assert(got(0L)._2, "the all-common doc must pass the 8-nat gate")
+  }
+
+  test("q159 shape: streamed CMS cells equal the batch sketch (operator-level)") {
+    // the gated query pins this against DuckDB at the driver; here the
+    // same claim at spec scale via the exposed batch cell table
+    val batch = CountMin.sketchCells(
+      graft.tables.Tables.documents(spark, sf), "text")
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val streamed = CountMin.streamCmsQuery(spark, sf)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch)
+  }
 }
