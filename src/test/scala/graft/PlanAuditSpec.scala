@@ -251,4 +251,32 @@ class PlanAuditSpec extends SparkSuite {
     val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen"), p.take(500))
   }
+
+  test("q155: BM25 candidate generation is a broadcast token equi-join — no cartesian") {
+    val p = plan("q155_bm25")
+    assert(!p.contains("CartesianProduct"), s"cartesian in BM25:\n${p.take(600)}")
+    // the query-term side and the 1-row stats frame broadcast; the
+    // posting list must never shuffle into a nested loop. The only
+    // BNLJ allowed is the single-row stats crossJoin attach.
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"BM25 grew nested-loop joins beyond the 1-row stats attach ($bnlj)")
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast into the posting list")
+  }
+
+  test("q156: PageRank supersteps are equi-joins — no cartesian, no nested loop on edges") {
+    val p = plan("q156_pagerank")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PageRank:\n${p.take(600)}")
+    // per superstep the only BNLJ is the 1-row node-count attach;
+    // 5 supersteps + init = at most 6 (localCheckpoint cuts hide
+    // earlier ones, so in practice the final frame shows 1)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 6, s"PageRank superstep joined edges with a nested loop ($bnlj)")
+  }
+
+  test("q157: the CMS estimate probe broadcasts the d*w sketch") {
+    val p = plan("q157_cms_heavy")
+    assert(!p.contains("CartesianProduct"), s"cartesian in CMS:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (r, bkt) sketch lookup must be a broadcast equi-join")
+  }
 }
