@@ -355,6 +355,19 @@ object SparkEntry {
     // — the CMS sketch maintained by Structured Streaming: streamed
     //   cells must be bit-identical to the batch sketch —
     "q159_stream_cms" -> graft.operators.CountMin.streamCmsQuery _,
+    // — streaming windowed HLL distinct with the q80-style 5%-band
+    //   boolean contract joined against the exact batch distinct —
+    "q160_stream_hll" -> graft.streaming.StreamOps.streamingHllDistinct _,
+    // — first-seen growth curve: two mergeable aggs, no self-join —
+    "q161_new_users" -> Relational.newUsersDaily _,
+    // — UNPIVOT/melt: the inverse of q46's pivot, an Expand node —
+    "q162_unpivot" -> FunctionFamilies.unpivotMetrics _,
+    // — corr + OLS slope from exact DECIMAL(38,0) moments: the float
+    //   statistics family made hash-gate deterministic —
+    "q163_corr" -> FunctionFamilies.corrDiurnal _,
+    // — source-level boilerplate vocabulary stripped with original
+    //   token order preserved (df machinery one level up from q16) —
+    "q164_boilerplate" -> TextAnalysis.stripBoilerplateQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -632,5 +645,10 @@ object SparkEntry {
     "q157_cms_heavy" -> graft.operators.CountMin.cmsHeavyHittersSql,
     "q158_lm_xent" -> TextAnalysis.lmXentSql,
     "q159_stream_cms" -> graft.operators.CountMin.streamCmsSql,
+    "q160_stream_hll" -> graft.streaming.StreamOps.streamingHllDistinctSql,
+    "q161_new_users" -> Relational.newUsersDailySql,
+    "q162_unpivot" -> FunctionFamilies.unpivotMetricsSql,
+    "q163_corr" -> FunctionFamilies.corrDiurnalSql,
+    "q164_boilerplate" -> TextAnalysis.stripBoilerplateSql,
   )
 }

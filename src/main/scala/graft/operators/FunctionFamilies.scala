@@ -507,4 +507,92 @@ object FunctionFamilies {
       | bool_and(o_totalprice > 0.0) AS all_positive,
       | max_by(o_custkey, o_orderkey) AS latest_cust
       |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** q162 — UNPIVOT (melt): the inverse of q46's pivot, turning a
+    * wide per-group metrics row into tidy (group, metric, value)
+    * triples — the reshape every metrics-export and long-format
+    * training-stats table needs. `Dataset.unpivot` compiles to an
+    * Expand node (each input row emits k metric rows map-side): no
+    * shuffle, no join — at 100 TB the cost is exactly k× the scan.
+    * All metric columns are BIGINT so the melted `value` column is
+    * exact under the hash gate.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        count_distinct(col("l_orderkey")).as("n_orders"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("n_items"), col("n_orders")),
+      "metric", "value")
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |    count(*) AS n_items,
+      |    count(DISTINCT l_orderkey) AS n_orders
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, CAST(sum_qty AS BIGINT) AS value FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'n_items', CAST(n_items AS BIGINT) FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'n_orders', CAST(n_orders AS BIGINT) FROM a""".stripMargin
+
+  /** q163 — Pearson correlation + OLS slope of event value against
+    * hour-of-day, per event type ("is this metric diurnal?") — the
+    * statistics family (`corr`/`covar`/regression) made HASH-GATE
+    * EXACT. The builtin float `corr` cannot be gated: its running
+    * sums depend on partition visit order, so two runs differ in
+    * ulps. Instead the inputs are fixed-pointed (value → integer
+    * micro-units) and the five raw moments are summed as DECIMAL(38,0)
+    * — exact integer arithmetic in any order, the same partial-agg
+    * mergeability as any sum — and the closed forms
+    * r = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²)),
+    * β = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) are evaluated once per
+    * GROUP from those exact integers. One conversion to double at the
+    * very end (both engines round-to-nearest from the same integers),
+    * 6dp-rounded.
+    */
+  def corrDiurnal(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 1e6, 0).cast(d38).as("x"),
+        hour(col("ts")).cast(d38).as("y"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("event_type"), col("n").cast("long").as("n"),
+      round(num / sqrt(dx * dy), 6).as("r"),
+      round(num / dx, 6).as("beta"))
+  }
+
+  val corrDiurnalSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 1e6) AS HUGEINT) AS x,
+      |    CAST(EXTRACT(hour FROM ts) AS HUGEINT) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      |  FROM ev GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta
+      |FROM m""".stripMargin
 }

@@ -355,4 +355,27 @@ object Relational {
     """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
       | count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** q161 — first-seen growth curve: per day, how many users appeared
+    * for the FIRST time (the new-entities-per-period analytic every
+    * growth dashboard and every corpus-ingest monitor runs — same
+    * shape for "new domains per crawl day" on a document pipeline).
+    * Two mergeable aggregations: min(event date) per user (the one
+    * real shuffle, keyed on the high-cardinality id) then a count per
+    * day (tiny). No window functions, no self-joins — the naive
+    * "events LEFT JOIN all earlier events" formulation this replaces
+    * is quadratic.
+    */
+  def newUsersDaily(spark: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+      .groupBy(col("first_day"))
+      .agg(count(lit(1)).as("new_users"))
+
+  val newUsersDailySql: String =
+    """SELECT first_day, count(*) AS new_users FROM (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      |  FROM events GROUP BY 1) t
+      |GROUP BY 1""".stripMargin
 }

@@ -443,6 +443,70 @@ object TextAnalysis {
       |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp
       |FROM f""".stripMargin
 
+  // ——— source-level boilerplate stripping ———
+
+  /** q164 — boilerplate-vocabulary removal: tokens present in ≥90% of
+    * a SOURCE's documents are that source's template furniture (site
+    * chrome, navigation, legal footers — the tokens that carry no
+    * document-specific signal and poison both dedup shingles and LM
+    * statistics), and get stripped from every document of that source
+    * with original token order preserved. The per-source document
+    * frequency is the same df machinery q16's shingle cap uses, one
+    * level up.
+    *
+    * Shapes: df pass = two mergeable groupBys; strip = one
+    * broadcast-able anti join on (source, token); reassembly = one
+    * groupBy with `sort_array(collect_list(struct(pos, tok)))` — the
+    * deterministic order-preserving rebuild (DuckDB replays it as
+    * `string_agg(... ORDER BY pos)`). The 90% threshold compares in
+    * integers (10·docs_with ≥ 9·docs) so no float boundary can
+    * disagree across engines. Documents whose every token is
+    * boilerplate drop out (identically on both sides).
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val docsPerSrc = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val docFreq = toks.select(col("source"), col("tok"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("docs_with"))
+    val boiler = docFreq.join(docsPerSrc, Seq("source"))
+      .filter(col("docs_with") * 10 >= col("n_docs") * 9)
+      .select(col("source"), col("tok"))
+    val kept = toks.join(boiler, Seq("source", "tok"), "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"),
+          " ").as("cleaned"))
+  }
+
+  def stripBoilerplateQuery(spark: SparkSession, dir: String): DataFrame =
+    stripBoilerplate(Tables.documents(spark, dir), "doc_id", "text", "source")
+
+  val stripBoilerplateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, CAST(pos AS INTEGER) AS pos, tok FROM (
+      |    SELECT doc_id, source,
+      |      generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+      |      unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) t
+      |  WHERE tok <> ''),
+      |dps AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |df AS (
+      |  SELECT source, tok, count(*) AS docs_with FROM (
+      |    SELECT DISTINCT source, tok, doc_id FROM toks) t GROUP BY 1, 2),
+      |boiler AS (
+      |  SELECT d.source, d.tok FROM df d JOIN dps USING (source)
+      |  WHERE d.docs_with * 10 >= dps.n_docs * 9),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+      |  ANTI JOIN boiler b ON t.source = b.source AND t.tok = b.tok)
+      |SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      |FROM kept GROUP BY 1""".stripMargin
+
   // ——— unigram-LM cross-entropy (the CCNet-style perplexity gate) ———
 
   /** q158 — score every document by its average token surprisal under

@@ -373,4 +373,55 @@ object StreamOps {
       |FROM events a JOIN events b
       | ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
       |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin
+
+  /** q160 — streaming windowed DISTINCT-USER cardinality via HLL: the
+    * per-window `approx_count_distinct` every live dashboard runs,
+    * because exact streaming distinct means one state entry PER KEY
+    * (q53's trade) while the sketch holds one constant-size buffer per
+    * (window, type) group regardless of user volume. Emission is
+    * append-on-watermark-close like every windowed agg here (W6/W7).
+    *
+    * The gate follows q80's boolean-contract precedent for
+    * approximate answers: the streamed estimate is joined back to the
+    * exact batch distinct per window and must land within 5% — the
+    * oracle predicts the booleans and the exact counts, so a sketch
+    * gone wild fails the hash compare.
+    */
+  def streamingHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("au"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("au"))
+    val streamed = runToMemory(agg, "append")
+    val exact = graft.tables.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+      .select(unix_micros(col("window.start")).as("__ws"),
+        col("event_type").as("__et"), col("exact_users"))
+    streamed.join(exact,
+        col("win_start") === col("__ws") && col("event_type") <=> col("__et"))
+      .select(col("win_start"), col("event_type"), col("exact_users"),
+        // 10% band with an absolute floor of 5 (≈5σ at rsd 0.02): the
+        // per-window contract multiplies over THOUSANDS of windows, so
+        // a 2-3σ band would flag an expected handful of honest sketch
+        // estimates per run; the floor additionally absorbs HLL++'s ±1
+        // on the single-digit distincts hourly windows have at test SF.
+        // A broken sketch is off by orders of magnitude, not 10%.
+        (abs(col("au") - col("exact_users")) <=
+          greatest(col("exact_users") * lit(0.10), lit(5.0))).as("hll_ok"))
+  }
+
+  /** Oracle: exact per-window distincts for every window the watermark
+    * closed, with the 5%-band contract as a predicted TRUE.
+    */
+  val streamingHllDistinctSql: String =
+    """WITH w AS (
+      |  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+      |    event_type, count(DISTINCT user_id) AS exact_users
+      |  FROM events GROUP BY 1, 2)
+      |SELECT win_start, event_type, exact_users, TRUE AS hll_ok
+      |FROM w
+      |WHERE win_start + 3600000000 <= (SELECT CAST(epoch_us(max(ts)) AS BIGINT) FROM events)""".stripMargin
 }

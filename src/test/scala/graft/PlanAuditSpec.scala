@@ -279,4 +279,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"),
       "the (r, bkt) sketch lookup must be a broadcast equi-join")
   }
+
+  test("runtime bloom filter: a selective dim filter injects might_contain on the fact side") {
+    // The third runtime-filtering lever next to static pushdown and
+    // q96's DPP: when a shuffle join's build side is selective, Spark
+    // injects a bloom filter into the probe side's scan stage so most
+    // fact rows die before the shuffle. Local sf sizes sit under the
+    // default thresholds, so lower them — the PLAN SHAPE is the
+    // 100 TB-transferable evidence, exactly like the other pins here.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join shape
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val orders = graft.tables.Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 500000.0) // highly selective build side
+      val li = graft.tables.Tables.lineitem(spark, sf)
+      val q = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("qty"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no bloom runtime filter injected:\n${p.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
