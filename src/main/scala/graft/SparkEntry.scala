@@ -368,6 +368,9 @@ object SparkEntry {
     // — source-level boilerplate vocabulary stripped with original
     //   token order preserved (df machinery one level up from q16) —
     "q164_boilerplate" -> TextAnalysis.stripBoilerplateQuery _,
+    // — SQL-registered UDF invoked through spark.sql: the SQL-first
+    //   extension path next to q55's DSL udf() column —
+    "q165_sql_udf" -> graft.operators.UdfSurface.sqlUdfQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -650,5 +653,6 @@ object SparkEntry {
     "q162_unpivot" -> FunctionFamilies.unpivotMetricsSql,
     "q163_corr" -> FunctionFamilies.corrDiurnalSql,
     "q164_boilerplate" -> TextAnalysis.stripBoilerplateSql,
+    "q165_sql_udf" -> graft.operators.UdfSurface.sqlUdfSql,
   )
 }

@@ -82,4 +82,37 @@ object UdfSurface {
       |FROM orders
       |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
       |  AND o_totalprice * 0.9 > 250000.0""".stripMargin
+
+  /** q165 — the SQL-REGISTERED flavor of tier 1: the same banding
+    * logic registered via `spark.udf.register` and invoked from a
+    * `spark.sql` string — the path a SQL-first user (or a BI tool
+    * emitting SQL) extends the engine through, vs q55's DSL `udf()`
+    * column. Registration is session-scoped and idempotent;
+    * evaluation characteristics are identical to q55's (opaque
+    * closure, no pushdown through it — the WHERE on a plain column
+    * still reaches the scan).
+    */
+  def sqlUdfQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("graft_band", (p: java.lang.Double) =>
+      if (p == null) "LOW"
+      else if (p > 300000.0) "HIGH" else if (p > 100000.0) "MID" else "LOW")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_udf")
+    spark.sql(
+      """SELECT graft_band(o_totalprice) AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_orders_udf
+        |WHERE o_orderkey % 3 = 0
+        |GROUP BY 1""".stripMargin)
+  }
+
+  val sqlUdfSql: String =
+    """SELECT CASE WHEN o_totalprice > 300000.0 THEN 'HIGH'
+      |            WHEN o_totalprice > 100000.0 THEN 'MID'
+      |            ELSE 'LOW' END AS band,
+      | count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey % 3 = 0
+      |GROUP BY 1""".stripMargin
 }
