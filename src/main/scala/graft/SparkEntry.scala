@@ -371,6 +371,9 @@ object SparkEntry {
     // — SQL-registered UDF invoked through spark.sql: the SQL-first
     //   extension path next to q55's DSL udf() column —
     "q165_sql_udf" -> graft.operators.UdfSurface.sqlUdfQuery _,
+    // — time-INTERVAL stream-stream join: watermark-bounded state
+    //   window, the canonical shape next to q14's window equality —
+    "q166_stream_interval_join" -> graft.streaming.AdvancedStreams.intervalJoin _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -654,5 +657,6 @@ object SparkEntry {
     "q163_corr" -> FunctionFamilies.corrDiurnalSql,
     "q164_boilerplate" -> TextAnalysis.stripBoilerplateSql,
     "q165_sql_udf" -> graft.operators.UdfSurface.sqlUdfSql,
+    "q166_stream_interval_join" -> graft.streaming.AdvancedStreams.intervalJoinSql,
   )
 }

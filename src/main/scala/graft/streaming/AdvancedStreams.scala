@@ -168,4 +168,44 @@ object AdvancedStreams {
 
   val transformWithStateAggSql: String =
     "SELECT user_id, count(*) AS n, max(value) AS max_value FROM events GROUP BY user_id"
+
+  /** q166 — time-INTERVAL stream-stream join: purchases attributed to
+    * a same-user click they follow within 30 minutes — the other
+    * canonical Spark stream-stream join shape next to q14/q58's
+    * window-struct equality. The range condition on the two event
+    * times is what tells Spark how long to hold each side's state
+    * (clicks evict once the purchase watermark passes ts + 30 min;
+    * purchases once the click watermark passes their ts) — a
+    * watermark-bounded state window, not a tumbling bucket, so a
+    * click at :55 still matches a purchase at :10 across the hour
+    * boundary that q14 would drop. Inner matches emit in-batch;
+    * nothing is withheld for window closure, so the oracle is the
+    * plain interval self-join. Gap reported in exact microseconds.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = StreamOps.eventsStream(spark, dir)
+    def side(eventType: String) =
+      ev.filter(col("event_type") === eventType).withWatermark("ts", "0 seconds")
+    val clicks = side("click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    StreamOps.runToMemory(joined, "append")
+  }
+
+  val intervalJoinSql: String =
+    """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+      |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts
+      | AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
 }
