@@ -374,6 +374,9 @@ object SparkEntry {
     // — time-INTERVAL stream-stream join: watermark-bounded state
     //   window, the canonical shape next to q14's window equality —
     "q166_stream_interval_join" -> graft.streaming.AdvancedStreams.intervalJoin _,
+    // — MAP-type function family: map_from_entries + element_at +
+    //   map_filter + aggregate over map_values, scalar outputs —
+    "q167_map_funcs" -> FunctionFamilies.mapFuncs _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -658,5 +661,6 @@ object SparkEntry {
     "q164_boilerplate" -> TextAnalysis.stripBoilerplateSql,
     "q165_sql_udf" -> graft.operators.UdfSurface.sqlUdfSql,
     "q166_stream_interval_join" -> graft.streaming.AdvancedStreams.intervalJoinSql,
+    "q167_map_funcs" -> FunctionFamilies.mapFuncsSql,
   )
 }

@@ -542,6 +542,44 @@ object FunctionFamilies {
       |UNION ALL
       |SELECT l_returnflag, 'n_orders', CAST(n_orders AS BIGINT) FROM a""".stripMargin
 
+  /** q167 — the MAP-type function family: per-document token-count
+    * maps built with `map_from_entries`, then interrogated with the
+    * map accessors and higher-order map functions (`element_at`,
+    * `map_keys`, `map_values`, `map_filter`, `aggregate`). The map is
+    * internal — outputs are scalars, so collect_list's partition
+    * order (which the map's ENTRY order inherits) never reaches the
+    * result, and the oracle verifies the same semantics computed
+    * relationally from the token counts (the repo's oracle rule:
+    * replicate results, not data structures).
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        size(col("m")).as("n_distinct"),
+        coalesce(element_at(col("m"), "the"), lit(0L)).as("the_cnt"),
+        expr("size(map_filter(m, (k, v) -> v >= 3))").as("n_freq"),
+        element_at(array_sort(map_keys(col("m"))), 1).as("first_tok"),
+        expr("aggregate(map_values(m), 0L, (a, b) -> a + b)").as("n_toks"))
+  }
+
+  val mapFuncsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  WHERE tok <> '' GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INTEGER) AS n_distinct,
+      |  coalesce(max(CASE WHEN tok = 'the' THEN cnt END), 0) AS the_cnt,
+      |  CAST(count(*) FILTER (WHERE cnt >= 3) AS INTEGER) AS n_freq,
+      |  min(tok) AS first_tok,
+      |  sum(cnt) AS n_toks
+      |FROM tf GROUP BY 1""".stripMargin
+
   /** q163 — Pearson correlation + OLS slope of event value against
     * hour-of-day, per event type ("is this metric diurnal?") — the
     * statistics family (`corr`/`covar`/regression) made HASH-GATE

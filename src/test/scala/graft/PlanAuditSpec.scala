@@ -280,6 +280,20 @@ class PlanAuditSpec extends SparkSuite {
       "the (r, bkt) sketch lookup must be a broadcast equi-join")
   }
 
+  test("AQE coalesces a small aggregation's shuffle partitions at runtime") {
+    // the 100 TB posture is static shuffle.partitions sized for the
+    // big queries + AQE shrinking the small ones at runtime — verify
+    // the second half actually happens: after execution, the adaptive
+    // plan must read the shuffle through a coalesced AQEShuffleRead
+    import org.apache.spark.sql.functions._
+    val df = graft.tables.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    df.collect() // AQE finalizes the plan only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"AQE did not coalesce the 5-group shuffle:\n${p.take(800)}")
+  }
+
   test("runtime bloom filter: a selective dim filter injects might_contain on the fact side") {
     // The third runtime-filtering lever next to static pushdown and
     // q96's DPP: when a shuffle join's build side is selective, Spark
