@@ -377,6 +377,9 @@ object SparkEntry {
     // — MAP-type function family: map_from_entries + element_at +
     //   map_filter + aggregate over map_values, scalar outputs —
     "q167_map_funcs" -> FunctionFamilies.mapFuncs _,
+    // — ANN served off the store: IVF lists AS bucket layout, probes
+    //   prune buckets at runtime via the q96 DPP machinery —
+    "q168_store_ann" -> graft.sources.bucketed.BucketedQueries.storeAnnQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -662,5 +665,6 @@ object SparkEntry {
     "q165_sql_udf" -> graft.operators.UdfSurface.sqlUdfSql,
     "q166_stream_interval_join" -> graft.streaming.AdvancedStreams.intervalJoinSql,
     "q167_map_funcs" -> FunctionFamilies.mapFuncsSql,
+    "q168_store_ann" -> graft.sources.bucketed.BucketedQueries.storeAnnSql,
   )
 }

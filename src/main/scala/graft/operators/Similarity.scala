@@ -342,7 +342,7 @@ object Similarity {
     * by the IVF and SQ paths so a tie-break change cannot diverge
     * between them.
     */
-  private def probeCentroids(queries: DataFrame, centroids: DataFrame,
+  private[graft] def probeCentroids(queries: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {
     val qScored = queries.select(col("query_id"), col("qv"))
       .join(broadcast(centroids), lit(true))

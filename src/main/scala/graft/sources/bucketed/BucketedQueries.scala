@@ -1347,4 +1347,83 @@ object BucketedQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
       |  count(CASE WHEN c_custkey >= 5000000 THEN 1 END) AS n_hi
       |FROM merged GROUP BY c_mktsegment""".stripMargin
+
+  // ——— q168: ANN served off the store (IVF lists AS bucket layout) ———
+
+  /** q168 — the vector index MEETS the storage layout: embeddings are
+    * persisted in the bucket store keyed by their IVF list id
+    * (`numBuckets = nlist`, so a coarse-quantizer list IS a storage
+    * bucket), and a query's probe set reaches the scan as the
+    * broadcast join's runtime IN filter (the q96 DPP machinery) —
+    * the store dials ONLY the probed lists' buckets. This is the
+    * production deployment shape of q33's flat IVF: the inverted
+    * lists live in the table layout, candidate generation is bucket
+    * pruning, and nothing outside the probed buckets is even
+    * CONNECTED to, let alone scanned (BucketedSourceSpec pins the
+    * dial count for a single query at ≤ nprobe + margin).
+    *
+    * At 100 TB this is exactly how you'd serve ANN from a lakehouse:
+    * cluster the vector table by list id, let runtime filtering prune
+    * I/O to nprobe/nlist of the data per query batch. Centroids are
+    * the deterministic seed sample (the layout story, not quantizer
+    * quality, is what's demonstrated — q33 gates the Lloyd step).
+    */
+  def storeAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val nlist = 16
+    val name = s"ivf_ann@$dir"
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist)
+    if (!BucketStore.exists(name)) {
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+      BucketStore.load(spark, name,
+        assigned.select(col("cent_id"), col("id"), col("vec")), "cent_id",
+        numBuckets = nlist)
+    }
+    val store = spark.read.format("graft-buckets").option("table", name).load()
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = Similarity.probeCentroids(queries, centroids, nprobe = 4)
+      .withColumnRenamed("cent_id", "p_cent")
+    val cands = store.join(broadcast(probes),
+        col("cent_id") === col("p_cent") && col("query_id") =!= col("id"))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("vec")), 6))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    cands.withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("rn"))
+  }
+
+  /** Oracle: the q33 IVF chain with seed centroids (no Lloyd step —
+    * the layout, not the quantizer, is under test here).
+    */
+  val storeAnnSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT id, vec, cent_id FROM (
+      |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+      |                 c.cent_id) AS arn
+      |    FROM embeddings e CROSS JOIN cent c) t WHERE arn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cent_id FROM (
+      |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+      |                 c.cent_id) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20) t WHERE prn <= 4),
+      |cands AS (
+      |  SELECT p.query_id, a.id,
+      |    round(list_cosine_similarity(p.qv, a.vec), 6) AS sim
+      |  FROM probes p JOIN assigned a USING (cent_id)
+      |  WHERE p.query_id <> a.id)
+      |SELECT query_id, id AS cand_id, sim, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT query_id, id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
+      |  FROM cands) t WHERE rn <= 5""".stripMargin
 }

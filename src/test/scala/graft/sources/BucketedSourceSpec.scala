@@ -300,6 +300,42 @@ class BucketedSourceSpec extends SparkSuite {
       s"runtime pruning should open ~1 bucket reader, opened ${created + reused}\n${plan.take(1500)}")
   }
 
+  test("q168 store ANN: a single query's probes dial only their buckets") {
+    import graft.operators.Similarity
+    // fresh table: embeddings bucketed BY IVF list id (nlist = buckets)
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val name = "ivf_ann_spec"
+    if (!BucketStore.exists(name))
+      BucketStore.load(spark,
+        name, Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+          .select(col("cent_id"), col("id"), col("vec")),
+        "cent_id", 16)
+    val store = spark.read.format("graft-buckets").option("table", name).load()
+    val q1 = emb.filter(col("vec_id") === 42)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = Similarity.probeCentroids(q1, cents, nprobe = 4)
+      .withColumnRenamed("cent_id", "p_cent")
+    val j = store.join(broadcast(probes), col("cent_id") === col("p_cent"))
+    ConnectionPool.reset()
+    val n = j.count()
+    assert(n > 0)
+    // 4 probed lists → only their owning buckets get NEW connections
+    // (measured: 5 creations incl. one AQE re-touch vs 16 for the
+    // unpruned scan; pool REUSES are free by design — C7's contract —
+    // so the bound is on creations, with a total-touch ceiling well
+    // under the 16-bucket unpruned count as a second guard)
+    val plan = j.queryExecution.executedPlan.toString
+    val (created, reused) = ConnectionPool.stats
+    assert(created <= 6,
+      s"probes must prune NEW dials to their lists' buckets, created=$created reused=$reused\n${plan.take(2500)}")
+    assert(created + reused <= 12,
+      s"total bucket touches must stay under the unpruned 16, created=$created reused=$reused")
+    assert(plan.toLowerCase.contains("dynamicpruning") || plan.contains("RuntimeFilters: [isnotnull"),
+      s"runtime filter not attached:\n${plan.take(1200)}")
+  }
+
   test("reported statistics: catalog knows real row counts, small tables auto-broadcast") {
     import spark.implicits._
     val dim = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("pk", "pname")
