@@ -380,6 +380,9 @@ object SparkEntry {
     // — ANN served off the store: IVF lists AS bucket layout, probes
     //   prune buckets at runtime via the q96 DPP machinery —
     "q168_store_ann" -> graft.sources.bucketed.BucketedQueries.storeAnnQuery _,
+    // — BM25 off a PERSISTED posting-list index bucketed by token
+    //   fingerprint; scoring shared with q155, so its oracle too —
+    "q169_store_bm25" -> graft.sources.bucketed.BucketedQueries.storeBm25Query _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -666,5 +669,6 @@ object SparkEntry {
     "q166_stream_interval_join" -> graft.streaming.AdvancedStreams.intervalJoinSql,
     "q167_map_funcs" -> FunctionFamilies.mapFuncsSql,
     "q168_store_ann" -> graft.sources.bucketed.BucketedQueries.storeAnnSql,
+    "q169_store_bm25" -> Similarity.bm25Sql,
   )
 }

@@ -894,12 +894,25 @@ object Similarity {
       .filter(length(col("tok")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"), first(col("is_query")).as("is_query"))
+    val qterms = tf.filter(col("is_query"))
+      .select(col("doc_id").as("query_id"), col("tok")).distinct()
+    val candidates = tf
+      .join(broadcast(qterms), Seq("tok"))
+      .select(col("query_id"), col("doc_id"), col("tok"), col("tf"))
+    bm25Rank(candidates, tf.select(col("doc_id"), col("tok"), col("tf")), k)
+  }
+
+  /** Score + rank BM25 candidates. `candidates` = (query_id, doc_id,
+    * tok, tf) — HOW they were generated (broadcast posting-list join
+    * in [[bm25]], runtime-pruned store scan in q169) is the caller's
+    * concern; corpus statistics (df, dl, avgdl, N) always come from
+    * the full `tf` table so the two paths score identically.
+    */
+  private[graft] def bm25Rank(candidates: DataFrame, tf: DataFrame, k: Int): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val qterms = tf.filter(col("is_query"))
-      .select(col("doc_id").as("query_id"), col("tok")).distinct()
     // Every literal below is a plain double and every operation is a
     // double op in the same tree shape as the oracle SQL — the only
     // cross-engine wobble left is ln()'s last ulp, absorbed by the
@@ -910,8 +923,7 @@ object Similarity {
     val tfw = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
-    val contrib = tf
-      .join(broadcast(qterms), Seq("tok"))
+    val contrib = candidates
       .filter(col("doc_id") =!= col("query_id"))
       .join(df, Seq("tok"))
       .join(dl, Seq("doc_id"))

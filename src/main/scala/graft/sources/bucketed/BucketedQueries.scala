@@ -1396,6 +1396,46 @@ object BucketedQueries {
       .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("rn"))
   }
 
+  /** q169 — the PERSISTED INVERTED INDEX: the q155 scaladoc's "at
+    * 100 TB the posting list is what you'd persist bucketed by token"
+    * made real. Posting rows (doc_id, tok, tf) live in the store
+    * keyed by `fingerprint64(tok)` (the bucket hash needs an integral
+    * key; the fingerprint is the repo's exactly-replicable string
+    * key), and a query's term set reaches the scan as the broadcast
+    * join's runtime IN filter over those hashes — only the buckets
+    * owning the query's terms are dialed, which at a real vocabulary
+    * is a vanishing fraction of the index. Scoring is byte-identical
+    * to q155 (shared [[graft.operators.Similarity.bm25Rank]], corpus
+    * statistics from the same full tf table), so the oracle IS q155's.
+    * The join carries BOTH tok_fp (prunes buckets) and tok (exact —
+    * a fingerprint collision can co-locate two tokens in a bucket but
+    * never cross-match them).
+    */
+  def storeBm25Query(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.Fingerprint64
+    val name = s"postings@$dir"
+    val tf = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    if (!BucketStore.exists(name)) {
+      BucketStore.load(spark, name,
+        tf.select(Fingerprint64(col("tok")).as("tok_fp"), col("tok"),
+          col("doc_id"), col("tf")),
+        "tok_fp", numBuckets = NumBuckets)
+    }
+    val index = spark.read.format("graft-buckets").option("table", name).load()
+    val qterms = tf.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("tok")).distinct()
+      .select(col("query_id"), col("tok").as("q_tok"),
+        Fingerprint64(col("tok")).as("q_fp"))
+    val candidates = index.join(broadcast(qterms),
+        col("tok_fp") === col("q_fp") && col("tok") === col("q_tok"))
+      .select(col("query_id"), col("doc_id"), col("tok"), col("tf"))
+    Similarity.bm25Rank(candidates, tf, k = 10)
+  }
+
   /** Oracle: the q33 IVF chain with seed centroids (no Lloyd step —
     * the layout, not the quantizer, is under test here).
     */

@@ -336,6 +336,29 @@ class BucketedSourceSpec extends SparkSuite {
       s"runtime filter not attached:\n${plan.take(1200)}")
   }
 
+  test("q169 posting index: a one-term query dials only the token's bucket") {
+    import graft.functions.Fingerprint64
+    val tf = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val name = "postings_spec"
+    if (!BucketStore.exists(name))
+      BucketStore.load(spark, name,
+        tf.select(Fingerprint64(col("tok")).as("tok_fp"), col("tok"),
+          col("doc_id"), col("tf")), "tok_fp", 16)
+    val index = spark.read.format("graft-buckets").option("table", name).load()
+    val one = tf.filter(col("tok") === "vector").limit(1)
+      .select(col("tok").as("q_tok"), Fingerprint64(col("tok")).as("q_fp"))
+    val j = index.join(broadcast(one),
+      col("tok_fp") === col("q_fp") && col("tok") === col("q_tok"))
+    ConnectionPool.reset()
+    assert(j.count() > 0)
+    val (created, reused) = ConnectionPool.stats
+    assert(created <= 2,
+      s"one term → one owning bucket's reader (+AQE re-touch), created=$created reused=$reused")
+  }
+
   test("reported statistics: catalog knows real row counts, small tables auto-broadcast") {
     import spark.implicits._
     val dim = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("pk", "pname")
