@@ -383,6 +383,9 @@ object SparkEntry {
     // — BM25 off a PERSISTED posting-list index bucketed by token
     //   fingerprint; scoring shared with q155, so its oracle too —
     "q169_store_bm25" -> graft.sources.bucketed.BucketedQueries.storeBm25Query _,
+    // — continuous ingest into the vector index: batch assigned vs
+    //   frozen centroids, appended via the store's ordinary write —
+    "q170_store_ann_ingest" -> graft.sources.bucketed.BucketedQueries.storeAnnIngestQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -670,5 +673,6 @@ object SparkEntry {
     "q167_map_funcs" -> FunctionFamilies.mapFuncsSql,
     "q168_store_ann" -> graft.sources.bucketed.BucketedQueries.storeAnnSql,
     "q169_store_bm25" -> Similarity.bm25Sql,
+    "q170_store_ann_ingest" -> graft.sources.bucketed.BucketedQueries.storeAnnSql,
   )
 }

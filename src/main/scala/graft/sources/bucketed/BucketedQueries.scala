@@ -1436,6 +1436,54 @@ object BucketedQueries {
     Similarity.bm25Rank(candidates, tf, k = 10)
   }
 
+  /** q170 — CONTINUOUS INGEST into the vector index: the q168 table
+    * built from a base corpus, then a later embedding batch assigned
+    * against the SAME frozen centroids and APPENDED through the DSv2
+    * write path (one shuffle into the bucket layout, two-phase commit
+    * under one MVCC version — the store's ordinary append). Queries
+    * immediately see base ∪ batch; because per-row assignment against
+    * frozen centroids is independent of arrival order, the merged
+    * index is bit-identical to a from-scratch build and the oracle is
+    * exactly q168's full chain. The vector-side completion of the
+    * signature-index ingest story (q134): same frozen-quantizer
+    * discipline, same per-batch cost ∝ batch, never ∝ index.
+    */
+  def storeAnnIngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val nlist = 16
+    val name = s"ivf_ann_inc@$dir"
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist)
+    if (!BucketStore.exists(name)) {
+      // base corpus: everything except the later batch (centroids'
+      // vec_id < 16 rows are all in the base — the quantizer freezes
+      // at index creation)
+      val isBatch = col("vec_id") % 7 === 3 && col("vec_id") >= 16
+      BucketStore.load(spark, name,
+        Similarity.ivfAssign(emb.filter(!isBatch), "vec_id", "embedding", centroids)
+          .select(col("cent_id"), col("id"), col("vec")),
+        "cent_id", numBuckets = nlist)
+      spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+      Similarity.ivfAssign(emb.filter(isBatch), "vec_id", "embedding", centroids)
+        .select(col("cent_id"), col("id"), col("vec"))
+        .writeTo(s"graft.`$name`").append()
+    }
+    val store = spark.read.format("graft-buckets").option("table", name).load()
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = Similarity.probeCentroids(queries, centroids, nprobe = 4)
+      .withColumnRenamed("cent_id", "p_cent")
+    val cands = store.join(broadcast(probes),
+        col("cent_id") === col("p_cent") && col("query_id") =!= col("id"))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("vec")), 6))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    cands.withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("rn"))
+  }
+
   /** Oracle: the q33 IVF chain with seed centroids (no Lloyd step —
     * the layout, not the quantizer, is under test here).
     */
