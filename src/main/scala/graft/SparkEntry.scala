@@ -386,6 +386,12 @@ object SparkEntry {
     // — continuous ingest into the vector index: batch assigned vs
     //   frozen centroids, appended via the store's ordinary write —
     "q170_store_ann_ingest" -> graft.sources.bucketed.BucketedQueries.storeAnnIngestQuery _,
+    // — funnel conversion in exact basis points: two mergeable aggs
+    //   + one equi-join, no per-user ordered scan —
+    "q171_funnel" -> Relational.funnelQuery _,
+    // — cohort retention matrix: first-touch week × active week,
+    //   epoch-day integer arithmetic on both engines —
+    "q172_retention" -> Relational.retentionQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -674,5 +680,7 @@ object SparkEntry {
     "q168_store_ann" -> graft.sources.bucketed.BucketedQueries.storeAnnSql,
     "q169_store_bm25" -> Similarity.bm25Sql,
     "q170_store_ann_ingest" -> graft.sources.bucketed.BucketedQueries.storeAnnSql,
+    "q171_funnel" -> Relational.funnelSql,
+    "q172_retention" -> Relational.retentionSql,
   )
 }

@@ -378,4 +378,80 @@ object Relational {
       |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
       |  FROM events GROUP BY 1) t
       |GROUP BY 1""".stripMargin
+
+  /** q171 — funnel conversion: of the users who clicked, how many
+    * went on to purchase within an hour of their FIRST click (the
+    * canonical product-analytics funnel; same shape measures
+    * crawl→parse→dedup-survival stage conversion on a data pipeline).
+    * Two mergeable aggregations and one equi-join on user_id — the
+    * naive per-user ordered scan is a window sort this formulation
+    * skips entirely. Conversion ratio reported in exact basis points
+    * (integer micro-arithmetic, no float division).
+    */
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.tables.Tables.events(spark, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+    val converted = firstClick.join(purchases,
+        col("user_id") === col("pu") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id")).distinct()
+    val nClicked = firstClick.agg(count(lit(1)).as("n_clicked"))
+    val nConv = converted.agg(count(lit(1)).as("n_converted"))
+    nClicked.crossJoin(nConv)
+      .select(col("n_clicked"), col("n_converted"),
+        expr("n_converted * 10000 div n_clicked").as("conv_bps"))
+  }
+
+  val funnelSql: String =
+    """WITH fc AS (
+      |  SELECT user_id, min(ts) AS c_ts FROM events
+      |  WHERE event_type = 'click' GROUP BY 1),
+      |conv AS (
+      |  SELECT DISTINCT fc.user_id
+      |  FROM fc JOIN events p ON p.user_id = fc.user_id
+      |  WHERE p.event_type = 'purchase'
+      |    AND p.ts > fc.c_ts AND p.ts <= fc.c_ts + INTERVAL 1 HOUR)
+      |SELECT (SELECT count(*) FROM fc) AS n_clicked,
+      |  (SELECT count(*) FROM conv) AS n_converted,
+      |  CAST((SELECT count(*) FROM conv) * 10000
+      |       // (SELECT count(*) FROM fc) AS BIGINT) AS conv_bps""".stripMargin
+
+  /** q172 — cohort retention: users grouped by first-seen WEEK
+    * (q161's first-touch machinery), crossed with the weeks they were
+    * active in, as (cohort_week, weeks_since, n_active) — the
+    * retention matrix every growth dashboard draws. Two mergeable
+    * aggregations (first-touch per user, then distinct user-week
+    * activity) and one equi-join on user_id; everything integer.
+    * `weeks_since` derives from epoch-day arithmetic (date_diff in
+    * days div 7) so both engines compute identical buckets with no
+    * calendar-week-boundary disagreement.
+    */
+  def retentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.tables.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val active = ev.distinct()
+    active.join(firstSeen, Seq("user_id"))
+      .select(col("user_id"),
+        expr("cast(datediff(d0, date'1970-01-01') as bigint) div 7").as("cohort_week"),
+        expr("cast(datediff(d, d0) as bigint) div 7").as("weeks_since"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |fs AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1),
+      |uw AS (
+      |  SELECT DISTINCT ev.user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', fs.d0) // 7 AS BIGINT) AS cohort_week,
+      |    CAST(date_diff('day', fs.d0, ev.d) // 7 AS BIGINT) AS weeks_since
+      |  FROM ev JOIN fs ON ev.user_id = fs.user_id)
+      |SELECT cohort_week, weeks_since, count(*) AS n_active
+      |FROM uw GROUP BY 1, 2""".stripMargin
 }
