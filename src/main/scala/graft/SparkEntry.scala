@@ -392,6 +392,16 @@ object SparkEntry {
     // — cohort retention matrix: first-touch week × active week,
     //   epoch-day integer arithmetic on both engines —
     "q172_retention" -> Relational.retentionQuery _,
+    // — explicit Bloom runtime filter: 16 KiB filter built
+    //   distributedly over the dim keys, evaluated as a codegen'd
+    //   expression inside the fact scan, exact semi-join after —
+    "q173_bloom_prune" -> graft.operators.RuntimeFilter.bloomPruneQuery _,
+    // — per-source quantile normalization of a raw quality signal —
+    "q174_quantile_norm" -> TextAnalysis.quantileNormQuery _,
+    // — degree-oriented triangle counting over the co-purchase graph —
+    "q175_triangles" -> graft.operators.Graph.triangleQuery _,
+    // — hash-matrix sparse random projection, 16 → 4 dims, shuffle-free —
+    "q176_random_projection" -> Similarity.randomProjectionQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -682,5 +692,9 @@ object SparkEntry {
     "q170_store_ann_ingest" -> graft.sources.bucketed.BucketedQueries.storeAnnSql,
     "q171_funnel" -> Relational.funnelSql,
     "q172_retention" -> Relational.retentionSql,
+    "q173_bloom_prune" -> graft.operators.RuntimeFilter.bloomPruneSql,
+    "q174_quantile_norm" -> TextAnalysis.quantileNormSql,
+    "q175_triangles" -> graft.operators.Graph.triangleSql,
+    "q176_random_projection" -> Similarity.randomProjectionSql,
   )
 }

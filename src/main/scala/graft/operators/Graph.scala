@@ -110,4 +110,87 @@ object Graph {
        |${(1 to Iters).map(step).mkString(",\n")}
        |SELECT id AS node, CAST(u AS BIGINT) AS rank_units FROM r$Iters""".stripMargin
   }
+
+  /** Per-node triangle counts over an undirected edge table — the
+    * local-clustering signal (community density, spam-farm detection,
+    * "how clique-ish is this node's neighborhood") that complements
+    * PageRank's global rank and CC's reachability.
+    *
+    * DEGREE-ORIENTED NODE-ITERATOR (the MapReduce-era standard from
+    * Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    * Last Reducer", WWW'11): orient every edge from its lower
+    * (degree, id) endpoint to the higher, enumerate wedges as pairs of
+    * out-edges at their common source, and close them with one
+    * semi-join back to the oriented edge table. Orientation is the
+    * whole scale story: out-degrees under it are O(√|E|) even on
+    * power-law graphs (a celebrity node's million followers generate
+    * wedges at the FOLLOWERS — the low-degree side — not at the hub),
+    * so the wedge join's fan-out is bounded where the naive a<b
+    * orientation melts on the last reducer. The (deg, id) pair is
+    * compared lexicographically as a struct — no global relabeling
+    * rank (which would funnel every vertex through one window
+    * partition) is needed.
+    *
+    * Every triangle is enumerated exactly once (its three edges form
+    * one wedge at the triangle's (deg,id)-minimum vertex plus the
+    * closing edge), then credited to all three corners via one
+    * explode + groupBy.
+    */
+  def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    // canonical undirected simple graph
+    val und = edgesIn
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // total order: (degree, id) — orient low → high; the dst rides as
+    // a (d, id) struct so wedge ordering and the closing probe compare
+    // under the SAME key with no relabeling pass
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(when(
+          struct(col("da").as("d"), col("a").as("id")) < struct(col("db").as("d"), col("b").as("id")),
+          struct(col("a").as("sid"), struct(col("db").as("d"), col("b").as("id")).as("dk")))
+        .otherwise(
+          struct(col("b").as("sid"), struct(col("da").as("d"), col("a").as("id")).as("dk"))).as("e"))
+      .select(col("e.sid").as("src"), col("e.dk").as("dk"))
+      .localCheckpoint(true)
+    // wedges at the common source: unordered out-neighbor pairs
+    val wedges = oriented.select(col("src").as("u"), col("dk").as("v"))
+      .join(oriented.select(col("src").as("u"), col("dk").as("w")), "u")
+      .where(col("v") < col("w"))
+    // close each wedge with the oriented edge v → w
+    val closing = oriented.select(col("src").as("vsrc"), col("dk").as("wdk"))
+    wedges.join(closing, col("vsrc") === col("v.id") && col("wdk") === col("w"))
+      .select(explode(array(col("u"), col("v.id"), col("w.id"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** q175 gate: the co-purchase graph (parts appearing in the same
+    * order) → per-part triangle counts. Edge generation is an
+    * equi-join on l_orderkey (pair fan-out bounded by order size),
+    * never all-pairs over parts.
+    */
+  def triangleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey").as("k"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("dst")), "k")
+      .where(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    triangleCounts(edges)
+  }
+
+  val triangleSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      |  FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+      |    JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+      |SELECT node, count(*) AS n_tri
+      |FROM (SELECT unnest([a, b, c]) AS node FROM tri) t
+      |GROUP BY node""".stripMargin
 }

@@ -970,4 +970,40 @@ object Similarity {
       |  SELECT query_id, doc_id, score_micro,
       |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
       |  FROM scored) t WHERE rn <= 10""".stripMargin
+
+  // ——— dimensionality reduction: sparse random projection (q176) ———
+
+  /** Deterministic sparse random projection (Achlioptas 2003 /
+    * Li-Hastie-Church sign matrices): out_j = Σ_i v_i · s(i,j) with
+    * s ∈ {−1, 0, +1} drawn from a hash of (i, j) instead of a stored
+    * matrix. The JL-lemma workhorse for shrinking embedding width
+    * ahead of LSH/IVF indexing: 16 → 4 dims here, d → O(log n / ε²)
+    * in general, pairwise distances preserved within ε.
+    *
+    * Scale shape: a pure per-row map — no shuffle, no driver state,
+    * no materialized projection matrix (the hash IS the matrix, so
+    * executors need zero setup and the projection of a 100 TB corpus
+    * is one codegen'd scan). The per-element fold is a sequential
+    * `aggregate` over `zip_with`, the same left-to-right order the
+    * oracle's `list_reduce` uses, so doubles agree bit-for-bit before
+    * the defensive round(6).
+    */
+  def randomProjectionQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(expr(
+        """transform(sequence(0, 3), j ->
+          |  round(aggregate(
+          |    zip_with(CAST(embedding AS array<double>),
+          |             sequence(0, size(embedding) - 1),
+          |             (x, i) -> x * CAST((i * 31 + j * 17) % 3 - 1 AS double)),
+          |    CAST(0 AS double), (acc, x) -> acc + x), 6))""".stripMargin))
+        .as(Seq("dim", "val")))
+
+  val randomProjectionSql: String =
+    """SELECT vec_id, CAST(j AS INTEGER) AS dim,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(range(len(embedding)), i ->
+      |      CAST(embedding[i + 1] AS DOUBLE) * ((i * 31 + j * 17) % 3 - 1))),
+      |    (acc, x) -> acc + x), 6) AS val
+      |FROM embeddings, unnest(range(4)) t(j)""".stripMargin
 }

@@ -574,4 +574,36 @@ object TextAnalysis {
       |  CAST(xent_sum // n_tok AS BIGINT) AS avg_xent_micro,
       |  (xent_sum // n_tok) < 8000000 AS keep
       |FROM scored""".stripMargin
+
+  /** q174 — per-source quantile normalization of a raw quality
+    * signal. Raw scores aren't comparable across sources (a "long"
+    * web page and a "long" book differ by 100×), so mixture policies
+    * ("keep the top 30% of each source") want the WITHIN-SOURCE
+    * percentile, not the raw value. One window per source partition:
+    * `percent_rank` over (n_chars, doc_id) — the doc_id tiebreaker
+    * makes ranks a pure function of the data — plus the integer rank
+    * and per-source count it derives from. Scale: a window
+    * partitioned by a low-cardinality key is one shuffle by that key;
+    * skewed sources are exactly the salting/AQE case the engine
+    * already handles, and no global ordering exists anywhere.
+    */
+  def quantileNormQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        rank().over(w).cast("long").as("rnk"),
+        round(percent_rank().over(w), 6).as("pct"),
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long").as("n_in_source"))
+      .withColumn("keep_top_30pct", col("pct") >= 0.7)
+  }
+
+  val quantileNormSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  round(percent_rank() OVER w, 6) AS pct,
+      |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_in_source,
+      |  round(percent_rank() OVER w, 6) >= 0.7 AS keep_top_30pct
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin
 }

@@ -47,4 +47,39 @@ class GraphSpec extends SparkSuite {
     val b = Graph.pageRank(edges).as[(Long, Long)].collect().sorted.toSeq
     assert(a == b)
   }
+
+  // ——— triangle counting (q175) ———
+
+  test("triangles: K4 gives every vertex C(3,2)=3 triangles") {
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toDF("src", "dst")
+    val counts = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $counts")
+  }
+
+  test("triangles: a path has none, and triangle-free nodes are absent") {
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.triangleCounts(path).isEmpty)
+  }
+
+  test("triangles: result is orientation-invariant (reversed + duplicated edges)") {
+    // two triangles sharing edge (1,2): {1,2,3} and {1,2,4}; feed the
+    // edges in mixed direction with duplicates — canonicalization must
+    // absorb both
+    val raw = Seq((1L, 2L), (2L, 1L), (3L, 1L), (2L, 3L), (1L, 4L), (4L, 2L), (1L, 4L))
+    val counts = Graph.triangleCounts(raw.toDF("src", "dst")).as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $counts")
+  }
+
+  test("triangles: hub-and-spokes counts match the closed-form fan") {
+    // wheel graph: hub 0 joined to cycle 1..6 — hub sits in 6
+    // triangles, each rim vertex in 3 (two with the hub + one… no:
+    // rim vertex v sits in triangles (0,v,v-1) and (0,v,v+1) only)
+    val n = 6L
+    val rim = (1L to n).map(i => (i, if (i == n) 1L else i + 1))
+    val spokes = (1L to n).map(i => (0L, i))
+    val counts = Graph.triangleCounts((rim ++ spokes).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts(0L) == n)
+    (1L to n).foreach(v => assert(counts(v) == 2L, s"rim $v: ${counts(v)}"))
+  }
 }
