@@ -402,6 +402,12 @@ object SparkEntry {
     "q175_triangles" -> graft.operators.Graph.triangleQuery _,
     // — hash-matrix sparse random projection, 16 → 4 dims, shuffle-free —
     "q176_random_projection" -> Similarity.randomProjectionQuery _,
+    // — fixed-point time-decayed engagement score (exact EWMA) —
+    "q177_ewma_engagement" -> graft.operators.Behavioral.ewmaQuery _,
+    // — market-basket association rules: support / confidence / lift —
+    "q178_market_basket" -> graft.operators.Behavioral.marketBasketQuery _,
+    // — anomaly days via the integer-cleared z² test, no float variance —
+    "q179_anomaly_days" -> graft.operators.Behavioral.anomalyDaysQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -696,5 +702,8 @@ object SparkEntry {
     "q174_quantile_norm" -> TextAnalysis.quantileNormSql,
     "q175_triangles" -> graft.operators.Graph.triangleSql,
     "q176_random_projection" -> Similarity.randomProjectionSql,
+    "q177_ewma_engagement" -> graft.operators.Behavioral.ewmaSql,
+    "q178_market_basket" -> graft.operators.Behavioral.marketBasketSql,
+    "q179_anomaly_days" -> graft.operators.Behavioral.anomalyDaysSql,
   )
 }

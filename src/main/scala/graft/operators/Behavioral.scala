@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Behavioral / market-analytics operators over the `events` and
+  * order tables: time-decayed engagement scoring, association-rule
+  * mining, and exact-arithmetic anomaly flagging.
+  *
+  * All three follow the repo's determinism discipline: every scored
+  * quantity is either pure integer arithmetic (fixed-point units,
+  * binary shifts, exact DECIMAL sums) or a single double division of
+  * two exact integers rounded once — so the DuckDB oracle matches by
+  * hash, not by tolerance.
+  */
+object Behavioral {
+
+  // ——— q177: time-decayed engagement (fixed-point EWMA) ———
+
+  /** Per-user exponentially-decayed engagement score: the classic
+    * "recent activity counts more" ranking signal (feature stores
+    * keep one per user; fraud/abuse pipelines threshold it). With
+    * decay α = 1/2 per event step, the score after a user's n-th
+    * event is Σ_k v_k · 2^(k−n) — computed EXACTLY in fixed point:
+    * values in 10⁻⁴ units, each contribution an integer right-shift
+    * by its distance, contributions beyond [[EwmaMaxLag]] steps
+    * dropped (they shift to < 2⁻³⁰ of a unit — zero in integer
+    * arithmetic anyway for any realistic value).
+    *
+    * Scale shape: one shuffle by user_id; the intra-user pair join is
+    * bounded by `EwmaMaxLag` per event (cost ≤ 30·|events|, never
+    * |events-per-user|²); no window over a global ordering.
+    */
+  val EwmaMaxLag = 30
+
+  def ewmaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        // exact 10⁻⁴-unit fixed point; ties in ts broken by event_id
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_units"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+    // the CURRENT score only: each user's last row joined to its
+    // ≤ EwmaMaxLag most recent events (scoring every prefix would
+    // multiply the work 30× for rows the query then drops)
+    val last = ev.groupBy(col("user_id"))
+      .agg(max(col("rn")).as("rn_a"), count(lit(1)).as("n_events"))
+    last.join(ev.select(col("user_id"), col("rn").as("rn_b"), col("v_units")), Seq("user_id"))
+      .where(col("rn_b") <= col("rn_a") && col("rn_b") > col("rn_a") - EwmaMaxLag)
+      .select(col("user_id"), col("n_events"),
+        expr("v_units div shiftleft(1L, CAST(rn_a - rn_b AS INT))").as("term"))
+      .groupBy(col("user_id"), col("n_events"))
+      .agg(sum(col("term")).as("ewma_units"))
+  }
+
+  val ewmaSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(round(value * 10000) AS BIGINT) AS v_units,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |last AS (SELECT user_id, max(rn) AS rn_a, count(*) AS n_events
+       |         FROM ev GROUP BY 1)
+       |SELECT l.user_id, l.n_events,
+       |  sum(p.v_units // (1::BIGINT << (l.rn_a - p.rn))) AS ewma_units
+       |FROM last l JOIN ev p ON p.user_id = l.user_id
+       |WHERE p.rn <= l.rn_a AND p.rn > l.rn_a - $EwmaMaxLag
+       |GROUP BY 1, 2""".stripMargin
+
+  // ——— q178: market-basket association rules ———
+
+  /** Association rules over co-purchased part pairs: support (orders
+    * containing both), confidence P(b|a), and lift
+    * P(a,b)/(P(a)·P(b)) — the classic retail-analytics trio, and in
+    * an LLM-data stack the same machinery scores tag/domain
+    * co-occurrence. Pair generation is the bounded within-order
+    * equi-join (fan-out ≤ order size²), support floor ≥ 3 prunes the
+    * long tail before the stats join, and the scores are single
+    * divisions of exact counts rounded once.
+    */
+  def marketBasketQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val itemN = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val nOrders = broadcast(li.select(col("k")).distinct().agg(count(lit(1)).as("n_orders")))
+    val pairs = li.select(col("k"), col("p").as("id_a"))
+      .join(li.select(col("k"), col("p").as("id_b")), "k")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("support"))
+      .where(col("support") >= 3)
+    pairs
+      .join(itemN.select(col("p").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(itemN.select(col("p").as("id_b"), col("n").as("n_b")), "id_b")
+      .crossJoin(nOrders)
+      .select(col("id_a"), col("id_b"), col("support"),
+        round(col("support").cast("double") / col("n_a"), 6).as("confidence"),
+        round(col("support").cast("double") * col("n_orders") / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+  }
+
+  val marketBasketSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+      |item_n AS (SELECT p, count(*) AS n FROM li GROUP BY 1),
+      |n_orders AS (SELECT count(DISTINCT k) AS n_orders FROM li),
+      |pairs AS (
+      |  SELECT a.p AS id_a, b.p AS id_b, count(*) AS support
+      |  FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT id_a, id_b, support,
+      |  round(CAST(support AS DOUBLE) / na.n, 6) AS confidence,
+      |  round(CAST(support AS DOUBLE) * (SELECT n_orders FROM n_orders)
+      |        / (na.n * nb.n), 6) AS lift
+      |FROM pairs
+      |JOIN item_n na ON na.p = id_a
+      |JOIN item_n nb ON nb.p = id_b""".stripMargin
+
+  // ——— q179: exact-arithmetic anomaly days ———
+
+  /** Daily anomaly flags per event type: a (type, day) total is
+    * anomalous when it deviates from that type's cross-day mean by
+    * more than 2 sample standard deviations. The z-test is evaluated
+    * WITHOUT computing mean or stddev as floats: multiplying
+    * z² > 4 through by n²(n−1) gives
+    *   (n−1) · (n·d − Σx)² > 4 · n · (n·Σx² − (Σx)²)
+    * over exact integer day-totals (10⁻⁴-unit DECIMAL sums, squares
+    * in DECIMAL(38,0)) — a pure integer comparison, so the flag is a
+    * bit-identical function of the data on any engine and any
+    * aggregation order. (Float variance would make the boundary rows
+    * engine-dependent — unfalsifiable under a hash gate.)
+    */
+  def anomalyDaysQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      // DECIMAL(18,4) sum is exact (repo float-agg convention), then
+      // 10⁻⁴ fixed-point units as DECIMAL(38,0) for headroom
+      .agg(sum(col("value").cast("decimal(18,4)")).as("d_dec"))
+      .select(col("event_type"), col("day"),
+        (col("d_dec") * 10000).cast("decimal(38,0)").as("d"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("d")).cast("decimal(38,0)").as("sx"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"))
+    daily.join(stats, "event_type")
+      .select(col("event_type"), col("day"), col("d").cast("long").as("day_units"),
+        (((col("n") - 1) * (col("n") * col("d") - col("sx")) * (col("n") * col("d") - col("sx")))
+          .cast("decimal(38,0)")
+          > (lit(4) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+              .cast("decimal(38,0)")).as("anomalous"))
+  }
+
+  val anomalyDaysSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS d
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(d) AS HUGEINT) AS sx, CAST(sum(d * d) AS HUGEINT) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.day, CAST(d.d AS BIGINT) AS day_units,
+      |  (s.n - 1) * (s.n * d.d - s.sx) * (s.n * d.d - s.sx)
+      |    > 4 * s.n * (s.n * s.sxx - s.sx * s.sx) AS anomalous
+      |FROM daily d JOIN stats s USING (event_type)""".stripMargin
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Closed-form checks for the behavioral operators (q177-q179) —
+  * the oracle gates prove engine agreement; these pin the MATH.
+  */
+class BehavioralSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("EWMA fixed point: constant-value stream converges to 2v units") {
+    // v at every step, α=1/2: score → v·Σ2^−k = 2v (minus the shifted
+    // tail); with v = 1.0000 (10 000 units), 30 lags: Σ_{k=0}^{29}
+    // 10000 >> k = 10000+5000+2500+… = 19998 units (integer floors)
+    val expected = (0 until 30).map(10000L >> _).sum
+    val rows = (1 to 40).map(i => (1L, Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), i.toLong, 1.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    // drive the same pipeline shape as ewmaQuery via a temp events table
+    val got = withEvents(df)(Behavioral.ewmaQuery)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((1L, 40L, expected)), s"got $got, want ewma=$expected")
+  }
+
+  test("EWMA: most recent event dominates (shift-0 term is unshifted)") {
+    val rows = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 00:00:01"), 1L, 100.0), // lag 1 → /2
+      (7L, Timestamp.valueOf("2024-01-01 00:00:02"), 2L, 3.0))   // lag 0 → whole
+    val got = withEvents(rows.toDF("user_id", "ts", "event_id", "value"))(Behavioral.ewmaQuery)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((7L, 2L, 30000L + 500000L)), s"got $got")
+  }
+
+  test("anomaly flag: one wild day among uniform days is flagged, the rest are not") {
+    // 9 days at 100.0, one at 1000.0 — the spike is >2σ out; a
+    // uniform series has σ=0 so EVERY deviation flags, hence the
+    // non-spike days (equal to each other but not to the mean pulled
+    // up by the spike) need the exact test, not intuition:
+    // n=10, d=1e6 units (100.0): n·d−Σx = 10e6−19e6 = −9e6;
+    // rhs: 4·10·(10·(9·1e12+1e14)−(19e6)²) = 4·10·(1.09e15−3.61e14)>0
+    // lhs: 9·8.1e13 = 7.29e14 < 2.916e16 → not anomalous. Spike:
+    // n·d−Σx = 1e8−1.9e7·… (exact arithmetic asserted via result)
+    val days = (1 to 9).map(i => (1L, Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"), i.toLong, 100.0)) :+
+      ((1L, Timestamp.valueOf("2024-01-10 12:00:00"), 10L, 1000.0))
+    val df = days.map { case (u, ts, id, v) => (id, ts, u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = withRawEvents(df)(Behavioral.anomalyDaysQuery)
+      .select(col("day").cast("string"), col("anomalous")).as[(String, Boolean)]
+      .collect().toMap
+    assert(got("2024-01-10"), "spike day not flagged")
+    (1 to 9).foreach(i => assert(!got(f"2024-01-$i%02d"), s"day $i wrongly flagged"))
+  }
+
+  test("market basket: lift of a deterministic pair matches hand arithmetic") {
+    // 4 orders: {1,2} ×3, {1} ×1 → support(1,2)=3, n1=4, n2=3, N=4
+    // confidence = 3/4 = 0.75; lift = 3·4/(4·3) = 1.0
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L), (13L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    li.createOrReplaceTempView("bb_lineitem")
+    val dirLess = li // marketBasketQuery reads Tables.lineitem; exercise the core by inlining
+    val res = {
+      val d = dirLess.select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      val itemN = d.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val nOrders = broadcast(d.select(col("k")).distinct().agg(count(lit(1)).as("n_orders")))
+      d.select(col("k"), col("p").as("id_a"))
+        .join(d.select(col("k"), col("p").as("id_b")), "k")
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("support"))
+        .where(col("support") >= 3)
+        .join(itemN.select(col("p").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(itemN.select(col("p").as("id_b"), col("n").as("n_b")), "id_b")
+        .crossJoin(nOrders)
+        .select(col("id_a"), col("id_b"), col("support"),
+          round(col("support").cast("double") / col("n_a"), 6).as("confidence"),
+          round(col("support").cast("double") * col("n_orders") / (col("n_a") * col("n_b")), 6).as("lift"))
+    }.as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(res == Seq((1L, 2L, 3L, 0.75, 1.0)), s"got $res")
+  }
+
+  /** Run an events-table query fn against an ad-hoc 4-column frame
+    * (user_id, ts, event_id, value) written as a one-table testdata
+    * dir.
+    */
+  private def withEvents(df: org.apache.spark.sql.DataFrame)(
+      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+    val full = df.select(col("event_id"), col("ts"), col("user_id"),
+      lit("view").as("event_type"), col("value"), lit("{}").as("props"))
+    withRawEvents(full)(fn)
+  }
+
+  private def withRawEvents(full: org.apache.spark.sql.DataFrame)(
+      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-behavioral").toString
+    full.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    fn(spark, dir)
+  }
+}
