@@ -408,6 +408,14 @@ object SparkEntry {
     "q178_market_basket" -> graft.operators.Behavioral.marketBasketQuery _,
     // — anomaly days via the integer-cleared z² test, no float variance —
     "q179_anomaly_days" -> graft.operators.Behavioral.anomalyDaysQuery _,
+    // — exact-rank winsorized robust statistics per event type —
+    "q180_winsorize" -> graft.operators.Behavioral.winsorizeQuery _,
+    // — label-centroid cosine audit (scale-invariant: exact decimal sums) —
+    "q181_label_centroid_sim" -> Similarity.labelCentroidSimQuery _,
+    // — approximate kNN-graph build over IVF neighborhoods —
+    "q182_knn_graph" -> Similarity.knnGraphQuery _,
+    // — q177's EWMA maintained as transformWithState streaming state —
+    "q183_stream_ewma" -> graft.streaming.AdvancedStreams.streamEwma _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -705,5 +713,10 @@ object SparkEntry {
     "q177_ewma_engagement" -> graft.operators.Behavioral.ewmaSql,
     "q178_market_basket" -> graft.operators.Behavioral.marketBasketSql,
     "q179_anomaly_days" -> graft.operators.Behavioral.anomalyDaysSql,
+    "q180_winsorize" -> graft.operators.Behavioral.winsorizeSql,
+    "q181_label_centroid_sim" -> Similarity.labelCentroidSimSql,
+    "q182_knn_graph" -> Similarity.knnGraphSql,
+    // the streaming EWMA must land exactly on the batch score
+    "q183_stream_ewma" -> graft.operators.Behavioral.ewmaSql,
   )
 }

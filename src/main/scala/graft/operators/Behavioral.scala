@@ -64,7 +64,7 @@ object Behavioral {
        |last AS (SELECT user_id, max(rn) AS rn_a, count(*) AS n_events
        |         FROM ev GROUP BY 1)
        |SELECT l.user_id, l.n_events,
-       |  sum(p.v_units // (1::BIGINT << (l.rn_a - p.rn))) AS ewma_units
+       |  CAST(sum(p.v_units // (1::BIGINT << (l.rn_a - p.rn))) AS BIGINT) AS ewma_units
        |FROM last l JOIN ev p ON p.user_id = l.user_id
        |WHERE p.rn <= l.rn_a AND p.rn > l.rn_a - $EwmaMaxLag
        |GROUP BY 1, 2""".stripMargin
@@ -149,6 +149,62 @@ object Behavioral {
           > (lit(4) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
               .cast("decimal(38,0)")).as("anomalous"))
   }
+
+  // ——— q180: exact-rank winsorization ———
+
+  /** Per-type winsorized statistics: clip values at the exact p05/p95
+    * ORDER STATISTICS (the value at rank ⌊q·(n−1)⌋+1 under a
+    * deterministic (value, event_id) order) and report the clipped
+    * sum — the robust-mean preprocessing every metrics pipeline runs
+    * before averaging heavy-tailed signals. Exact ranks, not
+    * `approx_percentile`: a sketch quantile is engine- and
+    * merge-order-dependent, which a hash gate can't hold; the exact
+    * rank is one window per type plus two rank lookups, and all
+    * reported quantities are 10⁻⁴-unit integers.
+    *
+    * Scale: the window partitions by event_type (low cardinality —
+    * the skewed-partition story is q174's); at petabyte group sizes
+    * swap the in-partition sort for the store's range layout or a
+    * two-pass histogram refine, same contract.
+    */
+  def winsorizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_units"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("v_units"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ev
+      .filter(col("rn") === expr("(5 * (n - 1)) div 100 + 1") ||
+        col("rn") === expr("(95 * (n - 1)) div 100 + 1"))
+      .groupBy(col("event_type"))
+      .agg(min(col("v_units")).as("lo_units"), max(col("v_units")).as("hi_units"))
+    ev.join(bounds, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("lo_units")).as("lo_units"), max(col("hi_units")).as("hi_units"),
+        sum(least(greatest(col("v_units"), col("lo_units")), col("hi_units")))
+          .as("winsorized_sum_units"))
+  }
+
+  val winsorizeSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v_units,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY CAST(round(value * 10000) AS BIGINT), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |bounds AS (
+      |  SELECT event_type, min(v_units) AS lo_units, max(v_units) AS hi_units
+      |  FROM ev
+      |  WHERE rn = (5 * (n - 1)) // 100 + 1 OR rn = (95 * (n - 1)) // 100 + 1
+      |  GROUP BY 1)
+      |SELECT e.event_type, max(e.n) AS n,
+      |  max(b.lo_units) AS lo_units, max(b.hi_units) AS hi_units,
+      |  CAST(sum(least(greatest(e.v_units, b.lo_units), b.hi_units)) AS BIGINT)
+      |    AS winsorized_sum_units
+      |FROM ev e JOIN bounds b USING (event_type)
+      |GROUP BY 1""".stripMargin
 
   val anomalyDaysSql: String =
     """WITH daily AS (

@@ -999,6 +999,109 @@ object Similarity {
           |    CAST(0 AS double), (acc, x) -> acc + x), 6))""".stripMargin))
         .as(Seq("dim", "val")))
 
+  // ——— label-centroid similarity audit (q181) ———
+
+  /** Pairwise cosine similarity between the per-label centroids of an
+    * embedding table — the "class confusability" audit run before
+    * training a classifier or weighting a mixture (two labels whose
+    * centroids cosine ≥ 0.9 are candidates for merging; a label far
+    * from all others is an outlier worth inspecting).
+    *
+    * Exactness: cosine is invariant to positive scaling, so the
+    * centroid (Σv)/n can be replaced by the per-dim SUM — computed
+    * exactly as DECIMAL(18,6) (mergeable, order-independent) — and
+    * only the final 16-dim fold runs in floats, sequentially, in the
+    * same order on both engines. The label-pair fan-out is
+    * C(labels, 2) — dozens of rows from any corpus size; the heavy
+    * part is one mergeable groupBy over the exploded dims.
+    */
+  def labelCentroidSimQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x").cast("decimal(18,6)")).as("s"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, s))), p -> CAST(p.s AS DOUBLE))")
+        .as("cvec"))
+    sums.select(col("label").as("label_a"), col("cvec").as("va"))
+      .join(sums.select(col("label").as("label_b"), col("cvec").as("vb")),
+        col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(graft.functions.GraftFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+  }
+
+  val labelCentroidSimSql: String =
+    """WITH sums AS (
+      |  SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s
+      |  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |          unnest(range(len(embedding))) AS pos FROM embeddings) u
+      |  GROUP BY 1, 2),
+      |cents AS (SELECT label, list(s ORDER BY pos) AS cvec FROM sums GROUP BY 1)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(list_cosine_similarity(a.cvec, b.cvec), 6) AS sim
+      |FROM cents a JOIN cents b ON a.label < b.label""".stripMargin
+
+  // ——— approximate kNN-graph construction (q182) ———
+
+  /** Directed k-nearest-neighbor graph over the embedding table,
+    * restricted to IVF-cluster neighborhoods — the bulk kNN-graph
+    * build that feeds graph ops downstream (connected components for
+    * SemDeDup, PageRank over similarity edges, label propagation).
+    * Per node: its top-`k` most-cosine-similar co-cluster members,
+    * deterministic tiebreak by neighbor id.
+    *
+    * Scale: [[ivfAssign]]'s map-side argmax (no Exchange), one
+    * within-cluster equi-join (Σ cluster², nlist the knob — the
+    * SemDeDup shape), one per-node window for the top-k. Never
+    * all-pairs; the full-corpus exact variant is q19's broadcast
+    * brute force, this is the build that works when neither side
+    * fits a broadcast.
+    */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, k: Int, kmeansIters: Int = 1): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0) kmeansCentroids(emb, idCol, vecCol, nlist, kmeansIters)
+      else sampleCentroids(emb, idCol, vecCol, nlist)
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids).cache()
+    try {
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+      assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"),
+          round(graft.functions.GraftFunctions.cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= k)
+        // materialized before the cache under it is released
+        .localCheckpoint(true)
+    } finally assigned.unpersist()
+  }
+
+  def knnGraphQuery(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nlist = 16, k = 5, kmeansIters = 1)
+
+  /** Oracle: the q33/q86 IVF chain (seed centroids + one Lloyd step,
+    * raw-cosine argmax) feeding directed within-cluster pairs and a
+    * per-source top-k window.
+    */
+  val knnGraphSql: String =
+    s"""WITH $refinedCentSql,
+       |assigned AS (
+       |  SELECT id, vec, cent_id FROM (
+       |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+       |                 c.cent_id) AS arn
+       |    FROM embeddings e CROSS JOIN cent c) t WHERE arn = 1)
+       |SELECT src, dst, sim, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT a.id AS src, b.id AS dst,
+       |    round(list_cosine_similarity(a.vec, b.vec), 6) AS sim,
+       |    row_number() OVER (PARTITION BY a.id
+       |      ORDER BY round(list_cosine_similarity(a.vec, b.vec), 6) DESC, b.id) AS rn
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.id <> b.id) t
+       |WHERE rn <= 5""".stripMargin
+
   val randomProjectionSql: String =
     """SELECT vec_id, CAST(j AS INTEGER) AS dim,
       |  round(list_reduce(list_prepend(0.0::DOUBLE,

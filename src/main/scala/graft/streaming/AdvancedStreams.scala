@@ -208,4 +208,70 @@ object AdvancedStreams {
       |  ON a.user_id = b.user_id
       | AND b.ts > a.ts
       | AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+
+  // ——— streaming EWMA (q183): the q177 score maintained live ———
+
+  case class EwRow(user_id: Long, ts_us: Long, event_id: Long, v_units: Long)
+  case class EwOut(user_id: Long, n_events: Long, ewma_units: Long)
+
+  /** [[graft.operators.Behavioral.ewmaQuery]]'s fixed-point decayed
+    * engagement score maintained AS STATE: per user, a (total count,
+    * ring of the `EwmaMaxLag` most recent (ts, event_id, v_units))
+    * pair in a `ValueState`. Each batch merges its rows into the
+    * ring by the same (ts, event_id) order the batch operator sorts
+    * by, truncates to the lag bound — state per key is O(lag),
+    * CONSTANT in stream length — and re-emits the user's current
+    * score. Late rows inside the ring's horizon reorder correctly;
+    * a row older than the whole ring is beyond the score's 2⁻³⁰
+    * resolution by construction, which is why the lag bound is also
+    * the exactly-correct state bound.
+    */
+  class EwmaProcessor extends StatefulProcessor[Long, EwRow, EwOut] {
+    private val MaxLag = graft.operators.Behavioral.EwmaMaxLag
+    @transient private var st: ValueState[(Long, Seq[(Long, Long, Long)])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Seq[(Long, Long, Long)])]("ewma",
+        Encoders.product[(Long, Seq[(Long, Long, Long)])], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EwRow],
+        timerValues: TimerValues): Iterator[EwOut] = {
+      val (prevN, prevRing) = if (st.exists()) st.get() else (0L, Seq.empty[(Long, Long, Long)])
+      val incoming = rows.map(r => (r.ts_us, r.event_id, r.v_units)).toSeq
+      val ring = (prevRing ++ incoming).sortBy(t => (t._1, t._2)).takeRight(MaxLag)
+      val n = prevN + incoming.size
+      st.update((n, ring))
+      // lag 0 = most recent; v ≥ 0 so >> lag == div 2^lag
+      val score = ring.reverseIterator.zipWithIndex.map { case ((_, _, v), lag) => v >> lag }.sum
+      Iterator.single(EwOut(key, n, score))
+    }
+  }
+
+  /** q183 — the streaming twin of q177: same RocksDB provider dance
+    * as q60, same oracle as the batch EWMA (the single gated batch
+    * must land exactly where the batch pipeline lands).
+    */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame =
+      StreamOps.harnessLock.synchronized {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = StreamOps.eventsStream(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          expr("CAST(round(value * 10000) AS BIGINT)").as("v_units"))
+        .as[EwRow]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update(),
+          Encoders.product[EwOut])
+      StreamOps.runToMemory(out.toDF(), "update")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
