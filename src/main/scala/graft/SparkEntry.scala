@@ -416,6 +416,8 @@ object SparkEntry {
     "q182_knn_graph" -> Similarity.knnGraphQuery _,
     // — q177's EWMA maintained as transformWithState streaming state —
     "q183_stream_ewma" -> graft.streaming.AdvancedStreams.streamEwma _,
+    // — real WAV (RIFF/PCM16) encode→decode round trip, exact oracle —
+    "q184_wav_decode" -> graft.multimodal.Multimodal.wavDecodeQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -718,5 +720,6 @@ object SparkEntry {
     "q182_knn_graph" -> Similarity.knnGraphSql,
     // the streaming EWMA must land exactly on the batch score
     "q183_stream_ewma" -> graft.operators.Behavioral.ewmaSql,
+    "q184_wav_decode" -> graft.multimodal.Multimodal.wavDecodeSql,
   )
 }

@@ -277,4 +277,131 @@ object Multimodal {
       |  CAST(sum((7 * x.i + 13 * y.i + d.doc_id) % 256) AS BIGINT) AS pix_sum
       |FROM d, unnest(range(d.width)) x(i), unnest(range(d.height)) y(i)
       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ——— real WAV (RIFF/PCM16) audio round trip (q184) ———
+
+  case class DecodedAudio(
+      id: Long, n_bytes: Long, sample_rate: Int, n_samples: Long,
+      duration_us: Long, amp_sum: Long, energy: Long)
+
+  val WavRate = 8000
+
+  def wavSampleCount(id: Long): Int = (100 + id % 400).toInt
+
+  /** Deterministic PCM sample i of clip `id`: a sawtooth in
+    * [−1000, 1000] — pure integer arithmetic the oracle replays.
+    */
+  def wavSample(id: Long, i: Int): Int = (((id * 31 + i.toLong * 37) % 2001) - 1000).toInt
+
+  /** Encode clip `id` as REAL WAV bytes: RIFF header, canonical
+    * 16-byte PCM `fmt ` chunk (mono, 16-bit, 8 kHz), little-endian
+    * samples. Byte-level, no codec library — the decode side has to
+    * parse actual container structure, which is the point.
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = wavSampleCount(id)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                 // PCM
+      .putShort(1.toShort)                 // mono
+      .putInt(WavRate)
+      .putInt(WavRate * 2)                 // byte rate
+      .putShort(2.toShort)                 // block align
+      .putShort(16.toShort)                // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(wavSample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Parse WAV bytes back: validate the RIFF/WAVE magic, WALK the
+    * chunk list to the `fmt `/`data` chunks (real files carry LIST/
+    * fact chunks between them — offset-44 assumptions break), then
+    * one pass over the PCM16 samples for Σ|x| and Σx² — integer
+    * audio features (amplitude mass, energy) the oracle predicts
+    * exactly. Fails loudly on malformed payloads, same contract as
+    * [[decodeImage]].
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii4(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(ascii4() == "RIFF", s"not RIFF: id=$id")
+    buf.getInt // riff size
+    require(ascii4() == "WAVE", s"not WAVE: id=$id")
+    var rate = -1
+    var bits = -1
+    var channels = -1
+    var nSamples = -1L
+    var ampSum = 0L
+    var energy = 0L
+    while (buf.remaining() >= 8) {
+      val tag = ascii4()
+      val len = buf.getInt
+      tag match {
+        case "fmt " =>
+          val start = buf.position()
+          val codec = buf.getShort
+          require(codec == 1, s"not PCM (codec=$codec): id=$id")
+          channels = buf.getShort.toInt
+          rate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          bits = buf.getShort.toInt
+          buf.position(start + len)
+        case "data" =>
+          require(rate > 0 && bits == 16 && channels == 1,
+            s"data chunk before canonical mono/16-bit fmt: id=$id")
+          nSamples = len / 2L
+          var i = 0L
+          while (i < nSamples) {
+            val x = buf.getShort.toLong
+            ampSum += math.abs(x)
+            energy += x * x
+            i += 1
+          }
+        case _ => buf.position(buf.position() + len + (len & 1)) // skip, pad to even
+      }
+    }
+    require(nSamples >= 0, s"no data chunk: id=$id")
+    DecodedAudio(id, bytes.length.toLong, rate, nSamples,
+      nSamples * 1000000L / rate, ampSum, energy)
+  }
+
+  /** q184 — the audio twin of q85: encode deterministic clips as real
+    * WAV bytes, push them through the batched partition-local decode,
+    * and report integer audio features the oracle predicts
+    * arithmetically. A decoder that misread the header, dropped a
+    * sample, or sign-flipped PCM would hash-mismatch.
+    */
+  def wavDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .repartition(8)
+      .mapPartitions { ids =>
+        ids.grouped(32).flatMap(_.map { id => decodeWav(id, encodeWav(id)) })
+      }
+      .toDF()
+      .select(col("id").as("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_us"), col("amp_sum"), col("energy"))
+  }
+
+  val wavDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(100 + doc_id % 400 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id < 200),
+      |s AS (
+      |  SELECT d.doc_id, d.n, ((d.doc_id * 31 + i.i * 37) % 2001) - 1000 AS x
+      |  FROM d, unnest(range(d.n)) i(i))
+      |SELECT doc_id, 8000 AS sample_rate, max(n) AS n_samples,
+      |  max(n) * 1000000 // 8000 AS duration_us,
+      |  CAST(sum(abs(x)) AS BIGINT) AS amp_sum,
+      |  CAST(sum(x * x) AS BIGINT) AS energy
+      |FROM s GROUP BY doc_id""".stripMargin
 }

@@ -273,6 +273,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(bnlj <= 6, s"PageRank superstep joined edges with a nested loop ($bnlj)")
   }
 
+  test("q175: triangle wedge and closing joins are equi-joins — no cartesian") {
+    val p = plan("q175_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting grew a non-equi join:\n${p.take(800)}")
+  }
+
+  test("q182: kNN-graph pair generation is a cent_id equi-join — no cartesian") {
+    val p = plan("q182_knn_graph")
+    assert(!p.contains("CartesianProduct"), s"cartesian in kNN graph:\n${p.take(800)}")
+    // only the bounded centroid attach may nested-loop (1-row /
+    // nlist-row broadcast frames), never the data×data side
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj == 0, s"kNN graph joined data with a nested loop ($bnlj)")
+  }
+
+  test("q177: EWMA pair join is a user_id equi-join with the lag bound as residual") {
+    val p = plan("q177_ewma_engagement")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"EWMA grew a non-equi join:\n${p.take(800)}")
+  }
+
   test("q157: the CMS estimate probe broadcasts the d*w sketch") {
     val p = plan("q157_cms_heavy")
     assert(!p.contains("CartesianProduct"), s"cartesian in CMS:\n${p.take(600)}")

@@ -109,4 +109,40 @@ class MultimodalSpec extends SparkSuite {
     assert(byId(3L) === 3L)
     assert(byId(1L) === 1L)
   }
+
+  // ——— WAV codec (q184) ———
+
+  test("WAV round trip recovers every sample statistic exactly") {
+    val id = 42L
+    val got = Multimodal.decodeWav(id, Multimodal.encodeWav(id))
+    val n = Multimodal.wavSampleCount(id)
+    val samples = (0 until n).map(Multimodal.wavSample(id, _))
+    assert(got.sample_rate == Multimodal.WavRate)
+    assert(got.n_samples == n.toLong)
+    assert(got.duration_us == n.toLong * 1000000L / Multimodal.WavRate)
+    assert(got.amp_sum == samples.map(s => math.abs(s.toLong)).sum)
+    assert(got.energy == samples.map(s => s.toLong * s).sum)
+  }
+
+  test("WAV decode walks chunk lists (LIST chunk between fmt and data)") {
+    // splice a 6-byte LIST chunk after fmt — real encoders emit these;
+    // an offset-44 decoder would misread the data chunk
+    val id = 7L
+    val plain = Multimodal.encodeWav(id)
+    val fmtEnd = 12 + 8 + 16 // RIFF hdr + fmt tag/len + fmt body
+    val extra = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(6).put(Array[Byte](1, 2, 3, 4, 5, 6))
+    val spliced = plain.take(fmtEnd) ++ extra.array() ++ plain.drop(fmtEnd)
+    val got = Multimodal.decodeWav(id, spliced)
+    val want = Multimodal.decodeWav(id, plain)
+    assert(got.copy(n_bytes = want.n_bytes) == want)
+  }
+
+  test("malformed WAV fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, "RIFFxxxxNOPE".getBytes("US-ASCII"))
+    }
+    assert(e.getMessage.contains("WAVE"))
+  }
 }
