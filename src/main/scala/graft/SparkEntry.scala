@@ -418,6 +418,8 @@ object SparkEntry {
     "q183_stream_ewma" -> graft.streaming.AdvancedStreams.streamEwma _,
     // — real WAV (RIFF/PCM16) encode→decode round trip, exact oracle —
     "q184_wav_decode" -> graft.multimodal.Multimodal.wavDecodeQuery _,
+    // — write-path CHECK constraints: violating batch publishes NOTHING —
+    "q185_check_constraint" -> graft.sources.bucketed.BucketedQueries.checkConstraintQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -721,5 +723,6 @@ object SparkEntry {
     // the streaming EWMA must land exactly on the batch score
     "q183_stream_ewma" -> graft.operators.Behavioral.ewmaSql,
     "q184_wav_decode" -> graft.multimodal.Multimodal.wavDecodeSql,
+    "q185_check_constraint" -> graft.sources.bucketed.BucketedQueries.checkConstraintSql,
   )
 }

@@ -445,6 +445,40 @@ object BucketStore {
 
   def dmlModeOf(name: String): String = dmlModes.getOrDefault(name, CopyOnWrite)
 
+  /** CHECK constraints, one boolean SQL expression per table (see
+    * [[CheckConstraint]]). Operational config like [[dmlModes]] — set
+    * via TBLPROPERTIES('check'='...') or [[setCheck]]; enforced at
+    * every row-ingesting choke point ([[commitWrite]], [[upsertRows]],
+    * [[applyDelta]] inserts) AND task-side in the DSv2 writer — the
+    * choke points are this stand-in's driver-resident safety net, the
+    * writer is the distributed path a real cluster relies on.
+    */
+  private val checks = new ConcurrentHashMap[String, String]()
+
+  def checkOf(name: String): Option[String] = Option(checks.get(name))
+
+  /** Install (or replace) `name`'s CHECK constraint. Like Delta's ADD
+    * CONSTRAINT, the EXISTING rows must already satisfy it — a
+    * constraint the current data violates is rejected, not recorded.
+    */
+  def setCheck(name: String, exprStr: String): Unit = synchronized {
+    val t = get(name)
+    CheckConstraint.bind(t.schema, exprStr) // loud on bad columns/type
+    t.buckets.indices.foreach { b =>
+      CheckConstraint.validate(name, exprStr, t.schema, folded(t, b).rows)
+    }
+    checks.put(name, exprStr)
+    ()
+  }
+
+  def dropCheck(name: String): Unit = { checks.remove(name); () }
+
+  private def enforceCheck(name: String, schema: StructType,
+      byBucket: Array[Array[Row]]): Unit =
+    checkOf(name).foreach { expr =>
+      byBucket.foreach(rows => CheckConstraint.validate(name, expr, schema, rows))
+    }
+
   /** Folded views, cached by the BucketMor instance (fresh per bucket
     * per MOR commit, shared across snapshots that share the state) —
     * the same identity discipline [[BucketSkip]] uses, so a folded
@@ -550,6 +584,7 @@ object BucketStore {
     // un-sorting the bucket (pruning tightness only, but permanent)
     val t = if (inserts.exists(_.nonEmpty)) freezeZBounds(t1, inserts.iterator.flatten) else t1
     requireLayoutUnchanged(name, t, expectedLayoutEpoch)
+    enforceCheck(name, t.schema, inserts)
     require(t.version == expectedVersion,
       s"row-level delta for '$name' planned against v$expectedVersion but the table is now " +
         s"v${t.version} — positions are snapshot-relative and a concurrent commit may have " +
@@ -932,6 +967,7 @@ object BucketStore {
     require(byBucket.length == t0.buckets.length,
       s"upsert into '$name': got ${byBucket.length} buckets, table has ${t0.buckets.length}")
     requireLayoutUnchanged(name, t0, expectedLayoutEpoch)
+    enforceCheck(name, t0.schema, byBucket)
     val t = freezeZBounds(t0, byBucket.iterator.flatten)
     val keyIdx = t.schema.fieldIndex(t.keyCol)
     val rows = t.buckets.zipWithIndex.map { case (base, b) =>
@@ -1006,6 +1042,7 @@ object BucketStore {
     firstVersions.remove(name)
     statColumns.remove(name)
     dmlModes.remove(name)
+    checks.remove(name)
     tables.remove(name) != null
   }
 
@@ -1025,6 +1062,7 @@ object BucketStore {
       require(byBucket.length == t0.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t0.buckets.length}")
       requireLayoutUnchanged(name, t0, expectedLayoutEpoch)
+      enforceCheck(name, t0.schema, byBucket)
       val t = freezeZBounds(t0, byBucket.iterator.flatten)
       val rows =
         if (truncate) byBucket.map(clusterSort(t.schema, t.clusterCol, _, t.zBounds))
@@ -1114,6 +1152,7 @@ object BucketStore {
       require(byBucket.length == t0.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t0.buckets.length}")
       requireLayoutUnchanged(name, t0, expectedLayoutEpoch)
+      enforceCheck(name, t0.schema, byBucket)
       val t = freezeZBounds(t0, byBucket.iterator.flatten)
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>
         if (groups.contains(b)) clusterSort(t.schema, t.clusterCol, byBucket(b), t.zBounds)

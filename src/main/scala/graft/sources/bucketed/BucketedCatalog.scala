@@ -27,7 +27,7 @@ object BucketedCatalog {
     * [[BucketedCatalog.createTable]] the way [[ConnectorOptions.parse]]
     * validates scan options.
     */
-  val KnownTableProps: Set[String] = Set("cluster_by", "write.dml.mode")
+  val KnownTableProps: Set[String] = Set("cluster_by", "write.dml.mode", "check")
 }
 
 class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
@@ -144,8 +144,14 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
     // bucket rewrites (validated loudly by setDmlMode)
     val dmlMode = userKeys.find(_.equalsIgnoreCase("write.dml.mode"))
       .flatMap(k => Option(properties.get(k))).filter(_.nonEmpty)
+    // TBLPROPERTIES('check'='<boolean sql expr>'): write-path CHECK
+    // constraint, enforced task-side and at every commit choke point
+    // (see CheckConstraint)
+    val check = userKeys.find(_.equalsIgnoreCase("check"))
+      .flatMap(k => Option(properties.get(k))).filter(_.nonEmpty)
     BucketStore.createEmpty(ident.name(), schema, key, n, clusterBy = clusterBy)
     dmlMode.foreach(BucketStore.setDmlMode(ident.name(), _))
+    check.foreach(BucketStore.setCheck(ident.name(), _))
     new BucketedTable(ident.name())
   }
 

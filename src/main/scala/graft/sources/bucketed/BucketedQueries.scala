@@ -1514,4 +1514,58 @@ object BucketedQueries {
       |  SELECT query_id, id, sim,
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
       |  FROM cands) t WHERE rn <= 5""".stripMargin
+
+  // ——— q185: write-path CHECK constraints ———
+
+  /** q185 — the data-quality contract AT the store boundary: a table
+    * created with `TBLPROPERTIES('check'='...')` accepts a valid
+    * INSERT, REJECTS a violating one (task-side, see
+    * [[CheckConstraint]]), and — the part that matters — the rejected
+    * batch publishes NOTHING: the version is unchanged and the final
+    * content is exactly the valid rows, which is what the oracle
+    * hashes. A constraint system that let half a batch through would
+    * fail this gate, not just a spec.
+    */
+  def checkConstraintQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"orders_chk@$dir"
+    BucketStore.drop(name)
+    spark.sql(
+      s"""CREATE TABLE graft.`$name` (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+         |PARTITIONED BY (bucket($NumBuckets, o_orderkey))
+         |TBLPROPERTIES('check'='o_totalprice > 0 AND o_orderkey IS NOT NULL')""".stripMargin)
+    graft.tables.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView("chk_src")
+    spark.sql(s"INSERT INTO graft.`$name` SELECT * FROM chk_src")
+    val versionBefore = BucketStore.get(name).version
+    val rejected =
+      try {
+        spark.sql(s"INSERT INTO graft.`$name` " +
+          "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, -o_totalprice FROM chk_src")
+        false
+      } catch {
+        case e: Throwable =>
+          val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(_.getMessage).mkString(" | ")
+          require(msgs.contains("CHECK constraint violation"),
+            s"violating insert failed for the wrong reason: $msgs")
+          true
+      }
+    require(rejected, "violating INSERT was accepted by a CHECK-constrained table")
+    require(BucketStore.get(name).version == versionBefore,
+      "rejected batch still published a version — two-phase commit broke")
+    spark.table(s"graft.`$name`")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+  }
+
+  val checkConstraintSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY o_orderstatus""".stripMargin
 }

@@ -57,7 +57,7 @@ class BucketedWriteBuilder(name: String, info: LogicalWriteInfo)
     // and commit fails loudly instead of silently mis-routing rows
     // (same-count changes are invisible to the bucket-count check)
     new BucketedWrite(name, want, doTruncate, t.keyCol, t.buckets.length, upsert,
-      t.rangeBounds, t.layoutEpoch)
+      t.rangeBounds, t.layoutEpoch, BucketStore.checkOf(name))
   }
 }
 
@@ -78,7 +78,8 @@ class BucketedUpsertWriteBuilder(name: String, info: LogicalWriteInfo)
 
 class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
-    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L)
+    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
+    checkExpr: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   /** Hash tables cluster on the bucket transform (each task writes
@@ -105,11 +106,11 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
 
   override def toBatch: BatchWrite =
     new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets, upsert,
-      rangeBounds, layoutEpoch)
+      rangeBounds, layoutEpoch, checkExpr)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new BucketedStreamingWrite(name, schema, truncate, keyCol, numBuckets, upsert,
-      rangeBounds, layoutEpoch)
+      rangeBounds, layoutEpoch, checkExpr)
 
   override def description(): String =
     s"graft-buckets:$name write bucket($numBuckets, $keyCol)" +
@@ -127,7 +128,8 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
   */
 class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
-    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L)
+    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
+    checkExpr: Option[String] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -135,7 +137,8 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
   private val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new BucketedStreamingWriterFactory(schema, keyCol, numBuckets, rangeBounds)
+    new BucketedStreamingWriterFactory(schema, keyCol, numBuckets, rangeBounds,
+      name, checkExpr)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     if (committed.add(epochId)) {
@@ -149,10 +152,11 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
 
 class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
-    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L) extends BatchWrite {
+    rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
+    checkExpr: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BucketedWriterFactory(schema, keyCol, numBuckets, rangeBounds)
+    new BucketedWriterFactory(schema, keyCol, numBuckets, rangeBounds, name, checkExpr)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val byBucket = BucketWriteCommit.merge(messages, numBuckets)
@@ -165,21 +169,23 @@ class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
 }
 
 class BucketedWriterFactory(schema: StructType, keyCol: String, numBuckets: Int,
-    rangeBounds: Option[Array[Any]] = None)
+    rangeBounds: Option[Array[Any]] = None,
+    tableName: String = "", checkExpr: Option[String] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds)
+    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds, tableName, checkExpr)
 }
 
 /** Standalone (serializable) streaming factory — must NOT capture the
   * StreamingWrite, which holds driver-only commit state.
   */
 class BucketedStreamingWriterFactory(schema: StructType, keyCol: String, numBuckets: Int,
-    rangeBounds: Option[Array[Any]] = None)
+    rangeBounds: Option[Array[Any]] = None,
+    tableName: String = "", checkExpr: Option[String] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds)
+    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds, tableName, checkExpr)
 }
 
 final case class BucketWriteCommit(rowsByBucket: Array[Array[Row]])
@@ -202,13 +208,18 @@ object BucketWriteCommit {
 }
 
 class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int,
-    rangeBounds: Option[Array[Any]] = None)
+    rangeBounds: Option[Array[Any]] = None,
+    tableName: String = "", checkExpr: Option[String] = None)
   extends DataWriter[InternalRow] {
 
   private val fieldConverters = schema.fields.map(f =>
     org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(f.dataType))
   private val keyIdx = schema.fieldIndex(keyCol)
   private val buf = Array.fill(numBuckets)(Vector.newBuilder[Row])
+  // CHECK constraint, compiled task-side from the string (expressions
+  // never serialize; the parser and registry are executor-local)
+  private val check: Option[Row => Boolean] =
+    checkExpr.map(e => CheckConstraint.compile(schema, e))
 
   /** Values are extracted eagerly (Spark reuses the InternalRow buffer
     * between calls). `offset` = 1 strips the `__row_operation` prefix
@@ -237,6 +248,15 @@ class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int,
       else throw new IllegalStateException(
         s"writer got ${record.numFields} fields for ${schema.length}-column schema")
     val row = toRow(record, offset)
+    // task-side CHECK enforcement: the violating TASK fails before
+    // anything stages, and two-phase commit guarantees the whole
+    // violating batch publishes NOTHING
+    check.foreach { pass =>
+      if (!pass(row))
+        throw new IllegalArgumentException(
+          s"CHECK constraint violation on '$tableName': (${checkExpr.get}) is false for row " +
+            row.toString.take(200))
+    }
     buf(BucketStore.routeBucket(rangeBounds, numBuckets, row.get(keyIdx))) += row
   }
 

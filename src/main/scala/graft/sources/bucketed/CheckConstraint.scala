@@ -1,0 +1,91 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.analysis.SimpleAnalyzer
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Expression}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+import org.apache.spark.sql.types.{BooleanType, StructType}
+
+/** Write-path CHECK constraints for the bucket store — the Delta/
+  * Iceberg `ALTER TABLE ADD CONSTRAINT CHECK (...)` contract: a
+  * boolean SQL expression every row must satisfy AT WRITE TIME, so a
+  * 100 TB table's quality invariants hold by construction instead of
+  * by a nightly audit query over the damage.
+  *
+  * SQL CHECK semantics: a row fails only when the predicate evaluates
+  * to FALSE — NULL passes (the constraint constrains what it can see;
+  * `IS NOT NULL` is its own explicit check).
+  *
+  * Compilation is self-contained (no SparkSession): the expression
+  * string parses through [[CatalystSqlParser]], attributes bind by
+  * name against the table schema, function calls resolve against the
+  * builtin registry, and evaluation is the bound expression over the
+  * Catalyst-converted row. The STRING travels to executors and
+  * compiles once per writer task — expressions never serialize, and a
+  * task needs nothing from the driver but the schema it already has.
+  */
+object CheckConstraint {
+
+  /** Parse + analyze + bind `exprStr` against `schema`; loud on
+    * unknown columns, unknown functions, or a non-boolean result
+    * type. Analysis runs through [[SimpleAnalyzer]] over a dummy
+    * single-projection plan — the full resolution stack (attribute
+    * lookup, builtin function registry, implicit type coercion: a
+    * DOUBLE column compared to an INT literal needs the analyzer's
+    * cast, not a hand-rolled one) without needing a SparkSession.
+    */
+  def bind(schema: StructType, exprStr: String): Expression = {
+    val parsed =
+      try CatalystSqlParser.parseExpression(exprStr)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"check constraint does not parse: '$exprStr' (${e.getMessage})")
+      }
+    val attrs = schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val analyzed =
+      try {
+        val plan = Project(Seq(Alias(parsed, "__check")()), LocalRelation(attrs))
+        val resolved = SimpleAnalyzer.execute(plan)
+        SimpleAnalyzer.checkAnalysis(resolved)
+        resolved.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"check constraint does not resolve against " +
+              s"[${schema.fieldNames.mkString(", ")}]: '$exprStr' (${e.getMessage})")
+      }
+    require(analyzed.dataType == BooleanType,
+      s"check constraint must be boolean, got ${analyzed.dataType.catalogString}: '$exprStr'")
+    val indexOf = attrs.map(_.exprId).zipWithIndex.toMap
+    analyzed.transformUp {
+      case a: AttributeReference =>
+        BoundReference(indexOf(a.exprId), a.dataType, a.nullable)
+    }
+  }
+
+  /** Compile to a Row predicate: true ⇔ the row PASSES. */
+  def compile(schema: StructType, exprStr: String): Row => Boolean = {
+    val bound = bind(schema, exprStr)
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    row => bound.eval(conv(row).asInstanceOf[InternalRow]) != false
+  }
+
+  /** Validate a batch; loud failure names the table, constraint, and
+    * the first offending row (truncated — a 100-column row should not
+    * flood the error budget).
+    */
+  def validate(table: String, exprStr: String, schema: StructType,
+      rows: IterableOnce[Row]): Unit = {
+    val pass = compile(schema, exprStr)
+    rows.iterator.foreach { r =>
+      if (!pass(r))
+        throw new IllegalArgumentException(
+          s"CHECK constraint violation on '$table': ($exprStr) is false for row " +
+            r.toString.take(200))
+    }
+  }
+}
