@@ -420,6 +420,12 @@ object SparkEntry {
     "q184_wav_decode" -> graft.multimodal.Multimodal.wavDecodeQuery _,
     // — write-path CHECK constraints: violating batch publishes NOTHING —
     "q185_check_constraint" -> graft.sources.bucketed.BucketedQueries.checkConstraintQuery _,
+    // — hashing-trick text features: no vocabulary, no fitting pass —
+    "q186_feature_hashing" -> TextAnalysis.featureHashQuery _,
+    // — first-order Markov transition counts over user event paths —
+    "q187_transitions" -> graft.operators.Behavioral.transitionsQuery _,
+    // — dead-letter quarantine routing through real store tables —
+    "q188_quarantine" -> graft.operators.Pipelines.quarantineQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -724,5 +730,8 @@ object SparkEntry {
     "q183_stream_ewma" -> graft.operators.Behavioral.ewmaSql,
     "q184_wav_decode" -> graft.multimodal.Multimodal.wavDecodeSql,
     "q185_check_constraint" -> graft.sources.bucketed.BucketedQueries.checkConstraintSql,
+    "q186_feature_hashing" -> TextAnalysis.featureHashSql,
+    "q187_transitions" -> graft.operators.Behavioral.transitionsSql,
+    "q188_quarantine" -> graft.operators.Pipelines.quarantineSql,
   )
 }

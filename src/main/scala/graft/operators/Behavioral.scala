@@ -150,6 +150,37 @@ object Behavioral {
               .cast("decimal(38,0)")).as("anomalous"))
   }
 
+  // ——— q187: event-transition bigrams (first-order Markov counts) ———
+
+  /** Per-user event-type TRANSITION counts — the first-order Markov
+    * matrix behind every "what do users do next" product question and
+    * behind session-path anomaly detection (a transition that never
+    * occurs organically lighting up is bot traffic). One window per
+    * user ((ts, event_id) order — deterministic under timestamp
+    * ties), `lead` for the successor, one mergeable count. Scale:
+    * the window partitions by the high-cardinality user_id — exactly
+    * the shuffle profile Spark's window operator is built for; no
+    * global ordering anywhere.
+    */
+  def transitionsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val transitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |FROM seq WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   // ——— q180: exact-rank winsorization ———
 
   /** Per-type winsorized statistics: clip values at the exact p05/p95

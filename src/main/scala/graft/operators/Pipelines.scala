@@ -494,4 +494,53 @@ object Pipelines {
         |  SELECT doc_id, cluster_id,
         |    (((cluster_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 % 10 AS hh
         |  FROM clustered) t""".stripMargin
+
+  // ——— q188: quarantine routing (dead-letter curation) ———
+
+  /** Rule-gated routing with a QUARANTINE side, the dead-letter
+    * pattern of every production ingest: instead of dropping rows a
+    * quality gate rejects (evidence gone, thresholds untunable), rows
+    * route to a quarantine table tagged with the FIRST failing rule.
+    * Both routes land in real bucket-store tables through the
+    * ordinary DSv2 write (two versioned tables, re-processable later
+    * — loosen a rule, re-route quarantine), and the gate reads the
+    * report BACK from the store so the round trip is what's hashed.
+    * One scan, one CASE, two writes — no second pass over the corpus
+    * per rule.
+    */
+  def quarantineQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.bucketed.BucketStore
+    val routed = Tables.documents(spark, dir)
+      .withColumn("reason",
+        when(col("n_chars") < 100, "too_short")
+          .when(!col("lang").isin("en", "de", "fr", "es"), "unsupported_lang")
+          .otherwise("ok"))
+    val clean = s"docs_clean@$dir"
+    val quar = s"docs_quarantine@$dir"
+    BucketStore.drop(clean)
+    BucketStore.drop(quar)
+    BucketStore.load(spark, clean,
+      routed.filter(col("reason") === "ok").drop("reason"), "doc_id", numBuckets = 8)
+    BucketStore.load(spark, quar,
+      routed.filter(col("reason") =!= "ok"), "doc_id", numBuckets = 8)
+    val cleanN = spark.read.format("graft-buckets").option("table", clean).load()
+      .agg(count(lit(1))).head().getLong(0)
+    spark.read.format("graft-buckets").option("table", quar).load()
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"))
+      .unionByName(spark.range(1).select(lit("ok").as("reason"), lit(cleanN).as("n"),
+        lit(null).cast("long").as("sum_chars")))
+  }
+
+  val quarantineSql: String =
+    """WITH routed AS (
+      |  SELECT n_chars,
+      |    CASE WHEN n_chars < 100 THEN 'too_short'
+      |         WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_lang'
+      |         ELSE 'ok' END AS reason
+      |  FROM documents)
+      |SELECT reason, count(*) AS n,
+      |  CASE WHEN reason = 'ok' THEN NULL
+      |       ELSE CAST(sum(n_chars) AS BIGINT) END AS sum_chars
+      |FROM routed GROUP BY reason""".stripMargin
 }

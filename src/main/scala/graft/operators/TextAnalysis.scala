@@ -606,4 +606,41 @@ object TextAnalysis {
       |  round(percent_rank() OVER w, 6) >= 0.7 AS keep_top_30pct
       |FROM documents
       |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin
+
+  /** q186 — the hashing trick (Weinberger et al. 2009): fixed-width
+    * sparse text features with NO vocabulary — dim = hash(token) mod
+    * V. The featurizer every petabyte-scale linear model / fast
+    * classifier stage uses, because it needs zero driver state, zero
+    * fitting pass, and zero vocabulary broadcast: one codegen'd scan
+    * ([[graft.functions.Fingerprint64]] ∘ [[graft.functions.Mix64]] ∘
+    * pmod), mergeable count aggregation, exact integer output. V=64
+    * here; V=2²⁰ at scale changes nothing structurally.
+    */
+  def featureHashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Fingerprint64, Mix64}
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        pmod(Mix64(Fingerprint64(col("tok"))), lit(64L)).cast("int").as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Oracle: the q25/q157 HUGEINT hash replica feeding a mod-64
+    * bucket count. pmod of the signed long ≡ unsigned mod for a
+    * power-of-two V (low 6 bits).
+    */
+  val featureHashSql: String = {
+    val fold = graft.operators.SimHash.byteFoldFpSql("w")
+    val fmix = graft.operators.SimHash.fmixSql("h0")
+    s"""WITH words AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> ''),
+       |fp AS (SELECT doc_id, $fold AS h0 FROM words),
+       |mixed AS (SELECT doc_id, $fmix AS h FROM fp)
+       |SELECT doc_id, CAST(h % 64 AS INTEGER) AS dim, count(*) AS cnt
+       |FROM mixed GROUP BY 1, 2""".stripMargin
+  }
 }
