@@ -426,6 +426,10 @@ object SparkEntry {
     "q187_transitions" -> graft.operators.Behavioral.transitionsQuery _,
     // — dead-letter quarantine routing through real store tables —
     "q188_quarantine" -> graft.operators.Pipelines.quarantineQuery _,
+    // — audience segmentation: one agg, no INTERSECT/EXCEPT chains —
+    "q189_segments" -> graft.operators.Behavioral.segmentsQuery _,
+    // — two-sample distribution drift, fixed-point chi-square cells —
+    "q190_drift" -> graft.operators.Behavioral.driftQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -733,5 +737,7 @@ object SparkEntry {
     "q186_feature_hashing" -> TextAnalysis.featureHashSql,
     "q187_transitions" -> graft.operators.Behavioral.transitionsSql,
     "q188_quarantine" -> graft.operators.Pipelines.quarantineSql,
+    "q189_segments" -> graft.operators.Behavioral.segmentsSql,
+    "q190_drift" -> graft.operators.Behavioral.driftSql,
   )
 }

@@ -181,6 +181,94 @@ object Behavioral {
       |FROM seq WHERE next_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  // ——— q189: audience segmentation (set algebra over behavior) ———
+
+  /** Audience segment sizes from set algebra over user behavior —
+    * "did X and Y but never Z" — the targeting/report query behind
+    * every growth dashboard. Expressed as one aggregation: per user,
+    * a boolean per behavior (mergeable max-of-flags), then one count
+    * per segment combination — NO self-joins, no intersect chains;
+    * at 100 TB this is a single shuffle by user_id followed by a
+    * tiny rollup, where the naive INTERSECT/EXCEPT formulation pays
+    * a shuffle per set operation.
+    */
+  def segmentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        // value floors keep the flags discriminative (every user has
+        // SOME event of each type at gated densities; "high-value
+        // click" is the realistic segment definition anyway)
+        max(when(col("event_type") === "click" && col("value") > 120, 1).otherwise(0))
+          .as("clicked"),
+        max(when(col("event_type") === "purchase" && col("value") > 180, 1).otherwise(0))
+          .as("purchased"),
+        max(when(col("event_type") === "error" && col("value") > 240, 1).otherwise(0))
+          .as("errored"))
+    flags.groupBy(col("clicked"), col("purchased"), col("errored"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val segmentsSql: String =
+    """WITH flags AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'click' AND value > 120 THEN 1 ELSE 0 END) AS clicked,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS purchased,
+      |    max(CASE WHEN event_type = 'error' AND value > 240 THEN 1 ELSE 0 END) AS errored
+      |  FROM events GROUP BY 1)
+      |SELECT clicked, purchased, errored, count(*) AS n_users
+      |FROM flags GROUP BY 1, 2, 3""".stripMargin
+
+  // ——— q190: distribution drift between time halves ———
+
+  /** Two-sample drift detection — the train/serve-skew monitor every
+    * production feature pipeline runs: histogram the metric in two
+    * time windows, compare with a chi-square-style statistic, flag
+    * types whose distribution moved. Fixed equal-width bins (value ∈
+    * [0, 500) by construction, 8 bins of 62.5) so binning is a pure
+    * per-row map; counts are exact integers; the statistic rounds
+    * each cell's (c1−c2)²/(c1+c2) to micro-units ONCE before the
+    * integer sum, so both engines land on the identical number. Two
+    * mergeable aggregations end to end.
+    */
+  def driftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (to_date(col("ts")) >= lit("2024-01-16")).as("h2"),
+        least(floor(col("value") / 62.5), lit(7.0)).cast("int").as("bin"))
+    val cells = binned.groupBy(col("event_type"), col("bin"))
+      .agg(count(when(!col("h2"), 1)).as("c1"), count(when(col("h2"), 1)).as("c2"))
+    cells
+      .withColumn("cell_micro",
+        when(col("c1") + col("c2") > 0,
+          expr("CAST(round(1e6 * (c1 - c2) * (c1 - c2) / (c1 + c2)) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cell_micro")).as("chi2_micro"))
+      .withColumn("drifted", col("chi2_micro") > lit(20000000L))
+  }
+
+  val driftSql: String =
+    """WITH binned AS (
+      |  SELECT event_type,
+      |    CAST(ts AS DATE) >= DATE '2024-01-16' AS h2,
+      |    CAST(least(floor(value / 62.5), 7) AS INTEGER) AS bin
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, bin,
+      |    count(CASE WHEN NOT h2 THEN 1 END) AS c1,
+      |    count(CASE WHEN h2 THEN 1 END) AS c2
+      |  FROM binned GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type,
+      |    CASE WHEN c1 + c2 > 0
+      |         THEN CAST(round(1e6 * (c1 - c2) * (c1 - c2) / (c1 + c2)) AS BIGINT)
+      |         ELSE 0 END AS cell_micro
+      |  FROM cells)
+      |SELECT event_type, CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
+      |  CAST(sum(cell_micro) AS BIGINT) > 20000000 AS drifted
+      |FROM scored GROUP BY 1""".stripMargin
+
   // ——— q180: exact-rank winsorization ———
 
   /** Per-type winsorized statistics: clip values at the exact p05/p95
