@@ -430,6 +430,8 @@ object SparkEntry {
     "q189_segments" -> graft.operators.Behavioral.segmentsQuery _,
     // — two-sample distribution drift, fixed-point chi-square cells —
     "q190_drift" -> graft.operators.Behavioral.driftQuery _,
+    // — snapshot tags: symbolic VERSION AS OF against a buried version —
+    "q191_tagged_travel" -> graft.sources.bucketed.BucketedQueries.taggedTravelQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -739,5 +741,6 @@ object SparkEntry {
     "q188_quarantine" -> graft.operators.Pipelines.quarantineSql,
     "q189_segments" -> graft.operators.Behavioral.segmentsSql,
     "q190_drift" -> graft.operators.Behavioral.driftSql,
+    "q191_tagged_travel" -> graft.sources.bucketed.BucketedQueries.taggedTravelSql,
   )
 }

@@ -473,6 +473,33 @@ object BucketStore {
 
   def dropCheck(name: String): Unit = { checks.remove(name); () }
 
+  /** Named snapshot tags (Iceberg tag / Delta "name a version" UX):
+    * tag → retained MVCC version, resolvable wherever a numeric
+    * version is (`VERSION AS OF 'release-v1'`, the `versionasof` scan
+    * option via the catalog). A tag PINS nothing — vacuum can still
+    * drop the version; resolution then fails with the same loud
+    * not-retained error a numeric read gets. Tag names must not look
+    * numeric (they would shadow version literals).
+    */
+  private val tags = new ConcurrentHashMap[String, Map[String, Long]]()
+
+  def setTag(name: String, tag: String, version: Option[Long] = None): Long = synchronized {
+    require(tag.nonEmpty && tag.toLongOption.isEmpty,
+      s"tag name must be non-empty and non-numeric, got '$tag'")
+    val v = version.getOrElse(get(name).version)
+    require(retained(name).contains(v),
+      s"cannot tag '$name' at v$v — not a retained version (retained: " +
+        s"${retained(name).mkString(", ")})")
+    tags.merge(name, Map(tag -> v), (a, b) => a ++ b)
+    v
+  }
+
+  def tagOf(name: String, tag: String): Option[Long] =
+    Option(tags.get(name)).flatMap(_.get(tag))
+
+  def tagsOf(name: String): Map[String, Long] =
+    Option(tags.get(name)).getOrElse(Map.empty)
+
   private def enforceCheck(name: String, schema: StructType,
       byBucket: Array[Array[Row]]): Unit =
     checkOf(name).foreach { expr =>
@@ -1043,6 +1070,7 @@ object BucketStore {
     statColumns.remove(name)
     dmlModes.remove(name)
     checks.remove(name)
+    tags.remove(name)
     tables.remove(name) != null
   }
 

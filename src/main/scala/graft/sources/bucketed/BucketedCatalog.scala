@@ -61,10 +61,15 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!BucketStore.exists(ident.name()))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft time travel takes a numeric store version, got '$version'")
-    }
+    // non-numeric versions resolve as snapshot TAGS ('release-v1' →
+    // its pinned numeric version; see BucketStore.setTag / CALL
+    // graft.tag)
+    val v = version.toLongOption
+      .orElse(BucketStore.tagOf(ident.name(), version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft time travel takes a numeric store version or a known tag, got '$version' " +
+          s"(tags on '${ident.name()}': " +
+          s"${BucketStore.tagsOf(ident.name()).keys.toSeq.sorted.mkString(", ")})"))
     // same validation (and wording) as the 'versionasof' scan option —
     // VERSION AS OF 0 / negative gets the instructive message, not the
     // generic "snapshot v0 not retained" failure downstream
@@ -208,7 +213,7 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "recluster"),
       Identifier.of(Array.empty, "repartition_range"), Identifier.of(Array.empty, "stats"),
       Identifier.of(Array.empty, "analyze"), Identifier.of(Array.empty, "compact"),
-      Identifier.of(Array.empty, "reorder"))
+      Identifier.of(Array.empty, "reorder"), Identifier.of(Array.empty, "tag"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -222,9 +227,10 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "analyze" => BucketedProcedures.Analyze
       case "compact" => BucketedProcedures.Compact
       case "reorder" => BucketedProcedures.Reorder
+      case "tag" => BucketedProcedures.Tag
       case other => throw new UnsupportedOperationException(
         s"no such procedure: $other (supported: analyze, compact, vacuum, history, " +
-          "rebucket, recluster, reorder, repartition_range, stats)")
+          "rebucket, recluster, reorder, repartition_range, stats, tag)")
     }
 }
 

@@ -58,6 +58,37 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.tag('t', 'name')` — name the CURRENT retained
+    * snapshot so time travel can address it symbolically
+    * (`SELECT … FROM graft.t VERSION AS OF 'name'`). Metadata-only:
+    * a pointer into the MVCC history, no pin (vacuum still governs
+    * retention) and no data movement.
+    */
+  object Tag extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String =
+      "tag(table, tag): name the current snapshot for symbolic VERSION AS OF"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build())
+    override def isDeterministic: Boolean = false // reads the live version
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "tag(table, tag): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val tag = input.getUTF8String(1).toString
+      val v = BucketStore.setTag(table, tag)
+      localScan(
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        Array(InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(tag), v)),
+        s"graft tag($table, $tag)")
+    }
+  }
+
   /** `CALL graft.rebucket('t', n)` — re-hash every current row into a
     * new n-bucket layout under one MVCC version ([[BucketStore
     * .rebucket]]). Unlike vacuum/history this one IS a data rewrite —

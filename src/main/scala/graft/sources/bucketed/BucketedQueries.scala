@@ -1568,4 +1568,37 @@ object BucketedQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY o_orderstatus""".stripMargin
+
+  // ——— q191: symbolic time travel (snapshot tags) ———
+
+  /** q191 — `CALL graft.tag` + `VERSION AS OF '<tag>'`: tag the
+    * pristine load, bury it under an append, and read the TAG — the
+    * result must hash-match the original table even though the live
+    * table no longer does. Symbolic addressing is what makes MVCC
+    * history usable by humans and schedulers ("train against
+    * 'release-v1'", not "against v83721").
+    */
+  def taggedTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"customer_tag@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.customer(spark, dir), "c_custkey",
+      NumBuckets)
+    spark.sql(s"CALL graft.tag('$name', 'pristine')").collect()
+    // bury the tagged snapshot under extra rows
+    graft.tables.Tables.customer(spark, dir)
+      .withColumn("c_custkey", col("c_custkey") + 50000000L)
+      .writeTo(s"graft.`$name`").append()
+    spark.sql(s"SELECT * FROM graft.`$name` VERSION AS OF 'pristine'")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+  }
+
+  val taggedTravelSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |GROUP BY c_mktsegment""".stripMargin
 }
