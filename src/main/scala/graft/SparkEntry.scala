@@ -432,6 +432,8 @@ object SparkEntry {
     "q190_drift" -> graft.operators.Behavioral.driftQuery _,
     // — snapshot tags: symbolic VERSION AS OF against a buried version —
     "q191_tagged_travel" -> graft.sources.bucketed.BucketedQueries.taggedTravelQuery _,
+    // — reciprocal-rank fusion of the BM25 and cosine retrievers —
+    "q192_rrf_fusion" -> Similarity.rrfQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -742,5 +744,6 @@ object SparkEntry {
     "q189_segments" -> graft.operators.Behavioral.segmentsSql,
     "q190_drift" -> graft.operators.Behavioral.driftSql,
     "q191_tagged_travel" -> graft.sources.bucketed.BucketedQueries.taggedTravelSql,
+    "q192_rrf_fusion" -> Similarity.rrfSql,
   )
 }

@@ -971,6 +971,69 @@ object Similarity {
       |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
       |  FROM scored) t WHERE rn <= 10""".stripMargin
 
+  // ——— reciprocal-rank fusion (q192) ———
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the lexical and
+    * vector retrievers: score = Σ_lists 1/(60 + rank) — THE standard
+    * hybrid fusion, preferred over score blending (q68) when the two
+    * scorers' scales don't commensurate (BM25 micro-nats vs cosine).
+    * Ranks are integers, so the fused score is exact in micro-units:
+    * round(1e6/(60+rank)) per list, integer sum, no float ordering
+    * anywhere.
+    *
+    * Scale: fusion consumes two top-k lists (k rows per query per
+    * retriever — trivial next to the retrievers themselves) in one
+    * full-outer equi-join + one per-query window. The retrievers are
+    * the proven pieces: q155's broadcast-token BM25, q19's broadcast
+    * brute-force cosine (swap in the IVF/SQ path at corpus scale,
+    * fusion unchanged).
+    */
+  def rrfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Query(spark, dir)
+      .select(col("query_id"), col("doc_id").as("id"), col("rn").as("rn_lex"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sem = bruteForceKnn(
+        emb.select(col("vec_id").as("cand_id"), col("v").as("cv")),
+        emb.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("v").as("qv")),
+        k = 10)
+      .select(col("query_id"), col("cand_id").as("id"), col("rn").as("rn_sem"))
+    val fused = lex.join(sem, Seq("query_id", "id"), "outer")
+      .select(col("query_id"), col("id"),
+        (coalesce(expr("CAST(round(1e6 / (60 + rn_lex)) AS BIGINT)"), lit(0L)) +
+          coalesce(expr("CAST(round(1e6 / (60 + rn_sem)) AS BIGINT)"), lit(0L)))
+          .as("rrf_micro"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_micro").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w).cast("int")).filter(col("rank") <= 5)
+  }
+
+  val rrfSql: String =
+    s"""WITH lex AS (
+       |  SELECT query_id, doc_id AS id, rn AS rn_lex FROM (
+       |$bm25Sql
+       |  ) b),
+       |sem AS (
+       |  SELECT query_id, cand_id AS id, rn AS rn_sem FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                              CAST(c.embedding AS DOUBLE[])), 6) DESC,
+       |                 c.vec_id) AS rn
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 3 AND c.vec_id <> q.vec_id) t
+       |  WHERE rn <= 10),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |    COALESCE(l.id, s.id) AS id,
+       |    COALESCE(CAST(round(1e6 / (60 + l.rn_lex)) AS BIGINT), 0)
+       |      + COALESCE(CAST(round(1e6 / (60 + s.rn_sem)) AS BIGINT), 0) AS rrf_micro
+       |  FROM lex l FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.id = s.id)
+       |SELECT query_id, id, rrf_micro, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, id, rrf_micro,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, id) AS rank
+       |  FROM fused) t
+       |WHERE rank <= 5""".stripMargin
+
   // ——— dimensionality reduction: sparse random projection (q176) ———
 
   /** Deterministic sparse random projection (Achlioptas 2003 /
