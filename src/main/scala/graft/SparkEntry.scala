@@ -434,6 +434,8 @@ object SparkEntry {
     "q191_tagged_travel" -> graft.sources.bucketed.BucketedQueries.taggedTravelQuery _,
     // — reciprocal-rank fusion of the BM25 and cosine retrievers —
     "q192_rrf_fusion" -> Similarity.rrfQuery _,
+    // — MATCH_RECOGNIZE-lite: strict-order sequence detection as a fold —
+    "q193_sequence_match" -> graft.operators.Behavioral.sequenceMatchQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -745,5 +747,6 @@ object SparkEntry {
     "q190_drift" -> graft.operators.Behavioral.driftSql,
     "q191_tagged_travel" -> graft.sources.bucketed.BucketedQueries.taggedTravelSql,
     "q192_rrf_fusion" -> Similarity.rrfSql,
+    "q193_sequence_match" -> graft.operators.Behavioral.sequenceMatchSql,
   )
 }

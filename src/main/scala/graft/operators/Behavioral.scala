@@ -181,6 +181,78 @@ object Behavioral {
       |FROM seq WHERE next_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  // ——— q193: ordered sequence-pattern matching ———
+
+  /** Strict-order sequence detection — "users who did click → signup
+    * → purchase IN THAT ORDER (gaps allowed)": the MATCH_RECOGNIZE /
+    * Flink-CEP query shape, compiled to a per-user ordered fold
+    * instead of an NFA operator. Each user's event types are
+    * collected in (ts, event_id) order and a sequential `aggregate`
+    * advances a pattern cursor — subsequence matching in one linear
+    * pass, no self-joins (the three-way min-ts-join formulation
+    * breaks down the moment a step can repeat). Scale: one shuffle
+    * by user_id; per-key arrays are bounded by per-user activity —
+    * the same envelope every sessionization op here lives in. The
+    * fold is the oracle's `list_reduce`, same order, exact integers.
+    */
+  def sequenceMatchQuery(spark: SparkSession, dir: String): DataFrame = {
+    // pattern steps carry value floors ("HIGH-VALUE click → signup →
+    // purchase") so gated densities produce every cursor state, not
+    // one — and because real CEP predicates are per-step conditions,
+    // not bare type equality
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click" && col("value") > 120, 1)
+          .when(col("event_type") === "signup" && col("value") > 180, 2)
+          .when(col("event_type") === "purchase" && col("value") > 250, 3)
+          .otherwise(0).as("code"))
+      .groupBy(col("user_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(ts, event_id, code))), " +
+        "r -> r.code)").as("codes"))
+    perUser
+      .select(col("user_id"), size(col("codes")).as("n_events"),
+        expr("""aggregate(codes, 0,
+          |  (s, c) -> CASE WHEN s = 0 AND c = 1 THEN 1
+          |                 WHEN s = 1 AND c = 2 THEN 2
+          |                 WHEN s = 2 AND c = 3 THEN 3
+          |                 ELSE s END)""".stripMargin).as("steps_matched"))
+      .withColumn("matched", col("steps_matched") === 3)
+  }
+
+  /** Oracle: the greedy fold re-expressed as a MIN-CHAIN — the
+    * earliest step-1 event, the earliest step-2 event after it, the
+    * earliest step-3 after that (greedy earliest-match and the fold
+    * are provably the same subsequence decision). Deliberately NOT an
+    * ordered `list()` aggregate: DuckDB's ordered aggregates came out
+    * NON-DETERMINISTIC under multi-threaded aggregation on this
+    * table's row count (per-thread partials concatenate in arbitrary
+    * order — measured: 5 runs, 2+ distinct results), which would make
+    * the gate flaky. Events order by a single packed key
+    * (epoch-micros ·10⁶ + event_id, exact in HUGEINT) replicating
+    * the Spark side's (ts, event_id) struct sort.
+    */
+  val sequenceMatchSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id AS k,
+      |    CASE WHEN event_type = 'click' AND value > 120 THEN 1
+      |         WHEN event_type = 'signup' AND value > 180 THEN 2
+      |         WHEN event_type = 'purchase' AND value > 250 THEN 3
+      |         ELSE 0 END AS code
+      |  FROM events),
+      |n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+      |s1 AS (SELECT user_id, min(k) AS k1 FROM e WHERE code = 1 GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(k) AS k2 FROM e JOIN s1 USING (user_id)
+      |       WHERE code = 2 AND k > k1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(k) AS k3 FROM e JOIN s2 USING (user_id)
+      |       WHERE code = 3 AND k > k2 GROUP BY 1)
+      |SELECT n.user_id, CAST(n_events AS INTEGER) AS n_events,
+      |  CASE WHEN k3 IS NOT NULL THEN 3 WHEN k2 IS NOT NULL THEN 2
+      |       WHEN k1 IS NOT NULL THEN 1 ELSE 0 END AS steps_matched,
+      |  k3 IS NOT NULL AS matched
+      |FROM n LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)""".stripMargin
+
   // ——— q189: audience segmentation (set algebra over behavior) ———
 
   /** Audience segment sizes from set algebra over user behavior —
