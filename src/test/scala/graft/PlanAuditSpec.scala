@@ -294,6 +294,20 @@ class PlanAuditSpec extends SparkSuite {
       s"EWMA grew a non-equi join:\n${p.take(800)}")
   }
 
+  test("q186: feature hashing is scan → hash → ONE aggregation exchange, no join") {
+    val p = plan("q186_feature_hashing")
+    assert(!p.contains("Join"), s"featurizer must not join:\n${p.take(600)}")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"featurizer grew $exchanges exchanges (want <= 1: the count agg)")
+    assert(p.contains("graft_mix64") || p.contains("graft_fingerprint64"),
+      "hash expressions must be native (codegen'd), not UDFs")
+  }
+
+  test("q193: sequence matching is one aggregation, no per-step self-joins") {
+    val p = plan("q193_sequence_match")
+    assert(!p.contains("Join"), s"CEP fold must not self-join per step:\n${p.take(600)}")
+  }
+
   test("q157: the CMS estimate probe broadcasts the d*w sketch") {
     val p = plan("q157_cms_heavy")
     assert(!p.contains("CartesianProduct"), s"cartesian in CMS:\n${p.take(600)}")
