@@ -436,6 +436,10 @@ object SparkEntry {
     "q192_rrf_fusion" -> Similarity.rrfQuery _,
     // — MATCH_RECOGNIZE-lite: strict-order sequence detection as a fold —
     "q193_sequence_match" -> graft.operators.Behavioral.sequenceMatchQuery _,
+    // — Deequ-lite column profiler: exact counts/nulls/distincts/bounds —
+    "q194_profile" -> graft.operators.Pipelines.profileQuery _,
+    // — native Catalyst expressions through the SQL front door —
+    "q195_sql_native_fns" -> graft.operators.UdfSurface.sqlNativeFnsQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -748,5 +752,7 @@ object SparkEntry {
     "q191_tagged_travel" -> graft.sources.bucketed.BucketedQueries.taggedTravelSql,
     "q192_rrf_fusion" -> Similarity.rrfSql,
     "q193_sequence_match" -> graft.operators.Behavioral.sequenceMatchSql,
+    "q194_profile" -> graft.operators.Pipelines.profileSql,
+    "q195_sql_native_fns" -> graft.operators.UdfSurface.sqlNativeFnsSql,
   )
 }

@@ -495,6 +495,64 @@ object Pipelines {
         |    (((cluster_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 % 10 AS hh
         |  FROM clustered) t""".stripMargin
 
+  // ——— q194: column profiling (Deequ-lite data quality report) ———
+
+  /** One-pass column profiler — the ANALYZE/Deequ-style report every
+    * ingest job publishes next to its output: per column, row count,
+    * null count, exact distinct count, and lo/hi bounds. One
+    * aggregation JOB per profiled column over the same scan (Spark
+    * collapses them into one stage each; at 100 TB run the column
+    * set you care about, not SELECT *), all quantities exact
+    * integers/strings — doubles are profiled in 10⁻⁴ fixed-point
+    * units so the bounds hash-match across engines instead of
+    * fighting float formatting.
+    */
+  def profileQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def statRow(colName: String, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column) =
+      o.agg(count(lit(1)).as("n"),
+        count(when(col(colName).isNull, 1)).as("n_null"),
+        count_distinct(col(colName)).as("n_distinct"),
+        lo.cast("string").as("lo"), hi.cast("string").as("hi"))
+        .select(lit(colName).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("lo"), col("hi"))
+    statRow("o_orderstatus", min(col("o_orderstatus")), max(col("o_orderstatus")))
+      .unionByName(statRow("o_orderpriority",
+        min(col("o_orderpriority")), max(col("o_orderpriority"))))
+      .unionByName(statRow("o_custkey", min(col("o_custkey")), max(col("o_custkey"))))
+      .unionByName(statRow("o_totalprice",
+        min(expr("CAST(round(o_totalprice * 10000) AS BIGINT)")),
+        max(expr("CAST(round(o_totalprice * 10000) AS BIGINT)"))))
+  }
+
+  val profileSql: String =
+    """SELECT 'o_orderstatus' AS col_name, count(*) AS n,
+      |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS n_null,
+      |  count(DISTINCT o_orderstatus) AS n_distinct,
+      |  CAST(min(o_orderstatus) AS VARCHAR) AS lo,
+      |  CAST(max(o_orderstatus) AS VARCHAR) AS hi
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', count(*),
+      |  count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+      |  count(DISTINCT o_orderpriority),
+      |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', count(*),
+      |  count(CASE WHEN o_custkey IS NULL THEN 1 END),
+      |  count(DISTINCT o_custkey),
+      |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', count(*),
+      |  count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+      |  count(DISTINCT o_totalprice),
+      |  CAST(min(CAST(round(o_totalprice * 10000) AS BIGINT)) AS VARCHAR),
+      |  CAST(max(CAST(round(o_totalprice * 10000) AS BIGINT)) AS VARCHAR)
+      |FROM orders""".stripMargin
+
   // ——— q188: quarantine routing (dead-letter curation) ———
 
   /** Rule-gated routing with a QUARANTINE side, the dead-letter

@@ -115,4 +115,34 @@ object UdfSurface {
       |FROM orders
       |WHERE o_orderkey % 3 = 0
       |GROUP BY 1""".stripMargin
+
+  /** q195 — the NATIVE-expression SQL front door: the same registry a
+    * `spark.sql.extensions=graft.GraftExtensions` session injects
+    * ([[graft.functions.GraftFunctions.register]] shares the triples),
+    * exercised through `spark.sql` text — `graft_fingerprint64` and
+    * `graft_mix64` composed in SQL, hash-gated by the HUGEINT mod-2⁶⁴
+    * oracle replica. q165 gates the black-box `udf()` tier; this
+    * gates the codegen'd-Expression tier at the SQL surface.
+    */
+  def sqlNativeFnsQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_native")
+    spark.sql(
+      """SELECT doc_id,
+        |  graft_fingerprint64(text) AS fp,
+        |  graft_mix64(graft_fingerprint64(text)) AS mixed
+        |FROM graft_docs_native""".stripMargin)
+  }
+
+  val sqlNativeFnsSql: String = {
+    import graft.operators.SimHash
+    val M = SimHash.Mod64
+    def signed(h: String): String =
+      s"CAST(CASE WHEN ($h) > 9223372036854775807::HUGEINT THEN ($h) - $M ELSE ($h) END AS BIGINT)"
+    val fold = SimHash.byteFoldFpSql("text")
+    val mixed = SimHash.fmixSql("h0")
+    s"""WITH fp AS (SELECT doc_id, $fold AS h0 FROM documents)
+       |SELECT doc_id, ${signed("h0")} AS fp, ${signed(mixed)} AS mixed
+       |FROM fp""".stripMargin
+  }
 }
