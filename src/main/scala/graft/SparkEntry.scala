@@ -440,6 +440,8 @@ object SparkEntry {
     "q194_profile" -> graft.operators.Pipelines.profileQuery _,
     // — native Catalyst expressions through the SQL front door —
     "q195_sql_native_fns" -> graft.operators.UdfSurface.sqlNativeFnsQuery _,
+    // — inter-event gap p50/p95 via exact order statistics —
+    "q196_gap_percentiles" -> graft.operators.Behavioral.gapPercentilesQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -754,5 +756,6 @@ object SparkEntry {
     "q193_sequence_match" -> graft.operators.Behavioral.sequenceMatchSql,
     "q194_profile" -> graft.operators.Pipelines.profileSql,
     "q195_sql_native_fns" -> graft.operators.UdfSurface.sqlNativeFnsSql,
+    "q196_gap_percentiles" -> graft.operators.Behavioral.gapPercentilesSql,
   )
 }

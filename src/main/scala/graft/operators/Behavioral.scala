@@ -253,6 +253,54 @@ object Behavioral {
       |FROM n LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |  LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  // ——— q196: inter-event gap percentiles (latency distribution) ———
+
+  /** Inter-event-time distribution per event type — the latency /
+    * cadence analytics of any event pipeline ("how often do users
+    * click?", "is error burstiness changing?"): per user, gaps
+    * between consecutive SAME-TYPE events (lead over the per-user
+    * order), then the exact p50/p95 ORDER STATISTICS of those gaps
+    * per type — the q180 discipline (exact ranks, never a sketch
+    * under a hash gate), with gaps as integer microseconds so there
+    * is no float anywhere. Scale: one window by (user, type) + one
+    * window by type; both partition on real keys.
+    */
+  def gapPercentilesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+    val ranked = gaps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("gap_us"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    ranked
+      .filter(col("rn") === expr("(50 * (n - 1)) div 100 + 1") ||
+        col("rn") === expr("(95 * (n - 1)) div 100 + 1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(col("gap_us")).as("p50_us"), max(col("gap_us")).as("p95_us"))
+  }
+
+  val gapPercentilesSql: String =
+    """WITH gaps AS (
+      |  SELECT event_type, event_id,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+      |                             ORDER BY ts, event_id) - epoch_us(ts) AS gap_us
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, gap_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM gaps WHERE gap_us IS NOT NULL)
+      |SELECT event_type, max(n) AS n_gaps,
+      |  min(gap_us) AS p50_us, max(gap_us) AS p95_us
+      |FROM ranked
+      |WHERE rn = (50 * (n - 1)) // 100 + 1 OR rn = (95 * (n - 1)) // 100 + 1
+      |GROUP BY 1""".stripMargin
+
   // ——— q189: audience segmentation (set algebra over behavior) ———
 
   /** Audience segment sizes from set algebra over user behavior —
