@@ -254,4 +254,25 @@ class CurationOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(rerun.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
+
+  test("q194 profiler counts nulls and bounds a null-bearing column correctly") {
+    // the gated orders table has zero nulls, so the null path needs
+    // its own fixture: nulls must count, be excluded from distinct,
+    // and not poison min/max
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, null), (3L, "c"), (null, "c"), (5L, null))
+      .toDF("o_custkey", "o_orderstatus")
+      .withColumn("o_orderpriority", lit("P"))
+      .withColumn("o_totalprice", when(col("o_custkey").isNull, lit(null)
+        .cast("double")).otherwise(col("o_custkey").cast("double") * 1.5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = Pipelines.profileQuery(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(rows("o_custkey") == ((5L, 1L, 4L, "1", "5")))
+    assert(rows("o_orderstatus") == ((5L, 2L, 2L, "a", "c")))
+    // 1.5 * {1,2,3,5} in 1e-4 units → lo 15000, hi 75000; 1 null
+    assert(rows("o_totalprice") == ((5L, 1L, 4L, "15000", "75000")))
+  }
 }
