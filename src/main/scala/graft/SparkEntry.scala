@@ -442,6 +442,8 @@ object SparkEntry {
     "q195_sql_native_fns" -> graft.operators.UdfSurface.sqlNativeFnsQuery _,
     // — inter-event gap p50/p95 via exact order statistics —
     "q196_gap_percentiles" -> graft.operators.Behavioral.gapPercentilesQuery _,
+    // — sketch algebra: HLL inclusion-exclusion audience overlap —
+    "q197_audience_overlap" -> FunctionFamilies.audienceOverlapQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -757,5 +759,6 @@ object SparkEntry {
     "q194_profile" -> graft.operators.Pipelines.profileSql,
     "q195_sql_native_fns" -> graft.operators.UdfSurface.sqlNativeFnsSql,
     "q196_gap_percentiles" -> graft.operators.Behavioral.gapPercentilesSql,
+    "q197_audience_overlap" -> FunctionFamilies.audienceOverlapSql,
   )
 }

@@ -633,4 +633,46 @@ object FunctionFamilies {
       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
       |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta
       |FROM m""".stripMargin
+
+  /** q197 — SKETCH ALGEBRA: audience-overlap estimation by
+    * inclusion-exclusion over HLL sketches, |A∩B| ≈ |A|+|B|−|A∪B| —
+    * how overlap is actually measured at 100 TB (three mergeable
+    * constant-size sketches; the exact INTERSECT pays a full shuffle
+    * of both audiences). Gated q80-style: the result carries the
+    * exact counts plus a contract boolean (estimate within
+    * max(10% of |A|+|B|, 15) of exact — ≥5σ at rsd 0.02 per sketch,
+    * three sketches of compounding), and the oracle predicts the
+    * exacts and TRUE, so a broken estimator hash-mismatches.
+    */
+  def audienceOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.tables.Tables.events(spark, dir)
+    val a = ev.filter(col("event_type") === "click" && col("value") > 120)
+      .select(col("user_id"))
+    val b = ev.filter(col("event_type") === "purchase" && col("value") > 180)
+      .select(col("user_id"))
+    val exacts = a.distinct().intersect(b.distinct())
+      .agg(count(lit(1)).as("exact_overlap"))
+    val aEst = a.agg(count_distinct(col("user_id")).as("n_a"),
+      approx_count_distinct(col("user_id"), 0.02).as("est_a"))
+    val bEst = b.agg(count_distinct(col("user_id")).as("n_b"),
+      approx_count_distinct(col("user_id"), 0.02).as("est_b"))
+    val uEst = a.unionByName(b)
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est_u"))
+    // four 1-row frames → one output row (bounded crossJoins)
+    exacts.crossJoin(aEst).crossJoin(bEst).crossJoin(uEst)
+      .select(col("n_a"), col("n_b"), col("exact_overlap"),
+        (abs(col("est_a") + col("est_b") - col("est_u") - col("exact_overlap"))
+          <= greatest((col("n_a") + col("n_b")) / 10, lit(15L))).as("est_ok"))
+  }
+
+  val audienceOverlapSql: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events
+      |           WHERE event_type = 'click' AND value > 120),
+      |b AS (SELECT DISTINCT user_id FROM events
+      |      WHERE event_type = 'purchase' AND value > 180)
+      |SELECT (SELECT count(*) FROM a) AS n_a,
+      |  (SELECT count(*) FROM b) AS n_b,
+      |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t)
+      |    AS exact_overlap,
+      |  TRUE AS est_ok""".stripMargin
 }
