@@ -9,7 +9,7 @@ the driver's round gate runs.
 
 Usage: python3 scripts/oracle_check.py [sfdir] [outdir] [--skip-verify]
 """
-import json, math, subprocess, sys, glob, os
+import json, math, struct, subprocess, sys, glob, os
 from decimal import Decimal
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -44,14 +44,20 @@ def norm(v):
     if isinstance(v, Decimal):
         return ("dec", str(v))
     if isinstance(v, float):
-        return ("f", v)
+        # Sign-carrying BIT-PATTERN compare (round-11 lesson): the
+        # driver's hasher renders -0.0 != 0.0 (and distinguishes NaN
+        # payloads), but Python's == says -0.0 == 0.0 — which is exactly
+        # how q163's -0.0 passed locally while the driver's gate was
+        # red. Equality uses the raw IEEE bytes; the float value rides
+        # along only for the APPROX-ONLY near-miss diagnostic.
+        return ("f", struct.pack(">d", v), v)
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
     return v
 
 def close(a, b):
     if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0] == "f":
-        x, y = a[1], b[1]
+        x, y = a[2], b[2]
         return math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
     return a == b
 
@@ -109,6 +115,18 @@ def main():
         dec_cols = [c for c, t in zip(got.columns, got.types) if "DECIMAL" in str(t).upper()]
         if dec_cols:
             print(f"{name}: DECIMAL OUTPUT (driver hash hazard): {dec_cols}"); fails += 1; continue
+        # Round-11 class: DuckDB types sum(BIGINT) as HUGEINT (int128);
+        # Spark emits int64. Python == says they match, the driver's
+        # hasher renders them differently (q155/q167/q169 were red on
+        # the driver while green here). Ban HUGEINT in the ORACLE's
+        # output — the fix is always CAST(... AS BIGINT) in the SQL.
+        huge_cols = [c for c, t in zip(exp.columns, exp.types)
+                     if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()]
+        if huge_cols:
+            print(f"{name}: HUGEINT ORACLE OUTPUT (driver hash hazard): {huge_cols}"); fails += 1; continue
+        dec_oracle = [c for c, t in zip(exp.columns, exp.types) if "DECIMAL" in str(t).upper()]
+        if dec_oracle:
+            print(f"{name}: DECIMAL ORACLE OUTPUT (driver hash hazard): {dec_oracle}"); fails += 1; continue
         g = sorted([tuple(norm(v) for v in r) for r in got_rows])
         e = sorted([tuple(norm(v) for v in r) for r in exp_rows])
         if len(g) != len(e):

@@ -154,14 +154,16 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val total = finalResults.map(_._2).filter(_ >= 0).sum
     // Stdout contract hardening (round 3 lost q01/q02 + the total to
-    // the driver's bounded tail capture cutting the line's head):
-    //  - per-query keys shortened to their qNN prefix, values at 2
-    //    decimals → the whole line fits comfortably inside a 2KB
-    //    capture window;
-    //  - the line is printed BEFORE spark.stop() (dev tools read the
-    //    head of output) and again as the very last byte of stdout
-    //    (the driver reads the tail) — identical copies, so whichever
-    //    end survives parses;
+    // the driver's bounded tail capture cutting the line's head;
+    // round 11 lost the WHOLE line — the 197-query map outgrew the
+    // ~2.4KB tail window and the driver recorded parsed:null, so the
+    // 2×-regression gate had nothing to evaluate):
+    //  - the FULL per-query line is printed BEFORE spark.stop() (dev
+    //    tools and a head capture read it);
+    //  - the very LAST line of stdout is a COMPACT summary — total,
+    //    failed list, counts, slowest-5 — a few hundred bytes that fit
+    //    any tail window regardless of suite size, so the driver's
+    //    parse can never again be starved by suite growth;
     //  - the full-precision, full-name report goes to BENCH_local.json
     //    in the repo for quiet-machine comparison across rounds.
     // Ship-gate (round 4 shipped q91 broken and the bench SHRANK —
@@ -174,6 +176,10 @@ object Bench {
     val qs = finalResults.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failedJson,"rereps":${rerep.size},"queries":$qs,"sf":"$sfDir"}"""
+    val slowest = finalResults.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failedJson,"nqueries":${finalResults.size},"rereps":${rerep.size},"slowest":$slowest,"sf":"$sfDir"}"""
     val full = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }.mkString("{", ",", "}")
     val rerepJson = rerep.map { case (k, (s, a)) =>
       "\"" + k + "\":{\"suite\":" + fmt(s, 4) + ",\"rerun\":" + fmt(a, 4) + "}"
@@ -205,7 +211,7 @@ object Bench {
     println(line)
     Console.out.flush()
     spark.stop()
-    println(line)
+    println(compact)
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
       sys.exit(1)

@@ -577,7 +577,7 @@ object FunctionFamilies {
       |  coalesce(max(CASE WHEN tok = 'the' THEN cnt END), 0) AS the_cnt,
       |  CAST(count(*) FILTER (WHERE cnt >= 3) AS INTEGER) AS n_freq,
       |  min(tok) AS first_tok,
-      |  sum(cnt) AS n_toks
+      |  CAST(sum(cnt) AS BIGINT) AS n_toks
       |FROM tf GROUP BY 1""".stripMargin
 
   /** q163 — Pearson correlation + OLS slope of event value against
@@ -610,9 +610,12 @@ object FunctionFamilies {
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // + 0.0 normalizes IEEE negative zero: DuckDB's round can emit -0.0
+    // on near-zero slopes while Spark emits +0.0 — same value, different
+    // sign bit, hash mismatch. -0.0 + 0.0 = +0.0 on both engines.
     m.select(col("event_type"), col("n").cast("long").as("n"),
-      round(num / sqrt(dx * dy), 6).as("r"),
-      round(num / dx, 6).as("beta"))
+      (round(num / sqrt(dx * dy), 6) + lit(0.0)).as("r"),
+      (round(num / dx, 6) + lit(0.0)).as("beta"))
   }
 
   val corrDiurnalSql: String =
@@ -629,9 +632,9 @@ object FunctionFamilies {
       |SELECT event_type, CAST(n AS BIGINT) AS n,
       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
       |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-      |               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r,
+      |               * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS r,
       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta
+      |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS beta
       |FROM m""".stripMargin
 
   /** q197 — SKETCH ALGEBRA: audience-overlap estimation by

@@ -964,7 +964,7 @@ object Similarity {
       |  CROSS JOIN stats s
       |  WHERE f.doc_id <> q.query_id),
       |scored AS (
-      |  SELECT query_id, doc_id, sum(c_micro) AS score_micro
+      |  SELECT query_id, doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
       |  FROM contrib GROUP BY 1, 2)
       |SELECT query_id, doc_id, score_micro, CAST(rn AS INTEGER) AS rn FROM (
       |  SELECT query_id, doc_id, score_micro,
