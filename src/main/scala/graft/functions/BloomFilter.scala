@@ -66,6 +66,10 @@ object BloomFilter {
     }
     val words = keys
       .select(col(keyCol).cast("long").as("key"))
+      // null keys (or null-producing casts) would propagate to a null
+      // word group and NPE below; Bloom semantics for null are "not a
+      // member", so drop them
+      .filter(col("key").isNotNull)
       .select(explode(array(posCols: _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("word"),
         expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("mask"))

@@ -352,7 +352,8 @@ object Multimodal {
           rate = buf.getInt
           buf.getInt; buf.getShort // byte rate, block align
           bits = buf.getShort.toInt
-          buf.position(start + len)
+          // len + pad: RIFF pads odd chunks with an uncounted byte
+          buf.position(math.min(buf.limit(), start + len + (len & 1)))
         case "data" =>
           require(rate > 0 && bits == 16 && channels == 1,
             s"data chunk before canonical mono/16-bit fmt: id=$id")
@@ -364,6 +365,10 @@ object Multimodal {
             energy += x * x
             i += 1
           }
+          // RIFF pads odd-length chunks with one byte that is NOT
+          // counted in len; an odd 16-bit-PCM data chunk can't arise
+          // from our encoder but a spec-conforming foreign WAV's can.
+          if ((len & 1) == 1 && buf.remaining() > 0) buf.get(): Unit
         case _ => buf.position(buf.position() + len + (len & 1)) // skip, pad to even
       }
     }

@@ -583,11 +583,15 @@ object Pipelines {
       routed.filter(col("reason") =!= "ok"), "doc_id", numBuckets = 8)
     val cleanN = spark.read.format("graft-buckets").option("table", clean).load()
       .agg(count(lit(1))).head().getLong(0)
-    spark.read.format("graft-buckets").option("table", quar).load()
+    val quarReport = spark.read.format("graft-buckets").option("table", quar).load()
       .groupBy(col("reason")).agg(count(lit(1)).as("n"),
         sum(col("n_chars")).as("sum_chars"))
-      .unionByName(spark.range(1).select(lit("ok").as("reason"), lit(cleanN).as("n"),
-        lit(null).cast("long").as("sum_chars")))
+    // The oracle GROUPs the routed rows, so an empty 'ok' group is
+    // OMITTED there — emit the clean-count row only when it's non-empty
+    // or the hash gate would diverge on a dataset with zero clean docs.
+    val okRows = math.min(cleanN, 1L).toInt
+    quarReport.unionByName(spark.range(okRows).select(lit("ok").as("reason"),
+      lit(cleanN).as("n"), lit(null).cast("long").as("sum_chars")))
   }
 
   val quarantineSql: String =

@@ -45,9 +45,26 @@ object CheckConstraint {
       }
     val attrs = schema.fields.toIndexedSeq.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
+    // SimpleAnalyzer resolves attributes CASE-SENSITIVELY, but the DDL
+    // surface this imitates (Spark SQL, Delta CHECK) is case-insensitive
+    // by default — 'O_TOTALPRICE > 0' must bind against o_totalprice.
+    // Pre-resolve single-part names against the schema with a
+    // case-insensitive match; a name matching two fields that differ
+    // only by case stays unresolved and fails loud below.
+    val byFolded = schema.fieldNames.toIndexedSeq
+      .groupBy(_.toLowerCase(java.util.Locale.ROOT))
+    val ciParsed = parsed.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 =>
+        byFolded.get(u.nameParts.head.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(Seq(exact)) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(exact))
+          case _ => u
+        }
+    }
     val analyzed =
       try {
-        val plan = Project(Seq(Alias(parsed, "__check")()), LocalRelation(attrs))
+        val plan = Project(Seq(Alias(ciParsed, "__check")()), LocalRelation(attrs))
         val resolved = SimpleAnalyzer.execute(plan)
         SimpleAnalyzer.checkAnalysis(resolved)
         resolved.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child

@@ -18,6 +18,13 @@ class BloomFilterSpec extends SparkSuite {
     assert(keys.forall(BloomFilter.contains(bits, _, 4)))
   }
 
+  test("build tolerates null keys: dropped as non-members, no NPE") {
+    val keys = Seq[java.lang.Long](1L, 2L, null, 3L).toDF("k")
+    val bits = BloomFilter.build(keys, "k", mBits = 1024)
+    Seq(1L, 2L, 3L).foreach(k =>
+      assert(BloomFilter.contains(bits, k, 4), s"built key $k missing"))
+  }
+
   test("false-positive rate stays near the analytic bound") {
     val keys = (0L until 2000L).toDF("k")
     val bits = BloomFilter.build(keys, "k", mBits = 1 << 17)

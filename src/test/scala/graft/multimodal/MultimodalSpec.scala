@@ -139,6 +139,25 @@ class MultimodalSpec extends SparkSuite {
     assert(got.copy(n_bytes = want.n_bytes) == want)
   }
 
+  test("WAV decode honors the RIFF pad byte after an odd-length fmt chunk") {
+    // spec-conforming foreign WAV: fmt with a 1-byte extension
+    // (len 17, odd) followed by the UNCOUNTED pad byte; a decoder that
+    // repositions by the raw length misreads every later chunk tag
+    val id = 9L
+    val plain = Multimodal.encodeWav(id)
+    val bb = java.nio.ByteBuffer.allocate(plain.length + 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(plain, 0, 16)                 // RIFF hdr + "fmt " tag
+    bb.putInt(17)                        // odd fmt length
+    bb.put(plain, 20, 16)                // canonical 16-byte fmt body
+    bb.put(0.toByte)                     // extension byte (counted)
+    bb.put(0.toByte)                     // pad byte (NOT counted)
+    bb.put(plain, 36, plain.length - 36) // data chunk onward
+    val got = Multimodal.decodeWav(id, bb.array())
+    val want = Multimodal.decodeWav(id, plain)
+    assert(got.copy(n_bytes = want.n_bytes) == want)
+  }
+
   test("malformed WAV fails loudly") {
     val e = intercept[IllegalArgumentException] {
       Multimodal.decodeWav(1L, "RIFFxxxxNOPE".getBytes("US-ASCII"))

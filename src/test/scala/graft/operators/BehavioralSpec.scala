@@ -57,26 +57,14 @@ class BehavioralSpec extends SparkSuite {
   test("market basket: lift of a deterministic pair matches hand arithmetic") {
     // 4 orders: {1,2} ×3, {1} ×1 → support(1,2)=3, n1=4, n2=3, N=4
     // confidence = 3/4 = 0.75; lift = 3·4/(4·3) = 1.0
+    // Drives the PRODUCTION path (marketBasketQuery over a lineitem
+    // parquet dir), not an inlined replica that could drift from it.
     val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L), (13L, 1L))
       .toDF("l_orderkey", "l_partkey")
-    li.createOrReplaceTempView("bb_lineitem")
-    val dirLess = li // marketBasketQuery reads Tables.lineitem; exercise the core by inlining
-    val res = {
-      val d = dirLess.select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      val itemN = d.groupBy(col("p")).agg(count(lit(1)).as("n"))
-      val nOrders = broadcast(d.select(col("k")).distinct().agg(count(lit(1)).as("n_orders")))
-      d.select(col("k"), col("p").as("id_a"))
-        .join(d.select(col("k"), col("p").as("id_b")), "k")
-        .where(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("support"))
-        .where(col("support") >= 3)
-        .join(itemN.select(col("p").as("id_a"), col("n").as("n_a")), "id_a")
-        .join(itemN.select(col("p").as("id_b"), col("n").as("n_b")), "id_b")
-        .crossJoin(nOrders)
-        .select(col("id_a"), col("id_b"), col("support"),
-          round(col("support").cast("double") / col("n_a"), 6).as("confidence"),
-          round(col("support").cast("double") * col("n_orders") / (col("n_a") * col("n_b")), 6).as("lift"))
-    }.as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-basket").toString
+    li.coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val res = Behavioral.marketBasketQuery(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
     assert(res == Seq((1L, 2L, 3L, 0.75, 1.0)), s"got $res")
   }
 

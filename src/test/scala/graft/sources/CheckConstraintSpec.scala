@@ -35,6 +35,12 @@ class CheckConstraintSpec extends SparkSuite {
     assert(!strict(row(1, null, "x")))
   }
 
+  test("attribute binding is case-insensitive, like the Spark SQL default") {
+    val pass = CheckConstraint.compile(schema, "V > 0 AND length(S) <= 3")
+    assert(pass(row(1, 2.0, "ab")))
+    assert(!pass(row(1, -2.0, "ab")))
+  }
+
   test("unknown column, unknown function, and non-boolean type are loud at bind") {
     intercept[IllegalArgumentException] { CheckConstraint.bind(schema, "nope > 0") }
     intercept[Exception] { CheckConstraint.bind(schema, "no_such_fn(v) > 0") }
