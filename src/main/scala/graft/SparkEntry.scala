@@ -444,6 +444,8 @@ object SparkEntry {
     "q196_gap_percentiles" -> graft.operators.Behavioral.gapPercentilesQuery _,
     // — sketch algebra: HLL inclusion-exclusion audience overlap —
     "q197_audience_overlap" -> FunctionFamilies.audienceOverlapQuery _,
+    // — q27's pushdown scan through the columnar (ColumnarBatch) path —
+    "q198_columnar_pushdown" -> graft.sources.bucketed.BucketedQueries.columnarPushdownQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -760,5 +762,6 @@ object SparkEntry {
     "q195_sql_native_fns" -> graft.operators.UdfSurface.sqlNativeFnsSql,
     "q196_gap_percentiles" -> graft.operators.Behavioral.gapPercentilesSql,
     "q197_audience_overlap" -> FunctionFamilies.audienceOverlapSql,
+    "q198_columnar_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownSql,
   )
 }

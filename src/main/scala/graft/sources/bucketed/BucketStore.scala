@@ -589,6 +589,38 @@ object BucketStore {
     }
   }
 
+  /** AUTO-COMPACTION policy for merge-on-read state — the maintenance
+    * story continuous DML needs: without it, delta commits accumulate
+    * unboundedly and every read pays ever-growing fold work. After any
+    * MoR-growing commit, when the pending state (delta rows + deletion
+    * marks) reaches `autoCompactRatioPct` percent of the base rows AND
+    * at least `autoCompactMinRows` rows are pending, the commit folds
+    * the table down in the same statement (one extra version, exactly
+    * what `CALL graft.compact` publishes — the policy just pulls the
+    * trigger). The ratio bounds read amplification to a constant
+    * factor; the floor keeps small tables from re-materializing on
+    * every point DELETE. Delta/Iceberg ship the same knobs as
+    * `autoCompact` / commit-count maintenance triggers. Both knobs are
+    * `@volatile var`s so a deployment (or spec) can tune them; set
+    * `autoCompactRatioPct = Int.MaxValue` to disable.
+    */
+  @volatile var autoCompactRatioPct: Int = 20
+  @volatile var autoCompactMinRows: Int = 4096
+
+  private def morPendingRows(t: BucketTable): Long =
+    t.mor.valuesIterator.map(m => m.delta.length.toLong + m.deleted.cardinality().toLong).sum
+
+  /** Fire the auto-compaction policy after a MoR-growing publish (all
+    * such paths — [[applyDelta]], [[deleteWhere]]'s merge-on-read
+    * branch — call this; object-lock reentrant, same statement).
+    */
+  private def maybeAutoCompact(name: String, next: BucketTable): Unit = {
+    val pending = morPendingRows(next)
+    if (pending >= autoCompactMinRows &&
+        pending * 100L >= next.buckets.iterator.map(_.length.toLong).sum * autoCompactRatioPct)
+      compact(name): Unit
+  }
+
   /** Commit a row-level DELTA (the merge-on-read write path, driven by
     * [[BucketedDeltaWrite]]): per bucket, positions to hide and rows to
     * add — the publish cost is O(changed rows), the base arrays are
@@ -634,7 +666,9 @@ object BucketStore {
         newMor = newMor.updated(b, BucketMor(bits, delta))
       }
     }
-    publish(name, t.copy(mor = newMor, version = versions.incrementAndGet()))
+    val next = t.copy(mor = newMor, version = versions.incrementAndGet())
+    publish(name, next)
+    maybeAutoCompact(name, next)
   }
 
   /** Fold every pending deletion vector / delta back into clean bucket
@@ -1139,7 +1173,9 @@ object BucketStore {
           newMor = newMor.updated(b,
             BucketMor(bits, t.mor.get(b).map(_.delta).getOrElse(Array.empty[Row])))
       }
-      publish(name, t.copy(mor = newMor, version = versions.incrementAndGet()))
+      val next = t.copy(mor = newMor, version = versions.incrementAndGet())
+      publish(name, next)
+      maybeAutoCompact(name, next)
     } else {
       val kept = t.buckets.indices.toArray.map { b =>
         val rows = effectiveRows(t, b)

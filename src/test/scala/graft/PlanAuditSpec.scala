@@ -263,6 +263,38 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "query terms must broadcast into the posting list")
   }
 
+  test("q169: store BM25 broadcasts the query terms into a runtime-filtered bucket scan") {
+    val p = plan("q169_store_bm25")
+    assert(!p.contains("CartesianProduct"), s"cartesian in store BM25:\n${p.take(600)}")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"store BM25 grew nested-loop joins beyond the 1-row stats attach ($bnlj)")
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast into the posting index")
+    // the term fingerprints must reach the graft-buckets scan as a
+    // runtime filter so only term-owning buckets dial (the dial-count
+    // behavior is asserted in BucketedSourceSpec; this pins the plan)
+    assert(p.toLowerCase.contains("runtimefilters") || p.toLowerCase.contains("dynamicpruning"),
+      s"no runtime filter on the posting-index scan:\n${p.take(1200)}")
+  }
+
+  test("q192: RRF fusion joins are equi-joins; the only broadcasts are bounded top-k sides") {
+    val p = plan("q192_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), s"cartesian in RRF:\n${p.take(600)}")
+    // BM25's 1-row stats attach + brute-force kNN's broadcast query
+    // side are the only nested-loop shapes allowed
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"RRF grew nested-loop joins beyond the bounded attaches ($bnlj)")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "fusion must join the two rank lists on keys")
+  }
+
+  test("q198: the gated columnar scan plans a ColumnarToRow bridge over the pushed scan") {
+    val p = plan("q198_columnar_pushdown")
+    assert(p.contains("ColumnarToRow"),
+      s"columnar=true gate must actually plan columnar batches:\n${p.take(900)}")
+    assert(p.contains("pushed=[") && p.contains("GreaterThanOrEqual(l_quantity,30.0)"),
+      "the columnar path must keep q27's filter pushdown")
+  }
+
   test("q156: PageRank supersteps are equi-joins — no cartesian, no nested loop on edges") {
     val p = plan("q156_pagerank")
     assert(!p.contains("CartesianProduct"), s"cartesian in PageRank:\n${p.take(600)}")

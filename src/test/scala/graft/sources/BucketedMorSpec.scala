@@ -100,6 +100,42 @@ class BucketedMorSpec extends SparkSuite {
       s"CDC across MOR commits must net to the logical changes, got $changes")
   }
 
+  test("auto-compaction: MoR state past the policy thresholds folds down in-statement") {
+    cat()
+    val (prevPct, prevMin) = (BucketStore.autoCompactRatioPct, BucketStore.autoCompactMinRows)
+    try {
+      // policy: fold when >= 10 pending rows AND pending >= 2% of base
+      BucketStore.autoCompactRatioPct = 2
+      BucketStore.autoCompactMinRows = 10
+      mkTable("mor_auto", rows = 500, buckets = 4)
+      // below the floor: 5 deletion marks stay pending MoR state
+      spark.sql("DELETE FROM graft.`mor_auto` WHERE k <= 5")
+      assert(BucketStore.get("mor_auto").mor.nonEmpty,
+        "below-threshold DML must stay merge-on-read")
+      val preFold = scan("mor_auto").agg(
+        count(lit(1)), sum(col("d").cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+        .collect().head
+      // crossing the floor (5 + 10 = 15 pending >= 10 and >= 2% of 500):
+      // the SAME statement triggers the fold-down — no manual CALL
+      spark.sql("DELETE FROM graft.`mor_auto` WHERE k > 5 AND k <= 15")
+      val t = BucketStore.get("mor_auto")
+      assert(t.mor.isEmpty,
+        "crossing the auto-compaction thresholds must fold pending MoR state")
+      assert(BucketStore.liveRowCount(t) === 485L)
+      val postFold = scan("mor_auto").agg(
+        count(lit(1)), sum(col("d").cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+        .collect().head
+      assert(postFold.getLong(0) === preFold.getLong(0) - 10L)
+      // and reads keep working identically after the fold
+      assert(scan("mor_auto").filter(col("k") === 3L).count() === 0L)
+      assert(scan("mor_auto").filter(col("k") === 100L).count() === 1L)
+    } finally {
+      BucketStore.autoCompactRatioPct = prevPct
+      BucketStore.autoCompactMinRows = prevMin
+      BucketStore.drop("mor_auto")
+    }
+  }
+
   test("compact folds deletion vectors back into clean arrays; answers unchanged; no-op is free") {
     cat()
     mkTable("mor_comp", rows = 500, buckets = 4)
