@@ -446,6 +446,12 @@ object SparkEntry {
     "q197_audience_overlap" -> FunctionFamilies.audienceOverlapQuery _,
     // — q27's pushdown scan through the columnar (ColumnarBatch) path —
     "q198_columnar_pushdown" -> graft.sources.bucketed.BucketedQueries.columnarPushdownQuery _,
+    // — SCD2 interval compression: gaps-and-islands dimension build —
+    "q199_scd2_intervals" -> graft.operators.Behavioral.scd2Query _,
+    // — perceptual dHash near-dup clustering over real PNG decodes —
+    "q200_image_dhash" -> graft.multimodal.Multimodal.imageDhashQuery _,
+    // — hard-negative mining: BM25 over-fetch minus near-dup positives —
+    "q201_hard_negatives" -> Similarity.hardNegativesQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -763,5 +769,8 @@ object SparkEntry {
     "q196_gap_percentiles" -> graft.operators.Behavioral.gapPercentilesSql,
     "q197_audience_overlap" -> FunctionFamilies.audienceOverlapSql,
     "q198_columnar_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownSql,
+    "q199_scd2_intervals" -> graft.operators.Behavioral.scd2Sql,
+    "q200_image_dhash" -> graft.multimodal.Multimodal.imageDhashSql,
+    "q201_hard_negatives" -> Similarity.hardNegativesSql,
   )
 }

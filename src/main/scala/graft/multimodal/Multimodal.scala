@@ -278,6 +278,104 @@ object Multimodal {
       |FROM d, unnest(range(d.width)) x(i), unnest(range(d.height)) y(i)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ——— q200: perceptual difference-hash (dHash) image dedup ———
+
+  /** 48-bit difference hash of a decoded image: BT.601 luminance
+    * downsampled onto a 9×6 grid (cell of pixel (x,y) is
+    * (x·9 div w, y·6 div h) — exact integer mapping, no resampling
+    * kernel), then bit (cy·8+cx) set iff cell (cx,cy) is brighter
+    * than its right neighbor. The classic near-dup signal for images
+    * (robust to scale and brightness offsets); 48 bits rather than
+    * the usual 64 so the hash rides a plain signed BIGINT in both
+    * engines. Brightness comparison is the CROSS-MULTIPLIED integer
+    * test `s_a·n_b > s_b·n_a` (never a float average), so the oracle
+    * replays it exactly: max product 255·64·48·3072 < 2^32·2^12 fits
+    * a Long. Requires w ≥ 9 and h ≥ 6 (every grid cell non-empty).
+    */
+  def dhash48(id: Long, bytes: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload for id=$id")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 6, s"dhash48 needs w>=9, h>=6; got ${w}x$h for id=$id")
+    val s = Array.ofDim[Long](9, 6)
+    val n = Array.ofDim[Long](9, 6)
+    var y = 0
+    while (y < h) {
+      val cy = y * 6 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        s(cx)(cy) += luminance(img.getRGB(x, y))
+        n(cx)(cy) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 6) {
+      var cx = 0
+      while (cx < 8) {
+        if (s(cx)(cy) * n(cx + 1)(cy) > s(cx + 1)(cy) * n(cx)(cy))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** q200 — perceptual near-dup CLUSTERING by dHash: encode the
+    * deterministic PNGs (q85's corpus), run the REAL decode +
+    * downsample per image, and group by the 48-bit hash — images
+    * whose luminance gradients agree after downsampling collapse to
+    * one cluster regardless of resolution, which is exactly what
+    * byte-level (q15) and text-level dedup cannot see. Scale: the
+    * hash is one map-side pass per image (decode cost, like q85) and
+    * the cluster step is a plain hash groupBy — no pairs, no
+    * all-to-all; 100 TB of images dedup at scan cost. The oracle
+    * replays pixel→cell→bit arithmetic from the generator formula.
+    */
+  def imageDhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500).select(col("doc_id")).as[Long]
+    val hashed = ids.mapPartitions(_.grouped(32).flatMap(_.flatMap { id =>
+        if (pngWidth(id) >= 9 && pngHeight(id) >= 6)
+          Some((id, dhash48(id, encodePng(id))))
+        else None
+      }))
+      .toDF("doc_id", "dhash")
+    hashed.groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("rep_id"))
+  }
+
+  val imageDhashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(1 + (doc_id // 7) % 48 AS INTEGER) AS h
+      |  FROM documents
+      |  WHERE doc_id < 500 AND 1 + doc_id % 64 >= 9 AND 1 + (doc_id // 7) % 48 >= 6),
+      |px AS (
+      |  SELECT doc_id, (x.i * 9) // w AS cx, (y.i * 6) // h AS cy,
+      |    (7 * x.i + 13 * y.i + doc_id) % 256 AS lum
+      |  FROM d, unnest(range(d.w)) x(i), unnest(range(d.h)) y(i)),
+      |cells AS (
+      |  SELECT doc_id, cx, cy, sum(lum) AS s, count(*) AS n
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, a.cy * 8 + a.cx AS i,
+      |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+      |  FROM cells a
+      |  JOIN cells b ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |hashes AS (
+      |  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY 1)
+      |SELECT dhash, count(*) AS n_imgs, min(doc_id) AS rep_id
+      |FROM hashes GROUP BY 1""".stripMargin
+
   // ——— real WAV (RIFF/PCM16) audio round trip (q184) ———
 
   case class DecodedAudio(

@@ -458,4 +458,61 @@ object Behavioral {
       |  (s.n - 1) * (s.n * d.d - s.sx) * (s.n * d.d - s.sx)
       |    > 4 * s.n * (s.n * s.sxx - s.sx * s.sx) AS anomalous
       |FROM daily d JOIN stats s USING (event_type)""".stripMargin
+
+  // ——— q199: SCD2 state-change intervals (gaps-and-islands) ———
+
+  /** SCD2-style interval compression — the slowly-changing-dimension
+    * build every warehouse runs: a per-user derived attribute (an
+    * engagement TIER from the event's value) is compressed from one
+    * row per event to one row per CHANGE, each carrying its validity
+    * interval `[valid_from, valid_to)` (valid_to NULL = current) —
+    * the gaps-and-islands pattern. Shape: one `lag` to flag changes,
+    * a running `sum` to number islands, one groupBy to collapse
+    * them, one `lead` to close each interval — every window
+    * partitions by `user_id`, so the whole build is ONE key shuffle
+    * and no global sort; at 100 TB the dimension build costs the
+    * same as any per-user aggregation. Timestamps ride as integer
+    * microseconds (no float, hash-exact); ties order by `event_id`.
+    */
+  def scd2Query(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("value") < 10.0, "low").when(col("value") < 100.0, "mid")
+          .otherwise("high").as("tier"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val flagged = ev
+      .withColumn("chg",
+        when(lag(col("tier"), 1).over(w).isNull ||
+          col("tier") =!= lag(col("tier"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = flagged.groupBy(col("user_id"), col("grp"), col("tier"))
+      .agg(min(col("ts_us")).as("valid_from"), count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    islands.select(col("user_id"), col("tier"), col("valid_from"),
+      lead(col("valid_from"), 1).over(w2).as("valid_to"), col("n_events"))
+  }
+
+  val scd2Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CASE WHEN value < 10.0 THEN 'low' WHEN value < 100.0 THEN 'mid'
+      |         ELSE 'high' END AS tier
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+      |                   OR tier <> lag(tier) OVER w THEN 1 ELSE 0 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |g AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+      |  FROM f),
+      |i AS (
+      |  SELECT user_id, grp, tier, min(ts_us) AS valid_from,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM g GROUP BY 1, 2, 3)
+      |SELECT user_id, tier, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |  n_events
+      |FROM i""".stripMargin
 }

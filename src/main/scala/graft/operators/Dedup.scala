@@ -191,7 +191,7 @@ object Dedup {
     * ONE definition of the candidate CTEs, composed by the Jaccard
     * and containment oracles so the machinery cannot silently diverge.
     */
-  private val overlapCandidatesCtes: String =
+  private[graft] val overlapCandidatesCtes: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,

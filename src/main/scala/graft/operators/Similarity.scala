@@ -938,7 +938,12 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("score_micro"), col("rn"))
   }
 
-  val bm25Sql: String =
+  /** The BM25 scoring chain as composable CTE text (up to and
+    * including `scored`) — shared by [[bm25Sql]] and the
+    * hard-negative oracle so the scoring formula has ONE SQL
+    * definition.
+    */
+  private[graft] val bm25CoreCtes: String =
     """WITH toks AS (
       |  SELECT doc_id, tok FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
@@ -965,7 +970,10 @@ object Similarity {
       |  WHERE f.doc_id <> q.query_id),
       |scored AS (
       |  SELECT query_id, doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
-      |  FROM contrib GROUP BY 1, 2)
+      |  FROM contrib GROUP BY 1, 2)""".stripMargin
+
+  val bm25Sql: String = bm25CoreCtes +
+    """
       |SELECT query_id, doc_id, score_micro, CAST(rn AS INTEGER) AS rn FROM (
       |  SELECT query_id, doc_id, score_micro,
       |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
@@ -1033,6 +1041,71 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, id) AS rank
        |  FROM fused) t
        |WHERE rank <= 5""".stripMargin
+
+  // ——— q201: hard-negative mining for retrieval training ———
+
+  /** Hard-negative mining — the training-pair generator behind every
+    * dense-retriever / cross-encoder fine-tune (DPR, sentence
+    * transformers): for each query, over-fetch the TOP-SCORING BM25
+    * candidates (fetchK = 200, the production over-fetch-then-filter
+    * shape shared with MMR), EXCLUDE documents that are near-dups of
+    * the query itself (trigram Jaccard ≥ 0.3 — those are positives or
+    * label noise, the classic false-negative trap), and emit the
+    * top-10 survivors as labeled hard negatives. Composes the two
+    * proven engines — BM25 scoring ([[bm25Rank]]) and the df-capped
+    * Jaccard candidate machinery ([[Dedup.ngramJaccardPairs]]) — with
+    * one anti-join; no new scoring definitions. Scale: both inputs
+    * are candidates-only (posting-list equi-joins), the anti-join is
+    * on (query, doc) keys, and the re-rank windows per query — cost
+    * ∝ queries · fetchK, never corpus².
+    */
+  def hardNegativesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fetched = bm25(docs, "doc_id", "text", col("doc_id") < 3, k = 200)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.3)
+    val pos = pairs.filter(col("id_a") < 3)
+        .select(col("id_a").as("query_id"), col("id_b").as("doc_id"))
+      .unionByName(pairs.filter(col("id_b") < 3)
+        .select(col("id_b").as("query_id"), col("id_a").as("doc_id")))
+    val neg = fetched.join(pos, Seq("query_id", "doc_id"), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    neg.withColumn("rank_neg", row_number().over(w).cast("int"))
+      .filter(col("rank_neg") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score_micro"), col("rank_neg"))
+  }
+
+  /** Oracle: bm25's shared scoring CTEs + Dedup's shared candidate
+    * CTEs + the anti-join — both formula definitions stay single-
+    * sourced.
+    */
+  val hardNegativesSql: String = bm25CoreCtes +
+    ",\nranked AS (\n" +
+    "  SELECT query_id, doc_id, score_micro,\n" +
+    "    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn\n" +
+    "  FROM scored),\n" +
+    graft.operators.Dedup.overlapCandidatesCtes.stripPrefix("WITH ") +
+    """,
+      |pos AS (
+      |  SELECT id_a AS query_id, id_b AS doc_id FROM inter
+      |    JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |    WHERE id_a < 3
+      |      AND round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM inter
+      |    JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |    WHERE id_b < 3
+      |      AND round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3),
+      |neg AS (
+      |  SELECT r.query_id, r.doc_id, r.score_micro FROM ranked r
+      |  WHERE r.rn <= 200 AND NOT EXISTS (
+      |    SELECT 1 FROM pos p WHERE p.query_id = r.query_id AND p.doc_id = r.doc_id))
+      |SELECT query_id, doc_id, score_micro, rank_neg FROM (
+      |  SELECT query_id, doc_id, score_micro,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank_neg
+      |  FROM neg) t WHERE rank_neg <= 10""".stripMargin
 
   // ——— dimensionality reduction: sparse random projection (q176) ———
 

@@ -139,6 +139,34 @@ class MultimodalSpec extends SparkSuite {
     assert(got.copy(n_bytes = want.n_bytes) == want)
   }
 
+  test("dHash: gradient direction sets bits, brightness offset is invariant") {
+    def grayPng(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // 9×6 = one pixel per grid cell: bit (cy·8+cx) ⇔ left brighter
+    val increasing = grayPng(9, 6)((x, _) => x * 10)
+    assert(Multimodal.dhash48(1L, increasing) === 0L,
+      "left-darker gradient must set no bits")
+    val decreasing = grayPng(9, 6)((x, _) => 250 - x * 10)
+    assert(Multimodal.dhash48(2L, decreasing) === (1L << 48) - 1,
+      "left-brighter gradient must set all 48 bits")
+    // perceptual property: a global brightness shift preserves the hash
+    val shifted = grayPng(9, 6)((x, _) => 240 - x * 10)
+    assert(Multimodal.dhash48(3L, shifted) === Multimodal.dhash48(2L, decreasing))
+    // and a higher-resolution render of the same gradient agrees too
+    val hiRes = grayPng(36, 24)((x, _) => 250 - (x / 4) * 10)
+    assert(Multimodal.dhash48(4L, hiRes) === Multimodal.dhash48(2L, decreasing),
+      "downsampling must make resolution invisible to the hash")
+  }
+
   test("WAV decode honors the RIFF pad byte after an odd-length fmt chunk") {
     // spec-conforming foreign WAV: fmt with a 1-byte extension
     // (len 17, odd) followed by the UNCOUNTED pad byte; a decoder that

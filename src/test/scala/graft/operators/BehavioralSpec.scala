@@ -68,6 +68,26 @@ class BehavioralSpec extends SparkSuite {
     assert(res == Seq((1L, 2L, 3L, 0.75, 1.0)), s"got $res")
   }
 
+  test("SCD2 intervals: tier changes compress to chained validity intervals") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: low(×2) → mid → low: three intervals, each valid_to
+    // chaining to the next valid_from, last interval open (NULL)
+    val df = Seq(
+      (1L, ts(0), 1L, 5.0), (2L, ts(1), 1L, 7.0),
+      (3L, ts(2), 1L, 50.0), (4L, ts(3), 1L, 3.0))
+      .map { case (id, t, u, v) => (id, t, u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = withRawEvents(df)(Behavioral.scd2Query)
+      .select(col("tier"), col("valid_from"), col("valid_to"), col("n_events"))
+      .as[(String, Long, Option[Long], Long)].collect().sortBy(_._2)
+    assert(got.map(r => (r._1, r._4)).toSeq === Seq(("low", 2L), ("mid", 1L), ("low", 1L)),
+      s"islands wrong: ${got.toSeq}")
+    assert(got(0)._3.contains(got(1)._2) && got(1)._3.contains(got(2)._2),
+      "intervals must chain: valid_to == next valid_from")
+    assert(got(2)._3.isEmpty, "the current interval stays open (valid_to NULL)")
+  }
+
   /** Run an events-table query fn against an ad-hoc 4-column frame
     * (user_id, ts, event_id, value) written as a one-table testdata
     * dir.

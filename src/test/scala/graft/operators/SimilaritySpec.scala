@@ -234,6 +234,27 @@ class SimilaritySpec extends SparkSuite {
     assert(!got.contains(0L), "a query doc never matches itself")
   }
 
+  test("hard negatives: the query's near-dup is excluded, plain candidates survive") {
+    // doc 0 is the query; doc 10 is a trigram near-dup (jaccard 0.6 —
+    // a positive / label-noise doc that MUST NOT appear as a
+    // negative); docs 11 and 12 merely share one query token and are
+    // the legitimate hard negatives.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "alpha beta gamma delta epsilon eta"),
+      (11L, "alpha omega one two three four"),
+      (12L, "alpha psi five six seven eight"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hardneg").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Similarity.hardNegativesQuery(spark, dir)
+      .select("query_id", "doc_id", "rank_neg").as[(Long, Long, Int)].collect()
+    val mine = got.filter(_._1 == 0L).map(_._2).toSet
+    assert(!mine.contains(10L), s"near-dup positive leaked into hard negatives: $got")
+    assert(mine.contains(11L) && mine.contains(12L), s"true negatives missing: $got")
+    assert(!mine.contains(0L), "a query never negatives itself")
+  }
+
   test("BM25: longer doc with same tf scores lower (length normalization)") {
     val docs = Seq(
       (0L, "needle"),
