@@ -452,6 +452,8 @@ object SparkEntry {
     "q200_image_dhash" -> graft.multimodal.Multimodal.imageDhashQuery _,
     // — hard-negative mining: BM25 over-fetch minus near-dup positives —
     "q201_hard_negatives" -> Similarity.hardNegativesQuery _,
+    // — sequential Poisson (PPS) weighted sampling per stratum —
+    "q202_weighted_sample" -> graft.operators.Pipelines.weightedSampleQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -772,5 +774,6 @@ object SparkEntry {
     "q199_scd2_intervals" -> graft.operators.Behavioral.scd2Sql,
     "q200_image_dhash" -> graft.multimodal.Multimodal.imageDhashSql,
     "q201_hard_negatives" -> Similarity.hardNegativesSql,
+    "q202_weighted_sample" -> graft.operators.Pipelines.weightedSampleSql,
   )
 }

@@ -311,6 +311,48 @@ object Pipelines {
     samplePerGroup(Tables.documents(spark, dir), "doc_id", "lang", k = 20)
       .select(col("doc_id"), col("lang"))
 
+  // ——— q202: weighted (PPS) stratified sampling ———
+
+  /** Deterministic weighted sampling — SEQUENTIAL POISSON SAMPLING
+    * (Ohlsson 1998), the standard probability-proportional-to-size
+    * draw: rank every row by priority w/u (u uniform from the row's
+    * hash) and keep the top k per stratum; heavier rows win
+    * proportionally more often, and the draw is a pure function of
+    * the id, so it re-materializes identically on any engine or
+    * partitioning (the q76/q112 no-`rand()` discipline). Fixed-point:
+    * priority = (w << 40) div (h+1) with the shared Lehmer hash —
+    * integer division both engines compute identically (w ≤ 8.3e6
+    * keeps the product inside Int64). The curation use: "sample k
+    * docs per language weighted by length/quality" instead of the
+    * uniform k of [[samplePerGroup]]. Plan: one 4-column projection,
+    * one window per stratum — same scale shape as q112.
+    */
+  def weightedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("priority").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("__h", lehmerBucket("doc_id"))
+      .withColumn("priority", expr("(n_chars * 1099511627776L) div (__h + 1L)"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("priority"), col("rn"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    (((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 AS hh
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang, doc_id,
+      |    CAST((n_chars * 1099511627776) // (hh + 1) AS BIGINT) AS priority
+      |  FROM h)
+      |SELECT lang, doc_id, priority, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT lang, doc_id, priority,
+      |    row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+      |  FROM p) t WHERE rn <= 20""".stripMargin
+
   /** Deterministic corpus shuffle + shard assignment — the export step
     * between curation and training: every row gets a shard in [0, n)
     * and a dense position within its shard, both pure functions of the

@@ -48,6 +48,30 @@ class CurationOpsSpec extends SparkSuite {
     assert(got === Set((1L, 4, 0.5), (2L, 4, 0.0)))
   }
 
+  test("weighted PPS sample: priorities match the hand formula; weight dominates hash luck in aggregate") {
+    // independent replay of the priority formula: (w << 40) div (h+1)
+    // with the Lehmer hash h = ((id mod M)·48271 mod M)·48271 mod M
+    val M = 2147483647L
+    def lehmer(id: Long) = ((id % M) * 48271 % M) * 48271 % M
+    def prio(id: Long, w: Long) = (w * (1L << 40)) / (lehmer(id) + 1L)
+    // uniform weights: reduces to the inverse-hash order
+    val docs = (1L to 400L).map(i => (i, "en", if (i <= 200) 10000L else 10L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pps").toString
+    docs.toDF("doc_id", "lang", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipelines.weightedSampleQuery(spark, dir)
+      .select("doc_id", "priority", "rn").as[(Long, Long, Int)].collect().sortBy(_._3)
+    // exact priorities per the formula, ranked descending
+    got.foreach { case (id, p, _) =>
+      val w = if (id <= 200) 10000L else 10L
+      assert(p === prio(id, w), s"priority mismatch for doc $id")
+    }
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq, "rank order must follow priority desc")
+    // PPS property: the 1000×-heavier half should dominate the sample
+    val heavy = got.count(_._1 <= 200)
+    assert(heavy >= 18, s"heavy docs won only $heavy of 20 slots — weight must dominate")
+  }
+
   test("stratified sample: rate 1 keeps all, rate 0 drops all, and selection is reproducible") {
     val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
     val all = Pipelines.stratifiedSample(df, "doc_id", "lang", Map("en" -> 1.0), 1.0).count()
