@@ -488,7 +488,10 @@ object Behavioral {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val islands = flagged.groupBy(col("user_id"), col("grp"), col("tier"))
       .agg(min(col("ts_us")).as("valid_from"), count(lit(1)).as("n_events"))
-    val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    // order by (valid_from, grp): two islands share a valid_from when a
+    // tier change lands between same-timestamp events — grp is the
+    // monotone island number, so the chain stays deterministic
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("grp"))
     islands.select(col("user_id"), col("tier"), col("valid_from"),
       lead(col("valid_from"), 1).over(w2).as("valid_to"), col("n_events"))
   }
@@ -512,7 +515,8 @@ object Behavioral {
       |    CAST(count(*) AS BIGINT) AS n_events
       |  FROM g GROUP BY 1, 2, 3)
       |SELECT user_id, tier, valid_from,
-      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY user_id
+      |                         ORDER BY valid_from, grp) AS valid_to,
       |  n_events
       |FROM i""".stripMargin
 }

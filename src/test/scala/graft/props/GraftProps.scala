@@ -485,4 +485,89 @@ object GraftProps extends Properties("graft") {
       got >= 0 && got < n && got == linear &&
         BucketStore.rangeBucketFor(bounds, null) == 0
     }
+
+  /** q200: dHash is invariant under a global brightness shift (no
+    * clipping) and under integer upscaling — the two transformations a
+    * perceptual hash exists to see through.
+    */
+  private def grayPng(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val genImage = for {
+    // grid-aligned dims (9 | w, 6 | h): integer upscaling is then
+    // exactly cell-aligned, so hash equality is a theorem, not a
+    // near-miss — unaligned dims shift cell boundaries fractionally
+    // and only approximate invariance holds there
+    w <- Gen.choose(1, 3).map(_ * 9)
+    h <- Gen.choose(1, 4).map(_ * 6)
+    seed <- Gen.choose(0L, 1000000L)
+    shift <- Gen.choose(1, 50)
+    scale <- Gen.choose(2, 3)
+  } yield (w, h, seed, shift, scale)
+
+  property("dhash48 invariant under brightness shift and integer upscale") =
+    forAll(genImage) { case (w, h, seed, shift, scale) =>
+      import graft.multimodal.Multimodal
+      // values in [0, 200] leave headroom for the +shift (≤ 50)
+      def pix(x: Int, y: Int): Int = (((x * 31L + y * 57L + seed) % 201L)).toInt
+      val base = Multimodal.dhash48(seed, grayPng(w, h)(pix))
+      val shifted = Multimodal.dhash48(seed, grayPng(w, h)((x, y) => pix(x, y) + shift))
+      val scaled = Multimodal.dhash48(seed,
+        grayPng(w * scale, h * scale)((x, y) => pix(x / scale, y / scale)))
+      base == shifted && base == scaled
+    }
+
+  /** q199: SCD2 intervals tile the per-user timeline exactly — counts
+    * conserve, tiers never repeat across adjacent intervals, and each
+    * valid_to chains to the next valid_from (last one open).
+    */
+  private val genEvents = for {
+    nUsers <- Gen.choose(1, 4)
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(1L, nUsers.toLong)
+      v <- Gen.oneOf(Gen.choose(0.0, 9.0), Gen.choose(10.0, 99.0), Gen.choose(100.0, 500.0))
+    } yield (u, v))
+    // unique per-row timestamps (the index) keep the interval order
+    // total; same-timestamp tie-breaks are pinned by the oracle gate
+  } yield rows.zipWithIndex.map { case ((u, v), i) => (u, i, v) }
+
+  property("SCD2 intervals tile the timeline: conserved counts, alternating tiers, chained bounds") =
+    forAll(genEvents) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val df = rows.zipWithIndex.map { case ((u, m, v), i) =>
+        (i.toLong, new java.sql.Timestamp(m * 60000L), u, "view", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_scd2").toString
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.operators.Behavioral.scd2Query(spark, dir)
+        .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+      val conserved = got.map(_._5).sum == rows.length
+      val perUser = got.groupBy(_._1).values.forall { iv =>
+        // tie-break same-valid_from islands by their valid_to (an
+        // island closed at its own start sorts before its successor)
+        val s = iv.sortBy(r => (r._3, r._4.getOrElse(Long.MaxValue)))
+        val alternating = s.sliding(2).forall {
+          case Array(a, b) => a._2 != b._2; case _ => true
+        }
+        val chained = s.sliding(2).forall {
+          case Array(a, b) => a._4.contains(b._3); case _ => true
+        }
+        alternating && chained && s.last._4.isEmpty
+      }
+      conserved && perUser
+    }
 }
