@@ -454,6 +454,8 @@ object SparkEntry {
     "q201_hard_negatives" -> Similarity.hardNegativesQuery _,
     // — sequential Poisson (PPS) weighted sampling per stratum —
     "q202_weighted_sample" -> graft.operators.Pipelines.weightedSampleQuery _,
+    // — stream-stream LEFT OUTER interval join, watermark-closed nulls —
+    "q203_stream_left_outer" -> graft.streaming.AdvancedStreams.leftOuterIntervalJoin _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -775,5 +777,6 @@ object SparkEntry {
     "q200_image_dhash" -> graft.multimodal.Multimodal.imageDhashSql,
     "q201_hard_negatives" -> Similarity.hardNegativesSql,
     "q202_weighted_sample" -> graft.operators.Pipelines.weightedSampleSql,
+    "q203_stream_left_outer" -> graft.streaming.AdvancedStreams.leftOuterIntervalJoinSql,
   )
 }

@@ -209,6 +209,54 @@ object AdvancedStreams {
       | AND b.ts > a.ts
       | AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
 
+  // ——— q203: stream-stream LEFT OUTER interval join ———
+
+  /** q166's interval join with LEFT OUTER semantics — the attribution
+    * query as production runs it: every click emits, matched ones
+    * with their purchase, unmatched ones with NULLs once the
+    * watermark proves no purchase can arrive anymore (state for a
+    * click evicts when the global watermark passes c_ts + 30 min;
+    * Spark's no-data micro-batch flushes those evictions, which is
+    * what makes this gateable in one pass). The oracle is the batch
+    * left join restricted to clicks that are either MATCHED (inner
+    * matches emit in-batch regardless) or CLOSED (interval end ≤ the
+    * final watermark = least of the two sides' max event times —
+    * each side carries its own 0s watermark and the join takes the
+    * min). The unmatched-but-still-open tail is exactly what a
+    * restart would resume, not rows to guess at.
+    */
+  def leftOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = StreamOps.eventsStream(spark, dir)
+    def side(eventType: String) =
+      ev.filter(col("event_type") === eventType).withWatermark("ts", "0 seconds")
+    val clicks = side("click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    StreamOps.runToMemory(joined, "append")
+  }
+
+  val leftOuterIntervalJoinSql: String =
+    """WITH wm AS (
+      |  SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+      |               max(ts) FILTER (WHERE event_type = 'purchase')) AS w
+      |  FROM events)
+      |SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts
+      | AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |WHERE b.event_id IS NOT NULL
+      |   OR a.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)""".stripMargin
+
   // ——— streaming EWMA (q183): the q177 score maintained live ———
 
   case class EwRow(user_id: Long, ts_us: Long, event_id: Long, v_units: Long)

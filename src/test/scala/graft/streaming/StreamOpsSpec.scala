@@ -47,6 +47,45 @@ class StreamOpsSpec extends SparkSuite {
       ("2024-01-01 11:00:00", "b", 1L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched side emits nulls only after watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Timestamp, Long)]
+    val buysMem = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = clicksMem.toDF().toDF("user_id", "c_ts", "click_id")
+      .withWatermark("c_ts", "0 seconds")
+    val buys = buysMem.toDF().toDF("p_user_id", "p_ts", "purchase_id")
+      .withWatermark("p_ts", "0 seconds")
+    val joined = clicks.join(buys,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("louter").start()
+    try {
+      // u1's click matches; u2's click has no purchase in its window
+      clicksMem.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+        (2L, ts("2024-01-01 10:05:00"), 200L))
+      buysMem.addData((1L, ts("2024-01-01 10:10:00"), 900L))
+      q.processAllAvailable()
+      val inner = spark.table("louter").as[(Long, Long, Option[Long])].collect().toSet
+      assert(inner === Set((1L, 100L, Some(900L))),
+        s"only the matched pair may emit before the watermark closes u2's window: $inner")
+      // advance BOTH watermarks past 10:35 → u2's click can never
+      // match anymore and must emit with a null purchase
+      clicksMem.addData((9L, ts("2024-01-01 12:00:00"), 901L))
+      buysMem.addData((8L, ts("2024-01-01 12:00:00"), 902L))
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("louter").as[(Long, Long, Option[Long])].collect().toSet
+    assert(got.contains((2L, 200L, None)),
+      s"watermark-closed unmatched click must emit the outer row: $got")
+    assert(!got.exists(r => r._1 == 9L),
+      "the watermark-advancing click is still open and must not emit yet")
+  }
+
   test("hourly window agg over events matches its closed-window contract") {
     val out = StreamOps.hourlyWindowAgg(spark, sf)
     val maxTs = graft.tables.Tables.events(spark, sf)
