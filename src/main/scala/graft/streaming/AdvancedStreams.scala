@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Round-2 streaming depth: the stream shapes Flink programs lean on
   * beyond the reference's own inner windowed join — outer windowed
@@ -208,6 +208,69 @@ object AdvancedStreams {
       |  ON a.user_id = b.user_id
       | AND b.ts > a.ts
       | AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+
+  // ——— event-time TIMERS: session-timeout detection ———
+
+  case class SessRow(user_id: Long, ts_ms: Long)
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** Session-close detection with EVENT-TIME TIMERS — the
+    * `transformWithState` analog of a Flink `KeyedProcessFunction`
+    * registering `ctx.timerService().registerEventTimeTimer(...)`:
+    * each batch of a user's events extends the open session and
+    * RE-ARMS one timer at `last + gap`; when the WATERMARK passes
+    * that expiry, [[handleExpiredTimer]] fires, emits the completed
+    * session, and clears the state. Unlike the window-library
+    * sessionization (q34/q71), the timer decides emission — the
+    * shape to reach for when session close must trigger ACTION
+    * (alerts, cache eviction, handoff), not just an aggregate row.
+    * State per key: one (start, last, n) triple + one timer — O(1).
+    * In-batch gap splits close sessions inline; the timer handles
+    * the tail the stream never revisits.
+    */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessRow, SessionOut] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessRow],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var (start, last, n) =
+        if (st.exists()) st.get() else (Long.MaxValue, Long.MinValue, 0L)
+      val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      rows.toSeq.sortBy(_.ts_ms).foreach { r =>
+        if (n > 0 && r.ts_ms - last > gapMs) {
+          out += SessionOut(key, start, last, n)
+          start = Long.MaxValue; n = 0
+        }
+        start = math.min(start, r.ts_ms)
+        last = math.max(last, r.ts_ms)
+        n += 1
+      }
+      // one armed timer per key: re-arm at the new session horizon
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      st.update((start, last, n))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (st.exists()) {
+        val (start, last, n) = st.get()
+        // a re-armed timer deletes its predecessor, but fire defensively
+        // only when this expiry IS the session's current horizon
+        if (last + gapMs == expiredTimerInfo.getExpiryTimeInMs) {
+          st.clear()
+          Iterator.single(SessionOut(key, start, last, n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
 
   // ——— q203: stream-stream LEFT OUTER interval join ———
 
