@@ -456,6 +456,8 @@ object SparkEntry {
     "q202_weighted_sample" -> graft.operators.Pipelines.weightedSampleQuery _,
     // — stream-stream LEFT OUTER interval join, watermark-closed nulls —
     "q203_stream_left_outer" -> graft.streaming.AdvancedStreams.leftOuterIntervalJoin _,
+    // — REAL animated-GIF frame sampling: decode only the sampled frames —
+    "q204_gif_frames" -> graft.multimodal.Multimodal.gifFramesQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -778,5 +780,6 @@ object SparkEntry {
     "q201_hard_negatives" -> Similarity.hardNegativesSql,
     "q202_weighted_sample" -> graft.operators.Pipelines.weightedSampleSql,
     "q203_stream_left_outer" -> graft.streaming.AdvancedStreams.leftOuterIntervalJoinSql,
+    "q204_gif_frames" -> graft.multimodal.Multimodal.gifFramesSql,
   )
 }

@@ -278,6 +278,116 @@ object Multimodal {
       |FROM d, unnest(range(d.width)) x(i), unnest(range(d.height)) y(i)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ——— q204: REAL multi-frame video (animated GIF) frame sampling ———
+
+  /** Frames in clip `id` (2..8) — the oracle replays this. */
+  def gifFrameCount(id: Long): Int = (2 + id % 7).toInt
+
+  /** Encode clip `id` as a REAL animated GIF via `ImageIO`'s sequence
+    * writer: frame f holds gray pixels `(7x + 13y + id + 29f) mod
+    * 256` at the q85 geometry. Gray occupies exactly the 256-entry
+    * GIF palette, so the round trip is LOSSLESS (verified: zero
+    * pixel mismatches) — which is what lets a multi-FRAME container
+    * carry an exact arithmetic oracle the way q85 (PNG) and q184
+    * (WAV) do.
+    */
+  def encodeGif(id: Long): Array[Byte] = {
+    val w = pngWidth(id)
+    val h = pngHeight(id)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    // interlacing OFF: the JDK pair mis-round-trips INTERLACED frames
+    // of height 2-4 (rows past the first read back as pixel (0,0) —
+    // found by the q204 gate scan across all heights); progressive
+    // mode is a transport nicety with no place under an exact oracle
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until gifFrameCount(id)).foreach { f =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((7L * x + 13L * y + id + 29L * f) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  case class DecodedFrame(id: Long, frame_idx: Int, width: Int, height: Int, pix_sum: Long)
+
+  /** Decode ONLY the requested frames of an animated GIF — a real
+    * container parse with frame seeks (`reader.read(i)` positions on
+    * frame i; undecoded frames are never rasterized), which is the
+    * video cost model that matters: sampling every Nth frame of a
+    * 100 TB corpus pays for the sampled frames, not the footage.
+    */
+  def decodeGifFrames(id: Long, bytes: Array[Byte], frameIdx: Seq[Int]): Seq[DecodedFrame] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+    try {
+      val n = reader.getNumImages(true)
+      frameIdx.filter(_ < n).map { f =>
+        val img = reader.read(f)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += luminance(img.getRGB(x, y))
+            x += 1
+          }
+          y += 1
+        }
+        DecodedFrame(id, f, img.getWidth, img.getHeight, sum)
+      }
+    } finally reader.dispose()
+  }
+
+  /** q204 — every-2nd-frame sampling over real animated GIFs: encode,
+    * then decode ONLY the sampled frames, one row each with an exact
+    * pixel-luminance sum. Upgrades q28's metadata-level frame
+    * sampling to a genuine multi-frame container round trip.
+    */
+  def gifFramesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 120).select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.grouped(16).flatMap(_.flatMap { id =>
+        val sampled = 0 until gifFrameCount(id) by 2
+        decodeGifFrames(id, encodeGif(id), sampled)
+      }))
+      .toDF()
+      .select(col("id").as("doc_id"), col("frame_idx"), col("width"),
+        col("height"), col("pix_sum"))
+  }
+
+  val gifFramesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(1 + (doc_id // 7) % 48 AS INTEGER) AS h,
+      |    CAST(2 + doc_id % 7 AS INTEGER) AS nf
+      |  FROM documents WHERE doc_id < 120),
+      |frames AS (
+      |  SELECT doc_id, w, h, CAST(f.i AS INTEGER) AS frame_idx
+      |  FROM d, unnest(range(d.nf)) f(i) WHERE f.i % 2 = 0)
+      |SELECT doc_id, frame_idx, w AS width, h AS height,
+      |  CAST(sum((7 * x.i + 13 * y.i + doc_id + 29 * frame_idx) % 256) AS BIGINT)
+      |    AS pix_sum
+      |FROM frames, unnest(range(w)) x(i), unnest(range(h)) y(i)
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   // ——— q200: perceptual difference-hash (dHash) image dedup ———
 
   /** 48-bit difference hash of a decoded image: BT.601 luminance

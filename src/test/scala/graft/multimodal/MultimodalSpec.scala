@@ -139,6 +139,26 @@ class MultimodalSpec extends SparkSuite {
     assert(got.copy(n_bytes = want.n_bytes) == want)
   }
 
+  test("animated GIF: lossless multi-frame round trip, selective decode honors the sample") {
+    val id = 13L // 8 frames, 14x2 — the interlace-bug height band
+    val bytes = Multimodal.encodeGif(id)
+    val n = Multimodal.gifFrameCount(id)
+    val all = Multimodal.decodeGifFrames(id, bytes, 0 until n)
+    assert(all.map(_.frame_idx) === (0 until n))
+    // exact pixel arithmetic per frame — the GIF palette is lossless for gray
+    all.foreach { fr =>
+      val want = (for (y <- 0 until fr.height; x <- 0 until fr.width)
+        yield (7L * x + 13L * y + id + 29L * fr.frame_idx) % 256).sum
+      assert(fr.pix_sum === want, s"frame ${fr.frame_idx} sum mismatch")
+    }
+    // selective decode returns exactly the requested frames, in order
+    val sampled = Multimodal.decodeGifFrames(id, bytes, Seq(1, 5))
+    assert(sampled.map(_.frame_idx) === Seq(1, 5))
+    assert(sampled.map(_.pix_sum) === Seq(all(1).pix_sum, all(5).pix_sum))
+    // out-of-range indices are skipped, not thrown
+    assert(Multimodal.decodeGifFrames(id, bytes, Seq(0, 99)).map(_.frame_idx) === Seq(0))
+  }
+
   test("dHash: gradient direction sets bits, brightness offset is invariant") {
     def grayPng(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
