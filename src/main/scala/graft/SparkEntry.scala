@@ -458,6 +458,10 @@ object SparkEntry {
     "q203_stream_left_outer" -> graft.streaming.AdvancedStreams.leftOuterIntervalJoin _,
     // — REAL animated-GIF frame sampling: decode only the sampled frames —
     "q204_gif_frames" -> graft.multimodal.Multimodal.gifFramesQuery _,
+    // — MapState: per-(user, type) live counters, point-updated —
+    "q205_mapstate_counts" -> graft.streaming.AdvancedStreams.mapStateCountsQuery _,
+    // — ListState: per-user last-k recency buffer, O(1) appends —
+    "q206_liststate_lastk" -> graft.streaming.AdvancedStreams.listStateLastKQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -781,5 +785,7 @@ object SparkEntry {
     "q202_weighted_sample" -> graft.operators.Pipelines.weightedSampleSql,
     "q203_stream_left_outer" -> graft.streaming.AdvancedStreams.leftOuterIntervalJoinSql,
     "q204_gif_frames" -> graft.multimodal.Multimodal.gifFramesSql,
+    "q205_mapstate_counts" -> graft.streaming.AdvancedStreams.mapStateCountsSql,
+    "q206_liststate_lastk" -> graft.streaming.AdvancedStreams.listStateLastKSql,
   )
 }

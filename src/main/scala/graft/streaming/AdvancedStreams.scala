@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Round-2 streaming depth: the stream shapes Flink programs lean on
   * beyond the reference's own inner windowed join — outer windowed
@@ -208,6 +208,131 @@ object AdvancedStreams {
       |  ON a.user_id = b.user_id
       | AND b.ts > a.ts
       | AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+
+  // ——— q205/q206: the remaining transformWithState state types ———
+
+  case class TypedEv(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-(user, type) running counts in a MAP STATE — the Flink
+    * `MapState<K,V>` analog: one RocksDB map per user keyed by event
+    * type, point-updated per row (`getValue`/`updateValue` touch ONE
+    * entry; the map never materializes except to emit). The state
+    * shape for per-key sub-keyed live aggregates — feature counters,
+    * per-category tallies — where a ValueState would force
+    * read-modify-write of the whole structure per event.
+    */
+  class TypeCountProcessor extends StatefulProcessor[Long, TypedEv, TypeCount] {
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val prev = if (st.containsKey(r.event_type)) st.getValue(r.event_type) else 0L
+        st.updateValue(r.event_type, prev + 1L)
+        touched += r.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, st.getValue(t)))
+    }
+  }
+
+  /** q205 — MapState gate: the per-(user, type) counts after the
+    * single batch must equal the plain GROUP BY.
+    */
+  def mapStateCountsQuery(spark: SparkSession, dir: String): DataFrame =
+      StreamOps.harnessLock.synchronized {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = StreamOps.eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id")).as[TypedEv]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update(),
+          Encoders.product[TypeCount])
+      StreamOps.runToMemory(out.toDF(), "update")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val mapStateCountsSql: String =
+    "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+
+  case class LastK(user_id: Long, recent_ids: Seq[Long])
+
+  /** Per-user last-k event ids in a LIST STATE — the Flink
+    * `ListState<T>` analog: appends are O(1) RocksDB merges (no
+    * read-modify-write of the whole list on the hot path); the
+    * truncate-to-k rewrite happens only when the list actually
+    * exceeds k. The state shape for bounded recency buffers —
+    * session tails, recent-item feature windows.
+    */
+  class LastKProcessor(k: Int) extends StatefulProcessor[Long, TypedEv, LastK] {
+    @transient private var st: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(Long, Long)]("recent",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+        timerValues: TimerValues): Iterator[LastK] = {
+      rows.foreach(r => st.appendValue((r.ts_us, r.event_id)))
+      val all = st.get().toSeq.sortBy(t => (t._1, t._2))
+      val kept = all.takeRight(k)
+      if (all.length > k) st.put(kept.toArray) // fold down only past the bound
+      Iterator.single(LastK(key, kept.map(_._2)))
+    }
+  }
+
+  /** q206 — ListState gate: each user's recency buffer after the
+    * single batch = the top-k most recent event ids, ascending by
+    * (ts, id); the oracle rebuilds it relationally.
+    */
+  def listStateLastKQuery(spark: SparkSession, dir: String): DataFrame =
+      StreamOps.harnessLock.synchronized {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = StreamOps.eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id")).as[TypedEv]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new LastKProcessor(3), TimeMode.None(), OutputMode.Update(),
+          Encoders.product[LastK])
+      StreamOps.runToMemory(out.toDF(), "update")
+        .select(col("user_id"),
+          concat_ws(",", col("recent_ids")).as("recent_ids"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val listStateLastKSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id,
+      |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn DESC) AS recent_ids
+      |FROM ranked WHERE rn <= 3 GROUP BY 1""".stripMargin
 
   // ——— event-time TIMERS: session-timeout detection ———
 
