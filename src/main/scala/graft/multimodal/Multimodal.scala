@@ -335,10 +335,15 @@ object Multimodal {
     */
   def decodeGifFrames(id: Long, bytes: Array[Byte], frameIdx: Seq[Int]): Seq[DecodedFrame] = {
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
-    reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+    // the stream must close too: with ImageIO's default disk cache,
+    // createImageInputStream returns a FileCacheImageInputStream whose
+    // temp file is freed only on close() — reader.dispose() alone
+    // leaks one temp file per decoded clip in a long-lived executor
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    reader.setInput(iis)
     try {
       val n = reader.getNumImages(true)
-      frameIdx.filter(_ < n).map { f =>
+      frameIdx.filter(f => f >= 0 && f < n).map { f =>
         val img = reader.read(f)
         var sum = 0L
         var y = 0
@@ -352,7 +357,10 @@ object Multimodal {
         }
         DecodedFrame(id, f, img.getWidth, img.getHeight, sum)
       }
-    } finally reader.dispose()
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** q204 — every-2nd-frame sampling over real animated GIFs: encode,

@@ -140,30 +140,20 @@ object AdvancedStreams {
   }
 
   /** transformWithState requires the RocksDB state store provider —
-    * set for this query only, restored after (the HDFS-backed default
-    * stays in place for every other streaming query).
+    * installed for this query only via [[StreamOps.withRocksDb]] (the
+    * HDFS-backed default stays in place for every other streaming
+    * query; the provider class is private[sql], referenced by name as
+    * spark-submit would).
     */
   def transformWithStateAgg(spark: SparkSession, dir: String): DataFrame =
-      StreamOps.harnessLock.synchronized {
+      StreamOps.withRocksDb(spark) {
     import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    // class is private[sql] — referenced by name, as spark-submit would
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ev = StreamOps.eventsStream(spark, dir)
-        .select(col("user_id"), col("value")).as[EvRow]
-      val out = ev.groupByKey(_.user_id)
-        .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update(),
-          Encoders.product[UserAgg])
-      StreamOps.runToMemory(out.toDF(), "update")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
-    }
+    val ev = StreamOps.eventsStream(spark, dir)
+      .select(col("user_id"), col("value")).as[EvRow]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update(),
+        Encoders.product[UserAgg])
+    StreamOps.runToMemory(out.toDF(), "update")
   }
 
   val transformWithStateAggSql: String =
@@ -245,26 +235,15 @@ object AdvancedStreams {
     * single batch must equal the plain GROUP BY.
     */
   def mapStateCountsQuery(spark: SparkSession, dir: String): DataFrame =
-      StreamOps.harnessLock.synchronized {
+      StreamOps.withRocksDb(spark) {
     import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ev = StreamOps.eventsStream(spark, dir)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id")).as[TypedEv]
-      val out = ev.groupByKey(_.user_id)
-        .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update(),
-          Encoders.product[TypeCount])
-      StreamOps.runToMemory(out.toDF(), "update")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
-    }
+    val ev = StreamOps.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id")).as[TypedEv]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update(),
+        Encoders.product[TypeCount])
+    StreamOps.runToMemory(out.toDF(), "update")
   }
 
   val mapStateCountsSql: String =
@@ -301,28 +280,17 @@ object AdvancedStreams {
     * (ts, id); the oracle rebuilds it relationally.
     */
   def listStateLastKQuery(spark: SparkSession, dir: String): DataFrame =
-      StreamOps.harnessLock.synchronized {
+      StreamOps.withRocksDb(spark) {
     import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ev = StreamOps.eventsStream(spark, dir)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id")).as[TypedEv]
-      val out = ev.groupByKey(_.user_id)
-        .transformWithState(new LastKProcessor(3), TimeMode.None(), OutputMode.Update(),
-          Encoders.product[LastK])
-      StreamOps.runToMemory(out.toDF(), "update")
-        .select(col("user_id"),
-          concat_ws(",", col("recent_ids")).as("recent_ids"))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
-    }
+    val ev = StreamOps.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id")).as[TypedEv]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new LastKProcessor(3), TimeMode.None(), OutputMode.Update(),
+        Encoders.product[LastK])
+    StreamOps.runToMemory(out.toDF(), "update")
+      .select(col("user_id"),
+        concat_ws(",", col("recent_ids")).as("recent_ids"))
   }
 
   val listStateLastKSql: String =
@@ -433,8 +401,10 @@ object AdvancedStreams {
 
   val leftOuterIntervalJoinSql: String =
     """WITH wm AS (
-      |  SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
-      |               max(ts) FILTER (WHERE event_type = 'purchase')) AS w
+      |  SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click') IS NOT NULL
+      |               AND max(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
+      |         THEN least(max(ts) FILTER (WHERE event_type = 'click'),
+      |                    max(ts) FILTER (WHERE event_type = 'purchase')) END AS w
       |  FROM events)
       |SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
       |FROM (SELECT * FROM events WHERE event_type = 'click') a
@@ -488,26 +458,15 @@ object AdvancedStreams {
     * must land exactly where the batch pipeline lands).
     */
   def streamEwma(spark: SparkSession, dir: String): DataFrame =
-      StreamOps.harnessLock.synchronized {
+      StreamOps.withRocksDb(spark) {
     import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ev = StreamOps.eventsStream(spark, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
-          expr("CAST(round(value * 10000) AS BIGINT)").as("v_units"))
-        .as[EwRow]
-      val out = ev.groupByKey(_.user_id)
-        .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update(),
-          Encoders.product[EwOut])
-      StreamOps.runToMemory(out.toDF(), "update")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
-    }
+    val ev = StreamOps.eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_units"))
+      .as[EwRow]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update(),
+        Encoders.product[EwOut])
+    StreamOps.runToMemory(out.toDF(), "update")
   }
 }

@@ -86,6 +86,27 @@ object StreamOps {
     */
   val harnessLock: Object = new Object
 
+  /** Run `body` with the RocksDB state-store provider installed
+    * session-wide, restoring the previous provider after —
+    * `transformWithState` requires RocksDB, every other streaming
+    * query keeps the HDFS-backed default. ONE definition (the
+    * set/try/restore dance was copy-pasted six times before this);
+    * holds [[harnessLock]] because the conf is session-global.
+    * Reentrant: runToMemory inside `body` re-enters the same monitor.
+    */
+  def withRocksDb[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A =
+      harnessLock.synchronized {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def runToMemory(df: DataFrame, outputMode: String,
       statePartitions: Int = sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "2").toInt): DataFrame =
       harnessLock.synchronized {

@@ -155,8 +155,8 @@ class MultimodalSpec extends SparkSuite {
     val sampled = Multimodal.decodeGifFrames(id, bytes, Seq(1, 5))
     assert(sampled.map(_.frame_idx) === Seq(1, 5))
     assert(sampled.map(_.pix_sum) === Seq(all(1).pix_sum, all(5).pix_sum))
-    // out-of-range indices are skipped, not thrown
-    assert(Multimodal.decodeGifFrames(id, bytes, Seq(0, 99)).map(_.frame_idx) === Seq(0))
+    // out-of-range indices — high OR negative — are skipped, not thrown
+    assert(Multimodal.decodeGifFrames(id, bytes, Seq(-1, 0, 99)).map(_.frame_idx) === Seq(0))
   }
 
   test("dHash: gradient direction sets bits, brightness offset is invariant") {

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 import org.apache.spark.sql.Encoders
 
 import graft.SparkSuite
-import graft.streaming.AdvancedStreams.{EvRow, UserAgg, UserAggProcessor, EwRow, EwOut, EwmaProcessor}
+import graft.streaming.AdvancedStreams.{EvRow, UserAgg, UserAggProcessor, EwRow, EwOut, EwmaProcessor, TypedEv, TypeCount, TypeCountProcessor}
 
 /** Fault tolerance for the `transformWithState` arbitrary-state paths
   * (q60's ValueState aggregate, q183's EWMA ring): kill the query
@@ -23,20 +23,7 @@ import graft.streaming.AdvancedStreams.{EvRow, UserAgg, UserAggProcessor, EwRow,
 class TransformWithStateRecoverySpec extends SparkSuite {
   import spark.implicits._
 
-  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-  private val RocksDb =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-
-  /** Run `body` with the RocksDB provider installed, restoring after. */
-  private def withRocksDb[A](body: => A): A = StreamOps.harnessLock.synchronized {
-    val prev = spark.conf.getOption(ProviderKey)
-    spark.conf.set(ProviderKey, RocksDb)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None => spark.conf.unset(ProviderKey)
-    }
-  }
+  private def withRocksDb[A](body: => A): A = StreamOps.withRocksDb(spark)(body)
 
   /** Write one source batch as a flat part-file the file stream lists. */
   private def addBatch[T](dir: String, tag: String, rows: Dataset[T]): Unit = {
@@ -88,6 +75,38 @@ class TransformWithStateRecoverySpec extends SparkSuite {
       // n counts pre-restart rows; max remembers the pre-restart 3.0
       assert(post === Seq((1L, 4L, 3.0), (2L, 2L, 7.0)),
         s"recovered state wrong: $post")
+    }
+  }
+
+  test("q205 shape: MapState per-type counters survive a kill/restart") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_tws_map_src").toString
+      val ckpt = Files.createTempDirectory("graft_tws_map_ckpt").toString
+      val outDir = Files.createTempDirectory("graft_tws_map_out").toString
+
+      def out() = spark.readStream
+        .schema("user_id LONG, event_type STRING, ts_us LONG, event_id LONG")
+        .parquet(dir).as[TypedEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update(),
+          Encoders.product[TypeCount])
+        .toDF()
+
+      addBatch(dir, "b1", Seq(TypedEv(1L, "click", 1L, 1L), TypedEv(1L, "click", 2L, 2L),
+        TypedEv(1L, "view", 3L, 3L)).toDS())
+      runEpoch(out(), ckpt, outDir)
+
+      // restart: one more click — the recovered map entry must continue
+      addBatch(dir, "b2", Seq(TypedEv(1L, "click", 4L, 4L)).toDS())
+      runEpoch(out(), ckpt, outDir)
+
+      val all = spark.read.parquet(outDir)
+      val lastBatch = all.agg(max(col("batch_id"))).head().getLong(0)
+      val post = all.filter(col("batch_id") === lastBatch)
+        .select(col("user_id"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      // only the touched entry re-emits, with the pre-restart count merged
+      assert(post === Set((1L, "click", 3L)), s"recovered map state wrong: $post")
     }
   }
 

@@ -19,19 +19,7 @@ import graft.streaming.AdvancedStreams.{SessRow, SessionOut, SessionTimeoutProce
 class TransformWithStateTimerSpec extends SparkSuite {
   import spark.implicits._
 
-  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-  private val RocksDb =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-
-  private def withRocksDb[A](body: => A): A = StreamOps.harnessLock.synchronized {
-    val prev = spark.conf.getOption(ProviderKey)
-    spark.conf.set(ProviderKey, RocksDb)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None => spark.conf.unset(ProviderKey)
-    }
-  }
+  private def withRocksDb[A](body: => A): A = StreamOps.withRocksDb(spark)(body)
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
