@@ -287,6 +287,27 @@ class PlanAuditSpec extends SparkSuite {
       p.contains("BroadcastHashJoin"), "fusion must join the two rank lists on keys")
   }
 
+  test("q199: the SCD2 build is ONE key shuffle — all windows and aggs reuse the user_id partitioning") {
+    val p = plan("q199_scd2_intervals")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"SCD2 must shuffle once on user_id; got $exchanges exchanges:\n${p.take(900)}")
+    assert(!p.contains("Join"), "the gaps-and-islands build needs no join")
+  }
+
+  test("q200: image dHash dedup plans NO pair generation — no join, one aggregation chain") {
+    val p = plan("q200_image_dhash")
+    assert(!p.contains("Join"), s"dHash clustering must be a plain groupBy:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "no pairs, ever")
+  }
+
+  test("q202: weighted PPS sampling is one per-stratum window over a narrow projection") {
+    val p = plan("q202_weighted_sample")
+    assert(!p.contains("Join"), s"PPS sampling must not join:\n${p.take(600)}")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"one shuffle on the stratum key; got $exchanges")
+  }
+
   test("q198: the gated columnar scan plans a ColumnarToRow bridge over the pushed scan") {
     val p = plan("q198_columnar_pushdown")
     assert(p.contains("ColumnarToRow"),
