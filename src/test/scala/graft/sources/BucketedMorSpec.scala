@@ -100,6 +100,26 @@ class BucketedMorSpec extends SparkSuite {
       s"CDC across MOR commits must net to the logical changes, got $changes")
   }
 
+  test("CDC window crossing a compaction still nets to the logical diff — the fold is CDC-invisible") {
+    cat()
+    mkTable("mor_cdc_comp", rows = 400, buckets = 4)
+    val v1 = BucketStore.currentVersion("mor_cdc_comp")
+    spark.sql("UPDATE graft.`mor_cdc_comp` SET d = -1.0 WHERE k = 42")
+    spark.sql("DELETE FROM graft.`mor_cdc_comp` WHERE k = 43")
+    // the maintenance fold publishes a version INSIDE the CDC window;
+    // it rewrites every touched bucket but changes no logical row
+    assert(spark.sql("CALL graft.compact('mor_cdc_comp')").collect().head.getInt(0) >= 1)
+    val changes = spark.read.format("graft-buckets")
+      .option("table", "mor_cdc_comp").option("mode", "cdc")
+      .option("changesstart", v1.toString).load()
+      .select(col("k"), col(CdcSchema.ChangeType)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes === Set(
+      (42L, CdcSchema.UpdatePre), (42L, CdcSchema.UpdatePost),
+      (43L, CdcSchema.Delete)),
+      s"a compaction inside the window must be CDC-invisible, got $changes")
+  }
+
   test("auto-compaction: MoR state past the policy thresholds folds down in-statement") {
     cat()
     val (prevPct, prevMin) = (BucketStore.autoCompactRatioPct, BucketStore.autoCompactMinRows)
