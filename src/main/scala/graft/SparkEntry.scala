@@ -462,6 +462,8 @@ object SparkEntry {
     "q205_mapstate_counts" -> graft.streaming.AdvancedStreams.mapStateCountsQuery _,
     // — ListState: per-user last-k recency buffer, O(1) appends —
     "q206_liststate_lastk" -> graft.streaming.AdvancedStreams.listStateLastKQuery _,
+    // — shard manifests: order-free XOR content digests per shard —
+    "q207_shard_manifest" -> graft.operators.Pipelines.shardManifestQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -583,16 +585,11 @@ object SparkEntry {
     // q24: Karp-Rabin over UTF-8 bytes; the oracle emulates Java's
     // wrapping 64-bit arithmetic with HUGEINT mod 2^64 and re-signs.
     "q24_fingerprint" ->
-      """WITH f AS (
-        |  SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
-        |    list_transform(range(octet_length(encode(text))),
-        |      i -> CAST(CAST(('0x' || substr(hex(encode(text)), 2*i::INT + 1, 2)) AS INT) AS HUGEINT))),
-        |    (a, b) -> (a * 257 + b) % 18446744073709551616::HUGEINT) AS fp
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(CASE WHEN fp > 9223372036854775807::HUGEINT
-        |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp
-        |FROM f""".stripMargin,
+      s"""WITH f AS (
+         |  SELECT doc_id, ${TextAnalysis.fingerprintHugeintSql} AS fp
+         |  FROM documents)
+         |SELECT doc_id, ${TextAnalysis.fingerprintSignedSql("fp")} AS fp
+         |FROM f""".stripMargin,
     "q26_bucketed_scan" -> graft.sources.bucketed.BucketedQueries.scanSql,
     "q27_bucketed_pushdown" -> graft.sources.bucketed.BucketedQueries.pushdownSql,
     "q28_multimodal" -> graft.multimodal.Multimodal.multimodalSql,
@@ -787,5 +784,6 @@ object SparkEntry {
     "q204_gif_frames" -> graft.multimodal.Multimodal.gifFramesSql,
     "q205_mapstate_counts" -> graft.streaming.AdvancedStreams.mapStateCountsSql,
     "q206_liststate_lastk" -> graft.streaming.AdvancedStreams.listStateLastKSql,
+    "q207_shard_manifest" -> graft.operators.Pipelines.shardManifestSql,
   )
 }

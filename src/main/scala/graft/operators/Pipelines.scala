@@ -339,6 +339,45 @@ object Pipelines {
       .select(col("lang"), col("doc_id"), col("priority"), col("rn"))
   }
 
+  // ——— q207: shard manifests (reproducibility / integrity audit) ———
+
+  /** Shard MANIFESTS — the export-side integrity record every
+    * reproducible training run needs: per shard, the row count, byte
+    * volume, id range, and an ORDER-FREE content digest
+    * (`bit_xor` of each row's Karp-Rabin fingerprint — XOR commutes
+    * and never overflows, so the digest is identical under any
+    * partitioning, task order, or engine; a re-export that silently
+    * drops, duplicates, or mutates one document flips it). Shard
+    * assignment rides the same Lehmer hash as the q112 shuffle, so
+    * manifests describe the shards training actually reads. One
+    * map-side fingerprint pass + one 8-group aggregation — manifest
+    * cost is scan cost, and the digests are mergeable partials like
+    * any other aggregate.
+    */
+  def shardManifestQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Fingerprint64(col("text")).as("fp"))
+      .withColumn("shard", pmod(lehmerBucket("doc_id"), lit(8L)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(fp)").as("content_digest"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  val shardManifestSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |    ${TextAnalysis.fingerprintSignedSql(TextAnalysis.fingerprintHugeintSql)} AS fp,
+       |    CAST((((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 % 8
+       |         AS INTEGER) AS shard
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  bit_xor(fp) AS content_digest,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM f GROUP BY 1""".stripMargin
+
   val weightedSampleSql: String =
     """WITH h AS (
       |  SELECT lang, doc_id, n_chars,

@@ -409,6 +409,24 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), Fingerprint64(col("text")).as("fp"))
 
+  /** The DuckDB replica of [[graft.functions.Fingerprint64]] over a
+    * column named `text`, as an UNSIGNED HUGEINT expression — ONE
+    * definition composed by the q24 oracle and the q207 manifest
+    * oracle (wrap with [[fingerprintSignedSql]] for the int64 view).
+    */
+  val fingerprintHugeintSql: String =
+    """list_reduce(list_prepend(0::HUGEINT,
+      |    list_transform(range(octet_length(encode(text))),
+      |      i -> CAST(CAST(('0x' || substr(hex(encode(text)), 2*i::INT + 1, 2)) AS INT) AS HUGEINT))),
+      |    (a, b) -> (a * 257 + b) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Reinterpret an unsigned HUGEINT fingerprint as Spark's signed
+    * int64 (two's complement).
+    */
+  def fingerprintSignedSql(hugeCol: String): String =
+    s"""CAST(CASE WHEN $hugeCol > 9223372036854775807::HUGEINT
+       |          THEN $hugeCol - 18446744073709551616::HUGEINT ELSE $hugeCol END AS BIGINT)""".stripMargin
+
   // ——— normalization (the step BEFORE fingerprinting/dedup) ———
 
   /** Normalize-then-fingerprint — the presentation-invariant dedup

@@ -48,6 +48,35 @@ class CurationOpsSpec extends SparkSuite {
     assert(got === Set((1L, 4, 0.5), (2L, 4, 0.0)))
   }
 
+  test("shard manifest: digest is content-sensitive (drop/dup/mutation flip it) and count-checked") {
+    def manifest(rows: Seq[(Long, String)]): Map[Int, (Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+      rows.map { case (id, t) => (id, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Pipelines.shardManifestQuery(spark, dir)
+        .select("shard", "n_docs", "content_digest")
+        .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val base = (1L to 64L).map(i => (i, s"document number $i body"))
+    val m0 = manifest(base)
+    assert(m0.values.map(_._1).sum === 64L)
+    // re-export in a different order: digests identical (XOR commutes)
+    assert(manifest(scala.util.Random.shuffle(base)) === m0)
+    // drop one row: that shard's digest AND count flip
+    val dropped = manifest(base.filterNot(_._1 == 7L))
+    assert(dropped !== m0)
+    // mutate one body: count unchanged, digest flips
+    val mutated = manifest(base.map { case (i, t) => (i, if (i == 9L) t + "!" else t) })
+    assert(mutated.values.map(_._1).sum === 64L)
+    assert(mutated !== m0)
+    // duplicating a row XORs its fingerprint twice — the digest alone
+    // returns to baseline, which is exactly why the manifest carries
+    // the COUNT next to it
+    val duped = manifest(base :+ (11L, "document number 11 body"))
+    assert(duped.values.map(_._1).sum === 65L, "the count must expose a duplicated row")
+  }
+
   test("weighted PPS sample: priorities match the hand formula; weight dominates hash luck in aggregate") {
     // independent replay of the priority formula: (w << 40) div (h+1)
     // with the Lehmer hash h = ((id mod M)·48271 mod M)·48271 mod M
