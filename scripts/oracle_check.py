@@ -53,7 +53,21 @@ def norm(v):
         return ("f", struct.pack(">d", v), v)
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
-    return v
+    # Uniform type-tagged tuples keep mixed columns totally ordered:
+    # a NULLable leading column (q209's full-outer click_id) otherwise
+    # crashes Python's tuple sort on None < int. Tag "_null" sorts
+    # before every data tag, consistently on both sides.
+    if v is None:
+        return ("_null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(norm(x) for x in v))
+    return ("s", str(v))
 
 def close(a, b):
     if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0] == "f":

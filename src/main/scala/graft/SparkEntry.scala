@@ -464,6 +464,8 @@ object SparkEntry {
     "q206_liststate_lastk" -> graft.streaming.AdvancedStreams.listStateLastKQuery _,
     // — shard manifests: order-free XOR content digests per shard —
     "q207_shard_manifest" -> graft.operators.Pipelines.shardManifestQuery _,
+    "q208_maxsim" -> graft.operators.Similarity.maxSimQuery _,
+    "q209_stream_full_outer" -> graft.streaming.AdvancedStreams.fullOuterWindowJoin _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -785,5 +787,7 @@ object SparkEntry {
     "q205_mapstate_counts" -> graft.streaming.AdvancedStreams.mapStateCountsSql,
     "q206_liststate_lastk" -> graft.streaming.AdvancedStreams.listStateLastKSql,
     "q207_shard_manifest" -> graft.operators.Pipelines.shardManifestSql,
+    "q208_maxsim" -> graft.operators.Similarity.maxSimSql,
+    "q209_stream_full_outer" -> graft.streaming.AdvancedStreams.fullOuterWindowJoinSql,
   )
 }

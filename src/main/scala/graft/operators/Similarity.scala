@@ -1245,4 +1245,97 @@ object Similarity {
       |      CAST(embedding[i + 1] AS DOUBLE) * ((i * 31 + j * 17) % 3 - 1))),
       |    (acc, x) -> acc + x), 6) AS val
       |FROM embeddings, unnest(range(4)) t(j)""".stripMargin
+
+  // ───────────────────────── late-interaction (MaxSim) ─────────────────────────
+
+  /** q208 — multi-vector late-interaction scoring (the ColBERT family):
+    * each document is a BAG of sub-vectors and the query-document score
+    * is `Σ_i max_j cos(q_i, d_j)` — each query sub-vector claims its
+    * best-matching document sub-vector independently, which rewards
+    * documents that cover ALL facets of the query instead of matching
+    * its average direction. Here the m=4 sub-vectors are fixed 16-dim
+    * slices of the 64-dim embedding (the same subspace decomposition PQ
+    * uses, so no new data shape is invented for the gate).
+    *
+    * Two stages, the standard serving shape:
+    *  1. candidate generation: single-vector cosine top-`fetchK` with
+    *     the (bounded, broadcast) query set — the cheap coarse pass;
+    *  2. exact MaxSim re-rank of the fetchK survivors only: the m×m
+    *     pairwise sub-cosines are 16 codegen'd scalar expressions per
+    *     row, never an explode/regroup — no shuffle is added by the
+    *     re-rank at all.
+    * At 100 TB the re-rank cost is `|queries|·fetchK·m²` dot products
+    * — independent of corpus size; stage 1 is the same broadcast-KNN
+    * shape as q19/q153 (swap in the IVF/store-ANN candidate pass for a
+    * serving deployment; the re-rank stage is unchanged).
+    *
+    * Determinism contract with the oracle: every pairwise cosine is
+    * rounded to 6dp BEFORE the max; the four per-slice maxima are added
+    * in slice order (left-assoc, bit-identical in IEEE); the sum is
+    * rounded again; ties break on cand_id.
+    */
+  def maxSim(cands: DataFrame, queries: DataFrame, m: Int, sub: Int,
+      fetchK: Int, k: Int): DataFrame = {
+    val top = cands.join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(GraftFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rn") <= fetchK)
+    val withMax = (0 until m).foldLeft(top) { (df, i) =>
+      val qi = slice(col("qv"), i * sub + 1, sub)
+      val cos = (0 until m).map(j =>
+        round(GraftFunctions.cosine(qi, slice(col("cv"), j * sub + 1, sub)), 6))
+      df.withColumn(s"m$i", greatest(cos: _*))
+    }
+    // + 0.0 normalizes a rounded -0.0 to +0.0 (IEEE) — the q163 hash
+    // class: DuckDB and Spark disagree on round()'s zero sign
+    val score = round((1 until m).foldLeft(col("m0"))((acc, i) => acc + col(s"m$i")), 6) + lit(0.0)
+    withMax.withColumn("score", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rank"))
+  }
+
+  def maxSimQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cands = e.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+    maxSim(cands, qs, m = 4, sub = 16, fetchK = 40, k = 10)
+  }
+
+  /** DuckDB replica: same two stages; the m×m sub-cosines come from
+    * 1-based inclusive list slices (`qv[1:16]` ≡ Spark `slice(qv,1,16)`),
+    * each rounded to 6dp before `greatest`, summed in slice order.
+    */
+  val maxSimSql: String = {
+    val m = 4; val sub = 16
+    def sl(c: String, i: Int) = s"$c[${i * sub + 1}:${(i + 1) * sub}]"
+    val maxima = (0 until m).map { i =>
+      val terms = (0 until m).map(j =>
+        s"round(list_cosine_similarity(${sl("qv", i)}, ${sl("cv", j)}), 6)")
+      s"greatest(${terms.mkString(", ")}) AS m$i"
+    }.mkString(",\n      ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |topk AS (
+       |  SELECT query_id, cand_id, qv, cv FROM (
+       |    SELECT q.query_id, c.cand_id, q.qv, c.cv,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cand_id) AS rn
+       |    FROM q JOIN c ON c.cand_id <> q.query_id) t WHERE rn <= 40),
+       |scored AS (
+       |  SELECT query_id, cand_id, round(m0 + m1 + m2 + m3, 6) + 0.0 AS score FROM (
+       |    SELECT query_id, cand_id,
+       |      $maxima
+       |    FROM topk) z)
+       |SELECT query_id, cand_id, score, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT query_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+       |  FROM scored) t WHERE rn <= 10""".stripMargin
+  }
 }

@@ -63,6 +63,52 @@ object AdvancedStreams {
       |                         max(ts) FILTER (WHERE event_type = 'purchase')) END
       |       FROM events)""".stripMargin
 
+  /** q209 — FULL-outer windowed stream-stream join: the last cell of
+    * the stream-join matrix (inner q14/q166, left-outer window q58,
+    * left-outer interval q203). Matches emit in-batch; BOTH sides'
+    * unmatched rows emit null-padded once the global watermark closes
+    * their window — so the same state bound as the inner join governs,
+    * and neither side's state can grow past one open window per key.
+    * The output key columns coalesce across sides because a null-padded
+    * row carries only its own side's key.
+    */
+  def fullOuterWindowJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = StreamOps.eventsStream(spark, dir)
+    // filter before the watermark — see outerWindowJoin
+    def side(eventType: String, idAs: String) =
+      ev.filter(col("event_type") === eventType)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
+    val clicks = side("click", "click_id")
+    val purchases = side("purchase", "purchase_id")
+      .withColumnRenamed("user_id", "p_user_id").withColumnRenamed("w", "p_w")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") && col("w") === col("p_w"), "full_outer")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        unix_micros(coalesce(col("w.start"), col("p_w.start"))).as("win_start"),
+        col("click_id"), col("purchase_id"))
+    StreamOps.runToMemory(joined, "append")
+  }
+
+  /** Oracle: all matched pairs, plus each side's unmatched rows whose
+    * window end the global watermark (= least of the two per-side max
+    * timestamps, NULL when either side is empty — see q58) reached.
+    */
+  val fullOuterWindowJoinSql: String =
+    """SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      | CAST(epoch_us(date_trunc('hour', coalesce(a.ts, b.ts))) AS BIGINT) AS win_start,
+      | a.event_id AS click_id, b.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+      |WHERE (a.event_id IS NOT NULL AND b.event_id IS NOT NULL)
+      |   OR date_trunc('hour', coalesce(a.ts, b.ts)) + INTERVAL 1 HOUR <=
+      |      (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click') IS NOT NULL
+      |                    AND max(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
+      |              THEN least(max(ts) FILTER (WHERE event_type = 'click'),
+      |                         max(ts) FILTER (WHERE event_type = 'purchase')) END
+      |       FROM events)""".stripMargin
+
   /** Chained stateful operators in one query (Spark ≥3.4 capability):
     * windowed stream-stream join feeding a windowed aggregation —
     * Flink's join→keyBy→window composition without materializing the

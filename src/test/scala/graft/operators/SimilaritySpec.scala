@@ -266,4 +266,47 @@ class SimilaritySpec extends SparkSuite {
     assert(scores(1L) > scores(2L),
       s"length normalization must penalize the long doc: $scores")
   }
+
+  test("maxsim: slice-permuted doc scores the 4.0 maximum while plain cosine sees 0") {
+    // 64-dim vectors assembled from one-hot 16-dim slices. The query is
+    // concat(u0,u1,u2,u3); the "coverall" doc carries the SAME slices
+    // permuted — full-vector cosine is 0 (orthogonal slice-wise), but
+    // every query slice finds an exact match somewhere, so maxsim = 4.0.
+    // The "partial" doc repeats u0 four times: one facet matches (1.0).
+    def oneHot(k: Int): Array[Double] = Array.tabulate(16)(i => if (i == k) 1.0 else 0.0)
+    def vec(slices: Int*): Array[Double] = slices.flatMap(oneHot).toArray
+    val q = Seq((100L, vec(0, 1, 2, 3))).toDF("query_id", "qv")
+    val cands = Seq(
+      (1L, vec(1, 0, 3, 2)), // coverall: permuted slices
+      (2L, vec(0, 0, 0, 0)), // partial: one facet only
+      (3L, vec(4, 5, 6, 7))  // disjoint: nothing matches
+    ).toDF("cand_id", "cv")
+    val out = Similarity.maxSim(cands, q, m = 4, sub = 16, fetchK = 10, k = 3)
+      .select("cand_id", "score", "rank").as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === 4.0 && out(1L)._2 === 1,
+      s"permuted coverall must score 4.0 at rank 1: $out")
+    assert(out(2L)._1 === 1.0, s"single-facet doc must score 1.0: $out")
+    assert(out(3L)._1 === 0.0, s"disjoint doc must score 0.0: $out")
+    // plain single-vector cosine cannot distinguish coverall from disjoint
+    val plain = cands.join(q)
+      .select(col("cand_id"),
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("cv")), 6).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(plain(1L) === 0.0 && plain(3L) === 0.0)
+  }
+
+  test("maxsim on the gate data: 10 queries x 10 ranked rows, scores in [-4, 4] and descending") {
+    val out = Similarity.maxSimQuery(spark, sf)
+      .select("query_id", "cand_id", "score", "rank").as[(Long, Long, Double, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 10)
+      assert(!rows.exists(r => r._2 == r._1), "self excluded")
+      val sorted = rows.sortBy(_._4).map(_._3)
+      assert(sorted.toSeq === sorted.sortBy(-_).toSeq, "score descending by rank")
+      assert(rows.forall(r => r._3 >= -4.0 && r._3 <= 4.0))
+    }
+  }
 }

@@ -86,6 +86,48 @@ class StreamOpsSpec extends SparkSuite {
       "the watermark-advancing click is still open and must not emit yet")
   }
 
+  test("stream-stream FULL OUTER window join: both sides' unmatched rows emit after close") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Timestamp, Long)]
+    val buysMem = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = clicksMem.toDF().toDF("user_id", "c_ts", "click_id")
+      .withWatermark("c_ts", "0 seconds")
+      .select(col("user_id"), window(col("c_ts"), "1 hour").as("w"), col("click_id"))
+    val buys = buysMem.toDF().toDF("p_user_id", "p_ts", "purchase_id")
+      .withWatermark("p_ts", "0 seconds")
+      .select(col("p_user_id"), window(col("p_ts"), "1 hour").as("p_w"), col("purchase_id"))
+    val joined = clicks.join(buys,
+        col("user_id") === col("p_user_id") && col("w") === col("p_w"), "full_outer")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("uid"),
+        col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("fouter").start()
+    try {
+      // u1 matches; u2 clicks without purchase; u3 purchases without click
+      clicksMem.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+        (2L, ts("2024-01-01 10:05:00"), 200L))
+      buysMem.addData((1L, ts("2024-01-01 10:10:00"), 900L),
+        (3L, ts("2024-01-01 10:15:00"), 910L))
+      q.processAllAvailable()
+      val early = spark.table("fouter")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(early === Set((1L, Some(100L), Some(900L))),
+        s"only the matched pair emits while hour 10 is open: $early")
+      // push both watermarks past 11:00 → hour-10 closes on both sides
+      clicksMem.addData((9L, ts("2024-01-01 12:00:00"), 901L))
+      buysMem.addData((8L, ts("2024-01-01 12:00:00"), 902L))
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fouter").as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got.contains((2L, Some(200L), None)),
+      s"unmatched click must null-pad after close: $got")
+    assert(got.contains((3L, None, Some(910L))),
+      s"unmatched purchase must null-pad after close: $got")
+    assert(!got.exists(r => r._1 == 9L || r._1 == 8L),
+      "hour-12 rows are still open and must not emit")
+  }
+
   test("hourly window agg over events matches its closed-window contract") {
     val out = StreamOps.hourlyWindowAgg(spark, sf)
     val maxTs = graft.tables.Tables.events(spark, sf)
