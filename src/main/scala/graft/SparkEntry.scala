@@ -466,6 +466,7 @@ object SparkEntry {
     "q207_shard_manifest" -> graft.operators.Pipelines.shardManifestQuery _,
     "q208_maxsim" -> graft.operators.Similarity.maxSimQuery _,
     "q209_stream_full_outer" -> graft.streaming.AdvancedStreams.fullOuterWindowJoin _,
+    "q210_corpus_overlap" -> Dedup.corpusOverlapQuery _,
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -789,5 +790,6 @@ object SparkEntry {
     "q207_shard_manifest" -> graft.operators.Pipelines.shardManifestSql,
     "q208_maxsim" -> graft.operators.Similarity.maxSimSql,
     "q209_stream_full_outer" -> graft.streaming.AdvancedStreams.fullOuterWindowJoinSql,
+    "q210_corpus_overlap" -> Dedup.corpusOverlapSql,
   )
 }

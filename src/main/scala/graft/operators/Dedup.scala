@@ -1057,4 +1057,126 @@ object Dedup {
       |       CAST(sum(COALESCE(sh.dup, 0)) AS DOUBLE) / count(*) AS dup_frac
       |FROM segs s LEFT JOIN shared sh ON s.seg = sh.seg
       |GROUP BY s.doc_id""".stripMargin
+
+  // ——— corpus-level overlap estimation (sketch algebra) ———
+
+  /** q210 — CORPUS-level overlap: how much does the training corpus's
+    * shingle set overlap an eval corpus's, as ONE number — the
+    * dataset-vs-benchmark contamination RATE that decides whether a
+    * source is admissible at all (q74 answers the per-document
+    * question; this answers the per-corpus one, and at 100 TB it is
+    * the only one you can afford to monitor continuously).
+    *
+    * The estimator is corpus-level MinHash agreement: each corpus's
+    * shingle SET is collapsed to a 64-component signature — component
+    * i = min over shingles of splitmixᵢ(hash(shingle)) — by the same
+    * [[graft.functions.MinHashAgg]] the per-doc LSH uses, just grouped
+    * by corpus instead of doc_id. The buffer is 64 longs regardless of
+    * corpus size, partials merge map-side, and signatures of disjoint
+    * shards merge by component-min — so a 100 TB corpus's signature
+    * costs one scan and 512 bytes, can be maintained incrementally as
+    * shards land, and E[agreements/64] = exact Jaccard. The exact
+    * intersection/union (one equi-join on the shingle hash) rides
+    * along — affordable at gate SF, and the pair of numbers makes the
+    * estimator's error auditable in the output itself.
+    *
+    * Hash chain: Karp-Rabin [[graft.functions.Fingerprint64]] over the
+    * 3-word shingle STRING, then murmur [[graft.functions.Mix64]] —
+    * the q24/q25 pair chosen because both have exact HUGEINT mod-2^64
+    * DuckDB replicas, which is what lets a MinHash SKETCH be
+    * hash-gated at all (q17's banding recall argument gates pair
+    * OUTPUT, not sketch internals; here the oracle replays splitmix
+    * itself and must reproduce every component min bit-for-bit).
+    */
+  def corpusOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Fingerprint64, GraftFunctions, Mix64}
+    val H = 64
+    // distinct (corpus, shingle-hash): shared by the sketch AND the
+    // exact join — one shuffle on the hash feeds both
+    val hashes = Tables.documents(spark, dir)
+      .select(when(col("doc_id") % 10 === 0, lit("eval")).otherwise(lit("train")).as("corpus"),
+        split(col("text"), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("corpus"), explode(array_distinct(expr(
+        "transform(sequence(0, size(__w) - 3), i -> array_join(slice(__w, i + 1, 3), ' '))")))
+        .as("s"))
+      .select(col("corpus"), Mix64(Fingerprint64(col("s"))).as("h"))
+      .distinct()
+      .cache()
+    val sig = hashes.groupBy(col("corpus"))
+      .agg(GraftFunctions.minhash(col("h"), H).as("sig"))
+    val est = sig.filter(col("corpus") === "train").select(col("sig").as("sa"))
+      .crossJoin(sig.filter(col("corpus") === "eval").select(col("sig").as("sb")))
+      .select(expr(s"aggregate(sequence(0, ${H - 1}), 0L, " +
+        "(acc, i) -> acc + IF(sa[i] = sb[i], 1L, 0L))").as("est_matches"))
+    val nTrain = hashes.filter(col("corpus") === "train").agg(count(lit(1)).as("n_train"))
+    val nEval = hashes.filter(col("corpus") === "eval").agg(count(lit(1)).as("n_eval"))
+    val inter = hashes.filter(col("corpus") === "train").select(col("h"))
+      .join(hashes.filter(col("corpus") === "eval").select(col("h")), Seq("h"))
+      .agg(count(lit(1)).as("n_inter"))
+    est.crossJoin(nTrain).crossJoin(nEval).crossJoin(inter)
+      .select(lit(H).as("h_funcs"), col("est_matches"),
+        expr(s"est_matches * 1000000L div $H").as("est_jacc_micro"),
+        col("n_train"), col("n_eval"), col("n_inter"),
+        (col("n_train") + col("n_eval") - col("n_inter")).as("n_union"),
+        expr("n_inter * 1000000L div (n_train + n_eval - n_inter)").as("exact_jacc_micro"))
+  }
+
+  /** DuckDB replica: byte-fold fingerprint → fmix64 (q24/q25 CTEs),
+    * splitmix64 per component in HUGEINT (wrapping multiplies split at
+    * 2^32 — [[SimHash.mulmodSql]]), min per (corpus, i) under the
+    * SIGNED int64 view to match the JVM's signed comparisons.
+    */
+  val corpusOverlapSql: String = {
+    val H = 64
+    import SimHash.{mulmodSql, Mod64}
+    def xs(h: String, n: Int): String = s"xor(($h), ($h) >> $n)"
+    // splitmix64 unrolled as STACKED subqueries — every mulmod/xorshift
+    // references a NAMED column from the layer below, so the rendered
+    // SQL stays linear instead of exponentially duplicating the chain
+    val sigCte =
+      s"""sig AS (
+         |  SELECT corpus, i,
+         |    min(CAST(CASE WHEN z4 > 9223372036854775807::HUGEINT
+         |             THEN z4 - $Mod64 ELSE z4 END AS BIGINT)) AS m
+         |  FROM (SELECT corpus, i, ${xs("z3", 31)} AS z4 FROM (
+         |    SELECT corpus, i, ${mulmodSql(xs("z2", 27), "10723151780598845931")} AS z3 FROM (
+         |      SELECT corpus, i, ${mulmodSql(xs("z1", 30), "13787848793156543929")} AS z2 FROM (
+         |        SELECT corpus, i, (uh + seed) % $Mod64 AS z1
+         |        FROM hs, (SELECT i, ${mulmodSql("CAST(i + 1 AS HUGEINT)", "11400714819323198485")} AS seed
+         |                  FROM unnest(range($H)) t(i)) sd) a) b) c) d
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT CASE WHEN doc_id % 10 = 0 THEN 'eval' ELSE 'train' END AS corpus,
+       |         string_split(text, ' ') AS ws
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT corpus, s FROM (
+       |    SELECT corpus, unnest(list_transform(range(len(ws) - 2),
+       |      i -> array_to_string(ws[i + 1:i + 3], ' '))) AS s FROM w) t),
+       |hs AS (
+       |  SELECT DISTINCT corpus, ${SimHash.fmixSql(SimHash.byteFoldFpSql("s"))} AS uh
+       |  FROM sh),
+       |$sigCte,
+       |est AS (
+       |  SELECT count(*) FILTER (WHERE a.m = b.m) AS est_matches
+       |  FROM (SELECT i, m FROM sig WHERE corpus = 'train') a
+       |  JOIN (SELECT i, m FROM sig WHERE corpus = 'eval') b USING (i)),
+       |cnt AS (
+       |  SELECT count(*) FILTER (WHERE corpus = 'train') AS n_train,
+       |         count(*) FILTER (WHERE corpus = 'eval') AS n_eval
+       |  FROM hs),
+       |inter AS (
+       |  SELECT count(*) AS n_inter
+       |  FROM (SELECT uh FROM hs WHERE corpus = 'train') a
+       |  JOIN (SELECT uh FROM hs WHERE corpus = 'eval') b USING (uh))
+       |SELECT CAST($H AS INTEGER) AS h_funcs,
+       |  CAST(est_matches AS BIGINT) AS est_matches,
+       |  CAST(est_matches * 1000000 // $H AS BIGINT) AS est_jacc_micro,
+       |  CAST(n_train AS BIGINT) AS n_train, CAST(n_eval AS BIGINT) AS n_eval,
+       |  CAST(n_inter AS BIGINT) AS n_inter,
+       |  CAST(n_train + n_eval - n_inter AS BIGINT) AS n_union,
+       |  CAST(n_inter * 1000000 // (n_train + n_eval - n_inter) AS BIGINT) AS exact_jacc_micro
+       |FROM est, cnt, inter""".stripMargin
+  }
 }

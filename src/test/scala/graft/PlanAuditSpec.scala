@@ -410,4 +410,17 @@ class PlanAuditSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q208: MaxSim re-rank adds NO join beyond the single broadcast candidate pass") {
+    val p = plan("q208_maxsim")
+    assert(!p.contains("CartesianProduct"), s"cartesian in MaxSim:\n${p.take(600)}")
+    // stage 1 is the one broadcast-queries nested loop (the q19 KNN
+    // baseline shape); stage 2's m^2 sub-cosines must stay scalar
+    // expressions on the survivors — any second join or an explode
+    // means the re-rank degraded to a pair-blowup
+    val joins = p.linesIterator.count(l =>
+      l.contains("Join") && !l.contains("ReusedExchange"))
+    assert(joins === 1, s"MaxSim must plan exactly 1 join (candidate pass), got $joins:\n${p.take(900)}")
+    assert(!p.contains("Generate"), "re-rank must not explode sub-vectors into rows")
+  }
 }

@@ -373,4 +373,34 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L))) // near-dup
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
   }
+
+  test("corpus sketch algebra: sig(A ∪ B) = component-min of sig(A), sig(B)") {
+    // the mergeability claim behind q210's "maintain incrementally as
+    // shards land": a union's signature must be computable from the
+    // shards' signatures alone, without revisiting elements
+    import graft.functions.GraftFunctions.minhash
+    val a = (1L to 40L).toDF("h")
+    val b = (25L to 60L).map(_ * 7919L).toDF("h")
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(minhash(col("h"), 16).as("s")).as[Seq[Long]].head()
+    val merged = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+    assert(sig(a.union(b)) === merged)
+  }
+
+  test("q210 corpus overlap: output invariants and estimator bracketing") {
+    val r = Dedup.corpusOverlapQuery(spark, sf).collect().head
+    val (h, est, estMicro) = (r.getAs[Int]("h_funcs"),
+      r.getAs[Long]("est_matches"), r.getAs[Long]("est_jacc_micro"))
+    val (nTrain, nEval, nInter, nUnion, exactMicro) = (r.getAs[Long]("n_train"),
+      r.getAs[Long]("n_eval"), r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"),
+      r.getAs[Long]("exact_jacc_micro"))
+    assert(h === 64 && est >= 0 && est <= h)
+    assert(nUnion === nTrain + nEval - nInter)
+    assert(exactMicro === nInter * 1000000L / nUnion)
+    // 64 components: est within ±4σ of exact (σ² = j(1−j)/64)
+    val j = exactMicro / 1e6
+    val sigma = math.sqrt(j * (1 - j) / h)
+    assert(math.abs(estMicro / 1e6 - j) <= 4 * sigma,
+      s"estimate ${estMicro / 1e6} implausibly far from exact $j (sigma $sigma)")
+  }
 }
