@@ -295,6 +295,33 @@ object AdvancedStreams {
   val mapStateCountsSql: String =
     "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2"
 
+  /** State-TTL exemplar: a per-key running count whose ValueState
+    * carries a processing-time TTL — Spark evicts the entry once the
+    * TTL elapses after its last write, so an abandoned key's state
+    * disappears WITHOUT a timer, a tombstone batch, or any code path
+    * touching the key again. This is the low-ceremony state bound for
+    * 100 TB keyspaces where most keys go cold (session tokens, crawl
+    * frontiers): watermark eviction needs event time, timers need
+    * per-key scheduling — TTL is a blanket lease. Wall-clock-based, so
+    * it is spec-pinned (TransformWithStateRecoverySpec), not
+    * oracle-gated: a gate's output would depend on scheduling delay.
+    */
+  class TtlCountProcessor(ttlMillis: Long) extends StatefulProcessor[Long, TypedEv, TypeCount] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val prev = if (st.exists()) st.get() else 0L
+      val n = prev + rows.size
+      st.update(n)
+      Iterator.single(TypeCount(key, "n", n))
+    }
+  }
+
   case class LastK(user_id: Long, recent_ids: Seq[Long])
 
   /** Per-user last-k event ids in a LIST STATE — the Flink

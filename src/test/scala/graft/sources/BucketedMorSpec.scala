@@ -215,6 +215,46 @@ class BucketedMorSpec extends SparkSuite {
         t.layoutEpoch, staleVersion)
     }
     assert(ex.getMessage.contains("positions are snapshot-relative"), ex.getMessage)
+    // the prescribed recovery — re-plan against the current snapshot —
+    // succeeds and BOTH statements' effects land
+    spark.sql("DELETE FROM graft.`mor_race` WHERE k = 2")
+    assert(scan("mor_race").filter(col("k").isin(1L, 2L)).count() === 0L)
+    assert(scan("mor_race").count() === 98L)
+  }
+
+  test("concurrent DML writers: every statement either applies exactly or fails loudly — no lost update") {
+    cat()
+    mkTable("mor_mt", rows = 100, buckets = 2)
+    // 8 threads each delete a DISTINCT key through the full SQL path.
+    // Optimistic versioning means a loser whose positions were planned
+    // against a superseded snapshot fails with the retry message; what
+    // may NEVER happen is a silent lost update — a statement that
+    // "succeeds" without its row actually going away.
+    val keys = (1 to 8).map(_ * 11L)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[Long, Option[String]]()
+    val threads = keys.map { k =>
+      new Thread(() => {
+        try {
+          spark.sql(s"DELETE FROM graft.`mor_mt` WHERE k = $k")
+          outcomes.put(k, None)
+        } catch {
+          case e: Throwable => outcomes.put(k, Some(e.getMessage))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val survivors = scan("mor_mt").select("k").as[Long].collect().toSet
+    keys.foreach { k =>
+      outcomes.get(k) match {
+        case None => assert(!survivors.contains(k), s"statement for k=$k succeeded but row survived")
+        case Some(msg) =>
+          assert(survivors.contains(k), s"statement for k=$k failed ('$msg') but row vanished")
+          assert(msg.contains("retry the statement") || msg.contains("snapshot-relative"),
+            s"loser must fail with the optimistic-retry message, got: $msg")
+      }
+    }
+    val failed = keys.count(k => outcomes.get(k).isDefined)
+    assert(scan("mor_mt").count() === 100L - (8 - failed))
   }
 
   test("copy-on-write stays the default: UPDATE on a plain table rewrites the bucket, no MOR state") {

@@ -144,4 +144,56 @@ class TransformWithStateRecoverySpec extends SparkSuite {
       assert(post === Seq((1L, 3L, 21L)), s"recovered score wrong: $post")
     }
   }
+
+  test("state TTL: an expired ValueState restarts the count; a live one survives even a restart") {
+    withRocksDb {
+      import graft.streaming.AdvancedStreams.TtlCountProcessor
+      // ProcessingTime mode schedules sweep batches CONTINUOUSLY under
+      // the default trigger (and AvailableNow never reaches its
+      // termination condition), so neither processAllAvailable nor
+      // awaitTermination settles — each epoch is a hard ONE-batch run:
+      // Trigger.Once processes exactly the available data and stops
+      def runOnce(out: DataFrame, ckpt: String, outDir: String): Unit = {
+        val q = out.writeStream.outputMode(OutputMode.Update)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id)).write.mode("append").parquet(outDir)
+          }
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      def run(ttlMillis: Long, name: String, sleepMillis: Long): Seq[(Long, Long)] = {
+        val dir = Files.createTempDirectory(s"graft_ttl_${name}_src").toString
+        val ckpt = Files.createTempDirectory(s"graft_ttl_${name}_ckpt").toString
+        val outDir = Files.createTempDirectory(s"graft_ttl_${name}_out").toString
+        def out() = spark.readStream
+          .schema("user_id LONG, event_type STRING, ts_us LONG, event_id LONG")
+          .parquet(dir).as[TypedEv]
+          .groupByKey(_.user_id)
+          .transformWithState(new TtlCountProcessor(ttlMillis), TimeMode.ProcessingTime(),
+            OutputMode.Update(), Encoders.product[AdvancedStreams.TypeCount])
+          .toDF()
+        addBatch(dir, "b1", Seq(TypedEv(1L, "click", 1L, 1L), TypedEv(1L, "click", 2L, 2L)).toDS())
+        runOnce(out(), ckpt, outDir)
+        Thread.sleep(sleepMillis)
+        // restart from the checkpoint AFTER the sleep — TTL must hold
+        // across recovery (expiration timestamps live in the state
+        // store, not in JVM memory)
+        addBatch(dir, "b2", Seq(TypedEv(1L, "click", 3L, 3L)).toDS())
+        runOnce(out(), ckpt, outDir)
+        val all = spark.read.parquet(outDir)
+        val lastBatch = all.agg(max(col("batch_id"))).head().getLong(0)
+        all.filter(col("batch_id") === lastBatch)
+          .select(col("user_id"), col("n")).as[(Long, Long)].collect().toSeq
+      }
+      // 400 ms lease, 1.5 s cold: the key's state must have evicted —
+      // the post-sleep batch counts from zero
+      assert(run(400L, "short", 1500L) === Seq((1L, 1L)),
+        "expired state must not leak into the new count")
+      // 1 h lease, same sleep: the count accumulates across the restart
+      assert(run(3600000L, "long", 1500L) === Seq((1L, 3L)),
+        "live TTL state must survive sleep AND restart")
+    }
+  }
 }
