@@ -467,6 +467,8 @@ object SparkEntry {
     "q208_maxsim" -> graft.operators.Similarity.maxSimQuery _,
     "q209_stream_full_outer" -> graft.streaming.AdvancedStreams.fullOuterWindowJoin _,
     "q210_corpus_overlap" -> Dedup.corpusOverlapQuery _,
+    "q211_sql_window_zoo" -> shared(windowZooSql),
+    "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
   /** Recursive date SPINE + gap-filled monthly revenue — the
@@ -528,6 +530,52 @@ object SparkEntry {
       |  WHERE o_custkey = c.c_custkey
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       |WHERE c.c_acctbal > 9000""".stripMargin
+
+  /** Ranking/distribution window completeness — ntile, percent_rank,
+    * cume_dist, nth_value, first/last_value — in one shared string.
+    * Every OVER shares a fully tie-broken ordering; percent_rank and
+    * cume_dist are int-ratio doubles (one IEEE division of identical
+    * integers on both engines, so bit-identical); ntile is CAST to
+    * INTEGER because DuckDB types it BIGINT where Spark says INT.
+    */
+  val windowZooSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      | percent_rank() OVER w AS pr,
+      | cume_dist() OVER w AS cd,
+      | nth_value(o_orderkey, 2) OVER wf AS second_key,
+      | first_value(o_orderkey) OVER w AS first_key,
+      | last_value(o_orderkey) OVER wf AS last_key
+      |FROM orders
+      |WHERE o_custkey < 300
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** NOT IN three-valued logic — the null-aware anti join. The three
+    * variants pin the trap explicitly: a clean subquery anti-joins
+    * normally; ONE NULL in the subquery annihilates NOT IN (x <> NULL
+    * is UNKNOWN, so no row ever qualifies — n must be 0); NOT EXISTS
+    * over the same predicate is null-immune and keeps the real count.
+    * Spark plans the nullable variant as a null-aware anti join
+    * (single-column NAAJ broadcast); both engines must agree on all
+    * three counts.
+    */
+  val nullAntiJoinSql: String =
+    """SELECT 'not_in_clean' AS variant, count(*) AS n FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |UNION ALL
+      |SELECT 'not_in_nullable' AS variant, count(*) AS n FROM customer
+      |WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+      |                                    ELSE o_custkey END
+      |                        FROM orders
+      |                        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |UNION ALL
+      |SELECT 'not_exists' AS variant, count(*) AS n FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin
 
   /** A shared-SQL query: the SAME string [[oracleSql]] hands DuckDB,
     * run by Spark through the registered testdata views.
@@ -791,5 +839,7 @@ object SparkEntry {
     "q208_maxsim" -> graft.operators.Similarity.maxSimSql,
     "q209_stream_full_outer" -> graft.streaming.AdvancedStreams.fullOuterWindowJoinSql,
     "q210_corpus_overlap" -> Dedup.corpusOverlapSql,
+    "q211_sql_window_zoo" -> windowZooSql,
+    "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

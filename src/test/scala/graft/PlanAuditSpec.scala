@@ -411,6 +411,18 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q212: the NOT IN variants plan as null-aware anti joins, NOT EXISTS as a plain one") {
+    val p = plan("q212_sql_null_anti")
+    // BroadcastHashJoinExec renders its isNullAwareAntiJoin flag as the
+    // trailing boolean: "LeftAnti, BuildRight, true|false"
+    val naaj = p.linesIterator.count(_.contains("LeftAnti, BuildRight, true"))
+    val plain = p.linesIterator.count(_.contains("LeftAnti, BuildRight, false"))
+    assert(naaj === 2, s"both NOT IN variants must be null-aware anti joins, got $naaj:\n${p.take(900)}")
+    assert(plain === 1, s"NOT EXISTS needs no null-awareness, got $plain")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "NOT IN must not degrade to a nested loop")
+  }
+
   test("q208: MaxSim re-rank adds NO join beyond the single broadcast candidate pass") {
     val p = plan("q208_maxsim")
     assert(!p.contains("CartesianProduct"), s"cartesian in MaxSim:\n${p.take(600)}")
