@@ -468,6 +468,7 @@ object SparkEntry {
     "q209_stream_full_outer" -> graft.streaming.AdvancedStreams.fullOuterWindowJoin _,
     "q210_corpus_overlap" -> Dedup.corpusOverlapQuery _,
     "q211_sql_window_zoo" -> shared(windowZooSql),
+    "q213_tfidf_keywords" -> TextAnalysis.tfidfKeywordsQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -840,6 +841,7 @@ object SparkEntry {
     "q209_stream_full_outer" -> graft.streaming.AdvancedStreams.fullOuterWindowJoinSql,
     "q210_corpus_overlap" -> Dedup.corpusOverlapSql,
     "q211_sql_window_zoo" -> windowZooSql,
+    "q213_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -661,4 +661,65 @@ object TextAnalysis {
        |SELECT doc_id, CAST(h % 64 AS INTEGER) AS dim, count(*) AS cnt
        |FROM mixed GROUP BY 1, 2""".stripMargin
   }
+
+  // ——— q213: per-source TF-IDF keyword extraction ———
+
+  /** q213 — what characterizes each SOURCE: top-5 terms by TF-IDF,
+    * where IDF weighs document frequency over the whole corpus. The
+    * domain-profiling primitive behind corpus cards and mixture
+    * debugging ("why is this source dominating the blend?").
+    *
+    * All posting-list discipline: df = one distinct (doc, token)
+    * aggregation, tf = one (source, token) aggregation, score join is
+    * an equi-join on the token, top-5 is a window partitioned by the
+    * low-cardinality source. Nothing touches the driver; every shuffle
+    * key is sparse. Determinism: ln(N/df) fixed-points to micro-nats
+    * (the q158 pattern — both engines' libm agree far below the 1e-6
+    * rounding grain), tf·idf then stays in exact BIGINT arithmetic,
+    * ties break on the token string.
+    */
+  def tfidfKeywordsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val idf = df.crossJoin(nDocs)
+      .select(col("tok"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df")) * 1e6, 0)
+          .cast("long").as("idf_micro"))
+    val tf = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.join(idf, Seq("tok"))
+      .select(col("source"), col("tok"), col("tf"), col("df"),
+        (col("tf") * col("idf_micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("score_micro").desc, col("tok").asc)))
+      .filter(col("rn") <= 5)
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, tok FROM (
+      |    SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) t
+      |  WHERE tok <> ''),
+      |df AS (
+      |  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) d
+      |  GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |idf AS (
+      |  SELECT tok, df,
+      |    CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df) * 1e6) AS BIGINT) AS idf_micro
+      |  FROM df CROSS JOIN n),
+      |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT source, tok, tf, df, score_micro, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT tf.source, tf.tok, tf.tf, idf.df,
+      |    tf.tf * idf.idf_micro AS score_micro,
+      |    row_number() OVER (PARTITION BY tf.source
+      |      ORDER BY tf.tf * idf.idf_micro DESC, tf.tok) AS rn
+      |  FROM tf JOIN idf USING (tok)) z
+      |WHERE rn <= 5""".stripMargin
 }

@@ -71,4 +71,21 @@ class TextOpsSpec extends SparkSuite {
       .as[(Int, Long, Long)].collect().sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("q213 tf-idf keywords: 5 ranked terms per source; a corpus-ubiquitous term can never top") {
+    val out = TextAnalysis.tfidfKeywordsQuery(spark, sf)
+      .select("source", "tok", "tf", "df", "score_micro", "rn")
+      .as[(String, String, Long, Long, Long, Int)].collect()
+    val bySrc = out.groupBy(_._1)
+    val nDocs = graft.tables.Tables.documents(spark, sf).count()
+    bySrc.values.foreach { rows =>
+      assert(rows.length === 5)
+      val sorted = rows.sortBy(_._6)
+      assert(sorted.map(_._5).toSeq === sorted.map(_._5).sortBy(-_).toSeq,
+        "score must be descending in rank")
+      // a term present in EVERY document has idf = ln(1) = 0 — it can
+      // never outrank a discriminative term regardless of tf
+      assert(!rows.exists(r => r._4 === nDocs && r._5 > 0L))
+    }
+  }
 }
