@@ -469,6 +469,7 @@ object SparkEntry {
     "q210_corpus_overlap" -> Dedup.corpusOverlapQuery _,
     "q211_sql_window_zoo" -> shared(windowZooSql),
     "q213_tfidf_keywords" -> TextAnalysis.tfidfKeywordsQuery _,
+    "q214_mad_outliers" -> graft.operators.Behavioral.madOutliersQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -842,6 +843,7 @@ object SparkEntry {
     "q210_corpus_overlap" -> Dedup.corpusOverlapSql,
     "q211_sql_window_zoo" -> windowZooSql,
     "q213_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
+    "q214_mad_outliers" -> graft.operators.Behavioral.madOutliersSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -445,6 +445,69 @@ object Behavioral {
       |FROM ev e JOIN bounds b USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  /** q214 — robust per-group outlier profiling: median/MAD instead of
+    * mean/stddev (one wild sensor day shifts a mean and inflates a
+    * stddev enough to hide itself; the median absolute deviation is
+    * breakdown-point-0.5 robust). Flag = |x − med| > 3.5·1.4826·MAD,
+    * the standard robust z-score gate.
+    *
+    * House determinism style (the q180 winsorize discipline): values
+    * fixed-point to 1e-4 units, medians are LOWER-median RANK
+    * SELECTIONS (rank (n−1) div 2 + 1 under a fully tie-broken order)
+    * — no interpolation, no floats anywhere — and the 3.5·1.4826
+    * threshold is EXACTLY the rational 51891/10000, so the flag is the
+    * integer comparison `10000·dev > 51891·mad`. Two rank-selection
+    * passes (value, then deviation), each one window over the
+    * low-cardinality group key; scale = two shuffles by event_type.
+    */
+  def madOutliersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_units"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("v_units"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val med = ev.filter(col("rn") === expr("(n - 1) div 2 + 1"))
+      .select(col("event_type"), col("v_units").as("med_units"))
+    val dev = ev.join(med, "event_type")
+      .select(col("event_type"), col("event_id"), col("n"),
+        abs(col("v_units") - col("med_units")).as("dev_units"), col("med_units"))
+      .withColumn("drn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("dev_units"), col("event_id"))))
+    val mad = dev.filter(col("drn") === expr("(n - 1) div 2 + 1"))
+      .select(col("event_type"), col("dev_units").as("mad_units"))
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("med_units")).as("med_units"), max(col("mad_units")).as("mad_units"),
+        sum(when(col("dev_units") * 10000L > col("mad_units") * 51891L, 1L).otherwise(0L))
+          .as("n_out"))
+  }
+
+  val madOutliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, CAST(round(value * 10000) AS BIGINT) AS v_units,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY CAST(round(value * 10000) AS BIGINT), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, v_units AS med_units FROM ev WHERE rn = (n - 1) // 2 + 1),
+      |dev AS (
+      |  SELECT e.event_type, e.event_id, e.n, abs(e.v_units - m.med_units) AS dev_units,
+      |    m.med_units,
+      |    row_number() OVER (PARTITION BY e.event_type
+      |                       ORDER BY abs(e.v_units - m.med_units), e.event_id) AS drn
+      |  FROM ev e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, dev_units AS mad_units FROM dev WHERE drn = (n - 1) // 2 + 1)
+      |SELECT d.event_type, max(d.n) AS n,
+      |  max(d.med_units) AS med_units, max(a.mad_units) AS mad_units,
+      |  CAST(sum(CASE WHEN d.dev_units * 10000 > a.mad_units * 51891 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_out
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   val anomalyDaysSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,

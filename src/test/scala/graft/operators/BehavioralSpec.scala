@@ -99,6 +99,23 @@ class BehavioralSpec extends SparkSuite {
     withRawEvents(full)(fn)
   }
 
+  test("MAD outliers: one wild reading flags; the mean-shift it causes hides nothing") {
+    // 20 values at 100.0±small jitter and ONE at 100000.0. A mean/std
+    // gate at 3.5σ would be dragged by the spike; the median/MAD gate
+    // flags exactly the spike. Hand arithmetic: med=1000000+ units
+    // scale... asserted via result: n_out must be exactly 1 and the
+    // jittered bulk must not flag.
+    val base = (1 to 20).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 1L, "view",
+        100.0 + (i % 5) * 0.01, "{}"))
+    val rows = base :+ ((21L, Timestamp.valueOf("2024-01-01 00:59:00"), 1L, "view", 100000.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = withRawEvents(df)(Behavioral.madOutliersQuery)
+      .select(col("event_type"), col("n"), col("n_out")).as[(String, Long, Long)]
+      .collect().head
+    assert(got === (("view", 21L, 1L)), s"got $got")
+  }
+
   private def withRawEvents(full: org.apache.spark.sql.DataFrame)(
       fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-behavioral").toString
