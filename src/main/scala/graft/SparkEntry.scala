@@ -470,6 +470,7 @@ object SparkEntry {
     "q211_sql_window_zoo" -> shared(windowZooSql),
     "q213_tfidf_keywords" -> TextAnalysis.tfidfKeywordsQuery _,
     "q214_mad_outliers" -> graft.operators.Behavioral.madOutliersQuery _,
+    "q215_label_prop" -> graft.operators.Graph.labelPropagationQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -844,6 +845,7 @@ object SparkEntry {
     "q211_sql_window_zoo" -> windowZooSql,
     "q213_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
     "q214_mad_outliers" -> graft.operators.Behavioral.madOutliersSql,
+    "q215_label_prop" -> graft.operators.Graph.labelPropagationSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

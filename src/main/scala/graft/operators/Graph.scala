@@ -220,4 +220,83 @@ object Graph {
       |SELECT node, count(*) AS n_tri
       |FROM (SELECT unnest([a, b, c]) AS node FROM tri) t
       |GROUP BY node""".stripMargin
+
+  // ——— q215: label-propagation community detection ———
+
+  /** q215 — synchronous label propagation over the q182 kNN similarity
+    * graph: communities of the embedding corpus without choosing k
+    * up front (the clustering you run to NAME the clusters IVF only
+    * partitions). Init label(v) = v; each of 4 synchronous rounds every
+    * node adopts its neighbors' PLURALITY label (count desc, label asc
+    * tie-break — the deterministic variant of Raghavan et al.'s LPA;
+    * async/random-order LPA is not gateable), isolated nodes keep
+    * their own. Fixed round count, not convergence — the semantics is
+    * "labels after T rounds", a pure function of the graph.
+    *
+    * Scale: per round one equi-join of the symmetrized edge list
+    * against the label table (shuffle by dst), one (src, label) count,
+    * one per-src window — linear in |E| per round, the CC/PageRank
+    * execution hygiene (localCheckpoint lineage cuts, no driver
+    * state). The edge build itself is q182's IVF-bucketed kNN graph —
+    * never all-pairs.
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val votes = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("c").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("label").as("nlbl"))
+      labels = labels.join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nlbl"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select(col("id"), col("label").as("community"), col("csize"))
+  }
+
+  def labelPropagationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val edges = Similarity.knnGraph(emb, "vec_id", "embedding", nlist = 16, k = 5,
+      kmeansIters = 1)
+    labelPropagation(edges, emb.select(col("vec_id").as("id")), rounds = 4)
+  }
+
+  /** Oracle: q182's kNN-graph SQL as the edge CTE (verbatim, wrapped
+    * as a derived table), then the 4 synchronous rounds unrolled —
+    * each a plurality argmax per node (count desc, label tie-break),
+    * COALESCE keeping isolated nodes' labels.
+    */
+  val labelPropagationSql: String = {
+    def round(r: Int): String =
+      s"""lp$r AS (
+         |  SELECT p.id, COALESCE(w.nlbl, p.label) AS label
+         |  FROM lp${r - 1} p LEFT JOIN (
+         |    SELECT src AS id, label AS nlbl FROM (
+         |      SELECT e.src, l.label,
+         |        row_number() OVER (PARTITION BY e.src
+         |          ORDER BY count(*) DESC, l.label) AS rn
+         |      FROM sym e JOIN lp${r - 1} l ON l.id = e.dst
+         |      GROUP BY e.src, l.label) z WHERE rn = 1) w ON w.id = p.id)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT src, dst FROM (${Similarity.knnGraphSql}) g),
+       |sym AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM edges),
+       |lp0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |sizes AS (SELECT label, count(*) AS csize FROM lp4 GROUP BY 1)
+       |SELECT l.id, l.label AS community, s.csize
+       |FROM lp4 l JOIN sizes s USING (label)""".stripMargin
+  }
 }

@@ -82,4 +82,18 @@ class GraphSpec extends SparkSuite {
     assert(counts(0L) == n)
     (1L to n).foreach(v => assert(counts(v) == 2L, s"rim $v: ${counts(v)}"))
   }
+
+  test("label propagation: two planted cliques collapse to two communities; isolates keep their own") {
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 4L) ++ clique(10L to 13L)).toDF("src", "dst")
+    val nodes = ((1L to 4L) ++ (10L to 13L) :+ 99L).toDF("id")
+    val got = Graph.labelPropagation(edges, nodes, rounds = 4)
+      .select("id", "community", "csize").as[(Long, Long, Long)].collect()
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert((1L to 4L).map(byId).toSet.size === 1, s"clique A not uniform: $byId")
+    assert((10L to 13L).map(byId).toSet.size === 1, s"clique B not uniform: $byId")
+    assert(byId(1L) !== byId(10L), "distinct cliques must keep distinct communities")
+    assert(byId(99L) === 99L, "isolated node must keep its own label")
+    assert(got.find(_._1 == 1L).get._3 === 4L, "community size must be the clique size")
+  }
 }
