@@ -471,6 +471,8 @@ object SparkEntry {
     "q213_tfidf_keywords" -> TextAnalysis.tfidfKeywordsQuery _,
     "q214_mad_outliers" -> graft.operators.Behavioral.madOutliersQuery _,
     "q215_label_prop" -> graft.operators.Graph.labelPropagationQuery _,
+    "q216_seasonal_residuals" -> graft.operators.Behavioral.seasonalResidualsQuery _,
+    "q217_stream_minhash" -> Dedup.streamCorpusMinhashQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -846,6 +848,8 @@ object SparkEntry {
     "q213_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
     "q214_mad_outliers" -> graft.operators.Behavioral.madOutliersSql,
     "q215_label_prop" -> graft.operators.Graph.labelPropagationSql,
+    "q216_seasonal_residuals" -> graft.operators.Behavioral.seasonalResidualsSql,
+    "q217_stream_minhash" -> Dedup.streamCorpusMinhashSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

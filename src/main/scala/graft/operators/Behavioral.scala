@@ -150,6 +150,82 @@ object Behavioral {
               .cast("decimal(38,0)")).as("anomalous"))
   }
 
+  /** q216 — seasonal residual anomalies: q179 flags wild DAYS, but a
+    * weekly-periodic metric (weekend dips, Monday spikes) makes every
+    * honest weekend look anomalous to a season-blind gate. Here the
+    * baseline is the per-(event_type, day-of-week) lower-median of
+    * daily totals — the robust seasonal profile — and flagging runs on
+    * RESIDUALS against that baseline through the q214 median/MAD gate.
+    * Day-of-week is `epoch_day % 7` (pure integer; engine date-part
+    * conventions disagree on week start, arithmetic doesn't). All
+    * arithmetic stays in the q180/q214 exact-integer discipline:
+    * DECIMAL-exact daily sums, rank-selected medians, the 51891/10000
+    * rational threshold. Scale: daily totals are one mergeable groupBy;
+    * both median selections window over low-cardinality keys.
+    */
+  def seasonalResidualsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("d_dec"))
+      .select(col("event_type"), col("day"),
+        (col("d_dec") * 10000).cast("decimal(38,0)").cast("long").as("d_units"),
+        (datediff(col("day"), lit("1970-01-01").cast("date")) % 7).as("dow"))
+    val wB = Window.partitionBy(col("event_type"), col("dow"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(wB.orderBy(col("d_units"), col("day"))))
+      .withColumn("cnt", count(lit(1)).over(wB))
+    val base = ranked.filter(col("rn") === expr("(cnt - 1) div 2 + 1"))
+      .select(col("event_type"), col("dow"), col("d_units").as("base_units"))
+    val resid = daily.join(base, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"),
+        abs(col("d_units") - col("base_units")).as("dev_units"))
+    val wE = Window.partitionBy(col("event_type"))
+    val rankedDev = resid
+      .withColumn("drn", row_number().over(wE.orderBy(col("dev_units"), col("day"))))
+      .withColumn("n", count(lit(1)).over(wE))
+    val mad = rankedDev.filter(col("drn") === expr("(n - 1) div 2 + 1"))
+      .select(col("event_type"), col("dev_units").as("mad_units"))
+    rankedDev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), max(col("mad_units")).as("mad_units"),
+        sum(when(col("dev_units") * 10000L > col("mad_units") * 51891L, 1L).otherwise(0L))
+          .as("n_out"),
+        max(col("dev_units")).as("max_dev_units"))
+  }
+
+  val seasonalResidualsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS DECIMAL(38,0)) AS BIGINT)
+      |      AS d_units,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow
+      |  FROM events GROUP BY 1, 2, 4),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, dow
+      |             ORDER BY d_units, day) AS rn,
+      |    count(*) OVER (PARTITION BY event_type, dow) AS cnt
+      |  FROM daily),
+      |base AS (
+      |  SELECT event_type, dow, d_units AS base_units FROM ranked
+      |  WHERE rn = (cnt - 1) // 2 + 1),
+      |resid AS (
+      |  SELECT d.event_type, d.day, abs(d.d_units - b.base_units) AS dev_units
+      |  FROM daily d JOIN base b USING (event_type, dow)),
+      |rankedDev AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |             ORDER BY dev_units, day) AS drn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM resid),
+      |mad AS (
+      |  SELECT event_type, dev_units AS mad_units FROM rankedDev
+      |  WHERE drn = (n - 1) // 2 + 1)
+      |SELECT r.event_type, max(r.n) AS n_days, max(m.mad_units) AS mad_units,
+      |  CAST(sum(CASE WHEN r.dev_units * 10000 > m.mad_units * 51891 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_out,
+      |  max(r.dev_units) AS max_dev_units
+      |FROM rankedDev r JOIN mad m USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   // ——— q187: event-transition bigrams (first-order Markov counts) ———
 
   /** Per-user event-type TRANSITION counts — the first-order Markov

@@ -1127,13 +1127,17 @@ object Dedup {
     * 2^32 — [[SimHash.mulmodSql]]), min per (corpus, i) under the
     * SIGNED int64 view to match the JVM's signed comparisons.
     */
-  val corpusOverlapSql: String = {
-    val H = 64
+  /** The q210 oracle's sketch-building CTE chain (corpus split →
+    * shingles → fingerprint∘fmix → per-component splitmix mins),
+    * shared verbatim by the batch gate (q210) and the streaming twin
+    * (q217) so the replica cannot fork. splitmix64 is unrolled as
+    * STACKED subqueries — every mulmod/xorshift references a NAMED
+    * column from the layer below, so the rendered SQL stays linear
+    * instead of exponentially duplicating the chain.
+    */
+  private def corpusSigCtes(h: Int): String = {
     import SimHash.{mulmodSql, Mod64}
-    def xs(h: String, n: Int): String = s"xor(($h), ($h) >> $n)"
-    // splitmix64 unrolled as STACKED subqueries — every mulmod/xorshift
-    // references a NAMED column from the layer below, so the rendered
-    // SQL stays linear instead of exponentially duplicating the chain
+    def xs(e: String, n: Int): String = s"xor(($e), ($e) >> $n)"
     val sigCte =
       s"""sig AS (
          |  SELECT corpus, i,
@@ -1144,9 +1148,9 @@ object Dedup {
          |      SELECT corpus, i, ${mulmodSql(xs("z1", 30), "13787848793156543929")} AS z2 FROM (
          |        SELECT corpus, i, (uh + seed) % $Mod64 AS z1
          |        FROM hs, (SELECT i, ${mulmodSql("CAST(i + 1 AS HUGEINT)", "11400714819323198485")} AS seed
-         |                  FROM unnest(range($H)) t(i)) sd) a) b) c) d
+         |                  FROM unnest(range($h)) t(i)) sd) a) b) c) d
          |  GROUP BY 1, 2)""".stripMargin
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT CASE WHEN doc_id % 10 = 0 THEN 'eval' ELSE 'train' END AS corpus,
        |         string_split(text, ' ') AS ws
        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -1157,7 +1161,12 @@ object Dedup {
        |hs AS (
        |  SELECT DISTINCT corpus, ${SimHash.fmixSql(SimHash.byteFoldFpSql("s"))} AS uh
        |  FROM sh),
-       |$sigCte,
+       |$sigCte""".stripMargin
+  }
+
+  val corpusOverlapSql: String = {
+    val H = 64
+    s"""WITH ${corpusSigCtes(H)},
        |est AS (
        |  SELECT count(*) FILTER (WHERE a.m = b.m) AS est_matches
        |  FROM (SELECT i, m FROM sig WHERE corpus = 'train') a
@@ -1179,4 +1188,46 @@ object Dedup {
        |  CAST(n_inter * 1000000 // (n_train + n_eval - n_inter) AS BIGINT) AS exact_jacc_micro
        |FROM est, cnt, inter""".stripMargin
   }
+
+  /** q217 — the q210 corpus signature as a STREAMING aggregation: the
+    * same shingle→fingerprint∘fmix chain feeds `MinHashAgg` grouped by
+    * corpus under update mode, and because component-min is idempotent
+    * and order-free, the streamed signature is BIT-IDENTICAL to the
+    * batch one — no tolerance band, the hash gate compares the sketch
+    * internals directly (the q159/q160 streamed-equals-batch family,
+    * at exactness instead of a 5% contract). Deployment meaning: the
+    * contamination monitor runs ON the ingest stream — signatures stay
+    * current as shards land, nothing ever recomputes history. The
+    * streamed agg needs no distinct: duplicate shingle hashes cannot
+    * move a min, so the state per corpus stays the 64-long buffer.
+    */
+  def streamCorpusMinhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Fingerprint64, GraftFunctions, Mix64}
+    import org.apache.spark.sql.types._
+    val H = 64
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(schema).parquet(s"$dir/{documents.parquet}")
+    val hashes = docs
+      .select(when(col("doc_id") % 10 === 0, lit("eval")).otherwise(lit("train")).as("corpus"),
+        split(col("text"), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("corpus"), explode(array_distinct(expr(
+        "transform(sequence(0, size(__w) - 3), i -> array_join(slice(__w, i + 1, 3), ' '))")))
+        .as("s"))
+      .select(col("corpus"), Mix64(Fingerprint64(col("s"))).as("h"))
+    val sig = hashes.groupBy(col("corpus")).agg(GraftFunctions.minhash(col("h"), H).as("sig"))
+    graft.streaming.StreamOps.runToMemory(sig, "update")
+      .select(col("corpus"), posexplode(col("sig")).as(Seq("i", "m")))
+  }
+
+  /** Oracle: the SAME CTE chain as q210 — the sketch internals, one
+    * row per (corpus, component).
+    */
+  val streamCorpusMinhashSql: String =
+    s"""WITH ${corpusSigCtes(64)}
+       |SELECT corpus, CAST(i AS INTEGER) AS i, m FROM sig""".stripMargin
 }

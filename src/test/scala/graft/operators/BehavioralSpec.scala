@@ -116,6 +116,26 @@ class BehavioralSpec extends SparkSuite {
     assert(got === (("view", 21L, 1L)), s"got $got")
   }
 
+  test("seasonal residuals: weekend dips are baseline, only the planted wild Wednesday flags") {
+    // 4 weeks: weekdays 100.0, weekends 10.0 — a season-blind gate
+    // (q179's, or q214 applied to raw days) sees every weekend as an
+    // outlier; the dow-median baseline absorbs them. One Wednesday at
+    // 5000.0 is the true anomaly.
+    val start = java.time.LocalDate.parse("2024-01-01") // a Monday
+    val rows = (0 until 28).map { i =>
+      val day = start.plusDays(i.toLong)
+      val dow = day.getDayOfWeek.getValue // 1=Mon..7=Sun
+      val v = if (day.toString == "2024-01-17") 5000.0 // the wild Wednesday
+              else if (dow >= 6) 10.0 else 100.0
+      (i.toLong, Timestamp.valueOf(s"$day 12:00:00"), 1L, "view", v, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = withRawEvents(df)(Behavioral.seasonalResidualsQuery)
+      .select(col("event_type"), col("n_days"), col("n_out"), col("max_dev_units"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got === (("view", 28L, 1L, 49000000L)), s"got $got")
+  }
+
   private def withRawEvents(full: org.apache.spark.sql.DataFrame)(
       fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-behavioral").toString

@@ -387,6 +387,24 @@ class DedupSpec extends SparkSuite {
     assert(sig(a.union(b)) === merged)
   }
 
+  test("q217 streamed corpus signature is bit-identical to the batch sketch") {
+    import graft.functions.{Fingerprint64, GraftFunctions, Mix64}
+    val streamed = Dedup.streamCorpusMinhashQuery(spark, sf)
+      .select("corpus", "i", "m").as[(String, Int, Long)].collect().toSet
+    val batch = graft.tables.Tables.documents(spark, sf)
+      .select(when(col("doc_id") % 10 === 0, lit("eval")).otherwise(lit("train")).as("corpus"),
+        split(col("text"), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("corpus"), explode(expr(
+        "transform(sequence(0, size(__w) - 3), i -> array_join(slice(__w, i + 1, 3), ' '))"))
+        .as("s"))
+      .select(col("corpus"), Mix64(Fingerprint64(col("s"))).as("h"))
+      .groupBy(col("corpus")).agg(GraftFunctions.minhash(col("h"), 64).as("sig"))
+      .select(col("corpus"), posexplode(col("sig")).as(Seq("i", "m")))
+      .as[(String, Int, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("q210 corpus overlap: output invariants and estimator bracketing") {
     val r = Dedup.corpusOverlapQuery(spark, sf).collect().head
     val (h, est, estMicro) = (r.getAs[Int]("h_funcs"),
