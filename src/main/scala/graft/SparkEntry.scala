@@ -473,6 +473,8 @@ object SparkEntry {
     "q215_label_prop" -> graft.operators.Graph.labelPropagationQuery _,
     "q216_seasonal_residuals" -> graft.operators.Behavioral.seasonalResidualsQuery _,
     "q217_stream_minhash" -> Dedup.streamCorpusMinhashQuery _,
+    "q218_csv_modes" -> graft.sources.Sources.csvModesQuery _,
+    "q219_pair_explain" -> Dedup.pairExplainQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -850,6 +852,8 @@ object SparkEntry {
     "q215_label_prop" -> graft.operators.Graph.labelPropagationSql,
     "q216_seasonal_residuals" -> graft.operators.Behavioral.seasonalResidualsSql,
     "q217_stream_minhash" -> Dedup.streamCorpusMinhashSql,
+    "q218_csv_modes" -> graft.sources.Sources.csvModesSql,
+    "q219_pair_explain" -> Dedup.pairExplainSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

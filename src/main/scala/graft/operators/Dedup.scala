@@ -212,6 +212,67 @@ object Dedup {
       |JOIN sizes sb ON id_b = sb.doc_id
       |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8""".stripMargin
 
+  /** q219 — near-dup pair EXPLANATION: for every q16 Jaccard pair, the
+    * top-3 SHARED shingles by corpus rarity (df asc — the rarest
+    * shared n-grams are the most diagnostic; boilerplate shingles
+    * shared with thousands of other docs explain nothing). This is the
+    * audit surface a human reviews before trusting a drop-list: "these
+    * two were merged BECAUSE of these phrases". Machinery: the same
+    * candIds semi-join discipline as the verify stage — shingles are
+    * re-materialized as STRINGS only for documents appearing in some
+    * pair (pages ∝ pairs, not corpus), df is one sparse-key count,
+    * top-3 one window per pair.
+    */
+  def pairExplainQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(__w) - 3), i -> array_join(slice(__w, i + 1, 3), ' '))")))
+        .as("s"))
+    val pairs = ngramJaccardQuery(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val candIds = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val shC = sh.join(candIds, Seq("doc_id"), "left_semi").cache()
+    val dfq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val shared = shC.select(col("doc_id").as("id_a"), col("s"))
+      .join(shC.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+    val out = shared.join(dfq, Seq("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"), col("id_b"))
+          .orderBy(col("df").asc, col("s").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("id_a"), col("id_b"), col("rn"), col("s").as("shingle"), col("df"))
+      .localCheckpoint(true)
+    shC.unpersist()
+    out
+  }
+
+  /** Oracle: the shared q16 candidate CTEs, its ≥0.8 pair filter, a
+    * corpus-df count, and the rarity top-3 window.
+    */
+  val pairExplainSql: String = overlapCandidatesCtes +
+    """,
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+      |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      |shared AS (
+      |  SELECT p.id_a, p.id_b, a.shingle
+      |  FROM pairs p
+      |  JOIN sh a ON a.doc_id = p.id_a
+      |  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle)
+      |SELECT id_a, id_b, CAST(rn AS INTEGER) AS rn, shingle, df FROM (
+      |  SELECT s.id_a, s.id_b, s.shingle, d.df,
+      |    row_number() OVER (PARTITION BY s.id_a, s.id_b
+      |      ORDER BY d.df, s.shingle) AS rn
+      |  FROM shared s JOIN dfq d USING (shingle)) z
+      |WHERE rn <= 3""".stripMargin
+
   /** DIRECTED n-gram containment (Broder): C(A→B) = |A∩B| / |A| — the
     * subsumption signal Jaccard resemblance misses. A short document
     * quoted whole inside a long one scores containment 1.0 while its

@@ -123,4 +123,76 @@ object Sources {
       |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
+
+  /** q218 — malformed-input parse-mode matrix: the ingestion contract
+    * a 100 TB crawl feed actually exercises. A CSV is built with a
+    * DETERMINISTIC corruption rule (every n_nationkey % 5 = 0 row is
+    * truncated to 2 of 3 fields — STRUCTURAL corruption; a merely
+    * unparseable cell is NOT "malformed" to Spark's CSV reader, which
+    * nulls it in every mode — found building this gate), then read
+    * back under all three Spark parse modes:
+    *   - PERMISSIVE keeps every row, nulls the bad cell, and captures
+    *     the raw line in the corrupt-record column;
+    *   - DROPMALFORMED silently drops exactly the corrupt rows;
+    *   - FAILFAST throws on the first one (caught here, emitted as a
+    *     boolean — the mode you run when silent loss is worse than a
+    *     dead job).
+    * Because the corruption rule is arithmetic, the oracle predicts
+    * every count straight from the clean table — the gate checks the
+    * PARSER's semantics, not the data.
+    */
+  def csvModesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir(spark, "csv_modes")
+    val nation = graft.tables.Tables.nation(spark, dir)
+    nation.select(
+        when(col("n_nationkey") % 5 === 0,
+          concat_ws(",", col("n_nationkey"), col("n_name")))
+          .otherwise(concat_ws(",", col("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("string")))
+        .as("line"))
+      .write.mode("overwrite").text(s"$base/dirty_csv")
+    val schema = "k LONG, name STRING, v LONG"
+    // TWO parser traps found building this gate: (1) plans referencing
+    // ONLY the corrupt-record column are disallowed — materialize
+    // first; (2) with CSV column pruning on, a count() parses ZERO
+    // columns, so malformed rows are never even detected and
+    // DROPMALFORMED/FAILFAST silently pass everything — pruning must
+    // be off for the modes to mean anything on count-shaped queries.
+    val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
+    val prunePrev = spark.conf.getOption(pruneKey)
+    spark.conf.set(pruneKey, "false")
+    try {
+      val withBad = spark.read.schema(schema + ", _bad STRING")
+        .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+        .csv(s"$base/dirty_csv")
+        .cache()
+      val nPermissive = withBad.count()
+      val nCorrupt = withBad.filter(col("_bad").isNotNull).count()
+      val nDrop = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+        .csv(s"$base/dirty_csv").count()
+      val failfastThrew =
+        try {
+          spark.read.schema(schema).option("mode", "FAILFAST")
+            .csv(s"$base/dirty_csv").count()
+          false
+        } catch { case _: Throwable => true }
+      import spark.implicits._
+      Seq((nPermissive, nCorrupt, nDrop, failfastThrew))
+        .toDF("n_permissive", "n_corrupt", "n_dropmalformed", "failfast_threw")
+    } finally prunePrev match {
+      case Some(v) => spark.conf.set(pruneKey, v)
+      case None => spark.conf.unset(pruneKey)
+    }
+  }
+
+  /** Oracle: every count predicted arithmetically from the clean
+    * table via the corruption rule.
+    */
+  val csvModesSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_permissive,
+      |  CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_dropmalformed,
+      |  TRUE AS failfast_threw
+      |FROM nation""".stripMargin
 }

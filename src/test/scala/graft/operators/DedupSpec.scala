@@ -405,6 +405,29 @@ class DedupSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("q219 pair explanation ranks the RAREST shared shingle first, boilerplate last") {
+    // docs 1,2: identical → a Jaccard-1.0 pair. Their text holds one
+    // RARE trigram ("alpha beta gamma", df=2) and one BOILERPLATE
+    // trigram ("terms of service", df=12). The explanation must lead
+    // with the rare one.
+    val filler = (1 to 10).map(i => (100L + i, s"terms of service filler$i padding$i"))
+    val docs = (Seq(
+      (1L, "alpha beta gamma terms of service"),
+      (2L, "alpha beta gamma terms of service")) ++ filler)
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-explain").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.pairExplainQuery(spark, dir)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("rn", "shingle", "df").as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty, "planted pair produced no explanation")
+    assert(got.head._2 === "alpha beta gamma" && got.head._3 === 2L,
+      s"rarest shared shingle must rank first: ${got.toSeq}")
+    assert(!got.exists(r => r._2 === "terms of service" && r._1 === 1),
+      s"boilerplate must not lead: ${got.toSeq}")
+  }
+
   test("q210 corpus overlap: output invariants and estimator bracketing") {
     val r = Dedup.corpusOverlapQuery(spark, sf).collect().head
     val (h, est, estMicro) = (r.getAs[Int]("h_funcs"),
