@@ -475,6 +475,7 @@ object SparkEntry {
     "q217_stream_minhash" -> Dedup.streamCorpusMinhashQuery _,
     "q218_csv_modes" -> graft.sources.Sources.csvModesQuery _,
     "q219_pair_explain" -> Dedup.pairExplainQuery _,
+    "q220_bpe_train" -> TextAnalysis.bpeTrainQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -854,6 +855,7 @@ object SparkEntry {
     "q217_stream_minhash" -> Dedup.streamCorpusMinhashSql,
     "q218_csv_modes" -> graft.sources.Sources.csvModesSql,
     "q219_pair_explain" -> Dedup.pairExplainSql,
+    "q220_bpe_train" -> TextAnalysis.bpeTrainSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

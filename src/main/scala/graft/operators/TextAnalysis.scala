@@ -662,6 +662,125 @@ object TextAnalysis {
        |FROM mixed GROUP BY 1, 2""".stripMargin
   }
 
+  // ——— q220: BPE merge training ———
+
+  /** q220 — byte-pair-encoding merge TRAINING, distributed: learn the
+    * first 8 merges of a BPE vocabulary from the corpus (Sennrich et
+    * al. 2016 — the algorithm behind every GPT/Llama tokenizer's vocab
+    * build; q89 consumes a tokenizer, this one trains it). Each round:
+    * count adjacent symbol pairs weighted by word frequency (one
+    * mergeable aggregation over the DISTINCT-WORD table — corpus scale
+    * enters only through the word-frequency build), adopt the most
+    * frequent pair (count desc, then (left, right) — deterministic),
+    * and re-segment every word by one greedy left-to-right fold.
+    *
+    * Representation: a word's segmentation is its symbols joined by
+    * U+001F (absent from the corpus by construction); merging the
+    * chosen (x, y) inside the fold is then just "append WITHOUT the
+    * separator" when the accumulator ends with symbol x exactly —
+    * `ends_with(acc, SEP || x)` can't false-match a longer symbol, and
+    * the fold's greedy non-overlap IS BPE's ("aaa" + (a,a) → [aa, a]).
+    * Pair counting uses naive adjacency (overlaps counted — the
+    * standard implementation's behavior).
+    *
+    * Driver materialization: ONE argmax row + ONE token-count scalar
+    * per round (8 rounds) — the Lloyd's-centroid class of sanctioned
+    * bounded collects. Everything heavy is per-word and mergeable; at
+    * 100 TB the word-frequency table is the only corpus-sized pass.
+    */
+  def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    bpeTrain(words, rounds = 8)
+  }
+
+  /** Train on a (w, freq) word-frequency table — the factored core the
+    * gate and the hand-arithmetic spec share.
+    */
+  def bpeTrain(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    val Sep = "\u001f"
+    val T = rounds
+    val words = wordFreq
+      .select(col("freq"),
+        expr(s"array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '$Sep')")
+          .as("seg"))
+      .localCheckpoint(true)
+    var cur = words
+    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long, Long)]
+    (1 to T).foreach { r =>
+      val best = cur
+        // single-symbol words have no pairs — and Spark's sequence(1, 0)
+        // DESCENDS rather than being empty, so they must not reach the
+        // transform at all
+        .filter(size(split(col("seg"), Sep)) > 1)
+        .select(col("freq"), expr(
+          s"""explode(transform(sequence(1, size(split(seg, '$Sep')) - 1),
+             |  i -> struct(element_at(split(seg, '$Sep'), i) AS x,
+             |              element_at(split(seg, '$Sep'), i + 1) AS y)))""".stripMargin)
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()(0)
+      val (x, y, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      val xl = lit(x); val yl = lit(y)
+      cur = cur.select(col("freq"),
+        aggregate(split(col("seg"), Sep), lit(""), (acc, e) =>
+          when(acc === lit(""), e)
+            .when((acc === xl || acc.endsWith(concat(lit(Sep), xl))) && e === yl,
+              concat(acc, e))
+            .otherwise(concat(acc, lit(Sep), e))).as("seg"))
+        .localCheckpoint(true)
+      val tokensAfter = cur
+        .select(sum(col("freq") * size(split(col("seg"), Sep))).as("t"))
+        .head().getLong(0)
+      learned += ((r, x, y, c, tokensAfter))
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "left", "right", "pair_count", "tokens_after")
+  }
+
+  /** Oracle: the full training replayed — 8 unrolled rounds, each a
+    * pair count, a LIMIT-1 argmax, and the same separator-string
+    * greedy fold via `list_reduce`.
+    */
+  val bpeTrainSql: String = {
+    val T = 8
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT pr.x AS x, pr.y AS y, sum(freq) AS c FROM (
+         |    SELECT freq, unnest(list_transform(range(len(string_split(seg, chr(31))) - 1),
+         |      i -> {x: string_split(seg, chr(31))[i + 1],
+         |            y: string_split(seg, chr(31))[i + 2]})) AS pr
+         |    FROM w${r - 1}) t GROUP BY 1, 2),
+         |b$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
+         |w$r AS (
+         |  SELECT freq, list_reduce(list_prepend('', string_split(seg, chr(31))),
+         |    (acc, e) -> CASE
+         |      WHEN acc = '' THEN e
+         |      WHEN (acc = b.x OR ends_with(acc, chr(31) || b.x)) AND e = b.y
+         |        THEN acc || e
+         |      ELSE acc || chr(31) || e END) AS seg
+         |  FROM w${r - 1}, b$r b),
+         |t$r AS (SELECT sum(freq * len(string_split(seg, chr(31)))) AS tokens FROM w$r)""".stripMargin
+    val rows = (1 to T).map(r =>
+      s"SELECT $r AS rank, b.x AS left, b.y AS right, CAST(b.c AS BIGINT) AS pair_count, " +
+        s"CAST(t.tokens AS BIGINT) AS tokens_after FROM b$r b, t$r t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> '' GROUP BY 1),
+       |w0 AS (
+       |  SELECT freq, array_to_string(list_transform(range(length(w)),
+       |    i -> substr(w, i + 1, 1)), chr(31)) AS seg
+       |  FROM words),
+       |${(1 to T).map(round).mkString(",\n")}
+       |$rows""".stripMargin
+  }
+
   // ——— q213: per-source TF-IDF keyword extraction ———
 
   /** q213 — what characterizes each SOURCE: top-5 terms by TF-IDF,

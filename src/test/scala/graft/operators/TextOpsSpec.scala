@@ -72,6 +72,18 @@ class TextOpsSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("q220 BPE training: hand-computed merges on a planted corpus") {
+    // words: "abab"×3, "ab"×2.
+    // round 1 pairs: (a,b) = 3·2 + 2·1 = 8; (b,a) = 3·1 = 3 → merge (a,b)
+    //   "abab"→[ab,ab], "ab"→[ab]; tokens = 3·2 + 2·1 = 8
+    // round 2 pairs: (ab,ab) = 3 → merge → "abab"→[abab]; tokens = 3 + 2 = 5
+    val wf = Seq(("abab", 3L), ("ab", 2L)).toDF("w", "freq")
+    val got = TextAnalysis.bpeTrain(wf, rounds = 2)
+      .select("rank", "left", "right", "pair_count", "tokens_after")
+      .as[(Int, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, "a", "b", 8L, 8L), (2, "ab", "ab", 3L, 5L)), s"got $got")
+  }
+
   test("q213 tf-idf keywords: 5 ranked terms per source; a corpus-ubiquitous term can never top") {
     val out = TextAnalysis.tfidfKeywordsQuery(spark, sf)
       .select("source", "tok", "tf", "df", "score_micro", "rn")
