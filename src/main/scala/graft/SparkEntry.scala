@@ -476,6 +476,7 @@ object SparkEntry {
     "q218_csv_modes" -> graft.sources.Sources.csvModesQuery _,
     "q219_pair_explain" -> Dedup.pairExplainQuery _,
     "q220_bpe_train" -> TextAnalysis.bpeTrainQuery _,
+    "q221_bootstrap_ci" -> graft.operators.Behavioral.bootstrapCiQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -856,6 +857,7 @@ object SparkEntry {
     "q218_csv_modes" -> graft.sources.Sources.csvModesSql,
     "q219_pair_explain" -> Dedup.pairExplainSql,
     "q220_bpe_train" -> TextAnalysis.bpeTrainSql,
+    "q221_bootstrap_ci" -> graft.operators.Behavioral.bootstrapCiSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

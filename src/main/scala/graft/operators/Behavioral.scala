@@ -226,6 +226,92 @@ object Behavioral {
       |FROM rankedDev r JOIN mad m USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  /** q221 — Poisson-bootstrap confidence intervals for per-group
+    * means: THE distributed bootstrap (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams") — instead of materializing
+    * B resamples, each row draws a Poisson(1) WEIGHT per replicate, so
+    * all B replicate means come out of ONE pass as a weighted
+    * aggregation (mergeable; at 100 TB this is a B×-wide map-side
+    * expansion of cheap integer ops, never a resample shuffle).
+    *
+    * House determinism: the Poisson draw inverts the exact CDF against
+    * a Lehmer-hash uniform (the q121/q202 no-rand discipline — a pure
+    * function of (event_id, replicate)); CDF thresholds are
+    * precomputed integer constants in [0, 2^31); replicate means are
+    * integer divisions of fixed-point units; the 90% CI is a RANK
+    * selection (rank 2 / rank 39 of B=40 sorted replicate means —
+    * ceil(0.05·B) and B+1−ceil(0.05·B)), never an interpolation.
+    */
+  def bootstrapCiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val B = 40
+    // Poisson(1) inverse CDF over u ∈ [0, 2147483647)
+    val thresholds = Seq(790015083L, 1580030167L, 1975037709L, 2106706890L,
+      2139624185L, 2146207644L, 2147304887L)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_units"))
+    val point = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(v_units) div count(1)").as("point_mean_units"))
+    val u = expr(s"(((event_id * 131 + b * 7919) % 2147483647) * 48271) % 2147483647 " +
+      s"* 48271 % 2147483647")
+    val w = thresholds.zipWithIndex.foldRight(lit(thresholds.size): org.apache.spark.sql.Column) {
+      case ((t, k), els) => when(col("u") < t, lit(k)).otherwise(els)
+    }
+    val reps = ev.select(col("event_type"), col("event_id"), col("v_units"),
+        explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(expr("sum(w * v_units) div sum(w)").as("mean_units"))
+    val loRank = 2; val hiRank = B - 1
+    val ranked = reps.withColumn("rn", row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("mean_units"), col("b"))))
+    val lo = ranked.filter(col("rn") === loRank)
+      .select(col("event_type"), col("mean_units").as("ci_lo_units"))
+    val hi = ranked.filter(col("rn") === hiRank)
+      .select(col("event_type"), col("mean_units").as("ci_hi_units"))
+    point.join(lo, "event_type").join(hi, "event_type")
+      .select(col("event_type"), col("n"), col("point_mean_units"),
+        col("ci_lo_units"), col("ci_hi_units"),
+        (col("point_mean_units") >= col("ci_lo_units") &&
+          col("point_mean_units") <= col("ci_hi_units")).as("point_in_ci"))
+  }
+
+  val bootstrapCiSql: String = {
+    val thresholds = Seq(790015083L, 1580030167L, 1975037709L, 2106706890L,
+      2139624185L, 2146207644L, 2147304887L)
+    val wCase = thresholds.zipWithIndex.foldRight(thresholds.size.toString) {
+      case ((t, k), els) => s"CASE WHEN u < $t THEN $k ELSE $els END"
+    }
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id, CAST(round(value * 10000) AS BIGINT) AS v_units
+       |  FROM events),
+       |point AS (
+       |  SELECT event_type, count(*) AS n, sum(v_units) // count(*) AS point_mean_units
+       |  FROM ev GROUP BY 1),
+       |reps AS (
+       |  SELECT event_type, b, sum(w * v_units) // sum(w) AS mean_units FROM (
+       |    SELECT event_type, b, v_units, $wCase AS w FROM (
+       |      SELECT event_type, event_id, v_units, b,
+       |        ((event_id * 131 + b * 7919) % 2147483647) * 48271 % 2147483647
+       |          * 48271 % 2147483647 AS u
+       |      FROM ev, unnest(range(40)) t(b)) z) z2
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT event_type, mean_units,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY mean_units, b) AS rn
+       |  FROM reps)
+       |SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
+       |  CAST(p.point_mean_units AS BIGINT) AS point_mean_units,
+       |  CAST(lo.mean_units AS BIGINT) AS ci_lo_units,
+       |  CAST(hi.mean_units AS BIGINT) AS ci_hi_units,
+       |  p.point_mean_units BETWEEN lo.mean_units AND hi.mean_units AS point_in_ci
+       |FROM point p
+       |JOIN (SELECT event_type, mean_units FROM ranked WHERE rn = 2) lo USING (event_type)
+       |JOIN (SELECT event_type, mean_units FROM ranked WHERE rn = 39) hi USING (event_type)""".stripMargin
+  }
+
   // ——— q187: event-transition bigrams (first-order Markov counts) ———
 
   /** Per-user event-type TRANSITION counts — the first-order Markov

@@ -136,6 +136,21 @@ class BehavioralSpec extends SparkSuite {
     assert(got === (("view", 28L, 1L, 49000000L)), s"got $got")
   }
 
+  test("bootstrap CI: interval brackets the point estimate and is tight at n≈2000") {
+    val got = Behavioral.bootstrapCiQuery(spark, sf)
+      .select("event_type", "n", "point_mean_units", "ci_lo_units", "ci_hi_units", "point_in_ci")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length === 5)
+    got.foreach { case (t, n, point, lo, hi, inCi) =>
+      assert(lo < hi, s"$t: degenerate interval [$lo, $hi]")
+      assert(inCi && lo <= point && point <= hi, s"$t: point $point outside [$lo, $hi]")
+      // mean of ~2000 heavy-ish draws: the 90% CI halfwidth should be
+      // well under 15% of the mean — a broken weight draw (all-zero,
+      // all-equal) would blow this up or collapse it to zero
+      assert(hi - lo < point * 3 / 10 && hi - lo > 0, s"$t: implausible width ${hi - lo} vs $point")
+    }
+  }
+
   private def withRawEvents(full: org.apache.spark.sql.DataFrame)(
       fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-behavioral").toString
