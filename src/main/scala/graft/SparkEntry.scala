@@ -477,6 +477,7 @@ object SparkEntry {
     "q219_pair_explain" -> Dedup.pairExplainQuery _,
     "q220_bpe_train" -> TextAnalysis.bpeTrainQuery _,
     "q221_bootstrap_ci" -> graft.operators.Behavioral.bootstrapCiQuery _,
+    "q222_bpe_apply" -> TextAnalysis.bpeApplyQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -858,6 +859,7 @@ object SparkEntry {
     "q219_pair_explain" -> Dedup.pairExplainSql,
     "q220_bpe_train" -> TextAnalysis.bpeTrainSql,
     "q221_bootstrap_ci" -> graft.operators.Behavioral.bootstrapCiSql,
+    "q222_bpe_apply" -> TextAnalysis.bpeApplySql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

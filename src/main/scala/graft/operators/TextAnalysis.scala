@@ -699,7 +699,16 @@ object TextAnalysis {
   /** Train on a (w, freq) word-frequency table — the factored core the
     * gate and the hand-arithmetic spec share.
     */
-  def bpeTrain(wordFreq: DataFrame, rounds: Int): DataFrame = {
+  def bpeTrain(wordFreq: DataFrame, rounds: Int): DataFrame =
+    bpeTrainCore(wordFreq, rounds)._1
+
+  /** The final (freq, seg) table after `rounds` merges — the trained
+    * tokenizer applied to every distinct word (q222 consumes this).
+    */
+  def bpeTrainState(wordFreq: DataFrame, rounds: Int): DataFrame =
+    bpeTrainCore(wordFreq, rounds)._2
+
+  private def bpeTrainCore(wordFreq: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = wordFreq.sparkSession
     val Sep = "\u001f"
     val T = rounds
@@ -739,46 +748,118 @@ object TextAnalysis {
       learned += ((r, x, y, c, tokensAfter))
     }
     import spark.implicits._
-    learned.toSeq.toDF("rank", "left", "right", "pair_count", "tokens_after")
+    (learned.toSeq.toDF("rank", "left", "right", "pair_count", "tokens_after"), cur)
   }
 
   /** Oracle: the full training replayed — 8 unrolled rounds, each a
     * pair count, a LIMIT-1 argmax, and the same separator-string
     * greedy fold via `list_reduce`.
     */
+  /** One training round's CTEs (pair count, argmax, fold, token
+    * count) — shared verbatim by the q220 and q222 oracles.
+    */
+  def bpeRoundCteSql(r: Int): String =
+    s"""p$r AS (
+       |  SELECT pr.x AS x, pr.y AS y, sum(freq) AS c FROM (
+       |    SELECT freq, unnest(list_transform(range(len(string_split(seg, chr(31))) - 1),
+       |      i -> {x: string_split(seg, chr(31))[i + 1],
+       |            y: string_split(seg, chr(31))[i + 2]})) AS pr
+       |    FROM w${r - 1}) t GROUP BY 1, 2),
+       |b$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
+       |w$r AS (
+       |  SELECT freq, list_reduce(list_prepend('', string_split(seg, chr(31))),
+       |    (acc, e) -> CASE
+       |      WHEN acc = '' THEN e
+       |      WHEN (acc = b.x OR ends_with(acc, chr(31) || b.x)) AND e = b.y
+       |        THEN acc || e
+       |      ELSE acc || chr(31) || e END) AS seg
+       |  FROM w${r - 1}, b$r b),
+       |t$r AS (SELECT sum(freq * len(string_split(seg, chr(31)))) AS tokens FROM w$r)""".stripMargin
+
   val bpeTrainSql: String = {
     val T = 8
-    def round(r: Int): String =
-      s"""p$r AS (
-         |  SELECT pr.x AS x, pr.y AS y, sum(freq) AS c FROM (
-         |    SELECT freq, unnest(list_transform(range(len(string_split(seg, chr(31))) - 1),
-         |      i -> {x: string_split(seg, chr(31))[i + 1],
-         |            y: string_split(seg, chr(31))[i + 2]})) AS pr
-         |    FROM w${r - 1}) t GROUP BY 1, 2),
-         |b$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
-         |w$r AS (
-         |  SELECT freq, list_reduce(list_prepend('', string_split(seg, chr(31))),
-         |    (acc, e) -> CASE
-         |      WHEN acc = '' THEN e
-         |      WHEN (acc = b.x OR ends_with(acc, chr(31) || b.x)) AND e = b.y
-         |        THEN acc || e
-         |      ELSE acc || chr(31) || e END) AS seg
-         |  FROM w${r - 1}, b$r b),
-         |t$r AS (SELECT sum(freq * len(string_split(seg, chr(31)))) AS tokens FROM w$r)""".stripMargin
+    def round(r: Int): String = bpeRoundCteSql(r)
     val rows = (1 to T).map(r =>
       s"SELECT $r AS rank, b.x AS left, b.y AS right, CAST(b.c AS BIGINT) AS pair_count, " +
         s"CAST(t.tokens AS BIGINT) AS tokens_after FROM b$r b, t$r t")
       .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
-       |  SELECT w, count(*) AS freq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-       |  WHERE w <> '' GROUP BY 1),
-       |w0 AS (
-       |  SELECT freq, array_to_string(list_transform(range(length(w)),
-       |    i -> substr(w, i + 1, 1)), chr(31)) AS seg
-       |  FROM words),
+    s"""WITH $bpeTrainCtesSql,
        |${(1 to T).map(round).mkString(",\n")}
        |$rows""".stripMargin
+  }
+
+  /** The word-frequency + initial-segmentation CTEs shared by the
+    * training (q220) and application (q222) oracles.
+    */
+  def bpeTrainCtesSql: String =
+    """words AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> '' GROUP BY 1),
+      |w0 AS (
+      |  SELECT freq, array_to_string(list_transform(range(length(w)),
+      |    i -> substr(w, i + 1, 1)), chr(31)) AS seg
+      |  FROM words)""".stripMargin
+
+  /** q222 — tokenizer APPLICATION: segment the corpus with the q220
+    * vocabulary and report the compression it buys per source —
+    * tokens-per-1000-words, the number a tokenizer change is judged
+    * by ("this vocab makes legal text 12% cheaper"). Train and apply
+    * share one run: after the 8 merge rounds the training table's
+    * segmentation IS the applied tokenizer over every distinct word,
+    * so application is a join of per-source word counts against
+    * per-word segment lengths — never re-segmenting per occurrence
+    * (the corpus pays once per DISTINCT word, the defining economy of
+    * vocabulary-table tokenization at 100 TB).
+    */
+  def bpeApplyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val occ = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wordFreq = occ.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val segged = bpeSegmentations(wordFreq, rounds = 8)
+    occ.groupBy(col("source"), col("w")).agg(count(lit(1)).as("n_occ"))
+      .join(segged, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000 div n_words").as("tokens_per_1k_words"))
+  }
+
+  /** The per-word segmentations after `rounds` trained merges:
+    * (w, n_tokens). Runs the same training loop as [[bpeTrain]] and
+    * keeps the final table instead of the merge list.
+    */
+  def bpeSegmentations(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    val Sep = "\u001f"
+    bpeTrainState(wordFreq, rounds)
+      .select(regexp_replace(col("seg"), Sep, "").as("w"),
+        size(split(col("seg"), Sep)).cast("long").as("n_tokens"))
+  }
+
+  val bpeApplySql: String = {
+    // the training CTE chain's final table w8 carries each word's
+    // final segmentation; the word string is recoverable as the
+    // separator-stripped seg — no second tokenizer definition exists
+    def round8(r: Int): String = bpeRoundCteSql(r)
+    s"""WITH $bpeTrainCtesSql,
+       |${(1 to 8).map(round8).mkString(",\n")},
+       |segged AS (
+       |  SELECT replace(seg, chr(31), '') AS w,
+       |    CAST(len(string_split(seg, chr(31))) AS BIGINT) AS n_tokens
+       |  FROM w8),
+       |occ AS (
+       |  SELECT source, w, count(*) AS n_occ FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> '' GROUP BY 1, 2)
+       |SELECT o.source, CAST(sum(o.n_occ) AS BIGINT) AS n_words,
+       |  CAST(sum(o.n_occ * s.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(o.n_occ * s.n_tokens) * 1000 // sum(o.n_occ) AS BIGINT)
+       |    AS tokens_per_1k_words
+       |FROM occ o JOIN segged s USING (w)
+       |GROUP BY 1""".stripMargin
   }
 
   // ——— q213: per-source TF-IDF keyword extraction ———

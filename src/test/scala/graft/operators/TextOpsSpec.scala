@@ -84,6 +84,14 @@ class TextOpsSpec extends SparkSuite {
     assert(got === Seq((1, "a", "b", 8L, 8L), (2, "ab", "ab", 3L, 5L)), s"got $got")
   }
 
+  test("q222 BPE segmentations: planted words collapse to single tokens after their merges") {
+    val wf = Seq(("abab", 3L), ("ab", 2L), ("ba", 1L)).toDF("w", "freq")
+    val segs = TextAnalysis.bpeSegmentations(wf, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    // round 1 merges (a,b): ab→[ab]; round 2 merges (ab,ab): abab→[abab]
+    assert(segs === Map("abab" -> 1L, "ab" -> 1L, "ba" -> 2L), s"got $segs")
+  }
+
   test("q213 tf-idf keywords: 5 ranked terms per source; a corpus-ubiquitous term can never top") {
     val out = TextAnalysis.tfidfKeywordsQuery(spark, sf)
       .select("source", "tok", "tf", "df", "score_micro", "rn")
