@@ -478,6 +478,7 @@ object SparkEntry {
     "q220_bpe_train" -> TextAnalysis.bpeTrainQuery _,
     "q221_bootstrap_ci" -> graft.operators.Behavioral.bootstrapCiQuery _,
     "q222_bpe_apply" -> TextAnalysis.bpeApplyQuery _,
+    "q223_twap" -> graft.operators.Behavioral.twapQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -860,6 +861,7 @@ object SparkEntry {
     "q220_bpe_train" -> TextAnalysis.bpeTrainSql,
     "q221_bootstrap_ci" -> graft.operators.Behavioral.bootstrapCiSql,
     "q222_bpe_apply" -> TextAnalysis.bpeApplySql,
+    "q223_twap" -> graft.operators.Behavioral.twapSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -312,6 +312,54 @@ object Behavioral {
        |JOIN (SELECT event_type, mean_units FROM ranked WHERE rn = 39) hi USING (event_type)""".stripMargin
   }
 
+  /** q223 — TIME-weighted average over irregularly spaced events (the
+    * TWAP family): a plain mean over-weights bursts — 100 readings in
+    * a hot minute count 100×, though they describe one minute of
+    * state. Here each value is weighted by how long it REMAINED
+    * CURRENT (lead-timestamp difference), the standard estimator for
+    * sensor/price/state series, reported next to the plain mean so
+    * the burst bias is visible in the output.
+    *
+    * Exactness: durations are integer microseconds; Σ value·duration
+    * runs in DECIMAL(38,0) (a 10⁻⁴-unit value times an hours-long gap
+    * overflows int64 at corpus scale — the q179 headroom convention);
+    * the final TWAP is one integer division. One window per
+    * event_type (low-cardinality shuffle), one mergeable aggregation.
+    */
+  def twapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_units"))
+      .withColumn("dur_us", lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("total_dur_us"),
+        // div, NOT /: decimal true-division rounds at a derived scale
+        // (and DuckDB's decimal cast rounds half-up where Spark's
+        // truncates) — integral floor division is the only operation
+        // both engines define identically here
+        expr("CAST(sum(CAST(v_units AS DECIMAL(38,0)) * dur_us) div " +
+          "sum(CAST(dur_us AS DECIMAL(38,0))) AS BIGINT)").as("twap_units"),
+        expr("sum(v_units) div count(1)").as("plain_mean_units"))
+  }
+
+  val twapSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+      |    CAST(round(value * 10000) AS BIGINT) AS v_units,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+      |                             ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_intervals,
+      |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+      |  CAST(sum(CAST(v_units AS HUGEINT) * dur_us)
+      |       // sum(CAST(dur_us AS HUGEINT)) AS BIGINT) AS twap_units,
+      |  CAST(sum(v_units) // count(*) AS BIGINT) AS plain_mean_units
+      |FROM ev WHERE dur_us IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   // ——— q187: event-transition bigrams (first-order Markov counts) ———
 
   /** Per-user event-type TRANSITION counts — the first-order Markov

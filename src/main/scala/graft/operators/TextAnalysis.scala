@@ -719,8 +719,9 @@ object TextAnalysis {
       .localCheckpoint(true)
     var cur = words
     val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long, Long)]
-    (1 to T).foreach { r =>
-      val best = cur
+    var exhausted = false
+    (1 to T).foreach { r => if (!exhausted) {
+      val bestRows = cur
         // single-symbol words have no pairs — and Spark's sequence(1, 0)
         // DESCENDS rather than being empty, so they must not reach the
         // transform at all
@@ -732,7 +733,14 @@ object TextAnalysis {
           .as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y")).agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()(0)
+        .limit(1).collect()
+      if (bestRows.isEmpty) {
+        // every word is a single token — the vocabulary is exhausted
+        // before the requested round count (tiny corpora); training
+        // stops, the learned list is simply shorter
+        exhausted = true
+      } else {
+      val best = bestRows(0)
       val (x, y, c) = (best.getString(0), best.getString(1), best.getLong(2))
       val xl = lit(x); val yl = lit(y)
       cur = cur.select(col("freq"),
@@ -746,7 +754,8 @@ object TextAnalysis {
         .select(sum(col("freq") * size(split(col("seg"), Sep))).as("t"))
         .head().getLong(0)
       learned += ((r, x, y, c, tokensAfter))
-    }
+      }
+    }}
     import spark.implicits._
     (learned.toSeq.toDF("rank", "left", "right", "pair_count", "tokens_after"), cur)
   }

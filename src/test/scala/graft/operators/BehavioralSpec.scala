@@ -151,6 +151,24 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("TWAP: burst of readings cannot dominate the time-weighted mean") {
+    // v=100 held 9s, then a 3-reading burst of v=1000 at 1s gaps, then
+    // a terminal event. plain mean = (1e6 + 3·1e7) div 4 = 7,750,000;
+    // TWAP = (1e6·9e6 + 1e7·3e6) div 12e6 = 3,250,000 — the burst is
+    // 75% of the readings but only 25% of the time
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 100.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:09"), 1L, "view", 1000.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:10"), 1L, "view", 1000.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 00:00:11"), 1L, "view", 1000.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 00:00:12"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = withRawEvents(rows)(Behavioral.twapQuery)
+      .select("event_type", "n_intervals", "total_dur_us", "twap_units", "plain_mean_units")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got === (("view", 4L, 12000000L, 3250000L, 7750000L)), s"got $got")
+  }
+
   private def withRawEvents(full: org.apache.spark.sql.DataFrame)(
       fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-behavioral").toString

@@ -570,4 +570,35 @@ object GraftProps extends Properties("graft") {
       }
       conserved && perUser
     }
+
+  // ——— q220/q222: BPE training invariants ———
+
+  private val genBpeCorpus: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(2, 8)
+    words <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+    freqs <- Gen.listOfN(n, Gen.choose(1L, 5L))
+  } yield words.distinct.zip(freqs)
+
+  property("BPE: segmentations concatenate back to their words; token total never increases") =
+    forAll(genBpeCorpus) { corpus =>
+      corpus.nonEmpty && {
+        import spark.implicits._
+        val wf = corpus.toDF("w", "freq")
+        val rounds = 3
+        val learned = graft.operators.TextAnalysis.bpeTrain(wf, rounds)
+          .select("rank", "tokens_after").as[(Int, Long)].collect().sortBy(_._1)
+        val segs = graft.operators.TextAnalysis.bpeSegmentations(wf, rounds)
+          .as[(String, Long)].collect().toMap
+        val roundtrip = corpus.forall { case (w, _) => segs.contains(w) } &&
+          segs.keySet == corpus.map(_._1).toSet
+        val charTotal = corpus.map { case (w, f) => w.length * f }.sum
+        val monotone = (charTotal +: learned.map(_._2).toSeq)
+          .sliding(2).forall { case Seq(a, b) => b <= a; case _ => true }
+        val tokenBound = corpus.forall { case (w, _) => segs(w) >= 1 && segs(w) <= w.length }
+        roundtrip && monotone && tokenBound
+      }
+    }
 }
