@@ -479,6 +479,7 @@ object SparkEntry {
     "q221_bootstrap_ci" -> graft.operators.Behavioral.bootstrapCiQuery _,
     "q222_bpe_apply" -> TextAnalysis.bpeApplyQuery _,
     "q223_twap" -> graft.operators.Behavioral.twapQuery _,
+    "q224_interval_overlap" -> graft.operators.RangeJoin.intervalOverlapQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -862,6 +863,7 @@ object SparkEntry {
     "q221_bootstrap_ci" -> graft.operators.Behavioral.bootstrapCiSql,
     "q222_bpe_apply" -> TextAnalysis.bpeApplySql,
     "q223_twap" -> graft.operators.Behavioral.twapSql,
+    "q224_interval_overlap" -> graft.operators.RangeJoin.intervalOverlapSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -101,4 +101,82 @@ object RangeJoin {
       .select(col("key").as("user_id"), col("purchase_id"), col("click_id"),
         col("ts_us").as("click_ts_us"))
   }
+
+  // ——— q224: interval × interval OVERLAP join ———
+
+  /** Interval-OVERLAP join: both sides are ranges of the same key and
+    * a pair matches when `a.start < b.end AND b.start < a.end` —
+    * sessions × campaigns, downtime × SLA windows, exposure ×
+    * conversion windows. Like [[pointInInterval]], the naive predicate
+    * has no equi-key (BNLJ at scale); both sides replicate to the time
+    * buckets they cover and candidates meet on (key, bucket).
+    *
+    * Duplicate suppression WITHOUT a distinct: an overlapping pair
+    * shares every bucket in the overlap range, so it is accepted only
+    * in the FIRST shared bucket — `bucket = greatest(a_bs, b_bs)` — a
+    * per-row predicate in the join condition instead of a dedup
+    * shuffle of the full candidate set.
+    *
+    * a: (key, a_id, a_start, a_end) · b: (key, b_id, b_start, b_end),
+    * half-open [start, end) microsecond intervals. Returns matched
+    * pairs with the exact overlap duration.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame, bucketUs: Long): DataFrame = {
+    def buckets(df: DataFrame, startC: String, endC: String, pfx: String) =
+      df.filter(col(endC) > col(startC))
+        .withColumn(s"${pfx}_bs", expr(s"$startC div ${bucketUs}L"))
+        .withColumn(s"${pfx}_b", explode(expr(
+          s"sequence($startC div ${bucketUs}L, ($endC - 1) div ${bucketUs}L)")))
+    val ae = buckets(a, "a_start", "a_end", "a")
+    val be = buckets(b, "b_start", "b_end", "b")
+    ae.join(be,
+        ae("key") === be("key") && col("a_b") === col("b_b") &&
+          col("a_b") === greatest(col("a_bs"), col("b_bs")) &&
+          col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(ae("key"), col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
+          .as("overlap_us"))
+  }
+
+  /** q224 gate: per-user view-exposure intervals ([ts, ts+30 min))
+    * overlapped with purchase-attribution intervals ([ts, ts+20 min)),
+    * aggregated per user. Intervals never exceed the 30-min bucket, so
+    * each replicates to ≤ 2 buckets.
+    */
+  def intervalOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val m30 = 30L * 60L * 1000000L; val m20 = 20L * 60L * 1000000L
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("key"), col("event_id").as("a_id"),
+        col("ts_us").as("a_start"), (col("ts_us") + m30).as("a_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("event_id").as("b_id"),
+        col("ts_us").as("b_start"), (col("ts_us") + m20).as("b_end"))
+    intervalOverlap(views, purchases, bucketUs = m30)
+      .groupBy(col("key").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("overlap_us")).as("total_overlap_us"),
+        min(col("a_id")).as("first_view_id"))
+  }
+
+  /** Oracle: the direct overlap predicate (DuckDB's optimizer handles
+    * the small gate volume; the Spark side exists precisely because
+    * that plan doesn't scale).
+    */
+  val intervalOverlapSql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_start,
+      |    epoch_us(ts) + 1800000000 AS a_end
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_start,
+      |    epoch_us(ts) + 1200000000 AS b_end
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, count(*) AS n_pairs,
+      |  CAST(sum(least(v.a_end, p.b_end) - greatest(v.a_start, p.b_start)) AS BIGINT)
+      |    AS total_overlap_us,
+      |  min(v.a_id) AS first_view_id
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND v.a_start < p.b_end AND p.b_start < v.a_end
+      |GROUP BY 1""".stripMargin
 }

@@ -34,4 +34,21 @@ class RangeJoinSpec extends SparkSuite {
     assert(got === Set(
       ("pA", "i1"), ("pB", "i1"), ("pB", "i2"), ("pC", "i2"), ("pD", "i2")))
   }
+
+  test("interval overlap: multi-bucket pairs match ONCE; half-open endpoints; exact durations") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 10L, 0L, 500L),    // spans 5 buckets
+      (1L, 11L, 600L, 700L),  // touches b21 at its end — half-open, no match
+      (2L, 12L, 0L, 100L))    // other key
+      .toDF("key", "a_id", "a_start", "a_end")
+    val b = Seq(
+      (1L, 20L, 250L, 450L),  // overlaps a10 across 3 shared buckets → once, 200us
+      (1L, 21L, 500L, 600L),  // a10 ends AT 500, a11 starts AT 600 → neither matches
+      (2L, 22L, 50L, 150L))   // cross-key overlap 50us
+      .toDF("key", "b_id", "b_start", "b_end")
+    val got = RangeJoin.intervalOverlap(a, b, bucketUs = 100L)
+      .select("a_id", "b_id", "overlap_us").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L, 200L), (12L, 22L, 50L)), s"got $got")
+  }
 }
