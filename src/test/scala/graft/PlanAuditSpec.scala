@@ -423,6 +423,44 @@ class PlanAuditSpec extends SparkSuite {
       "NOT IN must not degrade to a nested loop")
   }
 
+  test("q224: the interval-overlap join is an equi-join on (key, bucket) — never a nested loop") {
+    // the operator exists BECAUSE the naive overlap predicate plans a
+    // BroadcastNestedLoopJoin; the bucketed formulation must keep an
+    // equi-join shape with the range predicate as a residual
+    val p = plan("q224_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join degraded to a nested loop:\n${p.take(900)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "candidates must meet on an equi-key")
+  }
+
+  test("q221: the bootstrap is ONE aggregation pass over the replicate expansion — no join, no resample shuffle") {
+    val p = plan("q221_bootstrap_ci")
+    // the B=40 expansion is a Generate (explode) feeding partial
+    // aggregation; a Join before the final small CI assembly would mean
+    // resamples were materialized and shuffled
+    assert(p.contains("Generate"), "replicate expansion missing")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // reps agg (event_type, b), point agg, the CI window, and the two
+    // tiny lo/hi assembly joins — every exchange after the partial
+    // aggs carries group-cardinality rows, so the COUNT is what's
+    // bounded, not the data
+    assert(exchanges <= 6, s"bootstrap grew $exchanges shuffles:\n${p.take(900)}")
+  }
+
+  test("q210: corpus overlap reuses ONE distinct-hash shuffle for sketch, counts, and intersection") {
+    val p = plan("q210_corpus_overlap")
+    assert(!p.contains("CartesianProduct"), "only 1-row frames may cross-join")
+    // the cached distinct (corpus, h) must feed every consumer — each
+    // of the 4 reads (sketch ×2 sides, counts, intersection ×2 sides)
+    // plans an InMemoryTableScan, never a fresh shingle recompute
+    // (an InMemoryRelation still PRINTS its child's parquet path, so
+    // the path count proves nothing; the cache-scan count does)
+    val cacheScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheScans >= 4, s"expected >=4 cache scans, got $cacheScans:\n${p.take(900)}")
+  }
+
   test("q208: MaxSim re-rank adds NO join beyond the single broadcast candidate pass") {
     val p = plan("q208_maxsim")
     assert(!p.contains("CartesianProduct"), s"cartesian in MaxSim:\n${p.take(600)}")
