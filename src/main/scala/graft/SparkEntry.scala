@@ -480,6 +480,7 @@ object SparkEntry {
     "q222_bpe_apply" -> TextAnalysis.bpeApplyQuery _,
     "q223_twap" -> graft.operators.Behavioral.twapQuery _,
     "q224_interval_overlap" -> graft.operators.RangeJoin.intervalOverlapQuery _,
+    "q225_wav_features" -> graft.multimodal.Multimodal.wavFeaturesQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -864,6 +865,7 @@ object SparkEntry {
     "q222_bpe_apply" -> TextAnalysis.bpeApplySql,
     "q223_twap" -> graft.operators.Behavioral.twapSql,
     "q224_interval_overlap" -> graft.operators.RangeJoin.intervalOverlapSql,
+    "q225_wav_features" -> graft.multimodal.Multimodal.wavFeaturesSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -625,4 +625,94 @@ object Multimodal {
       |  CAST(sum(abs(x)) AS BIGINT) AS amp_sum,
       |  CAST(sum(x * x) AS BIGINT) AS energy
       |FROM s GROUP BY doc_id""".stripMargin
+
+  // ——— q225: framed audio FEATURE EXTRACTION (the VAD front-end) ———
+
+  case class AudioFrame(id: Long, frame: Int, n: Int, peak: Long, energy: Long, zcr: Long)
+
+  /** Per-frame features over decoded PCM: energy Σx², peak max|x|,
+    * and zero crossings (adjacent-sample sign flips, both samples in
+    * the frame) — the classic voice-activity / silence-trim front-end
+    * that runs BEFORE any model sees audio. One pass over the data
+    * chunk; the final partial frame is kept.
+    */
+  def decodeWavFrames(id: Long, bytes: Array[Byte], frameLen: Int): Seq[AudioFrame] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii4(): String = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+    require(ascii4() == "RIFF" && { buf.getInt; ascii4() == "WAVE" }, s"bad container: id=$id")
+    val out = scala.collection.mutable.ListBuffer.empty[AudioFrame]
+    var sawData = false
+    while (buf.remaining() >= 8) {
+      val tag = ascii4(); val len = buf.getInt
+      tag match {
+        case "data" =>
+          sawData = true
+          val nSamples = len / 2
+          var f = 0
+          var i = 0
+          while (i < nSamples) {
+            val end = math.min(i + frameLen, nSamples)
+            var peak = 0L; var energy = 0L; var zcr = 0L
+            var prev = 0L; var first = true
+            while (i < end) {
+              val x = buf.getShort.toLong
+              if (math.abs(x) > peak) peak = math.abs(x)
+              energy += x * x
+              if (!first && prev * x < 0) zcr += 1
+              prev = x; first = false
+              i += 1
+            }
+            out += AudioFrame(id, f, (end - (f * frameLen)).min(frameLen), peak, energy, zcr)
+            f += 1
+          }
+          if ((len & 1) == 1 && buf.remaining() > 0) buf.get(): Unit
+        case _ => buf.position(math.min(buf.limit(), buf.position() + len + (len & 1)))
+      }
+    }
+    require(sawData, s"no data chunk: id=$id")
+    out.toList
+  }
+
+  /** q225 — feature extraction completes the multimodal verb set
+    * (decode q184/q85, resize q61, frame-sample q204): real container
+    * parse, then per-10ms-frame energy/peak/zero-crossing features —
+    * all integer, all predicted arithmetically by the oracle. Scale =
+    * q184's: per-clip JVM code inside batched mapPartitions, rows out
+    * ∝ clips × frames.
+    */
+  def wavFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .repartition(8)
+      .mapPartitions { ids =>
+        ids.grouped(32).flatMap(_.flatMap { id =>
+          decodeWavFrames(id, encodeWav(id), frameLen = 80) })
+      }
+      .toDF()
+      .select(col("id").as("doc_id"), col("frame"), col("n"),
+        col("peak"), col("energy"), col("zcr"))
+  }
+
+  val wavFeaturesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(100 + doc_id % 400 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id < 200),
+      |s AS (
+      |  SELECT d.doc_id, i.i AS i, CAST(i.i // 80 AS INTEGER) AS frame,
+      |    ((d.doc_id * 31 + i.i * 37) % 2001) - 1000 AS x
+      |  FROM d, unnest(range(d.n)) i(i)),
+      |zc AS (
+      |  SELECT a.doc_id, a.frame, count(*) AS zcr
+      |  FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i - 1
+      |    AND b.frame = a.frame
+      |  WHERE b.x * a.x < 0
+      |  GROUP BY 1, 2)
+      |SELECT s.doc_id, s.frame, CAST(count(*) AS INTEGER) AS n,
+      |  CAST(max(abs(s.x)) AS BIGINT) AS peak,
+      |  CAST(sum(s.x * s.x) AS BIGINT) AS energy,
+      |  CAST(COALESCE(max(zc.zcr), 0) AS BIGINT) AS zcr
+      |FROM s LEFT JOIN zc ON zc.doc_id = s.doc_id AND zc.frame = s.frame
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -212,4 +212,16 @@ class MultimodalSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("WAVE"))
   }
+
+  test("framed features tile the clip exactly: energies sum to the whole-clip decode") {
+    (0L to 5L).foreach { id =>
+      val whole = Multimodal.decodeWav(id, Multimodal.encodeWav(id))
+      val frames = Multimodal.decodeWavFrames(id, Multimodal.encodeWav(id), frameLen = 80)
+      assert(frames.map(_.n.toLong).sum === whole.n_samples, s"id=$id frame sizes don't tile")
+      assert(frames.map(_.energy).sum === whole.energy, s"id=$id energy not additive")
+      assert(frames.map(_.frame) === frames.indices.toList, s"id=$id frames not dense")
+      assert(frames.init.forall(_.n == 80) || frames.size == 1, s"id=$id non-final short frame")
+      assert(frames.forall(f => f.peak <= 1000 && f.zcr < f.n), s"id=$id feature bounds")
+    }
+  }
 }
