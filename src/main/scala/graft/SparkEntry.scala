@@ -481,6 +481,7 @@ object SparkEntry {
     "q223_twap" -> graft.operators.Behavioral.twapQuery _,
     "q224_interval_overlap" -> graft.operators.RangeJoin.intervalOverlapQuery _,
     "q225_wav_features" -> graft.multimodal.Multimodal.wavFeaturesQuery _,
+    "q226_curriculum_shards" -> graft.operators.Pipelines.curriculumQueryQ226 _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -866,6 +867,7 @@ object SparkEntry {
     "q223_twap" -> graft.operators.Behavioral.twapSql,
     "q224_interval_overlap" -> graft.operators.RangeJoin.intervalOverlapSql,
     "q225_wav_features" -> graft.multimodal.Multimodal.wavFeaturesSql,
+    "q226_curriculum_shards" -> graft.operators.Pipelines.curriculumQ226Sql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -686,4 +686,53 @@ object Pipelines {
       |  CASE WHEN reason = 'ok' THEN NULL
       |       ELSE CAST(sum(n_chars) AS BIGINT) END AS sum_chars
       |FROM routed GROUP BY reason""".stripMargin
+
+  // ——— q226: curriculum export (quality-ordered range shards) ———
+
+  /** The range-partitioned export itself — the SCALE path: a total
+    * order by (quality, doc_id) realized as RangePartitioning (sampled
+    * boundaries, parallel sort within shards), never a single-partition
+    * global sort. Boundary sampling is engine-internal, so THIS frame
+    * is plan-pinned (PlanAuditSpec), while the GATE query reports the
+    * deterministic ntile view of the same order.
+    */
+  def curriculumExportFrame(spark: SparkSession, dir: String, shards: Int): DataFrame = {
+    val scored = graft.operators.TextAnalysis
+      .qualityScore(Tables.documents(spark, dir), "doc_id", "text")
+    scored.repartitionByRange(shards, col("quality"), col("doc_id"))
+      .sortWithinPartitions(col("quality"), col("doc_id"))
+  }
+
+  /** q226 — curriculum sharding: order the corpus easy→hard by the q23
+    * quality score and cut it into 8 contiguous shards — the export
+    * step of curriculum training (feed cleaner/simpler shards first).
+    * The gate reports per-shard counts and quality ranges from the
+    * deterministic ntile view (fully tie-broken order); contiguity is
+    * checkable in the output itself: shard k's max quality never
+    * exceeds shard k+1's min.
+    */
+  def curriculumQueryQ226(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.TextAnalysis
+      .qualityScore(Tables.documents(spark, dir), "doc_id", "text")
+    scored
+      .withColumn("shard", expr(
+        "ntile(8) OVER (ORDER BY quality, doc_id)").cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_q"), max(col("quality")).as("max_q"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
+  val curriculumQ226Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, ${graft.operators.TextAnalysis.qualityExprSql} AS quality
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT doc_id, quality,
+       |    CAST(ntile(8) OVER (ORDER BY quality, doc_id) AS INTEGER) AS shard
+       |  FROM scored)
+       |SELECT shard, count(*) AS n_docs,
+       |  min(quality) AS min_q, max(quality) AS max_q,
+       |  min(doc_id) AS min_doc_id
+       |FROM sharded GROUP BY 1""".stripMargin
 }

@@ -461,6 +461,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(cacheScans >= 4, s"expected >=4 cache scans, got $cacheScans:\n${p.take(900)}")
   }
 
+  test("q226: the curriculum EXPORT plans RangePartitioning — parallel global order, no single-partition sort") {
+    val p = graft.operators.Pipelines.curriculumExportFrame(spark, sf, shards = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange rangepartitioning"),
+      s"export must range-partition for a parallel total order:\n${p.take(900)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "a single-partition global sort would serialize the export")
+  }
+
   test("q208: MaxSim re-rank adds NO join beyond the single broadcast candidate pass") {
     val p = plan("q208_maxsim")
     assert(!p.contains("CartesianProduct"), s"cartesian in MaxSim:\n${p.take(600)}")
