@@ -559,6 +559,9 @@ object Multimodal {
     while (buf.remaining() >= 8) {
       val tag = ascii4()
       val len = buf.getInt
+      // a garbage length (e.g. 0xFFFFFFFF → -1) would otherwise stall
+      // the walk (position advances by len + pad = 0) — fail loudly
+      require(len >= 0, s"negative chunk length $len: id=$id")
       tag match {
         case "fmt " =>
           val start = buf.position()
@@ -581,10 +584,13 @@ object Multimodal {
             energy += x * x
             i += 1
           }
-          // RIFF pads odd-length chunks with one byte that is NOT
-          // counted in len; an odd 16-bit-PCM data chunk can't arise
-          // from our encoder but a spec-conforming foreign WAV's can.
-          if ((len & 1) == 1 && buf.remaining() > 0) buf.get(): Unit
+          // An odd 16-bit-PCM data chunk leaves TWO trailing bytes:
+          // the torn half-sample byte (counted in len) plus RIFF's
+          // uncounted pad byte — both must be consumed or the walk
+          // misaligns every later chunk (can't arise from our encoder;
+          // a spec-conforming foreign WAV's can).
+          if ((len & 1) == 1)
+            buf.position(math.min(buf.limit(), buf.position() + 2))
         case _ => buf.position(buf.position() + len + (len & 1)) // skip, pad to even
       }
     }
@@ -644,6 +650,7 @@ object Multimodal {
     var sawData = false
     while (buf.remaining() >= 8) {
       val tag = ascii4(); val len = buf.getInt
+      require(len >= 0, s"negative chunk length $len: id=$id")
       tag match {
         case "data" =>
           sawData = true
@@ -665,7 +672,9 @@ object Multimodal {
             out += AudioFrame(id, f, (end - (f * frameLen)).min(frameLen), peak, energy, zcr)
             f += 1
           }
-          if ((len & 1) == 1 && buf.remaining() > 0) buf.get(): Unit
+          // torn half-sample byte (counted) + uncounted RIFF pad
+          if ((len & 1) == 1)
+            buf.position(math.min(buf.limit(), buf.position() + 2))
         case _ => buf.position(math.min(buf.limit(), buf.position() + len + (len & 1)))
       }
     }

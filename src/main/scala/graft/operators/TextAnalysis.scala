@@ -706,9 +706,10 @@ object TextAnalysis {
     * tokenizer applied to every distinct word (q222 consumes this).
     */
   def bpeTrainState(wordFreq: DataFrame, rounds: Int): DataFrame =
-    bpeTrainCore(wordFreq, rounds)._2
+    bpeTrainCore(wordFreq, rounds, trackTokens = false)._2
 
-  private def bpeTrainCore(wordFreq: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+  private def bpeTrainCore(wordFreq: DataFrame, rounds: Int,
+      trackTokens: Boolean = true): (DataFrame, DataFrame) = {
     val spark = wordFreq.sparkSession
     val Sep = "\u001f"
     val T = rounds
@@ -750,9 +751,11 @@ object TextAnalysis {
               concat(acc, e))
             .otherwise(concat(acc, lit(Sep), e))).as("seg"))
         .localCheckpoint(true)
-      val tokensAfter = cur
+      // the apply path (bpeTrainState) discards the merge list, so it
+      // must not pay one extra full aggregation job per round for it
+      val tokensAfter = if (trackTokens) cur
         .select(sum(col("freq") * size(split(col("seg"), Sep))).as("t"))
-        .head().getLong(0)
+        .head().getLong(0) else -1L
       learned += ((r, x, y, c, tokensAfter))
       }
     }}
@@ -776,13 +779,17 @@ object TextAnalysis {
        |    FROM w${r - 1}) t GROUP BY 1, 2),
        |b$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
        |w$r AS (
-       |  SELECT freq, list_reduce(list_prepend('', string_split(seg, chr(31))),
-       |    (acc, e) -> CASE
-       |      WHEN acc = '' THEN e
-       |      WHEN (acc = b.x OR ends_with(acc, chr(31) || b.x)) AND e = b.y
-       |        THEN acc || e
-       |      ELSE acc || chr(31) || e END) AS seg
-       |  FROM w${r - 1}, b$r b),
+       |  -- LEFT JOIN ON TRUE: an empty argmax (vocabulary exhausted
+       |  -- before round $r — the guard the Scala loop has) must leave
+       |  -- the segmentation UNCHANGED, not annihilate the table
+       |  SELECT freq, CASE WHEN b.x IS NULL THEN seg ELSE
+       |    list_reduce(list_prepend('', string_split(seg, chr(31))),
+       |      (acc, e) -> CASE
+       |        WHEN acc = '' THEN e
+       |        WHEN (acc = b.x OR ends_with(acc, chr(31) || b.x)) AND e = b.y
+       |          THEN acc || e
+       |        ELSE acc || chr(31) || e END) END AS seg
+       |  FROM w${r - 1} LEFT JOIN b$r b ON TRUE),
        |t$r AS (SELECT sum(freq * len(string_split(seg, chr(31)))) AS tokens FROM w$r)""".stripMargin
 
   val bpeTrainSql: String = {

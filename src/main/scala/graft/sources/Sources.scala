@@ -175,7 +175,12 @@ object Sources {
           spark.read.schema(schema).option("mode", "FAILFAST")
             .csv(s"$base/dirty_csv").count()
           false
-        } catch { case _: Throwable => true }
+        } catch {
+          // ONLY the parser's failure counts — a blanket Throwable
+          // would let an OOM or FS error masquerade as the expected
+          // FAILFAST exception and green the gate without testing it
+          case _: org.apache.spark.SparkException => true
+        }
       import spark.implicits._
       Seq((nPermissive, nCorrupt, nDrop, failfastThrew))
         .toDF("n_permissive", "n_corrupt", "n_dropmalformed", "failfast_threw")

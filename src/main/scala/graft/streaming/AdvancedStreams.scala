@@ -13,6 +13,29 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, Ou
   */
 object AdvancedStreams {
 
+  /** One hour-windowed, watermarked side of the q58/q59/q209 joins —
+    * the filter comes BEFORE the watermark so each side's watermark
+    * tracks its own event type STRUCTURALLY, not via the optimizer
+    * happening to push the filter below the EventTimeWatermark node.
+    */
+  private def hourWindowSide(ev: DataFrame, eventType: String, idAs: String): DataFrame =
+    ev.filter(col("event_type") === eventType)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
+
+  /** The q58-documented global-watermark threshold as a SQL scalar
+    * subquery: least of the two per-side max timestamps, NULL when
+    * either side is empty (an un-started watermark operator pins the
+    * global watermark at 0, so no window ever closes). Shared by the
+    * q58/q209 oracles so the convention cannot fork.
+    */
+  private val globalWatermarkSql: String =
+    """(SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click') IS NOT NULL
+      |              AND max(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
+      |        THEN least(max(ts) FILTER (WHERE event_type = 'click'),
+      |                   max(ts) FILTER (WHERE event_type = 'purchase')) END
+      | FROM events)""".stripMargin
+
   /** Left-outer windowed stream-stream join: matches emit in-batch;
     * unmatched clicks emit null-padded once the watermark proves no
     * purchase can still arrive for their window (state eviction).
@@ -20,15 +43,8 @@ object AdvancedStreams {
     */
   def outerWindowJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.eventsStream(spark, dir)
-    // filter BEFORE the watermark so each side's watermark tracks its
-    // own event type STRUCTURALLY — not via the optimizer happening to
-    // push the filter below the EventTimeWatermark node
-    def side(eventType: String, idAs: String) =
-      ev.filter(col("event_type") === eventType)
-        .withWatermark("ts", "0 seconds")
-        .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
-    val clicks = side("click", "click_id")
-    val purchases = side("purchase", "purchase_id")
+    val clicks = hourWindowSide(ev, "click", "click_id")
+    val purchases = hourWindowSide(ev, "purchase", "purchase_id")
       .withColumnRenamed("user_id", "p_user_id").withColumnRenamed("w", "p_w")
     val joined = clicks.join(purchases,
         col("user_id") === col("p_user_id") && col("w") === col("p_w"), "left_outer")
@@ -50,18 +66,14 @@ object AdvancedStreams {
     * other side's clock).
     */
   val outerWindowJoinSql: String =
-    """SELECT a.user_id, CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
-      | a.event_id AS click_id, b.event_id AS purchase_id
-      |FROM (SELECT * FROM events WHERE event_type = 'click') a
-      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-      |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
-      |WHERE b.event_id IS NOT NULL
-      |   OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR <=
-      |      (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click') IS NOT NULL
-      |                    AND max(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
-      |              THEN least(max(ts) FILTER (WHERE event_type = 'click'),
-      |                         max(ts) FILTER (WHERE event_type = 'purchase')) END
-      |       FROM events)""".stripMargin
+    s"""SELECT a.user_id, CAST(epoch_us(date_trunc('hour', a.ts)) AS BIGINT) AS win_start,
+       | a.event_id AS click_id, b.event_id AS purchase_id
+       |FROM (SELECT * FROM events WHERE event_type = 'click') a
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+       |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+       |WHERE b.event_id IS NOT NULL
+       |   OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR <=
+       |      $globalWatermarkSql""".stripMargin
 
   /** q209 — FULL-outer windowed stream-stream join: the last cell of
     * the stream-join matrix (inner q14/q166, left-outer window q58,
@@ -74,13 +86,8 @@ object AdvancedStreams {
     */
   def fullOuterWindowJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.eventsStream(spark, dir)
-    // filter before the watermark — see outerWindowJoin
-    def side(eventType: String, idAs: String) =
-      ev.filter(col("event_type") === eventType)
-        .withWatermark("ts", "0 seconds")
-        .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
-    val clicks = side("click", "click_id")
-    val purchases = side("purchase", "purchase_id")
+    val clicks = hourWindowSide(ev, "click", "click_id")
+    val purchases = hourWindowSide(ev, "purchase", "purchase_id")
       .withColumnRenamed("user_id", "p_user_id").withColumnRenamed("w", "p_w")
     val joined = clicks.join(purchases,
         col("user_id") === col("p_user_id") && col("w") === col("p_w"), "full_outer")
@@ -95,19 +102,15 @@ object AdvancedStreams {
     * timestamps, NULL when either side is empty — see q58) reached.
     */
   val fullOuterWindowJoinSql: String =
-    """SELECT coalesce(a.user_id, b.user_id) AS user_id,
-      | CAST(epoch_us(date_trunc('hour', coalesce(a.ts, b.ts))) AS BIGINT) AS win_start,
-      | a.event_id AS click_id, b.event_id AS purchase_id
-      |FROM (SELECT * FROM events WHERE event_type = 'click') a
-      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-      |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
-      |WHERE (a.event_id IS NOT NULL AND b.event_id IS NOT NULL)
-      |   OR date_trunc('hour', coalesce(a.ts, b.ts)) + INTERVAL 1 HOUR <=
-      |      (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click') IS NOT NULL
-      |                    AND max(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
-      |              THEN least(max(ts) FILTER (WHERE event_type = 'click'),
-      |                         max(ts) FILTER (WHERE event_type = 'purchase')) END
-      |       FROM events)""".stripMargin
+    s"""SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       | CAST(epoch_us(date_trunc('hour', coalesce(a.ts, b.ts))) AS BIGINT) AS win_start,
+       | a.event_id AS click_id, b.event_id AS purchase_id
+       |FROM (SELECT * FROM events WHERE event_type = 'click') a
+       |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+       |  ON a.user_id = b.user_id AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+       |WHERE (a.event_id IS NOT NULL AND b.event_id IS NOT NULL)
+       |   OR date_trunc('hour', coalesce(a.ts, b.ts)) + INTERVAL 1 HOUR <=
+       |      $globalWatermarkSql""".stripMargin
 
   /** Chained stateful operators in one query (Spark ≥3.4 capability):
     * windowed stream-stream join feeding a windowed aggregation —
@@ -116,13 +119,8 @@ object AdvancedStreams {
     */
   def joinThenWindowCount(spark: SparkSession, dir: String): DataFrame = {
     val ev = StreamOps.eventsStream(spark, dir)
-    // filter before the watermark — see outerWindowJoin
-    def side(eventType: String, idAs: String) =
-      ev.filter(col("event_type") === eventType)
-        .withWatermark("ts", "0 seconds")
-        .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as(idAs))
-    val clicks = side("click", "click_id")
-    val purchases = side("purchase", "purchase_id")
+    val clicks = hourWindowSide(ev, "click", "click_id")
+    val purchases = hourWindowSide(ev, "purchase", "purchase_id")
       .withColumnRenamed("user_id", "p_user_id").withColumnRenamed("w", "p_w")
     val joined = clicks.join(purchases,
       col("user_id") === col("p_user_id") && col("w") === col("p_w"), "inner")

@@ -213,6 +213,31 @@ class MultimodalSpec extends SparkSuite {
     assert(e.getMessage.contains("WAVE"))
   }
 
+  test("WAV decode survives a foreign file with an ODD data chunk followed by more chunks") {
+    // data len=5 (2 samples + 1 torn byte) + 1 uncounted pad, then a
+    // trailing LIST chunk the walk must still land on cleanly
+    val bb = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(72).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(5)
+      .putShort(3).putShort(-4).put(9.toByte) // torn byte (counted)
+      .put(0.toByte)                          // RIFF pad (uncounted)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val whole = Multimodal.decodeWav(7L, bytes)
+    assert(whole.n_samples === 2L && whole.amp_sum === 7L && whole.energy === 25L,
+      s"misaligned walk: $whole")
+    val frames = Multimodal.decodeWavFrames(7L, bytes, frameLen = 80)
+    assert(frames.map(_.energy).sum === 25L && frames.head.n === 2)
+    // a garbage (negative) chunk length must fail loudly, never spin
+    val bad = java.util.Arrays.copyOf(bytes, bytes.length)
+    // overwrite the data chunk length (offset 40) with 0xFFFFFFFF
+    bad(40) = -1; bad(41) = -1; bad(42) = -1; bad(43) = -1
+    val e = intercept[IllegalArgumentException] { Multimodal.decodeWav(7L, bad) }
+    assert(e.getMessage.contains("negative chunk length"))
+  }
+
   test("framed features tile the clip exactly: energies sum to the whole-clip decode") {
     (0L to 5L).foreach { id =>
       val whole = Multimodal.decodeWav(id, Multimodal.encodeWav(id))
