@@ -482,6 +482,7 @@ object SparkEntry {
     "q224_interval_overlap" -> graft.operators.RangeJoin.intervalOverlapQuery _,
     "q225_wav_features" -> graft.multimodal.Multimodal.wavFeaturesQuery _,
     "q226_curriculum_shards" -> graft.operators.Pipelines.curriculumQueryQ226 _,
+    "q227_source_dup_matrix" -> Dedup.sourceDupMatrixQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -868,6 +869,7 @@ object SparkEntry {
     "q224_interval_overlap" -> graft.operators.RangeJoin.intervalOverlapSql,
     "q225_wav_features" -> graft.multimodal.Multimodal.wavFeaturesSql,
     "q226_curriculum_shards" -> graft.operators.Pipelines.curriculumQ226Sql,
+    "q227_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

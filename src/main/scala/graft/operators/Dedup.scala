@@ -273,6 +273,60 @@ object Dedup {
       |  FROM shared s JOIN dfq d USING (shingle)) z
       |WHERE rn <= 3""".stripMargin
 
+  /** q227 — the cross-SOURCE duplication matrix: q16's near-dup pairs
+    * rolled up to (source_a, source_b) cells with a pair-density rate
+    * — the mirror-site / syndication detector ("source X is 80%
+    * copies of source Y") that decides whether to drop a whole source
+    * rather than dedup it document by document. Density is pairs per
+    * million cross-source document pairs (integer ppm of n_a·n_b), so
+    * a small source that is mostly copies outranks a huge source with
+    * incidental overlap. Rides the audited q16 machinery: rollup cost
+    * beyond it is one join to the doc→source map and one group-by on
+    * a (sources)²-bounded key.
+    */
+  def sourceDupMatrixQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = ngramJaccardQuery(spark, dir).select(col("id_a"), col("id_b"))
+    val cells = pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("source_b")), "id_b")
+      .select(least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi")).agg(count(lit(1)).as("n_pairs"))
+    cells
+      .join(counts.select(col("source").as("src_lo"), col("n").as("n_lo")), "src_lo")
+      .join(counts.select(col("source").as("src_hi"), col("n").as("n_hi")), "src_hi")
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"), col("n_lo"), col("n_hi"),
+        expr("n_pairs * 1000000L div (n_lo * n_hi)").as("density_ppm"))
+  }
+
+  /** Oracle: the shared q16 CTEs, the source join, the unordered-cell
+    * normalization, and the same integer ppm density.
+    */
+  val sourceDupMatrixSql: String = overlapCandidatesCtes +
+    """,
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8),
+      |counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |cells AS (
+      |  SELECT least(da.source, db.source) AS src_lo,
+      |         greatest(da.source, db.source) AS src_hi,
+      |         count(*) AS n_pairs
+      |  FROM pairs p
+      |  JOIN documents da ON da.doc_id = p.id_a
+      |  JOIN documents db ON db.doc_id = p.id_b
+      |  GROUP BY 1, 2)
+      |SELECT c.src_lo, c.src_hi, c.n_pairs,
+      |  lo.n AS n_lo, hi.n AS n_hi,
+      |  CAST(c.n_pairs * 1000000 // (lo.n * hi.n) AS BIGINT) AS density_ppm
+      |FROM cells c
+      |JOIN counts lo ON lo.source = c.src_lo
+      |JOIN counts hi ON hi.source = c.src_hi""".stripMargin
+
   /** DIRECTED n-gram containment (Broder): C(A→B) = |A∩B| / |A| — the
     * subsumption signal Jaccard resemblance misses. A short document
     * quoted whole inside a long one scores containment 1.0 while its

@@ -428,6 +428,27 @@ class DedupSpec extends SparkSuite {
       s"boilerplate must not lead: ${got.toSeq}")
   }
 
+  test("q227 source dup matrix: a planted mirror source tops the density ranking") {
+    // mirror copies every real_a doc; unrelated is disjoint text
+    val base = (1 to 4).map(i => (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i", "real_a"))
+    val mirror = (1 to 4).map(i => (100L + i, s"alpha$i beta$i gamma$i delta$i epsilon$i", "mirror"))
+    val other = (1 to 6).map(i => (200L + i, s"zeta$i eta$i theta$i iota$i kappa$i", "real_b"))
+    val docs = (base ++ mirror ++ other)
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupmatrix").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.sourceDupMatrixQuery(spark, dir)
+      .select("src_lo", "src_hi", "n_pairs", "density_ppm")
+      .as[(String, String, Long, Long)].collect()
+    val top = got.maxBy(_._4)
+    assert((top._1, top._2) === (("mirror", "real_a")), s"mirror pair must top: ${got.toSeq}")
+    assert(top._3 === 4L && top._4 === 250000L, // 4 pairs / (4·4) = 0.25
+      s"density arithmetic wrong: $top")
+    assert(!got.exists(c => c._1.contains("real_b") || c._2.contains("real_b")),
+      s"disjoint source must not appear: ${got.toSeq}")
+  }
+
   test("q210 corpus overlap: output invariants and estimator bracketing") {
     val r = Dedup.corpusOverlapQuery(spark, sf).collect().head
     val (h, est, estMicro) = (r.getAs[Int]("h_funcs"),
