@@ -483,6 +483,7 @@ object SparkEntry {
     "q225_wav_features" -> graft.multimodal.Multimodal.wavFeaturesQuery _,
     "q226_curriculum_shards" -> graft.operators.Pipelines.curriculumQueryQ226 _,
     "q227_source_dup_matrix" -> Dedup.sourceDupMatrixQuery _,
+    "q228_retrieval_eval" -> Similarity.retrievalEvalQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -870,6 +871,7 @@ object SparkEntry {
     "q225_wav_features" -> graft.multimodal.Multimodal.wavFeaturesSql,
     "q226_curriculum_shards" -> graft.operators.Pipelines.curriculumQ226Sql,
     "q227_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
+    "q228_retrieval_eval" -> Similarity.retrievalEvalSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

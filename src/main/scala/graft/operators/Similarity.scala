@@ -317,6 +317,56 @@ object Similarity {
         .select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", dim = 64, k = 5)
 
+  // ——— q228: retrieval evaluation (recall@k / reciprocal rank) ———
+
+  /** q228 — the EVAL harness as a first-class operator: score the LSH
+    * index (q20) against exact brute force (q19) per query — recall@5
+    * and the reciprocal rank of the true top-1 — the numbers every
+    * index/tuning decision (nbits, bands, nprobe) is judged by, and
+    * at 100 TB the evaluation must itself be a distributed join, not
+    * a notebook loop. Costs: the two audited pipelines plus equi-joins
+    * on (query, candidate) — nothing new shuffles. Fixed-point
+    * micro-units (hits·200000; 10⁶ div rank) keep the metrics
+    * hash-exact; absent top-1 scores rr = 0, not NULL.
+    */
+  def retrievalEvalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnQuery(spark, dir)
+      .select(col("query_id"), col("cand_id"), col("rn").as("t_rn"))
+    val approx = lshKnnQuery(spark, dir).filter(col("query_id") < 10)
+      .select(col("query_id"), col("cand_id"), col("rn").as("a_rn"))
+    val hits = truth.join(approx, Seq("query_id", "cand_id")).localCheckpoint(true)
+    val perQ = truth.select(col("query_id")).distinct()
+      .join(hits.groupBy(col("query_id")).agg(count(lit(1)).as("hits")),
+        Seq("query_id"), "left")
+    val rrs = hits.filter(col("t_rn") === 1)
+      .select(col("query_id"), expr("1000000L div a_rn").as("rr_micro"))
+    perQ.join(rrs, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) * 200000L).as("recall_micro"),
+        coalesce(col("rr_micro"), lit(0L)).as("rr_micro"))
+  }
+
+  /** Oracle: the q19 and q20 oracles verbatim as derived tables, the
+    * same joins, the same micro arithmetic.
+    */
+  lazy val retrievalEvalSql: String =
+    s"""WITH truth AS (
+       |  SELECT query_id, cand_id, rn AS t_rn FROM ($knnSql) k),
+       |approx AS (
+       |  SELECT query_id, cand_id, rn AS a_rn FROM ($lshKnnSql) l
+       |  WHERE query_id < 10),
+       |hits AS (
+       |  SELECT t.query_id, t.cand_id, t.t_rn, a.a_rn
+       |  FROM truth t JOIN approx a USING (query_id, cand_id)),
+       |perq AS (SELECT query_id, count(*) AS hits FROM hits GROUP BY 1),
+       |rrs AS (SELECT query_id, 1000000 // a_rn AS rr_micro FROM hits WHERE t_rn = 1)
+       |SELECT q.query_id, CAST(COALESCE(p.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(p.hits, 0) * 200000 AS BIGINT) AS recall_micro,
+       |  CAST(COALESCE(r.rr_micro, 0) AS BIGINT) AS rr_micro
+       |FROM (SELECT DISTINCT query_id FROM truth) q
+       |LEFT JOIN perq p USING (query_id)
+       |LEFT JOIN rrs r USING (query_id)""".stripMargin
+
   // ——— IVF (inverted-file) index: the coarse-quantizer scale path ———
 
   /** Assign each vector to its nearest of `nlist` centroids (coarse

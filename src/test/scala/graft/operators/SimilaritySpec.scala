@@ -296,6 +296,24 @@ class SimilaritySpec extends SparkSuite {
     assert(plain(1L) === 0.0 && plain(3L) === 0.0)
   }
 
+  test("q228 retrieval eval: metric arithmetic is internally consistent and nontrivial") {
+    val got = Similarity.retrievalEvalQuery(spark, sf)
+      .select("query_id", "hits", "recall_micro", "rr_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 10)
+    got.foreach { case (q, hits, recall, rr) =>
+      assert(hits >= 0 && hits <= 5, s"q$q: hits $hits out of range")
+      assert(recall === hits * 200000L, s"q$q: recall not derived from hits")
+      assert(rr == 0L || (1 to 5).exists(r => rr == 1000000L / r),
+        s"q$q: rr $rr is not 1e6 div rank for rank in 1..5")
+      // rr > 0 requires at least one hit (the top-1 itself)
+      assert(rr == 0L || hits >= 1, s"q$q: rr without hits")
+    }
+    // the 16-bit sign-LSH on random vectors finds SOMETHING — an
+    // all-zero eval would mean the join keys diverged, not bad recall
+    assert(got.map(_._2).sum > 0, "eval found zero hits across all queries")
+  }
+
   test("maxsim on the gate data: 10 queries x 10 ranked rows, scores in [-4, 4] and descending") {
     val out = Similarity.maxSimQuery(spark, sf)
       .select("query_id", "cand_id", "score", "rank").as[(Long, Long, Double, Int)].collect()
