@@ -484,6 +484,7 @@ object SparkEntry {
     "q226_curriculum_shards" -> graft.operators.Pipelines.curriculumQueryQ226 _,
     "q227_source_dup_matrix" -> Dedup.sourceDupMatrixQuery _,
     "q228_retrieval_eval" -> Similarity.retrievalEvalQuery _,
+    "q229_reshard_stability" -> graft.operators.Pipelines.reshardStabilityQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -872,6 +873,7 @@ object SparkEntry {
     "q226_curriculum_shards" -> graft.operators.Pipelines.curriculumQ226Sql,
     "q227_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
     "q228_retrieval_eval" -> Similarity.retrievalEvalSql,
+    "q229_reshard_stability" -> graft.operators.Pipelines.reshardStabilitySql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -687,6 +687,79 @@ object Pipelines {
       |       ELSE CAST(sum(n_chars) AS BIGINT) END AS sum_chars
       |FROM routed GROUP BY reason""".stripMargin
 
+  /** q229 — RESHARDING stability audit: when the shard count scales
+    * 8 → 10, what fraction of the corpus moves? Naive `hash mod n`
+    * reassigns ~(1 − 1/lcm-ish) ≈ 80% of documents — every move is a
+    * re-download/re-index at 100 TB — while rendezvous (highest-
+    * random-weight) hashing moves ONLY docs whose argmax lands on a
+    * NEW shard, expected 2/10. The operator computes both assignments
+    * at n=8 and n=10 in one pass and reports moved counts + ppm, so
+    * the resharding cost is a measured number, not folklore. All
+    * Lehmer-hash integer arithmetic (the q121/q202 no-rand family);
+    * HRW's per-doc work is a 10-way argmax of hashes — map-side, no
+    * shuffle beyond the final count.
+    */
+  def reshardStabilityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    // w(doc, s): the repo's double-step Lehmer on a (doc, shard) mix
+    val weighted = docs
+      .select(col("doc_id"), explode(expr("sequence(0, 9)")).as("s"))
+      .withColumn("w", expr(
+        "((doc_id * 31 + s * 1000003) % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647"))
+    val hrw = weighted.groupBy(col("doc_id"))
+      .agg(
+        // composite key w·16 + (15 − s): larger weight wins, then the
+        // SMALLER shard id — one BIGINT, so both engines' argmax agree
+        // even on (astronomically unlikely) weight collisions
+        expr("max_by(s, w * 16 + (15 - s)) FILTER (WHERE s < 8)").as("hrw8"),
+        expr("max_by(s, w * 16 + (15 - s))").as("hrw10"))
+    val modAssign = docs.select(col("doc_id"),
+      expr("(doc_id % 2147483647) * 48271 % 2147483647 % 8").as("mod8"),
+      expr("(doc_id % 2147483647) * 48271 % 2147483647 % 10").as("mod10"))
+    val joined = hrw.join(modAssign, "doc_id")
+    joined.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mod8") =!= col("mod10"), 1L).otherwise(0L)).as("mod_moved"),
+        sum(when(col("hrw8") =!= col("hrw10"), 1L).otherwise(0L)).as("hrw_moved"),
+        sum(when(col("hrw8") =!= col("hrw10") && col("hrw10") < 8, 1L).otherwise(0L))
+          .as("hrw_illegal_moves"))
+      .select(col("n_docs"), col("mod_moved"),
+        expr("mod_moved * 1000000L div n_docs").as("mod_moved_ppm"),
+        col("hrw_moved"),
+        expr("hrw_moved * 1000000L div n_docs").as("hrw_moved_ppm"),
+        // THE rendezvous guarantee: a doc that moves can only move TO
+        // a new shard (8 or 9) — this column must be zero
+        col("hrw_illegal_moves"))
+  }
+
+  val reshardStabilitySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, s.s AS s,
+      |    ((doc_id * 31 + s.s * 1000003) % 2147483647) * 48271 % 2147483647
+      |      * 48271 % 2147483647 AS w
+      |  FROM documents, unnest(range(10)) s(s)),
+      |hrw AS (
+      |  SELECT doc_id,
+      |    arg_max(s, w * 16 + (15 - s)) FILTER (WHERE s < 8) AS hrw8,
+      |    arg_max(s, w * 16 + (15 - s)) AS hrw10
+      |  FROM w GROUP BY 1),
+      |m AS (
+      |  SELECT doc_id,
+      |    (doc_id % 2147483647) * 48271 % 2147483647 % 8 AS mod8,
+      |    (doc_id % 2147483647) * 48271 % 2147483647 % 10 AS mod10
+      |  FROM documents),
+      |j AS (SELECT * FROM hrw JOIN m USING (doc_id))
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN mod8 <> mod10 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+      |  CAST(sum(CASE WHEN mod8 <> mod10 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+      |    AS mod_moved_ppm,
+      |  CAST(sum(CASE WHEN hrw8 <> hrw10 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+      |  CAST(sum(CASE WHEN hrw8 <> hrw10 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+      |    AS hrw_moved_ppm,
+      |  CAST(sum(CASE WHEN hrw8 <> hrw10 AND hrw10 < 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hrw_illegal_moves
+      |FROM j""".stripMargin
+
   // ——— q226: curriculum export (quality-ordered range shards) ———
 
   /** The range-partitioned export itself — the SCALE path: a total

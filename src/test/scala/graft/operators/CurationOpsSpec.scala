@@ -328,4 +328,20 @@ class CurationOpsSpec extends SparkSuite {
     // 1.5 * {1,2,3,5} in 1e-4 units → lo 15000, hi 75000; 1 null
     assert(rows("o_totalprice") == ((5L, 1L, 4L, "15000", "75000")))
   }
+
+  test("q229 reshard stability: rendezvous moves only to new shards and far less than mod") {
+    val r = Pipelines.reshardStabilityQuery(spark, sf).collect().head
+    val (n, modPpm, hrwPpm, illegal) = (r.getAs[Long]("n_docs"),
+      r.getAs[Long]("mod_moved_ppm"), r.getAs[Long]("hrw_moved_ppm"),
+      r.getAs[Long]("hrw_illegal_moves"))
+    assert(n > 0)
+    // THE rendezvous guarantee: scaling 8→10 can move a doc only TO a
+    // new shard — a single illegal move means the argmax is broken
+    assert(illegal === 0L, s"HRW moved $illegal docs to an old shard")
+    // theory: HRW moves ≈ 2/10 of docs; mod moves ~4/5. Loose bands
+    // absorb the fixed corpus's sampling noise
+    assert(hrwPpm > 50000 && hrwPpm < 350000, s"HRW move rate $hrwPpm implausible")
+    assert(modPpm > 600000, s"mod move rate $modPpm implausibly low")
+    assert(hrwPpm * 2 < modPpm, "HRW must beat mod by a wide margin")
+  }
 }
