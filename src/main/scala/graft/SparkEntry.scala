@@ -485,6 +485,7 @@ object SparkEntry {
     "q227_source_dup_matrix" -> Dedup.sourceDupMatrixQuery _,
     "q228_retrieval_eval" -> Similarity.retrievalEvalQuery _,
     "q229_reshard_stability" -> graft.operators.Pipelines.reshardStabilityQuery _,
+    "q230_index_compare" -> Similarity.indexCompareQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -874,6 +875,7 @@ object SparkEntry {
     "q227_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
     "q228_retrieval_eval" -> Similarity.retrievalEvalSql,
     "q229_reshard_stability" -> graft.operators.Pipelines.reshardStabilitySql,
+    "q230_index_compare" -> Similarity.indexCompareSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

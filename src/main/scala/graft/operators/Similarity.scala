@@ -367,6 +367,66 @@ object Similarity {
        |LEFT JOIN perq p USING (query_id)
        |LEFT JOIN rrs r USING (query_id)""".stripMargin
 
+  /** q230 — COMPARATIVE index evaluation: q228's harness over BOTH
+    * approximate indexes (sign-LSH q20 and IVF q33) on one surface —
+    * (index, query) rows of recall@5 and reciprocal rank — the table
+    * an index-selection decision actually reads. Same join shapes as
+    * q228; the union adds a 2-value label column, nothing else.
+    */
+  def indexCompareQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = knnQuery(spark, dir)
+      .select(col("query_id"), col("cand_id"), col("rn").as("t_rn"))
+      .localCheckpoint(true)
+    val approx =
+      lshKnnQuery(spark, dir).filter(col("query_id") < 10)
+        .select(lit("lsh").as("index_name"), col("query_id"), col("cand_id"),
+          col("rn").as("a_rn"))
+      .unionByName(
+        ivfKnnQuery(spark, dir).filter(col("query_id") < 10)
+          .select(lit("ivf").as("index_name"), col("query_id"), col("cand_id"),
+            col("rn").as("a_rn")))
+    val hits = truth.join(approx, Seq("query_id", "cand_id")).localCheckpoint(true)
+    val base = truth.select(col("query_id")).distinct()
+      .crossJoin(Seq("lsh", "ivf").toDF("index_name"))
+    val perQ = hits.groupBy(col("index_name"), col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+    val rrs = hits.filter(col("t_rn") === 1)
+      .select(col("index_name"), col("query_id"), expr("1000000L div a_rn").as("rr_micro"))
+    base.join(perQ, Seq("index_name", "query_id"), "left")
+      .join(rrs, Seq("index_name", "query_id"), "left")
+      .select(col("index_name"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) * 200000L).as("recall_micro"),
+        coalesce(col("rr_micro"), lit(0L)).as("rr_micro"))
+  }
+
+  lazy val indexCompareSql: String =
+    s"""WITH truth AS (
+       |  SELECT query_id, cand_id, rn AS t_rn FROM ($knnSql) k),
+       |lsh_t AS (SELECT query_id, cand_id, rn AS a_rn FROM ($lshKnnSql) l WHERE query_id < 10),
+       |ivf_t AS (SELECT query_id, cand_id, rn AS a_rn FROM ($ivfKnnSql) v WHERE query_id < 10),
+       |approx AS (
+       |  SELECT 'lsh' AS index_name, * FROM lsh_t
+       |  UNION ALL SELECT 'ivf' AS index_name, * FROM ivf_t),
+       |hits AS (
+       |  SELECT a.index_name, t.query_id, t.t_rn, a.a_rn
+       |  FROM truth t JOIN approx a USING (query_id, cand_id)),
+       |base AS (
+       |  SELECT i.index_name, q.query_id
+       |  FROM (VALUES ('lsh'), ('ivf')) i(index_name),
+       |       (SELECT DISTINCT query_id FROM truth) q),
+       |perq AS (SELECT index_name, query_id, count(*) AS hits FROM hits GROUP BY 1, 2),
+       |rrs AS (SELECT index_name, query_id, 1000000 // a_rn AS rr_micro
+       |        FROM hits WHERE t_rn = 1)
+       |SELECT b.index_name, b.query_id,
+       |  CAST(COALESCE(p.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(p.hits, 0) * 200000 AS BIGINT) AS recall_micro,
+       |  CAST(COALESCE(r.rr_micro, 0) AS BIGINT) AS rr_micro
+       |FROM base b
+       |LEFT JOIN perq p USING (index_name, query_id)
+       |LEFT JOIN rrs r USING (index_name, query_id)""".stripMargin
+
   // ——— IVF (inverted-file) index: the coarse-quantizer scale path ———
 
   /** Assign each vector to its nearest of `nlist` centroids (coarse

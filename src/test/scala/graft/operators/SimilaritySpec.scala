@@ -314,6 +314,16 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._2).sum > 0, "eval found zero hits across all queries")
   }
 
+  test("q230 index comparison: IVF (nprobe 4/16) beats 16-bit sign-LSH on mean recall here") {
+    val got = Similarity.indexCompareQuery(spark, sf)
+      .select("index_name", "recall_micro").as[(String, Long)].collect()
+    val mean = got.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum / rs.size }
+    assert(mean.keySet === Set("lsh", "ivf"))
+    assert(mean("ivf") > mean("lsh"),
+      s"IVF should dominate at these settings on this corpus: $mean")
+    assert(mean("ivf") > 500000, s"IVF recall implausibly low: $mean")
+  }
+
   test("maxsim on the gate data: 10 queries x 10 ranked rows, scores in [-4, 4] and descending") {
     val out = Similarity.maxSimQuery(spark, sf)
       .select("query_id", "cand_id", "score", "rank").as[(Long, Long, Double, Int)].collect()
