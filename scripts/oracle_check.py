@@ -48,9 +48,11 @@ def norm(v):
         # driver's hasher renders -0.0 != 0.0 (and distinguishes NaN
         # payloads), but Python's == says -0.0 == 0.0 — which is exactly
         # how q163's -0.0 passed locally while the driver's gate was
-        # red. Equality uses the raw IEEE bytes; the float value rides
-        # along only for the APPROX-ONLY near-miss diagnostic.
-        return ("f", struct.pack(">d", v), v)
+        # red. Equality uses ONLY the raw IEEE bytes (keeping the raw
+        # float in the tuple would make bit-identical NaNs compare
+        # unequal, since nan != nan); close() recovers the float from
+        # the bytes for the APPROX-ONLY near-miss diagnostic.
+        return ("f", struct.pack(">d", v))
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
     # Uniform type-tagged tuples keep mixed columns totally ordered:
@@ -71,7 +73,7 @@ def norm(v):
 
 def close(a, b):
     if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0] == "f":
-        x, y = a[2], b[2]
+        x, y = struct.unpack(">d", a[1])[0], struct.unpack(">d", b[1])[0]
         return math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
     return a == b
 

@@ -172,6 +172,59 @@ object Dedup {
     materializeAndRelease(scoreJaccard(joined, threshold), arrs)
   }
 
+  /** QUERY-RESTRICTED intersections: only pairs touching an id in
+    * `queryIds` (a one-column frame named `id`). Instead of exploding
+    * every posting list into C(df, 2) pairs and filtering afterwards
+    * (corpus-scale work for a query-scale answer), semi-join ONE side
+    * of the shingle equi-join to the query ids first: cost is
+    * O(Σ df over the QUERY docs' shingles), not O(Σ df²) over all
+    * shingles. Semantics are identical to
+    * `intersections(sh, maxDf).filter(id_a ∈ Q or id_b ∈ Q)`:
+    * the df cap is still computed over the WHOLE corpus (the stop-
+    * shingle set is a corpus property — restricting df to the query
+    * side would resurrect boilerplate shingles the full path drops),
+    * `df` here is exact like [[CappedPostingsAgg]]'s, and the
+    * canonicalize-then-distinct collapses the double emission of
+    * query-query pairs.
+    */
+  private[operators] def intersectionsFor(sh: DataFrame, queryIds: DataFrame,
+      maxDf: Int): DataFrame = {
+    val live = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .select(col("shingle"))
+    val shLive = sh.join(live, Seq("shingle"), "left_semi")
+    val qSide = shLive.join(queryIds.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id").as("qid"), col("shingle"))
+    shLive.select(col("id").as("oid"), col("shingle"))
+      .join(qSide, Seq("shingle"))
+      .filter(col("qid") =!= col("oid"))
+      .select(least(col("qid"), col("oid")).as("id_a"),
+        greatest(col("qid"), col("oid")).as("id_b"), col("shingle"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+  }
+
+  /** [[ngramJaccardPairs]] restricted to pairs with at least one side
+    * in `queryIds` — same scoring, same df-cap semantics, but the
+    * candidate build does query-scale work (see [[intersectionsFor]]).
+    * This is the right entry point when the consumer only wants pairs
+    * around a small query set (hard-negative mining, point-lookup
+    * dedup audits); output equals the full pair table filtered to the
+    * query set, by construction.
+    */
+  def ngramJaccardPairsFor(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, queryIds: DataFrame,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val arrs = shingleArrays(df, idCol, textCol, n).cache()
+    val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
+    val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
+    val joined = intersectionsFor(sh, queryIds, maxDf)
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    materializeAndRelease(scoreJaccard(joined, threshold), arrs)
+  }
+
   /** THE Jaccard scoring formula over a candidate frame carrying
     * (id_a, id_b, n_inter, n_a, n_b) — one definition shared by the
     * posting-list path and the LSH verify path, so a denominator or
@@ -1204,6 +1257,23 @@ object Dedup {
     * itself and must reproduce every component min bit-for-bit).
     */
   def corpusOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (out, hashes) = corpusOverlapFrame(spark, dir)
+    // the cache is load-bearing for the shared-shuffle plan (sketch,
+    // counts, and exact intersection all read it once), but the
+    // returned frame is lazy, so without an eager materialization
+    // there is no release point and every invocation would pin the
+    // hash set in executor storage for the session lifetime.
+    // localCheckpoint(eager) computes the single output row, then the
+    // cache drops — the pairExplainQuery discipline.
+    materializeAndRelease(out, hashes)
+  }
+
+  /** The LAZY q210 frame plus its load-bearing (corpus, hash) cache —
+    * split out so the plan audit can pin the shared-shuffle shape
+    * (InMemoryTableScan fan-out) BEFORE [[corpusOverlapQuery]]
+    * checkpoints it away. Callers of this variant own the unpersist.
+    */
+  private[graft] def corpusOverlapFrame(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.{Fingerprint64, GraftFunctions, Mix64}
     val H = 64
     // distinct (corpus, shingle-hash): shared by the sketch AND the
@@ -1229,12 +1299,13 @@ object Dedup {
     val inter = hashes.filter(col("corpus") === "train").select(col("h"))
       .join(hashes.filter(col("corpus") === "eval").select(col("h")), Seq("h"))
       .agg(count(lit(1)).as("n_inter"))
-    est.crossJoin(nTrain).crossJoin(nEval).crossJoin(inter)
+    val out = est.crossJoin(nTrain).crossJoin(nEval).crossJoin(inter)
       .select(lit(H).as("h_funcs"), col("est_matches"),
         expr(s"est_matches * 1000000L div $H").as("est_jacc_micro"),
         col("n_train"), col("n_eval"), col("n_inter"),
         (col("n_train") + col("n_eval") - col("n_inter")).as("n_union"),
         expr("n_inter * 1000000L div (n_train + n_eval - n_inter)").as("exact_jacc_micro"))
+    (out, hashes)
   }
 
   /** DuckDB replica: byte-fold fingerprint → fmix64 (q24/q25 CTEs),

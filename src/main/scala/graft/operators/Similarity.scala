@@ -290,7 +290,7 @@ object Similarity {
        |    list_transform(range(16), i ->
        |      CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), planes[CAST(i AS INT) + 1]) >= 0
        |           THEN 1::BIGINT ELSE 0::BIGINT END) AS bits
-       |  FROM embeddings, hs WHERE vec_id < 1000),
+       |  FROM embeddings, hs),
        |banded AS (
        |  SELECT id, CAST(b.band AS INT) AS band,
        |    list_reduce(list_prepend(0::BIGINT,
@@ -311,9 +311,16 @@ object Similarity {
        |WHERE rn <= 5""".stripMargin
   }
 
-  /** Oracle-gated query for the LSH path (see [[lshKnnSql]]). */
+  /** Oracle-gated query for the LSH path (see [[lshKnnSql]]). Indexes
+    * ALL embeddings — the same candidate universe the brute-force
+    * truth (q19) and the IVF index (q33) see, so the q228/q230 eval
+    * harness measures ranking quality, never index coverage (the
+    * round-12 advisor finding: a `vec_id < 1000` universe cut here
+    * silently penalized LSH in the comparative eval at SFs where the
+    * corpus outgrew the cut).
+    */
   def lshKnnQuery(spark: SparkSession, dir: String): DataFrame =
-    lshKnn(Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
+    lshKnn(Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", dim = 64, k = 5)
 
@@ -1163,17 +1170,23 @@ object Similarity {
     * label noise, the classic false-negative trap), and emit the
     * top-10 survivors as labeled hard negatives. Composes the two
     * proven engines — BM25 scoring ([[bm25Rank]]) and the df-capped
-    * Jaccard candidate machinery ([[Dedup.ngramJaccardPairs]]) — with
-    * one anti-join; no new scoring definitions. Scale: both inputs
-    * are candidates-only (posting-list equi-joins), the anti-join is
-    * on (query, doc) keys, and the re-rank windows per query — cost
-    * ∝ queries · fetchK, never corpus².
+    * QUERY-RESTRICTED Jaccard machinery
+    * ([[Dedup.ngramJaccardPairsFor]]) — with one anti-join; no new
+    * scoring definitions. Scale: the BM25 side is query-restricted by
+    * construction; the positives side semi-joins the shingle
+    * equi-join to the query ids BEFORE pair generation, so its cost
+    * is O(Σ df over the query docs' shingles) — query-scale, not the
+    * corpus-wide O(Σ df²) pair build (the round-12 `weak`). The
+    * anti-join is on (query, doc) keys and the re-rank windows per
+    * query. The one corpus-scale term that remains is the shared df
+    * count (one sparse-key shuffle, also needed by BM25's idf).
     */
   def hardNegativesQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val fetched = bm25(docs, "doc_id", "text", col("doc_id") < 3, k = 200)
-    val pairs = graft.operators.Dedup.ngramJaccardPairs(
-      docs, "doc_id", "text", n = 3, threshold = 0.3)
+    val pairs = graft.operators.Dedup.ngramJaccardPairsFor(
+      docs, "doc_id", "text", n = 3, threshold = 0.3,
+      queryIds = docs.filter(col("doc_id") < 3).select(col("doc_id").as("id")))
     val pos = pairs.filter(col("id_a") < 3)
         .select(col("id_a").as("query_id"), col("id_b").as("doc_id"))
       .unionByName(pairs.filter(col("id_b") < 3)

@@ -450,15 +450,36 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("q210: corpus overlap reuses ONE distinct-hash shuffle for sketch, counts, and intersection") {
-    val p = plan("q210_corpus_overlap")
-    assert(!p.contains("CartesianProduct"), "only 1-row frames may cross-join")
-    // the cached distinct (corpus, h) must feed every consumer — each
-    // of the 4 reads (sketch ×2 sides, counts, intersection ×2 sides)
-    // plans an InMemoryTableScan, never a fresh shingle recompute
-    // (an InMemoryRelation still PRINTS its child's parquet path, so
-    // the path count proves nothing; the cache-scan count does)
-    val cacheScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
-    assert(cacheScans >= 4, s"expected >=4 cache scans, got $cacheScans:\n${p.take(900)}")
+    // audit the LAZY frame: the gated query checkpoints the 1-row
+    // result eagerly (to release the hash cache), which hides the
+    // build plan behind a LogicalRDD — corpusOverlapFrame is the
+    // pre-checkpoint shape the gate executes
+    val (out, hashes) = graft.operators.Dedup.corpusOverlapFrame(spark, sf)
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), "only 1-row frames may cross-join")
+      // the cached distinct (corpus, h) must feed every consumer — each
+      // of the 4 reads (sketch ×2 sides, counts, intersection ×2 sides)
+      // plans an InMemoryTableScan, never a fresh shingle recompute
+      // (an InMemoryRelation still PRINTS its child's parquet path, so
+      // the path count proves nothing; the cache-scan count does)
+      val cacheScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(cacheScans >= 4, s"expected >=4 cache scans, got $cacheScans:\n${p.take(900)}")
+    } finally hashes.unpersist()
+  }
+
+  test("q210: the gated query releases its hash cache before returning") {
+    // the round-12 advisor finding: the lazy return had no release
+    // point, so each invocation pinned the (corpus, hash) set for the
+    // session. CacheManager matches by PLAN equality, so a template
+    // copy of the hashes frame observes whether the query's own cache
+    // entry is still registered after it returns.
+    val (_, template) = graft.operators.Dedup.corpusOverlapFrame(spark, sf)
+    template.unpersist() // drop OUR registration; only the query's can remain
+    assert(graft.operators.Dedup.corpusOverlapQuery(spark, sf).collect().length === 1)
+    assert(spark.sharedState.cacheManager
+      .lookupCachedData(template.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty,
+      "q210 left its (corpus, hash) cache registered after returning")
   }
 
   test("q226: the curriculum EXPORT plans RangePartitioning — parallel global order, no single-partition sort") {

@@ -146,6 +146,35 @@ class DedupSpec extends SparkSuite {
     assert(capped === Set((1L, 2L)), s"only the true dup pair should survive the cap: $capped")
   }
 
+  test("query-restricted pairs equal the full pair table filtered to the query set") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    val qIds = Set(0L, 1L, 2L)
+    val full = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.3)
+      .collect().toSet
+      .filter(r => qIds.contains(r.getLong(0)) || qIds.contains(r.getLong(1)))
+    val restricted = Dedup.ngramJaccardPairsFor(d, "doc_id", "text", 3, 0.3,
+        queryIds = d.filter(col("doc_id") < 3).select(col("doc_id").as("id")))
+      .collect().toSet
+    assert(restricted === full)
+    // restricting to ALL ids reproduces the full table exactly (incl.
+    // the query-query double-emission collapse)
+    val all = Dedup.ngramJaccardPairsFor(d, "doc_id", "text", 3, 0.8,
+        queryIds = d.select(col("doc_id").as("id")))
+      .collect().toSet
+    assert(all === Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8).collect().toSet)
+  }
+
+  test("query-restricted pairs honor the corpus-wide df cap (stop shingles stay stopped)") {
+    val mk = (tail: String) => (1 to 6).map(i => s"common$i").mkString(" ") + " " + tail
+    val hotDocs = Seq((1L, mk("a")), (2L, mk("a")),
+      (3L, mk("b")), (4L, mk("c")), (5L, mk("d")), (6L, mk("e"))).toDF("doc_id", "text")
+    val q = Seq(1L).toDF("id")
+    val capped = Dedup.ngramJaccardPairsFor(hotDocs, "doc_id", "text", 3, 0.01, q, maxDf = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)),
+      s"the df>3 boilerplate shingles must stay dropped in the restricted path: $capped")
+  }
+
   test("df cap above corpus max df leaves results byte-identical (pins the gated oracles)") {
     val d = graft.tables.Tables.documents(spark, sf)
     val base = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8, maxDf = Int.MaxValue - 1)
