@@ -486,6 +486,7 @@ object SparkEntry {
     "q228_retrieval_eval" -> Similarity.retrievalEvalQuery _,
     "q229_reshard_stability" -> graft.operators.Pipelines.reshardStabilityQuery _,
     "q230_index_compare" -> Similarity.indexCompareQuery _,
+    "q231_pair_artifact_audit" -> Dedup.pairArtifactAuditQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -876,6 +877,7 @@ object SparkEntry {
     "q228_retrieval_eval" -> Similarity.retrievalEvalSql,
     "q229_reshard_stability" -> graft.operators.Pipelines.reshardStabilitySql,
     "q230_index_compare" -> Similarity.indexCompareSql,
+    "q231_pair_artifact_audit" -> Dedup.pairArtifactAuditSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

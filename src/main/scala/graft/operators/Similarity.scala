@@ -336,8 +336,25 @@ object Similarity {
     * micro-units (hits·200000; 10⁶ div rank) keep the metrics
     * hash-exact; absent top-1 scores rr = 0, not NULL.
     */
+  /** Build-if-absent, then read, the exact-KNN TRUTH artifact — q19's
+    * brute-force top-5 persisted once through the store's ordinary
+    * write path (the q134 index pattern, the q231 pair-artifact twin)
+    * and consumed by every eval run (q228, q230). At 100 TB the truth
+    * set is the expensive thing (a full corpus scan per query batch);
+    * the evals that consume it — per index, per tuning sweep — are
+    * cheap equi-joins, so recompute-per-eval is the anti-pattern and
+    * one stored build is the artifact shape.
+    */
+  private[graft] def knnTruthArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.bucketed.BucketStore
+    val name = s"knn_truth@$dir"
+    if (!BucketStore.exists(name))
+      BucketStore.load(spark, name, knnQuery(spark, dir), "query_id", numBuckets = 4)
+    spark.read.format("graft-buckets").option("table", name).load()
+  }
+
   def retrievalEvalQuery(spark: SparkSession, dir: String): DataFrame = {
-    val truth = knnQuery(spark, dir)
+    val truth = knnTruthArtifact(spark, dir)
       .select(col("query_id"), col("cand_id"), col("rn").as("t_rn"))
     val approx = lshKnnQuery(spark, dir).filter(col("query_id") < 10)
       .select(col("query_id"), col("cand_id"), col("rn").as("a_rn"))
@@ -382,9 +399,8 @@ object Similarity {
     */
   def indexCompareQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = knnQuery(spark, dir)
+    val truth = knnTruthArtifact(spark, dir)
       .select(col("query_id"), col("cand_id"), col("rn").as("t_rn"))
-      .localCheckpoint(true)
     val approx =
       lshKnnQuery(spark, dir).filter(col("query_id") < 10)
         .select(lit("lsh").as("index_name"), col("query_id"), col("cand_id"),

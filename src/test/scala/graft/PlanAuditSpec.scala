@@ -482,6 +482,32 @@ class PlanAuditSpec extends SparkSuite {
       "q210 left its (corpus, hash) cache registered after returning")
   }
 
+  test("q231: the pair-artifact consumers read the STORE, never rebuild the shingle machinery") {
+    val p = plan("q231_pair_artifact_audit")
+    // one build (imperative, store-side, versioned), N reads: the
+    // consuming plan must scan the stored artifact and contain ZERO
+    // candidate-generation work — no shingle hashing (xxhash64), no
+    // posting-list aggregation
+    assert(!p.contains("xxhash64"), s"shingle machinery rebuilt in the consumer plan:\n${p.take(900)}")
+    val storeScans = p.linesIterator.count(_.contains("jaccard_pairs@"))
+    assert(storeScans >= 2, s"expected >=2 stored-artifact scans (pair + doc rollups), got $storeScans")
+  }
+
+  test("q219/q227/q228/q230: shared-artifact consumers plan store reads, not rebuilds") {
+    // q219/q227 ride the jaccard_pairs artifact; q228/q230 the
+    // knn_truth artifact. Each consumer's plan must read the store —
+    // the 'materialize once, consume many' contract from round 12's
+    // verdict (recompute-per-consumer was the flagged anti-pattern).
+    assert(plan("q227_source_dup_matrix").contains("jaccard_pairs@"))
+    assert(plan("q228_retrieval_eval").contains("knn_truth@"))
+    assert(plan("q230_index_compare").contains("knn_truth@"))
+    // q219 checkpoints the pair read (its audit needs the tiny pair
+    // set thrice) — the artifact read happens before the checkpoint,
+    // so pin it on the un-checkpointed source instead
+    assert(graft.operators.Dedup.pairArtifact(spark, sf).queryExecution
+      .executedPlan.toString.contains("jaccard_pairs@"))
+  }
+
   test("q226: the curriculum EXPORT plans RangePartitioning — parallel global order, no single-partition sort") {
     val p = graft.operators.Pipelines.curriculumExportFrame(spark, sf, shards = 8)
       .queryExecution.executedPlan.toString
