@@ -40,6 +40,14 @@ object Bench {
     * the run (q17, +4.5s, ratio 3.2) fell outside the 10-slot cap
     * while +0.6s blips filled it.
     */
+  /** Queries re-repped EVERY run regardless of the outlier rule —
+    * round-12's verdict (task 7): q169/q34 drifted ~1.8-2× in single
+    * passes with minima holding (contention confirmed by rerun); a
+    * standing watch keeps a REAL regression in either from hiding
+    * inside suite noise, at the cost of two extra reps per run.
+    */
+  val rerepWatchlist: Set[String] = Set("q169_store_bm25", "q34_session_windows")
+
   def selectOutliers(results: Seq[(String, Double)], prior: Map[String, Double],
       cap: Int = 10): Seq[(String, Double)] = {
     val flagged = results.filter { case (n, v) =>
@@ -47,7 +55,8 @@ object Bench {
     }
     val byRatio = flagged.sortBy { case (n, v) => -(v / prior(n)) }.take(cap)
     val byExcess = flagged.sortBy { case (n, v) => -(v - prior(n)) }.take(cap)
-    (byRatio ++ byExcess).distinctBy(_._1)
+    val watched = results.filter { case (n, v) => v >= 0 && rerepWatchlist.contains(n) }
+    (byRatio ++ byExcess ++ watched).distinctBy(_._1)
   }
 
   /** Fold this run into the prior: per-query `min(prior, current)` — a
@@ -141,7 +150,7 @@ object Bench {
       val again = materialize(n)
       spark.catalog.clearCache()
       System.err.println(f"[bench] re-rep $n: suite=$suiteBest%.2fs rerun=$again%.2fs " +
-        f"(prior=${prior(n)}%.2fs)")
+        f"(prior=${prior.getOrElse(n, -1.0)}%.2fs)")
       n -> ((suiteBest, again))
     }.toMap
     val finalResults = results.map { case (n, v) =>

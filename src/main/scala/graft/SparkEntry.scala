@@ -487,6 +487,9 @@ object SparkEntry {
     "q229_reshard_stability" -> graft.operators.Pipelines.reshardStabilityQuery _,
     "q230_index_compare" -> Similarity.indexCompareQuery _,
     "q231_pair_artifact_audit" -> Dedup.pairArtifactAuditQuery _,
+    "q232_rebucket_hrw" -> graft.sources.bucketed.BucketedQueries.rebucketHrwQuery _,
+    "q233_autocompact_ingest" -> graft.sources.bucketed.BucketedQueries.autoCompactIngestQuery _,
+    "q234_ann_refresh" -> graft.sources.bucketed.BucketedQueries.annRefreshQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -878,6 +881,11 @@ object SparkEntry {
     "q229_reshard_stability" -> graft.operators.Pipelines.reshardStabilitySql,
     "q230_index_compare" -> Similarity.indexCompareSql,
     "q231_pair_artifact_audit" -> Dedup.pairArtifactAuditSql,
+    "q232_rebucket_hrw" -> graft.sources.bucketed.BucketedQueries.rebucketHrwSql,
+    "q233_autocompact_ingest" -> graft.sources.bucketed.BucketedQueries.autoCompactIngestSql,
+    // the refresh gate IS the bit-identity trick: refreshed store-served
+    // index ≡ q33's from-scratch build with the same refined quantizer
+    "q234_ann_refresh" -> Similarity.ivfKnnSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

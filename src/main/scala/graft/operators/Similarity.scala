@@ -391,11 +391,16 @@ object Similarity {
        |LEFT JOIN perq p USING (query_id)
        |LEFT JOIN rrs r USING (query_id)""".stripMargin
 
-  /** q230 — COMPARATIVE index evaluation: q228's harness over BOTH
-    * approximate indexes (sign-LSH q20 and IVF q33) on one surface —
-    * (index, query) rows of recall@5 and reciprocal rank — the table
-    * an index-selection decision actually reads. Same join shapes as
-    * q228; the union adds a 2-value label column, nothing else.
+  /** q230 — COMPARATIVE index evaluation: q228's harness over THREE
+    * retrieval surfaces on one table — sign-LSH (q20), flat IVF with
+    * a refreshed Lloyd quantizer (q33), and the STORE-SERVED IVF
+    * deployment shape (q168: frozen seed quantizer, bucket-pruned
+    * probes) — (index, query) rows of recall@5 and reciprocal rank.
+    * This is the table an index-selection decision actually reads,
+    * and the `store` vs `ivf` rows double as the DRIFT audit for the
+    * q234 refresh lifecycle: same corpus, frozen vs refreshed
+    * quantizer, recall measured by the same harness. Same join shapes
+    * as q228; the union adds a 3-value label column, nothing else.
     */
   def indexCompareQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -409,9 +414,14 @@ object Similarity {
         ivfKnnQuery(spark, dir).filter(col("query_id") < 10)
           .select(lit("ivf").as("index_name"), col("query_id"), col("cand_id"),
             col("rn").as("a_rn")))
+      .unionByName(
+        graft.sources.bucketed.BucketedQueries.storeAnnQuery(spark, dir)
+          .filter(col("query_id") < 10)
+          .select(lit("store").as("index_name"), col("query_id"), col("cand_id"),
+            col("rn").as("a_rn")))
     val hits = truth.join(approx, Seq("query_id", "cand_id")).localCheckpoint(true)
     val base = truth.select(col("query_id")).distinct()
-      .crossJoin(Seq("lsh", "ivf").toDF("index_name"))
+      .crossJoin(Seq("lsh", "ivf", "store").toDF("index_name"))
     val perQ = hits.groupBy(col("index_name"), col("query_id"))
       .agg(count(lit(1)).as("hits"))
     val rrs = hits.filter(col("t_rn") === 1)
@@ -429,15 +439,18 @@ object Similarity {
        |  SELECT query_id, cand_id, rn AS t_rn FROM ($knnSql) k),
        |lsh_t AS (SELECT query_id, cand_id, rn AS a_rn FROM ($lshKnnSql) l WHERE query_id < 10),
        |ivf_t AS (SELECT query_id, cand_id, rn AS a_rn FROM ($ivfKnnSql) v WHERE query_id < 10),
+       |store_t AS (SELECT query_id, cand_id, rn AS a_rn
+       |  FROM (${graft.sources.bucketed.BucketedQueries.storeAnnSql}) st WHERE query_id < 10),
        |approx AS (
        |  SELECT 'lsh' AS index_name, * FROM lsh_t
-       |  UNION ALL SELECT 'ivf' AS index_name, * FROM ivf_t),
+       |  UNION ALL SELECT 'ivf' AS index_name, * FROM ivf_t
+       |  UNION ALL SELECT 'store' AS index_name, * FROM store_t),
        |hits AS (
        |  SELECT a.index_name, t.query_id, t.t_rn, a.a_rn
        |  FROM truth t JOIN approx a USING (query_id, cand_id)),
        |base AS (
        |  SELECT i.index_name, q.query_id
-       |  FROM (VALUES ('lsh'), ('ivf')) i(index_name),
+       |  FROM (VALUES ('lsh'), ('ivf'), ('store')) i(index_name),
        |       (SELECT DISTINCT query_id FROM truth) q),
        |perq AS (SELECT index_name, query_id, count(*) AS hits FROM hits GROUP BY 1, 2),
        |rrs AS (SELECT index_name, query_id, 1000000 // a_rn AS rr_micro

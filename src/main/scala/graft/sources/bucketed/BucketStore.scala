@@ -3,6 +3,7 @@ package graft.sources.bucketed
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -98,7 +99,19 @@ object BucketStore {
       // append-merges and merge-on-read folds to stay consistent
       // with the stored sort. None = no data committed yet (or a
       // non-z layout).
-      zBounds: Option[Array[Array[Long]]] = None)
+      zBounds: Option[Array[Array[Long]]] = None,
+      // HRW (rendezvous / highest-random-weight) bucket assignment:
+      // key k lives in argmax_b score(hash(k), b) instead of
+      // pmod(hash(k), n). The operational win is RESIZE stability
+      // (the q229 analysis, wired into the store): growing n → m
+      // moves ONLY keys whose winner among m is a NEW bucket —
+      // E[moved] = 1 − n/m of rows — where mod-rehash moves ~1 − 1/m
+      // of everything. The cost is that Spark's bucket transform no
+      // longer describes the layout, so HRW tables report unknown
+      // partitioning (no storage-partitioned joins) — the documented
+      // trade: choose HRW for tables that resize under continuous
+      // ingest, mod-hash for tables that co-partition with others.
+      hrw: Boolean = false)
 
   /** One bucket's pending merge-on-read state: `deleted` marks hidden
     * physical positions (over base ++ delta), `delta` the rows added
@@ -796,13 +809,16 @@ object BucketStore {
     * one-off cost of fixing a layout, paid under MVCC so reads never
     * block.
     */
-  def rebucket(name: String, numBuckets: Int): Long = synchronized {
+  def rebucket(name: String, numBuckets: Int, hrw: Boolean = false): Long = synchronized {
     require(numBuckets > 0, s"rebucket('$name'): numBuckets must be positive, got $numBuckets")
     val t = get(name)
-    // same-count rebucket is a no-op ONLY for a hash table; from a
-    // range layout it is the documented way back to hash at any count
-    require(numBuckets != t.buckets.length || t.rangeBounds.isDefined,
-      s"rebucket('$name'): table already has $numBuckets hash buckets")
+    // same-count rebucket is a no-op ONLY when the placement function
+    // is unchanged; from a range layout (or across the mod↔HRW
+    // boundary) it is the documented way to change layouts at any
+    // count
+    require(numBuckets != t.buckets.length || t.rangeBounds.isDefined || hrw != t.hrw,
+      s"rebucket('$name'): table already has $numBuckets " +
+        s"${if (t.hrw) "HRW" else "hash"} buckets")
     // preserve the table's host-fleet size: regenerating with a
     // default would silently shrink preferredLocations to a subset of
     // the fleet. Hosts are synthetic 'host-<i>' names; the max index
@@ -812,14 +828,50 @@ object BucketStore {
     val nHosts = t.hosts.iterator.flatten
       .map(_.stripPrefix("host-").toInt).max + 1
     val keyIdx = t.schema.fieldIndex(t.keyCol)
-    val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
-    t.buckets.indices.foreach(src => effectiveRows(t, src).foreach { r =>
-      val b = routeBucket(None, numBuckets,
-        if (keyIdx >= r.size || r.isNullAt(keyIdx)) null else r.get(keyIdx))
-      byBucket(b) += r
-    })
-    val buckets = byBucket.map(v =>
-      clusterSort(t.schema, t.clusterCol, v.result().toArray, t.zBounds))
+    def keyOf(r: Row): Any =
+      if (keyIdx >= r.size || r.isNullAt(keyIdx)) null else r.get(keyIdx)
+    val buckets: Array[Array[Row]] =
+      if (t.hrw && hrw && t.rangeBounds.isEmpty) {
+        // HRW → HRW resize: the MINIMAL-MOVEMENT path. Only rows
+        // whose argmax winner changed leave their bucket (on grow,
+        // provably only TO new buckets — see [[hrwBucketFor]]); a
+        // bucket that loses no row, receives no row, and has no
+        // pending MoR state keeps its array BY IDENTITY — at 100 TB
+        // that is "this file set is untouched, publish the old
+        // manifest entry", the whole point of rendezvous layouts vs
+        // mod-rehash's ~(1 − 1/m) full rewrite (the q229 numbers,
+        // now enforced by RebucketHrwSpec).
+        val kept = Array.fill(numBuckets)(Vector.newBuilder[Row])
+        val arrived = Array.fill(numBuckets)(false)
+        val lost = Array.fill(t.buckets.length)(false)
+        t.buckets.indices.foreach { src =>
+          effectiveRows(t, src).foreach { r =>
+            val b = routeBucket(None, numBuckets, keyOf(r), hrw = true)
+            if (b == src) kept(b) += r
+            else {
+              if (src < numBuckets) lost(src) = true
+              arrived(b) = true
+              kept(b) += r
+            }
+          }
+          if (src >= numBuckets) lost(src) = true // shrink: bucket dissolved
+        }
+        Array.tabulate(numBuckets) { b =>
+          val untouched = b < t.buckets.length && !lost(b) && !arrived(b) &&
+            !t.mor.contains(b)
+          if (untouched) t.buckets(b)
+          else clusterSort(t.schema, t.clusterCol, kept(b).result().toArray, t.zBounds)
+        }
+      } else {
+        // layout CHANGE (mod↔HRW, range→either, or mod resize): the
+        // placement function itself moved, so this is the documented
+        // full-table shuffle — one-off cost, paid under MVCC
+        val byBucket = Array.fill(numBuckets)(Vector.newBuilder[Row])
+        t.buckets.indices.foreach(src => effectiveRows(t, src).foreach { r =>
+          byBucket(routeBucket(None, numBuckets, keyOf(r), hrw)) += r
+        })
+        byBucket.map(v => clusterSort(t.schema, t.clusterCol, v.result().toArray, t.zBounds))
+      }
     val next = t.copy(
       buckets = buckets,
       hosts = Array.tabulate(numBuckets)(hostsFor(_, nHosts)),
@@ -829,7 +881,8 @@ object BucketStore {
       rangeBounds = None,
       layoutEpoch = t.layoutEpoch + 1,
       mor = Map.empty, // a full rewrite materializes pending deltas
-      replicated = false) // hash-distributing IS de-replication
+      replicated = false, // hash-distributing IS de-replication
+      hrw = hrw)
     publish(name, next)
     next.version
   }
@@ -873,17 +926,69 @@ object BucketStore {
     * route through here, so a layout's ownership rule has exactly one
     * definition.
     */
-  def routeBucket(rangeBounds: Option[Array[Any]], numBuckets: Int, v: Any): Int =
+  def routeBucket(rangeBounds: Option[Array[Any]], numBuckets: Int, v: Any,
+      hrw: Boolean = false): Int =
     rangeBounds match {
       case Some(bounds) =>
         require(bounds.length == numBuckets - 1,
           s"range layout has ${bounds.length} boundaries for $numBuckets buckets — " +
             "the table was re-laid-out between write planning and execution")
         rangeBucketFor(bounds, v)
+      case None if hrw => hrwBucketFor(v, numBuckets).getOrElse(
+        throw new UnsupportedOperationException(
+          s"bucket key value $v is not hash-bucketable"))
       case None => BucketFunction.bucketFor(v, numBuckets).getOrElse(
         throw new UnsupportedOperationException(
           s"bucket key value $v is not hash-bucketable"))
     }
+
+  /** splitmix64's finalizer over (keyHash, bucket) — the per-(key,
+    * bucket) independent score HRW argmaxes. Any such family works;
+    * splitmix is chosen because its avalanche is proven and the JVM
+    * fold is 5 ops.
+    */
+  private def hrwScore(keyHash: Long, bucket: Int): Long = {
+    var z = (keyHash ^ (bucket.toLong * 0xC2B2AE3D27D4EB4FL)) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The HRW owner of a key value: argmax over buckets of
+    * [[hrwScore]], ties to the smaller bucket. Same key-hash domain
+    * as [[BucketFunction.bucketFor]] (Murmur3 seed 42 on integral
+    * keys, the seed itself for null) so HRW and mod layouts disagree
+    * only in the placement function, never in what is routable.
+    * `None` for non-integral keys — callers must not prune then,
+    * exactly like the mod path.
+    *
+    * THE resize-stability property (the q229 invariant, now a store
+    * guarantee): argmax over a SUPERSET of buckets differs from the
+    * argmax over the subset only when the winner is one of the added
+    * buckets — so growing n → m moves a key iff its new owner is
+    * ≥ n, and every moved key moves TO a new bucket ("zero illegal
+    * moves"). Cost is O(numBuckets) per key vs mod's O(1) — real but
+    * trivial against a write's I/O, and only HRW tables pay it.
+    */
+  def hrwBucketFor(value: Any, numBuckets: Int): Option[Int] = {
+    val keyHash: Option[Long] = value match {
+      case v: Long => Some(Murmur3_x86_32.hashLong(v, 42).toLong)
+      case v: Int => Some(Murmur3_x86_32.hashInt(v, 42).toLong)
+      case null => Some(42L)
+      case _ => None
+    }
+    keyHash.map { h =>
+      var best = 0
+      var bestScore = hrwScore(h, 0)
+      var b = 1
+      while (b < numBuckets) {
+        val s = hrwScore(h, b)
+        if (s > bestScore) { best = b; bestScore = s }
+        b += 1
+      }
+      best
+    }
+  }
 
   /** Switch `name` to a RANGE layout on its bucket key under ONE MVCC
     * version: boundaries are the equal-frequency quantiles of the

@@ -210,7 +210,8 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "history"),
-      Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "recluster"),
+      Identifier.of(Array.empty, "rebucket"), Identifier.of(Array.empty, "rebucket_hrw"),
+      Identifier.of(Array.empty, "recluster"),
       Identifier.of(Array.empty, "repartition_range"), Identifier.of(Array.empty, "stats"),
       Identifier.of(Array.empty, "analyze"), Identifier.of(Array.empty, "compact"),
       Identifier.of(Array.empty, "reorder"), Identifier.of(Array.empty, "tag"))
@@ -221,6 +222,7 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "vacuum" => BucketedProcedures.Vacuum
       case "history" => BucketedProcedures.History
       case "rebucket" => BucketedProcedures.Rebucket
+      case "rebucket_hrw" => BucketedProcedures.RebucketHrw
       case "recluster" => BucketedProcedures.Recluster
       case "repartition_range" => BucketedProcedures.RepartitionRange
       case "stats" => BucketedProcedures.Stats
@@ -230,7 +232,7 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "tag" => BucketedProcedures.Tag
       case other => throw new UnsupportedOperationException(
         s"no such procedure: $other (supported: analyze, compact, vacuum, history, " +
-          "rebucket, recluster, reorder, repartition_range, stats, tag)")
+          "rebucket, rebucket_hrw, recluster, reorder, repartition_range, stats, tag)")
     }
 }
 

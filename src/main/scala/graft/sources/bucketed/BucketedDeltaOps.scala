@@ -64,7 +64,7 @@ class BucketedDeltaOperation(name: String, cmd: RowLevelOperation.Command)
       override def build(): DeltaWrite = {
         val t = BucketStore.getWithRetry(name)
         new BucketedDeltaWrite(name, t.schema, t.keyCol, t.buckets.length,
-          t.rangeBounds, t.layoutEpoch, BucketedDeltaOperation.this)
+          t.rangeBounds, t.layoutEpoch, BucketedDeltaOperation.this, t.hrw)
       }
     }
 
@@ -72,7 +72,8 @@ class BucketedDeltaOperation(name: String, cmd: RowLevelOperation.Command)
 }
 
 class BucketedDeltaWrite(name: String, schema: StructType, keyCol: String, numBuckets: Int,
-    rangeBounds: Option[Array[Any]], layoutEpoch: Long, op: BucketedDeltaOperation)
+    rangeBounds: Option[Array[Any]], layoutEpoch: Long, op: BucketedDeltaOperation,
+    hrw: Boolean = false)
   extends DeltaWrite {
 
   /** No required distribution: a delta is small by definition (the
@@ -81,7 +82,7 @@ class BucketedDeltaWrite(name: String, schema: StructType, keyCol: String, numBu
     */
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-      new BucketedDeltaWriterFactory(schema, keyCol, numBuckets, rangeBounds)
+      new BucketedDeltaWriterFactory(schema, keyCol, numBuckets, rangeBounds, hrw)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val dels = Array.fill(numBuckets)(Vector.newBuilder[Int])
@@ -112,9 +113,9 @@ class BucketedDeltaWrite(name: String, schema: StructType, keyCol: String, numBu
 }
 
 class BucketedDeltaWriterFactory(schema: StructType, keyCol: String, numBuckets: Int,
-    rangeBounds: Option[Array[Any]]) extends DeltaWriterFactory {
+    rangeBounds: Option[Array[Any]], hrw: Boolean = false) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new BucketedDeltaWriter(schema, keyCol, numBuckets, rangeBounds)
+    new BucketedDeltaWriter(schema, keyCol, numBuckets, rangeBounds, hrw)
 }
 
 final case class BucketDeltaCommit(deletes: Array[Array[Int]], inserts: Array[Array[Row]])
@@ -127,7 +128,7 @@ final case class BucketDeltaCommit(deletes: Array[Array[Int]], inserts: Array[Ar
   * path — an UPDATE that rewrites the key legally moves the row.
   */
 class BucketedDeltaWriter(schema: StructType, keyCol: String, numBuckets: Int,
-    rangeBounds: Option[Array[Any]]) extends DeltaWriter[InternalRow] {
+    rangeBounds: Option[Array[Any]], hrw: Boolean = false) extends DeltaWriter[InternalRow] {
 
   private val fieldConverters = schema.fields.map(f =>
     org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(f.dataType))
@@ -164,7 +165,7 @@ class BucketedDeltaWriter(schema: StructType, keyCol: String, numBuckets: Int,
 
   override def insert(row: InternalRow): Unit = {
     val r = toRow(row)
-    ins(BucketStore.routeBucket(rangeBounds, numBuckets,
+    ins(BucketStore.routeBucket(rangeBounds, numBuckets, hrw = hrw, v =
       if (r.isNullAt(keyIdx)) null else r.get(keyIdx))) += r
   }
 

@@ -122,6 +122,51 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.rebucket_hrw('t', n)` — switch the table to (or
+    * resize it under) RENDEZVOUS bucket assignment
+    * ([[BucketStore.rebucket]] with `hrw = true`). From a mod/range
+    * layout this is a one-off full shuffle like plain rebucket; from
+    * an existing HRW layout a resize rewrites ONLY the buckets whose
+    * membership changed — on grow, ~(1 − n/m) of rows move, all into
+    * the new buckets, and untouched buckets republish by identity
+    * (the q229 stability analysis as store behavior, spec-pinned by
+    * RebucketHrwSpec). The reported `moved_buckets` is how many of
+    * the new layout's buckets were materialized by this call.
+    */
+  object RebucketHrw extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rebucket_hrw"
+    override def description(): String =
+      "rebucket_hrw(table, num_buckets): rendezvous (HRW) bucket layout — minimal-" +
+        "movement resizes from an existing HRW layout, one-off shuffle otherwise"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("num_buckets", IntegerType).build())
+    override def isDeterministic: Boolean = false // publishes a version
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "rebucket_hrw(table, num_buckets): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val before = BucketStore.get(table)
+      val version = BucketStore.rebucket(table, input.getInt(1), hrw = true)
+      val after = BucketStore.get(table)
+      // identity survey: buckets whose array the resize did NOT
+      // materialize are the untouched set the minimal-movement path
+      // guarantees
+      val untouched = after.buckets.indices.count(b =>
+        b < before.buckets.length && (after.buckets(b) eq before.buckets(b)))
+      localScan(
+        StructType(Seq(
+          StructField("old_buckets", IntegerType, nullable = false),
+          StructField("new_buckets", IntegerType, nullable = false),
+          StructField("untouched_buckets", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        Array(InternalRow(before.buckets.length, input.getInt(1), untouched, version)),
+        s"graft rebucket_hrw($table)")
+    }
+  }
+
   /** `CALL graft.recluster('t', 'col')` — re-sort every bucket on a
     * new cluster column under one version ([[BucketStore.recluster]]);
     * future publishes maintain the order and range predicates on the

@@ -1240,6 +1240,89 @@ object BucketedQueries {
       |FROM orders WHERE o_orderpriority <> '1-URGENT'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** q232 — `CALL graft.rebucket_hrw` end-to-end: orders converts to a
+    * RENDEZVOUS layout, then resizes 8 → 10 under minimal movement
+    * (only rows whose HRW winner is a new bucket rewrite — the q229
+    * analysis as store behavior, invariants spec-pinned in
+    * RebucketHrwSpec), then DML and an aggregate run THROUGH the HRW
+    * layout, proving reads, point-lookup pruning, and the write path
+    * all follow the argmax placement. The oracle sees only the final
+    * state — identical rows, rendezvous physics. At 100 TB this is
+    * the resize that does NOT rewrite the table: ~1 − n/m of rows
+    * move (all into the new buckets) instead of mod-rehash's ~1 − 1/m
+    * of everything.
+    */
+  def rebucketHrwQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"orders_hrw@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name, graft.tables.Tables.orders(spark, dir), "o_orderkey", 8)
+    spark.sql(s"CALL graft.rebucket_hrw('$name', 8)")  // mod -> HRW conversion
+    spark.sql(s"CALL graft.rebucket_hrw('$name', 10)") // minimal-movement grow
+    // post-resize DML exercises the HRW write path
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = '5-LOW'")
+    spark.table(s"graft.`$name`")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+  }
+
+  val rebucketHrwSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderpriority <> '5-LOW'
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q233 — AUTO-COMPACTION under continuous DML, end-to-end: lineitem
+    * serves as a merge-on-read table taking three DML batches. Batch 1
+    * (~2% of rows) stays under the policy floor and leaves pending
+    * MoR state; batch 2 (~18%) pushes pending past BOTH knobs
+    * (`autoCompactMinRows`, `autoCompactRatioPct`) so the commit
+    * folds the table down IN THE SAME STATEMENT — no `CALL compact`
+    * anywhere in this query; batch 3 then writes through the freshly
+    * folded base, proving maintenance is invisible to the DML stream.
+    * The gated aggregate reads the final state; AutoCompactGateSpec
+    * pins the mechanics (mor non-empty after batch 1, EMPTY after
+    * batch 2, fold published as its own version). At 100 TB this is
+    * the difference between read amplification bounded by a constant
+    * and every scan folding an unbounded delta history.
+    */
+  def autoCompactIngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_autoc@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag")),
+      "l_orderkey", 8)
+    BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
+    spark.sql(s"UPDATE graft.`$name` SET l_quantity = l_quantity + 100 WHERE l_quantity = 1")
+    spark.sql(s"UPDATE graft.`$name` SET l_quantity = l_quantity + 100 WHERE l_quantity <= 10")
+    spark.sql(s"DELETE FROM graft.`$name` WHERE l_returnflag = 'R'")
+    spark.table(s"graft.`$name`")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_qty"))
+  }
+
+  /** Oracle: replay the two updates (a row bumped by batch 1 is > 10
+    * by batch 2, so no row bumps twice) and the delete on the raw
+    * table.
+    */
+  val autoCompactIngestSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN l_quantity <= 10 THEN l_quantity + 100
+      |                     ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_returnflag <> 'R'
+      |GROUP BY l_returnflag""".stripMargin
+
   /** q117 — data-skipping point lookup on a NON-key column: c_name is
     * unique but the table is bucketed by c_custkey, so key-equality
     * pruning cannot help — the per-bucket membership sketch
@@ -1492,6 +1575,69 @@ object BucketedQueries {
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = Similarity.probeCentroids(queries, centroids, nprobe = 4)
+      .withColumnRenamed("cent_id", "p_cent")
+    val cands = store.join(broadcast(probes),
+        col("cent_id") === col("p_cent") && col("query_id") =!= col("id"))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("vec")), 6))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    cands.withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("id").as("cand_id"), col("sim"), col("rn"))
+  }
+
+  /** q234 — INDEX LIFECYCLE: drift-triggered centroid refresh. q170
+    * ingests against FROZEN centroids forever; at 100 TB distribution
+    * drift degrades recall unboundedly, so a production index needs a
+    * recluster op. This query builds the q170 drift state (seed
+    * quantizer + a later appended batch), then REFRESHES: recompute
+    * the quantizer from the CURRENT corpus (one Lloyd step — the q33
+    * machinery), reassign every vector, and republish the lists
+    * through the store's ordinary load path under a new MVCC version
+    * — the q146 retire/compact pattern applied to the ANN index.
+    * Readers pinned on the old version keep serving it; new queries
+    * probe the refreshed quantizer.
+    *
+    * The gate is the bit-identity trick: serving from the REFRESHED
+    * store table must equal a from-scratch flat IVF build with the
+    * same refined quantizer — the oracle is exactly q33's
+    * (`ivfKnnSql`). The drift AUDIT lives in q230: its `store` label
+    * (frozen seed quantizer) vs `ivf` label (refreshed) is the
+    * before/after recall comparison on the shared eval surface.
+    */
+  def annRefreshQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val nlist = 16
+    val name = s"ivf_refresh@$dir"
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    // the refreshed quantizer: one Lloyd step over the CURRENT corpus
+    // (deterministic — recomputed identically on every invocation)
+    val cents2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist, iters = 1)
+    if (!BucketStore.exists(name)) {
+      // generation 1: the q170 drift state — frozen seed quantizer,
+      // then a later batch appended against it
+      val seedCents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist)
+      val isBatch = col("vec_id") % 7 === 3 && col("vec_id") >= 16
+      BucketStore.load(spark, name,
+        Similarity.ivfAssign(emb.filter(!isBatch), "vec_id", "embedding", seedCents)
+          .select(col("cent_id"), col("id"), col("vec")),
+        "cent_id", numBuckets = nlist)
+      Similarity.ivfAssign(emb.filter(isBatch), "vec_id", "embedding", seedCents)
+        .select(col("cent_id"), col("id"), col("vec"))
+        .writeTo(s"graft.`$name`").append()
+      // REFRESH: full reassignment against the refreshed quantizer,
+      // republished as a new version of the same table
+      BucketStore.load(spark, name,
+        Similarity.ivfAssign(emb, "vec_id", "embedding", cents2)
+          .select(col("cent_id"), col("id"), col("vec")),
+        "cent_id", numBuckets = nlist)
+    }
+    val store = spark.read.format("graft-buckets").option("table", name).load()
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = Similarity.probeCentroids(queries, cents2, nprobe = 4)
       .withColumnRenamed("cent_id", "p_cent")
     val cands = store.join(broadcast(probes),
         col("cent_id") === col("p_cent") && col("query_id") =!= col("id"))

@@ -875,10 +875,10 @@ class BucketedScan(name: String, required: StructType, filters: Array[Filter], v
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val t = BucketStore.snapshotWithRetry(name, version)
-    // a RANGE layout does not satisfy Spark's hash-bucket transform —
-    // reporting it would let the planner elide a needed Exchange and
-    // co-locate by a function the data does not obey
-    if (t.rangeBounds.isDefined)
+    // a RANGE or HRW layout does not satisfy Spark's hash-bucket
+    // transform — reporting it would let the planner elide a needed
+    // Exchange and co-locate by a function the data does not obey
+    if (t.rangeBounds.isDefined || t.hrw)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(t.buckets.length)
     else
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -928,7 +928,10 @@ private[sources] object BucketSplits {
     // which under disjoint range buckets is exact ownership pruning
     val planned =
       if (t.rangeBounds.isDefined) all
-      else BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length) match {
+      else BucketPruning.candidateBuckets(filters, t.keyCol, t.buckets.length,
+        // HRW tables prune point lookups too — ownership is still a
+        // pure function of the key, just argmax instead of pmod
+        if (t.hrw) BucketStore.hrwBucketFor else BucketFunction.bucketFor) match {
         case Some(keep) =>
           all.filter(p => keep.contains(p.asInstanceOf[BucketInputPartition].bucket))
         case None => all
@@ -1114,17 +1117,24 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
   * depends on pruning, only scan cost does.
   */
 object BucketPruning {
-  def candidateBuckets(filters: Array[Filter], keyCol: String, n: Int): Option[Set[Int]] =
+  /** `route` is the layout's ownership function — [[BucketFunction
+    * .bucketFor]] for mod-hash tables (default), [[BucketStore
+    * .hrwBucketFor]] for HRW tables — so key-equality pruning follows
+    * whatever placement the table actually uses.
+    */
+  def candidateBuckets(filters: Array[Filter], keyCol: String, n: Int,
+      route: (Any, Int) => Option[Int] = BucketFunction.bucketFor): Option[Set[Int]] =
     filters.foldLeft(Option.empty[Set[Int]]) { (acc, f) =>
-      (acc, bucketsOf(f, keyCol, n)) match {
+      (acc, bucketsOf(f, keyCol, n, route)) match {
         case (Some(a), Some(b)) => Some(a intersect b) // conjuncts intersect
         case (a, b) => a.orElse(b)
       }
     }
 
-  private def bucketsOf(f: Filter, keyCol: String, n: Int): Option[Set[Int]] = f match {
-    case EqualTo(c, v) if c == keyCol => BucketFunction.bucketFor(v, n).map(Set(_))
-    case EqualNullSafe(c, v) if c == keyCol => BucketFunction.bucketFor(v, n).map(Set(_))
+  private def bucketsOf(f: Filter, keyCol: String, n: Int,
+      route: (Any, Int) => Option[Int]): Option[Set[Int]] = f match {
+    case EqualTo(c, v) if c == keyCol => route(v, n).map(Set(_))
+    case EqualNullSafe(c, v) if c == keyCol => route(v, n).map(Set(_))
     case In(c, vs) if c == keyCol =>
       // early exit once every bucket is live: a runtime IN from a big
       // broadcast dim can carry millions of keys — stop hashing the
@@ -1133,17 +1143,17 @@ object BucketPruning {
       val seen = scala.collection.mutable.Set.empty[Int]
       val it = vs.iterator
       while (it.hasNext && seen.size < n) {
-        BucketFunction.bucketFor(it.next(), n) match {
+        route(it.next(), n) match {
           case Some(b) => seen += b; ()
           case None => return None // unbucketable value type: cannot bound
         }
       }
       if (vs.isEmpty) None else Some(seen.toSet)
-    case And(l, r) => (bucketsOf(l, keyCol, n), bucketsOf(r, keyCol, n)) match {
+    case And(l, r) => (bucketsOf(l, keyCol, n, route), bucketsOf(r, keyCol, n, route)) match {
       case (Some(a), Some(b)) => Some(a intersect b)
       case (a, b) => a.orElse(b)
     }
-    case Or(l, r) => for { a <- bucketsOf(l, keyCol, n); b <- bucketsOf(r, keyCol, n) } yield a union b
+    case Or(l, r) => for { a <- bucketsOf(l, keyCol, n, route); b <- bucketsOf(r, keyCol, n, route) } yield a union b
     case _ => None
   }
 }

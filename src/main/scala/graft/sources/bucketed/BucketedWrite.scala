@@ -57,7 +57,7 @@ class BucketedWriteBuilder(name: String, info: LogicalWriteInfo)
     // and commit fails loudly instead of silently mis-routing rows
     // (same-count changes are invisible to the bucket-count check)
     new BucketedWrite(name, want, doTruncate, t.keyCol, t.buckets.length, upsert,
-      t.rangeBounds, t.layoutEpoch, BucketStore.checkOf(name))
+      t.rangeBounds, t.layoutEpoch, BucketStore.checkOf(name), t.hrw)
   }
 }
 
@@ -79,7 +79,7 @@ class BucketedUpsertWriteBuilder(name: String, info: LogicalWriteInfo)
 class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
     rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
-    checkExpr: Option[String] = None)
+    checkExpr: Option[String] = None, hrw: Boolean = false)
   extends Write with RequiresDistributionAndOrdering {
 
   /** Hash tables cluster on the bucket transform (each task writes
@@ -93,24 +93,31 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
     * loud, never silent).
     */
   override def requiredDistribution(): Distribution =
-    if (rangeBounds.isDefined)
+    if (hrw)
+      // an HRW layout satisfies neither Spark's bucket transform nor a
+      // key ordering — ask for nothing rather than lie; routing
+      // correctness lives in the writer either way
+      Distributions.unspecified()
+    else if (rangeBounds.isDefined)
       Distributions.ordered(Array(Expressions.sort(Expressions.column(keyCol),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
         org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)))
     else
       Distributions.clustered(Array(Expressions.bucket(numBuckets, keyCol)))
 
-  override def requiredNumPartitions(): Int = numBuckets
+  // Spark rejects a partition-count requirement alongside an
+  // UNSPECIFIED distribution (the HRW case) — 0 = no requirement there
+  override def requiredNumPartitions(): Int = if (hrw) 0 else numBuckets
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: BatchWrite =
     new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets, upsert,
-      rangeBounds, layoutEpoch, checkExpr)
+      rangeBounds, layoutEpoch, checkExpr, hrw)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new BucketedStreamingWrite(name, schema, truncate, keyCol, numBuckets, upsert,
-      rangeBounds, layoutEpoch, checkExpr)
+      rangeBounds, layoutEpoch, checkExpr, hrw)
 
   override def description(): String =
     s"graft-buckets:$name write bucket($numBuckets, $keyCol)" +
@@ -129,7 +136,7 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
 class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
     rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
-    checkExpr: Option[String] = None)
+    checkExpr: Option[String] = None, hrw: Boolean = false)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -138,7 +145,7 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new BucketedStreamingWriterFactory(schema, keyCol, numBuckets, rangeBounds,
-      name, checkExpr)
+      name, checkExpr, hrw)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     if (committed.add(epochId)) {
@@ -153,10 +160,10 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
 class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
     rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
-    checkExpr: Option[String] = None) extends BatchWrite {
+    checkExpr: Option[String] = None, hrw: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BucketedWriterFactory(schema, keyCol, numBuckets, rangeBounds, name, checkExpr)
+    new BucketedWriterFactory(schema, keyCol, numBuckets, rangeBounds, name, checkExpr, hrw)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val byBucket = BucketWriteCommit.merge(messages, numBuckets)
@@ -170,10 +177,10 @@ class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
 
 class BucketedWriterFactory(schema: StructType, keyCol: String, numBuckets: Int,
     rangeBounds: Option[Array[Any]] = None,
-    tableName: String = "", checkExpr: Option[String] = None)
+    tableName: String = "", checkExpr: Option[String] = None, hrw: Boolean = false)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds, tableName, checkExpr)
+    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds, tableName, checkExpr, hrw)
 }
 
 /** Standalone (serializable) streaming factory — must NOT capture the
@@ -181,11 +188,11 @@ class BucketedWriterFactory(schema: StructType, keyCol: String, numBuckets: Int,
   */
 class BucketedStreamingWriterFactory(schema: StructType, keyCol: String, numBuckets: Int,
     rangeBounds: Option[Array[Any]] = None,
-    tableName: String = "", checkExpr: Option[String] = None)
+    tableName: String = "", checkExpr: Option[String] = None, hrw: Boolean = false)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds, tableName, checkExpr)
+    new BucketedDataWriter(schema, keyCol, numBuckets, rangeBounds, tableName, checkExpr, hrw)
 }
 
 final case class BucketWriteCommit(rowsByBucket: Array[Array[Row]])
@@ -209,7 +216,7 @@ object BucketWriteCommit {
 
 class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int,
     rangeBounds: Option[Array[Any]] = None,
-    tableName: String = "", checkExpr: Option[String] = None)
+    tableName: String = "", checkExpr: Option[String] = None, hrw: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val fieldConverters = schema.fields.map(f =>
@@ -257,7 +264,7 @@ class BucketedDataWriter(schema: StructType, keyCol: String, numBuckets: Int,
           s"CHECK constraint violation on '$tableName': (${checkExpr.get}) is false for row " +
             row.toString.take(200))
     }
-    buf(BucketStore.routeBucket(rangeBounds, numBuckets, row.get(keyIdx))) += row
+    buf(BucketStore.routeBucket(rangeBounds, numBuckets, row.get(keyIdx), hrw)) += row
   }
 
   override def commit(): WriterCommitMessage = BucketWriteCommit(buf.map(_.result().toArray))

@@ -48,6 +48,19 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.selectOutliers(results, prior).map(_._1) === Seq("qc_r"))
   }
 
+  test("selectOutliers: the standing watchlist re-reps even when quiet (round-12 task 7)") {
+    val prior = Map("q169_store_bm25" -> 0.80, "q34_session_windows" -> 0.40, "qa_r" -> 1.0)
+    val results = Seq(
+      "q169_store_bm25" -> 0.82,    // quiet — watchlist keeps it anyway
+      "q34_session_windows" -> 0.41,
+      "qa_r" -> 1.05)               // quiet, not watched → dropped
+    val picked = Bench.selectOutliers(results, prior).map(_._1)
+    assert(picked.toSet === Set("q169_store_bm25", "q34_session_windows"))
+    // a failed watched query is not re-repped (nothing to measure)
+    val failed = Seq("q169_store_bm25" -> -1.0, "q34_session_windows" -> 0.41)
+    assert(Bench.selectOutliers(failed, prior).map(_._1) === Seq("q34_session_windows"))
+  }
+
   test("parsePrior: reads only the queries object, not run/rerep echoes") {
     val txt = """{"metric":"total","value":3.1,"unit":"sec","cpus":32,"failed":[],""" +
       """"queries":{"q01_a":0.30,"q17_lsh": 2.05},""" +

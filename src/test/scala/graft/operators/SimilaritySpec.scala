@@ -318,10 +318,14 @@ class SimilaritySpec extends SparkSuite {
     val got = Similarity.indexCompareQuery(spark, sf)
       .select("index_name", "recall_micro").as[(String, Long)].collect()
     val mean = got.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum / rs.size }
-    assert(mean.keySet === Set("lsh", "ivf"))
+    // round 13: the store-served deployment shape (frozen seed
+    // quantizer) joins the surface — its recall vs 'ivf' (refreshed
+    // quantizer) is the q234 drift audit
+    assert(mean.keySet === Set("lsh", "ivf", "store"))
     assert(mean("ivf") > mean("lsh"),
       s"IVF should dominate at these settings on this corpus: $mean")
     assert(mean("ivf") > 500000, s"IVF recall implausibly low: $mean")
+    assert(mean("store") > 500000, s"store-served recall implausibly low: $mean")
   }
 
   test("maxsim on the gate data: 10 queries x 10 ranked rows, scores in [-4, 4] and descending") {
