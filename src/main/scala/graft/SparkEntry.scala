@@ -490,6 +490,8 @@ object SparkEntry {
     "q232_rebucket_hrw" -> graft.sources.bucketed.BucketedQueries.rebucketHrwQuery _,
     "q233_autocompact_ingest" -> graft.sources.bucketed.BucketedQueries.autoCompactIngestQuery _,
     "q234_ann_refresh" -> graft.sources.bucketed.BucketedQueries.annRefreshQuery _,
+    "q235_quantizer_drift" -> Similarity.quantizerDriftQuery _,
+    "q236_label_agreement" -> graft.operators.TextAnalysis.labelAgreementQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -886,6 +888,8 @@ object SparkEntry {
     // the refresh gate IS the bit-identity trick: refreshed store-served
     // index ≡ q33's from-scratch build with the same refined quantizer
     "q234_ann_refresh" -> Similarity.ivfKnnSql,
+    "q235_quantizer_drift" -> Similarity.quantizerDriftSql,
+    "q236_label_agreement" -> graft.operators.TextAnalysis.labelAgreementSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -666,6 +666,72 @@ object Similarity {
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
       |  FROM cands) t WHERE rn <= 5""".stripMargin
 
+  // ——— q235: quantizer drift monitor (the refresh TRIGGER) ———
+
+  /** q235 — the DRIFT METRIC that decides when to run the q234
+    * refresh: mean quantization error (1 − cos(v, its centroid), in
+    * exact micro units) of the corpus under the FROZEN seed quantizer
+    * vs the REFRESHED one-Lloyd-step quantizer. q230's recall labels
+    * audit retrieval quality after the fact; this is the cheap
+    * always-on monitor — one broadcast-argmax assignment pass + one
+    * mergeable aggregate per generation, no truth set, no query
+    * workload needed — the number an index-maintenance policy
+    * thresholds on ("refresh when mean error exceeds the post-refresh
+    * baseline by X"). At 100 TB each generation's row costs one
+    * codegen'd scan of the vectors; the assignment IS the pass the
+    * ingest path already runs.
+    *
+    * Exactness: per-vector error is fixed-point
+    * (10⁶ − round(cos·10⁶)), sums are BIGINT — both engines replay
+    * the identical argmax (raw-cosine, id tie-break) and arithmetic.
+    */
+  def quantizerDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seed = sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val refreshed = kmeansCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+    def gen(cents: DataFrame, label: String): DataFrame =
+      ivfAssign(emb, "vec_id", "embedding", cents)
+        .join(broadcast(cents), Seq("cent_id"))
+        .select(lit(label).as("quantizer"),
+          (lit(1000000L) -
+            round(GraftFunctions.cosine(col("vec"), col("cent_vec")) * 1000000.0)
+              .cast("long")).as("err_micro"))
+    gen(seed, "seed").unionByName(gen(refreshed, "refreshed"))
+      .groupBy(col("quantizer"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_micro")).as("sum_err_micro"))
+      .select(col("quantizer"), col("n_vecs"), col("sum_err_micro"),
+        expr("sum_err_micro div n_vecs").as("mean_err_micro"))
+  }
+
+  /** Oracle: the shared refined-centroid CTE chain (cent0 = seed,
+    * a0 = seed assignment, cent = refreshed) + a refreshed-assignment
+    * CTE + the same fixed-point error aggregation. Sums cast to
+    * BIGINT (the HUGEINT ban).
+    */
+  lazy val quantizerDriftSql: String =
+    s"""WITH $refinedCentSql,
+       |a1 AS (
+       |  SELECT id, vec, cent_id FROM (
+       |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+       |                 c.cent_id) AS arn
+       |    FROM embeddings e CROSS JOIN cent c) t WHERE arn = 1),
+       |errs AS (
+       |  SELECT 'seed' AS quantizer,
+       |    1000000 - CAST(round(list_cosine_similarity(a.vec, c.cvec) * 1000000) AS BIGINT)
+       |      AS err_micro
+       |  FROM a0 a JOIN cent0 c USING (cent_id)
+       |  UNION ALL
+       |  SELECT 'refreshed',
+       |    1000000 - CAST(round(list_cosine_similarity(a.vec, c.cvec) * 1000000) AS BIGINT)
+       |  FROM a1 a JOIN cent c USING (cent_id))
+       |SELECT quantizer, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
+       |  CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro
+       |FROM errs GROUP BY quantizer""".stripMargin
+
   /** PRODUCT QUANTIZATION (PQ) ANN — the other half of the FAISS
     * compression family next to [[sqKnn]]'s SQ8: each vector splits
     * into `m` contiguous subvectors, each subspace gets its own

@@ -229,6 +229,78 @@ object TextAnalysis {
       |  md5(regexp_replace(text, '\b(customer|user|key|secret)\b', '[REDACTED]', 'g')) AS scrub_md5
       |FROM documents""".stripMargin
 
+  // ——— labeling-function agreement (weak-supervision QA) ———
+
+  /** q236 — inter-labeler AGREEMENT audit (Cohen's κ), the QA step a
+    * weak-supervision / programmatic-labeling pipeline (Snorkel-style
+    * labeling functions, or two human annotator pools) runs before
+    * trusting any label source: per source, the 2×2 confusion matrix
+    * of two labeling functions plus observed agreement (pₒ), chance
+    * agreement (pₑ), and κ = (pₒ−pₑ)/(1−pₑ). High raw agreement with
+    * κ ≈ 0 means the labelers agree only by prevalence — the classic
+    * trap this statistic exists to catch.
+    *
+    * The two LFs here are deterministic document heuristics (char
+    * length ≥ 200; token count ≥ 40 — correlated but not identical,
+    * like real LFs). Distributed shape: labeling is a row-local
+    * codegen'd projection; the confusion matrix is ONE mergeable
+    * 4-counter aggregate per source — at 100 TB agreement costs
+    * exactly one scan, the same as any count.
+    *
+    * Exactness: κ is emitted as fixed-point micro AND as the exact
+    * integer rational (kappa_num / kappa_den: κ·den = n·(n11+n00) −
+    * (a1·b1 + a0·b0), den = n² − (a1·b1+a0·b0)) so consumers needing
+    * the unrounded value divide themselves; all arithmetic is BIGINT
+    * on both engines.
+    */
+  def labelAgreementQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"),
+      (length(col("text")) >= 200).cast("int").as("a"),
+      (size(split(col("text"), " ")) >= 40).cast("int").as("b"))
+    d.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum((col("a") === 1 && col("b") === 1).cast("long")).as("n11"),
+        sum((col("a") === 1 && col("b") === 0).cast("long")).as("n10"),
+        sum((col("a") === 0 && col("b") === 1).cast("long")).as("n01"),
+        sum((col("a") === 0 && col("b") === 0).cast("long")).as("n00"))
+      .select(col("source"), col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("1000000L * (n11 + n00) div n").as("po_micro"),
+        expr("1000000L * ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) div (n * n)")
+          .as("pe_micro"),
+        expr("n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))")
+          .as("kappa_num"),
+        expr("n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))")
+          .as("kappa_den"))
+      .withColumn("kappa_micro", expr("1000000L * kappa_num div kappa_den"))
+  }
+
+  /** Oracle: identical BIGINT confusion/κ arithmetic per source. */
+  val labelAgreementSql: String =
+    """WITH lf AS (
+      |  SELECT source,
+      |    CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |cm AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM lf GROUP BY source)
+      |SELECT source, n, n11, n10, n01, n00,
+      |  CAST(1000000 * (n11 + n00) // n AS BIGINT) AS po_micro,
+      |  CAST(1000000 * ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) // (n * n)
+      |    AS BIGINT) AS pe_micro,
+      |  CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+      |    AS BIGINT) AS kappa_num,
+      |  CAST(n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+      |    AS BIGINT) AS kappa_den,
+      |  CAST(1000000 * (n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+      |       // (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+      |    AS BIGINT) AS kappa_micro
+      |FROM cm""".stripMargin
+
   // ——— repetition detection ———
 
   /** Intra-document repetition ratio: 1 − |distinct 3-grams| / |3-grams|

@@ -328,6 +328,20 @@ class SimilaritySpec extends SparkSuite {
     assert(mean("store") > 500000, s"store-served recall implausibly low: $mean")
   }
 
+  test("q235 quantizer drift: one Lloyd step strictly lowers mean quantization error (the refresh signal)") {
+    val got = Similarity.quantizerDriftQuery(spark, sf)
+      .select("quantizer", "n_vecs", "mean_err_micro").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set("seed", "refreshed"))
+    assert(got("seed")._1 === got("refreshed")._1, "both generations cover the whole corpus")
+    // the monitor's reason to exist: the refreshed quantizer fits the
+    // current distribution better than the frozen seed — the gap is
+    // what an index-maintenance policy thresholds on
+    assert(got("refreshed")._2 < got("seed")._2,
+      s"Lloyd step should reduce mean quantization error: $got")
+    got.values.foreach { case (_, err) => assert(err >= 0 && err <= 2000000) }
+  }
+
   test("maxsim on the gate data: 10 queries x 10 ranked rows, scores in [-4, 4] and descending") {
     val out = Similarity.maxSimQuery(spark, sf)
       .select("query_id", "cand_id", "score", "rank").as[(Long, Long, Double, Int)].collect()

@@ -108,4 +108,59 @@ class TextOpsSpec extends SparkSuite {
       assert(!rows.exists(r => r._4 === nDocs && r._5 > 0L))
     }
   }
+
+  test("q236 label agreement: hand-checked kappa identities on the gate corpus") {
+    val rows = TextAnalysis.labelAgreementQuery(spark, sf)
+      .select("source", "n", "n11", "n10", "n01", "n00",
+        "po_micro", "pe_micro", "kappa_num", "kappa_den", "kappa_micro")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, n11, n10, n01, n00, po, pe, kn, kd, km) =>
+      assert(n === n11 + n10 + n01 + n00, s"$src: cells must partition n")
+      // the identities the fixed-point columns encode
+      assert(po === 1000000L * (n11 + n00) / n)
+      val chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+      assert(pe === 1000000L * chance / (n * n))
+      assert(kn === n * (n11 + n00) - chance)
+      assert(kd === n * n - chance)
+      assert(km === 1000000L * kn / kd)
+      // kappa ≤ 1 always; these LFs are positively associated on the
+      // gate corpus, and non-negativity also shields the one engine
+      // divergence the rational form exists to avoid (trunc vs floor
+      // integer division of a NEGATIVE numerator)
+      assert(kn <= kd && kn >= 0, s"$src: kappa out of expected range: $kn/$kd")
+    }
+    // the statistic discriminates: not every source agrees perfectly
+    assert(rows.exists(_._11 < 1000000L), "some source should disagree somewhere")
+  }
+
+  test("q236 label agreement: kappa catches prevalence-inflated agreement (the statistic's point)") {
+    // 90% of rows are (1,1) by prevalence; the rest anti-agree: po is
+    // high but kappa must be near zero/negative-side-of-po — computed
+    // here directly from the operator's cells on a planted frame
+    val planted = ((1 to 90).map(i => (s"d$i", "s", "xx " * 70 + "tail")) ++  // 214 chars, 71 tokens → (1,1)
+      (91 to 95).map(i => (s"d$i", "s", ("y " * 60).trim)) ++                // >=40 toks, <200 chars? "y "*60=120 chars → (0,1)
+      (96 to 100).map(i => (s"d$i", "s", "z" * 250))                          // >=200 chars, 1 token → (1,0)
+      ).toDF("doc_id", "source", "text")
+    // run the same labeling projection the operator uses
+    val d = planted.select(col("source"),
+      (org.apache.spark.sql.functions.length(col("text")) >= 200).cast("int").as("a"),
+      (org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")) >= 40).cast("int").as("b"))
+    val cells = d.groupBy("source").agg(
+      org.apache.spark.sql.functions.count(col("a")).as("n"),
+      org.apache.spark.sql.functions.sum((col("a") === 1 && col("b") === 1).cast("long")).as("n11"),
+      org.apache.spark.sql.functions.sum((col("a") === 1 && col("b") === 0).cast("long")).as("n10"),
+      org.apache.spark.sql.functions.sum((col("a") === 0 && col("b") === 1).cast("long")).as("n01"),
+      org.apache.spark.sql.functions.sum((col("a") === 0 && col("b") === 0).cast("long")).as("n00"))
+      .head()
+    val (n, n11, n10, n01, n00) =
+      (cells.getLong(1), cells.getLong(2), cells.getLong(3), cells.getLong(4), cells.getLong(5))
+    assert(n === 100L && n11 === 90L && n10 === 5L && n01 === 5L && n00 === 0L)
+    val chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    val kappa = (n * (n11 + n00) - chance).toDouble / (n * n - chance)
+    val po = (n11 + n00).toDouble / n
+    assert(po === 0.9, "raw agreement looks excellent")
+    assert(kappa < 0.0, s"kappa must expose prevalence-only agreement, got $kappa")
+  }
 }
