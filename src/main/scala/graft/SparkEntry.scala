@@ -492,6 +492,7 @@ object SparkEntry {
     "q234_ann_refresh" -> graft.sources.bucketed.BucketedQueries.annRefreshQuery _,
     "q235_quantizer_drift" -> Similarity.quantizerDriftQuery _,
     "q236_label_agreement" -> graft.operators.TextAnalysis.labelAgreementQuery _,
+    "q237_embedding_health" -> Similarity.embeddingHealthQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -890,6 +891,7 @@ object SparkEntry {
     "q234_ann_refresh" -> Similarity.ivfKnnSql,
     "q235_quantizer_drift" -> Similarity.quantizerDriftSql,
     "q236_label_agreement" -> graft.operators.TextAnalysis.labelAgreementSql,
+    "q237_embedding_health" -> Similarity.embeddingHealthSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

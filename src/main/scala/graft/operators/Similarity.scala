@@ -732,6 +732,77 @@ object Similarity {
        |  CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro
        |FROM errs GROUP BY quantizer""".stripMargin
 
+  // ——— q237: vector ingest HEALTH gate ———
+
+  /** q237 — embedding-column data-quality gate, the vector twin of
+    * q194's scalar profiler: per label — row count, zero-norm count
+    * (an all-zeros vector poisons every cosine it touches: 0/0),
+    * non-finite element count (one NaN silently propagates through
+    * any dot product), and min/mean/max L2 norm in exact micro
+    * fixed-point (norm drift across ingest batches is the standard
+    * signal of an embedding-model version mix-up). This is the check
+    * an ingest pipeline runs BEFORE vectors reach the q168/q170
+    * index: one codegen'd projection (the sum-of-squares fold) + one
+    * mergeable aggregate — health at 100 TB costs one scan.
+    *
+    * Exactness: the Σx² fold is sequential left-to-right over the
+    * double-cast elements (same order as DuckDB's `list_reduce`), so
+    * sqrt sees bit-identical input; norms then live as BIGINT micro.
+    */
+  def embeddingHealthQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir).select(col("label"),
+      expr("aggregate(CAST(embedding AS array<double>), CAST(0 AS DOUBLE), " +
+        "(acc, x) -> acc + x * x)").as("ss"),
+      expr("CAST(size(filter(CAST(embedding AS array<double>), " +
+        "x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))) AS BIGINT)").as("bad"))
+      // a non-finite vector gets a NULL norm: casting NaN/Inf to
+      // BIGINT is engine-divergent (Spark saturates, DuckDB throws),
+      // and a poisoned norm would corrupt the very drift stats this
+      // gate exists to keep trustworthy — bad rows are COUNTED, never
+      // averaged
+      .select(col("label"), col("bad"),
+        when(col("bad") > 0, lit(null))
+          .otherwise(expr("CAST(round(sqrt(ss) * 1000000) AS BIGINT)")).as("norm_micro"))
+    rows.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        count(col("norm_micro")).as("n_finite"),
+        sum(when(col("norm_micro") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(col("bad")).as("n_nonfinite"),
+        min(col("norm_micro")).as("min_norm_micro"),
+        max(col("norm_micro")).as("max_norm_micro"),
+        sum(col("norm_micro")).as("sum_norm_micro"))
+      .withColumn("mean_norm_micro",
+        expr("CASE WHEN n_finite > 0 THEN sum_norm_micro div n_finite END"))
+  }
+
+  /** Oracle: identical fold order, identical fixed-point, identical
+    * NULL-for-bad-rows discipline; sums cast to BIGINT (the HUGEINT
+    * ban).
+    */
+  val embeddingHealthSql: String =
+    """WITH v AS (
+      |  SELECT label,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), (a, b) -> a + b) AS ss,
+      |    CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+      |      x -> isnan(x) OR isinf(x))) AS BIGINT) AS bad
+      |  FROM embeddings),
+      |r AS (SELECT label, bad, CASE WHEN bad > 0 THEN NULL
+      |        ELSE CAST(round(sqrt(ss) * 1000000) AS BIGINT) END AS norm_micro FROM v),
+      |g AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(norm_micro) AS BIGINT) AS n_finite,
+      |    CAST(sum(CASE WHEN norm_micro = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+      |    CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+      |    min(norm_micro) AS min_norm_micro,
+      |    max(norm_micro) AS max_norm_micro,
+      |    CAST(sum(norm_micro) AS BIGINT) AS sum_norm_micro
+      |  FROM r GROUP BY label)
+      |SELECT label, n, n_finite, n_zero_norm, n_nonfinite,
+      |  min_norm_micro, max_norm_micro, sum_norm_micro,
+      |  CASE WHEN n_finite > 0 THEN sum_norm_micro // n_finite END AS mean_norm_micro
+      |FROM g""".stripMargin
+
   /** PRODUCT QUANTIZATION (PQ) ANN — the other half of the FAISS
     * compression family next to [[sqKnn]]'s SQ8: each vector splits
     * into `m` contiguous subvectors, each subspace gets its own

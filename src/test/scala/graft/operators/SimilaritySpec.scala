@@ -342,6 +342,31 @@ class SimilaritySpec extends SparkSuite {
     got.values.foreach { case (_, err) => assert(err >= 0 && err <= 2000000) }
   }
 
+  test("q237 embedding health: planted zero-norm and NaN vectors trip the exact counters they exist for") {
+    // gate embeddings are unit-normalized (norm_micro ≡ 1e6, counters
+    // 0) — so the detectors must be proven on planted pathology
+    val planted = Seq(
+      (1L, Array(3.0f, 4.0f), 7),            // norm 5.0
+      (2L, Array(0.0f, 0.0f), 7),            // zero vector: poisons cosine
+      (3L, Array(Float.NaN, 1.0f), 7),       // NaN propagates through dots
+      (4L, Array(Float.PositiveInfinity, 0.0f), 7)) // inf likewise
+      .toDF("vec_id", "embedding", "label")
+    val saved = planted.sparkSession
+    val dirTmp = java.nio.file.Files.createTempDirectory("emb_health").toString
+    planted.write.mode("overwrite").parquet(s"$dirTmp/embeddings.parquet")
+    val r = Similarity.embeddingHealthQuery(saved, dirTmp)
+      .select("label", "n", "n_finite", "n_zero_norm", "n_nonfinite",
+        "min_norm_micro", "max_norm_micro", "mean_norm_micro")
+      .head()
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 2L, "bad rows must be excluded from norm stats")
+    assert(r.getLong(3) === 1L, "the zero vector must be counted")
+    assert(r.getLong(4) === 2L, "one NaN element + one Inf element")
+    assert(r.getLong(5) === 0L, "min norm is the zero vector")
+    assert(r.getLong(6) === 5000000L, "max over FINITE rows is the 3-4-5 vector")
+    assert(r.getLong(7) === 2500000L, "mean over the two finite norms (0 and 5e6)")
+  }
+
   test("maxsim on the gate data: 10 queries x 10 ranked rows, scores in [-4, 4] and descending") {
     val out = Similarity.maxSimQuery(spark, sf)
       .select("query_id", "cand_id", "score", "rank").as[(Long, Long, Double, Int)].collect()

@@ -601,4 +601,29 @@ object GraftProps extends Properties("graft") {
         roundtrip && monotone && tokenBound
       }
     }
+
+  // — HRW (rendezvous) layout invariants (round 13, pure functions) —
+
+  property("hrw: grow n->m moves a key ONLY to a new bucket (resize stability)") =
+    forAll(Gen.long, Gen.chooseNum(1, 64), Gen.chooseNum(1, 64)) { (k, n, extra) =>
+      val m = n + extra
+      val wn = graft.sources.bucketed.BucketStore.hrwBucketFor(k, n).get
+      val wm = graft.sources.bucketed.BucketStore.hrwBucketFor(k, m).get
+      // argmax over a superset differs from the subset's argmax only
+      // by picking an ADDED element — the q229/q232 guarantee
+      wm == wn || wm >= n
+    }
+
+  property("hrw: owner is always in range and agrees between Int and Long views of the key") =
+    forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue), Gen.chooseNum(1, 64)) { (k, n) =>
+      val o = graft.sources.bucketed.BucketStore.hrwBucketFor(k, n)
+      val asLong = graft.sources.bucketed.BucketStore.hrwBucketFor(k.toLong, n)
+      // Murmur3 hashes Int and Long by DIFFERENT mixes (like the mod
+      // path), so cross-type equality is NOT expected; both must
+      // simply be valid owners — this pins totality + range, and that
+      // null routes like the mod path's seed rule
+      o.exists(b => b >= 0 && b < n) && asLong.exists(b => b >= 0 && b < n) &&
+        graft.sources.bucketed.BucketStore.hrwBucketFor(null, n).exists(b => b >= 0 && b < n) &&
+        graft.sources.bucketed.BucketStore.hrwBucketFor("not-integral", n).isEmpty
+    }
 }
