@@ -983,11 +983,13 @@ object Dedup {
   }
 
   /** Gated query: cluster the exact-Jaccard near-dup graph (q16's
-    * pairs) and emit each clustered doc's canonical representative.
+    * pairs, read from the MATERIALIZED [[pairArtifact]] — round 13's
+    * build-once discipline: the CC consumer pays two equi-joins per
+    * round over the stored pair table, never the shingle pass) and
+    * emit each clustered doc's canonical representative.
     */
   def clusterQuery(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8))
+    connectedComponents(pairArtifact(spark, dir).select(col("id_a"), col("id_b")))
       .select(col("id").as("doc_id"), col("keep_id"))
 
   /** Shared oracle fragment: `WITH RECURSIVE` chain from a pair query
@@ -1034,9 +1036,19 @@ object Dedup {
     */
   def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
+      quality: org.apache.spark.sql.Column): DataFrame =
+    canonicalPerClusterFromPairs(df, idCol,
+      ngramJaccardPairs(df, idCol, textCol, n, threshold), quality)
+
+  /** The pair-consuming core of [[canonicalPerCluster]] — takes the
+    * near-dup pair table directly so a deployment (and the gated
+    * query) can feed the MATERIALIZED artifact instead of rebuilding
+    * the candidate machinery per consumer.
+    */
+  def canonicalPerClusterFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame,
       quality: org.apache.spark.sql.Column): DataFrame = {
-    val comps = connectedComponents(
-      ngramJaccardPairs(df, idCol, textCol, n, threshold))
+    val comps = connectedComponents(pairs.select(col("id_a"), col("id_b")))
       .withColumnRenamed("id", "__cid")
     // NO cast on the quality expression: truncating a fractional score
     // to long would silently degenerate the ranking to the id tiebreak
@@ -1054,8 +1066,8 @@ object Dedup {
   }
 
   def canonicalQuery(spark: SparkSession, dir: String): DataFrame =
-    canonicalPerCluster(Tables.documents(spark, dir), "doc_id", "text",
-      n = 3, threshold = 0.8, quality = size(split(col("text"), " ")))
+    canonicalPerClusterFromPairs(Tables.documents(spark, dir), "doc_id",
+      pairArtifact(spark, dir), quality = size(split(col("text"), " ")))
 
   /** Oracle: q65's recursive-closure clusters, then the same
     * quality-ranked canonical choice in SQL.

@@ -24,7 +24,7 @@ object Pipelines {
   def curationV2Query(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val clusters = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
+      Dedup.pairArtifact(spark, dir).select(col("id_a"), col("id_b")))
     val dropIds = clusters.filter(col("id") =!= col("keep_id"))
       .select(col("id").as("doc_id"))
     // `kept` feeds BOTH the quality branch and the final semi-join —
@@ -547,9 +547,17 @@ object Pipelines {
     * leakage-safe split can offer.
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val comp = Dedup.connectedComponents(
+      n: Int, threshold: Double): DataFrame =
+    leakageSafeSplitFromPairs(docs, idCol,
       Dedup.ngramJaccardPairs(docs, idCol, textCol, n, threshold))
+
+  /** The pair-consuming core of [[leakageSafeSplit]] — takes the
+    * near-dup pair table directly so the gated query reads the
+    * MATERIALIZED artifact instead of rebuilding candidates.
+    */
+  def leakageSafeSplitFromPairs(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
     val labeled = docs.select(col(idCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("keep_id"), col(idCol)))
@@ -561,7 +569,8 @@ object Pipelines {
   }
 
   def leakageSafeSplitQuery(spark: SparkSession, dir: String): DataFrame =
-    leakageSafeSplit(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
+    leakageSafeSplitFromPairs(Tables.documents(spark, dir), "doc_id",
+      Dedup.pairArtifact(spark, dir))
 
   val leakageSafeSplitSql: String =
     Dedup.closureCtes(Dedup.ngramJaccardSql) +
