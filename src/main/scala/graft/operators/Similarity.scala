@@ -672,14 +672,16 @@ object Similarity {
     * refresh: mean quantization error (1 − cos(v, its centroid), in
     * exact micro units) of the corpus under the FROZEN seed quantizer
     * vs the REFRESHED one-Lloyd-step quantizer. q230's recall labels
-    * audit retrieval quality after the fact; this is the cheap
-    * always-on monitor — one broadcast-argmax assignment pass + one
-    * mergeable aggregate per generation, no truth set, no query
-    * workload needed — the number an index-maintenance policy
-    * thresholds on ("refresh when mean error exceeds the post-refresh
-    * baseline by X"). At 100 TB each generation's row costs one
-    * codegen'd scan of the vectors; the assignment IS the pass the
-    * ingest path already runs.
+    * audit retrieval quality after the fact; this is the monitoring
+    * pair an index-maintenance policy reads: the SEED row (error
+    * against the deployed, frozen quantizer) is the cheap always-on
+    * number — one broadcast-argmax scan, no truth set, no query
+    * workload, and at ingest time it is literally the assignment pass
+    * already being paid — while the REFRESHED row answers "how much
+    * would a refit buy right now" (it runs the candidate refit, so
+    * schedule it like any maintenance probe, not per batch). Refresh
+    * when the gap exceeds the post-refresh baseline by the policy's
+    * threshold.
     *
     * Exactness: per-vector error is fixed-point
     * (10⁶ − round(cos·10⁶)), sums are BIGINT — both engines replay
@@ -689,13 +691,21 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val seed = sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
     val refreshed = kmeansCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1)
-    def gen(cents: DataFrame, label: String): DataFrame =
-      ivfAssign(emb, "vec_id", "embedding", cents)
-        .join(broadcast(cents), Seq("cent_id"))
+    // the winning argmax's `sim` IS cos(v, its centroid) — so the
+    // error needs NO assignment output and NO join back to the
+    // centroid table: one broadcast array per generation, one
+    // codegen'd map-side argmax per row, one mergeable aggregate.
+    // (ivfAssign's argmax struct, minus the materialized cent_id.)
+    def gen(cents: DataFrame, label: String): DataFrame = {
+      val centArr = cents
+        .agg(array_sort(collect_list(struct(col("cent_id"), col("cent_vec")))).as("cents"))
+      emb.join(broadcast(centArr), lit(true))
+        .withColumn("best", array_max(transform(col("cents"), c =>
+          struct(GraftFunctions.cosine(col("embedding"), c("cent_vec")).as("sim"),
+            (-c("cent_id")).as("nid")))))
         .select(lit(label).as("quantizer"),
-          (lit(1000000L) -
-            round(GraftFunctions.cosine(col("vec"), col("cent_vec")) * 1000000.0)
-              .cast("long")).as("err_micro"))
+          (lit(1000000L) - round(col("best.sim") * 1000000.0).cast("long")).as("err_micro"))
+    }
     gen(seed, "seed").unionByName(gen(refreshed, "refreshed"))
       .groupBy(col("quantizer"))
       .agg(count(lit(1)).as("n_vecs"),
