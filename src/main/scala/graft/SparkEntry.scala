@@ -493,6 +493,7 @@ object SparkEntry {
     "q235_quantizer_drift" -> Similarity.quantizerDriftQuery _,
     "q236_label_agreement" -> graft.operators.TextAnalysis.labelAgreementQuery _,
     "q237_embedding_health" -> Similarity.embeddingHealthQuery _,
+    "q238_join_cardinality" -> FunctionFamilies.joinCardinalityQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -892,6 +893,7 @@ object SparkEntry {
     "q235_quantizer_drift" -> Similarity.quantizerDriftSql,
     "q236_label_agreement" -> graft.operators.TextAnalysis.labelAgreementSql,
     "q237_embedding_health" -> Similarity.embeddingHealthSql,
+    "q238_join_cardinality" -> FunctionFamilies.joinCardinalitySql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -299,6 +299,46 @@ object FunctionFamilies {
     """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS merge_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q238 — sketch-driven JOIN-CARDINALITY estimation, the planning
+    * meta-operation: estimate |A ⋈ B| from per-side row counts and
+    * key-NDV sketches BEFORE running the join — System R's
+    * containment-of-value-sets estimate, `|A|·|B| / max(ndv_A,
+    * ndv_B)`, fed by Datasketches HLL (lgK=14, ~0.8% σ) instead of
+    * exact NDVs. This is the number that decides broadcast-vs-shuffle
+    * and join order at 100 TB, where computing it EXACTLY would cost
+    * as much as the join it is supposed to plan: the sketch side is
+    * two independent scans with fixed-size mergeable state (maintain
+    * them incrementally per ingest batch, like q91's daily rollup,
+    * and the planner's input becomes free).
+    *
+    * Gated like q80/q91: the oracle computes the EXACT join
+    * cardinality and side stats; the sketch's worth is a boolean —
+    * estimate within 5% of the true join size on an FK join, where
+    * containment holds by construction. The exact true size rides
+    * along so the estimator's error is auditable in the output.
+    */
+  def joinCardinalityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.tables.Tables.orders(spark, dir)
+    val c = graft.tables.Tables.customer(spark, dir)
+    val oStats = o.agg(count(lit(1)).as("n_orders"),
+      expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))").as("ndv_o"))
+    val cStats = c.agg(count(lit(1)).as("n_cust"),
+      expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 14))").as("ndv_c"))
+    val exact = o.join(c, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    oStats.crossJoin(cStats).crossJoin(exact) // three 1-row frames
+      .select(col("n_orders"), col("n_cust"), col("exact_join_rows"),
+        (abs(col("n_orders") * col("n_cust") / greatest(col("ndv_o"), col("ndv_c")) -
+          col("exact_join_rows")) <= col("exact_join_rows") * lit(0.05)).as("est_ok"))
+  }
+
+  val joinCardinalitySql: String =
+    """SELECT (SELECT count(*) FROM orders) AS n_orders,
+      |  (SELECT count(*) FROM customer) AS n_cust,
+      |  (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |    AS exact_join_rows,
+      |  TRUE AS est_ok""".stripMargin
+
   /** Global sort + pagination (LIMIT/OFFSET) with a total tie-break.
     * Spark plans sort + GlobalLimit; at scale a paged read like this
     * is a driver-side k-row merge, never a full materialized sort.
