@@ -508,6 +508,24 @@ class PlanAuditSpec extends SparkSuite {
       .executedPlan.toString.contains("jaccard_pairs@"))
   }
 
+  test("q235: the drift monitor plans NO shuffle join — broadcast centroid arrays + map-side argmax only") {
+    val p = plan("q235_quantizer_drift")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"drift errors must come from the argmax itself, never a join back to centroids:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q236/q237: the agreement and health gates are single-scan aggregations") {
+    // one scan + partial/final aggregate per gate — the 'audit costs
+    // one pass' claim as a plan shape
+    Seq("q236_label_agreement", "q237_embedding_health").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n${p.take(600)}")
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2, s"$q grew $exchanges exchanges")
+    }
+  }
+
   test("q226: the curriculum EXPORT plans RangePartitioning — parallel global order, no single-partition sort") {
     val p = graft.operators.Pipelines.curriculumExportFrame(spark, sf, shards = 8)
       .queryExecution.executedPlan.toString

@@ -138,6 +138,15 @@ class RebucketHrwSpec extends SparkSuite {
     assert(j.count() === 60L)
   }
 
+  test("HRW routes null keys by the same seed rule as the mod path (no null black hole)") {
+    val owner = BucketStore.hrwBucketFor(null, 12)
+    assert(owner.exists(b => b >= 0 && b < 12))
+    // deterministic: the null owner is a pure function of the count
+    assert(BucketStore.hrwBucketFor(null, 12) === owner)
+    // and routeBucket agrees with the function (the single choke point)
+    assert(BucketStore.routeBucket(None, 12, null, hrw = true) === owner.get)
+  }
+
   test("plain rebucket on an HRW table converts back to mod-hash (documented full shuffle)") {
     mk("hrw_back", 40, 8)
     BucketStore.rebucket("hrw_back", 8, hrw = true)
