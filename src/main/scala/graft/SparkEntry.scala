@@ -494,6 +494,7 @@ object SparkEntry {
     "q236_label_agreement" -> graft.operators.TextAnalysis.labelAgreementQuery _,
     "q237_embedding_health" -> Similarity.embeddingHealthQuery _,
     "q238_join_cardinality" -> FunctionFamilies.joinCardinalityQuery _,
+    "q239_stream_quantizer_drift" -> Similarity.streamQuantizerDriftQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -894,6 +895,7 @@ object SparkEntry {
     "q236_label_agreement" -> graft.operators.TextAnalysis.labelAgreementSql,
     "q237_embedding_health" -> Similarity.embeddingHealthSql,
     "q238_join_cardinality" -> FunctionFamilies.joinCardinalitySql,
+    "q239_stream_quantizer_drift" -> Similarity.streamQuantizerDriftSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

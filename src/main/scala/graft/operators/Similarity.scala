@@ -742,6 +742,59 @@ object Similarity {
        |  CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro
        |FROM errs GROUP BY quantizer""".stripMargin
 
+  // ——— q239: the drift monitor ON the ingest stream ———
+
+  /** q239 — [[quantizerDriftQuery]]'s always-on half as a STREAMING
+    * aggregation (the q217 streamed-equals-batch family): vectors
+    * arrive as a stream, each scores its error against the DEPLOYED
+    * quantizer (a broadcast literal — 16 centroids, the Lloyd-class
+    * bounded materialization), and a global (count, sum) aggregate
+    * under update mode keeps the corpus-level mean current as shards
+    * land. State is two longs; count and sum are order-free, so the
+    * streamed result is BIT-IDENTICAL to q235's seed row — the hash
+    * gate compares them directly, no tolerance band. Deployment
+    * meaning: the refresh policy's input is maintained BY the ingest
+    * path itself; nothing ever rescans history to know the index
+    * drifted.
+    */
+  def streamQuantizerDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val emb = spark.readStream.schema(schema).parquet(s"$dir/{embeddings.parquet}")
+    val cents = sampleCentroids(Tables.embeddings(spark, dir), "vec_id", "embedding", 16)
+      .collect().sortBy(_.getLong(0))
+    val centLit = array(cents.map { r =>
+      struct(lit(r.getLong(0)).as("cent_id"),
+        array(r.getSeq[Float](1).map(f => lit(f.toDouble)): _*).as("cent_vec"))
+    }.toIndexedSeq: _*)
+    val errs = emb
+      .withColumn("best", array_max(transform(centLit, c =>
+        struct(GraftFunctions.cosine(col("embedding"), c("cent_vec")).as("sim"),
+          (-c("cent_id")).as("nid")))))
+      .select((lit(1000000L) - round(col("best.sim") * 1000000.0).cast("long")).as("err_micro"))
+    val agg = errs.agg(count(lit(1)).as("n_vecs"), sum(col("err_micro")).as("sum_err_micro"))
+    graft.streaming.StreamOps.runToMemory(agg, "update")
+      .select(lit("seed").as("quantizer"), col("n_vecs"), col("sum_err_micro"),
+        expr("sum_err_micro div n_vecs").as("mean_err_micro"))
+  }
+
+  /** Oracle: the shared cent0/a0 CTEs (unused CTEs in the chain cost
+    * DuckDB nothing) + the same fixed-point error aggregate — exactly
+    * q235's seed row.
+    */
+  lazy val streamQuantizerDriftSql: String =
+    s"""WITH $refinedCentSql,
+       |errs AS (
+       |  SELECT 1000000 - CAST(round(list_cosine_similarity(a.vec, c.cvec) * 1000000) AS BIGINT)
+       |    AS err_micro
+       |  FROM a0 a JOIN cent0 c USING (cent_id))
+       |SELECT 'seed' AS quantizer, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
+       |  CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro
+       |FROM errs""".stripMargin
+
   // ——— q237: vector ingest HEALTH gate ———
 
   /** q237 — embedding-column data-quality gate, the vector twin of
