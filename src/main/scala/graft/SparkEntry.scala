@@ -495,6 +495,7 @@ object SparkEntry {
     "q237_embedding_health" -> Similarity.embeddingHealthQuery _,
     "q238_join_cardinality" -> FunctionFamilies.joinCardinalityQuery _,
     "q239_stream_quantizer_drift" -> Similarity.streamQuantizerDriftQuery _,
+    "q240_zipf_audit" -> graft.operators.TextAnalysis.zipfAuditQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -896,6 +897,7 @@ object SparkEntry {
     "q237_embedding_health" -> Similarity.embeddingHealthSql,
     "q238_join_cardinality" -> FunctionFamilies.joinCardinalitySql,
     "q239_stream_quantizer_drift" -> Similarity.streamQuantizerDriftSql,
+    "q240_zipf_audit" -> graft.operators.TextAnalysis.zipfAuditSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

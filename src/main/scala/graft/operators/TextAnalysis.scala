@@ -229,6 +229,73 @@ object TextAnalysis {
       |  md5(regexp_replace(text, '\b(customer|user|key|secret)\b', '[REDACTED]', 'g')) AS scrub_md5
       |FROM documents""".stripMargin
 
+  // ——— Zipf-slope corpus health audit ———
+
+  /** q240 — corpus HEALTH via the Zipf slope: OLS fit of ln(freq)
+    * against ln(rank) over the top-200 vocabulary. Natural language
+    * sits near slope −1 (Zipf's law); a corpus whose slope drifts is
+    * the classic signal of template/generated text (too flat: tokens
+    * near-uniform) or boilerplate collapse (too steep: a few tokens
+    * dominating) — the one-number monitor a corpus-refresh pipeline
+    * tracks next to q22's language mix and q23's quality score.
+    *
+    * Scale shape: the frequency table is one sparse-key aggregate;
+    * top-200 is `ORDER BY … LIMIT` (Spark's parallel TopK — NO
+    * global sort, no full-vocabulary window); the regression then
+    * runs on 200 rows. Exactness: ln fixed-points to milli-nats
+    * (the q158/q213 discipline — both engines' libm agree at this
+    * grain), the OLS moments are exact BIGINT sums, and the slope is
+    * emitted BOTH as the exact integer rational (slope_num/slope_den)
+    * and as `neg_slope_micro = 10⁶·(−num) div den` — numerator
+    * negated first so the integer division only ever sees positive
+    * operands (the trunc-vs-floor engine divergence, q236's lesson).
+    */
+  def zipfAuditQuery(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val top = freq.orderBy(col("f").desc, col("tok").asc).limit(200)
+    val ranked = top.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("f").desc, col("tok").asc)))
+      .select(
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT)").as("y"))
+    ranked.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"),
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_terms") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("neg_slope_micro", expr("1000000L * (-slope_num) div slope_den"))
+  }
+
+  /** Oracle: identical milli-nat fixed-pointing and BIGINT moments
+    * (every aggregate cast — the HUGEINT ban).
+    */
+  val zipfAuditSql: String =
+    """WITH f AS (
+      |  SELECT tok, count(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  WHERE length(tok) > 0 GROUP BY tok),
+      |top AS (SELECT tok, f FROM f ORDER BY f DESC, tok LIMIT 200),
+      |xy AS (
+      |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)) * 1000)
+      |           AS BIGINT) AS x,
+      |         CAST(round(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT) AS y
+      |  FROM top),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM xy)
+      |SELECT n_terms,
+      |  CAST(n_terms * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n_terms * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CAST(1000000 * (-(n_terms * sxy - sx * sy)) // (n_terms * sxx - sx * sx) AS BIGINT)
+      |    AS neg_slope_micro
+      |FROM m""".stripMargin
+
   // ——— labeling-function agreement (weak-supervision QA) ———
 
   /** q236 — inter-labeler AGREEMENT audit (Cohen's κ), the QA step a

@@ -109,6 +109,24 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q240 zipf audit: a planted Zipfian corpus reads near slope -1, a uniform one near 0") {
+    def slopeOf(text: String): Double = {
+      val dirTmp = java.nio.file.Files.createTempDirectory("zipf").toString
+      Seq((1L, text)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dirTmp/documents.parquet")
+      val r = TextAnalysis.zipfAuditQuery(spark, dirTmp).head()
+      r.getAs[Long]("slope_num").toDouble / r.getAs[Long]("slope_den")
+    }
+    // token i appears floor(600/i) times, i = 1..40 — frequency ∝ 1/rank
+    val zipfian = (1 to 40).flatMap(i => Seq.fill(600 / i)(s"t$i")).mkString(" ")
+    val sZipf = slopeOf(zipfian)
+    assert(sZipf < -0.85 && sZipf > -1.15, s"Zipfian corpus should fit ~-1, got $sZipf")
+    // every token equally frequent — slope ~0
+    val uniform = (1 to 40).flatMap(i => Seq.fill(15)(s"u$i")).mkString(" ")
+    val sUni = slopeOf(uniform)
+    assert(math.abs(sUni) < 0.05, s"uniform corpus should fit ~0, got $sUni")
+  }
+
   test("q236 label agreement: hand-checked kappa identities on the gate corpus") {
     val rows = TextAnalysis.labelAgreementQuery(spark, sf)
       .select("source", "n", "n11", "n10", "n01", "n00",
