@@ -496,6 +496,7 @@ object SparkEntry {
     "q238_join_cardinality" -> FunctionFamilies.joinCardinalityQuery _,
     "q239_stream_quantizer_drift" -> Similarity.streamQuantizerDriftQuery _,
     "q240_zipf_audit" -> graft.operators.TextAnalysis.zipfAuditQuery _,
+    "q241_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -898,6 +899,7 @@ object SparkEntry {
     "q238_join_cardinality" -> FunctionFamilies.joinCardinalitySql,
     "q239_stream_quantizer_drift" -> Similarity.streamQuantizerDriftSql,
     "q240_zipf_audit" -> graft.operators.TextAnalysis.zipfAuditSql,
+    "q241_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

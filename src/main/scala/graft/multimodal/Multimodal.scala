@@ -291,27 +291,33 @@ object Multimodal {
     * carry an exact arithmetic oracle the way q85 (PNG) and q184
     * (WAV) do.
     */
-  def encodeGif(id: Long): Array[Byte] = {
-    val w = pngWidth(id)
-    val h = pngHeight(id)
+  def encodeGif(id: Long): Array[Byte] =
+    writeGraySequenceGif(pngWidth(id), pngHeight(id), gifFrameCount(id),
+      (x, y, f) => ((7L * x + 13L * y + id + 29L * f) % 256).toInt)
+
+  /** The shared real-GIF sequence writer (interlacing OFF: the JDK
+    * pair mis-round-trips INTERLACED frames of height 2-4 — rows past
+    * the first read back as pixel (0,0), found by the q204 gate scan
+    * across all heights; progressive mode is a transport nicety with
+    * no place under an exact oracle). Gray fills the 256-entry GIF
+    * palette, so any gray pixel function round-trips LOSSLESSLY.
+    */
+  private def writeGraySequenceGif(w: Int, h: Int, nFrames: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
-    // interlacing OFF: the JDK pair mis-round-trips INTERLACED frames
-    // of height 2-4 (rows past the first read back as pixel (0,0) —
-    // found by the q204 gate scan across all heights); progressive
-    // mode is a transport nicety with no place under an exact oracle
     val param = writer.getDefaultWriteParam
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
     val out = new ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
-    (0 until gifFrameCount(id)).foreach { f =>
+    (0 until nFrames).foreach { f =>
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val v = ((7L * x + 13L * y + id + 29L * f) % 256).toInt
+          val v = pixel(x, y, f)
           img.setRGB(x, y, (v << 16) | (v << 8) | v)
           x += 1
         }
@@ -324,6 +330,29 @@ object Multimodal {
     writer.dispose()
     out.toByteArray
   }
+
+  /** Two-SCENE clip for the shot-boundary gate (q241): 6 frames at
+    * the q85 geometry — frames 0-2 are one luminance gradient field
+    * (the q204 pattern), frames 3-5 a structurally different one
+    * (different x/y gradient directions, not just a brightness
+    * offset), so a gradient-based perceptual hash sees a real cut at
+    * frame 3 while within-scene neighbors differ only by a constant
+    * shift (plus mod-wrap edges).
+    */
+  val SceneGifFrames: Int = 6
+  val SceneGifSplit: Int = 3
+
+  def sceneGifPixel(id: Long, x: Int, y: Int, f: Int): Int =
+    // within-scene motion is a SMALL brightness drift (+5/+7 per
+    // frame — keeps mod-256 wrap edges rare so the gradient hash
+    // stays stable inside a scene); the cut at SceneGifSplit rotates
+    // the gradient FIELD itself
+    if (f < SceneGifSplit) ((7L * x + 13L * y + id + 5L * f) % 256).toInt
+    else ((11L * x + 5L * y + 3L * id + 7L * f) % 256).toInt
+
+  def encodeSceneGif(id: Long): Array[Byte] =
+    writeGraySequenceGif(pngWidth(id), pngHeight(id), SceneGifFrames,
+      sceneGifPixel(id, _, _, _))
 
   case class DecodedFrame(id: Long, frame_idx: Int, width: Int, height: Int, pix_sum: Long)
 
@@ -413,6 +442,14 @@ object Multimodal {
   def dhash48(id: Long, bytes: Array[Byte]): Long = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image payload for id=$id")
+    dhash48Image(id, img)
+  }
+
+  /** [[dhash48]] over an already-decoded frame — shared by the image
+    * dedup (q200, one image per payload) and the shot-boundary pass
+    * (q241, many frames per clip: decode once, hash each frame).
+    */
+  def dhash48Image(id: Long, img: BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
     require(w >= 9 && h >= 6, s"dhash48 needs w>=9, h>=6; got ${w}x$h for id=$id")
@@ -493,6 +530,99 @@ object Multimodal {
       |  FROM bits GROUP BY 1)
       |SELECT dhash, count(*) AS n_imgs, min(doc_id) AS rep_id
       |FROM hashes GROUP BY 1""".stripMargin
+
+  // ——— q241: shot-boundary detection (keyframe extraction) ———
+
+  /** Decode EVERY frame of an animated GIF to its perceptual hash —
+    * one container parse, one [[dhash48Image]] per frame.
+    */
+  def decodeGifHashes(id: Long, bytes: Array[Byte]): Seq[(Int, Long)] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    try {
+      val n = reader.getNumImages(true)
+      (0 until n).map(f => (f, dhash48Image(id, reader.read(f))))
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** q241 — SHOT-BOUNDARY detection over real multi-frame clips, the
+    * keyframe-extraction front-end of a video training pipeline:
+    * per clip, every frame's 48-bit dHash ([[dhash48Image]] — the
+    * q200 perceptual hash), then the Hamming distance to the PREVIOUS
+    * frame (one lag window per clip); a distance ≥ 12/48 flags a cut.
+    * Within a scene, consecutive frames differ by a constant
+    * brightness shift (plus mod-wrap edges) that the gradient hash
+    * mostly ignores; at the planted scene change (frame 3: the
+    * gradient FIELD rotates, not just brightness) the hash moves
+    * wholesale. Downstream, `is_boundary` rows are the frames a
+    * captioner/encoder actually processes — the 100 TB point being
+    * that footage reduces to keyframes at decode cost, with no
+    * pairwise frame comparison beyond the adjacent lag.
+    *
+    * Machinery: batched `mapPartitions` decode (the multimodal
+    * altitude — per-row JVM codecs), hashes map-side, the lag window
+    * partitioned per clip (frames-per-clip rows). The oracle replays
+    * pixel→cell→bit→hash→lag arithmetic from the generator formula,
+    * including the scene split — the real ImageIO round trip must
+    * land on the closed form exactly (q200/q204's discipline).
+    */
+  def shotBoundariesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+    val frames = ids.mapPartitions(_.grouped(16).flatMap(_.flatMap { id =>
+        if (pngWidth(id) >= 9 && pngHeight(id) >= 6)
+          decodeGifHashes(id, encodeSceneGif(id)).map { case (f, hsh) => (id, f, hsh) }
+        else Nil
+      }))
+      .toDF("doc_id", "frame_idx", "dhash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("dhash"), 1).over(w))
+      .withColumn("hamming_prev", expr("bit_count(dhash ^ prev)"))
+      .withColumn("is_boundary", coalesce(col("hamming_prev") >= lit(12), lit(false)))
+      .drop("prev")
+  }
+
+  /** Oracle: q200's pixel→cell→bit chain extended per frame with the
+    * scene-split CASE, then the same lag/popcount arithmetic.
+    */
+  val shotBoundariesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(1 + (doc_id // 7) % 48 AS INTEGER) AS h
+      |  FROM documents
+      |  WHERE doc_id < 200 AND 1 + doc_id % 64 >= 9 AND 1 + (doc_id // 7) % 48 >= 6),
+      |px AS (
+      |  SELECT doc_id, f.i AS f, (x.i * 9) // w AS cx, (y.i * 6) // h AS cy,
+      |    CASE WHEN f.i < 3 THEN (7 * x.i + 13 * y.i + doc_id + 5 * f.i) % 256
+      |         ELSE (11 * x.i + 5 * y.i + 3 * doc_id + 7 * f.i) % 256 END AS lum
+      |  FROM d, unnest(range(d.w)) x(i), unnest(range(d.h)) y(i), unnest(range(6)) f(i)),
+      |cells AS (
+      |  SELECT doc_id, f, cx, cy, sum(lum) AS s, count(*) AS n
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, a.cy * 8 + a.cx AS i,
+      |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+      |  FROM cells a
+      |  JOIN cells b ON a.doc_id = b.doc_id AND a.f = b.f AND a.cy = b.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |hashes AS (
+      |  SELECT doc_id, f, CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT doc_id, f AS frame_idx, dhash,
+      |    lag(dhash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+      |  FROM hashes)
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, dhash,
+      |  CAST(bit_count(xor(dhash, prev)) AS INTEGER) AS hamming_prev,
+      |  COALESCE(bit_count(xor(dhash, prev)) >= 12, FALSE) AS is_boundary
+      |FROM lagged""".stripMargin
 
   // ——— real WAV (RIFF/PCM16) audio round trip (q184) ———
 

@@ -249,4 +249,35 @@ class MultimodalSpec extends SparkSuite {
       assert(frames.forall(f => f.peak <= 1000 && f.zcr < f.n), s"id=$id feature bounds")
     }
   }
+
+  test("q241 scene GIF round-trips losslessly and the cut is the ONLY flagged boundary") {
+    // lossless: decoded frame pixels equal the generator formula
+    val id = 40L // w=41, h=6 — valid dhash geometry
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeSceneGif(id)))
+    reader.setInput(iis)
+    try {
+      assert(reader.getNumImages(true) === Multimodal.SceneGifFrames)
+      (0 until Multimodal.SceneGifFrames).foreach { f =>
+        val img = reader.read(f)
+        (0 until img.getHeight).foreach(y => (0 until img.getWidth).foreach { x =>
+          assert((img.getRGB(x, y) & 0xFF) === Multimodal.sceneGifPixel(id, x, y, f),
+            s"pixel ($x,$y) frame $f not lossless")
+        })
+      }
+    } finally { reader.dispose(); iis.close() }
+
+    // detector profile on the gate corpus: zero false positives
+    // inside scenes, the planted cut found for most clips
+    val rows = Multimodal.shotBoundariesQuery(spark, sf)
+      .select("doc_id", "frame_idx", "is_boundary")
+      .as[(Long, Int, Boolean)].collect()
+    val flagged = rows.filter(_._3)
+    assert(flagged.nonEmpty && flagged.forall(_._2 === Multimodal.SceneGifSplit),
+      s"every flagged boundary must sit at the planted cut; got ${flagged.take(5).toSeq}")
+    val clips = rows.map(_._1).distinct.length
+    assert(flagged.length.toDouble / clips > 0.8,
+      s"the cut should be detected for most clips: ${flagged.length}/$clips")
+  }
 }
