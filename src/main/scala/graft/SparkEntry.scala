@@ -497,6 +497,7 @@ object SparkEntry {
     "q239_stream_quantizer_drift" -> Similarity.streamQuantizerDriftQuery _,
     "q240_zipf_audit" -> graft.operators.TextAnalysis.zipfAuditQuery _,
     "q241_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesQuery _,
+    "q242_voiced_segments" -> graft.multimodal.Multimodal.voicedSegmentsQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -900,6 +901,7 @@ object SparkEntry {
     "q239_stream_quantizer_drift" -> Similarity.streamQuantizerDriftSql,
     "q240_zipf_audit" -> graft.operators.TextAnalysis.zipfAuditSql,
     "q241_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql,
+    "q242_voiced_segments" -> graft.multimodal.Multimodal.voicedSegmentsSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -644,8 +644,11 @@ object Multimodal {
     * samples. Byte-level, no codec library — the decode side has to
     * parse actual container structure, which is the point.
     */
-  def encodeWav(id: Long): Array[Byte] = {
-    val n = wavSampleCount(id)
+  def encodeWav(id: Long): Array[Byte] =
+    encodePcm16Wav(wavSampleCount(id), i => wavSample(id, i))
+
+  /** The shared RIFF/PCM16 writer over any integer sample function. */
+  private def encodePcm16Wav(n: Int, sample: Int => Int): Array[Byte] = {
     val dataLen = n * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -660,9 +663,27 @@ object Multimodal {
       .putShort(16.toShort)                // bits/sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < n) { buf.putShort(wavSample(id, i).toShort); i += 1 }
+    while (i < n) { buf.putShort(sample(i).toShort); i += 1 }
     buf.array()
   }
+
+  /** Amplitude-MODULATED clip for the VAD gate (q242): 80-sample
+    * frame f is VOICED iff (id + f) % 3 ≠ 0 — voiced frames carry the
+    * q184 sawtooth (±1000), silence a ±50 dither — so frame energy
+    * separates by ~400× and segment structure (islands of 1-2 voiced
+    * frames between silences, id-dependent phase) is planted
+    * deterministically.
+    */
+  def vadSampleCount(id: Long): Int = (400 + id % 400).toInt
+
+  def vadSample(id: Long, i: Int): Int = {
+    val f = i / 80
+    if ((id + f) % 3 != 0) wavSample(id, i)
+    else (((id * 13 + i.toLong * 7) % 101) - 50).toInt
+  }
+
+  def encodeVadWav(id: Long): Array[Byte] =
+    encodePcm16Wav(vadSampleCount(id), i => vadSample(id, i))
 
   /** Parse WAV bytes back: validate the RIFF/WAVE magic, WALK the
     * chunk list to the `fmt `/`data` chunks (real files carry LIST/
@@ -833,6 +854,66 @@ object Multimodal {
       .select(col("id").as("doc_id"), col("frame"), col("n"),
         col("peak"), col("energy"), col("zcr"))
   }
+
+  /** q242 — VOICED-SEGMENT extraction (VAD islands), the audio verb
+    * that completes decode (q184) / frame-features (q225): frames
+    * whose energy clears the activity threshold merge into maximal
+    * CONSECUTIVE runs — (clip, seg_start, seg_end, n_frames,
+    * energy_sum) — the segments an ASR/captioning pipeline actually
+    * transcribes, with silence never leaving the executor. Machinery:
+    * the q225 frame pass (real RIFF parse per clip, batched
+    * mapPartitions), then gaps-and-islands (the q81 pattern) as ONE
+    * per-clip window + one grouped aggregate — segmentation at
+    * 100 TB costs the decode plus a frames-per-clip-sized shuffle.
+    * The oracle replays samples→frame-energies→threshold→islands
+    * from the closed-form generator, so the real container round
+    * trip must land on it exactly.
+    */
+  def voicedSegmentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .repartition(8)
+      .mapPartitions { ids =>
+        ids.grouped(32).flatMap(_.flatMap { id =>
+          decodeWavFrames(id, encodeVadWav(id), frameLen = 80) })
+      }
+      .toDF()
+      .select(col("id").as("doc_id"), col("frame"), col("energy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    frames.filter(col("energy") >= 1000000L)
+      .withColumn("grp", col("frame") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame")).as("seg_start"), max(col("frame")).as("seg_end"),
+        count(lit(1)).as("n_frames"), sum(col("energy")).as("energy_sum"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("energy_sum"))
+  }
+
+  val voicedSegmentsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(400 + doc_id % 400 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id < 200),
+      |s AS (
+      |  SELECT d.doc_id, CAST(i.i // 80 AS INTEGER) AS frame,
+      |    CASE WHEN (d.doc_id + (i.i // 80)) % 3 <> 0
+      |         THEN ((d.doc_id * 31 + i.i * 37) % 2001) - 1000
+      |         ELSE ((d.doc_id * 13 + i.i * 7) % 101) - 50 END AS x
+      |  FROM d, unnest(range(d.n)) i(i)),
+      |fe AS (
+      |  SELECT doc_id, frame, CAST(sum(x * x) AS BIGINT) AS energy
+      |  FROM s GROUP BY 1, 2),
+      |v AS (
+      |  SELECT doc_id, frame, energy,
+      |    frame - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS INTEGER) AS grp
+      |  FROM fe WHERE energy >= 1000000)
+      |SELECT doc_id, CAST(min(frame) AS INTEGER) AS seg_start,
+      |  CAST(max(frame) AS INTEGER) AS seg_end,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(energy) AS BIGINT) AS energy_sum
+      |FROM v GROUP BY doc_id, grp""".stripMargin
 
   val wavFeaturesSql: String =
     """WITH d AS (

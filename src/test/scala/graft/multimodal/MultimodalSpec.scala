@@ -250,6 +250,35 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("q242 voiced segments: islands exactly match the planted (id + f) % 3 voicing pattern") {
+    val segs = Multimodal.voicedSegmentsQuery(spark, sf)
+      .select("doc_id", "seg_start", "seg_end", "n_frames")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(segs.nonEmpty)
+    // recompute expected islands per clip from the generator
+    val byClip = segs.groupBy(_._1)
+    byClip.foreach { case (id, ss) =>
+      val n = Multimodal.vadSampleCount(id)
+      val nFrames = (n + 79) / 80
+      // model the threshold exactly: a voiced-pattern frame can still
+      // fall under it when the clip's short FINAL frame has too few
+      // samples to accumulate energy
+      def frameEnergy(f: Int): Long =
+        (f * 80 until math.min((f + 1) * 80, n))
+          .map { i => val x = Multimodal.vadSample(id, i).toLong; x * x }.sum
+      val voiced = (0 until nFrames).filter(f => frameEnergy(f) >= 1000000L)
+      val expected = voiced.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, f) if f == e + 1 => (s, f) :: rest
+        case (acc, f) => (f, f) :: acc
+      }.reverse
+      val got = ss.sortBy(_._2).map(s => (s._2, s._3)).toList
+      assert(got === expected, s"clip $id islands: got $got expected $expected")
+      ss.foreach(s => assert(s._4 === s._3 - s._2 + 1, "n_frames must equal the run length"))
+    }
+    // the planted pattern has runs of at most 2 voiced frames
+    assert(segs.forall(_._4 <= 2))
+  }
+
   test("q241 scene GIF round-trips losslessly and the cut is the ONLY flagged boundary") {
     // lossless: decoded frame pixels equal the generator formula
     val id = 40L // w=41, h=6 — valid dhash geometry
