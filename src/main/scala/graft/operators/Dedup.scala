@@ -658,18 +658,17 @@ object Dedup {
     *     gate is therefore a (deterministic-here) check of a
     *     probabilistic contract, not an identity.
     *
-    *   - The exact-verify maxDf cap is scoped differently from the
-    *     one-shot path: q16/q17 compute document frequency over the
-    *     FULL corpus before capping, while this path computes it over
-    *     the candidate-restricted shingle set (the semi-join in step 3
-    *     happens before `intersections`). A boilerplate shingle whose
-    *     corpus-wide df exceeds the cap but whose within-candidates df
-    *     does not is KEPT here and DROPPED there, so when the cap
-    *     fires the two pipelines can score the same pair differently.
-    *     It never fires on the gated corpora (max observed df = 25 ≪
-    *     cap); a production deployment that relies on the cap should
-    *     persist corpus-wide shingle df next to the signature index
-    *     and pass it in, restoring identical scoring.
+    *   - (CLOSED in round 13) The exact-verify maxDf cap used to be
+    *     scoped to the candidate-restricted shingle set, so when the
+    *     cap fired a boilerplate shingle could be kept here and
+    *     dropped by q16 — the two pipelines scoring the same pair
+    *     differently. The corpus-wide shingle DF now PERSISTS next to
+    *     the signature index (`<index>__df`, append-only increments
+    *     summed on read); each batch joins its candidate shingles
+    *     against stored-history + batch-local df and drops over-cap
+    *     shingles BEFORE intersection counting — scoring is
+    *     q16-identical even when the cap fires (DedupSpec plants a
+    *     corpus where it does and pins the equality).
     *
     * The batch split here is deterministic (`doc_id % 10 = 0` models
     * "today's crawl") so the gated query is reproducible; production
@@ -701,6 +700,24 @@ object Dedup {
       BucketStore.load(spark, indexName,
         signatureIndexRows(docs.filter(!isBatch), idCol, textCol, n, numHashes, bands),
         "bkey", numBuckets = 16)
+    }
+    // the corpus-wide shingle DF table, persisted NEXT to the
+    // signature index (round 13 — closing the scaladoc's documented
+    // cap-scoping caveat): the exact-verify cap must be a CORPUS
+    // property, identical to q16's, not a property of whatever
+    // shingles the day's candidates happen to restrict to. Built once
+    // over the index's corpus; maintenance is append-only increment
+    // rows (the reader SUMS per shingle), the same extension cycle as
+    // the signatures. Retirement deliberately leaves df history: a
+    // stop shingle stays stopped (conservative — scores only ever
+    // under-count boilerplate overlap), and the shared q134/q146
+    // oracles count every document the index has seen.
+    val dfName = s"${indexName}__df"
+    if (!BucketStore.exists(dfName)) {
+      BucketStore.load(spark, dfName,
+        shingles(docs.filter(!isBatch), idCol, textCol, n)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df")),
+        "shingle", numBuckets = 16)
     }
     val index = spark.read.format("graft-buckets").option("table", indexName).load()
     // batch signatures are batch-sized and consumed twice (vs-index
@@ -744,7 +761,26 @@ object Dedup {
       idCol, textCol, n).cache()
     val sh = arrs.select(col("id"), explode(col("arr")).as("shingle"))
     val sizes = arrs.select(col("id"), size(col("arr")).cast("long").as("n_sh"))
-    val pairShingles = intersections(sh, maxDf)
+    // CORPUS-scoped cap: total df = stored history df (semi-joined to
+    // the candidate shingles FIRST, so the store scan is ∝ candidates
+    // — bucket-partitioned on the shingle key at scale) + the batch's
+    // own contribution; shingles over the cap are dropped BEFORE
+    // intersection counting, exactly like q16's one-shot path. The
+    // inner cap in [[intersections]] then never binds more tightly
+    // (candidate-scoped df ≤ corpus df ≤ maxDf for every survivor).
+    val candShingles = sh.select(col("shingle")).distinct()
+    val dfHist = spark.read.format("graft-buckets").option("table", dfName).load()
+      .join(candShingles, Seq("shingle"), "left_semi")
+      .groupBy(col("shingle")).agg(sum(col("df")).as("df_hist"))
+    val dfBatch = shingles(docs.filter(isBatch), idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df_b"))
+    val overCap = candShingles
+      .join(dfHist, Seq("shingle"), "left")
+      .join(dfBatch, Seq("shingle"), "left")
+      .filter(coalesce(col("df_hist"), lit(0L)) + coalesce(col("df_b"), lit(0L)) > maxDf)
+      .select(col("shingle"))
+    val shOk = sh.join(overCap, Seq("shingle"), "left_anti")
+    val pairShingles = intersections(shOk, maxDf)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
     val pairs = scoreJaccard(pairShingles
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")

@@ -175,6 +175,43 @@ class DedupSpec extends SparkSuite {
       s"the df>3 boilerplate shingles must stay dropped in the restricted path: $capped")
   }
 
+  test("incremental dedup caps by CORPUS df, not candidate df (the round-13 closed caveat)") {
+    import graft.sources.bucketed.BucketStore
+    // 8 docs all sharing one boilerplate trigram; two of them (one
+    // history, one batch) are identical BOILERPLATE-ONLY docs. With
+    // maxDf = 7 the trigram's corpus df = 8 > cap, so q16 drops it
+    // and the pair must NOT exist. The pre-fix incremental path saw
+    // candidate-scoped df = 2 ≤ 7, kept the shingle, and emitted the
+    // pair at jaccard 1.0 — a silent scoring fork the persisted
+    // corpus-df table now prevents.
+    val boiler = "c1 c2 c3"
+    val docs = (Seq(
+      (10L, boiler),                        // batch (id % 10 == 0)
+      (1L, boiler)) ++                      // history twin
+      (2L to 7L).map(i => (i, s"$boiler t${i}a t${i}b t${i}c t${i}d"))
+      ).toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 10 === 0
+    BucketStore.drop("cap_idx"); BucketStore.drop("cap_idx__df")
+    val inc = Dedup.incrementalDedupPairs(spark, docs, "doc_id", "text",
+        indexName = "cap_idx", isBatch, n = 3, numHashes = 32, bands = 16,
+        threshold = 0.5, maxDf = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(inc === full, s"incremental must equal the capped one-shot path: inc=$inc full=$full")
+    assert(!inc.contains((1L, 10L)),
+      "the boilerplate-only pair must be dropped by the CORPUS-wide cap")
+    // sanity: without the cap the pair IS real (the test tests the cap)
+    BucketStore.drop("cap_idx"); BucketStore.drop("cap_idx__df")
+    val uncapped = Dedup.incrementalDedupPairs(spark, docs, "doc_id", "text",
+        indexName = "cap_idx", isBatch, n = 3, numHashes = 32, bands = 16,
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 10L)))
+    BucketStore.drop("cap_idx"); BucketStore.drop("cap_idx__df")
+  }
+
   test("df cap above corpus max df leaves results byte-identical (pins the gated oracles)") {
     val d = graft.tables.Tables.documents(spark, sf)
     val base = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8, maxDf = Int.MaxValue - 1)
