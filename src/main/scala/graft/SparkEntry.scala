@@ -498,6 +498,7 @@ object SparkEntry {
     "q240_zipf_audit" -> graft.operators.TextAnalysis.zipfAuditQuery _,
     "q241_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesQuery _,
     "q242_voiced_segments" -> graft.multimodal.Multimodal.voicedSegmentsQuery _,
+    "q243_string_bucket_key" -> graft.sources.bucketed.BucketedQueries.stringKeyQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -902,6 +903,7 @@ object SparkEntry {
     "q240_zipf_audit" -> graft.operators.TextAnalysis.zipfAuditSql,
     "q241_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql,
     "q242_voiced_segments" -> graft.multimodal.Multimodal.voicedSegmentsSql,
+    "q243_string_bucket_key" -> graft.sources.bucketed.BucketedQueries.stringKeySql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

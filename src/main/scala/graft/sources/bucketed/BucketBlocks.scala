@@ -1,0 +1,166 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.Row
+
+/** One bucket's base payload: in-heap rows, optionally backed by an
+  * immutable parquet file ([[FileStore]]). The block is the unit of
+  * copy-on-write sharing across MVCC snapshots — an untouched bucket
+  * republishes the SAME block (or at least the same row array, which
+  * the spill path resolves to the same file by identity), so a
+  * version's storage cost is ∝ changed buckets at FILE granularity,
+  * exactly the manifest discipline Iceberg/Delta commits use.
+  *
+  * States:
+  *   - loaded, unspilled: `mem` set, `file` None (a fresh commit before
+  *     its publish spills it — or a heap-only table);
+  *   - loaded + spilled: both set (the steady state after publish);
+  *   - evicted: `mem` null, `file` set — [[rows]] lazily re-reads the
+  *     parquet file (and re-caches), so a scan task pays I/O for
+  *     exactly the buckets it opens. This is the state every block of
+  *     a table opened from disk ([[BucketStore.openFromDisk]]) starts
+  *     in: the driver holds file REFERENCES, never the table.
+  */
+final class BucketBlock private (
+    @volatile private var mem: Array[Row],
+    @volatile private var fileRef: FileStore.BlockFile) {
+
+  /** The block's rows, loading (and caching) from the backing file if
+    * evicted. The cached array keeps one identity until the next
+    * evict, so identity-keyed caches ([[BucketSkip]], the COW spill
+    * cache) compose with lazy loading.
+    */
+  def rows: Array[Row] = {
+    val m = mem
+    if (m != null) m
+    else synchronized {
+      if (mem == null) {
+        val loaded = FileStore.readBlock(fileRef)
+        // re-seed the COW spill cache: a later publish sharing this
+        // reloaded array must resolve to the SAME file, not rewrite it
+        FileStore.rememberSpill(loaded, fileRef)
+        mem = loaded
+      }
+      mem
+    }
+  }
+
+  /** Row count without loading. */
+  def rowCount: Int = {
+    val m = mem
+    if (m != null) m.length else fileRef.rows
+  }
+
+  def file: Option[FileStore.BlockFile] = Option(fileRef)
+
+  def isLoaded: Boolean = mem != null
+
+  /** The in-heap array if loaded, null otherwise — identity probes
+    * that must not trigger a load.
+    */
+  private[bucketed] def memOrNull: Array[Row] = mem
+
+  /** Attach the backing file at spill time. The in-heap rows are kept
+    * verbatim (pre-ALTER short rows stay short — the zero-rewrite
+    * contract); the file may hold them NULL-padded to the snapshot
+    * schema, which reads back as the same logical rows.
+    */
+  private[bucketed] def attach(f: FileStore.BlockFile): Unit =
+    fileRef = f
+
+  /** Drop the in-heap rows (only legal once file-backed). Returns
+    * whether anything was evicted.
+    */
+  def evict(): Boolean =
+    if (fileRef != null && mem != null) { mem = null; true } else false
+}
+
+object BucketBlock {
+  def ofMem(rows: Array[Row]): BucketBlock = new BucketBlock(rows, null)
+  def ofFile(f: FileStore.BlockFile): BucketBlock = new BucketBlock(null, f)
+}
+
+/** A table snapshot's buckets: an indexed collection of
+  * [[BucketBlock]]s presenting the legacy `Array[Array[Row]]` surface
+  * (`apply`/`length`/`indices`/iteration), so the store's operators
+  * read `t.buckets(b)` unchanged while the substrate underneath can be
+  * a parquet file set. `apply` forces a load of exactly that bucket;
+  * paths that must NOT load (sharing probes, row counts, manifest
+  * writing) go through [[block]]/[[rowCount]].
+  */
+final class BucketBlocks(private[bucketed] val blocks: Array[BucketBlock]) {
+
+  def apply(b: Int): Array[Row] = blocks(b).rows
+
+  def length: Int = blocks.length
+
+  def indices: Range = blocks.indices
+
+  def block(b: Int): BucketBlock = blocks(b)
+
+  /** Per-bucket BASE row count (MOR state excluded), no loads. */
+  def rowCount(b: Int): Int = blocks(b).rowCount
+
+  def totalBaseRows: Long = {
+    var s = 0L
+    var b = 0
+    while (b < blocks.length) { s += blocks(b).rowCount; b += 1 }
+    s
+  }
+
+  def iterator: Iterator[Array[Row]] = blocks.iterator.map(_.rows)
+
+  def flatten: Array[Row] = blocks.flatMap(_.rows)
+
+  def forall(p: Array[Row] => Boolean): Boolean = blocks.forall(blk => p(blk.rows))
+
+  def foreach[U](f: Array[Row] => U): Unit = blocks.foreach(blk => f(blk.rows))
+
+  def map[T](f: Array[Row] => T)(implicit ct: scala.reflect.ClassTag[T]): Array[T] =
+    blocks.map(blk => f(blk.rows))
+
+  def zipWithIndex: Array[(Array[Row], Int)] =
+    Array.tabulate(blocks.length)(b => (blocks(b).rows, b))
+
+  /** COW rewrite: `f(b)` returns Some(newRows) for buckets this commit
+    * replaces and None for untouched ones, which RETAIN their block
+    * (same instance ⇒ same backing file in the next manifest, no load,
+    * no rewrite) — the write-path discipline that makes an MVCC
+    * version cost O(changed buckets) at file granularity.
+    */
+  def mapRetaining(f: Int => Option[Array[Row]]): BucketBlocks =
+    new BucketBlocks(Array.tabulate(blocks.length) { b =>
+      f(b) match {
+        case Some(rows) => BucketBlock.ofMem(rows)
+        case None => blocks(b)
+      }
+    })
+
+  /** Does bucket `b` share storage with `other`'s bucket `b`? True on
+    * block identity, same backing file, or same loaded array — all
+    * checked WITHOUT loading either side.
+    */
+  def sharesWith(other: BucketBlocks, b: Int): Boolean = {
+    if (b >= other.blocks.length) return false
+    val a = blocks(b)
+    val o = other.blocks(b)
+    (a eq o) ||
+      (a.file.isDefined && a.file == o.file) ||
+      (a.memOrNull != null && (a.memOrNull eq o.memOrNull))
+  }
+
+  /** Blocks currently materialized in heap — spec hook for the
+    * eviction/lazy-load story.
+    */
+  def loadedCount: Int = blocks.count(_.isLoaded)
+}
+
+object BucketBlocks {
+  /** The compatibility bridge: every existing construction site builds
+    * an `Array[Array[Row]]`; the expected-type implicit wraps each
+    * array in a fresh in-heap block. COW file identity still holds —
+    * the publish spill resolves identical arrays to identical files
+    * ([[FileStore.rememberSpill]]).
+    */
+  implicit def fromArrays(a: Array[Array[Row]]): BucketBlocks =
+    new BucketBlocks(Array.tabulate(a.length)(i => BucketBlock.ofMem(a(i))))
+}

@@ -76,6 +76,24 @@ object BucketSkip {
   private val cache =
     new java.util.WeakHashMap[Array[Row], scala.collection.concurrent.TrieMap[String, Option[ColSkip]]]()
 
+  /** (block-file path, column) → stats: the FILE-substrate twin of the
+    * array-identity cache. Seeded at publish (commit metadata) and at
+    * [[BucketStore.openFromDisk]] from the manifest, consulted by
+    * [[BucketStore.skipStatParts]] BEFORE touching rows — so planning
+    * prunes evicted blocks and freshly reopened tables with ZERO block
+    * I/O, exactly the role parquet row-group footers play at 100 TB.
+    */
+  private val fileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[ColSkip]]()
+
+  private[bucketed] def fileStatsPut(path: String, c: String, s: Option[ColSkip]): Unit = {
+    fileCache.put((path, c), s)
+    ()
+  }
+
+  private[bucketed] def fileStatsGet(path: String, c: String): Option[Option[ColSkip]] =
+    Option(fileCache.get((path, c)))
+
   /** Cached per-bucket column statistics — shared with
     * [[BucketedProcedures.Stats]] so observability reads the same
     * cached pass pruning uses (None ⇔ the type is not comparable).

@@ -77,7 +77,7 @@ object BucketStore {
   final case class BucketTable(
       schema: StructType,
       keyCol: String,
-      buckets: Array[Array[Row]],
+      buckets: BucketBlocks,
       hosts: Array[Seq[String]],
       version: Long,
       clusterCol: Option[String] = None,
@@ -132,6 +132,46 @@ object BucketStore {
     def posOf(i: Int): Int = if (pos == null) i else pos(i)
   }
 
+  // — FILE SUBSTRATE (round 15): when enabled, every publish spills its
+  //   CHANGED buckets to immutable parquet files and writes a JSON
+  //   manifest per version ([[FileStore]]) — a snapshot IS a manifest of
+  //   file references, untouched buckets re-reference the previous
+  //   version's files (COW at file granularity), tables reopen in a
+  //   fresh JVM from the directory alone ([[openFromDisk]]), and blocks
+  //   evict/re-load lazily ([[evictTable]], [[BucketBlock.rows]]) so
+  //   serving never requires the whole table in heap. The in-heap
+  //   arrays become a CACHE over the file set instead of the substrate.
+  @volatile var fileBackingEnabled: Boolean = true
+
+  /** Where table directories live; override in specs for a durable
+    * location (default: one temp root per JVM).
+    */
+  @volatile var storageRootOverride: Option[java.nio.file.Path] = None
+  private lazy val defaultStorageRoot =
+    java.nio.file.Files.createTempDirectory("graft-bucket-store-")
+  def storageRoot: java.nio.file.Path = storageRootOverride.getOrElse(defaultStorageRoot)
+
+  /** Tables that fell back to heap-only (a schema the parquet spill
+    * cannot express, e.g. NullType) — the spill degrades loudly-logged
+    * rather than failing the commit.
+    */
+  private val heapOnly = ConcurrentHashMap.newKeySet[String]()
+
+  /** Each table's directory, pinned at first publish (stable even if
+    * the root override changes mid-life).
+    */
+  private val tableDirs = new ConcurrentHashMap[String, java.nio.file.Path]()
+
+  def isFileBacked(name: String): Boolean =
+    fileBackingEnabled && !heapOnly.contains(name) && tableDirs.containsKey(name)
+
+  def tableDir(name: String): java.nio.file.Path =
+    tableDirs.computeIfAbsent(name, n => {
+      val safe = n.replaceAll("[^A-Za-z0-9._-]", "_").take(80)
+      storageRoot.resolve(
+        safe + "-" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(n)))
+    })
+
   /** Retained snapshots per table, oldest → newest; `.last` is current. */
   private val tables = new ConcurrentHashMap[String, Vector[BucketTable]]()
   private val versions = new java.util.concurrent.atomic.AtomicLong()
@@ -182,20 +222,27 @@ object BucketStore {
     val stamped = next.copy(commitTs = nextStamp())
     val hist = tables.getOrDefault(name, Vector.empty)
     firstVersions.putIfAbsent(name, stamped.version)
-    tables.put(name, (hist :+ stamped).takeRight(RetainedVersions))
+    val prev = hist.lastOption
+    spillAndManifest(name, stamped, prev)
+    val newHist = (hist :+ stamped).takeRight(RetainedVersions)
+    tables.put(name, newHist)
+    // disk retention follows heap retention: when this publish trimmed
+    // a version out of the MVCC window, drop the files no retained
+    // manifest references
+    if (hist.length + 1 > RetainedVersions && isFileBacked(name))
+      FileStore.gc(tableDir(name), newHist.map(_.version).toSet): Unit
     // commit-time statistics: warm zone maps/sketches for exactly the
-    // buckets this commit REPLACED (identity-shared arrays keep their
-    // cached stats), for the table's registered stat columns — so a
-    // later pushed filter prunes with ZERO plan-time stat passes. At
-    // 100 TB this pass runs in the producer's write task and lands in
-    // commit metadata; the cost discipline is identical: ∝ changed
-    // buckets, never the table.
+    // buckets this commit REPLACED (storage-shared buckets — same
+    // block, file, or array — keep their cached stats), for the
+    // table's registered stat columns — so a later pushed filter
+    // prunes with ZERO plan-time stat passes. At 100 TB this pass runs
+    // in the producer's write task and lands in commit metadata; the
+    // cost discipline is identical: ∝ changed buckets, never the table.
     val cols = statColumns.getOrDefault(name, Set.empty)
     if (cols.nonEmpty) {
-      val prev = hist.lastOption
-      stamped.buckets.zipWithIndex.foreach { case (rows, b) =>
-        val shared = prev.exists(p => b < p.buckets.length && (p.buckets(b) eq rows))
-        if (!shared) BucketSkip.warm(stamped.schema, rows, cols)
+      stamped.buckets.indices.foreach { b =>
+        val shared = prev.exists(p => stamped.buckets.sharesWith(p.buckets, b))
+        if (!shared) BucketSkip.warm(stamped.schema, stamped.buckets(b), cols)
         // MOR commits: warm the (small) delta arrays too — planning
         // composes base ∪ delta stats without folding ([[skipStatParts]]),
         // so a delta commit costs O(delta) stat work, never O(bucket)
@@ -207,23 +254,162 @@ object BucketStore {
     }
   }
 
+  /** The file-substrate half of a publish: write parquet blocks for
+    * exactly the buckets this commit changed (blocks already carrying a
+    * file ref — retained via [[BucketBlocks.mapRetaining]] or resolved
+    * by row-array identity — re-reference their existing file), spill
+    * changed MOR deltas, and write the version's manifest. A spill
+    * failure (a schema parquet cannot express) degrades the TABLE to
+    * heap-only with a stderr note — never fails the commit.
+    */
+  private def spillAndManifest(name: String, stamped: BucketTable,
+      prev: Option[BucketTable]): Unit = {
+    if (!fileBackingEnabled || heapOnly.contains(name)) return
+    try {
+      val dir = tableDir(name)
+      stamped.buckets.indices.foreach { b =>
+        val blk = stamped.buckets.block(b)
+        if (blk.file.isEmpty) {
+          blk.attach(FileStore.spillBlock(dir, s"b$b-v${stamped.version}",
+            stamped.schema, blk.rows))
+        }
+      }
+      val morFiles: Map[Int, FileStore.BlockFile] = stamped.mor.map { case (b, m) =>
+        b -> (if (m.delta.isEmpty) FileStore.EmptyBlock
+        else FileStore.spillBlock(dir, s"d$b-v${stamped.version}", stamped.schema,
+          m.delta))
+      }
+      val rbFile = stamped.rangeBounds.map(bounds =>
+        FileStore.spillBounds(dir, stamped.version,
+          stamped.schema(stamped.keyCol).dataType, bounds))
+      // commit metadata: zone maps/sketches for the registered stat
+      // columns ride the manifest. Untouched buckets hit the
+      // (path, col) cache — the pass costs ∝ changed buckets, and a
+      // reopened table plans pruning with ZERO block reads.
+      val cols = statColumnsOf(name)
+      val stats: Map[Int, Map[String, Option[BucketSkip.ColSkip]]] =
+        if (cols.isEmpty) Map.empty
+        else stamped.buckets.indices.iterator.flatMap { b =>
+          val blk = stamped.buckets.block(b)
+          blk.file.filter(_.path.nonEmpty).map { f =>
+            b -> cols.iterator.map { c =>
+              c -> BucketSkip.fileStatsGet(f.path, c).getOrElse {
+                val s = BucketSkip.statsFor(stamped.schema, blk.rows, c)
+                BucketSkip.fileStatsPut(f.path, c, s)
+                s
+              }
+            }.toMap
+          }
+        }.toMap
+      FileStore.writeManifest(dir, name, stamped, morFiles, rbFile,
+        Option(firstVersions.get(name)).map(_.toLong).getOrElse(stamped.version),
+        FileStore.TableConfig(dmlModeOf(name), checkOf(name), tagsOf(name),
+          statColumnsOf(name)), stats)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (sys.props.contains("graft.debug.spill")) e.printStackTrace()
+        heapOnly.add(name)
+        System.err.println(s"[graft-buckets] file backing disabled for '$name': " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage} — table is heap-only from here")
+    }
+  }
+
+  /** Drop the in-heap row cache of every file-backed block across
+    * `name`'s retained history — the table keeps serving from its
+    * parquet file set, each scan loading exactly the buckets it opens.
+    * Returns blocks evicted. (Spec/ops hook; a real cluster's
+    * executors do this continuously under memory pressure.)
+    */
+  def evictTable(name: String): Int =
+    history(name).iterator.flatMap(_.buckets.blocks.iterator).count(_.evict())
+
+  /** Re-open a table from its directory in a fresh process: rebuild the
+    * whole retained MVCC history from the manifests with every block
+    * LAZY (file refs only — rows load per bucket on first touch), plus
+    * the table config (DML mode, CHECK, tags, stat columns). Blocks are
+    * deduplicated by path so COW sharing — and the identity discipline
+    * every cache keys on — is reconstructed, not just the data.
+    */
+  def openFromDisk(name: String, dir: java.nio.file.Path): Long = synchronized {
+    require(!exists(name), s"openFromDisk: table '$name' already in the store")
+    val ms = FileStore.readManifests(dir)
+    val blockByPath = scala.collection.mutable.HashMap[String, BucketBlock]()
+    val deltaByPath = scala.collection.mutable.HashMap[String, Array[Row]]()
+    val boundsByPath = scala.collection.mutable.HashMap[String, Array[Any]]()
+    val hist = ms.map { m =>
+      val blocks = m.buckets.map { bf =>
+        if (bf.rows == 0) BucketBlock.ofMem(Array.empty[Row])
+        else blockByPath.getOrElseUpdate(bf.path, BucketBlock.ofFile(bf))
+      }
+      // re-seed the (path, column) stat cache from commit metadata —
+      // pruning plans over the reopened table without reading a block
+      m.stats.foreach { case (b, byCol) =>
+        val p = if (b < m.buckets.length) m.buckets(b).path else ""
+        if (p.nonEmpty) byCol.foreach { case (c, s) => BucketSkip.fileStatsPut(p, c, s) }
+      }
+      val mor = m.mor.map { case (b, (bits, deltaFile)) =>
+        b -> BucketMor(bits,
+          if (deltaFile.rows == 0) Array.empty[Row]
+          else deltaByPath.getOrElseUpdate(deltaFile.path, FileStore.readBlock(deltaFile)))
+      }
+      BucketTable(m.schema, m.keyCol, new BucketBlocks(blocks), m.hosts, m.version,
+        m.clusterCol, m.commitTs,
+        m.rangeBoundsFile.map(f =>
+          boundsByPath.getOrElseUpdate(f.path, FileStore.readRangeBounds(f))),
+        m.layoutEpoch, mor, m.replicated, m.zBounds, m.hrw)
+    }
+    tables.put(name, hist.toVector)
+    firstVersions.put(name, ms.last.firstVersion)
+    tableDirs.put(name, dir)
+    val cfg = ms.last.config
+    dmlModes.put(name, cfg.dmlMode)
+    cfg.check.foreach(checks.put(name, _))
+    if (cfg.tags.nonEmpty) tags.put(name, cfg.tags)
+    registerStatColumns(name, cfg.statColumns)
+    // keep the global counters monotone past everything reopened, so a
+    // fresh publish can never collide with a restored version/stamp
+    versions.updateAndGet(v => math.max(v, hist.last.version))
+    lastStamp.updateAndGet(s => math.max(s, hist.last.commitTs))
+    hist.last.version
+  }
+
   /** Skip statistics for (bucket, column) WITHOUT materializing the
     * fold: the base array's identity-cached stats plus (for MOR
     * buckets) the delta array's. Deleted rows stay counted in the base
     * part — strictly conservative (a hidden value can only cause a
     * needless open, never a wrong skip). `None` = cannot skip.
+    *
+    * File-backed blocks consult the (path, column)-keyed stat cache
+    * FIRST — seeded by publish and by [[openFromDisk]] from the
+    * manifest — so planning over an evicted or freshly reopened table
+    * prunes with ZERO block I/O. Loading rows to compute stats is the
+    * fallback for stats never committed (e.g. a column registered
+    * after the table's last publish), and the result is path-cached so
+    * the load happens at most once per block file.
     */
-  def skipStatParts(t: BucketTable, b: Int, c: String): Option[Seq[BucketSkip.ColSkip]] =
+  def skipStatParts(t: BucketTable, b: Int, c: String): Option[Seq[BucketSkip.ColSkip]] = {
+    def baseStats: Option[BucketSkip.ColSkip] = {
+      val blk = t.buckets.block(b)
+      blk.file.filter(_.path.nonEmpty) match {
+        case Some(f) =>
+          BucketSkip.fileStatsGet(f.path, c).getOrElse {
+            val s = BucketSkip.statsFor(t.schema, blk.rows, c)
+            BucketSkip.fileStatsPut(f.path, c, s)
+            s
+          }
+        case None => BucketSkip.statsFor(t.schema, blk.rows, c)
+      }
+    }
     t.mor.get(b) match {
-      case None => BucketSkip.statsFor(t.schema, t.buckets(b), c).map(Seq(_))
-      case Some(m) if m.delta.isEmpty =>
-        BucketSkip.statsFor(t.schema, t.buckets(b), c).map(Seq(_))
+      case None => baseStats.map(Seq(_))
+      case Some(m) if m.delta.isEmpty => baseStats.map(Seq(_))
       case Some(m) =>
         for {
-          bs <- BucketSkip.statsFor(t.schema, t.buckets(b), c)
+          bs <- baseStats
           ds <- BucketSkip.statsFor(t.schema, m.delta, c)
         } yield Seq(bs, ds)
     }
+  }
 
   /** Columns with data-skipping statistics maintained AT COMMIT for
     * each table: registered by the first pushed filter that touches a
@@ -956,10 +1142,11 @@ object BucketStore {
 
   /** The HRW owner of a key value: argmax over buckets of
     * [[hrwScore]], ties to the smaller bucket. Same key-hash domain
-    * as [[BucketFunction.bucketFor]] (Murmur3 seed 42 on integral
-    * keys, the seed itself for null) so HRW and mod layouts disagree
+    * as [[BucketFunction.bucketFor]] ([[BucketFunction.keyHash32]]:
+    * Murmur3 seed 42 on integrals, UTF-8 string bytes, epoch-day
+    * dates; the seed itself for null) so HRW and mod layouts disagree
     * only in the placement function, never in what is routable.
-    * `None` for non-integral keys — callers must not prune then,
+    * `None` for unroutable key types — callers must not prune then,
     * exactly like the mod path.
     *
     * THE resize-stability property (the q229 invariant, now a store
@@ -971,12 +1158,10 @@ object BucketStore {
     * trivial against a write's I/O, and only HRW tables pay it.
     */
   def hrwBucketFor(value: Any, numBuckets: Int): Option[Int] = {
-    val keyHash: Option[Long] = value match {
-      case v: Long => Some(Murmur3_x86_32.hashLong(v, 42).toLong)
-      case v: Int => Some(Murmur3_x86_32.hashInt(v, 42).toLong)
-      case null => Some(42L)
-      case _ => None
-    }
+    // the SAME Murmur3 seed-42 key domain as the mod path — longs,
+    // ints, UTF-8 string bytes, epoch-day dates, null-as-seed — so the
+    // two layouts disagree only in placement, never in routability
+    val keyHash: Option[Long] = BucketFunction.keyHash32(value).map(_.toLong)
     keyHash.map { h =>
       var best = 0
       var bestScore = hrwScore(h, 0)
@@ -1210,7 +1395,25 @@ object BucketStore {
     dmlModes.remove(name)
     checks.remove(name)
     tags.remove(name)
+    heapOnly.remove(name)
+    Option(tableDirs.remove(name)).foreach(FileStore.dropDir)
     tables.remove(name) != null
+  }
+
+  /** Forget a table's HEAP state only — files and manifests stay on
+    * disk, ready for [[openFromDisk]]. This is the in-process stand-in
+    * for a JVM restart (spec/ops hook); contrast [[drop]], which
+    * deletes the directory too.
+    */
+  def unload(name: String): Option[java.nio.file.Path] = synchronized {
+    firstVersions.remove(name)
+    statColumns.remove(name)
+    dmlModes.remove(name)
+    checks.remove(name)
+    tags.remove(name)
+    heapOnly.remove(name)
+    tables.remove(name)
+    Option(tableDirs.remove(name))
   }
 
   /** Job-level atomic publish for the DSv2 write path: merge the

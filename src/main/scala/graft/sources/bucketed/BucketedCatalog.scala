@@ -250,26 +250,46 @@ object BucketFunction extends UnboundFunction {
     inputType.fields(1).dataType match {
       case LongType => LongBucketFunction
       case IntegerType => IntBucketFunction
+      case StringType => StringBucketFunction
+      case DateType => DateBucketFunction
       case t => throw new UnsupportedOperationException(s"bucket key type $t")
     }
   }
 
   private def pmod(h: Int, n: Int): Int = { val m = h % n; if (m < 0) m + n else m }
 
-  /** The bucket a key VALUE lands in — byte-identical to the
-    * load-time `pmod(hash(col), n)` (Murmur3 seed 42) for the integral
-    * key types the store buckets on. `None` for any other type: the
-    * caller must then NOT prune (correctness over cleverness).
+  /** THE key-hash domain both placement functions share: Murmur3
+    * seed 42 over the key's Spark-hash representation — longs/ints as
+    * themselves, strings as their UTF-8 bytes (exactly Spark's
+    * `hash()` of a StringType column), dates as their epoch-day Int,
+    * null as the seed. `None` for any other type — mod and HRW layouts
+    * disagree only in PLACEMENT ([[BucketStore.hrwBucketFor]] argmaxes
+    * where this pmods), never in what is routable.
     */
-  def bucketFor(value: Any, numBuckets: Int): Option[Int] = value match {
-    case v: Long => Some(pmod(Murmur3_x86_32.hashLong(v, 42), numBuckets))
-    case v: Int => Some(pmod(Murmur3_x86_32.hashInt(v, 42), numBuckets))
+  private[bucketed] def keyHash32(value: Any): Option[Int] = value match {
+    case v: Long => Some(Murmur3_x86_32.hashLong(v, 42))
+    case v: Int => Some(Murmur3_x86_32.hashInt(v, 42))
+    case v: String =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      Some(Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42))
+    case v: java.sql.Date =>
+      Some(Murmur3_x86_32.hashInt(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(v), 42))
     // Spark's hash(NULL) is the seed itself — load-time pmod(hash(k), n)
     // therefore puts null keys in bucket pmod(42, n); the writer must
     // agree byte-for-byte
-    case null => Some(pmod(42, numBuckets))
+    case null => Some(42)
     case _ => None
   }
+
+  /** The bucket a key VALUE lands in — byte-identical to the
+    * load-time `pmod(hash(col), n)` (Murmur3 seed 42) for the key
+    * types the store buckets on (integrals, strings, dates). `None`
+    * for any other type: the caller must then NOT prune (correctness
+    * over cleverness).
+    */
+  def bucketFor(value: Any, numBuckets: Int): Option[Int] =
+    keyHash32(value).map(pmod(_, numBuckets))
 
   object LongBucketFunction extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
@@ -285,6 +305,33 @@ object BucketFunction extends UnboundFunction {
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
     override def canonicalName(): String = "graft.bucket.int"
+    override def produceResult(input: InternalRow): Integer =
+      pmod(Murmur3_x86_32.hashInt(input.getInt(1), 42), input.getInt(0))
+  }
+
+  /** String keys hash their UTF-8 bytes — the exact bytes Spark's own
+    * `hash()` hashes for a StringType column, so the SQL transform,
+    * the writer ([[BucketStore.routeBucket]]), and the pruner agree on
+    * a URL/content-hash keyed corpus the way they do on a numeric id.
+    */
+  object StringBucketFunction extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket.string"
+    override def produceResult(input: InternalRow): Integer = {
+      val u = input.getUTF8String(1)
+      pmod(Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42),
+        input.getInt(0))
+    }
+  }
+
+  /** Date keys hash their epoch-day Int (Spark's internal DateType). */
+  object DateBucketFunction extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, DateType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket.date"
     override def produceResult(input: InternalRow): Integer =
       pmod(Murmur3_x86_32.hashInt(input.getInt(1), 42), input.getInt(0))
   }

@@ -1276,6 +1276,46 @@ object BucketedQueries {
       |FROM orders WHERE o_orderpriority <> '5-LOW'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** q243 — STRING bucket keys through BOTH layouts: `documents`
+    * keyed by a derived URL-shaped string (`source/lang/doc_id` — the
+    * key shape a 100 TB web corpus actually routes on), loaded through
+    * the mod-hash layout (Murmur3 seed-42 over the key's UTF-8 bytes,
+    * exactly Spark's own `hash()` of a StringType column —
+    * [[BucketFunction.keyHash32]]), converted to RENDEZVOUS placement
+    * (`CALL graft.rebucket_hrw` — same key domain, argmax instead of
+    * pmod), DML'd through the HRW write path, and aggregated. The
+    * oracle sees only final rows; the routing/pruning physics —
+    * point lookups on the string key planning ONE bucket under both
+    * layouts, zero illegal moves on the HRW grow — are pinned in
+    * RebucketHrwSpec. Before round 15 only integral keys routed;
+    * URL/content-hash keyed corpora could not bucket at all.
+    */
+  def stringKeyQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"docs_strkey@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.documents(spark, dir)
+        .withColumn("doc_url",
+          concat_ws("/", col("source"), col("lang"), col("doc_id")))
+        .select(col("doc_url"), col("lang"), col("source"), col("n_chars")),
+      "doc_url", 8)
+    spark.sql(s"CALL graft.rebucket_hrw('$name', 8)")  // mod -> HRW, string domain
+    // DML routes string keys through the HRW writer
+    spark.sql(s"DELETE FROM graft.`$name` WHERE source = 'web' AND n_chars < 200")
+    spark.table(s"graft.`$name`")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val stringKeySql: String =
+    """SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+      |FROM documents
+      |WHERE NOT (source = 'web' AND n_chars < 200)
+      |GROUP BY lang, source""".stripMargin
+
   /** q233 — AUTO-COMPACTION under continuous DML, end-to-end: lineitem
     * serves as a merge-on-read table taking three DML batches. Batch 1
     * (~2% of rows) stays under the policy floor and leaves pending

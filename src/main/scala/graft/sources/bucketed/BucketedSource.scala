@@ -956,7 +956,15 @@ private[sources] object BucketSplits {
             (c: String) => BucketStore.skipStatParts(t, b, c), f))
         }
       }
-    if (skipped.isEmpty && keepOneWhenPruned && all.nonEmpty) all.take(1) else skipped
+    // a global aggregate still needs its one defining row (count = 0)
+    // when every bucket is pruned — but the kept partition is marked
+    // prunedEmpty so the reader emits the empty aggregate WITHOUT
+    // fetching the bucket (stats proved no row can match; reading a
+    // block to filter out every row would be pure wasted I/O)
+    if (skipped.isEmpty && keepOneWhenPruned && all.nonEmpty)
+      all.take(1).map(p =>
+        p.asInstanceOf[BucketInputPartition].copy(prunedEmpty = true): InputPartition)
+    else skipped
   }
 }
 
@@ -1020,8 +1028,10 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
 
   private val out: Iterator[Row] = {
     val range = ClusterSlice.from(filters, BucketStore.lexClusterColsOf(table.clusterCol))
-    val (c, paged) = BucketReaderSupport.openWithFailover(p, fetchSize, range,
-      blockFilters = filters)
+    val (c, paged) =
+      if (p.prunedEmpty) // planner proved no row matches: emit the
+        (null, Iterator.empty[(Row, Int)]) // empty aggregate, read nothing
+      else BucketReaderSupport.openWithFailover(p, fetchSize, range, blockFilters = filters)
     conn = c
     val rows = paged.map(_._1) // a pushed aggregate never needs row ids
     val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
@@ -1161,7 +1171,8 @@ object BucketPruning {
 /** One split per bucket + its owning hosts (primary, replica). The
   * partition key (bucket ordinal) feeds storage-partitioned joins.
   */
-case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String], version: Long)
+case class BucketInputPartition(table: String, bucket: Int, hosts: Array[String], version: Long,
+    prunedEmpty: Boolean = false)
   extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = hosts
   override def partitionKey(): InternalRow = InternalRow(bucket)

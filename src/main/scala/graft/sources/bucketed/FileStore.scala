@@ -1,0 +1,512 @@
+package graft.sources.bucketed
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.internal.{LegacyBehaviorPolicy, SQLConf}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The bucket store's FILE substrate: one immutable parquet file per
+  * bucket per rewrite, one JSON manifest per MVCC version referencing
+  * the file set — the Iceberg/Delta commit shape, replacing the
+  * in-JVM `Array[Array[Row]]` simulation as the thing a snapshot IS.
+  * Copy-on-write happens at file granularity: a publish writes files
+  * for exactly the buckets it changed and re-references the previous
+  * version's files for the rest (resolved by row-array identity, the
+  * same COW key [[BucketSkip]] caches on), so MVCC retention costs
+  * O(changed buckets) on disk like it always did in heap.
+  *
+  * The write path uses parquet-mr directly with Spark's own
+  * `ParquetWriteSupport` (no Spark job — the spill runs at the commit
+  * choke point, where a real cluster's write TASK would have written
+  * the file before the commit flipped the version pointer), and the
+  * read path uses `ParquetReadSupport` per block, so a scan task pays
+  * I/O for exactly the buckets it opens. Blocks are self-describing
+  * (Spark schema in the parquet footer): a file written before an
+  * ADD COLUMN reads back with its own narrower schema and the fetch
+  * path NULL-pads, the store's standing schema-evolution contract.
+  *
+  * Durability: [[writeManifest]]/[[readManifests]] round-trip the
+  * whole snapshot history — layout (hash/range/HRW/replicated,
+  * cluster spec, z-bounds), per-bucket file refs, merge-on-read state
+  * (deletion vector + delta file), and table config (DML mode, CHECK,
+  * tags, stat columns) — so [[BucketStore.openFromDisk]] can serve a
+  * table in a fresh JVM with nothing but the directory.
+  */
+object FileStore {
+
+  /** One immutable block file: `path` empty ⇔ the empty-bucket
+    * sentinel (no file written; zero-row buckets are manifest-only).
+    */
+  final case class BlockFile(path: String, rows: Int)
+
+  val EmptyBlock: BlockFile = BlockFile("", 0)
+
+  /** Files actually written (cache misses at spill) — spec hook: an
+    * append that touches one bucket must move this by ONE.
+    */
+  val filesWritten = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Block files actually read back (lazy loads) — spec hook. */
+  val filesRead = new java.util.concurrent.atomic.AtomicLong()
+
+  // — COW spill cache: row-array identity → the file already holding
+  //   exactly those rows. Weak keys: a file ref outlives its array via
+  //   the manifests; the cache only needs to resolve LIVE arrays.
+  private val spillCache = new java.util.WeakHashMap[Array[Row], BlockFile]()
+
+  private[bucketed] def rememberSpill(rows: Array[Row], f: BlockFile): Unit =
+    spillCache.synchronized { spillCache.put(rows, f); () }
+
+  private[bucketed] def spillFor(rows: Array[Row]): Option[BlockFile] =
+    spillCache.synchronized(Option(spillCache.get(rows)))
+
+  /** Spill one bucket's rows: reuse the identity-cached file if these
+    * exact rows are already on disk (the COW hit — an untouched bucket
+    * republishes the same file), else write a new immutable file.
+    * Pre-ALTER short rows are NULL-padded to the snapshot schema in
+    * the FILE only (parquet needs one schema per file); the in-heap
+    * array keeps its short rows — the store's zero-rewrite ALTER
+    * contract — and the fetch path pads at read like it always did. A
+    * reload after evict therefore comes back pre-padded, which is the
+    * same logical rows.
+    */
+  private[bucketed] def spillBlock(dir: Path, fileName: String, schema: StructType,
+      rows: Array[Row]): BlockFile = {
+    if (rows.isEmpty) return EmptyBlock
+    spillFor(rows) match {
+      case Some(f) => f
+      case None =>
+        val arity = schema.length
+        var padded: Array[Row] = null
+        var i = 0
+        while (i < rows.length) {
+          if (rows(i).length != arity) {
+            if (padded == null) padded = rows.clone()
+            padded(i) = BucketStore.pad(rows(i), arity)
+          }
+          i += 1
+        }
+        val f = writeBlock(dir, fileName, schema, if (padded == null) rows else padded)
+        rememberSpill(rows, f)
+        f
+    }
+  }
+
+  // — parquet block I/O —
+
+  private class RowWriterBuilder(path: HPath)
+    extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+    override def self(): RowWriterBuilder = this
+  }
+
+  private def corrected = RebaseSpec(LegacyBehaviorPolicy.CORRECTED, None)
+
+  /** Seed a Hadoop conf with the SQLConf defaults Spark's parquet
+    * support classes read unconditionally (`conf.get(key).toBoolean`
+    * with no fallback — absent keys NPE/parse-fail). `(key, default)`
+    * pairs come from the SQLConf entries themselves; keys the caller
+    * overrides afterwards win. (The `ConfigEntry` TYPE is
+    * private[spark], so the pairs are extracted at the call sites.)
+    */
+  private def setSqlDefaults(conf: Configuration, kvs: (String, String)*): Unit =
+    kvs.foreach { case (k, v) => conf.set(k, v) }
+
+  /** Write `rows` (all at schema arity) as one parquet file; returns
+    * the block ref. Files are write-once: the name carries the version
+    * that created them and is never reused.
+    */
+  private def writeBlock(dir: Path, fileName: String, schema: StructType,
+      rows: Array[Row]): BlockFile = {
+    Files.createDirectories(dir)
+    val file = dir.resolve(fileName + ".parquet")
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    setSqlDefaults(conf,
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key -> SQLConf.PARQUET_WRITE_LEGACY_FORMAT.defaultValueString,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key -> SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.defaultValueString,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key -> SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    val writer = new RowWriterBuilder(new HPath(file.toString))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+      var i = 0
+      while (i < rows.length) {
+        writer.write(toCatalyst(rows(i)).asInstanceOf[InternalRow])
+        i += 1
+      }
+    } finally writer.close()
+    filesWritten.incrementAndGet()
+    BlockFile(file.toString, rows.length)
+  }
+
+  /** Read a block file back into rows, using the Spark schema the file
+    * itself carries (footer metadata) — self-describing, so a file
+    * written under an older (narrower) schema reads back in its stored
+    * short form and the fetch path pads, like heap always did.
+    */
+  private[bucketed] def readBlock(f: BlockFile): Array[Row] = {
+    if (f.rows == 0 || f.path.isEmpty) return Array.empty[Row]
+    if (sys.props.contains("graft.debug.read"))
+      new Exception(s"readBlock ${f.path}").printStackTrace()
+    val conf = new Configuration()
+    val hp = new HPath(f.path)
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
+    val schema =
+      try DataType.fromJson(footer.getFileMetaData.getKeyValueMetaData
+        .get(ParquetReadSupport.SPARK_METADATA_KEY)).asInstanceOf[StructType]
+      finally footer.close()
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    setSqlDefaults(conf,
+      SQLConf.CASE_SENSITIVE.key -> SQLConf.CASE_SENSITIVE.defaultValueString,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key -> SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.defaultValueString,
+      SQLConf.PARQUET_BINARY_AS_STRING.key -> SQLConf.PARQUET_BINARY_AS_STRING.defaultValueString,
+      SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key -> SQLConf.PARQUET_FIELD_ID_READ_ENABLED.defaultValueString,
+      SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.key -> SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.defaultValueString,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key -> SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.defaultValueString,
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP.key -> SQLConf.PARQUET_INT96_AS_TIMESTAMP.defaultValueString,
+      SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key -> SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.defaultValueString)
+    val support = new ParquetReadSupport(None, enableVectorizedReader = false,
+      corrected, corrected)
+    val reader = ParquetReader.builder[InternalRow](support, hp).withConf(conf).build()
+    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    val out = new Array[Row](f.rows)
+    try {
+      var i = 0
+      var r = reader.read()
+      while (r != null) {
+        require(i < out.length, s"block ${f.path} holds more rows than its manifest count ${f.rows}")
+        out(i) = toScala(r).asInstanceOf[Row]
+        i += 1
+        r = reader.read()
+      }
+      require(i == out.length, s"block ${f.path} holds $i rows, manifest says ${f.rows}")
+    } finally reader.close()
+    filesRead.incrementAndGet()
+    out
+  }
+
+  // — manifests —
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def blockJson(f: BlockFile, dir: Path): JValue =
+    JObject("path" -> JString(relativize(dir, f.path)), "rows" -> JInt(f.rows))
+
+  private def blockOf(v: JValue, dir: Path): BlockFile = {
+    val path = (v \ "path").extract[String]
+    BlockFile(if (path.isEmpty) "" else dir.resolve(path).toString, (v \ "rows").extract[Int])
+  }
+
+  private def relativize(dir: Path, p: String): String =
+    if (p.isEmpty) "" else dir.relativize(Paths.get(p)).toString
+
+  // — column-statistics codec: ColSkip min/max are stored-type values;
+  //   each type round-trips losslessly (floating point via raw bits,
+  //   timestamp via epoch micros, date via epoch millis — instants,
+  //   never wall-clock strings, so a JVM timezone change can't shift a
+  //   zone map and cause a WRONG skip) —
+
+  private def statVal(dt: DataType, v: Any): JValue = {
+    import org.apache.spark.sql.types._
+    if (v == null) JNull else dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        JLong(v.asInstanceOf[Number].longValue)
+      case FloatType => JObject("f" -> JLong(
+        java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong))
+      case DoubleType => JObject("d" -> JLong(
+        java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])))
+      case StringType => JString(v.asInstanceOf[String])
+      case DateType => JObject("date" -> JLong(v.asInstanceOf[java.sql.Date].getTime))
+      case TimestampType =>
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        val micros = Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        JObject("ts" -> JLong(micros))
+      case _: DecimalType =>
+        JObject("dec" -> JString(v.asInstanceOf[java.math.BigDecimal].toString))
+      case _ => JNothing
+    }
+  }
+
+  private def statValOf(dt: DataType, j: JValue): Any = {
+    import org.apache.spark.sql.types._
+    j match {
+      case JNull | JNothing => null
+      case _ => dt match {
+        case ByteType => j.extract[Long].toByte
+        case ShortType => j.extract[Long].toShort
+        case IntegerType => j.extract[Long].toInt
+        case LongType => j.extract[Long]
+        case FloatType => java.lang.Float.intBitsToFloat((j \ "f").extract[Long].toInt)
+        case DoubleType => java.lang.Double.longBitsToDouble((j \ "d").extract[Long])
+        case StringType => j.extract[String]
+        case DateType => new java.sql.Date((j \ "date").extract[Long])
+        case TimestampType =>
+          val micros = (j \ "ts").extract[Long]
+          val out = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          out.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          out
+        case _: DecimalType => new java.math.BigDecimal((j \ "dec").extract[String])
+        case _ => null
+      }
+    }
+  }
+
+  private def colSkipJson(dt: DataType, s: Option[BucketSkip.ColSkip]): JValue = s match {
+    case None => JNull
+    case Some(cs) => JObject(
+      "rowCount" -> JInt(cs.rowCount),
+      "nullCount" -> JInt(cs.nullCount),
+      "min" -> statVal(dt, cs.min),
+      "max" -> statVal(dt, cs.max),
+      "bloomBits" -> JInt(cs.bloomBits),
+      "bloom" -> (if (cs.bloom == null) JNull
+      else JString(java.util.Base64.getEncoder.encodeToString(cs.bloom.toByteArray))))
+  }
+
+  private def colSkipOf(dt: DataType, j: JValue): Option[BucketSkip.ColSkip] = j match {
+    case JNull | JNothing => None
+    case o => Some(BucketSkip.ColSkip(
+      rowCount = (o \ "rowCount").extract[Int],
+      nullCount = (o \ "nullCount").extract[Int],
+      min = statValOf(dt, o \ "min"),
+      max = statValOf(dt, o \ "max"),
+      bloom = o \ "bloom" match {
+        case JString(b64) => java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
+        case _ => null
+      },
+      bloomBits = (o \ "bloomBits").extract[Int]))
+  }
+
+  /** Serialize one snapshot (+ the table config that must survive a
+    * restart) as `manifest-v{version}.json`, written atomically
+    * (temp + move) so a crashed publish never leaves a torn manifest.
+    * `stats` is the commit's zone-map/sketch metadata per (bucket,
+    * stat column) — what parquet row-group footers carry at 100 TB —
+    * so a reopened table prunes with zero block reads.
+    */
+  private[bucketed] def writeManifest(dir: Path, name: String, t: BucketStore.BucketTable,
+      morFiles: Map[Int, BlockFile], rangeBoundsFile: Option[BlockFile],
+      firstVersion: Long, config: TableConfig,
+      stats: Map[Int, Map[String, Option[BucketSkip.ColSkip]]] = Map.empty): Unit = {
+    val json = JObject(
+      "name" -> JString(name),
+      "version" -> JLong(t.version),
+      "firstVersion" -> JLong(firstVersion),
+      "commitTs" -> JLong(t.commitTs),
+      "schema" -> JString(t.schema.json),
+      "keyCol" -> JString(t.keyCol),
+      "clusterCol" -> t.clusterCol.map(JString).getOrElse(JNull),
+      "layoutEpoch" -> JLong(t.layoutEpoch),
+      "hrw" -> JBool(t.hrw),
+      "replicated" -> JBool(t.replicated),
+      "zBounds" -> t.zBounds.map(zb =>
+        JArray(zb.toList.map(d => JArray(d.toList.map(JLong(_)))))).getOrElse(JNull),
+      "rangeBounds" -> rangeBoundsFile.map(blockJson(_, dir)).getOrElse(JNull),
+      "hosts" -> JArray(t.hosts.toList.map(hs => JArray(hs.toList.map(JString)))),
+      "buckets" -> JArray(t.buckets.blocks.toList.map(b =>
+        blockJson(b.file.getOrElse(EmptyBlock), dir))),
+      "mor" -> JArray(t.mor.toList.sortBy(_._1).map { case (b, m) =>
+        JObject(
+          "bucket" -> JInt(b),
+          "deleted" -> JString(java.util.Base64.getEncoder.encodeToString(m.deleted.toByteArray)),
+          "delta" -> blockJson(morFiles.getOrElse(b, EmptyBlock), dir))
+      }),
+      "stats" -> JArray(stats.toList.sortBy(_._1).map { case (b, cols) =>
+        JObject(
+          "bucket" -> JInt(b),
+          "cols" -> JObject(cols.toList.sortBy(_._1).map { case (c, s) =>
+            c -> colSkipJson(t.schema(c).dataType, s)
+          }))
+      }),
+      "dmlMode" -> JString(config.dmlMode),
+      "check" -> config.check.map(JString).getOrElse(JNull),
+      "tags" -> JObject(config.tags.toList.map { case (k, v) => k -> JLong(v) }),
+      "statColumns" -> JArray(config.statColumns.toList.sorted.map(JString)))
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".manifest-v${t.version}.json.tmp")
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"manifest-v${t.version}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Table config carried in every manifest (restored at open). */
+  final case class TableConfig(dmlMode: String, check: Option[String],
+      tags: Map[String, Long], statColumns: Set[String])
+
+  /** One decoded manifest. Deltas load EAGERLY at open (bounded by the
+    * auto-compaction policy); base blocks stay lazy.
+    */
+  final case class Manifest(name: String, version: Long, firstVersion: Long, commitTs: Long,
+      schema: StructType, keyCol: String, clusterCol: Option[String], layoutEpoch: Long,
+      hrw: Boolean, replicated: Boolean, zBounds: Option[Array[Array[Long]]],
+      rangeBoundsFile: Option[BlockFile], hosts: Array[Seq[String]],
+      buckets: Array[BlockFile], mor: Map[Int, (java.util.BitSet, BlockFile)],
+      config: TableConfig,
+      stats: Map[Int, Map[String, Option[BucketSkip.ColSkip]]])
+
+  /** All manifests in `dir`, version-ascending. Public: the manifest
+    * listing doubles as the table's inspection surface (specs, ops).
+    */
+  def readManifests(dir: Path): Seq[Manifest] = {
+    require(Files.isDirectory(dir), s"openFromDisk: $dir is not a directory")
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json")).toSeq
+    require(files.nonEmpty, s"openFromDisk: no manifests in $dir")
+    files.map(readManifest(dir, _)).sortBy(_.version)
+  }
+
+  private def readManifest(dir: Path, file: Path): Manifest = {
+    val json = JsonMethods.parse(new String(Files.readAllBytes(file), StandardCharsets.UTF_8))
+    Manifest(
+      name = (json \ "name").extract[String],
+      version = (json \ "version").extract[Long],
+      firstVersion = (json \ "firstVersion").extract[Long],
+      commitTs = (json \ "commitTs").extract[Long],
+      schema = DataType.fromJson((json \ "schema").extract[String]).asInstanceOf[StructType],
+      keyCol = (json \ "keyCol").extract[String],
+      clusterCol = (json \ "clusterCol").extractOpt[String],
+      layoutEpoch = (json \ "layoutEpoch").extract[Long],
+      hrw = (json \ "hrw").extract[Boolean],
+      replicated = (json \ "replicated").extract[Boolean],
+      zBounds = json \ "zBounds" match {
+        case JArray(ds) => Some(ds.map {
+          case JArray(vs) => vs.map(_.extract[Long]).toArray
+          case other => throw new IllegalStateException(s"bad zBounds entry $other")
+        }.toArray)
+        case _ => None
+      },
+      rangeBoundsFile = json \ "rangeBounds" match {
+        case JNull | JNothing => None
+        case v => Some(blockOf(v, dir))
+      },
+      hosts = (json \ "hosts" match {
+        case JArray(hs) => hs.map { case JArray(names) => names.map(_.extract[String]): Seq[String]
+          case other => throw new IllegalStateException(s"bad hosts entry $other") }
+        case other => throw new IllegalStateException(s"bad hosts $other")
+      }).toArray,
+      buckets = (json \ "buckets" match {
+        case JArray(bs) => bs.map(blockOf(_, dir))
+        case other => throw new IllegalStateException(s"bad buckets $other")
+      }).toArray,
+      mor = (json \ "mor" match {
+        case JArray(ms) => ms.map { m =>
+          val bits = java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode((m \ "deleted").extract[String]))
+          (m \ "bucket").extract[Int] -> ((bits, blockOf(m \ "delta", dir)))
+        }
+        case _ => Nil
+      }).toMap,
+      stats = {
+        val schema =
+          DataType.fromJson((json \ "schema").extract[String]).asInstanceOf[StructType]
+        json \ "stats" match {
+          case JArray(bs) => bs.map { b =>
+            (b \ "bucket").extract[Int] -> ((b \ "cols") match {
+              case JObject(fs) => fs.map { case (c, v) =>
+                c -> colSkipOf(schema(c).dataType, v)
+              }.toMap
+              case _ => Map.empty[String, Option[BucketSkip.ColSkip]]
+            })
+          }.toMap
+          case _ => Map.empty
+        }
+      },
+      config = TableConfig(
+        dmlMode = (json \ "dmlMode").extractOpt[String].getOrElse(BucketStore.CopyOnWrite),
+        check = (json \ "check").extractOpt[String],
+        tags = json \ "tags" match {
+          case JObject(fs) => fs.map { case (k, v) => k -> v.extract[Long] }.toMap
+          case _ => Map.empty
+        },
+        statColumns = (json \ "statColumns" match {
+          case JArray(cs) => cs.map(_.extract[String])
+          case _ => Nil
+        }).toSet))
+  }
+
+  /** A range layout's boundary values, persisted as a 1-column parquet
+    * block (the key column's own type machinery — no bespoke value
+    * codec).
+    */
+  private[bucketed] def writeRangeBounds(dir: Path, version: Long, keyType: DataType,
+      bounds: Array[Any]): BlockFile = {
+    val schema = StructType(Seq(org.apache.spark.sql.types.StructField("b", keyType)))
+    writeBlock(dir, s"range-bounds-v$version", schema, bounds.map(v => Row(v)))
+  }
+
+  private[bucketed] def readRangeBounds(f: BlockFile): Array[Any] =
+    readBlock(f).map(_.get(0))
+
+  // bounds arrays are immutable once published — identity-cache their
+  // file like bucket arrays, so an unchanged layout republishes the
+  // same bounds file
+  private val boundsCache = new java.util.WeakHashMap[Array[Any], BlockFile]()
+
+  private[bucketed] def spillBounds(dir: Path, version: Long, keyType: DataType,
+      bounds: Array[Any]): BlockFile = boundsCache.synchronized {
+    var f = boundsCache.get(bounds)
+    if (f == null || (f.path.nonEmpty && !Files.exists(Paths.get(f.path)))) {
+      f = writeRangeBounds(dir, version, keyType, bounds)
+      boundsCache.put(bounds, f)
+    }
+    f
+  }
+
+  /** Delete files under `dir` referenced by NO retained manifest — run
+    * after retention trims history (the disk twin of the in-heap
+    * `takeRight`). Never deletes manifests of retained versions.
+    */
+  private[bucketed] def gc(dir: Path, retainedVersions: Set[Long]): Int = {
+    if (!Files.isDirectory(dir)) return 0
+    val retainedManifests = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
+      .filter(p => retainedVersions.contains(
+        p.getFileName.toString.stripPrefix("manifest-v").stripSuffix(".json").toLong))
+      .toSeq
+    val referenced: Set[String] = retainedManifests.flatMap { p =>
+      val m = readManifest(dir, p)
+      (m.buckets.map(_.path) ++ m.mor.valuesIterator.map(_._2.path) ++
+        m.rangeBoundsFile.map(_.path)).filter(_.nonEmpty) :+ p.toString
+    }.toSet
+    var removed = 0
+    Files.list(dir).iterator().asScala.foreach { p =>
+      if (!referenced.contains(p.toString) && !Files.isDirectory(p)) {
+        Files.deleteIfExists(p)
+        removed += 1
+      }
+    }
+    removed
+  }
+
+  /** Remove a dropped table's whole directory. */
+  private[bucketed] def dropDir(dir: Path): Unit =
+    if (Files.isDirectory(dir)) {
+      Files.list(dir).iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      Files.deleteIfExists(dir)
+      ()
+    }
+}

@@ -83,6 +83,20 @@ class RebucketHrwSpec extends SparkSuite {
       assert(!(t20.buckets(b) eq t16.buckets(b)), s"bucket $b lost rows but kept identity"))
     // no data lost either way
     assert(t20.buckets.iterator.map(_.length).sum === 60)
+    // …and the SAME pin at FILE granularity: on disk the grow's
+    // manifest re-references the previous version's parquet block for
+    // every untouched bucket (COW file identity — the resize that does
+    // NOT rewrite the table), and wrote new files only for changed ones
+    val ms = FileStore.readManifests(BucketStore.tableDir("hrw_t"))
+    val (m16, m20) = (ms.find(_.version == t16.version).get, ms.find(_.version == t20.version).get)
+    untouchedPred.foreach { b =>
+      if (m16.buckets(b).rows > 0)
+        assert(m20.buckets(b).path === m16.buckets(b).path,
+          s"bucket $b membership unchanged but its FILE was rewritten")
+    }
+    (0 until 16).filterNot(untouchedPred).foreach(b =>
+      assert(m20.buckets(b).path != m16.buckets(b).path || m16.buckets(b).rows == 0,
+        s"bucket $b changed but re-referenced its old file"))
   }
 
   test("HRW shrink redistributes dissolved buckets' rows to their new winners, nothing lost") {
@@ -177,5 +191,71 @@ class RebucketHrwSpec extends SparkSuite {
     t.buckets.zipWithIndex.foreach { case (r, b) =>
       r.foreach(row => assert(hrwOf(row.getLong(0), 10) === b))
     }
+  }
+
+  test("STRING keys: route, point-lookup prune to one bucket, and HRW-grow legally — both layouts") {
+    catalogOn()
+    val name = "str_key"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (1 to 400).map(i => (s"https://site-${i % 7}.example/d/$i", i.toLong))
+        .toDF("url", "sz"),
+      "url", 8)
+    def scan = spark.read.format("graft-buckets").option("table", name).load()
+    // mod layout: the string point lookup prunes to the ONE owning bucket
+    val probe = "https://site-3.example/d/241"
+    val q1 = scan.filter(col("url") === probe)
+    assert(q1.rdd.getNumPartitions === 1,
+      s"string key equality must prune to 1 bucket, planned ${q1.rdd.getNumPartitions}")
+    assert(q1.collect().map(_.getLong(1)).toSeq === Seq(241L))
+    // every stored row sits at pmod(murmur3_utf8(url), 8) — the writer
+    // and the pruner share ONE hash domain
+    val t8 = BucketStore.get(name)
+    t8.buckets.zipWithIndex.foreach { case (rows, b) =>
+      rows.foreach(r =>
+        assert(BucketFunction.bucketFor(r.getString(0), 8) === Some(b)))
+    }
+    // HRW conversion + grow: same UTF-8 domain, argmax placement,
+    // zero illegal moves on the grow
+    spark.sql(s"CALL graft.rebucket_hrw('$name', 8)")
+    val h8 = BucketStore.get(name)
+    h8.buckets.zipWithIndex.foreach { case (rows, b) =>
+      rows.foreach(r => assert(BucketStore.hrwBucketFor(r.getString(0), 8) === Some(b)))
+    }
+    spark.sql(s"CALL graft.rebucket_hrw('$name', 10)")
+    val h10 = BucketStore.get(name)
+    var moved = 0
+    h10.buckets.zipWithIndex.foreach { case (rows, b) =>
+      rows.foreach { r =>
+        val k = r.getString(0)
+        assert(BucketStore.hrwBucketFor(k, 10) === Some(b))
+        if (BucketStore.hrwBucketFor(k, 8).get != b) {
+          moved += 1
+          assert(b >= 8, s"url=$k made an ILLEGAL move to old bucket $b")
+        }
+      }
+    }
+    assert(moved > 0, "a grow over 400 urls must move something")
+    assert(h10.buckets.iterator.map(_.length).sum === 400)
+    // the point lookup still prunes to one bucket under HRW
+    val q2 = scan.filter(col("url") === probe)
+    assert(q2.rdd.getNumPartitions === 1)
+    assert(q2.collect().map(_.getLong(1)).toSeq === Seq(241L))
+    // DML through the HRW writer on a string key
+    spark.sql(s"DELETE FROM graft.`$name` WHERE url = '$probe'")
+    assert(scan.count() === 399L)
+  }
+
+  test("DATE keys route by their epoch day through both placement functions") {
+    val d = java.sql.Date.valueOf("2024-03-15")
+    val mod = BucketFunction.bucketFor(d, 8)
+    val hrw = BucketStore.hrwBucketFor(d, 8)
+    assert(mod.isDefined && hrw.isDefined)
+    // bucketFor(date) == bucketFor(its epoch-day Int): one hash domain
+    val days = org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+    assert(mod === BucketFunction.bucketFor(days, 8))
+    // unroutable types still decline (the pruner must not guess)
+    assert(BucketFunction.bucketFor(BigDecimal(1.5), 8).isEmpty)
+    assert(BucketStore.hrwBucketFor(Array[Byte](1), 8).isEmpty)
   }
 }
