@@ -499,6 +499,10 @@ object SparkEntry {
     "q241_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesQuery _,
     "q242_voiced_segments" -> graft.multimodal.Multimodal.voicedSegmentsQuery _,
     "q243_string_bucket_key" -> graft.sources.bucketed.BucketedQueries.stringKeyQuery _,
+    "q244_pair_artifact_extend" -> Dedup.pairArtifactExtendQuery _,
+    "q245_refresh_policy" -> Similarity.refreshPolicyQuery _,
+    "q246_cross_modal_dedup" -> graft.multimodal.Multimodal.crossModalDedupQuery _,
+    "q247_stream_curation_hrw" -> graft.sources.bucketed.BucketedQueries.streamCurationHrwQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -904,6 +908,10 @@ object SparkEntry {
     "q241_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql,
     "q242_voiced_segments" -> graft.multimodal.Multimodal.voicedSegmentsSql,
     "q243_string_bucket_key" -> graft.sources.bucketed.BucketedQueries.stringKeySql,
+    "q244_pair_artifact_extend" -> Dedup.pairArtifactExtendSql,
+    "q245_refresh_policy" -> Similarity.refreshPolicySql,
+    "q246_cross_modal_dedup" -> graft.multimodal.Multimodal.crossModalDedupSql,
+    "q247_stream_curation_hrw" -> graft.sources.bucketed.BucketedQueries.streamCurationHrwSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

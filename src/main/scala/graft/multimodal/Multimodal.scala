@@ -492,22 +492,31 @@ object Multimodal {
     * all-to-all; 100 TB of images dedup at scan cost. The oracle
     * replays pixel→cell→bit arithmetic from the generator formula.
     */
-  def imageDhashQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** The q200 per-image hash frame — real decode + downsample per
+    * image, one map-side pass. Factored so the cross-modal verdict
+    * (q246) consumes the SAME candidate generator as q200 itself.
+    */
+  def dhashFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables.documents(spark, dir)
       .filter(col("doc_id") < 500).select(col("doc_id")).as[Long]
-    val hashed = ids.mapPartitions(_.grouped(32).flatMap(_.flatMap { id =>
+    ids.mapPartitions(_.grouped(32).flatMap(_.flatMap { id =>
         if (pngWidth(id) >= 9 && pngHeight(id) >= 6)
           Some((id, dhash48(id, encodePng(id))))
         else None
       }))
       .toDF("doc_id", "dhash")
-    hashed.groupBy(col("dhash"))
-      .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("rep_id"))
   }
 
-  val imageDhashSql: String =
-    """WITH d AS (
+  def imageDhashQuery(spark: SparkSession, dir: String): DataFrame =
+    dhashFrame(spark, dir).groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("rep_id"))
+
+  /** The dHash pixel→cell→bit replay CTEs (`hashes` is the per-image
+    * 48-bit hash) — shared by q200's oracle and q246's.
+    */
+  private[graft] val dhashCtes: String =
+    """d AS (
       |  SELECT doc_id, CAST(1 + doc_id % 64 AS INTEGER) AS w,
       |    CAST(1 + (doc_id // 7) % 48 AS INTEGER) AS h
       |  FROM documents
@@ -527,9 +536,80 @@ object Multimodal {
       |  WHERE a.cx < 8),
       |hashes AS (
       |  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dhash
-      |  FROM bits GROUP BY 1)
+      |  FROM bits GROUP BY 1)""".stripMargin
+
+  val imageDhashSql: String =
+    "WITH " + dhashCtes + """
       |SELECT dhash, count(*) AS n_imgs, min(doc_id) AS rep_id
       |FROM hashes GROUP BY 1""".stripMargin
+
+  // ——— q246: CROSS-MODAL near-dup agreement (image + caption) ———
+
+  /** q246 — the LAION-class drop decision: a (image, caption) document
+    * pair is a true duplicate only when BOTH modalities agree; a
+    * text-only match is boilerplate captioning, an image-only match is
+    * re-captioned imagery — each gets a different curation action.
+    * Candidates come from the TWO EXISTING generators, no new pair
+    * machinery: image pairs are q200's dHash hash-groups (equal 48-bit
+    * hash ⇒ pair — an equi-join within hash buckets, group-size
+    * bounded), text pairs are q16's STORED pair artifact
+    * ([[graft.operators.Dedup.pairArtifact]] — built once, read here;
+    * the plan contains zero shingle machinery). One full-outer join on
+    * the canonical (id_a, id_b) key classifies every candidate pair
+    * into (modality_agree | text_only | image_only) over the shared
+    * multimodal corpus (doc_id < 500). At 100 TB both generators are
+    * scan-cost candidate builders and this verdict is one join of two
+    * pair-sized tables — the cheapest stage of the pipeline.
+    */
+  /** The verdict join itself, over any two canonical (id_a < id_b)
+    * pair frames — factored so the spec can plant all three verdict
+    * classes (the testdata corpus happens to produce no agreeing
+    * pair, so the gate alone exercises only two branches).
+    */
+  def crossModalVerdicts(txtPairs: DataFrame, imgPairs: DataFrame): DataFrame =
+    txtPairs.select(col("id_a"), col("id_b"), lit(true).as("text_dup"))
+      .join(imgPairs.select(col("id_a"), col("id_b"), lit(true).as("image_dup")),
+        Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("text_dup"), lit(false)).as("text_dup"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"),
+        when(col("text_dup") && col("image_dup"), "modality_agree")
+          .when(col("text_dup"), "text_only")
+          .otherwise("image_only").as("verdict"))
+
+  def crossModalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val img = dhashFrame(spark, dir)
+    val imgPairs = img.as("a").join(img.as("b"),
+        col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val txtPairs = graft.operators.Dedup.pairArtifact(spark, dir)
+      .filter(col("id_a") < 500 && col("id_b") < 500)
+      .select(col("id_a"), col("id_b"))
+    crossModalVerdicts(txtPairs, imgPairs)
+  }
+
+  /** Oracle: q16's shingle CTEs (text pairs at the same 0.8 gate,
+    * corpus-restricted) + the dHash replay CTEs (image pairs = equal
+    * hashes), full-outer joined and classified identically.
+    */
+  lazy val crossModalDedupSql: String =
+    graft.operators.Dedup.overlapCandidatesCtes + ",\n" + dhashCtes + """,
+      |txt AS (
+      |  SELECT id_a, id_b
+      |  FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+      |    AND id_a < 500 AND id_b < 500),
+      |img AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM hashes a JOIN hashes b ON a.dhash = b.dhash AND a.doc_id < b.doc_id)
+      |SELECT coalesce(t.id_a, i.id_a) AS id_a, coalesce(t.id_b, i.id_b) AS id_b,
+      |  (t.id_a IS NOT NULL) AS text_dup, (i.id_a IS NOT NULL) AS image_dup,
+      |  CASE WHEN t.id_a IS NOT NULL AND i.id_a IS NOT NULL THEN 'modality_agree'
+      |       WHEN t.id_a IS NOT NULL THEN 'text_only'
+      |       ELSE 'image_only' END AS verdict
+      |FROM txt t FULL OUTER JOIN img i ON t.id_a = i.id_a AND t.id_b = i.id_b""".stripMargin
 
   // ——— q241: shot-boundary detection (keyframe extraction) ———
 

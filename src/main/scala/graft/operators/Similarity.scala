@@ -742,6 +742,154 @@ object Similarity {
        |  CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro
        |FROM errs GROUP BY quantizer""".stripMargin
 
+  // ——— q245: the refresh POLICY decision (closing q235 → q234) ———
+
+  /** Policy threshold: refresh when the deployed quantizer's mean
+    * error exceeds its at-refresh baseline by more than τ micros.
+    * Config, not data — the oracle replays the same constant.
+    */
+  val RefreshTauMicros: Long = 1000L
+
+  /** Mean quantization error of `emb` under `cents`, exact micro
+    * fixed point — q235's per-generation scan factored to a Long so
+    * the POLICY can score the deployed quantizer with one broadcast-
+    * argmax pass and one mergeable aggregate (the cheap always-on
+    * probe; collecting the 1-row mean is the sanctioned driver
+    * materialization — it IS the policy signal).
+    */
+  private def meanErrMicro(emb: DataFrame, cents: DataFrame): Long = {
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cent_vec")))).as("cents"))
+    emb.join(broadcast(centArr), lit(true))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(GraftFunctions.cosine(col("embedding"), c("cent_vec")).as("sim"),
+          (-c("cent_id")).as("nid")))))
+      .select((lit(1000000L) - round(col("best.sim") * 1000000.0).cast("long"))
+        .as("err_micro"))
+      .agg(expr("sum(err_micro) div count(1)").as("mean_err_micro"))
+      .head().getLong(0)
+  }
+
+  /** One index-maintenance cycle, POLICY-GATED: probe the DEPLOYED
+    * quantizer (cheap always-on scan), compare against the stored
+    * at-refresh `baseline`, and ONLY a gap past `tau` pays the Lloyd
+    * refit + quantizer republish (through the store's ordinary load
+    * path, like q234). Below τ, NO Lloyd job runs and the quantizer
+    * table is untouched — pinned by SimilaritySpec's job-count test.
+    * Returns (current mean error, refresh fired).
+    */
+  def policyCycle(spark: SparkSession, emb: DataFrame, centsName: String,
+      baseline: Long, tau: Long): (Long, Boolean) = {
+    import graft.sources.bucketed.BucketStore
+    val deployed = spark.read.format("graft-buckets").option("table", centsName).load()
+    val current = meanErrMicro(emb, deployed)
+    val due = current - baseline > tau
+    if (due) {
+      // the consumption: the decision row, not a human, triggers the
+      // corpus-scale refit (q234's mechanism)
+      BucketStore.load(spark, centsName,
+        kmeansCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1),
+        "cent_id", numBuckets = 4)
+    }
+    (current, due)
+  }
+
+  /** q245 — the refresh POLICY LOG: the decision table an index-
+    * maintenance loop writes, closing the q235 (drift metric) → q234
+    * (refresh mechanism) loop. World: generation 1 deploys the seed
+    * quantizer over the initial corpus and stores its AT-REFRESH
+    * error baseline beside it (the comparison point is a stored
+    * artifact — the decision needs only the cheap probe, never a
+    * refit). Then a late ingest lands and TWO maintenance cycles run
+    * ([[policyCycle]]):
+    *
+    *   - decision 1: the grown corpus probed against the deployed
+    *     quantizer — the gap exceeds τ (true on this corpus at every
+    *     SF: ~6.7k/6.6k/2.3k micros at sf 0.001/0.01/0.1 vs τ = 1000),
+    *     so the cycle CONSUMES the decision: one Lloyd refit, the
+    *     generation-2 quantizer republished, a fresh baseline stored;
+    *   - decision 2: the re-probe lands exactly ON the new baseline —
+    *     below τ, NO refit runs (job-count pinned in spec).
+    *
+    * Each decision row appends to the policy log through the store.
+    * The oracle replays both decisions arithmetically (exact micro
+    * fixed point, BIGINT integer division) and assumes decision 1
+    * fires — if the data ever stopped drifting past τ the gate goes
+    * loudly red rather than silently wrong.
+    */
+  def refreshPolicyQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.bucketed.BucketStore
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val isLate = col("vec_id") % 5 === 2 && col("vec_id") >= 16
+    val logName = s"policy_log@$dir"
+    val centsName = s"policy_cents@$dir"
+    if (!BucketStore.exists(logName)) {
+      val tau = RefreshTauMicros
+      // generation 1: deployed quantizer + its at-refresh baseline
+      // (cent0 = first 16 ids; all are pre-ingest by construction)
+      val q0 = sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+      BucketStore.drop(centsName)
+      BucketStore.load(spark, centsName, q0, "cent_id", numBuckets = 4)
+      val baseline1 = meanErrMicro(emb.filter(!isLate), q0)
+      // the ingest lands; two maintenance cycles follow
+      val (current1, due1) = policyCycle(spark, emb, centsName, baseline1, tau)
+      val gen1After = if (due1) 2L else 1L
+      val baseline2 =
+        if (due1) meanErrMicro(emb,
+          spark.read.format("graft-buckets").option("table", centsName).load())
+        else baseline1
+      val (current2, due2) = policyCycle(spark, emb, centsName, baseline2, tau)
+      val log = Seq(
+        (1L, 1L, baseline1, current1, current1 - baseline1, tau, due1, gen1After),
+        (2L, gen1After, baseline2, current2, current2 - baseline2, tau, due2,
+          if (due2) gen1After + 1L else gen1After))
+        .toDF("decision", "generation", "baseline_err_micro", "current_err_micro",
+          "drift_gap_micro", "tau_micros", "refresh_due", "generation_after")
+      BucketStore.load(spark, logName, log, "decision", numBuckets = 1)
+    }
+    spark.read.format("graft-buckets").option("table", logName).load()
+  }
+
+  /** Oracle: both decisions replayed arithmetically — decision 1 from
+    * the seed-quantizer errors (baseline over the pre-ingest corpus,
+    * current over all), decision 2 from the one-Lloyd-step refreshed
+    * quantizer (the refinedCentSql chain), whose re-probe equals its
+    * own fresh baseline (gap 0, below τ).
+    */
+  lazy val refreshPolicySql: String =
+    s"""WITH $refinedCentSql,
+       |e0 AS (
+       |  SELECT (a.id % 5 = 2 AND a.id >= 16) AS late,
+       |    1000000 - CAST(round(list_cosine_similarity(a.vec, c.cvec) * 1000000) AS BIGINT)
+       |      AS err
+       |  FROM a0 a JOIN cent0 c USING (cent_id)),
+       |a1 AS (
+       |  SELECT id, vec, cent_id FROM (
+       |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+       |                 c.cent_id) AS arn
+       |    FROM embeddings e CROSS JOIN cent c) t WHERE arn = 1),
+       |e1 AS (
+       |  SELECT 1000000 - CAST(round(list_cosine_similarity(a.vec, c.cvec) * 1000000)
+       |      AS BIGINT) AS err
+       |  FROM a1 a JOIN cent c USING (cent_id)),
+       |m AS (SELECT
+       |  (SELECT sum(err) // count(*) FROM e0 WHERE NOT late) AS b1,
+       |  (SELECT sum(err) // count(*) FROM e0) AS c1,
+       |  (SELECT sum(err) // count(*) FROM e1) AS m2)
+       |SELECT CAST(1 AS BIGINT) AS decision, CAST(1 AS BIGINT) AS generation,
+       |  CAST(b1 AS BIGINT) AS baseline_err_micro, CAST(c1 AS BIGINT) AS current_err_micro,
+       |  CAST(c1 - b1 AS BIGINT) AS drift_gap_micro, CAST(1000 AS BIGINT) AS tau_micros,
+       |  (c1 - b1) > 1000 AS refresh_due,
+       |  CAST(CASE WHEN (c1 - b1) > 1000 THEN 2 ELSE 1 END AS BIGINT) AS generation_after
+       |FROM m
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(m2 AS BIGINT), CAST(m2 AS BIGINT),
+       |  CAST(0 AS BIGINT), CAST(1000 AS BIGINT), false, CAST(2 AS BIGINT)
+       |FROM m""".stripMargin
+
   // ——— q239: the drift monitor ON the ingest stream ———
 
   /** q239 — [[quantizerDriftQuery]]'s always-on half as a STREAMING

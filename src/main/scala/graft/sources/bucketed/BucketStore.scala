@@ -1603,6 +1603,9 @@ object BucketStore {
     dropped
   }
 
+  /** Retained MVCC versions currently serving `name` (specs/ops). */
+  def retainedVersionCount(name: String): Int = history(name).length
+
   private def history(name: String): Vector[BucketTable] = {
     maybeInjectFailure()
     val hist = tables.get(name)

@@ -1160,32 +1160,67 @@ object BucketedQueries {
     * deterministic, and the oracle is simply the DISTINCT normalized
     * set after the gate.
     */
-  def streamCurationQuery(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
-    val tbl = s"docs_curated@$dir"
-    spark.sql(s"DROP TABLE IF EXISTS graft.`$tbl`")
-    spark.sql(s"CREATE TABLE graft.`$tbl` (fp BIGINT, n_tokens BIGINT) " +
-      "PARTITIONED BY (bucket(16, fp))")
+  /** One curated-ingest pass of the documents stream into `tbl`
+    * through the keyed-upsert streaming sink — shared by q123 (mod
+    * layout) and q247 (HRW layout).
+    */
+  private def curatedIngestOnce(spark: SparkSession, dir: String, tbl: String): Unit = {
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
-    def ingestOnce(): Unit = {
-      val curated = spark.readStream.schema(docSchema)
-        .parquet(s"$dir/{documents.parquet}")
-        .withColumn("norm", graft.functions.NormalizeText(col("text")))
-        .withColumn("fp", graft.functions.Fingerprint64(col("norm")))
-        .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
-        .filter(col("n_tokens") >= 5)
-        .select(col("fp"), col("n_tokens"))
-      runStreamToTable(curated, s"graft.`$tbl`", "append", Map("upsert" -> "true"))
-    }
-    ingestOnce()
-    ingestOnce() // replayed corpus: same keys upsert, nothing doubles
+    val curated = spark.readStream.schema(docSchema)
+      .parquet(s"$dir/{documents.parquet}")
+      .withColumn("norm", graft.functions.NormalizeText(col("text")))
+      .withColumn("fp", graft.functions.Fingerprint64(col("norm")))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .filter(col("n_tokens") >= 5)
+      .select(col("fp"), col("n_tokens"))
+    runStreamToTable(curated, s"graft.`$tbl`", "append", Map("upsert" -> "true"))
+  }
+
+  def streamCurationQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val tbl = s"docs_curated@$dir"
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$tbl`")
+    spark.sql(s"CREATE TABLE graft.`$tbl` (fp BIGINT, n_tokens BIGINT) " +
+      "PARTITIONED BY (bucket(16, fp))")
+    curatedIngestOnce(spark, dir, tbl)
+    curatedIngestOnce(spark, dir, tbl) // replayed corpus: same keys upsert, nothing doubles
     spark.table(s"graft.`$tbl`")
   }
+
+  /** q247 — q123's streaming curation sink INTO A RENDEZVOUS (HRW)
+    * table: the empty table converts to HRW placement BEFORE the
+    * stream starts, then the same two ingest passes (the second a
+    * full replay over a fresh checkpoint) run through the streaming
+    * writer. This pins that `routeBucket` really is the single
+    * routing choke point under the STREAMING write path too — the
+    * writer's epoch-guarded commit routes every upsert key by argmax
+    * instead of pmod, replay still collapses to the exactly-once
+    * curated set, and the layout survives (spec pins per-row HRW
+    * ownership + restart recovery; the oracle sees identical content
+    * to q123, which is the point — placement is physical, not
+    * semantic).
+    */
+  def streamCurationHrwQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val tbl = s"docs_curated_hrw@$dir"
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$tbl`")
+    spark.sql(s"CREATE TABLE graft.`$tbl` (fp BIGINT, n_tokens BIGINT) " +
+      "PARTITIONED BY (bucket(16, fp))")
+    spark.sql(s"CALL graft.rebucket_hrw('$tbl', 16)") // rendezvous, converted empty
+    curatedIngestOnce(spark, dir, tbl)
+    curatedIngestOnce(spark, dir, tbl)
+    spark.table(s"graft.`$tbl`")
+  }
+
+  /** Oracle: q123's — content is layout-invariant. (`def`: the
+    * referenced val is initialized later in this object.)
+    */
+  def streamCurationHrwSql: String = streamCurationSql
 
   /** One row per DISTINCT normalized content (the content-keyed table's
     * exact contract — duplicate texts collapse on both engines).
@@ -1311,7 +1346,7 @@ object BucketedQueries {
   }
 
   val stringKeySql: String =
-    """SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+    """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |WHERE NOT (source = 'web' AND n_chars < 200)
       |GROUP BY lang, source""".stripMargin

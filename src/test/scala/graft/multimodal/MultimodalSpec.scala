@@ -309,4 +309,16 @@ class MultimodalSpec extends SparkSuite {
     assert(flagged.length.toDouble / clips > 0.8,
       s"the cut should be detected for most clips: ${flagged.length}/$clips")
   }
+
+  test("cross-modal verdicts: agree / text-only / image-only all classify; outer join loses no pair") {
+    val txt = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val img = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Multimodal.crossModalVerdicts(txt, img)
+      .select("id_a", "id_b", "text_dup", "image_dup", "verdict")
+      .as[(Long, Long, Boolean, Boolean, String)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, true, true, "modality_agree"),
+      (3L, 4L, true, false, "text_only"),
+      (5L, 6L, false, true, "image_only")))
+  }
 }

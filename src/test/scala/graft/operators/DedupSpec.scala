@@ -91,6 +91,34 @@ class DedupSpec extends SparkSuite {
       "the appended day-1 signatures must make doc 10 visible to day 2's batch")
   }
 
+  test("q244 cycle: each batch appends ONE artifact version; grown artifact equals one-shot rebuild") {
+    import graft.sources.bucketed.BucketStore
+    BucketStore.drop(s"jaccard_pairs_ext@$sf")
+    BucketStore.drop(s"minhash_idx_ext@$sf")
+    BucketStore.drop(s"minhash_idx_ext@${sf}__df")
+    val grown = Dedup.pairArtifactExtendQuery(spark, sf)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.ngramJaccardPairs(
+        graft.tables.Tables.documents(spark, sf), "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(grown === oneShot,
+      "artifact after two extension cycles must equal the from-scratch rebuild")
+    assert(grown.exists { case (a, b, _) => a % 10 <= 1 || b % 10 <= 1 },
+      "the corpus should plant at least one batch-touching pair or the cycle is untested")
+    // MVCC lifecycle: day-0 seed (create shell + data commit = 2
+    // versions) + exactly ONE appended version per cycle = 4 — and so
+    // for the index and its df twin
+    Seq(s"jaccard_pairs_ext@$sf", s"minhash_idx_ext@$sf", s"minhash_idx_ext@${sf}__df")
+      .foreach { t =>
+        assert(BucketStore.retainedVersionCount(t) === 4,
+          s"$t should hold exactly seed (2) + 2 extension versions")
+      }
+    // re-serving is read-only: no new version on a second call
+    val v = BucketStore.currentVersion(s"jaccard_pairs_ext@$sf")
+    Dedup.pairArtifactExtendQuery(spark, sf).count()
+    assert(BucketStore.currentVersion(s"jaccard_pairs_ext@$sf") === v)
+  }
+
   test("incremental dedup candidate generation is equi-joins, never a cartesian") {
     val d = graft.tables.Tables.documents(spark, sf)
     val idx = s"minhash_idx_plan@$sf"

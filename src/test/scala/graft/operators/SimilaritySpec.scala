@@ -83,6 +83,56 @@ class SimilaritySpec extends SparkSuite {
     assert(j3 <= 3 * j1 + 2, s"iters=3 ran $j3 jobs vs $j1 for iters=1 — not linear")
   }
 
+  test("refresh policy: a below-τ decision skips the Lloyd pass entirely and republishes nothing") {
+    import graft.sources.bucketed.BucketStore
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val centsName = "policy_cents_spec"
+    BucketStore.drop(centsName)
+    BucketStore.load(spark, centsName,
+      Similarity.sampleCentroids(emb, "vec_id", "embedding", 16), "cent_id", 4)
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var prev = -1
+        var cur = counter.get()
+        var spins = 0
+        while (cur != prev && spins < 50) { Thread.sleep(100); prev = cur; cur = counter.get(); spins += 1 }
+        cur
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // below τ: probe only — no Lloyd refit, no quantizer republish
+    val vBefore = BucketStore.currentVersion(centsName)
+    var fired = true
+    val jBelow = countJobs {
+      fired = Similarity.policyCycle(spark, emb, centsName, baseline = 0L,
+        tau = Long.MaxValue)._2
+    }
+    assert(!fired)
+    assert(BucketStore.currentVersion(centsName) === vBefore,
+      "a below-τ cycle must not republish the quantizer")
+    // above τ: the decision CONSUMES — Lloyd runs and the quantizer
+    // republishes as a new version; strictly more jobs than the probe
+    var fired2 = false
+    val jAbove = countJobs {
+      fired2 = Similarity.policyCycle(spark, emb, centsName, baseline = 0L, tau = -1L)._2
+    }
+    assert(fired2)
+    assert(BucketStore.currentVersion(centsName) > vBefore,
+      "an above-τ cycle must republish the refreshed quantizer")
+    assert(jAbove > jBelow,
+      s"the refit must cost extra jobs (probe-only $jBelow vs refresh $jAbove)")
+    // and the probe itself stays cheap: a handful of jobs, not a refit
+    assert(jBelow <= jAbove / 2 || jBelow <= 4,
+      s"the always-on probe should be a fraction of a refresh ($jBelow vs $jAbove)")
+  }
+
   test("int8 scalar quantization: codes bounded, zero vectors safe, coarse recall substantial") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val q = Similarity.sqQuantize(emb, "vec_id", "embedding")

@@ -620,10 +620,13 @@ object GraftProps extends Properties("graft") {
       val asLong = graft.sources.bucketed.BucketStore.hrwBucketFor(k.toLong, n)
       // Murmur3 hashes Int and Long by DIFFERENT mixes (like the mod
       // path), so cross-type equality is NOT expected; both must
-      // simply be valid owners — this pins totality + range, and that
-      // null routes like the mod path's seed rule
+      // simply be valid owners — this pins totality + range, that
+      // null routes like the mod path's seed rule, that STRING keys
+      // route (round 15 — UTF-8 byte domain), and that a genuinely
+      // unroutable type still declines
       o.exists(b => b >= 0 && b < n) && asLong.exists(b => b >= 0 && b < n) &&
         graft.sources.bucketed.BucketStore.hrwBucketFor(null, n).exists(b => b >= 0 && b < n) &&
-        graft.sources.bucketed.BucketStore.hrwBucketFor("not-integral", n).isEmpty
+        graft.sources.bucketed.BucketStore.hrwBucketFor(s"url-$k", n).exists(b => b >= 0 && b < n) &&
+        graft.sources.bucketed.BucketStore.hrwBucketFor(BigDecimal(k), n).isEmpty
     }
 }

@@ -154,4 +154,48 @@ class BucketedStreamRecoverySpec extends SparkSuite {
     val expect = (b1 ++ b2).map(enriched).sorted
     assert(got === expect, "keyed upsert state must equal the batch expectation exactly once")
   }
+
+  test("HRW sink: undrained kills + upsert into a RENDEZVOUS table recover; rows at argmax owners") {
+    catalogOn()
+    loadPair("rs4_src", "rs4_dim", b1)
+    spark.sql("DROP TABLE IF EXISTS graft.rs4_sink")
+    spark.sql("CREATE TABLE graft.rs4_sink " +
+      "(event_id BIGINT, user_id BIGINT, c_mktsegment STRING) " +
+      "PARTITIONED BY (bucket(4, event_id))")
+    // rendezvous layout BEFORE the stream: the streaming writer must
+    // route every upsert key by argmax (routeBucket is the one choke
+    // point under the streaming path too)
+    spark.sql("CALL graft.rebucket_hrw('rs4_sink', 4)")
+    val ckpt = Files.createTempDirectory("graft_rs4_ckpt").toString
+    def startQuery() = {
+      val dim = spark.read.format("graft-buckets").option("table", "rs4_dim").load()
+      spark.readStream.format("graft-buckets").option("table", "rs4_src").load()
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        .writeStream.outputMode("update")
+        .option("upsert", "true")
+        .option("checkpointLocation", ckpt)
+        .toTable("graft.rs4_sink")
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toDF("event_id", "user_id", "tag").writeTo("graft.rs4_src").append()
+    startQuery().stop() // undrained kill
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.table("graft.rs4_sink")
+      .select("event_id", "user_id", "c_mktsegment").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(got === (b1 ++ b2).map(enriched).sorted,
+      "HRW upsert state must equal the batch expectation exactly once")
+    // physical pin: the layout survived the stream and every stored
+    // row sits at its HRW winner
+    val t = BucketStore.get("rs4_sink")
+    assert(t.hrw, "the sink must still be a rendezvous table after streaming commits")
+    t.buckets.zipWithIndex.foreach { case (rows, b) =>
+      rows.foreach(r =>
+        assert(BucketStore.hrwBucketFor(r.getLong(0), 4) === Some(b),
+          s"event ${r.getLong(0)} landed in bucket $b, not its argmax owner"))
+    }
+  }
 }
