@@ -503,6 +503,9 @@ object SparkEntry {
     "q245_refresh_policy" -> Similarity.refreshPolicyQuery _,
     "q246_cross_modal_dedup" -> graft.multimodal.Multimodal.crossModalDedupQuery _,
     "q247_stream_curation_hrw" -> graft.sources.bucketed.BucketedQueries.streamCurationHrwQuery _,
+    "q248_retention_delete" -> graft.sources.bucketed.BucketedQueries.retentionDeleteQuery _,
+    "q249_concurrent_rewrite" -> graft.sources.bucketed.BucketedQueries.concurrentRewriteQuery _,
+    "q250_wap_curation" -> graft.sources.bucketed.BucketedQueries.wapCurationQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -912,6 +915,9 @@ object SparkEntry {
     "q245_refresh_policy" -> Similarity.refreshPolicySql,
     "q246_cross_modal_dedup" -> graft.multimodal.Multimodal.crossModalDedupSql,
     "q247_stream_curation_hrw" -> graft.sources.bucketed.BucketedQueries.streamCurationHrwSql,
+    "q248_retention_delete" -> graft.sources.bucketed.BucketedQueries.retentionDeleteSql,
+    "q249_concurrent_rewrite" -> graft.sources.bucketed.BucketedQueries.concurrentRewriteSql,
+    "q250_wap_curation" -> graft.sources.bucketed.BucketedQueries.wapCurationSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

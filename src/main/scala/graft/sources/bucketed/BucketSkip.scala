@@ -310,4 +310,63 @@ object BucketSkip {
   /** Single-array convenience (clean buckets, specs, properties). */
   def mayMatch(schema: StructType, rows: Array[Row], f: Filter): Boolean =
     mayMatch(schema, (c: String) => statsFor(schema, rows, c).map(Seq(_)), f)
+
+  /** Does EVERY row of this bucket definitely satisfy `f`? The dual of
+    * [[mayMatch]], consulted by the statistics-driven DELETE
+    * ([[BucketStore.deleteWhereFiltered]]): a bucket this proves
+    * fully-covered is dropped WHOLE — no row is ever evaluated — which
+    * is what turns a retention delete (`ts < cutoff` on a range/
+    * clustered layout) from a table scan into a manifest edit at
+    * 100 TB (Iceberg's metadata-delete; Delta's partition delete).
+    *
+    * Conservative in the opposite direction from [[mayMatch]]: true
+    * only when the statistics PROVE the predicate holds for every row
+    * (false = "cannot prove", never "does not hold"). SQL three-valued
+    * logic makes NULL operands not-true, so every comparison proof
+    * additionally requires a null-free column (`nullCount == 0`).
+    * Bounds proofs use the same [[FilterEval.cmp]] total order the
+    * row-level filter uses — NaN-as-largest included — so a proof here
+    * can never disagree with [[FilterEval.eval]] on any row.
+    *
+    * Parts compose by CONJUNCTION (every part must be fully covered —
+    * base and merge-on-read delta alike); a statistics-over-physical-
+    * rows proof covers the live subset a fortiori. `Or` proves via
+    * either branch covering alone (sufficient, not necessary);
+    * unknown shapes, missing statistics, and `Not` answer false.
+    */
+  def mustMatchAll(schema: StructType, statsOf: String => Option[Seq[ColSkip]],
+      f: Filter): Boolean = {
+    def stats(c: String): Option[Seq[ColSkip]] =
+      if (!schema.fieldNames.contains(c)) None else statsOf(c)
+    def all(so: Option[Seq[ColSkip]])(p: ColSkip => Boolean): Boolean =
+      so.exists(_.forall(s => s.rowCount == 0 || p(s)))
+    def bound(so: Option[Seq[ColSkip]], v: Any, useMin: Boolean,
+        pred: Int => Boolean): Boolean =
+      v != null && all(so)(s => s.nullCount == 0 && s.min != null &&
+        pred(FilterEval.cmp(if (useMin) s.min else s.max, v)))
+    def go(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => v != null && all(stats(c))(s => s.nullCount == 0 &&
+        s.min != null && FilterEval.cmp(s.min, v) == 0 && FilterEval.cmp(s.max, v) == 0)
+      case EqualNullSafe(c, null) => all(stats(c))(s => s.nullCount == s.rowCount)
+      case EqualNullSafe(c, v) => go(EqualTo(c, v))
+      // every non-null value > v ⇔ min > v (cmp is total; NaN largest)
+      case GreaterThan(c, v) => bound(stats(c), v, useMin = true, _ > 0)
+      case GreaterThanOrEqual(c, v) => bound(stats(c), v, useMin = true, _ >= 0)
+      case LessThan(c, v) => bound(stats(c), v, useMin = false, _ < 0)
+      case LessThanOrEqual(c, v) => bound(stats(c), v, useMin = false, _ <= 0)
+      case IsNull(c) => all(stats(c))(s => s.nullCount == s.rowCount)
+      case IsNotNull(c) => all(stats(c))(_.nullCount == 0)
+      case In(c, vs) => vs != null && vs.exists(v => go(EqualTo(c, v)))
+      case AlwaysTrue() => true
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+      // Not / string matchers / AlwaysFalse / unknown: not provable
+      case _ => false
+    }
+    go(f)
+  }
+
+  /** Single-array convenience (specs, properties). */
+  def mustMatchAll(schema: StructType, rows: Array[Row], f: Filter): Boolean =
+    mustMatchAll(schema, (c: String) => statsFor(schema, rows, c).map(Seq(_)), f)
 }

@@ -228,9 +228,12 @@ object BucketStore {
     tables.put(name, newHist)
     // disk retention follows heap retention: when this publish trimmed
     // a version out of the MVCC window, drop the files no retained
-    // manifest references
-    if (hist.length + 1 > RetainedVersions && isFileBacked(name))
-      FileStore.gc(tableDir(name), newHist.map(_.version).toSet): Unit
+    // manifest references — roots are the UNION of every lineage
+    // sharing the directory (a base table and its WAP branches)
+    if (hist.length + 1 > RetainedVersions && isFileBacked(name)) {
+      val dir = tableDir(name)
+      FileStore.gc(dir, retainedVersionsSharing(dir)): Unit
+    }
     // commit-time statistics: warm zone maps/sketches for exactly the
     // buckets this commit REPLACED (storage-shared buckets — same
     // block, file, or array — keep their cached stats), for the
@@ -332,7 +335,12 @@ object BucketStore {
     */
   def openFromDisk(name: String, dir: java.nio.file.Path): Long = synchronized {
     require(!exists(name), s"openFromDisk: table '$name' already in the store")
-    val ms = FileStore.readManifests(dir)
+    // a directory can hold several lineages (a base table and its WAP
+    // branches): serve exactly the named one. Legacy dirs whose
+    // manifests predate the name (or were renamed) fall back to all.
+    val all = FileStore.readManifests(dir)
+    val named = all.filter(_.name == name)
+    val ms = if (named.nonEmpty) named else all
     val blockByPath = scala.collection.mutable.HashMap[String, BucketBlock]()
     val deltaByPath = scala.collection.mutable.HashMap[String, Array[Row]]()
     val boundsByPath = scala.collection.mutable.HashMap[String, Array[Any]]()
@@ -696,6 +704,132 @@ object BucketStore {
   def tagOf(name: String, tag: String): Option[Long] =
     Option(tags.get(name)).flatMap(_.get(tag))
 
+  // ——— WAP branches (write-audit-publish) ———
+  //
+  // A branch is an ordinary store entry keyed `base#branch` SHARING
+  // the base table's directory: the fork is one zero-copy publish
+  // (every bucket re-references the base head's files by identity),
+  // so every existing read/write/DML/procedure path works on a branch
+  // unchanged — the name routes it. Branch manifests carry the branch
+  // name, versions are globally unique, so lineages in the shared
+  // directory never conflate ([[openFromDisk]] filters by name) and
+  // manifest filenames cannot collide. GC roots are the UNION of all
+  // lineages sharing the directory ([[retainedVersionsSharing]]).
+  // Fast-forward publish is the Iceberg WAP contract: main must be
+  // UNCHANGED since the fork, else [[ConcurrentWriteException]] — the
+  // audit pipeline re-branches from the new head and replays.
+
+  def branchName(base: String, branch: String): String = s"$base#$branch"
+
+  /** Reserved tag persisting a branch's fork point in its manifests
+    * (restart-durable; never a valid time-travel target on the branch,
+    * so a misuse fails with the standard not-retained error).
+    */
+  val ForkTag: String = "__fork__"
+
+  /** Fork version per branch — what [[publishBranch]] fast-forward
+    * validates against ([[ForkTag]] is the durable copy).
+    */
+  private val branchForkVersions = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Fork `base`'s current head as branch `branch` — zero-copy (one
+    * manifest write; every block re-references its existing file).
+    * Returns the branch head's version.
+    */
+  def createBranch(base: String, branch: String): Long = synchronized {
+    require(!base.contains("#"), s"cannot branch a branch ('$base')")
+    require(branch.nonEmpty && !branch.contains("#") && !branch.contains("/"),
+      s"bad branch name '$branch'")
+    val bname = branchName(base, branch)
+    require(!exists(bname), s"branch '$branch' of '$base' already exists")
+    val head = get(base)
+    // share the base's directory BEFORE the fork publish so the branch
+    // manifest and its future spills land beside the files they
+    // reference (single GC domain)
+    if (isFileBacked(base)) tableDirs.put(bname, tableDir(base))
+    if (heapOnly.contains(base)) heapOnly.add(bname)
+    dmlModes.put(bname, dmlModeOf(base))
+    checkOf(base).foreach(c => checks.put(bname, c))
+    // the fork point rides the branch's manifests as a reserved tag,
+    // so fast-forward validation survives a restart (openFromDisk
+    // restores tags); set BEFORE the fork publish so the very first
+    // manifest carries it
+    tags.put(bname, Map(ForkTag -> head.version))
+    val forked = head.copy(version = versions.incrementAndGet())
+    // stat columns register AFTER the fork publish: warming would
+    // force-load every (possibly evicted) block, and the shared
+    // (path, column) stat cache already serves the branch's pruning —
+    // the fork must stay a pure manifest write
+    publish(bname, forked)
+    registerStatColumns(bname, statColumnsOf(base))
+    branchForkVersions.put(bname, head.version)
+    forked.version
+  }
+
+  /** Fast-forward `base` to its branch's head and drop the branch —
+    * the PUBLISH of write-audit-publish. Atomic under the commit lock;
+    * refuses (loudly) if main moved since the fork, because
+    * fast-forwarding would silently discard those commits.
+    */
+  def publishBranch(base: String, branch: String): Long = synchronized {
+    val bname = branchName(base, branch)
+    require(exists(bname), s"no branch '$branch' of '$base'")
+    val fork = Option(branchForkVersions.get(bname)).map(_.toLong)
+      .orElse(tagsOf(bname).get(ForkTag)) // restart-durable copy
+      .getOrElse(throw new IllegalStateException(
+        s"branch '$bname' has no recorded fork point"))
+    val mainHead = get(base)
+    if (mainHead.version != fork)
+      throw new ConcurrentWriteException(
+        s"cannot fast-forward '$base' to branch '$branch': main moved since the fork " +
+          s"(v$fork → v${mainHead.version}) — branch from the current head and replay")
+    val published = get(bname).copy(version = versions.incrementAndGet())
+    publish(base, published)
+    dropBranch(base, branch)
+    published.version
+  }
+
+  /** Abandon a branch: forget its lineage and GC the files only it
+    * referenced (everything main references stays — shared-dir union
+    * roots). The audit-failed exit of WAP; main never saw the batch.
+    */
+  def dropBranch(base: String, branch: String): Boolean = synchronized {
+    val bname = branchName(base, branch)
+    branchForkVersions.remove(bname)
+    firstVersions.remove(bname)
+    statColumns.remove(bname)
+    dmlModes.remove(bname)
+    checks.remove(bname)
+    tags.remove(bname)
+    heapOnly.remove(bname)
+    val dir = Option(tableDirs.remove(bname))
+    val existed = tables.remove(bname) != null
+    if (existed) dir.foreach(d => FileStore.gc(d, retainedVersionsSharing(d)): Unit)
+    existed
+  }
+
+  /** Live branches of `base` (specs/ops). */
+  def branchesOf(base: String): Seq[String] = {
+    val prefix = base + "#"
+    val out = Vector.newBuilder[String]
+    tables.forEach((n, _) => if (n.startsWith(prefix)) out += n.stripPrefix(prefix))
+    out.result().sorted
+  }
+
+  /** Versions retained by EVERY lineage sharing `dir` (a base table
+    * and its branches) — the GC root set for that directory.
+    */
+  private def retainedVersionsSharing(dir: java.nio.file.Path): Set[Long] = {
+    val b = Set.newBuilder[Long]
+    tableDirs.forEach { (n, d) =>
+      if (d == dir) {
+        val hist = tables.get(n)
+        if (hist != null) hist.foreach(t => b += t.version)
+      }
+    }
+    b.result()
+  }
+
   def tagsOf(name: String): Map[String, Long] =
     Option(tags.get(name)).getOrElse(Map.empty)
 
@@ -737,10 +871,13 @@ object BucketStore {
     */
   def effectiveRows(t: BucketTable, b: Int): Array[Row] = folded(t, b).rows
 
-  /** Live row count without materializing the fold. */
+  /** Live row count without materializing the fold — or, for a
+    * file-backed evicted bucket, without loading it (the manifest
+    * carries the count).
+    */
   def liveCount(t: BucketTable, b: Int): Int = t.mor.get(b) match {
-    case None => t.buckets(b).length
-    case Some(m) => m.liveCount(t.buckets(b).length)
+    case None => t.buckets.rowCount(b)
+    case Some(m) => m.liveCount(t.buckets.rowCount(b))
   }
 
   def liveRowCount(t: BucketTable): Long =
@@ -843,10 +980,45 @@ object BucketStore {
     val t = if (inserts.exists(_.nonEmpty)) freezeZBounds(t1, inserts.iterator.flatten) else t1
     requireLayoutUnchanged(name, t, expectedLayoutEpoch)
     enforceCheck(name, t.schema, inserts)
-    require(t.version == expectedVersion,
-      s"row-level delta for '$name' planned against v$expectedVersion but the table is now " +
-        s"v${t.version} — positions are snapshot-relative and a concurrent commit may have " +
-        "re-materialized them; retry the statement")
+    // OPTIMISTIC CONCURRENCY, position-aware: positions address the
+    // scanned snapshot's physical layout, but an interleaving commit
+    // only invalidates them where it actually moved rows. Per touched
+    // bucket: (a) the base array must be the SAME storage (a
+    // compaction/rewrite re-materializes positions — conflict); (b)
+    // the delta this statement saw must be a PREFIX of the current
+    // delta (concurrent delta APPENDS keep earlier positions stable —
+    // compose; anything else — conflict); (c) a position this
+    // statement deletes must not have been deleted since the scan
+    // (the same ROW updated/deleted twice is a genuine write-write
+    // conflict — committing would resurrect or double-apply it).
+    // Commits interleaving only on OTHER buckets always compose.
+    if (t.version != expectedVersion) {
+      val base = history(name).find(_.version == expectedVersion).getOrElse(
+        throw new ConcurrentWriteException(
+          s"row-level delta for '$name' planned against v$expectedVersion, which is no " +
+            "longer retained — retry the statement"))
+      t.buckets.indices.foreach { b =>
+        if (deletes(b).nonEmpty || inserts(b).nonEmpty) {
+          def conflict(why: String): Nothing = throw new ConcurrentWriteException(
+            s"concurrent commit to '$name' (v$expectedVersion → v${t.version}) $why in " +
+              s"bucket $b — positions are snapshot-relative; retry the statement")
+          if (!t.buckets.sharesWith(base.buckets, b))
+            conflict("re-materialized the base rows")
+          val baseDelta = base.mor.get(b).map(_.delta).getOrElse(Array.empty[Row])
+          val curDelta = t.mor.get(b).map(_.delta).getOrElse(Array.empty[Row])
+          val prefixOk = curDelta.length >= baseDelta.length &&
+            baseDelta.indices.forall(i => baseDelta(i) eq curDelta(i))
+          if (!prefixOk) conflict("compacted or reordered the delta rows")
+          if (deletes(b).nonEmpty) {
+            val baseBits = base.mor.get(b).map(_.deleted)
+            val curBits = t.mor.get(b).map(_.deleted)
+            val doubly = deletes(b).find(p => curBits.exists(_.get(p)) &&
+              !baseBits.exists(_.get(p)))
+            doubly.foreach(p => conflict(s"deleted/updated the row at position $p too"))
+          }
+        }
+      }
+    }
     var newMor = t.mor
     t.buckets.indices.foreach { b =>
       if (deletes(b).nonEmpty || inserts(b).nonEmpty) {
@@ -1390,14 +1562,31 @@ object BucketStore {
     * the stale first-version floor.
     */
   def drop(name: String): Boolean = synchronized {
-    firstVersions.remove(name)
-    statColumns.remove(name)
-    dmlModes.remove(name)
-    checks.remove(name)
-    tags.remove(name)
-    heapOnly.remove(name)
-    Option(tableDirs.remove(name)).foreach(FileStore.dropDir)
-    tables.remove(name) != null
+    val i = name.indexOf('#')
+    if (i >= 0) dropBranch(name.substring(0, i), name.substring(i + 1))
+    else {
+      // a base drop takes its branches with it — the directory goes away
+      branchesOf(name).foreach { br =>
+        val bname = branchName(name, br)
+        branchForkVersions.remove(bname)
+        firstVersions.remove(bname)
+        statColumns.remove(bname)
+        dmlModes.remove(bname)
+        checks.remove(bname)
+        tags.remove(bname)
+        heapOnly.remove(bname)
+        tableDirs.remove(bname)
+        tables.remove(bname)
+      }
+      firstVersions.remove(name)
+      statColumns.remove(name)
+      dmlModes.remove(name)
+      checks.remove(name)
+      tags.remove(name)
+      heapOnly.remove(name)
+      Option(tableDirs.remove(name)).foreach(FileStore.dropDir)
+      tables.remove(name) != null
+    }
   }
 
   /** Forget a table's HEAP state only — files and manifests stay on
@@ -1502,12 +1691,179 @@ object BucketStore {
     deleted
   }
 
+  /** What a statistics-driven DELETE did to each class of bucket —
+    * the spec surface proving the fast paths fired. `rowsEvaluated`
+    * counts predicate evaluations: dropped and untouched buckets
+    * contribute ZERO (that's the point).
+    */
+  final case class DeleteOutcome(droppedBuckets: Int, untouchedBuckets: Int,
+      scannedBuckets: Int, rowsDeleted: Long, rowsEvaluated: Long)
+
+  /** Outcome of the most recent [[deleteWhereFiltered]] per table —
+    * observability for the gate/spec (the SQL `DELETE` surface returns
+    * nothing).
+    */
+  private val lastDeleteOutcomes = new ConcurrentHashMap[String, DeleteOutcome]()
+  def lastDeleteOutcome(name: String): Option[DeleteOutcome] =
+    Option(lastDeleteOutcomes.get(name))
+
+  /** Statistics-driven row-level DELETE (the `DELETE FROM … WHERE`
+    * path, [[BucketedTable.deleteWhere]]): classify every bucket
+    * against the pushed conjunction using the SAME commit-time zone
+    * maps the scan prunes with —
+    *
+    *   - stats prove NO row matches  → untouched: the bucket keeps its
+    *     array (and so its backing file) BY IDENTITY; zero rows read;
+    *   - stats prove EVERY row matches ([[BucketSkip.mustMatchAll]])
+    *     → dropped whole: published as an empty bucket, zero rows
+    *     read — in file mode the version's manifest simply stops
+    *     referencing the bucket's file;
+    *   - otherwise → the straddler pays the row scan (the only rows
+    *     evaluated in the whole statement).
+    *
+    * On a range/clustered layout this turns a retention delete
+    * (`WHERE ts < cutoff` over years of history) into a manifest edit
+    * plus a scan of the ONE boundary bucket — the Iceberg
+    * metadata-delete / Delta partition-delete shape, and the single
+    * most common DML on a 100 TB corpus. Merge-on-read tables take the
+    * same fast paths (a full-bucket drop clears the bucket's delete
+    * vector AND its delta — strictly less state than O(live) new
+    * bits); straddlers fall back to position bits as before.
+    * Statistics arrive via [[skipStatParts]] (manifest-seeded for
+    * reopened tables), so classification itself loads no blocks in the
+    * steady state.
+    */
+  def deleteWhereFiltered(name: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): DeleteOutcome = synchronized {
+    val t = get(name)
+    val schema = t.schema
+    object Cls extends Enumeration { val Drop, Keep, Scan = Value }
+    val cls = Array.tabulate(t.buckets.length) { b =>
+      if (liveCount(t, b) == 0) Cls.Keep // nothing to delete; keep identity
+      else {
+        def parts(c: String) = skipStatParts(t, b, c)
+        if (!filters.forall(f => BucketSkip.mayMatch(schema, parts _, f))) Cls.Keep
+        else if (filters.nonEmpty &&
+          filters.forall(f => BucketSkip.mustMatchAll(schema, parts _, f))) Cls.Drop
+        else Cls.Scan
+      }
+    }
+    var deleted = 0L
+    var evaluated = 0L
+    def matches(r: Row): Boolean = {
+      evaluated += 1
+      filters.forall(FilterEval.eval(schema, _, pad(r, schema.length)))
+    }
+    if (dmlModeOf(name) == MergeOnRead) {
+      // straddlers keep the O(matches)-bits publish (their BASE block
+      // is retained untouched); dropped buckets swap to an empty base
+      // and shed their MoR state entirely; untouched buckets retain
+      // their block — never loaded, never rewritten
+      var newMor = t.mor
+      cls.indices.foreach { b =>
+        if (cls(b) == Cls.Scan) {
+          val f = folded(t, b)
+          var bits: java.util.BitSet = null
+          var i = 0
+          while (i < f.rows.length) {
+            if (matches(f.rows(i))) {
+              if (bits == null)
+                bits = t.mor.get(b).map(_.deleted.clone().asInstanceOf[java.util.BitSet])
+                  .getOrElse(new java.util.BitSet())
+              bits.set(f.posOf(i))
+              deleted += 1
+            }
+            i += 1
+          }
+          if (bits != null)
+            newMor = newMor.updated(b,
+              BucketMor(bits, t.mor.get(b).map(_.delta).getOrElse(Array.empty[Row])))
+        }
+      }
+      val rows = t.buckets.mapRetaining { b =>
+        if (cls(b) == Cls.Drop) {
+          deleted += liveCount(t, b)
+          newMor -= b
+          Some(Array.empty[Row])
+        } else None
+      }
+      val next = t.copy(buckets = rows, mor = newMor, version = versions.incrementAndGet())
+      publish(name, next)
+      maybeAutoCompact(name, next)
+    } else {
+      // untouched buckets retain BOTH their block (file identity, no
+      // load) and any pending MoR state; scanned buckets fold (their
+      // entry drops); dropped buckets shed everything
+      val rows = t.buckets.mapRetaining { b =>
+        cls(b) match {
+          case Cls.Drop =>
+            deleted += liveCount(t, b)
+            Some(Array.empty[Row])
+          case Cls.Keep => None
+          case _ =>
+            val live = effectiveRows(t, b)
+            val keep = live.filterNot { r =>
+              val d = matches(r)
+              if (d) deleted += 1
+              d
+            }
+            if (keep.length == live.length && !t.mor.contains(b)) None else Some(keep)
+        }
+      }
+      publish(name, t.copy(buckets = rows,
+        mor = t.mor.filter { case (b, _) => cls(b) == Cls.Keep },
+        version = versions.incrementAndGet()))
+    }
+    val out = DeleteOutcome(
+      cls.count(_ == Cls.Drop), cls.count(_ == Cls.Keep), cls.count(_ == Cls.Scan),
+      deleted, evaluated)
+    lastDeleteOutcomes.put(name, out)
+    out
+  }
+
   /** NULL-pad a stored row to `arity` (schema-evolution read form; a
     * row written before an ADD COLUMN has no slot for it).
     */
   private[bucketed] def pad(r: Row, arity: Int): Row =
     if (r.length == arity) r
     else Row.fromSeq(r.toSeq ++ Seq.fill(arity - r.length)(null))
+
+  /** A write-write conflict detected at commit: the statement read a
+    * snapshot another transaction has since overwritten in a bucket
+    * this statement rewrites. Retrying the statement re-plans against
+    * the new current snapshot — the standard optimistic-concurrency
+    * contract (Delta's ConcurrentModificationException family).
+    */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Deterministic race-window injection (gates/specs): invoked ONCE —
+    * then cleared — right after a row-level rewrite's scan pins its
+    * read version, i.e. inside the scan-done-commit-pending window
+    * where a concurrent writer can land. The conflict gates (q249)
+    * commit an interleaving write here; production code never sets it.
+    */
+  @volatile var onRowLevelScanPinned: Option[(String, Long) => Unit] = None
+
+  private[bucketed] def fireRowLevelScanPinned(name: String, v: Long): Unit = {
+    val h = onRowLevelScanPinned
+    if (h.isDefined) {
+      onRowLevelScanPinned = None // one-shot BEFORE invoke: the hook itself may commit
+      h.get(name, v)
+    }
+  }
+
+  /** Does bucket `b` hold the same logical content in `cur` as in
+    * `base`? Storage identity (COW array/file sharing) plus MoR-state
+    * identity — the conflict predicate for commits planned against
+    * `base` ([[replaceGroups]], [[applyDelta]]).
+    */
+  private def bucketUnchanged(cur: BucketTable, base: BucketTable, b: Int): Boolean =
+    cur.buckets.sharesWith(base.buckets, b) && ((cur.mor.get(b), base.mor.get(b)) match {
+      case (None, None) => true
+      case (Some(c), Some(p)) => (c eq p) || ((c.delta eq p.delta) && (c.deleted eq p.deleted))
+      case _ => false
+    })
 
   /** Group (bucket) replacement for COPY_ON_WRITE row-level operations
     * (UPDATE/MERGE/fallback-DELETE): buckets in `groups` are REPLACED
@@ -1516,14 +1872,36 @@ object BucketStore {
     * rows and only APPEND incoming ones (an UPDATE that rewrites the
     * bucket key, or a MERGE insert, legally moves rows into buckets
     * the scan never touched). One version, atomic, like every publish.
+    *
+    * OPTIMISTIC CONCURRENCY (`readVersion` = the snapshot the
+    * rewrite's scan pinned): a concurrent commit that landed between
+    * scan and commit is checked at BUCKET granularity — if it touched
+    * none of this statement's replaced groups, the commit proceeds
+    * against the current snapshot (appends compose, untouched groups
+    * are bit-identical to what was read — an automatic rebase); if it
+    * rewrote a group this statement also rewrote, committing would
+    * silently undo it (lost update), so the statement fails loudly
+    * with [[ConcurrentWriteException]] and a retry re-plans. Same
+    * granularity Delta/Iceberg use with files as the group.
     */
   def replaceGroups(name: String, byBucket: Array[Array[Row]], groups: Set[Int],
-      expectedLayoutEpoch: Long): Unit =
+      expectedLayoutEpoch: Long, readVersion: Option[Long] = None): Unit =
     synchronized {
       val t0 = get(name)
       require(byBucket.length == t0.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t0.buckets.length}")
       requireLayoutUnchanged(name, t0, expectedLayoutEpoch)
+      readVersion.filter(_ != t0.version).foreach { rv =>
+        val base = history(name).find(_.version == rv).getOrElse(
+          throw new ConcurrentWriteException(
+            s"rewrite of '$name' planned against v$rv, which is no longer retained — retry"))
+        val clobbered = groups.filter(b => !bucketUnchanged(t0, base, b))
+        if (clobbered.nonEmpty)
+          throw new ConcurrentWriteException(
+            s"concurrent commit to '$name' (v$rv → v${t0.version}) rewrote bucket(s) " +
+              s"${clobbered.toSeq.sorted.mkString(", ")} this statement also rewrites — " +
+              "committing would lose that update; retry the statement")
+      }
       enforceCheck(name, t0.schema, byBucket)
       val t = freezeZBounds(t0, byBucket.iterator.flatten)
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>

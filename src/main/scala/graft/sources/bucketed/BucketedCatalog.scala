@@ -214,7 +214,9 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       Identifier.of(Array.empty, "recluster"),
       Identifier.of(Array.empty, "repartition_range"), Identifier.of(Array.empty, "stats"),
       Identifier.of(Array.empty, "analyze"), Identifier.of(Array.empty, "compact"),
-      Identifier.of(Array.empty, "reorder"), Identifier.of(Array.empty, "tag"))
+      Identifier.of(Array.empty, "reorder"), Identifier.of(Array.empty, "tag"),
+      Identifier.of(Array.empty, "branch"), Identifier.of(Array.empty, "publish_branch"),
+      Identifier.of(Array.empty, "drop_branch"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -230,9 +232,13 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "compact" => BucketedProcedures.Compact
       case "reorder" => BucketedProcedures.Reorder
       case "tag" => BucketedProcedures.Tag
+      case "branch" => BucketedProcedures.Branch
+      case "publish_branch" => BucketedProcedures.PublishBranch
+      case "drop_branch" => BucketedProcedures.DropBranch
       case other => throw new UnsupportedOperationException(
-        s"no such procedure: $other (supported: analyze, compact, vacuum, history, " +
-          "rebucket, rebucket_hrw, recluster, reorder, repartition_range, stats, tag)")
+        s"no such procedure: $other (supported: analyze, branch, compact, drop_branch, " +
+          "history, publish_branch, rebucket, rebucket_hrw, recluster, reorder, " +
+          "repartition_range, stats, tag, vacuum)")
     }
 }
 

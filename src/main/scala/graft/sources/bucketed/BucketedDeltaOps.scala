@@ -56,7 +56,10 @@ class BucketedDeltaOperation(name: String, cmd: RowLevelOperation.Command)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BucketedScanBuilder(name) {
       override protected def versionListener: Option[Long => Unit] =
-        Some(v => scannedVersion = Some(v))
+        Some { v =>
+          scannedVersion = Some(v)
+          BucketStore.fireRowLevelScanPinned(name, v)
+        }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =

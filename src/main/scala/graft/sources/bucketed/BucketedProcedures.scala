@@ -89,6 +89,93 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.branch('t', 'staging')` — fork the current head as a
+    * WAP branch: a zero-copy manifest write; reads and every DML
+    * statement then address the branch as `graft.`t#staging`` while
+    * main serves untouched ([[BucketStore.createBranch]]).
+    */
+  object Branch extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "branch"
+    override def description(): String =
+      "branch(table, branch): fork the current head as a write-audit-publish branch"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "branch(table, branch): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val branch = input.getUTF8String(1).toString
+      val v = BucketStore.createBranch(table, branch)
+      localScan(
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        Array(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            BucketStore.branchName(table, branch)), v)),
+        s"graft branch($table, $branch)")
+    }
+  }
+
+  /** `CALL graft.publish_branch('t', 'staging')` — atomically
+    * fast-forward main to the audited branch head and drop the branch
+    * (the PUBLISH of write-audit-publish). Loud
+    * ConcurrentWriteException if main moved since the fork.
+    */
+  object PublishBranch extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "publish_branch"
+    override def description(): String =
+      "publish_branch(table, branch): fast-forward main to the branch head and drop the branch"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "publish_branch(table, branch): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val branch = input.getUTF8String(1).toString
+      val v = BucketStore.publishBranch(table, branch)
+      localScan(
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        Array(InternalRow(v)),
+        s"graft publish_branch($table, $branch)")
+    }
+  }
+
+  /** `CALL graft.drop_branch('t', 'staging')` — abandon the branch
+    * (the audit-failed exit); main never saw the batch, branch-only
+    * files are GC'd.
+    */
+  object DropBranch extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "drop_branch(table, branch): abandon a write-audit-publish branch"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "drop_branch(table, branch): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val branch = input.getUTF8String(1).toString
+      val dropped = BucketStore.dropBranch(table, branch)
+      localScan(
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+        Array(InternalRow(dropped)),
+        s"graft drop_branch($table, $branch)")
+    }
+  }
+
   /** `CALL graft.rebucket('t', n)` — re-hash every current row into a
     * new n-bucket layout under one MVCC version ([[BucketStore
     * .rebucket]]). Unlike vacuum/history this one IS a data rewrite —

@@ -1502,6 +1502,189 @@ object BucketedQueries {
       |WHERE o_orderpriority <> '5-LOW' AND o_orderkey BETWEEN 50 AND 500
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** q248 — STATISTICS-DRIVEN RETENTION DELETE (metadata delete):
+    * orders keyed by o_orderdate onto a RANGE layout, then
+    * `DELETE … WHERE o_orderdate < DATE '1998-01-01'` — the store
+    * classifies every bucket against the same commit-time zone maps
+    * the scan prunes with ([[BucketStore.deleteWhereFiltered]]):
+    * buckets provably inside the cutoff drop WHOLE with no row read
+    * (the next manifest simply stops referencing their files), buckets
+    * provably outside keep their array/file BY IDENTITY, and only the
+    * one boundary bucket pays a row scan. The query self-audits the
+    * classification shape; MetadataDeleteSpec pins identity, the
+    * zero-evaluation claim, and the merge-on-read variant. At 100 TB
+    * this is THE daily DML — ageing a retention window out of years of
+    * history as a manifest edit instead of a table rewrite.
+    */
+  def retentionDeleteQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"orders_retn@$dir"
+    BucketStore.drop(name)
+    // the raw column is a timestamp; the bucket key domain routes
+    // DATES (epoch days) — cast at ingest. `date(ts) < D ⇔ ts < D`
+    // (midnight), so the DuckDB oracle keeps the raw predicate.
+    BucketStore.load(spark, name,
+      graft.tables.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"), col("o_totalprice")),
+      "o_orderdate", NumBuckets)
+    // analyze FIRST: the layout publish then writes o_orderdate zone
+    // maps into the version's manifest, so the DELETE classifies from
+    // commit metadata without touching a block
+    spark.sql(s"CALL graft.analyze('$name', 'o_orderdate')")
+    spark.sql(s"CALL graft.repartition_range('$name', 8)")
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderdate < DATE '1998-01-01'")
+    val out = BucketStore.lastDeleteOutcome(name).getOrElse(
+      sys.error(s"DELETE on '$name' did not take the statistics-driven path"))
+    require(out.droppedBuckets >= 1 && out.untouchedBuckets >= 1 && out.scannedBuckets <= 1,
+      s"range layout should classify all but the boundary bucket: $out")
+    spark.table(s"graft.`$name`")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("rev"))
+  }
+
+  val retentionDeleteSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+      |GROUP BY 1""".stripMargin
+
+  /** q249 — OPTIMISTIC CONCURRENCY for copy-on-write rewrites, through
+    * the real SQL path: two UPDATE statements each take a concurrent
+    * commit landing in the scan-done-commit-pending window (injected
+    * deterministically via [[BucketStore.onRowLevelScanPinned]]).
+    * The DISJOINT interleave (the concurrent DELETE rewrote a bucket
+    * outside the UPDATE's groups) commits cleanly — an automatic
+    * rebase, both effects present; the SAME-BUCKET interleave would
+    * silently undo the concurrent delete (lost update), so the commit
+    * fails with [[BucketStore.ConcurrentWriteException]] and the
+    * retried statement lands. Before this check, the second shape was
+    * a silent lost update. ConcurrentWriteSpec pins the store-level
+    * matrix (vacuumed read version, MoR delta composition,
+    * same-position conflicts); the gated read is the net state —
+    * every effect applied exactly once. The bucket is the conflict
+    * granule, exactly Delta/Iceberg's file-level conflict detection.
+    */
+  def concurrentRewriteQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.sources.EqualTo
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"cust_ccr@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "c_custkey", 8)
+    // routing assumptions behind the hardcoded keys (Murmur3 seed 42):
+    // 1 and 2 land in DIFFERENT buckets; 3 and 7 land in the SAME one
+    def bkt(k: Long) = BucketFunction.bucketFor(k, 8).get
+    require(bkt(1L) != bkt(2L) && bkt(3L) == bkt(7L),
+      s"routing drift: ${Seq(1L, 2L, 3L, 7L).map(k => k -> bkt(k))}")
+
+    // disjoint interleave: DELETE key 2 (bucket ${bkt(2)}) lands while
+    // UPDATE key 1 (bucket ${bkt(1)}) is between scan and commit
+    BucketStore.onRowLevelScanPinned = Some((_, _) => {
+      BucketStore.deleteWhereFiltered(name, Array(EqualTo("c_custkey", 2L)))
+      ()
+    })
+    spark.sql(s"UPDATE graft.`$name` SET c_acctbal = c_acctbal + 100 WHERE c_custkey = 1")
+    require(BucketStore.onRowLevelScanPinned.isEmpty, "interleave hook never fired")
+
+    // same-bucket interleave: DELETE key 7 lands inside UPDATE key 3's
+    // window — the commit MUST refuse (it would undo the delete)
+    BucketStore.onRowLevelScanPinned = Some((_, _) => {
+      BucketStore.deleteWhereFiltered(name, Array(EqualTo("c_custkey", 7L)))
+      ()
+    })
+    val update3 = s"UPDATE graft.`$name` SET c_acctbal = c_acctbal + 100 WHERE c_custkey = 3"
+    val conflicted =
+      try { spark.sql(update3); false }
+      catch {
+        case e: Throwable =>
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .exists(_.isInstanceOf[BucketStore.ConcurrentWriteException])
+      }
+    require(conflicted, "a same-bucket interleave must fail the statement, not lose the update")
+    spark.sql(update3) // retry re-plans against the current snapshot and lands
+
+    spark.table(s"graft.`$name`")
+      .filter(col("c_custkey") <= 12)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("bal"))
+  }
+
+  val concurrentRewriteSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(c_acctbal + CASE WHEN c_custkey IN (1, 3) THEN 100 ELSE 0 END AS DOUBLE) AS bal
+      |FROM customer
+      |WHERE c_custkey <= 12 AND c_custkey NOT IN (2, 7)""".stripMargin
+
+  /** q250 — WRITE-AUDIT-PUBLISH over a store BRANCH, the quality-gated
+    * ingestion pattern every production curation pipeline runs (Iceberg
+    * WAP): `CALL graft.branch` forks the corpus head ZERO-COPY (one
+    * manifest write — every bucket re-references its file), the new
+    * crawl batch lands on the branch through the ordinary write path,
+    * the audit (a pushed quality DELETE, classified from zone maps like
+    * any table) runs against the branch while main serves untouched
+    * (the query requires main's count unchanged mid-flight), and
+    * `CALL graft.publish_branch` atomically fast-forwards main to the
+    * audited head. The second leg races a main commit into the window:
+    * fast-forward REFUSES (ConcurrentWriteException — publishing would
+    * discard main's commit) and `drop_branch` abandons the batch with
+    * its files GC'd. WapBranchSpec pins zero-copy fork identity,
+    * two-way isolation, restart durability of an open branch, and GC
+    * safety. At 100 TB this is how a daily crawl lands: audited out of
+    * band, published as one O(1) pointer swap, never half-visible.
+    */
+  def wapCurationQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"docs_wap@$dir"
+    BucketStore.drop(name)
+    val docs = graft.tables.Tables.documents(spark, dir)
+    BucketStore.load(spark, name, docs.filter(col("doc_id") % 3 =!= 0), "doc_id", NumBuckets)
+    val mainBefore = spark.table(s"graft.`$name`").count()
+
+    spark.sql(s"CALL graft.branch('$name', 'staging')")
+    val bname = BucketStore.branchName(name, "staging")
+    docs.filter(col("doc_id") % 3 === 0).writeTo(s"graft.`$bname`").append()
+    require(spark.table(s"graft.`$name`").count() == mainBefore,
+      "main must not see the staged batch before publish")
+    // the audit: quality-gate THE BATCH on the branch (scoped to the
+    // staged rows — already-curated corpus rows are not re-audited)
+    spark.sql(s"DELETE FROM graft.`$bname` WHERE n_chars < 200 AND doc_id % 3 = 0")
+    spark.sql(s"CALL graft.publish_branch('$name', 'staging')")
+    require(BucketStore.branchesOf(name).isEmpty, "publish must retire the branch")
+
+    // leg 2: main moves between fork and publish — fast-forward refuses
+    spark.sql(s"CALL graft.branch('$name', 'late')")
+    val lname = BucketStore.branchName(name, "late")
+    docs.filter(col("doc_id") % 3 === 0).limit(5).writeTo(s"graft.`$lname`").append()
+    spark.sql(s"DELETE FROM graft.`$name` WHERE doc_id = 1") // main commit lands
+    val conflicted =
+      try { spark.sql(s"CALL graft.publish_branch('$name', 'late')"); false }
+      catch {
+        case e: Throwable =>
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .exists(_.isInstanceOf[BucketStore.ConcurrentWriteException])
+      }
+    require(conflicted, "publishing a branch after main moved must refuse, not discard")
+    spark.sql(s"CALL graft.drop_branch('$name', 'late')")
+
+    spark.table(s"graft.`$name`")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val wapCurationSql: String =
+    """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE (doc_id % 3 <> 0 OR n_chars >= 200) AND doc_id <> 1
+      |GROUP BY lang, source""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

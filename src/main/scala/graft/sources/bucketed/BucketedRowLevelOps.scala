@@ -38,6 +38,13 @@ class BucketedRowLevelOperation(name: String, cmd: RowLevelOperation.Command)
     */
   @volatile private[bucketed] var scannedBuckets: Option[Set[Int]] = None
 
+  /** Snapshot version the rewrite's scan pinned — the optimistic-
+    * concurrency read version: commit validates that no interleaving
+    * commit rewrote a replaced group since
+    * ([[BucketStore.replaceGroups]]).
+    */
+  @volatile private[bucketed] var scannedVersion: Option[Long] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -65,6 +72,12 @@ class BucketedRowLevelOperation(name: String, cmd: RowLevelOperation.Command)
 
       override protected def planListener: Option[Array[Int] => Unit] =
         Some(bs => scannedBuckets = Some(bs.toSet))
+
+      override protected def versionListener: Option[Long => Unit] =
+        Some { v =>
+          scannedVersion = Some(v)
+          BucketStore.fireRowLevelScanPinned(name, v)
+        }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -111,7 +124,7 @@ class BucketedReplaceGroupsWrite(name: String, schema: StructType, keyCol: Strin
       // groups: replace nothing, append everything
       val groups = op.scannedBuckets.getOrElse(Set.empty)
       BucketStore.replaceGroups(name, BucketWriteCommit.merge(messages, numBuckets), groups,
-        layoutEpoch)
+        layoutEpoch, op.scannedVersion)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()

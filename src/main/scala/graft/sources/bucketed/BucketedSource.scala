@@ -273,9 +273,14 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(FilterEval.supports(t.schema, _))
 
+  /** Statistics-driven: buckets the zone maps prove fully-covered drop
+    * whole (no row read), provably-untouched buckets keep their
+    * array/file by identity — a retention delete on a range layout is
+    * a manifest edit plus one boundary-bucket scan
+    * ([[BucketStore.deleteWhereFiltered]]).
+    */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val schema = t.schema
-    BucketStore.deleteWhere(name, r => filters.forall(FilterEval.eval(schema, _, r)))
+    BucketStore.deleteWhereFiltered(name, filters)
     ()
   }
 

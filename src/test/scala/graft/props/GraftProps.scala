@@ -437,6 +437,20 @@ object GraftProps extends Properties("graft") {
       !anyMatch || BucketSkip.mayMatch(skipSchema, rows, f)
     }
 
+  /** The dual safety property, for the statistics-driven DELETE
+    * ([[graft.sources.bucketed.BucketStore.deleteWhereFiltered]]): a
+    * fully-covered proof must hold for EVERY row — an over-claim here
+    * would silently delete surviving rows. (Missed proofs merely scan
+    * the bucket.)
+    */
+  property("BucketSkip.mustMatchAll never over-claims: a proof covers every row") =
+    forAll(Gen.listOf(genSkipRow), genSkipFilter) { (rowsL, f) =>
+      import graft.sources.bucketed.{BucketSkip, FilterEval}
+      val rows = rowsL.toArray
+      !BucketSkip.mustMatchAll(skipSchema, rows, f) ||
+        rows.forall(r => FilterEval.eval(skipSchema, f, r))
+    }
+
   /** The pushed sample must keep EXACTLY the rows the plain-SQL
     * remainder chain keeps — including negative keys, where
     * sign-following `%` makes the hash negative and both window

@@ -202,24 +202,41 @@ class BucketedMorSpec extends SparkSuite {
     assert(scan("mor_clust").count() === 1999L)
   }
 
-  test("delta positions are snapshot-pinned: an interleaving commit fails the statement loudly") {
+  test("delta positions are snapshot-pinned: conflicts are row-granular, disjoint interleaves compose") {
     cat()
     mkTable("mor_race", rows = 100, buckets = 2)
     val t = BucketStore.get("mor_race")
     val staleVersion = t.version
-    // someone else commits first
+    val noIns = Array.fill(2)(Array.empty[org.apache.spark.sql.Row])
+    // someone else commits first — a DIFFERENT row's bits: base arrays
+    // and delta prefixes are untouched, so the stale-planned delta
+    // COMPOSES (round 15; previously ANY interleave failed)
     spark.sql("DELETE FROM graft.`mor_race` WHERE k = 1")
-    val ex = intercept[IllegalArgumentException] {
-      BucketStore.applyDelta("mor_race",
-        Array(Array(0), Array.empty[Int]), Array.fill(2)(Array.empty[org.apache.spark.sql.Row]),
-        t.layoutEpoch, staleVersion)
-    }
-    assert(ex.getMessage.contains("positions are snapshot-relative"), ex.getMessage)
-    // the prescribed recovery — re-plan against the current snapshot —
-    // succeeds and BOTH statements' effects land
-    spark.sql("DELETE FROM graft.`mor_race` WHERE k = 2")
-    assert(scan("mor_race").filter(col("k").isin(1L, 2L)).count() === 0L)
+    BucketStore.applyDelta("mor_race",
+      Array(Array(0), Array.empty[Int]), noIns, t.layoutEpoch, staleVersion)
     assert(scan("mor_race").count() === 98L)
+    // the SAME position against the same stale snapshot: a genuine
+    // write-write conflict (committing would double-apply the delete)
+    val ex = intercept[BucketStore.ConcurrentWriteException] {
+      BucketStore.applyDelta("mor_race",
+        Array(Array(0), Array.empty[Int]), noIns, t.layoutEpoch, staleVersion)
+    }
+    assert(ex.getMessage.contains("retry the statement"), ex.getMessage)
+    // a compaction re-materializes the touched bucket's base —
+    // positions planned against the old snapshot are invalid, loudly
+    BucketStore.compact("mor_race")
+    val ex2 = intercept[BucketStore.ConcurrentWriteException] {
+      BucketStore.applyDelta("mor_race",
+        Array(Array(1), Array.empty[Int]), noIns, t.layoutEpoch, staleVersion)
+    }
+    assert(ex2.getMessage.contains("re-materialized"), ex2.getMessage)
+    // the prescribed recovery — re-plan against the current snapshot —
+    // succeeds: every effect lands exactly once
+    BucketStore.applyDelta("mor_race",
+      Array(Array(1), Array.empty[Int]), noIns, t.layoutEpoch,
+      BucketStore.currentVersion("mor_race"))
+    assert(scan("mor_race").filter(col("k") === 1L).count() === 0L)
+    assert(scan("mor_race").count() === 97L)
   }
 
   test("concurrent DML writers: every statement either applies exactly or fails loudly — no lost update") {
