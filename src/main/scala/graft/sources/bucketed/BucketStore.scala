@@ -270,12 +270,27 @@ object BucketStore {
     if (!fileBackingEnabled || heapOnly.contains(name)) return
     try {
       val dir = tableDir(name)
-      stamped.buckets.indices.foreach { b =>
-        val blk = stamped.buckets.block(b)
-        if (blk.file.isEmpty) {
+      // changed buckets spill their (independent, immutable) files in
+      // parallel — the commit-point analog of concurrent write tasks;
+      // a single changed bucket skips the pool round-trip
+      val toSpill = stamped.buckets.indices.filter(stamped.buckets.block(_).file.isEmpty)
+      if (toSpill.length <= 1) {
+        toSpill.foreach { b =>
+          val blk = stamped.buckets.block(b)
           blk.attach(FileStore.spillBlock(dir, s"b$b-v${stamped.version}",
             stamped.schema, blk.rows))
         }
+      } else {
+        val futures = toSpill.map { b =>
+          FileStore.spillPool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val blk = stamped.buckets.block(b)
+              blk.attach(FileStore.spillBlock(dir, s"b$b-v${stamped.version}",
+                stamped.schema, blk.rows))
+            }
+          })
+        }
+        futures.foreach(_.get()) // propagate the FIRST failure loudly
       }
       val morFiles: Map[Int, FileStore.BlockFile] = stamped.mor.map { case (b, m) =>
         b -> (if (m.delta.isEmpty) FileStore.EmptyBlock

@@ -126,6 +126,39 @@ object FileStore {
   private def setSqlDefaults(conf: Configuration, kvs: (String, String)*): Unit =
     kvs.foreach { case (k, v) => conf.set(k, v) }
 
+  /** Write-side Hadoop conf TEMPLATE: the SQLConf defaults and write
+    * modes that are identical for every block — built once, copied per
+    * write (the copy constructor is cheap; constructing + seeding a
+    * fresh Configuration per block was a measurable slice of the
+    * publish path on version-heavy DML/CDC workloads).
+    */
+  private lazy val writeConfBase: Configuration = {
+    val conf = new Configuration()
+    setSqlDefaults(conf,
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key -> SQLConf.PARQUET_WRITE_LEGACY_FORMAT.defaultValueString,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key -> SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.defaultValueString,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key -> SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf
+  }
+
+  /** Bounded spill pool: a publish's changed buckets write their
+    * (independent, immutable) files in parallel — exactly the work a
+    * real cluster's write TASKS do concurrently before the commit
+    * flips the manifest pointer. Daemon threads; sized well below the
+    * session's cores so a commit never starves query tasks.
+    */
+  private[bucketed] lazy val spillPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, math.min(8, Runtime.getRuntime.availableProcessors() / 4)),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-spill")
+        t.setDaemon(true)
+        t
+      })
+
   /** Write `rows` (all at schema arity) as one parquet file; returns
     * the block ref. Files are write-once: the name carries the version
     * that created them and is never reused.
@@ -134,15 +167,8 @@ object FileStore {
       rows: Array[Row]): BlockFile = {
     Files.createDirectories(dir)
     val file = dir.resolve(fileName + ".parquet")
-    val conf = new Configuration()
+    val conf = new Configuration(writeConfBase)
     ParquetWriteSupport.setSchema(schema, conf)
-    setSqlDefaults(conf,
-      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key -> SQLConf.PARQUET_WRITE_LEGACY_FORMAT.defaultValueString,
-      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key -> SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.defaultValueString,
-      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key -> SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
-    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
-    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
-    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     val writer = new RowWriterBuilder(new HPath(file.toString))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)

@@ -116,6 +116,23 @@ class WapBranchSpec extends SparkSuite {
     assert(under === 0L, "quality-failed batch rows leaked past the audit")
   }
 
+  test("branch-staged schema migration: ALTER on the branch, main jumps schema only at publish") {
+    mk("wap_alter")
+    spark.sql("CALL graft.branch('wap_alter', 's')")
+    spark.sql("ALTER TABLE graft.`wap_alter#s` ADD COLUMN score DOUBLE")
+    // backfill through the ordinary write path — on the branch only
+    spark.sql("UPDATE graft.`wap_alter#s` SET score = 1.5 WHERE k = 1")
+    assert(scan("wap_alter#s").schema.fieldNames.contains("score"))
+    assert(!scan("wap_alter").schema.fieldNames.contains("score"),
+      "main must keep its schema until publish")
+    spark.sql("CALL graft.publish_branch('wap_alter', 's')")
+    val main = scan("wap_alter")
+    assert(main.schema.fieldNames.contains("score"), "publish carries the schema atomically")
+    assert(main.filter(col("k") === 1L).head.getDouble(main.schema.fieldIndex("score")) === 1.5)
+    assert(main.filter(col("score").isNull).count() === 799L,
+      "pre-ALTER rows read NULL-padded, zero rewrite")
+  }
+
   test("an open branch survives a restart (unload + openFromDisk both lineages)") {
     mk("wap_restart")
     spark.sql("CALL graft.branch('wap_restart', 's')")
