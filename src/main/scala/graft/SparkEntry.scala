@@ -506,6 +506,9 @@ object SparkEntry {
     "q248_retention_delete" -> graft.sources.bucketed.BucketedQueries.retentionDeleteQuery _,
     "q249_concurrent_rewrite" -> graft.sources.bucketed.BucketedQueries.concurrentRewriteQuery _,
     "q250_wap_curation" -> graft.sources.bucketed.BucketedQueries.wapCurationQuery _,
+    "q251_rollback" -> graft.sources.bucketed.BucketedQueries.rollbackQuery _,
+    "q252_branch_rebase" -> graft.sources.bucketed.BucketedQueries.branchRebaseQuery _,
+    "q253_training_recipe" -> graft.sources.bucketed.BucketedQueries.trainingRecipeQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -918,6 +921,9 @@ object SparkEntry {
     "q248_retention_delete" -> graft.sources.bucketed.BucketedQueries.retentionDeleteSql,
     "q249_concurrent_rewrite" -> graft.sources.bucketed.BucketedQueries.concurrentRewriteSql,
     "q250_wap_curation" -> graft.sources.bucketed.BucketedQueries.wapCurationSql,
+    "q251_rollback" -> graft.sources.bucketed.BucketedQueries.rollbackSql,
+    "q252_branch_rebase" -> graft.sources.bucketed.BucketedQueries.branchRebaseSql,
+    "q253_training_recipe" -> graft.sources.bucketed.BucketedQueries.trainingRecipeSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

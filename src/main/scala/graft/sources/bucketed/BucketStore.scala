@@ -804,6 +804,63 @@ object BucketStore {
     published.version
   }
 
+  /** REBASE a branch onto main's current head: when main moved since
+    * the fork but on DISJOINT buckets, the branch's changes replay for
+    * free — the rebased head is main's current blocks with the
+    * branch's changed buckets (blocks + MoR state) swapped in, one
+    * zero-copy publish, and the fork point advances to main's head so
+    * [[publishBranch]] then fast-forwards cleanly. Overlapping
+    * buckets, a layout change on either side, or a schema/zBounds
+    * change on main are genuine conflicts ([[ConcurrentWriteException]]
+    * — re-branch and replay); a branch-side ALTER survives the rebase
+    * (main's untouched blocks NULL-pad at read, the standing
+    * schema-evolution contract). Returns the rebased head's version.
+    */
+  def rebaseBranch(base: String, branch: String): Long = synchronized {
+    val bname = branchName(base, branch)
+    require(exists(bname), s"no branch '$branch' of '$base'")
+    val fork = Option(branchForkVersions.get(bname)).map(_.toLong)
+      .orElse(tagsOf(bname).get(ForkTag))
+      .getOrElse(throw new IllegalStateException(
+        s"branch '$bname' has no recorded fork point"))
+    val mainHead = get(base)
+    if (mainHead.version == fork) return currentVersion(bname) // nothing moved
+    def conflict(why: String): Nothing = throw new ConcurrentWriteException(
+      s"cannot rebase branch '$branch' of '$base': $why — re-branch from the current " +
+        "head and replay")
+    val forkSnap = history(base).find(_.version == fork).getOrElse(
+      conflict(s"fork version v$fork is no longer retained"))
+    val bhead = get(bname)
+    if (mainHead.layoutEpoch != forkSnap.layoutEpoch ||
+      bhead.layoutEpoch != forkSnap.layoutEpoch)
+      conflict("the bucket layout changed since the fork")
+    if (mainHead.schema != forkSnap.schema)
+      conflict("main's schema changed since the fork")
+    if (!(mainHead.zBounds.isEmpty && forkSnap.zBounds.isEmpty) &&
+      !mainHead.zBounds.exists(zb => forkSnap.zBounds.exists(_ eq zb)))
+      conflict("main's z-order rank boundaries changed since the fork")
+    val branchChanged = bhead.buckets.indices
+      .filter(b => !bucketUnchanged(bhead, forkSnap, b)).toSet
+    val mainChanged = mainHead.buckets.indices
+      .filter(b => !bucketUnchanged(mainHead, forkSnap, b)).toSet
+    val overlap = branchChanged.intersect(mainChanged)
+    if (overlap.nonEmpty)
+      conflict(s"bucket(s) ${overlap.toSeq.sorted.mkString(", ")} changed on both sides")
+    val blocks = Array.tabulate(mainHead.buckets.length) { b =>
+      if (branchChanged.contains(b)) bhead.buckets.block(b) else mainHead.buckets.block(b)
+    }
+    val mor = mainHead.mor.filter { case (b, _) => !branchChanged.contains(b) } ++
+      bhead.mor.filter { case (b, _) => branchChanged.contains(b) }
+    // advance the fork point BEFORE the publish so the rebased head's
+    // manifest carries it (restart durability)
+    tags.put(bname, Map(ForkTag -> mainHead.version))
+    branchForkVersions.put(bname, mainHead.version)
+    val rebased = bhead.copy(buckets = new BucketBlocks(blocks), mor = mor,
+      version = versions.incrementAndGet())
+    publish(bname, rebased)
+    rebased.version
+  }
+
   /** Abandon a branch: forget its lineage and GC the files only it
     * referenced (everything main references stays — shared-dir union
     * roots). The audit-failed exit of WAP; main never saw the batch.
@@ -821,6 +878,32 @@ object BucketStore {
     val existed = tables.remove(bname) != null
     if (existed) dir.foreach(d => FileStore.gc(d, retainedVersionsSharing(d)): Unit)
     existed
+  }
+
+  /** ROLLBACK: reinstate retained snapshot `toVersion` as the new
+    * head — one zero-copy publish (every bucket re-references the old
+    * snapshot's arrays/files), the recovery move when a bad batch
+    * landed on main without a WAP branch. History is append-only:
+    * the bad versions stay retained (audit trail, CDC-diffable) and
+    * the rollback itself is a new version whose CDC delta is the
+    * INVERSE of what it undoes. Rolling back across a layout change
+    * reinstates the old layout under a FRESH layout epoch, so any
+    * in-flight write planned against the abandoned head fails its
+    * epoch check instead of mis-routing.
+    */
+  def rollback(name: String, toVersion: Long): Long = synchronized {
+    val t = get(name)
+    require(t.version != toVersion,
+      s"rollback('$name', $toVersion): already the current version")
+    val target = history(name).find(_.version == toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"rollback('$name', $toVersion): version not retained " +
+          s"(retained: ${history(name).map(_.version).mkString(", ")})"))
+    val epoch =
+      if (target.layoutEpoch == t.layoutEpoch) t.layoutEpoch else t.layoutEpoch + 1
+    val restored = target.copy(version = versions.incrementAndGet(), layoutEpoch = epoch)
+    publish(name, restored)
+    restored.version
   }
 
   /** Live branches of `base` (specs/ops). */

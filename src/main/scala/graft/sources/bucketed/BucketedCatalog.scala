@@ -216,7 +216,8 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       Identifier.of(Array.empty, "analyze"), Identifier.of(Array.empty, "compact"),
       Identifier.of(Array.empty, "reorder"), Identifier.of(Array.empty, "tag"),
       Identifier.of(Array.empty, "branch"), Identifier.of(Array.empty, "publish_branch"),
-      Identifier.of(Array.empty, "drop_branch"))
+      Identifier.of(Array.empty, "drop_branch"), Identifier.of(Array.empty, "rollback"),
+      Identifier.of(Array.empty, "rebase_branch"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -235,10 +236,12 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "branch" => BucketedProcedures.Branch
       case "publish_branch" => BucketedProcedures.PublishBranch
       case "drop_branch" => BucketedProcedures.DropBranch
+      case "rollback" => BucketedProcedures.Rollback
+      case "rebase_branch" => BucketedProcedures.RebaseBranch
       case other => throw new UnsupportedOperationException(
         s"no such procedure: $other (supported: analyze, branch, compact, drop_branch, " +
-          "history, publish_branch, rebucket, rebucket_hrw, recluster, reorder, " +
-          "repartition_range, stats, tag, vacuum)")
+          "history, publish_branch, rebase_branch, rebucket, rebucket_hrw, recluster, " +
+          "reorder, repartition_range, rollback, stats, tag, vacuum)")
     }
 }
 

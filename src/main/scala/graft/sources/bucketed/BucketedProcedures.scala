@@ -149,6 +149,35 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.rebase_branch('t', 'staging')` — replay-free rebase
+    * onto main's current head when the interleaved commits touched
+    * disjoint buckets; loud conflict otherwise
+    * ([[BucketStore.rebaseBranch]]).
+    */
+  object RebaseBranch extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rebase_branch"
+    override def description(): String =
+      "rebase_branch(table, branch): rebase the branch onto main's current head " +
+        "(disjoint buckets only)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "rebase_branch(table, branch): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val branch = input.getUTF8String(1).toString
+      val v = BucketStore.rebaseBranch(table, branch)
+      localScan(
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        Array(InternalRow(v)),
+        s"graft rebase_branch($table, $branch)")
+    }
+  }
+
   /** `CALL graft.drop_branch('t', 'staging')` — abandon the branch
     * (the audit-failed exit); main never saw the batch, branch-only
     * files are GC'd.
@@ -173,6 +202,36 @@ object BucketedProcedures {
         StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
         Array(InternalRow(dropped)),
         s"graft drop_branch($table, $branch)")
+    }
+  }
+
+  /** `CALL graft.rollback('t', v)` — reinstate retained snapshot `v`
+    * as the new head (zero-copy; the bad versions stay retained as the
+    * audit trail). The no-branch recovery move; see
+    * [[BucketStore.rollback]].
+    */
+  object Rollback extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "rollback(table, version): reinstate a retained snapshot as the new head"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "rollback(table, version): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val to = input.getLong(1)
+      val v = BucketStore.rollback(table, to)
+      localScan(
+        StructType(Seq(
+          StructField("restored_version", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false))),
+        Array(InternalRow(to, v)),
+        s"graft rollback($table, $to)")
     }
   }
 

@@ -1685,6 +1685,162 @@ object BucketedQueries {
       |WHERE (doc_id % 3 <> 0 OR n_chars >= 200) AND doc_id <> 1
       |GROUP BY lang, source""".stripMargin
 
+  /** q251 — SNAPSHOT ROLLBACK, the no-branch recovery move: a
+    * fat-finger batch (a corrupting UPDATE and a DELETE) lands
+    * directly on main, `CALL graft.rollback(t, v_good)` reinstates the
+    * pre-batch snapshot as the new head in ONE zero-copy publish
+    * (RollbackSpec pins bucket identity, the CDC inverse deltas, the
+    * layout-epoch bump across a rebucket, and the not-retained
+    * refusal), and ordinary DML continues on the restored head. The
+    * bad versions stay retained — history is append-only, so the
+    * incident remains auditable and CDC-diffable. At 100 TB this is
+    * the difference between un-landing a bad day in O(manifest) and
+    * re-ingesting the table.
+    */
+  def rollbackQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"cust_rb@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "c_custkey", 8)
+    val good = BucketStore.currentVersion(name)
+    val rowsBefore = spark.table(s"graft.`$name`").count()
+    // the bad batch: a corrupting UPDATE and an over-broad DELETE
+    spark.sql(s"UPDATE graft.`$name` SET c_acctbal = 0 WHERE c_custkey % 2 = 0")
+    spark.sql(s"DELETE FROM graft.`$name` WHERE c_mktsegment = 'BUILDING'")
+    require(spark.table(s"graft.`$name`").count() < rowsBefore, "the bad batch must land")
+    spark.sql(s"CALL graft.rollback('$name', $good)")
+    require(spark.table(s"graft.`$name`").count() == rowsBefore,
+      "rollback must reinstate the pre-batch row set")
+    // life goes on: ordinary DML against the restored head
+    spark.sql(s"UPDATE graft.`$name` SET c_acctbal = c_acctbal + 50 WHERE c_custkey = 10")
+    spark.table(s"graft.`$name`")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+  }
+
+  val rollbackSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal + CASE WHEN c_custkey = 10 THEN 50 ELSE 0 END
+      |            AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  /** q252 — BRANCH REBASE closing the WAP loop: main commits while the
+    * audit batch sits on the branch, publish refuses (it would discard
+    * main's commit), and `CALL graft.rebase_branch` replays the branch
+    * for FREE — the rebased head is main's current blocks with the
+    * branch's changed buckets swapped in (one zero-copy publish,
+    * disjoint buckets proven by the same `bucketUnchanged` identity
+    * probe the conflict detector uses), the fork point advances, and
+    * the publish then fast-forwards. Overlapping buckets stay a loud
+    * conflict (WapBranchSpec pins both paths and the identity claims).
+    * At 100 TB this is what keeps a long-running audit from blocking
+    * the table: daily commits land on main, the staged batch rebases
+    * in O(buckets) identity probes, nothing replays.
+    */
+  def branchRebaseQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"part_rbs@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice")),
+      "p_partkey", 8)
+    def bkt(k: Long) = BucketFunction.bucketFor(k, 8).get
+    require(bkt(1L) != bkt(2L), "routing drift: keys 1 and 2 must land in different buckets")
+
+    spark.sql(s"CALL graft.branch('$name', 'fix')")
+    spark.sql(s"UPDATE graft.`$name#fix` SET p_retailprice = p_retailprice + 10 " +
+      "WHERE p_partkey = 1")
+    spark.sql(s"DELETE FROM graft.`$name` WHERE p_partkey = 2") // main moves, disjoint
+    val conflicted =
+      try { spark.sql(s"CALL graft.publish_branch('$name', 'fix')"); false }
+      catch {
+        case e: Throwable =>
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .exists(_.isInstanceOf[BucketStore.ConcurrentWriteException])
+      }
+    require(conflicted, "publish after main moved must refuse before the rebase")
+    spark.sql(s"CALL graft.rebase_branch('$name', 'fix')")
+    spark.sql(s"CALL graft.publish_branch('$name', 'fix')") // now fast-forwards
+    require(BucketStore.branchesOf(name).isEmpty, "publish must retire the branch")
+
+    spark.table(s"graft.`$name`")
+      .filter(col("p_partkey") <= 12)
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice").cast("double").as("price"))
+  }
+
+  val branchRebaseSql: String =
+    """SELECT p_partkey, p_brand,
+      |  CAST(p_retailprice + CASE WHEN p_partkey = 1 THEN 10 ELSE 0 END AS DOUBLE) AS price
+      |FROM part WHERE p_partkey <= 12 AND p_partkey <> 2""".stripMargin
+
+  /** q253 — the REPRODUCIBLE TRAINING RECIPE, the data-versioning
+    * capstone an LLM team actually needs from a lakehouse: "the exact
+    * data of run X" is (pinned store version, deterministic sampler,
+    * packing spec) — all three already engine primitives (MVCC
+    * `VERSION AS OF`, the Lehmer sample window with its plain-SQL
+    * replica, q77's one-window sequence packing). The gate pins the
+    * corpus version, lets ingest CONTINUE (a real append lands
+    * mid-flight), and self-audits that re-materializing the recipe
+    * before and after the append is row-identical (`exceptAll` both
+    * ways) — training data that cannot drift under a live corpus. At
+    * 100 TB nothing is copied: the recipe is a manifest pointer + two
+    * row-local predicates + one window, re-derivable years later while
+    * the version stays retained.
+    */
+  def trainingRecipeQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"docs_recipe@$dir"
+    BucketStore.drop(name)
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    BucketStore.load(spark, name, docs.filter(col("doc_id") % 3 =!= 0), "doc_id", NumBuckets)
+    val runV = BucketStore.currentVersion(name)
+
+    def recipe(): DataFrame = {
+      val pinned = spark.read.format("graft-buckets")
+        .option("table", name).option("versionasof", runV.toString).load()
+      val lehmer =
+        expr("(((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647")
+      val sampled = pinned.filter(lehmer >= lit(0L) && lehmer < lit(0.5 * 2147483647))
+      graft.operators.Pipelines.sequencePack(sampled, "doc_id", "source", "text", 2048)
+    }
+
+    val before = recipe().cache()
+    require(before.count() > 0, "the pinned recipe must select rows")
+    // ingest continues — the recipe must not move
+    docs.filter(col("doc_id") % 3 === 0).writeTo(s"graft.`$name`").append()
+    val after = recipe()
+    require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "the recipe re-materialized differently after an append — data drifted")
+    before.unpersist()
+    after
+  }
+
+  val trainingRecipeSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  WHERE doc_id % 3 <> 0
+      |    AND (((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647 >= 0
+      |    AND (((doc_id % 2147483647) * 48271) % 2147483647 * 48271) % 2147483647
+      |        < 0.5 * 2147483647
+      |)
+      |SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |             OVER (PARTITION BY source ORDER BY doc_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    // 2048 AS BIGINT) AS pack_id
+      |FROM corpus""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

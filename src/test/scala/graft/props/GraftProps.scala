@@ -404,23 +404,33 @@ object GraftProps extends Properties("graft") {
     org.apache.spark.sql.types.StructField("k",
       org.apache.spark.sql.types.LongType, nullable = true),
     org.apache.spark.sql.types.StructField("s",
-      org.apache.spark.sql.types.StringType, nullable = true)))
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("d",
+      org.apache.spark.sql.types.DateType, nullable = true)))
+
+  private def dayOf(i: Int): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
 
   private val genSkipRow: Gen[org.apache.spark.sql.Row] = for {
     k <- Gen.oneOf(Gen.const(null), Gen.choose(-20L, 20L).map(Long.box))
     s <- Gen.oneOf(Gen.const(null), Gen.oneOf("a", "b", "cc", "dd", ""))
-  } yield org.apache.spark.sql.Row(k, s)
+    d <- Gen.oneOf(Gen.const(null), Gen.choose(0, 30).map(dayOf))
+  } yield org.apache.spark.sql.Row(k, s, d)
 
   private val genSkipFilter: Gen[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
     val v = Gen.choose(-25L, 25L)
     val sv = Gen.oneOf("a", "b", "cc", "dd", "", "zz")
+    val dv = Gen.choose(-3, 33).map(dayOf)
     Gen.oneOf[Filter](
       v.map(EqualTo("k", _)), sv.map(EqualTo("s", _)),
       v.map(GreaterThan("k", _)), v.map(LessThanOrEqual("k", _)),
+      dv.map(EqualTo("d", _)), dv.map(LessThan("d", _)),
+      dv.map(GreaterThanOrEqual("d", _)), Gen.const(IsNotNull("d")),
       Gen.const(IsNull("k")), Gen.const(IsNotNull("s")),
       Gen.listOfN(3, v).map(vs => In("k", vs.toArray.map(_.asInstanceOf[Any]))),
       Gen.zip(v, sv).map { case (a, b) => And(GreaterThan("k", a), EqualTo("s", b)) },
+      Gen.zip(dv, v).map { case (a, b) => And(LessThan("d", a), GreaterThan("k", b)) },
       Gen.zip(v, v).map { case (a, b) => Or(LessThanOrEqual("k", a), EqualTo("k", b)) })
   }
 

@@ -106,6 +106,45 @@ class WapBranchSpec extends SparkSuite {
     assert(branchManifests === 0, "drop_branch must GC the branch's manifests")
   }
 
+  test("rebase: disjoint main commits replay for free; overlapping buckets stay a conflict") {
+    mk("wap_rbs")
+    spark.sql("CALL graft.branch('wap_rbs', 's')")
+    // branch edits k=1 (one bucket); main deletes k=2 (a different one)
+    spark.sql("UPDATE graft.`wap_rbs#s` SET grp = 42 WHERE k = 1")
+    spark.sql("DELETE FROM graft.`wap_rbs` WHERE k = 2")
+    val mainHead = BucketStore.get("wap_rbs")
+    val bhead = BucketStore.get("wap_rbs#s")
+    spark.sql("CALL graft.rebase_branch('wap_rbs', 's')")
+    val rebased = BucketStore.get("wap_rbs#s")
+    // identity: every bucket of the rebased head is SHARED with one of
+    // its two parents — main's current blocks or the branch's edits
+    rebased.buckets.indices.foreach(b => assert(
+      rebased.buckets.sharesWith(mainHead.buckets, b) ||
+        rebased.buckets.sharesWith(bhead.buckets, b),
+      s"rebased bucket $b is a copy, not a swap"))
+    // content: both sides' effects visible on the branch
+    assert(scan("wap_rbs#s").filter(col("k") === 1L).head.getInt(2) === 42)
+    assert(scan("wap_rbs#s").filter(col("k") === 2L).count() === 0L)
+    // and the publish now fast-forwards
+    spark.sql("CALL graft.publish_branch('wap_rbs', 's')")
+    assert(scan("wap_rbs").filter(col("k") === 1L).head.getInt(2) === 42)
+    assert(scan("wap_rbs").count() === 799L)
+
+    // overlap: both sides touch the SAME bucket → loud conflict
+    spark.sql("CALL graft.branch('wap_rbs', 't')")
+    spark.sql("UPDATE graft.`wap_rbs#t` SET grp = 43 WHERE k = 3")
+    spark.sql("DELETE FROM graft.`wap_rbs` WHERE k = 7") // same bucket as k=3
+    val e = intercept[Throwable] { spark.sql("CALL graft.rebase_branch('wap_rbs', 't')") }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .exists(_.isInstanceOf[BucketStore.ConcurrentWriteException]), s"got $e")
+    spark.sql("CALL graft.drop_branch('wap_rbs', 't')")
+  }
+
+  test("q252 gate self-audit holds at sf0.001 (rebase then publish end-to-end)") {
+    val df = graft.sources.bucketed.BucketedQueries.branchRebaseQuery(spark, sf)
+    assert(df.count() > 0)
+  }
+
   test("q250 gate self-audit holds at sf0.001 (WAP curation end-to-end)") {
     val df = graft.sources.bucketed.BucketedQueries.wapCurationQuery(spark, sf)
     assert(df.count() > 0)
