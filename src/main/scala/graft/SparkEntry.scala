@@ -509,6 +509,7 @@ object SparkEntry {
     "q251_rollback" -> graft.sources.bucketed.BucketedQueries.rollbackQuery _,
     "q252_branch_rebase" -> graft.sources.bucketed.BucketedQueries.branchRebaseQuery _,
     "q253_training_recipe" -> graft.sources.bucketed.BucketedQueries.trainingRecipeQuery _,
+    "q254_stats_only_agg" -> graft.sources.bucketed.BucketedQueries.statsOnlyAggQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -924,6 +925,7 @@ object SparkEntry {
     "q251_rollback" -> graft.sources.bucketed.BucketedQueries.rollbackSql,
     "q252_branch_rebase" -> graft.sources.bucketed.BucketedQueries.branchRebaseSql,
     "q253_training_recipe" -> graft.sources.bucketed.BucketedQueries.trainingRecipeSql,
+    "q254_stats_only_agg" -> graft.sources.bucketed.BucketedQueries.statsOnlyAggSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

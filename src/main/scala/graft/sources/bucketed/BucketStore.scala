@@ -442,6 +442,19 @@ object BucketStore {
     */
   private val statColumns = new ConcurrentHashMap[String, Set[String]]()
 
+  /** Re-write the CURRENT version's manifest with the table's
+    * now-registered statistics (same snapshot, richer commit
+    * metadata) — called by `CALL graft.analyze` so stats registered
+    * AFTER the last publish still survive a restart. Atomic
+    * (temp + replace move); a no-op for heap-only tables.
+    */
+  def refreshManifestStats(name: String): Unit = synchronized {
+    if (isFileBacked(name)) {
+      val hist = history(name)
+      spillAndManifest(name, hist.last, hist.dropRight(1).lastOption)
+    }
+  }
+
   def registerStatColumns(name: String, cols: Iterable[String]): Unit =
     if (cols.nonEmpty) {
       statColumns.merge(name, cols.toSet, (a, b) => a ++ b)

@@ -526,6 +526,11 @@ object BucketedProcedures {
         InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(c),
           t.buckets.length, skippable)
       }.toArray
+      // durability: fold the freshly built statistics into the CURRENT
+      // version's manifest (same snapshot, richer commit metadata) so
+      // a restarted JVM prunes and stats-serves without block reads —
+      // otherwise only the NEXT publish would carry them
+      BucketStore.refreshManifestStats(table)
       localScan(
         StructType(Seq(
           StructField("column", StringType, nullable = false),

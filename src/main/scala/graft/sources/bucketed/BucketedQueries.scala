@@ -1841,6 +1841,55 @@ object BucketedQueries {
       |    // 2048 AS BIGINT) AS pack_id
       |FROM corpus""".stripMargin
 
+  /** q254 — STATS-ONLY AGGREGATE: unfiltered global COUNT/COUNT(c)/
+    * MIN/MAX are answered from commit-time zone maps without opening a
+    * single bucket ([[BucketedAggPartitionReader]] statsServed path) —
+    * the gate loads lineitem, analyzes the columns, UNLOADS and
+    * REOPENS the table (every block evicted, stats served from the
+    * manifest), runs the aggregate through the SQL pushdown path, and
+    * self-audits that every partial was stats-served and ZERO blocks
+    * loaded. At 100 TB this is `SELECT min(ts), max(ts), count(*)`
+    * on a cold table answered in O(manifest) — the Iceberg stats-only
+    * query, with bit-identical answers to the row scan (stats are
+    * built in scan order under the same comparator, so ties resolve
+    * identically).
+    */
+  def statsOnlyAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_stats@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "l_orderkey", NumBuckets)
+    spark.sql(s"CALL graft.analyze('$name', 'l_orderkey,l_quantity,l_extendedprice')")
+    // restart: the reopened table is fully evicted; stats come from
+    // the manifest alone
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    val before = BucketedAggPartitionReader.statsServedCount.get()
+    val rows = spark.sql(
+      s"""SELECT count(*) AS n_star, count(l_quantity) AS n_qty,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         |  max(l_orderkey) AS max_key
+         |FROM graft.`$name`""".stripMargin).collect()
+    val served = BucketedAggPartitionReader.statsServedCount.get() - before
+    require(served == NumBuckets.toLong,
+      s"every partial must be stats-served ($served of $NumBuckets were)")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a stats-only aggregate must not load a single block")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      rows.head.schema)
+  }
+
+  val statsOnlyAggSql: String =
+    """SELECT count(*) AS n_star, count(l_quantity) AS n_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |  max(l_orderkey) AS max_key
+      |FROM lineitem""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

@@ -1031,7 +1031,70 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
 
   private var conn: HostConnection = _
 
-  private val out: Iterator[Row] = {
+  /** STATISTICS-SERVED aggregate (the Iceberg stats-only query): an
+    * unfiltered, ungrouped COUNT/COUNT(c)/MIN/MAX partial over a clean
+    * (no merge-on-read state) bucket is answered from the SAME
+    * commit-time zone maps pruning consults — manifest row counts,
+    * per-part null counts, min/max under [[FilterEval.cmp]] — without
+    * opening the bucket at all. On a reopened 100 TB table,
+    * `SELECT min(ts), max(ts), count(*) FROM t` touches ZERO blocks
+    * (spec-pinned via [[BucketedAggPartitionReader.statsServedCount]]
+    * + `loadedCount`). Stats are built by the same row order a scan
+    * would visit, so ties (equal values, −0.0 vs 0.0) resolve
+    * identically to the row path — the fast path can never change an
+    * answer, only skip the I/O. Any filter, grouping, SUM, pending MoR
+    * state, or a column without statistics falls back to the row scan.
+    */
+  private val statsServed: Option[Array[Any]] =
+    if (filters.nonEmpty || spec.groupCols.nonEmpty || p.prunedEmpty ||
+      table.mor.contains(p.bucket)) None
+    else {
+      val slots = new Array[Any](spec.aggs.length)
+      def parts(c: String) = BucketStore.skipStatParts(table, p.bucket, c)
+      val ok = spec.aggs.zipWithIndex.forall { case (a, i) =>
+        a match {
+          case PCountStar =>
+            slots(i) = table.buckets.rowCount(p.bucket).toLong
+            true
+          case PCount(c) => parts(c) match {
+            case Some(ps) => slots(i) = ps.map(_.nonNullCount.toLong).sum; true
+            case None => false
+          }
+          case PMin(c) => parts(c) match {
+            case Some(ps) =>
+              val vs = ps.flatMap(s => Option(s.min))
+              slots(i) =
+                if (vs.isEmpty) null
+                else vs.reduce((x, y) => if (FilterEval.cmp(x, y) <= 0) x else y)
+              true
+            case None => false
+          }
+          case PMax(c) => parts(c) match {
+            case Some(ps) =>
+              val vs = ps.flatMap(s => Option(s.max))
+              slots(i) =
+                if (vs.isEmpty) null
+                else vs.reduce((x, y) => if (FilterEval.cmp(x, y) >= 0) x else y)
+              true
+            case None => false
+          }
+          case PSum(_) => false // a sum needs every value
+        }
+      }
+      if (ok) {
+        BucketedAggPartitionReader.statsServedCount.incrementAndGet(): Unit
+        Some(slots)
+      } else None
+    }
+
+  private val out: Iterator[Row] = statsServed match {
+    case Some(slots) =>
+      // answered from commit metadata — the bucket is never opened
+      Iterator.single(Row.fromSeq(slots.toIndexedSeq))
+    case None => rowScanAggregate()
+  }
+
+  private def rowScanAggregate(): Iterator[Row] = {
     val range = ClusterSlice.from(filters, BucketStore.lexClusterColsOf(table.clusterCol))
     val (c, paged) =
       if (p.prunedEmpty) // planner proved no row matches: emit the
@@ -1115,6 +1178,13 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
 
   override def get(): InternalRow = current
   override def close(): Unit = if (conn != null) { ConnectionPool.release(conn); conn = null }
+}
+
+object BucketedAggPartitionReader {
+  /** Partials answered entirely from commit-time statistics (no bucket
+    * opened) — the spec hook for the stats-only aggregate fast path.
+    */
+  val statsServedCount = new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** Conservative bucket pruning from pushed filters.

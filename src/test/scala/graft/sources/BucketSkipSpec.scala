@@ -36,6 +36,49 @@ class BucketSkipSpec extends SparkSuite {
     assert(all.count() === 800L)
   }
 
+  test("stats-only aggregate: unfiltered count/min/max open no bucket and move no connection") {
+    import graft.sources.bucketed.{BucketedAggPartitionReader, BucketedCatalog}
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 3000).map(i =>
+      (i.toLong, i * 1.5, if (i % 10 == 0) null else java.lang.Double.valueOf(i * 2.0)))
+      .toDF("k", "price", "opt")
+    BucketStore.drop("skip_agg")
+    BucketStore.load(spark, "skip_agg", df, "k", 8)
+    spark.sql("CALL graft.analyze('skip_agg', 'k,price,opt')")
+    val dir = BucketStore.unload("skip_agg").get
+    BucketStore.openFromDisk("skip_agg", dir)
+    ConnectionPool.reset()
+    val before = BucketedAggPartitionReader.statsServedCount.get()
+    val r = spark.sql(
+      "SELECT count(*), count(opt), min(price), max(price), min(k), max(opt) " +
+        "FROM graft.`skip_agg`").head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+      r.getDouble(5)) === ((3000L, 2700L, 1.5, 4500.0, 1L, 5998.0)))
+    assert(BucketedAggPartitionReader.statsServedCount.get() - before === 8L,
+      "every bucket's partial must come from statistics")
+    assert(BucketStore.get("skip_agg").buckets.loadedCount === 0,
+      "no block may load for a stats-only aggregate")
+    val (created, reused) = ConnectionPool.stats
+    assert(created + reused === 0, "no connection may open for a stats-only aggregate")
+    // a FILTERED aggregate must fall back to rows — and still be exact
+    val before2 = BucketedAggPartitionReader.statsServedCount.get()
+    val f = spark.sql("SELECT count(*), max(price) FROM graft.`skip_agg` WHERE k <= 100").head
+    assert((f.getLong(0), f.getDouble(1)) === ((100L, 150.0)))
+    assert(BucketedAggPartitionReader.statsServedCount.get() === before2,
+      "a filtered aggregate must not take the stats path")
+    // pending MoR state hides rows the stats still count: fall back
+    BucketStore.setDmlMode("skip_agg", BucketStore.MergeOnRead)
+    spark.sql("DELETE FROM graft.`skip_agg` WHERE k = 1")
+    val m = spark.sql("SELECT count(*), min(k) FROM graft.`skip_agg`").head
+    assert((m.getLong(0), m.getLong(1)) === ((2999L, 2L)),
+      "MoR-hidden rows must not leak through the stats path")
+  }
+
+  test("q254 gate self-audit holds at sf0.001 (stats-only aggregate end-to-end)") {
+    val df = graft.sources.bucketed.BucketedQueries.statsOnlyAggQuery(spark, sf)
+    assert(df.count() === 1L)
+  }
+
   test("zone maps: out-of-range, null-free, and impossible-IN predicates plan zero buckets") {
     val df = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "price")
     BucketStore.drop("skip_zone")

@@ -238,9 +238,11 @@ class BucketedSourceSpec extends SparkSuite {
     BucketStore.load(spark, "limit_t", df, "id", 4)
     def scan = spark.read.format("graft-buckets")
       .option("table", "limit_t").option("fetchsize", "2").load()
-    // full drain for the page baseline
+    // full drain for the page baseline — collect(), NOT count():
+    // count() plans a pushed COUNT(*) that the stats-only fast path
+    // (q254) now answers with ZERO pages
     val before = HostConnection.roundTripCount.get()
-    assert(scan.count() === 100)
+    assert(scan.collect().length === 100)
     val fullPages = HostConnection.roundTripCount.get() - before
     assert(fullPages >= 50, s"baseline: 100 rows / fetchsize 2 → ≥50 pages, got $fullPages")
     val q = scan.limit(5)
