@@ -510,6 +510,7 @@ object SparkEntry {
     "q252_branch_rebase" -> graft.sources.bucketed.BucketedQueries.branchRebaseQuery _,
     "q253_training_recipe" -> graft.sources.bucketed.BucketedQueries.trainingRecipeQuery _,
     "q254_stats_only_agg" -> graft.sources.bucketed.BucketedQueries.statsOnlyAggQuery _,
+    "q255_idempotent_append" -> graft.sources.bucketed.BucketedQueries.idempotentAppendQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -926,6 +927,7 @@ object SparkEntry {
     "q252_branch_rebase" -> graft.sources.bucketed.BucketedQueries.branchRebaseSql,
     "q253_training_recipe" -> graft.sources.bucketed.BucketedQueries.trainingRecipeSql,
     "q254_stats_only_agg" -> graft.sources.bucketed.BucketedQueries.statsOnlyAggSql,
+    "q255_idempotent_append" -> graft.sources.bucketed.BucketedQueries.idempotentAppendSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -322,7 +322,7 @@ object BucketStore {
       FileStore.writeManifest(dir, name, stamped, morFiles, rbFile,
         Option(firstVersions.get(name)).map(_.toLong).getOrElse(stamped.version),
         FileStore.TableConfig(dmlModeOf(name), checkOf(name), tagsOf(name),
-          statColumnsOf(name)), stats)
+          statColumnsOf(name), txnsOf(name)), stats)
     } catch {
       case scala.util.control.NonFatal(e) =>
         if (sys.props.contains("graft.debug.spill")) e.printStackTrace()
@@ -388,6 +388,7 @@ object BucketStore {
     dmlModes.put(name, cfg.dmlMode)
     cfg.check.foreach(checks.put(name, _))
     if (cfg.tags.nonEmpty) tags.put(name, cfg.tags)
+    if (cfg.txns.nonEmpty) appliedTxns.put(name, cfg.txns)
     registerStatColumns(name, cfg.statColumns)
     // keep the global counters monotone past everything reopened, so a
     // fresh publish can never collide with a restored version/stamp
@@ -441,6 +442,40 @@ object BucketStore {
     * changed buckets' stats warm and planning never pays a stat pass.
     */
   private val statColumns = new ConcurrentHashMap[String, Set[String]]()
+
+  // ——— IDEMPOTENT WRITES (txnappid/txnversion write options) ———
+  //
+  // The Delta txn contract: a batch job tags its write with an
+  // application id and a monotone version; a RETRY of an
+  // already-committed batch re-submits the same pair and the commit
+  // SKIPS instead of double-appending. The high-water mark per
+  // (table, appId) rides every manifest ([[FileStore.TableConfig]]),
+  // so the dedupe survives a restart — exactly-once ingest without a
+  // coordinator. The streaming sink reuses the same mechanism with
+  // the EPOCH as the version, making micro-batch replay across a
+  // query restart idempotent too.
+
+  private val appliedTxns = new ConcurrentHashMap[String, Map[String, Long]]()
+
+  /** High-water txn version applied to `name` by `appId` (specs/ops). */
+  def txnVersionOf(name: String, appId: String): Option[Long] =
+    Option(appliedTxns.get(name)).flatMap(_.get(appId))
+
+  private[bucketed] def txnsOf(name: String): Map[String, Long] =
+    appliedTxns.getOrDefault(name, Map.empty)
+
+  private def txnAlreadyApplied(name: String, txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (a, v) => txnVersionOf(name, a).exists(_ >= v) }
+
+  private def recordTxnsFrom(name: String, marks: Map[String, Long]): Unit =
+    marks.foreach { case (a, v) => recordTxn(name, Some((a, v))) }
+
+  private def recordTxn(name: String, txn: Option[(String, Long)]): Unit =
+    txn.foreach { case (a, v) =>
+      appliedTxns.merge(name, Map(a -> v), (old, nw) =>
+        old ++ nw.map { case (k, x) => k -> math.max(x, old.getOrElse(k, Long.MinValue)) })
+      ()
+    }
 
   /** Re-write the CURRENT version's manifest with the table's
     * now-registered statistics (same snapshot, richer commit
@@ -778,6 +813,7 @@ object BucketStore {
     if (heapOnly.contains(base)) heapOnly.add(bname)
     dmlModes.put(bname, dmlModeOf(base))
     checkOf(base).foreach(c => checks.put(bname, c))
+    if (txnsOf(base).nonEmpty) appliedTxns.put(bname, txnsOf(base))
     // the fork point rides the branch's manifests as a reserved tag,
     // so fast-forward validation survives a restart (openFromDisk
     // restores tags); set BEFORE the fork publish so the very first
@@ -811,6 +847,8 @@ object BucketStore {
       throw new ConcurrentWriteException(
         s"cannot fast-forward '$base' to branch '$branch': main moved since the fork " +
           s"(v$fork → v${mainHead.version}) — branch from the current head and replay")
+    // txn marks recorded on the branch travel with its batches
+    recordTxnsFrom(base, txnsOf(bname))
     val published = get(bname).copy(version = versions.incrementAndGet())
     publish(base, published)
     dropBranch(base, branch)
@@ -887,6 +925,7 @@ object BucketStore {
     checks.remove(bname)
     tags.remove(bname)
     heapOnly.remove(bname)
+    appliedTxns.remove(bname)
     val dir = Option(tableDirs.remove(bname))
     val existed = tables.remove(bname) != null
     if (existed) dir.foreach(d => FileStore.gc(d, retainedVersionsSharing(d)): Unit)
@@ -1596,7 +1635,8 @@ object BucketStore {
     * whole table every epoch regardless of churn).
     */
   def upsertRows(name: String, byBucket: Array[Array[Row]],
-      expectedLayoutEpoch: Long): Unit = synchronized {
+      expectedLayoutEpoch: Long, txn: Option[(String, Long)] = None): Unit = synchronized {
+    if (txnAlreadyApplied(name, txn)) return
     val t0 = get(name)
     require(byBucket.length == t0.buckets.length,
       s"upsert into '$name': got ${byBucket.length} buckets, table has ${t0.buckets.length}")
@@ -1626,6 +1666,7 @@ object BucketStore {
           old.filterNot(r => newKeys.contains(r.get(keyIdx))), deduped, t.zBounds)
       }
     }
+    recordTxn(name, txn)
     publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(),
       mor = t.mor.filter { case (b, _) => byBucket(b).isEmpty }))
   }
@@ -1686,6 +1727,7 @@ object BucketStore {
         checks.remove(bname)
         tags.remove(bname)
         heapOnly.remove(bname)
+        appliedTxns.remove(bname)
         tableDirs.remove(bname)
         tables.remove(bname)
       }
@@ -1695,6 +1737,7 @@ object BucketStore {
       checks.remove(name)
       tags.remove(name)
       heapOnly.remove(name)
+      appliedTxns.remove(name)
       Option(tableDirs.remove(name)).foreach(FileStore.dropDir)
       tables.remove(name) != null
     }
@@ -1712,6 +1755,7 @@ object BucketStore {
     checks.remove(name)
     tags.remove(name)
     heapOnly.remove(name)
+    appliedTxns.remove(name)
     tables.remove(name)
     Option(tableDirs.remove(name))
   }
@@ -1726,8 +1770,11 @@ object BucketStore {
     * cheap).
     */
   def commitWrite(name: String, byBucket: Array[Array[Row]], truncate: Boolean,
-      expectedLayoutEpoch: Long): Unit =
+      expectedLayoutEpoch: Long, txn: Option[(String, Long)] = None): Unit =
     synchronized {
+      // idempotent replay (txnappid/txnversion): an already-applied
+      // batch commits NOTHING — the retry contract
+      if (txnAlreadyApplied(name, txn)) return
       val t0 = get(name)
       require(byBucket.length == t0.buckets.length,
         s"write planned ${byBucket.length} buckets but '$name' has ${t0.buckets.length}")
@@ -1747,6 +1794,9 @@ object BucketStore {
       val mor =
         if (truncate) Map.empty[Int, BucketMor]
         else t.mor.filter { case (b, _) => byBucket(b).isEmpty }
+      // record BEFORE the publish so the version's own manifest carries
+      // the high-water mark (same-commit durability)
+      recordTxn(name, txn)
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(), mor = mor))
     }
 

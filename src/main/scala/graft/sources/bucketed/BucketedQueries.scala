@@ -1890,6 +1890,55 @@ object BucketedQueries {
       |  max(l_orderkey) AS max_key
       |FROM lineitem""".stripMargin
 
+  /** q255 — IDEMPOTENT BATCH APPENDS (the Delta txn contract): a
+    * write tagged `txnappid`/`txnversion` records its high-water mark
+    * in the commit — and in every manifest, so it survives a restart —
+    * and a RETRY of an already-committed batch publishes NOTHING. The
+    * gate ingests two batches under app id 'ingest', re-submits batch
+    * 1 verbatim (the failed-driver retry) and an older version number,
+    * and requires both replays left no new version and no new rows;
+    * IdempotentWriteSpec pins restart durability, per-app independence,
+    * the upsert and STREAMING variants (epoch = version: re-running a
+    * whole query over the same source dedupes), and the loud option
+    * errors. At 100 TB this is what makes ingest retry-safe without an
+    * external coordinator: the job just runs again.
+    */
+  def idempotentAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"ord_txn@$dir"
+    BucketStore.drop(name)
+    val orders = graft.tables.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    BucketStore.load(spark, name, orders.filter(col("o_orderkey") % 2 === 0),
+      "o_orderkey", NumBuckets)
+    def append(batch: DataFrame, v: Long): Unit =
+      batch.writeTo(s"graft.`$name`")
+        .option("txnappid", "ingest").option("txnversion", v.toString).append()
+    val b1 = orders.filter(col("o_orderkey") % 4 === 1)
+    val b2 = orders.filter(col("o_orderkey") % 4 === 3)
+    append(b1, 1L)
+    val vAfter = BucketStore.currentVersion(name)
+    val nAfter = spark.table(s"graft.`$name`").count()
+    append(b1, 1L) // the failed-driver retry: MUST be a no-op
+    append(b1, 0L) // a stale lower version: also a no-op
+    require(BucketStore.currentVersion(name) == vAfter &&
+      spark.table(s"graft.`$name`").count() == nAfter,
+      "a replayed txn batch must publish nothing")
+    append(b2, 2L) // the next batch applies normally
+    spark.table(s"graft.`$name`")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+  }
+
+  val idempotentAppendSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

@@ -84,7 +84,10 @@ final case class ConnectorOptions(table: String, fetchSize: Int, numPartitions: 
 
 object ConnectorOptions {
   val Known: Set[String] = Set("table", "fetchsize", "numpartitions", "versionasof", "mode",
-    "changesstart", "changesend", "upsert", "timestampasof", "columnar")
+    "changesstart", "changesend", "upsert", "timestampasof", "columnar",
+    // write-side idempotence (read paths ignore them): see
+    // BucketedWriteBuilder.txn
+    "txnappid", "txnversion")
   val Defaults: ConnectorOptions = ConnectorOptions("", fetchSize = 1000, numPartitions = None)
 
   def parse(options: JMap[String, String]): ConnectorOptions = {

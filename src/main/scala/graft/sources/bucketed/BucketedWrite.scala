@@ -42,6 +42,28 @@ class BucketedWriteBuilder(name: String, info: LogicalWriteInfo)
 
   protected def upsert: Boolean = false
 
+  /** Idempotent-write options (the Delta txn contract): `txnappid` +
+    * `txnversion` tag a BATCH write so a retry of an already-committed
+    * batch is a no-op; `txnappid` alone tags a STREAMING write, whose
+    * version is the epoch ([[BucketedStreamingWrite]]) — micro-batch
+    * replay across a query restart then dedupes durably. Version −1 =
+    * "epoch-versioned"; the batch path rejects it loudly.
+    */
+  protected def txn: Option[(String, Long)] = {
+    val app = Option(info.options().get("txnappid")).filter(_.nonEmpty)
+    val ver = Option(info.options().get("txnversion"))
+    (app, ver) match {
+      case (Some(a), Some(v)) =>
+        val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"graft-buckets: option 'txnversion' must be an integer, got '$v'"))
+        Some((a, n))
+      case (Some(a), None) => Some((a, -1L)) // streaming: epoch is the version
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        "graft-buckets: option 'txnversion' requires 'txnappid'")
+      case (None, None) => None
+    }
+  }
+
   override def build(): Write = {
     val t = BucketStore.getWithRetry(name)
     val in = info.schema()
@@ -57,7 +79,7 @@ class BucketedWriteBuilder(name: String, info: LogicalWriteInfo)
     // and commit fails loudly instead of silently mis-routing rows
     // (same-count changes are invisible to the bucket-count check)
     new BucketedWrite(name, want, doTruncate, t.keyCol, t.buckets.length, upsert,
-      t.rangeBounds, t.layoutEpoch, BucketStore.checkOf(name), t.hrw)
+      t.rangeBounds, t.layoutEpoch, BucketStore.checkOf(name), t.hrw, txn)
   }
 }
 
@@ -79,7 +101,8 @@ class BucketedUpsertWriteBuilder(name: String, info: LogicalWriteInfo)
 class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
     rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
-    checkExpr: Option[String] = None, hrw: Boolean = false)
+    checkExpr: Option[String] = None, hrw: Boolean = false,
+    txn: Option[(String, Long)] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   /** Hash tables cluster on the bucket transform (each task writes
@@ -111,13 +134,16 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
-  override def toBatch: BatchWrite =
+  override def toBatch: BatchWrite = {
+    txn.foreach { case (a, v) => require(v >= 0,
+      s"graft-buckets: a batch write with txnappid '$a' needs an explicit txnversion") }
     new BucketedBatchWrite(name, schema, truncate, keyCol, numBuckets, upsert,
-      rangeBounds, layoutEpoch, checkExpr, hrw)
+      rangeBounds, layoutEpoch, checkExpr, hrw, txn)
+  }
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new BucketedStreamingWrite(name, schema, truncate, keyCol, numBuckets, upsert,
-      rangeBounds, layoutEpoch, checkExpr, hrw)
+      rangeBounds, layoutEpoch, checkExpr, hrw, txn.map(_._1))
 
   override def description(): String =
     s"graft-buckets:$name write bucket($numBuckets, $keyCol)" +
@@ -129,14 +155,16 @@ class BucketedWrite(name: String, schema: StructType, truncate: Boolean,
   * a broker): each micro-batch epoch two-phase-commits its rows under
   * ONE new store version — append mode appends, complete/truncate
   * replaces. An epoch re-delivered to THIS write instance (micro-batch
-  * retry) is skipped, so a retried batch cannot double-append; replay
-  * across a query RESTART is the checkpoint's job (a real store would
-  * dedupe on a durable txn id — in-JVM stand-in scope).
+  * retry) is skipped, so a retried batch cannot double-append; with a
+  * `txnappid` write option the (appId, epoch) mark rides the
+  * manifests and replay across a query RESTART dedupes durably too
+  * (q255's idempotent-write machinery).
   */
 class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
     rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
-    checkExpr: Option[String] = None, hrw: Boolean = false)
+    checkExpr: Option[String] = None, hrw: Boolean = false,
+    txnAppId: Option[String] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -150,8 +178,12 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     if (committed.add(epochId)) {
       val byBucket = BucketWriteCommit.merge(messages, numBuckets)
-      if (upsert) BucketStore.upsertRows(name, byBucket, layoutEpoch)
-      else BucketStore.commitWrite(name, byBucket, truncate, layoutEpoch)
+      // with a txnappid the EPOCH is the txn version: replay across a
+      // query RESTART dedupes durably (the manifest carries the mark),
+      // not just within this write instance
+      val t = txnAppId.map(_ -> epochId)
+      if (upsert) BucketStore.upsertRows(name, byBucket, layoutEpoch, t)
+      else BucketStore.commitWrite(name, byBucket, truncate, layoutEpoch, t)
     }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -160,15 +192,16 @@ class BucketedStreamingWrite(name: String, schema: StructType, truncate: Boolean
 class BucketedBatchWrite(name: String, schema: StructType, truncate: Boolean,
     keyCol: String, numBuckets: Int, upsert: Boolean = false,
     rangeBounds: Option[Array[Any]] = None, layoutEpoch: Long = 0L,
-    checkExpr: Option[String] = None, hrw: Boolean = false) extends BatchWrite {
+    checkExpr: Option[String] = None, hrw: Boolean = false,
+    txn: Option[(String, Long)] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new BucketedWriterFactory(schema, keyCol, numBuckets, rangeBounds, name, checkExpr, hrw)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val byBucket = BucketWriteCommit.merge(messages, numBuckets)
-    if (upsert) BucketStore.upsertRows(name, byBucket, layoutEpoch)
-    else BucketStore.commitWrite(name, byBucket, truncate, layoutEpoch)
+    if (upsert) BucketStore.upsertRows(name, byBucket, layoutEpoch, txn)
+    else BucketStore.commitWrite(name, byBucket, truncate, layoutEpoch, txn)
   }
 
   /** Nothing staged outside the messages → abort publishes nothing. */

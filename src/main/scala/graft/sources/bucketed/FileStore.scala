@@ -370,7 +370,8 @@ object FileStore {
       "dmlMode" -> JString(config.dmlMode),
       "check" -> config.check.map(JString).getOrElse(JNull),
       "tags" -> JObject(config.tags.toList.map { case (k, v) => k -> JLong(v) }),
-      "statColumns" -> JArray(config.statColumns.toList.sorted.map(JString)))
+      "statColumns" -> JArray(config.statColumns.toList.sorted.map(JString)),
+      "txns" -> JObject(config.txns.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) }))
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".manifest-v${t.version}.json.tmp")
     Files.write(tmp, JsonMethods.compact(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8))
@@ -379,9 +380,13 @@ object FileStore {
     ()
   }
 
-  /** Table config carried in every manifest (restored at open). */
+  /** Table config carried in every manifest (restored at open).
+    * `txns` is the idempotent-write high-water mark per application id
+    * — what makes a retried batch a restart-durable no-op.
+    */
   final case class TableConfig(dmlMode: String, check: Option[String],
-      tags: Map[String, Long], statColumns: Set[String])
+      tags: Map[String, Long], statColumns: Set[String],
+      txns: Map[String, Long] = Map.empty)
 
   /** One decoded manifest. Deltas load EAGERLY at open (bounded by the
     * auto-compaction policy); base blocks stay lazy.
@@ -471,7 +476,11 @@ object FileStore {
         statColumns = (json \ "statColumns" match {
           case JArray(cs) => cs.map(_.extract[String])
           case _ => Nil
-        }).toSet))
+        }).toSet,
+        txns = json \ "txns" match {
+          case JObject(fs) => fs.map { case (k, v) => k -> v.extract[Long] }.toMap
+          case _ => Map.empty // pre-round-15 manifests
+        }))
   }
 
   /** A range layout's boundary values, persisted as a 1-column parquet
