@@ -266,10 +266,26 @@ object BucketStore {
     * heap-only with a stderr note — never fails the commit.
     */
   private def spillAndManifest(name: String, stamped: BucketTable,
-      prev: Option[BucketTable]): Unit = {
+      prev: Option[BucketTable], replaceCurrent: Boolean = false): Unit = {
     if (!fileBackingEnabled || heapOnly.contains(name)) return
     try {
       val dir = tableDir(name)
+      // CROSS-PROCESS conflict pre-flight (the in-JVM path is already
+      // serialized by the commit monitor): a manifest at or past this
+      // commit's version means another PROCESS committed to this
+      // directory since our state was read. Seed the version counter
+      // past the directory head so the retry allocates a winning
+      // version, and surface the loser on the standard
+      // optimistic-concurrency path. The manifest write itself is the
+      // CAS backstop for the list-then-write window
+      // ([[FileStore.writeManifest]] fails on an existing target).
+      val dirHead = FileStore.maxManifestVersion(dir)
+      if (if (replaceCurrent) dirHead > stamped.version else dirHead >= stamped.version) {
+        versions.updateAndGet(v => math.max(v, dirHead))
+        throw new ConcurrentWriteException(
+          s"commit of '$name' v${stamped.version} lost to a concurrent writer: the " +
+            s"directory already holds manifest v$dirHead — retry against the new head")
+      }
       // changed buckets spill their (independent, immutable) files in
       // parallel — the commit-point analog of concurrent write tasks;
       // a single changed bucket skips the pool round-trip
@@ -322,8 +338,13 @@ object BucketStore {
       FileStore.writeManifest(dir, name, stamped, morFiles, rbFile,
         Option(firstVersions.get(name)).map(_.toLong).getOrElse(stamped.version),
         FileStore.TableConfig(dmlModeOf(name), checkOf(name), tagsOf(name),
-          statColumnsOf(name), txnsOf(name)), stats)
+          statColumnsOf(name), txnsOf(name)), stats, replace = replaceCurrent)
     } catch {
+      // a lost commit race is a RETRYABLE conflict, never a reason to
+      // degrade the table to heap-only — propagate it to the writer
+      case e: ConcurrentWriteException =>
+        versions.updateAndGet(v => math.max(v, FileStore.maxManifestVersion(tableDir(name))))
+        throw e
       case scala.util.control.NonFatal(e) =>
         if (sys.props.contains("graft.debug.spill")) e.printStackTrace()
         heapOnly.add(name)
@@ -390,10 +411,13 @@ object BucketStore {
     if (cfg.tags.nonEmpty) tags.put(name, cfg.tags)
     if (cfg.txns.nonEmpty) appliedTxns.put(name, cfg.txns)
     registerStatColumns(name, cfg.statColumns)
-    // keep the global counters monotone past everything reopened, so a
-    // fresh publish can never collide with a restored version/stamp
-    versions.updateAndGet(v => math.max(v, hist.last.version))
-    lastStamp.updateAndGet(s => math.max(s, hist.last.commitTs))
+    // keep the global counters monotone past EVERY lineage in the
+    // directory, not just the one being reopened: a shared WAP-branch
+    // dir holds higher-versioned branch manifests, and seeding from
+    // the named lineage alone would let the next publish reuse (and
+    // with a replacing write, silently clobber) a branch's version
+    versions.updateAndGet(v => math.max(v, all.iterator.map(_.version).max))
+    lastStamp.updateAndGet(s => math.max(s, all.iterator.map(_.commitTs).max))
     hist.last.version
   }
 
@@ -477,6 +501,28 @@ object BucketStore {
       ()
     }
 
+  /** Record the idempotency mark, then publish — and ROLL THE MARK BACK
+    * if the publish fails. The record-before-manifest order is what
+    * gives same-commit durability (the version's own manifest carries
+    * the high-water mark); but a mark surviving a FAILED publish would
+    * turn the batch's legitimate retry into a silent no-op (data loss),
+    * so failure restores the exact prior marks before rethrowing.
+    */
+  private def recordTxnAndPublish(name: String, txn: Option[(String, Long)],
+      next: BucketTable): Unit = {
+    val before = appliedTxns.get(name) // immutable map (or null): exact restore
+    recordTxn(name, txn)
+    try publish(name, next)
+    catch {
+      case t: Throwable =>
+        if (txn.isDefined) {
+          if (before == null) appliedTxns.remove(name) else appliedTxns.put(name, before)
+          ()
+        }
+        throw t
+    }
+  }
+
   /** Re-write the CURRENT version's manifest with the table's
     * now-registered statistics (same snapshot, richer commit
     * metadata) — called by `CALL graft.analyze` so stats registered
@@ -486,7 +532,7 @@ object BucketStore {
   def refreshManifestStats(name: String): Unit = synchronized {
     if (isFileBacked(name)) {
       val hist = history(name)
-      spillAndManifest(name, hist.last, hist.dropRight(1).lastOption)
+      spillAndManifest(name, hist.last, hist.dropRight(1).lastOption, replaceCurrent = true)
     }
   }
 
@@ -928,7 +974,13 @@ object BucketStore {
     appliedTxns.remove(bname)
     val dir = Option(tableDirs.remove(bname))
     val existed = tables.remove(bname) != null
-    if (existed) dir.foreach(d => FileStore.gc(d, retainedVersionsSharing(d)): Unit)
+    if (existed) dir.foreach { d =>
+      // the branch is being abandoned ON PURPOSE: its manifests must
+      // stop acting as (unloaded-lineage) GC roots before the sweep,
+      // or the batch's files would be protected forever
+      FileStore.deleteManifestsOf(d, bname)
+      FileStore.gc(d, retainedVersionsSharing(d)): Unit
+    }
     existed
   }
 
@@ -968,14 +1020,31 @@ object BucketStore {
 
   /** Versions retained by EVERY lineage sharing `dir` (a base table
     * and its branches) — the GC root set for that directory.
+    *
+    * Lineages NOT loaded in this process count too: after a restart
+    * that reopened only the base, the branch still exists ON DISK, and
+    * its manifests are the only record of which files it needs — so
+    * every on-disk manifest whose lineage name is not currently loaded
+    * is a root. Loaded lineages are governed by their IN-HEAP retained
+    * window (their stale on-disk manifests are exactly what GC exists
+    * to collect); a lineage being dropped on purpose deletes its
+    * manifests first ([[FileStore.deleteManifestsOf]]), which is what
+    * releases its roots.
     */
   private def retainedVersionsSharing(dir: java.nio.file.Path): Set[Long] = {
+    val loaded = scala.collection.mutable.Set[String]()
     val b = Set.newBuilder[Long]
     tableDirs.forEach { (n, d) =>
       if (d == dir) {
         val hist = tables.get(n)
-        if (hist != null) hist.foreach(t => b += t.version)
+        if (hist != null) {
+          loaded += n
+          hist.foreach(t => b += t.version)
+        }
       }
+    }
+    FileStore.manifestIndex(dir).foreach { case (n, v) =>
+      if (!loaded.contains(n)) b += v
     }
     b.result()
   }
@@ -1666,9 +1735,9 @@ object BucketStore {
           old.filterNot(r => newKeys.contains(r.get(keyIdx))), deduped, t.zBounds)
       }
     }
-    recordTxn(name, txn)
-    publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(),
-      mor = t.mor.filter { case (b, _) => byBucket(b).isEmpty }))
+    recordTxnAndPublish(name, txn,
+      t.copy(buckets = rows, version = versions.incrementAndGet(),
+        mor = t.mor.filter { case (b, _) => byBucket(b).isEmpty }))
   }
 
   /** Freeze a z-layout's rank boundaries at its FIRST data commit:
@@ -1795,9 +1864,10 @@ object BucketStore {
         if (truncate) Map.empty[Int, BucketMor]
         else t.mor.filter { case (b, _) => byBucket(b).isEmpty }
       // record BEFORE the publish so the version's own manifest carries
-      // the high-water mark (same-commit durability)
-      recordTxn(name, txn)
-      publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(), mor = mor))
+      // the high-water mark (same-commit durability); rolled back if
+      // the publish fails, so a retry is never a silent no-op
+      recordTxnAndPublish(name, txn,
+        t.copy(buckets = rows, version = versions.incrementAndGet(), mor = mor))
     }
 
   /** Row-level DELETE: drop the rows matching `pred` from every bucket

@@ -1186,6 +1186,15 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
 object BucketedAggPartitionReader {
   /** Partials answered entirely from commit-time statistics (no bucket
     * opened) — the spec hook for the stats-only aggregate fast path.
+    *
+    * SINGLE-AUDITOR assumption (shared with the other observability
+    * hooks: [[BucketStore.lastDeleteOutcome]],
+    * [[BucketStore.onRowLevelScanPinned]], [[FileStore.filesRead]]):
+    * these are GLOBAL counters read as before/after deltas by gates and
+    * specs that run their audited query alone. Concurrent queries in a
+    * parallel session would interleave their increments — acceptable
+    * for observability, NEVER load-bearing for correctness (no query
+    * result depends on any of them).
     */
   val statsServedCount = new java.util.concurrent.atomic.AtomicLong()
 }

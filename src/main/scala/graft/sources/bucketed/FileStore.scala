@@ -328,15 +328,26 @@ object FileStore {
 
   /** Serialize one snapshot (+ the table config that must survive a
     * restart) as `manifest-v{version}.json`, written atomically
-    * (temp + move) so a crashed publish never leaves a torn manifest.
-    * `stats` is the commit's zone-map/sketch metadata per (bucket,
-    * stat column) — what parquet row-group footers carry at 100 TB —
-    * so a reopened table prunes with zero block reads.
+    * (temp + link/move) so a crashed publish never leaves a torn
+    * manifest. `stats` is the commit's zone-map/sketch metadata per
+    * (bucket, stat column) — what parquet row-group footers carry at
+    * 100 TB — so a reopened table prunes with zero block reads.
+    *
+    * CONDITIONAL COMMIT (the Iceberg/Delta protocol's last step): with
+    * `replace = false` (every ordinary publish) the final rename is a
+    * filesystem compare-and-swap — it FAILS if `manifest-v{n}.json`
+    * already exists, so two writers racing the same version in one
+    * directory produce exactly one winner; the loser surfaces as
+    * [[BucketStore.ConcurrentWriteException]] and retries against the
+    * directory's new head. `replace = true` is reserved for
+    * [[BucketStore.refreshManifestStats]], which re-writes the CURRENT
+    * version's manifest in place (same snapshot, richer metadata).
     */
   private[bucketed] def writeManifest(dir: Path, name: String, t: BucketStore.BucketTable,
       morFiles: Map[Int, BlockFile], rangeBoundsFile: Option[BlockFile],
       firstVersion: Long, config: TableConfig,
-      stats: Map[Int, Map[String, Option[BucketSkip.ColSkip]]] = Map.empty): Unit = {
+      stats: Map[Int, Map[String, Option[BucketSkip.ColSkip]]] = Map.empty,
+      replace: Boolean = false): Unit = {
     val json = JObject(
       "name" -> JString(name),
       "version" -> JLong(t.version),
@@ -375,9 +386,94 @@ object FileStore {
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".manifest-v${t.version}.json.tmp")
     Files.write(tmp, JsonMethods.compact(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(s"manifest-v${t.version}.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val target = dir.resolve(s"manifest-v${t.version}.json")
+    if (replace) {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // hard-link is the POSIX create-if-absent primitive (rename(2)
+      // silently replaces, so ATOMIC_MOVE alone is NOT a CAS): link()
+      // fails with EEXIST when another writer already committed this
+      // version, and the published file appears atomically — a reader
+      // never sees a torn manifest
+      try {
+        try Files.createLink(target, tmp)
+        catch {
+          case _: UnsupportedOperationException =>
+            // no-hardlink filesystems: existence check + plain atomic
+            // move — a weaker CAS window, still loud in practice
+            if (Files.exists(target)) throw new java.nio.file.FileAlreadyExistsException(
+              target.toString)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        }
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          throw new BucketStore.ConcurrentWriteException(
+            s"lost the commit race for '$name' v${t.version}: ${e.getFile} already exists " +
+              "— another writer committed this version first; retry against the new head")
+      } finally Files.deleteIfExists(tmp)
+    }
     ()
+  }
+
+  /** Highest manifest version present in `dir` (filename parse only —
+    * the cheap pre-flight every commit runs), or -1 for none.
+    */
+  private[bucketed] def maxManifestVersion(dir: Path): Long = {
+    if (!Files.isDirectory(dir)) return -1L
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("manifest-v\\d+\\.json"))
+      .map(_.stripPrefix("manifest-v").stripSuffix(".json").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  // name-per-manifest-path cache: a manifest file is write-once under
+  // the CAS protocol (replace mode rewrites the same name+version), so
+  // each file's lineage name is parsed at most once per JVM — the
+  // retention-GC root scan stays O(listing) per publish, not O(parse)
+  private val manifestNameCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** (lineage name, version) of every manifest in `dir` — the GC root
+    * source for lineages NOT currently loaded in this process (a
+    * restart that reopened only the base must never collect a
+    * still-on-disk branch's files, and vice versa). Version comes from
+    * the filename; the name parse is path-cached.
+    */
+  private[bucketed] def manifestIndex(dir: Path): Seq[(String, Long)] = {
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
+      .map { p =>
+        val v = p.getFileName.toString.stripPrefix("manifest-v").stripSuffix(".json").toLong
+        val name = manifestNameCache.computeIfAbsent(p.toString, _ =>
+          (JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+            \ "name").extract[String])
+        (name, v)
+      }.toSeq
+  }
+
+  /** Delete every manifest of lineage `name` in `dir` (the drop-branch
+    * path: the lineage is being abandoned ON PURPOSE, so its manifests
+    * must stop acting as GC roots before the sweep). Returns manifests
+    * removed.
+    */
+  private[bucketed] def deleteManifestsOf(dir: Path, name: String): Int = {
+    if (!Files.isDirectory(dir)) return 0
+    var removed = 0
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
+      .foreach { p =>
+        val n = manifestNameCache.computeIfAbsent(p.toString, _ =>
+          (JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+            \ "name").extract[String])
+        if (n == name) {
+          Files.deleteIfExists(p)
+          removed += 1
+        }
+      }
+    removed
   }
 
   /** Table config carried in every manifest (restored at open).

@@ -1,0 +1,147 @@
+package graft.sources.bucketed
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The commit protocol's CROSS-PROCESS half (round 16): the manifest
+  * write is a filesystem compare-and-swap — `manifest-v{n}.json` is
+  * created-if-absent, never replaced — so two writers racing one
+  * directory produce exactly one winner; the loser surfaces as
+  * [[BucketStore.ConcurrentWriteException]] and a retry allocates a
+  * version past the directory head (the commit-time counter seeding).
+  * Plus the restart-with-branches hardening: a base-only reopen must
+  * neither clobber nor garbage-collect the un-reopened branch's
+  * manifests/files, and a failed publish must roll back the
+  * idempotent-write mark it recorded (a retry is never a silent no-op).
+  */
+class ConditionalCommitSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def scan(t: String) =
+    spark.read.format("graft-buckets").option("table", t).load()
+
+  private def mk(name: String, n: Int = 16, buckets: Int = 2): Unit = {
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (1 to n).map(i => (i.toLong, s"tag-$i", i * 1.5)).toDF("k", "tag", "v"),
+      "k", buckets)
+  }
+
+  test("writeManifest is a CAS: the same version committed twice refuses the second write") {
+    mk("cas_unit", n = 8, buckets = 2)
+    val t = BucketStore.get("cas_unit")
+    val scratch = Files.createTempDirectory("graft-cas-unit-")
+    val cfg = FileStore.TableConfig(BucketStore.CopyOnWrite, None, Map.empty, Set.empty)
+    FileStore.writeManifest(scratch, "cas_unit", t, Map.empty, None, t.version, cfg)
+    val ex = intercept[BucketStore.ConcurrentWriteException] {
+      FileStore.writeManifest(scratch, "cas_unit", t, Map.empty, None, t.version, cfg)
+    }
+    assert(ex.getMessage.contains(s"v${t.version}"))
+    // no torn temp file left behind by the loser
+    assert(!Files.list(scratch).iterator().asScala.exists(_.getFileName.toString.endsWith(".tmp")))
+    // replace mode (refreshManifestStats' path) still rewrites in place
+    FileStore.writeManifest(scratch, "cas_unit", t, Map.empty, None, t.version, cfg,
+      replace = true)
+    BucketStore.drop("cas_unit")
+  }
+
+  test("a second writer owning the directory head: publish loses loudly, leaves no trace, retry wins") {
+    mk("cas_race", n = 16, buckets = 2)
+    val name = "cas_race"
+    val dir = BucketStore.tableDir(name)
+    val v = BucketStore.currentVersion(name)
+    // simulated SECOND PROCESS: a manifest lands in the directory at a
+    // version past anything this JVM has allocated (the pre-flight and
+    // the CAS both key on the filename)
+    val foreign = v + 1000000L
+    Files.copy(dir.resolve(s"manifest-v$v.json"), dir.resolve(s"manifest-v$foreign.json"))
+    val writesBefore = FileStore.filesWritten.get()
+    intercept[BucketStore.ConcurrentWriteException] {
+      BucketStore.deleteWhere(name, _.getLong(0) == 1L)
+    }
+    // the loser left NO trace: no heap publish, no block files spilled
+    assert(BucketStore.currentVersion(name) === v, "a lost commit must not publish in heap")
+    assert(FileStore.filesWritten.get() === writesBefore,
+      "the pre-flight must fire before any block spill")
+    assert(scan(name).filter(col("k") === 1L).count() === 1L)
+    // the retry allocates a version PAST the directory head and lands
+    BucketStore.deleteWhere(name, _.getLong(0) == 1L)
+    assert(BucketStore.currentVersion(name) > foreign,
+      "the retry's version must clear the foreign head")
+    assert(scan(name).filter(col("k") === 1L).count() === 0L)
+    assert(Files.exists(dir.resolve(s"manifest-v${BucketStore.currentVersion(name)}.json")))
+    BucketStore.drop(name)
+  }
+
+  test("a failed publish rolls back the idempotent-write mark: the retry applies, never a no-op") {
+    mk("cas_txn", n = 8, buckets = 1)
+    val name = "cas_txn"
+    val dir = BucketStore.tableDir(name)
+    val v = BucketStore.currentVersion(name)
+    Files.copy(dir.resolve(s"manifest-v$v.json"), dir.resolve(s"manifest-v${v + 1000000L}.json"))
+    val epoch = BucketStore.get(name).layoutEpoch
+    val batch: Array[Array[Row]] = Array(Array(Row(100L, "t-100", 1.0)))
+    intercept[BucketStore.ConcurrentWriteException] {
+      BucketStore.commitWrite(name, batch, truncate = false, epoch, txn = Some(("app", 7L)))
+    }
+    assert(BucketStore.txnVersionOf(name, "app").isEmpty,
+      "a failed publish must not leave the batch marked applied")
+    // the legitimate retry of the SAME (appid, version) must land —
+    // before the rollback it was silently skipped as a duplicate
+    BucketStore.commitWrite(name, batch, truncate = false, epoch, txn = Some(("app", 7L)))
+    assert(BucketStore.txnVersionOf(name, "app") === Some(7L))
+    assert(scan(name).count() === 9L)
+    // and the idempotency contract still holds for a REAL duplicate
+    BucketStore.commitWrite(name, batch, truncate = false, epoch, txn = Some(("app", 7L)))
+    assert(scan(name).count() === 9L)
+    BucketStore.drop(name)
+  }
+
+  test("base-only restart: branch manifests survive base publishes, retention GC, and reopen intact") {
+    val base = "cas_boot"
+    mk(base, n = 32, buckets = 4)
+    BucketStore.createBranch(base, "keep")
+    val bname = BucketStore.branchName(base, "keep")
+    // a branch-only commit so the branch owns a block file of its own
+    BucketStore.deleteWhere(bname, _.getLong(0) == 3L)
+    val branchHead = BucketStore.currentVersion(bname)
+    val wantBranch = scan(bname).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val dir = BucketStore.unload(base).get
+    val branchManifest = dir.resolve(s"manifest-v$branchHead.json")
+    val branchBytes = Files.readAllBytes(branchManifest).toSeq
+    BucketStore.unload(bname)
+
+    // "restart" that reopens ONLY the base lineage
+    BucketStore.openFromDisk(base, dir)
+    BucketStore.deleteWhere(base, _.getLong(0) == 1L)
+    assert(BucketStore.currentVersion(base) > branchHead,
+      "publishes after a base-only reopen must allocate versions past EVERY lineage on disk")
+    // roll the base past the MVCC window so publish-time retention GC fires
+    (1 to BucketStore.RetainedVersions + 4).foreach { i =>
+      BucketStore.deleteWhere(base, _.getLong(0) == 100000L + i) // matches nothing; publishes
+    }
+    assert(Files.exists(branchManifest),
+      "retention GC must not collect an UNLOADED lineage's manifests")
+    assert(Files.readAllBytes(branchManifest).toSeq === branchBytes,
+      "the un-reopened branch's manifest must survive byte-identical")
+
+    // the branch reopens from disk and reads back hash-identical
+    BucketStore.openFromDisk(bname, dir)
+    val gotBranch = scan(bname).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gotBranch === wantBranch)
+    BucketStore.drop(base)
+  }
+
+  private implicit class JIter[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}
