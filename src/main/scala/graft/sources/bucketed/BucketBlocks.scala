@@ -2,6 +2,81 @@ package graft.sources.bucketed
 
 import org.apache.spark.sql.Row
 
+/** Byte-budgeted cache over FILE-BACKED blocks (round 16): the in-heap
+  * row arrays are a cache over the parquet file set, and this is the
+  * bound that makes that literally true — when the loaded bytes of
+  * file-backed blocks exceed [[budgetBytes]], the least-recently-
+  * touched blocks are evicted (their rows reload lazily on next
+  * touch), so a scan of a larger-than-budget table completes in
+  * bounded heap instead of accreting the whole table. Blocks are
+  * charged at their FILE size (the stable, already-known number; heap
+  * arrays are a constant factor larger — pick the budget accordingly).
+  *
+  * Heap-only blocks (no backing file — a fresh pre-publish commit or a
+  * heap-only table) are not evictable and are not tracked. The
+  * registry holds blocks WEAKLY so vacuumed/dropped snapshots age out
+  * without bookkeeping. Enforcement is transiently overshootable by
+  * the blocks concurrently mid-load (each loader's own block is exempt
+  * while it enforces) — the bound is "budget + in-flight", which is
+  * what any executor block manager promises too.
+  */
+object BlockCache {
+  /** The global byte budget. Default: a quarter of the JVM heap —
+    * roomy enough that test/bench tables never evict, real enough
+    * that a larger-than-heap table cannot accrete. Specs/ops override.
+    */
+  @volatile var budgetBytes: Long = Runtime.getRuntime.maxMemory() / 4
+
+  /** Evictions forced by the budget (spec hook). */
+  val evictions = new java.util.concurrent.atomic.AtomicLong()
+
+  private val tickGen = new java.util.concurrent.atomic.AtomicLong()
+  private[bucketed] def tick(): Long = tickGen.incrementAndGet()
+
+  // block → charged bytes; weak keys so dead snapshots' blocks age out
+  private val loaded = new java.util.WeakHashMap[BucketBlock, Long]()
+
+  /** Bytes currently charged for loaded file-backed blocks. */
+  def loadedBytes: Long = loaded.synchronized {
+    var s = 0L
+    loaded.forEach((_, b) => s += b)
+    s
+  }
+
+  private[bucketed] def charged(blk: BucketBlock, bytes: Long): Unit =
+    loaded.synchronized {
+      loaded.put(blk, bytes)
+      enforce(blk)
+    }
+
+  private[bucketed] def released(blk: BucketBlock): Unit =
+    loaded.synchronized { loaded.remove(blk); () }
+
+  /** Evict least-recently-touched blocks (never `keep`) until under
+    * budget. Called with the registry monitor held; eviction itself is
+    * lock-free on the block (volatile null), so no lock ordering with
+    * in-flight loads exists.
+    */
+  private def enforce(keep: BucketBlock): Unit = {
+    var total = 0L
+    loaded.forEach((_, b) => total += b)
+    while (total > budgetBytes) {
+      var victim: BucketBlock = null
+      var victimBytes = 0L
+      var oldest = Long.MaxValue
+      loaded.forEach { (blk, b) =>
+        if ((blk ne keep) && blk.isLoaded && blk.lastTouch < oldest) {
+          oldest = blk.lastTouch; victim = blk; victimBytes = b
+        }
+      }
+      if (victim == null) return // nothing evictable (all in-flight/kept)
+      victim.evict() // re-enters released() — same thread, re-entrant monitor
+      evictions.incrementAndGet()
+      total -= victimBytes
+    }
+  }
+}
+
 /** One bucket's base payload: in-heap rows, optionally backed by an
   * immutable parquet file ([[FileStore]]). The block is the unit of
   * copy-on-write sharing across MVCC snapshots — an untouched bucket
@@ -24,23 +99,46 @@ final class BucketBlock private (
     @volatile private var mem: Array[Row],
     @volatile private var fileRef: FileStore.BlockFile) {
 
+  /** Last [[BlockCache.tick]] at which a reader touched this block —
+    * the LRU recency the budget enforcer evicts by.
+    */
+  @volatile private[bucketed] var lastTouch: Long = 0L
+
   /** The block's rows, loading (and caching) from the backing file if
     * evicted. The cached array keeps one identity until the next
     * evict, so identity-keyed caches ([[BucketSkip]], the COW spill
-    * cache) compose with lazy loading.
+    * cache) compose with lazy loading. Returns the loaded array by
+    * LOCAL reference — a concurrent budget eviction nulling `mem`
+    * never yields a null to the caller.
     */
   def rows: Array[Row] = {
     val m = mem
-    if (m != null) m
+    if (m != null) { lastTouch = BlockCache.tick(); m }
     else synchronized {
-      if (mem == null) {
-        val loaded = FileStore.readBlock(fileRef)
+      var m2 = mem
+      if (m2 == null) {
+        m2 = FileStore.readBlock(fileRef)
         // re-seed the COW spill cache: a later publish sharing this
         // reloaded array must resolve to the SAME file, not rewrite it
-        FileStore.rememberSpill(loaded, fileRef)
-        mem = loaded
-      }
-      mem
+        FileStore.rememberSpill(m2, fileRef)
+        mem = m2
+        lastTouch = BlockCache.tick()
+        chargeToCache()
+      } else lastTouch = BlockCache.tick()
+      m2
+    }
+  }
+
+  /** Register with the byte-budgeted cache (file-backed + loaded only),
+    * charged at the backing file's on-disk size.
+    */
+  private def chargeToCache(): Unit = {
+    val f = fileRef
+    if (f != null && f.path.nonEmpty && mem != null) {
+      val bytes =
+        try java.nio.file.Files.size(java.nio.file.Paths.get(f.path))
+        catch { case _: java.io.IOException => 0L }
+      if (bytes > 0L) BlockCache.charged(this, bytes)
     }
   }
 
@@ -62,16 +160,24 @@ final class BucketBlock private (
   /** Attach the backing file at spill time. The in-heap rows are kept
     * verbatim (pre-ALTER short rows stay short — the zero-rewrite
     * contract); the file may hold them NULL-padded to the snapshot
-    * schema, which reads back as the same logical rows.
+    * schema, which reads back as the same logical rows. Attaching
+    * makes the block evictable, so it enters the byte budget here.
     */
-  private[bucketed] def attach(f: FileStore.BlockFile): Unit =
+  private[bucketed] def attach(f: FileStore.BlockFile): Unit = {
     fileRef = f
+    lastTouch = BlockCache.tick()
+    chargeToCache()
+  }
 
   /** Drop the in-heap rows (only legal once file-backed). Returns
     * whether anything was evicted.
     */
   def evict(): Boolean =
-    if (fileRef != null && mem != null) { mem = null; true } else false
+    if (fileRef != null && mem != null) {
+      mem = null
+      BlockCache.released(this)
+      true
+    } else false
 }
 
 object BucketBlock {
