@@ -508,8 +508,29 @@ object Multimodal {
       .toDF("doc_id", "dhash")
   }
 
+  /** Build-if-absent, then read, the per-image dHash ARTIFACT — the
+    * decode+downsample pass persisted ONCE through the store's write
+    * path (the q231 pair-artifact pattern, the repo's standing lesson:
+    * expensive stage → stored artifact, one build + N cheap reads) and
+    * served bucket-partitioned to every consumer: q200's clustering
+    * and q246's cross-modal verdict, which reads it TWICE for its
+    * self-join and previously re-ran the PNG decode per side. Decode
+    * is the expensive stage of any multimodal pipeline — at 100 TB it
+    * runs once in the ingest tasks and lands in commit metadata+files,
+    * never per consumer. This corpus is static; a growing one would
+    * extend the artifact exactly like q244 extends the pair artifact
+    * (append the new images' hashes through the same write path).
+    */
+  def dhashArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.bucketed.BucketStore
+    val name = s"dhash_frame@$dir"
+    if (!BucketStore.exists(name))
+      BucketStore.load(spark, name, dhashFrame(spark, dir), "doc_id", numBuckets = 8)
+    spark.read.format("graft-buckets").option("table", name).load()
+  }
+
   def imageDhashQuery(spark: SparkSession, dir: String): DataFrame =
-    dhashFrame(spark, dir).groupBy(col("dhash"))
+    dhashArtifact(spark, dir).groupBy(col("dhash"))
       .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("rep_id"))
 
   /** The dHash pixel→cell→bit replay CTEs (`hashes` is the per-image
@@ -578,7 +599,9 @@ object Multimodal {
           .otherwise("image_only").as("verdict"))
 
   def crossModalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val img = dhashFrame(spark, dir)
+    // the STORED hash artifact, not the decode pass: the self-join
+    // reads bucketed parquet twice instead of decoding the corpus twice
+    val img = dhashArtifact(spark, dir)
     val imgPairs = img.as("a").join(img.as("b"),
         col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

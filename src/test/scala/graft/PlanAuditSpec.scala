@@ -299,6 +299,19 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("q200_image_dhash")
     assert(!p.contains("Join"), s"dHash clustering must be a plain groupBy:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct"), "no pairs, ever")
+    // round 16: the hash frame is a STORED artifact — the consumer's
+    // plan contains zero decode machinery (no typed mapPartitions pass)
+    assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+      s"q200 must read the stored dHash artifact, not re-decode:\n${p.take(900)}")
+  }
+
+  test("q246: the cross-modal verdict reads STORED artifacts — zero decode machinery, equi-joins only") {
+    val p = plan("q246_cross_modal_dedup")
+    assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+      s"q246 must consume the stored dHash artifact (decode runs once, at build):\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), "pair generation must stay an equi-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "the dhash self-join and verdict join are key joins")
   }
 
   test("q202: weighted PPS sampling is one per-stratum window over a narrow projection") {
