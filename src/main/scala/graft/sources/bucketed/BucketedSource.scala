@@ -1490,14 +1490,70 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  private val stream = new BucketRowStream(p, filters, fetchSize, limit, topN, sample)
+  /** DIRECT VECTORIZED path (round 16): a COLD (evicted/reopened),
+    * clean bucket scanned with no pushdown reads its parquet block
+    * through Spark's own [[org.apache.spark.sql.execution.datasources
+    * .parquet.VectorizedParquetRecordReader]] straight into
+    * `ColumnarBatch`es — no `InternalRow → Row → vector` double
+    * conversion, real column pruning at the file (only the projected
+    * columns decode), and NOTHING faults into the heap block cache
+    * (a cold analytical sweep must not evict the hot working set).
+    * Eligibility is decided at open, never mid-stream: any pushdown
+    * (filters/sample/limit/top-N — the scan consumes its claimed
+    * filters, so they must be enforced row-wise), metadata columns,
+    * pending MoR state, an already-loaded block (the in-heap transpose
+    * is cheaper than re-reading the file), or a file whose stored
+    * schema predates the projection (pre-ALTER short blocks need the
+    * NULL-pad fetch path) falls back to the row-stream transpose.
+    * File order equals stored (cluster) order, so reported output
+    * ordering is preserved.
+    */
+  private val vectorized: Option[
+      org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader] =
+    tryVectorized()
 
-  private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
-  private val batch = new ColumnarBatch(
+  private def tryVectorized() = {
+    if (filters.nonEmpty || sample.nonEmpty || limit.nonEmpty || topN.nonEmpty ||
+      required.isEmpty ||
+      required.fieldNames.exists(n =>
+        n == BucketedTable.MetaBucket || n == BucketedTable.MetaPos)) None
+    else {
+      val t = BucketStore.snapshotWithRetry(p.table, p.version)
+      if (t.mor.contains(p.bucket)) None
+      else {
+        val blk = t.buckets.block(p.bucket)
+        if (blk.isLoaded) None
+        else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap { f =>
+          try {
+            val r = new org.apache.spark.sql.execution.datasources.parquet
+              .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+                false, batchSize)
+            r.initialize(f.path, java.util.Arrays.asList(required.fieldNames: _*))
+            r.initBatch(new StructType(), org.apache.spark.sql.catalyst.InternalRow.empty)
+            r.enableReturningBatches()
+            FileStore.vectorReads.incrementAndGet()
+            Some(r)
+          } catch {
+            // missing column (pre-ALTER file) or any schema drift: the
+            // row path below serves it with the standing NULL-pad fetch
+            case scala.util.control.NonFatal(_) => None
+          }
+        }
+      }
+    }
+  }
+
+  // — row-transpose fallback (lazy: the vectorized path must not dial
+  //   a store connection or allocate transpose vectors) —
+
+  private lazy val stream = new BucketRowStream(p, filters, fetchSize, limit, topN, sample)
+
+  private lazy val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
+  private lazy val batch = new ColumnarBatch(
     vectors.map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnVector]))
 
   /** One filler per output column: (vector, row, physicalPos, slot). */
-  private val fillers: Array[(OnHeapColumnVector, Row, Int, Int) => Unit] =
+  private lazy val fillers: Array[(OnHeapColumnVector, Row, Int, Int) => Unit] =
     required.fields.map { f =>
       f.name match {
         case BucketedTable.MetaBucket =>
@@ -1512,24 +1568,32 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
       }
     }
 
-  override def next(): Boolean = {
-    if (!stream.it.hasNext) return false
-    var n = 0
-    vectors.foreach(_.reset())
-    while (n < batchSize && stream.it.hasNext) {
-      val (r, pos) = stream.it.next()
-      var c = 0
-      while (c < fillers.length) { fillers(c)(vectors(c), r, pos, n); c += 1 }
-      n += 1
-    }
-    batch.setNumRows(n)
-    true
+  override def next(): Boolean = vectorized match {
+    case Some(r) => r.nextBatch()
+    case None =>
+      if (!stream.it.hasNext) return false
+      var n = 0
+      vectors.foreach(_.reset())
+      while (n < batchSize && stream.it.hasNext) {
+        val (r, pos) = stream.it.next()
+        var c = 0
+        while (c < fillers.length) { fillers(c)(vectors(c), r, pos, n); c += 1 }
+        n += 1
+      }
+      batch.setNumRows(n)
+      true
   }
 
-  override def get(): ColumnarBatch = batch
-  override def close(): Unit = {
-    batch.close()
-    stream.close()
+  override def get(): ColumnarBatch = vectorized match {
+    case Some(r) => r.resultBatch()
+    case None => batch
+  }
+
+  override def close(): Unit = vectorized match {
+    case Some(r) => r.close()
+    case None =>
+      batch.close()
+      stream.close()
   }
 }
 

@@ -62,6 +62,11 @@ object FileStore {
   /** Block files actually read back (lazy loads) — spec hook. */
   val filesRead = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Cold blocks served by the DIRECT vectorized parquet→ColumnarBatch
+    * path (no row materialization, no heap-cache fault) — spec hook.
+    */
+  val vectorReads = new java.util.concurrent.atomic.AtomicLong()
+
   // — COW spill cache: row-array identity → the file already holding
   //   exactly those rows. Weak keys: a file ref outlives its array via
   //   the manifests; the cache only needs to resolve LIVE arrays.

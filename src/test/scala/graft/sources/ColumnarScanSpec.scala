@@ -108,6 +108,79 @@ class ColumnarScanSpec extends SparkSuite {
     assert(boundary.size === 5)
   }
 
+  test("a COLD scan takes the direct vectorized parquet path: byte-identical, zero heap faults") {
+    loadT()
+    val want = read(columnar = false).collect().map(_.toSeq).toSet
+    BucketStore.evictTable("colr_t")
+    assert(BucketStore.get("colr_t").buckets.loadedCount === 0)
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    val got = read(columnar = true).collect().map(_.toSeq).toSet
+    assert(got === want, "the vectorized cold path must be byte-identical to the row path")
+    assert(FileStore.vectorReads.get() - vr0 >= 4L,
+      "every cold clean bucket must take the vectorized path")
+    assert(FileStore.filesRead.get() === fr0,
+      "the vectorized path must not row-materialize any block")
+    assert(BucketStore.get("colr_t").buckets.loadedCount === 0,
+      "a cold analytical sweep must not fault blocks into the heap cache")
+    // projection pruning: a 2-column read decodes only those columns —
+    // still vectorized, still identical
+    val narrow = read(columnar = true).select(col("k"), col("v")).collect()
+      .map(_.toSeq).toSet
+    assert(narrow === want.map(s => Seq(s.head, s(2))))
+  }
+
+  test("the vectorized path defers to the row path on pushdown, MoR state, and hot blocks") {
+    loadT()
+    BucketStore.evictTable("colr_t")
+    val vr0 = FileStore.vectorReads.get()
+    // pushed filter ⇒ row path (the scan must ENFORCE its claimed filters)
+    val hit = read(columnar = true).filter(col("k") === 77L).collect()
+    assert(hit.map(_.getLong(0)).toSeq === Seq(77L))
+    assert(FileStore.vectorReads.get() === vr0, "a filtered scan must not take the vectorized path")
+    // warm every block through the row path: hot blocks serve from heap
+    assert(read(columnar = false).collect().length === 4096)
+    val full = read(columnar = true).collect()
+    assert(full.length === 4096)
+    assert(FileStore.vectorReads.get() === vr0, "hot blocks must serve from heap, not the file")
+    // MoR bucket ⇒ row path (the fold must apply)
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.drop("colr_vmor")
+    BucketStore.load(spark, "colr_vmor",
+      (0 until 256).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), "k", 2)
+    BucketStore.setDmlMode("colr_vmor", BucketStore.MergeOnRead)
+    spark.sql("DELETE FROM graft.colr_vmor WHERE k % 16 = 0")
+    BucketStore.evictTable("colr_vmor")
+    val vr1 = FileStore.vectorReads.get()
+    assert(spark.read.format("graft-buckets").option("table", "colr_vmor")
+      .option("columnar", "true").load().count() === 240L)
+    assert(FileStore.vectorReads.get() === vr1,
+      "a MoR bucket must fold through the row path")
+    BucketStore.drop("colr_vmor")
+  }
+
+  test("a pre-ALTER short block falls back cleanly when the projection needs the new column") {
+    BucketStore.drop("colr_alter")
+    BucketStore.load(spark, "colr_alter",
+      (0 until 128).map(i => (i.toLong, i * 2.0)).toDF("k", "v"), "k", 2)
+    BucketStore.addColumns("colr_alter",
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    BucketStore.evictTable("colr_alter")
+    val vr0 = FileStore.vectorReads.get()
+    val df = spark.read.format("graft-buckets").option("table", "colr_alter")
+      .option("columnar", "true").load()
+    val rows = df.collect()
+    assert(rows.length === 128)
+    assert(rows.forall(_.isNullAt(2)), "pre-ALTER rows must NULL-pad the added column")
+    assert(FileStore.vectorReads.get() === vr0,
+      "a file missing a projected column must fall back to the padding row path")
+    // while a projection of only the OLD columns stays vectorized
+    BucketStore.evictTable("colr_alter")
+    assert(df.select(col("k"), col("v")).collect().length === 128)
+    assert(FileStore.vectorReads.get() > vr0)
+    BucketStore.drop("colr_alter")
+  }
+
   test("a projection containing an unsupported type falls back to the row reader cleanly") {
     BucketStore.drop("colr_arr")
     BucketStore.load(spark, "colr_arr",
