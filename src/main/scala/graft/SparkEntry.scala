@@ -511,6 +511,8 @@ object SparkEntry {
     "q253_training_recipe" -> graft.sources.bucketed.BucketedQueries.trainingRecipeQuery _,
     "q254_stats_only_agg" -> graft.sources.bucketed.BucketedQueries.statsOnlyAggQuery _,
     "q255_idempotent_append" -> graft.sources.bucketed.BucketedQueries.idempotentAppendQuery _,
+    "q256_branch_gc_restart" -> graft.sources.bucketed.BucketedQueries.branchGcRestartQuery _,
+    "q257_cold_columnar_sweep" -> graft.sources.bucketed.BucketedQueries.coldColumnarSweepQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -928,6 +930,8 @@ object SparkEntry {
     "q253_training_recipe" -> graft.sources.bucketed.BucketedQueries.trainingRecipeSql,
     "q254_stats_only_agg" -> graft.sources.bucketed.BucketedQueries.statsOnlyAggSql,
     "q255_idempotent_append" -> graft.sources.bucketed.BucketedQueries.idempotentAppendSql,
+    "q256_branch_gc_restart" -> graft.sources.bucketed.BucketedQueries.branchGcRestartSql,
+    "q257_cold_columnar_sweep" -> graft.sources.bucketed.BucketedQueries.coldColumnarSweepSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

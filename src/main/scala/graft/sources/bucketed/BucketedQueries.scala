@@ -1939,6 +1939,127 @@ object BucketedQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** q256 — BRANCH-AWARE RETENTION GC ACROSS A RESTART, the classic
+    * lakehouse data-loss scenario gated end-to-end: a WAP branch forks
+    * the corpus (zero-copy — the branch references the base's files),
+    * takes a commit of its own, then the process "restarts" reopening
+    * ONLY the base, and main publishes straight through the MVCC
+    * retention window so publish-time GC fires repeatedly. GC roots
+    * are the union of loaded lineages' retained windows AND every
+    * on-disk manifest of lineages NOT loaded (the round-16 fix —
+    * before it, the un-reopened branch's manifests were swept as
+    * unreferenced files and the fork-shared base files it pinned went
+    * with them). The gate self-audits both directions: main's on-disk
+    * manifest history IS trimmed to the retention window (GC really
+    * ran), the branch's manifests survive, and BOTH lineages then
+    * reopen and read hash-identically against the oracle. At 100 TB
+    * this is what lets audit branches outlive maintenance windows and
+    * process restarts without pinning — or losing — a single file
+    * they share with main.
+    */
+  def branchGcRestartQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"cust_bgc@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "c_custkey", 8)
+    spark.sql(s"CALL graft.branch('$name', 'audit')")
+    val bname = BucketStore.branchName(name, "audit")
+    spark.sql(s"DELETE FROM graft.`$bname` WHERE c_custkey = 5") // the branch owns a commit
+    // "restart" that reopens ONLY the base lineage
+    BucketStore.unload(bname)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    // age main straight through the MVCC window — every crossing
+    // publish runs retention GC over the shared directory
+    val iters = BucketStore.RetainedVersions + 4
+    (1 to iters).foreach { _ =>
+      spark.sql(s"UPDATE graft.`$name` SET c_acctbal = c_acctbal + 1 WHERE c_custkey = 1")
+    }
+    val manifests = FileStore.readManifests(tdir)
+    require(manifests.count(_.name == name) <= BucketStore.RetainedVersions,
+      "retention GC must trim main's on-disk manifest history to the MVCC window")
+    require(manifests.exists(_.name == bname),
+      "the un-reopened branch's manifests must survive retention GC")
+    // the branch reopens from the survived manifests and reads exactly
+    BucketStore.openFromDisk(bname, tdir)
+    def aggOf(table: String, tag: String): DataFrame =
+      spark.table(s"graft.`$table`").agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+        .select(lit(tag).as("lineage"), col("n"), col("sum_bal"))
+    aggOf(name, "main").unionAll(aggOf(bname, "branch"))
+  }
+
+  val branchGcRestartSql: String =
+    s"""SELECT 'main' AS lineage, count(*) AS n,
+       |  CAST(sum(CAST(c_acctbal + CASE WHEN c_custkey = 1
+       |    THEN ${BucketStore.RetainedVersions + 4} ELSE 0 END
+       |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+       |FROM customer
+       |UNION ALL
+       |SELECT 'branch' AS lineage, count(*) AS n,
+       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+       |FROM customer WHERE c_custkey <> 5""".stripMargin
+
+  /** q257 — COLD COLUMNAR SWEEP through the DIRECT vectorized parquet
+    * path: the table is unloaded and reopened (every block a file
+    * reference), then a full-corpus aggregate sweeps it with no
+    * pushdown — each clean cold bucket decodes its parquet block
+    * straight into `ColumnarBatch`es via Spark's vectorized reader (no
+    * `InternalRow → Row → vector` double conversion, only the three
+    * projected columns decode) and NOTHING faults into the heap block
+    * cache. The gate self-audits all three: every bucket took the
+    * vectorized path, zero row-materializing block reads, zero blocks
+    * resident afterwards. The aggregate deliberately sums an
+    * EXPRESSION so the store's aggregate pushdown declines and the
+    * scan path itself is what's measured. At 100 TB this is the cold
+    * analytical sweep over a just-attached table: column-pruned
+    * vectorized decode at file speed, hot working set untouched.
+    */
+  def coldColumnarSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_cold@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice")),
+      "l_orderkey", NumBuckets)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the reopened table must start fully cold")
+    val vr0 = FileStore.vectorReads.get()
+    val fr0 = FileStore.filesRead.get()
+    val rows = spark.table(s"graft.`$name`")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          (col("l_quantity") * col("l_extendedprice"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("rev"))
+      .collect()
+    require(FileStore.vectorReads.get() - vr0 == NumBuckets.toLong,
+      s"every cold bucket must take the vectorized path " +
+        s"(${FileStore.vectorReads.get() - vr0} of $NumBuckets did)")
+    require(FileStore.filesRead.get() == fr0,
+      "the sweep must not row-materialize a single block")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a cold sweep must not fault blocks into the heap cache")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), rows.head.schema)
+  }
+
+  val coldColumnarSweepSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

@@ -80,7 +80,12 @@ final case class ConnectorOptions(table: String, fetchSize: Int, numPartitions: 
     versionAsOf: Option[Long] = None, cdc: Boolean = false,
     changesStart: Option[Long] = None, changesEnd: Option[Long] = None,
     upsert: Boolean = false, timestampAsOf: Option[Long] = None,
-    columnar: Boolean = false)
+    // columnar is the DEFAULT on every surface: the option parse
+    // (getOrElse(true)) AND this case-class default, which is what the
+    // CATALOG path (`spark.table("graft.x")`, SQL, DML scans) builds
+    // from via Defaults.copy — before round 16 the two disagreed and
+    // catalog reads silently took the row path
+    columnar: Boolean = true)
 
 object ConnectorOptions {
   val Known: Set[String] = Set("table", "fetchsize", "numpartitions", "versionasof", "mode",
