@@ -2203,12 +2203,27 @@ object BucketStore {
   /** Explicit history trim: keep the newest `keepLast` snapshots.
     * Returns the number of snapshots dropped. Time-travel or CDC reads
     * into the dropped range fail loudly afterwards.
+    *
+    * The disk follows the heap (round 16): a trim that dropped
+    * versions also garbage-collects the files and manifests no
+    * retained lineage references — the same shared-directory union
+    * roots as publish-time retention GC, so a vacuum can never
+    * collect what a branch (loaded or dormant-on-disk) still needs.
+    * Before this, explicit vacuum trimmed only the heap window and
+    * the dropped versions' files lingered until the next
+    * retention-crossing publish.
     */
   def vacuum(name: String, keepLast: Int): Int = synchronized {
     require(keepLast >= 1, s"vacuum must keep at least the current snapshot, got $keepLast")
     val hist = history(name)
     val dropped = math.max(0, hist.length - keepLast)
-    if (dropped > 0) tables.put(name, hist.takeRight(keepLast))
+    if (dropped > 0) {
+      tables.put(name, hist.takeRight(keepLast))
+      if (isFileBacked(name)) {
+        val dir = tableDir(name)
+        FileStore.gc(dir, retainedVersionsSharing(dir)): Unit
+      }
+    }
     dropped
   }
 

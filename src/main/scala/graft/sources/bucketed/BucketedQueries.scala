@@ -1943,19 +1943,22 @@ object BucketedQueries {
     * lakehouse data-loss scenario gated end-to-end: a WAP branch forks
     * the corpus (zero-copy — the branch references the base's files),
     * takes a commit of its own, then the process "restarts" reopening
-    * ONLY the base, and main publishes straight through the MVCC
-    * retention window so publish-time GC fires repeatedly. GC roots
-    * are the union of loaded lineages' retained windows AND every
-    * on-disk manifest of lineages NOT loaded (the round-16 fix —
-    * before it, the un-reopened branch's manifests were swept as
-    * unreferenced files and the fork-shared base files it pinned went
-    * with them). The gate self-audits both directions: main's on-disk
-    * manifest history IS trimmed to the retention window (GC really
-    * ran), the branch's manifests survive, and BOTH lineages then
-    * reopen and read hash-identically against the oracle. At 100 TB
-    * this is what lets audit branches outlive maintenance windows and
-    * process restarts without pinning — or losing — a single file
-    * they share with main.
+    * ONLY the base, main takes further commits, and its history is
+    * vacuumed to the head — which garbage-collects every file and
+    * manifest no retained lineage references. GC roots are the union
+    * of loaded lineages' retained windows AND every on-disk manifest
+    * of lineages NOT loaded (the round-16 fix — before it, the
+    * un-reopened branch's manifests were swept as unreferenced files
+    * and the fork-shared base files it pinned went with them; the
+    * same roots guard publish-time retention GC, spec-pinned by
+    * ConditionalCommitSpec's 36-publish crossing). The gate
+    * self-audits both directions: main's on-disk manifest history IS
+    * trimmed to exactly the vacuumed head (GC really ran), the
+    * branch's manifests survive, and BOTH lineages then reopen and
+    * read hash-identically against the oracle. At 100 TB this is what
+    * lets audit branches outlive maintenance windows and process
+    * restarts without pinning — or losing — a single file they share
+    * with main.
     */
   def branchGcRestartQuery(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
@@ -1972,17 +1975,18 @@ object BucketedQueries {
     BucketStore.unload(bname)
     val tdir = BucketStore.unload(name).get
     BucketStore.openFromDisk(name, tdir)
-    // age main straight through the MVCC window — every crossing
-    // publish runs retention GC over the shared directory
-    val iters = BucketStore.RetainedVersions + 4
-    (1 to iters).foreach { _ =>
+    // main moves on after the reopen…
+    (1 to 4).foreach { _ =>
       spark.sql(s"UPDATE graft.`$name` SET c_acctbal = c_acctbal + 1 WHERE c_custkey = 1")
     }
+    // …and is vacuumed to the head: the trim GCs everything no
+    // retained lineage references — the dormant branch must count
+    spark.sql(s"CALL graft.vacuum('$name', 1)")
     val manifests = FileStore.readManifests(tdir)
-    require(manifests.count(_.name == name) <= BucketStore.RetainedVersions,
-      "retention GC must trim main's on-disk manifest history to the MVCC window")
+    require(manifests.count(_.name == name) == 1,
+      "vacuum(1) must trim main's on-disk manifest history to exactly the head")
     require(manifests.exists(_.name == bname),
-      "the un-reopened branch's manifests must survive retention GC")
+      "the un-reopened branch's manifests must survive the vacuum GC")
     // the branch reopens from the survived manifests and reads exactly
     BucketStore.openFromDisk(bname, tdir)
     def aggOf(table: String, tag: String): DataFrame =
@@ -1998,7 +2002,7 @@ object BucketedQueries {
   val branchGcRestartSql: String =
     s"""SELECT 'main' AS lineage, count(*) AS n,
        |  CAST(sum(CAST(c_acctbal + CASE WHEN c_custkey = 1
-       |    THEN ${BucketStore.RetainedVersions + 4} ELSE 0 END
+       |    THEN 4 ELSE 0 END
        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
        |FROM customer
        |UNION ALL

@@ -171,6 +171,30 @@ class FileStoreSpec extends SparkSuite {
       (1 to 4000).count(i => i != 1 && i * 1.5 <= 15.0).toLong)
   }
 
+  test("explicit vacuum garbage-collects the dropped versions' manifests and files (round 16)") {
+    mk("fs_vac", n = 16, buckets = 2)
+    (1 to 3).foreach { i =>
+      BucketStore.load(spark, "fs_vac",
+        (1 to 16).map(j => (j.toLong, s"r$i-$j", j * 1.0)).toDF("k", "tag", "v"), "k", 2)
+    }
+    val dir = BucketStore.tableDir("fs_vac")
+    val heapBefore = BucketStore.retainedVersionCount("fs_vac")
+    assert(FileStore.readManifests(dir).length >= 4)
+    assert(BucketStore.vacuum("fs_vac", 1) === heapBefore - 1)
+    assert(BucketStore.retainedVersionCount("fs_vac") === 1)
+    val ms = FileStore.readManifests(dir)
+    assert(ms.length === 1, "vacuum(1) must leave exactly the head manifest on disk")
+    // no orphan block files linger
+    val referenced = ms.flatMap(m => m.buckets.map(_.path)).filter(_.nonEmpty).toSet
+    Files.list(dir).iterator().forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet"))
+        assert(referenced.contains(p.toString), s"orphan survived vacuum GC: $p")
+    }
+    // the head still serves, including after a full evict (files intact)
+    BucketStore.evictTable("fs_vac")
+    assert(scan("fs_vac").count() === 16L)
+  }
+
   test("DROP TABLE removes the directory; re-CREATE starts a fresh manifest line") {
     mk("fs_drop", n = 8, buckets = 2)
     val dir = BucketStore.tableDir("fs_drop")
