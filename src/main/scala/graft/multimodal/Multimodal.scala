@@ -496,10 +496,20 @@ object Multimodal {
     * image, one map-side pass. Factored so the cross-modal verdict
     * (q246) consumes the SAME candidate generator as q200 itself.
     */
-  def dhashFrame(spark: SparkSession, dir: String): DataFrame = {
+  def dhashFrame(spark: SparkSession, dir: String): DataFrame =
+    dhashFrameWhere(spark, dir, lit(true))
+
+  /** [[dhashFrame]] over a SLICE of the image corpus — the incremental
+    * extension surface: when the corpus grows, only the NEW images'
+    * hashes are decoded and appended to the stored artifact through
+    * the store's ordinary write path (the q244 discipline; the grown
+    * artifact is spec-pinned bit-identical to a from-scratch rebuild).
+    */
+  private[graft] def dhashFrameWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     val ids = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 500).select(col("doc_id")).as[Long]
+      .filter(col("doc_id") < 500 && pred).select(col("doc_id")).as[Long]
     ids.mapPartitions(_.grouped(32).flatMap(_.flatMap { id =>
         if (pngWidth(id) >= 9 && pngHeight(id) >= 6)
           Some((id, dhash48(id, encodePng(id))))

@@ -321,4 +321,35 @@ class MultimodalSpec extends SparkSuite {
       (3L, 4L, true, false, "text_only"),
       (5L, 6L, false, true, "image_only")))
   }
+
+  test("the dHash artifact extends incrementally: grown == from-scratch rebuild, decode ∝ batch") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.bucketed.{BucketStore, BucketedCatalog}
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = "dhash_ext_spec"
+    BucketStore.drop(name)
+    // day 0: the artifact is built over the then-current corpus
+    BucketStore.load(spark, name,
+      Multimodal.dhashFrameWhere(spark, sf, col("doc_id") < 300), "doc_id", 8)
+    val day0 = spark.read.format("graft-buckets").option("table", name).load().count()
+    // day 1: the corpus grows — ONLY the new images decode, and their
+    // hashes append through the store's ordinary write path
+    Multimodal.dhashFrameWhere(spark, sf, col("doc_id") >= 300)
+      .writeTo(s"graft.`$name`").append()
+    val grown = spark.read.format("graft-buckets").option("table", name).load()
+      .as[(Long, Long)].collect().toSet
+    assert(grown.size > day0.toInt, "the append must actually grow the artifact")
+    // the q244/q170 bit-identity trick: the grown artifact must equal a
+    // from-scratch rebuild over the grown corpus exactly
+    val rebuilt = Multimodal.dhashFrame(spark, sf).as[(Long, Long)].collect().toSet
+    assert(grown === rebuilt,
+      "incremental extension must be bit-identical to the from-scratch build")
+    // and a consumer over the grown artifact clusters identically
+    val viaArtifact = spark.read.format("graft-buckets").option("table", name).load()
+      .groupBy(col("dhash")).count().as[(Long, Long)].collect().toSet
+    val viaRebuild = Multimodal.dhashFrame(spark, sf)
+      .groupBy(col("dhash")).count().as[(Long, Long)].collect().toSet
+    assert(viaArtifact === viaRebuild)
+    BucketStore.drop(name)
+  }
 }
