@@ -138,6 +138,28 @@ class ConditionalCommitSpec extends SparkSuite {
     BucketStore.drop(base)
   }
 
+  test("a torn publish (blocks spilled, manifest never landed) is ignored at reopen and swept by GC") {
+    mk("cas_torn", n = 16, buckets = 2)
+    val name = "cas_torn"
+    val dir = BucketStore.tableDir(name)
+    // simulate a crash between the block spill and the manifest CAS:
+    // an orphan block file that NO manifest references
+    val someBlock = Files.list(dir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val orphan = dir.resolve("b9-v999999.parquet")
+    Files.copy(someBlock, orphan)
+    // a restart reads THROUGH the manifests — the orphan is invisible
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    assert(scan(name).count() === 16L)
+    // the next trim's GC sweeps the orphan (unreferenced by any root)
+    BucketStore.deleteWhere(name, _.getLong(0) == 1L) // a second version to drop
+    BucketStore.vacuum(name, 1)
+    assert(!Files.exists(orphan), "vacuum GC must sweep a torn publish's orphan files")
+    assert(scan(name).count() === 15L)
+    BucketStore.drop(name)
+  }
+
   private implicit class JIter[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext
