@@ -1033,7 +1033,6 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
   private val table = BucketStore.snapshotWithRetry(p.table, p.version)
 
   private val fullSchema = table.schema
-  private val groupIdx = spec.groupCols.map(fullSchema.fieldIndex).toArray
   private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
     .createToCatalystConverter(spec.schema)
 
@@ -1103,6 +1102,38 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
   }
 
   private def rowScanAggregate(): Iterator[Row] = {
+    // COLD PROJECTED PATH (round 16): an UNFILTERED pushed aggregate
+    // over a clean, evicted, file-backed bucket streams EXACTLY its
+    // input columns from the parquet block — no connection dial, no
+    // full-row materialization, no heap-cache fault. This is the
+    // SUM/group-by analog of the stats-served fast path above (which
+    // covers only count/min/max): at 100 TB, `SELECT sum(x) FROM t`
+    // on a cold table decodes the x column and nothing else.
+    // Filtered aggregates keep the connection path (cluster-slice
+    // bounds + row checks); any open failure falls through loudly-
+    // cheaply to it as well.
+    if (filters.isEmpty && !p.prunedEmpty && !table.mor.contains(p.bucket)) {
+      val blk = table.buckets.block(p.bucket)
+      if (!blk.isLoaded) {
+        blk.file.filter(_.path.nonEmpty) match {
+          case Some(f) =>
+            val names = (spec.groupCols ++ spec.aggs.collect {
+              case PCount(c) => c
+              case PMin(c) => c
+              case PMax(c) => c
+              case PSum(c) => c
+            }).distinct.toSet
+            val proj = org.apache.spark.sql.types.StructType(
+              fullSchema.fields.filter(fd => names.contains(fd.name)))
+            try return aggregateRows(FileStore.readBlockProjected(f, proj), proj)
+            catch { case scala.util.control.NonFatal(_) => () }
+          case None if blk.rowCount == 0 && blk.file.isDefined =>
+            // manifest-only empty bucket: nothing to open anywhere
+            return aggregateRows(Iterator.empty, fullSchema)
+          case None => ()
+        }
+      }
+    }
     val range = ClusterSlice.from(filters, BucketStore.lexClusterColsOf(table.clusterCol))
     val (c, paged) =
       if (p.prunedEmpty) // planner proved no row matches: emit the
@@ -1111,6 +1142,16 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
     conn = c
     val rows = paged.map(_._1) // a pushed aggregate never needs row ids
     val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+    aggregateRows(filtered, fullSchema)
+  }
+
+  /** Fold `rows` (already filtered, at `schema` arity) into the pushed
+    * partials — shared by the connection path (full schema) and the
+    * cold projected path (aggregate input columns only).
+    */
+  private def aggregateRows(rows: Iterator[Row],
+      schema: StructType): Iterator[Row] = {
+    val gIdx = spec.groupCols.map(schema.fieldIndex).toArray
     // group key -> one accumulator slot per agg (count: Long; min/max: Any)
     val acc = new scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]
     val init: () => Array[Any] = () => spec.aggs.map {
@@ -1119,7 +1160,7 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
     }.toArray
     // partial-sum accumulation type per agg (true = Double, else Long)
     val sumIsFloating: Array[Boolean] = spec.aggs.map {
-      case PSum(c) => AggSpec.sumResultType(fullSchema(c).dataType) ==
+      case PSum(c) => AggSpec.sumResultType(schema(c).dataType) ==
         org.apache.spark.sql.types.DoubleType
       case _ => false
     }.toArray
@@ -1129,14 +1170,14 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
     // path (−1 = COUNT(*), no column)
     val aggCol: Array[Int] = spec.aggs.map {
       case PCountStar => -1
-      case PCount(c) => fullSchema.fieldIndex(c)
-      case PMin(c) => fullSchema.fieldIndex(c)
-      case PMax(c) => fullSchema.fieldIndex(c)
-      case PSum(c) => fullSchema.fieldIndex(c)
+      case PCount(c) => schema.fieldIndex(c)
+      case PMin(c) => schema.fieldIndex(c)
+      case PMax(c) => schema.fieldIndex(c)
+      case PSum(c) => schema.fieldIndex(c)
     }.toArray
     val aggArr = spec.aggs.toArray
-    filtered.foreach { r =>
-      val key = groupIdx.toIndexedSeq.map(r.get)
+    rows.foreach { r =>
+      val key = gIdx.toIndexedSeq.map(r.get)
       val slots = acc.getOrElseUpdate(key, init())
       var i = 0
       while (i < aggArr.length) {

@@ -67,6 +67,12 @@ object FileStore {
     */
   val vectorReads = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Cold blocks streamed COLUMN-PRUNED by the aggregate fast path
+    * (only the aggregate's input columns decode; nothing cached) —
+    * spec hook.
+    */
+  val projectedReads = new java.util.concurrent.atomic.AtomicLong()
+
   // — COW spill cache: row-array identity → the file already holding
   //   exactly those rows. Weak keys: a file ref outlives its array via
   //   the manifests; the cache only needs to resolve LIVE arrays.
@@ -234,6 +240,50 @@ object FileStore {
     } finally reader.close()
     filesRead.incrementAndGet()
     out
+  }
+
+  /** Stream a block file as EXTERNAL rows projected to `wanted` —
+    * column-pruned at the parquet decode, NOTHING cached: the cold
+    * aggregate path reads exactly the columns it folds, pays
+    * conversion for exactly those values, and the heap block cache
+    * stays untouched. Columns absent from the file (written pre-ALTER)
+    * read back NULL — the standing schema-evolution contract, enforced
+    * here by Spark's own requested-schema clipping. The caller drains
+    * the iterator (aggregation consumes every row), which closes the
+    * reader.
+    */
+  private[bucketed] def readBlockProjected(f: BlockFile,
+      wanted: StructType): Iterator[Row] = {
+    if (f.rows == 0 || f.path.isEmpty) return Iterator.empty
+    val conf = new Configuration()
+    val hp = new HPath(f.path)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, wanted.json)
+    setSqlDefaults(conf,
+      SQLConf.CASE_SENSITIVE.key -> SQLConf.CASE_SENSITIVE.defaultValueString,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key -> SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.defaultValueString,
+      SQLConf.PARQUET_BINARY_AS_STRING.key -> SQLConf.PARQUET_BINARY_AS_STRING.defaultValueString,
+      SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key -> SQLConf.PARQUET_FIELD_ID_READ_ENABLED.defaultValueString,
+      SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.key -> SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.defaultValueString,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key -> SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.defaultValueString,
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP.key -> SQLConf.PARQUET_INT96_AS_TIMESTAMP.defaultValueString,
+      SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key -> SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.defaultValueString)
+    val support = new ParquetReadSupport(None, enableVectorizedReader = false,
+      corrected, corrected)
+    val reader = ParquetReader.builder[InternalRow](support, hp).withConf(conf).build()
+    val toScala = CatalystTypeConverters.createToScalaConverter(wanted)
+    projectedReads.incrementAndGet()
+    new Iterator[Row] {
+      private var nextRow: InternalRow = reader.read()
+      if (nextRow == null) reader.close()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Row = {
+        // convert BEFORE advancing: the materializer recycles its row
+        val out = toScala(nextRow).asInstanceOf[Row]
+        nextRow = reader.read()
+        if (nextRow == null) reader.close()
+        out
+      }
+    }
   }
 
   // — manifests —

@@ -21,14 +21,25 @@ class BlockCacheSpec extends SparkSuite {
   private def scan(t: String) =
     spark.read.format("graft-buckets").option("table", t).load()
 
+  // the ROW reader: loads blocks into heap (the cache's client). The
+  // columnar/aggregate COLD paths deliberately bypass the heap cache
+  // (they stream the file), so this spec pins the cache through the
+  // path that actually uses it.
+  private def rowScan(t: String) =
+    spark.read.format("graft-buckets").option("table", t)
+      .option("columnar", "false").load()
+
   test("scanning a larger-than-budget table: bounded heap, identical answers, LRU evictions") {
     val name = "bc_bound"
     BucketStore.drop(name)
     BucketStore.load(spark, name,
       (1 to 8000).map(i => (i.toLong, s"tag-$i-${"x" * 40}", i * 1.5)).toDF("k", "tag", "v"),
       "k", 8)
-    val full = scan(name).agg(sum("v")).head().getDouble(0)
-    val wantCount = scan(name).count()
+    // plain row collects: aggregates would push down and take the
+    // stats-served / cold-projected paths, which never touch the cache
+    val want = rowScan(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(want.size === 8000)
 
     val dir = BucketStore.tableDir(name)
     val blockSizes = FileStore.readManifests(dir).last.buckets
@@ -43,9 +54,9 @@ class BlockCacheSpec extends SparkSuite {
       assert(BucketStore.get(name).buckets.loadedCount === 0)
 
       val ev0 = BlockCache.evictions.get()
-      assert(scan(name).agg(sum("v")).head().getDouble(0) === full,
-        "a budget-bounded scan must return the identical answer")
-      assert(scan(name).count() === wantCount)
+      val got = rowScan(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === want, "a budget-bounded scan must return the identical answer")
       assert(BlockCache.evictions.get() > ev0,
         "scanning past the budget must force evictions")
       assert(BucketStore.get(name).buckets.loadedCount < 8,
@@ -56,7 +67,8 @@ class BlockCacheSpec extends SparkSuite {
       // point lookups stay exact under the tiny budget (evict/reload loop)
       (1 to 5).foreach { i =>
         val k = i * 1000L
-        assert(scan(name).filter(col("k") === k).head().getString(1).startsWith(s"tag-$k-"))
+        assert(rowScan(name).filter(col("k") === k).head().getString(1)
+          .startsWith(s"tag-$k-"))
       }
     } finally BlockCache.budgetBytes = defaultBudget
     BucketStore.drop(name)

@@ -79,6 +79,52 @@ class BucketSkipSpec extends SparkSuite {
     assert(df.count() === 1L)
   }
 
+  test("cold SUM/group-by aggregate: projected streaming read — no dial, no heap fault (round 16)") {
+    import graft.sources.bucketed.{BucketedAggPartitionReader, FileStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 3000).map(i =>
+      (i.toLong, s"pad-$i-${"y" * 30}", i % 7, i * 1.5)).toDF("k", "pad", "grp", "price")
+    BucketStore.drop("skip_coldsum")
+    BucketStore.load(spark, "skip_coldsum", df, "k", 8)
+    val want = spark.sql(
+      "SELECT grp, count(*) AS n, sum(price) AS s FROM graft.`skip_coldsum` GROUP BY grp")
+      .as[(Int, Long, Double)].collect().toSet
+    val dir = BucketStore.unload("skip_coldsum").get
+    BucketStore.openFromDisk("skip_coldsum", dir)
+    ConnectionPool.reset()
+    val (pr0, ss0) = (FileStore.projectedReads.get(),
+      BucketedAggPartitionReader.statsServedCount.get())
+    val got = spark.sql(
+      "SELECT grp, count(*) AS n, sum(price) AS s FROM graft.`skip_coldsum` GROUP BY grp")
+      .as[(Int, Long, Double)].collect().toSet
+    assert(got === want, "the projected cold path must fold to identical partials")
+    assert(FileStore.projectedReads.get() - pr0 === 8L,
+      "every cold bucket must stream its aggregate columns projected")
+    assert(BucketedAggPartitionReader.statsServedCount.get() === ss0,
+      "a grouped SUM cannot be stats-served — this is the projected path")
+    assert(BucketStore.get("skip_coldsum").buckets.loadedCount === 0,
+      "a cold aggregate must not fault blocks into the heap cache")
+    val (created, reused) = ConnectionPool.stats
+    assert(created + reused === 0, "the projected path must not dial a connection")
+    // a FILTERED aggregate keeps the connection path (slice + row checks)
+    val pr1 = FileStore.projectedReads.get()
+    val f = spark.sql(
+      "SELECT count(*), sum(price) FROM graft.`skip_coldsum` WHERE k <= 100").head
+    assert((f.getLong(0), f.getDouble(1)) === ((100L, (1 to 100).map(_ * 1.5).sum)))
+    assert(FileStore.projectedReads.get() === pr1,
+      "a filtered aggregate must not take the projected path")
+    // hot blocks also keep the connection path (heap beats a re-read):
+    // warm every bucket through the row reader first
+    assert(spark.read.format("graft-buckets").option("table", "skip_coldsum")
+      .option("columnar", "false").load().collect().length === 3000)
+    val pr2 = FileStore.projectedReads.get()
+    assert(spark.sql("SELECT sum(price) FROM graft.`skip_coldsum`").head.getDouble(0)
+      === (1 to 3000).map(_ * 1.5).sum)
+    assert(FileStore.projectedReads.get() === pr2,
+      "hot buckets must aggregate from heap, not re-read the file")
+    BucketStore.drop("skip_coldsum")
+  }
+
   test("zone maps: out-of-range, null-free, and impossible-IN predicates plan zero buckets") {
     val df = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "price")
     BucketStore.drop("skip_zone")
