@@ -513,6 +513,7 @@ object SparkEntry {
     "q255_idempotent_append" -> graft.sources.bucketed.BucketedQueries.idempotentAppendQuery _,
     "q256_branch_gc_restart" -> graft.sources.bucketed.BucketedQueries.branchGcRestartQuery _,
     "q257_cold_columnar_sweep" -> graft.sources.bucketed.BucketedQueries.coldColumnarSweepQuery _,
+    "q258_cold_agg_projection" -> graft.sources.bucketed.BucketedQueries.coldAggProjectionQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -932,6 +933,7 @@ object SparkEntry {
     "q255_idempotent_append" -> graft.sources.bucketed.BucketedQueries.idempotentAppendSql,
     "q256_branch_gc_restart" -> graft.sources.bucketed.BucketedQueries.branchGcRestartSql,
     "q257_cold_columnar_sweep" -> graft.sources.bucketed.BucketedQueries.coldColumnarSweepSql,
+    "q258_cold_agg_projection" -> graft.sources.bucketed.BucketedQueries.coldAggProjectionSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -2064,6 +2064,54 @@ object BucketedQueries {
       |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q258 — COLD PUSHED AGGREGATE through the projected streaming
+    * path: a grouped count/sum/max pushes to the store's aggregate
+    * reader, and over a REOPENED (fully evicted) table each bucket's
+    * partial streams EXACTLY its three input columns from the parquet
+    * block — no connection dial, no full-row materialization, zero
+    * blocks resident afterwards. This is the SUM/group-by analog of
+    * q254's stats-served fast path (commit statistics cannot serve a
+    * SUM — it needs every value). The sum column is integer-valued
+    * (l_quantity), so the double partials are exact and
+    * order-independent — the fast path can only skip I/O, never change
+    * an answer. At 100 TB: `SELECT grp, sum(x) FROM cold_table GROUP
+    * BY grp` decodes the grp and x columns and nothing else.
+    */
+  def coldAggProjectionQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_coldagg@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice")),
+      "l_orderkey", NumBuckets)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the reopened table must start fully cold")
+    val pr0 = FileStore.projectedReads.get()
+    val fr0 = FileStore.filesRead.get()
+    val rows = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+         |  max(l_extendedprice) AS max_price
+         |FROM graft.`$name` GROUP BY l_returnflag""".stripMargin).collect()
+    require(FileStore.projectedReads.get() - pr0 == NumBuckets.toLong,
+      s"every cold bucket must stream its aggregate columns projected " +
+        s"(${FileStore.projectedReads.get() - pr0} of $NumBuckets did)")
+    require(FileStore.filesRead.get() == fr0,
+      "the cold aggregate must not row-materialize a single block")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a cold aggregate must not fault blocks into the heap cache")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), rows.head.schema)
+  }
+
+  val coldAggProjectionSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */
