@@ -282,6 +282,9 @@ object BucketStore {
       val dirHead = FileStore.maxManifestVersion(dir)
       if (if (replaceCurrent) dirHead > stamped.version else dirHead >= stamped.version) {
         versions.updateAndGet(v => math.max(v, dirHead))
+        // absorb the foreign commits NOW so the loser's plain retry
+        // re-plans against the new head (refresh-and-retry)
+        refreshFromDisk(name): Unit
         throw new ConcurrentWriteException(
           s"commit of '$name' v${stamped.version} lost to a concurrent writer: the " +
             s"directory already holds manifest v$dirHead — retry against the new head")
@@ -341,9 +344,11 @@ object BucketStore {
           statColumnsOf(name), txnsOf(name)), stats, replace = replaceCurrent)
     } catch {
       // a lost commit race is a RETRYABLE conflict, never a reason to
-      // degrade the table to heap-only — propagate it to the writer
+      // degrade the table to heap-only — propagate it to the writer,
+      // with the foreign commits already absorbed for the retry
       case e: ConcurrentWriteException =>
         versions.updateAndGet(v => math.max(v, FileStore.maxManifestVersion(tableDir(name))))
+        refreshFromDisk(name): Unit
         throw e
       case scala.util.control.NonFatal(e) =>
         if (sys.props.contains("graft.debug.spill")) e.printStackTrace()
@@ -377,10 +382,36 @@ object BucketStore {
     val all = FileStore.readManifests(dir)
     val named = all.filter(_.name == name)
     val ms = if (named.nonEmpty) named else all
-    val blockByPath = scala.collection.mutable.HashMap[String, BucketBlock]()
+    val hist = snapshotsOf(ms, scala.collection.mutable.HashMap[String, BucketBlock]())
+    tables.put(name, hist.toVector)
+    firstVersions.put(name, ms.last.firstVersion)
+    tableDirs.put(name, dir)
+    val cfg = ms.last.config
+    dmlModes.put(name, cfg.dmlMode)
+    cfg.check.foreach(checks.put(name, _))
+    if (cfg.tags.nonEmpty) tags.put(name, cfg.tags)
+    if (cfg.txns.nonEmpty) appliedTxns.put(name, cfg.txns)
+    registerStatColumns(name, cfg.statColumns)
+    // keep the global counters monotone past EVERY lineage in the
+    // directory, not just the one being reopened: a shared WAP-branch
+    // dir holds higher-versioned branch manifests, and seeding from
+    // the named lineage alone would let the next publish reuse (and
+    // with a replacing write, silently clobber) a branch's version
+    versions.updateAndGet(v => math.max(v, all.iterator.map(_.version).max))
+    lastStamp.updateAndGet(s => math.max(s, all.iterator.map(_.commitTs).max))
+    hist.last.version
+  }
+
+  /** Rebuild snapshots from manifests, every base block LAZY and
+    * deduplicated by path through `blockByPath` (seed it with the
+    * existing history's blocks to preserve COW identity across a
+    * refresh). Shared by [[openFromDisk]] and [[refreshFromDisk]].
+    */
+  private def snapshotsOf(ms: Seq[FileStore.Manifest],
+      blockByPath: scala.collection.mutable.HashMap[String, BucketBlock]): Seq[BucketTable] = {
     val deltaByPath = scala.collection.mutable.HashMap[String, Array[Row]]()
     val boundsByPath = scala.collection.mutable.HashMap[String, Array[Any]]()
-    val hist = ms.map { m =>
+    ms.map { m =>
       val blocks = m.buckets.map { bf =>
         if (bf.rows == 0) BucketBlock.ofMem(Array.empty[Row])
         else blockByPath.getOrElseUpdate(bf.path, BucketBlock.ofFile(bf))
@@ -402,23 +433,48 @@ object BucketStore {
           boundsByPath.getOrElseUpdate(f.path, FileStore.readRangeBounds(f))),
         m.layoutEpoch, mor, m.replicated, m.zBounds, m.hrw)
     }
-    tables.put(name, hist.toVector)
-    firstVersions.put(name, ms.last.firstVersion)
-    tableDirs.put(name, dir)
-    val cfg = ms.last.config
+  }
+
+  /** REFRESH-AND-RETRY, the second half of the cross-process commit
+    * protocol: absorb commits that landed in the table's directory
+    * from ANOTHER process — every manifest of this lineage newer than
+    * the in-heap head — appending their snapshots to the retained
+    * history (blocks shared BY PATH with the existing history, so COW
+    * identity and the heap cache survive) and adopting the newest
+    * commit's config (DML mode, CHECK, tags, stat columns, txn marks).
+    * The loser of a conditional-commit race is refreshed AUTOMATICALLY
+    * ([[spillAndManifest]]'s conflict path calls this before
+    * rethrowing), so a plain statement retry re-plans against the
+    * foreign head and COMPOSES with it instead of resurrecting a stale
+    * base — Delta/Iceberg's refresh-and-retry semantics. Returns the
+    * number of foreign commits absorbed.
+    */
+  def refreshFromDisk(name: String): Int = synchronized {
+    if (!isFileBacked(name)) return 0
+    val dir = tableDir(name)
+    val hist = tables.get(name)
+    if (hist == null || hist.isEmpty) return 0 // a first publish has no head to refresh
+    val head = hist.last.version
+    val fresh = FileStore.readManifests(dir)
+      .filter(m => m.name == name && m.version > head)
+    if (fresh.isEmpty) return 0
+    // share blocks with the existing history by path: a foreign commit
+    // re-referencing our files must resolve to OUR (possibly loaded)
+    // block instances, not cold duplicates
+    val blockByPath = scala.collection.mutable.HashMap[String, BucketBlock]()
+    hist.foreach(_.buckets.blocks.foreach(b =>
+      b.file.filter(_.path.nonEmpty).foreach(f => blockByPath.getOrElseUpdate(f.path, b))))
+    val absorbed = snapshotsOf(fresh, blockByPath)
+    tables.put(name, (hist ++ absorbed).takeRight(RetainedVersions))
+    val cfg = fresh.last.config
     dmlModes.put(name, cfg.dmlMode)
     cfg.check.foreach(checks.put(name, _))
-    if (cfg.tags.nonEmpty) tags.put(name, cfg.tags)
-    if (cfg.txns.nonEmpty) appliedTxns.put(name, cfg.txns)
+    if (cfg.tags.nonEmpty) tags.merge(name, cfg.tags, (a, b) => a ++ b)
+    recordTxnsFrom(name, cfg.txns)
     registerStatColumns(name, cfg.statColumns)
-    // keep the global counters monotone past EVERY lineage in the
-    // directory, not just the one being reopened: a shared WAP-branch
-    // dir holds higher-versioned branch manifests, and seeding from
-    // the named lineage alone would let the next publish reuse (and
-    // with a replacing write, silently clobber) a branch's version
-    versions.updateAndGet(v => math.max(v, all.iterator.map(_.version).max))
-    lastStamp.updateAndGet(s => math.max(s, all.iterator.map(_.commitTs).max))
-    hist.last.version
+    versions.updateAndGet(v => math.max(v, fresh.last.version))
+    lastStamp.updateAndGet(s => math.max(s, fresh.last.commitTs))
+    absorbed.size
   }
 
   /** Skip statistics for (bucket, column) WITHOUT materializing the
@@ -510,13 +566,22 @@ object BucketStore {
     */
   private def recordTxnAndPublish(name: String, txn: Option[(String, Long)],
       next: BucketTable): Unit = {
-    val before = appliedTxns.get(name) // immutable map (or null): exact restore
+    val before = appliedTxns.get(name) // immutable map (or null)
     recordTxn(name, txn)
     try publish(name, next)
     catch {
       case t: Throwable =>
-        if (txn.isDefined) {
-          if (before == null) appliedTxns.remove(name) else appliedTxns.put(name, before)
+        // roll back OUR app's mark only: a conflict-triggered refresh
+        // may have absorbed foreign apps' marks we must not discard
+        txn.foreach { case (a, _) =>
+          val prior = Option(before).flatMap(_.get(a))
+          appliedTxns.compute(name, (_, cur0) => {
+            val cur = if (cur0 == null) Map.empty[String, Long] else cur0
+            prior match {
+              case Some(v) => cur.updated(a, v)
+              case None => cur - a
+            }
+          })
           ()
         }
         throw t

@@ -138,6 +138,48 @@ class ConditionalCommitSpec extends SparkSuite {
     BucketStore.drop(base)
   }
 
+  test("refresh-and-retry: a foreign commit is absorbed automatically and the retry composes on top") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    mk("cas_refresh", n = 16, buckets = 2)
+    val name = "cas_refresh"
+    val dir = BucketStore.tableDir(name)
+    val v = BucketStore.currentVersion(name)
+    // a CONSISTENT foreign commit: the head snapshot republished at a
+    // higher version by "another process" — content version matches
+    // the filename, commit stamp advanced (it re-references our files,
+    // exactly what a foreign writer's COW commit does)
+    val head = new String(Files.readAllBytes(dir.resolve(s"manifest-v$v.json")), UTF_8)
+    val ts = BucketStore.get(name).commitTs
+    val foreignV = v + 1000L
+    val foreign = head
+      .replace(s""""version":$v,"firstVersion"""", s""""version":$foreignV,"firstVersion"""")
+      .replace(s""""commitTs":$ts""", s""""commitTs":${ts + 1000000L}""")
+    assert(foreign != head, "the foreign manifest must actually differ")
+    Files.write(dir.resolve(s"manifest-v$foreignV.json"), foreign.getBytes(UTF_8))
+    // the local commit loses the race...
+    intercept[BucketStore.ConcurrentWriteException] {
+      BucketStore.deleteWhere(name, _.getLong(0) == 1L)
+    }
+    // ...and the loser has ALREADY absorbed the foreign head
+    assert(BucketStore.currentVersion(name) === foreignV,
+      "the conflict path must refresh the heap to the foreign head")
+    assert(BucketStore.refreshFromDisk(name) === 0, "nothing further to absorb")
+    // the foreign snapshot shares OUR block instances by path (COW
+    // identity survives the refresh — the heap cache is not duplicated)
+    val foreignSnap = BucketStore.snapshot(name, foreignV)
+    val origSnap = BucketStore.snapshot(name, v)
+    (0 until 2).foreach(b =>
+      assert(foreignSnap.buckets.sharesWith(origSnap.buckets, b),
+        s"bucket $b must share storage with the original snapshot"))
+    // the PLAIN retry lands on top of the foreign commit
+    BucketStore.deleteWhere(name, _.getLong(0) == 1L)
+    assert(BucketStore.currentVersion(name) > foreignV)
+    assert(scan(name).count() === 15L)
+    assert(BucketStore.retained(name).contains(foreignV),
+      "the absorbed foreign version stays time-travel readable")
+    BucketStore.drop(name)
+  }
+
   test("a torn publish (blocks spilled, manifest never landed) is ignored at reopen and swept by GC") {
     mk("cas_torn", n = 16, buckets = 2)
     val name = "cas_torn"
