@@ -514,6 +514,7 @@ object SparkEntry {
     "q256_branch_gc_restart" -> graft.sources.bucketed.BucketedQueries.branchGcRestartQuery _,
     "q257_cold_columnar_sweep" -> graft.sources.bucketed.BucketedQueries.coldColumnarSweepQuery _,
     "q258_cold_agg_projection" -> graft.sources.bucketed.BucketedQueries.coldAggProjectionQuery _,
+    "q259_commit_race" -> graft.sources.bucketed.BucketedQueries.commitRaceQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -934,6 +935,7 @@ object SparkEntry {
     "q256_branch_gc_restart" -> graft.sources.bucketed.BucketedQueries.branchGcRestartSql,
     "q257_cold_columnar_sweep" -> graft.sources.bucketed.BucketedQueries.coldColumnarSweepSql,
     "q258_cold_agg_projection" -> graft.sources.bucketed.BucketedQueries.coldAggProjectionSql,
+    "q259_commit_race" -> graft.sources.bucketed.BucketedQueries.commitRaceSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -2112,6 +2112,74 @@ object BucketedQueries {
       |  max(l_extendedprice) AS max_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q259 — the CROSS-PROCESS COMMIT RACE end-to-end through SQL: a
+    * foreign writer lands a commit in the table's directory (a
+    * consistent manifest at a higher version, re-referencing the same
+    * files — what another process's COW commit IS), the local DELETE
+    * loses the conditional-commit CAS loudly
+    * ([[BucketStore.ConcurrentWriteException]]), the engine absorbs
+    * the foreign head automatically ([[BucketStore.refreshFromDisk]]),
+    * and the retried statement re-plans against it and composes. The
+    * gate self-audits the whole protocol: the loser published nothing,
+    * the heap head is the foreign version, the retry lands past it,
+    * and the foreign version stays a readable snapshot. This is the
+    * Delta/Iceberg optimistic-commit loop that lets N independent
+    * ingest jobs share one table with no coordinator — the filesystem
+    * is the arbiter.
+    */
+  def commitRaceQuery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.Files
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"cust_race@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "c_custkey", 8)
+    val tdir = BucketStore.tableDir(name)
+    val v = BucketStore.currentVersion(name)
+    val fullCount = spark.table(s"graft.`$name`").count()
+    // the foreign commit: head content republished at a higher version
+    val head = new String(Files.readAllBytes(tdir.resolve(s"manifest-v$v.json")), UTF_8)
+    val ts = BucketStore.get(name).commitTs
+    val foreignV = v + 1000L
+    Files.write(tdir.resolve(s"manifest-v$foreignV.json"), head
+      .replace(s""""version":$v,"firstVersion"""", s""""version":$foreignV,"firstVersion"""")
+      .replace(s""""commitTs":$ts""", s""""commitTs":${ts + 1000000L}""")
+      .getBytes(UTF_8))
+    val del = s"DELETE FROM graft.`$name` WHERE c_custkey = 7"
+    val conflicted =
+      try { spark.sql(del); false }
+      catch {
+        case e: Throwable =>
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .exists(_.isInstanceOf[BucketStore.ConcurrentWriteException])
+      }
+    require(conflicted, "the local commit must lose the race loudly, never clobber")
+    require(BucketStore.currentVersion(name) == foreignV,
+      "the loser must absorb the foreign head before the retry")
+    require(spark.table(s"graft.`$name`").count() == fullCount,
+      "the lost statement must have published nothing")
+    spark.sql(del) // the plain retry composes on top of the foreign commit
+    require(BucketStore.currentVersion(name) > foreignV, "the retry must land past the race")
+    require(spark.sql(s"SELECT * FROM graft.`$name` VERSION AS OF $foreignV").count()
+      == fullCount, "the absorbed foreign version must stay a readable snapshot")
+    spark.table(s"graft.`$name`")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+  }
+
+  val commitRaceSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey <> 7
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */
