@@ -180,6 +180,41 @@ class ConditionalCommitSpec extends SparkSuite {
     BucketStore.drop(name)
   }
 
+  test("the changefeed crosses an absorbed foreign commit: zero net delta, retry's events intact") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    mk("cas_cdcref", n = 16, buckets = 2)
+    val name = "cas_cdcref"
+    val dir = BucketStore.tableDir(name)
+    val v = BucketStore.currentVersion(name)
+    val head = new String(Files.readAllBytes(dir.resolve(s"manifest-v$v.json")), UTF_8)
+    val ts = BucketStore.get(name).commitTs
+    val foreignV = v + 1000L
+    Files.write(dir.resolve(s"manifest-v$foreignV.json"), head
+      .replace(s""""version":$v,"firstVersion"""", s""""version":$foreignV,"firstVersion"""")
+      .replace(s""""commitTs":$ts""", s""""commitTs":${ts + 1000000L}""")
+      .getBytes(UTF_8))
+    intercept[BucketStore.ConcurrentWriteException] {
+      BucketStore.deleteWhere(name, _.getLong(0) == 2L)
+    }
+    BucketStore.deleteWhere(name, _.getLong(0) == 2L) // retry lands past foreignV
+    val retryV = BucketStore.currentVersion(name)
+    // batch CDC over (v, head]: the foreign commit shares every block
+    // with v (COW identity survived the refresh), so it nets to ZERO
+    // change events; the retry's delete is the only delta
+    val changes = spark.read.format("graft-buckets").option("table", name)
+      .option("mode", "cdc").option("changesstart", v.toString).load()
+      .select(org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col(CdcSchema.ChangeType),
+        org.apache.spark.sql.functions.col(CdcSchema.CommitVersion))
+      .collect()
+    assert(changes.length === 1,
+      s"an identical absorbed commit must net to zero events; got ${changes.toSeq}")
+    assert(changes.head.getLong(0) === 2L)
+    assert(changes.head.getString(1) === CdcSchema.Delete)
+    assert(changes.head.getLong(2) === retryV)
+    BucketStore.drop(name)
+  }
+
   test("a torn publish (blocks spilled, manifest never landed) is ignored at reopen and swept by GC") {
     mk("cas_torn", n = 16, buckets = 2)
     val name = "cas_torn"
