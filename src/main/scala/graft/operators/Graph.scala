@@ -274,7 +274,11 @@ object Graph {
   /** Oracle: q182's kNN-graph SQL as the edge CTE (verbatim, wrapped
     * as a derived table), then the 4 synchronous rounds unrolled —
     * each a plurality argmax per node (count desc, label tie-break),
-    * COALESCE keeping isolated nodes' labels.
+    * COALESCE keeping isolated nodes' labels. `edges`/`sym` are
+    * MATERIALIZED: the unrolled rounds reference them repeatedly, and
+    * without the hint DuckDB re-inlines the whole kNN-graph build per
+    * reference — tractable at the sf0.01 gate, a >77 GB spill at
+    * sf0.1 (observed round 16); with it, sub-second at both.
     */
   val labelPropagationSql: String = {
     def round(r: Int): String =
@@ -287,9 +291,9 @@ object Graph {
          |          ORDER BY count(*) DESC, l.label) AS rn
          |      FROM sym e JOIN lp${r - 1} l ON l.id = e.dst
          |      GROUP BY e.src, l.label) z WHERE rn = 1) w ON w.id = p.id)""".stripMargin
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT src, dst FROM (${Similarity.knnGraphSql}) g),
-       |sym AS (
+       |sym AS MATERIALIZED (
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT dst AS src, src AS dst FROM edges),
