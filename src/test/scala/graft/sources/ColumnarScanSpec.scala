@@ -106,6 +106,14 @@ class ColumnarScanSpec extends SparkSuite {
       .filter(col("k").isin(4095L, 4096L, 8191L, 8192L, 9999L))
       .collect().map(_.toSeq).toSet)
     assert(boundary.size === 5)
+    // and COLD: the same >1-batch bucket through the DIRECT vectorized
+    // reader (nextBatch loops over the file's pages) stays identical
+    val want = read(columnar = false).collect().map(_.toSeq).toSet
+    BucketStore.evictTable("colr_big")
+    val vr0 = FileStore.vectorReads.get()
+    val cold = read(columnar = true).collect().map(_.toSeq).toSet
+    assert(cold === want, "a multi-batch cold vectorized scan must be byte-identical")
+    assert(FileStore.vectorReads.get() - vr0 === 1L)
   }
 
   test("a COLD scan takes the direct vectorized parquet path: byte-identical, zero heap faults") {
