@@ -279,7 +279,17 @@ object BucketStore {
       // optimistic-concurrency path. The manifest write itself is the
       // CAS backstop for the list-then-write window
       // ([[FileStore.writeManifest]] fails on an existing target).
-      val dirHead = FileStore.maxManifestVersion(dir)
+      // replaceCurrent (analyze's in-place stats rewrite) compares
+      // against THIS lineage's head only: versions are globally unique
+      // across lineages sharing the directory, so a WAP branch always
+      // holds base-head+1 right after its fork — a lineage-blind max
+      // would make the base table's analyze a deterministic,
+      // unretryable conflict. Ordinary publishes keep the filename max
+      // (cheapest listing; any manifest at/past our version means our
+      // counter is stale regardless of lineage).
+      val dirHead =
+        if (replaceCurrent) FileStore.maxManifestVersionOf(dir, name)
+        else FileStore.maxManifestVersion(dir)
       if (if (replaceCurrent) dirHead > stamped.version else dirHead >= stamped.version) {
         versions.updateAndGet(v => math.max(v, dirHead))
         // absorb the foreign commits NOW so the loser's plain retry
@@ -571,14 +581,19 @@ object BucketStore {
     try publish(name, next)
     catch {
       case t: Throwable =>
-        // roll back OUR app's mark only: a conflict-triggered refresh
-        // may have absorbed foreign apps' marks we must not discard
-        txn.foreach { case (a, _) =>
+        // roll back OUR app's mark only — and only if it still holds
+        // the value THIS commit recorded: a conflict-triggered refresh
+        // inside the failed publish may have absorbed a same-app-id
+        // foreign mark (a failover/zombie instance of the same
+        // streaming app committing cross-process), and clobbering it
+        // back down would replay that foreign batch as a duplicate
+        txn.foreach { case (a, v) =>
           val prior = Option(before).flatMap(_.get(a))
           appliedTxns.compute(name, (_, cur0) => {
             val cur = if (cur0 == null) Map.empty[String, Long] else cur0
-            prior match {
-              case Some(v) => cur.updated(a, v)
+            if (!cur.get(a).contains(v)) cur // foreign mark absorbed — keep it
+            else prior match {
+              case Some(p) => cur.updated(a, p)
               case None => cur - a
             }
           })

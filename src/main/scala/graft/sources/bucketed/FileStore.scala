@@ -472,16 +472,26 @@ object FileStore {
     ()
   }
 
+  /** Drain `f` over the directory listing and CLOSE the stream —
+    * `Files.list` holds an open directory fd until closed, and the
+    * pre-flight listing runs on EVERY publish, so leaking it to GC
+    * scales descriptor pressure with commit rate.
+    */
+  private def listDir[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Highest manifest version present in `dir` (filename parse only —
     * the cheap pre-flight every commit runs), or -1 for none.
     */
   private[bucketed] def maxManifestVersion(dir: Path): Long = {
     if (!Files.isDirectory(dir)) return -1L
-    Files.list(dir).iterator().asScala
+    listDir(dir)(_
       .map(_.getFileName.toString)
       .filter(_.matches("manifest-v\\d+\\.json"))
       .map(_.stripPrefix("manifest-v").stripSuffix(".json").toLong)
-      .foldLeft(-1L)(math.max)
+      .foldLeft(-1L)(math.max))
   }
 
   // name-per-manifest-path cache: a manifest file is write-once under
@@ -498,7 +508,7 @@ object FileStore {
     */
   private[bucketed] def manifestIndex(dir: Path): Seq[(String, Long)] = {
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
+    listDir(dir)(_
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
       .map { p =>
         val v = p.getFileName.toString.stripPrefix("manifest-v").stripSuffix(".json").toLong
@@ -506,8 +516,18 @@ object FileStore {
           (JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
             \ "name").extract[String])
         (name, v)
-      }.toSeq
+      }.toSeq)
   }
+
+  /** Highest manifest version of lineage `name` in `dir`, or -1 —
+    * the pre-flight head for in-place rewrites ([[writeManifest]]'s
+    * `replace` mode): the directory-wide filename max spans OTHER
+    * lineages sharing the dir (a WAP branch holds base-head+1 right
+    * after its fork), so comparing a base-table rewrite against it
+    * would conflict deterministically and forever.
+    */
+  private[bucketed] def maxManifestVersionOf(dir: Path, name: String): Long =
+    manifestIndex(dir).collect { case (`name`, v) => v }.foldLeft(-1L)(math.max)
 
   /** Delete every manifest of lineage `name` in `dir` (the drop-branch
     * path: the lineage is being abandoned ON PURPOSE, so its manifests
@@ -517,7 +537,7 @@ object FileStore {
   private[bucketed] def deleteManifestsOf(dir: Path, name: String): Int = {
     if (!Files.isDirectory(dir)) return 0
     var removed = 0
-    Files.list(dir).iterator().asScala
+    listDir(dir)(_
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
       .foreach { p =>
         val n = manifestNameCache.computeIfAbsent(p.toString, _ =>
@@ -525,9 +545,14 @@ object FileStore {
             \ "name").extract[String])
         if (n == name) {
           Files.deleteIfExists(p)
+          // the cache's write-once assumption ends at deletion: another
+          // process's independent version counter can re-allocate a
+          // GC'd version at this exact path, and a stale entry would
+          // report the DEAD lineage's name — corrupting the GC root set
+          manifestNameCache.remove(p.toString)
           removed += 1
         }
-      }
+      })
     removed
   }
 
@@ -555,8 +580,8 @@ object FileStore {
     */
   def readManifests(dir: Path): Seq[Manifest] = {
     require(Files.isDirectory(dir), s"openFromDisk: $dir is not a directory")
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json")).toSeq
+    val files = listDir(dir)(_
+      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json")).toSeq)
     require(files.nonEmpty, s"openFromDisk: no manifests in $dir")
     files.map(readManifest(dir, _)).sortBy(_.version)
   }
@@ -668,30 +693,34 @@ object FileStore {
     */
   private[bucketed] def gc(dir: Path, retainedVersions: Set[Long]): Int = {
     if (!Files.isDirectory(dir)) return 0
-    val retainedManifests = Files.list(dir).iterator().asScala
+    val retainedManifests = listDir(dir)(_
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
       .filter(p => retainedVersions.contains(
         p.getFileName.toString.stripPrefix("manifest-v").stripSuffix(".json").toLong))
-      .toSeq
+      .toSeq)
     val referenced: Set[String] = retainedManifests.flatMap { p =>
       val m = readManifest(dir, p)
       (m.buckets.map(_.path) ++ m.mor.valuesIterator.map(_._2.path) ++
         m.rangeBoundsFile.map(_.path)).filter(_.nonEmpty) :+ p.toString
     }.toSet
     var removed = 0
-    Files.list(dir).iterator().asScala.foreach { p =>
+    listDir(dir)(_.foreach { p =>
       if (!referenced.contains(p.toString) && !Files.isDirectory(p)) {
         Files.deleteIfExists(p)
+        manifestNameCache.remove(p.toString) // see deleteManifestsOf
         removed += 1
       }
-    }
+    })
     removed
   }
 
   /** Remove a dropped table's whole directory. */
   private[bucketed] def dropDir(dir: Path): Unit =
     if (Files.isDirectory(dir)) {
-      Files.list(dir).iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      listDir(dir)(_.foreach { p =>
+        Files.deleteIfExists(p)
+        manifestNameCache.remove(p.toString): Unit
+      })
       Files.deleteIfExists(dir)
       ()
     }

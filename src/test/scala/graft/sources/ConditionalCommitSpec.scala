@@ -237,6 +237,94 @@ class ConditionalCommitSpec extends SparkSuite {
     BucketStore.drop(name)
   }
 
+  test("analyze succeeds while a WAP branch holds a higher-versioned manifest in the shared dir") {
+    mk("cas_analyze", n = 16, buckets = 2)
+    val name = "cas_analyze"
+    BucketStore.createBranch(name, "wip")
+    // the branch fork published at base-head+1 in the SAME directory;
+    // analyze rewrites the BASE's current version in place — its
+    // pre-flight must compare against this lineage's own head, not the
+    // directory-wide filename max (which would conflict forever)
+    assert(FileStore.maxManifestVersion(BucketStore.tableDir(name)) >
+      BucketStore.currentVersion(name), "precondition: the branch owns the directory head")
+    BucketStore.registerStatColumns(name, Seq("v"))
+    BucketStore.refreshManifestStats(name) // threw ConcurrentWriteException before the fix
+    // the rewritten manifest carries the stat registration durably
+    val dir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, dir)
+    assert(BucketStore.statColumnsOf(name).contains("v"))
+    // a REAL foreign commit to this lineage still conflicts analyze
+    val v = BucketStore.currentVersion(name)
+    import java.nio.charset.StandardCharsets.UTF_8
+    val head = new String(Files.readAllBytes(dir.resolve(s"manifest-v$v.json")), UTF_8)
+    val foreignV = v + 1000L
+    Files.write(dir.resolve(s"manifest-v$foreignV.json"), head
+      .replace(s""""version":$v,"firstVersion"""", s""""version":$foreignV,"firstVersion"""")
+      .getBytes(UTF_8))
+    intercept[BucketStore.ConcurrentWriteException] {
+      BucketStore.refreshManifestStats(name)
+    }
+    BucketStore.drop(name)
+  }
+
+  test("a deleted branch's recreated manifest path reports the NEW lineage (cache invalidation)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val base = "cas_reuse"
+    mk(base, n = 8, buckets = 2)
+    BucketStore.createBranch(base, "dead")
+    val bname = BucketStore.branchName(base, "dead")
+    val bv = BucketStore.currentVersion(bname)
+    val dir = BucketStore.tableDir(base)
+    val reused = dir.resolve(s"manifest-v$bv.json")
+    // warm the name cache at the branch's path, then drop the branch
+    assert(FileStore.manifestIndex(dir).contains((bname, bv)))
+    assert(BucketStore.dropBranch(base, "dead"))
+    assert(!Files.exists(reused))
+    // "another process" (independent version counter) re-allocates the
+    // GC'd version for a DIFFERENT lineage at the exact same path
+    val v = BucketStore.currentVersion(base)
+    val head = new String(Files.readAllBytes(dir.resolve(s"manifest-v$v.json")), UTF_8)
+    Files.write(reused, head
+      .replace(s""""name":"$base"""", s""""name":"other_lineage"""")
+      .replace(s""""version":$v,"firstVersion"""", s""""version":$bv,"firstVersion"""")
+      .getBytes(UTF_8))
+    assert(FileStore.manifestIndex(dir).contains(("other_lineage", bv)),
+      "a stale path->name cache entry would report the DEAD branch here, " +
+        "mis-rooting GC against the live foreign lineage")
+    BucketStore.drop(base)
+  }
+
+  test("rollback after a failed publish keeps a same-app-id foreign mark absorbed mid-conflict") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    mk("cas_txn_foreign", n = 8, buckets = 1)
+    val name = "cas_txn_foreign"
+    val dir = BucketStore.tableDir(name)
+    val v = BucketStore.currentVersion(name)
+    val ts = BucketStore.get(name).commitTs
+    // a failover instance of the SAME app committed batch 9 in another
+    // process: the foreign manifest carries txns {app: 9}
+    val head = new String(Files.readAllBytes(dir.resolve(s"manifest-v$v.json")), UTF_8)
+    val foreignV = v + 1000L
+    Files.write(dir.resolve(s"manifest-v$foreignV.json"), head
+      .replace(s""""version":$v,"firstVersion"""", s""""version":$foreignV,"firstVersion"""")
+      .replace(s""""commitTs":$ts""", s""""commitTs":${ts + 1000000L}""")
+      .replace(""""txns":{}""", """"txns":{"app":9}""")
+      .getBytes(UTF_8))
+    val epoch = BucketStore.get(name).layoutEpoch
+    val batch: Array[Array[Row]] = Array(Array(Row(200L, "t-200", 2.0)))
+    // our commit of batch 7 loses the race; the conflict path absorbs
+    // the foreign head (and with it the app's mark 9)
+    intercept[BucketStore.ConcurrentWriteException] {
+      BucketStore.commitWrite(name, batch, truncate = false, epoch, txn = Some(("app", 7L)))
+    }
+    assert(BucketStore.txnVersionOf(name, "app") === Some(9L),
+      "the rollback must not discard the absorbed foreign high-water mark")
+    // a replay of the foreign batch 9 through THIS process stays a no-op
+    BucketStore.commitWrite(name, batch, truncate = false, epoch, txn = Some(("app", 9L)))
+    assert(scan(name).count() === 8L, "foreign batch 9 must not re-apply as a duplicate")
+    BucketStore.drop(name)
+  }
+
   private implicit class JIter[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext
