@@ -515,6 +515,7 @@ object SparkEntry {
     "q257_cold_columnar_sweep" -> graft.sources.bucketed.BucketedQueries.coldColumnarSweepQuery _,
     "q258_cold_agg_projection" -> graft.sources.bucketed.BucketedQueries.coldAggProjectionQuery _,
     "q259_commit_race" -> graft.sources.bucketed.BucketedQueries.commitRaceQuery _,
+    "q260_cold_filtered_sweep" -> graft.sources.bucketed.BucketedQueries.coldFilteredSweepQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -936,6 +937,7 @@ object SparkEntry {
     "q257_cold_columnar_sweep" -> graft.sources.bucketed.BucketedQueries.coldColumnarSweepSql,
     "q258_cold_agg_projection" -> graft.sources.bucketed.BucketedQueries.coldAggProjectionSql,
     "q259_commit_race" -> graft.sources.bucketed.BucketedQueries.commitRaceSql,
+    "q260_cold_filtered_sweep" -> graft.sources.bucketed.BucketedQueries.coldFilteredSweepSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

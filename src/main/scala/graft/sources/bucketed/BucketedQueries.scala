@@ -2180,6 +2180,68 @@ object BucketedQueries {
       |FROM customer WHERE c_custkey <> 7
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** q260 — the FILTERED cold sweep through the vectorized path (the
+    * single most common 100 TB shape: `WHERE` + cold scan): analyze
+    * registers the filter column's commit statistics, the table is
+    * unloaded and reopened fully cold, and a date-predicated
+    * aggregate sweep then runs every bucket through the DIRECT
+    * parquet→`ColumnarBatch` reader — the pushed filter rides the
+    * path as a parquet row-group predicate ([[ParquetPruning]]) plus
+    * an exact compiled batch evaluator ([[VectorFilterEval]]); rows
+    * are never materialized, nothing faults into the heap cache, and
+    * plan-time pruning runs from the manifest's statistics (zero stat
+    * I/O). The aggregate sums an expression so aggregate pushdown
+    * declines and the SCAN path is what's measured. Before round 17
+    * this exact shape row-materialized through the double conversion
+    * the vectorized path was built to kill.
+    */
+  def coldFilteredSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_coldfilter@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate")),
+      "l_orderkey", NumBuckets)
+    // analyze: the filter columns' zone maps ride the manifest, so the
+    // reopened table plans its pruning with ZERO stat block reads
+    BucketStore.registerStatColumns(name, Seq("l_shipdate", "l_quantity"))
+    BucketStore.refreshManifestStats(name)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the reopened table must start fully cold")
+    val vr0 = FileStore.vectorReads.get()
+    val fr0 = FileStore.filesRead.get()
+    val cutoff = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val rows = spark.table(s"graft.`$name`")
+      .filter(col("l_shipdate") >= cutoff && col("l_quantity") > 5.0)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          (col("l_quantity") * col("l_extendedprice"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("rev"))
+      .collect()
+    require(FileStore.vectorReads.get() - vr0 == NumBuckets.toLong,
+      s"every cold bucket must serve the FILTERED scan vectorized " +
+        s"(${FileStore.vectorReads.get() - vr0} of $NumBuckets did)")
+    require(FileStore.filesRead.get() == fr0,
+      "the filtered sweep must not row-materialize a single block")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a filtered cold sweep must not fault blocks into the heap cache")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), rows.head.schema)
+  }
+
+  val coldFilteredSweepSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 5
+      |GROUP BY l_returnflag""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

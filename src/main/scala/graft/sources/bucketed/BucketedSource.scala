@@ -1536,30 +1536,34 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  /** DIRECT VECTORIZED path (round 16): a COLD (evicted/reopened),
-    * clean bucket scanned with no pushdown reads its parquet block
+  /** DIRECT VECTORIZED path (round 16; filters admitted round 17): a
+    * COLD (evicted/reopened), clean bucket reads its parquet block
     * through Spark's own [[org.apache.spark.sql.execution.datasources
     * .parquet.VectorizedParquetRecordReader]] straight into
     * `ColumnarBatch`es — no `InternalRow → Row → vector` double
-    * conversion, real column pruning at the file (only the projected
-    * columns decode), and NOTHING faults into the heap block cache
-    * (a cold analytical sweep must not evict the hot working set).
-    * Eligibility is decided at open, never mid-stream: any pushdown
-    * (filters/sample/limit/top-N — the scan consumes its claimed
-    * filters, so they must be enforced row-wise), metadata columns,
+    * conversion, real column pruning at the file (only the projected +
+    * filter columns decode), and NOTHING faults into the heap block
+    * cache (a cold analytical sweep must not evict the hot working
+    * set). PUSHED FILTERS ride the path end-to-end: a conservative
+    * parquet predicate ([[ParquetPruning]]) drops row groups/pages by
+    * their statistics, and a compiled vector evaluator
+    * ([[VectorFilterEval]]) enforces the filters exactly per batch,
+    * compacting survivors into the output vectors — `WHERE` + cold
+    * scan, the dominant shape at 100 TB, no longer pays the
+    * row-materializing fallback. Eligibility is decided at open,
+    * never mid-stream: sample/limit/top-N pushdown, metadata columns,
     * pending MoR state, an already-loaded block (the in-heap transpose
-    * is cheaper than re-reading the file), or a file whose stored
-    * schema predates the projection (pre-ALTER short blocks need the
-    * NULL-pad fetch path) falls back to the row-stream transpose.
-    * File order equals stored (cluster) order, so reported output
-    * ordering is preserved.
+    * is cheaper than re-reading the file), a filter shape the vector
+    * evaluator can't compile, or a file whose stored schema predates
+    * the projection (pre-ALTER short blocks need the NULL-pad fetch
+    * path) falls back to the row-stream transpose. File order equals
+    * stored (cluster) order and filtering preserves it, so reported
+    * output ordering survives.
     */
-  private val vectorized: Option[
-      org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader] =
-    tryVectorized()
+  private val vectorized: Option[VectorizedColdScan] = tryVectorized()
 
-  private def tryVectorized() = {
-    if (filters.nonEmpty || sample.nonEmpty || limit.nonEmpty || topN.nonEmpty ||
+  private def tryVectorized(): Option[VectorizedColdScan] = {
+    if (sample.nonEmpty || limit.nonEmpty || topN.nonEmpty ||
       required.isEmpty ||
       required.fieldNames.exists(n =>
         n == BucketedTable.MetaBucket || n == BucketedTable.MetaPos)) None
@@ -1569,22 +1573,8 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
       else {
         val blk = t.buckets.block(p.bucket)
         if (blk.isLoaded) None
-        else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap { f =>
-          try {
-            val r = new org.apache.spark.sql.execution.datasources.parquet
-              .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC",
-                false, batchSize)
-            r.initialize(f.path, java.util.Arrays.asList(required.fieldNames: _*))
-            r.initBatch(new StructType(), org.apache.spark.sql.catalyst.InternalRow.empty)
-            r.enableReturningBatches()
-            FileStore.vectorReads.incrementAndGet()
-            Some(r)
-          } catch {
-            // missing column (pre-ALTER file) or any schema drift: the
-            // row path below serves it with the standing NULL-pad fetch
-            case scala.util.control.NonFatal(_) => None
-          }
-        }
+        else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap(f =>
+          VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize))
       }
     }
   }
@@ -1615,7 +1605,7 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
     }
 
   override def next(): Boolean = vectorized match {
-    case Some(r) => r.nextBatch()
+    case Some(v) => v.nextBatch()
     case None =>
       if (!stream.it.hasNext) return false
       var n = 0
@@ -1631,15 +1621,192 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
   }
 
   override def get(): ColumnarBatch = vectorized match {
-    case Some(r) => r.resultBatch()
+    case Some(v) => v.get()
     case None => batch
   }
 
   override def close(): Unit = vectorized match {
-    case Some(r) => r.close()
+    case Some(v) => v.close()
     case None =>
       batch.close()
       stream.close()
+  }
+}
+
+/** One open cold-bucket vectorized scan: Spark's vectorized parquet
+  * reader initialized with the store's OWN requested schema (the exact
+  * projected + filter columns, typed from the table schema — never
+  * file-derived flag guesses), plus batch-level filter enforcement and
+  * survivor compaction when filters are pushed. See the path scaladoc
+  * on [[BucketedColumnarPartitionReader]].
+  */
+private[bucketed] final class VectorizedColdScan(
+    reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader,
+    readStruct: StructType, required: StructType,
+    filterFn: (org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Boolean,
+    batchSize: Int) {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  // compaction state exists only on the filtered path, and only
+  // allocates when a batch is actually partial
+  private lazy val outVectors = OnHeapColumnVector.allocateColumns(batchSize, required)
+  private lazy val outBatch = new ColumnarBatch(
+    outVectors.map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnVector]))
+  private lazy val copiers = required.fields.map(f => VectorizedColdScan.copier(f.dataType))
+  private lazy val sel = new Array[Int](batchSize)
+  private var usedOut = false
+
+  private var current: ColumnarBatch = _
+
+  def nextBatch(): Boolean = {
+    if (filterFn == null) {
+      val has = reader.nextBatch()
+      if (has) current = reader.resultBatch()
+      has
+    } else {
+      while (reader.nextBatch()) {
+        val in = reader.resultBatch()
+        val n = in.numRows()
+        var kept = 0
+        var r = 0
+        while (r < n) {
+          if (filterFn(in, r)) { sel(kept) = r; kept += 1 }
+          r += 1
+        }
+        if (kept == n && readStruct.length == required.length) {
+          // whole batch qualifies and carries no extra filter columns:
+          // hand the reader's batch through without a copy (the common
+          // case once row-group pruning has dropped non-matching data)
+          current = in
+          return true
+        } else if (kept > 0) {
+          outVectors.foreach(_.reset())
+          usedOut = true
+          var c = 0
+          while (c < copiers.length) {
+            // required fields are the FIRST readStruct columns, so the
+            // output column index equals the input column index
+            val src = in.column(c)
+            val dst = outVectors(c)
+            val copy = copiers(c)
+            var k = 0
+            while (k < kept) {
+              if (src.isNullAt(sel(k))) dst.putNull(k) else copy(src, sel(k), dst, k)
+              k += 1
+            }
+            c += 1
+          }
+          outBatch.setNumRows(kept)
+          current = outBatch
+          return true
+        }
+        // kept == 0: every row of this batch filtered out — keep reading
+      }
+      false
+    }
+  }
+
+  def get(): ColumnarBatch = current
+
+  def close(): Unit = {
+    reader.close()
+    if (usedOut) outBatch.close()
+  }
+}
+
+private[bucketed] object VectorizedColdScan {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnVector
+
+  /** Open the vectorized reader over one block file, or None when the
+    * projection/filter set is outside this path's reach (the row path
+    * serves it). On ANY init failure the partially-initialized reader
+    * is CLOSED before falling back — a dropped open parquet reader
+    * leaks its input stream.
+    */
+  def open(path: String, fullSchema: StructType, required: StructType,
+      filters: Array[Filter], batchSize: Int): Option[VectorizedColdScan] = {
+    // the read schema appends the filters' extra columns AFTER the
+    // projected ones, typed from the table schema — compaction then
+    // maps output column i to input column i
+    val readStruct: StructType =
+      if (filters.isEmpty) required
+      else {
+        val extra = filters.flatMap(_.references).distinct
+          .filterNot(required.fieldNames.contains)
+          .filter(fullSchema.fieldNames.contains)
+        StructType(required.fields ++ extra.map(fullSchema(_)))
+      }
+    val filterFn =
+      if (filters.isEmpty) null
+      else VectorFilterEval.compile(readStruct, filters).orNull
+    if (filters.nonEmpty && (filterFn == null ||
+        !required.fields.forall(f => copierSupported(f.dataType)))) {
+      if (sys.props.contains("graft.debug.vector"))
+        System.err.println(s"[graft-vector] ineligible: compile=${filterFn != null} " +
+          s"filters=${filters.mkString(",")} required=${required.fieldNames.mkString(",")}")
+      return None
+    }
+    var r: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = null
+    try {
+      r = new org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+          false, batchSize)
+      val conf = FileStore.readerConf(readStruct.json)
+      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+      if (filters.nonEmpty)
+        ParquetPruning.predicate(readStruct, filters).foreach(pred =>
+          org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred))
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val split = new org.apache.hadoop.mapred.FileSplit(hp, 0,
+        java.nio.file.Files.size(java.nio.file.Paths.get(path)), Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), org.apache.spark.sql.catalyst.InternalRow.empty)
+      r.enableReturningBatches()
+      FileStore.vectorReads.incrementAndGet()
+      Some(new VectorizedColdScan(r, readStruct, required, filterFn, batchSize))
+    } catch {
+      // missing column (pre-ALTER file), schema drift, unsupported
+      // predicate/physical-type pairing: the row path serves it with
+      // the standing NULL-pad fetch — but never leak the half-open
+      // reader's input stream
+      case scala.util.control.NonFatal(e) =>
+        if (sys.props.contains("graft.debug.vector")) e.printStackTrace()
+        if (r != null) {
+          try r.close() catch { case scala.util.control.NonFatal(_) => () }
+        }
+        None
+    }
+  }
+
+  private[bucketed] def copierSupported(t: org.apache.spark.sql.types.DataType): Boolean =
+    BucketedColumnarPartitionReader.supported(t)
+
+  /** Typed vector→vector value copy (null handled by the caller). */
+  private[bucketed] def copier(t: org.apache.spark.sql.types.DataType)
+      : (ColumnVector, Int, OnHeapColumnVector, Int) => Unit = {
+    import org.apache.spark.sql.types._
+    t match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (s, sr, d, dr) => d.putLong(dr, s.getLong(sr))
+      case IntegerType | DateType => (s, sr, d, dr) => d.putInt(dr, s.getInt(sr))
+      case ShortType => (s, sr, d, dr) => d.putShort(dr, s.getShort(sr))
+      case ByteType => (s, sr, d, dr) => d.putByte(dr, s.getByte(sr))
+      case DoubleType => (s, sr, d, dr) => d.putDouble(dr, s.getDouble(sr))
+      case FloatType => (s, sr, d, dr) => d.putFloat(dr, s.getFloat(sr))
+      case BooleanType => (s, sr, d, dr) => d.putBoolean(dr, s.getBoolean(sr))
+      case StringType => (s, sr, d, dr) => {
+        val u = s.getUTF8String(sr)
+        val bytes = u.getBytes
+        d.putByteArray(dr, bytes, 0, bytes.length): Unit
+      }
+      case other => throw new IllegalStateException(s"no vector copier for $other")
+    }
   }
 }
 
@@ -1653,7 +1820,7 @@ object BucketedColumnarPartitionReader {
     */
   def supported(t: DataType): Boolean = t match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
-         BooleanType | StringType | TimestampType | DateType => true
+         BooleanType | StringType | TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
 
@@ -1674,6 +1841,11 @@ object BucketedColumnarPartitionReader {
       case ins: java.time.Instant => v.putLong(s, DateTimeUtils.instantToMicros(ins))
       case other => throw new IllegalStateException(
         s"unexpected external timestamp value ${other.getClass}")
+    }
+    case TimestampNTZType => (v, s, x) => x match {
+      case ldt: java.time.LocalDateTime => v.putLong(s, DateTimeUtils.localDateTimeToMicros(ldt))
+      case other => throw new IllegalStateException(
+        s"unexpected external timestamp_ntz value ${other.getClass}")
     }
     case DateType => (v, s, x) => x match {
       case d: java.sql.Date => v.putInt(s, DateTimeUtils.fromJavaDate(d))
@@ -1701,6 +1873,7 @@ object BucketedColumnarPartitionReader {
   * and OR (true dominates), and only a final `Some(true)` keeps a row.
   */
 object FilterEval {
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
 
   def supports(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(c, v) => comparable(schema, c, v)
@@ -1726,6 +1899,10 @@ object FilterEval {
     schema.fieldNames.contains(c) && (v match {
       case _: Int | _: Long | _: Double | _: Float | _: Short | _: Byte | _: String |
            _: java.sql.Timestamp | _: java.sql.Date | _: java.math.BigDecimal => true
+      // the java.time externals: TIMESTAMP_NTZ literals are ALWAYS
+      // LocalDateTime; Instant/LocalDate appear when the session runs
+      // with datetime.java8API.enabled
+      case _: java.time.LocalDateTime | _: java.time.Instant | _: java.time.LocalDate => true
       case _ => false
     })
 
@@ -1800,6 +1977,19 @@ object FilterEval {
     case (x: String, y: String) => cmpCodePoints(x, y)
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) => x.compareTo(y)
+    case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
+    // a session flipping datetime.java8API mid-run mixes the external
+    // shapes of one instant — normalize through epoch micros/days
+    case (x: java.time.Instant, y: java.sql.Timestamp) =>
+      java.lang.Long.compare(DateTimeUtils.instantToMicros(x), DateTimeUtils.fromJavaTimestamp(y))
+    case (x: java.sql.Timestamp, y: java.time.Instant) =>
+      java.lang.Long.compare(DateTimeUtils.fromJavaTimestamp(x), DateTimeUtils.instantToMicros(y))
+    case (x: java.time.LocalDate, y: java.sql.Date) =>
+      Integer.compare(DateTimeUtils.localDateToDays(x), DateTimeUtils.fromJavaDate(y))
+    case (x: java.sql.Date, y: java.time.LocalDate) =>
+      Integer.compare(DateTimeUtils.fromJavaDate(x), DateTimeUtils.localDateToDays(y))
     case (x: Number, y: Number) =>
       // NaN/Infinity cannot round-trip through BigDecimal (it throws
       // NumberFormatException on legal input), and BigDecimal could not

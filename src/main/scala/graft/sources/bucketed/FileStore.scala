@@ -196,23 +196,16 @@ object FileStore {
     BlockFile(file.toString, rows.length)
   }
 
-  /** Read a block file back into rows, using the Spark schema the file
-    * itself carries (footer metadata) — self-describing, so a file
-    * written under an older (narrower) schema reads back in its stored
-    * short form and the fetch path pads, like heap always did.
+  /** Read-side Hadoop conf for one requested Spark schema: the SQLConf
+    * defaults Spark's parquet support classes read unconditionally,
+    * plus the requested-schema clip. Shared by the row readers here
+    * and the vectorized cold scan ([[BucketedColumnarPartitionReader]])
+    * so every path derives its batch/row types from the SAME requested
+    * schema, never from file-derived flag guesses.
     */
-  private[bucketed] def readBlock(f: BlockFile): Array[Row] = {
-    if (f.rows == 0 || f.path.isEmpty) return Array.empty[Row]
-    if (sys.props.contains("graft.debug.read"))
-      new Exception(s"readBlock ${f.path}").printStackTrace()
+  private[bucketed] def readerConf(requestedSchemaJson: String): Configuration = {
     val conf = new Configuration()
-    val hp = new HPath(f.path)
-    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
-    val schema =
-      try DataType.fromJson(footer.getFileMetaData.getKeyValueMetaData
-        .get(ParquetReadSupport.SPARK_METADATA_KEY)).asInstanceOf[StructType]
-      finally footer.close()
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requestedSchemaJson)
     setSqlDefaults(conf,
       SQLConf.CASE_SENSITIVE.key -> SQLConf.CASE_SENSITIVE.defaultValueString,
       SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key -> SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.defaultValueString,
@@ -222,6 +215,25 @@ object FileStore {
       SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key -> SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.defaultValueString,
       SQLConf.PARQUET_INT96_AS_TIMESTAMP.key -> SQLConf.PARQUET_INT96_AS_TIMESTAMP.defaultValueString,
       SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key -> SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.defaultValueString)
+    conf
+  }
+
+  /** Read a block file back into rows, using the Spark schema the file
+    * itself carries (footer metadata) — self-describing, so a file
+    * written under an older (narrower) schema reads back in its stored
+    * short form and the fetch path pads, like heap always did.
+    */
+  private[bucketed] def readBlock(f: BlockFile): Array[Row] = {
+    if (f.rows == 0 || f.path.isEmpty) return Array.empty[Row]
+    if (sys.props.contains("graft.debug.read"))
+      new Exception(s"readBlock ${f.path}").printStackTrace()
+    val hp = new HPath(f.path)
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(hp, new Configuration()))
+    val schema =
+      try DataType.fromJson(footer.getFileMetaData.getKeyValueMetaData
+        .get(ParquetReadSupport.SPARK_METADATA_KEY)).asInstanceOf[StructType]
+      finally footer.close()
+    val conf = readerConf(schema.json)
     val support = new ParquetReadSupport(None, enableVectorizedReader = false,
       corrected, corrected)
     val reader = ParquetReader.builder[InternalRow](support, hp).withConf(conf).build()
@@ -255,18 +267,8 @@ object FileStore {
   private[bucketed] def readBlockProjected(f: BlockFile,
       wanted: StructType): Iterator[Row] = {
     if (f.rows == 0 || f.path.isEmpty) return Iterator.empty
-    val conf = new Configuration()
     val hp = new HPath(f.path)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, wanted.json)
-    setSqlDefaults(conf,
-      SQLConf.CASE_SENSITIVE.key -> SQLConf.CASE_SENSITIVE.defaultValueString,
-      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key -> SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.defaultValueString,
-      SQLConf.PARQUET_BINARY_AS_STRING.key -> SQLConf.PARQUET_BINARY_AS_STRING.defaultValueString,
-      SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key -> SQLConf.PARQUET_FIELD_ID_READ_ENABLED.defaultValueString,
-      SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.key -> SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.defaultValueString,
-      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key -> SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.defaultValueString,
-      SQLConf.PARQUET_INT96_AS_TIMESTAMP.key -> SQLConf.PARQUET_INT96_AS_TIMESTAMP.defaultValueString,
-      SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key -> SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.defaultValueString)
+    val conf = readerConf(wanted.json)
     val support = new ParquetReadSupport(None, enableVectorizedReader = false,
       corrected, corrected)
     val reader = ParquetReader.builder[InternalRow](support, hp).withConf(conf).build()
@@ -325,6 +327,9 @@ object FileStore {
         val ts = v.asInstanceOf[java.sql.Timestamp]
         val micros = Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
         JObject("ts" -> JLong(micros))
+      case TimestampNTZType => JObject("ntz" -> JLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(
+          v.asInstanceOf[java.time.LocalDateTime])))
       case _: DecimalType =>
         JObject("dec" -> JString(v.asInstanceOf[java.math.BigDecimal].toString))
       case _ => JNothing
@@ -349,6 +354,8 @@ object FileStore {
           val out = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
           out.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
           out
+        case TimestampNTZType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime((j \ "ntz").extract[Long])
         case _: DecimalType => new java.math.BigDecimal((j \ "dec").extract[String])
         case _ => null
       }
@@ -369,16 +376,22 @@ object FileStore {
 
   private def colSkipOf(dt: DataType, j: JValue): Option[BucketSkip.ColSkip] = j match {
     case JNull | JNothing => None
-    case o => Some(BucketSkip.ColSkip(
-      rowCount = (o \ "rowCount").extract[Int],
-      nullCount = (o \ "nullCount").extract[Int],
-      min = statValOf(dt, o \ "min"),
-      max = statValOf(dt, o \ "max"),
-      bloom = o \ "bloom" match {
-        case JString(b64) => java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
-        case _ => null
-      },
-      bloomBits = (o \ "bloomBits").extract[Int]))
+    case o =>
+      val cs = BucketSkip.ColSkip(
+        rowCount = (o \ "rowCount").extract[Int],
+        nullCount = (o \ "nullCount").extract[Int],
+        min = statValOf(dt, o \ "min"),
+        max = statValOf(dt, o \ "max"),
+        bloom = o \ "bloom" match {
+          case JString(b64) => java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
+          case _ => null
+        },
+        bloomBits = (o \ "bloomBits").extract[Int])
+      // a null min with non-null rows is a stat value this codec
+      // couldn't round-trip (a pre-round-17 manifest's TIMESTAMP_NTZ
+      // entry): mayMatch reads min==null as "all null" and would
+      // WRONGLY skip the bucket — degrade to "no stats" instead
+      if (cs.min == null && cs.max == null && cs.nonNullCount > 0) None else Some(cs)
   }
 
   /** Serialize one snapshot (+ the table config that must survive a

@@ -1,0 +1,364 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pushed-filter evaluation DIRECTLY over `ColumnarBatch` vectors —
+  * what lets the cold vectorized scan ([[BucketedColumnarPartitionReader]])
+  * admit filtered scans instead of bailing to the row-materializing
+  * path. The scan CLAIMS its pushed filters (so aggregate/limit/top-N
+  * pushdown keep composing above it — returning them as residuals
+  * would put a Catalyst `Filter` between `Aggregate` and the relation
+  * and kill aggregate pushdown for every filtered aggregate), which
+  * means it must enforce them exactly; this evaluator enforces them at
+  * vector speed: literals are pre-converted ONCE to the vector's
+  * internal representation (UTF8String bytes, date days, timestamp
+  * micros) and each conjunct compiles to a primitive comparison
+  * closure — no per-row boxing, no `Row` materialization, and only the
+  * filter's referenced columns are ever decoded.
+  *
+  * Three-valued SQL semantics, byte-for-byte consistent with the row
+  * path's [[FilterEval.eval3]]: a NULL operand yields UNKNOWN and a
+  * row is kept only when every conjunct is definitely true. String
+  * order is UTF8String's byte order = code-point order — the same
+  * order [[FilterEval.cmp]] implements on external strings. A filter
+  * shape or literal/column type pairing this compiler can't express
+  * returns None and the scan falls back to the row path — eligibility
+  * is decided at open, never mid-stream.
+  */
+private[bucketed] object VectorFilterEval {
+
+  /** 1 = true, 0 = false, -1 = unknown (NULL operand). */
+  type Pred = (ColumnarBatch, Int) => Int
+
+  /** Compile the conjunction, or None if any conjunct is inexpressible. */
+  def compile(schema: StructType, filters: Array[Filter]): Option[(ColumnarBatch, Int) => Boolean] = {
+    val compiled = filters.map(compileOne(schema, _))
+    if (compiled.exists(_.isEmpty)) None
+    else {
+      val ps: Array[Pred] = compiled.map(_.get)
+      Some { (b, r) =>
+        var i = 0
+        var ok = true
+        while (ok && i < ps.length) { ok = ps(i)(b, r) == 1; i += 1 }
+        ok
+      }
+    }
+  }
+
+  private def compileOne(schema: StructType, f: Filter): Option[Pred] = f match {
+    case EqualTo(c, v) => nullAwareCmp(schema, c, v)(_ == 0)
+    case EqualNullSafe(c, v) =>
+      // <=> is never unknown: NULL <=> literal is definitively false
+      // (a null literal is rewritten to IsNull before pushdown)
+      cmpFn(schema, c, v).map { cf =>
+        val i = schema.fieldIndex(c)
+        (b, r) => if (b.column(i).isNullAt(r)) 0 else if (cf(b, r) == 0) 1 else 0
+      }
+    case GreaterThan(c, v) => nullAwareCmp(schema, c, v)(_ > 0)
+    case GreaterThanOrEqual(c, v) => nullAwareCmp(schema, c, v)(_ >= 0)
+    case LessThan(c, v) => nullAwareCmp(schema, c, v)(_ < 0)
+    case LessThanOrEqual(c, v) => nullAwareCmp(schema, c, v)(_ <= 0)
+    case IsNull(c) => fieldIdx(schema, c).map(i =>
+      (b, r) => if (b.column(i).isNullAt(r)) 1 else 0)
+    case IsNotNull(c) => fieldIdx(schema, c).map(i =>
+      (b, r) => if (b.column(i).isNullAt(r)) 0 else 1)
+    case In(c, vs) =>
+      val cfs = vs.map(cmpFn(schema, c, _))
+      if (cfs.exists(_.isEmpty) || !schema.fieldNames.contains(c)) None
+      else {
+        val arr = cfs.map(_.get)
+        val i = schema.fieldIndex(c)
+        Some { (b, r) =>
+          if (b.column(i).isNullAt(r)) -1
+          else {
+            var k = 0
+            var hit = false
+            while (!hit && k < arr.length) { hit = arr(k)(b, r) == 0; k += 1 }
+            if (hit) 1 else 0
+          }
+        }
+      }
+    case StringStartsWith(c, v) => stringPred(schema, c, UTF8String.fromString(v))(_.startsWith(_))
+    case StringEndsWith(c, v) => stringPred(schema, c, UTF8String.fromString(v))(_.endsWith(_))
+    case StringContains(c, v) => stringPred(schema, c, UTF8String.fromString(v))(_.contains(_))
+    case AlwaysTrue() => Some((_, _) => 1)
+    case AlwaysFalse() => Some((_, _) => 0)
+    case And(l, r) =>
+      for (lp <- compileOne(schema, l); rp <- compileOne(schema, r)) yield { (b, row) =>
+        val x = lp(b, row)
+        if (x == 0) 0
+        else {
+          val y = rp(b, row)
+          if (y == 0) 0 else if (x == 1 && y == 1) 1 else -1
+        }
+      }
+    case Or(l, r) =>
+      for (lp <- compileOne(schema, l); rp <- compileOne(schema, r)) yield { (b, row) =>
+        val x = lp(b, row)
+        if (x == 1) 1
+        else {
+          val y = rp(b, row)
+          if (y == 1) 1 else if (x == 0 && y == 0) 0 else -1
+        }
+      }
+    case Not(x) => compileOne(schema, x).map(p => (b, r) => p(b, r) match {
+      case 1 => 0
+      case 0 => 1
+      case other => other
+    })
+    case _ => None
+  }
+
+  private def fieldIdx(schema: StructType, c: String): Option[Int] =
+    if (schema.fieldNames.contains(c)) Some(schema.fieldIndex(c)) else None
+
+  private def nullAwareCmp(schema: StructType, c: String, v: Any)(
+      sign: Int => Boolean): Option[Pred] =
+    cmpFn(schema, c, v).map { cf =>
+      val i = schema.fieldIndex(c)
+      (b, r) => if (b.column(i).isNullAt(r)) -1 else if (sign(cf(b, r))) 1 else 0
+    }
+
+  private def stringPred(schema: StructType, c: String, lit: UTF8String)(
+      test: (UTF8String, UTF8String) => Boolean): Option[Pred] =
+    fieldIdx(schema, c).filter(i => schema(i).dataType == StringType).map { i =>
+      (b, r) =>
+        if (b.column(i).isNullAt(r)) -1
+        else if (test(b.column(i).getUTF8String(r), lit)) 1 else 0
+    }
+
+  /** Sign-of-comparison closure for a non-null vector value against a
+    * pre-converted literal, or None when the (column type, literal
+    * class) pairing has no exact primitive comparison — mixed-width
+    * numeric literals keep the row path's BigDecimal semantics by
+    * falling back entirely.
+    */
+  private def cmpFn(schema: StructType, c: String, v: Any): Option[(ColumnarBatch, Int) => Int] = {
+    if (v == null || !schema.fieldNames.contains(c)) return None
+    val i = schema.fieldIndex(c)
+    schema(i).dataType match {
+      case IntegerType => v match {
+        case x: java.lang.Integer =>
+          val l = x.intValue; Some((b, r) => Integer.compare(b.column(i).getInt(r), l))
+        case _ => None
+      }
+      case LongType => v match {
+        case x: java.lang.Long =>
+          val l = x.longValue; Some((b, r) => java.lang.Long.compare(b.column(i).getLong(r), l))
+        case _ => None
+      }
+      case ShortType => v match {
+        case x: java.lang.Short =>
+          val l = x.shortValue; Some((b, r) => java.lang.Short.compare(b.column(i).getShort(r), l))
+        case _ => None
+      }
+      case ByteType => v match {
+        case x: java.lang.Byte =>
+          val l = x.byteValue; Some((b, r) => java.lang.Byte.compare(b.column(i).getByte(r), l))
+        case _ => None
+      }
+      case DoubleType => v match {
+        case x: java.lang.Double =>
+          val l = x.doubleValue; Some((b, r) => cmpDouble(b.column(i).getDouble(r), l))
+        case _ => None
+      }
+      case FloatType => v match {
+        case x: java.lang.Float =>
+          val l = x.floatValue; Some((b, r) => cmpDouble(b.column(i).getFloat(r).toDouble, l.toDouble))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String =>
+          val lit = UTF8String.fromString(s)
+          Some((b, r) => b.column(i).getUTF8String(r).compareTo(lit))
+        case _ => None
+      }
+      case DateType =>
+        val days: Option[Int] = v match {
+          case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+          case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d))
+          case _ => None
+        }
+        days.map(d => (b, r) => Integer.compare(b.column(i).getInt(r), d))
+      case TimestampType =>
+        val micros: Option[Long] = v match {
+          case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+          case t: java.time.Instant => Some(DateTimeUtils.instantToMicros(t))
+          case _ => None
+        }
+        micros.map(m => (b, r) => java.lang.Long.compare(b.column(i).getLong(r), m))
+      case TimestampNTZType => v match {
+        case t: java.time.LocalDateTime =>
+          val m = DateTimeUtils.localDateTimeToMicros(t)
+          Some((b, r) => java.lang.Long.compare(b.column(i).getLong(r), m))
+        case _ => None
+      }
+      case dt: DecimalType => v match {
+        case x: java.math.BigDecimal =>
+          Some((b, r) =>
+            b.column(i).getDecimal(r, dt.precision, dt.scale).toJavaBigDecimal.compareTo(x))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** IEEE-with-SQL-equality compare, same outcomes as
+    * [[FilterEval.cmp]]'s finite BigDecimal path plus its non-finite
+    * Double.compare path: -0.0 == 0.0 (primitive ==), NaN largest
+    * (Double.compare fallthrough — reached only when an operand is NaN).
+    */
+  private def cmpDouble(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1 else if (x == y) 0 else java.lang.Double.compare(x, y)
+}
+
+/** Conservative parquet row-group/page pruning predicates from pushed
+  * filters, set on the vectorized cold scan's read options so parquet
+  * drops row groups (and, via column indexes, pages) whose statistics
+  * prove no row can match — the file-internal analog of the manifest's
+  * [[BucketSkip]] zone maps, which already pruned whole buckets at
+  * plan time. Pruning-only by contract: the batch-level
+  * [[VectorFilterEval]] enforces the filters exactly, so dropping an
+  * inexpressible conjunct (NOT, strings ops, mixed-type literals) only
+  * keeps more row groups, never changes an answer. Types map to the
+  * store's physical parquet encodings ([[FileStore.writeBlock]]:
+  * TIMESTAMP_MICROS as INT64, dates as INT32 days, strings as UTF-8
+  * binary); a column named with a dot is skipped (parquet would parse
+  * it as a nested path).
+  */
+private[bucketed] object ParquetPruning {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+
+  def predicate(schema: StructType, filters: Array[Filter]): Option[FilterPredicate] =
+    filters.flatMap(one(schema, _)).reduceOption(FilterApi.and)
+
+  private def one(schema: StructType, f: Filter): Option[FilterPredicate] = f match {
+    case EqualTo(c, v) => ops(schema, c).flatMap(_.eq(v))
+    case GreaterThan(c, v) => ops(schema, c).flatMap(_.gt(v))
+    case GreaterThanOrEqual(c, v) => ops(schema, c).flatMap(_.gtEq(v))
+    case LessThan(c, v) => ops(schema, c).flatMap(_.lt(v))
+    case LessThanOrEqual(c, v) => ops(schema, c).flatMap(_.ltEq(v))
+    case IsNull(c) => ops(schema, c).map(_.isNull)
+    case IsNotNull(c) => ops(schema, c).map(_.isNotNull)
+    case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
+      ops(schema, c).flatMap { o =>
+        val parts = vs.map(o.eq)
+        if (parts.exists(_.isEmpty)) None else parts.flatten.reduceOption(FilterApi.or)
+      }
+    case And(l, r) => (one(schema, l), one(schema, r)) match {
+      // AND may keep whichever side is expressible (conservative)
+      case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    case Or(l, r) =>
+      // OR needs BOTH sides (dropping one would prune matching groups)
+      for (a <- one(schema, l); b <- one(schema, r)) yield FilterApi.or(a, b)
+    case _ => None // NOT / string ops / sketchy shapes: batch filter handles
+  }
+
+  /** Typed predicate factory for one column, or None if the type has
+    * no safe physical mapping.
+    */
+  private trait Ops {
+    def eq(v: Any): Option[FilterPredicate]
+    def gt(v: Any): Option[FilterPredicate]
+    def gtEq(v: Any): Option[FilterPredicate]
+    def lt(v: Any): Option[FilterPredicate]
+    def ltEq(v: Any): Option[FilterPredicate]
+    def isNull: FilterPredicate
+    def isNotNull: FilterPredicate
+  }
+
+  private def ops(schema: StructType, c: String): Option[Ops] = {
+    if (c.contains('.') || !schema.fieldNames.contains(c)) return None
+    schema(c).dataType match {
+      case IntegerType => Some(intOps(c, { case x: java.lang.Integer => x }))
+      case ShortType => Some(intOps(c, { case x: java.lang.Short => Int.box(x.intValue) }))
+      case ByteType => Some(intOps(c, { case x: java.lang.Byte => Int.box(x.intValue) }))
+      case DateType => Some(intOps(c, {
+        case d: java.sql.Date => Int.box(DateTimeUtils.fromJavaDate(d))
+        case d: java.time.LocalDate => Int.box(DateTimeUtils.localDateToDays(d))
+      }))
+      case LongType => Some(longOps(c, { case x: java.lang.Long => x }))
+      case TimestampType => Some(longOps(c, {
+        case t: java.sql.Timestamp => Long.box(DateTimeUtils.fromJavaTimestamp(t))
+        case t: java.time.Instant => Long.box(DateTimeUtils.instantToMicros(t))
+      }))
+      case TimestampNTZType => Some(longOps(c, {
+        case t: java.time.LocalDateTime => Long.box(DateTimeUtils.localDateTimeToMicros(t))
+      }))
+      case DoubleType => Some(new Ops {
+        private val col = FilterApi.doubleColumn(c)
+        private def v2(v: Any): Option[java.lang.Double] = v match {
+          case x: java.lang.Double if !x.isNaN => Some(x)
+          case _ => None
+        }
+        def eq(v: Any) = v2(v).map(FilterApi.eq(col, _))
+        def gt(v: Any) = v2(v).map(FilterApi.gt(col, _))
+        def gtEq(v: Any) = v2(v).map(FilterApi.gtEq(col, _))
+        def lt(v: Any) = v2(v).map(FilterApi.lt(col, _))
+        def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
+        def isNull = FilterApi.eq(col, null.asInstanceOf[java.lang.Double])
+        def isNotNull = FilterApi.notEq(col, null.asInstanceOf[java.lang.Double])
+      })
+      case FloatType => Some(new Ops {
+        private val col = FilterApi.floatColumn(c)
+        private def v2(v: Any): Option[java.lang.Float] = v match {
+          case x: java.lang.Float if !x.isNaN => Some(x)
+          case _ => None
+        }
+        def eq(v: Any) = v2(v).map(FilterApi.eq(col, _))
+        def gt(v: Any) = v2(v).map(FilterApi.gt(col, _))
+        def gtEq(v: Any) = v2(v).map(FilterApi.gtEq(col, _))
+        def lt(v: Any) = v2(v).map(FilterApi.lt(col, _))
+        def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
+        def isNull = FilterApi.eq(col, null.asInstanceOf[java.lang.Float])
+        def isNotNull = FilterApi.notEq(col, null.asInstanceOf[java.lang.Float])
+      })
+      case StringType => Some(new Ops {
+        private val col = FilterApi.binaryColumn(c)
+        private def v2(v: Any): Option[Binary] = v match {
+          case s: String => Some(Binary.fromString(s))
+          case _ => None
+        }
+        def eq(v: Any) = v2(v).map(FilterApi.eq(col, _))
+        def gt(v: Any) = v2(v).map(FilterApi.gt(col, _))
+        def gtEq(v: Any) = v2(v).map(FilterApi.gtEq(col, _))
+        def lt(v: Any) = v2(v).map(FilterApi.lt(col, _))
+        def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
+        def isNull = FilterApi.eq(col, null.asInstanceOf[Binary])
+        def isNotNull = FilterApi.notEq(col, null.asInstanceOf[Binary])
+      })
+      case _ => None
+    }
+  }
+
+  private def intOps(c: String, conv: PartialFunction[Any, java.lang.Integer]): Ops = new Ops {
+    private val col = FilterApi.intColumn(c)
+    private def v2(v: Any): Option[java.lang.Integer] = conv.lift(v)
+    def eq(v: Any) = v2(v).map(FilterApi.eq(col, _))
+    def gt(v: Any) = v2(v).map(FilterApi.gt(col, _))
+    def gtEq(v: Any) = v2(v).map(FilterApi.gtEq(col, _))
+    def lt(v: Any) = v2(v).map(FilterApi.lt(col, _))
+    def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
+    def isNull = FilterApi.eq(col, null.asInstanceOf[java.lang.Integer])
+    def isNotNull = FilterApi.notEq(col, null.asInstanceOf[java.lang.Integer])
+  }
+
+  private def longOps(c: String, conv: PartialFunction[Any, java.lang.Long]): Ops = new Ops {
+    private val col = FilterApi.longColumn(c)
+    private def v2(v: Any): Option[java.lang.Long] = conv.lift(v)
+    def eq(v: Any) = v2(v).map(FilterApi.eq(col, _))
+    def gt(v: Any) = v2(v).map(FilterApi.gt(col, _))
+    def gtEq(v: Any) = v2(v).map(FilterApi.gtEq(col, _))
+    def lt(v: Any) = v2(v).map(FilterApi.lt(col, _))
+    def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
+    def isNull = FilterApi.eq(col, null.asInstanceOf[java.lang.Long])
+    def isNotNull = FilterApi.notEq(col, null.asInstanceOf[java.lang.Long])
+  }
+}

@@ -137,14 +137,66 @@ class ColumnarScanSpec extends SparkSuite {
     assert(narrow === want.map(s => Seq(s.head, s(2))))
   }
 
-  test("the vectorized path defers to the row path on pushdown, MoR state, and hot blocks") {
+  test("a FILTERED cold scan takes the vectorized path: byte-identical, zero heap faults") {
+    loadT()
+    // every filter shape the vector evaluator compiles, across types,
+    // nulls (every 13th row), strings, timestamps, and compositions —
+    // each compared byte-for-byte against the row path on the SAME
+    // cold state
+    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "key point" -> (col("k") === 77L),
+      "int range" -> (col("m") > 80 && col("m") <= 90),
+      "null probe" -> col("m").isNull,
+      "not null + double" -> (col("v").isNotNull && col("v") < 100.0),
+      "string cmp" -> (col("tag") >= "tag99"),
+      "starts-with" -> col("tag").startsWith("tag31"),
+      "in list" -> col("m").isin(3, 5, 96),
+      "or of ranges" -> (col("k") < 10L || col("k") >= 4090L),
+      "timestamp" -> (col("ts") > new java.sql.Timestamp(1700002000000L)),
+      "negation" -> !(col("flag") === true),
+      "everything matches" -> (col("k") >= 0L))
+    // first pass warms the plan-time skip stats (that pass loads blocks
+    // to build never-committed stats — the documented one-time cost)
+    preds.foreach { case (_, p) => read(columnar = true).filter(p).collect() }
+    preds.foreach { case (name, p) =>
+      BucketStore.evictTable("colr_t")
+      val want = read(columnar = false).filter(p).collect().map(_.toSeq).toSet
+      BucketStore.evictTable("colr_t")
+      assert(BucketStore.get("colr_t").buckets.loadedCount === 0)
+      val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+      val got = read(columnar = true).filter(p).collect().map(_.toSeq).toSet
+      assert(got === want, s"[$name] filtered cold vectorized scan must match the row path")
+      assert(FileStore.vectorReads.get() > vr0,
+        s"[$name] a filtered cold scan must take the vectorized path")
+      assert(FileStore.filesRead.get() === fr0,
+        s"[$name] the filtered vectorized path must not row-materialize any block")
+      assert(BucketStore.get("colr_t").buckets.loadedCount === 0,
+        s"[$name] a filtered cold sweep must not fault blocks into the heap cache")
+    }
+    // a filter the zone maps prove empty: every bucket is pruned AT
+    // PLAN TIME — no partition, no read of any kind, empty answer
+    BucketStore.evictTable("colr_t")
+    val (vrZ, frZ) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    assert(read(columnar = true).filter(col("m") === 9999).collect().isEmpty)
+    assert(FileStore.vectorReads.get() === vrZ && FileStore.filesRead.get() === frZ,
+      "a provably-empty filter must prune every bucket before any read path runs")
+    // filter column NOT in the projection: the read schema widens, the
+    // output stays pruned, answers still match
+    BucketStore.evictTable("colr_t")
+    val wantNarrow = read(columnar = false).filter(col("m") < 5)
+      .select(col("k"), col("tag")).collect().map(_.toSeq).toSet
+    BucketStore.evictTable("colr_t")
+    val vrN = FileStore.vectorReads.get()
+    val gotNarrow = read(columnar = true).filter(col("m") < 5)
+      .select(col("k"), col("tag")).collect().map(_.toSeq).toSet
+    assert(gotNarrow === wantNarrow)
+    assert(FileStore.vectorReads.get() > vrN)
+  }
+
+  test("the vectorized path defers to the row path on limit/top-N, MoR state, and hot blocks") {
     loadT()
     BucketStore.evictTable("colr_t")
     val vr0 = FileStore.vectorReads.get()
-    // pushed filter ⇒ row path (the scan must ENFORCE its claimed filters)
-    val hit = read(columnar = true).filter(col("k") === 77L).collect()
-    assert(hit.map(_.getLong(0)).toSeq === Seq(77L))
-    assert(FileStore.vectorReads.get() === vr0, "a filtered scan must not take the vectorized path")
     // warm every block through the row path: hot blocks serve from heap
     assert(read(columnar = false).collect().length === 4096)
     val full = read(columnar = true).collect()
@@ -166,7 +218,7 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.drop("colr_vmor")
   }
 
-  test("a pre-ALTER short block falls back cleanly when the projection needs the new column") {
+  test("a pre-ALTER short block NULL-pads the added column THROUGH the vectorized path") {
     BucketStore.drop("colr_alter")
     BucketStore.load(spark, "colr_alter",
       (0 until 128).map(i => (i.toLong, i * 2.0)).toDF("k", "v"), "k", 2)
@@ -180,12 +232,17 @@ class ColumnarScanSpec extends SparkSuite {
     val rows = df.collect()
     assert(rows.length === 128)
     assert(rows.forall(_.isNullAt(2)), "pre-ALTER rows must NULL-pad the added column")
-    assert(FileStore.vectorReads.get() === vr0,
-      "a file missing a projected column must fall back to the padding row path")
-    // while a projection of only the OLD columns stays vectorized
+    // round 17: the reader is initialized with the TABLE's requested
+    // schema, so parquet schema evolution serves the missing column as
+    // a null vector — no fallback, no row materialization
+    assert(FileStore.vectorReads.get() > vr0,
+      "a projected post-ALTER column must NULL-pad through the vectorized path")
+    assert(BucketStore.get("colr_alter").buckets.loadedCount === 0)
+    // identical rows through the row path (option columnar=false)
     BucketStore.evictTable("colr_alter")
-    assert(df.select(col("k"), col("v")).collect().length === 128)
-    assert(FileStore.vectorReads.get() > vr0)
+    val viaRow = spark.read.format("graft-buckets").option("table", "colr_alter")
+      .option("columnar", "false").load().collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet === viaRow)
     BucketStore.drop("colr_alter")
   }
 
