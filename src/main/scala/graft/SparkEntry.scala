@@ -516,6 +516,7 @@ object SparkEntry {
     "q258_cold_agg_projection" -> graft.sources.bucketed.BucketedQueries.coldAggProjectionQuery _,
     "q259_commit_race" -> graft.sources.bucketed.BucketedQueries.commitRaceQuery _,
     "q260_cold_filtered_sweep" -> graft.sources.bucketed.BucketedQueries.coldFilteredSweepQuery _,
+    "q261_cold_filtered_agg" -> graft.sources.bucketed.BucketedQueries.coldFilteredAggQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -938,6 +939,7 @@ object SparkEntry {
     "q258_cold_agg_projection" -> graft.sources.bucketed.BucketedQueries.coldAggProjectionSql,
     "q259_commit_race" -> graft.sources.bucketed.BucketedQueries.commitRaceSql,
     "q260_cold_filtered_sweep" -> graft.sources.bucketed.BucketedQueries.coldFilteredSweepSql,
+    "q261_cold_filtered_agg" -> graft.sources.bucketed.BucketedQueries.coldFilteredAggSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -2242,6 +2242,59 @@ object BucketedQueries {
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 5
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q261 — the FILTERED cold PUSHED aggregate on the projected
+    * streaming path: `SELECT grp, count, sum, max WHERE price > X` on
+    * a fully evicted table pushes both the filter AND the aggregate to
+    * the store, and each bucket's partial streams exactly FOUR columns
+    * (the group key, two aggregate inputs, and the filter column) from
+    * its parquet block — no connection dial, no full-row
+    * materialization, zero blocks resident afterwards. The filter
+    * evaluates against the projected schema inside the reader
+    * ([[FilterEval]] over the pruned row shape). q258 covered the
+    * unfiltered case; this is the everyday shape at 100 TB — a
+    * predicated rollup over a cold table that never touches a
+    * connection or the heap cache. The sum column is integer-valued,
+    * so the double partials are exact and order-independent.
+    */
+  def coldFilteredAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_coldfagg@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice")),
+      "l_orderkey", NumBuckets)
+    BucketStore.registerStatColumns(name, Seq("l_extendedprice"))
+    BucketStore.refreshManifestStats(name)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the reopened table must start fully cold")
+    val pr0 = FileStore.projectedReads.get()
+    val fr0 = FileStore.filesRead.get()
+    val rows = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+         |  max(l_extendedprice) AS max_price
+         |FROM graft.`$name` WHERE l_extendedprice > 2000.0
+         |GROUP BY l_returnflag""".stripMargin).collect()
+    require(FileStore.projectedReads.get() - pr0 == NumBuckets.toLong,
+      s"every cold bucket must stream its FILTERED aggregate projected " +
+        s"(${FileStore.projectedReads.get() - pr0} of $NumBuckets did)")
+    require(FileStore.filesRead.get() == fr0,
+      "the filtered cold aggregate must not row-materialize a single block")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a filtered cold aggregate must not fault blocks into the heap cache")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), rows.head.schema)
+  }
+
+  val coldFilteredAggSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem WHERE l_extendedprice > 2000.0
+      |GROUP BY l_returnflag""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

@@ -1102,17 +1102,20 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
   }
 
   private def rowScanAggregate(): Iterator[Row] = {
-    // COLD PROJECTED PATH (round 16): an UNFILTERED pushed aggregate
-    // over a clean, evicted, file-backed bucket streams EXACTLY its
-    // input columns from the parquet block — no connection dial, no
-    // full-row materialization, no heap-cache fault. This is the
-    // SUM/group-by analog of the stats-served fast path above (which
-    // covers only count/min/max): at 100 TB, `SELECT sum(x) FROM t`
-    // on a cold table decodes the x column and nothing else.
-    // Filtered aggregates keep the connection path (cluster-slice
-    // bounds + row checks); any open failure falls through loudly-
-    // cheaply to it as well.
-    if (filters.isEmpty && !p.prunedEmpty && !table.mor.contains(p.bucket)) {
+    // COLD PROJECTED PATH (round 16; filters admitted round 17): a
+    // pushed aggregate over a clean, evicted, file-backed bucket
+    // streams EXACTLY its input columns — aggregate inputs PLUS the
+    // filters' referenced columns — from the parquet block: no
+    // connection dial, no full-row materialization, no heap-cache
+    // fault. Pushed filters evaluate against the projected schema
+    // ([[FilterEval]] takes an arbitrary schema), and plan-time
+    // zone-map pruning ([[BucketSplits.plan]]) already dropped buckets
+    // that provably hold no match. This is the SUM/group-by analog of
+    // the stats-served fast path above: at 100 TB,
+    // `SELECT grp, sum(x) WHERE region = 'EU'` on a cold table decodes
+    // grp, x, and region — nothing else, through no connection. Any
+    // open failure falls through loudly-cheaply to the connection path.
+    if (!p.prunedEmpty && !table.mor.contains(p.bucket)) {
       val blk = table.buckets.block(p.bucket)
       if (!blk.isLoaded) {
         blk.file.filter(_.path.nonEmpty) match {
@@ -1122,11 +1125,17 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
               case PMin(c) => c
               case PMax(c) => c
               case PSum(c) => c
-            }).distinct.toSet
+            } ++ filters.flatMap(_.references).filter(fullSchema.fieldNames.contains))
+              .distinct.toSet
             val proj = org.apache.spark.sql.types.StructType(
               fullSchema.fields.filter(fd => names.contains(fd.name)))
-            try return aggregateRows(FileStore.readBlockProjected(f, proj), proj)
-            catch { case scala.util.control.NonFatal(_) => () }
+            try {
+              val rows = FileStore.readBlockProjected(f, proj)
+              val kept =
+                if (filters.isEmpty) rows
+                else rows.filter(r => filters.forall(FilterEval.eval(proj, _, r)))
+              return aggregateRows(kept, proj)
+            } catch { case scala.util.control.NonFatal(_) => () }
           case None if blk.rowCount == 0 && blk.file.isDefined =>
             // manifest-only empty bucket: nothing to open anywhere
             return aggregateRows(Iterator.empty, fullSchema)

@@ -106,13 +106,24 @@ class BucketSkipSpec extends SparkSuite {
       "a cold aggregate must not fault blocks into the heap cache")
     val (created, reused) = ConnectionPool.stats
     assert(created + reused === 0, "the projected path must not dial a connection")
-    // a FILTERED aggregate keeps the connection path (slice + row checks)
+    // a FILTERED aggregate (round 17) ALSO takes the projected path:
+    // the filter's column joins the projection and evaluates in-reader
+    // against the pruned schema — still no dial, still no heap fault.
+    // Analyze first so plan-time zone maps come from the manifest (the
+    // stat build loads blocks; evict to get back to a cold table)
+    BucketStore.registerStatColumns("skip_coldsum", Seq("k"))
+    BucketStore.refreshManifestStats("skip_coldsum")
+    BucketStore.evictTable("skip_coldsum")
     val pr1 = FileStore.projectedReads.get()
     val f = spark.sql(
       "SELECT count(*), sum(price) FROM graft.`skip_coldsum` WHERE k <= 100").head
     assert((f.getLong(0), f.getDouble(1)) === ((100L, (1 to 100).map(_ * 1.5).sum)))
-    assert(FileStore.projectedReads.get() === pr1,
-      "a filtered aggregate must not take the projected path")
+    assert(FileStore.projectedReads.get() > pr1,
+      "a filtered cold aggregate must take the projected path")
+    assert(BucketStore.get("skip_coldsum").buckets.loadedCount === 0,
+      "the filtered projected path must not fault blocks into the heap cache")
+    val (createdF, reusedF) = ConnectionPool.stats
+    assert(createdF + reusedF === 0, "the filtered projected path must not dial a connection")
     // hot blocks also keep the connection path (heap beats a re-read):
     // warm every bucket through the row reader first
     assert(spark.read.format("graft-buckets").option("table", "skip_coldsum")
