@@ -517,6 +517,7 @@ object SparkEntry {
     "q259_commit_race" -> graft.sources.bucketed.BucketedQueries.commitRaceQuery _,
     "q260_cold_filtered_sweep" -> graft.sources.bucketed.BucketedQueries.coldFilteredSweepQuery _,
     "q261_cold_filtered_agg" -> graft.sources.bucketed.BucketedQueries.coldFilteredAggQuery _,
+    "q262_reader_refresh" -> graft.sources.bucketed.BucketedQueries.readerRefreshQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -940,6 +941,7 @@ object SparkEntry {
     "q259_commit_race" -> graft.sources.bucketed.BucketedQueries.commitRaceSql,
     "q260_cold_filtered_sweep" -> graft.sources.bucketed.BucketedQueries.coldFilteredSweepSql,
     "q261_cold_filtered_agg" -> graft.sources.bucketed.BucketedQueries.coldFilteredAggSql,
+    "q262_reader_refresh" -> graft.sources.bucketed.BucketedQueries.readerRefreshSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -487,6 +487,54 @@ object BucketStore {
     absorbed.size
   }
 
+  // ——— READER-SIDE REFRESH (round 17) ———
+  //
+  // refreshFromDisk fires automatically only on a LOST COMMIT — a
+  // process that only READS never absorbs foreign commits and serves
+  // a stale (correct, snapshot-isolated) head forever. The standard
+  // 100 TB deployment is one writer + N reader processes, so readers
+  // get two surfaces: `CALL graft.refresh('t')` (immediate, explicit)
+  // and an OPT-IN staleness policy — scan planning and streaming
+  // offset discovery re-list the directory when the last check is
+  // older than the policy's window (one `Files.list` per check,
+  // O(listing); new manifests parse once via the path cache) and
+  // absorb whatever foreign commits landed. Off by default: snapshot
+  // isolation stays the contract unless the table opts in.
+
+  private val refreshPolicies = new ConcurrentHashMap[String, java.lang.Long]()
+  private val lastStalenessCheck = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Opt this table into staleness-triggered refresh: scans and
+    * streaming offset checks re-list the directory when the last look
+    * is older than `maxStalenessMs` (0 = every scan).
+    */
+  def setRefreshPolicy(name: String, maxStalenessMs: Long): Unit = {
+    require(maxStalenessMs >= 0, s"refresh policy must be >= 0 ms, got $maxStalenessMs")
+    refreshPolicies.put(name, maxStalenessMs)
+    ()
+  }
+
+  def clearRefreshPolicy(name: String): Unit = { refreshPolicies.remove(name); () }
+
+  /** The staleness-policy hook ([[BucketedScanBuilder]] planning,
+    * [[BucketMicroBatchStream]] offset discovery): absorb foreign
+    * commits iff the table opted in and the window elapsed. Returns
+    * commits absorbed (0 on every no-op path). The directory head is
+    * LINEAGE-scoped — a WAP branch's higher version in the shared dir
+    * is not a foreign commit to this lineage.
+    */
+  def maybeRefresh(name: String): Int = {
+    val policy = refreshPolicies.get(name)
+    if (policy == null || !isFileBacked(name)) return 0
+    val now = System.currentTimeMillis()
+    val last = lastStalenessCheck.get(name)
+    if (last != null && now - last < policy) return 0
+    lastStalenessCheck.put(name, now)
+    if (FileStore.maxManifestVersionOf(tableDir(name), name) > currentVersion(name))
+      refreshFromDisk(name)
+    else 0
+  }
+
   /** Skip statistics for (bucket, column) WITHOUT materializing the
     * fold: the base array's identity-cached stats plus (for MOR
     * buckets) the delta array's. Deleted rows stay counted in the base
@@ -1879,7 +1927,11 @@ object BucketStore {
         appliedTxns.remove(bname)
         tableDirs.remove(bname)
         tables.remove(bname)
+        refreshPolicies.remove(bname)
+        lastStalenessCheck.remove(bname)
       }
+      refreshPolicies.remove(name)
+      lastStalenessCheck.remove(name)
       firstVersions.remove(name)
       statColumns.remove(name)
       dmlModes.remove(name)

@@ -217,7 +217,8 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       Identifier.of(Array.empty, "reorder"), Identifier.of(Array.empty, "tag"),
       Identifier.of(Array.empty, "branch"), Identifier.of(Array.empty, "publish_branch"),
       Identifier.of(Array.empty, "drop_branch"), Identifier.of(Array.empty, "rollback"),
-      Identifier.of(Array.empty, "rebase_branch"))
+      Identifier.of(Array.empty, "rebase_branch"), Identifier.of(Array.empty, "refresh"),
+      Identifier.of(Array.empty, "refresh_policy"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -230,6 +231,8 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "repartition_range" => BucketedProcedures.RepartitionRange
       case "stats" => BucketedProcedures.Stats
       case "analyze" => BucketedProcedures.Analyze
+      case "refresh" => BucketedProcedures.Refresh
+      case "refresh_policy" => BucketedProcedures.RefreshPolicy
       case "compact" => BucketedProcedures.Compact
       case "reorder" => BucketedProcedures.Reorder
       case "tag" => BucketedProcedures.Tag

@@ -185,8 +185,13 @@ class BucketCdcMicroBatchStream(name: String, declaredBase: StructType, fetchSiz
 
   override def initialOffset(): Offset = new BucketStreamOffset(0L)
 
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = {
+    // staleness policy: a CHANGEFEED tailing a foreign writer's table
+    // sees new commits only if offset discovery absorbs them (opt-in,
+    // [[BucketStore.setRefreshPolicy]])
+    BucketStore.maybeRefresh(name): Unit
     new BucketStreamOffset(BucketStore.getWithRetry(name).version)
+  }
 
   override def deserializeOffset(json: String): Offset = new BucketStreamOffset(json.toLong)
 

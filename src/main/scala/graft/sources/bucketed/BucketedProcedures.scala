@@ -541,6 +541,72 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.refresh('t')` — absorb commits another PROCESS landed
+    * in the table's directory ([[BucketStore.refreshFromDisk]]): the
+    * explicit reader-side half of the cross-process protocol. The
+    * automatic half fires only on a lost commit, so a process that
+    * only READS never refreshes on its own; this call (or the opt-in
+    * staleness policy, [[RefreshPolicy]]) is how N reader jobs follow
+    * one foreign writer. Returns (absorbed, current_version).
+    * Metadata-only: one directory listing + manifest parses for the
+    * new versions; blocks stay lazy.
+    */
+  object Refresh extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "refresh"
+    override def description(): String =
+      "refresh(table): absorb foreign commits from the table's directory into this " +
+        "process's retained history; returns commits absorbed and the new head"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def isDeterministic: Boolean = false // absorbs live external state
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0), "refresh(table): table must be non-null")
+      val table = input.getUTF8String(0).toString
+      val absorbed = BucketStore.refreshFromDisk(table)
+      localScan(
+        StructType(Seq(
+          StructField("absorbed", IntegerType, nullable = false),
+          StructField("current_version", LongType, nullable = false))),
+        Array(InternalRow(absorbed, BucketStore.currentVersion(table))),
+        s"graft refresh($table)")
+    }
+  }
+
+  /** `CALL graft.refresh_policy('t', max_staleness_ms)` — opt the
+    * table into staleness-triggered refresh: scan planning and
+    * streaming offset discovery re-list the directory once per window
+    * (0 = every scan) and absorb foreign commits automatically, so a
+    * read-only process and a changefeed consumer FOLLOW a foreign
+    * writer with no explicit calls. A negative value clears the
+    * policy (back to snapshot-isolated-until-asked).
+    */
+  object RefreshPolicy extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "refresh_policy"
+    override def description(): String =
+      "refresh_policy(table, max_staleness_ms): auto-absorb foreign commits at scan/offset " +
+        "time when older than the window (0 = every scan; negative clears)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_staleness_ms", LongType).build())
+    override def isDeterministic: Boolean = false // mutates policy state
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "refresh_policy(table, max_staleness_ms): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      val ms = input.getLong(1)
+      val active = if (ms < 0) { BucketStore.clearRefreshPolicy(table); false }
+      else { BucketStore.setRefreshPolicy(table, ms); true }
+      localScan(
+        StructType(Seq(StructField("active", BooleanType, nullable = false))),
+        Array(InternalRow(active)),
+        s"graft refresh_policy($table)")
+    }
+  }
+
   object History extends UnboundProcedure with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =

@@ -2295,6 +2295,81 @@ object BucketedQueries {
       |FROM lineitem WHERE l_extendedprice > 2000.0
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q262 — READER-SIDE REFRESH end-to-end through SQL: multi-process
+    * READ, the other half of q259's multi-process WRITE. A foreign
+    * writer's commit is produced by the engine itself (a real DELETE's
+    * manifest, captured and withheld), the reader "restarts" seeing
+    * only the old head, the commit lands — and the reader, correctly
+    * snapshot-isolated, keeps serving its stale head until
+    * `CALL graft.refresh` absorbs the foreign version explicitly. A
+    * SECOND withheld commit then lands under
+    * `CALL graft.refresh_policy(t, 0)`: the next plain scan absorbs it
+    * at plan time with no explicit call — how N read-only jobs and
+    * changefeed consumers follow one foreign writer at 100 TB. The
+    * gate self-audits every step (stale before, absorbed count, head
+    * version, policy-driven follow).
+    */
+  def readerRefreshQuery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"cust_refresh@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "c_custkey", 8)
+    BucketStore.clearRefreshPolicy(name) // bench reruns must start policy-free
+    def liveCount(): Long = spark.table(s"graft.`$name`").count()
+    val tdir = BucketStore.tableDir(name)
+    val v0 = BucketStore.currentVersion(name)
+    val fullCount = liveCount()
+    // the "foreign" commit: a real DELETE's manifest, captured then
+    // withheld while this process's view rewinds to v0 (restart)
+    def withheldCommit(del: Long): (java.nio.file.Path, Array[Byte], Long) = {
+      spark.sql(s"DELETE FROM graft.`$name` WHERE c_custkey = $del")
+      val v = BucketStore.currentVersion(name)
+      val m = tdir.resolve(s"manifest-v$v.json")
+      val bytes = Files.readAllBytes(m)
+      Files.delete(m)
+      val d = BucketStore.unload(name).get
+      BucketStore.openFromDisk(name, d)
+      (m, bytes, v)
+    }
+    val (m1, bytes1, v1) = withheldCommit(7L)
+    require(BucketStore.currentVersion(name) == v0,
+      "the restarted reader must reopen at the old head")
+    require(liveCount() == fullCount, "the reader must serve its stale snapshot")
+    Files.write(m1, bytes1) // the foreign commit lands
+    require(liveCount() == fullCount,
+      "snapshot isolation: a reader never absorbs foreign commits unasked")
+    val r = spark.sql(s"CALL graft.refresh('$name')").head()
+    require(r.getInt(0) == 1, s"refresh must absorb exactly the foreign commit, got ${r.getInt(0)}")
+    require(BucketStore.currentVersion(name) == v1, "refresh must adopt the foreign head")
+    require(liveCount() == fullCount - 1, "the refreshed scan must see the foreign delete")
+    // second foreign commit, this time followed AUTOMATICALLY by policy
+    val (m2, bytes2, v2) = withheldCommit(8L)
+    require(liveCount() == fullCount - 1)
+    spark.sql(s"CALL graft.refresh_policy('$name', 0)")
+    Files.write(m2, bytes2)
+    require(liveCount() == fullCount - 2,
+      "a policy-refreshed scan must follow the foreign writer with no explicit call")
+    require(BucketStore.currentVersion(name) == v2)
+    BucketStore.clearRefreshPolicy(name)
+    spark.table(s"graft.`$name`")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+  }
+
+  val readerRefreshSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey NOT IN (7, 8)
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

@@ -401,6 +401,13 @@ class BucketedScanBuilder(name: String, opts: ConnectorOptions = ConnectorOption
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
 
+  // staleness policy (opt-in, [[BucketStore.setRefreshPolicy]]): a
+  // reader-only process absorbs foreign commits at plan time, BEFORE
+  // the snapshot pins — a time-travel pin reads its named version
+  // either way, so the check runs unconditionally and cheaply no-ops
+  // for tables that never opted in
+  BucketStore.maybeRefresh(name): Unit
+
   // the PINNED snapshot's schema: filters/pruning/projection resolve
   // against the version actually read (matters after ADD COLUMN)
   private val full: StructType = opts.versionAsOf

@@ -59,8 +59,13 @@ class BucketMicroBatchStream(name: String, required: StructType, filters: Array[
 
   override def initialOffset(): Offset = new BucketStreamOffset(0L)
 
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = {
+    // staleness policy: a stream tailing a table another PROCESS
+    // writes advances only if offset discovery absorbs the foreign
+    // commits — opt-in via [[BucketStore.setRefreshPolicy]]
+    BucketStore.maybeRefresh(name): Unit
     new BucketStreamOffset(BucketStore.getWithRetry(name).version)
+  }
 
   override def deserializeOffset(json: String): Offset = new BucketStreamOffset(json.toLong)
 

@@ -207,6 +207,69 @@ class BucketedStreamRecoverySpec extends SparkSuite {
       "folding the resumed feed must reproduce the reopened table exactly (no gap)")
   }
 
+  test("CDC changefeed follows a FOREIGN writer's commit under refresh_policy (round 17)") {
+    catalogOn()
+    val name = "rs_cdc_foreign"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (1 to 32).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), "k", 4)
+    BucketStore.clearRefreshPolicy(name)
+    val ckpt = Files.createTempDirectory("graft_rs_cdcf_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_rs_cdcf_out").toString
+    def startQuery() =
+      spark.readStream.format("graft-buckets")
+        .option("table", name).option("mode", "cdc").load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() === 32L)
+
+    // a FOREIGN writer's commit: produced by the engine (real DELETE),
+    // withheld while this process's view rewinds, then landed on disk —
+    // the heap head stays stale, exactly a second process committing
+    val v0 = BucketStore.currentVersion(name)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE k = 5")
+    val v1 = BucketStore.currentVersion(name)
+    val tdir0 = BucketStore.tableDir(name)
+    val m1 = tdir0.resolve(s"manifest-v$v1.json")
+    val bytes1 = Files.readAllBytes(m1)
+    Files.delete(m1)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    assert(BucketStore.currentVersion(name) === v0)
+    Files.write(m1, bytes1): Unit
+
+    // WITHOUT a policy the resumed feed is snapshot-isolated: it sits
+    // at the stale head and delivers nothing
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(outDir).count() === 32L,
+      "a reader process must not absorb foreign commits unasked")
+
+    // WITH the policy, offset discovery absorbs the foreign commit and
+    // the feed advances across it
+    BucketStore.setRefreshPolicy(name, 0L)
+    val q3 = startQuery()
+    try q3.processAllAvailable() finally q3.stop()
+    BucketStore.clearRefreshPolicy(name)
+    val events = spark.read.parquet(outDir)
+    assert(events.count() === 33L, "the foreign delete must be delivered exactly once")
+    val del = events.filter(col(CdcSchema.ChangeType) === CdcSchema.Delete).collect()
+    assert(del.length === 1 && del.head.getLong(0) === 5L)
+    assert(del.head.getLong(events.schema.fieldIndex(CdcSchema.CommitVersion)) === v1)
+    // fold reproduces the (foreign-committed) table exactly
+    val isAdd = col(CdcSchema.ChangeType).isin(CdcSchema.Adds: _*)
+    val live = events.groupBy(col("k"), col("v"))
+      .agg(sum(when(isAdd, 1L).otherwise(-1L)).as("n"))
+      .filter(col("n") > 0).select(col("k"), col("v"))
+      .as[(Long, Double)].collect().toSet
+    assert(live === spark.table(s"graft.`$name`").as[(Long, Double)].collect().toSet)
+    BucketStore.drop(name)
+  }
+
   test("HRW sink: undrained kills + upsert into a RENDEZVOUS table recover; rows at argmax owners") {
     catalogOn()
     loadPair("rs4_src", "rs4_dim", b1)
