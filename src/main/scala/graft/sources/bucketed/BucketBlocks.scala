@@ -9,8 +9,12 @@ import org.apache.spark.sql.Row
   * touched blocks are evicted (their rows reload lazily on next
   * touch), so a scan of a larger-than-budget table completes in
   * bounded heap instead of accreting the whole table. Blocks are
-  * charged at their FILE size (the stable, already-known number; heap
-  * arrays are a constant factor larger — pick the budget accordingly).
+  * charged at an ESTIMATED HEAP size (round 17): a 64-row sample of
+  * the loaded array, extrapolated — so the budget bounds what it
+  * claims to bound. File-size charging under-protected exactly when
+  * compression was best (a heap-relative default charged in snappy'd
+  * bytes); the heap estimate tracks the decoded arrays the budget
+  * actually protects the JVM from.
   *
   * Heap-only blocks (no backing file — a fresh pre-publish commit or a
   * heap-only table) are not evictable and are not tracked. The
@@ -75,6 +79,65 @@ object BlockCache {
       total -= victimBytes
     }
   }
+
+  /** Estimated JVM heap footprint of a loaded row array: a 64-row
+    * sample (evenly strided) extrapolated to the array's length.
+    * External `Row`s hold boxed values, so the constants model object
+    * headers + boxing, not encoded widths — intentionally a HEAP
+    * model, which is what the budget protects. Deterministic, so a
+    * block's charge is stable across reloads.
+    */
+  private[bucketed] def heapSizeEstimate(rows: Array[Row]): Long = {
+    if (rows.isEmpty) return 0L
+    val sample = math.min(rows.length, 64)
+    val step = math.max(1, rows.length / sample)
+    var bytes = 0L
+    var n = 0
+    var i = 0
+    while (i < rows.length && n < sample) {
+      bytes += rowBytes(rows(i)); n += 1; i += step
+    }
+    math.round(bytes.toDouble / n * rows.length)
+  }
+
+  private def rowBytes(r: Row): Long = {
+    var b = 32L + 8L * r.length // GenericRow + its value ref array
+    var j = 0
+    while (j < r.length) {
+      if (!r.isNullAt(j)) b += valueBytes(r.get(j))
+      j += 1
+    }
+    b
+  }
+
+  private def valueBytes(v: Any): Long = v match {
+    case s: String => 48L + s.length.toLong // String header + compact byte[]
+    case _: java.lang.Long | _: java.lang.Double => 24L
+    case _: java.lang.Integer | _: java.lang.Float | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Boolean => 16L
+    case _: java.sql.Timestamp | _: java.sql.Date => 32L
+    case _: java.time.LocalDateTime | _: java.time.Instant | _: java.time.LocalDate => 48L
+    case _: java.math.BigDecimal => 80L
+    case a: Array[Byte] => 16L + a.length
+    case a: Array[_] =>
+      if (a.length == 0) 16L
+      else {
+        var s = 0L
+        var k = 0
+        val probe = math.min(8, a.length)
+        while (k < probe) { if (a(k) != null) s += valueBytes(a(k)); k += 1 }
+        16L + 8L * a.length + s / probe * a.length
+      }
+    case q: scala.collection.Seq[_] =>
+      if (q.isEmpty) 40L
+      else {
+        val probe = q.iterator.take(8).toList
+        val per = probe.map(x => if (x == null) 0L else valueBytes(x)).sum / probe.length
+        40L + 8L * q.length + per * q.length
+      }
+    case r: Row => rowBytes(r)
+    case _ => 32L
+  }
 }
 
 /** One bucket's base payload: in-heap rows, optionally backed by an
@@ -130,14 +193,16 @@ final class BucketBlock private (
   }
 
   /** Register with the byte-budgeted cache (file-backed + loaded only),
-    * charged at the backing file's on-disk size.
+    * charged at the loaded array's ESTIMATED heap size — what the
+    * budget actually bounds. The estimate is a one-time 64-row sample
+    * at charge time (O(sample × arity), amortized to nothing against
+    * the load that just decoded the block).
     */
   private def chargeToCache(): Unit = {
     val f = fileRef
-    if (f != null && f.path.nonEmpty && mem != null) {
-      val bytes =
-        try java.nio.file.Files.size(java.nio.file.Paths.get(f.path))
-        catch { case _: java.io.IOException => 0L }
+    val m = mem
+    if (f != null && f.path.nonEmpty && m != null) {
+      val bytes = BlockCache.heapSizeEstimate(m)
       if (bytes > 0L) BlockCache.charged(this, bytes)
     }
   }
