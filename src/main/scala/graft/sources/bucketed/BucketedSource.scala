@@ -1109,43 +1109,77 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
   }
 
   private def rowScanAggregate(): Iterator[Row] = {
-    // COLD PROJECTED PATH (round 16; filters admitted round 17): a
-    // pushed aggregate over a clean, evicted, file-backed bucket
-    // streams EXACTLY its input columns — aggregate inputs PLUS the
-    // filters' referenced columns — from the parquet block: no
-    // connection dial, no full-row materialization, no heap-cache
-    // fault. Pushed filters evaluate against the projected schema
-    // ([[FilterEval]] takes an arbitrary schema), and plan-time
-    // zone-map pruning ([[BucketSplits.plan]]) already dropped buckets
-    // that provably hold no match. This is the SUM/group-by analog of
-    // the stats-served fast path above: at 100 TB,
-    // `SELECT grp, sum(x) WHERE region = 'EU'` on a cold table decodes
-    // grp, x, and region — nothing else, through no connection. Any
-    // open failure falls through loudly-cheaply to the connection path.
-    if (!p.prunedEmpty && !table.mor.contains(p.bucket)) {
+    // COLD PROJECTED PATH (round 16; filters + MoR admitted round 17):
+    // a pushed aggregate over an evicted, file-backed bucket streams
+    // EXACTLY its input columns — aggregate inputs PLUS the filters'
+    // referenced columns — from the parquet block: no connection dial,
+    // no full-row materialization, no heap-cache fault. Pushed filters
+    // evaluate against the projected schema ([[FilterEval]] takes an
+    // arbitrary schema), and plan-time zone-map pruning
+    // ([[BucketSplits.plan]]) already dropped buckets that provably
+    // hold no match. A bucket with pending merge-on-read state folds
+    // INLINE: the deletion bitmap is positional and the projected
+    // stream preserves file order, so deleted positions drop as they
+    // pass, and the delta rows (always in heap — they load eagerly at
+    // open, policy-bounded by auto-compaction) append projected. This
+    // is the SUM/group-by analog of the stats-served fast path above:
+    // at 100 TB, `SELECT grp, sum(x) WHERE region = 'EU'` on a cold
+    // table decodes grp, x, and region — nothing else, through no
+    // connection, write-heavy MoR tables included. Any open failure
+    // falls through loudly-cheaply to the connection path.
+    if (!p.prunedEmpty) {
       val blk = table.buckets.block(p.bucket)
+      val morState = table.mor.get(p.bucket)
       if (!blk.isLoaded) {
+        val names = (spec.groupCols ++ spec.aggs.collect {
+          case PCount(c) => c
+          case PMin(c) => c
+          case PMax(c) => c
+          case PSum(c) => c
+        } ++ filters.flatMap(_.references).filter(fullSchema.fieldNames.contains))
+          .distinct.toSet
+        val proj = org.apache.spark.sql.types.StructType(
+          fullSchema.fields.filter(fd => names.contains(fd.name)))
+        // LIVE delta rows projected to the same shape: the deletion
+        // bitmap covers delta positions too (a delta row deleted by a
+        // later MoR delete sits at bit baseLen + j — same arithmetic
+        // as [[BucketStore.folded]]); pre-ALTER short delta rows
+        // NULL-pad, the standing fetch-path contract
+        def deltaRows(baseLen: Int): Iterator[Row] = morState match {
+          case Some(m) if m.delta.nonEmpty =>
+            val idx = proj.fieldNames.map(fullSchema.fieldIndex)
+            m.delta.indices.iterator
+              .filter(j => !m.deleted.get(baseLen + j))
+              .map { j =>
+                val dr = m.delta(j)
+                Row.fromSeq(idx.toIndexedSeq.map(i => if (i < dr.length) dr.get(i) else null))
+              }
+          case _ => Iterator.empty
+        }
         blk.file.filter(_.path.nonEmpty) match {
           case Some(f) =>
-            val names = (spec.groupCols ++ spec.aggs.collect {
-              case PCount(c) => c
-              case PMin(c) => c
-              case PMax(c) => c
-              case PSum(c) => c
-            } ++ filters.flatMap(_.references).filter(fullSchema.fieldNames.contains))
-              .distinct.toSet
-            val proj = org.apache.spark.sql.types.StructType(
-              fullSchema.fields.filter(fd => names.contains(fd.name)))
             try {
-              val rows = FileStore.readBlockProjected(f, proj)
+              val base0 = FileStore.readBlockProjected(f, proj)
+              val base = morState match {
+                case Some(m) => base0.zipWithIndex.collect {
+                  case (r, pos) if !m.deleted.get(pos) => r
+                }
+                case None => base0
+              }
+              val all = base ++ deltaRows(blk.rowCount)
               val kept =
-                if (filters.isEmpty) rows
-                else rows.filter(r => filters.forall(FilterEval.eval(proj, _, r)))
+                if (filters.isEmpty) all
+                else all.filter(r => filters.forall(FilterEval.eval(proj, _, r)))
               return aggregateRows(kept, proj)
             } catch { case scala.util.control.NonFatal(_) => () }
           case None if blk.rowCount == 0 && blk.file.isDefined =>
-            // manifest-only empty bucket: nothing to open anywhere
-            return aggregateRows(Iterator.empty, fullSchema)
+            // manifest-only empty base: only the (possibly empty)
+            // delta contributes
+            val live = deltaRows(0)
+            val kept =
+              if (filters.isEmpty) live
+              else live.filter(r => filters.forall(FilterEval.eval(proj, _, r)))
+            return aggregateRows(kept, proj)
           case None => ()
         }
       }

@@ -136,6 +136,45 @@ class BucketSkipSpec extends SparkSuite {
     BucketStore.drop("skip_coldsum")
   }
 
+  test("MoR buckets fold INLINE on the cold projected aggregate path (round 17)") {
+    import graft.sources.bucketed.FileStore
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 2000).map(i => (i.toLong, s"pad-$i-${"z" * 20}", i % 5, i * 2.0))
+      .toDF("k", "pad", "grp", "price")
+    BucketStore.drop("skip_mor_agg")
+    BucketStore.load(spark, "skip_mor_agg", df, "k", 4)
+    BucketStore.setDmlMode("skip_mor_agg", BucketStore.MergeOnRead)
+    spark.sql("DELETE FROM graft.`skip_mor_agg` WHERE k % 10 = 0")
+    spark.sql("UPDATE graft.`skip_mor_agg` SET price = price + 100000 WHERE k % 10 = 1")
+    // a second update of already-updated rows: their first delta
+    // entries get DELETED (bitmap bits past baseLen) — the projected
+    // fold must honor delta-position deletes too
+    spark.sql("UPDATE graft.`skip_mor_agg` SET price = price + 100000 WHERE k % 10 = 1")
+    def agg(whereK: String) = spark.sql(
+      s"SELECT grp, count(*) AS n, sum(price) AS s FROM graft.`skip_mor_agg` $whereK " +
+        "GROUP BY grp").as[(Int, Long, Double)].collect().toSet
+    val wantAll = agg("")
+    val wantF = agg("WHERE k > 100")
+    // cold: evict base blocks (MoR deltas live in the snapshot, not in
+    // blocks — exactly the write-heavy cold table at 100 TB)
+    BucketStore.evictTable("skip_mor_agg")
+    assert(BucketStore.get("skip_mor_agg").buckets.loadedCount === 0)
+    ConnectionPool.reset()
+    val pr0 = FileStore.projectedReads.get()
+    assert(agg("") === wantAll, "the cold MoR fold must aggregate identically")
+    assert(FileStore.projectedReads.get() > pr0,
+      "a MoR bucket must take the projected path, not the connection")
+    assert(BucketStore.get("skip_mor_agg").buckets.loadedCount === 0,
+      "the MoR projected fold must not fault base blocks into heap")
+    BucketStore.evictTable("skip_mor_agg")
+    assert(agg("WHERE k > 100") === wantF,
+      "the FILTERED cold MoR aggregate must match the hot path")
+    assert(BucketStore.get("skip_mor_agg").buckets.loadedCount === 0)
+    val (created, reused) = ConnectionPool.stats
+    assert(created + reused === 0, "the MoR projected path must not dial a connection")
+    BucketStore.drop("skip_mor_agg")
+  }
+
   test("zone maps: out-of-range, null-free, and impossible-IN predicates plan zero buckets") {
     val df = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "price")
     BucketStore.drop("skip_zone")
