@@ -1600,8 +1600,10 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
     * ([[VectorFilterEval]]) enforces the filters exactly per batch,
     * compacting survivors into the output vectors — `WHERE` + cold
     * scan, the dominant shape at 100 TB, no longer pays the
-    * row-materializing fallback. Eligibility is decided at open,
-    * never mid-stream: sample/limit/top-N pushdown, metadata columns,
+    * row-materializing fallback. Pushed per-bucket LIMITs ride too
+    * (decode stops after n qualifying rows — a cold `LIMIT 10` reads
+    * ~one batch per bucket). Eligibility is decided at open,
+    * never mid-stream: sample/top-N pushdown, metadata columns,
     * pending MoR state, an already-loaded block (the in-heap transpose
     * is cheaper than re-reading the file), a filter shape the vector
     * evaluator can't compile, or a file whose stored schema predates
@@ -1613,7 +1615,7 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
   private val vectorized: Option[VectorizedColdScan] = tryVectorized()
 
   private def tryVectorized(): Option[VectorizedColdScan] = {
-    if (sample.nonEmpty || limit.nonEmpty || topN.nonEmpty ||
+    if (sample.nonEmpty || topN.nonEmpty ||
       required.isEmpty ||
       required.fieldNames.exists(n =>
         n == BucketedTable.MetaBucket || n == BucketedTable.MetaPos)) None
@@ -1624,7 +1626,7 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
         val blk = t.buckets.block(p.bucket)
         if (blk.isLoaded) None
         else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap(f =>
-          VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize))
+          VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize, limit))
       }
     }
   }
@@ -1694,13 +1696,13 @@ private[bucketed] final class VectorizedColdScan(
     reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader,
     readStruct: StructType, required: StructType,
     filterFn: (org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Boolean,
-    batchSize: Int) {
+    batchSize: Int, limit: Option[Int]) {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  // compaction state exists only on the filtered path, and only
-  // allocates when a batch is actually partial
+  // compaction state exists only on the filtered/limited path, and
+  // only allocates when a batch is actually partial
   private lazy val outVectors = OnHeapColumnVector.allocateColumns(batchSize, required)
   private lazy val outBatch = new ColumnarBatch(
     outVectors.map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnVector]))
@@ -1708,27 +1710,34 @@ private[bucketed] final class VectorizedColdScan(
   private lazy val sel = new Array[Int](batchSize)
   private var usedOut = false
 
+  // pushed per-bucket LIMIT: stop decoding once n qualifying rows have
+  // been emitted — a LIMIT 10 reads ~one batch per bucket, not the file
+  private var remaining: Int = limit.getOrElse(Int.MaxValue)
+
   private var current: ColumnarBatch = _
 
   def nextBatch(): Boolean = {
-    if (filterFn == null) {
+    if (filterFn == null && limit.isEmpty) {
       val has = reader.nextBatch()
       if (has) current = reader.resultBatch()
       has
     } else {
+      if (remaining <= 0) return false
       while (reader.nextBatch()) {
         val in = reader.resultBatch()
         val n = in.numRows()
         var kept = 0
         var r = 0
-        while (r < n) {
-          if (filterFn(in, r)) { sel(kept) = r; kept += 1 }
+        while (r < n && kept < remaining) {
+          if (filterFn == null || filterFn(in, r)) { sel(kept) = r; kept += 1 }
           r += 1
         }
         if (kept == n && readStruct.length == required.length) {
-          // whole batch qualifies and carries no extra filter columns:
-          // hand the reader's batch through without a copy (the common
-          // case once row-group pruning has dropped non-matching data)
+          // whole batch qualifies within the limit and carries no
+          // extra filter columns: hand the reader's batch through
+          // without a copy (the common case once row-group pruning has
+          // dropped non-matching data)
+          remaining -= kept
           current = in
           return true
         } else if (kept > 0) {
@@ -1749,6 +1758,7 @@ private[bucketed] final class VectorizedColdScan(
             c += 1
           }
           outBatch.setNumRows(kept)
+          remaining -= kept
           current = outBatch
           return true
         }
@@ -1777,7 +1787,8 @@ private[bucketed] object VectorizedColdScan {
     * leaks its input stream.
     */
   def open(path: String, fullSchema: StructType, required: StructType,
-      filters: Array[Filter], batchSize: Int): Option[VectorizedColdScan] = {
+      filters: Array[Filter], batchSize: Int,
+      limit: Option[Int] = None): Option[VectorizedColdScan] = {
     // the read schema appends the filters' extra columns AFTER the
     // projected ones, typed from the table schema — compaction then
     // maps output column i to input column i
@@ -1792,7 +1803,11 @@ private[bucketed] object VectorizedColdScan {
     val filterFn =
       if (filters.isEmpty) null
       else VectorFilterEval.compile(readStruct, filters).orNull
-    if (filters.nonEmpty && (filterFn == null ||
+    // filters must compile; filters OR a limit need the compaction
+    // copiers (a truncated/partial batch re-materializes into the
+    // output vectors)
+    if ((filters.nonEmpty && filterFn == null) ||
+      ((filters.nonEmpty || limit.nonEmpty) &&
         !required.fields.forall(f => copierSupported(f.dataType)))) {
       if (sys.props.contains("graft.debug.vector"))
         System.err.println(s"[graft-vector] ineligible: compile=${filterFn != null} " +
@@ -1819,7 +1834,7 @@ private[bucketed] object VectorizedColdScan {
       r.initBatch(new StructType(), org.apache.spark.sql.catalyst.InternalRow.empty)
       r.enableReturningBatches()
       FileStore.vectorReads.incrementAndGet()
-      Some(new VectorizedColdScan(r, readStruct, required, filterFn, batchSize))
+      Some(new VectorizedColdScan(r, readStruct, required, filterFn, batchSize, limit))
     } catch {
       // missing column (pre-ALTER file), schema drift, unsupported
       // predicate/physical-type pairing: the row path serves it with

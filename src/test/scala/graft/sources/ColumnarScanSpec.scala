@@ -193,7 +193,28 @@ class ColumnarScanSpec extends SparkSuite {
     assert(FileStore.vectorReads.get() > vrN)
   }
 
-  test("the vectorized path defers to the row path on limit/top-N, MoR state, and hot blocks") {
+  test("a cold LIMIT rides the vectorized path: n rows, bounded decode, zero heap faults") {
+    loadT()
+    BucketStore.evictTable("colr_t")
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    val all = read(columnar = false).collect().map(_.toSeq).toSet
+    BucketStore.evictTable("colr_t")
+    val got = read(columnar = true).limit(37).collect().map(_.toSeq)
+    assert(got.length === 37)
+    assert(got.toSet.subsetOf(all), "limited rows must be real table rows")
+    assert(FileStore.vectorReads.get() > vr0, "a cold LIMIT must take the vectorized path")
+    assert(BucketStore.get("colr_t").buckets.loadedCount === 0)
+    // filtered + limited composes: filter first, then the cap
+    BucketStore.evictTable("colr_t")
+    val fl = read(columnar = true).filter(col("m") < 50).limit(20).collect()
+    assert(fl.length === 20)
+    assert(fl.forall(r => !r.isNullAt(1) && r.getInt(1) < 50))
+    assert(FileStore.filesRead.get() === fr0 + 4L,
+      "only the warm-up row collect may row-materialize blocks")
+    BucketStore.evictTable("colr_t")
+  }
+
+  test("the vectorized path defers to the row path on top-N, MoR state, and hot blocks") {
     loadT()
     BucketStore.evictTable("colr_t")
     val vr0 = FileStore.vectorReads.get()
