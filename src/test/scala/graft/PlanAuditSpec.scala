@@ -548,6 +548,31 @@ class PlanAuditSpec extends SparkSuite {
       "a single-partition global sort would serialize the export")
   }
 
+  test("round 17: an NTZ timestamp predicate is CLAIMED by the scan and the plan stays columnar") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.bucketed.BucketStore
+    // l_shipdate is TIMESTAMP_NTZ (parquet micros, isAdjustedToUTC
+    // unset): before round 17 its pushed literal (LocalDateTime) was
+    // rejected by the claim check, leaving a residual Filter that
+    // forced the vectorized cold path to bail — the dominant 100 TB
+    // shape (WHERE + cold scan) row-materialized
+    val name = "audit_ntz"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity")),
+      "l_orderkey", 4)
+    val df = spark.read.format("graft-buckets").option("table", name).load()
+      .filter(col("l_shipdate") >= java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushed=[") && p.contains("l_shipdate"), p.take(600))
+    assert(!p.contains(" Filter "),
+      s"the NTZ predicate must be claimed, not residual:\n${p.take(600)}")
+    assert(p.contains("ColumnarToRow"),
+      s"the filtered scan must stay columnar:\n${p.take(600)}")
+    BucketStore.drop(name)
+  }
+
   test("q208: MaxSim re-rank adds NO join beyond the single broadcast candidate pass") {
     val p = plan("q208_maxsim")
     assert(!p.contains("CartesianProduct"), s"cartesian in MaxSim:\n${p.take(600)}")
