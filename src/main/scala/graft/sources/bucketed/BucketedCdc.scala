@@ -62,6 +62,13 @@ object CdcSchema {
   * could silently drop a delete a downstream merge depends on).
   */
 class CdcScanBuilder(name: String, opts: ConnectorOptions) extends ScanBuilder {
+  // staleness policy (opt-in): a BATCH changes-read (changesstart/
+  // changesend window) on a table another process writes absorbs the
+  // foreign commits at plan time, same as the batch scan and the
+  // stream's offset discovery — otherwise `mode=cdc` over a policy
+  // table could silently miss the newest foreign window
+  BucketStore.maybeRefresh(name): Unit
+
   override def build(): Scan = new CdcScan(name, opts)
 }
 

@@ -270,6 +270,36 @@ class BucketedStreamRecoverySpec extends SparkSuite {
     BucketStore.drop(name)
   }
 
+  test("a BATCH changes-read follows a foreign writer under refresh_policy") {
+    catalogOn()
+    val name = "rs_cdc_batchf"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (1 to 16).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), "k", 2)
+    BucketStore.clearRefreshPolicy(name)
+    val v0 = BucketStore.currentVersion(name)
+    // foreign commit: engine-produced, withheld across a rewind, landed
+    spark.sql(s"DELETE FROM graft.`$name` WHERE k = 3")
+    val v1 = BucketStore.currentVersion(name)
+    val m = BucketStore.tableDir(name).resolve(s"manifest-v$v1.json")
+    val bytes = Files.readAllBytes(m)
+    Files.delete(m)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    Files.write(m, bytes): Unit
+    def changes() = spark.read.format("graft-buckets").option("table", name)
+      .option("mode", "cdc").option("changesstart", v0.toString).load().collect()
+    // stale by default (snapshot isolation)...
+    assert(changes().isEmpty)
+    // ...following under the policy, with no explicit CALL
+    BucketStore.setRefreshPolicy(name, 0L)
+    val got = changes()
+    BucketStore.clearRefreshPolicy(name)
+    assert(got.length === 1 && got.head.getLong(0) === 3L,
+      "the batch changes-read must absorb the foreign commit at plan time")
+    BucketStore.drop(name)
+  }
+
   test("HRW sink: undrained kills + upsert into a RENDEZVOUS table recover; rows at argmax owners") {
     catalogOn()
     loadPair("rs4_src", "rs4_dim", b1)
