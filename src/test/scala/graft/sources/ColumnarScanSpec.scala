@@ -267,6 +267,36 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.drop("colr_alter")
   }
 
+  test("a co-bucketed join of two COLD tables: zero Exchange, vectorized both sides, zero faults") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    BucketStore.drop("colr_jl")
+    BucketStore.drop("colr_jr")
+    BucketStore.load(spark, "colr_jl",
+      (0 until 2048).map(i => (i.toLong, i * 1.5)).toDF("k", "a"), "k", 8)
+    BucketStore.load(spark, "colr_jr",
+      (0 until 2048 by 2).map(i => (i.toLong, s"r$i")).toDF("k", "b"), "k", 8)
+    val expected = 1024L
+    // both sides fully evicted: the 100 TB co-located join shape —
+    // two cold tables, no shuffle, file-speed decode on each side
+    BucketStore.evictTable("colr_jl")
+    BucketStore.evictTable("colr_jr")
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    val j = spark.table("graft.colr_jl").hint("merge")
+      .join(spark.table("graft.colr_jr"), "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"co-bucketed join must not shuffle:\n${plan.take(800)}")
+    assert(j.count() === expected)
+    assert(FileStore.vectorReads.get() - vr0 === 16L,
+      "every cold bucket on BOTH sides must decode vectorized")
+    assert(FileStore.filesRead.get() === fr0,
+      "the cold join must not row-materialize any block")
+    assert(BucketStore.get("colr_jl").buckets.loadedCount === 0)
+    assert(BucketStore.get("colr_jr").buckets.loadedCount === 0)
+    BucketStore.drop("colr_jl")
+    BucketStore.drop("colr_jr")
+  }
+
   test("a projection containing an unsupported type falls back to the row reader cleanly") {
     BucketStore.drop("colr_arr")
     BucketStore.load(spark, "colr_arr",
