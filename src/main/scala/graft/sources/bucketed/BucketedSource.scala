@@ -1056,19 +1056,23 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
     * + `loadedCount`). Stats are built by the same row order a scan
     * would visit, so ties (equal values, −0.0 vs 0.0) resolve
     * identically to the row path — the fast path can never change an
-    * answer, only skip the I/O. Any filter, grouping, SUM, pending MoR
-    * state, or a column without statistics falls back to the row scan.
+    * answer, only skip the I/O. Any filter, grouping, SUM, or a column
+    * without statistics falls back to the row scan. Pending MoR state
+    * falls back for value aggregates (a deleted row may be the extreme
+    * the stats still carry) — but a pure COUNT(*) stays stats-served:
+    * the live count is manifest arithmetic, base + delta − deleted
+    * ([[BucketStore.liveCount]]), exact by construction.
     */
   private val statsServed: Option[Array[Any]] =
     if (filters.nonEmpty || spec.groupCols.nonEmpty || p.prunedEmpty ||
-      table.mor.contains(p.bucket)) None
+      (table.mor.contains(p.bucket) && !spec.aggs.forall(_ == PCountStar))) None
     else {
       val slots = new Array[Any](spec.aggs.length)
       def parts(c: String) = BucketStore.skipStatParts(table, p.bucket, c)
       val ok = spec.aggs.zipWithIndex.forall { case (a, i) =>
         a match {
           case PCountStar =>
-            slots(i) = table.buckets.rowCount(p.bucket).toLong
+            slots(i) = BucketStore.liveCount(table, p.bucket).toLong
             true
           case PCount(c) => parts(c) match {
             case Some(ps) => slots(i) = ps.map(_.nonNullCount.toLong).sum; true

@@ -66,12 +66,22 @@ class BucketSkipSpec extends SparkSuite {
     assert((f.getLong(0), f.getDouble(1)) === ((100L, 150.0)))
     assert(BucketedAggPartitionReader.statsServedCount.get() === before2,
       "a filtered aggregate must not take the stats path")
-    // pending MoR state hides rows the stats still count: fall back
+    // pending MoR state hides rows the VALUE stats still carry: a
+    // min/max falls back...
     BucketStore.setDmlMode("skip_agg", BucketStore.MergeOnRead)
     spark.sql("DELETE FROM graft.`skip_agg` WHERE k = 1")
     val m = spark.sql("SELECT count(*), min(k) FROM graft.`skip_agg`").head
     assert((m.getLong(0), m.getLong(1)) === ((2999L, 2L)),
       "MoR-hidden rows must not leak through the stats path")
+    // ...but a PURE count(*) stays stats-served: the live count is
+    // manifest arithmetic (base + delta − deleted), exact under MoR
+    BucketStore.evictTable("skip_agg")
+    val ss1 = BucketedAggPartitionReader.statsServedCount.get()
+    assert(spark.sql("SELECT count(*) FROM graft.`skip_agg`").head.getLong(0) === 2999L)
+    assert(BucketedAggPartitionReader.statsServedCount.get() > ss1,
+      "count(*) over a MoR table must be stats-served")
+    assert(BucketStore.get("skip_agg").buckets.loadedCount === 0,
+      "the MoR count(*) must open no block")
   }
 
   test("q254 gate self-audit holds at sf0.001 (stats-only aggregate end-to-end)") {
