@@ -1162,6 +1162,40 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
         }
         blk.file.filter(_.path.nonEmpty) match {
           case Some(f) =>
+            // CLEAN buckets decode VECTORIZED (round 17): the same
+            // direct parquet→ColumnarBatch reader the scan path uses,
+            // filters compiled and enforced batch-side, values read
+            // out through vector-backed InternalRows — parquet-mr's
+            // per-record assembly was the remaining decode cost of
+            // this path. MoR buckets keep the record reader: the
+            // positional delete bitmap needs unpruned file positions,
+            // which the vectorized reader's predicate pruning shifts.
+            if (morState.isEmpty) {
+              VectorizedColdScan.open(f.path, fullSchema, proj, filters, 4096) match {
+                case Some(scan) =>
+                  try {
+                    FileStore.projectedReads.incrementAndGet()
+                    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+                      .createToScalaConverter(proj)
+                    val rows = new Iterator[Row] {
+                      private var it: java.util.Iterator[
+                        org.apache.spark.sql.catalyst.InternalRow] = _
+                      private def advance(): Boolean = {
+                        while ((it == null || !it.hasNext) && scan.nextBatch())
+                          it = scan.get().rowIterator()
+                        it != null && it.hasNext
+                      }
+                      override def hasNext: Boolean = advance()
+                      override def next(): Row =
+                        toScala(it.next()).asInstanceOf[Row]
+                    }
+                    // filters are already enforced by the compiled
+                    // batch evaluator — no re-check
+                    return aggregateRows(rows, proj)
+                  } finally scan.close()
+                case None => () // unsupported pairing: record reader below
+              }
+            }
             try {
               val base0 = FileStore.readBlockProjected(f, proj)
               val base = morState match {
