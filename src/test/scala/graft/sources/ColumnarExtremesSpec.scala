@@ -51,5 +51,39 @@ class ColumnarExtremesSpec extends SparkSuite {
         .option("columnar", columnar.toString).load()
         .filter(isnan(col("d"))).count()
     assert(nanCount(columnar = true) === nanCount(columnar = false))
+
+    // COLD: the DIRECT vectorized parquet path must hand back the same
+    // bits (different decode entirely — parquet pages, not the heap
+    // transpose), unfiltered and with pushed filters over the specials
+    val want = read(columnar = false)
+    BucketStore.registerStatColumns("colx_t", Seq("d", "l", "s"))
+    BucketStore.refreshManifestStats("colx_t")
+    BucketStore.evictTable("colx_t")
+    val vr0 = FileStore.vectorReads.get()
+    val cold = read(columnar = true)
+    assert(FileStore.vectorReads.get() > vr0, "the cold read must be vectorized")
+    want.zip(cold).foreach { case (r, c) =>
+      r.zip(c).foreach {
+        case (a: Double, b: Double) =>
+          assert(java.lang.Double.doubleToRawLongBits(a) ===
+            java.lang.Double.doubleToRawLongBits(b))
+        case (a, b) => assert(a === b)
+      }
+    }
+    // pushed filters over specials on the cold path: -0.0 == 0.0 for
+    // SQL comparisons, NaN matches nothing ordered, byte-order strings
+    def coldFiltered(p: org.apache.spark.sql.Column): Set[Long] = {
+      BucketStore.evictTable("colx_t")
+      spark.read.format("graft-buckets").option("table", "colx_t")
+        .option("columnar", "true").load().filter(p)
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(coldFiltered(col("d") === 0.0) === Set(3L), "-0.0 must equal 0.0 on the cold path")
+    assert(coldFiltered(col("d") > 0.0) === Set(0L, 1L, 4L),
+      "NaN is LARGEST in Spark's total order — an order compare must keep it")
+    assert(coldFiltered(col("l") <= 0L) === Set(0L, 2L, 3L))
+    assert(coldFiltered(col("s").startsWith("multi")) === Set(1L))
+    assert(coldFiltered(col("ts") < new java.sql.Timestamp(0L)) === Set(1L, 3L))
+    BucketStore.drop("colx_t")
   }
 }
