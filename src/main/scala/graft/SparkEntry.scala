@@ -518,6 +518,7 @@ object SparkEntry {
     "q260_cold_filtered_sweep" -> graft.sources.bucketed.BucketedQueries.coldFilteredSweepQuery _,
     "q261_cold_filtered_agg" -> graft.sources.bucketed.BucketedQueries.coldFilteredAggQuery _,
     "q262_reader_refresh" -> graft.sources.bucketed.BucketedQueries.readerRefreshQuery _,
+    "q263_cold_mor_sweep" -> graft.sources.bucketed.BucketedQueries.coldMorSweepQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -942,6 +943,7 @@ object SparkEntry {
     "q260_cold_filtered_sweep" -> graft.sources.bucketed.BucketedQueries.coldFilteredSweepSql,
     "q261_cold_filtered_agg" -> graft.sources.bucketed.BucketedQueries.coldFilteredAggSql,
     "q262_reader_refresh" -> graft.sources.bucketed.BucketedQueries.readerRefreshSql,
+    "q263_cold_mor_sweep" -> graft.sources.bucketed.BucketedQueries.coldMorSweepSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

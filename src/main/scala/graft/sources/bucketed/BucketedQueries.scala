@@ -2370,6 +2370,79 @@ object BucketedQueries {
       |FROM customer WHERE c_custkey NOT IN (7, 8)
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** q263 — COLD MERGE-ON-READ scans ride the vectorized path
+    * end-to-end (round 17): a write-heavy table is coldest exactly
+    * when its MoR queue is deepest, and before this round that shape
+    * row-materialized through the fold. The gate: lineitem takes a
+    * MoR DELETE (positional deletion-vector bits) and a MoR UPDATE
+    * (delete bit + delta row), the table is fully evicted with the
+    * MoR state still PENDING (the auto-compaction policy is not
+    * crossed — ~12% pending < the 20% ratio), and a date-predicated
+    * grouped sweep then decodes every bucket through the DIRECT
+    * parquet→ColumnarBatch reader: deletion bits mask base rows by
+    * file position (the parquet-mr row-group predicate is withheld so
+    * positions stay sequential; the compiled batch evaluator enforces
+    * the filter exactly), and the live delta rows append projected
+    * and pre-filtered — zero connection dials, zero row-materialized
+    * blocks, zero heap-cache faults. Non-clustered, so append order
+    * IS the fold's serving order. The aggregate sums an expression so
+    * aggregate pushdown declines and the SCAN path is what's gated.
+    */
+  def coldMorSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_coldmor@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate")),
+      "l_orderkey", NumBuckets)
+    BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE l_quantity < 3")
+    spark.sql(s"UPDATE graft.`$name` SET l_extendedprice = l_extendedprice * 2 " +
+      "WHERE l_quantity >= 49")
+    // zone maps over the folded table ride the manifest so the cold
+    // plan prunes from statistics, never from block loads
+    BucketStore.registerStatColumns(name, Seq("l_shipdate"))
+    BucketStore.refreshManifestStats(name)
+    BucketStore.evictTable(name)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the evicted table must start fully cold")
+    require(BucketStore.get(name).mor.nonEmpty,
+      "the MoR state must still be PENDING (the gate is the fold-free fast path)")
+    val vr0 = FileStore.vectorReads.get()
+    val fr0 = FileStore.filesRead.get()
+    val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val rows = spark.table(s"graft.`$name`")
+      .filter(col("l_shipdate") >= cutoff)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          (col("l_quantity") * col("l_extendedprice"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("rev"))
+      .collect()
+    require(FileStore.vectorReads.get() - vr0 == NumBuckets.toLong,
+      s"every cold bucket — MoR ones included — must serve the scan vectorized " +
+        s"(${FileStore.vectorReads.get() - vr0} of $NumBuckets did)")
+    require(FileStore.filesRead.get() == fr0,
+      "the MoR sweep must not row-materialize a single block")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a cold MoR sweep must not fault blocks into the heap cache")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), rows.head.schema)
+  }
+
+  val coldMorSweepSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity *
+      |    (CASE WHEN l_quantity >= 49 THEN l_extendedprice * 2
+      |          ELSE l_extendedprice END) AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |FROM lineitem
+      |WHERE NOT (l_quantity < 3)
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

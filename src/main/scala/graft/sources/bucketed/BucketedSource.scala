@@ -1162,16 +1162,24 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
         }
         blk.file.filter(_.path.nonEmpty) match {
           case Some(f) =>
-            // CLEAN buckets decode VECTORIZED (round 17): the same
-            // direct parquet→ColumnarBatch reader the scan path uses,
-            // filters compiled and enforced batch-side, values read
-            // out through vector-backed InternalRows — parquet-mr's
-            // per-record assembly was the remaining decode cost of
-            // this path. MoR buckets keep the record reader: the
-            // positional delete bitmap needs unpruned file positions,
-            // which the vectorized reader's predicate pruning shifts.
-            if (morState.isEmpty) {
-              VectorizedColdScan.open(f.path, fullSchema, proj, filters, 4096) match {
+            // Buckets decode VECTORIZED (round 17): the same direct
+            // parquet→ColumnarBatch reader the scan path uses, filters
+            // compiled and enforced batch-side, values read out through
+            // vector-backed InternalRows — parquet-mr's per-record
+            // assembly was the remaining decode cost of this path.
+            // MoR buckets ride too (aggregation is order-insensitive,
+            // so even CLUSTERED tables qualify here): the deletion
+            // bitmap masks base rows by file position — open() skips
+            // the parquet-mr row-group predicate whenever any bit is
+            // set, keeping positions sequential — and the live delta
+            // appends projected + pre-filtered.
+            locally {
+              val overlay = morState.map { m =>
+                (m.deleted, deltaRows(blk.rowCount)
+                  .filter(r => filters.forall(FilterEval.eval(proj, _, r))))
+              }
+              VectorizedColdScan.open(f.path, fullSchema, proj, filters, 4096,
+                overlay = overlay) match {
                 case Some(scan) =>
                   try {
                     FileStore.projectedReads.incrementAndGet()
@@ -1659,12 +1667,42 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
         n == BucketedTable.MetaBucket || n == BucketedTable.MetaPos)) None
     else {
       val t = BucketStore.snapshotWithRetry(p.table, p.version)
-      if (t.mor.contains(p.bucket)) None
+      val morState = t.mor.get(p.bucket)
+      val blk = t.buckets.block(p.bucket)
+      // a CLUSTERED table's fold MERGES live delta into the sorted base
+      // run (serving order is cluster order, and outputOrdering claims
+      // it) — that merge needs materialized rows, so clustered buckets
+      // with LIVE delta rows keep the fold path. Everything else rides
+      // vectorized (round 17): a NON-clustered fold APPENDS live delta
+      // after live base, which is exactly what the overlay emits; and a
+      // DELETE-ONLY MoR bucket (the retention-job shape) just masks
+      // base positions, which preserves any order — clustered included.
+      def liveDelta(m: BucketStore.BucketMor): Boolean =
+        m.delta.indices.exists(j => !m.deleted.get(blk.rowCount + j))
+      if (morState.exists(m => t.clusterCol.nonEmpty && liveDelta(m))) None
       else {
-        val blk = t.buckets.block(p.bucket)
         if (blk.isLoaded) None
-        else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap(f =>
-          VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize, limit))
+        else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap { f =>
+          val overlay = morState.map { m =>
+            val full = t.schema
+            val idx = required.fieldNames.map(full.fieldIndex).toIndexedSeq
+            val live = m.delta.indices.iterator
+              .filter(j => !m.deleted.get(blk.rowCount + j))
+              .map { j =>
+                val dr = m.delta(j)
+                if (dr.size >= full.length) dr
+                // pre-ALTER short delta rows NULL-pad to full arity so
+                // the scan filters see every referenced column
+                else Row.fromSeq((0 until full.length).map(i =>
+                  if (i < dr.size) dr.get(i) else null))
+              }
+              .filter(r => filters.forall(FilterEval.eval(full, _, r)))
+              .map(r => Row.fromSeq(idx.map(r.get)))
+            (m.deleted, live)
+          }
+          VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize, limit,
+            overlay)
+        }
       }
     }
   }
@@ -1734,7 +1772,17 @@ private[bucketed] final class VectorizedColdScan(
     reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader,
     readStruct: StructType, required: StructType,
     filterFn: (org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Boolean,
-    batchSize: Int, limit: Option[Int]) {
+    batchSize: Int, limit: Option[Int],
+    // merge-on-read overlay (round 17): `deleted` masks base rows by
+    // FILE position (null ⇔ no positional deletes — the caller passes
+    // null for an empty bitmap so the no-copy fast paths stay live);
+    // `delta` are the bucket's LIVE delta rows, already filtered and
+    // projected to `required` by the caller, appended after the base
+    // exhausts. Position arithmetic requires that no parquet-mr
+    // row-group predicate was set when `deleted` is non-null ([[
+    // VectorizedColdScan.open]] enforces that pairing).
+    deleted: java.util.BitSet = null,
+    delta: Iterator[Row] = Iterator.empty) {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -1754,8 +1802,35 @@ private[bucketed] final class VectorizedColdScan(
 
   private var current: ColumnarBatch = _
 
+  // running FILE position of the first row of the current base batch —
+  // the deletion bitmap is positional, and with no parquet-mr predicate
+  // set (the open() pairing rule) decoded batches are exactly the file
+  // rows in order, so `filePos + r` IS row r's physical position
+  private var filePos = 0
+  private var inDelta = false
+
+  /** One filler per output column for DELTA rows (external Row →
+    * vector); rows arrive already projected to `required`, so the
+    * field index is the row index. Short rows NULL-pad (pre-ALTER
+    * delta rows — the standing fetch-path contract).
+    */
+  private lazy val rowFillers: Array[(OnHeapColumnVector, Int, Row) => Unit] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      val put = BucketedColumnarPartitionReader.filler(f.dataType)
+      (v: OnHeapColumnVector, slot: Int, r: Row) =>
+        if (i >= r.size || r.isNullAt(i)) v.putNull(slot) else put(v, slot, r.get(i))
+    }
+
   def nextBatch(): Boolean = {
-    if (filterFn == null && limit.isEmpty) {
+    if (!inDelta) {
+      if (baseBatch()) return true
+      inDelta = true
+    }
+    deltaBatch()
+  }
+
+  private def baseBatch(): Boolean = {
+    if (filterFn == null && limit.isEmpty && deleted == null) {
       val has = reader.nextBatch()
       if (has) current = reader.resultBatch()
       has
@@ -1764,10 +1839,13 @@ private[bucketed] final class VectorizedColdScan(
       while (reader.nextBatch()) {
         val in = reader.resultBatch()
         val n = in.numRows()
+        val pos0 = filePos
+        filePos += n
         var kept = 0
         var r = 0
         while (r < n && kept < remaining) {
-          if (filterFn == null || filterFn(in, r)) { sel(kept) = r; kept += 1 }
+          if ((deleted == null || !deleted.get(pos0 + r)) &&
+            (filterFn == null || filterFn(in, r))) { sel(kept) = r; kept += 1 }
           r += 1
         }
         if (kept == n && readStruct.length == required.length) {
@@ -1806,6 +1884,30 @@ private[bucketed] final class VectorizedColdScan(
     }
   }
 
+  /** Emit the live delta rows (already filtered + projected by the
+    * caller) in append order after the base exhausts — for a
+    * NON-clustered table that IS the fold's serving order
+    * ([[BucketStore.folded]] appends live delta after live base), so
+    * the vectorized MoR scan is row-for-row the row path.
+    */
+  private def deltaBatch(): Boolean = {
+    if (remaining <= 0 || !delta.hasNext) return false
+    outVectors.foreach(_.reset())
+    usedOut = true
+    var k = 0
+    val cap = math.min(batchSize, remaining)
+    while (k < cap && delta.hasNext) {
+      val r = delta.next()
+      var c = 0
+      while (c < rowFillers.length) { rowFillers(c)(outVectors(c), k, r); c += 1 }
+      k += 1
+    }
+    outBatch.setNumRows(k)
+    remaining -= k
+    current = outBatch
+    k > 0
+  }
+
   def get(): ColumnarBatch = current
 
   def close(): Unit = {
@@ -1826,7 +1928,16 @@ private[bucketed] object VectorizedColdScan {
     */
   def open(path: String, fullSchema: StructType, required: StructType,
       filters: Array[Filter], batchSize: Int,
-      limit: Option[Int] = None): Option[VectorizedColdScan] = {
+      limit: Option[Int] = None,
+      // merge-on-read overlay: (positional deletion bitmap, live delta
+      // rows already filtered + projected to `required`). When the
+      // bitmap has ANY bit set, the parquet-mr row-group predicate is
+      // NOT installed — predicate pruning shifts file positions and
+      // the bitmap is positional — and filtering falls entirely to the
+      // compiled batch evaluator; an all-clear bitmap (pure-insert
+      // MoR) keeps full row-group pruning.
+      overlay: Option[(java.util.BitSet, Iterator[Row])] = None)
+      : Option[VectorizedColdScan] = {
     // the read schema appends the filters' extra columns AFTER the
     // projected ones, typed from the table schema — compaction then
     // maps output column i to input column i
@@ -1845,7 +1956,7 @@ private[bucketed] object VectorizedColdScan {
     // copiers (a truncated/partial batch re-materializes into the
     // output vectors)
     if ((filters.nonEmpty && filterFn == null) ||
-      ((filters.nonEmpty || limit.nonEmpty) &&
+      ((filters.nonEmpty || limit.nonEmpty || overlay.nonEmpty) &&
         !required.fields.forall(f => copierSupported(f.dataType)))) {
       if (sys.props.contains("graft.debug.vector"))
         System.err.println(s"[graft-vector] ineligible: compile=${filterFn != null} " +
@@ -1860,7 +1971,8 @@ private[bucketed] object VectorizedColdScan {
       val conf = FileStore.readerConf(readStruct.json)
       conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
         classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
-      if (filters.nonEmpty)
+      val positional = overlay.exists(o => !o._1.isEmpty)
+      if (filters.nonEmpty && !positional)
         ParquetPruning.predicate(readStruct, filters).foreach(pred =>
           org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred))
       val hp = new org.apache.hadoop.fs.Path(path)
@@ -1872,7 +1984,9 @@ private[bucketed] object VectorizedColdScan {
       r.initBatch(new StructType(), org.apache.spark.sql.catalyst.InternalRow.empty)
       r.enableReturningBatches()
       FileStore.vectorReads.incrementAndGet()
-      Some(new VectorizedColdScan(r, readStruct, required, filterFn, batchSize, limit))
+      Some(new VectorizedColdScan(r, readStruct, required, filterFn, batchSize, limit,
+        deleted = overlay.map(_._1).filterNot(_.isEmpty).orNull,
+        delta = overlay.map(_._2).getOrElse(Iterator.empty)))
     } catch {
       // missing column (pre-ALTER file), schema drift, unsupported
       // predicate/physical-type pairing: the row path serves it with

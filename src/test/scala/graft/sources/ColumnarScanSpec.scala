@@ -214,7 +214,7 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.evictTable("colr_t")
   }
 
-  test("the vectorized path defers to the row path on top-N, MoR state, and hot blocks") {
+  test("the vectorized path defers to the row path on top-N, CLUSTERED MoR, and hot blocks") {
     loadT()
     BucketStore.evictTable("colr_t")
     val vr0 = FileStore.vectorReads.get()
@@ -223,20 +223,137 @@ class ColumnarScanSpec extends SparkSuite {
     val full = read(columnar = true).collect()
     assert(full.length === 4096)
     assert(FileStore.vectorReads.get() === vr0, "hot blocks must serve from heap, not the file")
-    // MoR bucket ⇒ row path (the fold must apply)
+    // CLUSTERED MoR bucket ⇒ row path: the fold MERGES live delta into
+    // the sorted base run (serving order is cluster order, and the
+    // scan claims it) — appending delta after base would break the
+    // claimed ordering, so the vectorized path must decline
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     BucketStore.drop("colr_vmor")
     BucketStore.load(spark, "colr_vmor",
-      (0 until 256).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), "k", 2)
+      (0 until 256).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), "k", 2,
+      clusterBy = Some("v"))
     BucketStore.setDmlMode("colr_vmor", BucketStore.MergeOnRead)
     spark.sql("DELETE FROM graft.colr_vmor WHERE k % 16 = 0")
+    spark.sql("UPDATE graft.colr_vmor SET v = v + 1000 WHERE k % 16 = 1")
     BucketStore.evictTable("colr_vmor")
     val vr1 = FileStore.vectorReads.get()
-    assert(spark.read.format("graft-buckets").option("table", "colr_vmor")
-      .option("columnar", "true").load().count() === 240L)
+    val got = spark.read.format("graft-buckets").option("table", "colr_vmor")
+      .option("columnar", "true").load().collect()
+    assert(got.length === 240)
     assert(FileStore.vectorReads.get() === vr1,
-      "a MoR bucket must fold through the row path")
+      "a CLUSTERED MoR bucket must fold (merge) through the row path")
     BucketStore.drop("colr_vmor")
+  }
+
+  test("a DELETE-ONLY MoR bucket rides the vectorized path even on a CLUSTERED table") {
+    // positional masking preserves ANY serving order, so the ordering
+    // contract holds with zero live delta rows — the retention-job
+    // shape (bulk DELETE, no updates) never pays the fold
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.drop("colr_vdel")
+    BucketStore.load(spark, "colr_vdel",
+      (0 until 512).map(i => (i.toLong, (512 - i) * 1.0)).toDF("k", "v"), "k", 2,
+      clusterBy = Some("v"))
+    BucketStore.setDmlMode("colr_vdel", BucketStore.MergeOnRead)
+    spark.sql("DELETE FROM graft.colr_vdel WHERE k % 8 = 0")
+    def readD(columnar: Boolean) =
+      spark.read.format("graft-buckets").option("table", "colr_vdel")
+        .option("columnar", columnar.toString).load()
+    BucketStore.evictTable("colr_vdel")
+    val want = readD(columnar = false).collect().map(_.toSeq).toSet
+    assert(want.size === 448)
+    BucketStore.evictTable("colr_vdel")
+    val vr0 = FileStore.vectorReads.get()
+    val got = readD(columnar = true).collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(FileStore.vectorReads.get() - vr0 === 2L,
+      "a delete-only clustered MoR bucket must decode vectorized")
+    // the ordering contract survives: rows of each bucket arrive in
+    // cluster order (ascending v) with the deleted positions masked
+    val perPart = readD(columnar = true).select(col("v"))
+      .queryExecution.toRdd.mapPartitions(it =>
+        Iterator.single(it.map(_.getDouble(0)).toArray)).collect()
+    perPart.foreach(a => assert(a.sameElements(a.sorted),
+      "masked cluster order must survive the vectorized path"))
+    BucketStore.drop("colr_vdel")
+  }
+
+  test("a cold NON-clustered MoR bucket rides the vectorized path: deletes mask, delta appends") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.drop("colr_morv")
+    BucketStore.load(spark, "colr_morv",
+      (0 until 1024).map(i => (i.toLong, i % 31, i * 1.0, s"t$i")).toDF("k", "m", "v", "tag"),
+      "k", 4)
+    BucketStore.setDmlMode("colr_morv", BucketStore.MergeOnRead)
+    // positional deletes + delta rows (UPDATE = delete bit + delta row)
+    spark.sql("DELETE FROM graft.colr_morv WHERE k % 16 = 0")
+    spark.sql("UPDATE graft.colr_morv SET v = v + 10000 WHERE k % 16 = 1")
+    def readM(columnar: Boolean) =
+      spark.read.format("graft-buckets").option("table", "colr_morv")
+        .option("columnar", columnar.toString).load()
+    BucketStore.evictTable("colr_morv")
+    val want = readM(columnar = false).collect().map(_.toSeq).toSet
+    assert(want.size === 960)
+    assert(want.count(_(2).asInstanceOf[Double] >= 10000.0) === 64)
+    require(BucketStore.get("colr_morv").mor.nonEmpty, "MoR state must be pending")
+    BucketStore.evictTable("colr_morv")
+    assert(BucketStore.get("colr_morv").buckets.loadedCount === 0)
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    val got = readM(columnar = true).collect().map(_.toSeq).toSet
+    assert(got === want, "the vectorized MoR scan must be byte-identical to the fold path")
+    assert(FileStore.vectorReads.get() - vr0 === 4L,
+      "every cold NON-clustered MoR bucket must decode vectorized")
+    assert(FileStore.filesRead.get() === fr0,
+      "the vectorized MoR scan must not row-materialize any block")
+    assert(BucketStore.get("colr_morv").buckets.loadedCount === 0,
+      "the vectorized MoR scan must not fault blocks into the heap cache")
+
+    // FILTERED: base rows filter batch-side (no parquet-mr predicate —
+    // the deletion bitmap is positional), delta rows filter row-side;
+    // deleted rows must never resurface through either branch
+    BucketStore.evictTable("colr_morv")
+    val wantF = readM(columnar = false).filter(col("v") >= 9999.0)
+      .collect().map(_.toSeq).toSet
+    BucketStore.evictTable("colr_morv")
+    val vrF = FileStore.vectorReads.get()
+    val gotF = readM(columnar = true).filter(col("v") >= 9999.0)
+      .collect().map(_.toSeq).toSet
+    assert(gotF === wantF, "filtered vectorized MoR must match the fold path")
+    assert(gotF.size === 64, "exactly the updated delta rows match the filter")
+    assert(FileStore.vectorReads.get() > vrF)
+
+    // a filter selecting ONLY base survivors: delta rows all fail it
+    BucketStore.evictTable("colr_morv")
+    val wantB = readM(columnar = false)
+      .filter(col("v") < 100.0 && col("m") === 3).collect().map(_.toSeq).toSet
+    BucketStore.evictTable("colr_morv")
+    val gotB = readM(columnar = true)
+      .filter(col("v") < 100.0 && col("m") === 3).collect().map(_.toSeq).toSet
+    assert(gotB === wantB)
+
+    // LIMIT composes: n live rows, never a deleted one
+    BucketStore.evictTable("colr_morv")
+    val lim = readM(columnar = true).limit(50).collect().map(_.toSeq)
+    assert(lim.length === 50)
+    assert(lim.toSet.subsetOf(want), "limited rows must be LIVE rows (no deleted resurface)")
+
+    // pushed AGGREGATE over the cold MoR table: the projected fast
+    // path now decodes vectorized too (order-insensitive, so even
+    // clustered tables would qualify) — grouped sum equals the fold
+    BucketStore.evictTable("colr_morv")
+    val wantA = readM(columnar = false).groupBy(col("m"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    BucketStore.evictTable("colr_morv")
+    val vrA = FileStore.vectorReads.get()
+    val gotA = readM(columnar = true).groupBy(col("m"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotA === wantA, "the vectorized MoR pushed aggregate must match the fold")
+    assert(FileStore.vectorReads.get() > vrA,
+      "a cold MoR pushed aggregate must decode through the vectorized reader")
+    assert(BucketStore.get("colr_morv").buckets.loadedCount === 0)
+    BucketStore.drop("colr_morv")
   }
 
   test("a pre-ALTER short block NULL-pads the added column THROUGH the vectorized path") {
