@@ -2384,9 +2384,13 @@ object BucketedQueries {
     * positions stay sequential; the compiled batch evaluator enforces
     * the filter exactly), and the live delta rows append projected
     * and pre-filtered — zero connection dials, zero row-materialized
-    * blocks, zero heap-cache faults. Non-clustered, so append order
-    * IS the fold's serving order. The aggregate sums an expression so
-    * aggregate pushdown declines and the SCAN path is what's gated.
+    * blocks, zero heap-cache faults. The table is CLUSTERED on
+    * l_shipdate, so the update's live delta rows force the SORTED
+    * MERGE variant: each bucket's vectorized stream interleaves the
+    * delta at its cluster-key position, reproducing the fold's
+    * serving order exactly (comparator parity is spec-pinned in
+    * ColumnarScanSpec). The aggregate sums an expression so aggregate
+    * pushdown declines and the SCAN path is what's gated.
     */
   def coldMorSweepQuery(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
@@ -2396,7 +2400,7 @@ object BucketedQueries {
       graft.tables.Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
           col("l_extendedprice"), col("l_shipdate")),
-      "l_orderkey", NumBuckets)
+      "l_orderkey", NumBuckets, clusterBy = Some("l_shipdate"))
     BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
     spark.sql(s"DELETE FROM graft.`$name` WHERE l_quantity < 3")
     spark.sql(s"UPDATE graft.`$name` SET l_extendedprice = l_extendedprice * 2 " +

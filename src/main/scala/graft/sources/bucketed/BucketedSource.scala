@@ -1175,8 +1175,16 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
             // appends projected + pre-filtered.
             locally {
               val overlay = morState.map { m =>
-                (m.deleted, deltaRows(blk.rowCount)
-                  .filter(r => filters.forall(FilterEval.eval(proj, _, r))))
+                val live = m.delta.indices.iterator
+                  .filter(j => !m.deleted.get(blk.rowCount + j))
+                  .map { j =>
+                    val dr = m.delta(j)
+                    if (dr.size >= fullSchema.length) dr
+                    else Row.fromSeq((0 until fullSchema.length).map(i =>
+                      if (i < dr.size) dr.get(i) else null))
+                  }
+                  .filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+                (m.deleted, live)
               }
               VectorizedColdScan.open(f.path, fullSchema, proj, filters, 4096,
                 overlay = overlay) match {
@@ -1669,23 +1677,25 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
       val t = BucketStore.snapshotWithRetry(p.table, p.version)
       val morState = t.mor.get(p.bucket)
       val blk = t.buckets.block(p.bucket)
-      // a CLUSTERED table's fold MERGES live delta into the sorted base
-      // run (serving order is cluster order, and outputOrdering claims
-      // it) — that merge needs materialized rows, so clustered buckets
-      // with LIVE delta rows keep the fold path. Everything else rides
-      // vectorized (round 17): a NON-clustered fold APPENDS live delta
-      // after live base, which is exactly what the overlay emits; and a
-      // DELETE-ONLY MoR bucket (the retention-job shape) just masks
-      // base positions, which preserves any order — clustered included.
+      // every MoR shape rides vectorized (round 17) except ONE: a
+      // NON-clustered fold APPENDS live delta after live base (exactly
+      // what the overlay emits); a DELETE-ONLY bucket (the
+      // retention-job shape) just masks base positions, which
+      // preserves any order; and a LEX-CLUSTERED bucket with live
+      // delta SORTED-MERGES the delta into the base stream
+      // (mergeCols — comparator parity with the fold is spec-pinned).
+      // Only a Z-ORDER bucket with live delta keeps the fold path:
+      // its serving order is the rank-normalized Morton merge, whose
+      // zBounds key machinery needs materialized rows.
       def liveDelta(m: BucketStore.BucketMor): Boolean =
         m.delta.indices.exists(j => !m.deleted.get(blk.rowCount + j))
-      if (morState.exists(m => t.clusterCol.nonEmpty && liveDelta(m))) None
+      val lexCols = BucketStore.lexClusterColsOf(t.clusterCol)
+      if (morState.exists(m => t.clusterCol.nonEmpty && lexCols.isEmpty && liveDelta(m))) None
       else {
         if (blk.isLoaded) None
         else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap { f =>
           val overlay = morState.map { m =>
             val full = t.schema
-            val idx = required.fieldNames.map(full.fieldIndex).toIndexedSeq
             val live = m.delta.indices.iterator
               .filter(j => !m.deleted.get(blk.rowCount + j))
               .map { j =>
@@ -1697,11 +1707,12 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
                   if (i < dr.size) dr.get(i) else null))
               }
               .filter(r => filters.forall(FilterEval.eval(full, _, r)))
-              .map(r => Row.fromSeq(idx.map(r.get)))
             (m.deleted, live)
           }
+          val mergeCols =
+            if (lexCols.nonEmpty && morState.exists(liveDelta)) lexCols else Seq.empty[String]
           VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize, limit,
-            overlay)
+            overlay, mergeCols)
         }
       }
     }
@@ -1782,7 +1793,16 @@ private[bucketed] final class VectorizedColdScan(
     // row-group predicate was set when `deleted` is non-null ([[
     // VectorizedColdScan.open]] enforces that pairing).
     deleted: java.util.BitSet = null,
-    delta: Iterator[Row] = Iterator.empty) {
+    delta: Iterator[Row] = Iterator.empty,
+    // non-null ⇔ SORTED-MERGE mode (clustered table with live delta):
+    // delta rows interleave into the base stream at their cluster-key
+    // positions instead of appending. `mergeKeyIdx` are readStruct
+    // indices of the key components; `mergeCmp`/`mergeConv` come from
+    // [[VectorizedColdScan.mergeSupport]]. Ties emit base first —
+    // exactly [[BucketStore.folded]]'s merge.
+    mergeKeyIdx: Array[Int] = null,
+    mergeCmp: Array[(org.apache.spark.sql.vectorized.ColumnarBatch, Int, Any) => Int] = null,
+    mergeConv: Array[Any => Any] = null) {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -1822,11 +1842,116 @@ private[bucketed] final class VectorizedColdScan(
     }
 
   def nextBatch(): Boolean = {
+    if (mergeKeyIdx != null) return mergedBatch()
     if (!inDelta) {
       if (baseBatch()) return true
       inDelta = true
     }
     deltaBatch()
+  }
+
+  // — sorted-merge state (merge mode only) —
+  private var curIn: ColumnarBatch = _
+  private var curSelLen = 0
+  private var curSelPos = 0
+  private var pendingDelta: Row = _
+  private var pendingKey: Array[Any] = _
+  private var deltaInit = false
+
+  /** Ensure a base survivor is available (advancing reader batches as
+    * needed); false when the base is exhausted.
+    */
+  private def advanceBase(): Boolean = {
+    while (curIn == null || curSelPos >= curSelLen) {
+      if (!reader.nextBatch()) { curIn = null; return false }
+      curIn = reader.resultBatch()
+      val n = curIn.numRows()
+      val pos0 = filePos
+      filePos += n
+      var kept = 0
+      var r = 0
+      while (r < n) {
+        if ((deleted == null || !deleted.get(pos0 + r)) &&
+          (filterFn == null || filterFn(curIn, r))) { sel(kept) = r; kept += 1 }
+        r += 1
+      }
+      curSelLen = kept
+      curSelPos = 0
+    }
+    true
+  }
+
+  private def advanceDelta(): Unit = {
+    if (delta.hasNext) {
+      pendingDelta = delta.next()
+      if (pendingKey == null) pendingKey = new Array[Any](mergeKeyIdx.length)
+      var k = 0
+      while (k < mergeKeyIdx.length) {
+        val v = pendingDelta.get(mergeKeyIdx(k))
+        pendingKey(k) = if (v == null) null else mergeConv(k)(v)
+        k += 1
+      }
+    } else pendingDelta = null
+  }
+
+  /** Lexicographic compare of the base survivor at `r` against the
+    * pending delta key: nulls first per component, then the typed
+    * comparator — [[ClusterRange.cmpNullsFirst]]'s outcomes.
+    */
+  private def cmpBaseDelta(r: Int): Int = {
+    var k = 0
+    while (k < mergeKeyIdx.length) {
+      val vecNull = curIn.column(mergeKeyIdx(k)).isNullAt(r)
+      val dv = pendingKey(k)
+      val c =
+        if (vecNull && dv == null) 0
+        else if (vecNull) -1
+        else if (dv == null) 1
+        else mergeCmp(k)(curIn, r, dv)
+      if (c != 0) return c
+      k += 1
+    }
+    0
+  }
+
+  /** Emit one merged batch: base survivors and live delta rows
+    * interleaved in cluster order (ties: base first), assembling into
+    * the output vectors via the existing copiers (vector→vector) and
+    * rowFillers (external row→vector).
+    */
+  private def mergedBatch(): Boolean = {
+    if (!deltaInit) { advanceDelta(); deltaInit = true }
+    if (remaining <= 0) return false
+    outVectors.foreach(_.reset())
+    usedOut = true
+    var k = 0
+    val cap = math.min(batchSize, remaining)
+    var more = true
+    while (k < cap && more) {
+      val haveBase = advanceBase()
+      if (!haveBase && pendingDelta == null) more = false
+      else {
+        if (haveBase && (pendingDelta == null || cmpBaseDelta(sel(curSelPos)) <= 0)) {
+          val r = sel(curSelPos)
+          curSelPos += 1
+          var c = 0
+          while (c < copiers.length) {
+            val src = curIn.column(c)
+            if (src.isNullAt(r)) outVectors(c).putNull(k) else copiers(c)(src, r, outVectors(c), k)
+            c += 1
+          }
+        } else {
+          var c = 0
+          while (c < rowFillers.length) { rowFillers(c)(outVectors(c), k, pendingDelta); c += 1 }
+          advanceDelta()
+        }
+        k += 1
+      }
+    }
+    outBatch.setNumRows(k)
+    remaining -= k
+    current = outBatch
+    k > 0
   }
 
   private def baseBatch(): Boolean = {
@@ -1930,25 +2055,32 @@ private[bucketed] object VectorizedColdScan {
       filters: Array[Filter], batchSize: Int,
       limit: Option[Int] = None,
       // merge-on-read overlay: (positional deletion bitmap, live delta
-      // rows already filtered + projected to `required`). When the
-      // bitmap has ANY bit set, the parquet-mr row-group predicate is
-      // NOT installed — predicate pruning shifts file positions and
-      // the bitmap is positional — and filtering falls entirely to the
-      // compiled batch evaluator; an all-clear bitmap (pure-insert
-      // MoR) keeps full row-group pruning.
-      overlay: Option[(java.util.BitSet, Iterator[Row])] = None)
+      // rows at FULL table arity — possibly NULL-padded pre-ALTER —
+      // already filtered; this method projects them to the read
+      // schema). When the bitmap has ANY bit set, the parquet-mr
+      // row-group predicate is NOT installed — predicate pruning
+      // shifts file positions and the bitmap is positional — and
+      // filtering falls entirely to the compiled batch evaluator; an
+      // all-clear bitmap (pure-insert MoR) keeps full row-group
+      // pruning.
+      overlay: Option[(java.util.BitSet, Iterator[Row])] = None,
+      // non-empty ⇔ SORTED-MERGE mode: the bucket's serving order is
+      // the lexicographic cluster order over these columns (nulls
+      // first, FilterEval.cmp per component — the fold's comparator),
+      // so live delta rows interleave into the base stream instead of
+      // appending. Columns join the read schema; an unsupported
+      // cluster type falls back to the fold path (None).
+      mergeCols: Seq[String] = Nil)
       : Option[VectorizedColdScan] = {
-    // the read schema appends the filters' extra columns AFTER the
-    // projected ones, typed from the table schema — compaction then
-    // maps output column i to input column i
+    // the read schema appends the filters' (and merge keys') extra
+    // columns AFTER the projected ones, typed from the table schema —
+    // compaction then maps output column i to input column i
+    val extras = (filters.flatMap(_.references) ++ mergeCols).distinct
+      .filterNot(required.fieldNames.contains)
+      .filter(fullSchema.fieldNames.contains)
     val readStruct: StructType =
-      if (filters.isEmpty) required
-      else {
-        val extra = filters.flatMap(_.references).distinct
-          .filterNot(required.fieldNames.contains)
-          .filter(fullSchema.fieldNames.contains)
-        StructType(required.fields ++ extra.map(fullSchema(_)))
-      }
+      if (extras.isEmpty) required
+      else StructType(required.fields ++ extras.map(fullSchema(_)))
     val filterFn =
       if (filters.isEmpty) null
       else VectorFilterEval.compile(readStruct, filters).orNull
@@ -1963,6 +2095,44 @@ private[bucketed] object VectorizedColdScan {
           s"filters=${filters.mkString(",")} required=${required.fieldNames.mkString(",")}")
       return None
     }
+    // sorted-merge machinery: per merge-key component, a vector-vs-
+    // converted-external comparator and the external→internal
+    // converter. Any component outside the supported set falls back
+    // to the fold path before a reader is opened.
+    val mergeIdx: Array[Int] =
+      if (mergeCols.isEmpty) null
+      else if (!mergeCols.forall(readStruct.fieldNames.contains)) return None
+      else mergeCols.map(readStruct.fieldIndex).toArray
+    val mergeParts =
+      if (mergeIdx == null) null
+      else mergeIdx.map(ci => mergeSupport(readStruct(ci).dataType, ci))
+    if (mergeParts != null && mergeParts.exists(_.isEmpty)) return None
+    // projection of the full-arity delta rows to the read schema (the
+    // first |required| fields feed the output vectors; merge keys sit
+    // at their readStruct positions). In merge mode the live delta is
+    // SORTED on the cluster key first — the fold sorts its delta
+    // before merging ([[BucketStore.fold]]'s sortWith is stable, so a
+    // stable sortWith here keeps tied delta rows in commit order too.
+    val deltaProjected: Iterator[Row] = overlay.map { case (_, it) =>
+      val idx = readStruct.fieldNames.map(fullSchema.fieldIndex).toIndexedSeq
+      val projected = it.map(dr => Row.fromSeq(idx.map(i => if (i < dr.size) dr.get(i) else null)))
+      if (mergeCols.isEmpty) projected
+      else {
+        val kIdx = mergeCols.map(readStruct.fieldIndex).toArray
+        def cmpRows(a: Row, b: Row): Int = {
+          var k = 0
+          while (k < kIdx.length) {
+            val c = ClusterRange.cmpNullsFirst(a.get(kIdx(k)), b.get(kIdx(k)))
+            if (c != 0) return c
+            k += 1
+          }
+          0
+        }
+        // policy-bounded materialization: the delta is heap-resident
+        // by construction (≤ autoCompactRatioPct of the base)
+        projected.toArray.sortWith((a, b) => cmpRows(a, b) < 0).iterator
+      }
+    }.getOrElse(Iterator.empty)
     var r: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = null
     try {
       r = new org.apache.spark.sql.execution.datasources.parquet
@@ -1986,7 +2156,10 @@ private[bucketed] object VectorizedColdScan {
       FileStore.vectorReads.incrementAndGet()
       Some(new VectorizedColdScan(r, readStruct, required, filterFn, batchSize, limit,
         deleted = overlay.map(_._1).filterNot(_.isEmpty).orNull,
-        delta = overlay.map(_._2).getOrElse(Iterator.empty)))
+        delta = deltaProjected,
+        mergeKeyIdx = mergeIdx,
+        mergeCmp = if (mergeParts == null) null else mergeParts.map(_.get._1),
+        mergeConv = if (mergeParts == null) null else mergeParts.map(_.get._2)))
     } catch {
       // missing column (pre-ALTER file), schema drift, unsupported
       // predicate/physical-type pairing: the row path serves it with
@@ -2003,6 +2176,68 @@ private[bucketed] object VectorizedColdScan {
 
   private[bucketed] def copierSupported(t: org.apache.spark.sql.types.DataType): Boolean =
     BucketedColumnarPartitionReader.supported(t)
+
+  /** (vector-vs-converted-external comparator, external→internal
+    * converter) for ONE sorted-merge key component at readStruct index
+    * `ci` — the same outcomes as the fold's per-component comparator
+    * ([[ClusterRange.cmpNullsFirst]] → [[FilterEval.cmp]] on external
+    * values; null handling lives in the caller): UTF8String byte order
+    * IS code-point order, non-finite doubles order through IEEE
+    * compare with NaN largest, -0.0 == 0.0. None for a type outside
+    * the vector-supported set (the fold path serves it). BooleanType
+    * is deliberately absent — the fold's own comparator refuses
+    * booleans, so no clustered layout can exist on one.
+    */
+  private def mergeSupport(t: org.apache.spark.sql.types.DataType, ci: Int)
+      : Option[((org.apache.spark.sql.vectorized.ColumnarBatch, Int, Any) => Int, Any => Any)] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    import org.apache.spark.unsafe.types.UTF8String
+    type Cmp = (ColumnarBatch, Int, Any) => Int
+    t match {
+      case LongType => Some((
+        ((b, r, v) => java.lang.Long.compare(b.column(ci).getLong(r), v.asInstanceOf[Long])): Cmp,
+        identity[Any] _))
+      case IntegerType => Some((
+        ((b, r, v) => Integer.compare(b.column(ci).getInt(r), v.asInstanceOf[Int])): Cmp,
+        identity[Any] _))
+      case ShortType => Some((
+        ((b, r, v) => java.lang.Short.compare(b.column(ci).getShort(r), v.asInstanceOf[Short])): Cmp,
+        identity[Any] _))
+      case ByteType => Some((
+        ((b, r, v) => java.lang.Byte.compare(b.column(ci).getByte(r), v.asInstanceOf[Byte])): Cmp,
+        identity[Any] _))
+      case DoubleType => Some((
+        ((b, r, v) => VectorFilterEval.cmpDouble(b.column(ci).getDouble(r),
+          v.asInstanceOf[Double])): Cmp,
+        identity[Any] _))
+      case FloatType => Some((
+        ((b, r, v) => VectorFilterEval.cmpDouble(b.column(ci).getFloat(r).toDouble,
+          v.asInstanceOf[Float].toDouble)): Cmp,
+        identity[Any] _))
+      case StringType => Some((
+        ((b, r, v) => b.column(ci).getUTF8String(r).compareTo(v.asInstanceOf[UTF8String])): Cmp,
+        ((v: Any) => UTF8String.fromString(v.asInstanceOf[String])): Any => Any))
+      case TimestampType => Some((
+        ((b, r, v) => java.lang.Long.compare(b.column(ci).getLong(r), v.asInstanceOf[Long])): Cmp,
+        ((v: Any) => v match {
+          case x: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(x)
+          case x: java.time.Instant => DateTimeUtils.instantToMicros(x)
+        }): Any => Any))
+      case TimestampNTZType => Some((
+        ((b, r, v) => java.lang.Long.compare(b.column(ci).getLong(r), v.asInstanceOf[Long])): Cmp,
+        ((v: Any) => DateTimeUtils.localDateTimeToMicros(
+          v.asInstanceOf[java.time.LocalDateTime])): Any => Any))
+      case DateType => Some((
+        ((b, r, v) => Integer.compare(b.column(ci).getInt(r), v.asInstanceOf[Int])): Cmp,
+        ((v: Any) => v match {
+          case x: java.sql.Date => DateTimeUtils.fromJavaDate(x)
+          case x: java.time.LocalDate => DateTimeUtils.localDateToDays(x)
+        }): Any => Any))
+      case _ => None
+    }
+  }
 
   /** Typed vector→vector value copy (null handled by the caller). */
   private[bucketed] def copier(t: org.apache.spark.sql.types.DataType)

@@ -212,7 +212,7 @@ private[bucketed] object VectorFilterEval {
     * Double.compare path: -0.0 == 0.0 (primitive ==), NaN largest
     * (Double.compare fallthrough — reached only when an operand is NaN).
     */
-  private def cmpDouble(x: Double, y: Double): Int =
+  private[bucketed] def cmpDouble(x: Double, y: Double): Int =
     if (x < y) -1 else if (x > y) 1 else if (x == y) 0 else java.lang.Double.compare(x, y)
 }
 

@@ -214,7 +214,7 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.evictTable("colr_t")
   }
 
-  test("the vectorized path defers to the row path on top-N, CLUSTERED MoR, and hot blocks") {
+  test("the vectorized path defers to the row path on top-N, Z-ORDER live-delta MoR, and hot blocks") {
     loadT()
     BucketStore.evictTable("colr_t")
     val vr0 = FileStore.vectorReads.get()
@@ -223,26 +223,116 @@ class ColumnarScanSpec extends SparkSuite {
     val full = read(columnar = true).collect()
     assert(full.length === 4096)
     assert(FileStore.vectorReads.get() === vr0, "hot blocks must serve from heap, not the file")
-    // CLUSTERED MoR bucket ⇒ row path: the fold MERGES live delta into
-    // the sorted base run (serving order is cluster order, and the
-    // scan claims it) — appending delta after base would break the
-    // claimed ordering, so the vectorized path must decline
+    // Z-ORDER bucket with LIVE delta ⇒ row path: serving order is the
+    // rank-normalized Morton merge, whose zBounds key machinery needs
+    // materialized rows — the one MoR shape the vectorized path
+    // declines (lexicographic clustering sorted-merges vectorized)
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     BucketStore.drop("colr_vmor")
     BucketStore.load(spark, "colr_vmor",
-      (0 until 256).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), "k", 2,
-      clusterBy = Some("v"))
+      (0 until 256).map(i => (i.toLong, i * 1.0, (256 - i) * 1.0)).toDF("k", "x", "y"), "k", 2,
+      clusterBy = Some("zorder(x,y)"))
     BucketStore.setDmlMode("colr_vmor", BucketStore.MergeOnRead)
     spark.sql("DELETE FROM graft.colr_vmor WHERE k % 16 = 0")
-    spark.sql("UPDATE graft.colr_vmor SET v = v + 1000 WHERE k % 16 = 1")
+    spark.sql("UPDATE graft.colr_vmor SET x = x + 1000 WHERE k % 16 = 1")
     BucketStore.evictTable("colr_vmor")
     val vr1 = FileStore.vectorReads.get()
     val got = spark.read.format("graft-buckets").option("table", "colr_vmor")
       .option("columnar", "true").load().collect()
     assert(got.length === 240)
     assert(FileStore.vectorReads.get() === vr1,
-      "a CLUSTERED MoR bucket must fold (merge) through the row path")
+      "a z-order bucket with live delta must fold (Morton-merge) through the row path")
     BucketStore.drop("colr_vmor")
+  }
+
+  test("a LEX-CLUSTERED MoR bucket with live delta SORTED-MERGES through the vectorized path") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.drop("colr_vmrg")
+    // cluster on a compound (String, Double) key with nulls in the mix:
+    // every comparator branch (UTF8String byte order, IEEE doubles,
+    // nulls-first) participates in the merge
+    val df = (0 until 1024).map { i =>
+      (i.toLong,
+        if (i % 17 == 0) null.asInstanceOf[String] else s"g${i % 7}",
+        if (i % 23 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((i * 37 % 101) * 1.0),
+        i * 1.0)
+    }.toDF("k", "g", "s", "v")
+    BucketStore.load(spark, "colr_vmrg", df, "k", 4, clusterBy = Some("g,s"))
+    BucketStore.setDmlMode("colr_vmrg", BucketStore.MergeOnRead)
+    spark.sql("DELETE FROM graft.colr_vmrg WHERE k % 16 = 0")
+    // updates MOVE rows in cluster order (g changes): the merge must
+    // place each delta row at its new sorted position, not append it
+    spark.sql("UPDATE graft.colr_vmrg SET g = concat('g', CAST(CAST(k % 11 AS INT) AS STRING)) " +
+      "WHERE k % 16 = 1")
+    def readM(columnar: Boolean) =
+      spark.read.format("graft-buckets").option("table", "colr_vmrg")
+        .option("columnar", columnar.toString).load()
+    BucketStore.evictTable("colr_vmrg")
+    require(BucketStore.get("colr_vmrg").mor.nonEmpty)
+    // EXACT PER-PARTITION SEQUENCES, not sets: the merge order must be
+    // row-for-row the fold's serving order (the scan claims cluster
+    // ordering and the planner elides Sorts above it)
+    val wantSeq = readM(columnar = false).rdd
+      .mapPartitions(it => Iterator.single(it.map(_.toSeq).toVector))
+      .collect().toSeq
+    BucketStore.evictTable("colr_vmrg")
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    val gotSeq = readM(columnar = true).rdd
+      .mapPartitions(it => Iterator.single(it.map(_.toSeq).toVector))
+      .collect().toSeq
+    assert(gotSeq.map(_.size).sum === 960)
+    assert(gotSeq.toSet === wantSeq.toSet,
+      "the vectorized sorted-merge must reproduce the fold's serving order row-for-row")
+    assert(FileStore.vectorReads.get() - vr0 === 4L,
+      "every lex-clustered live-delta MoR bucket must ride the vectorized merge")
+    assert(FileStore.filesRead.get() === fr0)
+    assert(BucketStore.get("colr_vmrg").buckets.loadedCount === 0)
+    // the ordering claim composes: a filtered read stays merged-ordered
+    BucketStore.evictTable("colr_vmrg")
+    val wantF = readM(columnar = false).filter(col("v") < 512.0)
+      .collect().map(_.toSeq).toSet
+    BucketStore.evictTable("colr_vmrg")
+    val gotF = readM(columnar = true).filter(col("v") < 512.0)
+      .collect().map(_.toSeq).toSet
+    assert(gotF === wantF, "filtered vectorized merge must match the fold path")
+    BucketStore.drop("colr_vmrg")
+  }
+
+  test("vectorized merge order parity with the fold under randomized DML (seeded)") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 0 until 3) {
+      BucketStore.drop("colr_prop")
+      val n = 300 + rnd.nextInt(200)
+      val df = (0 until n).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(9) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextInt(50).toLong),
+          rnd.nextDouble() * 100)
+      }.toDF("k", "c", "v")
+      BucketStore.load(spark, "colr_prop", df, "k", 3, clusterBy = Some("c"))
+      BucketStore.setDmlMode("colr_prop", BucketStore.MergeOnRead)
+      val delMod = 3 + rnd.nextInt(5)
+      val updMod = 3 + rnd.nextInt(5)
+      spark.sql(s"DELETE FROM graft.colr_prop WHERE k % 24 = $delMod")
+      spark.sql(s"UPDATE graft.colr_prop SET c = (k * 7) % 50 WHERE k % 24 = ${delMod + updMod}")
+      def readP(columnar: Boolean) =
+        spark.read.format("graft-buckets").option("table", "colr_prop")
+          .option("columnar", columnar.toString).load()
+      BucketStore.evictTable("colr_prop")
+      val want = readP(columnar = false).rdd
+        .mapPartitions(it => Iterator.single(it.map(_.toSeq).toVector))
+        .collect().toSet
+      BucketStore.evictTable("colr_prop")
+      val vr0 = FileStore.vectorReads.get()
+      val got = readP(columnar = true).rdd
+        .mapPartitions(it => Iterator.single(it.map(_.toSeq).toVector))
+        .collect().toSet
+      assert(got === want, s"[round $round] merge order must equal fold order per partition")
+      assert(FileStore.vectorReads.get() > vr0, s"[round $round] must ride vectorized")
+    }
+    BucketStore.drop("colr_prop")
   }
 
   test("a DELETE-ONLY MoR bucket rides the vectorized path even on a CLUSTERED table") {
