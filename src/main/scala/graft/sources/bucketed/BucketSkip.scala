@@ -113,6 +113,13 @@ object BucketSkip {
     */
   val buildCount = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Spec hooks: peek the (path, col) cache and run an array build —
+    * the parity oracle for the streamed cold stat pass.
+    */
+  def fileStatsPeek(path: String, c: String): Option[Option[ColSkip]] = fileStatsGet(path, c)
+  def statsOver(schema: StructType, rows: Array[Row], c: String): Option[ColSkip] =
+    statsFor(schema, rows, c)
+
   /** Commit-time statistics build: compute (and cache) stats for
     * `cols` over one bucket's rows — called by [[BucketStore.publish]]
     * for every bucket whose array the commit replaced, with the
@@ -190,6 +197,46 @@ object BucketSkip {
     if (!comparableType(schema(schema.fieldIndex(c)).dataType)) return None
     buildCount.incrementAndGet()
     buildRange(schema, rows, 0, rows.length, c)
+  }
+
+  /** Stat pass over a STREAMED single-column projection of a cold
+    * block file — the analyze path for a column with no committed
+    * stats: exactly one column decodes and the block is never faulted
+    * into the heap cache. `values` are 1-ary rows (the projected
+    * column at index 0); `n` is the file's exact row count from the
+    * manifest. Same formula, same loop, same `FilterEval.cmp` order
+    * as [[buildRange]] — the resulting ColSkip is value-identical to
+    * the array build over the same data (spec-pinned), so committed
+    * manifests agree regardless of which path produced them.
+    */
+  private[bucketed] def buildStreaming(field: org.apache.spark.sql.types.StructField,
+      n: Int, values: Iterator[Row]): Option[ColSkip] = {
+    if (!comparableType(field.dataType)) return None
+    buildCount.incrementAndGet()
+    val nbits =
+      if (!sketchableType(field.dataType)) 0
+      else math.min(1 << 22, math.max(64, Integer.highestOneBit(n * 8 - 1) << 1))
+    val bloom = if (nbits > 0) new java.util.BitSet(nbits) else null
+    var nulls = 0
+    var min: Any = null
+    var max: Any = null
+    var seen = 0
+    while (values.hasNext) {
+      val r = values.next()
+      if (r.size < 1 || r.isNullAt(0)) nulls += 1
+      else {
+        val v = r.get(0)
+        if (min == null || FilterEval.cmp(v, min) < 0) min = v
+        if (max == null || FilterEval.cmp(v, max) > 0) max = v
+        if (bloom != null) sketchHash(v).foreach(h => setBits(bloom, nbits, h))
+      }
+      seen += 1
+    }
+    // a missing column in a pre-ALTER file streams zero rows even
+    // though the block has n: those rows read as NULL (the standing
+    // pad contract)
+    if (seen < n) nulls += n - seen
+    Some(ColSkip(n, nulls, min, max, bloom, nbits))
   }
 
   /** One stat pass over rows[from, until) — the shared core of the

@@ -341,7 +341,10 @@ object BucketStore {
           blk.file.filter(_.path.nonEmpty).map { f =>
             b -> cols.iterator.map { c =>
               c -> BucketSkip.fileStatsGet(f.path, c).getOrElse {
-                val s = BucketSkip.statsFor(stamped.schema, blk.rows, c)
+                // cold block + never-committed column: stream exactly
+                // the stat column ([[coldColStats]]) — an analyze over
+                // a reopened table must not fault the table into heap
+                val s = coldColStats(stamped.schema, f, blk, c)
                 BucketSkip.fileStatsPut(f.path, c, s)
                 s
               }
@@ -549,13 +552,35 @@ object BucketStore {
     * after the table's last publish), and the result is path-cached so
     * the load happens at most once per block file.
     */
+  /** Column stats for one file-backed block, COLD-AWARE: a loaded
+    * block computes over its in-heap rows (free); an evicted one
+    * STREAMS exactly the stat column from its parquet file
+    * ([[FileStore.readBlockProjected]]) — `CALL graft.analyze` on a
+    * reopened 100 TB table with a newly registered column decodes one
+    * column per block and faults NOTHING into the heap cache. Any
+    * streaming failure falls back loudly-cheaply to the loading path.
+    */
+  private def coldColStats(schema: StructType, f: FileStore.BlockFile,
+      blk: BucketBlock, c: String): Option[BucketSkip.ColSkip] =
+    if (blk.isLoaded || !schema.fieldNames.contains(c))
+      BucketSkip.statsFor(schema, blk.rows, c)
+    else {
+      try {
+        val field = schema(c)
+        BucketSkip.buildStreaming(field, f.rows,
+          FileStore.readBlockProjected(f, StructType(Seq(field))))
+      } catch {
+        case scala.util.control.NonFatal(_) => BucketSkip.statsFor(schema, blk.rows, c)
+      }
+    }
+
   def skipStatParts(t: BucketTable, b: Int, c: String): Option[Seq[BucketSkip.ColSkip]] = {
     def baseStats: Option[BucketSkip.ColSkip] = {
       val blk = t.buckets.block(b)
       blk.file.filter(_.path.nonEmpty) match {
         case Some(f) =>
           BucketSkip.fileStatsGet(f.path, c).getOrElse {
-            val s = BucketSkip.statsFor(t.schema, blk.rows, c)
+            val s = coldColStats(t.schema, f, blk, c)
             BucketSkip.fileStatsPut(f.path, c, s)
             s
           }

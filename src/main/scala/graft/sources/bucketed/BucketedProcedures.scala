@@ -520,8 +520,13 @@ object BucketedProcedures {
       BucketStore.registerStatColumns(table, cols)
       val data = cols.map { c =>
         var skippable = 0
-        t.buckets.foreach { rows =>
-          if (BucketSkip.statsFor(t.schema, rows, c).isDefined) skippable += 1
+        // COLD-AWARE: [[BucketStore.skipStatParts]] streams exactly the
+        // stat column from an evicted block's file (and caches by file
+        // path, so the manifest fold below reuses the same pass) — an
+        // analyze over a reopened 100 TB table decodes one column per
+        // block and never faults the table into the heap cache
+        t.buckets.indices.foreach { b =>
+          if (BucketStore.skipStatParts(t, b, c).isDefined) skippable += 1
         }
         InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(c),
           t.buckets.length, skippable)

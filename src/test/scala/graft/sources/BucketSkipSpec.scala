@@ -299,4 +299,55 @@ class BucketSkipSpec extends SparkSuite {
     assert(eq.rdd.getNumPartitions === 0)
     assert(eq.count() === 0L)
   }
+
+  test("analyze of a NEW column on a COLD reopened table streams projected — zero heap faults") {
+    import graft.sources.bucketed.FileStore
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 2000).map(i =>
+      (i.toLong, i * 1.5, if (i % 7 == 0) null else s"w${i % 61}"))
+      .toDF("k", "v", "w")
+    BucketStore.drop("skip_cold_an")
+    BucketStore.load(spark, "skip_cold_an", df, "k", 8)
+    spark.sql("CALL graft.analyze('skip_cold_an', 'v')") // v committed, w NOT
+    val dir = BucketStore.unload("skip_cold_an").get
+    BucketStore.openFromDisk("skip_cold_an", dir)
+    assert(BucketStore.get("skip_cold_an").buckets.loadedCount === 0)
+    // analyze the never-committed column on the fully cold table: the
+    // stat pass must stream exactly that column from each block file
+    // (readBlockProjected), faulting NOTHING into the heap cache —
+    // at 100 TB this is the difference between "analyze decodes one
+    // column" and "analyze loads the table"
+    val pr0 = FileStore.projectedReads.get()
+    spark.sql("CALL graft.analyze('skip_cold_an', 'w')")
+    assert(BucketStore.get("skip_cold_an").buckets.loadedCount === 0,
+      "a cold analyze must not fault a single block into the heap cache")
+    assert(FileStore.projectedReads.get() - pr0 >= 8L,
+      "every bucket's new-column stats must come from a projected stream")
+    // PARITY: the streamed stats must be value-identical to the
+    // array-built stats over the same data (manifest consumers can
+    // never tell which path produced a ColSkip)
+    val t = BucketStore.get("skip_cold_an")
+    t.buckets.indices.foreach { b =>
+      val f = t.buckets.block(b).file.get
+      val streamed = BucketSkip.fileStatsPeek(f.path, "w").get
+      val arrayBuilt = BucketSkip.statsOver(t.schema, t.buckets(b), "w") // faults: after the audit
+      assert(streamed === arrayBuilt, s"bucket $b: streamed vs array-built stats differ")
+    }
+    // the committed stats WORK from cold: reopen fresh and prune a
+    // provably-empty predicate without touching a block
+    BucketStore.unload("skip_cold_an")
+    BucketStore.openFromDisk("skip_cold_an", dir)
+    val none = scan("skip_cold_an").filter(col("w") === "nope")
+    assert(none.rdd.getNumPartitions === 0, "manifest zone maps must prune every bucket")
+    assert(none.count() === 0L)
+    assert(BucketStore.get("skip_cold_an").buckets.loadedCount === 0)
+    // plan-time stat build for a never-committed column on a cold
+    // table streams too (skipStatParts path): filter on k (no stats
+    // ever registered for it) — correct rows, still zero faults
+    val hits = scan("skip_cold_an").filter(col("k") === 1234L).collect()
+    assert(hits.map(_.getLong(0)).toSeq === Seq(1234L))
+    assert(BucketStore.get("skip_cold_an").buckets.loadedCount === 0,
+      "a cold filtered scan's plan-time stat pass must stream, not load")
+    BucketStore.drop("skip_cold_an")
+  }
 }

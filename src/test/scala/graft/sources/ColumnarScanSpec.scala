@@ -155,8 +155,9 @@ class ColumnarScanSpec extends SparkSuite {
       "timestamp" -> (col("ts") > new java.sql.Timestamp(1700002000000L)),
       "negation" -> !(col("flag") === true),
       "everything matches" -> (col("k") >= 0L))
-    // first pass warms the plan-time skip stats (that pass loads blocks
-    // to build never-committed stats — the documented one-time cost)
+    // first pass warms the plan-time skip stats (never-committed stats
+    // now build from a projected single-column stream — cold-safe —
+    // and cache by file path, so later passes pay nothing)
     preds.foreach { case (_, p) => read(columnar = true).filter(p).collect() }
     preds.foreach { case (name, p) =>
       BucketStore.evictTable("colr_t")
