@@ -2150,22 +2150,64 @@ object BucketStore {
       var newMor = t.mor
       cls.indices.foreach { b =>
         if (cls(b) == Cls.Scan) {
-          val f = folded(t, b)
-          var bits: java.util.BitSet = null
-          var i = 0
-          while (i < f.rows.length) {
-            if (matches(f.rows(i))) {
-              if (bits == null)
-                bits = t.mor.get(b).map(_.deleted.clone().asInstanceOf[java.util.BitSet])
-                  .getOrElse(new java.util.BitSet())
-              bits.set(f.posOf(i))
-              deleted += 1
+          val blk = t.buckets.block(b)
+          // COLD CLEAN STRADDLER (round 17): a file-backed, unloaded
+          // bucket with no pending MoR state finds its matching
+          // positions by streaming ONLY the filters' columns (file
+          // order = position order on a clean bucket) — a cold
+          // `DELETE WHERE p` decodes the predicate's columns and
+          // faults nothing into the heap cache. MoR/loaded buckets
+          // keep the fold (positions need the live view / are free).
+          val streamed: Boolean =
+            if (t.mor.contains(b) || blk.isLoaded) false
+            else blk.file.filter(_.path.nonEmpty) match {
+              case Some(bf) if filters.nonEmpty &&
+                  filters.flatMap(_.references).forall(schema.fieldNames.contains) =>
+                try {
+                  val refs = filters.flatMap(_.references).distinct
+                  val proj = StructType(schema.fields.filter(fd => refs.contains(fd.name)))
+                  var bits: java.util.BitSet = null
+                  var pos = 0
+                  var dLocal = 0L
+                  val it = FileStore.readBlockProjected(bf, proj)
+                  while (it.hasNext) {
+                    val r = it.next()
+                    if (filters.forall(FilterEval.eval(proj, _, r))) {
+                      if (bits == null) bits = new java.util.BitSet()
+                      bits.set(pos)
+                      dLocal += 1
+                    }
+                    pos += 1
+                  }
+                  // counters commit only on a COMPLETE stream — a
+                  // mid-stream failure leaves them untouched for the
+                  // fold fallback's exact re-count
+                  evaluated += pos
+                  deleted += dLocal
+                  if (bits != null)
+                    newMor = newMor.updated(b, BucketMor(bits, Array.empty[Row]))
+                  true
+                } catch { case scala.util.control.NonFatal(_) => false }
+              case _ => false
             }
-            i += 1
+          if (!streamed) {
+            val f = folded(t, b)
+            var bits: java.util.BitSet = null
+            var i = 0
+            while (i < f.rows.length) {
+              if (matches(f.rows(i))) {
+                if (bits == null)
+                  bits = t.mor.get(b).map(_.deleted.clone().asInstanceOf[java.util.BitSet])
+                    .getOrElse(new java.util.BitSet())
+                bits.set(f.posOf(i))
+                deleted += 1
+              }
+              i += 1
+            }
+            if (bits != null)
+              newMor = newMor.updated(b,
+                BucketMor(bits, t.mor.get(b).map(_.delta).getOrElse(Array.empty[Row])))
           }
-          if (bits != null)
-            newMor = newMor.updated(b,
-              BucketMor(bits, t.mor.get(b).map(_.delta).getOrElse(Array.empty[Row])))
         }
       }
       val rows = t.buckets.mapRetaining { b =>

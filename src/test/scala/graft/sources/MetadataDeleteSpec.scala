@@ -161,4 +161,43 @@ class MetadataDeleteSpec extends SparkSuite {
         s"(loaded=${next.buckets.loadedCount}, $out)")
     assert(scan("md_file").count() === (1600 - 499).toLong)
   }
+
+  test("merge-on-read COLD straddler streams only the filter columns — zero heap faults") {
+    import graft.sources.bucketed.FileStore
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val df = (1 to 1600).map(i => (i.toLong, s"doc-$i", i % 7)).toDF("k", "name", "grp")
+    BucketStore.drop("md_stream")
+    BucketStore.load(spark, "md_stream", df, "k", 8)
+    BucketStore.setDmlMode("md_stream", BucketStore.MergeOnRead) // BEFORE the
+    // analyze/repartition publishes so the manifest carries the mode
+    spark.sql("CALL graft.analyze('md_stream', 'k')")
+    spark.sql("CALL graft.repartition_range('md_stream', 8)")
+    val dir = BucketStore.unload("md_stream").get
+    BucketStore.openFromDisk("md_stream", dir)
+    assert(BucketStore.get("md_stream").buckets.loadedCount === 0)
+    // retention delete on the fully cold MoR table: drops classify
+    // from manifest stats, and the ONE straddler finds its deletion
+    // positions by streaming just the filter column (k) — the 100 TB
+    // shape where before this round the straddler faulted its whole
+    // block into the heap cache
+    spark.sql("DELETE FROM graft.`md_stream` WHERE k < 500")
+    val out = BucketStore.lastDeleteOutcome("md_stream").get
+    assert(out.droppedBuckets >= 1 && out.scannedBuckets <= 1, s"$out")
+    // dropped buckets are REPLACED by empty in-heap arrays (that's the
+    // drop, not a fault); no block holding DATA may have loaded — the
+    // straddler streamed its filter column, everything else classified
+    // from manifest stats
+    val t2 = BucketStore.get("md_stream")
+    val faulted = t2.buckets.indices.count(b =>
+      t2.buckets.block(b).isLoaded && t2.buckets.rowCount(b) > 0)
+    assert(faulted === 0,
+      "a cold merge-on-read DELETE must fault NOTHING — the straddler streams its filter columns")
+    assert(scan("md_stream").count() === 1101L)
+    assert(scan("md_stream").agg(min(col("k"))).head.getLong(0) === 500L)
+    // the straddler's bits fold correctly on a later full read
+    val rows = scan("md_stream").collect()
+    assert(rows.length === 1101)
+    assert(rows.forall(_.getLong(0) >= 500L))
+    BucketStore.drop("md_stream")
+  }
 }
