@@ -932,9 +932,32 @@ object BucketStore {
     */
   def setCheck(name: String, exprStr: String): Unit = synchronized {
     val t = get(name)
-    CheckConstraint.bind(t.schema, exprStr) // loud on bad columns/type
+    val bound = CheckConstraint.bind(t.schema, exprStr) // loud on bad columns/type
+    // ADD CONSTRAINT must prove the EXISTING rows satisfy the
+    // expression — but proving it needs only the expression's
+    // referenced columns, so a COLD clean bucket streams exactly those
+    // from its file instead of folding the whole bucket into heap
+    // (round 17; ADD CONSTRAINT on a cold 100 TB table decodes the
+    // constraint's columns, not the table). MoR/loaded buckets keep
+    // the fold; so does a column-free constant expression.
+    val refs = bound.collect {
+      case br: org.apache.spark.sql.catalyst.expressions.BoundReference => br.ordinal
+    }.distinct.map(t.schema.fields(_).name).toSet
+    val proj = StructType(t.schema.fields.filter(fd => refs.contains(fd.name)))
     t.buckets.indices.foreach { b =>
-      CheckConstraint.validate(name, exprStr, t.schema, folded(t, b).rows)
+      val blk = t.buckets.block(b)
+      val cold = !blk.isLoaded && !t.mor.contains(b) && proj.nonEmpty &&
+        blk.file.exists(_.path.nonEmpty)
+      if (cold) {
+        try {
+          CheckConstraint.validate(name, exprStr, proj,
+            FileStore.readBlockProjected(blk.file.get, proj))
+        } catch {
+          case e: IllegalArgumentException => throw e // a real violation
+          case scala.util.control.NonFatal(_) =>
+            CheckConstraint.validate(name, exprStr, t.schema, folded(t, b).rows)
+        }
+      } else CheckConstraint.validate(name, exprStr, t.schema, folded(t, b).rows)
     }
     checks.put(name, exprStr)
     ()
@@ -1324,8 +1347,11 @@ object BucketStore {
     */
   private def maybeAutoCompact(name: String, next: BucketTable): Unit = {
     val pending = morPendingRows(next)
+    // base rows come from block METADATA (manifest counts) — the old
+    // `buckets.iterator.map(_.length)` loaded every bucket into heap
+    // just to compute the policy denominator, on EVERY MoR commit
     if (pending >= autoCompactMinRows &&
-        pending * 100L >= next.buckets.iterator.map(_.length.toLong).sum * autoCompactRatioPct)
+        pending * 100L >= next.buckets.totalBaseRows * autoCompactRatioPct)
       compact(name): Unit
   }
 
@@ -1395,7 +1421,10 @@ object BucketStore {
     t.buckets.indices.foreach { b =>
       if (deletes(b).nonEmpty || inserts(b).nonEmpty) {
         val old = t.mor.get(b)
-        val baseLen = t.buckets(b).length
+        // metadata, not a load: a delta commit against a COLD bucket
+        // must not fault its base into heap just to range-check
+        // positions — the whole point of the positional-delta path
+        val baseLen = t.buckets.rowCount(b)
         val deltaLen = old.map(_.delta.length).getOrElse(0)
         val bits = old.map(_.deleted.clone().asInstanceOf[java.util.BitSet])
           .getOrElse(new java.util.BitSet())
@@ -2007,15 +2036,23 @@ object BucketStore {
       requireLayoutUnchanged(name, t0, expectedLayoutEpoch)
       enforceCheck(name, t0.schema, byBucket)
       val t = freezeZBounds(t0, byBucket.iterator.flatten)
-      val rows =
-        if (truncate) byBucket.map(clusterSort(t.schema, t.clusterCol, _, t.zBounds))
-        else t.buckets.zipWithIndex.map { case (old, b) =>
+      val rows: BucketBlocks =
+        if (truncate)
+          BucketBlocks.fromArrays(
+            byBucket.map(clusterSort(t.schema, t.clusterCol, _, t.zBounds)))
+        else t.buckets.mapRetaining { b =>
           // clustered-index maintenance on ingest: only buckets that
           // received rows change, and each pays a DELTA sort + linear
           // merge, never a full re-sort ([[clusterMerge]]). A bucket
-          // with pending MOR state folds it first.
-          if (byBucket(b).isEmpty) old
-          else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b), t.zBounds)
+          // with pending MOR state folds it first. Buckets receiving
+          // NO rows RETAIN their block (round 17): same instance, same
+          // backing file, never loaded — appending one row to a cold
+          // 100 TB table faults exactly the one receiving bucket, not
+          // the table (the old zipWithIndex path materialized every
+          // bucket's rows just to hand them back).
+          if (byBucket(b).isEmpty) None
+          else Some(clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b),
+            t.zBounds))
         }
       val mor =
         if (truncate) Map.empty[Int, BucketMor]

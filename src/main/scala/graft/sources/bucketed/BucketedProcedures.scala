@@ -301,7 +301,7 @@ object BucketedProcedures {
       // materialize are the untouched set the minimal-movement path
       // guarantees
       val untouched = after.buckets.indices.count(b =>
-        b < before.buckets.length && (after.buckets(b) eq before.buckets(b)))
+        after.buckets.sharesWith(before.buckets, b)) // storage identity, no loads
       localScan(
         StructType(Seq(
           StructField("old_buckets", IntegerType, nullable = false),

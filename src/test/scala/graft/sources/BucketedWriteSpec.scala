@@ -542,4 +542,36 @@ class BucketedWriteSpec extends SparkSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("append to a COLD table faults only the receiving buckets; untouched keep their FILES") {
+    import graft.sources.bucketed.FileStore
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.drop("w_coldapp")
+    BucketStore.load(spark, "w_coldapp",
+      (0 until 1600).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), "k", 8)
+    val dir = BucketStore.unload("w_coldapp").get
+    BucketStore.openFromDisk("w_coldapp", dir)
+    val before = BucketStore.get("w_coldapp")
+    assert(before.buckets.loadedCount === 0)
+    val beforeFiles = before.buckets.indices
+      .map(b => b -> before.buckets.block(b).file.map(_.path)).toMap
+    // one-row append into ONE bucket of a fully cold table: the write
+    // must fault exactly the receiving bucket — appending a row to a
+    // cold 100 TB table is an O(bucket) operation, never O(table)
+    spark.sql("INSERT INTO graft.`w_coldapp` VALUES (100000, 9.5)")
+    val after = BucketStore.get("w_coldapp")
+    val faulted = after.buckets.indices.count(b => after.buckets.block(b).isLoaded)
+    assert(faulted === 1,
+      s"a one-bucket append to a cold table must fault exactly 1 bucket, faulted $faulted")
+    // untouched buckets RETAIN their blocks (same backing file in the
+    // new manifest — no reload, no respill)
+    val changed = after.buckets.indices.count { b =>
+      after.buckets.block(b).file.map(_.path) != beforeFiles(b)
+    }
+    assert(changed === 1,
+      s"only the receiving bucket's file may change in the new version, changed $changed")
+    assert(spark.table("graft.`w_coldapp`").count() === 1601L)
+    assert(spark.table("graft.`w_coldapp`").filter(col("k") === 100000L).count() === 1L)
+    BucketStore.drop("w_coldapp")
+  }
 }

@@ -99,4 +99,33 @@ class CheckConstraintSpec extends SparkSuite {
     assert(spark.table(s"graft.`$name`").count() == 2)
     BucketStore.drop(name)
   }
+
+  test("ADD CONSTRAINT on a COLD table streams only the expression's columns — zero faults") {
+    import graft.sources.bucketed.FileStore
+    val name = "chk_cold"
+    BucketStore.drop(name)
+    BucketStore.load(spark,
+      name,
+      (1 to 1200).map(i => (i.toLong, i * 1.0, s"s$i")).toDF("k", "v", "s"),
+      "k", 6)
+    val dir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, dir)
+    assert(BucketStore.get(name).buckets.loadedCount === 0)
+    val pr0 = FileStore.projectedReads.get()
+    BucketStore.setCheck(name, "v > 0") // proof over existing rows
+    assert(BucketStore.get(name).buckets.loadedCount === 0,
+      "proving a CHECK over a cold table must stream its referenced columns, not fold buckets")
+    assert(FileStore.projectedReads.get() - pr0 >= 6L,
+      "each bucket's proof must come from a projected stream")
+    // a VIOLATED constraint is still rejected through the streamed proof
+    val e = intercept[IllegalArgumentException] { BucketStore.setCheck(name, "v > 100") }
+    assert(e.getMessage.contains("violation"))
+    assert(BucketStore.get(name).buckets.loadedCount === 0)
+    // the recorded constraint still enforces writes
+    val w = intercept[Exception] {
+      Seq((9000L, -1.0, "x")).toDF("k", "v", "s").writeTo(s"graft.`$name`").append()
+    }
+    assert(w.getMessage != null)
+    BucketStore.drop(name)
+  }
 }
