@@ -519,6 +519,7 @@ object SparkEntry {
     "q261_cold_filtered_agg" -> graft.sources.bucketed.BucketedQueries.coldFilteredAggQuery _,
     "q262_reader_refresh" -> graft.sources.bucketed.BucketedQueries.readerRefreshQuery _,
     "q263_cold_mor_sweep" -> graft.sources.bucketed.BucketedQueries.coldMorSweepQuery _,
+    "q264_cold_append" -> graft.sources.bucketed.BucketedQueries.coldAppendQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -944,6 +945,7 @@ object SparkEntry {
     "q261_cold_filtered_agg" -> graft.sources.bucketed.BucketedQueries.coldFilteredAggSql,
     "q262_reader_refresh" -> graft.sources.bucketed.BucketedQueries.readerRefreshSql,
     "q263_cold_mor_sweep" -> graft.sources.bucketed.BucketedQueries.coldMorSweepSql,
+    "q264_cold_append" -> graft.sources.bucketed.BucketedQueries.coldAppendSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

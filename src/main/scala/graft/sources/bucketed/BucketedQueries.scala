@@ -2447,6 +2447,61 @@ object BucketedQueries {
       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q264 — APPEND to a COLD table is O(receiving buckets), not
+    * O(table): customer reopens fully evicted, a single-row INSERT
+    * lands in ONE bucket, and the gate audits that exactly one bucket
+    * faulted into heap and exactly one bucket's backing file changed
+    * in the new manifest — every untouched bucket RETAINED its block
+    * (same instance, same file, never loaded). Before round 17 the
+    * write path materialized every bucket's rows just to hand the
+    * untouched ones back, so this exact statement faulted the whole
+    * table. The read-back is a grouped rollup over the evicted result
+    * through the vectorized cold path; the inserted row lands in its
+    * own group so the oracle pins both the append and the base.
+    */
+  def coldAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"cust_coldapp@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "c_custkey", NumBuckets)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    val before = BucketStore.get(name)
+    require(before.buckets.loadedCount == 0, "the reopened table must start fully cold")
+    val beforeFiles = before.buckets.indices
+      .map(b => b -> before.buckets.block(b).file.map(_.path)).toMap
+    spark.sql(s"INSERT INTO graft.`$name` VALUES (99000001, 'APPENDED', 123.45)")
+    val after = BucketStore.get(name)
+    val faulted = after.buckets.indices.count(b => after.buckets.block(b).isLoaded)
+    require(faulted == 1,
+      s"a one-bucket append to a cold table must fault exactly 1 bucket, faulted $faulted")
+    val changed = after.buckets.indices.count { b =>
+      after.buckets.block(b).file.map(_.path) != beforeFiles(b)
+    }
+    require(changed == 1,
+      s"only the receiving bucket's file may change in the new version, changed $changed")
+    BucketStore.evictTable(name)
+    spark.table(s"graft.`$name`")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+  }
+
+  val coldAppendSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM (
+      |  SELECT c_mktsegment, c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT 'APPENDED' AS c_mktsegment, 123.45 AS c_acctbal
+      |) GROUP BY c_mktsegment""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */
