@@ -300,6 +300,51 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.drop("colr_vmrg")
   }
 
+  test("vectorized merge over an IEEE-specials Double cluster key matches the fold exactly") {
+    // NaN (largest), ±Infinity, -0.0 == 0.0, and nulls-first all hit
+    // the merge comparator — the fold sorts these through
+    // FilterEval.cmp (BigDecimal finite / IEEE non-finite), the merge
+    // through cmpDouble; this pins their agreement with live delta
+    // rows interleaving among the specials
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    BucketStore.drop("colr_ieee")
+    val specials = Array(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      -0.0, 0.0, 1.5, -1.5)
+    val df = (0 until 512).map { i =>
+      (i.toLong,
+        if (i % 11 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(specials(i % specials.length)),
+        i * 1.0)
+    }.toDF("k", "c", "v")
+    BucketStore.load(spark, "colr_ieee", df, "k", 2, clusterBy = Some("c"))
+    BucketStore.setDmlMode("colr_ieee", BucketStore.MergeOnRead)
+    spark.sql("DELETE FROM graft.colr_ieee WHERE k % 16 = 2")
+    // the update MOVES rows onto the specials ladder (including NaN
+    // via 0/0 is not expressible in SQL literals — use v-driven picks)
+    spark.sql("UPDATE graft.colr_ieee SET c = CAST('NaN' AS DOUBLE) WHERE k % 16 = 3")
+    spark.sql("UPDATE graft.colr_ieee SET c = CAST('-0.0' AS DOUBLE) WHERE k % 16 = 4")
+    def readI(columnar: Boolean) =
+      spark.read.format("graft-buckets").option("table", "colr_ieee")
+        .option("columnar", columnar.toString).load()
+    BucketStore.evictTable("colr_ieee")
+    val want = readI(columnar = false).rdd
+      .mapPartitions(it => Iterator.single(it.map(r =>
+        r.toSeq.map { case d: Double => java.lang.Double.doubleToRawLongBits(d); case x => x })
+        .toVector))
+      .collect().toSet
+    BucketStore.evictTable("colr_ieee")
+    val vr0 = FileStore.vectorReads.get()
+    val got = readI(columnar = true).rdd
+      .mapPartitions(it => Iterator.single(it.map(r =>
+        r.toSeq.map { case d: Double => java.lang.Double.doubleToRawLongBits(d); case x => x })
+        .toVector))
+      .collect().toSet
+    assert(got === want,
+      "IEEE specials must merge bit-identically and in the fold's exact order")
+    assert(FileStore.vectorReads.get() > vr0)
+    BucketStore.drop("colr_ieee")
+  }
+
   test("vectorized merge order parity with the fold under randomized DML (seeded)") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     val rnd = new scala.util.Random(20260816L)
