@@ -231,6 +231,14 @@ final case class CdcInputPartition(table: String, bucket: Int, hosts: Array[Stri
   * as multisets, and |deletes| + |inserts| is MINIMAL (the multiset
   * symmetric difference — nothing unchanged ever ships).
   */
+object BucketedCdc {
+  /** CDC steps served from MoR state in O(changed rows) instead of a
+    * two-snapshot fetch-and-diff — observability/spec hook only (see
+    * the single-auditor note on the scan counters); never load-bearing.
+    */
+  val morFastSteps = new java.util.concurrent.atomic.AtomicLong()
+}
+
 object CdcDiff {
   def diff(oldRows: Seq[Row], newRows: Seq[Row]): (Vector[Row], Vector[Row]) = {
     val unmatched = new scala.collection.mutable.HashMap[Row, Int]()
@@ -346,6 +354,86 @@ class CdcPartitionReader(p: CdcInputPartition, baseSchema: StructType, fetchSize
       finally ConnectionPool.release(conn)
     }
 
+  /** MERGE-ON-READ FAST STEP (round 17): when `fromV → toV` left the
+    * bucket's BASE block untouched and only grew its MoR state (the
+    * delta-commit contract: bits monotone, delta append-only — the
+    * exact invariants [[BucketStore.applyDelta]]'s concurrency check
+    * enforces), the step's logical diff is constructible from the MoR
+    * state in O(changed rows): newly set bits name the deleted
+    * positions (base pre-images come from ONE uncached projected
+    * stream of the block file — or the in-heap array if loaded; old
+    * delta pre-images are heap-resident), new live delta rows are the
+    * inserts, and a row inserted AND deleted within the window
+    * suppresses on both sides. A final [[CdcDiff.diff]] over the two
+    * small vectors restores the fetch-path's exact BAG semantics
+    * (value-equal delete/insert pairs cancel). Anything the guards
+    * can't prove — base rewritten (compaction/COW), bits shrunk
+    * (rollback), delta reordered, version not retained — falls back
+    * to the fetch-and-diff path. At 100 TB this makes a trickle
+    * update's changefeed step cost ∝ its changed rows instead of two
+    * full bucket fetches.
+    */
+  private def morFastDiff(fromV: Long, toV: Long): Option[(Vector[Row], Vector[Row])] = {
+    if (fromV == 0L) return None
+    val (oldT, newT) =
+      try (BucketStore.snapshot(p.table, fromV), BucketStore.snapshot(p.table, toV))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (p.bucket >= oldT.buckets.length || p.bucket >= newT.buckets.length) return None
+    if (!newT.buckets.sharesWith(oldT.buckets, p.bucket)) return None
+    val om = oldT.mor.get(p.bucket)
+    val nm = newT.mor.get(p.bucket)
+    val bits0 = om.map(_.deleted).getOrElse(new java.util.BitSet())
+    val bits1 = nm.map(_.deleted).getOrElse(new java.util.BitSet())
+    val d0 = om.map(_.delta).getOrElse(Array.empty[Row])
+    val d1 = nm.map(_.delta).getOrElse(Array.empty[Row])
+    val shrunk = {
+      val c = bits0.clone().asInstanceOf[java.util.BitSet]; c.andNot(bits1); !c.isEmpty
+    }
+    if (shrunk) return None
+    if (d1.length < d0.length || !d0.indices.forall(i => d0(i) eq d1(i))) return None
+    val blk = newT.buckets.block(p.bucket)
+    val baseLen = blk.rowCount
+    val newBits = bits1.clone().asInstanceOf[java.util.BitSet]
+    newBits.andNot(bits0)
+    val basePos = new scala.collection.mutable.ArrayBuffer[Int]()
+    val deletes = Vector.newBuilder[Row]
+    var pb = newBits.nextSetBit(0)
+    while (pb >= 0) {
+      if (pb < baseLen) basePos += pb
+      else if (pb - baseLen < d0.length) deletes += toDeclared(d0(pb - baseLen))
+      // else: inserted-and-deleted within the window — never visible
+      pb = newBits.nextSetBit(pb + 1)
+    }
+    if (basePos.nonEmpty) {
+      if (blk.isLoaded) {
+        val rows = blk.rows
+        basePos.foreach(pp => deletes += toDeclared(rows(pp)))
+      } else blk.file.filter(_.path.nonEmpty) match {
+        case Some(bf) =>
+          try {
+            val it = FileStore.readBlockProjected(bf, baseSchema)
+            var idx = 0
+            var k = 0
+            while (it.hasNext && k < basePos.length) {
+              val r = it.next()
+              if (idx == basePos(k)) { deletes += toDeclared(r); k += 1 }
+              idx += 1
+            }
+            if (k < basePos.length) return None // file/manifest drift: fall back
+          } catch { case scala.util.control.NonFatal(_) => return None }
+        case None => return None
+      }
+    }
+    val inserts = Vector.newBuilder[Row]
+    var j = d0.length
+    while (j < d1.length) {
+      if (!bits1.get(baseLen + j)) inserts += toDeclared(d1(j))
+      j += 1
+    }
+    BucketedCdc.morFastSteps.incrementAndGet()
+    Some(CdcDiff.diff(deletes.result(), inserts.result()))
+  }
+
   // each step's target snapshot is the next step's base — carry it
   // forward instead of re-fetching (halves paged round trips on
   // multi-commit windows; flatMap pulls steps strictly in order, so
@@ -353,14 +441,18 @@ class CdcPartitionReader(p: CdcInputPartition, baseSchema: StructType, fetchSize
   private var carried: Option[(Long, IndexedSeq[Row])] = None
 
   private val out: Iterator[Row] = p.steps.iterator.flatMap { case (fromV, toV) =>
-    val oldRows = carried match {
-      case Some((v, rows)) if v == fromV => rows
-      case _ => fetchRows(fromV)
-    }
-    val newRows = fetchRows(toV)
-    carried = Some((toV, newRows))
-    val (deletes, inserts) = CdcDiff.diff(oldRows, newRows)
     def tag(r: Row, kind: String): Row = Row.fromSeq(r.toSeq :+ kind :+ toV)
+    val (deletes, inserts) = morFastDiff(fromV, toV) match {
+      case Some(di) => di // O(changed rows); `carried` intentionally untouched
+      case None =>
+        val oldRows = carried match {
+          case Some((v, rows)) if v == fromV => rows
+          case _ => fetchRows(fromV)
+        }
+        val newRows = fetchRows(toV)
+        carried = Some((toV, newRows))
+        CdcDiff.diff(oldRows, newRows)
+    }
     CdcCoalesce.pair(deletes, inserts, baseSchema.fieldIndex(p.keyCol))
       .iterator.map { case (r, kind) => tag(r, kind) }
   }

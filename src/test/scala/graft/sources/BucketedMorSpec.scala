@@ -100,6 +100,31 @@ class BucketedMorSpec extends SparkSuite {
       s"CDC across MOR commits must net to the logical changes, got $changes")
   }
 
+  test("CDC over a COLD MoR window serves from MoR state: O(changed rows), zero heap faults") {
+    cat()
+    mkTable("mor_cdc_cold", rows = 400, buckets = 4)
+    val v1 = BucketStore.currentVersion("mor_cdc_cold")
+    spark.sql("UPDATE graft.`mor_cdc_cold` SET d = -1.0 WHERE k = 42")
+    spark.sql("DELETE FROM graft.`mor_cdc_cold` WHERE k = 43")
+    BucketStore.evictTable("mor_cdc_cold")
+    assert(BucketStore.get("mor_cdc_cold").buckets.loadedCount === 0)
+    val fs0 = BucketedCdc.morFastSteps.get()
+    val changes = spark.read.format("graft-buckets")
+      .option("table", "mor_cdc_cold").option("mode", "cdc")
+      .option("changesstart", v1.toString).load()
+      .select(col("k"), col("d"), col(CdcSchema.ChangeType)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(changes === Set(
+      (42L, 84.0, CdcSchema.UpdatePre), (42L, -1.0, CdcSchema.UpdatePost),
+      (43L, 86.0, CdcSchema.Delete)),
+      s"cold MoR CDC must emit the logical diff with exact pre-images, got $changes")
+    assert(BucketedCdc.morFastSteps.get() > fs0,
+      "a base-sharing MoR window must be served from MoR state, not fetch-and-diff")
+    assert(BucketStore.get("mor_cdc_cold").buckets.loadedCount === 0,
+      "CDC over a cold MoR window must not fault a single block — pre-images stream projected")
+    BucketStore.drop("mor_cdc_cold")
+  }
+
   test("CDC window crossing a compaction still nets to the logical diff — the fold is CDC-invisible") {
     cat()
     mkTable("mor_cdc_comp", rows = 400, buckets = 4)
