@@ -520,6 +520,7 @@ object SparkEntry {
     "q262_reader_refresh" -> graft.sources.bucketed.BucketedQueries.readerRefreshQuery _,
     "q263_cold_mor_sweep" -> graft.sources.bucketed.BucketedQueries.coldMorSweepQuery _,
     "q264_cold_append" -> graft.sources.bucketed.BucketedQueries.coldAppendQuery _,
+    "q265_cold_mor_cdc" -> graft.sources.bucketed.BucketedQueries.coldMorCdcQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -946,6 +947,7 @@ object SparkEntry {
     "q262_reader_refresh" -> graft.sources.bucketed.BucketedQueries.readerRefreshSql,
     "q263_cold_mor_sweep" -> graft.sources.bucketed.BucketedQueries.coldMorSweepSql,
     "q264_cold_append" -> graft.sources.bucketed.BucketedQueries.coldAppendSql,
+    "q265_cold_mor_cdc" -> graft.sources.bucketed.BucketedQueries.coldMorCdcSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -2502,6 +2502,69 @@ object BucketedQueries {
       |  SELECT 'APPENDED' AS c_mktsegment, 123.45 AS c_acctbal
       |) GROUP BY c_mktsegment""".stripMargin
 
+  /** q265 — the CDC changefeed over a COLD merge-on-read window costs
+    * O(changed rows), gated through SQL: customer switches to
+    * merge-on-read, takes an UPDATE (delete bit + delta row per
+    * match) and a DELETE (bits only), the table fully evicts with the
+    * state pending — and the `mode=cdc` batch read then serves the
+    * whole window from the MoR state itself: newly set bits name the
+    * deleted positions, base pre-images stream once from the block
+    * files uncached, delta rows serve the post-images from heap. The
+    * gate audits the fast-step counter moved and NOT ONE block
+    * faulted into the heap cache; the DuckDB oracle replays the DML
+    * as per-change-kind rollups with exact pre/post image sums.
+    * Before this round the same read fetched every changed bucket
+    * TWICE (both endpoint snapshots) and bag-diffed them.
+    */
+  def coldMorCdcQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"cust_morcdc@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "c_custkey", NumBuckets)
+    BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
+    val v1 = BucketStore.currentVersion(name)
+    spark.sql(s"UPDATE graft.`$name` SET c_acctbal = c_acctbal + 1000 " +
+      "WHERE c_custkey % 100 = 7")
+    spark.sql(s"DELETE FROM graft.`$name` WHERE c_custkey % 100 = 13")
+    BucketStore.evictTable(name)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the evicted table must start fully cold")
+    require(BucketStore.get(name).mor.nonEmpty,
+      "the MoR state must still be PENDING")
+    val fs0 = BucketedCdc.morFastSteps.get()
+    val rows = spark.read.format("graft-buckets")
+      .option("table", name).option("mode", "cdc")
+      .option("changesstart", v1.toString).load()
+      .groupBy(col(CdcSchema.ChangeType).as("change_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_bal"))
+      .collect()
+    require(BucketedCdc.morFastSteps.get() > fs0,
+      "a base-sharing MoR window must serve from MoR state, not fetch-and-diff")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a cold MoR changefeed must not fault a single block — pre-images stream uncached")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), rows.head.schema)
+  }
+
+  val coldMorCdcSql: String =
+    """SELECT 'update_preimage' AS change_type, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey % 100 = 7
+      |UNION ALL
+      |SELECT 'update_postimage' AS change_type, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal + 1000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey % 100 = 7
+      |UNION ALL
+      |SELECT 'delete' AS change_type, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey % 100 = 13""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */
