@@ -1454,8 +1454,13 @@ object BucketStore {
     if (t.mor.isEmpty) 0
     else {
       val touched = t.mor.size
-      val rows = Array.tabulate(t.buckets.length)(b =>
-        if (t.mor.contains(b)) effectiveRows(t, b) else t.buckets(b))
+      // retaining rewrite: only buckets WITH pending state materialize
+      // their fold; clean buckets keep their block — same instance,
+      // same file, never loaded. Compacting one trickle-updated bucket
+      // of a cold 100 TB table folds that bucket, not the table (the
+      // old tabulate loaded every clean bucket just to republish it).
+      val rows = t.buckets.mapRetaining(b =>
+        if (t.mor.contains(b)) Some(effectiveRows(t, b)) else None)
       publish(name, t.copy(buckets = rows, mor = Map.empty,
         version = versions.incrementAndGet()))
       touched

@@ -181,6 +181,25 @@ class BucketedMorSpec extends SparkSuite {
     }
   }
 
+  test("compaction of a COLD table folds only MoR buckets — clean buckets never load") {
+    cat()
+    mkTable("mor_cmp_cold", rows = 800, buckets = 8)
+    spark.sql("DELETE FROM graft.`mor_cmp_cold` WHERE k = 5")
+    BucketStore.evictTable("mor_cmp_cold")
+    assert(BucketStore.get("mor_cmp_cold").buckets.loadedCount === 0)
+    val before = BucketStore.get("mor_cmp_cold")
+    assert(spark.sql("CALL graft.compact('mor_cmp_cold')").collect().head.getInt(0) === 1)
+    val after = BucketStore.get("mor_cmp_cold")
+    val faulted = after.buckets.indices.count(b => after.buckets.block(b).isLoaded)
+    assert(faulted === 1,
+      s"compacting ONE MoR bucket of a cold table must fault exactly 1 bucket, faulted $faulted")
+    val retained = after.buckets.indices.count(b => after.buckets.sharesWith(before.buckets, b))
+    assert(retained === 7, "clean buckets must retain their blocks (and files) across compaction")
+    assert(after.mor.isEmpty)
+    assert(scan("mor_cmp_cold").count() === 799L)
+    BucketStore.drop("mor_cmp_cold")
+  }
+
   test("compact folds deletion vectors back into clean arrays; answers unchanged; no-op is free") {
     cat()
     mkTable("mor_comp", rows = 500, buckets = 4)
