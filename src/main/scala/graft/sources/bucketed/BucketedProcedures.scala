@@ -435,16 +435,24 @@ object BucketedProcedures {
       val layout = org.apache.spark.unsafe.types.UTF8String.fromString(
         if (t.rangeBounds.isDefined) "range" else "hash")
       val data = t.buckets.indices.toArray.map { b =>
-        // the identity-cached skip statistics over the LIVE view
-        // (merge-on-read state folded — observability must describe
-        // what scans will actually serve)
-        val rows = BucketStore.effectiveRows(t, b)
-        val skip = BucketSkip.statsFor(t.schema, rows, t.keyCol)
+        // COLD-AWARE observability (round 17): row counts come from
+        // block/MoR metadata and key min/max from the SAME skip
+        // statistics pruning consults ([[BucketStore.skipStatParts]]:
+        // manifest-seeded; a cold block streams just the key column) —
+        // `CALL graft.stats` on a cold 100 TB table faults nothing.
+        // On a clean bucket these are the exact live bounds; a bucket
+        // with pending MoR deletes reports the pruning bounds (base
+        // file ∪ delta — conservative, exactly what scans skip by).
+        val live = BucketStore.liveCount(t, b).toLong
+        val parts = BucketStore.skipStatParts(t, b, t.keyCol).getOrElse(Seq.empty)
+        val mins = parts.map(_.min).filter(_ != null)
+        val maxs = parts.map(_.max).filter(_ != null)
+        val mn = mins.reduceOption((a, x) => if (FilterEval.cmp(x, a) < 0) x else a).orNull
+        val mx = maxs.reduceOption((a, x) => if (FilterEval.cmp(x, a) > 0) x else a).orNull
         def str(v: Any) =
           if (v == null) null
           else org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
-        InternalRow(b, rows.length.toLong,
-          str(skip.map(_.min).orNull), str(skip.map(_.max).orNull), layout)
+        InternalRow(b, live, str(mn), str(mx), layout)
       }
       localScan(
         StructType(Seq(

@@ -156,6 +156,16 @@ class RangeLayoutSpec extends SparkSuite {
     val spans = rngRows.map(r => (r.getString(2).toLong, r.getString(3).toLong))
     spans.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo) }
     assert(spans.map { case (lo, hi) => hi - lo + 1 }.sum === 800L)
+    // COLD observability: the same call on a fully evicted table
+    // serves counts from metadata and bounds from manifest-seeded /
+    // streamed skip stats — identical answers, zero heap faults
+    BucketStore.evictTable("rng_stats")
+    assert(BucketStore.get("rng_stats").buckets.loadedCount === 0)
+    val coldRows = spark.sql("CALL graft.stats('rng_stats')").collect().sortBy(_.getInt(0))
+    assert(coldRows.map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+      === rngRows.map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq)
+    assert(BucketStore.get("rng_stats").buckets.loadedCount === 0,
+      "CALL graft.stats on a cold table must not fault a single block")
   }
 
   test("streaming keyed upsert into a RANGE table routes by boundary") {
