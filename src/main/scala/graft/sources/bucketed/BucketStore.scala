@@ -948,16 +948,31 @@ object BucketStore {
       val blk = t.buckets.block(b)
       val cold = !blk.isLoaded && !t.mor.contains(b) && proj.nonEmpty &&
         blk.file.exists(_.path.nonEmpty)
-      if (cold) {
+      // the streamed validation is sound only when it saw EVERY row:
+      // a constraint referencing only columns absent from a pre-ALTER
+      // file streams ZERO rows (the standing missing-column contract
+      // readBlockProjected documents), which would vacuously pass e.g.
+      // ADD CONSTRAINT `newcol IS NOT NULL` while the fold path NULL-
+      // pads those rows and raises — so count the rows consumed and
+      // fall back to the fold when the stream ran short (mirrors
+      // morFastDiff's `k < basePos.length` drift guard). Only a
+      // genuine [[CheckConstraint.Violation]] rethrows; any OTHER
+      // failure (stream/type-converter IAE included) is a read
+      // problem, not a violation, and takes the fold fallback too.
+      val streamedComplete = cold && {
+        val bf = blk.file.get
         try {
+          var seen = 0
           CheckConstraint.validate(name, exprStr, proj,
-            FileStore.readBlockProjected(blk.file.get, proj))
+            FileStore.readBlockProjected(bf, proj).map { r => seen += 1; r })
+          seen == bf.rows
         } catch {
-          case e: IllegalArgumentException => throw e // a real violation
-          case scala.util.control.NonFatal(_) =>
-            CheckConstraint.validate(name, exprStr, t.schema, folded(t, b).rows)
+          case e: CheckConstraint.Violation => throw e // a real violation
+          case scala.util.control.NonFatal(_) => false
         }
-      } else CheckConstraint.validate(name, exprStr, t.schema, folded(t, b).rows)
+      }
+      if (!streamedComplete)
+        CheckConstraint.validate(name, exprStr, t.schema, folded(t, b).rows)
     }
     checks.put(name, exprStr)
     ()
@@ -2221,6 +2236,15 @@ object BucketStore {
                     }
                     pos += 1
                   }
+                  // deletion bits are POSITIONAL: a short stream (the
+                  // missing-column contract, or any silent truncation)
+                  // would publish wrong bits — require the full count
+                  // before committing, else take the fold fallback
+                  // (defense in depth; mirrors readBlock's manifest-
+                  // count require)
+                  if (pos != bf.rows)
+                    throw new IllegalStateException(
+                      s"projected stream yielded $pos rows, manifest says ${bf.rows}")
                   // counters commit only on a COMPLETE stream — a
                   // mid-stream failure leaves them untouched for the
                   // fold fallback's exact re-count

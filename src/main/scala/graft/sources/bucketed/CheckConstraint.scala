@@ -28,6 +28,16 @@ import org.apache.spark.sql.types.{BooleanType, StructType}
   */
 object CheckConstraint {
 
+  /** A GENUINE constraint violation — distinct from the
+    * IllegalArgumentException family so callers that stream rows from
+    * storage can tell "a row failed the predicate" apart from "the
+    * stream/type converters failed" (the latter must fall back to the
+    * folded validation, not masquerade as a violation). Subclasses
+    * IllegalArgumentException so every existing catch/intercept keeps
+    * working.
+    */
+  final class Violation(msg: String) extends IllegalArgumentException(msg)
+
   /** Parse + analyze + bind `exprStr` against `schema`; loud on
     * unknown columns, unknown functions, or a non-boolean result
     * type. Analysis runs through [[SimpleAnalyzer]] over a dummy
@@ -100,7 +110,7 @@ object CheckConstraint {
     val pass = compile(schema, exprStr)
     rows.iterator.foreach { r =>
       if (!pass(r))
-        throw new IllegalArgumentException(
+        throw new Violation(
           s"CHECK constraint violation on '$table': ($exprStr) is false for row " +
             r.toString.take(200))
     }

@@ -128,4 +128,40 @@ class CheckConstraintSpec extends SparkSuite {
     assert(w.getMessage != null)
     BucketStore.drop(name)
   }
+
+  test("ADD CONSTRAINT on a pre-ALTER column is NOT vacuously satisfied by a short stream") {
+    val name = "chk_prealter"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (1 to 600).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), "k", 3)
+    BucketStore.addColumns(name, Seq(StructField("extra", StringType, nullable = true)))
+    BucketStore.evictTable(name)
+    assert(BucketStore.get(name).buckets.loadedCount === 0)
+    // the pre-ALTER files have no 'extra' column, so the projected
+    // stream yields ZERO rows (the standing missing-column contract) —
+    // the proof must detect the short stream and fall back to the
+    // fold, whose NULL-padded rows VIOLATE `extra IS NOT NULL`. Before
+    // the row-count guard this validated nothing and recorded the
+    // constraint.
+    val e = intercept[IllegalArgumentException] {
+      BucketStore.setCheck(name, "extra IS NOT NULL")
+    }
+    assert(e.getMessage.contains("CHECK constraint violation"))
+    assert(BucketStore.checkOf(name).isEmpty, "vacuous proof must not record the constraint")
+    // a constraint the NULL-padded rows DO satisfy records fine
+    BucketStore.setCheck(name, "extra IS NULL OR length(extra) > 0")
+    assert(BucketStore.checkOf(name).contains("extra IS NULL OR length(extra) > 0"))
+    BucketStore.drop(name)
+  }
+
+  test("a genuine violation is a CheckConstraint.Violation; other stream failures are not") {
+    // the cold streamed proof rethrows ONLY Violation — a transient
+    // IAE from the parquet stream/type converters must take the fold
+    // fallback instead of masquerading as a violation
+    val v = intercept[CheckConstraint.Violation] {
+      CheckConstraint.validate("t", "v > 0", schema, Seq(row(1, -1.0, "x")))
+    }
+    assert(v.getMessage.contains("CHECK constraint violation"))
+    assert(v.isInstanceOf[IllegalArgumentException], "Violation must stay an IAE for callers")
+  }
 }
