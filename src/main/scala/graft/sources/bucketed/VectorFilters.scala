@@ -67,18 +67,31 @@ private[bucketed] object VectorFilterEval {
     case IsNotNull(c) => fieldIdx(schema, c).map(i =>
       (b, r) => if (b.column(i).isNullAt(r)) 0 else 1)
     case In(c, vs) =>
-      val cfs = vs.map(cmpFn(schema, c, _))
-      if (cfs.exists(_.isEmpty) || !schema.fieldNames.contains(c)) None
-      else {
-        val arr = cfs.map(_.get)
-        val i = schema.fieldIndex(c)
-        Some { (b, r) =>
-          if (b.column(i).isNullAt(r)) -1
+      fieldIdx(schema, c).flatMap { i =>
+        // fast path (round 18): pre-convert the literal list ONCE into
+        // a type-specialized sorted array / hash set and probe in
+        // O(log n)/O(1) — the per-literal closure loop was O(|list|)
+        // PER ROW, linear-in-list for the common `k IN (<hundreds of
+        // ids>)` pushdown
+        val fast: Option[Pred] = inProbe(schema, i, vs).map { probe =>
+          (b, r) => if (b.column(i).isNullAt(r)) -1 else if (probe(b, r)) 1 else 0
+        }
+        fast.orElse {
+          // fallback: per-literal compare closures (mixed-width
+          // numeric or exotic literals keep cmpFn's exact semantics)
+          val cfs = vs.map(cmpFn(schema, c, _))
+          if (cfs.exists(_.isEmpty)) None
           else {
-            var k = 0
-            var hit = false
-            while (!hit && k < arr.length) { hit = arr(k)(b, r) == 0; k += 1 }
-            if (hit) 1 else 0
+            val arr = cfs.map(_.get)
+            Some { (b, r) =>
+              if (b.column(i).isNullAt(r)) -1
+              else {
+                var k = 0
+                var hit = false
+                while (!hit && k < arr.length) { hit = arr(k)(b, r) == 0; k += 1 }
+                if (hit) 1 else 0
+              }
+            }
           }
         }
       }
@@ -115,6 +128,83 @@ private[bucketed] object VectorFilterEval {
 
   private def fieldIdx(schema: StructType, c: String): Option[Int] =
     if (schema.fieldNames.contains(c)) Some(schema.fieldIndex(c)) else None
+
+  /** Type-specialized membership probe over a PRE-CONVERTED literal
+    * set for `In`: primitive-backed types probe a sorted primitive
+    * array (binary search, zero boxing), strings probe a UTF8String
+    * hash set. None when any literal fails the exact conversion the
+    * scalar [[cmpFn]] would demand — the caller's per-literal closure
+    * fallback (and ultimately the row path) keeps the semantics.
+    * Floating point probes by [[canonicalBits]] so membership matches
+    * [[cmpDouble]] equality exactly: -0.0 == 0.0 and NaN == NaN.
+    */
+  private def inProbe(schema: StructType, i: Int, vs: Array[Any])
+      : Option[(ColumnarBatch, Int) => Boolean] = {
+    import java.util.Arrays
+    def intSet(lit: PartialFunction[Any, Int], get: (ColumnarBatch, Int) => Int)
+        : Option[(ColumnarBatch, Int) => Boolean] = {
+      val conv = vs.map(lit.lift)
+      if (conv.contains(None)) None
+      else {
+        val arr: Array[Int] = conv.map(_.get).distinct.sorted
+        Some((b, r) => Arrays.binarySearch(arr, get(b, r)) >= 0)
+      }
+    }
+    def longSet(lit: PartialFunction[Any, Long], get: (ColumnarBatch, Int) => Long)
+        : Option[(ColumnarBatch, Int) => Boolean] = {
+      val conv = vs.map(lit.lift)
+      if (conv.contains(None)) None
+      else {
+        val arr: Array[Long] = conv.map(_.get).distinct.sorted
+        Some((b, r) => Arrays.binarySearch(arr, get(b, r)) >= 0)
+      }
+    }
+    schema(i).dataType match {
+      case IntegerType =>
+        intSet({ case x: java.lang.Integer => x.intValue }, (b, r) => b.column(i).getInt(r))
+      case ShortType =>
+        intSet({ case x: java.lang.Short => x.intValue }, (b, r) => b.column(i).getShort(r).toInt)
+      case ByteType =>
+        intSet({ case x: java.lang.Byte => x.intValue }, (b, r) => b.column(i).getByte(r).toInt)
+      case DateType => intSet({
+        case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+        case d: java.time.LocalDate => DateTimeUtils.localDateToDays(d)
+      }, (b, r) => b.column(i).getInt(r))
+      case LongType =>
+        longSet({ case x: java.lang.Long => x.longValue }, (b, r) => b.column(i).getLong(r))
+      case TimestampType => longSet({
+        case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+        case t: java.time.Instant => DateTimeUtils.instantToMicros(t)
+      }, (b, r) => b.column(i).getLong(r))
+      case TimestampNTZType => longSet({
+        case t: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(t)
+      }, (b, r) => b.column(i).getLong(r))
+      case DoubleType => longSet({
+        case x: java.lang.Double => canonicalBits(x.doubleValue)
+      }, (b, r) => canonicalBits(b.column(i).getDouble(r)))
+      case FloatType => longSet({
+        case x: java.lang.Float => canonicalBits(x.floatValue.toDouble)
+      }, (b, r) => canonicalBits(b.column(i).getFloat(r).toDouble))
+      case StringType =>
+        val set = new java.util.HashSet[UTF8String](vs.length * 2)
+        var ok = true
+        vs.foreach {
+          case s: String => set.add(UTF8String.fromString(s)); ()
+          case _ => ok = false
+        }
+        if (!ok) None
+        else Some((b, r) => set.contains(b.column(i).getUTF8String(r)))
+      case _ => None
+    }
+  }
+
+  /** doubleToLongBits with ±0.0 folded to one key, so bit-equality of
+    * the keys matches [[cmpDouble]]'s equality outcomes exactly:
+    * -0.0 == 0.0 (folded) and NaN == NaN (doubleToLongBits already
+    * canonicalizes every NaN payload to one pattern).
+    */
+  private def canonicalBits(d: Double): Long =
+    java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
 
   private def nullAwareCmp(schema: StructType, c: String, v: Any)(
       sign: Int => Boolean): Option[Pred] =
@@ -245,10 +335,19 @@ private[bucketed] object ParquetPruning {
     case LessThanOrEqual(c, v) => ops(schema, c).flatMap(_.ltEq(v))
     case IsNull(c) => ops(schema, c).map(_.isNull)
     case IsNotNull(c) => ops(schema, c).map(_.isNotNull)
-    case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
+    case In(c, vs) if vs.nonEmpty =>
       ops(schema, c).flatMap { o =>
-        val parts = vs.map(o.eq)
-        if (parts.exists(_.isEmpty)) None else parts.flatten.reduceOption(FilterApi.or)
+        if (vs.length <= 32) {
+          val parts = vs.map(o.eq)
+          if (parts.exists(_.isEmpty)) None else parts.flatten.reduceOption(FilterApi.or)
+        } else {
+          // a large ID list would build an unwieldy or-chain; a
+          // min/max bound over the sorted literals still prunes row
+          // groups wholly outside the list's range (round 18 — before
+          // this, lists >32 lost row-group pruning entirely). The
+          // batch evaluator enforces exact membership.
+          o.range(vs)
+        }
       }
     case And(l, r) => (one(schema, l), one(schema, r)) match {
       // AND may keep whichever side is expressible (conservative)
@@ -272,6 +371,12 @@ private[bucketed] object ParquetPruning {
     def ltEq(v: Any): Option[FilterPredicate]
     def isNull: FilterPredicate
     def isNotNull: FilterPredicate
+    /** `and(gtEq(min), ltEq(max))` over a large In list's literals —
+      * pruning-only (the batch evaluator enforces exact membership).
+      * None when ANY literal fails to convert: dropping one literal
+      * would prune row groups that match it.
+      */
+    def range(vs: Array[Any]): Option[FilterPredicate]
   }
 
   private def ops(schema: StructType, c: String): Option[Ops] = {
@@ -305,6 +410,15 @@ private[bucketed] object ParquetPruning {
         def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
         def isNull = FilterApi.eq(col, null.asInstanceOf[java.lang.Double])
         def isNotNull = FilterApi.notEq(col, null.asInstanceOf[java.lang.Double])
+        def range(vs: Array[Any]) = {
+          val conv = vs.map(v2)
+          if (conv.contains(None)) None // a NaN literal is unorderable by stats
+          else {
+            val xs = conv.map(_.get.doubleValue)
+            Some(FilterApi.and(FilterApi.gtEq(col, Double.box(xs.min)),
+              FilterApi.ltEq(col, Double.box(xs.max))))
+          }
+        }
       })
       case FloatType => Some(new Ops {
         private val col = FilterApi.floatColumn(c)
@@ -319,6 +433,15 @@ private[bucketed] object ParquetPruning {
         def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
         def isNull = FilterApi.eq(col, null.asInstanceOf[java.lang.Float])
         def isNotNull = FilterApi.notEq(col, null.asInstanceOf[java.lang.Float])
+        def range(vs: Array[Any]) = {
+          val conv = vs.map(v2)
+          if (conv.contains(None)) None
+          else {
+            val xs = conv.map(_.get.floatValue)
+            Some(FilterApi.and(FilterApi.gtEq(col, Float.box(xs.min)),
+              FilterApi.ltEq(col, Float.box(xs.max))))
+          }
+        }
       })
       case StringType => Some(new Ops {
         private val col = FilterApi.binaryColumn(c)
@@ -333,6 +456,15 @@ private[bucketed] object ParquetPruning {
         def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
         def isNull = FilterApi.eq(col, null.asInstanceOf[Binary])
         def isNotNull = FilterApi.notEq(col, null.asInstanceOf[Binary])
+        def range(vs: Array[Any]) = {
+          // min/max by UNSIGNED byte order (UTF8String.compareTo) —
+          // the comparator parquet's own string statistics use
+          val utf = vs.map { case s: String => UTF8String.fromString(s); case _ => null }
+          if (utf.contains(null)) None
+          else Some(FilterApi.and(
+            FilterApi.gtEq(col, Binary.fromString(utf.min.toString)),
+            FilterApi.ltEq(col, Binary.fromString(utf.max.toString))))
+        }
       })
       case _ => None
     }
@@ -348,6 +480,15 @@ private[bucketed] object ParquetPruning {
     def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
     def isNull = FilterApi.eq(col, null.asInstanceOf[java.lang.Integer])
     def isNotNull = FilterApi.notEq(col, null.asInstanceOf[java.lang.Integer])
+    def range(vs: Array[Any]) = {
+      val conv = vs.map(v2)
+      if (conv.contains(None)) None
+      else {
+        val xs = conv.map(_.get.intValue)
+        Some(FilterApi.and(FilterApi.gtEq(col, Int.box(xs.min)),
+          FilterApi.ltEq(col, Int.box(xs.max))))
+      }
+    }
   }
 
   private def longOps(c: String, conv: PartialFunction[Any, java.lang.Long]): Ops = new Ops {
@@ -360,5 +501,14 @@ private[bucketed] object ParquetPruning {
     def ltEq(v: Any) = v2(v).map(FilterApi.ltEq(col, _))
     def isNull = FilterApi.eq(col, null.asInstanceOf[java.lang.Long])
     def isNotNull = FilterApi.notEq(col, null.asInstanceOf[java.lang.Long])
+    def range(vs: Array[Any]) = {
+      val conv = vs.map(v2)
+      if (conv.contains(None)) None
+      else {
+        val xs = conv.map(_.get.longValue)
+        Some(FilterApi.and(FilterApi.gtEq(col, Long.box(xs.min)),
+          FilterApi.ltEq(col, Long.box(xs.max))))
+      }
+    }
   }
 }

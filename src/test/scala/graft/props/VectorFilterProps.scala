@@ -110,21 +110,31 @@ object VectorFilterProps extends Properties("graft.vectorfilter") {
     b
   }
 
+  private def parity(rows: List[Row], f: Filter): Boolean =
+    !FilterEval.supports(schema, f) ||
+      (VectorFilterEval.compile(schema, Array(f)) match {
+        case None => true // inexpressible pairings fall back to the row path by design
+        case Some(fn) =>
+          val batch = toBatch(rows)
+          try rows.indices.forall { r =>
+            val row = FilterEval.eval(schema, f, rows(r))
+            val vec = fn(batch, r)
+            if (row != vec) println(s"DIVERGE f=$f row=${rows(r)} rowEval=$row vecEval=$vec")
+            row == vec
+          } finally batch.close()
+      })
+
   property("vector evaluator == row evaluator on every claimable filter and operand") =
-    forAll(Gen.nonEmptyListOf(genRow), genFilter(2)) { (rows, f) =>
-      !FilterEval.supports(schema, f) ||
-        (VectorFilterEval.compile(schema, Array(f)) match {
-          case None => true // inexpressible pairings fall back to the row path by design
-          case Some(fn) =>
-            val batch = toBatch(rows)
-            try rows.indices.forall { r =>
-              val row = FilterEval.eval(schema, f, rows(r))
-              val vec = fn(batch, r)
-              if (row != vec) println(s"DIVERGE f=$f row=${rows(r)} rowEval=$row vecEval=$vec")
-              row == vec
-            } finally batch.close()
-        })
-    }
+    forAll(Gen.nonEmptyListOf(genRow), genFilter(2))(parity)
+
+  /** Large-list In rides the type-specialized set probe (round 18);
+    * parity must hold there too — including the IEEE specials pool
+    * (NaN/±0.0 membership through canonical bits) and surrogate-pair
+    * strings through the UTF8String hash set.
+    */
+  property("In over a 1000-element literal list: set probe == row evaluator") =
+    forAll(Gen.nonEmptyListOf(genRow),
+      genCol.flatMap(c => Gen.listOfN(1000, lit(c)).map(vs => In(c, vs.toArray): Filter)))(parity)
 
   /** Every leaf the scan claims must also be vector-compilable when
     * the literal's class matches the column type — otherwise the cold
