@@ -2478,15 +2478,46 @@ object BucketStore {
     * the dropped versions' files lingered until the next
     * retention-crossing publish.
     */
-  def vacuum(name: String, keepLast: Int): Int = synchronized {
+  def vacuum(name: String, keepLast: Int): Int = vacuum(name, keepLast, 0L)
+
+  /** [[vacuum]] with a TIME-BASED RETENTION FLOOR (round 18 — the
+    * public Delta/Iceberg retention pattern): no snapshot committed
+    * within the last `minAgeMs` milliseconds is dropped, and
+    * [[FileStore.gc]] never deletes a file/manifest younger than the
+    * floor — so a STALE FOREIGN READER (another process serving a
+    * version it absorbed up to `minAgeMs` ago: one staleness-window
+    * behind under `refresh_policy`, or pinned time-travel) cannot have
+    * its serving version's files deleted out from under it mid-scan,
+    * as long as operators size the floor to cover reader staleness.
+    * The contract for readers STALER than the floor is loud, never
+    * silent: same-process reads fail at plan time ([[snapshot]]'s
+    * not-retained error), cross-process reads fail at the first block
+    * fetch with [[FileStore.VacuumedFilesException]].
+    *
+    * The floor protects a contiguous suffix of history: only the
+    * oldest-first prefix that is BOTH beyond `keepLast` AND older than
+    * the floor drops (commitTs is monotonic, so the first young
+    * version ends the droppable prefix).
+    */
+  def vacuum(name: String, keepLast: Int, minAgeMs: Long): Int = synchronized {
     require(keepLast >= 1, s"vacuum must keep at least the current snapshot, got $keepLast")
+    require(minAgeMs >= 0L, s"vacuum retention floor must be >= 0 ms, got $minAgeMs")
     val hist = history(name)
-    val dropped = math.max(0, hist.length - keepLast)
+    // a ZERO floor is pure count-based retention (the pre-floor
+    // contract): commit stamps are MONOTONIC (max(prev+1, clock)) and
+    // can run ahead of the wall clock after skew or stamp races, so
+    // comparing them against `clock() - 0` could wrongly protect
+    // everything. With a positive floor that conservatism is the
+    // point — an ahead-of-clock stamp reads as young and survives.
+    val cutoffMicros =
+      if (minAgeMs == 0L) Long.MaxValue
+      else clock() - minAgeMs * 1000L // commitTs stamps are micros
+    val dropped = hist.dropRight(keepLast).takeWhile(_.commitTs < cutoffMicros).length
     if (dropped > 0) {
-      tables.put(name, hist.takeRight(keepLast))
+      tables.put(name, hist.drop(dropped))
       if (isFileBacked(name)) {
         val dir = tableDir(name)
-        FileStore.gc(dir, retainedVersionsSharing(dir)): Unit
+        FileStore.gc(dir, retainedVersionsSharing(dir), minAgeMs): Unit
       }
     }
     dropped

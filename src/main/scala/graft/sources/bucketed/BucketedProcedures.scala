@@ -36,18 +36,23 @@ object BucketedProcedures {
   object Vacuum extends UnboundProcedure with BoundProcedure {
     override def name(): String = "vacuum"
     override def description(): String =
-      "vacuum(table, keep_last): trim MVCC history to the newest keep_last snapshots"
+      "vacuum(table, keep_last, min_age_ms = 0): trim MVCC history to the newest " +
+        "keep_last snapshots, never dropping a snapshot (or deleting a file) " +
+        "younger than min_age_ms — the cross-process retention floor protecting " +
+        "stale foreign readers"
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("keep_last", IntegerType).build())
+      ProcedureParameter.in("keep_last", IntegerType).build(),
+      ProcedureParameter.in("min_age_ms", LongType).defaultValue("0").build())
     override def isDeterministic: Boolean = false // mutates history
 
     override def call(input: InternalRow): JIterator[Scan] = {
       require(!input.isNullAt(0) && !input.isNullAt(1),
-        "vacuum(table, keep_last): arguments must be non-null")
+        "vacuum(table, keep_last, min_age_ms): table and keep_last must be non-null")
       val table = input.getUTF8String(0).toString
-      val dropped = BucketStore.vacuum(table, input.getInt(1))
+      val minAge = if (input.isNullAt(2)) 0L else input.getLong(2)
+      val dropped = BucketStore.vacuum(table, input.getInt(1), minAge)
       val retained = BucketStore.retained(table).length
       localScan(
         StructType(Seq(

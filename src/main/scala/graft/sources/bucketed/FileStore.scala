@@ -223,10 +223,30 @@ object FileStore {
     * written under an older (narrower) schema reads back in its stored
     * short form and the fetch path pads, like heap always did.
     */
+  /** Raised when a block read touches a file that no longer exists on
+    * disk: this reader's snapshot is STALE and its files were
+    * garbage-collected by a concurrent vacuum in another process. The
+    * loud-failure leg of the cross-process retention contract
+    * ([[BucketStore.vacuum]] with `minAgeMs`): readers within the
+    * retention floor always complete; readers staler than the floor
+    * fail with THIS error, never a silent wrong answer.
+    */
+  final class VacuumedFilesException(path: String)
+    extends java.io.IOException(
+      s"block file '$path' is gone — this reader's snapshot is stale and its " +
+        "files were garbage-collected by a concurrent vacuum. Refresh the table " +
+        "(CALL graft.refresh) and retry at the current version, or size the vacuum " +
+        "retention floor (CALL graft.vacuum(t, keep_last, min_age_ms)) to cover " +
+        "reader staleness")
+
+  private def requirePresent(f: BlockFile): Unit =
+    if (!Files.exists(Paths.get(f.path))) throw new VacuumedFilesException(f.path)
+
   private[bucketed] def readBlock(f: BlockFile): Array[Row] = {
     if (f.rows == 0 || f.path.isEmpty) return Array.empty[Row]
     if (sys.props.contains("graft.debug.read"))
       new Exception(s"readBlock ${f.path}").printStackTrace()
+    requirePresent(f)
     val hp = new HPath(f.path)
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(hp, new Configuration()))
     val schema =
@@ -267,6 +287,7 @@ object FileStore {
   private[bucketed] def readBlockProjected(f: BlockFile,
       wanted: StructType): Iterator[Row] = {
     if (f.rows == 0 || f.path.isEmpty) return Iterator.empty
+    requirePresent(f)
     val hp = new HPath(f.path)
     val conf = readerConf(wanted.json)
     val support = new ParquetReadSupport(None, enableVectorizedReader = false,
@@ -702,9 +723,14 @@ object FileStore {
 
   /** Delete files under `dir` referenced by NO retained manifest — run
     * after retention trims history (the disk twin of the in-heap
-    * `takeRight`). Never deletes manifests of retained versions.
+    * `takeRight`). Never deletes manifests of retained versions, and
+    * with a positive `minAgeMs` never deletes ANY file modified within
+    * the floor (the Delta/Iceberg retention pattern — an unreferenced-
+    * but-young file may still be serving a stale foreign reader, or be
+    * an in-flight writer's pre-commit spill).
     */
-  private[bucketed] def gc(dir: Path, retainedVersions: Set[Long]): Int = {
+  private[bucketed] def gc(dir: Path, retainedVersions: Set[Long],
+      minAgeMs: Long = 0L): Int = {
     if (!Files.isDirectory(dir)) return 0
     val retainedManifests = listDir(dir)(_
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
@@ -716,9 +742,14 @@ object FileStore {
       (m.buckets.map(_.path) ++ m.mor.valuesIterator.map(_._2.path) ++
         m.rangeBoundsFile.map(_.path)).filter(_.nonEmpty) :+ p.toString
     }.toSet
+    val floorMillis =
+      if (minAgeMs <= 0L) Long.MaxValue else System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < floorMillis
+      catch { case _: java.io.IOException => true } // already gone
     var removed = 0
     listDir(dir)(_.foreach { p =>
-      if (!referenced.contains(p.toString) && !Files.isDirectory(p)) {
+      if (!referenced.contains(p.toString) && !Files.isDirectory(p) && oldEnough(p)) {
         Files.deleteIfExists(p)
         manifestNameCache.remove(p.toString) // see deleteManifestsOf
         removed += 1

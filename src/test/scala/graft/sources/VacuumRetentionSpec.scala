@@ -1,0 +1,156 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Cross-process vacuum safety (round 18): the time-based retention
+  * floor (`vacuum(table, keep_last, min_age_ms)` — the public
+  * Delta/Iceberg pattern). A stale FOREIGN reader — another process
+  * holding an older snapshot's metadata in its own heap, reading
+  * blocks lazily from the shared directory — must either complete
+  * (its snapshot is within the floor, so its files were never
+  * touched) or fail LOUDLY with the named error, never lose files
+  * silently mid-scan. The foreign reader is simulated faithfully by
+  * capturing the old snapshot's [[BucketStore.BucketTable]] value
+  * before the vacuum: that is exactly the metadata a foreign JVM
+  * holds, and its lazy block fetches are the same
+  * [[FileStore.readBlock]] calls.
+  */
+class VacuumRetentionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("retention floor: a stale foreign reader inside the floor completes; outside fails loudly") {
+    val name = "vac_floor"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 400).map(i => (i.toLong, i * 1.5)).toDF("k", "v"), "k", 4)
+    val vOld = BucketStore.retained(name).last // head before the rewrite
+    // a COW delete rewrites the touched buckets — the old version's
+    // files become unreferenced once it leaves history
+    BucketStore.deleteWhere(name, _.getLong(0) % 2 == 0)
+    val head = BucketStore.get(name)
+    val foreign = BucketStore.snapshot(name, vOld) // the foreign JVM's in-heap metadata
+    // pick a bucket whose file the head no longer references
+    val b = (0 until foreign.buckets.length).find { i =>
+      val of = foreign.buckets.block(i).file
+      of.exists(_.path.nonEmpty) && of != head.buckets.block(i).file
+    }.getOrElse(fail("expected the COW delete to rewrite at least one bucket"))
+    val oldFile = foreign.buckets.block(b).file.get
+
+    // INSIDE the floor: every snapshot is seconds old, so a one-hour
+    // floor drops nothing and deletes nothing — the foreign reader's
+    // scan completes
+    assert(BucketStore.vacuum(name, 1, minAgeMs = 60L * 60 * 1000) === 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(oldFile.path)),
+      "files inside the retention floor must never be deleted")
+    assert(FileStore.readBlock(oldFile).length === oldFile.rows,
+      "a foreign reader within the floor must complete")
+
+    // OUTSIDE the floor (no floor at all): versions beyond keep_last
+    // drop and their files go — the foreign reader fails with the
+    // NAMED error at its next block fetch, never a silent wrong answer
+    assert(BucketStore.vacuum(name, 1, minAgeMs = 0L) > 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(oldFile.path)),
+      "outside the floor the unreferenced file must be collected")
+    val e = intercept[FileStore.VacuumedFilesException] { FileStore.readBlock(oldFile) }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    assert(e.getMessage.contains("min_age_ms"), e.getMessage)
+    // the projected (cold-aggregate) read path fails with the same named error
+    intercept[FileStore.VacuumedFilesException] {
+      FileStore.readBlockProjected(oldFile, head.schema).toArray
+    }
+    // same-process readers fail at PLAN time with the standing loud error
+    val p = intercept[IllegalArgumentException] {
+      spark.read.format("graft-buckets")
+        .option("table", name).option("versionAsOf", vOld).load().collect()
+    }
+    assert(p.getMessage.contains("not retained"))
+    // and the surviving head still serves
+    assert(spark.read.format("graft-buckets").option("table", name).load().count() === 200L)
+    BucketStore.drop(name)
+  }
+
+  test("the floor ends the droppable prefix at the first young snapshot (contiguous history)") {
+    val name = "vac_prefix"
+    BucketStore.drop(name)
+    val saved = BucketStore.clock
+    try {
+      // commit stamps are MONOTONIC (max(prev+1, clock)), so aging is
+      // simulated FORWARD: two versions at real "now", then the clock
+      // jumps two hours ahead for two YOUNG ones — under the advanced
+      // clock the first two are two hours old
+      BucketStore.load(spark, name,
+        (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+      val tick = new java.util.concurrent.atomic.AtomicLong(
+        (System.currentTimeMillis() + 2L * 60 * 60 * 1000) * 1000L)
+      BucketStore.clock = () => tick.addAndGet(1000L)
+      BucketStore.deleteWhere(name, _.getLong(0) >= 90)
+      BucketStore.deleteWhere(name, _.getLong(0) >= 80)
+      val hist = BucketStore.retained(name)
+      assert(hist.length === 4)
+      // a one-hour floor may drop only the two-hour-old prefix, even
+      // with keep_last = 1 — the young suffix is protected
+      val dropped = BucketStore.vacuum(name, 1, minAgeMs = 60L * 60 * 1000)
+      assert(dropped === 2, s"only the old prefix may drop, got $dropped")
+      assert(BucketStore.retained(name) === hist.drop(2))
+      // a zero floor then trims to keep_last as before
+      assert(BucketStore.vacuum(name, 1, minAgeMs = 0L) === 1)
+      assert(BucketStore.retained(name).length === 1)
+    } finally {
+      BucketStore.clock = saved
+      BucketStore.drop(name)
+    }
+  }
+
+  test("file-level floor is independent: young files survive gc even when unreferenced") {
+    val name = "vac_files"
+    BucketStore.drop(name)
+    val saved = BucketStore.clock
+    try {
+      // age the COMMIT STAMPS past the floor (forward-jumped clock at
+      // vacuum time) while the files on disk stay young (just
+      // written): the version drops from history, but the mtime floor
+      // keeps its files — conservative on both axes, the next
+      // floor-free vacuum collects them
+      BucketStore.load(spark, name,
+        (0 until 60).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+      val vOld = BucketStore.currentVersion(name)
+      BucketStore.deleteWhere(name, _.getLong(0) < 10)
+      val foreign = BucketStore.snapshot(name, vOld)
+      val oldFiles = (0 until foreign.buckets.length)
+        .flatMap(i => foreign.buckets.block(i).file).filter(_.path.nonEmpty)
+      assert(oldFiles.nonEmpty)
+      // vacuum under a clock three hours ahead: every commit is "old"
+      // by stamp, but every file is young by real mtime
+      BucketStore.clock =
+        () => (System.currentTimeMillis() + 3L * 60 * 60 * 1000) * 1000L
+      val dropped = BucketStore.vacuum(name, 1, minAgeMs = 60L * 60 * 1000)
+      assert(dropped > 0, "hour-floor must drop the stamp-aged commits")
+      oldFiles.foreach { f =>
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)),
+          s"just-written file ${f.path} is younger than the floor and must survive gc")
+      }
+    } finally {
+      BucketStore.clock = saved
+      BucketStore.drop(name)
+    }
+  }
+
+  test("CALL graft.vacuum accepts the optional min_age_ms argument") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = "vac_call"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 50).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+    BucketStore.deleteWhere(name, _.getLong(0) < 5)
+    val n0 = BucketStore.retained(name).length
+    // floored call: everything is young, nothing drops
+    val r1 = spark.sql(s"CALL graft.vacuum('$name', 1, ${60L * 60 * 1000})").collect()
+    assert(r1.head.getInt(0) === 0 && r1.head.getInt(1) === n0)
+    // two-arg call keeps working (floor defaults to 0)
+    val r2 = spark.sql(s"CALL graft.vacuum('$name', 1)").collect()
+    assert(r2.head.getInt(0) === n0 - 1 && r2.head.getInt(1) === 1)
+    BucketStore.drop(name)
+  }
+}
