@@ -1658,11 +1658,17 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
     * (decode stops after n qualifying rows — a cold `LIMIT 10` reads
     * ~one batch per bucket). Eligibility is decided at open,
     * never mid-stream: sample/top-N pushdown, metadata columns,
-    * pending MoR state, an already-loaded block (the in-heap transpose
-    * is cheaper than re-reading the file), a filter shape the vector
-    * evaluator can't compile, or a file whose stored schema predates
-    * the projection (pre-ALTER short blocks need the NULL-pad fetch
-    * path) falls back to the row-stream transpose. File order equals
+    * a Z-ordered bucket with live delta, an already-loaded block (the
+    * in-heap transpose is cheaper than re-reading the file), or a
+    * filter shape the vector evaluator can't compile falls back to
+    * the row-stream transpose. PRE-ALTER FILES ARE ADMITTED: the
+    * reader initializes with the TABLE's requested schema, so parquet
+    * schema evolution serves a column the file lacks as a null
+    * vector — the NULL-pad contract at vector speed — and one
+    * `ALTER TABLE ADD COLUMN` does NOT demote the table from the
+    * fast path (spec-pinned: plain, filtered, OR-across-old/new-
+    * column, and mixed short/full file shapes all decode
+    * vectorized). File order equals
     * stored (cluster) order and filtering preserves it, so reported
     * output ordering survives.
     */

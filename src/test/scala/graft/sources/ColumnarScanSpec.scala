@@ -520,6 +520,55 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.drop("colr_alter")
   }
 
+  test("an evolved COLD table keeps the FILTERED vectorized path: every shape, row-path identity") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val name = "colr_alterf"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 1024).map(i => (i.toLong, i * 2.0, s"s$i")).toDF("k", "v", "s"), "k", 4)
+    BucketStore.addColumns(name, Seq(StructField("extra", StringType, nullable = true)))
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    // post-ALTER append: the table now MIXES pre-ALTER (short) and
+    // post-ALTER (full) file schemas — the 100 TB reality after an
+    // ALTER, where only new buckets carry the column physically
+    Seq((9000L, 1.0, "s9000", "E")).toDF("k", "v", "s", "extra")
+      .writeTo(s"graft.`$name`").append()
+    def rd(columnar: Boolean) = spark.read.format("graft-buckets")
+      .option("table", name).option("columnar", columnar.toString).load()
+    // (filter, minimum buckets the zone maps cannot prune)
+    val shapes: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        ("filter-old-col", _.filter(col("k") < 100)),
+        ("filter-new-col-isnull", _.filter(col("extra").isNull)),
+        ("or-across-old-and-new", _.filter(col("extra") === "E" || col("k") < 100)),
+        ("project-new-filter-old", _.filter(col("k") < 100).select(col("extra"), col("v"))),
+        ("filter-new-col-eq", _.filter(col("extra") === "E")))
+    shapes.foreach { case (label, shape) =>
+      BucketStore.evictTable(name)
+      val want = shape(rd(columnar = false)).collect().map(_.toSeq).toSet
+      BucketStore.evictTable(name)
+      val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+      val got = shape(rd(columnar = true)).collect().map(_.toSeq).toSet
+      assert(got === want, s"$label: vectorized answer must be row-path identical")
+      assert(FileStore.filesRead.get() === fr0,
+        s"$label: an evolved cold scan must not row-materialize any block")
+      assert(FileStore.vectorReads.get() > vr0,
+        s"$label: an evolved cold filtered scan must decode vectorized")
+      assert(BucketStore.get(name).buckets.loadedCount === 0,
+        s"$label: nothing may fault into the heap cache")
+    }
+    // the unpruned full sweep decodes EVERY bucket vectorized —
+    // one ALTER must not demote a single bucket to the row path
+    BucketStore.evictTable(name)
+    val vrAll = FileStore.vectorReads.get()
+    val rows = rd(columnar = true).filter(col("k") >= 0).collect()
+    assert(rows.length === 1025)
+    assert(FileStore.vectorReads.get() - vrAll ===
+      BucketStore.get(name).buckets.length.toLong,
+      "every bucket of the evolved table must ride the vectorized path")
+    BucketStore.drop(name)
+  }
+
   test("a co-bucketed join of two COLD tables: zero Exchange, vectorized both sides, zero faults") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
