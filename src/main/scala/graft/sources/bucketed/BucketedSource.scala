@@ -1683,43 +1683,46 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
       val t = BucketStore.snapshotWithRetry(p.table, p.version)
       val morState = t.mor.get(p.bucket)
       val blk = t.buckets.block(p.bucket)
-      // every MoR shape rides vectorized (round 17) except ONE: a
+      // EVERY MoR shape rides vectorized (rounds 17-18): a
       // NON-clustered fold APPENDS live delta after live base (exactly
       // what the overlay emits); a DELETE-ONLY bucket (the
       // retention-job shape) just masks base positions, which
-      // preserves any order; and a LEX-CLUSTERED bucket with live
-      // delta SORTED-MERGES the delta into the base stream
-      // (mergeCols — comparator parity with the fold is spec-pinned).
-      // Only a Z-ORDER bucket with live delta keeps the fold path:
-      // its serving order is the rank-normalized Morton merge, whose
-      // zBounds key machinery needs materialized rows.
+      // preserves any order; a LEX-CLUSTERED bucket with live delta
+      // SORTED-MERGES the delta into the base stream (mergeCols —
+      // comparator parity with the fold is spec-pinned); and a
+      // Z-ORDER bucket with live delta (round 18) sorted-merges on
+      // the rank-normalized Morton key — base keys computed straight
+      // off the vectors ([[VectorizedColdScan.zBatchKey]]), delta
+      // keys by the store's own zKeyOf, byte-parity spec-pinned.
       def liveDelta(m: BucketStore.BucketMor): Boolean =
         m.delta.indices.exists(j => !m.deleted.get(blk.rowCount + j))
       val lexCols = BucketStore.lexClusterColsOf(t.clusterCol)
-      if (morState.exists(m => t.clusterCol.nonEmpty && lexCols.isEmpty && liveDelta(m))) None
-      else {
-        if (blk.isLoaded) None
-        else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap { f =>
-          val overlay = morState.map { m =>
-            val full = t.schema
-            val live = m.delta.indices.iterator
-              .filter(j => !m.deleted.get(blk.rowCount + j))
-              .map { j =>
-                val dr = m.delta(j)
-                if (dr.size >= full.length) dr
-                // pre-ALTER short delta rows NULL-pad to full arity so
-                // the scan filters see every referenced column
-                else Row.fromSeq((0 until full.length).map(i =>
-                  if (i < dr.size) dr.get(i) else null))
-              }
-              .filter(r => filters.forall(FilterEval.eval(full, _, r)))
-            (m.deleted, live)
-          }
-          val mergeCols =
-            if (lexCols.nonEmpty && morState.exists(liveDelta)) lexCols else Seq.empty[String]
-          VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize, limit,
-            overlay, mergeCols)
+      val zCols: Option[Seq[String]] =
+        if (BucketStore.isZOrder(t.clusterCol)) t.clusterCol.flatMap(ZOrder.colsOf)
+        else None
+      if (blk.isLoaded) None
+      else blk.file.filter(f => f.path.nonEmpty && f.rows > 0).flatMap { f =>
+        val overlay = morState.map { m =>
+          val full = t.schema
+          val live = m.delta.indices.iterator
+            .filter(j => !m.deleted.get(blk.rowCount + j))
+            .map { j =>
+              val dr = m.delta(j)
+              if (dr.size >= full.length) dr
+              // pre-ALTER short delta rows NULL-pad to full arity so
+              // the scan filters see every referenced column
+              else Row.fromSeq((0 until full.length).map(i =>
+                if (i < dr.size) dr.get(i) else null))
+            }
+            .filter(r => filters.forall(FilterEval.eval(full, _, r)))
+          (m.deleted, live)
         }
+        val merging = morState.exists(liveDelta)
+        val mergeCols = if (lexCols.nonEmpty && merging) lexCols else Seq.empty[String]
+        val zMerge = zCols.filter(_ => merging)
+          .map(cs => (cs, t.zBounds, BucketStore.zKeyOf(t)))
+        VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize, limit,
+          overlay, mergeCols, zMerge)
       }
     }
   }
@@ -1808,7 +1811,17 @@ private[bucketed] final class VectorizedColdScan(
     // exactly [[BucketStore.folded]]'s merge.
     mergeKeyIdx: Array[Int] = null,
     mergeCmp: Array[(org.apache.spark.sql.vectorized.ColumnarBatch, Int, Any) => Int] = null,
-    mergeConv: Array[Any => Any] = null) {
+    mergeConv: Array[Any => Any] = null,
+    // non-null ⇔ Z-ORDER SORTED-MERGE mode (round 18): the serving
+    // order is the rank-normalized Morton curve, so base rows key
+    // through [[VectorizedColdScan.zBatchKey]] straight off the
+    // vectors and delta rows arrive pre-keyed and pre-sorted in
+    // `zDelta` (keys computed by the store's own zKeyOf over the
+    // full-arity rows). Comparison is [[ZOrder.cmp]]; ties emit base
+    // first — the fold's stable `old ++ add` sort, exactly like the
+    // lexicographic mode.
+    zBaseKey: (org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Array[Long] = null,
+    zDelta: Iterator[(Row, Array[Long])] = Iterator.empty) {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -1848,7 +1861,7 @@ private[bucketed] final class VectorizedColdScan(
     }
 
   def nextBatch(): Boolean = {
-    if (mergeKeyIdx != null) return mergedBatch()
+    if (mergeKeyIdx != null || zBaseKey != null) return mergedBatch()
     if (!inDelta) {
       if (baseBatch()) return true
       inDelta = true
@@ -1862,6 +1875,7 @@ private[bucketed] final class VectorizedColdScan(
   private var curSelPos = 0
   private var pendingDelta: Row = _
   private var pendingKey: Array[Any] = _
+  private var pendingZ: Array[Long] = _
   private var deltaInit = false
 
   /** Ensure a base survivor is available (advancing reader batches as
@@ -1888,7 +1902,13 @@ private[bucketed] final class VectorizedColdScan(
   }
 
   private def advanceDelta(): Unit = {
-    if (delta.hasNext) {
+    if (zBaseKey != null) {
+      if (zDelta.hasNext) {
+        val (r, zk) = zDelta.next()
+        pendingDelta = r
+        pendingZ = zk
+      } else pendingDelta = null
+    } else if (delta.hasNext) {
       pendingDelta = delta.next()
       if (pendingKey == null) pendingKey = new Array[Any](mergeKeyIdx.length)
       var k = 0
@@ -1937,7 +1957,13 @@ private[bucketed] final class VectorizedColdScan(
       val haveBase = advanceBase()
       if (!haveBase && pendingDelta == null) more = false
       else {
-        if (haveBase && (pendingDelta == null || cmpBaseDelta(sel(curSelPos)) <= 0)) {
+        def baseFirst: Boolean = {
+          val r = sel(curSelPos)
+          val c = if (zBaseKey != null) ZOrder.cmp(zBaseKey(curIn, r), pendingZ)
+                  else cmpBaseDelta(r)
+          c <= 0 // ties: base first, the fold's stable-sort order
+        }
+        if (haveBase && (pendingDelta == null || baseFirst)) {
           val r = sel(curSelPos)
           curSelPos += 1
           var c = 0
@@ -2076,12 +2102,20 @@ private[bucketed] object VectorizedColdScan {
       // so live delta rows interleave into the base stream instead of
       // appending. Columns join the read schema; an unsupported
       // cluster type falls back to the fold path (None).
-      mergeCols: Seq[String] = Nil)
+      mergeCols: Seq[String] = Nil,
+      // defined ⇔ Z-ORDER SORTED-MERGE mode (round 18): (z columns,
+      // frozen rank bounds, the store's full-arity Morton key fn for
+      // delta rows). The z columns join the read schema so base rows
+      // key straight off the vectors ([[zBatchKey]]); an unsupported
+      // dimension type falls back to the fold path (None). Mutually
+      // exclusive with `mergeCols`.
+      zMerge: Option[(Seq[String], Option[Array[Array[Long]]], Row => Array[Long])] = None)
       : Option[VectorizedColdScan] = {
     // the read schema appends the filters' (and merge keys') extra
     // columns AFTER the projected ones, typed from the table schema —
     // compaction then maps output column i to input column i
-    val extras = (filters.flatMap(_.references) ++ mergeCols).distinct
+    val extras = (filters.flatMap(_.references) ++ mergeCols ++
+        zMerge.map(_._1).getOrElse(Nil)).distinct
       .filterNot(required.fieldNames.contains)
       .filter(fullSchema.fieldNames.contains)
     val readStruct: StructType =
@@ -2113,32 +2147,60 @@ private[bucketed] object VectorizedColdScan {
       if (mergeIdx == null) null
       else mergeIdx.map(ci => mergeSupport(readStruct(ci).dataType, ci))
     if (mergeParts != null && mergeParts.exists(_.isEmpty)) return None
+    // z-order merge machinery: the batch-side Morton key over the z
+    // columns at their readStruct positions. A dimension type without
+    // a vector key falls back to the fold path before a reader opens.
+    val zBase: Option[(org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Array[Long]] =
+      zMerge match {
+        case None => None
+        case Some((zCols, zBounds, _)) =>
+          if (!zCols.forall(readStruct.fieldNames.contains)) return None
+          zBatchKey(readStruct, zCols.map(readStruct.fieldIndex).toArray, zBounds) match {
+            case None => return None
+            case some => some
+          }
+      }
     // projection of the full-arity delta rows to the read schema (the
     // first |required| fields feed the output vectors; merge keys sit
     // at their readStruct positions). In merge mode the live delta is
     // SORTED on the cluster key first — the fold sorts its delta
     // before merging ([[BucketStore.fold]]'s sortWith is stable, so a
     // stable sortWith here keeps tied delta rows in commit order too.
-    val deltaProjected: Iterator[Row] = overlay.map { case (_, it) =>
-      val idx = readStruct.fieldNames.map(fullSchema.fieldIndex).toIndexedSeq
-      val projected = it.map(dr => Row.fromSeq(idx.map(i => if (i < dr.size) dr.get(i) else null)))
-      if (mergeCols.isEmpty) projected
-      else {
-        val kIdx = mergeCols.map(readStruct.fieldIndex).toArray
-        def cmpRows(a: Row, b: Row): Int = {
-          var k = 0
-          while (k < kIdx.length) {
-            val c = ClusterRange.cmpNullsFirst(a.get(kIdx(k)), b.get(kIdx(k)))
-            if (c != 0) return c
-            k += 1
+    // z mode pairs each live delta row with its Morton key (computed
+    // at FULL arity by the store's own key fn — the exact key the
+    // fold sorts by) and pre-sorts stably; the overlay iterator is
+    // consumed by exactly ONE of the two delta streams
+    val zDeltaSorted: Iterator[(Row, Array[Long])] = (zMerge, overlay) match {
+      case (Some((_, _, keyFn)), Some((_, it))) =>
+        val idx = readStruct.fieldNames.map(fullSchema.fieldIndex).toIndexedSeq
+        it.map { dr =>
+          val zk = keyFn(dr)
+          (Row.fromSeq(idx.map(i => if (i < dr.size) dr.get(i) else null)), zk)
+        }.toArray.sortWith((a, b) => ZOrder.cmp(a._2, b._2) < 0).iterator
+      case _ => Iterator.empty
+    }
+    val deltaProjected: Iterator[Row] =
+      if (zMerge.nonEmpty) Iterator.empty
+      else overlay.map { case (_, it) =>
+        val idx = readStruct.fieldNames.map(fullSchema.fieldIndex).toIndexedSeq
+        val projected = it.map(dr => Row.fromSeq(idx.map(i => if (i < dr.size) dr.get(i) else null)))
+        if (mergeCols.isEmpty) projected
+        else {
+          val kIdx = mergeCols.map(readStruct.fieldIndex).toArray
+          def cmpRows(a: Row, b: Row): Int = {
+            var k = 0
+            while (k < kIdx.length) {
+              val c = ClusterRange.cmpNullsFirst(a.get(kIdx(k)), b.get(kIdx(k)))
+              if (c != 0) return c
+              k += 1
+            }
+            0
           }
-          0
+          // policy-bounded materialization: the delta is heap-resident
+          // by construction (≤ autoCompactRatioPct of the base)
+          projected.toArray.sortWith((a, b) => cmpRows(a, b) < 0).iterator
         }
-        // policy-bounded materialization: the delta is heap-resident
-        // by construction (≤ autoCompactRatioPct of the base)
-        projected.toArray.sortWith((a, b) => cmpRows(a, b) < 0).iterator
-      }
-    }.getOrElse(Iterator.empty)
+      }.getOrElse(Iterator.empty)
     var r: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = null
     try {
       r = new org.apache.spark.sql.execution.datasources.parquet
@@ -2165,7 +2227,9 @@ private[bucketed] object VectorizedColdScan {
         delta = deltaProjected,
         mergeKeyIdx = mergeIdx,
         mergeCmp = if (mergeParts == null) null else mergeParts.map(_.get._1),
-        mergeConv = if (mergeParts == null) null else mergeParts.map(_.get._2)))
+        mergeConv = if (mergeParts == null) null else mergeParts.map(_.get._2),
+        zBaseKey = zBase.orNull,
+        zDelta = zDeltaSorted))
     } catch {
       // missing column (pre-ALTER file), schema drift, unsupported
       // predicate/physical-type pairing: the row path serves it with
@@ -2242,6 +2306,75 @@ private[bucketed] object VectorizedColdScan {
           case x: java.time.LocalDate => DateTimeUtils.localDateToDays(x)
         }): Any => Any))
       case _ => None
+    }
+  }
+
+  /** Per-dimension Morton raw key from VECTOR values (round 18 — the
+    * z-order sorted-merge's base side): must produce the SAME unsigned
+    * 64-bit key as [[ZOrder.dimKey]] over the column's EXTERNAL value,
+    * because the fold computes delta/base keys externally and the
+    * merge compares across the two representations. NULL (handled by
+    * the caller via isNullAt → 0L) is the curve origin, like
+    * `dimKey(null)`. Timestamps key by epoch MILLIS (external
+    * `Timestamp.getTime`) so the internal micros floor-divide; dates
+    * replicate `java.sql.Date.getTime` exactly via Spark's own
+    * days→Date conversion (timezone-faithful); TIMESTAMP_NTZ's
+    * external class has no dimKey case (keys to 0), so the vector
+    * side keys 0 too. None for a type outside the set — the fold
+    * path serves it.
+    */
+  private def zDimKey(t: org.apache.spark.sql.types.DataType, ci: Int)
+      : Option[(org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Long] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    t match {
+      case LongType => Some((b, r) => b.column(ci).getLong(r) ^ Long.MinValue)
+      case IntegerType => Some((b, r) => b.column(ci).getInt(r).toLong ^ Long.MinValue)
+      case ShortType => Some((b, r) => b.column(ci).getShort(r).toLong ^ Long.MinValue)
+      case ByteType => Some((b, r) => b.column(ci).getByte(r).toLong ^ Long.MinValue)
+      case DoubleType => Some((b, r) =>
+        ZOrder.floatingKey(java.lang.Double.doubleToLongBits(b.column(ci).getDouble(r))))
+      case FloatType => Some((b, r) =>
+        ZOrder.floatingKey(java.lang.Double.doubleToLongBits(b.column(ci).getFloat(r).toDouble)))
+      case BooleanType => Some((b, r) =>
+        (if (b.column(ci).getBoolean(r)) 1L else 0L) ^ Long.MinValue)
+      case StringType => Some((b, r) => ZOrder.bytesKey(b.column(ci).getUTF8String(r).getBytes))
+      case TimestampType => Some((b, r) =>
+        Math.floorDiv(b.column(ci).getLong(r), 1000L) ^ Long.MinValue)
+      case TimestampNTZType => Some((_, _) => 0L)
+      case DateType => Some((b, r) =>
+        DateTimeUtils.toJavaDate(b.column(ci).getInt(r)).getTime ^ Long.MinValue)
+      case dt: DecimalType => Some((b, r) => ZOrder.floatingKey(java.lang.Double.doubleToLongBits(
+        b.column(ci).getDecimal(r, dt.precision, dt.scale).toJavaBigDecimal.doubleValue)))
+      case _ => None
+    }
+  }
+
+  /** Whole-row rank-normalized Morton key over the batch at the
+    * readStruct indices `idxs` — mirrors [[ZOrder.keyRanked]] /
+    * [[ZOrder.key]] exactly (rank iff the frozen bounds cover every
+    * dimension, like the store's zKey dispatch). None when any
+    * dimension's type lacks a vector key.
+    */
+  private[bucketed] def zBatchKey(readStruct: StructType, idxs: Array[Int],
+      bounds: Option[Array[Array[Long]]])
+      : Option[(org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Array[Long]] = {
+    val dims = idxs.map(ci => zDimKey(readStruct(ci).dataType, ci))
+    if (dims.exists(_.isEmpty)) return None
+    val getters = dims.map(_.get)
+    val ranked = bounds.filter(_.length == idxs.length)
+    Some { (b, r) =>
+      val ks = new Array[Long](getters.length)
+      var d = 0
+      while (d < getters.length) {
+        val raw = if (b.column(idxs(d)).isNullAt(r)) 0L else getters(d)(b, r)
+        ks(d) = ranked match {
+          case Some(bs) => ZOrder.rankKey(bs(d), raw)
+          case None => raw
+        }
+        d += 1
+      }
+      ZOrder.interleave(ks)
     }
   }
 

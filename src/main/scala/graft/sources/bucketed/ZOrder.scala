@@ -104,15 +104,19 @@ object ZOrder {
     * key for doubles (NaN lands above +Inf, matching
     * [[FilterEval.cmp]]'s NaN-as-largest).
     */
-  private def floatingKey(bits: Long): Long =
+  private[bucketed] def floatingKey(bits: Long): Long =
     if (bits < 0) ~bits else bits | Long.MinValue
 
   /** First 8 UTF-8 bytes, big-endian, zero-padded — unsigned compare
     * of the key matches the byte-wise (Spark UTF8String binary)
-    * ordering through those bytes.
+    * ordering through those bytes. `bytesKey` is the shared core so
+    * the vectorized merge can key a UTF8String's bytes without a
+    * String round-trip.
     */
-  private def stringKey(s: String): Long = {
-    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def stringKey(s: String): Long =
+    bytesKey(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[bucketed] def bytesKey(b: Array[Byte]): Long = {
     var k = 0L
     var i = 0
     while (i < 8) {

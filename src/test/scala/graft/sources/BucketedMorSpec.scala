@@ -246,6 +246,54 @@ class BucketedMorSpec extends SparkSuite {
     assert(scan("mor_clust").count() === 1999L)
   }
 
+  test("Z-ORDER bucket with LIVE DELTA rides the vectorized path: byte- and ORDER-identity with the fold") {
+    cat()
+    val name = "mor_zvec"
+    BucketStore.drop(name)
+    // two z dimensions of different widths (rank normalization in
+    // play) plus nulls in one dimension — the curve shapes the fold
+    // must reproduce vectorized
+    val df = (0 until 3000).map { i =>
+      (i.toLong, (i * 37 % 101).toLong,
+        if (i % 17 == 0) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(i * 0.75),
+        s"tag$i")
+    }.toDF("k", "x", "y", "tag")
+    BucketStore.load(spark, name, df, "k", 4, clusterBy = Some("zorder(x,y)"))
+    BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
+    // UPDATEs produce LIVE delta rows (position delete + re-insert at
+    // a new curve position) — the shape that used to keep the fold
+    spark.sql(s"UPDATE graft.`$name` SET x = 9999 WHERE k % 29 = 0")
+    spark.sql(s"DELETE FROM graft.`$name` WHERE k % 31 = 0")
+    val t = BucketStore.get(name)
+    assert(t.mor.exists { case (b, m) =>
+      m.delta.indices.exists(j => !m.deleted.get(t.buckets.block(b).rowCount + j))
+    }, "the DML must leave live delta rows")
+    def rd(columnar: Boolean) = spark.read.format("graft-buckets")
+      .option("table", name).option("columnar", columnar.toString).load()
+    // ORDER matters: compare per-bucket sequences, not sets — the
+    // vectorized merge must reproduce the fold's Morton serving order
+    // exactly, ties included (base before delta)
+    BucketStore.evictTable(name)
+    val want = rd(columnar = false).collect().map(_.toSeq).toSeq
+    BucketStore.evictTable(name)
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    val got = rd(columnar = true).collect().map(_.toSeq).toSeq
+    assert(got === want, "vectorized z-merge must be order-identical to the fold")
+    assert(FileStore.vectorReads.get() - vr0 === t.buckets.length.toLong,
+      "every z-ordered MoR bucket must decode vectorized")
+    assert(FileStore.filesRead.get() === fr0, "no bucket may row-materialize")
+    assert(BucketStore.get(name).buckets.loadedCount === 0, "nothing may fault into the heap")
+    // filtered + projected through the same z-merge
+    BucketStore.evictTable(name)
+    val wantF = rd(columnar = false).filter(col("x") === 9999L)
+      .select(col("k"), col("tag")).collect().map(_.toSeq).toSeq
+    BucketStore.evictTable(name)
+    val gotF = rd(columnar = true).filter(col("x") === 9999L)
+      .select(col("k"), col("tag")).collect().map(_.toSeq).toSeq
+    assert(gotF === wantF)
+    BucketStore.drop(name)
+  }
+
   test("delta positions are snapshot-pinned: conflicts are row-granular, disjoint interleaves compose") {
     cat()
     mkTable("mor_race", rows = 100, buckets = 2)

@@ -215,7 +215,7 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.evictTable("colr_t")
   }
 
-  test("the vectorized path defers to the row path on top-N, Z-ORDER live-delta MoR, and hot blocks") {
+  test("the vectorized path defers to the row path on top-N and hot blocks; z-order MoR now rides it") {
     loadT()
     BucketStore.evictTable("colr_t")
     val vr0 = FileStore.vectorReads.get()
@@ -224,10 +224,11 @@ class ColumnarScanSpec extends SparkSuite {
     val full = read(columnar = true).collect()
     assert(full.length === 4096)
     assert(FileStore.vectorReads.get() === vr0, "hot blocks must serve from heap, not the file")
-    // Z-ORDER bucket with LIVE delta ⇒ row path: serving order is the
-    // rank-normalized Morton merge, whose zBounds key machinery needs
-    // materialized rows — the one MoR shape the vectorized path
-    // declines (lexicographic clustering sorted-merges vectorized)
+    // Z-ORDER bucket with LIVE delta (round 18): no longer a fold
+    // case — the scan sorted-merges on the rank-normalized Morton key
+    // computed straight off the vectors (order parity spec-pinned in
+    // BucketedMorSpec); here: the shape decodes vectorized and the
+    // answer matches the fold
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     BucketStore.drop("colr_vmor")
     BucketStore.load(spark, "colr_vmor",
@@ -236,13 +237,16 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.setDmlMode("colr_vmor", BucketStore.MergeOnRead)
     spark.sql("DELETE FROM graft.colr_vmor WHERE k % 16 = 0")
     spark.sql("UPDATE graft.colr_vmor SET x = x + 1000 WHERE k % 16 = 1")
+    val want = spark.read.format("graft-buckets").option("table", "colr_vmor")
+      .option("columnar", "false").load().collect().map(_.toSeq).toSeq
     BucketStore.evictTable("colr_vmor")
     val vr1 = FileStore.vectorReads.get()
     val got = spark.read.format("graft-buckets").option("table", "colr_vmor")
       .option("columnar", "true").load().collect()
     assert(got.length === 240)
-    assert(FileStore.vectorReads.get() === vr1,
-      "a z-order bucket with live delta must fold (Morton-merge) through the row path")
+    assert(got.map(_.toSeq).toSeq === want, "z-merge must match the fold, order included")
+    assert(FileStore.vectorReads.get() - vr1 === 2L,
+      "a z-order bucket with live delta now sorted-merges through the vectorized path")
     BucketStore.drop("colr_vmor")
   }
 
