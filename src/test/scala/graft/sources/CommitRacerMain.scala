@@ -8,7 +8,9 @@ package graft.sources.bucketed
   * conflict path), retry. No Spark session: the store substrate is
   * what's under test, exactly what a second ingest job exercises.
   *
-  * args: tableDir tableName keyBase nCommits
+  * args: tableDir tableName keyBase nCommits [pauseMsBetweenCommits]
+  * (the optional pause paces the commit sequence so a FOLLOWING reader
+  * — [[TwoJvmReaderFollowSpec]] — provably observes it mid-flight)
   */
 object CommitRacerMain {
   def main(args: Array[String]): Unit = {
@@ -16,6 +18,7 @@ object CommitRacerMain {
     val name = args(1)
     val keyBase = args(2).toLong
     val n = args(3).toInt
+    val pauseMs = if (args.length > 4) args(4).toLong else 0L
     BucketStore.openFromDisk(name, dir)
     var i = 0
     var retries = 0
@@ -24,6 +27,7 @@ object CommitRacerMain {
       try {
         BucketStore.deleteWhere(name, _.getLong(0) == key)
         i += 1
+        if (pauseMs > 0) Thread.sleep(pauseMs)
       } catch {
         case _: BucketStore.ConcurrentWriteException =>
           retries += 1
