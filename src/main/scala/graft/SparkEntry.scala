@@ -521,6 +521,7 @@ object SparkEntry {
     "q263_cold_mor_sweep" -> graft.sources.bucketed.BucketedQueries.coldMorSweepQuery _,
     "q264_cold_append" -> graft.sources.bucketed.BucketedQueries.coldAppendQuery _,
     "q265_cold_mor_cdc" -> graft.sources.bucketed.BucketedQueries.coldMorCdcQuery _,
+    "q266_vacuum_floor" -> graft.sources.bucketed.BucketedQueries.vacuumFloorQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -948,6 +949,7 @@ object SparkEntry {
     "q263_cold_mor_sweep" -> graft.sources.bucketed.BucketedQueries.coldMorSweepSql,
     "q264_cold_append" -> graft.sources.bucketed.BucketedQueries.coldAppendSql,
     "q265_cold_mor_cdc" -> graft.sources.bucketed.BucketedQueries.coldMorCdcSql,
+    "q266_vacuum_floor" -> graft.sources.bucketed.BucketedQueries.vacuumFloorSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -2565,6 +2565,74 @@ object BucketedQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
       |FROM customer WHERE c_custkey % 100 = 13""".stripMargin
 
+  /** q266 — CROSS-PROCESS VACUUM SAFETY (round 18): the time-based
+    * retention floor, the third leg of the multi-process protocol
+    * (q259 proved concurrent WRITE, q262 multi-process READ — GC was
+    * still single-process). A stale FOREIGN reader is faithfully a
+    * captured old-snapshot metadata value whose block fetches hit the
+    * shared directory lazily. The gate: orders takes a COW DELETE
+    * (rewriting every touched bucket, so the old version's files
+    * become unreferenced the moment it leaves history), then
+    *   1. `CALL graft.vacuum(t, 1, 1h)` INSIDE the floor — drops
+    *      nothing (every commit is seconds old), the foreign reader's
+    *      block read completes;
+    *   2. `CALL graft.vacuum(t, 1)` with NO floor — history trims,
+    *      the old files are collected, and the foreign reader fails
+    *      with the NAMED VacuumedFilesException (loud, never a silent
+    *      wrong answer), while the surviving head serves the oracle-
+    *      checked aggregate.
+    * At 100 TB this is the Delta/Iceberg retention contract: size
+    * `min_age_ms` to cover reader staleness and no reader ever loses
+    * files mid-scan.
+    */
+  def vacuumFloorQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"ord_vacuum@$dir"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      "o_orderkey", 8)
+    val vOld = BucketStore.currentVersion(name)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey % 97 = 0")
+    val head = BucketStore.get(name)
+    val foreign = BucketStore.snapshot(name, vOld) // the foreign JVM's in-heap metadata
+    val b = (0 until foreign.buckets.length).find { i =>
+      val of = foreign.buckets.block(i).file
+      of.exists(_.path.nonEmpty) && of != head.buckets.block(i).file
+    }.getOrElse(throw new IllegalStateException("COW delete must rewrite a bucket"))
+    val oldFile = foreign.buckets.block(b).file.get
+    // 1. inside the floor: nothing drops, nothing deletes, the stale
+    //    foreign reader completes
+    val r1 = spark.sql(s"CALL graft.vacuum('$name', 1, ${60L * 60 * 1000})").head()
+    require(r1.getInt(0) == 0, s"a one-hour floor must protect seconds-old history, dropped ${r1.getInt(0)}")
+    require(FileStore.readBlock(oldFile).length == oldFile.rows,
+      "a foreign reader within the floor must complete")
+    // 2. no floor: count-based trim, files collected, loud NAMED
+    //    failure for the now-too-stale reader
+    val r2 = spark.sql(s"CALL graft.vacuum('$name', 1)").head()
+    require(r2.getInt(0) > 0, "the floorless vacuum must trim history")
+    require(r2.getInt(1) == 1, "keep_last=1 must retain exactly the head")
+    val loud =
+      try { FileStore.readBlock(oldFile); false }
+      catch { case _: FileStore.VacuumedFilesException => true }
+    require(loud, "a reader staler than the floor must fail with the NAMED vacuum error")
+    // the surviving head serves exactly the post-DML table
+    spark.table(s"graft.`$name`")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_tp"))
+  }
+
+  val vacuumFloorSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_tp
+      |FROM orders WHERE o_orderkey % 97 <> 0
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */
