@@ -232,7 +232,9 @@ object BucketStore {
     // sharing the directory (a base table and its WAP branches)
     if (hist.length + 1 > RetainedVersions && isFileBacked(name)) {
       val dir = tableDir(name)
-      FileStore.gc(dir, retainedVersionsSharing(dir)): Unit
+      // automatic GC honors the directory's strictest retention floor
+      FileStore.gc(dir, retainedVersionsSharing(dir),
+        math.max(vacuumFloorOf(name), floorSharing(dir, except = name))): Unit
     }
     // commit-time statistics: warm zone maps/sketches for exactly the
     // buckets this commit REPLACED (storage-shared buckets — same
@@ -914,6 +916,42 @@ object BucketStore {
 
   def dmlModeOf(name: String): String = dmlModes.getOrDefault(name, CopyOnWrite)
 
+  /** Per-table VACUUM RETENTION FLOOR in milliseconds — set via
+    * TBLPROPERTIES('vacuum.min_age_ms'='…') or [[setVacuumFloor]]; the
+    * Delta `deletedFileRetentionDuration` analog. It is BOTH the
+    * default `min_age_ms` when `CALL graft.vacuum` omits the argument
+    * AND the floor every AUTOMATIC (publish-time retention) GC honors,
+    * so setting it once protects a table's stale foreign readers from
+    * every collection path, not just explicit vacuums. 0 (the
+    * default) keeps the pre-floor count-based contract.
+    */
+  private val vacuumFloors = new ConcurrentHashMap[String, java.lang.Long]()
+
+  def setVacuumFloor(name: String, minAgeMs: Long): Unit = {
+    require(minAgeMs >= 0L, s"vacuum.min_age_ms must be >= 0, got $minAgeMs")
+    vacuumFloors.put(name, minAgeMs)
+    ()
+  }
+
+  def clearVacuumFloor(name: String): Unit = { vacuumFloors.remove(name); () }
+
+  def vacuumFloorOf(name: String): Long =
+    Option(vacuumFloors.get(name)).map(_.longValue).getOrElse(0L)
+
+  /** The strictest floor among OTHER lineages sharing `dir` (a base
+    * table and its WAP branches share one directory, and a sweep
+    * there must honor every cohabitant's floor) — `except` lets an
+    * explicit per-table vacuum override its OWN floor without
+    * weakening its neighbors'.
+    */
+  private def floorSharing(dir: java.nio.file.Path, except: String = ""): Long = {
+    var f = 0L
+    tableDirs.forEach { (n, d) =>
+      if (d == dir && n != except) f = math.max(f, vacuumFloorOf(n))
+    }
+    f
+  }
+
   /** CHECK constraints, one boolean SQL expression per table (see
     * [[CheckConstraint]]). Operational config like [[dmlModes]] — set
     * via TBLPROPERTIES('check'='...') or [[setCheck]]; enforced at
@@ -1160,6 +1198,7 @@ object BucketStore {
     statColumns.remove(bname)
     dmlModes.remove(bname)
     checks.remove(bname)
+    vacuumFloors.remove(bname)
     tags.remove(bname)
     heapOnly.remove(bname)
     appliedTxns.remove(bname)
@@ -1170,7 +1209,7 @@ object BucketStore {
       // stop acting as (unloaded-lineage) GC roots before the sweep,
       // or the batch's files would be protected forever
       FileStore.deleteManifestsOf(d, bname)
-      FileStore.gc(d, retainedVersionsSharing(d)): Unit
+      FileStore.gc(d, retainedVersionsSharing(d), floorSharing(d, except = bname)): Unit
     }
     existed
   }
@@ -1996,6 +2035,7 @@ object BucketStore {
         statColumns.remove(bname)
         dmlModes.remove(bname)
         checks.remove(bname)
+        vacuumFloors.remove(bname)
         tags.remove(bname)
         heapOnly.remove(bname)
         appliedTxns.remove(bname)
@@ -2010,6 +2050,7 @@ object BucketStore {
       statColumns.remove(name)
       dmlModes.remove(name)
       checks.remove(name)
+      vacuumFloors.remove(name)
       tags.remove(name)
       heapOnly.remove(name)
       appliedTxns.remove(name)
@@ -2028,6 +2069,7 @@ object BucketStore {
     statColumns.remove(name)
     dmlModes.remove(name)
     checks.remove(name)
+    vacuumFloors.remove(name)
     tags.remove(name)
     heapOnly.remove(name)
     appliedTxns.remove(name)
@@ -2478,7 +2520,14 @@ object BucketStore {
     * the dropped versions' files lingered until the next
     * retention-crossing publish.
     */
-  def vacuum(name: String, keepLast: Int): Int = vacuum(name, keepLast, 0L)
+  /** Floor-less entry point: uses the table's OWN registered floor
+    * ([[vacuumFloorOf]] — TBLPROPERTIES or setVacuumFloor), so a
+    * table that declared its retention once is protected through
+    * every `vacuum(t, n)` call site. Pass `minAgeMs` explicitly
+    * (including 0) to override.
+    */
+  def vacuum(name: String, keepLast: Int): Int =
+    vacuum(name, keepLast, vacuumFloorOf(name))
 
   /** [[vacuum]] with a TIME-BASED RETENTION FLOOR (round 18 — the
     * public Delta/Iceberg retention pattern): no snapshot committed
@@ -2517,7 +2566,10 @@ object BucketStore {
       tables.put(name, hist.drop(dropped))
       if (isFileBacked(name)) {
         val dir = tableDir(name)
-        FileStore.gc(dir, retainedVersionsSharing(dir), minAgeMs): Unit
+        // an explicit arg overrides THIS table's floor, never a
+        // cohabiting lineage's
+        FileStore.gc(dir, retainedVersionsSharing(dir),
+          math.max(minAgeMs, floorSharing(dir, except = name))): Unit
       }
     }
     dropped

@@ -27,7 +27,8 @@ object BucketedCatalog {
     * [[BucketedCatalog.createTable]] the way [[ConnectorOptions.parse]]
     * validates scan options.
     */
-  val KnownTableProps: Set[String] = Set("cluster_by", "write.dml.mode", "check")
+  val KnownTableProps: Set[String] =
+    Set("cluster_by", "write.dml.mode", "check", "vacuum.min_age_ms")
 }
 
 class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
@@ -154,9 +155,18 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
     // (see CheckConstraint)
     val check = userKeys.find(_.equalsIgnoreCase("check"))
       .flatMap(k => Option(properties.get(k))).filter(_.nonEmpty)
+    // TBLPROPERTIES('vacuum.min_age_ms'='604800000'): the table's
+    // vacuum retention floor — automatic retention GC and floor-less
+    // vacuums never collect snapshots/files younger than this (the
+    // Delta deletedFileRetentionDuration analog; see BucketStore)
+    val vacuumFloor = userKeys.find(_.equalsIgnoreCase("vacuum.min_age_ms"))
+      .flatMap(k => Option(properties.get(k))).filter(_.nonEmpty)
+      .map(v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-buckets: vacuum.min_age_ms must be a non-negative integer, got '$v'")))
     BucketStore.createEmpty(ident.name(), schema, key, n, clusterBy = clusterBy)
     dmlMode.foreach(BucketStore.setDmlMode(ident.name(), _))
     check.foreach(BucketStore.setCheck(ident.name(), _))
+    vacuumFloor.foreach(BucketStore.setVacuumFloor(ident.name(), _))
     new BucketedTable(ident.name())
   }
 

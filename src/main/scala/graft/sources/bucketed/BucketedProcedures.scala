@@ -36,23 +36,27 @@ object BucketedProcedures {
   object Vacuum extends UnboundProcedure with BoundProcedure {
     override def name(): String = "vacuum"
     override def description(): String =
-      "vacuum(table, keep_last, min_age_ms = 0): trim MVCC history to the newest " +
+      "vacuum(table, keep_last, min_age_ms): trim MVCC history to the newest " +
         "keep_last snapshots, never dropping a snapshot (or deleting a file) " +
         "younger than min_age_ms — the cross-process retention floor protecting " +
-        "stale foreign readers"
+        "stale foreign readers. Omitted min_age_ms uses the table's registered " +
+        "floor (TBLPROPERTIES 'vacuum.min_age_ms'); an explicit 0 forces the " +
+        "count-based trim."
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_last", IntegerType).build(),
-      ProcedureParameter.in("min_age_ms", LongType).defaultValue("0").build())
+      ProcedureParameter.in("min_age_ms", LongType)
+        .defaultValue("CAST(NULL AS BIGINT)").build())
     override def isDeterministic: Boolean = false // mutates history
 
     override def call(input: InternalRow): JIterator[Scan] = {
       require(!input.isNullAt(0) && !input.isNullAt(1),
         "vacuum(table, keep_last, min_age_ms): table and keep_last must be non-null")
       val table = input.getUTF8String(0).toString
-      val minAge = if (input.isNullAt(2)) 0L else input.getLong(2)
-      val dropped = BucketStore.vacuum(table, input.getInt(1), minAge)
+      val dropped =
+        if (input.isNullAt(2)) BucketStore.vacuum(table, input.getInt(1))
+        else BucketStore.vacuum(table, input.getInt(1), input.getLong(2))
       val retained = BucketStore.retained(table).length
       localScan(
         StructType(Seq(

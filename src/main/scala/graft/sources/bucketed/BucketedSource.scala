@@ -2523,11 +2523,20 @@ object FilterEval {
     case IsNotNull(c) => Some(!row.isNullAt(schema.fieldIndex(c)))
     case In(c, vs) =>
       // SQL IN: true if any element matches; if none match but the
-      // column was null, unknown
-      val cs = vs.map(v => cmpNullable(row, schema, c, v))
-      if (cs.exists(_.contains(0))) Some(true)
-      else if (cs.exists(_.isEmpty)) None
-      else Some(false)
+      // column was null, unknown. Short-circuits on the first match
+      // and allocates nothing per row — a large pushed ID list used
+      // to build a full Option array per row before deciding.
+      var unknown = false
+      var i = 0
+      while (i < vs.length) {
+        cmpNullable(row, schema, c, vs(i)) match {
+          case Some(0) => return Some(true)
+          case None => unknown = true
+          case _ => ()
+        }
+        i += 1
+      }
+      if (unknown) None else Some(false)
     case StringStartsWith(c, v) => stringNullable(row, schema, c).map(_.startsWith(v))
     case StringEndsWith(c, v) => stringNullable(row, schema, c).map(_.endsWith(v))
     case StringContains(c, v) => stringNullable(row, schema, c).map(_.contains(v))

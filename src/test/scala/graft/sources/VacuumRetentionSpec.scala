@@ -137,6 +137,42 @@ class VacuumRetentionSpec extends SparkSuite {
     }
   }
 
+  test("a TABLE-LEVEL floor (TBLPROPERTIES vacuum.min_age_ms) guards automatic retention GC too") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = "vac_prop"
+    BucketStore.drop(name)
+    spark.sql(s"CREATE TABLE graft.`$name` (k BIGINT, v DOUBLE) " +
+      s"PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('vacuum.min_age_ms'='3600000')")
+    assert(BucketStore.vacuumFloorOf(name) === 3600000L)
+    (0 until 40).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+      .writeTo(s"graft.`$name`").append()
+    val vOld = BucketStore.currentVersion(name)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE k < 5")
+    val foreign = BucketStore.snapshot(name, vOld)
+    val oldFiles = (0 until foreign.buckets.length)
+      .flatMap(i => foreign.buckets.block(i).file).filter(_.path.nonEmpty)
+    assert(oldFiles.nonEmpty)
+    // drive the table past the MVCC window: the AUTOMATIC publish-time
+    // retention GC fires, but the table's floor keeps every young file
+    (1 to BucketStore.RetainedVersions + 2).foreach { i =>
+      spark.sql(s"DELETE FROM graft.`$name` WHERE k = ${1000 + i}") // no-op matches, still publishes
+    }
+    assert(BucketStore.retained(name).length === BucketStore.RetainedVersions)
+    oldFiles.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)),
+        s"automatic retention GC must honor the table floor; lost ${f.path}")
+    }
+    // a floor-less vacuum call uses the registered floor: drops nothing young
+    assert(BucketStore.vacuum(name, 1) === 0)
+    // an EXPLICIT zero overrides this table's own floor and collects
+    val r = spark.sql(s"CALL graft.vacuum('$name', 1, 0)").head()
+    assert(r.getInt(0) > 0 && r.getInt(1) === 1)
+    assert(oldFiles.exists(f =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(f.path))),
+      "the explicit zero-floor vacuum must collect the unreferenced files")
+    BucketStore.drop(name)
+  }
+
   test("CALL graft.vacuum accepts the optional min_age_ms argument") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     val name = "vac_call"
