@@ -228,7 +228,8 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       Identifier.of(Array.empty, "branch"), Identifier.of(Array.empty, "publish_branch"),
       Identifier.of(Array.empty, "drop_branch"), Identifier.of(Array.empty, "rollback"),
       Identifier.of(Array.empty, "rebase_branch"), Identifier.of(Array.empty, "refresh"),
-      Identifier.of(Array.empty, "refresh_policy"))
+      Identifier.of(Array.empty, "refresh_policy"),
+      Identifier.of(Array.empty, "retention"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -243,6 +244,7 @@ class BucketedCatalog extends TableCatalog with FunctionCatalog with ProcedureCa
       case "analyze" => BucketedProcedures.Analyze
       case "refresh" => BucketedProcedures.Refresh
       case "refresh_policy" => BucketedProcedures.RefreshPolicy
+      case "retention" => BucketedProcedures.Retention
       case "compact" => BucketedProcedures.Compact
       case "reorder" => BucketedProcedures.Reorder
       case "tag" => BucketedProcedures.Tag

@@ -629,6 +629,40 @@ object BucketedProcedures {
     }
   }
 
+  /** `CALL graft.retention('t', min_age_ms)` — register (or clear,
+    * with a negative value) the table's vacuum retention floor after
+    * creation; the runtime twin of
+    * TBLPROPERTIES('vacuum.min_age_ms') for tables that predate the
+    * property or whose operators tune retention live. Returns the
+    * now-effective floor.
+    */
+  object Retention extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "retention"
+    override def description(): String =
+      "retention(table, min_age_ms): set the vacuum retention floor — automatic GC " +
+        "and floor-less vacuums never collect snapshots/files younger than it " +
+        "(negative clears)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("min_age_ms", LongType).build())
+    override def isDeterministic: Boolean = false // mutates policy state
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "retention(table, min_age_ms): arguments must be non-null")
+      val table = input.getUTF8String(0).toString
+      BucketStore.get(table): Unit // loud on unknown table
+      val ms = input.getLong(1)
+      if (ms < 0) BucketStore.clearVacuumFloor(table)
+      else BucketStore.setVacuumFloor(table, ms)
+      localScan(
+        StructType(Seq(StructField("min_age_ms", LongType, nullable = false))),
+        Array(InternalRow(BucketStore.vacuumFloorOf(table))),
+        s"graft retention($table)")
+    }
+  }
+
   object History extends UnboundProcedure with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =

@@ -173,6 +173,24 @@ class VacuumRetentionSpec extends SparkSuite {
     BucketStore.drop(name)
   }
 
+  test("CALL graft.retention sets/clears the floor for existing tables") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = "vac_retproc"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 30).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+    BucketStore.deleteWhere(name, _.getLong(0) < 3)
+    val r = spark.sql(s"CALL graft.retention('$name', ${60L * 60 * 1000})").head()
+    assert(r.getLong(0) === 60L * 60 * 1000)
+    // the floor-less vacuum now uses the registered floor: young history survives
+    assert(BucketStore.vacuum(name, 1) === 0)
+    // negative clears; the next floor-less vacuum trims count-based
+    assert(spark.sql(s"CALL graft.retention('$name', -1)").head().getLong(0) === 0L)
+    assert(BucketStore.vacuum(name, 1) > 0)
+    intercept[Exception] { spark.sql("CALL graft.retention('no_such_table', 5)").collect() }
+    BucketStore.drop(name)
+  }
+
   test("CALL graft.vacuum accepts the optional min_age_ms argument") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     val name = "vac_call"
