@@ -666,7 +666,8 @@ object BucketedProcedures {
   object History extends UnboundProcedure with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =
-      "history(table): retained MVCC snapshots (version, row_count, is_current)"
+      "history(table): retained MVCC snapshots (version, row_count, is_current, " +
+        "commit_ts — the stamp the vacuum retention floor compares against)"
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build())
@@ -679,13 +680,17 @@ object BucketedProcedures {
       val current = versions.last
       val data = versions.map { v =>
         val snap = BucketStore.snapshot(table, v)
-        InternalRow(v, BucketStore.liveRowCount(snap), v == current)
+        // commitTs is epoch micros — exactly TimestampType's internal
+        // representation, so operators can size a retention floor
+        // (`now() - commit_ts`) straight off this output
+        InternalRow(v, BucketStore.liveRowCount(snap), v == current, snap.commitTs)
       }.toArray
       localScan(
         StructType(Seq(
           StructField("version", LongType, nullable = false),
           StructField("row_count", LongType, nullable = false),
-          StructField("is_current", BooleanType, nullable = false))),
+          StructField("is_current", BooleanType, nullable = false),
+          StructField("commit_ts", TimestampType, nullable = false))),
         data,
         s"graft history($table)")
     }

@@ -520,6 +520,10 @@ class BucketedMvccSpec extends SparkSuite {
     assert(hist.length === 3)
     assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.drop(1) ===
       Seq((v1, 2L, false), (v2, 1L, true)))
+    // commit_ts rides along (monotonic — the stamp the retention floor
+    // compares against)
+    val stamps = hist.map(_.getTimestamp(3).getTime)
+    assert(stamps.sameElements(stamps.sorted), "commit_ts must be monotonic across history")
     val vac = spark.sql("CALL graft.vacuum('mvcc_proc', 1)").collect()
     assert(vac.map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((2, 1)))
     assert(spark.sql("CALL graft.history('mvcc_proc')").count() === 1)
