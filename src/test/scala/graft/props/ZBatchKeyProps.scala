@@ -1,0 +1,99 @@
+package graft.sources.bucketed
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** The z-order vectorized merge compares BASE keys computed from
+  * column vectors ([[VectorizedColdScan.zBatchKey]]) against DELTA
+  * keys computed from external rows (the store's `zKeyOf` →
+  * [[ZOrder.keyRanked]]/[[ZOrder.key]]) — a cross-representation
+  * comparison, so the two key functions must agree BIT-FOR-BIT on
+  * every supported dimension type or the merge silently reorders.
+  * The risky mappings: timestamps (internal micros vs external
+  * `Timestamp.getTime` millis), dates (internal days vs external
+  * `java.sql.Date.getTime`, timezone-sensitive), floats (IEEE
+  * total-order bits, NaN/±0.0/±Inf), strings (UTF8String bytes vs
+  * String UTF-8 bytes, multibyte + surrogate pairs), and NULLs
+  * (curve origin). Property-pinned here over adversarial pools, with
+  * and without frozen rank bounds.
+  */
+object ZBatchKeyProps extends Properties("graft.zbatchkey") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(300)
+
+  private val schema = StructType(Seq(
+    StructField("l", LongType), StructField("i", IntegerType),
+    StructField("d", DoubleType), StructField("f", FloatType),
+    StructField("s", StringType), StructField("ts", TimestampType),
+    StructField("dt", DateType), StructField("b", BooleanType)))
+
+  private def opt[T](g: Gen[T]): Gen[Any] =
+    Gen.frequency(5 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null: Any))
+
+  private val genRow: Gen[Row] = for {
+    l <- opt(Gen.oneOf(Gen.oneOf(Long.MinValue, -1L, 0L, 1L, Long.MaxValue),
+      Gen.choose(-1000L, 1000L)))
+    i <- opt(Gen.oneOf(Gen.oneOf(Int.MinValue, -1, 0, 1, Int.MaxValue),
+      Gen.choose(-1000, 1000)))
+    d <- opt(Gen.oneOf(Gen.oneOf(Double.NaN, 0.0, -0.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue), Gen.choose(-50.0, 50.0)))
+    f <- opt(Gen.oneOf(Gen.oneOf(Float.NaN, 0.0f, -0.0f, Float.PositiveInfinity),
+      Gen.choose(-50.0f, 50.0f)))
+    s <- opt(Gen.oneOf(Gen.oneOf("", "a", "zz", "café", "𝄞", "a𝄞b", "abcdefghijk"),
+      Gen.listOfN(4, Gen.alphaNumChar).map(_.mkString)))
+    t <- opt(Gen.choose(-4L, 8L).map(h =>
+      java.sql.Timestamp.valueOf(s"200${math.abs(h)}-01-01 0${math.abs(h)}:00:01.12345${math.abs(h) % 10}")))
+    dt <- opt(Gen.choose(0, 9).map(x => java.sql.Date.valueOf(s"199$x-0${x % 9 + 1}-15")))
+    b <- opt(Gen.oneOf(true, false))
+  } yield Row(l, i, d, f, s, t, dt, b)
+
+  /** Transpose through the SAME fillers the columnar reader uses. */
+  private def toBatch(rows: Seq[Row]): ColumnarBatch = {
+    val vectors = OnHeapColumnVector.allocateColumns(rows.length, schema)
+    val fillers = schema.fields.map(f => BucketedColumnarPartitionReader.filler(f.dataType))
+    rows.zipWithIndex.foreach { case (r, slot) =>
+      schema.indices.foreach { c =>
+        if (r.isNullAt(c)) vectors(c).putNull(slot)
+        else fillers(c)(vectors(c), slot, r.get(c))
+      }
+    }
+    val b = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
+    b.setNumRows(rows.length)
+    b
+  }
+
+  private val genDims: Gen[Seq[Int]] =
+    Gen.choose(1, 3).flatMap(n => Gen.pick(n, schema.indices)).map(_.toSeq)
+
+  property("zBatchKey == external ZOrder key, raw and rank-normalized, every type incl. NULL") =
+    forAll(Gen.nonEmptyListOf(genRow), genDims, Gen.oneOf(true, false)) { (rows, dims, ranked) =>
+      val idxs = dims.toArray
+      // frozen bounds the way the store computes them: from the rows'
+      // own dim keys (a realistic equi-depth split per dimension)
+      val bounds: Option[Array[Array[Long]]] =
+        if (!ranked) None
+        else Some(ZOrder.boundsForRows(rows.iterator, idxs))
+      val external: Row => Array[Long] = bounds match {
+        case Some(bs) => r => ZOrder.keyRanked(r, idxs, bs)
+        case None => r => ZOrder.key(r, idxs)
+      }
+      VectorizedColdScan.zBatchKey(schema, idxs, bounds) match {
+        case None => false // every schema type here must be supported
+        case Some(vec) =>
+          val batch = toBatch(rows)
+          try rows.indices.forall { r =>
+            val want = external(rows(r))
+            val got = vec(batch, r)
+            if (!java.util.Arrays.equals(want, got))
+              println(s"DIVERGE dims=${idxs.mkString(",")} ranked=$ranked row=${rows(r)} " +
+                s"want=${want.mkString(",")} got=${got.mkString(",")}")
+            java.util.Arrays.equals(want, got)
+          } finally batch.close()
+      }
+    }
+}
