@@ -151,6 +151,13 @@ class ColumnarScanSpec extends SparkSuite {
       "string cmp" -> (col("tag") >= "tag99"),
       "starts-with" -> col("tag").startsWith("tag31"),
       "in list" -> col("m").isin(3, 5, 96),
+      // >32 literals: the set probe evaluates, and ParquetPruning's
+      // min/max RANGE bound (not an or-chain) reaches parquet-mr — a
+      // malformed range predicate would throw at reader init and
+      // silently demote to the row path, which the vectorReads
+      // assertion below catches
+      "large in (long col)" -> col("k").isin((0L until 4096L by 7L): _*),
+      "large in (string col)" -> col("tag").isin((0 until 200).map(i => s"tag$i"): _*),
       "or of ranges" -> (col("k") < 10L || col("k") >= 4090L),
       "timestamp" -> (col("ts") > new java.sql.Timestamp(1700002000000L)),
       "negation" -> !(col("flag") === true),
