@@ -732,10 +732,23 @@ object FileStore {
   private[bucketed] def gc(dir: Path, retainedVersions: Set[Long],
       minAgeMs: Long = 0L): Int = {
     if (!Files.isDirectory(dir)) return 0
+    // FOREIGN-HEAD PROTECTION (round 18): the caller's roots come from
+    // ITS heap (plus unloaded lineages), but the link(2) CAS publish is
+    // lock-free ACROSS processes — a foreign writer can land a commit
+    // between the caller computing its roots and this sweep. Any
+    // manifest NEWER than the newest retained version is therefore a
+    // root too (with its files): it can only be such a foreign commit,
+    // and deleting it would destroy a committed transaction. A LATER
+    // vacuum whose caller has absorbed (or aged past) it collects
+    // normally. The mtime floor already protects these when set; this
+    // makes the unfloored path structurally safe as well.
+    val maxRetained = if (retainedVersions.isEmpty) Long.MinValue else retainedVersions.max
     val retainedManifests = listDir(dir)(_
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
-      .filter(p => retainedVersions.contains(
-        p.getFileName.toString.stripPrefix("manifest-v").stripSuffix(".json").toLong))
+      .filter { p =>
+        val v = p.getFileName.toString.stripPrefix("manifest-v").stripSuffix(".json").toLong
+        retainedVersions.contains(v) || v > maxRetained
+      }
       .toSeq)
     val referenced: Set[String] = retainedManifests.flatMap { p =>
       val m = readManifest(dir, p)

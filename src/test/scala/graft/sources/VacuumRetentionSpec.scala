@@ -173,6 +173,41 @@ class VacuumRetentionSpec extends SparkSuite {
     BucketStore.drop(name)
   }
 
+  test("a foreign commit landing concurrently with an unfloored vacuum is never swept") {
+    // the cross-process race gc must survive structurally (not just
+    // via the mtime floor): a foreign writer's commit lands AFTER this
+    // process computed its GC roots — simulated exactly like q262,
+    // with a real engine-produced manifest withheld across a rewind
+    // and landed back while the local heap is stale
+    import java.nio.file.Files
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = "vac_race"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 200).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+    val v0 = BucketStore.currentVersion(name)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE k < 20") // v1: rewrites buckets, new files
+    val v1 = BucketStore.currentVersion(name)
+    val tdir0 = BucketStore.tableDir(name)
+    val m1 = tdir0.resolve(s"manifest-v$v1.json")
+    val bytes1 = Files.readAllBytes(m1)
+    Files.delete(m1)
+    val tdir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, tdir)
+    assert(BucketStore.currentVersion(name) === v0) // heap is stale
+    Files.write(m1, bytes1): Unit // the foreign commit lands
+    // the stale process vacuums with NO floor: v1 is unknown to its
+    // roots, but it is NEWER than everything retained — protected
+    BucketStore.vacuum(name, 1, minAgeMs = 0L): Unit
+    assert(Files.exists(m1),
+      "an unfloored vacuum must never sweep a foreign commit newer than its head")
+    // ...and the commit is fully intact: absorbing it serves v1 exactly
+    BucketStore.refreshFromDisk(name): Unit
+    assert(BucketStore.currentVersion(name) === v1)
+    assert(spark.read.format("graft-buckets").option("table", name).load().count() === 180L)
+    BucketStore.drop(name)
+  }
+
   test("CALL graft.retention sets/clears the floor for existing tables") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     val name = "vac_retproc"
