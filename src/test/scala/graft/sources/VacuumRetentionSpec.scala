@@ -173,6 +173,39 @@ class VacuumRetentionSpec extends SparkSuite {
     BucketStore.drop(name)
   }
 
+  test("a shared-directory sweep honors a COHABITING lineage's floor (WAP branch)") {
+    // the base table declares a floor; a vacuum on its BRANCH (same
+    // directory) must not delete files younger than the base's floor
+    // even with an explicit zero — only a table's OWN floor is
+    // overridable per call
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = "vac_share"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+    BucketStore.setVacuumFloor(name, 60L * 60 * 1000)
+    spark.sql(s"CALL graft.branch('$name', 'audit')")
+    val bname = BucketStore.branchName(name, "audit")
+    // the BRANCH rewrites a bucket twice: its old version's files are
+    // branch-only (the base never references them)
+    spark.sql(s"DELETE FROM graft.`$bname` WHERE k < 10")
+    val vMid = BucketStore.currentVersion(bname)
+    spark.sql(s"DELETE FROM graft.`$bname` WHERE k < 20")
+    val midFiles = (0 until BucketStore.snapshot(bname, vMid).buckets.length)
+      .flatMap(i => BucketStore.snapshot(bname, vMid).buckets.block(i).file)
+      .filter(_.path.nonEmpty)
+    assert(midFiles.nonEmpty)
+    // explicit zero on the BRANCH: its own floor (none) is overridden,
+    // but the base's one-hour floor still covers the shared directory
+    BucketStore.vacuum(bname, 1, minAgeMs = 0L): Unit
+    midFiles.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)),
+        s"a cohabiting lineage's floor must protect ${f.path}")
+    }
+    BucketStore.clearVacuumFloor(name)
+    BucketStore.drop(name)
+  }
+
   test("a foreign commit landing concurrently with an unfloored vacuum is never swept") {
     // the cross-process race gc must survive structurally (not just
     // via the mtime floor): a foreign writer's commit lands AFTER this
