@@ -577,6 +577,23 @@ class ColumnarScanSpec extends SparkSuite {
     assert(FileStore.vectorReads.get() - vrAll ===
       BucketStore.get(name).buckets.length.toLong,
       "every bucket of the evolved table must ride the vectorized path")
+    // the cold PUSHED AGGREGATE path with a filter on the ADDED column:
+    // pre-ALTER files serve the missing column as nulls, post-ALTER
+    // files their values — grouped sum equals the row path, cold
+    BucketStore.evictTable(name)
+    val wantAgg = rd(columnar = false).filter(col("extra").isNull)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(_.toSeq).toSeq
+    BucketStore.evictTable(name)
+    val frAgg = FileStore.filesRead.get()
+    val gotAgg = rd(columnar = true).filter(col("extra").isNull)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(_.toSeq).toSeq
+    assert(gotAgg === wantAgg,
+      "the cold pushed aggregate filtered on the ADDED column must match the row path")
+    assert(FileStore.filesRead.get() === frAgg,
+      "the evolved cold aggregate must not row-materialize any block")
+    assert(BucketStore.get(name).buckets.loadedCount === 0)
     BucketStore.drop(name)
   }
 
