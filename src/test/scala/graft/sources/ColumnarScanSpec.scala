@@ -356,6 +356,52 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.drop("colr_ieee")
   }
 
+  test("Z-ORDER vectorized merge over IEEE-specials dimensions matches the fold exactly") {
+    // the z twin of the lex IEEE case (round 18): NaN/±Inf/±0.0/null
+    // values feed the per-dimension MORTON KEYS — the fold keys them
+    // through ZOrder.dimKey over external doubles, the merge through
+    // the vector-side floatingKey(bits) getters; rank normalization
+    // (frozen bounds) amplifies any disagreement into a reorder
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = "colr_zieee"
+    BucketStore.drop(name)
+    val specials = Array(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      -0.0, 0.0, 1.5, -1.5, Double.MinPositiveValue)
+    val df = (0 until 512).map { i =>
+      (i.toLong,
+        if (i % 11 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(specials(i % specials.length)),
+        (i * 37 % 101).toDouble,
+        i * 1.0)
+    }.toDF("k", "x", "y", "v")
+    BucketStore.load(spark, name, df, "k", 2, clusterBy = Some("zorder(x,y)"))
+    BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE k % 16 = 2")
+    // live delta rows LAND ON the specials ladder
+    spark.sql(s"UPDATE graft.`$name` SET x = CAST('NaN' AS DOUBLE) WHERE k % 16 = 3")
+    spark.sql(s"UPDATE graft.`$name` SET x = CAST('-0.0' AS DOUBLE) WHERE k % 16 = 4")
+    spark.sql(s"UPDATE graft.`$name` SET x = CAST('Infinity' AS DOUBLE) WHERE k % 16 = 5")
+    def readZ(columnar: Boolean) =
+      spark.read.format("graft-buckets").option("table", name)
+        .option("columnar", columnar.toString).load()
+    def bitsOf(columnar: Boolean) = {
+      BucketStore.evictTable(name)
+      readZ(columnar).rdd
+        .mapPartitions(it => Iterator.single(it.map(r =>
+          r.toSeq.map { case d: Double => java.lang.Double.doubleToRawLongBits(d); case x => x })
+          .toVector))
+        .collect().toSet
+    }
+    val want = bitsOf(columnar = false)
+    val vr0 = FileStore.vectorReads.get()
+    val got = bitsOf(columnar = true)
+    assert(got === want,
+      "z-merge over IEEE specials must be bit- and order-identical to the fold")
+    assert(FileStore.vectorReads.get() > vr0,
+      "the specials-laden z-order MoR bucket must still ride the vectorized path")
+    BucketStore.drop(name)
+  }
+
   test("vectorized merge order parity with the fold under randomized DML (seeded)") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     val rnd = new scala.util.Random(20260816L)
