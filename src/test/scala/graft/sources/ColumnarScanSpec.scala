@@ -405,7 +405,9 @@ class ColumnarScanSpec extends SparkSuite {
   test("vectorized merge order parity with the fold under randomized DML (seeded)") {
     spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
     val rnd = new scala.util.Random(20260816L)
-    for (round <- 0 until 3) {
+    // both sorted-merge modes: the lexicographic comparator chain and
+    // (round 18) the rank-normalized Morton interleave
+    for (round <- 0 until 3; layout <- Seq("c", "zorder(c,v)")) {
       BucketStore.drop("colr_prop")
       val n = 300 + rnd.nextInt(200)
       val df = (0 until n).map { i =>
@@ -414,7 +416,7 @@ class ColumnarScanSpec extends SparkSuite {
           else java.lang.Long.valueOf(rnd.nextInt(50).toLong),
           rnd.nextDouble() * 100)
       }.toDF("k", "c", "v")
-      BucketStore.load(spark, "colr_prop", df, "k", 3, clusterBy = Some("c"))
+      BucketStore.load(spark, "colr_prop", df, "k", 3, clusterBy = Some(layout))
       BucketStore.setDmlMode("colr_prop", BucketStore.MergeOnRead)
       val delMod = 3 + rnd.nextInt(5)
       val updMod = 3 + rnd.nextInt(5)
@@ -432,8 +434,9 @@ class ColumnarScanSpec extends SparkSuite {
       val got = readP(columnar = true).rdd
         .mapPartitions(it => Iterator.single(it.map(_.toSeq).toVector))
         .collect().toSet
-      assert(got === want, s"[round $round] merge order must equal fold order per partition")
-      assert(FileStore.vectorReads.get() > vr0, s"[round $round] must ride vectorized")
+      assert(got === want,
+        s"[round $round, $layout] merge order must equal fold order per partition")
+      assert(FileStore.vectorReads.get() > vr0, s"[round $round, $layout] must ride vectorized")
     }
     BucketStore.drop("colr_prop")
   }
