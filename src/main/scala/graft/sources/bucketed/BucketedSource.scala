@@ -2305,6 +2305,15 @@ private[bucketed] object VectorizedColdScan {
           case x: java.sql.Date => DateTimeUtils.fromJavaDate(x)
           case x: java.time.LocalDate => DateTimeUtils.localDateToDays(x)
         }): Any => Any))
+      case dt: org.apache.spark.sql.types.DecimalType => Some((
+        // BigDecimal.compareTo is scale-insensitive — the same
+        // outcomes as the fold's FilterEval.cmp on external decimals
+        ((b, r, v) => b.column(ci).getDecimal(r, dt.precision, dt.scale)
+          .toJavaBigDecimal.compareTo(v.asInstanceOf[java.math.BigDecimal])): Cmp,
+        ((v: Any) => v match {
+          case x: java.math.BigDecimal => x
+          case x: scala.math.BigDecimal => x.bigDecimal
+        }): Any => Any))
       case _ => None
     }
   }
@@ -2396,6 +2405,8 @@ private[bucketed] object VectorizedColdScan {
         val bytes = u.getBytes
         d.putByteArray(dr, bytes, 0, bytes.length): Unit
       }
+      case dt: DecimalType =>
+        (s, sr, d, dr) => d.putDecimal(dr, s.getDecimal(sr, dt.precision, dt.scale), dt.precision)
       case other => throw new IllegalStateException(s"no vector copier for $other")
     }
   }
@@ -2408,10 +2419,14 @@ object BucketedColumnarPartitionReader {
 
   /** Types with a direct vector filler — anything else falls back to
     * the row reader at `supportColumnarReads` time (never mid-scan).
+    * DecimalType joined in round 18: TPC-H-shaped corpora carry
+    * money columns as DECIMAL, and excluding them demoted every scan
+    * projecting one to the row reader.
     */
   def supported(t: DataType): Boolean = t match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
          BooleanType | StringType | TimestampType | TimestampNTZType | DateType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -2443,6 +2458,15 @@ object BucketedColumnarPartitionReader {
       case ld: java.time.LocalDate => v.putInt(s, ld.toEpochDay.toInt)
       case other => throw new IllegalStateException(
         s"unexpected external date value ${other.getClass}")
+    }
+    case dt: DecimalType => (v, s, x) => {
+      val d = x match {
+        case b: java.math.BigDecimal => Decimal(b, dt.precision, dt.scale)
+        case b: scala.math.BigDecimal => Decimal(b.bigDecimal, dt.precision, dt.scale)
+        case other => throw new IllegalStateException(
+          s"unexpected external decimal value ${other.getClass}")
+      }
+      v.putDecimal(s, d, dt.precision)
     }
     case other => throw new IllegalStateException(s"no columnar filler for $other")
   }

@@ -676,6 +676,59 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.drop("colr_jr")
   }
 
+  test("DECIMAL columns ride the columnar path: cold scan, pushed filter, clustered MoR merge") {
+    // TPC-H money columns are DECIMAL — before round 18 any projection
+    // containing one demoted the whole scan to the row reader
+    import org.apache.spark.sql.types.DecimalType
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = "colr_dec"
+    BucketStore.drop(name)
+    val df = (0 until 1024).map { i =>
+      (i.toLong,
+        if (i % 13 == 0) null.asInstanceOf[java.math.BigDecimal]
+        else new java.math.BigDecimal(s"${i * 7 % 500}.${(i % 100).formatted("%02d")}"),
+        i * 1.0)
+    }.toDF("k", "price", "v")
+      .withColumn("price", col("price").cast(DecimalType(18, 2)))
+    BucketStore.load(spark, name, df, "k", 4, clusterBy = Some("price"))
+    def rd(columnar: Boolean) = spark.read.format("graft-buckets").option("table", name)
+      .option("columnar", columnar.toString).load()
+    // clean cold scan: vectorized, byte-identical, zero faults
+    BucketStore.evictTable(name)
+    val want = rd(columnar = false).collect().map(_.toSeq).toSet
+    BucketStore.evictTable(name)
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    val got = rd(columnar = true).collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(FileStore.vectorReads.get() - vr0 === 4L, "every bucket must decode vectorized")
+    assert(FileStore.filesRead.get() === fr0)
+    assert(BucketStore.get(name).buckets.loadedCount === 0)
+    // pushed DECIMAL comparison through the compiled vector evaluator
+    BucketStore.evictTable(name)
+    val cut = new java.math.BigDecimal("250.00")
+    val wantF = rd(columnar = false).filter(col("price") > cut).collect().map(_.toSeq).toSet
+    BucketStore.evictTable(name)
+    val vrF = FileStore.vectorReads.get()
+    val gotF = rd(columnar = true).filter(col("price") > cut).collect().map(_.toSeq).toSet
+    assert(gotF === wantF, "a pushed decimal filter must match the row path")
+    assert(FileStore.vectorReads.get() > vrF, "the filtered decimal scan must stay vectorized")
+    // DECIMAL-clustered MoR with live delta: the sorted merge compares
+    // vector decimals against external BigDecimals (scale-insensitive)
+    BucketStore.setDmlMode(name, BucketStore.MergeOnRead)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE k % 16 = 2")
+    spark.sql(s"UPDATE graft.`$name` SET price = CAST('999.99' AS DECIMAL(18,2)) WHERE k % 16 = 3")
+    BucketStore.evictTable(name)
+    val wantM = rd(columnar = false).rdd
+      .mapPartitions(it => Iterator.single(it.map(_.toSeq).toVector)).collect().toSet
+    BucketStore.evictTable(name)
+    val vrM = FileStore.vectorReads.get()
+    val gotM = rd(columnar = true).rdd
+      .mapPartitions(it => Iterator.single(it.map(_.toSeq).toVector)).collect().toSet
+    assert(gotM === wantM, "the decimal-clustered MoR merge must be order-identical to the fold")
+    assert(FileStore.vectorReads.get() > vrM)
+    BucketStore.drop(name)
+  }
+
   test("a projection containing an unsupported type falls back to the row reader cleanly") {
     BucketStore.drop("colr_arr")
     BucketStore.load(spark, "colr_arr",
