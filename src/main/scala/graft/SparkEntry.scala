@@ -522,6 +522,7 @@ object SparkEntry {
     "q264_cold_append" -> graft.sources.bucketed.BucketedQueries.coldAppendQuery _,
     "q265_cold_mor_cdc" -> graft.sources.bucketed.BucketedQueries.coldMorCdcQuery _,
     "q266_vacuum_floor" -> graft.sources.bucketed.BucketedQueries.vacuumFloorQuery _,
+    "q267_cold_decimal_sweep" -> graft.sources.bucketed.BucketedQueries.coldDecimalSweepQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -950,6 +951,7 @@ object SparkEntry {
     "q264_cold_append" -> graft.sources.bucketed.BucketedQueries.coldAppendSql,
     "q265_cold_mor_cdc" -> graft.sources.bucketed.BucketedQueries.coldMorCdcSql,
     "q266_vacuum_floor" -> graft.sources.bucketed.BucketedQueries.vacuumFloorSql,
+    "q267_cold_decimal_sweep" -> graft.sources.bucketed.BucketedQueries.coldDecimalSweepSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

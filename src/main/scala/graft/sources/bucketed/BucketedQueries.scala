@@ -2633,6 +2633,61 @@ object BucketedQueries {
       |FROM orders WHERE o_orderkey % 97 <> 0
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** q267 — DECIMAL columns on the COLD COLUMNAR path (round 18):
+    * TPC-H money columns are DECIMAL, and before this round any
+    * projection containing one demoted the scan to the row reader —
+    * excluding the most common analytic schema shape from the fast
+    * path. The gate: lineitem's quantity/extendedprice load as
+    * DECIMAL(18,2) in the store, the table is evicted, and a
+    * decimal-predicated grouped rollup (`WHERE l_quantity > 5.00`)
+    * decodes every bucket through the vectorized reader — the pushed
+    * decimal comparison enforced by the compiled batch evaluator,
+    * decimal survivors compacted through the decimal copier, zero
+    * row-materialized blocks, zero heap faults. Exact DECIMAL
+    * arithmetic end-to-end; only the final sum casts to double for
+    * the oracle compare.
+    */
+  def coldDecimalSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_colddec@$dir"
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      graft.tables.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast(dec).as("l_quantity"),
+          col("l_extendedprice").cast(dec).as("l_extendedprice")),
+      "l_orderkey", NumBuckets)
+    BucketStore.evictTable(name)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the table must start fully cold")
+    val vr0 = FileStore.vectorReads.get()
+    val fr0 = FileStore.filesRead.get()
+    val rows = spark.table(s"graft.`$name`")
+      .filter(col("l_quantity") > new java.math.BigDecimal("5.00"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("l_extendedprice"))
+          .cast("double").as("rev"))
+      .collect()
+    require(FileStore.vectorReads.get() - vr0 == NumBuckets.toLong,
+      s"every cold bucket must serve the DECIMAL-filtered scan vectorized " +
+        s"(${FileStore.vectorReads.get() - vr0} of $NumBuckets did)")
+    require(FileStore.filesRead.get() == fr0,
+      "the decimal sweep must not row-materialize a single block")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a decimal cold sweep must not fault blocks into the heap cache")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), rows.head.schema)
+  }
+
+  val coldDecimalSweepSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM lineitem
+      |WHERE CAST(l_quantity AS DECIMAL(18,2)) > 5.00
+      |GROUP BY l_returnflag""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */
