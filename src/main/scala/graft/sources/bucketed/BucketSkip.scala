@@ -184,7 +184,10 @@ object BucketSkip {
     mayMatch(schema, (c: String) => statsForBlock(schema, rows, block, c).map(Seq(_)), f)
 
   private def comparableType(dt: DataType): Boolean = dt match {
-    case _: NumericType | StringType | TimestampType | DateType => true
+    // NTZ joined round 19 (its externals compare via FilterEval.cmp's
+    // LocalDateTime case and round-trip in the manifest stat codec),
+    // so z-clustering on an NTZ column prunes like any timestamp
+    case _: NumericType | StringType | TimestampType | DateType | TimestampNTZType => true
     case _ => false
   }
 

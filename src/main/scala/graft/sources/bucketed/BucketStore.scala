@@ -356,7 +356,8 @@ object BucketStore {
       FileStore.writeManifest(dir, name, stamped, morFiles, rbFile,
         Option(firstVersions.get(name)).map(_.toLong).getOrElse(stamped.version),
         FileStore.TableConfig(dmlModeOf(name), checkOf(name), tagsOf(name),
-          statColumnsOf(name), txnsOf(name)), stats, replace = replaceCurrent)
+          statColumnsOf(name), txnsOf(name), vacuumFloorOf(name)),
+        stats, replace = replaceCurrent)
     } catch {
       // a lost commit race is a RETRYABLE conflict, never a reason to
       // degrade the table to heap-only — propagate it to the writer,
@@ -406,6 +407,7 @@ object BucketStore {
     cfg.check.foreach(checks.put(name, _))
     if (cfg.tags.nonEmpty) tags.put(name, cfg.tags)
     if (cfg.txns.nonEmpty) appliedTxns.put(name, cfg.txns)
+    if (cfg.vacuumMinAgeMs > 0L) vacuumFloors.put(name, cfg.vacuumMinAgeMs)
     registerStatColumns(name, cfg.statColumns)
     // keep the global counters monotone past EVERY lineage in the
     // directory, not just the one being reopened: a shared WAP-branch
@@ -486,6 +488,12 @@ object BucketStore {
     cfg.check.foreach(checks.put(name, _))
     if (cfg.tags.nonEmpty) tags.merge(name, cfg.tags, (a, b) => a ++ b)
     recordTxnsFrom(name, cfg.txns)
+    // adopt the newest commit's durable retention floor like dmlMode —
+    // but never WEAKEN a stricter local floor (an operator's live
+    // `CALL graft.retention` must survive absorbing an older commit)
+    if (cfg.vacuumMinAgeMs > 0L)
+      vacuumFloors.merge(name, cfg.vacuumMinAgeMs,
+        (a, b) => if (a.longValue >= b.longValue) a else b)
     registerStatColumns(name, cfg.statColumns)
     versions.updateAndGet(v => math.max(v, fresh.last.version))
     lastStamp.updateAndGet(s => math.max(s, fresh.last.commitTs))
@@ -930,10 +938,29 @@ object BucketStore {
   def setVacuumFloor(name: String, minAgeMs: Long): Unit = {
     require(minAgeMs >= 0L, s"vacuum.min_age_ms must be >= 0, got $minAgeMs")
     vacuumFloors.put(name, minAgeMs)
-    ()
+    persistVacuumFloor(name)
   }
 
-  def clearVacuumFloor(name: String): Unit = { vacuumFloors.remove(name); () }
+  def clearVacuumFloor(name: String): Unit = {
+    vacuumFloors.remove(name)
+    persistVacuumFloor(name)
+  }
+
+  /** The floor is DURABLE table metadata (round 19): re-publish the
+    * current manifest so a restarted or FOREIGN process restores it at
+    * open/absorb instead of running floor-0 GC against readers the
+    * operator declared protected. `CALL graft.retention` on a table
+    * that predates its next data commit is durable immediately; a
+    * concurrent foreign commit retries once against the fresh head
+    * (spillAndManifest's conflict path absorbs it before rethrowing).
+    * No-op for heap-only / not-yet-published tables — their first
+    * publish carries the floor in its TableConfig anyway.
+    */
+  private def persistVacuumFloor(name: String): Unit =
+    if (tables.containsKey(name) && isFileBacked(name)) {
+      try refreshManifestStats(name)
+      catch { case _: ConcurrentWriteException => refreshManifestStats(name) }
+    }
 
   def vacuumFloorOf(name: String): Long =
     Option(vacuumFloors.get(name)).map(_.longValue).getOrElse(0L)
@@ -2558,9 +2585,13 @@ object BucketStore {
     // comparing them against `clock() - 0` could wrongly protect
     // everything. With a positive floor that conservatism is the
     // point — an ahead-of-clock stamp reads as young and survives.
+    // SATURATE, never wrap: minAgeMs near Long.MaxValue (a "retain
+    // forever" sentinel) would overflow the micros product and invert
+    // the cutoff to ≈ now — the exact opposite of maximum protection
     val cutoffMicros =
       if (minAgeMs == 0L) Long.MaxValue
-      else clock() - minAgeMs * 1000L // commitTs stamps are micros
+      else try Math.subtractExact(clock(), Math.multiplyExact(minAgeMs, 1000L))
+      catch { case _: ArithmeticException => Long.MinValue } // commitTs stamps are micros
     val dropped = hist.dropRight(keepLast).takeWhile(_.commitTs < cutoffMicros).length
     if (dropped > 0) {
       tables.put(name, hist.drop(dropped))

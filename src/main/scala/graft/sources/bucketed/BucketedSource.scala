@@ -2325,12 +2325,12 @@ private[bucketed] object VectorizedColdScan {
     * merge compares across the two representations. NULL (handled by
     * the caller via isNullAt → 0L) is the curve origin, like
     * `dimKey(null)`. Timestamps key by epoch MILLIS (external
-    * `Timestamp.getTime`) so the internal micros floor-divide; dates
-    * replicate `java.sql.Date.getTime` exactly via Spark's own
-    * days→Date conversion (timezone-faithful); TIMESTAMP_NTZ's
-    * external class has no dimKey case (keys to 0), so the vector
-    * side keys 0 too. None for a type outside the set — the fold
-    * path serves it.
+    * `Timestamp.getTime` / `Instant.toEpochMilli`) so the internal
+    * micros floor-divide; dates key by EPOCH DAY — the stored int
+    * verbatim, the unit `dimKey` uses for both `java.sql.Date` and
+    * `LocalDate` externals (round 19); TIMESTAMP_NTZ keys by its
+    * stored micros, matching `dimKey`'s `localDateTimeToMicros`.
+    * None for a type outside the set — the fold path serves it.
     */
   private def zDimKey(t: org.apache.spark.sql.types.DataType, ci: Int)
       : Option[(org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Long] = {
@@ -2350,9 +2350,12 @@ private[bucketed] object VectorizedColdScan {
       case StringType => Some((b, r) => ZOrder.bytesKey(b.column(ci).getUTF8String(r).getBytes))
       case TimestampType => Some((b, r) =>
         Math.floorDiv(b.column(ci).getLong(r), 1000L) ^ Long.MinValue)
-      case TimestampNTZType => Some((_, _) => 0L)
-      case DateType => Some((b, r) =>
-        DateTimeUtils.toJavaDate(b.column(ci).getInt(r)).getTime ^ Long.MinValue)
+      // NTZ: the stored long IS localDateTimeToMicros' value — both
+      // sides key by micros (a real Morton dimension since round 19)
+      case TimestampNTZType => Some((b, r) => b.column(ci).getLong(r) ^ Long.MinValue)
+      // the stored int IS the epoch day ZOrder.dimKey now keys both
+      // date externals by — no timezone round-trip on the hot path
+      case DateType => Some((b, r) => b.column(ci).getInt(r).toLong ^ Long.MinValue)
       case dt: DecimalType => Some((b, r) => ZOrder.floatingKey(java.lang.Double.doubleToLongBits(
         b.column(ci).getDecimal(r, dt.precision, dt.scale).toJavaBigDecimal.doubleValue)))
       case _ => None

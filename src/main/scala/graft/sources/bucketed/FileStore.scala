@@ -471,7 +471,12 @@ object FileStore {
       "check" -> config.check.map(JString).getOrElse(JNull),
       "tags" -> JObject(config.tags.toList.map { case (k, v) => k -> JLong(v) }),
       "statColumns" -> JArray(config.statColumns.toList.sorted.map(JString)),
-      "txns" -> JObject(config.txns.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) }))
+      "txns" -> JObject(config.txns.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) }),
+      // the vacuum retention floor is DURABLE table metadata (the
+      // Delta deletedFileRetentionDuration pattern): a floor kept only
+      // in-heap would let a restarted or foreign process run floor-0
+      // publish-time GC against readers the operator declared protected
+      "vacuumMinAgeMs" -> JLong(config.vacuumMinAgeMs))
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".manifest-v${t.version}.json.tmp")
     Files.write(tmp, JsonMethods.compact(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8))
@@ -596,7 +601,8 @@ object FileStore {
     */
   final case class TableConfig(dmlMode: String, check: Option[String],
       tags: Map[String, Long], statColumns: Set[String],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      vacuumMinAgeMs: Long = 0L)
 
   /** One decoded manifest. Deltas load EAGERLY at open (bounded by the
     * auto-compaction policy); base blocks stay lazy.
@@ -690,7 +696,10 @@ object FileStore {
         txns = json \ "txns" match {
           case JObject(fs) => fs.map { case (k, v) => k -> v.extract[Long] }.toMap
           case _ => Map.empty // pre-round-15 manifests
-        }))
+        },
+        vacuumMinAgeMs =
+          (json \ "vacuumMinAgeMs").extractOpt[Long].getOrElse(0L) // pre-round-19 manifests
+      ))
   }
 
   /** A range layout's boundary values, persisted as a 1-column parquet
@@ -755,8 +764,12 @@ object FileStore {
       (m.buckets.map(_.path) ++ m.mor.valuesIterator.map(_._2.path) ++
         m.rangeBoundsFile.map(_.path)).filter(_.nonEmpty) :+ p.toString
     }.toSet
+    // saturating: a near-MaxValue "retain forever" floor must clamp to
+    // "nothing is old enough", never wrap past the epoch
     val floorMillis =
-      if (minAgeMs <= 0L) Long.MaxValue else System.currentTimeMillis() - minAgeMs
+      if (minAgeMs <= 0L) Long.MaxValue
+      else try Math.subtractExact(System.currentTimeMillis(), minAgeMs)
+      catch { case _: ArithmeticException => Long.MinValue }
     def oldEnough(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis < floorMillis
       catch { case _: java.io.IOException => true } // already gone

@@ -69,8 +69,9 @@ object ZOrder {
   /** One dimension value → unsigned 64-bit key, order-preserving
     * within the column's type family (the same families
     * [[FilterEval.cmp]] orders): integrals shift by Long.MinValue,
-    * floats use the IEEE total-order bit trick, timestamps/dates map
-    * through epoch millis/days, strings take their first 8 UTF-8
+    * floats use the IEEE total-order bit trick, timestamps map through
+    * epoch millis (NTZ through its session-independent micros), dates
+    * through epoch days, strings take their first 8 UTF-8
     * bytes big-endian (ties beyond 8 bytes collapse — locality only,
     * never correctness), decimals round through double (monotone,
     * but values agreeing in the nearest double — e.g. beyond 2^53 —
@@ -92,8 +93,16 @@ object ZOrder {
     case x: scala.math.BigDecimal => floatingKey(java.lang.Double.doubleToLongBits(x.doubleValue))
     case x: java.sql.Timestamp => x.getTime ^ Long.MinValue
     case x: java.time.Instant => x.toEpochMilli ^ Long.MinValue
-    case x: java.sql.Date => x.getTime ^ Long.MinValue
+    // BOTH date externals key by EPOCH DAY — the single unit the
+    // vectorized side also uses (the stored int IS the epoch day), so
+    // legacy java.sql.Date and java8API LocalDate rows land on the
+    // same curve position (millis-vs-days asymmetry fixed round 19)
+    case x: java.sql.Date => x.toLocalDate.toEpochDay ^ Long.MinValue
     case x: java.time.LocalDate => x.toEpochDay ^ Long.MinValue
+    // TIMESTAMP_NTZ is a REAL dimension (round 19): keyed by its
+    // session-independent micros, matching the vector side's raw long
+    case x: java.time.LocalDateTime =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(x) ^ Long.MinValue
     case x: String => stringKey(x)
     case x: Boolean => (if (x) 1L else 0L) ^ Long.MinValue
     case _ => 0L

@@ -30,7 +30,8 @@ object ZBatchKeyProps extends Properties("graft.zbatchkey") {
     StructField("l", LongType), StructField("i", IntegerType),
     StructField("d", DoubleType), StructField("f", FloatType),
     StructField("s", StringType), StructField("ts", TimestampType),
-    StructField("dt", DateType), StructField("b", BooleanType)))
+    StructField("dt", DateType), StructField("b", BooleanType),
+    StructField("nt", TimestampNTZType)))
 
   private def opt[T](g: Gen[T]): Gen[Any] =
     Gen.frequency(5 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null: Any))
@@ -48,9 +49,17 @@ object ZBatchKeyProps extends Properties("graft.zbatchkey") {
       Gen.listOfN(4, Gen.alphaNumChar).map(_.mkString)))
     t <- opt(Gen.choose(-4L, 8L).map(h =>
       java.sql.Timestamp.valueOf(s"200${math.abs(h)}-01-01 0${math.abs(h)}:00:01.12345${math.abs(h) % 10}")))
-    dt <- opt(Gen.choose(0, 9).map(x => java.sql.Date.valueOf(s"199$x-0${x % 9 + 1}-15")))
+    // BOTH date externals in one pool (round 19): legacy java.sql.Date
+    // and java8API LocalDate must key to the SAME epoch-day position
+    dt <- opt(Gen.choose(0, 9).flatMap { x =>
+      val iso = s"199$x-0${x % 9 + 1}-15"
+      Gen.oneOf(java.sql.Date.valueOf(iso): Any, java.time.LocalDate.parse(iso): Any)
+    })
     b <- opt(Gen.oneOf(true, false))
-  } yield Row(l, i, d, f, s, t, dt, b)
+    // NTZ is a real Morton dimension since round 19 — keyed by micros
+    nt <- opt(Gen.choose(0, 9).flatMap(h => Gen.choose(0, 999999).map(us =>
+      java.time.LocalDateTime.of(2020, 1 + h, 1 + h, h, 30, 15, us * 1000))))
+  } yield Row(l, i, d, f, s, t, dt, b, nt)
 
   /** Transpose through the SAME fillers the columnar reader uses. */
   private def toBatch(rows: Seq[Row]): ColumnarBatch = {

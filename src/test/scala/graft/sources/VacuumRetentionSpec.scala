@@ -275,4 +275,73 @@ class VacuumRetentionSpec extends SparkSuite {
     assert(r2.head.getInt(0) === n0 - 1 && r2.head.getInt(1) === 1)
     BucketStore.drop(name)
   }
+
+  test("the floor is DURABLE table metadata: a restarted process restores it (round 19)") {
+    val name = "vac_durable"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+    BucketStore.setVacuumFloor(name, 60L * 60 * 1000) // re-publishes the current manifest
+    BucketStore.deleteWhere(name, _.getLong(0) < 10)
+    // JVM restart: the fresh process must NOT run floor-0 GC against
+    // readers the operator declared protected — the floor comes back
+    // from the manifest, not from anyone's heap
+    val dir = BucketStore.unload(name).get
+    assert(BucketStore.vacuumFloorOf(name) === 0L) // heap really forgot
+    BucketStore.openFromDisk(name, dir)
+    assert(BucketStore.vacuumFloorOf(name) === 60L * 60 * 1000,
+      "openFromDisk must restore the declared retention floor")
+    assert(BucketStore.vacuum(name, 1) === 0,
+      "the restarted process's floor-less vacuum must honor the restored floor")
+    // clearing is durable too: the next restart trims count-based again
+    BucketStore.clearVacuumFloor(name)
+    val dir2 = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, dir2)
+    assert(BucketStore.vacuumFloorOf(name) === 0L)
+    assert(BucketStore.vacuum(name, 1) > 0)
+    BucketStore.drop(name)
+  }
+
+  test("absorbing a foreign commit adopts its floor — and never weakens a stricter local one") {
+    import java.nio.file.Files
+    val name = "vac_absorb"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 40).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+    BucketStore.deleteWhere(name, _.getLong(0) < 4) // v1
+    BucketStore.setVacuumFloor(name, 60L * 60 * 1000) // persisted into v1's manifest
+    val v1 = BucketStore.currentVersion(name)
+    val tdir0 = BucketStore.tableDir(name)
+    val m1 = tdir0.resolve(s"manifest-v$v1.json")
+    val bytes1 = Files.readAllBytes(m1)
+    Files.delete(m1)
+    // stale process: head at v0, which carries no floor
+    val dir = BucketStore.unload(name).get
+    BucketStore.openFromDisk(name, dir)
+    assert(BucketStore.vacuumFloorOf(name) === 0L)
+    Files.write(m1, bytes1): Unit // the foreign floor-carrying commit lands
+    assert(BucketStore.refreshFromDisk(name) === 1)
+    assert(BucketStore.vacuumFloorOf(name) === 60L * 60 * 1000,
+      "absorb must adopt the foreign commit's durable floor")
+    // a stricter LIVE floor survives absorbing an older (weaker) commit
+    BucketStore.setVacuumFloor(name, 2L * 60 * 60 * 1000)
+    BucketStore.refreshFromDisk(name): Unit // no-op absorb
+    assert(BucketStore.vacuumFloorOf(name) === 2L * 60 * 60 * 1000)
+    BucketStore.drop(name)
+  }
+
+  test("a near-MaxValue floor saturates — the retain-forever sentinel never inverts") {
+    val name = "vac_forever"
+    BucketStore.drop(name)
+    BucketStore.load(spark, name,
+      (0 until 20).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), "k", 2)
+    BucketStore.deleteWhere(name, _.getLong(0) < 2)
+    val n0 = BucketStore.retained(name).length
+    // pre-fix, minAgeMs * 1000 wrapped and the cutoff landed ≈ now,
+    // dropping everything beyond keep_last — maximum protection
+    // becoming none. Saturated, nothing may drop.
+    assert(BucketStore.vacuum(name, 1, minAgeMs = Long.MaxValue) === 0)
+    assert(BucketStore.retained(name).length === n0)
+    BucketStore.drop(name)
+  }
 }

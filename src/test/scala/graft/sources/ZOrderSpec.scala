@@ -109,6 +109,26 @@ class ZOrderSpec extends SparkSuite {
     assert(skipped > 0, "z-order must skip blocks on a first-column range as well")
   }
 
+  test("TIMESTAMP_NTZ is a real Morton dimension: a range on the NTZ z-column prunes (round 19)") {
+    // pre-round-19 both key sides emitted constant 0 for NTZ — parity
+    // held but z-clustering ON an NTZ column contributed zero
+    // locality, silently. Now it keys by micros and prunes like any
+    // timestamp dimension.
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val df = (0 until 8192)
+      .map(i => (i.toLong, mix(i, 1), base.plusMinutes(mix(i, 2))))
+      .toDF("k", "x", "nt")
+    BucketStore.drop("z_ntz")
+    BucketStore.load(spark, "z_ntz", df, "k", 2, clusterBy = Some("zorder(x,nt)"))
+    val t = spark.read.format("graft-buckets").option("table", "z_ntz").load()
+    val expect = (0 until 8192).filter(i => mix(i, 2) < 256L).map(_.toLong).sorted
+    val (rows, skipped) =
+      blocksSkippedDuring(t.filter(col("nt") < lit(base.plusMinutes(256))).collect())
+    assert(rows.map(_.getLong(0)).sorted.toSeq === expect, "NTZ range answers exactly")
+    assert(skipped > 0, "an NTZ z-dimension must contribute curve locality")
+    BucketStore.drop("z_ntz")
+  }
+
   test("a z-order table never claims a ClusterSlice (Morton runs have no lexicographic prefix)") {
     loadPair()
     val z = spark.read.format("graft-buckets").option("table", "z_t").load()
