@@ -2264,9 +2264,10 @@ object BucketStore {
     }
     var deleted = 0L
     var evaluated = 0L
+    val keepFull = FilterEval.compile(schema, filters) // In probes convert once
     def matches(r: Row): Boolean = {
       evaluated += 1
-      filters.forall(FilterEval.eval(schema, _, pad(r, schema.length)))
+      keepFull(pad(r, schema.length))
     }
     if (dmlModeOf(name) == MergeOnRead) {
       // straddlers keep the O(matches)-bits publish (their BASE block
@@ -2295,10 +2296,11 @@ object BucketStore {
                   var bits: java.util.BitSet = null
                   var pos = 0
                   var dLocal = 0L
+                  val keepProj = FilterEval.compile(proj, filters)
                   val it = FileStore.readBlockProjected(bf, proj)
                   while (it.hasNext) {
                     val r = it.next()
-                    if (filters.forall(FilterEval.eval(proj, _, r))) {
+                    if (keepProj(r)) {
                       if (bits == null) bits = new java.util.BitSet()
                       bits.set(pos)
                       dLocal += 1

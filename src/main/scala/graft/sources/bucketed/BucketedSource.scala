@@ -1183,7 +1183,7 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
                     else Row.fromSeq((0 until fullSchema.length).map(i =>
                       if (i < dr.size) dr.get(i) else null))
                   }
-                  .filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+                  .filter(FilterEval.compile(fullSchema, filters))
                 (m.deleted, live)
               }
               VectorizedColdScan.open(f.path, fullSchema, proj, filters, 4096,
@@ -1223,7 +1223,7 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
               val all = base ++ deltaRows(blk.rowCount)
               val kept =
                 if (filters.isEmpty) all
-                else all.filter(r => filters.forall(FilterEval.eval(proj, _, r)))
+                else all.filter(FilterEval.compile(proj, filters))
               return aggregateRows(kept, proj)
             } catch { case scala.util.control.NonFatal(_) => () }
           case None if blk.rowCount == 0 && blk.file.isDefined =>
@@ -1232,7 +1232,7 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
             val live = deltaRows(0)
             val kept =
               if (filters.isEmpty) live
-              else live.filter(r => filters.forall(FilterEval.eval(proj, _, r)))
+              else live.filter(FilterEval.compile(proj, filters))
             return aggregateRows(kept, proj)
           case None => ()
         }
@@ -1245,7 +1245,7 @@ class BucketedAggPartitionReader(p: BucketInputPartition, spec: AggSpec,
       else BucketReaderSupport.openWithFailover(p, fetchSize, range, blockFilters = filters)
     conn = c
     val rows = paged.map(_._1) // a pushed aggregate never needs row ids
-    val filtered = rows.filter(r => filters.forall(FilterEval.eval(fullSchema, _, r)))
+    val filtered = rows.filter(FilterEval.compile(fullSchema, filters))
     aggregateRows(filtered, fullSchema)
   }
 
@@ -1546,8 +1546,8 @@ private[bucketed] final class BucketRowStream(p: BucketInputPartition,
         s.keep(if (r.isNullAt(keyIdx)) null else r.get(keyIdx)) }
       case None => rows
     }
-    val filtered = sampled.filter { case (r, _) =>
-      filters.forall(FilterEval.eval(fullSchema, _, r)) }
+    val keep = FilterEval.compile(fullSchema, filters)
+    val filtered = sampled.filter { case (r, _) => keep(r) }
     topN match {
       case Some(spec) if indexOrderedReverse.isDefined =>
         filtered.take(spec.n)
@@ -1714,7 +1714,7 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
               else Row.fromSeq((0 until full.length).map(i =>
                 if (i < dr.size) dr.get(i) else null))
             }
-            .filter(r => filters.forall(FilterEval.eval(full, _, r)))
+            .filter(FilterEval.compile(full, filters))
           (m.deleted, live)
         }
         val merging = morState.exists(liveDelta)
@@ -1881,9 +1881,20 @@ private[bucketed] final class VectorizedColdScan(
   /** Ensure a base survivor is available (advancing reader batches as
     * needed); false when the base is exhausted.
     */
+  /** Advance the parquet reader one batch, counting decoded rows —
+    * row groups the pushed predicate pruned never reach here, so the
+    * counter is the spec-level observable for row-group skipping.
+    */
+  private def advanceReader(): Boolean = {
+    val has = reader.nextBatch()
+    if (has)
+      FileStore.vectorRowsDecoded.addAndGet(reader.resultBatch().numRows().toLong): Unit
+    has
+  }
+
   private def advanceBase(): Boolean = {
     while (curIn == null || curSelPos >= curSelLen) {
-      if (!reader.nextBatch()) { curIn = null; return false }
+      if (!advanceReader()) { curIn = null; return false }
       curIn = reader.resultBatch()
       val n = curIn.numRows()
       val pos0 = filePos
@@ -1988,12 +1999,12 @@ private[bucketed] final class VectorizedColdScan(
 
   private def baseBatch(): Boolean = {
     if (filterFn == null && limit.isEmpty && deleted == null) {
-      val has = reader.nextBatch()
+      val has = advanceReader()
       if (has) current = reader.resultBatch()
       has
     } else {
       if (remaining <= 0) return false
-      while (reader.nextBatch()) {
+      while (advanceReader()) {
         val in = reader.resultBatch()
         val n = in.numRows()
         val pos0 = filePos
@@ -2533,6 +2544,142 @@ object FilterEval {
     */
   def eval(schema: StructType, f: Filter, row: Row): Boolean =
     eval3(schema, f, row).contains(true)
+
+  /** Pre-compiled conjunction for a per-row loop (round 19): `In`
+    * literal lists convert ONCE into a sorted canonical-key array /
+    * hash set (the external-value flavor of
+    * [[VectorFilterEval.inProbe]]) instead of paying [[cmp]]'s
+    * per-literal dispatch — and, on the Number/Number path, TWO
+    * BigDecimal constructions — per row. Hot/loaded blocks and MoR
+    * delta filtering go through here; semantics are [[eval3]]'s
+    * exactly (same three-valued logic, same [[cmp]] equality:
+    * -0.0 == 0.0, NaN == NaN, scale-insensitive decimals).
+    */
+  def compile(schema: StructType, filters: Array[Filter]): Row => Boolean = {
+    if (filters.isEmpty) return _ => true
+    val fs: Array[Row => Option[Boolean]] = filters.map(compile3(schema, _))
+    if (fs.length == 1) { val f0 = fs(0); r => f0(r).contains(true) }
+    else { r =>
+      var i = 0
+      var ok = true
+      while (ok && i < fs.length) { ok = fs(i)(r).contains(true); i += 1 }
+      ok
+    }
+  }
+
+  private def compile3(schema: StructType, f: Filter): Row => Option[Boolean] = f match {
+    case In(c, vs) if vs.length > 4 => // tiny lists: dispatch cost ≈ probe cost
+      inProbeExternal(schema, c, vs).getOrElse(r => eval3(schema, f, r))
+    case And(l, r) =>
+      val lf = compile3(schema, l); val rf = compile3(schema, r)
+      row => (lf(row), rf(row)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    case Or(l, r) =>
+      val lf = compile3(schema, l); val rf = compile3(schema, r)
+      row => (lf(row), rf(row)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case Not(x) =>
+      val xf = compile3(schema, x)
+      row => xf(row).map(!_)
+    case other => r => eval3(schema, other, r)
+  }
+
+  /** External-value membership probe over a pre-converted canonical
+    * key set, or None when any literal/type pairing falls outside the
+    * canonicalizer — the per-row [[eval3]] fallback keeps exactness.
+    * Canonical keys mirror [[cmp]] equality: dates/timestamps through
+    * epoch days/micros (both external flavors), floats through
+    * [[VectorFilterEval.canonicalBits]], compact decimals through the
+    * unscaled long at the column scale (an unrepresentable literal
+    * matches nothing and simply leaves the set).
+    */
+  private def inProbeExternal(schema: StructType, c: String, vs: Array[Any])
+      : Option[Row => Option[Boolean]] = {
+    import org.apache.spark.sql.types._
+    if (!schema.fieldNames.contains(c)) return None
+    val i = schema.fieldIndex(c)
+
+    def longProbe(lit: Any => Option[Long], get: Row => Long): Option[Row => Option[Boolean]] = {
+      val conv = vs.map(lit)
+      if (conv.contains(None)) None
+      else {
+        val arr: Array[Long] = conv.map(_.get).distinct.sorted
+        Some(r => if (r.isNullAt(i)) None
+        else Some(java.util.Arrays.binarySearch(arr, get(r)) >= 0))
+      }
+    }
+    val integral: Any => Option[Long] = {
+      case x: java.lang.Byte => Some(x.longValue)
+      case x: java.lang.Short => Some(x.longValue)
+      case x: java.lang.Integer => Some(x.longValue)
+      case x: java.lang.Long => Some(x.longValue)
+      case _ => None // fractional literals keep cmp's BigDecimal exactness
+    }
+    schema(i).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        longProbe(integral, r => r.get(i).asInstanceOf[Number].longValue)
+      // literal width must MATCH the column width: cmp's toString→
+      // BigDecimal equality can rate a Float literal equal to a Double
+      // value the canonical bits would reject (0.1f vs 0.1d) — the
+      // mixed-width pairing stays on the exact per-row path
+      case DoubleType => longProbe({
+        case x: java.lang.Double => Some(VectorFilterEval.canonicalBits(x.doubleValue))
+        case _ => None
+      }, r => VectorFilterEval.canonicalBits(r.get(i).asInstanceOf[Number].doubleValue))
+      case FloatType => longProbe({
+        case x: java.lang.Float => Some(VectorFilterEval.canonicalBits(x.doubleValue))
+        case _ => None
+      }, r => VectorFilterEval.canonicalBits(r.get(i).asInstanceOf[Number].doubleValue))
+      case DateType =>
+        val days: Any => Option[Long] = {
+          case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+          case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d).toLong)
+          case _ => None
+        }
+        longProbe(days, r => days(r.get(i)).get)
+      case TimestampType =>
+        val micros: Any => Option[Long] = {
+          case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+          case t: java.time.Instant => Some(DateTimeUtils.instantToMicros(t))
+          case _ => None
+        }
+        longProbe(micros, r => micros(r.get(i)).get)
+      case TimestampNTZType => longProbe({
+        case t: java.time.LocalDateTime => Some(DateTimeUtils.localDateTimeToMicros(t))
+        case _ => None
+      }, r => DateTimeUtils.localDateTimeToMicros(r.get(i).asInstanceOf[java.time.LocalDateTime]))
+      case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
+        val lit: Any => Option[Option[Long]] = {
+          case x: java.math.BigDecimal => Some(VectorFilterEval.unscaledExact(x, dt.scale))
+          case x: scala.math.BigDecimal => Some(VectorFilterEval.unscaledExact(x.bigDecimal, dt.scale))
+          case _ => None
+        }
+        val conv = vs.map(lit)
+        if (conv.contains(None)) None
+        else {
+          val arr: Array[Long] = conv.flatMap(_.get).distinct.sorted
+          Some(r => if (r.isNullAt(i)) None
+          else Some(java.util.Arrays.binarySearch(arr,
+            r.getDecimal(i).setScale(dt.scale).unscaledValue().longValueExact()) >= 0))
+        }
+      case StringType =>
+        val set = new java.util.HashSet[String](vs.length * 2)
+        var ok = true
+        vs.foreach {
+          case s: String => set.add(s): Unit
+          case _ => ok = false
+        }
+        if (!ok) None
+        else Some(r => if (r.isNullAt(i)) None else Some(set.contains(r.getString(i))))
+      case _ => None
+    }
+  }
 
   /** SQL three-valued evaluation: None = unknown (a NULL operand). */
   private[bucketed] def eval3(schema: StructType, f: Filter, row: Row): Option[Boolean] = f match {

@@ -67,6 +67,12 @@ object FileStore {
     */
   val vectorReads = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Rows DECODED by the vectorized path, pre-filter — row groups the
+    * parquet predicate pruned never count, so (decoded / total) is the
+    * direct observable for row-group skipping — spec hook.
+    */
+  val vectorRowsDecoded = new java.util.concurrent.atomic.AtomicLong()
+
   /** Cold blocks streamed COLUMN-PRUNED by the aggregate fast path
     * (only the aggregate's input columns decode; nothing cached) —
     * spec hook.
@@ -183,6 +189,12 @@ object FileStore {
     val writer = new RowWriterBuilder(new HPath(file.toString))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      // row-group granularity is the unit of predicate skipping at
+      // scan time: deployments scanning wide blocks with selective
+      // predicates size it DOWN (more groups ⇒ finer pruning), bulk
+      // readers leave the parquet default (one group per spill block)
+      .withRowGroupSize(java.lang.Long.getLong("graft.parquet.rowgroup.bytes",
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong))
       .build()
     try {
       val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)

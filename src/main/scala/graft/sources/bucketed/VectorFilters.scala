@@ -194,16 +194,43 @@ private[bucketed] object VectorFilterEval {
         }
         if (!ok) None
         else Some((b, r) => set.contains(b.column(i).getUTF8String(r)))
+      case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
+        // probe the UNSCALED long at the column's fixed scale (round
+        // 19 — `dec IN (...)` was the one In shape left at O(|list|)
+        // BigDecimal compares per row). A literal that does not
+        // rescale EXACTLY can equal no column value: DROPPED from the
+        // probe set (semantically exact), never a reason to bail.
+        // Non-BigDecimal literals bail to the closure fallback.
+        val conv: Array[Option[Long]] = vs.map {
+          case x: java.math.BigDecimal => unscaledExact(x, dt.scale)
+          case x: scala.math.BigDecimal => unscaledExact(x.bigDecimal, dt.scale)
+          case _ => null
+        }
+        if (conv.contains(null)) None
+        else {
+          val arr: Array[Long] = conv.flatten.distinct.sorted
+          Some((b, r) => Arrays.binarySearch(arr,
+            b.column(i).getDecimal(r, dt.precision, dt.scale).toUnscaledLong) >= 0)
+        }
       case _ => None
     }
   }
+
+  /** Literal → unscaled long at `scale`, or None when the value is not
+    * exactly representable there (extra fractional digits, or an
+    * unscaled value past Long) — such a literal can never equal a
+    * compact decimal column value.
+    */
+  private[bucketed] def unscaledExact(x: java.math.BigDecimal, scale: Int): Option[Long] =
+    try Some(x.setScale(scale).unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => None }
 
   /** doubleToLongBits with ±0.0 folded to one key, so bit-equality of
     * the keys matches [[cmpDouble]]'s equality outcomes exactly:
     * -0.0 == 0.0 (folded) and NaN == NaN (doubleToLongBits already
     * canonicalizes every NaN payload to one pattern).
     */
-  private def canonicalBits(d: Double): Long =
+  private[bucketed] def canonicalBits(d: Double): Long =
     java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
 
   private def nullAwareCmp(schema: StructType, c: String, v: Any)(
@@ -289,8 +316,25 @@ private[bucketed] object VectorFilterEval {
       }
       case dt: DecimalType => v match {
         case x: java.math.BigDecimal =>
-          Some((b, r) =>
-            b.column(i).getDecimal(r, dt.precision, dt.scale).toJavaBigDecimal.compareTo(x))
+          // compact precisions compare on the UNSCALED long (round 19):
+          // floor the literal to the column's scale once; an INEXACT
+          // literal sits strictly between floor and floor+1, so a
+          // column value equal to the floor is strictly BELOW it —
+          // break the tie to -1. No per-row BigDecimal.
+          val fast: Option[(ColumnarBatch, Int) => Int] =
+            if (dt.precision > Decimal.MAX_LONG_DIGITS) None
+            else try {
+              val floored = x.setScale(dt.scale, java.math.RoundingMode.FLOOR)
+              val f = floored.unscaledValue().longValueExact()
+              val exact = x.compareTo(floored) == 0
+              Some { (b, r) =>
+                val c = java.lang.Long.compare(
+                  b.column(i).getDecimal(r, dt.precision, dt.scale).toUnscaledLong, f)
+                if (c == 0 && !exact) -1 else c
+              }
+            } catch { case _: ArithmeticException => None } // literal beyond Long: exact path
+          fast.orElse(Some((b, r) =>
+            b.column(i).getDecimal(r, dt.precision, dt.scale).toJavaBigDecimal.compareTo(x)))
         case _ => None
       }
       case _ => None
@@ -397,6 +441,24 @@ private[bucketed] object ParquetPruning {
       case TimestampNTZType => Some(longOps(c, {
         case t: java.time.LocalDateTime => Long.box(DateTimeUtils.localDateTimeToMicros(t))
       }))
+      case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
+        // parquet physical for compact decimals (ParquetWriteSupport,
+        // non-legacy — [[FileStore.writeBlock]]'s writer): UNSCALED
+        // INT32 (precision ≤ 9) / INT64 at the column's fixed scale,
+        // with SIGNED stats ordering = unscaled order. Rescale each
+        // literal ONCE, exactly; a scale-mismatched literal bails that
+        // conjunct (conservative — the batch evaluator enforces it).
+        // FLBA-backed precisions (> 18) take no row-group pruning.
+        def unscaled(v: Any): Option[Long] = v match {
+          case x: java.math.BigDecimal => VectorFilterEval.unscaledExact(x, dt.scale)
+          case x: scala.math.BigDecimal => VectorFilterEval.unscaledExact(x.bigDecimal, dt.scale)
+          case _ => None
+        }
+        if (dt.precision <= Decimal.MAX_INT_DIGITS)
+          Some(intOps(c, Function.unlift((v: Any) =>
+            unscaled(v).map(l => Int.box(l.toInt)))))
+        else
+          Some(longOps(c, Function.unlift((v: Any) => unscaled(v).map(Long.box))))
       case DoubleType => Some(new Ops {
         private val col = FilterApi.doubleColumn(c)
         private def v2(v: Any): Option[java.lang.Double] = v match {

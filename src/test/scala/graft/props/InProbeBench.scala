@@ -55,5 +55,18 @@ object InProbeBench {
     time("set-probe", 20000)(run(probe))
     time("closure-loop", 200)(run(loop))
     batch.close()
+
+    // ROW-PATH flavor (round 19): FilterEval.compile's external-value
+    // probe vs the per-row eval3 literal loop, over external Rows —
+    // what hot/loaded blocks and MoR delta filtering pay
+    val rows: Array[Row] = Array.tabulate(n)(r => Row(Long.box((r * 37L) % 5000L)))
+    val keep = FilterEval.compile(schema, Array(f))
+    def runRows(p: Row => Boolean): Int = {
+      var hits = 0; var r = 0
+      while (r < n) { if (p(rows(r))) hits += 1; r += 1 }
+      hits
+    }
+    time("row-probe", 20000)(runRows(keep))
+    time("row-eval3", 20)(runRows(r => FilterEval.eval(schema, f, r)))
   }
 }

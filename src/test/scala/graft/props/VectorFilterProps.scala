@@ -27,7 +27,8 @@ object VectorFilterProps extends Properties("graft.vectorfilter") {
   private val schema = StructType(Seq(
     StructField("i", IntegerType), StructField("l", LongType),
     StructField("d", DoubleType), StructField("s", StringType),
-    StructField("ts", TimestampType), StructField("dt", DateType)))
+    StructField("ts", TimestampType), StructField("dt", DateType),
+    StructField("dec", DecimalType(12, 2))))
 
   private def opt[T](g: Gen[T]): Gen[Any] =
     Gen.frequency(4 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null: Any))
@@ -51,11 +52,24 @@ object VectorFilterProps extends Properties("graft.vectorfilter") {
       java.sql.Timestamp.valueOf(s"200$h-01-01 0$h:00:0$h.00${h}000"))
   private val genDate: Gen[java.sql.Date] =
     Gen.choose(0, 9).map(d => java.sql.Date.valueOf(s"199$d-0${d % 9 + 1}-15"))
+  // column values: always exactly representable at DECIMAL(12,2)
+  private val genDecVal: Gen[java.math.BigDecimal] = Gen.oneOf(
+    Gen.oneOf(0L, 1L, -1L, 100L, -100L, 99999999999L, -99999999999L),
+    Gen.choose(-10000L, 10000L)).map(u => java.math.BigDecimal.valueOf(u, 2))
+  // literals: exact scale-2 values PLUS scale-mismatched ones (1.005
+  // shapes that floor between two representable values — the round-19
+  // unscaled fast compare's tie-break territory) and wider scales
+  private val genDecLit: Gen[java.math.BigDecimal] = Gen.oneOf(
+    genDecVal,
+    Gen.choose(-10000L, 10000L).map(u => java.math.BigDecimal.valueOf(u * 10 + 5, 3)),
+    Gen.choose(-100L, 100L).map(u => java.math.BigDecimal.valueOf(u, 0)),
+    Gen.choose(-1000000L, 1000000L).map(u => java.math.BigDecimal.valueOf(u, 4)))
 
   private val genRow: Gen[Row] = for {
     i <- opt(genInt); l <- opt(genLong); d <- opt(genDouble)
     s <- opt(genString); t <- opt(genTs); dt <- opt(genDate)
-  } yield Row(i, l, d, s, t, dt)
+    dec <- opt(genDecVal)
+  } yield Row(i, l, d, s, t, dt, dec)
 
   private def lit(c: String): Gen[Any] = c match {
     case "i" => genInt.map(x => x: Any)
@@ -63,10 +77,11 @@ object VectorFilterProps extends Properties("graft.vectorfilter") {
     case "d" => genDouble.map(x => x: Any)
     case "s" => genString.map(x => x: Any)
     case "ts" => genTs.map(x => x: Any)
+    case "dec" => genDecLit.map(x => x: Any)
     case _ => genDate.map(x => x: Any)
   }
 
-  private val genCol: Gen[String] = Gen.oneOf("i", "l", "d", "s", "ts", "dt")
+  private val genCol: Gen[String] = Gen.oneOf("i", "l", "d", "s", "ts", "dt", "dec")
 
   private def genLeaf: Gen[Filter] = genCol.flatMap { c =>
     Gen.oneOf(
@@ -143,5 +158,26 @@ object VectorFilterProps extends Properties("graft.vectorfilter") {
   property("claimable type-matched leaves always compile") =
     forAll(genLeaf) { f =>
       !FilterEval.supports(schema, f) || VectorFilterEval.compile(schema, Array(f)).isDefined
+    }
+
+  /** The ROW path's compiled conjunction (round 19 — In literal sets
+    * pre-converted once, the external-value probe) must agree with
+    * the per-row eval loop it replaced, on every composed shape
+    * including large In lists over every column type.
+    */
+  private val genBigIn: Gen[Filter] =
+    genCol.flatMap(c => Gen.listOfN(300, lit(c)).map(vs => In(c, vs.toArray): Filter))
+
+  property("FilterEval.compile == per-row eval on composed shapes and large In lists") =
+    forAll(Gen.nonEmptyListOf(genRow),
+      Gen.listOfN(2, Gen.frequency(3 -> genFilter(2), 2 -> genBigIn))) { (rows, filters) =>
+      val fs = filters.filter(FilterEval.supports(schema, _)).toArray
+      val compiled = FilterEval.compile(schema, fs)
+      rows.forall { r =>
+        val want = fs.forall(f => FilterEval.eval(schema, f, r))
+        val got = compiled(r)
+        if (want != got) println(s"DIVERGE fs=${fs.toSeq} row=$r want=$want got=$got")
+        want == got
+      }
     }
 }

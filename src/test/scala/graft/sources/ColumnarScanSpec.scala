@@ -729,6 +729,68 @@ class ColumnarScanSpec extends SparkSuite {
     BucketStore.drop(name)
   }
 
+  test("a clustered DECIMAL predicate prunes ROW GROUPS inside cold blocks (round 19)") {
+    // round 18 proved decimal DECODE; this pins decimal PRUNING: the
+    // parquet predicate compares the UNSCALED int32/int64 physical
+    // value, so a selective predicate on the cluster column skips the
+    // row groups whose stats exclude it — observable as decoded rows
+    // (pre-filter) ≪ table rows. Small row groups via the layout knob
+    // give the file enough groups to skip.
+    import org.apache.spark.sql.types.DecimalType
+    val name = "colr_decrg"
+    BucketStore.drop(name)
+    val prev = System.getProperty("graft.parquet.rowgroup.bytes")
+    System.setProperty("graft.parquet.rowgroup.bytes", (64 * 1024).toString)
+    try {
+      val n = 65536
+      val df = (0 until n).map { i =>
+        (i.toLong, java.math.BigDecimal.valueOf((i * 2654435761L) % 1000000L, 2))
+      }.toDF("k", "price").withColumn("price", col("price").cast(DecimalType(12, 2)))
+      BucketStore.load(spark, name, df, "k", 2, clusterBy = Some("price"))
+      def rd(columnar: Boolean) = spark.read.format("graft-buckets").option("table", name)
+        .option("columnar", columnar.toString).load()
+      // control: an unfiltered cold sweep decodes every row group
+      // (collect, not count — count() is served stats-only)
+      BucketStore.evictTable(name)
+      val rd0 = FileStore.vectorRowsDecoded.get()
+      assert(rd(columnar = true).collect().length === n)
+      val fullDecoded = FileStore.vectorRowsDecoded.get() - rd0
+      assert(fullDecoded >= n.toLong, s"control sweep must decode all rows, got $fullDecoded")
+      // selective range on the cluster column: ~1% of values
+      val cut = new java.math.BigDecimal("100.00")
+      BucketStore.evictTable(name)
+      val want = rd(columnar = false).filter(col("price") < cut).collect().map(_.toSeq).toSet
+      BucketStore.evictTable(name)
+      val (vr1, rd1) = (FileStore.vectorReads.get(), FileStore.vectorRowsDecoded.get())
+      val got = rd(columnar = true).filter(col("price") < cut).collect().map(_.toSeq).toSet
+      assert(got === want, "the pruned decimal scan must match the row path exactly")
+      assert(FileStore.vectorReads.get() - vr1 >= 2L,
+        "the decimal-predicated scan must stay vectorized (a rejected parquet " +
+          "predicate would demote it)")
+      val decoded = FileStore.vectorRowsDecoded.get() - rd1
+      assert(decoded < n.toLong / 4,
+        s"row groups outside the decimal range must be SKIPPED: decoded $decoded of $n")
+      // decimal IN: the >32-literal list keeps a min/max row-group
+      // bound and the unscaled set probe enforces exact membership
+      val lits = (0 until 64).map(j => java.math.BigDecimal.valueOf(j * 100L + 25L, 2))
+      BucketStore.evictTable(name)
+      val wantIn = rd(columnar = false).filter(col("price").isin(lits: _*))
+        .collect().map(_.toSeq).toSet
+      BucketStore.evictTable(name)
+      val (vr2, rd2) = (FileStore.vectorReads.get(), FileStore.vectorRowsDecoded.get())
+      val gotIn = rd(columnar = true).filter(col("price").isin(lits: _*))
+        .collect().map(_.toSeq).toSet
+      assert(gotIn === wantIn, "the decimal In probe must match the row path exactly")
+      assert(FileStore.vectorReads.get() - vr2 >= 2L)
+      assert(FileStore.vectorRowsDecoded.get() - rd2 < n.toLong / 4,
+        "the In range bound must keep pruning row groups")
+    } finally {
+      if (prev == null) System.clearProperty("graft.parquet.rowgroup.bytes")
+      else System.setProperty("graft.parquet.rowgroup.bytes", prev)
+      BucketStore.drop(name)
+    }
+  }
+
   test("a projection containing an unsupported type falls back to the row reader cleanly") {
     BucketStore.drop("colr_arr")
     BucketStore.load(spark, "colr_arr",
