@@ -523,6 +523,7 @@ object SparkEntry {
     "q265_cold_mor_cdc" -> graft.sources.bucketed.BucketedQueries.coldMorCdcQuery _,
     "q266_vacuum_floor" -> graft.sources.bucketed.BucketedQueries.vacuumFloorQuery _,
     "q267_cold_decimal_sweep" -> graft.sources.bucketed.BucketedQueries.coldDecimalSweepQuery _,
+    "q268_decimal_prune" -> graft.sources.bucketed.BucketedQueries.coldDecimalPruneQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -952,6 +953,7 @@ object SparkEntry {
     "q265_cold_mor_cdc" -> graft.sources.bucketed.BucketedQueries.coldMorCdcSql,
     "q266_vacuum_floor" -> graft.sources.bucketed.BucketedQueries.vacuumFloorSql,
     "q267_cold_decimal_sweep" -> graft.sources.bucketed.BucketedQueries.coldDecimalSweepSql,
+    "q268_decimal_prune" -> graft.sources.bucketed.BucketedQueries.coldDecimalPruneSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

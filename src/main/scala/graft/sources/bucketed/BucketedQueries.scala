@@ -2688,6 +2688,101 @@ object BucketedQueries {
       |WHERE CAST(l_quantity AS DECIMAL(18,2)) > 5.00
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q268 — the DECIMAL PRUNING LADDER end-to-end (round 19): q267
+    * proved decimal DECODE; this gates decimal SKIPPING. The lineitem
+    * money columns load as DECIMAL(12,2) CLUSTERED BY l_extendedprice
+    * with small row groups (the `graft.parquet.rowgroup.bytes` layout
+    * knob), the table is evicted, and
+    *
+    *   - a selective range (`l_extendedprice < 2000.00`) sweeps the
+    *     cold store: the parquet predicate compares the UNSCALED
+    *     physical int64, so row groups outside the range never decode
+    *     — audited via [[FileStore.vectorRowsDecoded]] (< 60% of the
+    *     table decodes; the audit arms above 20k rows, where buckets
+    *     have > 1 row group to skip), with every bucket vectorized,
+    *     zero row-materialized blocks, zero heap faults;
+    *   - a > 32-literal decimal IN list (the unscaled-long set probe
+    *     + min/max row-group bound) aggregates by flag, staying
+    *     vectorized.
+    *
+    * Oracle: the same two aggregates UNION ALL'd, tagged by leg.
+    */
+  def coldDecimalPruneQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"li_decprune@$dir"
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    BucketStore.drop(name)
+    val prev = System.getProperty("graft.parquet.rowgroup.bytes")
+    System.setProperty("graft.parquet.rowgroup.bytes", (16 * 1024).toString)
+    try {
+      BucketStore.load(spark, name,
+        graft.tables.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast(dec).as("l_quantity"),
+            col("l_extendedprice").cast(dec).as("l_extendedprice")),
+        "l_orderkey", NumBuckets, clusterBy = Some("l_extendedprice"))
+    } finally {
+      if (prev == null) System.clearProperty("graft.parquet.rowgroup.bytes")
+      else System.setProperty("graft.parquet.rowgroup.bytes", prev)
+    }
+    val total = BucketStore.liveRowCount(BucketStore.get(name))
+    BucketStore.evictTable(name)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the table must start fully cold")
+    val t = spark.table(s"graft.`$name`")
+    val (vr0, fr0, dd0) = (FileStore.vectorReads.get(), FileStore.filesRead.get(),
+      FileStore.vectorRowsDecoded.get())
+    val rangeLeg = t.filter(col("l_extendedprice") < new java.math.BigDecimal("2000.00"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("l_quantity")).cast("double").as("s"))
+      .withColumn("leg", lit("range"))
+      .select(col("leg"), col("l_returnflag"), col("n"), col("s"))
+      .collect()
+    // a bucket with NO row under the cut may be zone-map pruned at
+    // plan time (legitimate — fewer reads, never more); every bucket
+    // that IS read must take the vectorized path
+    val vrRange = FileStore.vectorReads.get() - vr0
+    require(vrRange > 0 && vrRange <= NumBuckets.toLong,
+      s"the decimal range sweep must serve vectorized (read $vrRange of $NumBuckets)")
+    require(FileStore.filesRead.get() == fr0,
+      "the decimal range sweep must not row-materialize a single block")
+    val decoded = FileStore.vectorRowsDecoded.get() - dd0
+    require(total < 20000 || decoded < (total * 6) / 10,
+      s"row groups outside the decimal range must be SKIPPED: decoded $decoded of $total")
+    val inLits = (1 to 33).map(q => new java.math.BigDecimal(s"$q.00"))
+    val vr1 = FileStore.vectorReads.get()
+    val inLeg = t.filter(col("l_quantity").isin(inLits: _*))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("l_extendedprice")).cast("double").as("s"))
+      .withColumn("leg", lit("in"))
+      .select(col("leg"), col("l_returnflag"), col("n"), col("s"))
+      .collect()
+    require(FileStore.vectorReads.get() - vr1 == NumBuckets.toLong,
+      "the >32-literal decimal IN sweep must stay vectorized")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the decimal pruning gate must not fault blocks into the heap cache")
+    val all = rangeLeg ++ inLeg
+    spark.createDataFrame(java.util.Arrays.asList(all: _*), all.head.schema)
+  }
+
+  val coldDecimalPruneSql: String =
+    """SELECT 'range' AS leg, l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s
+      |FROM lineitem
+      |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) < 2000.00
+      |GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT 'in' AS leg, l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s
+      |FROM lineitem
+      |WHERE CAST(l_quantity AS DECIMAL(12,2)) IN
+      |  (1.00,2.00,3.00,4.00,5.00,6.00,7.00,8.00,9.00,10.00,11.00,12.00,13.00,
+      |   14.00,15.00,16.00,17.00,18.00,19.00,20.00,21.00,22.00,23.00,24.00,25.00,
+      |   26.00,27.00,28.00,29.00,30.00,31.00,32.00,33.00)
+      |GROUP BY l_returnflag""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

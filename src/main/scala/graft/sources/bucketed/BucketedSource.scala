@@ -1445,7 +1445,15 @@ private[bucketed] object BucketReaderSupport {
           // connection leaks a server-side session)
           case e: Throwable => ConnectionPool.release(c); throw e
         }
-      } catch { case e: java.io.IOException => lastErr = e }
+      } catch {
+        // vacuumed files are DETERMINISTIC, not transient: every
+        // replica shares the directory, so retrying would only bury
+        // the named remedy under "all replicas unreachable" (found
+        // live by TwoJvmCdcVacuumSpec — a mid-feed CDC consumer must
+        // surface the vacuum contract, not a connectivity misdiagnosis)
+        case e: FileStore.VacuumedFilesException => throw e
+        case e: java.io.IOException => lastErr = e
+      }
     }
     if (opened == null)
       throw new java.io.IOException(
