@@ -2712,14 +2712,20 @@ object BucketedQueries {
     val name = s"li_decprune@$dir"
     val dec = org.apache.spark.sql.types.DecimalType(12, 2)
     BucketStore.drop(name)
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast(dec).as("l_quantity"),
+        col("l_extendedprice").cast(dec).as("l_extendedprice"))
+    // size row groups to the data (the real ops rule): small tables
+    // need tiny groups to HAVE more than one per bucket; at larger SF
+    // 128 KB keeps ~8 groups per bucket without paying 1000+ tiny
+    // group inits per sweep
+    val liRows = li.count()
+    val groupBytes = if (liRows <= 100000L) 16 * 1024 else 128 * 1024
     val prev = System.getProperty("graft.parquet.rowgroup.bytes")
-    System.setProperty("graft.parquet.rowgroup.bytes", (16 * 1024).toString)
+    System.setProperty("graft.parquet.rowgroup.bytes", groupBytes.toString)
     try {
-      BucketStore.load(spark, name,
-        graft.tables.Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_returnflag"),
-            col("l_quantity").cast(dec).as("l_quantity"),
-            col("l_extendedprice").cast(dec).as("l_extendedprice")),
+      BucketStore.load(spark, name, li,
         "l_orderkey", NumBuckets, clusterBy = Some("l_extendedprice"))
     } finally {
       if (prev == null) System.clearProperty("graft.parquet.rowgroup.bytes")

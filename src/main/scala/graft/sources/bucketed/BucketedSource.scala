@@ -2772,6 +2772,26 @@ object FilterEval {
       Integer.compare(DateTimeUtils.localDateToDays(x), DateTimeUtils.fromJavaDate(y))
     case (x: java.sql.Date, y: java.time.LocalDate) =>
       Integer.compare(DateTimeUtils.fromJavaDate(x), DateTimeUtils.localDateToDays(y))
+    // SAME-CLASS primitives first (round 19): cluster sorts, zone-map
+    // min/max folds, and range slices compare millions of same-typed
+    // values — the generic Number path below costs TWO string→
+    // BigDecimal round-trips per compare. Outcomes are bit-identical:
+    // shortest-repr toString is injective per value, BigDecimal("-0.0")
+    // equals BigDecimal("0.0") (cmpDouble's x == y), and non-finite
+    // doubles take the same Double.compare order either way.
+    case (x: java.lang.Long, y: java.lang.Long) =>
+      java.lang.Long.compare(x.longValue, y.longValue)
+    case (x: java.lang.Integer, y: java.lang.Integer) =>
+      Integer.compare(x.intValue, y.intValue)
+    case (x: java.lang.Short, y: java.lang.Short) =>
+      java.lang.Short.compare(x.shortValue, y.shortValue)
+    case (x: java.lang.Byte, y: java.lang.Byte) =>
+      java.lang.Byte.compare(x.byteValue, y.byteValue)
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      VectorFilterEval.cmpDouble(x.doubleValue, y.doubleValue)
+    case (x: java.lang.Float, y: java.lang.Float) =>
+      VectorFilterEval.cmpDouble(x.floatValue.toDouble, y.floatValue.toDouble)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case (x: Number, y: Number) =>
       // NaN/Infinity cannot round-trip through BigDecimal (it throws
       // NumberFormatException on legal input), and BigDecimal could not
