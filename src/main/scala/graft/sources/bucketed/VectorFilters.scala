@@ -209,8 +209,8 @@ private[bucketed] object VectorFilterEval {
         if (conv.contains(null)) None
         else {
           val arr: Array[Long] = conv.flatten.distinct.sorted
-          Some((b, r) => Arrays.binarySearch(arr,
-            b.column(i).getDecimal(r, dt.precision, dt.scale).toUnscaledLong) >= 0)
+          val get = unscaledGetter(i, dt)
+          Some((b, r) => Arrays.binarySearch(arr, get(b, r)) >= 0)
         }
       case _ => None
     }
@@ -224,6 +224,18 @@ private[bucketed] object VectorFilterEval {
   private[bucketed] def unscaledExact(x: java.math.BigDecimal, scale: Int): Option[Long] =
     try Some(x.setScale(scale).unscaledValue().longValueExact())
     catch { case _: ArithmeticException => None }
+
+  /** Allocation-free unscaled-long read for a COMPACT decimal vector:
+    * the exact precision dispatch `WritableColumnVector.getDecimal`
+    * performs internally (int storage ≤ 9 digits, long ≤ 18) without
+    * the per-row `Decimal` wrapper (~1.5× on the probe, InProbeBench).
+    * Every batch this evaluator sees comes from the vectorized parquet
+    * reader or the merge fillers — both store compact decimals that
+    * way.
+    */
+  private def unscaledGetter(i: Int, dt: DecimalType): (ColumnarBatch, Int) => Long =
+    if (dt.precision <= Decimal.MAX_INT_DIGITS) (b, r) => b.column(i).getInt(r).toLong
+    else (b, r) => b.column(i).getLong(r)
 
   /** doubleToLongBits with ±0.0 folded to one key, so bit-equality of
     * the keys matches [[cmpDouble]]'s equality outcomes exactly:
@@ -327,9 +339,9 @@ private[bucketed] object VectorFilterEval {
               val floored = x.setScale(dt.scale, java.math.RoundingMode.FLOOR)
               val f = floored.unscaledValue().longValueExact()
               val exact = x.compareTo(floored) == 0
+              val get = unscaledGetter(i, dt)
               Some { (b, r) =>
-                val c = java.lang.Long.compare(
-                  b.column(i).getDecimal(r, dt.precision, dt.scale).toUnscaledLong, f)
+                val c = java.lang.Long.compare(get(b, r), f)
                 if (c == 0 && !exact) -1 else c
               }
             } catch { case _: ArithmeticException => None } // literal beyond Long: exact path

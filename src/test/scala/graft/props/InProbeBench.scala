@@ -68,5 +68,30 @@ object InProbeBench {
     }
     time("row-probe", 20000)(runRows(keep))
     time("row-eval3", 20)(runRows(r => FilterEval.eval(schema, f, r)))
+
+    // DECIMAL flavor (round 19): the unscaled-long set probe via
+    // getDecimal().toUnscaledLong vs a raw getLong read — quantifies
+    // the Decimal-object wrapper on the hot path
+    val decSchema = StructType(Seq(StructField("d", DecimalType(12, 2))))
+    val dv = OnHeapColumnVector.allocateColumns(n, decSchema)
+    (0 until n).foreach(r => dv(0).putLong(r, (r * 37L) % 5000L))
+    val decBatch = new ColumnarBatch(dv.map(_.asInstanceOf[ColumnVector]))
+    decBatch.setNumRows(n)
+    val decLits: Array[Any] =
+      Array.tabulate(1000)(k => java.math.BigDecimal.valueOf(k * 3L, 2))
+    val decProbe = VectorFilterEval.compile(decSchema, Array(In("d", decLits))).get
+    def runDec(p: (ColumnarBatch, Int) => Boolean): Int = {
+      var hits = 0; var r = 0
+      while (r < n) { if (p(decBatch, r)) hits += 1; r += 1 }
+      hits
+    }
+    time("dec-probe", 20000)(runDec(decProbe))
+    val rawGet: (ColumnarBatch, Int) => Boolean = {
+      val arr = decLits.map(_.asInstanceOf[java.math.BigDecimal].unscaledValue.longValue)
+        .distinct.sorted
+      (b, r) => java.util.Arrays.binarySearch(arr, b.column(0).getLong(r)) >= 0
+    }
+    time("dec-rawget", 20000)(runDec(rawGet))
+    decBatch.close()
   }
 }
