@@ -56,7 +56,8 @@ object BucketSkip {
   /** Column statistics for one bucket. `min`/`max` are stored-type
     * values under [[FilterEval.cmp]]; null ⇔ the bucket has no
     * non-null value in the column. `bloom` null ⇔ the type is not
-    * sketchable (only exact-equality types are: integrals + strings).
+    * sketchable (exact-equality types: integrals, strings, and — from
+    * round 19 — decimals, hashed value-canonically).
     */
   final case class ColSkip(
       rowCount: Int,
@@ -193,6 +194,10 @@ object BucketSkip {
 
   private def sketchableType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType => true
+    // round 19: point lookups on money columns (`dec = literal`) are
+    // an id-like shape at TPC-H schemas — hash value-canonically so
+    // representation scale never splits equal values
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -290,7 +295,23 @@ object BucketSkip {
       var j = 0
       while (j < x.length) { h ^= x.charAt(j); h *= 0x100000001b3L; j += 1 }
       Some(mix64(h))
+    case x: java.math.BigDecimal => decimalHash(x)
+    case x: scala.math.BigDecimal => decimalHash(x.bigDecimal)
     case _ => None
+  }
+
+  /** VALUE-canonical decimal hash: [[FilterEval.cmp]]-equal decimals
+    * (scale-insensitive) must hash identically whatever scale their
+    * representation carries — strip trailing zeros, then hash the
+    * (unscaled, scale) pair. None past long range (build sets no bits
+    * for the value and the equal probe also hashes None — min/max
+    * still bound it), and None keeps both sides conservative.
+    */
+  private def decimalHash(x0: java.math.BigDecimal): Option[Long] = {
+    val x = x0.stripTrailingZeros()
+    val u = x.unscaledValue()
+    if (u.bitLength() > 62) None
+    else Some(mix64(u.longValue() ^ mix64(x.scale().toLong)))
   }
 
   private def mix64(z0: Long): Long = { // splitmix64 finalizer

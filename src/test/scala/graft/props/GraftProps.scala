@@ -406,7 +406,9 @@ object GraftProps extends Properties("graft") {
     org.apache.spark.sql.types.StructField("s",
       org.apache.spark.sql.types.StringType, nullable = true),
     org.apache.spark.sql.types.StructField("d",
-      org.apache.spark.sql.types.DateType, nullable = true)))
+      org.apache.spark.sql.types.DateType, nullable = true),
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.DecimalType(10, 2), nullable = true)))
 
   private def dayOf(i: Int): java.sql.Date =
     java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
@@ -415,22 +417,36 @@ object GraftProps extends Properties("graft") {
     k <- Gen.oneOf(Gen.const(null), Gen.choose(-20L, 20L).map(Long.box))
     s <- Gen.oneOf(Gen.const(null), Gen.oneOf("a", "b", "cc", "dd", ""))
     d <- Gen.oneOf(Gen.const(null), Gen.choose(0, 30).map(dayOf))
-  } yield org.apache.spark.sql.Row(k, s, d)
+    m <- Gen.oneOf(Gen.const(null),
+      Gen.choose(-500L, 500L).map(u => JBigDecimal.valueOf(u, 2)))
+  } yield org.apache.spark.sql.Row(k, s, d, m)
 
   private val genSkipFilter: Gen[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
     val v = Gen.choose(-25L, 25L)
     val sv = Gen.oneOf("a", "b", "cc", "dd", "", "zz")
     val dv = Gen.choose(-3, 33).map(dayOf)
+    // decimal literals at VARIED representation scales, including
+    // value-equal re-scalings (2.50 vs 2.5) and inexact thousandths —
+    // the round-19 decimal bloom must never split cmp-equal values
+    val mv: Gen[Any] = Gen.oneOf(
+      Gen.choose(-500L, 500L).map(u => JBigDecimal.valueOf(u, 2): Any),
+      Gen.choose(-50L, 50L).map(u => JBigDecimal.valueOf(u, 1): Any),
+      Gen.choose(-6L, 6L).map(u => JBigDecimal.valueOf(u, 0): Any),
+      Gen.choose(-5000L, 5000L).map(u => JBigDecimal.valueOf(u * 10 + 5, 3): Any))
     Gen.oneOf[Filter](
       v.map(EqualTo("k", _)), sv.map(EqualTo("s", _)),
       v.map(GreaterThan("k", _)), v.map(LessThanOrEqual("k", _)),
       dv.map(EqualTo("d", _)), dv.map(LessThan("d", _)),
       dv.map(GreaterThanOrEqual("d", _)), Gen.const(IsNotNull("d")),
       Gen.const(IsNull("k")), Gen.const(IsNotNull("s")),
+      mv.map(EqualTo("m", _)), mv.map(GreaterThan("m", _)),
+      mv.map(LessThanOrEqual("m", _)),
+      Gen.listOfN(3, mv).map(vs => In("m", vs.toArray)),
       Gen.listOfN(3, v).map(vs => In("k", vs.toArray.map(_.asInstanceOf[Any]))),
       Gen.zip(v, sv).map { case (a, b) => And(GreaterThan("k", a), EqualTo("s", b)) },
       Gen.zip(dv, v).map { case (a, b) => And(LessThan("d", a), GreaterThan("k", b)) },
+      Gen.zip(mv, v).map { case (a, b) => And(EqualTo("m", a), GreaterThan("k", b)) },
       Gen.zip(v, v).map { case (a, b) => Or(LessThanOrEqual("k", a), EqualTo("k", b)) })
   }
 
