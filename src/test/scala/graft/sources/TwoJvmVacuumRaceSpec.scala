@@ -99,4 +99,60 @@ class TwoJvmVacuumRaceSpec extends SparkSuite {
       BucketStore.drop(name)
     }
   }
+
+  private def forkSweeper(dir: Path, name: String, outFile: Path): Process = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx1g", "-cp", System.getProperty("java.class.path"),
+      "graft.sources.bucketed.VacuumSweeperMain", dir.toString, name)).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(outFile.toFile)
+    pb.start()
+  }
+
+  test("LIVE: the DURABLE floor governs a FOREIGN process's floor-less vacuum (round 19)") {
+    // the ADVICE-high scenario made a live proof: the operator declares
+    // retention ONCE; a different JVM — whose heap knows nothing — then
+    // runs the floor-less sweep every process runs, and the floor it
+    // honors can only have come from the manifest
+    val name = "vrace_durable"
+    val (dir, vOld) = mkTable(name)
+    BucketStore.setVacuumFloor(name, 60L * 60 * 1000) // persists into the manifest
+    val oldFile = BucketStore.snapshot(name, vOld).buckets.block(0).file.get
+    val out = Files.createTempFile("graft_vrace_durable", ".log")
+    val proc = forkSweeper(dir, name, out)
+    try {
+      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), "sweeper hung")
+      val log = new String(Files.readAllBytes(out))
+      assert(proc.exitValue() === 0, log)
+      assert(log.contains(s"SWEEP floor=${60L * 60 * 1000}"),
+        s"the foreign process must restore the declared floor from the manifest:\n$log")
+      assert(log.contains("SWEEP DONE dropped=0"),
+        s"a foreign floor-less vacuum must honor the durable floor:\n$log")
+      assert(Files.exists(java.nio.file.Paths.get(oldFile.path)),
+        "no file protected by the durable floor may be collected by a foreign sweep")
+      // clearing the floor is durable too: the next foreign sweep trims
+      BucketStore.clearVacuumFloor(name)
+      val out2 = Files.createTempFile("graft_vrace_durable2", ".log")
+      val proc2 = forkSweeper(dir, name, out2)
+      try {
+        assert(proc2.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), "sweeper hung")
+        val log2 = new String(Files.readAllBytes(out2))
+        assert(proc2.exitValue() === 0, log2)
+        assert(log2.contains("SWEEP floor=0"), log2)
+        assert(!log2.contains("dropped=0"),
+          s"with the floor cleared, the foreign sweep must trim count-based:\n$log2")
+      } finally proc2.destroyForcibly(): Unit
+    } finally {
+      proc.destroyForcibly(): Unit
+      BucketStore.drop(name)
+    }
+  }
 }
