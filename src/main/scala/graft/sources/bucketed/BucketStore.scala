@@ -111,7 +111,15 @@ object BucketStore {
       // partitioning (no storage-partitioned joins) — the documented
       // trade: choose HRW for tables that resize under continuous
       // ingest, mod-hash for tables that co-partition with others.
-      hrw: Boolean = false)
+      hrw: Boolean = false,
+      // The z-layout KEY-FUNCTION version the stored sort order was
+      // built with ([[ZOrder.KEY_VERSION]] — the per-dimension key
+      // maps have changed across releases). Every sort, merge, and
+      // fold on this table keys with THIS version so stored order and
+      // comparator never diverge; a full re-sort (recluster/reorder)
+      // upgrades it to current. Irrelevant (and harmlessly current)
+      // for non-z layouts.
+      zKeyVersion: Int = ZOrder.KEY_VERSION)
 
   /** One bucket's pending merge-on-read state: `deleted` marks hidden
     * physical positions (over base ++ delta), `delta` the rows added
@@ -429,6 +437,15 @@ object BucketStore {
     val deltaByPath = scala.collection.mutable.HashMap[String, Array[Row]]()
     val boundsByPath = scala.collection.mutable.HashMap[String, Array[Any]]()
     ms.map { m =>
+      if (zHealNeeded(m)) healSnapshot(m, deltaByPath, boundsByPath)
+      else snapshotOf(m, blockByPath, deltaByPath, boundsByPath)
+    }
+  }
+
+  private def snapshotOf(m: FileStore.Manifest,
+      blockByPath: scala.collection.mutable.HashMap[String, BucketBlock],
+      deltaByPath: scala.collection.mutable.HashMap[String, Array[Row]],
+      boundsByPath: scala.collection.mutable.HashMap[String, Array[Any]]): BucketTable = {
       val blocks = m.buckets.map { bf =>
         if (bf.rows == 0) BucketBlock.ofMem(Array.empty[Row])
         else blockByPath.getOrElseUpdate(bf.path, BucketBlock.ofFile(bf))
@@ -448,8 +465,73 @@ object BucketStore {
         m.clusterCol, m.commitTs,
         m.rangeBoundsFile.map(f =>
           boundsByPath.getOrElseUpdate(f.path, FileStore.readRangeBounds(f))),
-        m.layoutEpoch, mor, m.replicated, m.zBounds, m.hrw)
+        m.layoutEpoch, mor, m.replicated, m.zBounds, m.hrw,
+        zKeyVersion = m.zKeyVersion)
+  }
+
+  /** Is this persisted z layout in a key space the current code CANNOT
+    * reproduce? Version-0 manifests (pre `vacuumMinAgeMs`) keyed
+    * `java.sql.Date` dimensions by timezone-dependent epoch millis and
+    * TIMESTAMP_NTZ by a constant — a sort order that depended on the
+    * writer's session, so trusting it would let MoR folds interleave
+    * delta rows at wrong positions and clusterMerge persist mis-sorted
+    * bases (silent wrong results). Such layouts are HEALED at open
+    * instead ([[healSnapshot]]). Version-0 layouts WITHOUT an affected
+    * dimension sorted identically to version 1 and are served as-is;
+    * version-1 layouts differ from current only in decimal keys
+    * (double-monotone — correct, coarser), kept until an explicit
+    * re-sort ([[recluster]]/[[reorder]]).
+    */
+  private def zHealNeeded(m: FileStore.Manifest): Boolean =
+    m.zKeyVersion == 0 && isZOrder(m.clusterCol) &&
+      clusterColsOf(m.clusterCol).exists(c =>
+        m.schema.fieldNames.contains(c) && (m.schema(c).dataType match {
+          case org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false
+        }))
+
+  /** One-time open-time migration of a version-0 z layout with
+    * date/NTZ dimensions: fold any MoR state on the ORIGINAL physical
+    * order (positions are only valid there), re-derive rank boundaries
+    * and re-sort every bucket under the CURRENT key functions, and
+    * serve the snapshot at [[ZOrder.KEY_VERSION]]. Eager by necessity
+    * (the stored order is untrusted, so lazy blocks would serve wrong
+    * merges) — the cost of one read+sort of the legacy table, paid
+    * once per open until a rewrite persists the healed layout; stale
+    * v0 zBounds are discarded, fresh ones computed from the data.
+    */
+  private def healSnapshot(m: FileStore.Manifest,
+      deltaByPath: scala.collection.mutable.HashMap[String, Array[Row]],
+      boundsByPath: scala.collection.mutable.HashMap[String, Array[Any]]): BucketTable = {
+    val padded = Array.tabulate(m.buckets.length) { b =>
+      val bf = m.buckets(b)
+      val base = if (bf.rows == 0) Array.empty[Row] else FileStore.readBlock(bf)
+      val live = m.mor.get(b) match {
+        case None => base
+        case Some((bits, df)) =>
+          val delta =
+            if (df.rows == 0) Array.empty[Row]
+            else deltaByPath.getOrElseUpdate(df.path, FileStore.readBlock(df))
+          (base.iterator.zipWithIndex.collect { case (r, i) if !bits.get(i) => r } ++
+            delta.iterator.zipWithIndex.collect {
+              case (r, j) if !bits.get(base.length + j) => r
+            }).toArray
+      }
+      live.map(pad(_, m.schema.length))
     }
+    val zIdxs = clusterColsOf(m.clusterCol).map(m.schema.fieldIndex).toArray
+    val bs = ZOrder.boundsForRows(padded.iterator.flatten, zIdxs,
+      ZOrder.keyFns(m.schema, zIdxs, ZOrder.KEY_VERSION))
+    val freshBounds = if (bs.forall(_.isEmpty)) None else Some(bs)
+    BucketTable(m.schema, m.keyCol,
+      BucketBlocks.fromArrays(padded.map(rows =>
+        clusterSort(m.schema, m.clusterCol, rows, freshBounds, ZOrder.KEY_VERSION))),
+      m.hosts, m.version, m.clusterCol, m.commitTs,
+      m.rangeBoundsFile.map(f =>
+        boundsByPath.getOrElseUpdate(f.path, FileStore.readRangeBounds(f))),
+      m.layoutEpoch, Map.empty, m.replicated, freshBounds, m.hrw,
+      zKeyVersion = ZOrder.KEY_VERSION)
   }
 
   /** REFRESH-AND-RETRY, the second half of the cross-process commit
@@ -853,9 +935,10 @@ object BucketStore {
     * identical across load/append/DML/recluster.
     */
   private def clusterRowCmp(schema: StructType, clusterCol: Option[String],
-      zBounds: Option[Array[Array[Long]]]): (Row, Row) => Int =
+      zBounds: Option[Array[Array[Long]]],
+      zKeyVersion: Int = ZOrder.KEY_VERSION): (Row, Row) => Int =
     if (isZOrder(clusterCol)) {
-      val zk = zKeyFn(schema, clusterCol, zBounds)
+      val zk = zKeyFn(schema, clusterCol, zBounds, zKeyVersion)
       (a, b) => ZOrder.cmp(zk(a), zk(b))
     } else {
       val key = clusterKeyOf(schema, clusterCol)
@@ -869,11 +952,13 @@ object BucketStore {
     * SAME order the store maintains.
     */
   private def zKeyFn(schema: StructType, clusterCol: Option[String],
-      zBounds: Option[Array[Array[Long]]]): Row => Array[Long] = {
+      zBounds: Option[Array[Array[Long]]],
+      zKeyVersion: Int = ZOrder.KEY_VERSION): Row => Array[Long] = {
     val idxs = clusterColsOf(clusterCol).map(schema.fieldIndex).toArray
+    val fns = ZOrder.keyFns(schema, idxs, zKeyVersion)
     zBounds match {
-      case Some(bs) if bs.length == idxs.length => r => ZOrder.keyRanked(r, idxs, bs)
-      case _ => r => ZOrder.key(r, idxs)
+      case Some(bs) if bs.length == idxs.length => r => ZOrder.keyRanked(r, idxs, bs, fns)
+      case _ => r => ZOrder.key(r, idxs, fns)
     }
   }
 
@@ -881,7 +966,7 @@ object BucketStore {
     * ordered by.
     */
   def zKeyOf(t: BucketTable): Row => Array[Long] =
-    zKeyFn(t.schema, t.clusterCol, t.zBounds)
+    zKeyFn(t.schema, t.clusterCol, t.zBounds, t.zKeyVersion)
 
   /** Keep a bucket's rows sorted on the cluster key — the ordering the
     * fetch path binary-searches (lexicographic) or the Morton curve
@@ -889,11 +974,12 @@ object BucketStore {
     * once per row).
     */
   private def clusterSort(schema: StructType, clusterCol: Option[String],
-      rows: Array[Row], zBounds: Option[Array[Array[Long]]] = None): Array[Row] =
+      rows: Array[Row], zBounds: Option[Array[Array[Long]]] = None,
+      zKeyVersion: Int = ZOrder.KEY_VERSION): Array[Row] =
     clusterCol match {
       case None => rows
       case c if isZOrder(c) =>
-        val zk = zKeyFn(schema, c, zBounds)
+        val zk = zKeyFn(schema, c, zBounds, zKeyVersion)
         rows.map(r => (zk(r), r))
           .sortWith((x, y) => ZOrder.cmp(x._1, y._1) < 0)
           .map(_._2)
@@ -1334,7 +1420,7 @@ object BucketStore {
     case Some(m) => foldCache.synchronized {
       var f = foldCache.get(m)
       if (f == null) {
-        f = fold(t.schema, t.clusterCol, t.zBounds, t.buckets(b), m)
+        f = fold(t.schema, t.clusterCol, t.zBounds, t.buckets(b), m, t.zKeyVersion)
         foldCache.put(m, f)
       }
       f
@@ -1361,7 +1447,8 @@ object BucketStore {
 
   private def fold(schema: StructType, clusterCol: Option[String],
       zBounds: Option[Array[Array[Long]]],
-      base: Array[Row], m: BucketMor): FoldedBucket = {
+      base: Array[Row], m: BucketMor,
+      zKeyVersion: Int = ZOrder.KEY_VERSION): FoldedBucket = {
     val baseRows = Vector.newBuilder[Row]
     val basePos = Vector.newBuilder[Int]
     var i = 0
@@ -1381,7 +1468,7 @@ object BucketStore {
         // merge — the read-time twin of [[clusterMerge]], positions
         // riding the same permutation (comparator dispatches on the
         // layout: lexicographic or Morton)
-        val cmp = clusterRowCmp(schema, c, zBounds)
+        val cmp = clusterRowCmp(schema, c, zBounds, zKeyVersion)
         val sd = deltaPairs.sortWith((a, b2) => cmp(a._1, b2._1) < 0)
         val n = bR.length + sd.length
         val rows = new Array[Row](n)
@@ -1560,12 +1647,13 @@ object BucketStore {
     */
   private def clusterMerge(schema: StructType, clusterCol: Option[String],
       old: Array[Row], add: Array[Row],
-      zBounds: Option[Array[Array[Long]]] = None): Array[Row] =
+      zBounds: Option[Array[Array[Long]]] = None,
+      zKeyVersion: Int = ZOrder.KEY_VERSION): Array[Row] =
     clusterCol match {
       case None => old ++ add
       case c =>
-        val cmp = clusterRowCmp(schema, c, zBounds)
-        val sortedAdd = clusterSort(schema, clusterCol, add, zBounds)
+        val cmp = clusterRowCmp(schema, c, zBounds, zKeyVersion)
+        val sortedAdd = clusterSort(schema, clusterCol, add, zBounds, zKeyVersion)
         val out = new Array[Row](old.length + sortedAdd.length)
         var a = 0
         var b = 0
@@ -1705,7 +1793,8 @@ object BucketStore {
           val untouched = b < t.buckets.length && !lost(b) && !arrived(b) &&
             !t.mor.contains(b)
           if (untouched) t.buckets(b)
-          else clusterSort(t.schema, t.clusterCol, kept(b).result().toArray, t.zBounds)
+          else clusterSort(t.schema, t.clusterCol, kept(b).result().toArray, t.zBounds,
+            t.zKeyVersion)
         }
       } else {
         // layout CHANGE (mod↔HRW, range→either, or mod resize): the
@@ -1715,7 +1804,8 @@ object BucketStore {
         t.buckets.indices.foreach(src => effectiveRows(t, src).foreach { r =>
           byBucket(routeBucket(None, numBuckets, keyOf(r), hrw)) += r
         })
-        byBucket.map(v => clusterSort(t.schema, t.clusterCol, v.result().toArray, t.zBounds))
+        byBucket.map(v => clusterSort(t.schema, t.clusterCol, v.result().toArray, t.zBounds,
+          t.zKeyVersion))
       }
     val next = t.copy(
       buckets = buckets,
@@ -1911,16 +2001,22 @@ object BucketStore {
     // boundary change — every run re-sorts under them right here);
     // a lexicographic target clears any stale z state
     val newBounds =
-      if (isZOrder(Some(col)))
-        Some(ZOrder.boundsForRows(padded.iterator.flatten,
-          clusterColsOf(Some(col)).map(t.schema.fieldIndex).toArray))
-      else None
+      if (isZOrder(Some(col))) {
+        val zIdxs = clusterColsOf(Some(col)).map(t.schema.fieldIndex).toArray
+        Some(ZOrder.boundsForRows(padded.iterator.flatten, zIdxs,
+          ZOrder.keyFns(t.schema, zIdxs, ZOrder.KEY_VERSION)))
+      } else None
+    // a full re-sort is the one sanctioned key-space UPGRADE point:
+    // the rewrite sorts under the CURRENT key functions, so the table
+    // leaves any legacy zKeyVersion behind here
     val next = t.copy(
-      buckets = padded.map(clusterSort(t.schema, Some(col), _, newBounds)),
+      buckets = padded.map(clusterSort(t.schema, Some(col), _, newBounds,
+        ZOrder.KEY_VERSION)),
       clusterCol = Some(col),
       version = versions.incrementAndGet(),
       mor = Map.empty,
-      zBounds = newBounds)
+      zBounds = newBounds,
+      zKeyVersion = ZOrder.KEY_VERSION)
     publish(name, next)
     next.version
   }
@@ -1950,14 +2046,19 @@ object BucketStore {
     val padded = t.buckets.indices.toArray.map(b =>
       effectiveRows(t, b).map(pad(_, t.schema.length)))
     val idxs = clusterColsOf(t.clusterCol).map(t.schema.fieldIndex).toArray
-    val bs = ZOrder.boundsForRows(padded.iterator.flatten, idxs)
+    val bs = ZOrder.boundsForRows(padded.iterator.flatten, idxs,
+      ZOrder.keyFns(t.schema, idxs, ZOrder.KEY_VERSION))
     // an empty table has nothing to sample: keep the existing bounds
+    // (and, with them, the existing key version — nothing re-sorted)
     val newBounds = if (bs.forall(_.isEmpty)) t.zBounds else Some(bs)
+    val upgraded = !bs.forall(_.isEmpty)
     val next = t.copy(
-      buckets = padded.map(clusterSort(t.schema, t.clusterCol, _, newBounds)),
+      buckets = padded.map(clusterSort(t.schema, t.clusterCol, _, newBounds,
+        if (upgraded) ZOrder.KEY_VERSION else t.zKeyVersion)),
       version = versions.incrementAndGet(),
       mor = Map.empty,
-      zBounds = newBounds)
+      zBounds = newBounds,
+      zKeyVersion = if (upgraded) ZOrder.KEY_VERSION else t.zKeyVersion)
     publish(name, next)
     next.version
   }
@@ -2000,7 +2101,8 @@ object BucketStore {
         // survivors keep their sorted order (filter preserves it); only
         // the delivered rows need sorting before the merge
         clusterMerge(t.schema, t.clusterCol,
-          old.filterNot(r => newKeys.contains(r.get(keyIdx))), deduped, t.zBounds)
+          old.filterNot(r => newKeys.contains(r.get(keyIdx))), deduped, t.zBounds,
+          t.zKeyVersion)
       }
     }
     recordTxnAndPublish(name, txn,
@@ -2022,7 +2124,8 @@ object BucketStore {
     if (!isZOrder(t.clusterCol) || t.zBounds.isDefined) t
     else {
       val idxs = clusterColsOf(t.clusterCol).map(t.schema.fieldIndex).toArray
-      val bs = ZOrder.boundsForRows(incoming.map(pad(_, t.schema.length)), idxs)
+      val bs = ZOrder.boundsForRows(incoming.map(pad(_, t.schema.length)), idxs,
+        ZOrder.keyFns(t.schema, idxs, t.zKeyVersion))
       if (bs.forall(_.isEmpty)) t else t.copy(zBounds = Some(bs))
     }
 
@@ -2128,7 +2231,7 @@ object BucketStore {
       val rows: BucketBlocks =
         if (truncate)
           BucketBlocks.fromArrays(
-            byBucket.map(clusterSort(t.schema, t.clusterCol, _, t.zBounds)))
+            byBucket.map(clusterSort(t.schema, t.clusterCol, _, t.zBounds, t.zKeyVersion)))
         else t.buckets.mapRetaining { b =>
           // clustered-index maintenance on ingest: only buckets that
           // received rows change, and each pays a DELTA sort + linear
@@ -2141,7 +2244,7 @@ object BucketStore {
           // bucket's rows just to hand them back).
           if (byBucket(b).isEmpty) None
           else Some(clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b),
-            t.zBounds))
+            t.zBounds, t.zKeyVersion))
         }
       val mor =
         if (truncate) Map.empty[Int, BucketMor]
@@ -2472,9 +2575,11 @@ object BucketStore {
       enforceCheck(name, t0.schema, byBucket)
       val t = freezeZBounds(t0, byBucket.iterator.flatten)
       val rows = t.buckets.zipWithIndex.map { case (old, b) =>
-        if (groups.contains(b)) clusterSort(t.schema, t.clusterCol, byBucket(b), t.zBounds)
+        if (groups.contains(b))
+          clusterSort(t.schema, t.clusterCol, byBucket(b), t.zBounds, t.zKeyVersion)
         else if (byBucket(b).isEmpty) old
-        else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b), t.zBounds)
+        else clusterMerge(t.schema, t.clusterCol, effectiveRows(t, b), byBucket(b), t.zBounds,
+          t.zKeyVersion)
       }
       publish(name, t.copy(buckets = rows, version = versions.incrementAndGet(),
         mor = t.mor.filter { case (b, _) => !groups.contains(b) && byBucket(b).isEmpty }))

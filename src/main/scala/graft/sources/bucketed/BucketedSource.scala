@@ -1728,7 +1728,7 @@ class BucketedColumnarPartitionReader(p: BucketInputPartition, required: StructT
         val merging = morState.exists(liveDelta)
         val mergeCols = if (lexCols.nonEmpty && merging) lexCols else Seq.empty[String]
         val zMerge = zCols.filter(_ => merging)
-          .map(cs => (cs, t.zBounds, BucketStore.zKeyOf(t)))
+          .map(cs => (cs, t.zBounds, BucketStore.zKeyOf(t), t.zKeyVersion))
         VectorizedColdScan.open(f.path, t.schema, required, filters, batchSize, limit,
           overlay, mergeCols, zMerge)
       }
@@ -2124,11 +2124,13 @@ private[bucketed] object VectorizedColdScan {
       mergeCols: Seq[String] = Nil,
       // defined ⇔ Z-ORDER SORTED-MERGE mode (round 18): (z columns,
       // frozen rank bounds, the store's full-arity Morton key fn for
-      // delta rows). The z columns join the read schema so base rows
+      // delta rows, the layout's key version — the batch-side keys
+      // must be computed in the SAME key space the table is sorted
+      // in). The z columns join the read schema so base rows
       // key straight off the vectors ([[zBatchKey]]); an unsupported
       // dimension type falls back to the fold path (None). Mutually
       // exclusive with `mergeCols`.
-      zMerge: Option[(Seq[String], Option[Array[Array[Long]]], Row => Array[Long])] = None)
+      zMerge: Option[(Seq[String], Option[Array[Array[Long]]], Row => Array[Long], Int)] = None)
       : Option[VectorizedColdScan] = {
     // the read schema appends the filters' (and merge keys') extra
     // columns AFTER the projected ones, typed from the table schema —
@@ -2172,9 +2174,9 @@ private[bucketed] object VectorizedColdScan {
     val zBase: Option[(org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Array[Long]] =
       zMerge match {
         case None => None
-        case Some((zCols, zBounds, _)) =>
+        case Some((zCols, zBounds, _, zkv)) =>
           if (!zCols.forall(readStruct.fieldNames.contains)) return None
-          zBatchKey(readStruct, zCols.map(readStruct.fieldIndex).toArray, zBounds) match {
+          zBatchKey(readStruct, zCols.map(readStruct.fieldIndex).toArray, zBounds, zkv) match {
             case None => return None
             case some => some
           }
@@ -2190,7 +2192,7 @@ private[bucketed] object VectorizedColdScan {
     // fold sorts by) and pre-sorts stably; the overlay iterator is
     // consumed by exactly ONE of the two delta streams
     val zDeltaSorted: Iterator[(Row, Array[Long])] = (zMerge, overlay) match {
-      case (Some((_, _, keyFn)), Some((_, it))) =>
+      case (Some((_, _, keyFn, _)), Some((_, it))) =>
         val idx = readStruct.fieldNames.map(fullSchema.fieldIndex).toIndexedSeq
         it.map { dr =>
           val zk = keyFn(dr)
@@ -2351,7 +2353,7 @@ private[bucketed] object VectorizedColdScan {
     * stored micros, matching `dimKey`'s `localDateTimeToMicros`.
     * None for a type outside the set — the fold path serves it.
     */
-  private def zDimKey(t: org.apache.spark.sql.types.DataType, ci: Int)
+  private def zDimKey(t: org.apache.spark.sql.types.DataType, ci: Int, zKeyVersion: Int)
       : Option[(org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Long] = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -2375,6 +2377,14 @@ private[bucketed] object VectorizedColdScan {
       // the stored int IS the epoch day ZOrder.dimKey now keys both
       // date externals by — no timezone round-trip on the hot path
       case DateType => Some((b, r) => b.column(ci).getInt(r).toLong ^ Long.MinValue)
+      // compact decimals under key version ≥ 2: the unscaled long at
+      // the column scale, read straight off the vector's decimal —
+      // matching [[ZOrder.decimalKey]] exactly (the external side
+      // floors to the same scale). Legacy layouts (version < 2) keep
+      // the double key their files were sorted with.
+      case dt: DecimalType if zKeyVersion >= 2 && dt.precision <= 18 =>
+        Some((b, r) =>
+          b.column(ci).getDecimal(r, dt.precision, dt.scale).toUnscaledLong ^ Long.MinValue)
       case dt: DecimalType => Some((b, r) => ZOrder.floatingKey(java.lang.Double.doubleToLongBits(
         b.column(ci).getDecimal(r, dt.precision, dt.scale).toJavaBigDecimal.doubleValue)))
       case _ => None
@@ -2388,9 +2398,10 @@ private[bucketed] object VectorizedColdScan {
     * dimension's type lacks a vector key.
     */
   private[bucketed] def zBatchKey(readStruct: StructType, idxs: Array[Int],
-      bounds: Option[Array[Array[Long]]])
+      bounds: Option[Array[Array[Long]]],
+      zKeyVersion: Int = ZOrder.KEY_VERSION)
       : Option[(org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Array[Long]] = {
-    val dims = idxs.map(ci => zDimKey(readStruct(ci).dataType, ci))
+    val dims = idxs.map(ci => zDimKey(readStruct(ci).dataType, ci, zKeyVersion))
     if (dims.exists(_.isEmpty)) return None
     val getters = dims.map(_.get)
     val ranked = bounds.filter(_.length == idxs.length)
@@ -2673,8 +2684,17 @@ object FilterEval {
         else {
           val arr: Array[Long] = conv.flatMap(_.get).distinct.sorted
           Some(r => if (r.isNullAt(i)) None
-          else Some(java.util.Arrays.binarySearch(arr,
-            r.getDecimal(i).setScale(dt.scale).unscaledValue().longValueExact()) >= 0))
+          else Some(
+            // heap/delta rows can carry a FINER scale than the column
+            // declares (the cold path normalizes, the heap path does
+            // not): a value whose rescale to the column scale is
+            // inexact — or whose unscaled overflows a long — is not
+            // representable at that scale, so it cannot cmp-equal any
+            // of the (exactly rescaled) list members: definitively
+            // false, never an exception
+            try java.util.Arrays.binarySearch(arr,
+              r.getDecimal(i).setScale(dt.scale).unscaledValue().longValueExact()) >= 0
+            catch { case _: ArithmeticException => false }))
         }
       case StringType =>
         val set = new java.util.HashSet[String](vs.length * 2)

@@ -462,6 +462,10 @@ object FileStore {
       "replicated" -> JBool(t.replicated),
       "zBounds" -> t.zBounds.map(zb =>
         JArray(zb.toList.map(d => JArray(d.toList.map(JLong(_)))))).getOrElse(JNull),
+      // the key-function version the z layout's stored sort order was
+      // built with ([[ZOrder.KEY_VERSION]]) — without it a reopening
+      // process cannot know which comparator the files agree with
+      "zKeyVersion" -> JInt(t.zKeyVersion),
       "rangeBounds" -> rangeBoundsFile.map(blockJson(_, dir)).getOrElse(JNull),
       "hosts" -> JArray(t.hosts.toList.map(hs => JArray(hs.toList.map(JString)))),
       "buckets" -> JArray(t.buckets.blocks.toList.map(b =>
@@ -622,6 +626,7 @@ object FileStore {
   final case class Manifest(name: String, version: Long, firstVersion: Long, commitTs: Long,
       schema: StructType, keyCol: String, clusterCol: Option[String], layoutEpoch: Long,
       hrw: Boolean, replicated: Boolean, zBounds: Option[Array[Array[Long]]],
+      zKeyVersion: Int,
       rangeBoundsFile: Option[BlockFile], hosts: Array[Seq[String]],
       buckets: Array[BlockFile], mor: Map[Int, (java.util.BitSet, BlockFile)],
       config: TableConfig,
@@ -658,6 +663,14 @@ object FileStore {
         }.toArray)
         case _ => None
       },
+      // manifests predating the field are dated by their OTHER fields:
+      // `vacuumMinAgeMs` entered the manifest in the same release that
+      // changed the date/NTZ key functions (round 19), so its presence
+      // distinguishes "v1: current date/NTZ keys, double decimal keys"
+      // from "v0: pre-change keys, stored order NOT reproducible" —
+      // the distinction [[BucketStore]]'s open-time heal pivots on
+      zKeyVersion = (json \ "zKeyVersion").extractOpt[Int].getOrElse(
+        if ((json \ "vacuumMinAgeMs") == JNothing) 0 else 1),
       rangeBoundsFile = json \ "rangeBounds" match {
         case JNull | JNothing => None
         case v => Some(blockOf(v, dir))

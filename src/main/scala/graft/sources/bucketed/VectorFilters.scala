@@ -467,8 +467,17 @@ private[bucketed] object ParquetPruning {
           case _ => None
         }
         if (dt.precision <= Decimal.MAX_INT_DIGITS)
+          // the int32 narrowing must be provable, not contingent:
+          // Spark's analysis casts pushable comparison literals to the
+          // column's decimal type (so the unscaled value is bounded by
+          // 10^9−1), but that invariant lives two layers up — a
+          // literal whose rescaled unscaled value leaves Int range
+          // BAILS the conjunct instead of wrapping into a predicate
+          // that could prune matching row groups
           Some(intOps(c, Function.unlift((v: Any) =>
-            unscaled(v).map(l => Int.box(l.toInt)))))
+            unscaled(v).collect {
+              case l if l >= Int.MinValue && l <= Int.MaxValue => Int.box(l.toInt)
+            })))
         else
           Some(longOps(c, Function.unlift((v: Any) => unscaled(v).map(Long.box))))
       case DoubleType => Some(new Ops {

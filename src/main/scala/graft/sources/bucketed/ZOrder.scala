@@ -52,6 +52,36 @@ import org.apache.spark.sql.Row
   */
 object ZOrder {
 
+  /** Version of the per-dimension KEY FUNCTIONS a z layout's stored
+    * sort order was built with — stamped into every manifest and
+    * carried on the table, because the stored order is only as good
+    * as the comparator that produced it and the key functions have
+    * CHANGED across releases:
+    *
+    *  - version 0 (manifests predating the `vacuumMinAgeMs` field):
+    *    `java.sql.Date` keyed by `getTime` epoch MILLIS (timezone-
+    *    dependent!), `LocalDate` by epoch day (so the two externals of
+    *    one date column were incommensurate), TIMESTAMP_NTZ keyed by
+    *    the constant 0. That order is not reproducible (it depended on
+    *    the writer's session timezone and java8API setting), so a v0
+    *    layout whose z-dimensions include a DATE or TIMESTAMP_NTZ
+    *    column is HEALED at open — re-sorted under the current keys —
+    *    instead of trusted ([[BucketStore]] openFromDisk).
+    *  - version 1 (manifests carrying `vacuumMinAgeMs` but no
+    *    `zKeyVersion`): dates key by epoch day on both externals, NTZ
+    *    by its micros — identical to current EXCEPT decimals, which
+    *    still key through `doubleValue` (ties beyond 2^53).
+    *  - version 2 (current): compact decimals (precision ≤ 18) key
+    *    EXACTLY by the unscaled long at the column scale
+    *    ([[dimKeyFn]]); everything else as v1.
+    *
+    * A v1 table keeps its double-keyed decimal order (correct, merely
+    * coarser locality) until an explicit full re-sort (`recluster` /
+    * `CALL graft.reorder`) upgrades it — stored sort order and
+    * comparator never diverge silently.
+    */
+  val KEY_VERSION: Int = 2
+
   private val Spec = """(?i)\s*zorder\s*\(([^)]*)\)\s*""".r
 
   /** Is this cluster-key property a z-order spec (`"zorder(a,b)"`)? */
@@ -106,6 +136,54 @@ object ZOrder {
     case x: String => stringKey(x)
     case x: Boolean => (if (x) 1L else 0L) ^ Long.MinValue
     case _ => 0L
+  }
+
+  /** Per-dimension key function specialized on the COLUMN type and the
+    * layout's [[KEY_VERSION]]: compact decimals (precision ≤ 18) under
+    * version ≥ 2 key EXACTLY by the unscaled long at the column scale
+    * — adjacent money values beyond 2^53 (ties under the double key)
+    * stay distinct on the curve, and the key matches the vectorized
+    * side's unscaled storage with no floating round-trip. Every other
+    * (type, version) pair shares [[dimKey]]. Values carrying a FINER
+    * scale than the column's (heap rows — the store's DECIMAL columns
+    * are scale-normalized on the cold path but not the heap path)
+    * floor to the column scale: monotone, ties only, locality-not-
+    * correctness like every other key collapse here.
+    */
+  def dimKeyFn(dt: org.apache.spark.sql.types.DataType, zKeyVersion: Int): Any => Long =
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType
+          if zKeyVersion >= 2 && d.precision <= 18 =>
+        decimalKey(_, d.scale)
+      case _ => dimKey
+    }
+
+  /** The per-dimension key functions for z-columns `idxs` of `schema`
+    * at layout key version `zKeyVersion`.
+    */
+  def keyFns(schema: org.apache.spark.sql.types.StructType, idxs: Array[Int],
+      zKeyVersion: Int): Array[Any => Long] =
+    idxs.map(i => dimKeyFn(schema(i).dataType, zKeyVersion))
+
+  /** Exact order-preserving key for a compact decimal at `scale`:
+    * floor-rescale to the column scale (monotone; only out-of-column-
+    * scale heap values collapse), then the unscaled long shifted to
+    * unsigned. Out-of-range unscaled values (out-of-precision heap
+    * rows) SATURATE — still monotone at the extremes.
+    */
+  def decimalKey(v: Any, scale: Int): Long = v match {
+    case null => 0L
+    case x: java.math.BigDecimal => decimalUnscaledKey(x, scale)
+    case x: scala.math.BigDecimal => decimalUnscaledKey(x.bigDecimal, scale)
+    case other => dimKey(other)
+  }
+
+  private def decimalUnscaledKey(x: java.math.BigDecimal, scale: Int): Long = {
+    val u = x.setScale(scale, java.math.RoundingMode.FLOOR).unscaledValue
+    val l =
+      if (u.bitLength > 63) { if (u.signum >= 0) Long.MaxValue else Long.MinValue }
+      else u.longValue
+    l ^ Long.MinValue
   }
 
   /** IEEE-754 total order as unsigned: negative floats reverse
@@ -163,6 +241,15 @@ object ZOrder {
     */
   def key(r: Row, idxs: Array[Int]): Array[Long] =
     interleave(idxs.map(i => dimKey(if (i >= r.size || r.isNullAt(i)) null else r.get(i))))
+
+  /** [[key]] with per-dimension key functions ([[keyFns]] — the
+    * version-aware dispatch every store sort/merge routes through).
+    */
+  def key(r: Row, idxs: Array[Int], fns: Array[Any => Long]): Array[Long] =
+    interleave(Array.tabulate(idxs.length) { d =>
+      val i = idxs(d)
+      fns(d)(if (i >= r.size || r.isNullAt(i)) null else r.get(i))
+    })
 
   // ——— rank normalization (equi-depth per-dimension ranks) ———
 
@@ -234,16 +321,31 @@ object ZOrder {
       rankKey(bounds(d), dimKey(if (i >= r.size || r.isNullAt(i)) null else r.get(i)))
     })
 
+  /** [[keyRanked]] with per-dimension key functions ([[keyFns]]). */
+  def keyRanked(r: Row, idxs: Array[Int], bounds: Array[Array[Long]],
+      fns: Array[Any => Long]): Array[Long] =
+    interleave(Array.tabulate(idxs.length) { d =>
+      val i = idxs(d)
+      rankKey(bounds(d), fns(d)(if (i >= r.size || r.isNullAt(i)) null else r.get(i)))
+    })
+
   /** Per-dimension frozen boundaries for a table's first data commit:
     * one [[boundsOf]] pass per z-column over the commit's rows.
     */
-  def boundsForRows(rows: Iterator[Row], idxs: Array[Int]): Array[Array[Long]] = {
+  def boundsForRows(rows: Iterator[Row], idxs: Array[Int]): Array[Array[Long]] =
+    boundsForRows(rows, idxs, Array.fill[Any => Long](idxs.length)(dimKey))
+
+  /** [[boundsForRows]] with per-dimension key functions ([[keyFns]]) —
+    * rank boundaries must live in the SAME key space the sort uses.
+    */
+  def boundsForRows(rows: Iterator[Row], idxs: Array[Int],
+      fns: Array[Any => Long]): Array[Array[Long]] = {
     val keys = Array.fill(idxs.length)(Array.newBuilder[Long])
     rows.foreach { r =>
       var d = 0
       while (d < idxs.length) {
         val i = idxs(d)
-        keys(d) += dimKey(if (i >= r.size || r.isNullAt(i)) null else r.get(i))
+        keys(d) += fns(d)(if (i >= r.size || r.isNullAt(i)) null else r.get(i))
         d += 1
       }
     }

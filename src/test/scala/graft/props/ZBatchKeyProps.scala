@@ -31,7 +31,8 @@ object ZBatchKeyProps extends Properties("graft.zbatchkey") {
     StructField("d", DoubleType), StructField("f", FloatType),
     StructField("s", StringType), StructField("ts", TimestampType),
     StructField("dt", DateType), StructField("b", BooleanType),
-    StructField("nt", TimestampNTZType)))
+    StructField("nt", TimestampNTZType),
+    StructField("dec", DecimalType(18, 2))))
 
   private def opt[T](g: Gen[T]): Gen[Any] =
     Gen.frequency(5 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null: Any))
@@ -59,7 +60,16 @@ object ZBatchKeyProps extends Properties("graft.zbatchkey") {
     // NTZ is a real Morton dimension since round 19 — keyed by micros
     nt <- opt(Gen.choose(0, 9).flatMap(h => Gen.choose(0, 999999).map(us =>
       java.time.LocalDateTime.of(2020, 1 + h, 1 + h, h, 30, 15, us * 1000))))
-  } yield Row(l, i, d, f, s, t, dt, b, nt)
+    // compact decimals at the column scale, including adjacent
+    // unscaled values beyond 2^53 — double-identical (the v1 tie),
+    // distinct under the v2 unscaled key; parity must hold at BOTH
+    // key versions
+    dec <- opt(Gen.oneOf(
+      Gen.oneOf(9007199254740992L, 9007199254740993L, -9007199254740993L,
+        Long.MinValue / 100, Long.MaxValue / 100),
+      Gen.choose(-100000L, 100000L))
+      .map(u => new java.math.BigDecimal(java.math.BigInteger.valueOf(u), 2)))
+  } yield Row(l, i, d, f, s, t, dt, b, nt, dec)
 
   /** Transpose through the SAME fillers the columnar reader uses. */
   private def toBatch(rows: Seq[Row]): ColumnarBatch = {
@@ -79,19 +89,21 @@ object ZBatchKeyProps extends Properties("graft.zbatchkey") {
   private val genDims: Gen[Seq[Int]] =
     Gen.choose(1, 3).flatMap(n => Gen.pick(n, schema.indices)).map(_.toSeq)
 
-  property("zBatchKey == external ZOrder key, raw and rank-normalized, every type incl. NULL") =
-    forAll(Gen.nonEmptyListOf(genRow), genDims, Gen.oneOf(true, false)) { (rows, dims, ranked) =>
+  property("zBatchKey == external ZOrder key, raw and rank-normalized, every type, BOTH key versions") =
+    forAll(Gen.nonEmptyListOf(genRow), genDims, Gen.oneOf(true, false),
+        Gen.oneOf(1, 2)) { (rows, dims, ranked, zkv) =>
       val idxs = dims.toArray
+      val fns = ZOrder.keyFns(schema, idxs, zkv)
       // frozen bounds the way the store computes them: from the rows'
       // own dim keys (a realistic equi-depth split per dimension)
       val bounds: Option[Array[Array[Long]]] =
         if (!ranked) None
-        else Some(ZOrder.boundsForRows(rows.iterator, idxs))
+        else Some(ZOrder.boundsForRows(rows.iterator, idxs, fns))
       val external: Row => Array[Long] = bounds match {
-        case Some(bs) => r => ZOrder.keyRanked(r, idxs, bs)
-        case None => r => ZOrder.key(r, idxs)
+        case Some(bs) => r => ZOrder.keyRanked(r, idxs, bs, fns)
+        case None => r => ZOrder.key(r, idxs, fns)
       }
-      VectorizedColdScan.zBatchKey(schema, idxs, bounds) match {
+      VectorizedColdScan.zBatchKey(schema, idxs, bounds, zkv) match {
         case None => false // every schema type here must be supported
         case Some(vec) =>
           val batch = toBatch(rows)

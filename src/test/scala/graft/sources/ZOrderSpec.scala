@@ -129,6 +129,29 @@ class ZOrderSpec extends SparkSuite {
     BucketStore.drop("z_ntz")
   }
 
+  test("DECIMAL is an exact Morton dimension (round 20): a range on the money z-column prunes") {
+    // pre-round-20 decimals keyed through doubleValue — monotone, so
+    // pruning worked, but adjacent values beyond 2^53 collapsed to
+    // curve ties. Now compact decimals key by the unscaled long at the
+    // column scale ([[ZOrder.dimKeyFn]]), matching the vectorized
+    // side's unscaled storage exactly.
+    val df = (0 until 8192)
+      .map(i => (i.toLong, mix(i, 1), mix(i, 2)))
+      .toDF("k", "x", "praw")
+      .selectExpr("k", "x", "CAST(praw AS DECIMAL(12,2)) / 100 AS p")
+      .selectExpr("k", "x", "CAST(p AS DECIMAL(12,2)) AS p")
+    BucketStore.drop("z_dec")
+    BucketStore.load(spark, "z_dec", df, "k", 2, clusterBy = Some("zorder(x,p)"))
+    assert(BucketStore.get("z_dec").zKeyVersion === ZOrder.KEY_VERSION)
+    val t = spark.read.format("graft-buckets").option("table", "z_dec").load()
+    val expect = (0 until 8192).filter(i => mix(i, 2) < 256L).map(_.toLong).sorted
+    val (rows, skipped) =
+      blocksSkippedDuring(t.filter(col("p") < lit(new java.math.BigDecimal("2.56"))).collect())
+    assert(rows.map(_.getLong(0)).sorted.toSeq === expect, "decimal range answers exactly")
+    assert(skipped > 0, "a decimal z-dimension must contribute curve locality")
+    BucketStore.drop("z_dec")
+  }
+
   test("a z-order table never claims a ClusterSlice (Morton runs have no lexicographic prefix)") {
     loadPair()
     val z = spark.read.format("graft-buckets").option("table", "z_t").load()
