@@ -524,6 +524,7 @@ object SparkEntry {
     "q266_vacuum_floor" -> graft.sources.bucketed.BucketedQueries.vacuumFloorQuery _,
     "q267_cold_decimal_sweep" -> graft.sources.bucketed.BucketedQueries.coldDecimalSweepQuery _,
     "q268_decimal_prune" -> graft.sources.bucketed.BucketedQueries.coldDecimalPruneQuery _,
+    "q269_cold_binary_sweep" -> graft.sources.bucketed.BucketedQueries.coldBinarySweepQuery _,
     "q212_sql_null_anti" -> shared(nullAntiJoinSql),
   )
 
@@ -954,6 +955,7 @@ object SparkEntry {
     "q266_vacuum_floor" -> graft.sources.bucketed.BucketedQueries.vacuumFloorSql,
     "q267_cold_decimal_sweep" -> graft.sources.bucketed.BucketedQueries.coldDecimalSweepSql,
     "q268_decimal_prune" -> graft.sources.bucketed.BucketedQueries.coldDecimalPruneSql,
+    "q269_cold_binary_sweep" -> graft.sources.bucketed.BucketedQueries.coldBinarySweepSql,
     "q212_sql_null_anti" -> nullAntiJoinSql,
   )
 }

@@ -2789,6 +2789,57 @@ object BucketedQueries {
       |   26.00,27.00,28.00,29.00,30.00,31.00,32.00,33.00)
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q269 — BINARY COLUMNS RIDE THE VECTORIZED COLD PATH (round 20):
+    * multimodal corpora store content (image/audio bytes) as BINARY,
+    * and before round 20 `supported()` excluded BinaryType, so every
+    * scan projecting one row-materialized the whole block — the
+    * dominant multimodal sweep shape on the slow path. The gate builds
+    * a store table whose `content` column is the documents' UTF-8
+    * head bytes (deterministic, so DuckDB replays it exactly as
+    * `encode(substr(text,1,64))`), evicts it, and runs a cold
+    * per-language sweep over the binary column — byte counts and an
+    * md5 content signature — audited IN-GATE: every bucket vectorized,
+    * zero row-materialized blocks, zero heap faults. No pruning story
+    * (binary zone maps stay None, correctly): the claim is that bytes
+    * ride the vectors like strings minus the UTF-8 step.
+    */
+  def coldBinarySweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    val name = s"doc_blob@$dir"
+    BucketStore.drop(name)
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 64).cast("binary").as("content"))
+    BucketStore.load(spark, name, docs, "doc_id", NumBuckets)
+    BucketStore.evictTable(name)
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "the table must start fully cold")
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    val out = spark.table(s"graft.`$name`")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(length(col("content"))).as("total_bytes"),
+        org.apache.spark.sql.functions.min(md5(col("content"))).as("sig"))
+      .collect()
+    require(FileStore.vectorReads.get() - vr0 == NumBuckets.toLong,
+      "every cold bucket of the binary sweep must take the vectorized path")
+    require(FileStore.filesRead.get() == fr0,
+      "the binary sweep must not row-materialize a single block")
+    require(BucketStore.get(name).buckets.loadedCount == 0,
+      "a cold multimodal sweep must not fault blocks into the heap cache")
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), out.head.schema)
+  }
+
+  /** DuckDB twin: md5(VARCHAR) hashes the string's UTF-8 bytes — the
+    * exact bytes Spark's `cast(substring(text,1,64) AS BINARY)`
+    * carries in the content column.
+    */
+  val coldBinarySweepSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(octet_length(encode(substr(text, 1, 64)))) AS BIGINT) AS total_bytes,
+      |  min(md5(substr(text, 1, 64))) AS sig
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** DuckDB replay of the MERGE as LEFT JOIN (matched branch) UNION
     * anti-joined inserts — the standard relational expansion.
     */

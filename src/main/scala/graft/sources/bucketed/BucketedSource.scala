@@ -2438,6 +2438,10 @@ private[bucketed] object VectorizedColdScan {
         val bytes = u.getBytes
         d.putByteArray(dr, bytes, 0, bytes.length): Unit
       }
+      case BinaryType => (s, sr, d, dr) => {
+        val bytes = s.getBinary(sr)
+        d.putByteArray(dr, bytes, 0, bytes.length): Unit
+      }
       case dt: DecimalType =>
         (s, sr, d, dr) => d.putDecimal(dr, s.getDecimal(sr, dt.precision, dt.scale), dt.precision)
       case other => throw new IllegalStateException(s"no vector copier for $other")
@@ -2460,6 +2464,12 @@ object BucketedColumnarPartitionReader {
     case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
          BooleanType | StringType | TimestampType | TimestampNTZType | DateType => true
     case _: DecimalType => true
+    // BinaryType joined in round 20: multimodal corpora carry content
+    // (image/audio bytes) as BINARY, and excluding it demoted every
+    // scan projecting one — the dominant multimodal scan shape — to
+    // the row reader. No pruning story (zone maps stay None); the
+    // bytes just ride the vectors like strings minus the UTF-8 step.
+    case BinaryType => true
     case _ => false
   }
 
@@ -2473,6 +2483,10 @@ object BucketedColumnarPartitionReader {
     case BooleanType => (v, s, x) => v.putBoolean(s, x.asInstanceOf[Boolean])
     case StringType => (v, s, x) => {
       val b = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      v.putByteArray(s, b, 0, b.length); ()
+    }
+    case BinaryType => (v, s, x) => {
+      val b = x.asInstanceOf[Array[Byte]]
       v.putByteArray(s, b, 0, b.length); ()
     }
     case TimestampType => (v, s, x) => x match {

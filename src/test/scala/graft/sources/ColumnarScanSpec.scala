@@ -791,6 +791,64 @@ class ColumnarScanSpec extends SparkSuite {
     }
   }
 
+  test("BINARY columns ride the columnar path: cold scan, filtered copier, MoR overlay (round 20)") {
+    // multimodal content is BINARY; before round 20 projecting one
+    // demoted the whole scan to the row reader — the dominant
+    // multimodal sweep shape paying the slow path
+    BucketStore.drop("colr_bin")
+    val df = (0 until 2048).map { i =>
+      if (i % 13 == 0) (i.toLong, null.asInstanceOf[Array[Byte]], i % 7)
+      else (i.toLong,
+        Array.tabulate[Byte](8 + i % 64)(j => ((i * 31 + j) % 251).toByte), i % 7)
+    }.toDF("k", "content", "g")
+    BucketStore.load(spark, "colr_bin", df, "k", 4)
+    def snap(columnar: Boolean, g: Option[Int] = None) = {
+      val base = spark.read.format("graft-buckets").option("table", "colr_bin")
+        .option("columnar", columnar.toString).load()
+      g.fold(base)(x => base.filter(col("g") === x)).collect()
+        .map(r => (r.getLong(0),
+          Option(r.getAs[Array[Byte]]("content")).map(_.toSeq), r.getInt(2))).toSet
+    }
+    val want = snap(columnar = false)
+    assert(want.size === 2048 && want.exists(_._2.isEmpty))
+
+    // cold sweep: fully vectorized, zero row-materialized blocks, zero heap faults
+    BucketStore.evictTable("colr_bin")
+    val (vr0, fr0) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    assert(snap(columnar = true) === want,
+      "the vectorized binary path must be byte-identical to the row path")
+    assert(FileStore.vectorReads.get() - vr0 >= 4L,
+      "every cold bucket of a binary projection must take the vectorized path")
+    assert(FileStore.filesRead.get() === fr0,
+      "a binary projection must not row-materialize any block")
+    assert(BucketStore.get("colr_bin").buckets.loadedCount === 0)
+    val plan = spark.read.format("graft-buckets").option("table", "colr_bin")
+      .option("columnar", "true").load().queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), "binary projections now plan columnar")
+
+    // a filtered scan carries binary through the compaction copier
+    BucketStore.evictTable("colr_bin")
+    val fr1 = FileStore.filesRead.get()
+    assert(snap(columnar = true, g = Some(3)) === want.filter(_._3 === 3))
+    assert(FileStore.filesRead.get() === fr1, "filtered binary scan stays vectorized")
+
+    // merge-on-read state (deleted mask + delta rows holding binary)
+    // still serves through the vectorized overlay
+    BucketStore.setDmlMode("colr_bin", BucketStore.MergeOnRead)
+    BucketStore.deleteWhere("colr_bin", _.getLong(0) % 10 == 1L)
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    spark.sql("UPDATE graft.colr_bin SET g = 99 WHERE k % 50 = 2")
+    val wantMor = snap(columnar = false)
+    assert(wantMor.exists(_._3 == 99) && !wantMor.exists(_._1 == 1L))
+    BucketStore.evictTable("colr_bin")
+    val (vr2, fr2) = (FileStore.vectorReads.get(), FileStore.filesRead.get())
+    assert(snap(columnar = true) === wantMor,
+      "binary MoR overlay must match the fold exactly")
+    assert(FileStore.vectorReads.get() - vr2 > 0L)
+    assert(FileStore.filesRead.get() === fr2)
+    BucketStore.drop("colr_bin")
+  }
+
   test("a projection containing an unsupported type falls back to the row reader cleanly") {
     BucketStore.drop("colr_arr")
     BucketStore.load(spark, "colr_arr",
