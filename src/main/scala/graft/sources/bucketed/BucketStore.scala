@@ -1027,6 +1027,21 @@ object BucketStore {
     persistVacuumFloor(name)
   }
 
+  /** Clear (or lower, via [[setVacuumFloor]]) the retention floor.
+    * CROSS-PROCESS SEMANTICS, deliberately asymmetric: floor RAISES
+    * propagate to live foreign processes at their next absorb (the
+    * max-merge in [[refreshFromDisk]]); clears/lowers take effect in
+    * foreign processes only after THEY reopen the table. The
+    * asymmetry is forced by durability mechanics — a floor change
+    * re-publishes the CURRENT version's manifest in place (no version
+    * bump), so a foreign process at the same head has no commit to
+    * absorb and no ordering signal to distinguish "cleared after my
+    * floor" from "stale manifest predating it"; max-merge resolves
+    * that ambiguity in the only safe direction (over-retention: a GC
+    * sweeps less than allowed, never more than declared). Operators
+    * lowering retention fleet-wide bounce readers or wait for their
+    * natural reopen.
+    */
   def clearVacuumFloor(name: String): Unit = {
     vacuumFloors.remove(name)
     persistVacuumFloor(name)

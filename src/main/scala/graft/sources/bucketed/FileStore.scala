@@ -493,49 +493,39 @@ object FileStore {
       // in-heap would let a restarted or foreign process run floor-0
       // publish-time GC against readers the operator declared protected
       "vacuumMinAgeMs" -> JLong(config.vacuumMinAgeMs))
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".manifest-v${t.version}.json.tmp")
-    Files.write(tmp, JsonMethods.compact(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8))
-    val target = dir.resolve(s"manifest-v${t.version}.json")
-    if (replace) {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      // hard-link is the POSIX create-if-absent primitive (rename(2)
-      // silently replaces, so ATOMIC_MOVE alone is NOT a CAS): link()
-      // fails with EEXIST when another writer already committed this
-      // version, and the published file appears atomically — a reader
-      // never sees a torn manifest
-      try {
-        try Files.createLink(target, tmp)
-        catch {
-          case _: UnsupportedOperationException =>
-            // no-hardlink filesystems: existence check + plain atomic
-            // move — a weaker CAS window, still loud in practice
-            if (Files.exists(target)) throw new java.nio.file.FileAlreadyExistsException(
-              target.toString)
-            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        }
-      } catch {
+    val bytes = JsonMethods.compact(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8)
+    val manifestName = s"manifest-v${t.version}.json"
+    if (replace) substrate.putReplace(dir, manifestName, bytes)
+    else {
+      // the commit CAS — conditional put through the substrate seam
+      // ([[CommitSubstrate.putIfAbsent]]): exactly one winner per
+      // version, a loud retryable loser, never a torn manifest
+      try substrate.putIfAbsent(dir, manifestName, bytes)
+      catch {
         case e: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
           throw new BucketStore.ConcurrentWriteException(
             s"lost the commit race for '$name' v${t.version}: ${e.getFile} already exists " +
               "— another writer committed this version first; retry against the new head")
-      } finally Files.deleteIfExists(tmp)
+      }
     }
     ()
   }
+
+  /** The storage binding the commit protocol runs on —
+    * [[LocalFsSubstrate]] here; swap for an object-store binding to
+    * move the whole protocol (CAS publish, discovery listing, GC age
+    * floor) to S3-class storage. See [[CommitSubstrate]] for the
+    * contract and the per-store mapping.
+    */
+  @volatile private[bucketed] var substrate: CommitSubstrate = LocalFsSubstrate
 
   /** Drain `f` over the directory listing and CLOSE the stream —
     * `Files.list` holds an open directory fd until closed, and the
     * pre-flight listing runs on EVERY publish, so leaking it to GC
     * scales descriptor pressure with commit rate.
     */
-  private def listDir[T](dir: Path)(f: Iterator[Path] => T): T = {
-    val s = Files.list(dir)
-    try f(s.iterator().asScala) finally s.close()
-  }
+  private def listDir[T](dir: Path)(f: Iterator[Path] => T): T =
+    substrate.list(dir)(f)
 
   /** Highest manifest version present in `dir` (filename parse only —
     * the cheap pre-flight every commit runs), or -1 for none.
@@ -796,12 +786,11 @@ object FileStore {
       else try Math.subtractExact(System.currentTimeMillis(), minAgeMs)
       catch { case _: ArithmeticException => Long.MinValue }
     def oldEnough(p: Path): Boolean =
-      try Files.getLastModifiedTime(p).toMillis < floorMillis
-      catch { case _: java.io.IOException => true } // already gone
+      substrate.modifiedMillis(p).forall(_ < floorMillis) // gone ⇒ old
     var removed = 0
     listDir(dir)(_.foreach { p =>
       if (!referenced.contains(p.toString) && !Files.isDirectory(p) && oldEnough(p)) {
-        Files.deleteIfExists(p)
+        substrate.delete(p)
         manifestNameCache.remove(p.toString) // see deleteManifestsOf
         removed += 1
       }
