@@ -65,9 +65,21 @@ object BucketSkip {
       min: Any,
       max: Any,
       bloom: java.util.BitSet,
-      bloomBits: Int) {
+      bloomBits: Int,
+      // the [[sketchHash]] version the bloom's bits were SET with —
+      // persisted with the sketch, because probing a sketch with a
+      // newer hash than built it tests bits the build never set and
+      // wrongly prunes (the same order-vs-comparator discipline as
+      // ZOrder.KEY_VERSION, applied to hashes). v1 bailed (no bits,
+      // no probe claim) on decimals whose unscaled exceeds 62 bits;
+      // v2 hashes the full BigInteger, so FLBA-precision money
+      // columns (p > 18) prune on equality too.
+      hashV: Int = SketchHashV) {
     def nonNullCount: Int = rowCount - nullCount
   }
+
+  /** Current [[sketchHash]] version, stamped into fresh sketches. */
+  val SketchHashV: Int = 2
 
   /** rows-array identity → per-column stats (None caches "cannot skip
     * on this column"). WeakHashMap compares Java arrays by reference,
@@ -285,7 +297,9 @@ object BucketSkip {
     * Int-or-Long column identically); strings hash FNV-1a. None for
     * anything else — the probe then falls back to min/max only.
     */
-  private def sketchHash(v: Any): Option[Long] = v match {
+  private def sketchHash(v: Any): Option[Long] = sketchHash(v, SketchHashV)
+
+  private def sketchHash(v: Any, hashV: Int): Option[Long] = v match {
     case x: Long => Some(mix64(x))
     case x: Int => Some(mix64(x.toLong))
     case x: Short => Some(mix64(x.toLong))
@@ -295,23 +309,35 @@ object BucketSkip {
       var j = 0
       while (j < x.length) { h ^= x.charAt(j); h *= 0x100000001b3L; j += 1 }
       Some(mix64(h))
-    case x: java.math.BigDecimal => decimalHash(x)
-    case x: scala.math.BigDecimal => decimalHash(x.bigDecimal)
+    case x: java.math.BigDecimal => decimalHash(x, hashV)
+    case x: scala.math.BigDecimal => decimalHash(x.bigDecimal, hashV)
     case _ => None
   }
 
   /** VALUE-canonical decimal hash: [[FilterEval.cmp]]-equal decimals
     * (scale-insensitive) must hash identically whatever scale their
     * representation carries — strip trailing zeros, then hash the
-    * (unscaled, scale) pair. None past long range (build sets no bits
-    * for the value and the equal probe also hashes None — min/max
-    * still bound it), and None keeps both sides conservative.
+    * (unscaled, scale) pair. Compact unscaled values mix the long
+    * directly (unchanged since v1); past 62 bits, v1 bailed (None —
+    * no bits set at build, no claim at probe; min/max still bound)
+    * while v2 FNV-hashes the full two's-complement magnitude bytes,
+    * giving FLBA-precision decimals (p > 18) bucket-level equality
+    * pruning too. A v1-built sketch is only ever probed with v1
+    * hashes (the persisted `hashV` gates it), so the bits tested are
+    * exactly the bits built.
     */
-  private def decimalHash(x0: java.math.BigDecimal): Option[Long] = {
+  private def decimalHash(x0: java.math.BigDecimal, hashV: Int): Option[Long] = {
     val x = x0.stripTrailingZeros()
     val u = x.unscaledValue()
-    if (u.bitLength() > 62) None
-    else Some(mix64(u.longValue() ^ mix64(x.scale().toLong)))
+    if (u.bitLength() <= 62) Some(mix64(u.longValue() ^ mix64(x.scale().toLong)))
+    else if (hashV < 2) None
+    else {
+      val bytes = u.toByteArray
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < bytes.length) { h ^= bytes(j) & 0xffL; h *= 0x100000001b3L; j += 1 }
+      Some(mix64(h ^ mix64(x.scale().toLong)))
+    }
   }
 
   private def mix64(z0: Long): Long = { // splitmix64 finalizer
@@ -347,7 +373,8 @@ object BucketSkip {
     def eqOne(s: ColSkip, v: Any): Boolean =
       if (v == null || s.min == null) false
       else if (FilterEval.cmp(s.min, v) > 0 || FilterEval.cmp(s.max, v) < 0) false
-      else s.bloom == null || sketchHash(v).forall(testBits(s.bloom, s.bloomBits, _))
+      else s.bloom == null ||
+        sketchHash(v, s.hashV).forall(testBits(s.bloom, s.bloomBits, _))
     def eqMay(so: Option[Seq[ColSkip]], v: Any): Boolean = so.forall(_.exists(eqOne(_, v)))
     // exists non-null value with pred(cmp(value, v)): the witness is
     // max for >-shaped predicates, min for <-shaped ones

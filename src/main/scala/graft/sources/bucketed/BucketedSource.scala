@@ -2710,6 +2710,20 @@ object FilterEval {
               r.getDecimal(i).setScale(dt.scale).unscaledValue().longValueExact()) >= 0
             catch { case _: ArithmeticException => false }))
         }
+      case _: DecimalType =>
+        // FLBA precisions (> 18): value-canonical set membership, the
+        // row twin of the vector probe — still O(1) per row where
+        // eval3's In was O(|list|) BigDecimal compares
+        val setD = new java.util.HashSet[java.math.BigDecimal](vs.length * 2)
+        var okD = true
+        vs.foreach {
+          case x: java.math.BigDecimal => setD.add(x.stripTrailingZeros()); ()
+          case x: scala.math.BigDecimal => setD.add(x.bigDecimal.stripTrailingZeros()); ()
+          case _ => okD = false
+        }
+        if (!okD) None
+        else Some(r => if (r.isNullAt(i)) None
+        else Some(setD.contains(r.getDecimal(i).stripTrailingZeros())))
       case StringType =>
         val set = new java.util.HashSet[String](vs.length * 2)
         var ok = true

@@ -403,6 +403,7 @@ object FileStore {
       "min" -> statVal(dt, cs.min),
       "max" -> statVal(dt, cs.max),
       "bloomBits" -> JInt(cs.bloomBits),
+      "hashV" -> JInt(cs.hashV),
       "bloom" -> (if (cs.bloom == null) JNull
       else JString(java.util.Base64.getEncoder.encodeToString(cs.bloom.toByteArray))))
   }
@@ -419,7 +420,11 @@ object FileStore {
           case JString(b64) => java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
           case _ => null
         },
-        bloomBits = (o \ "bloomBits").extract[Int])
+        bloomBits = (o \ "bloomBits").extract[Int],
+        // sketches persisted before the field were built with the v1
+        // hash (62-bit decimal bail) — probing them with v2 hashes
+        // would test bits the build never set and wrongly prune
+        hashV = (o \ "hashV").extractOpt[Int].getOrElse(1))
       // a null min with non-null rows is a stat value this codec
       // couldn't round-trip (a pre-round-17 manifest's TIMESTAMP_NTZ
       // entry): mayMatch reads min==null as "all null" and would

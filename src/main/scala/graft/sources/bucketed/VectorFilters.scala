@@ -212,6 +212,25 @@ private[bucketed] object VectorFilterEval {
           val get = unscaledGetter(i, dt)
           Some((b, r) => Arrays.binarySearch(arr, get(b, r)) >= 0)
         }
+      case dt: DecimalType =>
+        // FLBA-backed precisions (> 18, round 20): no unscaled-long
+        // space to probe in, but cmp-equality is still exact set
+        // membership over VALUE-canonical (stripTrailingZeros'd)
+        // BigDecimals — `big_money IN (...)` stays vectorized instead
+        // of demoting the scan. Row-group pruning stays off for FLBA
+        // (parquet's FLBA comparator pitfalls); this is membership
+        // only.
+        val set = new java.util.HashSet[java.math.BigDecimal](vs.length * 2)
+        var okD = true
+        vs.foreach {
+          case x: java.math.BigDecimal => set.add(x.stripTrailingZeros()); ()
+          case x: scala.math.BigDecimal => set.add(x.bigDecimal.stripTrailingZeros()); ()
+          case _ => okD = false
+        }
+        if (!okD) None
+        else Some((b, r) => set.contains(
+          b.column(i).getDecimal(r, dt.precision, dt.scale)
+            .toJavaBigDecimal.stripTrailingZeros()))
       case _ => None
     }
   }

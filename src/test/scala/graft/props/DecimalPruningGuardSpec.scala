@@ -48,4 +48,39 @@ class DecimalPruningGuardSpec extends AnyFunSuite {
     // out-of-precision magnitude: unscaled overflows a long — not in the list, no crash
     assert(!probe(org.apache.spark.sql.Row(new java.math.BigDecimal("9" * 25 + ".00"))))
   }
+
+  test("FLBA decimals (p > 18) probe In by canonical value — row path, wide scales, big unscaled") {
+    val s25 = StructType(Seq(StructField("bm", DecimalType(25, 4))))
+    val big = new java.math.BigDecimal("123456789012345678901.2345")
+    val probe = FilterEval.compile(s25,
+      Array(In("bm", Array(big, bd("7.0000"))))): org.apache.spark.sql.Row => Boolean
+    assert(probe(org.apache.spark.sql.Row(big)))
+    // value-equal at a WIDER representation scale is still a member
+    assert(probe(org.apache.spark.sql.Row(big.setScale(8))))
+    assert(probe(org.apache.spark.sql.Row(bd("7.00"))))
+    assert(!probe(org.apache.spark.sql.Row(big.add(bd("0.0001")))))
+  }
+
+  test("v2 bloom prunes FLBA-decimal equality; a legacy v1 sketch stays conservative") {
+    val s25 = StructType(Seq(StructField("bm", DecimalType(25, 4))))
+    val base = new java.math.BigInteger("4611686018427387904") // 2^62: past the v1 hash bail
+    def v(off: Long) = new java.math.BigDecimal(base.add(java.math.BigInteger.valueOf(off)), 4)
+    val rows = (0 until 64).map(i => org.apache.spark.sql.Row(v(i * 7L))).toArray
+    val stats = BucketSkip.statsOver(s25, rows, "bm").get
+    assert(stats.hashV === BucketSkip.SketchHashV, "fresh sketches stamp the current hash")
+    assert(stats.bloom != null, "big decimals are sketchable under the v2 hash")
+    // members pass, including value-equal wider-scale representations
+    assert(BucketSkip.mayMatch(s25, rows, EqualTo("bm", v(35L))))
+    assert(BucketSkip.mayMatch(s25, rows, EqualTo("bm", v(35L).setScale(6))))
+    // an absent value INSIDE the min/max band prunes via the bloom —
+    // the new capability (v1 bailed past 62-bit unscaled: no claim)
+    assert(!BucketSkip.mayMatch(s25, rows, EqualTo("bm", v(3L))),
+      "a within-band absent big decimal must prune via the v2 bloom")
+    // the SAME bits probed as a legacy v1 sketch must NOT claim: a
+    // v1 build never set bits for big values, so pruning on them
+    // against a persisted pre-round-20 sketch would be wrong
+    val legacy = stats.copy(hashV = 1)
+    assert(BucketSkip.mayMatch(s25, (_: String) => Some(Seq(legacy)), EqualTo("bm", v(3L))),
+      "a v1-stamped sketch must stay conservative for big decimals")
+  }
 }

@@ -408,7 +408,17 @@ object GraftProps extends Properties("graft") {
     org.apache.spark.sql.types.StructField("d",
       org.apache.spark.sql.types.DateType, nullable = true),
     org.apache.spark.sql.types.StructField("m",
-      org.apache.spark.sql.types.DecimalType(10, 2), nullable = true)))
+      org.apache.spark.sql.types.DecimalType(10, 2), nullable = true),
+    // FLBA precision (> 18): unscaled values past 62 bits exercise the
+    // round-20 v2 bloom hash (full BigInteger bytes) — skip safety
+    // must hold there exactly as for compact decimals
+    org.apache.spark.sql.types.StructField("bm",
+      org.apache.spark.sql.types.DecimalType(25, 4), nullable = true)))
+
+  private val bigBase = new java.math.BigInteger("4611686018427387904") // 2^62
+
+  private def bigDec(off: Long, scale: Int): JBigDecimal =
+    new JBigDecimal(bigBase.add(java.math.BigInteger.valueOf(off)), scale)
 
   private def dayOf(i: Int): java.sql.Date =
     java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
@@ -419,7 +429,10 @@ object GraftProps extends Properties("graft") {
     d <- Gen.oneOf(Gen.const(null), Gen.choose(0, 30).map(dayOf))
     m <- Gen.oneOf(Gen.const(null),
       Gen.choose(-500L, 500L).map(u => JBigDecimal.valueOf(u, 2)))
-  } yield org.apache.spark.sql.Row(k, s, d, m)
+    bm <- Gen.oneOf(Gen.const(null),
+      Gen.choose(-8L, 8L).map(off => bigDec(off, 4): Any),
+      Gen.choose(-50L, 50L).map(u => JBigDecimal.valueOf(u, 4): Any))
+  } yield org.apache.spark.sql.Row(k, s, d, m, bm)
 
   private val genSkipFilter: Gen[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
@@ -434,8 +447,17 @@ object GraftProps extends Properties("graft") {
       Gen.choose(-50L, 50L).map(u => JBigDecimal.valueOf(u, 1): Any),
       Gen.choose(-6L, 6L).map(u => JBigDecimal.valueOf(u, 0): Any),
       Gen.choose(-5000L, 5000L).map(u => JBigDecimal.valueOf(u * 10 + 5, 3): Any))
+    // big-decimal literals: in/near the generated band, value-equal
+    // wider-scale re-scalings (the canonical hash must not split
+    // them), and small values a big column can also hold
+    val bmv: Gen[Any] = Gen.oneOf(
+      Gen.choose(-10L, 10L).map(off => bigDec(off, 4): Any),
+      Gen.choose(-10L, 10L).map(off => bigDec(off, 4).setScale(6): Any),
+      Gen.choose(-50L, 50L).map(u => JBigDecimal.valueOf(u, 4): Any))
     Gen.oneOf[Filter](
       v.map(EqualTo("k", _)), sv.map(EqualTo("s", _)),
+      bmv.map(EqualTo("bm", _)), bmv.map(GreaterThan("bm", _)),
+      Gen.listOfN(3, bmv).map(vs => In("bm", vs.toArray)),
       v.map(GreaterThan("k", _)), v.map(LessThanOrEqual("k", _)),
       dv.map(EqualTo("d", _)), dv.map(LessThan("d", _)),
       dv.map(GreaterThanOrEqual("d", _)), Gen.const(IsNotNull("d")),

@@ -28,7 +28,8 @@ object VectorFilterProps extends Properties("graft.vectorfilter") {
     StructField("i", IntegerType), StructField("l", LongType),
     StructField("d", DoubleType), StructField("s", StringType),
     StructField("ts", TimestampType), StructField("dt", DateType),
-    StructField("dec", DecimalType(12, 2))))
+    StructField("dec", DecimalType(12, 2)),
+    StructField("big", DecimalType(25, 4))))
 
   private def opt[T](g: Gen[T]): Gen[Any] =
     Gen.frequency(4 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null: Any))
@@ -65,11 +66,25 @@ object VectorFilterProps extends Properties("graft.vectorfilter") {
     Gen.choose(-100L, 100L).map(u => java.math.BigDecimal.valueOf(u, 0)),
     Gen.choose(-1000000L, 1000000L).map(u => java.math.BigDecimal.valueOf(u, 4)))
 
+  // FLBA territory (precision 25 > 18): unscaled values past 62 bits
+  // alongside small ones — the round-20 value-canonical set probe and
+  // bloom-hash coverage
+  private val genBigVal: Gen[java.math.BigDecimal] = Gen.oneOf(
+    Gen.oneOf("999999999999999999999.0001", "-999999999999999999999.0001",
+      "123456789012345678901.2345", "0.0001", "0.0000")
+      .map(new java.math.BigDecimal(_)),
+    Gen.choose(-10000L, 10000L).map(u => java.math.BigDecimal.valueOf(u, 4)))
+  // literals include value-equal re-scalings (trailing zeros at a
+  // WIDER scale) — the canonical probe must treat them as members
+  private val genBigLit: Gen[java.math.BigDecimal] = Gen.oneOf(
+    genBigVal, genBigVal.map(_.setScale(7)),
+    Gen.choose(-100L, 100L).map(u => java.math.BigDecimal.valueOf(u, 0)))
+
   private val genRow: Gen[Row] = for {
     i <- opt(genInt); l <- opt(genLong); d <- opt(genDouble)
     s <- opt(genString); t <- opt(genTs); dt <- opt(genDate)
-    dec <- opt(genDecVal)
-  } yield Row(i, l, d, s, t, dt, dec)
+    dec <- opt(genDecVal); big <- opt(genBigVal)
+  } yield Row(i, l, d, s, t, dt, dec, big)
 
   private def lit(c: String): Gen[Any] = c match {
     case "i" => genInt.map(x => x: Any)
@@ -78,10 +93,11 @@ object VectorFilterProps extends Properties("graft.vectorfilter") {
     case "s" => genString.map(x => x: Any)
     case "ts" => genTs.map(x => x: Any)
     case "dec" => genDecLit.map(x => x: Any)
+    case "big" => genBigLit.map(x => x: Any)
     case _ => genDate.map(x => x: Any)
   }
 
-  private val genCol: Gen[String] = Gen.oneOf("i", "l", "d", "s", "ts", "dt", "dec")
+  private val genCol: Gen[String] = Gen.oneOf("i", "l", "d", "s", "ts", "dt", "dec", "big")
 
   private def genLeaf: Gen[Filter] = genCol.flatMap { c =>
     Gen.oneOf(
