@@ -348,6 +348,13 @@ class BucketedTable(name: String, opts: ConnectorOptions = ConnectorOptions.Defa
     // zorder table before its first data commit interleaves raw bits)
     snap.zBounds.foreach(bs =>
       props += ("zorder.rank_bounds" -> bs.map(_.length).mkString(",")))
+    // ... and which KEY-FUNCTION version the stored sort rides (round
+    // 20): below-current means legacy decimal-by-double keys — run
+    // `CALL graft.reorder` to upgrade; the operator's one-look signal
+    if (BucketStore.isZOrder(snap.clusterCol))
+      props += ("zorder.key_version" ->
+        (if (snap.zKeyVersion >= ZOrder.KEY_VERSION) snap.zKeyVersion.toString
+         else s"${snap.zKeyVersion} (legacy — CALL graft.reorder to upgrade)"))
     if (snap.mor.nonEmpty)
       props += ("pending_mor_buckets" -> snap.mor.size.toString)
     props.asJava

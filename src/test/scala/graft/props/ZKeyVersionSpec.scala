@@ -152,8 +152,18 @@ class ZKeyVersionSpec extends SparkSuite {
     assert(scan("zv1_dec").collect().map(_.getLong(0)).toSet === want)
     // the sort the table MAINTAINS stays in the v1 (double) key space
     // until the sanctioned full re-sort upgrades it
+    // the operator-facing signal: DESCRIBE shows the legacy version
+    // and names the remedy
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    def keyVersionProp(): String = {
+      val t = new BucketedCatalog().loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "zv1_dec"))
+      t.properties().get("zorder.key_version")
+    }
+    assert(keyVersionProp().contains("legacy") && keyVersionProp().contains("reorder"))
     BucketStore.reorder("zv1_dec")
     assert(BucketStore.get("zv1_dec").zKeyVersion === ZOrder.KEY_VERSION)
+    assert(keyVersionProp() === ZOrder.KEY_VERSION.toString)
     assertZSorted(BucketStore.get("zv1_dec"))
     assert(scan("zv1_dec").collect().map(_.getLong(0)).toSet === want)
   }
