@@ -78,6 +78,12 @@ trait CommitSubstrate {
     */
   def modifiedMillis(p: Path): Option[Long]
 
+  /** The object's full content, or None if it does not exist. After a
+    * successful [[putIfAbsent]]/[[putReplace]] a read returns the
+    * complete put bytes — never a torn prefix (read-after-write).
+    */
+  def getBytes(p: Path): Option[Array[Byte]]
+
   /** Best-effort idempotent delete. */
   def delete(p: Path): Unit
 }
@@ -140,5 +146,62 @@ object LocalFsSubstrate extends CommitSubstrate {
     try Some(Files.getLastModifiedTime(p).toMillis)
     catch { case _: java.io.IOException => None }
 
+  def getBytes(p: Path): Option[Array[Byte]] =
+    try Some(Files.readAllBytes(p))
+    catch { case _: java.io.IOException => None }
+
   def delete(p: Path): Unit = { Files.deleteIfExists(p); () }
+}
+
+/** An in-memory binding with OBJECT-STORE semantics — flat keyspace,
+  * server-side-atomic conditional put, no directories, no staging
+  * files, write-time stamps. It exists for two reasons: the contract
+  * suite runs against it alongside [[LocalFsSubstrate]], proving the
+  * contract is implementation-agnostic (a trait with one
+  * implementation is a rename, not a seam); and it is the executable
+  * sketch of what an S3 binding looks like — each method body maps
+  * 1:1 to one S3 call, annotated below. Metadata-plane only: block
+  * files are parquet on real paths, so this binding cannot host a
+  * table by itself in this environment.
+  */
+final class HeapObjectSubstrate extends CommitSubstrate {
+  // key = the object's full path string (S3: bucket/key)
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+
+  /** S3: PutObject with `If-None-Match: *` — 412 ⇒ already exists. */
+  def putIfAbsent(dir: Path, name: String, bytes: Array[Byte]): Unit = {
+    val k = dir.resolve(name).toString
+    if (objects.putIfAbsent(k, (bytes.clone(), System.currentTimeMillis())) != null)
+      throw new java.nio.file.FileAlreadyExistsException(k)
+  }
+
+  /** S3: plain PutObject (last writer wins, atomic per object). */
+  def putReplace(dir: Path, name: String, bytes: Array[Byte]): Unit = {
+    objects.put(dir.resolve(name).toString, (bytes.clone(), System.currentTimeMillis()))
+    ()
+  }
+
+  /** S3: ListObjectsV2 under the prefix, DRAINING continuation tokens
+    * (modeled by iterating the whole map — the binding must never
+    * answer with page one).
+    */
+  def list[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val prefix = dir.toString + java.io.File.separator
+    import scala.jdk.CollectionConverters._
+    f(objects.keySet().asScala.iterator
+      .filter(k => k.startsWith(prefix) && !k.stripPrefix(prefix).contains(java.io.File.separator))
+      .map(java.nio.file.Paths.get(_)))
+  }
+
+  /** S3: the object's `Last-Modified` — server-assigned at put. */
+  def modifiedMillis(p: Path): Option[Long] =
+    Option(objects.get(p.toString)).map(_._2)
+
+  /** S3: GetObject. */
+  def getBytes(p: Path): Option[Array[Byte]] =
+    Option(objects.get(p.toString)).map(_._1.clone())
+
+  /** S3: DeleteObject (idempotent by contract). */
+  def delete(p: Path): Unit = { objects.remove(p.toString); () }
 }

@@ -639,7 +639,12 @@ object FileStore {
   }
 
   private def readManifest(dir: Path, file: Path): Manifest = {
-    val json = JsonMethods.parse(new String(Files.readAllBytes(file), StandardCharsets.UTF_8))
+    // manifest READS ride the substrate too — the metadata plane
+    // (publish, list, read, age, delete) is fully seam-routed; only
+    // block parquet I/O stays on real paths
+    val bytes = substrate.getBytes(file).getOrElse(
+      throw new java.nio.file.NoSuchFileException(file.toString))
+    val json = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
     Manifest(
       name = (json \ "name").extract[String],
       version = (json \ "version").extract[Long],
