@@ -120,6 +120,38 @@ class ZKeyVersionSpec extends SparkSuite {
     assert(gotRange === wantRange)
   }
 
+  test("v0 heal discards stale rank bounds and serves retained history (time travel)") {
+    import spark.implicits._
+    // a GENUINE z table (frozen zBounds in every manifest) doctored
+    // to v0: the persisted rank boundaries live in the old key space,
+    // so heal must drop them, re-derive fresh ones, and every
+    // retained snapshot must reopen healed — time travel included
+    BucketStore.drop("zv0_tt")
+    val df = (0 until 300).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"2021-${i % 12 + 1}%02d-${i % 28 + 1}%02d"),
+        (i * 13 % 101).toLong)
+    }.toDF("k", "d", "x")
+    BucketStore.load(spark, "zv0_tt", df, "k", 4, clusterBy = Some("zorder(d,x)"))
+    val vFull = BucketStore.currentVersion("zv0_tt")
+    BucketStore.deleteWhere("zv0_tt", _.getLong(0) >= 250L) // second snapshot
+    assert(BucketStore.get("zv0_tt").zBounds.nonEmpty, "a real z table froze bounds")
+    val dir = BucketStore.unload("zv0_tt").get
+    doctorManifests(dir, drop = Set("vacuumMinAgeMs", "zKeyVersion"))
+    BucketStore.openFromDisk("zv0_tt", dir)
+    val t = BucketStore.get("zv0_tt")
+    assert(t.zKeyVersion === ZOrder.KEY_VERSION)
+    assertZSorted(t)
+    assert(scan("zv0_tt").collect().map(_.getLong(0)).toSet === (0L until 250L).toSet)
+    // the PRE-delete snapshot also reopened healed: full row set, sorted
+    spark.conf.set("spark.sql.catalog.graft", classOf[BucketedCatalog].getName)
+    assert(spark.sql(s"SELECT * FROM graft.zv0_tt VERSION AS OF $vFull")
+      .collect().map(_.getLong(0)).toSet === (0L until 300L).toSet)
+    val snapOld = BucketStore.snapshot("zv0_tt", vFull)
+    assert(snapOld.zKeyVersion === ZOrder.KEY_VERSION)
+    assertZSorted(snapOld)
+    BucketStore.drop("zv0_tt")
+  }
+
   test("v0 z layout with NO affected dimension serves as-is — lazy, no heal") {
     import spark.implicits._
     BucketStore.drop("zv0_ints")
