@@ -968,24 +968,42 @@ object BucketStore {
   def zKeyOf(t: BucketTable): Row => Array[Long] =
     zKeyFn(t.schema, t.clusterCol, t.zBounds, t.zKeyVersion)
 
+  /** (key extractor, key comparator) for the layout — the keyed twin
+    * of [[clusterRowCmp]], for the sort/merge paths that compute each
+    * row's key ONCE and compare keys after (per-COMPARISON extraction
+    * allocated a fresh key array on both sides of every compare —
+    * ~2·n·log n allocations per bucket sort, the dominant driver-side
+    * cost of a clustered load before round 21).
+    */
+  private def clusterKeyedCmp(schema: StructType, clusterCol: Option[String],
+      zBounds: Option[Array[Array[Long]]],
+      zKeyVersion: Int): (Row => AnyRef, (AnyRef, AnyRef) => Int) =
+    if (isZOrder(clusterCol)) {
+      val zk = zKeyFn(schema, clusterCol, zBounds, zKeyVersion)
+      (r => zk(r),
+        (x, y) => ZOrder.cmp(x.asInstanceOf[Array[Long]], y.asInstanceOf[Array[Long]]))
+    } else {
+      val key = clusterKeyOf(schema, clusterCol)
+      (r => key(r),
+        (x, y) => cmpClusterKeys(x.asInstanceOf[Array[Any]], y.asInstanceOf[Array[Any]]))
+    }
+
   /** Keep a bucket's rows sorted on the cluster key — the ordering the
     * fetch path binary-searches (lexicographic) or the Morton curve
-    * block pruning leans on (z-order; Schwartzian sort, keys computed
-    * once per row).
+    * block pruning leans on. Schwartzian sort for BOTH layouts: keys
+    * computed once per row, stable (TimSort) so ties keep their
+    * arrival order exactly as before.
     */
   private def clusterSort(schema: StructType, clusterCol: Option[String],
       rows: Array[Row], zBounds: Option[Array[Array[Long]]] = None,
       zKeyVersion: Int = ZOrder.KEY_VERSION): Array[Row] =
     clusterCol match {
       case None => rows
-      case c if isZOrder(c) =>
-        val zk = zKeyFn(schema, c, zBounds, zKeyVersion)
-        rows.map(r => (zk(r), r))
-          .sortWith((x, y) => ZOrder.cmp(x._1, y._1) < 0)
-          .map(_._2)
       case c =>
-        val key = clusterKeyOf(schema, c)
-        rows.sortWith((a, b) => cmpClusterKeys(key(a), key(b)) < 0)
+        val (key, cmp) = clusterKeyedCmp(schema, c, zBounds, zKeyVersion)
+        rows.map(r => (key(r), r))
+          .sortWith((x, y) => cmp(x._1, y._1) < 0)
+          .map(_._2)
     }
 
   // ————— merge-on-read fold + DML-mode plumbing —————
@@ -1483,8 +1501,18 @@ object BucketStore {
         // merge — the read-time twin of [[clusterMerge]], positions
         // riding the same permutation (comparator dispatches on the
         // layout: lexicographic or Morton)
-        val cmp = clusterRowCmp(schema, c, zBounds, zKeyVersion)
-        val sd = deltaPairs.sortWith((a, b2) => cmp(a._1, b2._1) < 0)
+        val (key, cmp) = clusterKeyedCmp(schema, c, zBounds, zKeyVersion)
+        // keys once per row (Schwartzian, stable) — the sort and the
+        // merge loop both re-extracted keys per comparison before r21
+        val sd = deltaPairs.map(p => (key(p._1), p))
+          .sortWith((a, b2) => cmp(a._1, b2._1) < 0)
+          .map(_._2)
+        val sdKeys = new Array[AnyRef](sd.length)
+        var k = 0
+        while (k < sd.length) { sdKeys(k) = key(sd(k)._1); k += 1 }
+        val bKeys = new Array[AnyRef](bR.length)
+        k = 0
+        while (k < bR.length) { bKeys(k) = key(bR(k)); k += 1 }
         val n = bR.length + sd.length
         val rows = new Array[Row](n)
         val pos = new Array[Int](n)
@@ -1492,7 +1520,7 @@ object BucketStore {
         var d = 0
         var o = 0
         while (a < bR.length && d < sd.length) {
-          if (cmp(bR(a), sd(d)._1) <= 0) {
+          if (cmp(bKeys(a), sdKeys(d)) <= 0) {
             rows(o) = bR(a); pos(o) = bP(a); a += 1
           } else { rows(o) = sd(d)._1; pos(o) = sd(d)._2; d += 1 }
           o += 1
@@ -1667,14 +1695,22 @@ object BucketStore {
     clusterCol match {
       case None => old ++ add
       case c =>
-        val cmp = clusterRowCmp(schema, c, zBounds, zKeyVersion)
+        val (key, cmp) = clusterKeyedCmp(schema, c, zBounds, zKeyVersion)
         val sortedAdd = clusterSort(schema, clusterCol, add, zBounds, zKeyVersion)
+        // keys once per ROW on both sides — the merge loop re-extracted
+        // both keys every iteration before round 21
+        val oldKeys = new Array[AnyRef](old.length)
+        var i = 0
+        while (i < old.length) { oldKeys(i) = key(old(i)); i += 1 }
+        val addKeys = new Array[AnyRef](sortedAdd.length)
+        i = 0
+        while (i < sortedAdd.length) { addKeys(i) = key(sortedAdd(i)); i += 1 }
         val out = new Array[Row](old.length + sortedAdd.length)
         var a = 0
         var b = 0
         var o = 0
         while (a < old.length && b < sortedAdd.length) {
-          if (cmp(old(a), sortedAdd(b)) <= 0) {
+          if (cmp(oldKeys(a), addKeys(b)) <= 0) {
             out(o) = old(a); a += 1
           } else { out(o) = sortedAdd(b); b += 1 }
           o += 1
@@ -2245,8 +2281,27 @@ object BucketStore {
       val t = freezeZBounds(t0, byBucket.iterator.flatten)
       val rows: BucketBlocks =
         if (truncate)
-          BucketBlocks.fromArrays(
-            byBucket.map(clusterSort(t.schema, t.clusterCol, _, t.zBounds, t.zKeyVersion)))
+          // per-bucket sorts are independent (pure key extraction +
+          // stable sort) — run them on the spill pool, the commit-point
+          // analog of write tasks each sorting their own bucket. A
+          // full-table clustered load paid 16 sequential sorts under
+          // the commit lock before round 21.
+          BucketBlocks.fromArrays {
+            if (t.clusterCol.isEmpty || byBucket.count(_.nonEmpty) <= 1)
+              byBucket.map(clusterSort(t.schema, t.clusterCol, _, t.zBounds, t.zKeyVersion))
+            else {
+              val out = new Array[Array[Row]](byBucket.length)
+              val futures = byBucket.indices.map { b =>
+                FileStore.spillPool.submit(new java.util.concurrent.Callable[Unit] {
+                  override def call(): Unit =
+                    out(b) = clusterSort(t.schema, t.clusterCol, byBucket(b),
+                      t.zBounds, t.zKeyVersion)
+                })
+              }
+              futures.foreach(_.get()) // propagate the FIRST failure loudly
+              out
+            }
+          }
         else t.buckets.mapRetaining { b =>
           // clustered-index maintenance on ingest: only buckets that
           // received rows change, and each pays a DELTA sort + linear

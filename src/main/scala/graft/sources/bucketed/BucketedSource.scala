@@ -2384,14 +2384,18 @@ private[bucketed] object VectorizedColdScan {
       // the stored int IS the epoch day ZOrder.dimKey now keys both
       // date externals by — no timezone round-trip on the hot path
       case DateType => Some((b, r) => b.column(ci).getInt(r).toLong ^ Long.MinValue)
-      // compact decimals under key version ≥ 2: the unscaled long at
-      // the column scale, read straight off the vector's decimal —
-      // matching [[ZOrder.decimalKey]] exactly (the external side
-      // floors to the same scale). Legacy layouts (version < 2) keep
-      // the double key their files were sorted with.
+      // compact decimals under key version ≥ 2: the unscaled value at
+      // the column scale, read straight off the vector's physical int
+      // (p ≤ 9) or long storage — no per-row Decimal allocation,
+      // mirroring VectorFilterEval.unscaledGetter — matching
+      // [[ZOrder.decimalKey]] exactly (the external side floors to the
+      // same scale). Legacy layouts (version < 2) keep the double key
+      // their files were sorted with.
       case dt: DecimalType if zKeyVersion >= 2 && dt.precision <= 18 =>
-        Some((b, r) =>
-          b.column(ci).getDecimal(r, dt.precision, dt.scale).toUnscaledLong ^ Long.MinValue)
+        if (dt.precision <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS)
+          Some((b, r) => b.column(ci).getInt(r).toLong ^ Long.MinValue)
+        else
+          Some((b, r) => b.column(ci).getLong(r) ^ Long.MinValue)
       case dt: DecimalType => Some((b, r) => ZOrder.floatingKey(java.lang.Double.doubleToLongBits(
         b.column(ci).getDecimal(r, dt.precision, dt.scale).toJavaBigDecimal.doubleValue)))
       case _ => None
