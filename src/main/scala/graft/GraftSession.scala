@@ -27,6 +27,32 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing sizes partitions by BYTES; CPU-heavy stages over
+      // small shuffles (text shingling → posting lists: ~1.6 MB of
+      // hashes fanning out to ~12 MB of pairs) collapsed to ONE task
+      // under the 1 MB default floor, serializing the whole stage on a
+      // 32-core session. 64 KB keeps such stages parallel while
+      // remaining scale-invariant: with parallelism-first coalescing
+      // the target is max(totalBytes / parallelism, THIS FLOOR), so on
+      // any shuffle big enough to matter at cluster scale the ratio
+      // term dominates and the floor never binds.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // InferFiltersFromGenerate infers `size(arr) > 0 AND isnotnull(arr)`
+      // above each explode; predicate pushdown then substitutes the
+      // array's DEFINING EXPRESSION into both conjuncts below the
+      // projection, so a computed array (the dedup family's shingle
+      // transform: split + n-gram hash + array_distinct per document)
+      // is evaluated THREE times per row — twice in the pushed filter,
+      // once in the projection (the built-in-expression twin of the
+      // optimizer's known UDF-duplication behavior). The inferred
+      // filter only helps when rows with empty arrays are common AND
+      // the array is cheap; every generate in this engine explodes a
+      // computed array on the hot path, where tripling the generator
+      // child's cost — at any scale — is strictly worse than feeding
+      // the generator a few empty arrays. Results are unaffected (the
+      // rule is purely an optimization).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Engine-wide planner settings, fixed at session birth so no
