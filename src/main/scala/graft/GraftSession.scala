@@ -31,12 +31,17 @@ object GraftSession {
       // small shuffles (text shingling → posting lists: ~1.6 MB of
       // hashes fanning out to ~12 MB of pairs) collapsed to ONE task
       // under the 1 MB default floor, serializing the whole stage on a
-      // 32-core session. 64 KB keeps such stages parallel while
+      // 32-core session. A lower floor keeps such stages parallel while
       // remaining scale-invariant: with parallelism-first coalescing
       // the target is max(totalBytes / parallelism, THIS FLOOR), so on
       // any shuffle big enough to matter at cluster scale the ratio
-      // term dominates and the floor never binds.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // term dominates and the floor never binds. 256 KB is the
+      // measured sweet spot across the suite: 64 KB over-splits the
+      // MANY-round iterative shapes (PageRank/CC supersteps re-shuffle
+      // a few hundred KB per round — q156 regressed 3.4s → 5.5s from
+      // per-task overhead), while 1 MB single-tasks the posting-list
+      // pair fan-out (q16 2.9s → 1.1s at 256 KB).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       // InferFiltersFromGenerate infers `size(arr) > 0 AND isnotnull(arr)`
       // above each explode; predicate pushdown then substitutes the
       // array's DEFINING EXPRESSION into both conjuncts below the

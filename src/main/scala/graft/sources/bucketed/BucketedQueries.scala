@@ -22,8 +22,17 @@ object BucketedQueries {
   private def runStreamToTable(df: DataFrame, tableFqn: String, outputMode: String,
       options: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_sink_ckpt_${spark.sparkContext.applicationId}_")
+    // scratch checkpoint on tmpfs when available: the per-batch
+    // offset/commit logs and state deltas of this ONE-SHOT drive pay
+    // fsync latency for durability nothing ever reads back (the dir is
+    // deleted below); a production stream names a durable location
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm,
+          s"graft_sink_ckpt_${spark.sparkContext.applicationId}_")
+      else java.nio.file.Files
+        .createTempDirectory(s"graft_sink_ckpt_${spark.sparkContext.applicationId}_")
     val q = df.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", ckpt.toString)

@@ -120,9 +120,24 @@ object StreamOps {
     // many-batch source cannot silently rotate early batches out and
     // defeat the guard
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    // A memory-sink gate run's checkpoint is EPHEMERAL by contract
+    // (Spark itself creates and deletes a temp dir for it) — but the
+    // default temp dir sits on disk, and the per-batch offset/commit
+    // logs and state-store delta files pay real fsync latency there
+    // (~1s per streaming query on this ext4). Point the throwaway
+    // checkpoint at tmpfs when available and delete it after the run;
+    // a production writeStream names a DURABLE checkpointLocation and
+    // none of this applies.
+    val ckptDir: Option[java.nio.file.Path] = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        Some(shm.resolve(s"graft-ckpt-$name-${java.util.UUID.randomUUID}"))
+      else None
+    }
     try {
       val useAvailableNow = sys.env.get("GRAFT_TRIGGER").contains("availableNow")
-      val writer = df.writeStream.outputMode(outputMode).format("memory").queryName(name)
+      val writer0 = df.writeStream.outputMode(outputMode).format("memory").queryName(name)
+      val writer = ckptDir.fold(writer0)(p => writer0.option("checkpointLocation", p.toString))
       val q =
         if (useAvailableNow)
           writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -157,7 +172,18 @@ object StreamOps {
         }
         q.stop()
       }
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      // best-effort cleanup of the throwaway tmpfs checkpoint
+      ckptDir.foreach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }
+    }
     spark.table(name)
   }
 
